@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Dev-only harness replicating the driver's correctness gate locally.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads every fixture parquet as a DuckDB view, runs each oracle SQL from
+<verifyOutDir>/oracle_sql.json, and compares against the Spark result
+parquet written by graft.Verify — columns sorted by name, rows sorted,
+exact value equality (the compare the driver performs).
+
+This is developer tooling only; the shipped library is pure Scala/Spark.
+"""
+import duckdb, glob, json, math, os, sys
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(repr(r[i]) for i in order))
+    return sorted(out), [cols[i] for i in order]
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(p).split(".")[0]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        res_glob = f"{outdir}/{name}/*.parquet"
+        if not glob.glob(res_glob):
+            print(f"MISSING  {name} (no spark result)")
+            n_fail += 1
+            continue
+        try:
+            exp = con.execute(sql)
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}")
+            n_fail += 1
+            continue
+        got = con.execute(f"SELECT * FROM '{res_glob}'")
+        got_cols = [d[0] for d in got.description]
+        got_rows = got.fetchall()
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"SCHEMA   {name}: spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        g, cols = norm(got_rows, got_cols)
+        e, _ = norm(exp_rows, exp_cols)
+        if len(g) != len(e):
+            print(f"ROWS     {name}: spark={len(g)} oracle={len(e)}")
+            n_fail += 1
+        elif g != e:
+            bad = next(i for i in range(len(g)) if g[i] != e[i])
+            print(f"VALUES   {name}: first diff row {bad} cols={cols}")
+            print(f"  spark : {g[bad]}")
+            print(f"  oracle: {e[bad]}")
+            n_fail += 1
+        else:
+            print(f"OK       {name} ({len(g)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,474 @@
+package graft.queries
+
+import graft.{ColUtil, Tables}
+import graft.ColUtil._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.2–§2.8).
+  *
+  * The reference delegates every relational operator beyond scan/filter/
+  * min/max to the backing DBMS via its querySql passthrough
+  * (/root/reference/database/dbms/reader/parameter.go:94-101); here those
+  * capabilities are served natively by Catalyst over parquet. Each query is
+  * a declarative DataFrame plan (broadcast hints where the dim side is small,
+  * decimal-exact aggregation for oracle parity) with a DuckDB-equivalent SQL
+  * oracle in [[oracles]].
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // ---- A3: group-by aggregation (TPC-H Q1 shape) --------------------
+    "q1_pricing_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          // fracs multiplied first, widened to (20,12) (exact — scale kept):
+          // keeps the money*fracs product <=38 digits in both engines and
+          // forces DuckDB onto int128 (int64 overflows at width<=18)
+          sum(money(col("l_extendedprice")) * (frac(lit(1) - col("l_discount"))
+            * frac(lit(1) + col("l_tax"))).cast("decimal(20,12)"))
+            .cast("double").as("sum_charge"),
+          (sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(money(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(frac(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- joins: multiway + broadcast + top-k (TPC-H Q3 shape) ---------
+    "q3_top_orders" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- joins: 6-way star join (TPC-H Q5 shape) ----------------------
+    "q5_region_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- broadcast equi-join with dim table ---------------------------
+    "join_broadcast_parts" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- left outer join with null-side aggregation -------------------
+    "join_left_outer" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sum(money(col("o_totalprice"))).cast("double").as("sum_spend"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- semi join (EXISTS) -------------------------------------------
+    "join_semi_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 100000.0).select(col("o_custkey"))
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- anti join (NOT EXISTS) ---------------------------------------
+    "join_anti_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d).select(col("o_custkey"))
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- theta/range join against a generated bucket dim --------------
+    "join_range_buckets" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val buckets = s.range(0, 10).select(
+        (col("id") * 200).cast("double").as("lo"),
+        ((col("id") + 1) * 200).cast("double").as("hi"),
+        col("id").as("bucket"))
+      p.join(broadcast(buckets),
+          p("p_retailprice") >= buckets("lo") && p("p_retailprice") < buckets("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(money(col("p_retailprice"))).cast("double").as("sum_price"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- window: top-n per group --------------------------------------
+    "window_topn_per_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
+    // ---- window: running aggregate -------------------------------------
+    "window_running_total" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord.withColumn("running_spend", sum(money(col("o_totalprice"))).over(w)
+          .cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // ---- window: lag/lead ----------------------------------------------
+    "window_lag_gap" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord.withColumn("prev_price", money(lag(col("o_totalprice"), 1).over(w))
+          .cast("double"))
+        .withColumn("rank_in_cust", row_number().over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_price"),
+          col("rank_in_cust"))
+        .orderBy(col("o_custkey"), col("rank_in_cust"))
+    }),
+
+    // ---- sort + limit (top-k -> TakeOrderedAndProject) -----------------
+    "sort_topk_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          money(col("o_totalprice")).cast("double").as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    }),
+
+    // ---- set ops: union / intersect / except ---------------------------
+    "set_ops_nations" -> ((s, d) => {
+      val custN = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val supN = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      val both = custN.intersect(supN).withColumn("src", lit("both"))
+      val custOnly = custN.distinct().except(supN.distinct())
+        .withColumn("src", lit("cust_only"))
+      both.unionByName(custOnly)
+        .select(col("nationkey"), col("src"))
+        .orderBy(col("src"), col("nationkey"))
+    }),
+
+    // ---- rollup ---------------------------------------------------------
+    "agg_rollup_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- cube -----------------------------------------------------------
+    "agg_cube_lineitem" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- distinct aggregates -------------------------------------------
+    "agg_distinct_counts" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- exact variance/stddev via decimal moments ----------------------
+    "agg_stats_exact" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val q = money(col("l_quantity"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          sum(q).cast("double").as("s1"),
+          sum(q * q).cast("double").as("s2"))
+        .withColumn("variance_qty",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        .select(col("l_returnflag"), col("n"), col("min_qty"), col("max_qty"),
+          col("variance_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- scalar string functions (F1/F5 surface) ------------------------
+    "scalar_string_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        length(col("p_name")).as("name_len"),
+        trim(col("p_name")).as("name_trim"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        when(col("p_size") > 25, lit("large")).otherwise(lit("small")).as("size_class"),
+        (col("p_size") * 2 + 1).as("size_calc"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- date/time functions (F2 surface) --------------------------------
+    "scalar_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- projection + filter pushdown (S1/P1/P2) -------------------------
+    "scan_filter_projection" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45.0 && col("l_discount") < 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- querySql passthrough (S2): raw SQL via spark.sql ----------------
+    "querysql_passthrough" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(PassthroughSql)
+    }),
+
+    // ---- grouping sets ----------------------------------------------------
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+          |""".stripMargin)
+    })
+  )
+
+  /** Raw-SQL passthrough text — runnable verbatim by both Catalyst and DuckDB
+    * (the Spark analogue of the reference's querySql,
+    * /root/reference/database/dbms/reader/parameter.go:94-101). */
+  val PassthroughSql: String =
+    """SELECT n_name, COUNT(*) AS n_cust,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS STRING) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  private def decSum(c: String): String =
+    s"CAST(CAST(SUM(CAST($c AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)"
+  private val revenue =
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS VARCHAR) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${decSum("l_quantity")} AS sum_qty,
+         |  ${decSum("l_extendedprice")} AS sum_base_price,
+         |  $revenue AS sum_disc_price,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(CAST(1 - l_discount AS DECIMAL(8,6)) * CAST(1 + l_tax AS DECIMAL(8,6)) AS DECIMAL(20,12))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+         |  ${decSum("l_quantity")} / COUNT(*) AS avg_qty,
+         |  ${decSum("l_extendedprice")} / COUNT(*) AS avg_price,
+         |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenue AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name, $revenue AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "join_broadcast_parts" ->
+      s"""SELECT p_brand, COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "join_left_outer" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |  ${decSum("o_totalprice")} AS sum_spend
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_semi_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_range_buckets" ->
+      s"""WITH buckets AS (
+         |  SELECT i AS bucket, CAST(i * 200 AS DOUBLE) AS lo,
+         |    CAST((i + 1) * 200 AS DOUBLE) AS hi
+         |  FROM (SELECT UNNEST(RANGE(0, 10)) AS i))
+         |SELECT bucket, COUNT(*) AS n_parts, ${decSum("p_retailprice")} AS sum_price
+         |FROM part JOIN buckets ON p_retailprice >= lo AND p_retailprice < hi
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "window_topn_per_supplier" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "window_lag_gap" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(LAG(o_totalprice, 1) OVER w AS DECIMAL(12,4)) AS DOUBLE)
+        |    AS prev_price,
+        |  ROW_NUMBER() OVER w AS rank_in_cust
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rank_in_cust""".stripMargin,
+
+    "sort_topk_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "set_ops_nations" ->
+      """SELECT nationkey, 'both' AS src FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS src FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |ORDER BY src, nationkey""".stripMargin,
+
+    "agg_rollup_orders" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${decSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_cube_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_distinct_counts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_stats_exact" ->
+      """SELECT l_returnflag, n, min_qty, max_qty,
+        |  (s2 - s1 * s1 / n) / (n - 1) AS variance_qty
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "scalar_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS name_upper, LOWER(p_brand) AS brand_lower,
+        |  SUBSTRING(p_type, 1, 5) AS type_prefix, LENGTH(p_name) AS name_len,
+        |  TRIM(p_name) AS name_trim,
+        |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+        |  CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class,
+        |  p_size * 2 + 1 AS size_calc
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "scalar_date_funcs" ->
+      """SELECT o_orderkey, YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+        |  DAYOFMONTH(o_orderdate) AS dom,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "scan_filter_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45.0 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "querysql_passthrough" -> PassthroughSql,
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+  )
+}
