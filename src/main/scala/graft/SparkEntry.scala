@@ -19,10 +19,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+      graft.queries.TextDedup.defs ++
+      graft.queries.AnnOps.defs ++
+      graft.queries.EventOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+      graft.queries.TextDedup.oracles ++
+      graft.queries.AnnOps.oracles ++
+      graft.queries.EventOps.oracles
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB): every variant is a shuffle-on-key plan — no
+  * driver-side materialization, no cross joins. Exact dedup shuffles on a
+  * 128-bit content hash (never the full text). Near-dup variants generate
+  * candidate pairs through an inverted index (shingle / LSH band / SimHash
+  * band) so the self-join degree is bounded by bucket size, then verify
+  * candidates exactly. AQE handles residual bucket skew.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content hash with the
+    * surviving doc id (min) and duplicate count. */
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** The deduplicated table: first (min-id) row per distinct content. */
+  def exactKeep(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Distinct word-k-shingles, exploded: (id, shingle). The inverted-index
+    * backbone for the near-dup operators. */
+  def explodedShingles(df: DataFrame, id: Column, text: Column, k: Int)
+      : DataFrame =
+    df.select(id.as("doc_id"),
+        explode(TextAnalysis.shingles(text, k)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity pairs >= tau via inverted-index
+    * self-join (candidates only materialize for docs sharing a shingle). */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, tau: Double = 0.5): DataFrame = {
+    val sh = explodedShingles(df, id, text, k).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: `perms` permutations h_i(x) = (a_i*x + b_i) mod p
+    * over 64-bit shingle hashes (xxhash64). Returns array<bigint>. */
+  def minhashSignature(text: Column, k: Int, perms: Int): Column = {
+    // 31-bit Mersenne prime: h < 2^31 keeps a*h + b far from long overflow
+    val p = 2147483647L
+    val hashes = transform(TextAnalysis.shingles(text, k),
+      s => pmod(xxhash64(s), lit(p)))
+    val sig = (0 until perms).map { i =>
+      val a = 2L * i + 1L; val b = 104729L * (i + 1)
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(p))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH candidate pairs: signature split into `bands` bands of
+    * `perms/bands` rows; docs sharing any full band become candidates.
+    * Returns (doc_a, doc_b, est_jaccard) with est = matching signature
+    * fraction. A banded inverted index: shuffle on (band_idx, band_hash),
+    * never all-pairs. */
+  def minhashCandidates(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, perms: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = perms / bands
+    val sigd = df.select(id.as("doc_id"),
+        minhashSignature(text, k, perms).as("sig"))
+      .filter(size(col("sig")) > 0 && !array_contains(
+        transform(col("sig"), x => x.isNull), true))
+      .cache()
+    val banded = sigd.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws("_",
+          slice(col("sig"), bnd * rows + 1, lit(rows)).cast("array<string>")), bnd))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"),
+        col("col").as("band_hash"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          m => m)).cast("double") / size(col("a.sig"))).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash: sign-sum of per-token 64-bit hashes -> 64-bit fingerprint,
+    * returned as bigint. Near-dups = small Hamming distance. */
+  def simhash(text: Column): Column = {
+    val th = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(th, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidate pairs with Hamming distance <= maxDist,
+    * blocked on 16-bit bands (pigeonhole: dist <= 3 pairs must share one of
+    * 4 bands) then verified exactly with bit_count. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      maxDist: Int = 3): DataFrame = {
+    val sh = df.select(id.as("doc_id"), simhash(text).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("bk"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

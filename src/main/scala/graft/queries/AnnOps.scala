@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search query surface over the `embeddings` table.
+  *
+  * `ann_cosine_exact` is the oracle-checked variant: cosine accumulated in
+  * decimal(38,18) so the result is bit-identical in Spark and DuckDB
+  * independent of summation order. (float -> decimal(12,9) casts are
+  * tie-free: a binary float can only tie at scale 9 if its exponent is
+  * >= -10, impossible for 24-bit-mantissa unit-scale embeddings — so
+  * HALF_UP-vs-HALF_EVEN rounding differences never fire.)
+  *
+  * `ann_cosine_topk` (double fast path) and `ann_lsh_topk` (SRP-bucketed)
+  * are the scale paths — engine-specific float ordering / hashing, so
+  * rows-only driver checks plus recall specs in SimilaritySpec.
+  */
+object AnnOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val NQueries = 20
+  val TopK = 5
+  val Dim = 64
+
+  val defs: Map[String, Q] = Map(
+    "ann_cosine_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < NQueries), emb, TopK,
+          Similarity.cosineExactDecimal)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "ann_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < NQueries), emb, TopK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "ann_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < NQueries), emb, TopK, Dim)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // label-conditioned centroid similarity: embeddings joined to their
+    // label centroid — exercises array aggregation + rejoin at scale
+    "ann_label_centroid" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val byLabel = emb.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"))
+      byLabel.orderBy(col("label"))
+    })
+  )
+
+  // quantized-integer cosine (see Similarity.cosineExactDecimal scaladoc);
+  // int sums go to double via VARCHAR: DuckDB's HUGEINT->DOUBLE cast
+  // double-rounds, its string parse is correctly rounded like the JVM's l2d
+  private def qel(v: String): String =
+    s"CAST(ROUND(CAST($v AS DOUBLE) * 100000000) AS BIGINT)"
+  private def duckCosExact(a: String, b: String): String =
+    s"""CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> ${qel(s"$a.embedding[i]")} * ${qel(s"$b.embedding[i]")})) AS STRING) AS DOUBLE)
+       |  / (SQRT(CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> ${qel(s"$a.embedding[i]")} * ${qel(s"$a.embedding[i]")})) AS STRING) AS DOUBLE))
+       |   * SQRT(CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> ${qel(s"$b.embedding[i]")} * ${qel(s"$b.embedding[i]")})) AS STRING) AS DOUBLE)))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_exact" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${duckCosExact("q", "c")} AS cos_sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_label_centroid" ->
+      """SELECT label, COUNT(*) AS n_vecs FROM embeddings
+        |GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import graft.ColUtil._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream query surface (batch analogues of the streaming pipeline in
+  * graft.streaming — SURVEY.md §2.10).
+  *
+  * `events.ts` is TIMESTAMP(NANOS) parquet which Spark reads as a raw
+  * epoch-nanos long (Tables.table sets nanosAsLong); all bucketing is exact
+  * integer arithmetic on nanos, matching DuckDB's epoch_ns() — this also
+  * keeps window boundaries deterministic (no ns->us truncation drift).
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // all event-time arithmetic runs at MICROsecond precision: DuckDB's
+  // parquet reader truncates TIMESTAMP(NANOS) to us, so the oracle can only
+  // see us — Spark truncates the same way (ts div 1000) for exact parity.
+  private val FiveMinUs = 300000000L
+  private val SessionGapUs = 1800000000L // 30 min
+
+  val defs: Map[String, Q] = Map(
+    // tumbling 5-minute window per event type
+    "events_tumbling_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // `div` = integral division (long / long -> double with `/`);
+      // positive nanos so trunc == floor == DuckDB's //
+      ev.groupBy(expr(s"((ts div 1000) div $FiveMinUs) * 300").as("bucket_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("bucket_s"), col("event_type"))
+    }),
+
+    // session windows: 30-min-gap sessionization per user
+    "events_sessionize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val withGap = ev
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+      val withSid = withGap.withColumn("session_id",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withSid.groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          sum(money(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // JSON extraction from the props column (F6 surface)
+    "events_json_extract" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // per-user activity profile: integer-exact rates
+    "events_user_profile" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(expr("ts div 1000")).as("first_us"),
+          max(expr("ts div 1000")).as("last_us"),
+          sum(money(col("value"))).cast("double").as("sum_value"))
+        .withColumn("span_s", expr("(last_us - first_us) div 1000000"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling_window" ->
+      s"""SELECT (epoch_us(ts) // $FiveMinUs) * 300 AS bucket_s, event_type,
+         |  COUNT(*) AS n,
+         |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS STRING) AS DOUBLE)
+         |    AS sum_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1, 2 ORDER BY bucket_s, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > $SessionGapUs
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sid AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id,
+         |  MIN(epoch_us(ts)) AS session_start_us,
+         |  MAX(epoch_us(ts)) AS session_end_us,
+         |  COUNT(*) AS n_events,
+         |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS STRING) AS DOUBLE)
+         |    AS sum_value
+         |FROM sid GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "events_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_user_profile" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS STRING) AS DOUBLE)
+        |    AS sum_value,
+        |  (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS span_s
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

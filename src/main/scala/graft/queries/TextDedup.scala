@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication query surface over the `documents` table
+  * (training-data-pipeline operators; SURVEY.md §7 v3).
+  *
+  * Oracle-checked where ANSI-SQL-expressible (exact/ngram dedup, token
+  * stats, quality, langid, fingerprint); MinHash-LSH and SimHash use
+  * engine-specific hashing (xxhash64) so they get rows-only driver checks
+  * plus recall specs against the exact-Jaccard ground truth in DedupSpec.
+  */
+object TextDedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "dedup_exact_groups" -> ((s, d) => {
+      Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy(col("content_hash"))
+    }),
+
+    "dedup_exact_keep" -> ((s, d) => {
+      Dedup.exactKeep(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+          k = 3, tau = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashCandidates(Tables.documents(s, d), col("doc_id"),
+          col("text"), k = 3, perms = 32, bands = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+          maxDist = 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "text_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ws = TextAnalysis.tokens(col("text"))
+      docs.select(col("doc_id"), size(ws).as("n_tokens"),
+          size(array_distinct(ws)).as("n_distinct"),
+          regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_runs"),
+          length(col("text")).as("len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality" -> ((s, d) => {
+      TextAnalysis.qualityFeatures(Tables.documents(s, d), col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"),
+          col("stopword_ratio"), col("mean_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("lang_label"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_fingerprint" -> ((s, d) => {
+      TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), k = 3)
+        .select(col("doc_id"), col("content_hash"), col("min_shingle_md5"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // DuckDB-side shingle expression: word 3-grams from 1-based list math,
+  // empty for docs with < 3 tokens (mirrors TextAnalysis.shingles).
+  private val duckShingles =
+    """list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+      |    i -> string_split(text,' ')[i] || ' ' ||
+      |         string_split(text,' ')[i+1] || ' ' ||
+      |         string_split(text,' ')[i+2])""".stripMargin
+
+  private def langCase: String = {
+    val sets = TextAnalysis.Stopwords.toSeq.sortBy(_._1)
+    val hits = sets.map { case (l, ws) =>
+      s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS hits_$l"
+    }.mkString(",\n    ")
+    val best = sets.map { case (l, _) => s"hits_$l" }.mkString("GREATEST(", ", ", ")")
+    val chain = sets.map { case (l, _) =>
+      s"WHEN hits_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (SELECT doc_id, lang AS lang_label,
+       |    $hits
+       |  FROM documents),
+       |b AS (SELECT *, $best AS best FROM scored)
+       |SELECT doc_id, lang_label,
+       |  CASE $chain ELSE 'und' END AS lang_pred
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "dedup_exact_keep" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, UNNEST($duckShingles) AS shingle
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter, ca.n AS n_a, cb.n AS n_b,
+         |  CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+         |FROM pairs
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+        |  length(text) AS len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS alpha_ratio,
+         |  CAST(len(list_filter(string_split(text,' '), t -> t IN (${
+             TextAnalysis.Stopwords.values.flatten.toSeq.distinct
+               .map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS stopword_ratio,
+         |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS mean_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> langCase,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS content_hash,
+         |  list_aggregate(list_transform($duckShingles, s -> md5(s)), 'min')
+         |    AS min_shingle_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
