@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       graft.queries.TextDedup.defs ++
       graft.queries.AnnOps.defs ++
-      graft.queries.EventOps.defs
+      graft.queries.EventOps.defs ++
+      graft.queries.SplitOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.TextDedup.oracles ++
       graft.queries.AnnOps.oracles ++
-      graft.queries.EventOps.oracles
+      graft.queries.EventOps.oracles ++
+      graft.queries.SplitOps.oracles
 }

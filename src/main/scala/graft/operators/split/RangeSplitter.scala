@@ -1,0 +1,128 @@
+package graft.operators.split
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Partition-range split planner — the reference's signature operator
+  * (SURVEY.md §2.9; semantics from /root/reference/database/dbms/reader/
+  * split.go:151-201,361-391 re-expressed, not ported: equal-width BigInt
+  * slices with the remainder spread over the first slices, slice count
+  * shrinking to the domain gap when gap < n, predicates `k >= lo and
+  * k < hi` with the last slice closed `<= hi`).
+  *
+  * In Spark this is the planning half of parallel ingest: for JDBC-style
+  * sources the predicates feed `spark.read.jdbc(url, table, predicates,
+  * props)`; for file sources Spark splits natively and this planner instead
+  * drives explicit co-partitioned unions (see splitScan). Key domains
+  * beyond integers are normalized to BigInt exactly as the reference does:
+  * strings via a base-128 ASCII positional codec, timestamps by
+  * configurable accuracy unit.
+  */
+object RangeSplitter {
+
+  /** One half-open slice [lo, hi); `closed` marks the final slice which is
+    * closed [lo, hi] so the union covers the full domain. */
+  final case class Slice(lo: BigInt, hi: BigInt, closed: Boolean)
+
+  /** Equal-width split of [min, max] into at most n slices; remainder r is
+    * spread one-per-slice over the first r slices; degenerates to
+    * gap-width slices when max-min+1 < n. n <= 0 or min > max -> empty. */
+  def split(min: BigInt, max: BigInt, n: Int): Seq[Slice] = {
+    if (n <= 0 || min > max) return Seq.empty
+    val gap = max - min + 1
+    val k = if (gap < n) gap.toInt else n
+    val width = gap / k
+    val rem = (gap % k).toInt
+    var lo = min
+    (0 until k).map { i =>
+      val w = width + (if (i < rem) 1 else 0)
+      val last = i == k - 1
+      // the final slice is closed [lo, max]; open slices end at lo + w
+      val s = Slice(lo, if (last) max else lo + w, last)
+      lo = lo + w
+      s
+    }
+  }
+
+  // ---- string <-> BigInt base-128 codec (ASCII keys) -------------------
+
+  /** ASCII-only guard mirrors the reference (split.go:267-269): non-ASCII
+    * bytes make the positional math ambiguous. */
+  def string2BigInt(s: String): BigInt = {
+    require(s.forall(_ < 128), s"non-ASCII split key: $s")
+    s.foldLeft(BigInt(0))((acc, c) => acc * 128 + c.toInt)
+  }
+
+  def bigInt2String(b: BigInt): String = {
+    require(b >= 0, "negative string-key ordinal")
+    if (b == 0) return ""
+    val sb = new StringBuilder
+    var v = b
+    while (v > 0) { sb.append(((v % 128).toInt).toChar); v = v / 128 }
+    sb.reverse.toString
+  }
+
+  // ---- typed domains ----------------------------------------------------
+
+  sealed trait KeyDomain {
+    def toBig(v: Any): BigInt
+    def fromBig(b: BigInt): Any
+    def literal(b: BigInt): Column
+  }
+
+  case object LongDomain extends KeyDomain {
+    def toBig(v: Any): BigInt = BigInt(v.toString)
+    def fromBig(b: BigInt): Any = b.toLong
+    def literal(b: BigInt): Column = lit(b.toLong)
+  }
+
+  case object StringDomain extends KeyDomain {
+    def toBig(v: Any): BigInt = string2BigInt(v.toString)
+    def fromBig(b: BigInt): Any = bigInt2String(b)
+    def literal(b: BigInt): Column = lit(bigInt2String(b))
+  }
+
+  /** Timestamp keys normalized by accuracy unit (reference
+    * split.go:312-327: day/min/s/ms/us/ns), here over epoch micros. */
+  final case class TimeDomain(unitMicros: Long) extends KeyDomain {
+    def toBig(v: Any): BigInt = BigInt(v.toString) / unitMicros
+    def fromBig(b: BigInt): Any = b.toLong * unitMicros
+    def literal(b: BigInt): Column =
+      timestamp_micros(lit(b.toLong * unitMicros))
+  }
+
+  /** Range predicates for the slices: `key >= lo AND key < hi`, last slice
+    * `<= hi` — composable with a user WHERE exactly like the reference
+    * (`(user) and (split)`, reader/job.go:179-181). */
+  def predicates(key: Column, slices: Seq[Slice], dom: KeyDomain)
+      : Seq[Column] =
+    slices.map { s =>
+      val upper =
+        if (s.closed) key <= dom.literal(s.hi) else key < dom.literal(s.hi)
+      key >= dom.literal(s.lo) && upper
+    }
+
+  /** SQL-text predicates (for JDBC `predicates: Array[String]` hand-off). */
+  def predicateSql(key: String, slices: Seq[Slice], quote: BigInt => String)
+      : Seq[String] =
+    slices.map { s =>
+      val op = if (s.closed) "<=" else "<"
+      s"$key >= ${quote(s.lo)} and $key $op ${quote(s.hi)}"
+    }
+
+  /** Plan + execute a split scan over a long key: min/max via one agg
+    * (the reference's A1/A2 fetchMin/fetchMax), then a union of n
+    * predicate-filtered scans. Functionally identical to the plain scan —
+    * the point is the partitioned-ingest plan shape (and the driver's
+    * oracle checks exactly that). */
+  def splitScan(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    val Array(mn, mx) = df.agg(min(col(keyCol)), max(col(keyCol)))
+      .collect()(0).toSeq.toArray
+    if (mn == null) return df
+    val slices =
+      split(BigInt(mn.toString), BigInt(mx.toString), n)
+    predicates(col(keyCol), slices, LongDomain)
+      .map(p => df.filter(p))
+      .reduce(_ unionAll _)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.split.RangeSplitter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ColUtil._
+
+/** Partitioned-ingest query surface (SURVEY.md §2.9 X1-X6): the split
+  * planner's union-of-range-scans must be indistinguishable from the plain
+  * scan — the oracle reads the whole table, so any slice gap/overlap fails
+  * the exact compare. */
+object SplitOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // X1: long-key split of lineitem into 8 range scans, unioned back
+    "split_scan_union" -> ((s, d) => {
+      RangeSplitter.splitScan(Tables.lineitem(s, d), "l_orderkey", 8)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // A1/A2: the bounds probe itself (fetchMin/fetchMax)
+    "split_min_max_probe" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .agg(min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          count(lit(1)).as("n_rows"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "split_scan_union" ->
+      """SELECT l_orderkey, COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "split_min_max_probe" ->
+      """SELECT MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+        |  COUNT(*) AS n_rows FROM lineitem""".stripMargin
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics + recall specs for the hash-based near-dup operators (these
+  * use xxhash64 so they are not DuckDB-oracle-checkable; the exact-Jaccard
+  * operator IS oracle-checked and serves as their ground truth). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, Sf0).cache()
+
+  test("exactKeep keeps exactly one row per distinct text") {
+    val kept = Dedup.exactKeep(docs, "doc_id", "text")
+    assert(kept.count() == docs.select("text").distinct().count())
+    // idempotent: dedup of deduped is a no-op
+    assert(Dedup.exactKeep(kept, "doc_id", "text").count() == kept.count())
+  }
+
+  test("duplicated corpus: exact dedup collapses the copies, keeps min id") {
+    val dup = docs.select($"doc_id" + 100000, $"text").toDF("doc_id", "text")
+    val both = docs.select("doc_id", "text").unionByName(dup)
+    val groups = Dedup.exactGroups(both, col("doc_id"), col("text"))
+    assert(groups.count() == docs.count()) // sf0.001 texts are all distinct
+    assert(groups.agg(max("n_dups")).head.getLong(0) == 2)
+    assert(groups.agg(max("keep_id")).head.getLong(0) < 100000)
+  }
+
+  test("minhash est_jaccard approximates exact jaccard on true pairs") {
+    val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        k = 3, tau = 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    val cand = Dedup.minhashCandidates(docs, col("doc_id"), col("text"),
+        k = 3, perms = 32, bands = 8)
+      .select($"doc_a", $"doc_b", $"est_jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    // recall: high-similarity pairs should be found by LSH
+    val high = exact.filter(_._2 >= 0.7)
+    if (high.nonEmpty) {
+      val found = high.keys.count(cand.contains)
+      assert(found.toDouble / high.size >= 0.8,
+        s"LSH recall ${found.toDouble / high.size} < 0.8 on ${high.size} pairs")
+    }
+    // estimates on common pairs are within a loose band
+    val common = exact.keySet.intersect(cand.keySet)
+    common.foreach { k =>
+      assert(math.abs(exact(k) - cand(k)) < 0.45,
+        s"pair $k exact=${exact(k)} est=${cand(k)}")
+    }
+  }
+
+  test("simhash: identical docs distance 0; pairs verified <= maxDist") {
+    val sh = docs.select(Dedup.simhash(col("text")).as("sh"),
+      col("doc_id")).cache()
+    // identical text => identical simhash
+    val dup = docs.select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val both = docs.select("doc_id", "text").unionByName(dup)
+    val pairs = Dedup.simhashPairs(both, col("doc_id"), col("text"),
+      maxDist = 0)
+    val exactPairs = pairs.filter($"hamming" === 0).count()
+    assert(exactPairs >= docs.count()) // each dup pair at distance 0
+    // reported pairs respect the bound
+    val p6 = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxDist = 6)
+    assert(p6.filter($"hamming" > 6).count() == 0)
+  }
+
+  test("rolling hash: shift-invariant window equality") {
+    val h1 = TextAnalysis.rollingHash("abcdefgh", 4)
+    val h2 = TextAnalysis.rollingHash("XYabcdefgh", 4)
+    // windows "abcd".."efgh" appear in both, offset by 2
+    assert(h1.length == 5 && h2.length == 7)
+    (0 until 5).foreach(i => assert(h1(i) == h2(i + 2)))
+    // distinct windows hash differently here
+    assert(h1.distinct.length == h1.length)
+    assert(TextAnalysis.rollingHash("abc", 4).isEmpty)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.split.RangeSplitter
+import graft.operators.split.RangeSplitter._
+import org.scalacheck.Gen
+
+/** Split-planner invariants (SURVEY.md §5 property list): slices cover
+  * [min,max] exactly, are disjoint and adjacent, count shrinks to the gap,
+  * remainder spreads over the first slices; the string codec round-trips
+  * ASCII. Property sampling runs directly over scalacheck Gens (the
+  * scalatestplus bridge isn't on the offline classpath). */
+class RangeSplitterSpec extends SparkSpec {
+
+  private def forSamples[A](g: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+    (0 until n).foreach(_ => g.sample.foreach(f))
+
+  private val ranges = for {
+    min <- Gen.chooseNum(-100000L, 100000L)
+    width <- Gen.chooseNum(0L, 500000L)
+    n <- Gen.chooseNum(1, 64)
+  } yield (BigInt(min), BigInt(min) + width, n)
+
+  test("slices cover the domain exactly, disjoint and adjacent") {
+    forSamples(ranges) { case (min, max, n) =>
+      val s = split(min, max, n)
+      assert(s.nonEmpty)
+      assert(s.head.lo == min)
+      assert(s.last.hi == max && s.last.closed)
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(a.hi == b.lo); assert(!a.closed)
+        case _ =>
+      }
+      val total = s.map(x => x.hi - x.lo).sum + 1 // +1: last slice closed
+      assert(total == max - min + 1)
+      assert(s.size <= n)
+    }
+  }
+
+  test("slice count shrinks to the gap when gap < n") {
+    val s = split(BigInt(10), BigInt(12), 8)
+    assert(s.size == 3)
+    assert(s.map(x => (x.lo, x.hi)) == Seq((BigInt(10), BigInt(11)),
+      (BigInt(11), BigInt(12)), (BigInt(12), BigInt(12))))
+  }
+
+  test("remainder spreads one-per-slice over the first slices") {
+    val s = split(BigInt(0), BigInt(9), 3) // gap 10 = 3*3 + 1
+    assert(s.map(x => x.hi - x.lo) == Seq(BigInt(4), BigInt(3), BigInt(2)))
+  }
+
+  test("degenerate inputs") {
+    assert(split(BigInt(5), BigInt(4), 3).isEmpty)
+    assert(split(BigInt(5), BigInt(5), 3) ==
+      Seq(Slice(BigInt(5), BigInt(5), closed = true)))
+    assert(split(BigInt(0), BigInt(10), 0).isEmpty)
+  }
+
+  test("string codec round-trips ASCII and preserves order") {
+    val asciiStr = Gen.listOf(Gen.choose(1.toChar, 127.toChar)).map(_.mkString)
+    forSamples(asciiStr) { s =>
+      assert(bigInt2String(string2BigInt(s)) == s)
+    }
+    forSamples(Gen.zip(asciiStr, asciiStr)) { case (a, b) =>
+      // base-128 order agrees with lexicographic order at equal lengths
+      if (a.length == b.length)
+        assert((string2BigInt(a) < string2BigInt(b)) == (a < b))
+    }
+    intercept[IllegalArgumentException](string2BigInt("héllo"))
+  }
+
+  test("predicateSql shape matches the reference scan predicate") {
+    val s = split(BigInt(1), BigInt(100), 2)
+    val sql = predicateSql("k", s, _.toString)
+    assert(sql == Seq("k >= 1 and k < 51", "k >= 51 and k <= 100"))
+  }
+
+  test("splitScan over lineitem equals the plain scan") {
+    val li = Tables.lineitem(spark, Sf0)
+    val got = RangeSplitter.splitScan(li, "l_orderkey", 8).count()
+    assert(got == li.count())
+  }
+}

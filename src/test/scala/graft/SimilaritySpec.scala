@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Recall/consistency specs for the similarity-search tiers. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, Sf0).cache()
+
+  test("double and exact-decimal cosine agree to 1e-6") {
+    val q = emb.filter($"vec_id" < 5)
+    val both = Similarity.bruteForceTopK(q, emb, 5)
+      .withColumnRenamed("cos_sim", "fast")
+      .join(Similarity.bruteForceTopK(q, emb, 5,
+          Similarity.cosineExactDecimal)
+        .withColumnRenamed("cos_sim", "exact")
+        .withColumnRenamed("rank", "rank_e"),
+        Seq("query_id", "neighbor_id"))
+    val rows = both.select($"fast", $"exact").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (f, e) => assert(math.abs(f - e) < 1e-6) }
+  }
+
+  test("self-similarity is 1, antisymmetric pairs agree") {
+    val a = emb.filter($"vec_id" === 0).select($"embedding".as("a"))
+    val one = a.select(Similarity.cosine($"a", $"a").as("c"))
+      .as[Double].head()
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
+  test("LSH finds planted near-duplicates (recall >= 0.8)") {
+    // random embeddings have no near neighbors (8-bit bucket collision
+    // ~1% per table), so recall is measured on planted near-dups:
+    // noisy copies with cosine ~0.97 against their source.
+    val rng = new scala.util.Random(7)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val noisy = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val q = spark.createDataFrame(noisy.toSeq).toDF("vec_id", "embedding")
+    val hits = Similarity.lshTopK(q, emb, 5, dim = 64, bits = 8, tables = 8)
+      .filter($"neighbor_id" === $"query_id" - 100000L)
+      .select($"query_id").distinct().count()
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.8, s"planted near-dup recall $recall")
+  }
+
+  test("LSH candidate set is much smaller than all-pairs") {
+    val q = emb.filter($"vec_id" < 20)
+    val nCand = Similarity.lshTopK(q, emb, 1000000, dim = 64,
+      bits = 8, tables = 4).count()
+    val allPairs = 20L * (emb.count() - 1)
+    assert(nCand < allPairs / 2, s"$nCand candidates vs $allPairs pairs")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.sources._
+import org.apache.spark.sql.functions._
+
+/** Dialect SQL-builder shapes (exact-string tests mirroring the
+  * reference's pure builders, SURVEY.md §5), schema normalization, and
+  * config validation matrices. */
+class SourcesSpec extends SparkSpec {
+
+  private val t = TableId(db = "inst", schema = "sch", name = "lineitem")
+
+  test("mysql-style scan/probe/minmax SQL shapes (S1/S3/A1-A2)") {
+    assert(MySqlStyle.scanSql(t, Seq("a", "b"), Seq("a > 1", "k >= 1 and k < 5"))
+      == "select `a`,`b` from `inst`.`sch`.`lineitem` where (a > 1) and (k >= 1 and k < 5)")
+    assert(MySqlStyle.scanSql(t, Seq("*"), Nil)
+      == "select * from `inst`.`sch`.`lineitem`")
+    assert(MySqlStyle.probeSql(t, Seq("a"))
+      == "select `a` from `inst`.`sch`.`lineitem` where (1 = 2)")
+    assert(MySqlStyle.minMaxSql(t, "k", "")
+      == "select min(`k`) as min_key, max(`k`) as max_key from `inst`.`sch`.`lineitem`")
+  }
+
+  test("mysql-style insert/replace SQL (S7/S8)") {
+    val small = TableId(name = "t")
+    assert(MySqlStyle.insertSql(small, Seq("a", "b"), 2)
+      == "insert into `t`(`a`,`b`) values (?,?),(?,?)")
+    assert(MySqlStyle.replaceSql(small, Seq("a"), 1)
+      == "replace into `t`(`a`) values (?)")
+  }
+
+  test("oracle-style quoting and :n bind vars (S6/S9)") {
+    val small = TableId(name = "t")
+    assert(OracleStyle.insertSql(small, Seq("a", "b"), 2)
+      == "insert into \"t\"(\"a\",\"b\") values (:1,:2),(:3,:4)")
+    assert(OracleStyle.arrayInsertSql(small, Seq("a", "b"))
+      == "insert into \"t\"(\"a\",\"b\") values (:1,:2)")
+  }
+
+  test("dialect registry: lookup + panic-on-duplicate") {
+    assert(Dialects("mysql") == MySqlStyle)
+    intercept[IllegalArgumentException](Dialects.register(MySqlStyle))
+    intercept[NoSuchElementException](Dialects("nope"))
+  }
+
+  test("split key/range type matrix (X3)") {
+    def sc(rt: String) =
+      SplitConfig(key = "k", range = Some(SplitRange(rt, "1", "9")))
+    assert(sc("bigint").checkType("long").isRight)
+    assert(sc("bigint").checkType("string").isRight)
+    assert(sc("string").checkType("string").isRight)
+    assert(sc("time").checkType("time").isRight)
+    assert(sc("time").checkType("long").isLeft)
+    assert(sc("bigint").checkType("time").isLeft)
+    assert(SplitConfig(key = "k").checkType("long").isRight) // no range
+  }
+
+  test("duplicate column rename by ordinal (schema normalization)") {
+    val df = spark.range(1).select(lit(1).as("c"), lit(2).as("c"),
+      lit(3).as("C"), lit(4).as("d"))
+    val out = SchemaNormalize.dedupColumnNames(df)
+    assert(out.columns.toSeq == Seq("c", "c1", "C2", "d"))
+  }
+
+  test("unsupported-type rejection lists offenders") {
+    val ok = Tables.lineitem(spark, Sf0).schema
+    assert(SchemaNormalize.requireSupported(ok).isRight)
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.CalendarIntervalType)))
+    val res = SchemaNormalize.requireSupported(bad)
+    assert(res.isLeft && res.swap.exists(_.contains("x")))
+  }
+}
