@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: media as opaque `binary` columns with typed
+  * metadata structs, processed by per-partition batch transforms.
+  *
+  * The Spark-side plumbing is real — schema contract, partition-wise
+  * batched execution (the Scala analogue of arrow-batched UDFs), metadata
+  * extraction, frame sampling shapes. The codec itself is STUBBED with a
+  * deterministic fake (`fakeDecode`): media libraries are not on this
+  * classpath, and the engine seam is the transform contract, not the
+  * codec. Swap `decodeFn` for a real implementation (JNI/javacv) without
+  * touching any plan shape.
+  */
+object Multimodal {
+
+  final case class MediaMeta(media_type: String, n_bytes: Long,
+      content_hash: String)
+  final case class DecodedFrame(doc_id: Long, frame_idx: Int,
+      width: Int, height: Int, pixels_hash: Long)
+
+  /** Attach a media payload column (here fabricated from text — the
+    * fixtures carry no binary columns) + typed metadata struct. At scale
+    * the binary bytes stay columnar in parquet and prune away unless
+    * selected. */
+  def withMediaColumn(df: DataFrame, payload: String = "text"): DataFrame =
+    df.withColumn("media", col(payload).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit("image/fake").as("media_type"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
+        md5(col("media")).as("content_hash")))
+
+  /** STUB decode: deterministic pseudo-decode of a binary payload into
+    * fixed-shape "frames" (here 2 frames of 4x4) — stands in for an image/
+    * video codec. Deterministic in the payload bytes only. */
+  def fakeDecode(docId: Long, bytes: Array[Byte]): Seq[DecodedFrame] = {
+    val h = java.util.Arrays.hashCode(bytes).toLong
+    (0 until 2).map(i => DecodedFrame(docId, i, 4, 4, h * 31 + i))
+  }
+
+  /** Partition-batched decode — the mapInPandas/arrow-batch shape in
+    * Scala: one decoder instantiation per partition, rows streamed
+    * through it, output exploded to frame granularity. `decodeFn` is the
+    * pluggable codec (defaults to the stub). */
+  def decodeFrames(spark: SparkSession, df: DataFrame,
+      decodeFn: (Long, Array[Byte]) => Seq[DecodedFrame] = fakeDecode)
+      : Dataset[DecodedFrame] = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder lifecycle (open once, stream rows)
+        it.flatMap { case (id, bytes) => decodeFn(id, bytes) }
+      }
+  }
+
+  /** Frame sampling: every nth frame per doc — pure plan, no codec. */
+  def sampleFrames(frames: Dataset[DecodedFrame], every: Int)
+      : Dataset[DecodedFrame] =
+    frames.filter(f => f.frame_idx % every == 0)
+
+  /** Feature extraction stub over decoded frames: deterministic
+    * "embedding" per frame, keeping the array<float> contract that feeds
+    * graft.operators.Similarity. */
+  def frameFeatures(spark: SparkSession, frames: Dataset[DecodedFrame],
+      dim: Int = 8): DataFrame = {
+    import spark.implicits._
+    frames.map { f =>
+      val rng = new scala.util.Random(f.pixels_hash)
+      (f.doc_id, f.frame_idx, Array.fill(dim)(rng.nextFloat()))
+    }.toDF("doc_id", "frame_idx", "embedding")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.sinks.{ResilientBatchWriter, RetryJudge, RowSink}
+import graft.sources.WriterConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` shape (SURVEY.md §2.10):
+  * the reference is batch-only record pipelining, so this is pure
+  * capability-extension, built the Spark-native way — watermarks, windowed
+  * aggregation, stateful sessionization, and a foreachBatch sink that
+  * reuses the resilient batch writer (its dual size/timeout flush is the
+  * streaming trigger's batch analogue, writer/batch_writer.go:199-243).
+  *
+  * All transforms take/return DataFrames so the same code runs in batch
+  * mode (spec'd that way: a batch DataFrame with identical schema flows
+  * through the same functions — Spark's unified API).
+  */
+object EventsPipeline {
+
+  /** Normalize the raw events shape (ts as epoch-nanos long) to an
+    * event-time frame: `event_time` timestamp (us precision) + payload. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * state eviction + late-data drop. */
+  def tumblingCounts(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window user activity. */
+  def slidingUserActivity(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("user_id"),
+        col("n_events"))
+
+  /** Session windows via the built-in session_window (30-min gap). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes")
+      : DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  final case class EventRow(event_id: Long, user_id: Long,
+      event_type: String, value: Double, event_time: java.sql.Timestamp)
+  final case class UserAgg(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * the escape hatch for state machines the built-in windows can't
+    * express (SURVEY.md §2.10). */
+  def statefulUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    withEventTime(events)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"event_time")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          val (n, s) = rows.foldLeft((prev.n_events, prev.sum_value)) {
+            case ((cn, cs), r) => (cn + 1, cs + r.value)
+          }
+          val next = UserAgg(uid, n, s)
+          state.update(next)
+          next
+      }.toDF()
+  }
+
+  /** Stream sink through the resilient batch writer: every micro-batch is
+    * routed through retry/degrade/DLQ semantics (W4/W5 under streaming —
+    * foreachBatch gives at-least-once; sinks should be idempotent by key). */
+  def resilientSink(out: DataFrame, cfg: WriterConfig, judge: RetryJudge,
+      sinkFactory: Int => RowSink, dlqPath: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    out.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dlq = ResilientBatchWriter.write(batch, cfg, judge, sinkFactory)
+        if (!dlq.isEmpty)
+          dlq.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(dlqPath)
+      }
+}

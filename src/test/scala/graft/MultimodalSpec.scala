@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: binary column contract, partition-batched decode
+  * (stub codec), frame sampling, and the feature-extraction seam into the
+  * similarity operators. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media =
+    Multimodal.withMediaColumn(Tables.documents(spark, Sf0)).cache()
+
+  test("media column carries bytes + typed metadata") {
+    val r = media.select($"media", $"media_meta.n_bytes",
+      $"media_meta.content_hash", $"text").head
+    assert(r.getAs[Array[Byte]](0).length == r.getLong(1))
+    assert(r.getLong(1) == r.getString(3).getBytes("UTF-8").length)
+    assert(r.getString(2).length == 32) // md5 hex
+    // schema contract
+    assert(media.schema("media").dataType.typeName == "binary")
+  }
+
+  test("partition-batched decode yields deterministic frames") {
+    val frames = Multimodal.decodeFrames(spark, media)
+    assert(frames.count() == media.count() * 2)
+    val again = Multimodal.decodeFrames(spark, media)
+    assert(frames.except(again).isEmpty) // deterministic in payload bytes
+    val one = frames.filter($"doc_id" === 0).collect().sortBy(_.frame_idx)
+    assert(one.map(_.frame_idx).toSeq == Seq(0, 1))
+    assert(one(0).width == 4 && one(0).height == 4)
+  }
+
+  test("frame sampling keeps every nth frame") {
+    val frames = Multimodal.decodeFrames(spark, media)
+    val sampled = Multimodal.sampleFrames(frames, 2)
+    assert(sampled.count() == media.count()) // frame 0 of 2 per doc
+    assert(sampled.filter($"frame_idx" =!= 0).count() == 0)
+  }
+
+  test("frame features keep the array<float> similarity contract") {
+    val feats = Multimodal.frameFeatures(spark,
+      Multimodal.decodeFrames(spark, media.limit(10)), dim = 8)
+    assert(feats.schema("embedding").dataType.simpleString == "array<float>")
+    assert(feats.count() == 20)
+    // deterministic: same stub hash -> same features
+    val f2 = Multimodal.frameFeatures(spark,
+      Multimodal.decodeFrames(spark, media.limit(10)), dim = 8)
+    assert(feats.except(f2).isEmpty)
+  }
+}

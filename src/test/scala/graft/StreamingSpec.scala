@@ -1,0 +1,96 @@
+package graft
+
+import graft.streaming.EventsPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics driven through MemoryStream micro-batches; the
+  * same transforms also run in batch mode over the events fixture
+  * (Spark's unified API) — both paths are asserted. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsBatch = Tables.events(spark, Sf0)
+
+  test("tumbling window agg runs in batch mode over the fixture") {
+    val out = EventsPipeline.tumblingCounts(eventsBatch)
+    val n = out.agg(sum($"n")).head.getLong(0)
+    assert(n == eventsBatch.count()) // every event lands in one window
+  }
+
+  test("session windows in batch mode match the analytic sessionizer") {
+    val sessions = EventsPipeline.sessionWindows(eventsBatch)
+    val analytic = graft.queries.EventOps.defs("events_sessionize")(spark, Sf0)
+    // same number of sessions and same total events
+    assert(sessions.count() == analytic.count())
+    assert(sessions.agg(sum($"n_events")).head.getLong(0) ==
+      eventsBatch.count())
+  }
+
+  test("streaming tumbling window emits after watermark passes") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsPipeline.tumblingCounts(df, "5 minutes", "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tumbling_out").start()
+    val t0 = 1700000000000000000L // aligned epoch ns
+    def ns(min: Double) = t0 + (min * 60e9).toLong
+    mem.addData((1L, ns(0.5), 1L, "click", 1.0),
+      (2L, ns(1.5), 2L, "click", 2.0), (3L, ns(4.0), 1L, "view", 3.0))
+    q.processAllAvailable()
+    // watermark advance: late bound passes the first window
+    mem.addData((4L, ns(20.0), 1L, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((5L, ns(30.0), 1L, "click", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("tumbling_out")
+    assert(out.count() >= 2) // first window's click+view rows emitted
+    val w0 = new java.sql.Timestamp(t0 / 1000000L / 300000L * 300000L)
+    val clicks = out.filter($"event_type" === "click" &&
+        $"window_start" === w0)
+      .agg(sum($"n")).head.getLong(0)
+    assert(clicks == 2) // both first-window clicks in one emitted row
+    q.stop()
+  }
+
+  test("late rows beyond the watermark are dropped") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsPipeline.tumblingCounts(df, "5 minutes", "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    val t0 = 1700000000000000000L
+    def ns(min: Double) = t0 + (min * 60e9).toLong
+    mem.addData((1L, ns(1.0), 1L, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((2L, ns(60.0), 1L, "click", 1.0)) // advance watermark far
+    q.processAllAvailable()
+    mem.addData((3L, ns(2.0), 1L, "click", 1.0)) // way too late -> dropped
+    q.processAllAvailable()
+    val n = spark.table("late_out").filter($"window_start" ===
+      new java.sql.Timestamp(t0 / 1000000L / 1000L * 1000L))
+    // the first window shows exactly the on-time row
+    assert(spark.table("late_out").agg(sum($"n")).head.getLong(0) == 1)
+    q.stop()
+  }
+
+  test("stateful user totals accumulate across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsPipeline.statefulUserTotals(spark, df)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("state_out").start()
+    val t0 = 1700000000000000000L
+    mem.addData((1L, t0, 7L, "click", 2.0), (2L, t0 + 1, 7L, "view", 3.0))
+    q.processAllAvailable()
+    mem.addData((3L, t0 + 2, 7L, "click", 5.0))
+    q.processAllAvailable()
+    val last = spark.table("state_out").filter($"user_id" === 7)
+      .orderBy($"n_events".desc).head
+    assert(last.getLong(1) == 3 && math.abs(last.getDouble(2) - 10.0) < 1e-9)
+    q.stop()
+  }
+}
