@@ -60,16 +60,31 @@ object Dedup {
 
   /** MinHash signature: `perms` permutations h_i(x) = (a_i*x + b_i) mod p
     * over 64-bit shingle hashes (xxhash64). Returns array<bigint>. */
-  def minhashSignature(text: Column, k: Int, perms: Int): Column = {
-    // 31-bit Mersenne prime: h < 2^31 keeps a*h + b far from long overflow
-    val p = 2147483647L
-    val hashes = transform(TextAnalysis.shingles(text, k),
-      s => pmod(xxhash64(s), lit(p)))
-    val sig = (0 until perms).map { i =>
+  // 31-bit Mersenne prime: h < 2^31 keeps a*h + b far from long overflow
+  private val MinhashP = 2147483647L
+
+  /** MinHash signature per document as a DataFrame (doc_id, sig):
+    * single-pass explode -> groupBy with `perms` min-aggregates over
+    * permuted hashes h_i(x) = (a_i*x + b_i) mod p.
+    *
+    * Deliberately NOT a scalar Column: a column-expression form gets
+    * inlined `perms` times by CollapseProject, re-tokenizing and re-hashing
+    * every row per permutation (measured 40x slower). The explode/agg shape
+    * hashes each shingle once, stays inside whole-stage codegen, and
+    * shuffles only (doc_id, minhash) pairs. */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+      k: Int, perms: Int): DataFrame = {
+    val hashed = df.select(id.as("doc_id"),
+      explode(TextAnalysis.shingles(text, k)).as("s"))
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MinhashP)).as("h"))
+    val mins = (0 until perms).map { i =>
       val a = 2L * i + 1L; val b = 104729L * (i + 1)
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(p))))
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"m$i")
     }
-    array(sig: _*)
+    hashed.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: signature split into `bands` bands of
@@ -80,11 +95,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
       k: Int = 3, perms: Int = 32, bands: Int = 8): DataFrame = {
     val rows = perms / bands
-    val sigd = df.select(id.as("doc_id"),
-        minhashSignature(text, k, perms).as("sig"))
-      .filter(size(col("sig")) > 0 && !array_contains(
-        transform(col("sig"), x => x.isNull), true))
-      .cache()
+    val sigd = minhashSignatures(df, id, text, k, perms)
     val banded = sigd.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws("_",
@@ -101,16 +112,24 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: sign-sum of per-token 64-bit hashes -> 64-bit fingerprint,
-    * returned as bigint. Near-dups = small Hamming distance. */
-  def simhash(text: Column): Column = {
-    val th = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(th, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+  /** SimHash fingerprints per document as a DataFrame (doc_id, sh):
+    * tokens exploded and hashed once, then one groupBy with 64 sign-vote
+    * sums (single codegen'd pass — the scalar-Column form re-tokenizes
+    * 64x via CollapseProject, same trap as MinHash). */
+  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val th = df.select(id.as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+        .as(s"v$i")
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    th.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
   /** SimHash near-dup candidate pairs with Hamming distance <= maxDist,
@@ -118,7 +137,7 @@ object Dedup {
     * 4 bands) then verified exactly with bit_count. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxDist: Int = 3): DataFrame = {
-    val sh = df.select(id.as("doc_id"), simhash(text).as("sh"))
+    val sh = simhashes(df, id, text)
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),

@@ -7,13 +7,13 @@ import org.apache.spark.sql.functions._
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Three tiers, all shuffle-bounded:
-  *  - [[cosine]]/[[bruteForceTopK]]: exact double-precision cosine; the
-  *    top-k per query is a window over the (query x candidate) join — only
-  *    viable when one side is small enough to broadcast (the classic
-  *    "score a query batch against the corpus" shape).
-  *  - [[cosineExactDecimal]]: decimal-arithmetic cosine whose result is
-  *    bit-identical regardless of evaluation order/engine — used by the
-  *    correctness oracle.
+  *  - [[bruteForceTopK]]: exact cosine; per-row norms (and, for the exact
+  *    variant, quantized vectors) are computed ONCE per side before the
+  *    join, so the per-pair work is a single dot product. Top-k per query
+  *    is a window over the scored join — viable when one side broadcasts
+  *    (the "score a query batch against the corpus" shape).
+  *  - exact variant: integer-quantized arithmetic, bit-identical across
+  *    engines/orders (the correctness-oracle path).
   *  - [[lshTopK]]: sign-random-projection LSH — candidates only from
   *    matching hash buckets (shuffle on bucket key), then exact re-rank.
   *    The 100 TB path: bucket fan-out is data-independent and the
@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact cosine in double precision (fast path; whole-stage codegen). */
+  /** Exact cosine in double precision over raw float arrays (standalone
+    * scalar form; the join paths below precompute instead). */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
@@ -30,33 +31,50 @@ object Similarity {
     dot / (sqrt(na) * sqrt(nb))
   }
 
-  /** Order-independent exact cosine via integer quantization: each float
-    * element maps to round(x * 1e8) as a long — both engines compute the
-    * identical double product and round it identically, so the quantized
-    * vectors are bit-equal — then dot/norms are exact int64 sums (bounded
-    * by dim * (4e7)^2 << 2^63) and only the final division runs in double.
-    * Bit-identical across engines and evaluation orders. (Decimal casts of
-    * floats are NOT portable: DuckDB's REAL->DECIMAL works in float
-    * precision, and its shortest-repr VARCHAR path rounds differently than
-    * Spark's full-precision double repr.) */
+  /** Order-independent exact cosine on PRE-QUANTIZED long arrays (see
+    * [[quantize]]): int64 dot product, double only at the final division.
+    * Kept for API completeness; the oracle query path uses the quantized
+    * join below. */
   def cosineExactDecimal(a: Column, b: Column): Column = {
-    def q(c: Column) = round(c.cast("double") * lit(1e8)).cast("long")
-    val dot = aggregate(zip_with(a, b, (x, y) => q(x) * q(y)), lit(0L), _ + _)
-    val na = aggregate(transform(a, x => q(x) * q(x)), lit(0L), _ + _)
-    val nb = aggregate(transform(b, x => q(x) * q(x)), lit(0L), _ + _)
+    val qa = quantize(a); val qb = quantize(b)
+    val dot = aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), _ + _)
+    val na = aggregate(transform(qa, x => x * x), lit(0L), _ + _)
+    val nb = aggregate(transform(qb, x => x * x), lit(0L), _ + _)
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
   }
 
+  /** float -> round(x*1e8) as long: both engines compute the identical
+    * double product and round identically, so quantized vectors are
+    * bit-equal; int sums are exact (dim * (4e7)^2 << 2^63). */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * lit(1e8)).cast("long"))
+
+  private def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  private def dotDouble(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
   /** Brute-force top-k neighbors for each row of `queries` against
-    * `corpus`. `queries` is broadcast (it is the small side by contract). */
+    * `corpus`, `queries` broadcast. `exact = true` uses the quantized
+    * integer path (cross-engine deterministic); both paths precompute
+    * per-row vectors/norms so the join computes one dot product per pair. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      sim: (Column, Column) => Column = cosine): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"))
+      exact: Boolean = false): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vAs: String, nAs: String) = {
+      val v = if (exact) quantize(col("embedding"))
+        else col("embedding").cast("array<double>")
+      df.select(col("vec_id").as(idAs), v.as(vAs))
+        .withColumn(nAs, sqrt(
+          (if (exact) dotLong(col(vAs), col(vAs))
+           else dotDouble(col(vAs), col(vAs))).cast("double")))
+    }
+    val q = prep(queries, "query_id", "q_v", "q_n")
+    val c = prep(corpus, "neighbor_id", "c_v", "c_n")
+    val dot = if (exact) dotLong(col("q_v"), col("c_v")).cast("double")
+      else dotDouble(col("q_v"), col("c_v"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", sim(col("q_emb"), col("c_emb")))
+      .withColumn("cos_sim", dot / (col("q_n") * col("c_n")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -64,41 +82,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** Sign-random-projection bucket id: `bits` hyperplanes drawn from a
-    * deterministic seed; bucket = sign pattern as an int. */
-  def srpBucket(emb: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rng.nextGaussian())
-    val bitCols = (0 until bits).map { b =>
-      val proj = (0 until dim).map(i =>
-        element_at(emb, i + 1) * lit(planes(b)(i))).reduce(_ + _)
-      when(proj >= 0, lit(1 << b)).otherwise(lit(0))
+  /** All `tables * bits` SRP hyperplanes for a deterministic seed. */
+  private def planes(dim: Int, bits: Int, tables: Int, seed: Long)
+      : Seq[Seq[Seq[Double]]] = {
+    (0 until tables).map { t =>
+      val rng = new scala.util.Random(seed + t)
+      Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
     }
-    bitCols.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** SRP bucket ids, one per hashtable, as array<int>. Each bit is one
+    * zip_with/aggregate dot against a literal plane — compact expressions
+    * that never blow the codegen method limit (a flat element_at sum at
+    * dim=64 x bits=8 x tables does, and falls back to interpreted eval). */
+  def srpBuckets(emb: Column, dim: Int, bits: Int, tables: Int,
+      seed: Long = 42L): Column = {
+    val ps = planes(dim, bits, tables, seed)
+    val dembed = transform(emb, x => x.cast("double"))
+    array(ps.map { tablePlanes =>
+      tablePlanes.zipWithIndex.map { case (plane, b) =>
+        val proj = aggregate(
+          zip_with(dembed, typedlit(plane), (x, p) => x * p),
+          lit(0.0), (s, v) => s + v)
+        when(proj >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }: _*)
   }
 
   /** LSH-bucketed approximate top-k: queries join candidates only within
-    * matching SRP buckets (multi-probe via `tables` independent
-    * hashtables), then exact cosine re-rank. Recall grows with `tables`;
-    * compare against [[bruteForceTopK]] in the spec. */
+    * matching (table, bucket) cells, then exact cosine re-rank. Recall
+    * grows with `tables`; spec'd against planted near-duplicates. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bits: Int = 8, tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, idAlias: String, embAlias: String,
-        bucketAlias: String) = {
-      val buckets = array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          srpBucket(col("embedding"), dim, bits, 42L + t).as("bkt"))): _*)
-      df.select(col("vec_id").as(idAlias), col("embedding").as(embAlias),
-        explode(buckets).as(bucketAlias))
-    }
-    val q = bucketed(queries, "query_id", "q_emb", "q_bucket")
-    val c = bucketed(corpus, "neighbor_id", "c_emb", "c_bucket")
+    def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String,
+        bAs: String) =
+      df.select(col("vec_id").as(idAs),
+          col("embedding").cast("array<double>").as(vAs),
+          posexplode(srpBuckets(col("embedding"), dim, bits, tables)))
+        .withColumnRenamed("pos", s"${bAs}_tbl")
+        .withColumnRenamed("col", s"${bAs}_bkt")
+        .withColumn(nAs, sqrt(dotDouble(col(vAs), col(vAs))))
+    val q = bucketed(queries, "query_id", "q_v", "q_n", "q")
+    val c = bucketed(corpus, "neighbor_id", "c_v", "c_n", "c")
     val cand = c.join(broadcast(q),
-        col("c_bucket") === col("q_bucket") &&
+        col("c_tbl") === col("q_tbl") && col("c_bkt") === col("q_bkt") &&
           col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+      .select(col("query_id"), col("neighbor_id"), col("q_v"), col("c_v"),
+        col("q_n"), col("c_n"))
       .distinct()
-      .withColumn("cos_sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos_sim",
+        dotDouble(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))

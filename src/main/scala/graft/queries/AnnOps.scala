@@ -29,8 +29,7 @@ object AnnOps {
     "ann_cosine_exact" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(
-          emb.filter(col("vec_id") < NQueries), emb, TopK,
-          Similarity.cosineExactDecimal)
+          emb.filter(col("vec_id") < NQueries), emb, TopK, exact = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 

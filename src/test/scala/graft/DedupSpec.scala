@@ -52,8 +52,6 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical docs distance 0; pairs verified <= maxDist") {
-    val sh = docs.select(Dedup.simhash(col("text")).as("sh"),
-      col("doc_id")).cache()
     // identical text => identical simhash
     val dup = docs.select(($"doc_id" + 100000).as("doc_id"), $"text")
     val both = docs.select("doc_id", "text").unionByName(dup)

@@ -13,8 +13,7 @@ class SimilaritySpec extends SparkSpec {
     val q = emb.filter($"vec_id" < 5)
     val both = Similarity.bruteForceTopK(q, emb, 5)
       .withColumnRenamed("cos_sim", "fast")
-      .join(Similarity.bruteForceTopK(q, emb, 5,
-          Similarity.cosineExactDecimal)
+      .join(Similarity.bruteForceTopK(q, emb, 5, exact = true)
         .withColumnRenamed("cos_sim", "exact")
         .withColumnRenamed("rank", "rank_e"),
         Seq("query_id", "neighbor_id"))
