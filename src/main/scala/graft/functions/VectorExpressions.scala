@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native dot product over two numeric arrays (float or double), double
+  * accumulator.
+  *
+  * Exists because Spark's higher-order functions (zip_with/aggregate) are
+  * interpreted — fine off the hot path, but the ANN join evaluates one dot
+  * per candidate pair, so this codegens to a tight primitive loop inside
+  * whole-stage codegen (no lambda dispatch, no boxing). Same math as
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`: left-to-right double adds.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot needs array<float|double>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lAcc = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rAcc = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double)$a.$lAcc($i) * (double)$b.$rAcc($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FloatVectorDot = copy(newLeft, newRight)
+}
+
+object VectorFunctions {
+  /** Column API for [[FloatVectorDot]]. */
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatVectorDot(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+
+  /** L2 norm via the native dot. */
+  def vec_norm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-key backward) join: for every left row, attach the most
+  * recent right row with the same key and right.ts <= left.ts
+  * (SURVEY.md §2.3 — the one join flavor with no Spark built-in).
+  *
+  * Implementation is the scalable tagged-union shape, not a range join:
+  * both sides union into one stream tagged by side, a window
+  * last_value(ignoreNulls) over (key ORDER BY ts, side) carries the
+  * latest right payload forward onto each left row. Cost = one shuffle on
+  * the key + one sort — no candidate-pair explosion, skew handled by AQE
+  * exactly like any window. (A broadcast-range variant would blow up on
+  * popular keys; a custom SparkPlan would only remove the union overhead.)
+  *
+  * Right rows sort before left rows at equal ts (side 0 < side 1) so a
+  * tie right.ts == left.ts matches — the ASOF `>=` convention.
+  */
+object AsOfJoin {
+
+  /** `rightCols` are carried onto the left rows as `asof_<name>`
+    * (null when no right row precedes). */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select(keys.map(col) ++ Seq(col("__ts"), col("__side")) ++
+        left.columns.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(s"__r_$c")): _*)
+    val rightTagged = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(keys.map(col) ++ Seq(col("__ts"), col("__side")) ++
+        left.columns.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(leftTagged.unionByName(rightTagged)) {
+      (df, c) =>
+        df.withColumn(s"asof_$c",
+          last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(keys.map(col) ++
+        left.columns.filterNot(keys.contains)
+          .map(c => col(s"__l_$c").as(c)) ++
+        rightCols.map(c => col(s"asof_$c")): _*)
+  }
+}

@@ -24,11 +24,8 @@ object Similarity {
   /** Exact cosine in double precision over raw float arrays (standalone
     * scalar form; the join paths below precompute instead). */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
+    import graft.functions.VectorFunctions.vec_dot
+    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
   }
 
   /** Order-independent exact cosine on PRE-QUANTIZED long arrays (see
@@ -52,8 +49,11 @@ object Similarity {
   private def dotLong(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
 
+  // native codegen'd dot (graft.functions.FloatVectorDot) — same
+  // left-to-right double accumulation as the HOF form, ~none of its
+  // interpreted-lambda overhead on the per-pair hot path
   private def dotDouble(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   /** Brute-force top-k neighbors for each row of `queries` against
     * `corpus`, `queries` broadcast. `exact = true` uses the quantized
@@ -62,8 +62,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       exact: Boolean = false): DataFrame = {
     def prep(df: DataFrame, idAs: String, vAs: String, nAs: String) = {
-      val v = if (exact) quantize(col("embedding"))
-        else col("embedding").cast("array<double>")
+      val v = if (exact) quantize(col("embedding")) else col("embedding")
       df.select(col("vec_id").as(idAs), v.as(vAs))
         .withColumn(nAs, sqrt(
           (if (exact) dotLong(col(vAs), col(vAs))
@@ -98,12 +97,9 @@ object Similarity {
   def srpBuckets(emb: Column, dim: Int, bits: Int, tables: Int,
       seed: Long = 42L): Column = {
     val ps = planes(dim, bits, tables, seed)
-    val dembed = transform(emb, x => x.cast("double"))
     array(ps.map { tablePlanes =>
       tablePlanes.zipWithIndex.map { case (plane, b) =>
-        val proj = aggregate(
-          zip_with(dembed, typedlit(plane), (x, p) => x * p),
-          lit(0.0), (s, v) => s + v)
+        val proj = graft.functions.VectorFunctions.vec_dot(emb, typedlit(plane))
         when(proj >= 0, lit(1 << b)).otherwise(lit(0))
       }.reduce((x, y) => x.bitwiseOR(y))
     }: _*)
@@ -116,8 +112,7 @@ object Similarity {
       bits: Int = 8, tables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String,
         bAs: String) =
-      df.select(col("vec_id").as(idAs),
-          col("embedding").cast("array<double>").as(vAs),
+      df.select(col("vec_id").as(idAs), col("embedding").as(vAs),
           posexplode(srpBuckets(col("embedding"), dim, bits, tables)))
         .withColumnRenamed("pos", s"${bAs}_tbl")
         .withColumnRenamed("col", s"${bAs}_bkt")

@@ -69,6 +69,24 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // as-of join: each purchase attached to the user's most recent
+    // preceding click (operators.AsOfJoin — tagged-union + window, no
+    // Spark built-in; DuckDB checks it with its native ASOF JOIN)
+    "join_asof_events" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("value"))
+      graft.operators.AsOfJoin.asofBackward(purchases, clicks,
+          Seq("user_id"), "ts_us", "ts_us", Seq("click_id", "value"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_click_id"),
+          money(col("asof_value")).cast("double").as("asof_value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // per-user activity profile: integer-exact rates
     "events_user_profile" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -120,6 +138,20 @@ object EventOps {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "join_asof_events" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM ev
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us, event_id AS click_id, value FROM ev
+        |  WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts_us,
+        |  c.click_id AS asof_click_id,
+        |  CAST(CAST(c.value AS DECIMAL(12,4)) AS DOUBLE) AS asof_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin,
 
     "events_user_profile" ->
       """SELECT user_id, COUNT(*) AS n_events,

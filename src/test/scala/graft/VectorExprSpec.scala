@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Native FloatVectorDot vs the interpreted HOF reference — identical
+  * values (same left-to-right double accumulation) through both the
+  * codegen and interpreted (eval) paths. */
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, Sf0).limit(50).cache()
+
+  test("vec_dot equals the zip_with/aggregate reference bit-for-bit") {
+    val hof = aggregate(zip_with($"a", $"b",
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+    val pairs = emb.select($"embedding".as("a"))
+      .crossJoin(emb.select($"embedding".as("b")).limit(10))
+    val diff = pairs.select((vec_dot($"a", $"b") - hof).as("d"))
+      .filter($"d" =!= 0.0).count()
+    assert(diff == 0)
+  }
+
+  test("float x double-literal dot works (SRP planes path)") {
+    val plane = Seq.fill(64)(0.5)
+    val r = emb.select(vec_dot($"embedding", typedlit(plane)).as("p"),
+      (aggregate(transform($"embedding", x => x.cast("double")),
+        lit(0.0), (s, v) => s + v) * 0.5).as("expect"))
+    assert(r.filter(abs($"p" - $"expect") > 1e-12).count() == 0)
+  }
+
+  test("null array -> null; interpreted eval path agrees") {
+    val df = Seq((Some(Seq(1.0f, 2.0f)), None: Option[Seq[Float]]))
+      .toDF("a", "b")
+    assert(df.select(vec_dot($"a", $"b")).head.isNullAt(0))
+    // force interpreted eval via Literal.create + expression eval
+    val e = graft.functions.FloatVectorDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 2.0f, 3.0f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2.0, 3.0, 4.0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == (1.0 * 2 + 2.0 * 3 + 3.0 * 4))
+  }
+
+  test("type check rejects non-array inputs") {
+    val bad = graft.functions.FloatVectorDot(
+      org.apache.spark.sql.catalyst.expressions.Literal(1),
+      org.apache.spark.sql.catalyst.expressions.Literal(2))
+    assert(!bad.checkInputDataTypes().isSuccess)
+  }
+}
