@@ -281,6 +281,17 @@ object Relational {
       s.sql(PassthroughSql)
     }),
 
+    // ---- approximate distinct (HLL++) — rows-only check: sketch
+    // implementations differ across engines by design; AggSpec bounds the
+    // error against the exact count
+    "agg_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- grouping sets ----------------------------------------------------
     "agg_grouping_sets" -> ((s, d) => {
       Tables.registerAll(s, d)

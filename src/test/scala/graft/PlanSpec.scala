@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan regression tests: the scale properties that make these
+  * queries viable at 100 TB (filter/projection pushdown into the parquet
+  * scan, dimension broadcast instead of shuffle joins, top-k instead of
+  * global sort, map-side partial aggregation) are asserted on the plan
+  * text so a refactor that silently loses one fails CI, not a cluster. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf0)
+      .queryExecution.explainString(SimpleMode)
+
+  test("filters and projection push into the parquet scan") {
+    val p = plan("scan_filter_projection")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    assert(p.contains("GreaterThan(l_quantity,45.0)"))
+    // pruned read schema: only the 4 referenced columns, not 11
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_discount:double>"))
+  }
+
+  test("dim joins broadcast; no shuffle join for lineitem x part") {
+    val p = plan("join_broadcast_parts")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // map-side partial aggregation before the exchange
+    assert(p.contains("partial_count"))
+  }
+
+  test("q5 star join is all-broadcast on the dim sides") {
+    val p = plan("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+  }
+
+  test("order-by + limit plans as TakeOrderedAndProject (top-k)") {
+    val p = plan("sort_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("q1 aggregates partially before the shuffle and prunes the scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(!p.contains("l_orderkey")) // untouched columns never read
+  }
+
+  test("ann brute force broadcasts the query side") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // native dot product expression on the hot path, not interpreted HOF
+    assert(p.contains("floatvectordot") || p.contains("FloatVectorDot"))
+  }
+
+  test("dedup exact keep is a single-shuffle semi join") {
+    val p = plan("dedup_exact_keep")
+    assert(p.contains("LeftSemi"))
+  }
+}
