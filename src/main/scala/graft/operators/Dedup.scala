@@ -36,21 +36,32 @@ object Dedup {
       .distinct()
 
   /** Exact n-gram Jaccard similarity pairs >= tau via inverted-index
-    * self-join (candidates only materialize for docs sharing a shingle). */
+    * self-join (candidates only materialize for docs sharing a shingle).
+    *
+    * Two exact-preserving prunings for the self-join:
+    *  - postings join on xxhash64(shingle) (8-byte keys in the shuffle
+    *    instead of full shingle strings; a same-pair 64-bit collision is
+    *    ~2^-40 per corpus and would only ever overcount one intersection);
+    *  - length-ratio prefilter: J >= tau forces min(|A|,|B|) >=
+    *    tau*max(|A|,|B|), so size-incompatible pairs never reach the
+    *    aggregation. */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       k: Int = 3, tau: Double = 0.5): DataFrame = {
-    val sh = explodedShingles(df, id, text, k).cache()
+    val sh = df.select(id.as("doc_id"),
+        explode(TextAnalysis.shingles(text, k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .distinct()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val postings = sh.join(counts, "doc_id").cache()
+    val a = postings.as("a"); val b = postings.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n_sh"), col("b.n_sh")) >=
+          greatest(col("a.n_sh"), col("b.n_sh")) * tau)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= tau)
@@ -95,7 +106,8 @@ object Dedup {
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
       k: Int = 3, perms: Int = 32, bands: Int = 8): DataFrame = {
     val rows = perms / bands
-    val sigd = minhashSignatures(df, id, text, k, perms)
+    // cached: the banded self-join reads the signature frame twice
+    val sigd = minhashSignatures(df, id, text, k, perms).cache()
     val banded = sigd.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws("_",
