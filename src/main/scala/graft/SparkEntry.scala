@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.TextDedup.defs ++
       graft.queries.AnnOps.defs ++
       graft.queries.EventOps.defs ++
-      graft.queries.SplitOps.defs
+      graft.queries.SplitOps.defs ++
+      graft.queries.MediaOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.TextDedup.oracles ++
       graft.queries.AnnOps.oracles ++
       graft.queries.EventOps.oracles ++
-      graft.queries.SplitOps.oracles
+      graft.queries.SplitOps.oracles ++
+      graft.queries.MediaOps.oracles
 }

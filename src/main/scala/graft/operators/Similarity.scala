@@ -105,6 +105,103 @@ object Similarity {
     }: _*)
   }
 
+  /** Embedding-cosine near-duplicate pairs: every unordered pair with
+    * cosine >= `tau`, on the quantized-integer path so the result is
+    * bit-identical across engines (the oracle-checked dedup variant).
+    *
+    * The self-join is all-pairs (vec_id-ordered to halve it), with vectors
+    * quantized and norms computed ONCE per side — per-pair work is a single
+    * int64 dot. Exactness requires completeness, so there is no candidate
+    * pruning here; the 100 TB path is [[nearDupPairsLsh]], which only
+    * materializes pairs sharing an SRP bucket. */
+  def nearDupPairs(df: DataFrame, tau: Double): DataFrame = {
+    val prep = df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
+    val a = prep.select(col("vec_id").as("id_a"), col("qv").as("v_a"),
+      col("nrm").as("n_a"))
+    val b = prep.select(col("vec_id").as("id_b"), col("qv").as("v_b"),
+      col("nrm").as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        dotLong(col("v_a"), col("v_b")).cast("double") / (col("n_a") * col("n_b")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Scale path for near-dup detection: candidate pairs only from shared
+    * SRP (table, bucket) cells — shuffle on the bucket key, never
+    * all-pairs — then exact quantized re-check against `tau`. Approximate
+    * (recall < 1 by design); spec'd against [[nearDupPairs]]. */
+  def nearDupPairsLsh(df: DataFrame, tau: Double, dim: Int,
+      bits: Int = 8, tables: Int = 4): DataFrame = {
+    val prep = df.select(col("vec_id"), quantize(col("embedding")).as("qv"),
+        posexplode(srpBuckets(col("embedding"), dim, bits, tables)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
+      .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
+    val a = prep.select(col("vec_id").as("id_a"), col("qv").as("v_a"),
+      col("nrm").as("n_a"), col("tbl"), col("bkt"))
+    val b = prep.select(col("vec_id").as("id_b"), col("qv").as("v_b"),
+      col("nrm").as("n_b"), col("tbl").as("tbl2"), col("bkt").as("bkt2"))
+    a.join(b, col("tbl") === col("tbl2") && col("bkt") === col("bkt2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"),
+        col("n_a"), col("n_b"))
+      .distinct()
+      .withColumn("cos_sim",
+        dotLong(col("v_a"), col("v_b")).cast("double") / (col("n_a") * col("n_b")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
+    * ANN layout. The codebook here is the per-label mean vector (a
+    * deterministic stand-in for a k-means codebook: at scale you'd run
+    * distributed k-means once, and the rest of the plan is unchanged).
+    *
+    * Corpus vectors are assigned to their nearest centroid cell
+    * (broadcast centroids — a codebook is small by construction); each
+    * query probes its `nprobe` nearest cells; candidates join on the cell
+    * id (shuffle bounded by cell fan-out, never all-pairs) and are exactly
+    * re-ranked. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int = 3): DataFrame = {
+    val centroids = corpus
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("v"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("c_v"))
+      .select(col("label").as("cell"), col("c_v"))
+
+    // rank cells by exact cosine distance to each vector's embedding
+    def cells(df: DataFrame, idAs: String, vAs: String, keep: Int) = {
+      val scored = df.select(col("vec_id").as(idAs), col("embedding").as(vAs))
+        .join(broadcast(centroids))
+        .withColumn("c_sim", dotDouble(col(vAs), col("c_v")) /
+          (sqrt(dotDouble(col(vAs), col(vAs))) *
+            sqrt(dotDouble(col("c_v"), col("c_v")))))
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("c_sim").desc, col("cell"))
+      scored.withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= keep)
+        .select(col(idAs), col(vAs), col("cell"))
+    }
+    val c = cells(corpus, "neighbor_id", "c_v2", keep = 1)
+      .withColumn("c_n", sqrt(dotDouble(col("c_v2"), col("c_v2"))))
+    val q = cells(queries, "query_id", "q_v", keep = nprobe)
+      .withColumn("q_n", sqrt(dotDouble(col("q_v"), col("q_v"))))
+    val scored = c.as("c").join(broadcast(q.as("q")),
+        col("c.cell") === col("q.cell") &&
+          col("q.query_id") =!= col("c.neighbor_id"))
+      .withColumn("cos_sim",
+        dotDouble(col("q.q_v"), col("c.c_v2")) / (col("q.q_n") * col("c.c_n")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** LSH-bucketed approximate top-k: queries join candidates only within
     * matching (table, bucket) cells, then exact cosine re-rank. Recall
     * grows with `tables`; spec'd against planted near-duplicates. */

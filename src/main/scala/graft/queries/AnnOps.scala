@@ -24,6 +24,9 @@ object AnnOps {
   val NQueries = 20
   val TopK = 5
   val Dim = 64
+  // fixtures carry no planted near-dups (max pairwise cosine ~0.5-0.6);
+  // 0.4 yields a non-empty, engine-checkable pair set at every SF
+  val NearDupTau = 0.4
 
   val defs: Map[String, Q] = Map(
     "ann_cosine_exact" -> ((s, d) => {
@@ -43,6 +46,22 @@ object AnnOps {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb.filter(col("vec_id") < NQueries), emb, TopK, Dim)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF coarse-quantizer ANN (per-label centroid codebook, nprobe cells)
+    // — engine-specific double ordering, so rows-only check + recall spec
+    "ann_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries), emb, TopK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // embedding-cosine near-duplicate pairs (quantized exact path — the
+    // oracle-checked dedup variant; nearDupPairsLsh is the scale path,
+    // recall-spec'd in SimilaritySpec)
+    "dedup_embedding_cosine" -> ((s, d) => {
+      Similarity.nearDupPairs(Tables.embeddings(s, d), tau = NearDupTau)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // label-conditioned centroid similarity: embeddings joined to their
@@ -84,6 +103,13 @@ object AnnOps {
 
     "ann_label_centroid" ->
       """SELECT label, COUNT(*) AS n_vecs FROM embeddings
-        |GROUP BY label ORDER BY label""".stripMargin
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${duckCosExact("a", "b")} AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${duckCosExact("a", "b")} >= $NearDupTau
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

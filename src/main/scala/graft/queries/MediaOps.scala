@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column query surface (training-data-pipeline operators).
+  *
+  * The fixtures carry no binary media, so payloads are fabricated from
+  * `documents.text` (utf-8 bytes) — which makes the metadata path fully
+  * oracle-checkable: byte length, content hash, and the stub decoder's
+  * deterministic frame fan-out are all ANSI-SQL-expressible in DuckDB
+  * (`encode(text)` gives the identical blob). The decode itself is the
+  * clearly-marked stub seam in [[graft.operators.Multimodal]]; all plan
+  * shapes (columnar binary storage, partition-batched decode, frame
+  * explode, per-doc reaggregation, frame sampling, feature extraction)
+  * are the real ones a production codec would run through.
+  */
+object MediaOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // media payload + typed metadata struct + per-doc frame counts from
+    // the partition-batched stub decoder
+    "multimodal_media_meta" -> ((s, d) => {
+      val media = Multimodal.withMediaColumn(Tables.documents(s, d))
+      val nf = Multimodal.decodeFrames(s, media).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"))
+        .withColumnRenamed("doc_id", "f_doc")
+      media.join(nf, col("doc_id") === col("f_doc"))
+        .select(col("doc_id"),
+          col("media_meta.media_type").as("media_type"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.content_hash").as("content_hash"),
+          col("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // decode -> sample every 2nd frame -> feature-extract: the full
+    // multimodal pipeline; deterministic shape (1 sampled frame per doc,
+    // fixed feature dim) is oracle-checked, feature values are the stub's
+    "multimodal_frame_features" -> ((s, d) => {
+      val media = Multimodal.withMediaColumn(Tables.documents(s, d))
+      val frames = Multimodal.decodeFrames(s, media)
+      val sampled = Multimodal.sampleFrames(frames, every = 2)
+      Multimodal.frameFeatures(s, sampled, dim = 8)
+        .select(col("doc_id"), col("frame_idx"),
+          size(col("embedding")).as("n_dims"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_media_meta" ->
+      """SELECT doc_id, 'image/fake' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash, CAST(2 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frame_features" ->
+      """SELECT doc_id, CAST(0 AS INTEGER) AS frame_idx,
+        |  CAST(8 AS INTEGER) AS n_dims
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -292,6 +292,71 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- correlated EXISTS subquery through spark.sql (Catalyst
+    // decorrelation; TPC-H Q4 shape on the columns the fixture has) -------
+    "subq_exists_priority" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(ExistsSql)
+    }),
+
+    // ---- correlated scalar subquery (decorrelated to an outer join) -----
+    "subq_scalar_correlated" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(ScalarSubquerySql)
+    }),
+
+    // ---- scalar-avg antijoin shape (TPC-H Q17): lineitems below 20% of
+    // their part's average quantity. Division-free predicate
+    // (qty * 5 * n < sum) keeps decimal arithmetic exact in both engines.
+    "subq_scalar_avg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val avgq = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(sum(money(col("l_quantity"))).as("sum_q"), count(lit(1)).as("n_q"))
+      li.join(avgq, col("l_partkey") === col("ap_partkey"))
+        .filter(money(col("l_quantity")) * 5 * col("n_q") < col("sum_q"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- full outer join with coalesced keys ----------------------------
+    "join_full_outer" -> ((s, d) => {
+      val cn = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = Tables.supplier(s, d).groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_sup"))
+      cn.join(sn, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_sup"), lit(0L)).as("n_sup"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // ---- exact interpolated percentiles. Quantities are small integers
+    // and the probe fractions are exact binary, so a+(b-a)*f is exact in
+    // both engines regardless of interpolation formula.
+    "agg_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          median(col("l_quantity")).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- pivot (Spark .pivot; oracle = conditional aggregation) ---------
+    "pivot_flag_status" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- grouping sets ----------------------------------------------------
     "agg_grouping_sets" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -312,6 +377,20 @@ object Relational {
       |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS STRING) AS DOUBLE) AS sum_bal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Correlated-EXISTS text runnable verbatim by both engines. */
+  val ExistsSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Correlated scalar subquery, same text both engines. */
+  val ScalarSubquerySql: String =
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer ORDER BY c_custkey""".stripMargin
 
   private def decSum(c: String): String =
     s"CAST(CAST(SUM(CAST($c AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)"
@@ -475,6 +554,47 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "querysql_passthrough" -> PassthroughSql,
+
+    "subq_exists_priority" -> ExistsSql,
+
+    "subq_scalar_correlated" -> ScalarSubquerySql,
+
+    "subq_scalar_avg" ->
+      s"""WITH aq AS (
+         |  SELECT l_partkey AS ap_partkey,
+         |    SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sum_q,
+         |    COUNT(*) AS n_q
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT p_brand, COUNT(*) AS n_rows,
+         |  ${decSum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |JOIN aq ON l_partkey = ap_partkey
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE CAST(l_quantity AS DECIMAL(12,4)) * 5 * n_q < sum_q
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT COALESCE(ck, sk) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_sup, 0) AS n_sup
+        |FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS n_sup
+        |      FROM supplier GROUP BY s_nationkey) s
+        |  ON ck = sk
+        |ORDER BY nationkey""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "pivot_flag_status" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

@@ -70,6 +70,16 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // generator/UDTF surface: explode tokens to word granularity, then
+    // reaggregate (the wordcount shape; map-side partial agg pre-shuffle)
+    "explode_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("word"))
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), k = 3)
         .select(col("doc_id"), col("content_hash"), col("min_shingle_md5"))
@@ -130,6 +140,11 @@ object TextDedup {
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "explode_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,

@@ -47,6 +47,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"planted near-dup recall $recall")
   }
 
+  test("IVF finds planted near-duplicates (recall >= 0.9)") {
+    // The IVF guarantee that matters for dedup: a genuine near-neighbor
+    // (cosine ~0.97) lands in one of the query's nprobe probed cells. The
+    // fixture's labels cluster the space only weakly — the hard case for a
+    // coarse quantizer — but a near-dup sits so close to its source that
+    // both rank the same cells.
+    val rng = new scala.util.Random(13)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val noisy = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val q = spark.createDataFrame(noisy.toSeq).toDF("vec_id", "embedding")
+    val hits = Similarity.ivfTopK(q, emb, 5, nprobe = 3)
+      .filter($"neighbor_id" === $"query_id" - 100000L)
+      .select($"query_id").distinct().count()
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.9, s"IVF planted near-dup recall $recall")
+  }
+
+  test("LSH near-dup pairs are a subset of exact pairs, good recall on dups") {
+    val rng = new scala.util.Random(11)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val noisy = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val corpus = emb.select($"vec_id", $"embedding")
+      .union(spark.createDataFrame(noisy.toSeq).toDF("vec_id", "embedding"))
+    val exact = Similarity.nearDupPairs(corpus, tau = 0.9)
+      .select($"id_a", $"id_b")
+    val lsh = Similarity.nearDupPairsLsh(corpus, tau = 0.9, dim = 64,
+      bits = 8, tables = 8).select($"id_a", $"id_b")
+    assert(lsh.exceptAll(exact).isEmpty, "LSH pairs must pass the exact check")
+    val recall = lsh.intersect(exact).count().toDouble / exact.count()
+    assert(recall >= 0.8, s"near-dup LSH recall $recall")
+  }
+
   test("LSH candidate set is much smaller than all-pairs") {
     val q = emb.filter($"vec_id" < 20)
     val nCand = Similarity.lshTopK(q, emb, 1000000, dim = 64,
