@@ -74,6 +74,56 @@ case class FloatVectorDot(left: Expression, right: Expression)
       newRight: Expression): FloatVectorDot = copy(newLeft, newRight)
 }
 
+/** Native dot product over two `array<long>` columns with an exact long
+  * accumulator — the hot-path form of the quantized-integer cosine
+  * (`aggregate(zip_with(a, b, _*_), 0L, _+_)` is interpreted; this
+  * codegens to a primitive loop). Quantized embeddings are |x| <= ~1e8,
+  * so dim * (1e8)^2 stays far below Long.MaxValue. */
+case class LongVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_long needs array<bigint>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LongVectorDot = copy(newLeft, newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[FloatVectorDot]]. */
   def vec_dot(a: Column, b: Column): Column =
@@ -84,4 +134,10 @@ object VectorFunctions {
   /** L2 norm via the native dot. */
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+
+  /** Column API for [[LongVectorDot]] (exact integer accumulation). */
+  def vec_dot_long(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      LongVectorDot(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
 }

@@ -34,9 +34,9 @@ object Similarity {
     * join below. */
   def cosineExactDecimal(a: Column, b: Column): Column = {
     val qa = quantize(a); val qb = quantize(b)
-    val dot = aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), _ + _)
-    val na = aggregate(transform(qa, x => x * x), lit(0L), _ + _)
-    val nb = aggregate(transform(qb, x => x * x), lit(0L), _ + _)
+    val dot = dotLong(qa, qb)
+    val na = dotLong(qa, qa)
+    val nb = dotLong(qb, qb)
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
   }
 
@@ -46,8 +46,11 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(1e8)).cast("long"))
 
+  // native codegen'd exact integer dot (graft.functions.LongVectorDot) —
+  // identical value to aggregate(zip_with(a, b, _*_), 0L, _+_): long
+  // products and adds are exact, so order/implementation can't matter
   private def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    graft.functions.VectorFunctions.vec_dot_long(a, b)
 
   // native codegen'd dot (graft.functions.FloatVectorDot) — same
   // left-to-right double accumulation as the HOF form, ~none of its

@@ -47,6 +47,33 @@ class VectorExprSpec extends SparkSpec {
     assert(e.eval(null) == (1.0 * 2 + 2.0 * 3 + 3.0 * 4))
   }
 
+  test("vec_dot_long equals the zip_with/aggregate reference exactly") {
+    val q = transform($"embedding",
+      x => round(x.cast("double") * lit(1e8)).cast("long"))
+    val qa = emb.select(q.as("a"))
+    val pairs = qa.crossJoin(emb.select(q.as("b")).limit(10))
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0L), (s, v) => s + v)
+    val diff = pairs.select((vec_dot_long($"a", $"b") - hof).as("d"))
+      .filter($"d" =!= 0L).count()
+    assert(diff == 0)
+    // interpreted eval path
+    val e = graft.functions.LongVectorDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, 3L, 5L),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(7L, 11L, 13L),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) == (2L * 7 + 3L * 11 + 5L * 13))
+    assert(!graft.functions.LongVectorDot(
+      org.apache.spark.sql.catalyst.expressions.Literal(1),
+      org.apache.spark.sql.catalyst.expressions.Literal(2))
+      .checkInputDataTypes().isSuccess)
+  }
+
   test("type check rejects non-array inputs") {
     val bad = graft.functions.FloatVectorDot(
       org.apache.spark.sql.catalyst.expressions.Literal(1),
