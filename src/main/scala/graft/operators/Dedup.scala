@@ -28,7 +28,8 @@ object Dedup {
   }
 
   /** Distinct word-k-shingles, exploded: (id, shingle). The inverted-index
-    * backbone for the near-dup operators. */
+    * backbone for the near-dup operators (native codegen'd shingling —
+    * graft.functions.WordShingles). */
   def explodedShingles(df: DataFrame, id: Column, text: Column, k: Int)
       : DataFrame =
     df.select(id.as("doc_id"),
@@ -48,8 +49,8 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       k: Int = 3, tau: Double = 0.5): DataFrame = {
     val sh = df.select(id.as("doc_id"),
-        explode(TextAnalysis.shingles(text, k)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+        explode(graft.functions.ShingleFunctions.word_shingle_hashes(text, k))
+          .as("sh"))
       .distinct()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val postings = sh.join(counts, "doc_id").cache()
@@ -86,8 +87,9 @@ object Dedup {
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       k: Int, perms: Int): DataFrame = {
     val hashed = df.select(id.as("doc_id"),
-      explode(TextAnalysis.shingles(text, k)).as("s"))
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MinhashP)).as("h"))
+        explode(graft.functions.ShingleFunctions.word_shingle_hashes(text, k))
+          .as("s"))
+      .select(col("doc_id"), pmod(col("s"), lit(MinhashP)).as("h"))
     val mins = (0 until perms).map { i =>
       val a = 2L * i + 1L; val b = 104729L * (i + 1)
       min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"m$i")
@@ -106,8 +108,9 @@ object Dedup {
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
       k: Int = 3, perms: Int = 32, bands: Int = 8): DataFrame = {
     val rows = perms / bands
-    // cached: the banded self-join reads the signature frame twice
-    val sigd = minhashSignatures(df, id, text, k, perms).cache()
+    // NOT cached: both self-join sides read the same aggregation, so the
+    // shuffle exchange is reused (ReusedExchange) without pinning memory
+    val sigd = minhashSignatures(df, id, text, k, perms)
     val banded = sigd.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws("_",

@@ -18,16 +18,29 @@ object TextAnalysis {
     * space-separated text; swap the delimiter regex for real corpora). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles, empty array when the doc has < n tokens.
-    * Guarded: Spark's `sequence(1, k)` runs DESCENDING for k < 1, which
-    * would fabricate shingles for short docs. */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array column.
+    * Use this form (with `tokens(text)` projected once in a prior select)
+    * on any path that shingles in bulk: `ws` appears n+2 times in this
+    * tree, and `transform` lambdas evaluate interpreted — if `ws` were the
+    * split() expression itself, it would re-split per shingle element
+    * (measured ~10x slower on the dedup inverted-index builds).
+    *
+    * Empty array when the doc has < n tokens. Guarded: Spark's
+    * `sequence(1, k)` runs DESCENDING for k < 1, which would fabricate
+    * shingles for short docs. */
+  def shinglesOf(ws: Column, n: Int): Column = {
     val starts = sequence(lit(1), size(ws) - (n - 1))
     val grams = transform(starts,
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
     when(size(ws) < n, array().cast("array<string>")).otherwise(grams)
   }
+
+  /** Shingles from raw text — the native codegen'd byte-slice expression
+    * ([[graft.functions.WordShingles]]; one pass per row, no per-element
+    * lambda interpretation). [[shinglesOf]] above is the declarative
+    * reference implementation it is spec'd against. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShingleFunctions.word_shingles(text, n)
 
   /** Per-language stopword sets for the language-ID heuristic. */
   val Stopwords: Map[String, Seq[String]] = Map(
