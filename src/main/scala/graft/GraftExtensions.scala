@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration for graft's native expressions, so the querySql
+  * passthrough surface (the Spark analogue of the reference's raw-SQL
+  * entry point, /root/reference/database/dbms/reader/parameter.go:94-101)
+  * can call them: `SELECT vec_dot(a, b)`, `word_shingle_hashes(text, 3)`.
+  *
+  * Two registration seams, same function list:
+  *  - [[GraftFunctions.register]] adds them to a live session (tests,
+  *    interactive);
+  *  - [[GraftExtensions]] is the `spark.sql.extensions` entry point for
+  *    cluster deployments (`--conf spark.sql.extensions=graft.GraftExtensions`).
+  */
+object GraftFunctions {
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: n must be an integer literal, got $other")
+  }
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "",
+      "", "built-in")
+
+  val all: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info(classOf[FloatVectorDot], "vec_dot",
+        "vec_dot(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => FloatVectorDot(args(0), args(1))),
+    (FunctionIdentifier("vec_dot_long"),
+      info(classOf[LongVectorDot], "vec_dot_long",
+        "vec_dot_long(a, b) - exact integer dot product of two bigint arrays"),
+      (args: Seq[Expression]) => LongVectorDot(args(0), args(1))),
+    (FunctionIdentifier("word_shingles"),
+      info(classOf[WordShingles], "word_shingles",
+        "word_shingles(text, n) - word n-gram shingles"),
+      (args: Seq[Expression]) =>
+        WordShingles(args(0), intLit(args(1), "word_shingles"))),
+    (FunctionIdentifier("word_shingle_hashes"),
+      info(classOf[WordShingleHashes], "word_shingle_hashes",
+        "word_shingle_hashes(text, n) - xxhash64 of each word n-gram"),
+      (args: Seq[Expression]) =>
+        WordShingleHashes(args(0), intLit(args(1), "word_shingle_hashes"))))
+
+  /** Register into a live session's function registry. */
+  def register(spark: SparkSession): Unit = all.foreach { case (id, fi, b) =>
+    spark.sessionState.functionRegistry.registerFunction(id, fi, b)
+  }
+}
+
+/** `spark.sql.extensions` entry point (must be applied at session build:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or the
+  * `spark.sql.extensions` conf on a cluster). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

@@ -132,9 +132,11 @@ object Dedup {
     * sums (single codegen'd pass — the scalar-Column form re-tokenizes
     * 64x via CollapseProject, same trap as MinHash). */
   def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // word_shingle_hashes(text, 1) == xxhash64 per token (spec-asserted),
+    // with no token-string explode: only 8-byte hashes leave the scan
     val th = df.select(id.as("doc_id"),
-        explode(TextAnalysis.tokens(text)).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      explode(graft.functions.ShingleFunctions.word_shingle_hashes(text, 1))
+        .as("h"))
     val votes = (0 until 64).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
         .as(s"v$i")

@@ -322,6 +322,18 @@ object Relational {
         .orderBy(col("p_brand"))
     }),
 
+    // ---- salted skew join: row-identical to the plain join (the oracle
+    // IS the plain join), with the hot fact key spread over 4 sub-keys ----
+    "join_salted_skew" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "okey")
+      val ord = Tables.orders(s, d).withColumnRenamed("o_orderkey", "okey")
+      graft.operators.SkewJoin.saltedJoin(li, ord, "okey", salt = 4)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- full outer join with coalesced keys ----------------------------
     "join_full_outer" -> ((s, d) => {
       val cn = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
@@ -572,6 +584,12 @@ object Relational {
          |JOIN part ON l_partkey = p_partkey
          |WHERE CAST(l_quantity AS DECIMAL(12,4)) * 5 * n_q < sum_q
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "join_salted_skew" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${decSum("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "join_full_outer" ->
       """SELECT COALESCE(ck, sk) AS nationkey,

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+/** SQL function registration (both seams) + salted-join equivalence. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions evaluate through spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  vec_dot_long(array(2L, 3L), array(5L, 7L)) AS dl,
+        |  word_shingles('a b c d', 2) AS sh,
+        |  word_shingle_hashes('a b c d', 2) AS shh""".stripMargin).head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 31L)
+    assert(r.getSeq[String](2) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[Long](3).length == 3)
+    // hash parity with the built-in xxhash64 over the same strings
+    val x = spark.sql(
+      "SELECT word_shingle_hashes('a b c', 2)[0] = xxhash64('a b') AS ok")
+      .head.getBoolean(0)
+    assert(x)
+  }
+
+  test("extensions entry point applies the same function list") {
+    // injectFunction path (what spark.sql.extensions invokes at build time)
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+
+  test("non-literal shingle width is rejected") {
+    GraftFunctions.register(spark)
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c', length('xx'))").collect()
+    }
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val li = Tables.lineitem(spark, Sf0).withColumnRenamed("l_orderkey", "okey")
+    val ord = Tables.orders(spark, Sf0).withColumnRenamed("o_orderkey", "okey")
+    val salted = SkewJoin.saltedJoin(li, ord, "okey", salt = 4)
+      .select($"okey", $"l_linenumber", $"o_custkey")
+    val plain = li.join(ord, "okey")
+      .select($"okey", $"l_linenumber", $"o_custkey")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted left join keeps unmatched fact rows exactly once") {
+    val fact = Seq((1, "a"), (2, "b"), (99, "nomatch")).toDF("k", "v")
+    val dim = Seq((1, "x"), (2, "y")).toDF("k", "w")
+    val out = SkewJoin.saltedJoin(fact, dim, "k", salt = 3, joinType = "left")
+    assert(out.count() == 3)
+    assert(out.filter($"k" === 99 && $"w".isNull).count() == 1)
+  }
+}
