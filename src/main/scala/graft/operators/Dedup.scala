@@ -75,16 +75,26 @@ object Dedup {
   // 31-bit Mersenne prime: h < 2^31 keeps a*h + b far from long overflow
   private val MinhashP = 2147483647L
 
-  /** MinHash signature per document as a DataFrame (doc_id, sig):
-    * single-pass explode -> groupBy with `perms` min-aggregates over
-    * permuted hashes h_i(x) = (a_i*x + b_i) mod p.
-    *
-    * Deliberately NOT a scalar Column: a column-expression form gets
-    * inlined `perms` times by CollapseProject, re-tokenizing and re-hashing
-    * every row per permutation (measured 40x slower). The explode/agg shape
-    * hashes each shingle once, stays inside whole-stage codegen, and
-    * shuffles only (doc_id, minhash) pairs. */
+  /** MinHash signature per document as a DataFrame (doc_id, sig) — a pure
+    * PROJECTION: the native sketch expression folds the per-row shingle-
+    * hash array in one pass (graft.functions.MinHashSignature), so
+    * signature build is a map-only stage with NO shuffle. Docs with < k
+    * tokens have no shingles and are dropped (null signature), matching
+    * the aggregate reference form below. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
+      k: Int, perms: Int): DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.SketchFunctions.minhash_signature(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k), perms)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Declarative reference for [[minhashSignatures]] (explode -> groupBy
+    * with `perms` min-aggregates) — the shape the native expression is
+    * spec'd against. Shuffles one row per (doc, shingle); kept for tests
+    * and as the fallback shape if signatures ever need to aggregate
+    * across multiple input rows per document. */
+  def minhashSignaturesAgg(df: DataFrame, id: Column, text: Column,
       k: Int, perms: Int): DataFrame = {
     val hashed = df.select(id.as("doc_id"),
         explode(graft.functions.ShingleFunctions.word_shingle_hashes(text, k))
@@ -127,13 +137,19 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash fingerprints per document as a DataFrame (doc_id, sh):
-    * tokens exploded and hashed once, then one groupBy with 64 sign-vote
-    * sums (single codegen'd pass — the scalar-Column form re-tokenizes
-    * 64x via CollapseProject, same trap as MinHash). */
-  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
-    // word_shingle_hashes(text, 1) == xxhash64 per token (spec-asserted),
-    // with no token-string explode: only 8-byte hashes leave the scan
+  /** SimHash fingerprints per document as a DataFrame (doc_id, sh) — a
+    * pure projection like [[minhashSignatures]]: the native expression
+    * folds the token-hash array's 64 sign votes per row, no shuffle.
+    * (split("") = [""], so every doc has >= 1 token hash.) */
+  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      graft.functions.SketchFunctions.simhash64(
+        graft.functions.ShingleFunctions.word_shingle_hashes(text, 1))
+        .as("sh"))
+
+  /** Declarative reference for [[simhashes]] (explode -> groupBy with 64
+    * sign-vote sums), kept for spec parity. */
+  def simhashesAgg(df: DataFrame, id: Column, text: Column): DataFrame = {
     val th = df.select(id.as("doc_id"),
       explode(graft.functions.ShingleFunctions.word_shingle_hashes(text, 1))
         .as("h"))

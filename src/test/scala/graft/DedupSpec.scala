@@ -64,6 +64,30 @@ class DedupSpec extends SparkSpec {
     assert(p6.filter($"hamming" > 6).count() == 0)
   }
 
+  test("native sketch projections equal the explode/groupBy references") {
+    val sigNew = Dedup.minhashSignatures(docs, col("doc_id"), col("text"),
+      k = 3, perms = 32)
+    val sigRef = Dedup.minhashSignaturesAgg(docs, col("doc_id"), col("text"),
+      k = 3, perms = 32)
+    val sigBad = sigNew.withColumnRenamed("sig", "s1")
+      .join(sigRef.withColumnRenamed("sig", "s2"), "doc_id", "full_outer")
+      .filter($"s1".isNull || $"s2".isNull || $"s1" =!= $"s2").count()
+    assert(sigBad == 0)
+
+    val shNew = Dedup.simhashes(docs, col("doc_id"), col("text"))
+    val shRef = Dedup.simhashesAgg(docs, col("doc_id"), col("text"))
+    val shBad = shNew.withColumnRenamed("sh", "h1")
+      .join(shRef.withColumnRenamed("sh", "h2"), "doc_id", "full_outer")
+      .filter($"h1".isNull || $"h2".isNull || $"h1" =!= $"h2").count()
+    assert(shBad == 0)
+  }
+
+  test("minhash signature build plan has no shuffle") {
+    val plan = Dedup.minhashSignatures(docs, col("doc_id"), col("text"),
+      3, 32).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected map-only plan:\n$plan")
+  }
+
   test("rolling hash: shift-invariant window equality") {
     val h1 = TextAnalysis.rollingHash("abcdefgh", 4)
     val h2 = TextAnalysis.rollingHash("XYabcdefgh", 4)
