@@ -39,21 +39,26 @@ object Dedup {
   /** Exact n-gram Jaccard similarity pairs >= tau via inverted-index
     * self-join (candidates only materialize for docs sharing a shingle).
     *
-    * Two exact-preserving prunings for the self-join:
-    *  - postings join on xxhash64(shingle) (8-byte keys in the shuffle
-    *    instead of full shingle strings; a same-pair 64-bit collision is
-    *    ~2^-40 per corpus and would only ever overcount one intersection);
+    * The postings build is MAP-ONLY: the per-doc shingle set is
+    * `array_distinct` over the native hash array (shingle sets are
+    * per-document, so corpus-wide explode->distinct would shuffle the
+    * whole corpus for nothing), and the set size rides along for free —
+    * no count aggregation, no counts join. Exact-preserving prunings on
+    * the self-join:
+    *  - join on the 8-byte xxhash64 shingle hash (a same-pair 64-bit
+    *    collision is ~2^-40 per corpus and would only ever overcount one
+    *    intersection);
     *  - length-ratio prefilter: J >= tau forces min(|A|,|B|) >=
     *    tau*max(|A|,|B|), so size-incompatible pairs never reach the
     *    aggregation. */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       k: Int = 3, tau: Double = 0.5): DataFrame = {
-    val sh = df.select(id.as("doc_id"),
-        explode(graft.functions.ShingleFunctions.word_shingle_hashes(text, k))
-          .as("sh"))
-      .distinct()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val postings = sh.join(counts, "doc_id").cache()
+    val postings = df.select(id.as("doc_id"),
+        array_distinct(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k))
+          .as("set"))
+      .select(col("doc_id"), size(col("set")).as("n_sh"),
+        explode(col("set")).as("sh"))
     val a = postings.as("a"); val b = postings.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -118,13 +123,15 @@ object Dedup {
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
       k: Int = 3, perms: Int = 32, bands: Int = 8): DataFrame = {
     val rows = perms / bands
-    // NOT cached: both self-join sides read the same aggregation, so the
-    // shuffle exchange is reused (ReusedExchange) without pinning memory
     val sigd = minhashSignatures(df, id, text, k, perms)
+    // band hash = xxhash64 over the band's signature slots (numeric —
+    // no string rendering) + the band index, fully codegen'd
+    val bandHashes = array((0 until bands).map { bnd =>
+      xxhash64(lit(bnd) +: (0 until rows).map(r =>
+        element_at(col("sig"), bnd * rows + r + 1)): _*)
+    }: _*)
     val banded = sigd.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(concat_ws("_",
-          slice(col("sig"), bnd * rows + 1, lit(rows)).cast("array<string>")), bnd))))
+        posexplode(bandHashes))
       .select(col("doc_id"), col("sig"), col("pos").as("band"),
         col("col").as("band_hash"))
     val a = banded.as("a"); val b = banded.as("b")
