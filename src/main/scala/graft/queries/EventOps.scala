@@ -59,6 +59,19 @@ object EventOps {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // sliding 10-min windows every 5 min (batch form of the streaming
+    // sliding window: each event lands in size/slide = 2 buckets)
+    "events_sliding_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("b", expr(s"(ts div 1000) div $FiveMinUs"))
+      ev.select(col("event_type"), col("value"),
+          explode(array(col("b"), col("b") - 1)).as("w"))
+        .groupBy((col("w") * 300).as("wstart_s"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("wstart_s"), col("event_type"))
+    }),
+
     // JSON extraction from the props column (F6 surface)
     "events_json_extract" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -131,6 +144,16 @@ object EventOps {
          |    AS sum_value
          |FROM sid GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    "events_sliding_window" ->
+      s"""SELECT w * 300 AS wstart_s, event_type, COUNT(*) AS n,
+         |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS STRING) AS DOUBLE)
+         |    AS sum_value
+         |FROM (SELECT event_type, value,
+         |    UNNEST([epoch_us(ts) // $FiveMinUs,
+         |            epoch_us(ts) // $FiveMinUs - 1]) AS w
+         |  FROM events)
+         |GROUP BY 1, 2 ORDER BY wstart_s, event_type""".stripMargin,
 
     "events_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

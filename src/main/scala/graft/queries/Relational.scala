@@ -267,6 +267,39 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- exact math/bit scalar functions (F6 surface; only operations
+    // that are integer/bit-exact cross-engine — no libm, no double round)
+    "scalar_math_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        abs(col("p_size") - 25).as("abs_off"),
+        signum(col("p_size") - 25).cast("int").as("sign_off"),
+        pmod(col("p_partkey"), lit(7)).as("mod7"),
+        ceil(col("p_retailprice")).as("price_ceil"),
+        floor(col("p_retailprice")).as("price_floor"),
+        col("p_partkey").bitwiseAND(lit(255)).as("key_and"),
+        col("p_partkey").bitwiseXOR(col("p_size")).as("key_xor"),
+        shiftleft(col("p_size"), 2).as("size_shl"),
+        bit_count(col("p_partkey")).as("key_bits"),
+        greatest(col("p_size"), lit(25)).as("size_hi"),
+        least(col("p_size"), lit(25)).as("size_lo"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- array/complex-type functions (F6 surface) ----------------------
+    "scalar_array_funcs" -> ((s, d) => {
+      val arr = array(col("p_size"), col("p_size") * 2, lit(1))
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        size(arr).as("n_elems"),
+        array_contains(arr, 50).as("has_50"),
+        array_max(arr).as("arr_max"),
+        array_min(arr).as("arr_min"),
+        element_at(sort_array(arr), 2).as("arr_mid"),
+        aggregate(arr, lit(0), (acc, x) => acc + x).as("arr_sum"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- projection + filter pushdown (S1/P1/P2) -------------------------
     "scan_filter_projection" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -559,6 +592,31 @@ object Relational {
         |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |  CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "scalar_math_funcs" ->
+      """SELECT p_partkey,
+        |  ABS(p_size - 25) AS abs_off,
+        |  CAST(SIGN(p_size - 25) AS INTEGER) AS sign_off,
+        |  p_partkey % 7 AS mod7,
+        |  CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        |  p_partkey & 255 AS key_and,
+        |  XOR(p_partkey, p_size) AS key_xor,
+        |  CAST(p_size << 2 AS INTEGER) AS size_shl,
+        |  CAST(bit_count(p_partkey) AS INTEGER) AS key_bits,
+        |  GREATEST(p_size, 25) AS size_hi,
+        |  LEAST(p_size, 25) AS size_lo
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "scalar_array_funcs" ->
+      """SELECT p_partkey,
+        |  CAST(len([p_size, p_size * 2, 1]) AS INTEGER) AS n_elems,
+        |  list_contains([p_size, p_size * 2, 1], 50) AS has_50,
+        |  list_max([p_size, p_size * 2, 1]) AS arr_max,
+        |  list_min([p_size, p_size * 2, 1]) AS arr_min,
+        |  list_sort([p_size, p_size * 2, 1])[2] AS arr_mid,
+        |  CAST(list_sum([p_size, p_size * 2, 1]) AS INTEGER) AS arr_sum
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "scan_filter_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
