@@ -61,6 +61,9 @@ object GraftFunctions {
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or the
   * `spark.sql.extensions` conf on a cluster). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // declarative HOF dot products -> codegen'd native expressions
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }

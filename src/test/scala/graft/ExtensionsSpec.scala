@@ -38,6 +38,29 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule rewrites HOF dot products to native expressions") {
+    import graft.functions.{DotProductRewrite, FloatVectorDot, LongVectorDot}
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val hofD = df.select(aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v).as("d"))
+    val rewD = DotProductRewrite(hofD.queryExecution.analyzed)
+    assert(rewD.expressions.exists(_.exists(_.isInstanceOf[FloatVectorDot])))
+
+    val dfl = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+    val hofL = dfl.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0L), (s, v) => s + v).as("d"))
+    val rewL = DotProductRewrite(hofL.queryExecution.analyzed)
+    assert(rewL.expressions.exists(_.exists(_.isInstanceOf[LongVectorDot])))
+
+    // not a dot product (subtract-merge): untouched
+    val neg = df.select(aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s - v).as("d"))
+    val rewN = DotProductRewrite(neg.queryExecution.analyzed)
+    assert(!rewN.expressions.exists(_.exists(_.isInstanceOf[FloatVectorDot])))
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = Tables.lineitem(spark, Sf0).withColumnRenamed("l_orderkey", "okey")
     val ord = Tables.orders(spark, Sf0).withColumnRenamed("o_orderkey", "okey")

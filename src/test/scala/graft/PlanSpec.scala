@@ -59,4 +59,34 @@ class PlanSpec extends SparkSpec {
     val p = plan("dedup_exact_keep")
     assert(p.contains("LeftSemi"))
   }
+
+  test("embedding near-dup prunes the scan to id + vector") {
+    // other suites may have cached the embeddings table (InMemoryTableScan
+    // has no parquet ReadSchema) — assert against the real scan
+    spark.catalog.clearCache()
+    val p = plan("dedup_embedding_cosine")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+    // per-pair work is the native integer dot, not interpreted HOFs
+    assert(p.toLowerCase.contains("longvectordot"))
+  }
+
+  test("IVF probes broadcast the codebook and the query side") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("jaccard postings build is map-only up to the self-join") {
+    val p = plan("dedup_ngram_jaccard")
+    // shuffles: self-join exchange + pair aggregation + final sort only —
+    // no explode+distinct exchange, no counts-join exchange
+    val shuffles = "Exchange".r.findAllIn(p).size
+    assert(shuffles <= 5, s"unexpected extra shuffles ($shuffles):\n$p")
+    assert(p.toLowerCase.contains("wordshinglehashes"))
+  }
+
+  test("salted skew join replicates the dim side, joins on (key, salt)") {
+    val p = plan("join_salted_skew")
+    assert(p.contains("explode"))
+    assert(p.contains("__graft_salt") || p.contains("okey"))
+  }
 }
