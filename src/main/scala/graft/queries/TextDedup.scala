@@ -70,6 +70,22 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // end-to-end training-data cleaning pipeline: quality gate ->
+    // language filter -> exact dedup (keep min id) -> cleaned corpus.
+    // The composition a pipeline user actually runs; every stage is one
+    // of the operators above, fused by Catalyst into 2 shuffles
+    // (dedup groupBy + semi join).
+    "pipeline_clean_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.qualityFeatures(docs, col("text"))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      val gated = scored.filter(col("n_tokens") >= 5 &&
+        col("alpha_ratio") > 0.5 && col("lang_pred") =!= "und")
+      Dedup.exactKeep(gated, "doc_id", "text")
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // generator/UDTF surface: explode tokens to word granularity, then
     // reaggregate (the wordcount shape; map-side partial agg pre-shuffle)
     "explode_wordcount" -> ((s, d) => {
@@ -113,7 +129,36 @@ object TextDedup {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  private def pipelineOracle: String = {
+    val sets = TextAnalysis.Stopwords.toSeq.sortBy(_._1)
+    val hits = sets.map { case (l, ws) =>
+      s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS hits_$l"
+    }.mkString(",\n    ")
+    val best = sets.map { case (l, _) => s"hits_$l" }
+      .mkString("GREATEST(", ", ", ")")
+    val chain = sets.map { case (l, _) =>
+      s"WHEN hits_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    len(string_split(text,' ')) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS alpha_ratio,
+       |    $hits
+       |  FROM documents),
+       |b AS (SELECT *, $best AS best FROM scored),
+       |lang AS (SELECT doc_id, text, n_tokens, alpha_ratio,
+       |    CASE $chain ELSE 'und' END AS lang_pred FROM b),
+       |gated AS (SELECT * FROM lang
+       |  WHERE n_tokens >= 5 AND alpha_ratio > 0.5 AND lang_pred != 'und'),
+       |keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+       |SELECT g.doc_id, g.lang_pred, g.n_tokens
+       |FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" -> pipelineOracle,
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_dups
