@@ -31,25 +31,33 @@ object GraftFunctions {
     new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "",
       "", "built-in")
 
+  private def arity(fn: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n arguments, got ${args.length}")
+      b(args)
+    }
+
   val all: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("vec_dot"),
       info(classOf[FloatVectorDot], "vec_dot",
         "vec_dot(a, b) - dot product of two float/double arrays"),
-      (args: Seq[Expression]) => FloatVectorDot(args(0), args(1))),
+      arity("vec_dot", 2)(args => FloatVectorDot(args(0), args(1)))),
     (FunctionIdentifier("vec_dot_long"),
       info(classOf[LongVectorDot], "vec_dot_long",
         "vec_dot_long(a, b) - exact integer dot product of two bigint arrays"),
-      (args: Seq[Expression]) => LongVectorDot(args(0), args(1))),
+      arity("vec_dot_long", 2)(args => LongVectorDot(args(0), args(1)))),
     (FunctionIdentifier("word_shingles"),
       info(classOf[WordShingles], "word_shingles",
         "word_shingles(text, n) - word n-gram shingles"),
-      (args: Seq[Expression]) =>
-        WordShingles(args(0), intLit(args(1), "word_shingles"))),
+      arity("word_shingles", 2)(args =>
+        WordShingles(args(0), intLit(args(1), "word_shingles")))),
     (FunctionIdentifier("word_shingle_hashes"),
       info(classOf[WordShingleHashes], "word_shingle_hashes",
         "word_shingle_hashes(text, n) - xxhash64 of each word n-gram"),
-      (args: Seq[Expression]) =>
-        WordShingleHashes(args(0), intLit(args(1), "word_shingle_hashes"))))
+      arity("word_shingle_hashes", 2)(args =>
+        WordShingleHashes(args(0), intLit(args(1), "word_shingle_hashes")))))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, fi, b) =>

@@ -75,7 +75,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     plan.transformAllExpressionsWithPruning(
       _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.HIGH_ORDER_FUNCTION)) {
       case ArrayAggregate(
-          zw @ ZipWith(a, b, prod: LambdaFunction),
+          ZipWith(a, b, prod: LambdaFunction),
           Literal(0.0, DoubleType), merge: LambdaFunction,
           finish: LambdaFunction)
           if isNumericArray(a) && isNumericArray(b) &&
@@ -83,7 +83,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             isPairSum(merge.function, merge.arguments) && isIdentity(finish) =>
         FloatVectorDot(a, b)
       case ArrayAggregate(
-          zw @ ZipWith(a, b, prod: LambdaFunction),
+          ZipWith(a, b, prod: LambdaFunction),
           Literal(0L, LongType), merge: LambdaFunction,
           finish: LambdaFunction)
           if isLongArray(a) && isLongArray(b) &&

@@ -150,9 +150,10 @@ object Dedup {
     * (split("") = [""], so every doc has >= 1 token hash.) */
   def simhashes(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),
-      graft.functions.SketchFunctions.simhash64(
-        graft.functions.ShingleFunctions.word_shingle_hashes(text, 1))
-        .as("sh"))
+        graft.functions.SketchFunctions.simhash64(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, 1))
+          .as("sh"))
+      .filter(col("sh").isNotNull) // null text -> no fingerprint (ref parity)
 
   /** Declarative reference for [[simhashes]] (explode -> groupBy with 64
     * sign-vote sums), kept for spec parity. */

@@ -137,10 +137,13 @@ object Similarity {
     * (recall < 1 by design); spec'd against [[nearDupPairs]]. */
   def nearDupPairsLsh(df: DataFrame, tau: Double, dim: Int,
       bits: Int = 8, tables: Int = 4): DataFrame = {
+    // qv + norm computed once per VECTOR, before the per-table explode
     val prep = df.select(col("vec_id"), quantize(col("embedding")).as("qv"),
+        col("embedding"))
+      .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
+      .select(col("vec_id"), col("qv"), col("nrm"),
         posexplode(srpBuckets(col("embedding"), dim, bits, tables)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
-      .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
     val a = prep.select(col("vec_id").as("id_a"), col("qv").as("v_a"),
       col("nrm").as("n_a"), col("tbl"), col("bkt"))
     val b = prep.select(col("vec_id").as("id_b"), col("qv").as("v_b"),
@@ -212,11 +215,12 @@ object Similarity {
       bits: Int = 8, tables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String,
         bAs: String) =
-      df.select(col("vec_id").as(idAs), col("embedding").as(vAs),
-          posexplode(srpBuckets(col("embedding"), dim, bits, tables)))
+      df.select(col("vec_id").as(idAs), col("embedding").as(vAs))
+        .withColumn(nAs, sqrt(dotDouble(col(vAs), col(vAs)))) // pre-explode
+        .select(col(idAs), col(vAs), col(nAs),
+          posexplode(srpBuckets(col(vAs), dim, bits, tables)))
         .withColumnRenamed("pos", s"${bAs}_tbl")
         .withColumnRenamed("col", s"${bAs}_bkt")
-        .withColumn(nAs, sqrt(dotDouble(col(vAs), col(vAs))))
     val q = bucketed(queries, "query_id", "q_v", "q_n", "q")
     val c = bucketed(corpus, "neighbor_id", "c_v", "c_n", "c")
     val cand = c.join(broadcast(q),

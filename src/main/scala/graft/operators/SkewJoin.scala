@@ -22,9 +22,17 @@ object SkewJoin {
   /** Equi-join `fact` with `dim` on `key`, spreading each fact key over
     * `salt` partitions. `dim` is replicated `salt`x — size the factor so
     * salt * |dim| stays shuffle-friendly (or broadcast-eligible). */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
+    // right/full-outer would null-extend the salt-1 dim replicas that have
+    // no matching fact sub-key — not row-identical to the unsalted join
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports fact-preserving join types only, got $joinType")
     // any per-row spreader works; a hash of the whole row avoids both the
     // nondeterminism of rand() and the partition-ordering dependence of
     // monotonically_increasing_id()

@@ -111,25 +111,10 @@ object TextDedup {
       |         string_split(text,' ')[i+1] || ' ' ||
       |         string_split(text,' ')[i+2])""".stripMargin
 
-  private def langCase: String = {
-    val sets = TextAnalysis.Stopwords.toSeq.sortBy(_._1)
-    val hits = sets.map { case (l, ws) =>
-      s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS hits_$l"
-    }.mkString(",\n    ")
-    val best = sets.map { case (l, _) => s"hits_$l" }.mkString("GREATEST(", ", ", ")")
-    val chain = sets.map { case (l, _) =>
-      s"WHEN hits_$l = best AND best > 0 THEN '$l'"
-    }.mkString(" ")
-    s"""WITH scored AS (SELECT doc_id, lang AS lang_label,
-       |    $hits
-       |  FROM documents),
-       |b AS (SELECT *, $best AS best FROM scored)
-       |SELECT doc_id, lang_label,
-       |  CASE $chain ELSE 'und' END AS lang_pred
-       |FROM b ORDER BY doc_id""".stripMargin
-  }
-
-  private def pipelineOracle: String = {
+  // shared DuckDB scaffolding for the language-ID heuristic — one source
+  // of truth for every oracle that scores languages (hits columns,
+  // GREATEST(best), argmax CASE chain)
+  private lazy val (langHits, langBest, langChain) = {
     val sets = TextAnalysis.Stopwords.toSeq.sortBy(_._1)
     val hits = sets.map { case (l, ws) =>
       s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS hits_$l"
@@ -139,6 +124,21 @@ object TextDedup {
     val chain = sets.map { case (l, _) =>
       s"WHEN hits_$l = best AND best > 0 THEN '$l'"
     }.mkString(" ")
+    (hits, best, s"CASE $chain ELSE 'und' END")
+  }
+
+  private def langCase: String =
+    s"""WITH scored AS (SELECT doc_id, lang AS lang_label,
+       |    $langHits
+       |  FROM documents),
+       |b AS (SELECT *, $langBest AS best FROM scored)
+       |SELECT doc_id, lang_label,
+       |  $langChain AS lang_pred
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  private def pipelineOracle: String = {
+    val hits = langHits
+    val best = langBest
     s"""WITH scored AS (
        |  SELECT doc_id, text,
        |    len(string_split(text,' ')) AS n_tokens,
@@ -148,7 +148,7 @@ object TextDedup {
        |  FROM documents),
        |b AS (SELECT *, $best AS best FROM scored),
        |lang AS (SELECT doc_id, text, n_tokens, alpha_ratio,
-       |    CASE $chain ELSE 'und' END AS lang_pred FROM b),
+       |    $langChain AS lang_pred FROM b),
        |gated AS (SELECT * FROM lang
        |  WHERE n_tokens >= 5 AND alpha_ratio > 0.5 AND lang_pred != 'und'),
        |keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text))

@@ -65,6 +65,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("native sketch projections equal the explode/groupBy references") {
+    // includes a null-text row: both forms must drop it identically
+    val docs = this.docs.select($"doc_id", $"text")
+      .unionByName(Seq((999999L, null: String)).toDF("doc_id", "text"))
     val sigNew = Dedup.minhashSignatures(docs, col("doc_id"), col("text"),
       k = 3, perms = 32)
     val sigRef = Dedup.minhashSignaturesAgg(docs, col("doc_id"), col("text"),

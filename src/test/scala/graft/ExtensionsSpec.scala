@@ -71,6 +71,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted join rejects join types it cannot preserve") {
+    val fact = Seq((1, "a")).toDF("k", "v")
+    val dim = Seq((1, "x")).toDF("k", "w")
+    // right/full-outer would emit null-extended rows for unmatched replicas
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(fact, dim, "k", salt = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(fact, dim, "k", salt = 4, joinType = "full_outer")
+    }
+  }
+
+  test("SQL functions reject wrong arity with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("2 arguments") ||
+      Option(e.getCause).exists(_.getMessage.contains("2 arguments")))
+  }
+
   test("salted left join keeps unmatched fact rows exactly once") {
     val fact = Seq((1, "a"), (2, "b"), (99, "nomatch")).toDF("k", "v")
     val dim = Seq((1, "x"), (2, "y")).toDF("k", "w")
