@@ -59,6 +59,24 @@ class ShingleExprSpec extends SparkSpec {
     assert(df.select(word_shingles(col("text"), 3)).head.isNullAt(0))
   }
 
+  test("property: native equals HOF on random space/unicode strings") {
+    import org.scalacheck.Gen
+    val alphabet = Gen.oneOf(' ', ' ', 'a', 'b', 'é', 'あ', '0', '|')
+    val texts = Gen.chooseNum(0, 40)
+      .flatMap(n => Gen.listOfN(n, alphabet).map(_.mkString))
+    val sample = (0 until 400).flatMap(_ => texts.sample)
+    val df = sample.toDF("text")
+    (1 to 4).foreach { n =>
+      val ref = TextAnalysis.shinglesOf(split(col("text"), " "), n)
+      val bad = df.select(
+        when(word_shingles(col("text"), n) === ref, 0).otherwise(1).as("x"),
+        when(word_shingle_hashes(col("text"), n) ===
+          transform(ref, s => xxhash64(s)), 0).otherwise(1).as("y"))
+        .agg(sum($"x" + $"y")).head.getLong(0)
+      assert(bad == 0, s"mismatch at n=$n")
+    }
+  }
+
   test("n=1 degenerates to tokens") {
     val bad = docs.select(col("text"))
       .select(when(word_shingles(col("text"), 1) === split(col("text"), " "), 0)
