@@ -52,6 +52,11 @@ object TextDedup {
       docs.select(col("doc_id"), size(ws).as("n_tokens"),
           size(array_distinct(ws)).as("n_distinct"),
           regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_runs"),
+          // BPE-ish subword unit count: alpha runs + digit runs + each
+          // non-alphanumeric symbol (the classic pre-tokenizer split; a
+          // cheap, cross-engine-exact token-cost estimator for LLM data)
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+            .as("n_subword_units"),
           length(col("text")).as("len"))
         .orderBy(col("doc_id"))
     }),
@@ -195,6 +200,8 @@ object TextDedup {
       """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
         |  len(list_distinct(string_split(text,' '))) AS n_distinct,
         |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS n_subword_units,
         |  length(text) AS len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
