@@ -73,5 +73,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach(ext.injectFunction)
     // declarative HOF dot products -> codegen'd native expressions
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // custom as-of join physical operator (graft.plans)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -21,8 +21,44 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** `rightCols` are carried onto the left rows as `asof_<name>`
-    * (null when no right row precedes). */
+  /** Native as-of join through the custom operator stack
+    * (graft.plans.AsOfJoinNode -> AsOfJoinStrategy -> AsOfJoinExec):
+    * one hash-cluster + sort per side, then a forward-merge pass with
+    * O(1) state — no union, no window buffer. Same output contract as
+    * [[asofBackward]] (spec-asserted equal): left columns + `asof_<name>`
+    * for each of `rightCols`, null when no right row precedes. */
+  def asofBackwardNative(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightCols: Seq[String]): DataFrame = {
+    import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+    import org.apache.spark.sql.graft.PlanBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = PlanBridge.analyzed(left)
+    // self-join safety: both sides may derive from the same DataFrame and
+    // then share exprIds (the analyzer's DeduplicateRelations only handles
+    // built-in Join nodes) — re-alias the right side to fresh ids
+    val rp0 = PlanBridge.analyzed(right)
+    val aliases = rp0.output.map(a =>
+      org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)())
+    val rp = org.apache.spark.sql.catalyst.plans.logical.Project(aliases, rp0)
+    def lattr(n: String) = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in [${lp.output.map(_.name).mkString(",")}]"))
+    def rattr(n: String) = aliases.find(_.name == n).map(_.toAttribute)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in [${aliases.map(_.name).mkString(",")}]"))
+    PlanBridge.ofRows(spark, AsOfJoinNode.create(lp, rp,
+      keys.map(lattr), keys.map(rattr),
+      lattr(leftTs), rattr(rightTs), rightCols.map(rattr)))
+  }
+
+  /** Composed reference implementation (tagged union + window), kept as
+    * the spec ground truth for [[asofBackwardNative]]. `rightCols` are
+    * carried onto the left rows as `asof_<name>` (null when no right row
+    * precedes). */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
     val leftTagged = left

@@ -83,8 +83,10 @@ object EventOps {
     }),
 
     // as-of join: each purchase attached to the user's most recent
-    // preceding click (operators.AsOfJoin — tagged-union + window, no
-    // Spark built-in; DuckDB checks it with its native ASOF JOIN)
+    // preceding click — the custom physical operator (graft.plans:
+    // AsOfJoinNode/Strategy/Exec, clustered sort-merge with O(1) state;
+    // no Spark built-in). DuckDB checks it with its native ASOF JOIN;
+    // AsOfPlanSpec asserts parity with the composed union+window form.
     "join_asof_events" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -92,7 +94,7 @@ object EventOps {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts_us"),
           col("event_id").as("click_id"), col("value"))
-      graft.operators.AsOfJoin.asofBackward(purchases, clicks,
+      graft.operators.AsOfJoin.asofBackwardNative(purchases, clicks,
           Seq("user_id"), "ts_us", "ts_us", Seq("click_id", "value"))
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("asof_click_id"),

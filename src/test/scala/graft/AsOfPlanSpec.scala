@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Native as-of join operator (custom LogicalPlan/Strategy/SparkPlan) vs
+  * the composed union+window reference — identical rows on the events
+  * fixture and on adversarial edges (no preceding right row, exact-ts
+  * ties, multi-row runs, null keys). */
+class AsOfPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Tables.events(spark, Sf0)
+    .withColumn("ts_us", expr("ts div 1000"))
+
+  test("native as-of equals the union+window reference on the fixture") {
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"event_id".as("click_id"), $"value")
+    val native = AsOfJoin.asofBackwardNative(purchases, clicks,
+      Seq("user_id"), "ts_us", "ts_us", Seq("click_id", "value"))
+    val ref = AsOfJoin.asofBackward(purchases, clicks,
+      Seq("user_id"), "ts_us", "ts_us", Seq("click_id", "value"))
+    val n = native.select(ref.columns.map(col).toSeq: _*)
+    assert(n.count() == ref.count() && n.count() > 0)
+    assert(n.exceptAll(ref).isEmpty && ref.exceptAll(n).isEmpty)
+  }
+
+  test("native as-of plans through AsOfJoinExec with clustered sort") {
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"event_id".as("click_id"))
+    val p = AsOfJoin.asofBackwardNative(purchases, clicks,
+      Seq("user_id"), "ts_us", "ts_us", Seq("click_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p) // SparkPlan nodeName strips "Exec"
+    assert(p.contains("Sort"), p)
+  }
+
+  test("edges: no preceding row, ties match, runs take the latest") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"),
+        (3L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 100L), (1L, 15L, 101L), (1L, 16L, 102L),
+        (2L, 9L, 103L))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.asofBackwardNative(l, r, Seq("k"), "t", "t",
+        Seq("rid"))
+      .select($"k", $"t", $"asof_rid").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 10L, Some(100L)), // tie: right.ts == left.ts matches
+      (1L, 20L, Some(102L)), // run of rights: latest preceding wins
+      (2L, 5L, None),        // right exists for key but only later
+      (3L, 7L, None)))       // no right rows for key at all
+  }
+
+  test("multi-column keys and null keys group like the window form") {
+    val l = Seq((Some(1L), "x", 10L), (None: Option[Long], "x", 10L))
+      .toDF("k1", "k2", "t")
+    val r = Seq((Some(1L), "x", 5L, 7L), (None: Option[Long], "x", 6L, 8L))
+      .toDF("k1", "k2", "t", "rid")
+    val native = AsOfJoin.asofBackwardNative(l, r, Seq("k1", "k2"),
+      "t", "t", Seq("rid"))
+    val ref = AsOfJoin.asofBackward(l, r, Seq("k1", "k2"),
+      "t", "t", Seq("rid"))
+    val n = native.select(ref.columns.map(col).toSeq: _*)
+    assert(n.exceptAll(ref).isEmpty && ref.exceptAll(n).isEmpty)
+    // null key carries the null-key right row (window-partition semantics)
+    assert(native.filter($"k1".isNull).select($"asof_rid")
+      .as[Option[Long]].head().contains(8L))
+  }
+}
