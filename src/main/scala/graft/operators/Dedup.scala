@@ -75,6 +75,48 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair graph — the final
+    * dedup step (pairs -> clusters -> one canonical survivor per
+    * cluster). Component id = min node id reachable.
+    *
+    * Distributed min-label propagation: every iteration is one
+    * edges-x-labels join + min-aggregate (all shuffle-on-key, no driver
+    * data paths; the only driver-side value is the convergence count).
+    * Lineage is cut per iteration with localCheckpoint — an iterative
+    * algorithm otherwise compounds its plan. Converges in <= graph
+    * diameter iterations; near-dup graphs are overwhelmingly tiny stars
+    * and chains, so the practical bound is a handful (use the large-star/
+    * small-star variant if a corpus ever produces long chains).
+    *
+    * `nodes` may carry isolated ids (docs with no near-dup): they keep
+    * their own id as component. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      nodeCol: String, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().cache()
+    var labels = nodes.select(col(nodeCol).as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("v") === labels("node"))
+        .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "prev"),
+        "node").filter(col("component") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** MinHash signature: `perms` permutations h_i(x) = (a_i*x + b_i) mod p
     * over 64-bit shingle hashes (xxhash64). Returns array<bigint>. */
   // 31-bit Mersenne prime: h < 2^31 keeps a*h + b far from long overflow

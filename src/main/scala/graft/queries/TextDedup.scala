@@ -34,6 +34,19 @@ object TextDedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // near-dup clustering: connected components over the exact-Jaccard
+    // pair graph — every doc mapped to its cluster's canonical (min) id.
+    // DuckDB checks it with a recursive-CTE transitive closure.
+    "dedup_near_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        k = 3, tau = 0.5)
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
+          "doc_id", "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_minhash_lsh" -> ((s, d) => {
       Dedup.minhashCandidates(Tables.documents(s, d), col("doc_id"),
           col("text"), k = 3, perms = 32, bands = 8)
@@ -190,6 +203,30 @@ object TextDedup {
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_near_clusters" ->
+      s"""WITH RECURSIVE
+         |sh AS (
+         |  SELECT DISTINCT doc_id, UNNEST($duckShingles) AS shingle
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |good AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+         |  UNION SELECT doc_b, doc_a FROM good),
+         |reach(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node)
+         |SELECT node AS doc_id, MIN(label) AS component
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "explode_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (

@@ -91,6 +91,18 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected map-only plan:\n$plan")
   }
 
+  test("connected components: chains, stars, singletons") {
+    // graph: chain 1-2-3-4, star 10-{11,12}, singleton 99
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L))
+      .toDF("a", "b")
+    val comp = Dedup.connectedComponents(nodes, pairs, "id", "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp(99L) == 99L)
+  }
+
   test("rolling hash: shift-invariant window equality") {
     val h1 = TextAnalysis.rollingHash("abcdefgh", 4)
     val h2 = TextAnalysis.rollingHash("XYabcdefgh", 4)
