@@ -89,6 +89,42 @@ object TextAnalysis {
       .withColumn("min_shingle_md5",
         array_min(transform(shingles(text, k), s => md5(s))))
 
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003) over
+    * the [[rollingHash]] stream: the minimum hash of every window of `w`
+    * consecutive k-gram hashes, rightmost-min tie-break, consecutive
+    * duplicates collapsed. Guarantees any shared substring of length
+    * >= w + k - 1 contributes at least one shared fingerprint — the
+    * plagiarism/near-dup detection primitive. */
+  def winnow(hashes: Array[Long], w: Int): Array[Long] = {
+    if (hashes.isEmpty || w <= 0) return Array.empty
+    if (hashes.length <= w) return Array(hashes.min)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i + w <= hashes.length) {
+      var m = hashes(i)
+      var j = i + 1
+      while (j < i + w) { if (hashes(j) <= m) m = hashes(j); j += 1 }
+      if (out.isEmpty || out.last != m) out += m
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Per-document winnowing fingerprints as a map-only Dataset transform
+    * (doc_id, fingerprints): char-k-gram rolling hashes -> winnow. Hashes
+    * are engine-specific, so queries over this get rows-only checks plus
+    * the shared-substring guarantee spec'd in DedupSpec. */
+  def winnowFingerprints(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, winnow(rollingHash(if (t == null) "" else t, k), w))
+      }
+      .toDF(idCol, "fingerprints")
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style, base 257 mod 2^61-1) over
     * the UTF-8 bytes — the classic fingerprint primitive. Exposed as a
     * deterministic Scala function for winnowing-style pipelines; not

@@ -114,6 +114,16 @@ object TextDedup {
         .orderBy(col("word"))
     }),
 
+    // winnowing fingerprints (rolling-hash selection) — engine-specific
+    // hash values, rows-only check; shared-substring guarantee in DedupSpec
+    "text_winnow" -> ((s, d) => {
+      TextAnalysis.winnowFingerprints(s, Tables.documents(s, d),
+          "doc_id", "text")
+        .select(col("doc_id"), size(col("fingerprints")).as("n_fps"),
+          array_min(col("fingerprints")).as("min_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), k = 3)
         .select(col("doc_id"), col("content_hash"), col("min_shingle_md5"))

@@ -103,6 +103,23 @@ class DedupSpec extends SparkSpec {
     assert(comp(99L) == 99L)
   }
 
+  test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
+    val k = 8; val w = 4
+    val core = "the quick brown fox jumps over the lazy dog"
+    val a = "AAAA " + core + " BBBB"
+    val b = "XXXXXXX " + core + " YY"
+    val fa = TextAnalysis.winnow(TextAnalysis.rollingHash(a, k), w).toSet
+    val fb = TextAnalysis.winnow(TextAnalysis.rollingHash(b, k), w).toSet
+    assert((fa intersect fb).nonEmpty) // core >> w+k-1 chars
+    // unrelated text shares nothing
+    val fc = TextAnalysis.winnow(
+      TextAnalysis.rollingHash("completely different content 123", k), w).toSet
+    assert((fa intersect fc).isEmpty)
+    // degenerate inputs
+    assert(TextAnalysis.winnow(Array.empty, w).isEmpty)
+    assert(TextAnalysis.winnow(Array(5L, 3L), w).sameElements(Array(3L)))
+  }
+
   test("rolling hash: shift-invariant window equality") {
     val h1 = TextAnalysis.rollingHash("abcdefgh", 4)
     val h2 = TextAnalysis.rollingHash("XYabcdefgh", 4)
