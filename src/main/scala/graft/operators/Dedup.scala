@@ -103,14 +103,16 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
+      // the changed flag rides along, so convergence needs no second join
       val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component"))
+            .as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "prev"),
-        "node").filter(col("component") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       i += 1
     }
     edges.unpersist()
