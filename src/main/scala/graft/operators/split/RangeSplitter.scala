@@ -125,4 +125,32 @@ object RangeSplitter {
       .map(p => df.filter(p))
       .reduce(_ unionAll _)
   }
+
+  /** Split scan over a TIMESTAMP key at the given accuracy unit (X2 time
+    * domain, default day — reference split.go:312-327). The domain is
+    * quantized by floor division, so the final closed bound uses the TRUE
+    * max timestamp: `floor(max)*unit` would silently drop rows with
+    * intra-unit components. */
+  def splitScanTime(df: DataFrame, keyCol: String, n: Int,
+      unitMicros: Long = 86400000000L): DataFrame = {
+    // keys may be TIMESTAMP or TIMESTAMP_NTZ depending on the parquet
+    // writer; compare in the column's own type (UTC session makes the
+    // tz<->ntz casts identity)
+    val keyType = df.schema(keyCol).dataType
+    val asMicros = (c: Column) => unix_micros(c.cast("timestamp"))
+    val asKey = (b: BigInt) =>
+      timestamp_micros(lit(b.toLong)).cast(keyType)
+    val Array(mn, mx) = df
+      .agg(min(asMicros(col(keyCol))), max(asMicros(col(keyCol))))
+      .collect()(0).toSeq.toArray
+    if (mn == null) return df
+    val dom = TimeDomain(unitMicros)
+    val slices = split(dom.toBig(mn), dom.toBig(mx), n)
+    slices.map { s =>
+      val upper =
+        if (s.closed) col(keyCol) <= asKey(BigInt(mx.toString))
+        else col(keyCol) < asKey(s.hi * unitMicros)
+      df.filter(col(keyCol) >= asKey(s.lo * unitMicros) && upper)
+    }.reduce(_ unionAll _)
+  }
 }

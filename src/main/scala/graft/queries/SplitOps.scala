@@ -23,6 +23,16 @@ object SplitOps {
         .orderBy(col("l_orderkey"))
     }),
 
+    // X2 time domain: day-accuracy split of orders on o_orderdate into 6
+    // range scans, unioned back — must equal the plain scan exactly
+    "split_scan_time" -> ((s, d) => {
+      RangeSplitter.splitScanTime(Tables.orders(s, d), "o_orderdate", 6)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("yr"))
+    }),
+
     // A1/A2: the bounds probe itself (fetchMin/fetchMax)
     "split_min_max_probe" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -37,6 +47,11 @@ object SplitOps {
       """SELECT l_orderkey, COUNT(*) AS n_rows,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "split_scan_time" ->
+      """SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "split_min_max_probe" ->
       """SELECT MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,

@@ -74,6 +74,17 @@ class RangeSplitterSpec extends SparkSpec {
     assert(sql == Seq("k >= 1 and k < 51", "k >= 51 and k <= 100"))
   }
 
+  test("time split scan keeps intra-unit rows (closed bound = true max)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // max has intra-day time: floor(max)*day would drop it
+    val df = Seq("2024-01-01 00:00:00", "2024-01-03 15:30:00",
+        "2024-01-07 23:59:59").toDF("s")
+      .select(to_timestamp($"s").as("t"))
+    assert(RangeSplitter.splitScanTime(df, "t", 3).count() == 3)
+    assert(RangeSplitter.splitScanTime(df, "t", 1).count() == 3)
+  }
+
   test("splitScan over lineitem equals the plain scan") {
     val li = Tables.lineitem(spark, Sf0)
     val got = RangeSplitter.splitScan(li, "l_orderkey", 8).count()
