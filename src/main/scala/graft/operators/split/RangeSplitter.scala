@@ -126,6 +126,27 @@ object RangeSplitter {
       .reduce(_ unionAll _)
   }
 
+  /** Split scan over an ASCII STRING key (X2 string domain): bounds via
+    * min/max, base-128 positional codec to BigInt, equal-width slices,
+    * string-literal range predicates. Slice boundaries are only a true
+    * partition when base-128 order agrees with lexicographic order —
+    * i.e. equal-length keys, the reference codec's effective constraint
+    * (split.go:263-287; RangeSplitterSpec property). Mixed-length key
+    * domains should split on a length-normalized surrogate instead. */
+  def splitScanString(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    val Array(mn, mx) = df.agg(min(col(keyCol)), max(col(keyCol)))
+      .collect()(0).toSeq.toArray
+    if (mn == null) return df
+    val slices =
+      split(string2BigInt(mn.toString), string2BigInt(mx.toString), n)
+    slices.map { s =>
+      val upper =
+        if (s.closed) col(keyCol) <= lit(mx.toString)
+        else col(keyCol) < lit(bigInt2String(s.hi))
+      df.filter(col(keyCol) >= lit(bigInt2String(s.lo)) && upper)
+    }.reduce(_ unionAll _)
+  }
+
   /** Split scan over a TIMESTAMP key at the given accuracy unit (X2 time
     * domain, default day — reference split.go:312-327). The domain is
     * quantized by floor division, so the final closed bound uses the TRUE

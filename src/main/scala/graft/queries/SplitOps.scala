@@ -33,6 +33,14 @@ object SplitOps {
         .orderBy(col("yr"))
     }),
 
+    // X2 string domain: base-128 split of customer on c_name (fixed-width
+    // ASCII keys) into 5 range scans, unioned back
+    "split_scan_string" -> ((s, d) => {
+      RangeSplitter.splitScanString(Tables.customer(s, d), "c_name", 5)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // A1/A2: the bounds probe itself (fetchMin/fetchMax)
     "split_min_max_probe" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -52,6 +60,10 @@ object SplitOps {
       """SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "split_scan_string" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |ORDER BY c_custkey""".stripMargin,
 
     "split_min_max_probe" ->
       """SELECT MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
