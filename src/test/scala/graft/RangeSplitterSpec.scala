@@ -85,6 +85,14 @@ class RangeSplitterSpec extends SparkSpec {
     assert(RangeSplitter.splitScanTime(df, "t", 1).count() == 3)
   }
 
+  test("string split scan partitions fixed-width keys exactly") {
+    val cust = Tables.customer(spark, Sf0)
+    val out = RangeSplitter.splitScanString(cust, "c_name", 5)
+    assert(out.count() == cust.count())
+    // a partition, not just a cover: no row matched twice
+    assert(out.select("c_custkey").distinct().count() == cust.count())
+  }
+
   test("splitScan over lineitem equals the plain scan") {
     val li = Tables.lineitem(spark, Sf0)
     val got = RangeSplitter.splitScan(li, "l_orderkey", 8).count()
