@@ -10,14 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[graft.sources.SchemaNormalize]] when needed.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
-    // raw long; queries treat events.ts as epoch-nanos (exact integer
-    // arithmetic, which also sidesteps ns->us truncation ambiguity).
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Session conf every graft session must carry: events.parquet holds
+    * TIMESTAMP(NANOS), which Spark only reads as a raw epoch-nanos long
+    * under this flag (queries then do exact integer arithmetic on nanos).
+    * Set at session BUILD (Verify/Bench/SparkSpec apply it) — loaders are
+    * side-effect-free. */
+  val RequiredConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

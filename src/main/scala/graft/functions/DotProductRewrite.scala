@@ -61,13 +61,18 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  // containsNull must be false: with null slots the HOF form returns null
+  // while the native dot would read them as 0 — a silent value change.
+  // (Unequal lengths remain the caller's contract, as documented above;
+  // null-free arrays from graft's own encoders satisfy this, parquet
+  // arrays with containsNull=true fall back to the HOF form.)
   private def isNumericArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => true
+    case ArrayType(FloatType | DoubleType, false) => true
     case _ => false
   }
 
   private def isLongArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(LongType, _) => true
+    case ArrayType(LongType, false) => true
     case _ => false
   }
 

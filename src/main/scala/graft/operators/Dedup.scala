@@ -96,27 +96,32 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().cache()
-    var labels = nodes.select(col(nodeCol).as("node")).distinct()
-      .withColumn("component", col("node")).localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val nbrMin = edges.join(labels, edges("v") === labels("node"))
-        .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
-      // the changed flag rides along, so convergence needs no second join
-      val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
-          (coalesce(col("nbr_min"), col("component")) < col("component"))
-            .as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.drop("changed")
-      i += 1
-    }
-    edges.unpersist()
-    labels
+    try {
+      var labels = nodes.select(col(nodeCol).as("node")).distinct()
+        .withColumn("component", col("node")).localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val nbrMin = edges.join(labels, edges("v") === labels("node"))
+          .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
+        // the changed count rides the checkpoint job as an observed
+        // metric: ONE action per iteration, no second convergence job
+        val obs = new org.apache.spark.sql.Observation(s"cc_changed_$i")
+        val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component"),
+            (coalesce(col("nbr_min"), col("component")) < col("component"))
+              .as("changed"))
+          .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
+          .localCheckpoint()
+        // sum over an empty frame is null -> converged
+        converged = obs.get.get("n_changed").forall(v => v == null || v == 0L)
+        labels = next.drop("changed")
+        i += 1
+      }
+      labels
+    } finally edges.unpersist()
   }
 
   /** MinHash signature: `perms` permutations h_i(x) = (a_i*x + b_i) mod p
@@ -218,16 +223,26 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs with Hamming distance <= maxDist,
-    * blocked on 16-bit bands (pigeonhole: dist <= 3 pairs must share one of
-    * 4 bands) then verified exactly with bit_count. */
+    * blocked on maxDist+1 bit-bands — pigeonhole: a pair within maxDist
+    * Hamming distance differs in at most maxDist bands, so at least one of
+    * the maxDist+1 bands matches exactly and full recall is guaranteed for
+    * ANY maxDist in [0, 63] — then verified exactly with bit_count. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"simhash maxDist must be in [0, 63], got $maxDist")
+    val nBands = maxDist + 1
     val sh = simhashes(df, id, text)
+    // bands partition the 64 bits as evenly as integer division allows
+    val bandKeys = (0 until nBands).map { i =>
+      val start = i * 64 / nBands
+      val width = (i + 1) * 64 / nBands - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask)).as("key"))
+    }
     val banded = sh.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("band"),
-          shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))
-            .as("key"))): _*)).as("bk"))
+      explode(array(bandKeys: _*)).as("bk"))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

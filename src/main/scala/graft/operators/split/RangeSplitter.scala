@@ -85,7 +85,14 @@ object RangeSplitter {
   /** Timestamp keys normalized by accuracy unit (reference
     * split.go:312-327: day/min/s/ms/us/ns), here over epoch micros. */
   final case class TimeDomain(unitMicros: Long) extends KeyDomain {
-    def toBig(v: Any): BigInt = BigInt(v.toString) / unitMicros
+    // FLOOR division: BigInt `/` truncates toward zero, which for
+    // pre-epoch (negative-micros) keys would quantize the min upward and
+    // let the first slice exclude the true minimum rows.
+    def toBig(v: Any): BigInt = {
+      val micros = BigInt(v.toString)
+      val q = micros / unitMicros
+      if (micros.signum < 0 && q * unitMicros != micros) q - 1 else q
+    }
     def fromBig(b: BigInt): Any = b.toLong * unitMicros
     def literal(b: BigInt): Column =
       timestamp_micros(lit(b.toLong * unitMicros))

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * graft.streaming — SURVEY.md §2.10).
   *
   * `events.ts` is TIMESTAMP(NANOS) parquet which Spark reads as a raw
-  * epoch-nanos long (Tables.table sets nanosAsLong); all bucketing is exact
+  * epoch-nanos long (Tables.RequiredConf carries the nanosAsLong flag,
+  * applied at session build); all bucketing is exact
   * integer arithmetic on nanos, matching DuckDB's epoch_ns() — this also
   * keeps window boundaries deterministic (no ns->us truncation drift).
   */
@@ -134,9 +135,10 @@ object EventOps {
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |sid AS (
-         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+         |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
          |    ORDER BY ts, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS session_id
          |  FROM g)
          |SELECT user_id, session_id,
          |  MIN(epoch_us(ts)) AS session_start_us,
@@ -159,7 +161,8 @@ object EventOps {
 
     "events_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -341,12 +341,15 @@ object Relational {
     // ---- scalar-avg antijoin shape (TPC-H Q17): lineitems below 20% of
     // their part's average quantity. Division-free predicate
     // (qty * 5 * n < sum) keeps decimal arithmetic exact in both engines.
+    // The per-part aggregate rides a window over l_partkey — ONE lineitem
+    // scan and one shuffle, instead of a groupBy + self-join (two scans
+    // plus a shuffle join whose build side is only |part| rows).
     "subq_scalar_avg" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
-      val avgq = li.groupBy(col("l_partkey").as("ap_partkey"))
-        .agg(sum(money(col("l_quantity"))).as("sum_q"), count(lit(1)).as("n_q"))
-      li.join(avgq, col("l_partkey") === col("ap_partkey"))
+      val byPart = Window.partitionBy(col("l_partkey"))
+      li.withColumn("sum_q", sum(money(col("l_quantity"))).over(byPart))
+        .withColumn("n_q", count(lit(1)).over(byPart))
         .filter(money(col("l_quantity")) * 5 * col("n_q") < col("sum_q"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))

@@ -18,9 +18,10 @@ object ParquetUpsert {
 
   def upsert(updates: DataFrame, path: String, keys: Seq[String]): Unit = {
     val spark = updates.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
+    // resolve the FS from the path itself, not the default scheme — a
+    // fully-qualified s3a://... target must not hit the cluster-default FS
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (fs.exists(target)) {
         val existing = spark.read.parquet(path)
@@ -29,10 +30,19 @@ object ParquetUpsert {
           .unionByName(updates)
       } else updates
     val tmp = new org.apache.hadoop.fs.Path(path + ".upsert-tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".upsert-old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(target, true)
-    if (!fs.rename(tmp, target))
+    // swap via rename-aside: the previous data survives any crash window
+    // and is restored if the final rename fails
+    fs.delete(old, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, old))
+      throw new java.io.IOException(s"upsert stash failed: $target -> $old")
+    if (!fs.rename(tmp, target)) {
+      if (hadTarget) fs.rename(old, target)
       throw new java.io.IOException(s"upsert rename failed: $tmp -> $target")
+    }
+    if (hadTarget) fs.delete(old, true)
   }
 
   /** Pre/Post SQL hooks around a write action (S10,

@@ -56,8 +56,11 @@ object ResilientBatchWriter {
     StructField("error", StringType, nullable = true)))
 
   /** Runs the write as a Spark job; returns the DLQ as a DataFrame of
-    * (row_json, error). The returned frame is already materialized
-    * (the write happened) but kept distributed. */
+    * (row_json, error). The side-effecting sink writes run exactly once
+    * inside this call: the DLQ RDD is persisted and materialized (count)
+    * before returning, so callers can run any number of actions on the
+    * returned frame without re-executing the writes. Callers that are
+    * fully done with the DLQ may `df.unpersist()` it. */
   def write(df: DataFrame, cfg: WriterConfig, judge: RetryJudge,
       sinkFactory: Int => RowSink): DataFrame = {
     val spark = df.sparkSession
@@ -113,6 +116,11 @@ object ResilientBatchWriter {
       } finally sink.close()
       dlq.iterator
     }
-    spark.createDataFrame(dlqRdd, DlqSchema)
+    // Pin the side effects: one job evaluates every partition now; later
+    // actions on the returned DLQ read the cached rows, never the sink.
+    val out = spark.createDataFrame(dlqRdd, DlqSchema).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    out
   }
 }

@@ -84,6 +84,16 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("wordshinglehashes"))
   }
 
+  test("subq_scalar_avg runs one lineitem scan (window, no self-join)") {
+    spark.catalog.clearCache()
+    val p = plan("subq_scalar_avg")
+    // the per-part aggregate rides a window: exactly one lineitem scan,
+    // no shuffle join of two lineitem subplans
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("salted skew join replicates the dim side, joins on (key, salt)") {
     val p = plan("join_salted_skew")
     assert(p.contains("explode"))
