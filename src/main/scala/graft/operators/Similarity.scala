@@ -108,16 +108,22 @@ object Similarity {
     }: _*)
   }
 
-  /** Embedding-cosine near-duplicate pairs: every unordered pair with
-    * cosine >= `tau`, on the quantized-integer path so the result is
-    * bit-identical across engines (the oracle-checked dedup variant).
+  /** Embedding-cosine near-duplicate pairs — SMALL-INPUT ORACLE GATE ONLY.
+    * Every unordered pair with cosine >= `tau`, on the quantized-integer
+    * path so the result is bit-identical across engines.
     *
-    * The self-join is all-pairs (vec_id-ordered to halve it), with vectors
-    * quantized and norms computed ONCE per side — per-pair work is a single
-    * int64 dot. Exactness requires completeness, so there is no candidate
-    * pruning here; the 100 TB path is [[nearDupPairsLsh]], which only
-    * materializes pairs sharing an SRP bucket. */
-  def nearDupPairs(df: DataFrame, tau: Double): DataFrame = {
+    * The self-join is all-pairs (vec_id-ordered to halve it) — O(n²) pairs
+    * regardless of how cheap the per-pair int64 dot is, so it exists only
+    * to gate correctness at oracle scale and REFUSES large inputs
+    * (`maxRows` guard). THE embedding-dedup operator is
+    * [[nearDupPairsLsh]]: it only materializes pairs sharing an SRP
+    * bucket, and its recall is spec'd against this exact form. */
+  def nearDupPairs(df: DataFrame, tau: Double,
+      maxRows: Long = 200000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"nearDupPairs is all-pairs O(n^2), an oracle gate for small inputs " +
+        s"($n rows > maxRows=$maxRows); use nearDupPairsLsh at scale")
     val prep = df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
     val a = prep.select(col("vec_id").as("id_a"), col("qv").as("v_a"),
@@ -157,6 +163,34 @@ object Similarity {
         dotLong(col("v_a"), col("v_b")).cast("double") / (col("n_a") * col("n_b")))
       .filter(col("cos_sim") >= tau)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Per-vector cosine similarity to its label's centroid, exact across
+    * engines: embeddings quantize to int64 (see [[quantize]]), the
+    * centroid is the per-label element-wise quantized mean computed with
+    * TRUNCATING integer division (Spark `div` and DuckDB `//` both
+    * truncate toward zero, so the centroid longs are bit-identical), and
+    * scoring is the codegen'd integer dot — every magnitude stays
+    * long-safe (|qv_i| <= 1e8, |cv_i| <= 1e8, dim * 1e16 << 2^63).
+    *
+    * Scale shape: one shuffle to build the per-label codebook (bounded by
+    * labels * dim rows), broadcast back, then a map-only score pass. */
+  def labelCentroidCosine(df: DataFrame): DataFrame = {
+    val q = df.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("qv"))
+    val cent = q.select(col("label"), posexplode(col("qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cv_i", expr("s div n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+        x => x.getField("cv_i")).as("cv"))
+    q.join(broadcast(cent), "label")
+      .withColumn("cos_centroid",
+        dotLong(col("qv"), col("cv")).cast("double") /
+          (sqrt(dotLong(col("qv"), col("qv")).cast("double")) *
+            sqrt(dotLong(col("cv"), col("cv")).cast("double"))))
+      .select(col("vec_id"), col("label"), col("cos_centroid"))
   }
 
   /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer

@@ -56,21 +56,31 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // embedding-cosine near-duplicate pairs (quantized exact path — the
-    // oracle-checked dedup variant; nearDupPairsLsh is the scale path,
-    // recall-spec'd in SimilaritySpec)
+    // embedding-cosine near-duplicate pairs, quantized exact all-pairs —
+    // the ORACLE GATE for embedding dedup (size-guarded; see the operator
+    // scaladoc). The operator the engine ships at scale is the LSH form
+    // below, whose recall this gate measures in SimilaritySpec.
     "dedup_embedding_cosine" -> ((s, d) => {
       Similarity.nearDupPairs(Tables.embeddings(s, d), tau = NearDupTau)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // label-conditioned centroid similarity: embeddings joined to their
-    // label centroid — exercises array aggregation + rejoin at scale
+    // THE embedding-dedup operator: SRP-bucketed candidate pairs + exact
+    // quantized re-check. Bucket hashing is engine-specific -> rows-only
+    // driver check; recall >= threshold vs the exact pairs is spec'd in
+    // SimilaritySpec ("LSH near-dup pairs are a subset of exact pairs").
+    "dedup_embedding_lsh" -> ((s, d) => {
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, d), tau = NearDupTau,
+          dim = Dim)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // label-conditioned centroid similarity: every embedding joined to its
+    // label's centroid with an exact cross-engine quantized cosine —
+    // exercises array aggregation + broadcast rejoin + integer dot
     "ann_label_centroid" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val byLabel = emb.groupBy(col("label"))
-        .agg(count(lit(1)).as("n_vecs"))
-      byLabel.orderBy(col("label"))
+      Similarity.labelCentroidCosine(Tables.embeddings(s, d))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -101,9 +111,33 @@ object AnnOps {
          |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
 
+    // centroid = per-label element-wise quantized mean with TRUNCATING
+    // integer division (// truncates toward zero like Spark's `div`);
+    // integer dots go to double via VARCHAR (HUGEINT->DOUBLE double-rounds)
     "ann_label_centroid" ->
-      """SELECT label, COUNT(*) AS n_vecs FROM embeddings
-        |GROUP BY label ORDER BY label""".stripMargin,
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding,
+         |      x -> ${qel("x")}) AS qv
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT label, i AS pos, qv[i] AS v
+         |  FROM q, range(1, ${Dim + 1}) t(i)),
+         |cent AS (
+         |  SELECT label, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cv_i
+         |  FROM ex GROUP BY label, pos),
+         |centv AS (
+         |  SELECT label, list(cv_i ORDER BY pos) AS cv
+         |  FROM cent GROUP BY label)
+         |SELECT q.vec_id, q.label,
+         |  CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> qv[i] * cv[i])) AS STRING) AS DOUBLE)
+         |  / (SQRT(CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> qv[i] * qv[i])) AS STRING) AS DOUBLE))
+         |   * SQRT(CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> cv[i] * cv[i])) AS STRING) AS DOUBLE))) AS cos_centroid
+         |FROM q JOIN centv USING (label)
+         |ORDER BY q.vec_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

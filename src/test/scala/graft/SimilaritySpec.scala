@@ -85,6 +85,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"near-dup LSH recall $recall")
   }
 
+  test("all-pairs nearDupPairs refuses inputs beyond its size guard") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(emb, tau = 0.4, maxRows = 10).count()
+    }
+    assert(e.getMessage.contains("nearDupPairsLsh"))
+  }
+
+  test("label-centroid cosine: one score per vector, centroid-true") {
+    val out = Similarity.labelCentroidCosine(emb).cache()
+    assert(out.count() == emb.count())
+    // scores are genuine cosines in [-1, 1]...
+    assert(out.filter($"cos_centroid" < -1.0 || $"cos_centroid" > 1.0).isEmpty)
+    // ...and positive on average: a vector correlates with a mean it is
+    // part of, so a real centroid (not an arbitrary vector) scores > 0
+    val own = out.agg(avg($"cos_centroid")).as[Double].head()
+    assert(own > 0.0, s"own-label centroid cosine avg $own should be > 0")
+    out.unpersist()
+  }
+
   test("LSH candidate set is much smaller than all-pairs") {
     val q = emb.filter($"vec_id" < 20)
     val nCand = Similarity.lshTopK(q, emb, 1000000, dim = 64,
