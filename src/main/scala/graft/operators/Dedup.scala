@@ -222,25 +222,65 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
+  /** Blocking plan for [[simhashPairs]]: (chunksPerKey m, nChunks b).
+    *
+    * The 64-bit fingerprint splits into `b` chunks; each blocking key is
+    * the concatenation of `m` chunks (one key per m-combination, C(b,m)
+    * keys per doc). Pigeonhole recall: a pair within `maxDist` Hamming
+    * distance damages at most maxDist chunks, and b = maxDist + m leaves
+    * >= m clean chunks, so at least one m-combination matches exactly —
+    * full recall for ANY maxDist in [0, 63].
+    *
+    * m is the SMALLEST value whose key width m*floor(64/b) reaches 16
+    * bits: naive maxDist+1 banding (m=1) keys on ~floor(64/(maxDist+1))
+    * bits, which at maxDist=6 is 9 bits — random collisions at 2^-9 make
+    * candidates grow ~n^2/512, quadratic merely deferred. Combination
+    * blocking trades more keys per doc (C(8,2)=28 vs 7 at maxDist=6) for
+    * a >=16-bit keyspace (collisions at <=2^-16). For maxDist <= 3, m=1
+    * already gives >= 16-bit bands and the plan is the classic banding.
+    * Past maxDist ~24 no m reaches 16 bits; the widest achievable key is
+    * used (recall still exact; collision rate documented by the width). */
+  private[operators] def simhashBlocking(maxDist: Int): (Int, Int) = {
+    val options = (1 to 8).map(m => (m, maxDist + m)).filter(_._2 <= 64)
+    options.find { case (m, b) => m * (64 / b) >= 16 }
+      .getOrElse(options.maxBy { case (m, b) => m * (64 / b) })
+  }
+
+  /** Minimum blocking-key width in bits for `maxDist` (spec surface). */
+  private[graft] def simhashKeyWidth(maxDist: Int): Int = {
+    val (m, b) = simhashBlocking(maxDist)
+    // m smallest chunks: chunk widths are floor or ceil of 64/b
+    (0 until b).map(i => (i + 1) * 64 / b - i * 64 / b).sorted.take(m).sum
+  }
+
   /** SimHash near-dup candidate pairs with Hamming distance <= maxDist,
-    * blocked on maxDist+1 bit-bands — pigeonhole: a pair within maxDist
-    * Hamming distance differs in at most maxDist bands, so at least one of
-    * the maxDist+1 bands matches exactly and full recall is guaranteed for
-    * ANY maxDist in [0, 63] — then verified exactly with bit_count. */
+    * blocked on m-of-b chunk-combination keys (see [[simhashBlocking]] for
+    * the recall argument and keyspace sizing), then verified exactly with
+    * bit_count. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"simhash maxDist must be in [0, 63], got $maxDist")
-    val nBands = maxDist + 1
+    val (m, nChunks) = simhashBlocking(maxDist)
     val sh = simhashes(df, id, text)
-    // bands partition the 64 bits as evenly as integer division allows
-    val bandKeys = (0 until nBands).map { i =>
-      val start = i * 64 / nBands
-      val width = (i + 1) * 64 / nBands - start
+    // chunks partition the 64 bits as evenly as integer division allows
+    val starts = (0 to nChunks).map(i => i * 64 / nChunks)
+    def chunk(i: Int): Column = {
+      val width = starts(i + 1) - starts(i)
       val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(i).as("band"),
-        shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask)).as("key"))
+      shiftrightunsigned(col("sh"), starts(i)).bitwiseAND(lit(mask))
     }
+    // one key per m-combination: the selected chunks packed into a single
+    // long (their widths sum to <= 64) + the combination's ordinal
+    val bandKeys = (0 until nChunks).combinations(m).toSeq.zipWithIndex
+      .map { case (idxs, cid) =>
+        val (packed, _) = idxs.foldLeft((lit(0L): Column, 0)) {
+          case ((acc, shift), i) =>
+            (acc.bitwiseOR(shiftleft(chunk(i), shift)),
+              shift + (starts(i + 1) - starts(i)))
+        }
+        struct(lit(cid).as("band"), packed.as("key"))
+      }
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(array(bandKeys: _*)).as("bk"))
     val a = banded.as("a"); val b = banded.as("b")

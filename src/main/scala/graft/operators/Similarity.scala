@@ -120,10 +120,12 @@ object Similarity {
     * bucket, and its recall is spec'd against this exact form. */
   def nearDupPairs(df: DataFrame, tau: Double,
       maxRows: Long = 200000L): DataFrame = {
-    val n = df.count()
-    require(n <= maxRows,
+    // guard probe scans at most maxRows+1 rows (LocalLimit stops the scan
+    // early) — a full count() here would double the small-input query's cost
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    require(df.limit(probe).count() <= maxRows,
       s"nearDupPairs is all-pairs O(n^2), an oracle gate for small inputs " +
-        s"($n rows > maxRows=$maxRows); use nearDupPairsLsh at scale")
+        s"(> maxRows=$maxRows rows); use nearDupPairsLsh at scale")
     val prep = df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
     val a = prep.select(col("vec_id").as("id_a"), col("qv").as("v_a"),

@@ -64,6 +64,36 @@ class DedupSpec extends SparkSpec {
     assert(p6.filter($"hamming" > 6).count() == 0)
   }
 
+  test("simhash combination blocking: brute-force recall + >=16-bit keys") {
+    // exact parity vs the all-pairs brute force: pigeonhole says every
+    // pair within maxDist shares at least one m-of-b chunk key, and the
+    // bit_count verify drops everything beyond maxDist — the two sets
+    // must be EQUAL, at an m=1 maxDist and an m=2 one
+    val sh = Dedup.simhashes(docs, col("doc_id"), col("text"))
+    val a = sh.select($"doc_id".as("ia"), $"sh".as("ha"))
+    val b = sh.select($"doc_id".as("ib"), $"sh".as("hb"))
+    for (maxDist <- Seq(3, 6)) {
+      val brute = a.join(b, $"ia" < $"ib")
+        .select($"ia", $"ib",
+          bit_count($"ha".bitwiseXOR($"hb")).cast("int").as("d"))
+        .filter($"d" <= maxDist)
+        .as[(Long, Long, Int)].collect().toSet
+      val found = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxDist)
+        .select($"doc_a", $"doc_b", $"hamming".cast("int"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(found == brute,
+        s"maxDist=$maxDist missed=${(brute -- found).size} " +
+          s"extra=${(found -- brute).size}")
+    }
+    // keyspace: naive maxDist+1 banding keys on 9 bits at maxDist=6
+    // (candidates ~ n^2/512); combination keys must reach >= 16 bits
+    // through maxDist=12
+    (0 to 12).foreach { d =>
+      assert(Dedup.simhashKeyWidth(d) >= 16,
+        s"maxDist=$d key width ${Dedup.simhashKeyWidth(d)} < 16")
+    }
+  }
+
   test("native sketch projections equal the explode/groupBy references") {
     // includes a null-text row: both forms must drop it identically
     val docs = this.docs.select($"doc_id", $"text")
