@@ -41,6 +41,26 @@ object SplitOps {
         .orderBy(col("c_custkey"))
     }),
 
+    // X4: querySql split — one union branch per raw SQL statement
+    // (reference runs one task per statement); the three year-range
+    // slices partition orders, so the union must equal the single
+    // whole-table aggregation the oracle runs
+    "querysql_split" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val stmt = (w: String) =>
+        s"""SELECT year(o_orderdate) AS yr, count(*) AS n_orders,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+           |    AS sum_price
+           |FROM orders WHERE $w GROUP BY year(o_orderdate)""".stripMargin
+      graft.sources.QuerySqlReader.read(s, graft.sources.ReaderConfig(
+        table = graft.sources.TableId(name = "orders"),
+        querySql = Seq(
+          stmt("year(o_orderdate) < 1994"),
+          stmt("year(o_orderdate) BETWEEN 1994 AND 1995"),
+          stmt("year(o_orderdate) >= 1996"))))
+        .orderBy(col("yr"))
+    }),
+
     // A1/A2: the bounds probe itself (fetchMin/fetchMax)
     "split_min_max_probe" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -64,6 +84,11 @@ object SplitOps {
     "split_scan_string" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "querysql_split" ->
+      """SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "split_min_max_probe" ->
       """SELECT MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,

@@ -55,6 +55,30 @@ class SourcesSpec extends SparkSpec {
     assert(SplitConfig(key = "k").checkType("long").isRight) // no range
   }
 
+  test("querySql split: one union branch per statement, union == whole (X4)") {
+    Tables.registerAll(spark, Sf0)
+    val cfg = ReaderConfig(table = TableId(name = "nation"),
+      querySql = Seq(
+        "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 8",
+        "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey BETWEEN 8 AND 15",
+        "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey > 15"))
+    val df = QuerySqlReader.read(spark, cfg)
+    // plan shape: one independent branch per statement (reference runs
+    // one task per statement — job.go:123-131); CombineUnions flattens
+    // the chain to a single n-ary Union
+    val unions = df.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.size == 1 && unions.head.children.size == 3,
+      s"expected one 3-branch Union:\n${df.queryExecution.optimizedPlan}")
+    // the slices partition the key space: union == plain scan
+    val whole = spark.sql("SELECT n_nationkey, n_name FROM nation")
+    assert(df.exceptAll(whole).isEmpty && whole.exceptAll(df).isEmpty)
+    // empty statement list is a config error
+    intercept[IllegalArgumentException](
+      QuerySqlReader.read(spark, ReaderConfig(table = TableId(name = "nation"))))
+  }
+
   test("duplicate column rename by ordinal (schema normalization)") {
     val df = spark.range(1).select(lit(1).as("c"), lit(2).as("c"),
       lit(3).as("C"), lit(4).as("d"))
