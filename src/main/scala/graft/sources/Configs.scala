@@ -47,11 +47,13 @@ final case class ReaderConfig(
     numPartitions: Int = 1)
 
 /** Writer job config (writer/config.go:42-54). Defaults 1000 rows / 1 s
-  * mirror writer/config.go:20-23. */
+  * mirror writer/config.go:20-23; execMode mirrors the reference's
+  * Normal/Stmt/Tx/StmtTx batch execution knob (batch_writer.go:23-28). */
 final case class WriterConfig(
     columns: Seq[String] = Seq.empty,
     table: TableId,
     writeMode: String = "insert", // insert | replace (upsert-by-key)
+    execMode: String = "Normal", // Normal | Stmt | Tx | StmtTx
     batchSize: Int = 1000,
     batchTimeout: FiniteDuration = 1.second,
     preSql: Seq[String] = Seq.empty,

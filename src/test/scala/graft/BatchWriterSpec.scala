@@ -1,11 +1,12 @@
 package graft
 
-import graft.sinks.{ParquetUpsert, ResilientBatchWriter, RetryJudge, RowSink}
+import graft.sinks.{ExecMode, ParquetUpsert, ResilientBatchWriter, RetryJudge, RetryStrategy, RowSink}
 import graft.sources.WriterConfig
 import graft.sources.TableId
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import java.util.concurrent.ConcurrentLinkedQueue
+import scala.concurrent.duration._
 import scala.jdk.CollectionConverters._
 
 /** W2-W6 write-path semantics: dual flush batching, whole-batch retry on
@@ -37,6 +38,27 @@ object BatchWriterSpec {
     def shouldRetry(e: Throwable): Boolean = e.isInstanceOf[java.io.IOException]
     def isDataError(e: Throwable): Boolean =
       e.isInstanceOf[IllegalArgumentException]
+  }
+
+  val calls = new ConcurrentLinkedQueue[String]()
+  val sleeps = new ConcurrentLinkedQueue[Long]()
+
+  /** Records the full sink call sequence incl. transaction boundaries. */
+  class TxRecordingSink(failKey: String = "-none-") extends RowSink {
+    def writeBatch(rows: Seq[Row]): Unit = {
+      if (rows.exists(_.getString(1).contains(failKey)))
+        throw new IllegalArgumentException(
+          if (rows.size > 1) "data error in batch" else "bad row")
+      calls.add(s"batch:${rows.size}")
+    }
+    override def writeRow(row: Row): Unit = {
+      if (row.getString(1).contains(failKey))
+        throw new IllegalArgumentException("bad row")
+      calls.add("row")
+    }
+    override def begin(): Unit = calls.add("begin")
+    override def commit(): Unit = calls.add("commit")
+    override def rollback(): Unit = calls.add("rollback")
   }
 }
 
@@ -90,6 +112,73 @@ class BatchWriterSpec extends SparkSpec {
       ResilientBatchWriter.write(df(5), cfg.copy(retries = 1), judge,
         _ => new RecordingSink("-none-", 100)).count()
     }
+  }
+
+  test("idle-timeout flush fires while the iterator is stalled (W2)") {
+    reset()
+    // rows 0,1 arrive instantly; the upstream then stalls 1200 ms before
+    // producing 2,3 — with batchSize 10 only the TICKER can flush the
+    // first two rows, and it must fire during the stall, not when the
+    // next row happens to arrive
+    val slow = udf((id: Long) => { if (id == 2) Thread.sleep(1200); id })
+    val stalled = spark.range(4)
+      .select($"id", concat(lit("row"), slow($"id")).as("v")).coalesce(1)
+    ResilientBatchWriter.write(stalled,
+      cfg.copy(batchTimeout = 250.millis), judge,
+      _ => new RecordingSink("-none-", 0))
+    val sizes = batches.asScala.toSeq
+    assert(sizes.sum == 4 && sizes.size >= 2,
+      s"expected a mid-stall flush + terminal flush, got batches=$sizes")
+    assert(sizes.head < 4, s"first flush should predate the stalled rows: $sizes")
+  }
+
+  test("exec modes dispatch onto the sink's tx/row seams (W3)") {
+    def run(mode: String): Seq[String] = {
+      calls.clear()
+      ResilientBatchWriter.write(df(5), cfg.copy(execMode = mode), judge,
+        _ => new TxRecordingSink())
+      calls.asScala.toSeq
+    }
+    assert(run(ExecMode.Normal) == Seq("batch:5"))
+    assert(run(ExecMode.Stmt) == Seq.fill(5)("row"))
+    assert(run(ExecMode.Tx) == Seq("begin", "batch:5", "commit"))
+    assert(run(ExecMode.StmtTx) ==
+      Seq("begin") ++ Seq.fill(5)("row") ++ Seq("commit"))
+    intercept[IllegalArgumentException] {
+      ResilientBatchWriter.write(df(1), cfg.copy(execMode = "nope"), judge,
+        _ => new TxRecordingSink())
+    }
+  }
+
+  test("Tx mode: rollback on failure, per-row replay in own transactions") {
+    calls.clear()
+    val dlq = ResilientBatchWriter.write(df(5),
+      cfg.copy(execMode = ExecMode.Tx, ignoreOneByOneError = true), judge,
+      _ => new TxRecordingSink(failKey = "row3"))
+    assert(dlq.count() == 1)
+    val seq = calls.asScala.toSeq
+    // whole batch: begin -> (throw) -> rollback; then 5 single-row
+    // transactions, the bad one rolling back into the DLQ
+    assert(seq.take(2) == Seq("begin", "rollback"), seq)
+    assert(seq.count(_ == "rollback") == 2 && seq.count(_ == "commit") == 4, seq)
+    assert(seq.count(_ == "batch:1") == 4, seq)
+  }
+
+  test("pluggable backoff retry strategy paces the attempts (W4)") {
+    // strategy unit surface
+    val exp = RetryStrategy.exponential(3, 100.millis, 400.millis)
+    assert((1 to 4).map(exp.backoff) ==
+      Seq(Some(100.millis), Some(200.millis), Some(400.millis), None))
+    assert(RetryStrategy.nTimes(2).backoff(3).isEmpty)
+    assert(RetryStrategy.none.backoff(1).isEmpty)
+    // integration: 3 transient failures -> 3 paced retries, then success
+    reset(); sleeps.clear()
+    val dlq = ResilientBatchWriter.write(df(8), cfg, judge,
+      _ => new RecordingSink("-none-", 3),
+      strategy = Some(exp), sleeper = sleeps.add(_))
+    assert(dlq.count() == 0)
+    assert(written.asScala.flatten.size == 8)
+    assert(sleeps.asScala.toSeq == Seq(100L, 200L, 400L))
   }
 
   test("parquet upsert: replace-by-key semantics (S8 analogue)") {
