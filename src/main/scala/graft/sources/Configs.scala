@@ -44,7 +44,8 @@ final case class ReaderConfig(
     where: String = "",
     split: SplitConfig = SplitConfig(),
     querySql: Seq[String] = Seq.empty,
-    numPartitions: Int = 1)
+    numPartitions: Int = 1,
+    trimChar: Boolean = false) // CHAR-padding trim (config.go:97-111)
 
 /** Writer job config (writer/config.go:42-54). Defaults 1000 rows / 1 s
   * mirror writer/config.go:20-23; execMode mirrors the reference's
@@ -59,7 +60,8 @@ final case class WriterConfig(
     preSql: Seq[String] = Seq.empty,
     postSql: Seq[String] = Seq.empty,
     retries: Int = 3,
-    ignoreOneByOneError: Boolean = false) {
+    ignoreOneByOneError: Boolean = false,
+    trimChar: Boolean = false) { // CHAR-padding trim (config.go:97-111)
 
   /** preSQL/postSQL must not be SELECT (writer/config.go:167-175). */
   def validateHookSql: Either[String, Unit] = {

@@ -17,6 +17,25 @@ trait SqlDialect {
   /** Positional bind variable for index i (0-based): `?` vs `:1`. */
   def bindVar(i: Int): String
 
+  /** Oracle stores '' AS NULL; other engines keep them distinct
+    * (oracle/field.go:193-195). */
+  def emptyStringIsNull: Boolean = false
+
+  /** Read-side string convention (oracle/field.go:191-200): NULL
+    * canonicalization first (Oracle's '' never reaches the trim), then
+    * fixed-width CHAR padding trim when the table's trimChar knob is set
+    * (TrimStringChar, database/config.go:97-111). */
+  def readString(v: String, charType: Boolean, trimChar: Boolean): String =
+    if (v == null) null
+    else if (emptyStringIsNull && v.isEmpty) null
+    else if (charType && trimChar) v.trim
+    else v
+
+  /** Write-side convention (oracle/field.go:255-263): a NULL string binds
+    * as '' for engines where '' IS NULL; others bind NULL as NULL. */
+  def writeString(v: String): String =
+    if (v == null && emptyStringIsNull) "" else v
+
   def quoteTable(t: TableId): String =
     Seq(t.db, t.schema, t.name).filter(_.nonEmpty).map(quote).mkString(".")
 
@@ -69,10 +88,31 @@ object OracleStyle extends SqlDialect {
   val name = "oracle"
   def quote(ident: String): String = "\"" + ident + "\""
   def bindVar(i: Int): String = s":${i + 1}"
+  override val emptyStringIsNull = true
 
   /** Array-DML shape: one row of binds; the driver binds column arrays. */
   def arrayInsertSql(t: TableId, cols: Seq[String]): String =
     insertSql(t, cols, 1)
+
+  /** S9 array-DML bind builder (oracle/table.go:120-153 Agrs): ONE bind
+    * value per COLUMN — an array spanning the batch's rows — pairing with
+    * [[arrayInsertSql]]'s single-row statement; the driver executes the
+    * statement once over the arrays. String NULLs bind through
+    * [[writeString]] ('' for Oracle); other NULLs bind as null slots. */
+  def arrayBindArgs(rows: Seq[org.apache.spark.sql.Row]): Seq[Array[Any]] =
+    if (rows.isEmpty) Seq.empty
+    else {
+      val schema = rows.head.schema
+      schema.fields.indices.map { j =>
+        val isStr =
+          schema(j).dataType == org.apache.spark.sql.types.StringType
+        rows.map { r =>
+          if (isStr) writeString(if (r.isNullAt(j)) null else r.getString(j))
+          else if (r.isNullAt(j)) null
+          else r.get(j)
+        }.toArray[Any]
+      }
+    }
 }
 
 /** Dialect registry — the reference's RegisterDialect/panic-on-dup

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, trim, when}
 import org.apache.spark.sql.types._
 
 /** Schema-normalization utilities preserving the reference's "dynamic,
@@ -35,6 +36,32 @@ object SchemaNormalize {
       if (n == 0) f.name else s"${f.name}$n"
     }
     df.toDF(renamed.toIndexedSeq: _*)
+  }
+
+  /** Columnar form of the dialect's read-side string conventions
+    * ([[SqlDialect.readString]]): Oracle ''≡NULL canonicalization
+    * (oracle/field.go:193-195) and trimChar CHAR-padding trim
+    * (database/config.go:97-111) applied to every string column.
+    * `charCols` marks the fixed-width CHAR columns — Spark schemas don't
+    * retain CHAR-ness across the JDBC boundary, so the caller passes the
+    * probed set. Map-only projection; pushdown-transparent. */
+  def applyReadConventions(df: DataFrame, dialect: SqlDialect,
+      trimChar: Boolean, charCols: Set[String] = Set.empty): DataFrame = {
+    val converted = df.schema.fields.map { f =>
+      val c = col(s"`${f.name}`")
+      f.dataType match {
+        case StringType =>
+          val isChar = charCols.contains(f.name)
+          val base = // '' -> NULL strictly before any trim (reference order)
+            if (dialect.emptyStringIsNull)
+              when(c === "", lit(null).cast(StringType)).otherwise(c)
+            else c
+          val conv = if (isChar && trimChar) trim(base) else base
+          conv.as(f.name)
+        case _ => c
+      }
+    }
+    df.select(converted.toIndexedSeq: _*)
   }
 
   /** Reject unsupported column types with the full list of offenders. */

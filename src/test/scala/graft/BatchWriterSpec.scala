@@ -21,6 +21,7 @@ object BatchWriterSpec {
   class RecordingSink(failKey: String, transientFirstN: Int)
       extends RowSink {
     private var seenTransient = 0
+    override def open(partitionId: Int): Unit = opened.add(partitionId)
     def writeBatch(rows: Seq[Row]): Unit = {
       if (transientFirstN > 0 && transientFailures < transientFirstN) {
         transientFailures += 1
@@ -42,6 +43,7 @@ object BatchWriterSpec {
 
   val calls = new ConcurrentLinkedQueue[String]()
   val sleeps = new ConcurrentLinkedQueue[Long]()
+  val opened = new ConcurrentLinkedQueue[Int]()
 
   /** Records the full sink call sequence incl. transaction boundaries. */
   class TxRecordingSink(failKey: String = "-none-") extends RowSink {
@@ -67,7 +69,7 @@ class BatchWriterSpec extends SparkSpec {
   import BatchWriterSpec._
 
   private def reset(): Unit = {
-    written.clear(); batches.clear(); transientFailures = 0
+    written.clear(); batches.clear(); opened.clear(); transientFailures = 0
   }
 
   private def df(n: Int) =
@@ -179,6 +181,37 @@ class BatchWriterSpec extends SparkSpec {
     assert(dlq.count() == 0)
     assert(written.asScala.flatten.size == 8)
     assert(sleeps.asScala.toSeq == Seq(100L, 200L, 400L))
+  }
+
+  test("writer fan-in: repartition(n) -> n parallel sink instances (X6)") {
+    reset()
+    val wide = spark.range(100)
+      .select($"id", concat(lit("row"), $"id").as("v")).repartition(4)
+    val dlq = ResilientBatchWriter.write(wide, cfg, judge,
+      _ => new RecordingSink("-none-", 0))
+    assert(dlq.count() == 0)
+    // one sink per writer partition, every row written exactly once
+    assert(opened.asScala.toSet.size == 4, s"opened=${opened.asScala.toSeq}")
+    assert(written.asScala.flatten.size == 100)
+    assert(written.asScala.flatten.toSet.size == 100)
+  }
+
+  test("oracle array-DML bind: one array per column over the batch (S9)") {
+    val rows = spark.range(3).select($"id",
+        when($"id" === 1, lit(null)).otherwise(concat(lit("s"), $"id")).as("v"),
+        when($"id" === 2, lit(null)).otherwise($"id" * 10).as("n"))
+      .collect().toSeq
+    val binds = graft.sources.OracleStyle.arrayBindArgs(rows)
+    // column-wise: 3 columns, each an array over the 3 rows
+    assert(binds.size == 3 && binds.forall(_.length == 3))
+    assert(binds(0).toSeq == Seq(0L, 1L, 2L))
+    assert(binds(1).toSeq == Seq("s0", "", "s2")) // NULL string binds as ''
+    assert(binds(2).toSeq == Seq(0L, 10L, null)) // non-string NULL stays null
+    // pairs with the single-row statement shape
+    assert(graft.sources.OracleStyle.arrayInsertSql(
+      TableId(name = "t"), Seq("id", "v", "n"))
+      == "insert into \"t\"(\"id\",\"v\",\"n\") values (:1,:2,:3)")
+    assert(graft.sources.OracleStyle.arrayBindArgs(Seq.empty).isEmpty)
   }
 
   test("parquet upsert: replace-by-key semantics (S8 analogue)") {

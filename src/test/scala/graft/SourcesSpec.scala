@@ -79,6 +79,43 @@ class SourcesSpec extends SparkSpec {
       QuerySqlReader.read(spark, ReaderConfig(table = TableId(name = "nation"))))
   }
 
+  test("oracle ''==NULL and trimChar value conventions (field.go:193,260)") {
+    // read matrix: (value, isChar, trimChar) -> expected, per dialect
+    val cases = Seq(
+      // Oracle: '' -> NULL before any trim; CHAR pad trims when knob set
+      (OracleStyle, "", false, false, null),
+      (OracleStyle, "", true, true, null),
+      (OracleStyle, "pad  ", true, true, "pad"),
+      (OracleStyle, "pad  ", true, false, "pad  "),
+      (OracleStyle, "  ", true, true, ""), // null-check precedes trim
+      (OracleStyle, "  ", false, true, "  "), // not CHAR -> no trim
+      (OracleStyle, null, true, true, null),
+      // MySQL-style: '' stays '', trim still applies to CHAR
+      (MySqlStyle, "", false, false, ""),
+      (MySqlStyle, " a ", true, true, "a"),
+      (MySqlStyle, null, true, true, null))
+    cases.foreach { case (d, v, isChar, tc, want) =>
+      assert(d.readString(v, isChar, tc) == want,
+        s"${d.name}.readString($v, $isChar, $tc)")
+    }
+    // write side: NULL binds as '' only where '' IS NULL
+    assert(OracleStyle.writeString(null) == "")
+    assert(OracleStyle.writeString("x") == "x")
+    assert(MySqlStyle.writeString(null) == null)
+    // DataFrame surface mirrors the pure function
+    import spark.implicits._
+    val df = Seq(("", "pad  "), (null, null), ("x", " y ")).toDF("s", "c")
+    val out = SchemaNormalize.applyReadConventions(df, OracleStyle,
+        trimChar = true, charCols = Set("c"))
+      .as[(String, String)].collect().toSeq
+    assert(out == Seq((null, "pad"), (null, null), ("x", "y")))
+    // non-Oracle dialect: '' survives, only CHAR trim applies
+    val out2 = SchemaNormalize.applyReadConventions(df, MySqlStyle,
+        trimChar = true, charCols = Set("c"))
+      .as[(String, String)].collect().toSeq
+    assert(out2 == Seq(("", "pad"), (null, null), ("x", "y")))
+  }
+
   test("duplicate column rename by ordinal (schema normalization)") {
     val df = spark.range(1).select(lit(1).as("c"), lit(2).as("c"),
       lit(3).as("C"), lit(4).as("d"))
