@@ -227,6 +227,42 @@ class BatchWriterSpec extends SparkSpec {
     assert(out.filter($"id" < 3 && $"v" === "old").count() == 3)
   }
 
+  test("partition-pruned upsert leaves untouched partitions byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert-part").toString
+    val path = s"$dir/t"
+    // partitions p=0,1,2; upsert touches p=0 (update), p=5 (new)
+    spark.range(9).select($"id", ($"id" % 3).as("p"), lit("old").as("v"))
+      .write.partitionBy("p").parquet(path)
+    def fileBytes(sub: String): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(path, sub)
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString -> java.nio.file.Files
+          .getLastModifiedTime(f).toMillis).toMap
+    }
+    val before1 = fileBytes("p=1"); val before2 = fileBytes("p=2")
+    val updates = Seq((0L, 0L, "new"), (15L, 5L, "new"))
+      .toDF("id", "p", "v")
+    ParquetUpsert.upsert(updates, path, Seq("id"), partitionBy = Seq("p"))
+    val out = spark.read.parquet(path)
+    assert(out.count() == 10)
+    assert(out.filter($"v" === "new").count() == 2)
+    assert(out.filter($"id" === 0 && $"v" === "new").count() == 1)
+    assert(out.filter($"p" === 5 && $"id" === 15).count() == 1)
+    // untouched partitions: same files, same mtimes — never rewritten
+    assert(fileBytes("p=1") == before1)
+    assert(fileBytes("p=2") == before2)
+    // second upsert moving id=0 from p=0 to p=1 consumes nothing but
+    // still lands correctly (partition move)
+    ParquetUpsert.upsert(Seq((0L, 1L, "moved")).toDF("id", "p", "v"),
+      path, Seq("id"), partitionBy = Seq("p"))
+    val out2 = spark.read.parquet(path)
+    assert(out2.filter($"id" === 0).count() == 1)
+    assert(out2.filter($"id" === 0 && $"p" === 1 && $"v" === "moved")
+      .count() == 1)
+    assert(out2.count() == 10)
+  }
+
   test("pre/post sql hooks reject select (S10 guard)") {
     intercept[IllegalArgumentException] {
       ParquetUpsert.withHooks(spark, Seq("select 1"), Nil)(())
