@@ -82,21 +82,33 @@ object RangeSplitter {
     def literal(b: BigInt): Column = lit(bigInt2String(b))
   }
 
+  // FLOOR division: BigInt `/` truncates toward zero, which for
+  // pre-epoch (negative) keys would quantize the min upward and let the
+  // first slice exclude the true minimum rows.
+  private def floorDivBig(v: BigInt, unit: Long): BigInt = {
+    val q = v / unit
+    if (v.signum < 0 && q * unit != v) q - 1 else q
+  }
+
   /** Timestamp keys normalized by accuracy unit (reference
     * split.go:312-327: day/min/s/ms/us/ns), here over epoch micros. */
   final case class TimeDomain(unitMicros: Long) extends KeyDomain {
-    // FLOOR division: BigInt `/` truncates toward zero, which for
-    // pre-epoch (negative-micros) keys would quantize the min upward and
-    // let the first slice exclude the true minimum rows.
-    def toBig(v: Any): BigInt = {
-      val micros = BigInt(v.toString)
-      val q = micros / unitMicros
-      if (micros.signum < 0 && q * unitMicros != micros) q - 1 else q
-    }
+    def toBig(v: Any): BigInt = floorDivBig(BigInt(v.toString), unitMicros)
     def fromBig(b: BigInt): Any = b.toLong * unitMicros
     def literal(b: BigInt): Column =
       timestamp_micros(lit(b.toLong * unitMicros))
   }
+
+  /** Accuracy units in NANOS — the full reference matrix incl. the
+    * sub-microsecond "ns" tier (split.go:312-327) that a µs-based domain
+    * cannot express. */
+  val AccuracyNanos: Map[String, Long] = Map(
+    "day" -> 86400L * 1000000000L,
+    "min" -> 60L * 1000000000L,
+    "s" -> 1000000000L,
+    "ms" -> 1000000L,
+    "us" -> 1000L,
+    "ns" -> 1L)
 
   /** Range predicates for the slices: `key >= lo AND key < hi`, last slice
     * `<= hi` — composable with a user WHERE exactly like the reference
@@ -159,6 +171,33 @@ object RangeSplitter {
     * quantized by floor division, so the final closed bound uses the TRUE
     * max timestamp: `floor(max)*unit` would silently drop rows with
     * intra-unit components. */
+  /** Split scan over an epoch-NANOS long key (the TIMESTAMP(NANOS)
+    * parquet shape read under nanosAsLong — e.g. events.ts) at any
+    * accuracy tier of [[AccuracyNanos]], including exact "ns": the key is
+    * quantized by floor division in BigInt, slices planned on quantized
+    * units, and predicates compare the RAW nanos longs so the union is
+    * bit-exact to the plain scan even with sub-microsecond components. */
+  def splitScanNanos(df: DataFrame, keyCol: String, n: Int,
+      accuracy: String = "ns"): DataFrame = {
+    val unit = AccuracyNanos.getOrElse(accuracy,
+      throw new IllegalArgumentException(
+        s"unknown time accuracy '$accuracy' " +
+          s"(expected ${AccuracyNanos.keys.mkString("|")})"))
+    val Array(mn, mx) = df.agg(min(col(keyCol)), max(col(keyCol)))
+      .collect()(0).toSeq.toArray
+    if (mn == null) return df
+    val slices = split(floorDivBig(BigInt(mn.toString), unit),
+      floorDivBig(BigInt(mx.toString), unit), n)
+    slices.map { s =>
+      // final closed bound uses the TRUE max (floor(max)*unit would drop
+      // rows with intra-unit components)
+      val upper =
+        if (s.closed) col(keyCol) <= lit(mx.toString.toLong)
+        else col(keyCol) < lit((s.hi * unit).toLong)
+      df.filter(col(keyCol) >= lit((s.lo * unit).toLong) && upper)
+    }.reduce(_ unionAll _)
+  }
+
   def splitScanTime(df: DataFrame, keyCol: String, n: Int,
       unitMicros: Long = 86400000000L): DataFrame = {
     // keys may be TIMESTAMP or TIMESTAMP_NTZ depending on the parquet

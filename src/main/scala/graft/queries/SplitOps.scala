@@ -41,6 +41,20 @@ object SplitOps {
         .orderBy(col("c_custkey"))
     }),
 
+    // X2 ns accuracy: sub-microsecond split of events on its epoch-nanos
+    // ts into 6 range scans, unioned back — the union must equal the
+    // plain scan exactly (output µs-truncated only because DuckDB's
+    // parquet reader can't see below µs; the SPLIT math runs at ns)
+    "split_scan_nanos" -> ((s, d) => {
+      RangeSplitter.splitScanNanos(Tables.events(s, d), "ts", 6,
+          accuracy = "ns")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(expr("ts div 1000")).as("min_us"),
+          max(expr("ts div 1000")).as("max_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // X4: querySql split — one union branch per raw SQL statement
     // (reference runs one task per statement); the three year-range
     // slices partition orders, so the union must equal the single
@@ -84,6 +98,11 @@ object SplitOps {
     "split_scan_string" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "split_scan_nanos" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  MIN(epoch_us(ts)) AS min_us, MAX(epoch_us(ts)) AS max_us
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "querysql_split" ->
       """SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n_orders,

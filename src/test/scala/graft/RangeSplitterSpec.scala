@@ -98,4 +98,30 @@ class RangeSplitterSpec extends SparkSpec {
     val got = RangeSplitter.splitScan(li, "l_orderkey", 8).count()
     assert(got == li.count())
   }
+
+  test("nanos split: exact partition at ns accuracy incl. negative keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every accuracy tier partitions the events table exactly (a
+    // partition, not just a cover: event_id matched exactly once)
+    val ev = Tables.events(spark, Sf0)
+    for (acc <- Seq("ns", "us", "s", "day")) {
+      val out = RangeSplitter.splitScanNanos(ev, "ts", 6, acc)
+      assert(out.count() == ev.count(), s"accuracy=$acc")
+      assert(out.select("event_id").distinct().count() == ev.count(),
+        s"accuracy=$acc")
+    }
+    // pre-epoch nanos with sub-unit components: floor quantization must
+    // keep the true min/max rows at a coarse accuracy
+    val neg = Seq(-86400000000001L, -1L, 0L, 1L, 86400000000001L)
+      .toDF("ts")
+    val outNeg = RangeSplitter.splitScanNanos(neg, "ts", 3, "day")
+    assert(outNeg.count() == 5)
+    assert(outNeg.distinct().count() == 5)
+    // unit table mirrors split.go:312-327; unknown accuracy rejects
+    assert(AccuracyNanos("ns") == 1L && AccuracyNanos("us") == 1000L &&
+      AccuracyNanos("day") == 86400000000000L)
+    intercept[IllegalArgumentException](
+      RangeSplitter.splitScanNanos(neg, "ts", 2, "fortnight"))
+  }
 }
