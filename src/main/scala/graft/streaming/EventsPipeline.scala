@@ -82,6 +82,32 @@ object EventsPipeline {
       }.toDF()
   }
 
+  /** Streaming exact dedup: at most one row per `idCols` among
+    * duplicates arriving within the watermark delay of each other —
+    * Spark's stateful dropDuplicatesWithinWatermark, the watermark
+    * bounding state so dedup state can't grow unboundedly at stream
+    * scale (the streaming face of Dedup.exactKeep; a duplicate arriving
+    * beyond the horizon is treated as new — the at-scale trade every
+    * streaming dedup makes). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Streaming replace-mode sink: each micro-batch upserts by key into a
+    * parquet target (partition-pruned when `partitionBy` is set).
+    * foreachBatch is at-least-once; upsert-by-key is idempotent, so the
+    * composition is effectively exactly-once per key — the streaming face
+    * of the reference's replace write mode (mysql/table.go:63-69). */
+  def upsertSink(out: DataFrame, path: String, keys: Seq[String],
+      partitionBy: Seq[String] = Seq.empty)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    out.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.ParquetUpsert.upsert(batch, path, keys, partitionBy)
+      }
+
   /** Stream sink through the resilient batch writer: every micro-batch is
     * routed through retry/degrade/DLQ semantics (W4/W5 under streaming —
     * foreachBatch gives at-least-once; sinks should be idempotent by key). */

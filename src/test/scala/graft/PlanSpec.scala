@@ -99,4 +99,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("explode"))
     assert(p.contains("__graft_salt"))
   }
+
+  test("bucketed tables co-locate: join and agg plan with zero Exchange") {
+    import graft.operators.Bucketing
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(Tables.orders(spark, Sf0), "b_orders",
+        Seq("o_custkey"), 8)
+      Bucketing.writeBucketed(Tables.customer(spark, Sf0), "b_customer",
+        Seq("c_custkey"), 8)
+      val j = Bucketing.coLocatedJoin(spark, "b_orders", "b_customer",
+        Seq("o_custkey"), Seq("c_custkey"))
+      val pj = j.queryExecution.executedPlan.toString
+      assert(!pj.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$pj")
+      // row-identical to the plain join
+      val plain = Tables.orders(spark, Sf0).join(Tables.customer(spark, Sf0),
+        col("o_custkey") === col("c_custkey"))
+      assert(j.count() == plain.count())
+      // aggregation on the bucket key is exchange-free too: the write-time
+      // shuffle is amortized over every downstream group-by
+      val a = spark.table("b_orders").groupBy(col("o_custkey")).count()
+      val pa = a.queryExecution.executedPlan.toString
+      assert(!pa.contains("Exchange"),
+        s"bucketed agg must not shuffle:\n$pa")
+      assert(a.count() == plain.select("o_custkey").distinct().count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
 }

@@ -76,6 +76,51 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming dedup drops redelivered ids across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsPipeline.dedupStream(df, Seq("event_id"), "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    val t0 = 1700000000000000000L
+    // in-batch duplicate + cross-batch redelivery of id 1
+    mem.addData((1L, t0, 1L, "click", 1.0), (1L, t0, 1L, "click", 1.0),
+      (2L, t0 + 1000L, 1L, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData((1L, t0 + 2000L, 1L, "click", 1.0),
+      (3L, t0 + 3000L, 2L, "view", 3.0))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out")
+    assert(out.count() == 3)
+    assert(out.select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
+  test("streaming upsert sink: replace-by-key across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("supsert").toString
+    val path = s"$dir/t"
+    val q = EventsPipeline.upsertSink(
+      df.select($"event_id", $"user_id", $"value"), path, Seq("event_id"))
+      .start()
+    val t0 = 1700000000000000000L
+    mem.addData((1L, t0, 1L, "click", 1.0), (2L, t0 + 1, 1L, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2 replaces id 2 and adds id 3
+    mem.addData((2L, t0 + 2, 1L, "click", 20.0),
+      (3L, t0 + 3, 1L, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(path)
+    assert(out.count() == 3)
+    assert(out.filter($"event_id" === 2).head.getDouble(2) == 20.0)
+    assert(out.filter($"event_id" === 1).head.getDouble(2) == 1.0)
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
