@@ -195,10 +195,69 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cos_centroid"))
   }
 
+  /** Distributed Lloyd's k-means codebook over an embedding column —
+    * the real coarse quantizer for [[ivfTopK]]. Every iteration is one
+    * Spark job: assign each vector to its nearest centroid (broadcast
+    * literal centroids — a codebook is small by construction, k*dim
+    * doubles — so assignment is a MAP-ONLY argmin over codegen'd dots),
+    * then recompute centroids as per-cell means (posexplode -> partial
+    * agg bounded at k*dim rows). Only the k*dim codebook ever reaches
+    * the driver. Deterministic: init = the k lowest-id vectors.
+    *
+    * Returns (cell: int, c_v: array<double>). Empty cells drop out
+    * (their centroid had no points), so the codebook may shrink below k.
+    */
+  def kMeansCodebook(df: DataFrame, k: Int, maxIter: Int = 8): DataFrame = {
+    val vecs = df.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    var centers: Array[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0))
+    var it = 0
+    var moved = true
+    while (moved && it < maxIter) {
+      val assigned = assignCells(vecs, centers, "v")
+      val next = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c_v"))
+        .orderBy(col("cell"))
+        .collect().map(_.getSeq[Double](1))
+      moved = next.length != centers.length ||
+        next.zip(centers).exists { case (a, b) =>
+          a.zip(b).map(p => math.abs(p._1 - p._2)).max > 1e-9
+        }
+      centers = next
+      it += 1
+    }
+    val rows = centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+    df.sparkSession.createDataFrame(rows).toDF("cell", "c_v")
+  }
+
+  /** Map-only nearest-centroid assignment against literal centroids:
+    * argmin over squared L2 = argmin(-2*x·c + |c|²) (|x|² is constant
+    * per row), each dot a codegen'd expression. */
+  private def assignCells(df: DataFrame, centers: Array[Seq[Double]],
+      vCol: String): DataFrame = {
+    val scores = array(centers.map { c =>
+      val c2 = c.map(x => x * x).sum
+      graft.functions.VectorFunctions.vec_dot(col(vCol), typedlit(c)) *
+        lit(-2.0) + lit(c2)
+    }: _*)
+    df.withColumn("__scores", scores)
+      .withColumn("cell",
+        (array_position(col("__scores"), array_min(col("__scores"))) - 1)
+          .cast("int"))
+      .drop("__scores")
+  }
+
   /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
-    * ANN layout. The codebook here is the per-label mean vector (a
-    * deterministic stand-in for a k-means codebook: at scale you'd run
-    * distributed k-means once, and the rest of the plan is unchanged).
+    * ANN layout. `codebook` defaults to the per-label mean vectors (a
+    * deterministic, oracle-friendly quantizer); pass
+    * [[kMeansCodebook]]'s output for the label-free k-means path — the
+    * rest of the plan is identical either way.
     *
     * Corpus vectors are assigned to their nearest centroid cell
     * (broadcast centroids — a codebook is small by construction); each
@@ -206,14 +265,14 @@ object Similarity {
     * id (shuffle bounded by cell fan-out, never all-pairs) and are exactly
     * re-ranked. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nprobe: Int = 3): DataFrame = {
-    val centroids = corpus
+      nprobe: Int = 3, codebook: Option[DataFrame] = None): DataFrame = {
+    val centroids = codebook.getOrElse(corpus
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("v"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         x => x.getField("v")).as("c_v"))
-      .select(col("label").as("cell"), col("c_v"))
+      .select(col("label").as("cell"), col("c_v")))
 
     // rank cells by exact cosine distance to each vector's embedding
     def cells(df: DataFrame, idAs: String, vAs: String, keep: Int) = {

@@ -56,6 +56,18 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF over a REAL distributed k-means codebook (label-free): Lloyd's
+    // iterations entirely in DataFrame ops, only the k*dim codebook on
+    // the driver. Cell assignment is engine-specific -> rows-only check;
+    // recall vs exact top-k is spec'd in SimilaritySpec
+    "ann_ivf_kmeans_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.kMeansCodebook(emb, k = 8)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries), emb, TopK,
+          nprobe = 3, codebook = Some(codebook))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding-cosine near-duplicate pairs, quantized exact all-pairs —
     // the ORACLE GATE for embedding dedup (size-guarded; see the operator
     // scaladoc). The operator the engine ships at scale is the LSH form

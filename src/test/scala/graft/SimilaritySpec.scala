@@ -67,6 +67,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF planted near-dup recall $recall")
   }
 
+  test("k-means codebook recovers planted clusters; IVF over it recalls") {
+    // planted mixture: 4 well-separated centers +- small noise — Lloyd's
+    // must place one centroid near each center
+    val rng = new scala.util.Random(17)
+    val centers = Array.tabulate(4, 64) { (c, i) =>
+      if (i % 4 == c) 1.0f else 0.0f }
+    val pts = (0 until 200).map { n =>
+      val c = n % 4
+      (n.toLong, centers(c).map(x => x + 0.05f * rng.nextGaussian().toFloat))
+    }
+    val df = spark.createDataFrame(pts).toDF("vec_id", "embedding")
+    val cb = Similarity.kMeansCodebook(df, k = 4, maxIter = 10)
+      .as[(Int, Seq[Double])].collect()
+    assert(cb.length == 4)
+    // every true center has a codebook centroid within noise distance
+    centers.foreach { tc =>
+      val best = cb.map { case (_, cv) =>
+        math.sqrt(cv.zip(tc).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.min
+      assert(best < 0.1, s"no centroid near a planted center (d=$best)")
+    }
+    // the IVF plan over the k-means codebook still finds planted near-dups
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val noisy = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val q = spark.createDataFrame(noisy.toSeq).toDF("vec_id", "embedding")
+    val codebook = Similarity.kMeansCodebook(emb, k = 8)
+    val hits = Similarity.ivfTopK(q, emb, 5, nprobe = 3,
+        codebook = Some(codebook))
+      .filter($"neighbor_id" === $"query_id" - 100000L)
+      .select($"query_id").distinct().count()
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.9, s"IVF-kmeans planted near-dup recall $recall")
+  }
+
   test("LSH near-dup pairs are a subset of exact pairs, good recall on dups") {
     val rng = new scala.util.Random(11)
     val base = emb.filter($"vec_id" < 20)
