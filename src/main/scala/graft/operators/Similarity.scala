@@ -208,32 +208,36 @@ object Similarity {
     * (their centroid had no points), so the codebook may shrink below k.
     */
   def kMeansCodebook(df: DataFrame, k: Int, maxIter: Int = 8): DataFrame = {
+    // cache the cast vectors: every iteration scans them twice (assign +
+    // update) and nothing upstream changes between iterations
     val vecs = df.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
-    var centers: Array[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0))
-    var it = 0
-    var moved = true
-    while (moved && it < maxIter) {
-      val assigned = assignCells(vecs, centers, "v")
-      val next = assigned
-        .select(col("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("c_v"))
-        .orderBy(col("cell"))
-        .collect().map(_.getSeq[Double](1))
-      moved = next.length != centers.length ||
-        next.zip(centers).exists { case (a, b) =>
-          a.zip(b).map(p => math.abs(p._1 - p._2)).max > 1e-9
-        }
-      centers = next
-      it += 1
-    }
-    val rows = centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-    df.sparkSession.createDataFrame(rows).toDF("cell", "c_v")
+      transform(col("embedding"), _.cast("double")).as("v")).cache()
+    try {
+      var centers: Array[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
+        .select(col("v")).collect()
+        .map(_.getSeq[Double](0))
+      var it = 0
+      var moved = true
+      while (moved && it < maxIter) {
+        val assigned = assignCells(vecs, centers, "v")
+        val next = assigned
+          .select(col("cell"), posexplode(col("v")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("c_v"))
+          .orderBy(col("cell"))
+          .collect().map(_.getSeq[Double](1))
+        moved = next.length != centers.length ||
+          next.zip(centers).exists { case (a, b) =>
+            a.zip(b).map(p => math.abs(p._1 - p._2)).max > 1e-9
+          }
+        centers = next
+        it += 1
+      }
+      val rows = centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      df.sparkSession.createDataFrame(rows).toDF("cell", "c_v")
+    } finally vecs.unpersist()
   }
 
   /** Map-only nearest-centroid assignment against literal centroids:

@@ -102,7 +102,7 @@ object ParquetUpsert {
 
   /** Rename-aside swap: the previous data survives any crash window and
     * is restored if the final rename fails. */
-  private def swap(fs: FileSystem, tmp: Path, target: Path,
+  private[sinks] def swap(fs: FileSystem, tmp: Path, target: Path,
       old: Path): Unit = {
     fs.delete(old, true)
     fs.mkdirs(old.getParent)

@@ -263,6 +263,44 @@ class BatchWriterSpec extends SparkSpec {
     assert(out2.count() == 10)
   }
 
+  test("compaction merges small files, skips compact dirs, keeps data") {
+    import graft.sinks.ParquetCompact
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    def parquetFiles(p: String): Seq[java.nio.file.Path] = {
+      val d = java.nio.file.Paths.get(p)
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    // plain table: 16 shards -> 1 file, data identical
+    val flat = s"$dir/flat"
+    spark.range(10000).select($"id", ($"id" * 3).as("v"))
+      .repartition(16).write.parquet(flat)
+    assert(parquetFiles(flat).size == 16)
+    assert(ParquetCompact.compact(spark, flat, targetFileBytes = 1L << 30)
+      == 1)
+    assert(parquetFiles(flat).size == 1)
+    val back = spark.read.parquet(flat)
+    assert(back.count() == 10000 &&
+      back.agg(sum($"v")).head.getLong(0) == 3L * 10000 * 9999 / 2)
+    // idempotent: second pass rewrites nothing, file untouched
+    val mt = java.nio.file.Files.getLastModifiedTime(parquetFiles(flat).head)
+    assert(ParquetCompact.compact(spark, flat, targetFileBytes = 1L << 30)
+      == 0)
+    assert(java.nio.file.Files
+      .getLastModifiedTime(parquetFiles(flat).head) == mt)
+    // hive-partitioned: each partition dir compacts independently
+    val part = s"$dir/part"
+    spark.range(3000).select($"id", ($"id" % 3).as("p"), lit("x").as("v"))
+      .repartition(8).write.partitionBy("p").parquet(part)
+    assert(parquetFiles(s"$part/p=0").size > 1)
+    assert(ParquetCompact.compact(spark, part, targetFileBytes = 1L << 30)
+      == 3)
+    (0 to 2).foreach(p => assert(parquetFiles(s"$part/p=$p").size == 1))
+    val pb = spark.read.parquet(part)
+    assert(pb.count() == 3000 && pb.select("p").distinct().count() == 3)
+    assert(pb.filter($"p" === 1).count() == 1000)
+  }
+
   test("pre/post sql hooks reject select (S10 guard)") {
     intercept[IllegalArgumentException] {
       ParquetUpsert.withHooks(spark, Seq("select 1"), Nil)(())
