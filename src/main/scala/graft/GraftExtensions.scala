@@ -57,7 +57,18 @@ object GraftFunctions {
       info(classOf[WordShingleHashes], "word_shingle_hashes",
         "word_shingle_hashes(text, n) - xxhash64 of each word n-gram"),
       arity("word_shingle_hashes", 2)(args =>
-        WordShingleHashes(args(0), intLit(args(1), "word_shingle_hashes")))))
+        WordShingleHashes(args(0), intLit(args(1), "word_shingle_hashes")))),
+    (FunctionIdentifier("minhash_signature"),
+      info(classOf[MinHashSignature], "minhash_signature",
+        "minhash_signature(hashes, perms) - MinHash sketch of a bigint " +
+          "hash array"),
+      arity("minhash_signature", 2)(args =>
+        MinHashSignature(args(0), intLit(args(1), "minhash_signature")))),
+    (FunctionIdentifier("simhash64"),
+      info(classOf[SimHash64], "simhash64",
+        "simhash64(hashes) - 64-bit SimHash fingerprint of a bigint " +
+          "hash array"),
+      arity("simhash64", 1)(args => SimHash64(args(0)))))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, fi, b) =>

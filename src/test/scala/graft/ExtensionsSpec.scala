@@ -24,6 +24,19 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT word_shingle_hashes('a b c', 2)[0] = xxhash64('a b') AS ok")
       .head.getBoolean(0)
     assert(x)
+    // sketch functions compose with the shingle hashes in pure SQL and
+    // match the DataFrame-side operator results
+    val s = spark.sql(
+      """SELECT minhash_signature(word_shingle_hashes('a b c d e', 3), 16)
+        |    AS sig,
+        |  simhash64(word_shingle_hashes('a b c d e', 1)) AS sh""".stripMargin)
+      .head
+    assert(s.getSeq[Long](0).length == 16)
+    val expectSh = graft.operators.Dedup.simhashes(
+        Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .select($"sh").as[Long].head()
+    assert(s.getLong(1) == expectSh)
   }
 
   test("extensions entry point applies the same function list") {

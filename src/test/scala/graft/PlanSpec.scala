@@ -100,6 +100,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__graft_salt"))
   }
 
+  test("nanos split pushes its range predicates into each branch's scan") {
+    spark.catalog.clearCache()
+    val p = plan("split_scan_nanos")
+    // every union branch's parquet scan carries its ts range pushed down
+    assert("GreaterThanOrEqual\\(ts,".r.findAllIn(p).size >= 6, p)
+    assert(p.contains("PushedFilters"))
+  }
+
   test("bucketed tables co-locate: join and agg plan with zero Exchange") {
     import graft.operators.Bucketing
     import org.apache.spark.sql.functions.col
