@@ -79,6 +79,36 @@ class SourcesSpec extends SparkSpec {
       QuerySqlReader.read(spark, ReaderConfig(table = TableId(name = "nation"))))
   }
 
+  test("jdbc read plan assembles scan SQL + split predicates + where") {
+    val base = ReaderConfig(columns = Seq("a", "k"),
+      table = TableId(name = "t"), numPartitions = 4,
+      split = SplitConfig(key = "k"))
+    // split mode: bare scan statement + 4 range predicates
+    val p = JdbcReadPlan.plan(base, MySqlStyle,
+      bounds = Some((BigInt(0), BigInt(99))))
+    assert(p.statements == Seq("select `a`,`k` from `t`"))
+    assert(p.predicates == Seq(
+      "`k` >= 0 and `k` < 25", "`k` >= 25 and `k` < 50",
+      "`k` >= 50 and `k` < 75", "`k` >= 75 and `k` <= 99"))
+    // user where composes per-predicate: (user) and (split)
+    val pw = JdbcReadPlan.plan(base.copy(where = "a > 5"), MySqlStyle,
+      bounds = Some((BigInt(0), BigInt(99))))
+    assert(pw.predicates.head == "(a > 5) and (`k` >= 0 and `k` < 25)")
+    assert(pw.statements == Seq("select `a`,`k` from `t`"))
+    // unsplit: where folds into the single statement
+    val pu = JdbcReadPlan.plan(base.copy(numPartitions = 1, where = "a > 5"),
+      MySqlStyle, bounds = Some((BigInt(0), BigInt(99))))
+    assert(pu.statements == Seq("select `a`,`k` from `t` where (a > 5)"))
+    assert(pu.predicates.isEmpty)
+    // no bounds probe -> unsplit
+    assert(JdbcReadPlan.plan(base, MySqlStyle, None).predicates.isEmpty)
+    // querySql passthrough beats everything (job.go:123-131)
+    val pq = JdbcReadPlan.plan(base.copy(
+      querySql = Seq("select 1", "select 2")), MySqlStyle, None)
+    assert(pq.statements == Seq("select 1", "select 2") &&
+      pq.predicates.isEmpty)
+  }
+
   test("oracle ''==NULL and trimChar value conventions (field.go:193,260)") {
     // read matrix: (value, isChar, trimChar) -> expected, per dialect
     val cases = Seq(
