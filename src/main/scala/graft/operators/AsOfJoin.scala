@@ -23,15 +23,35 @@ object AsOfJoin {
 
   /** Native as-of join through the custom operator stack
     * (graft.plans.AsOfJoinNode -> AsOfJoinStrategy -> AsOfJoinExec):
-    * one hash-cluster + sort per side, then a forward-merge pass with
-    * O(1) state — no union, no window buffer. Same output contract as
-    * [[asofBackward]] (spec-asserted equal): left columns + `asof_<name>`
-    * for each of `rightCols`, null when no right row precedes. */
-  def asofBackwardNative(left: DataFrame, right: DataFrame,
+    * one hash-cluster + sort per side, then a single merge pass with
+    * O(1) state — no union, no window buffer. Output contract: left
+    * columns + `asof_<name>` for each of `rightCols`, null when no right
+    * row qualifies.
+    *
+    * `direction`: "backward" attaches the LATEST right row with
+    * right.ts <= left.ts (spec-asserted equal to [[asofBackward]]);
+    * "forward" the EARLIEST right row with right.ts >= left.ts (the
+    * merge-asof pair of conventions; ties match in both).
+    * `tolerance`: maximum |left.ts - right.ts| in the ts column's native
+    * units (µs for timestamps) — a qualifying row further away yields
+    * null, the standard merge-asof tolerance semantic. Requires a
+    * long-backed ts column. */
+  def asofNative(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String], direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
     import org.apache.spark.sql.graft.PlanBridge
+    require(Seq("backward", "forward").contains(direction),
+      s"asof direction must be backward|forward, got $direction")
+    require(tolerance.forall(_ >= 0), "asof tolerance must be >= 0")
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types._
+      val t = left.schema(leftTs).dataType
+      require(Seq[org.apache.spark.sql.types.DataType](
+          LongType, TimestampType, TimestampNTZType).contains(t),
+        s"asof tolerance needs a long-backed ts column, got $t")
+    }
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -52,8 +72,15 @@ object AsOfJoin {
         s"column $n not in [${aliases.map(_.name).mkString(",")}]"))
     PlanBridge.ofRows(spark, AsOfJoinNode.create(lp, rp,
       keys.map(lattr), keys.map(rattr),
-      lattr(leftTs), rattr(rightTs), rightCols.map(rattr)))
+      lattr(leftTs), rattr(rightTs), rightCols.map(rattr),
+      direction, tolerance))
   }
+
+  /** Backward convenience form (the classic ASOF `>=`). */
+  def asofBackwardNative(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightCols: Seq[String]): DataFrame =
+    asofNative(left, right, keys, leftTs, rightTs, rightCols)
 
   /** Composed reference implementation (tagged union + window), kept as
     * the spec ground truth for [[asofBackwardNative]]. `rightCols` are

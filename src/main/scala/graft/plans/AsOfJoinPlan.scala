@@ -27,7 +27,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute, rightCols: Seq[Attribute],
-    asofAttrs: Seq[Attribute]) extends BinaryNode {
+    asofAttrs: Seq[Attribute],
+    direction: String = "backward",
+    tolerance: Option[Long] = None) extends BinaryNode {
   // asofAttrs are a constructor parameter (not derived) so their exprIds
   // survive tree copies — a derived val would mint fresh ids on every
   // transformation and orphan parent references
@@ -48,17 +50,21 @@ object AsOfJoinNode {
   def create(left: LogicalPlan, right: LogicalPlan,
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTs: Attribute, rightTs: Attribute,
-      rightCols: Seq[Attribute]): AsOfJoinNode =
+      rightCols: Seq[Attribute],
+      direction: String = "backward",
+      tolerance: Option[Long] = None): AsOfJoinNode =
     AsOfJoinNode(left, right, leftKeys, rightKeys, leftTs, rightTs,
       rightCols, rightCols.map(a =>
-        AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)()))
+        AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)()),
+      direction, tolerance)
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(planLater(n.left), planLater(n.right), n.leftKeys,
-        n.rightKeys, n.leftTs, n.rightTs, n.rightCols, n.output) :: Nil
+        n.rightKeys, n.leftTs, n.rightTs, n.rightCols, n.output,
+        n.direction, n.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -66,7 +72,9 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute, rightCols: Seq[Attribute],
-    output: Seq[Attribute]) extends BinaryExecNode {
+    output: Seq[Attribute],
+    direction: String = "backward",
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -106,6 +114,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       BoundReference(i, a.dataType, a.nullable)
     }
 
+    val forward = direction == "forward"
+    val tol = tolerance
+
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs)
       val rKeyProj = UnsafeProjection.create(rKeyExprs)
@@ -118,36 +129,69 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = InternalRow.fromSeq(Seq.fill(numRightCols)(null))
       val joined = new JoinedRow
 
-      // state: the last right row (projected to rightCols) whose (key, ts)
-      // precedes the merge cursor, with its key — both copied (projections
-      // and scanner rows are reused buffers)
-      var lastKey: InternalRow = null
-      var lastVals: InternalRow = null
       var rNext: InternalRow = if (rIt.hasNext) rIt.next() else null
 
-      def advanceRight(lKey: InternalRow, lTsRow: InternalRow): Unit = {
-        var continue = rNext != null
-        while (continue) {
-          val rKey = rKeyProj(rNext)
-          val kc = keyOrd.compare(rKey, lKey)
-          val precedes = kc < 0 ||
-            (kc == 0 && tsOrd.compare(tsRowR(rNext), lTsRow) <= 0)
-          if (precedes) {
-            if (kc == 0) { // only same-key rows are ever emitted
-              lastKey = rKey.copy()
-              lastVals = rColProj(rNext).copy()
-            }
-            rNext = if (rIt.hasNext) rIt.next() else null
-            continue = rNext != null
-          } else continue = false
-        }
-      }
+      if (!forward) {
+        // BACKWARD: carry the last right row whose (key, ts) precedes the
+        // merge cursor, with its key and ts — all copied (projections and
+        // scanner rows are reused buffers)
+        var lastKey: InternalRow = null
+        var lastVals: InternalRow = null
+        var lastTsLong = 0L
 
-      lIt.map { l =>
-        val lKey = lKeyProj(l)
-        advanceRight(lKey, tsRowL(l))
-        val matched = lastKey != null && keyOrd.compare(lastKey, lKey) == 0
-        resultProj(joined(l, if (matched) lastVals else nullRight))
+        def advanceRight(lKey: InternalRow, lTsRow: InternalRow): Unit = {
+          var continue = rNext != null
+          while (continue) {
+            val rKey = rKeyProj(rNext)
+            val kc = keyOrd.compare(rKey, lKey)
+            val precedes = kc < 0 ||
+              (kc == 0 && tsOrd.compare(tsRowR(rNext), lTsRow) <= 0)
+            if (precedes) {
+              if (kc == 0) { // only same-key rows are ever emitted
+                lastKey = rKey.copy()
+                lastVals = rColProj(rNext).copy()
+                if (tol.isDefined) lastTsLong = tsRowR(rNext).getLong(0)
+              }
+              rNext = if (rIt.hasNext) rIt.next() else null
+              continue = rNext != null
+            } else continue = false
+          }
+        }
+
+        lIt.map { l =>
+          val lKey = lKeyProj(l)
+          val lTsRow = tsRowL(l)
+          advanceRight(lKey, lTsRow)
+          val matched = lastKey != null &&
+            keyOrd.compare(lastKey, lKey) == 0 &&
+            tol.forall(t => lTsRow.getLong(0) - lastTsLong <= t)
+          resultProj(joined(l, if (matched) lastVals else nullRight))
+        }
+      } else {
+        // FORWARD: for each left row (ascending key, ts) the candidate is
+        // the FIRST remaining right row with equal key and ts >= left ts.
+        // Rows strictly before the cursor are dead for every later left
+        // row too, so the right iterator advances monotonically and the
+        // candidate itself is NOT consumed (it may serve several lefts).
+        lIt.map { l =>
+          val lKey = lKeyProj(l)
+          val lTsRow = tsRowL(l)
+          var continue = rNext != null
+          while (continue) {
+            val rKey = rKeyProj(rNext)
+            val kc = keyOrd.compare(rKey, lKey)
+            val dead = kc < 0 ||
+              (kc == 0 && tsOrd.compare(tsRowR(rNext), lTsRow) < 0)
+            if (dead) {
+              rNext = if (rIt.hasNext) rIt.next() else null
+              continue = rNext != null
+            } else continue = false
+          }
+          val matched = rNext != null &&
+            keyOrd.compare(rKeyProj(rNext), lKey) == 0 &&
+            tol.forall(t => tsRowR(rNext).getLong(0) - lTsRow.getLong(0) <= t)
+          resultProj(joined(l, if (matched) rColProj(rNext) else nullRight))
+        }
       }
     }
   }

@@ -103,6 +103,25 @@ object EventOps {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // forward as-of with tolerance: each purchase attached to the user's
+    // NEXT click within one hour (merge-asof's other direction, same
+    // custom physical operator; null beyond the tolerance window). The
+    // oracle is the pure-ANSI window form, not DuckDB ASOF, so it pins
+    // direction+tolerance semantics engine-independently.
+    "join_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      graft.operators.AsOfJoin.asofNative(purchases, clicks,
+          Seq("user_id"), "ts_us", "ts_us", Seq("click_id"),
+          direction = "forward", tolerance = Some(3600000000L))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_click_id"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // per-user activity profile: integer-exact rates
     "events_user_profile" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -179,6 +198,24 @@ object EventOps {
         |  CAST(CAST(c.value AS DECIMAL(12,4)) AS DOUBLE) AS asof_value
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    event_type FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM ev
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us, event_id AS click_id FROM ev
+        |  WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT p.event_id, c.click_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts_us, c.click_id) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts_us >= p.ts_us
+        |    AND c.ts_us - p.ts_us <= 3600000000)
+        |SELECT p.user_id, p.event_id, p.ts_us,
+        |  cand.click_id AS asof_click_id
+        |FROM p LEFT JOIN cand ON p.event_id = cand.event_id AND cand.rn = 1
         |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin,
 
     "events_user_profile" ->

@@ -57,6 +57,53 @@ class AsOfPlanSpec extends SparkSpec {
       (3L, 7L, None)))       // no right rows for key at all
   }
 
+  test("forward direction == backward over negated ts (tie-preserving)") {
+    // backward matches rTs <= lTs; negating both sides flips it to
+    // rTs >= lTs with ties preserved — exactly forward. Property-checked
+    // on the full fixture.
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"event_id".as("click_id"))
+    val fwd = AsOfJoin.asofNative(purchases, clicks,
+      Seq("user_id"), "ts_us", "ts_us", Seq("click_id"),
+      direction = "forward")
+    val negP = purchases.withColumn("ts_us", -$"ts_us")
+    val negC = clicks.withColumn("ts_us", -$"ts_us")
+    val viaNeg = AsOfJoin.asofNative(negP, negC,
+        Seq("user_id"), "ts_us", "ts_us", Seq("click_id"))
+      .withColumn("ts_us", -$"ts_us")
+      .select(fwd.columns.map(col).toSeq: _*)
+    assert(fwd.count() == purchases.count())
+    assert(fwd.exceptAll(viaNeg).isEmpty && viaNeg.exceptAll(fwd).isEmpty)
+    // and it genuinely matches something
+    assert(fwd.filter($"asof_click_id".isNotNull).count() > 0)
+  }
+
+  test("tolerance nulls out matches beyond the gap, both directions") {
+    val l = Seq((1L, 100L, "a"), (1L, 200L, "b")).toDF("k", "t", "tag")
+    val r = Seq((1L, 95L, 900L), (1L, 210L, 901L)).toDF("k", "t", "rid")
+    def run(dir: String, tol: Option[Long]) =
+      AsOfJoin.asofNative(l, r, Seq("k"), "t", "t", Seq("rid"), dir, tol)
+        .select($"t", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    // backward: t=100 -> 95 (gap 5), t=200 -> 95 (gap 105)
+    assert(run("backward", None) ==
+      Map(100L -> Some(900L), 200L -> Some(900L)))
+    assert(run("backward", Some(10L)) ==
+      Map(100L -> Some(900L), 200L -> None))
+    // forward: t=100 -> 210 (gap 110), t=200 -> 210 (gap 10)
+    assert(run("forward", None) ==
+      Map(100L -> Some(901L), 200L -> Some(901L)))
+    assert(run("forward", Some(10L)) ==
+      Map(100L -> None, 200L -> Some(901L)))
+    // validation
+    intercept[IllegalArgumentException](
+      AsOfJoin.asofNative(l, r, Seq("k"), "t", "t", Seq("rid"), "sideways"))
+    intercept[IllegalArgumentException](
+      AsOfJoin.asofNative(l, r, Seq("k"), "t", "t", Seq("rid"),
+        tolerance = Some(-1L)))
+  }
+
   test("multi-column keys and null keys group like the window form") {
     val l = Seq((Some(1L), "x", 10L), (None: Option[Long], "x", 10L))
       .toDF("k1", "k2", "t")
