@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset splitting for training pipelines.
+  *
+  * Random `df.sample` draws differently per run, partition layout, and
+  * engine — useless for a reproducible train/val/test protocol. The
+  * standard fix is CONTENT-HASH bucketing: bucket = hash(id) % 100, split
+  * by cumulative ranges. Assignment is then a pure map-only function of
+  * the row id: stable across runs, engines, repartitions, and appends
+  * (new rows join splits in ratio without reshuffling old ones).
+  *
+  * The bucket hash is md5 (cross-engine-identical hex) with the first 8
+  * nibbles decoded arithmetically — Spark and any ANSI engine compute the
+  * exact same integer, so the whole operator is oracle-checkable
+  * (ascii/substring/CASE only; no engine-specific hash). */
+object Sampling {
+
+  /** Decoded value of hex nibble `i` (1-based) of lowercase hex `h`:
+    * ascii - 48 for '0'..'9', ascii - 87 for 'a'..'f'. */
+  private def nib(h: Column, i: Int): Column = {
+    val a = ascii(substring(h, i, 1))
+    (a - when(a >= 97, 87).otherwise(48)).cast("long")
+  }
+
+  /** Uniform bucket in [0, buckets) from the first 8 md5 nibbles of the
+    * id rendered as a string (a full 32-bit value, so modulo bias is
+    * < 2^-25 for buckets <= 10^4). */
+  def hashBucket(id: Column, buckets: Int = 100): Column = {
+    require(buckets > 0)
+    val h = md5(id.cast("string"))
+    (1 to 8).map(i => nib(h, i) * lit(1L << (4 * (8 - i))))
+      .reduce(_ + _) % buckets
+  }
+
+  /** Split assignment by cumulative bucket ranges: `splits` are
+    * (name, percent) summing to 100 — e.g. Seq(("train",80),("val",10),
+    * ("test",10)). Adds a `split` column. */
+  def hashSplit(df: DataFrame, id: Column,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100 &&
+      splits.forall(_._2 > 0), s"split percents must sum to 100: $splits")
+    val b = hashBucket(id, 100)
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(cum).init.foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      when(b < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** The same nibble-decode bucket as ANSI SQL text (for oracle parity
+    * and raw-SQL users): identical formula, identical value. */
+  def hashBucketSql(idExpr: String, buckets: Int = 100): String = {
+    def nibSql(i: Int): String =
+      s"CAST(ascii(substring(h,$i,1)) - CASE WHEN ascii(substring(h,$i,1))" +
+        s" >= 97 THEN 87 ELSE 48 END AS BIGINT)"
+    val sum = (1 to 8)
+      .map(i => s"${nibSql(i)} * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"(($sum) % $buckets)"
+  }
+}

@@ -128,6 +128,19 @@ object TextDedup {
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), k = 3)
         .select(col("doc_id"), col("content_hash"), col("min_shingle_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // deterministic train/val/test split by content-hash bucket — the
+    // reproducible sampling protocol (stable across runs/engines/
+    // repartitions; oracle-exact because the bucket is an arithmetic
+    // md5-nibble decode, not an engine hash)
+    "sample_hash_split" -> ((s, d) => {
+      graft.operators.Sampling.hashSplit(Tables.documents(s, d),
+          col("doc_id"), Seq(("train", 80), ("val", 10), ("test", 10)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
     })
   )
 
@@ -187,6 +200,16 @@ object TextDedup {
 
   val oracles: Map[String, String] = Map(
     "pipeline_clean_corpus" -> pipelineOracle,
+    "sample_hash_split" ->
+      s"""WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |  ${graft.operators.Sampling.hashBucketSql("doc_id")} AS bucket
+         |  FROM hx)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_dups

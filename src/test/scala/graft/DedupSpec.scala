@@ -121,6 +121,33 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected map-only plan:\n$plan")
   }
 
+  test("hash split: deterministic, ratio-true, SQL formula parity") {
+    import graft.operators.Sampling
+    val split = Sampling.hashSplit(docs, col("doc_id"),
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    // every row assigned, assignment invariant under repartitioning
+    assert(split.filter($"split".isNull).isEmpty)
+    val a = split.select($"doc_id", $"split")
+    val b = Sampling.hashSplit(docs.repartition(7), col("doc_id"),
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select($"doc_id", $"split")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // ratios within binomial noise on the 500-doc fixture
+    val n = docs.count().toDouble
+    val train = split.filter($"split" === "train").count()
+    assert(train > n * 0.7 && train < n * 0.9, s"train=$train of $n")
+    // the SQL text formula computes the identical bucket
+    docs.select(md5($"doc_id".cast("string")).as("h"),
+        Sampling.hashBucket($"doc_id").as("b"))
+      .createOrReplaceTempView("hb")
+    val mismatch = spark.sql(
+      s"SELECT * FROM hb WHERE ${Sampling.hashBucketSql("doc_id")} != b")
+    assert(mismatch.isEmpty)
+    // validation: percents must sum to 100
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(docs, col("doc_id"), Seq(("a", 50), ("b", 40))))
+  }
+
   test("connected components: chains, stars, singletons") {
     // graph: chain 1-2-3-4, star 10-{11,12}, singleton 99
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
