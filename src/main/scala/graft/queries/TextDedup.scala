@@ -130,6 +130,32 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF backbone, integer-exact: per-doc term frequencies + corpus
+    // document frequencies, top-3 terms per doc by (tf desc, term). The
+    // idf itself is a float log the caller applies (ln(N/df)) — keeping
+    // the query integral makes it hash-exact across engines while
+    // exercising the full shape: explode -> (doc,term) agg -> df join ->
+    // per-doc window. df join shuffles on term (vocabulary-partitioned;
+    // broadcast it when the vocab fits).
+    "text_tfidf_topterms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+          .as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("term"))
+      tf.join(df_, "term")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // deterministic train/val/test split by content-hash bucket — the
     // reproducible sampling protocol (stable across runs/engines/
     // repartitions; oracle-exact because the bucket is an arithmetic
@@ -200,6 +226,21 @@ object TextDedup {
 
   val oracles: Map[String, String] = Map(
     "pipeline_clean_corpus" -> pipelineOracle,
+    "text_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM tf GROUP BY doc_id, term),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+        |ranked AS (
+        |  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+        |    ROW_NUMBER() OVER (PARTITION BY tfc.doc_id
+        |      ORDER BY tfc.tf DESC, tfc.term) AS rnk
+        |  FROM tfc JOIN dfc USING (term))
+        |SELECT doc_id, rnk, term, tf, df FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
     "sample_hash_split" ->
       s"""WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
          |  FROM documents),

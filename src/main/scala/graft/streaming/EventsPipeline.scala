@@ -95,6 +95,30 @@ object EventsPipeline {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks within the preceding `interval` — the enrichment join
+    * the reference's batch pipeline cannot express. Watermarks on BOTH
+    * sides bound the buffered state: Spark keeps each side only for
+    * interval + watermark, so state is O(rate x horizon), not O(stream).
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      interval: String = "1 hour", watermark: String = "10 minutes")
+      : DataFrame = {
+    val p = withEventTime(purchases)
+      .withWatermark("event_time", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_time").as("p_time"))
+    val c = withEventTime(clicks)
+      .withWatermark("event_time", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("c_time"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_time") >= col("p_time") - expr(s"INTERVAL $interval") &&
+        col("c_time") <= col("p_time"))
+      .select(col("purchase_id"), col("user_id"), col("p_time"),
+        col("click_id"), col("c_time"))
+  }
+
   /** Streaming replace-mode sink: each micro-batch upserts by key into a
     * parquet target (partition-pruned when `partitionBy` is set).
     * foreachBatch is at-least-once; upsert-by-key is idempotent, so the

@@ -121,6 +121,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter($"event_id" === 1).head.getDouble(2) == 1.0)
   }
 
+  test("stream-stream interval join matches clicks in the window only") {
+    implicit val sq = spark.sqlContext
+    val pm = MemoryStream[(Long, Long, Long)]
+    val cm = MemoryStream[(Long, Long, Long)]
+    val p = pm.toDF().toDF("event_id", "ts", "user_id")
+    val c = cm.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventsPipeline.purchaseClickJoin(p, c, "1 hour", "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    val t0 = 1700000000000000000L
+    def ns(min: Double) = t0 + (min * 60e9).toLong
+    // user 1: click 30 min before purchase (match), click 2 h before (no),
+    // click after the purchase (no); user 2: click from another user (no)
+    cm.addData((100L, ns(30), 1L), (101L, ns(-60), 1L), (102L, ns(70), 1L),
+      (103L, ns(40), 2L))
+    pm.addData((1L, ns(60), 1L))
+    q.processAllAvailable()
+    val out = spark.table("ssj_out")
+    assert(out.count() == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(3) == 100L)
+    q.stop()
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
