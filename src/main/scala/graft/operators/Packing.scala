@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the LLM-training data op that concatenates
+  * documents into fixed-capacity token sequences (docs flow contiguously;
+  * a document crossing a capacity boundary starts its sequence at the
+  * boundary it begins in, the classic pack-then-chunk layout).
+  *
+  * Scale shape: a GLOBAL packing order would be a single-partition
+  * window; instead documents are sharded by the deterministic
+  * [[Sampling.hashBucket]] and packed within shards (the standard
+  * practice — shards are the training data-parallel unit anyway), so the
+  * window partitions by shard and parallelism is shard-wide. All
+  * arithmetic is integral (token counts, cumulative sums, div/mod), so
+  * the layout is bit-identical across engines and fully oracle-checkable.
+  */
+object Packing {
+
+  /** Assign each document a (shard, seq_id, tok_offset): documents pack
+    * in doc-id order within their hash shard; `seq_id` is the capacity
+    * bin its span STARTS in, `tok_offset` the position within that bin.
+    * `nTokens` must be an integral token-count column. */
+  def packSequences(df: DataFrame, id: Column, nTokens: Column,
+      capTokens: Int, shards: Int = 64): DataFrame = {
+    require(capTokens > 0 && shards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", Sampling.hashBucket(id, shards))
+      .withColumn("n_tok", nTokens.cast("long"))
+      .withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("seq_id", expr(s"start div ${capTokens.toLong}"))
+      .withColumn("tok_offset", col("start") % capTokens.toLong)
+      .drop("start")
+  }
+}

@@ -156,6 +156,19 @@ object TextDedup {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // sequence packing: docs concatenated into 512-token sequences
+    // within 8 deterministic hash shards — integral cumulative-sum
+    // layout, bit-identical across engines
+    "pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Packing.packSequences(docs, col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))), capTokens = 512,
+          shards = 8)
+        .select(col("doc_id"), col("shard"), col("n_tok"), col("seq_id"),
+          col("tok_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic train/val/test split by content-hash bucket — the
     // reproducible sampling protocol (stable across runs/engines/
     // repartitions; oracle-exact because the bucket is an arithmetic
@@ -240,6 +253,21 @@ object TextDedup {
         |  FROM tfc JOIN dfc USING (term))
         |SELECT doc_id, rnk, term, tf, df FROM ranked
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH hx AS (SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |b AS (SELECT doc_id, n_tok,
+         |  ${graft.operators.Sampling.hashBucketSql("doc_id", 8)} AS shard
+         |  FROM hx),
+         |c AS (SELECT doc_id, shard, n_tok,
+         |  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS start
+         |  FROM b)
+         |SELECT doc_id, shard, n_tok, start // 512 AS seq_id,
+         |  start % 512 AS tok_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "sample_hash_split" ->
       s"""WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h

@@ -148,6 +148,32 @@ class DedupSpec extends SparkSpec {
       Sampling.hashSplit(docs, col("doc_id"), Seq(("a", 50), ("b", 40))))
   }
 
+  test("sequence packing: contiguous within shard, deterministic") {
+    import graft.operators.Packing
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(df, col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))), capTokens = 512,
+          shards = 4)
+        .select($"doc_id", $"shard", $"n_tok", $"seq_id", $"tok_offset")
+    val rows = pack(docs).orderBy($"shard", $"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == docs.count())
+    // contiguity: replaying each shard's docs in order reproduces every
+    // (seq_id, tok_offset) from the running token count
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.foreach { case (_, _, n, seq, off) =>
+        assert(seq == cum / 512 && off == cum % 512)
+        assert(off < 512)
+        cum += n
+      }
+    }
+    // layout invariant under input repartitioning
+    val again = pack(docs.repartition(5)).orderBy($"shard", $"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.sameElements(again))
+  }
+
   test("connected components: chains, stars, singletons") {
     // graph: chain 1-2-3-4, star 10-{11,12}, singleton 99
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
