@@ -27,6 +27,39 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup against a persistent hash index — how dedup
+    * actually runs in a production ingest loop: each new batch drops rows
+    * whose content hash was EVER seen before, then the survivors' hashes
+    * append to the index. At 100 TB the historical corpus is never
+    * re-read — only the hash-only index joins (column-pruned, one
+    * anti-join shuffle), and the index append is idempotent by hash
+    * ([[graft.sinks.ParquetUpsert]] keyed on the hash), so replaying a
+    * failed batch cannot corrupt it. Returns the surviving rows. */
+  def exactKeepIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, indexPath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val target = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hashed = newDocs.withColumn("content_hash", md5(col(textCol)))
+    val unseen =
+      if (fs.exists(target))
+        hashed.join(spark.read.parquet(indexPath), Seq("content_hash"),
+          "left_anti")
+      else hashed
+    // batch-internal dedup (min id per hash); localCheckpoint CUTS the
+    // plan's lineage to the index files — a persist() would be
+    // invalidated by the index write's own refreshByPath and silently
+    // recompute against the post-write index (= drop everything)
+    val survivors = unseen.join(
+      unseen.groupBy(col("content_hash")).agg(min(col(idCol)).as(idCol)),
+      Seq(idCol, "content_hash"), "left_semi")
+      .localCheckpoint()
+    graft.sinks.ParquetUpsert.upsert(
+      survivors.select(col("content_hash")).distinct(), indexPath,
+      Seq("content_hash"))
+    survivors.drop("content_hash")
+  }
+
   /** Distinct word-k-shingles, exploded: (id, shingle). The inverted-index
     * backbone for the near-dup operators (native codegen'd shingling —
     * graft.functions.WordShingles). */

@@ -63,6 +63,8 @@ object ParquetCompact {
     }
     fs.delete(new Path(path + ".compact-tmp"), true)
     fs.delete(new Path(path + ".compact-old"), true)
+    if (rewritten > 0) // FS-level swaps bypass Spark's listing cache
+      spark.catalog.refreshByPath(path)
     rewritten
   }
 }

@@ -44,6 +44,10 @@ object ParquetUpsert {
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(tmp.toString)
       swap(fs, tmp, target, new Path(path + ".upsert-old"))
+      // the FS-level swap bypasses Spark's write paths, so the session's
+      // shared FileStatusCache still lists the PRE-swap files — a
+      // subsequent read of the same path would silently see stale data
+      spark.catalog.refreshByPath(path)
     }
   }
 
@@ -98,6 +102,7 @@ object ParquetUpsert {
         fs.delete(new Path(target, sub), true)
     }
     fs.delete(tmp, true); fs.delete(old, true)
+    spark.catalog.refreshByPath(path) // invalidate stale file listings
   }
 
   /** Rename-aside swap: the previous data survives any crash window and

@@ -121,6 +121,29 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected map-only plan:\n$plan")
   }
 
+  test("incremental dedup: cross-batch suppression via the hash index") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-idx").toString
+    val idx = s"$dir/hash_index"
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val k1 = Dedup.exactKeepIncremental(b1, "doc_id", "text", idx)
+    // batch-internal dedup: min id survives
+    assert(k1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    // batch 2: one historical dup, one in-batch dup pair, one new
+    val b2 = Seq((10L, "gamma"), (11L, "delta"), (12L, "delta"),
+        (13L, "epsilon"))
+      .toDF("doc_id", "text")
+    val k2 = Dedup.exactKeepIncremental(b2, "doc_id", "text", idx)
+    assert(k2.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(11L, 13L))
+    // replaying the same batch is a no-op (idempotent index append)
+    val k3 = Dedup.exactKeepIncremental(b2, "doc_id", "text", idx)
+    assert(k3.isEmpty)
+    // index holds exactly the distinct hashes ever admitted
+    assert(spark.read.parquet(idx).count() == 4)
+  }
+
   test("hash split: deterministic, ratio-true, SQL formula parity") {
     import graft.operators.Sampling
     val split = Sampling.hashSplit(docs, col("doc_id"),
