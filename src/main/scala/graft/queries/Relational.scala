@@ -405,6 +405,17 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- unpivot / melt (Dataset.unpivot; oracle = UNION ALL) ------------
+    "unpivot_order_measures" -> ((s, d) => {
+      val wide = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+      wide.unpivot(Array(col("o_orderstatus")),
+          Array(col("n_orders"), col("n_custs")), "measure", "value")
+        .orderBy(col("o_orderstatus"), col("measure"))
+    }),
+
     // ---- grouping sets ----------------------------------------------------
     "agg_grouping_sets" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -674,6 +685,17 @@ object Relational {
         |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
         |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "unpivot_order_measures" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |    COUNT(DISTINCT o_custkey) AS n_custs
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value
+        |FROM wide
+        |UNION ALL
+        |SELECT o_orderstatus, 'n_custs', n_custs FROM wide
+        |ORDER BY o_orderstatus, measure""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
