@@ -2,6 +2,7 @@ package graft
 
 import graft.sources._
 import org.apache.spark.sql.functions._
+import scala.concurrent.duration._
 
 /** Dialect SQL-builder shapes (exact-string tests mirroring the
   * reference's pure builders, SURVEY.md §5), schema normalization, and
@@ -77,6 +78,52 @@ class SourcesSpec extends SparkSpec {
     // empty statement list is a config error
     intercept[IllegalArgumentException](
       QuerySqlReader.read(spark, ReaderConfig(table = TableId(name = "nation"))))
+  }
+
+  test("reference JSON job configs load into the typed configs") {
+    val rj =
+      """{"column": ["a", "k"],
+        | "connection": {"url": "jdbc:mysql://h:3306/d",
+        |   "table": {"db": "inst", "schema": "sch", "name": "lineitem"}},
+        | "where": "a > 5",
+        | "split": {"key": "k", "timeAccuracy": "min",
+        |   "range": {"type": "bigint", "left": "1", "right": "99"}},
+        | "querySql": []}""".stripMargin
+    val rc = ConfigJson.reader(rj)
+    assert(rc.columns == Seq("a", "k"))
+    assert(rc.table == TableId("inst", "sch", "lineitem"))
+    assert(rc.where == "a > 5")
+    assert(rc.split.key == "k" && rc.split.timeAccuracy == "min")
+    assert(rc.split.range.contains(SplitRange("bigint", "1", "99")))
+    // defaults when fields are absent (reference defaults)
+    val rcd = ConfigJson.reader(
+      """{"connection": {"table": {"name": "t"}}}""")
+    assert(rcd.columns == Seq("*") && rcd.where == "" &&
+      rcd.split.key == "" && rcd.split.timeAccuracy == "day" &&
+      rcd.split.range.isEmpty && rcd.querySql.isEmpty)
+    // the parsed config drives the read plan end-to-end
+    val plan = JdbcReadPlan.plan(rc.copy(numPartitions = 2), MySqlStyle,
+      bounds = Some((BigInt(1), BigInt(99))))
+    assert(plan.predicates.size == 2 &&
+      plan.predicates.head.startsWith("(a > 5) and"))
+
+    val wj =
+      """{"column": ["a"],
+        | "connection": {"table": {"name": "t"}},
+        | "writeMode": "replace", "batchSize": 2500,
+        | "batchTimeout": "500ms",
+        | "preSQL": ["truncate table t"], "postSQL": ["analyze table t"]}"""
+        .stripMargin
+    val wc = ConfigJson.writer(wj)
+    assert(wc.writeMode == "replace" && wc.batchSize == 2500)
+    assert(wc.batchTimeout == 500.millis)
+    assert(wc.preSql == Seq("truncate table t") &&
+      wc.postSql == Seq("analyze table t"))
+    assert(wc.execMode == "Normal") // default
+    // writer defaults mirror writer/config.go:20-23
+    val wcd = ConfigJson.writer("""{"connection": {"table": {"name": "t"}}}""")
+    assert(wcd.batchSize == 1000 && wcd.batchTimeout == 1.second &&
+      wcd.writeMode == "insert")
   }
 
   test("jdbc read plan assembles scan SQL + split predicates + where") {
