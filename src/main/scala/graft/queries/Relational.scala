@@ -173,6 +173,21 @@ object Relational {
         .orderBy(col("o_custkey"), col("rank_in_cust"))
     }),
 
+    // ---- ranking-family windows: ntile / percent_rank / cume_dist ------
+    // (deterministic: the order key ends in the unique o_orderkey, and
+    // percent_rank/cume_dist are integer-ratio doubles — bit-identical
+    // across engines)
+    "window_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- sort + limit (top-k -> TakeOrderedAndProject) -----------------
     "sort_topk_orders" -> ((s, d) => {
       Tables.orders(s, d)
@@ -548,6 +563,15 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rank_in_cust""".stripMargin,
+
+    "window_rank_family" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "sort_topk_orders" ->
       """SELECT o_orderkey, o_custkey,
