@@ -173,6 +173,16 @@ object Relational {
         .orderBy(col("o_custkey"), col("rank_in_cust"))
     }),
 
+    // ---- global dense row number WITHOUT the 1-partition window --------
+    // (range-repartition + per-partition offsets; oracle = the window
+    // form, proving the distributed shape computes the identical ids)
+    "global_row_number" -> ((s, d) => {
+      graft.operators.Ids.denseGlobalRowNumber(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          Seq(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- ranking-family windows: ntile / percent_rank / cume_dist ------
     // (deterministic: the order key ends in the unique o_orderkey, and
     // percent_rank/cume_dist are integer-ratio doubles — bit-identical
@@ -563,6 +573,12 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rank_in_cust""".stripMargin,
+
+    "global_row_number" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+        |    AS row_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "window_rank_family" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -108,6 +108,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters"))
   }
 
+  test("global row number is dense, ordered, and multi-partition") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max}
+    val base = Tables.orders(spark, Sf0).select(col("o_orderkey"))
+    val ids = graft.operators.Ids.denseGlobalRowNumber(base,
+      Seq(col("o_orderkey")), numPartitions = Some(4))
+    // distributed: not the 1-partition global-window collapse
+    assert(ids.rdd.getNumPartitions > 1)
+    val n = base.count()
+    val agg = ids.agg(max(col("row_id")), countDistinct(col("row_id"))).head
+    assert(agg.getLong(0) == n - 1 && agg.getLong(1) == n)
+    // order agreement: bigger key -> bigger id (sampled pairwise)
+    val rows = ids.orderBy(col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.sliding(2).foreach {
+      case Array((k1, i1), (k2, i2)) => assert(k1 < k2 && i1 < i2)
+      case _ =>
+    }
+  }
+
   test("bucketed tables co-locate: join and agg plan with zero Exchange") {
     import graft.operators.Bucketing
     import org.apache.spark.sql.functions.col
