@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints — the validation layer an ingest
+  * pipeline runs before committing a batch (unique keys, null checks,
+  * range/format invariants). Each rule compiles to a plain filter/agg
+  * plan; the whole report fuses into ONE pass over the data per rule
+  * family (conditional aggregation for row rules, one groupBy for
+  * uniqueness), so a report over 100 TB costs a scan, not a scan per
+  * rule. */
+object Quality {
+
+  sealed trait Rule { def name: String }
+  /** Column must be non-null. */
+  final case class NotNull(col: String) extends Rule {
+    val name = s"not_null($col)"
+  }
+  /** Column must lie in [lo, hi] (nulls don't violate — pair with
+    * NotNull). */
+  final case class InRange(col: String, lo: Double, hi: Double)
+      extends Rule {
+    val name = s"in_range($col,$lo,$hi)"
+  }
+  /** Column must match the regex (nulls don't violate). */
+  final case class Matches(col: String, regex: String) extends Rule {
+    val name = s"matches($col)"
+  }
+  /** Column set must be unique across the table (violations = rows
+    * beyond the first per duplicate key). */
+  final case class Unique(cols: Seq[String]) extends Rule {
+    val name = s"unique(${cols.mkString(",")})"
+  }
+
+  private def rowPredicate(r: Rule): Option[Column] = r match {
+    case NotNull(c) => Some(col(c).isNull)
+    case InRange(c, lo, hi) =>
+      Some(col(c).isNotNull && (col(c) < lo || col(c) > hi))
+    case Matches(c, re) => Some(col(c).isNotNull && !col(c).rlike(re))
+    case _: Unique => None
+  }
+
+  /** (rule, n_violations) per rule. Row rules fuse into one conditional
+    * aggregation; each Unique rule adds one groupBy pass. */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowRules = rules.flatMap(r => rowPredicate(r).map(r.name -> _))
+    val rowReport: Option[DataFrame] =
+      if (rowRules.isEmpty) None
+      else {
+        val aggs = rowRules.map { case (n, p) =>
+          sum(when(p, 1L).otherwise(0L)).as(n)
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head
+        Some(rowRules.zipWithIndex
+          .map { case ((n, _), i) => (n, row.getLong(i)) }
+          .toDF("rule", "n_violations"))
+      }
+    val uniqueReports = rules.collect { case u: Unique =>
+      df.groupBy(u.cols.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") - 1), lit(0L)).as("n_violations"))
+        .select(lit(u.name).as("rule"), col("n_violations"))
+    }
+    (rowReport.toSeq ++ uniqueReports).reduce(_ unionByName _)
+  }
+
+  /** The rows failing any row-level rule, tagged with the failed rule
+    * names (Unique rules are table-level and not included here). */
+  def violations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val preds = rules.flatMap(r => rowPredicate(r).map(r.name -> _))
+    require(preds.nonEmpty, "no row-level rules given")
+    val tags = array(preds.map { case (n, p) =>
+      when(p, n).otherwise(lit(null))
+    }: _*)
+    df.withColumn("failed_rules", filter(tags, _.isNotNull))
+      .filter(size(col("failed_rules")) > 0)
+  }
+}

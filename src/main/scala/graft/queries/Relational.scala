@@ -173,6 +173,18 @@ object Relational {
         .orderBy(col("o_custkey"), col("rank_in_cust"))
     }),
 
+    // ---- declarative data-quality report (one fused scan) --------------
+    "quality_report" -> ((s, d) => {
+      import graft.operators.Quality._
+      report(Tables.lineitem(s, d), Seq(
+          NotNull("l_orderkey"),
+          InRange("l_quantity", 1, 50),
+          InRange("l_discount", 0, 0.05), // intentionally tight: violations
+          Matches("l_returnflag", "^[ANR]$"),
+          Unique(Seq("l_orderkey", "l_linenumber"))))
+        .orderBy(col("rule"))
+    }),
+
     // ---- global dense row number WITHOUT the 1-partition window --------
     // (range-repartition + per-partition offsets; oracle = the window
     // form, proving the distributed shape computes the identical ids)
@@ -573,6 +585,33 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rank_in_cust""".stripMargin,
+
+    "quality_report" ->
+      """SELECT rule, n_violations FROM (
+        |  SELECT 'not_null(l_orderkey)' AS rule,
+        |    COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_quantity,1.0,50.0)',
+        |    COUNT(*) FILTER (WHERE l_quantity IS NOT NULL
+        |      AND (l_quantity < 1 OR l_quantity > 50))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_discount,0.0,0.05)',
+        |    COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+        |      AND (l_discount < 0 OR l_discount > 0.05))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'matches(l_returnflag)',
+        |    COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+        |      AND NOT regexp_matches(l_returnflag, '^[ANR]$'))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)',
+        |    CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS n FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber))
+        |ORDER BY rule""".stripMargin,
 
     "global_row_number" ->
       """SELECT o_orderkey, o_custkey,
