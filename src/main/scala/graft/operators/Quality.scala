@@ -42,11 +42,11 @@ object Quality {
   }
 
   /** (rule, n_violations) per rule. Row rules fuse into one conditional
-    * aggregation; each Unique rule adds one groupBy pass. */
+    * aggregation; each Unique rule adds one groupBy pass. Fully LAZY —
+    * the report is a plan (row counts unpivoted from the one-row
+    * aggregate), so it composes/unions without a driver round-trip. */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty)
-    val spark = df.sparkSession
-    import spark.implicits._
     val rowRules = rules.flatMap(r => rowPredicate(r).map(r.name -> _))
     val rowReport: Option[DataFrame] =
       if (rowRules.isEmpty) None
@@ -54,10 +54,10 @@ object Quality {
         val aggs = rowRules.map { case (n, p) =>
           sum(when(p, 1L).otherwise(0L)).as(n)
         }
-        val row = df.agg(aggs.head, aggs.tail: _*).head
-        Some(rowRules.zipWithIndex
-          .map { case ((n, _), i) => (n, row.getLong(i)) }
-          .toDF("rule", "n_violations"))
+        Some(df.agg(aggs.head, aggs.tail: _*)
+          .unpivot(Array.empty[Column],
+            rowRules.map { case (n, _) => col(s"`$n`") }.toArray,
+            "rule", "n_violations"))
       }
     val uniqueReports = rules.collect { case u: Unique =>
       df.groupBy(u.cols.map(col): _*)
