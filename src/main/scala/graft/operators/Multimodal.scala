@@ -60,6 +60,18 @@ object Multimodal {
       : Dataset[DecodedFrame] =
     frames.filter(f => f.frame_idx % every == 0)
 
+  /** Resize stub: dimension change with a deterministic pixels-hash
+    * lineage (the real resampler is codec-side; the engine contract is
+    * the map-only shape transform). Identical inputs stay identical
+    * after resize — the property multimodal dedup relies on. */
+  def resizeFrames(frames: Dataset[DecodedFrame], w: Int, h: Int)
+      : Dataset[DecodedFrame] = {
+    require(w > 0 && h > 0)
+    frames.map(f => f.copy(width = w, height = h,
+      pixels_hash = f.pixels_hash * 1315423911L + w.toLong * 31 + h))(
+      frames.encoder)
+  }
+
   /** Feature extraction stub over decoded frames: deterministic
     * "embedding" per frame, keeping the array<float> contract that feeds
     * graft.operators.Similarity. */

@@ -39,6 +39,33 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.filter($"frame_idx" =!= 0).count() == 0)
   }
 
+  test("resize keeps identity lineage; duplicate media dedups end-to-end") {
+    val frames = Multimodal.decodeFrames(spark, media.limit(20))
+    val resized = Multimodal.resizeFrames(frames, 2, 2)
+    assert(resized.count() == frames.count())
+    assert(resized.filter(f => f.width != 2 || f.height != 2).isEmpty)
+    // identical inputs stay identical through resize (dedup invariant)
+    val r2 = Multimodal.resizeFrames(frames, 2, 2)
+    assert(resized.except(r2).isEmpty)
+    intercept[IllegalArgumentException](
+      Multimodal.resizeFrames(frames, 0, 2))
+
+    // end-to-end multimodal dedup: a planted duplicate payload flows
+    // decode -> resize -> features -> LSH and surfaces as a cosine-1 pair
+    val dup = media.limit(5)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"media")
+    val corpus = media.select($"doc_id", $"media").unionByName(dup)
+    val feats = graft.operators.Multimodal.frameFeatures(spark,
+        Multimodal.resizeFrames(
+          Multimodal.decodeFrames(spark, corpus), 2, 2), dim = 8)
+      .filter($"frame_idx" === 0)
+      .select($"doc_id".as("vec_id"), $"embedding")
+    val pairs = graft.operators.Similarity
+      .nearDupPairsLsh(feats, tau = 0.999, dim = 8, bits = 4, tables = 8)
+      .filter($"id_b" === $"id_a" + 100000L)
+    assert(pairs.count() == 5, "every planted duplicate pair surfaces")
+  }
+
   test("frame features keep the array<float> similarity contract") {
     val feats = Multimodal.frameFeatures(spark,
       Multimodal.decodeFrames(spark, media.limit(10)), dim = 8)
