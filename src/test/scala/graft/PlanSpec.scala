@@ -108,6 +108,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters"))
   }
 
+  test("quality report fuses all row rules into one scan") {
+    spark.catalog.clearCache()
+    val p = plan("quality_report")
+    // 4 row rules + 1 unique rule must cost exactly TWO lineitem scans
+    // (one conditional aggregation + one groupBy), not one per rule
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 2, p)
+  }
+
   test("global row number is dense, ordered, and multi-partition") {
     import org.apache.spark.sql.functions.{col, countDistinct, max}
     val base = Tables.orders(spark, Sf0).select(col("o_orderkey"))
