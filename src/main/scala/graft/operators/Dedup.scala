@@ -112,14 +112,18 @@ object Dedup {
     * dedup step (pairs -> clusters -> one canonical survivor per
     * cluster). Component id = min node id reachable.
     *
-    * Distributed min-label propagation: every iteration is one
-    * edges-x-labels join + min-aggregate (all shuffle-on-key, no driver
-    * data paths; the only driver-side value is the convergence count).
-    * Lineage is cut per iteration with localCheckpoint — an iterative
-    * algorithm otherwise compounds its plan. Converges in <= graph
-    * diameter iterations; near-dup graphs are overwhelmingly tiny stars
-    * and chains, so the practical bound is a handful (use the large-star/
-    * small-star variant if a corpus ever produces long chains).
+    * Distributed min-label propagation WITH POINTER JUMPING: every
+    * iteration joins neighbor labels (one edges-x-labels join +
+    * min-aggregate) and then also adopts the label's own label
+    * (labels-x-labels join) — the path-halving step that makes rounds
+    * O(log n) instead of O(diameter), so a 1M-link chain converges in
+    * ~20 rounds, not 1M. All shuffle-on-key, no driver data paths; the
+    * only driver-side value is the convergence count, riding the
+    * checkpoint job as an observed metric (ONE action per iteration).
+    * Lineage is cut per iteration with localCheckpoint.
+    *
+    * Throws IllegalStateException if maxIter rounds don't converge —
+    * silently returning partial labels would be a wrong dedup.
     *
     * `nodes` may carry isolated ids (docs with no near-dup): they keep
     * their own id as component. */
@@ -137,15 +141,24 @@ object Dedup {
       while (!converged && i < maxIter) {
         val nbrMin = edges.join(labels, edges("v") === labels("node"))
           .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
-        // the changed count rides the checkpoint job as an observed
-        // metric: ONE action per iteration, no second convergence job
-        val obs = new org.apache.spark.sql.Observation(s"cc_changed_$i")
-        val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
-          .select(col("node"),
+        val viaNbr = labels
+          .join(nbrMin, labels("node") === nbrMin("u"), "left")
+          .select(col("node"), col("component"),
             least(col("component"), coalesce(col("nbr_min"), col("component")))
-              .as("component"),
-            (coalesce(col("nbr_min"), col("component")) < col("component"))
-              .as("changed"))
+              .as("comp1"))
+        // pointer jump: also adopt the current label OF the new label —
+        // halves every label chain each round
+        val parents = labels
+          .select(col("node").as("p_node"), col("component").as("p_comp"))
+        val obs = new org.apache.spark.sql.Observation(s"cc_changed_$i")
+        val next = viaNbr
+          .join(parents, viaNbr("comp1") === parents("p_node"), "left")
+          .select(col("node"),
+            least(col("comp1"), coalesce(col("p_comp"), col("comp1")))
+              .as("new_comp"),
+            col("component"))
+          .select(col("node"), col("new_comp").as("component"),
+            (col("new_comp") < col("component")).as("changed"))
           .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
           .localCheckpoint()
         // sum over an empty frame is null -> converged
@@ -153,6 +166,8 @@ object Dedup {
         labels = next.drop("changed")
         i += 1
       }
+      if (!converged) throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
       labels
     } finally edges.unpersist()
   }

@@ -209,6 +209,22 @@ class DedupSpec extends SparkSpec {
     assert(comp(99L) == 99L)
   }
 
+  test("connected components: 150-link chain converges in O(log n) rounds") {
+    // min-label alone needs ~n rounds on a chain and would blow
+    // maxIter=20; pointer jumping must close it well inside the budget
+    val n = 150
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val pairs = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(nodes, pairs, "id", "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == n && comp.values.forall(_ == 1L))
+    // non-convergence is an error, never a silent partial answer
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, pairs, "id", "a", "b", maxIter = 2)
+        .count()
+    }
+  }
+
   test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
     val k = 8; val w = 4
     val core = "the quick brown fox jumps over the lazy dog"
