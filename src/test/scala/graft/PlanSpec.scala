@@ -108,6 +108,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters"))
   }
 
+  test("range-clustered layout prunes a key-range scan to few files") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    val orders = Tables.orders(spark, Sf0)
+    // same table, random vs range-clustered layout, 8 files each
+    orders.repartition(8).write.parquet(s"$dir/random")
+    graft.operators.Layout.writeRangeClustered(orders, s"$dir/clustered",
+      Seq(col("o_orderdate")), nFiles = 8)
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("o_orderdate").between("1996-01-01", "1996-03-31"))
+        .select(input_file_name()).distinct().count()
+    val rnd = filesTouched(s"$dir/random")
+    val clu = filesTouched(s"$dir/clustered")
+    // ~4% of the date range: every random file holds matches, the
+    // clustered layout confines them to a file or two
+    assert(rnd >= 6, s"random layout touched only $rnd files")
+    assert(clu <= 2, s"clustered layout touched $clu files")
+    // identical data either way
+    assert(spark.read.parquet(s"$dir/clustered").count() == orders.count())
+  }
+
   test("quality report fuses all row rules into one scan") {
     spark.catalog.clearCache()
     val p = plan("quality_report")
