@@ -22,11 +22,14 @@ object Packing {
   /** Assign each document a (shard, seq_id, tok_offset): documents pack
     * in doc-id order within their hash shard; `seq_id` is the capacity
     * bin its span STARTS in, `tok_offset` the position within that bin.
-    * `nTokens` must be an integral token-count column. */
+    * `nTokens` must be an integral token-count column. `within` adds
+    * outer packing units (e.g. the train/val split column) so each unit
+    * packs independently. */
   def packSequences(df: DataFrame, id: Column, nTokens: Column,
-      capTokens: Int, shards: Int = 64): DataFrame = {
+      capTokens: Int, shards: Int = 64,
+      within: Seq[Column] = Seq.empty): DataFrame = {
     require(capTokens > 0 && shards > 0)
-    val w = Window.partitionBy(col("shard")).orderBy(id)
+    val w = Window.partitionBy(within :+ col("shard"): _*).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", Sampling.hashBucket(id, shards))
       .withColumn("n_tok", nTokens.cast("long"))

@@ -156,6 +156,30 @@ object TextDedup {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // THE end-to-end LLM-prep pipeline: quality gate -> language filter
+    // -> exact dedup -> deterministic train/val split -> sharded
+    // sequence packing -> per-(split, shard) manifest. Every stage is an
+    // operator above; every stage is integral, so the whole composition
+    // is hash-exact against the oracle.
+    "pipeline_training_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.qualityFeatures(docs, col("text"))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      val gated = scored.filter(col("n_tokens") >= 5 &&
+        col("alpha_ratio") > 0.5 && col("lang_pred") =!= "und")
+      val deduped = Dedup.exactKeep(gated, "doc_id", "text")
+      val split = graft.operators.Sampling.hashSplit(deduped, col("doc_id"),
+        Seq(("train", 90), ("val", 10)))
+      val packed = graft.operators.Packing.packSequences(split,
+        col("doc_id"), col("n_tokens"), capTokens = 512, shards = 4,
+        within = Seq(col("split")))
+      packed.groupBy(col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          max(col("seq_id")).as("max_seq"))
+        .orderBy(col("split"), col("shard"))
+    }),
+
     // sequence packing: docs concatenated into 512-token sequences
     // within 8 deterministic hash shards — integral cumulative-sum
     // layout, bit-identical across engines
@@ -237,8 +261,41 @@ object TextDedup {
        |ORDER BY g.doc_id""".stripMargin
   }
 
+  private def trainingShardsOracle: String = {
+    import graft.operators.Sampling
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    len(string_split(text,' ')) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS alpha_ratio,
+       |    $langHits
+       |  FROM documents),
+       |bb AS (SELECT *, $langBest AS best FROM scored),
+       |lang AS (SELECT doc_id, text, n_tokens, alpha_ratio,
+       |    $langChain AS lang_pred FROM bb),
+       |gated AS (SELECT * FROM lang
+       |  WHERE n_tokens >= 5 AND alpha_ratio > 0.5 AND lang_pred != 'und'),
+       |keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+       |ded AS (SELECT g.doc_id, g.n_tokens
+       |  FROM gated g JOIN keep k ON g.doc_id = k.doc_id),
+       |hx AS (SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM ded),
+       |sb AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tok,
+       |  CASE WHEN ${Sampling.hashBucketSql("doc_id", 100)} < 90
+       |    THEN 'train' ELSE 'val' END AS split,
+       |  ${Sampling.hashBucketSql("doc_id", 4)} AS shard FROM hx),
+       |c AS (SELECT split, shard, n_tok, doc_id,
+       |  CAST(SUM(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS start FROM sb)
+       |SELECT split, shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       |  MAX(start // 512) AS max_seq
+       |FROM c GROUP BY split, shard ORDER BY split, shard""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "pipeline_clean_corpus" -> pipelineOracle,
+    "pipeline_training_shards" -> trainingShardsOracle,
     "text_tfidf_topterms" ->
       """WITH tf AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
