@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.AnnOps.defs ++
       graft.queries.EventOps.defs ++
       graft.queries.SplitOps.defs ++
-      graft.queries.MediaOps.defs
+      graft.queries.MediaOps.defs ++
+      graft.queries.PrepOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.AnnOps.oracles ++
       graft.queries.EventOps.oracles ++
       graft.queries.SplitOps.oracles ++
-      graft.queries.MediaOps.oracles
+      graft.queries.MediaOps.oracles ++
+      graft.queries.PrepOps.oracles
 }

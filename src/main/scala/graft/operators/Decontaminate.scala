@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-grams with an evaluation/benchmark set (the standard contamination
+  * control before LLM training; GPT-3 appendix C / PaLM-style n-gram
+  * overlap, with k configurable — production uses k≈13, the tiny test
+  * vocabulary uses a smaller k to stay discriminative).
+  *
+  * Scale shape: the eval set's distinct shingles are SMALL by construction
+  * (benchmarks are thousands of docs, not billions) — they broadcast; the
+  * training side streams map-only through explode -> broadcast-hash-join
+  * -> partial-agg'd groupBy(doc). No all-pairs, no shuffle of the corpus
+  * text itself; the only exchange is the per-doc overlap count (bounded by
+  * contaminated docs, not corpus size).
+  */
+object Decontaminate {
+
+  /** Distinct word-k-gram set of the eval corpus. */
+  def evalShingles(eval: DataFrame, text: Column, k: Int): DataFrame =
+    eval.select(explode(TextAnalysis.shingles(text, k)).as("shingle"))
+      .distinct()
+
+  /** Per-training-doc contamination report: `n_overlap` = number of the
+    * doc's DISTINCT k-grams also present in the eval set, plus the
+    * resulting `contaminated` flag. Every training doc appears exactly
+    * once (zero-overlap docs report 0 / false). */
+  def overlapReport(train: DataFrame, eval: DataFrame, id: Column,
+      text: Column, k: Int): DataFrame = {
+    val ev = evalShingles(eval, text, k)
+    val tr = train
+      .select(id.as("__id"), explode(TextAnalysis.shingles(text, k))
+        .as("shingle"))
+      .distinct()
+    val hits = tr.join(broadcast(ev), "shingle")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    train.select(id.as("__id"))
+      .join(hits, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** The cleaning form: training docs with NO k-gram overlap with the
+    * eval set — a broadcast LEFT ANTI join against the contaminated-id
+    * set, keeping the full training schema. */
+  def clean(train: DataFrame, eval: DataFrame, id: Column, text: Column,
+      k: Int): DataFrame = {
+    val ev = evalShingles(eval, text, k)
+    val contaminatedIds = train
+      .select(id.as("__id"), explode(TextAnalysis.shingles(text, k))
+        .as("shingle"))
+      .join(broadcast(ev), "shingle")
+      .select(col("__id")).distinct()
+    train.join(contaminatedIds.withColumnRenamed("__id", "___cid"),
+      id === col("___cid"), "left_anti")
+  }
+}

@@ -338,4 +338,45 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Corpus-level boilerplate-span removal (the C4/CCNet "line dedup"
+    * rule, over token spans since the fixtures carry no newlines): cut
+    * each doc into consecutive non-overlapping `spanTokens`-token spans,
+    * drop every span occurring in >= `minDocs` DISTINCT docs anywhere in
+    * the corpus, and reassemble the surviving spans in document order.
+    *
+    * Returns (id, n_spans, n_spans_kept, text_clean) — text_clean is ''
+    * when every span was boilerplate. Scale shape: explode -> span-keyed
+    * count (map-side partial agg; the span domain, not the corpus, bounds
+    * the exchange) -> shuffle join back on span -> groupBy(doc)
+    * reassembly. The span-count table is corpus-wide state, but
+    * distinct-span cardinality is sublinear in corpus size for natural
+    * text; skew on ultra-hot spans is absorbed by the partial agg. */
+  def dropBoilerplateSpans(df: DataFrame, idCol: String, text: Column,
+      spanTokens: Int = 3, minDocs: Int = 5): DataFrame = {
+    require(spanTokens > 0 && minDocs > 1,
+      s"need spanTokens > 0, minDocs > 1: $spanTokens / $minDocs")
+    val ws = TextAnalysis.tokens(text)
+    // span starts 1, 1+s, 1+2s, ... — a step-sequence, no division; the
+    // ragged tail span just slices short
+    val spans = transform(sequence(lit(1), size(ws), lit(spanTokens)),
+      st => concat_ws(" ", slice(ws, st, lit(spanTokens))))
+    val exploded = df
+      .select(col(idCol), posexplode(spans).as(Seq("pos", "span")))
+    val hot = exploded.groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span"))
+    val kept = exploded.join(hot, Seq("span"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          x => x.getField("span")), " ").as("text_clean"))
+    df.select(col(idCol), size(spans).cast("long").as("n_spans"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -51,6 +51,29 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Weighted mixture sampling: per-GROUP deterministic keep rates — the
+    * "domain mixing" step of a training-data pipeline (keep 100% of a
+    * high-quality source, 10% of a crawl tier, ...). `rates` maps a group
+    * value to its keep percentage; unlisted groups get `defaultRate`.
+    *
+    * Assignment is the same content-hash bucket as [[hashSplit]]:
+    * map-only, stable across runs/engines/appends, and rows of one id
+    * keep/drop consistently under every rate change that keeps them
+    * (rate increases only ever ADD rows — bucket < 20 implies
+    * bucket < 50 — so mixtures can be re-weighted without churning the
+    * previously sampled set). Adds `keep_rate` and `kept`. */
+  def weightedKeep(df: DataFrame, id: Column, group: Column,
+      rates: Seq[(String, Int)], defaultRate: Int = 100): DataFrame = {
+    require(rates.forall { case (_, r) => r >= 0 && r <= 100 } &&
+      defaultRate >= 0 && defaultRate <= 100,
+      s"rates must be percentages in [0,100]: $rates / $defaultRate")
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((g, r), acc) => when(group === g, lit(r)).otherwise(acc)
+    }
+    df.withColumn("keep_rate", rate)
+      .withColumn("kept", hashBucket(id, 100) < col("keep_rate"))
+  }
+
   /** The same nibble-decode bucket as ANSI SQL text (for oracle parity
     * and raw-SQL users): identical formula, identical value. */
   def hashBucketSql(idExpr: String, buckets: Int = 100): String = {

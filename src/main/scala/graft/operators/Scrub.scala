@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII / pattern scrubbing for training-data pipelines: redact every match
+  * of a pattern list from a text column and report per-pattern match
+  * counts.
+  *
+  * Pure codegen'd column transforms (`regexp_replace` / `regexp_count`) —
+  * map-only at any scale, no shuffle, no UDFs. Patterns are applied IN
+  * ORDER to the running redacted text (so an earlier pattern can't leak a
+  * fragment a later pattern would have caught differently); counts are
+  * measured against the text each pattern actually saw.
+  *
+  * Regexes must stay in the ANSI-portable subset (character classes,
+  * bounded repetition, alternation — no lookaround, no backrefs) so the
+  * same pattern text runs identically on Spark (java.util.regex) and any
+  * RE2-based engine, keeping the operator oracle-checkable.
+  */
+object Scrub {
+
+  /** A redaction rule: counts land in column `n_<name>`. */
+  final case class Rule(name: String, pattern: String, replacement: String)
+
+  /** The standard PII rule set: emails, IPv4 addresses, long digit runs
+    * (phone/account numbers). Deliberately simple, portable regexes —
+    * production sets swap in stricter ones through the same seam. */
+  val PiiRules: Seq[Rule] = Seq(
+    Rule("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    Rule("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+      "<IP>"),
+    Rule("digits", "[0-9]{6,}", "<NUM>"))
+
+  /** Adds `text_clean` plus one `n_<rule>` count column per rule.
+    * `text` is left untouched (callers drop it when they want the
+    * scrubbed corpus only). */
+  def redact(df: DataFrame, text: Column, rules: Seq[Rule] = PiiRules)
+      : DataFrame = {
+    require(rules.nonEmpty && rules.map(_.name).distinct.size == rules.size,
+      s"rule names must be unique and non-empty: ${rules.map(_.name)}")
+    val (cleaned, counts) =
+      rules.foldLeft((text, Seq.empty[(String, Column)])) {
+        case ((t, cs), r) =>
+          (regexp_replace(t, r.pattern, r.replacement),
+            cs :+ (s"n_${r.name}", regexp_count(t, lit(r.pattern))))
+      }
+    counts.foldLeft(df.withColumn("text_clean", cleaned)) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+  }
+}

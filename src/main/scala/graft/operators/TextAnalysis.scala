@@ -125,6 +125,49 @@ object TextAnalysis {
       .toDF(idCol, "fingerprints")
   }
 
+  /** Gopher-style repetition quality stats (Rae et al. 2021 §A1.1),
+    * adapted to token n-grams: for n in {2, 3}, the total n-gram count,
+    * the count of the single most frequent n-gram, and the number of
+    * n-gram OCCURRENCES whose gram appears more than once in the doc —
+    * plus the derived fractions repetitive docs are filtered on.
+    *
+    * Counts are integral (hash-exact cross-engine); fractions are
+    * int/int double divisions (bit-deterministic). Scale shape: one
+    * explode -> groupBy(doc, gram) -> groupBy(doc) pipeline per n, both
+    * shuffles keyed on the doc id with map-side partial aggregation —
+    * no corpus-wide state, unlike the corpus-frequency operators. */
+  def repetitionStats(df: DataFrame, idCol: String, text: Column)
+      : DataFrame = {
+    def statsFor(n: Int): DataFrame = {
+      val suffix = s"_${n}gram"
+      df.select(col(idCol), explode(shingles(text, n)).as("gram"))
+        .groupBy(col(idCol), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol))
+        .agg(sum(col("c")).as(s"n$suffix"),
+          max(col("c")).as(s"top$suffix"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+            .as(s"dup$suffix"))
+    }
+    val base = df.select(col(idCol), size(tokens(text)).as("n_tokens"),
+      size(array_distinct(tokens(text))).as("n_distinct_tokens"))
+    base.join(statsFor(2), Seq(idCol), "left")
+      .join(statsFor(3), Seq(idCol), "left")
+      .na.fill(0L, Seq("n_2gram", "top_2gram", "dup_2gram",
+        "n_3gram", "top_3gram", "dup_3gram"))
+      .withColumn("distinct_ratio",
+        col("n_distinct_tokens").cast("double") / col("n_tokens"))
+      .withColumn("top_2gram_frac",
+        when(col("n_2gram") > 0,
+          col("top_2gram").cast("double") / col("n_2gram")).otherwise(0.0))
+      .withColumn("dup_3gram_frac",
+        when(col("n_3gram") > 0,
+          col("dup_3gram").cast("double") / col("n_3gram")).otherwise(0.0))
+      .withColumn("passes_repetition",
+        col("distinct_ratio") > 0.2 && col("top_2gram_frac") <= 0.2 &&
+          col("dup_3gram_frac") <= 0.6)
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style, base 257 mod 2^61-1) over
     * the UTF-8 bytes — the classic fingerprint primitive. Exposed as a
     * deterministic Scala function for winnowing-style pipelines; not

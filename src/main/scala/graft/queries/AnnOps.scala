@@ -68,6 +68,17 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // product-quantization ANN (Jégou et al. 2011): per-subspace k-means
+    // codebooks, m-code compression, ADC table scan, exact re-rank.
+    // Codebooks/codes are engine-specific -> rows-only check; recall vs
+    // exact top-k is spec'd in SimilaritySpec
+    "ann_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb.filter(col("vec_id") < NQueries), emb, TopK,
+          Dim)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding-cosine near-duplicate pairs, quantized exact all-pairs —
     // the ORACLE GATE for embedding dedup (size-guarded; see the operator
     // scaladoc). The operator the engine ships at scale is the LSH form

@@ -1,0 +1,271 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Decontaminate, Dedup, Sampling, Scrub, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation query surface, round 4: benchmark
+  * decontamination, repetition-quality filters, PII scrubbing, weighted
+  * mixture sampling, corpus-level boilerplate-span removal, and
+  * fixed-point embedding quantization.
+  *
+  * Every query here is DuckDB-oracle-checked: counts stay integral,
+  * ratios are int/int double divisions, the sampling bucket is the
+  * arithmetic md5-nibble decode, and the quantizer is floor-based (no
+  * round-tie divergence) — all cross-engine bit-exact.
+  */
+object PrepOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Decontamination shingle width: k=4 keeps the tiny ~40-word fixture
+    * vocabulary discriminative (40^4 possible grams vs ~2k eval grams);
+    * production corpora use k≈13 through the same operator. */
+  val DecontamK = 4
+
+  /** Eval set = content-hash bucket 0 of 20 (~5% of docs) — a stand-in
+    * benchmark set derived deterministically from the fixtures. */
+  val EvalBuckets = 20
+
+  val SpanTokens = 3
+  val SpanMinDocs = 5
+
+  /** Mixture rates by source; unlisted sources keep `MixDefault`%. */
+  val MixRates: Seq[(String, Int)] =
+    Seq("src0" -> 100, "src1" -> 80, "src2" -> 50, "src3" -> 20,
+      "src4" -> 10, "src5" -> 5)
+  val MixDefault = 25
+
+  private def evalSplit(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .withColumn("__bucket", Sampling.hashBucket(col("doc_id"), EvalBuckets))
+    (docs.filter(col("__bucket") =!= 0).drop("__bucket"),
+      docs.filter(col("__bucket") === 0).drop("__bucket"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    // benchmark decontamination: training docs flagged by word-4-gram
+    // overlap with the (hash-bucket-derived) eval set
+    "text_decontaminate" -> ((s, d) => {
+      val (train, eval_) = evalSplit(s, d)
+      Decontaminate.overlapReport(train, eval_, col("doc_id"), col("text"),
+          DecontamK)
+        .select(col("__id").as("doc_id"), col("n_overlap"),
+          col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition stats + filter verdict per doc
+    "quality_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id",
+          col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          col("n_2gram"), col("top_2gram"), col("dup_2gram"),
+          col("n_3gram"), col("top_3gram"), col("dup_3gram"),
+          col("distinct_ratio"), col("top_2gram_frac"),
+          col("dup_3gram_frac"), col("passes_repetition"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub over text + a deterministic doc_id-derived PII footer
+    // (the fixtures' text is pure words; the footer plants one email,
+    // one IPv4, and one long digit run per doc so every rule fires)
+    "pii_scrub" -> ((s, d) => {
+      val withPii = Tables.documents(s, d).withColumn("text2",
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 10).cast("string"), lit(" id "),
+          (col("doc_id") + 100000).cast("string")))
+      Scrub.redact(withPii, col("text2"))
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"),
+          col("n_digits"), length(col("text_clean")).as("len_clean"),
+          col("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // weighted mixture sampling: per-source deterministic keep rates
+    "mix_weighted_sample" -> ((s, d) => {
+      Sampling.weightedKeep(Tables.documents(s, d), col("doc_id"),
+          col("source"), MixRates, MixDefault)
+        .groupBy(col("source"))
+        .agg(min(col("keep_rate")).as("keep_rate"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // corpus-level boilerplate-span removal (C4-style line dedup over
+    // 3-token spans; spans in >= 5 distinct docs are dropped)
+    "dedup_spans_corpus" -> ((s, d) => {
+      Dedup.dropBoilerplateSpans(Tables.documents(s, d), "doc_id",
+          col("text"), SpanTokens, SpanMinDocs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // fixed-point int8 embedding quantization, integral summary per vec
+    "embed_quantize" -> ((s, d) => {
+      val q = graft.operators.Similarity
+        .quantizeFixedPoint(col("embedding"), fracBits = 6)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), q.as("qv"))
+        .select(col("vec_id"), size(col("qv")).as("n_dims"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("sum_q"),
+          array_min(col("qv")).as("min_q"),
+          array_max(col("qv")).as("max_q"),
+          graft.functions.VectorFunctions.vec_dot_long(col("qv"), col("qv"))
+            .as("ssq_q"),
+          size(filter(col("qv"), x => x === 127L || x === -128L))
+            .as("n_sat"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  /** DuckDB word-k-gram list over `string_split(text,' ')` — the same
+    * semantics as TextAnalysis.shingles (empty when fewer than k tokens). */
+  private def duckGrams(k: Int, wsExpr: String = "string_split(text,' ')")
+      : String = {
+    val parts = (0 until k).map(j => s"$wsExpr[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len($wsExpr) - ${k - 2}, 1)), i -> $parts)"
+  }
+
+  private val bucket20 = Sampling.hashBucketSql("doc_id", EvalBuckets)
+
+  private def decontaminateOracle: String =
+    s"""WITH hx AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |b AS (SELECT doc_id, text, $bucket20 AS bucket FROM hx),
+       |ev AS (SELECT DISTINCT UNNEST(${duckGrams(DecontamK)}) AS shingle
+       |  FROM b WHERE bucket = 0),
+       |tr AS (SELECT DISTINCT doc_id,
+       |    UNNEST(${duckGrams(DecontamK)}) AS shingle
+       |  FROM b WHERE bucket != 0),
+       |hits AS (SELECT tr.doc_id, COUNT(*) AS n_overlap
+       |  FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id)
+       |SELECT b.doc_id, COALESCE(hits.n_overlap, 0) AS n_overlap,
+       |  COALESCE(hits.n_overlap, 0) > 0 AS contaminated
+       |FROM b LEFT JOIN hits ON b.doc_id = hits.doc_id
+       |WHERE b.bucket != 0 ORDER BY b.doc_id""".stripMargin
+
+  private def repetitionOracle: String = {
+    def stats(n: Int): String =
+      s"""g$n AS (SELECT doc_id, UNNEST(${duckGrams(n, "w")}) AS gram
+         |  FROM ws),
+         |c$n AS (SELECT doc_id, gram, COUNT(*) AS c FROM g$n GROUP BY 1, 2),
+         |s$n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_${n}gram,
+         |    MAX(c) AS top_${n}gram,
+         |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         |      AS dup_${n}gram
+         |  FROM c$n GROUP BY doc_id)""".stripMargin
+    s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
+       |  FROM documents),
+       |base AS (SELECT doc_id, len(w) AS n_tokens,
+       |  len(list_distinct(w)) AS n_distinct_tokens FROM ws),
+       |${stats(2)},
+       |${stats(3)},
+       |j AS (SELECT base.doc_id, n_tokens, n_distinct_tokens,
+       |  COALESCE(n_2gram, 0) AS n_2gram, COALESCE(top_2gram, 0) AS top_2gram,
+       |  COALESCE(dup_2gram, 0) AS dup_2gram,
+       |  COALESCE(n_3gram, 0) AS n_3gram, COALESCE(top_3gram, 0) AS top_3gram,
+       |  COALESCE(dup_3gram, 0) AS dup_3gram
+       |  FROM base LEFT JOIN s2 ON base.doc_id = s2.doc_id
+       |  LEFT JOIN s3 ON base.doc_id = s3.doc_id)
+       |SELECT doc_id, n_tokens, n_distinct_tokens, n_2gram, top_2gram,
+       |  dup_2gram, n_3gram, top_3gram, dup_3gram,
+       |  CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_ratio,
+       |  CASE WHEN n_2gram > 0 THEN CAST(top_2gram AS DOUBLE) / n_2gram
+       |    ELSE CAST(0 AS DOUBLE) END AS top_2gram_frac,
+       |  CASE WHEN n_3gram > 0 THEN CAST(dup_3gram AS DOUBLE) / n_3gram
+       |    ELSE CAST(0 AS DOUBLE) END AS dup_3gram_frac,
+       |  (CAST(n_distinct_tokens AS DOUBLE) / n_tokens > 0.2
+       |    AND (CASE WHEN n_2gram > 0 THEN CAST(top_2gram AS DOUBLE) / n_2gram
+       |      ELSE CAST(0 AS DOUBLE) END) <= 0.2
+       |    AND (CASE WHEN n_3gram > 0 THEN CAST(dup_3gram AS DOUBLE) / n_3gram
+       |      ELSE CAST(0 AS DOUBLE) END) <= 0.6) AS passes_repetition
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
+
+  private def piiOracle: String = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val digits = "[0-9]{6,}"
+    s"""WITH t0 AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com from 10.0.'
+       |      || CAST(doc_id % 256 AS VARCHAR) || '.'
+       |      || CAST(doc_id % 10 AS VARCHAR) || ' id '
+       |      || CAST(doc_id + 100000 AS VARCHAR) AS t
+       |  FROM documents),
+       |t1 AS (SELECT doc_id, t,
+       |    len(regexp_extract_all(t, '$email')) AS n_email,
+       |    regexp_replace(t, '$email', '<EMAIL>', 'g') AS t_e FROM t0),
+       |t2 AS (SELECT doc_id, n_email,
+       |    len(regexp_extract_all(t_e, '$ipv4')) AS n_ipv4,
+       |    regexp_replace(t_e, '$ipv4', '<IP>', 'g') AS t_i FROM t1),
+       |t3 AS (SELECT doc_id, n_email, n_ipv4,
+       |    len(regexp_extract_all(t_i, '$digits')) AS n_digits,
+       |    regexp_replace(t_i, '$digits', '<NUM>', 'g') AS text_clean
+       |  FROM t2)
+       |SELECT doc_id, n_email, n_ipv4, n_digits,
+       |  length(text_clean) AS len_clean, text_clean
+       |FROM t3 ORDER BY doc_id""".stripMargin
+  }
+
+  private def mixOracle: String = {
+    val rateCase = MixRates
+      .map { case (g, r) => s"WHEN source = '$g' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $MixDefault END")
+    s"""WITH hx AS (SELECT doc_id, source,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |b AS (SELECT doc_id, source, $rateCase AS keep_rate,
+       |    ${Sampling.hashBucketSql("doc_id", 100)} AS bucket FROM hx)
+       |SELECT source, MIN(keep_rate) AS keep_rate, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN bucket < keep_rate THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept
+       |FROM b GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  private def spansOracle: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
+       |  FROM documents),
+       |sp AS (SELECT doc_id,
+       |    UNNEST(range(0, len(range(1, len(w) + 1, $SpanTokens)))) AS pos,
+       |    UNNEST(list_transform(range(1, len(w) + 1, $SpanTokens),
+       |      st -> array_to_string(w[st:st+${SpanTokens - 1}], ' '))) AS span
+       |  FROM ws),
+       |hot AS (SELECT span FROM sp GROUP BY span
+       |  HAVING COUNT(DISTINCT doc_id) >= $SpanMinDocs),
+       |kept AS (SELECT sp.* FROM sp ANTI JOIN hot ON sp.span = hot.span),
+       |re AS (SELECT doc_id, COUNT(*) AS n_spans_kept,
+       |    string_agg(span, ' ' ORDER BY pos) AS text_clean
+       |  FROM kept GROUP BY doc_id)
+       |SELECT ws.doc_id,
+       |  CAST(len(range(1, len(w) + 1, $SpanTokens)) AS BIGINT) AS n_spans,
+       |  COALESCE(re.n_spans_kept, 0) AS n_spans_kept,
+       |  COALESCE(re.text_clean, '') AS text_clean
+       |FROM ws LEFT JOIN re ON ws.doc_id = re.doc_id
+       |ORDER BY ws.doc_id""".stripMargin
+
+  private def quantizeOracle: String = {
+    val q = "list_transform(embedding, x -> GREATEST(-128, LEAST(127, " +
+      "CAST(FLOOR(CAST(x AS DOUBLE) * 64) AS BIGINT))))"
+    s"""WITH qv AS (SELECT vec_id, $q AS q FROM embeddings)
+       |SELECT vec_id, len(q) AS n_dims,
+       |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+       |  list_aggregate(q, 'min') AS min_q,
+       |  list_aggregate(q, 'max') AS max_q,
+       |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS ssq_q,
+       |  len(list_filter(q, x -> x = 127 OR x = -128)) AS n_sat
+       |FROM qv ORDER BY vec_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_decontaminate" -> decontaminateOracle,
+    "quality_repetition" -> repetitionOracle,
+    "pii_scrub" -> piiOracle,
+    "mix_weighted_sample" -> mixOracle,
+    "dedup_spans_corpus" -> spansOracle,
+    "embed_quantize" -> quantizeOracle
+  )
+}

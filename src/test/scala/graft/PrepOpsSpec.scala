@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{Decontaminate, Dedup, Sampling, Scrub, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 training-data prep operators: PII scrub,
+  * decontamination, weighted mixture sampling, boilerplate-span removal,
+  * and repetition-quality stats. */
+class PrepOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Scrub.redact replaces every rule match and counts per rule") {
+    val df = Seq(
+      (1L, "mail me at bob@example.com or alice@test.org now"),
+      (2L, "server 10.0.0.1 and 192.168.1.200 ok"),
+      (3L, "account 1234567 ref 999999123"),
+      (4L, "plain words only")).toDF("id", "t")
+    val out = Scrub.redact(df, $"t")
+      .select($"id", $"text_clean", $"n_email", $"n_ipv4", $"n_digits")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "mail me at <EMAIL> or <EMAIL> now", 2, 0, 0)))
+    assert(out(1) == ((2L, "server <IP> and <IP> ok", 0, 2, 0)))
+    assert(out(2) == ((3L, "account <NUM> ref <NUM>", 0, 0, 2)))
+    assert(out(3) == ((4L, "plain words only", 0, 0, 0)))
+  }
+
+  test("Scrub counts measure the text the rule actually saw (in order)") {
+    // the email's digits are consumed by the email rule before the
+    // digits rule runs — n_digits must not double-count them
+    val df = Seq((1L, "x 1234567@mail.com y 7654321 z")).toDF("id", "t")
+    val r = Scrub.redact(df, $"t")
+      .select($"text_clean", $"n_email", $"n_digits")
+      .as[(String, Int, Int)].head()
+    assert(r == (("x <EMAIL> y <NUM> z", 1, 1)))
+  }
+
+  test("decontamination flags exactly the docs sharing an eval k-gram") {
+    val eval_ = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "something about the quick brown fox here"), // shares 4-gram
+      (2L, "quick brown dog sits quietly today"),       // no shared 4-gram
+      (3L, "the quick brown fox jumps again and again") // shares 4-grams
+    ).toDF("doc_id", "text")
+    val rep = Decontaminate.overlapReport(train, eval_, $"doc_id", $"text",
+        k = 4)
+      .select($"__id", $"n_overlap", $"contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rep.map(r => (r._1, r._3)).toSeq ==
+      Seq((1L, true), (2L, false), (3L, true)))
+    assert(rep(0)._2 == 1L) // "the quick brown fox"
+    assert(rep(2)._2 == 2L) // + "quick brown fox jumps"
+    val cleaned = Decontaminate.clean(train, eval_, $"doc_id", $"text", 4)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(cleaned == Seq(2L))
+  }
+
+  test("weightedKeep: rate 0 drops all, 100 keeps all, rates are nested") {
+    val df = (0L until 200L).map(i => (i, s"g${i % 2}")).toDF("id", "g")
+    def keptAt(r20: Int): Set[Long] =
+      Sampling.weightedKeep(df, $"id", $"g", Seq("g0" -> r20, "g1" -> 100))
+        .filter($"kept" && $"g" === "g0").select($"id").as[Long]
+        .collect().toSet
+    assert(keptAt(0).isEmpty)
+    assert(keptAt(100).size == 100)
+    val k20 = keptAt(20); val k50 = keptAt(50)
+    assert(k20.subsetOf(k50), "raising a rate must only add rows")
+    assert(k20.nonEmpty && k50.size > k20.size)
+    val g1 = Sampling.weightedKeep(df, $"id", $"g", Seq("g0" -> 0))
+      .filter($"g" === "g1") // unlisted -> defaultRate=100
+    assert(g1.filter(!$"kept").count() == 0)
+  }
+
+  test("boilerplate spans occurring in >= minDocs docs are removed") {
+    val boiler = "click here now" // will appear in 5 docs
+    val docs = (1L to 5L).map(i => (i, s"unique$i words body$i $boiler")) :+
+      (6L, s"fresh text entirely unlike others") :+
+      (7L, boiler) // doc that is ONLY boilerplate
+    val out = Dedup.dropBoilerplateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", $"text", spanTokens = 3, minDocs = 5)
+      .select($"doc_id", $"n_spans", $"n_spans_kept", $"text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // docs 1-5: 2 spans, boilerplate span dropped, unique span kept
+    (0 until 5).foreach { i =>
+      val (id, n, k, t) = out(i)
+      assert(n == 2 && k == 1, s"doc $id: $n/$k")
+      assert(t == s"unique$id words body$id")
+    }
+    assert(out(5)._4 == "fresh text entirely unlike others")
+    assert(out(6) == ((7L, 1L, 0L, ""))) // all-boilerplate doc empties
+  }
+
+  test("span reassembly preserves document order across many spans") {
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val out = Dedup.dropBoilerplateSpans(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", $"text", spanTokens = 4, minDocs = 2)
+      .select($"text_clean").as[String].head()
+    assert(out == text, "no span is hot, so the doc must round-trip intact")
+  }
+
+  test("repetitionStats: hand-computed counts and the filter verdict") {
+    val df = Seq(
+      (1L, "a b a b a b"),          // 6 tokens, heavy 2-gram repetition
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", $"text")
+      .select($"doc_id", $"n_tokens", $"n_distinct_tokens", $"n_2gram",
+        $"top_2gram", $"dup_2gram", $"n_3gram", $"top_3gram", $"dup_3gram",
+        $"passes_repetition")
+      .as[(Long, Int, Int, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    // doc 1 2-grams: [a b, b a, a b, b a, a b] -> n=5, top=3 (a b), dup=5
+    assert(out(0) == ((1L, 6, 2, 5L, 3L, 5L, 4L, 2L, 4L, false)))
+    // doc 2: all grams unique
+    assert(out(1) == ((2L, 6, 6, 5L, 1L, 0L, 4L, 1L, 0L, true)))
+  }
+
+  test("repetitionStats handles docs too short for any n-gram") {
+    val out = TextAnalysis.repetitionStats(
+        Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", $"text")
+      .select($"n_2gram", $"n_3gram", $"top_2gram_frac", $"dup_3gram_frac")
+      .as[(Long, Long, Double, Double)].head()
+    assert(out == ((0L, 0L, 0.0, 0.0)))
+  }
+}

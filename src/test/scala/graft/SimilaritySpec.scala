@@ -67,6 +67,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF planted near-dup recall $recall")
   }
 
+  test("PQ finds planted near-duplicates (recall >= 0.9)") {
+    // ADC candidate cut + exact re-rank: a cosine-~0.97 near-dup's PQ
+    // distance is far below the random-pair floor, so it must survive
+    // the candMult*k cut and then win the exact re-rank.
+    val rng = new scala.util.Random(29)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val noisy = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val q = spark.createDataFrame(noisy.toSeq).toDF("vec_id", "embedding")
+    val hits = Similarity.pqTopK(q, emb, 5, dim = 64)
+      .filter($"neighbor_id" === $"query_id" - 100000L)
+      .select($"query_id").distinct().count()
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.9, s"PQ planted near-dup recall $recall")
+  }
+
+  test("fixed-point quantization matches scalar floor/clamp semantics") {
+    val rows = emb.filter($"vec_id" < 10)
+      .select($"embedding",
+        Similarity.quantizeFixedPoint($"embedding", fracBits = 6).as("q"))
+      .as[(Array[Float], Array[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, q) =>
+      assert(v.length == q.length)
+      v.zip(q).foreach { case (x, qi) =>
+        val want = math.max(-128L,
+          math.min(127L, math.floor(x.toDouble * 64).toLong))
+        assert(qi == want, s"quantize($x) = $qi, want $want")
+      }
+    }
+  }
+
   test("k-means codebook recovers planted clusters; IVF over it recalls") {
     // planted mixture: 4 well-separated centers +- small noise — Lloyd's
     // must place one centroid near each center
