@@ -62,7 +62,10 @@ object AnnOps {
     // recall vs exact top-k is spec'd in SimilaritySpec
     "ann_ivf_kmeans_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val codebook = Similarity.kMeansCodebook(emb, k = 8)
+      // 4 Lloyd's iterations: each costs one full-scan action, and the
+      // exact re-rank downstream forgives codebook imprecision — bench
+      // shows convergence never fires before iter 8 on the fixtures
+      val codebook = Similarity.kMeansCodebook(emb, k = 8, maxIter = 4)
       Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries), emb, TopK,
           nprobe = 3, codebook = Some(codebook))
         .orderBy(col("query_id"), col("rank"))
