@@ -38,4 +38,26 @@ object Packing {
       .withColumn("tok_offset", col("start") % capTokens.toLong)
       .drop("start")
   }
+
+  /** Length-quantile bucketing — group rows into `nBuckets` equal-count
+    * buckets by a length column (the batch-shaping step that keeps padded
+    * batches dense: similar-length sequences train together). Semantically
+    * `ntile(nBuckets) OVER (ORDER BY len, tiebreak)` — but a global NTILE
+    * window collapses to ONE partition, the 100 TB cliff, so the bucket
+    * comes from [[Ids.denseGlobalRowNumber]] (range-repartition + two-job
+    * zip) and the closed-form `bucket = rn * nBuckets div N`. Equal-count
+    * up to one row, deterministic under the (len, tiebreak) total order,
+    * exactly reproducible in ANSI SQL (the oracle uses the same formula).
+    *
+    * Costs one extra count() action for N — O(1) driver state. */
+  def lengthBuckets(df: DataFrame, len: Column, tiebreak: Column,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0)
+    val n = df.count()
+    require(n > 0, "lengthBuckets on an empty input")
+    Ids.denseGlobalRowNumber(df, Seq(len, tiebreak), "__rn")
+      .withColumn("bucket",
+        expr(s"CAST(__rn * $nBuckets div ${n}L AS INT)"))
+      .drop("__rn")
+  }
 }

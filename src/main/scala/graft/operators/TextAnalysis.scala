@@ -125,6 +125,34 @@ object TextAnalysis {
       .toDF(idCol, "fingerprints")
   }
 
+  /** Corpus-frequency quality stats — the integral proxy for CCNet-style
+    * LM-perplexity filtering: per doc, statistics of each token's CORPUS
+    * occurrence count (high mean frequency = boilerplate-ish, low =
+    * noisy/rare; `n_hapax` counts corpus-unique tokens in the doc). A
+    * real LM replaces the frequency table through the same join seam;
+    * counts stay integral so the operator is hash-exact cross-engine.
+    *
+    * Scale shape: explode -> token-keyed count (vocabulary-bound, map-side
+    * combined) -> join back on token -> groupBy(doc). The frequency table
+    * is vocabulary-sized; AQE broadcasts it when it fits, otherwise both
+    * sides shuffle on token (Zipf skew on hot tokens dies in the count's
+    * partial agg; the join side is skewed but AQE skew-split handles it). */
+  def corpusFrequencyStats(df: DataFrame, idCol: String, text: Column)
+      : DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(text)).as("token"))
+    val freq = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf_corpus"))
+    toks.join(freq, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tf_corpus")).as("sum_freq"),
+        min(col("tf_corpus")).as("min_freq"),
+        max(col("tf_corpus")).as("max_freq"),
+        sum(when(col("tf_corpus") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("mean_token_freq",
+        col("sum_freq").cast("double") / col("n_tokens"))
+  }
+
   /** Gopher-style repetition quality stats (Rae et al. 2021 §A1.1),
     * adapted to token n-grams: for n in {2, 3}, the total n-gram count,
     * the count of the single most frequent n-gram, and the number of

@@ -104,6 +104,24 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus-frequency quality stats (integral CCNet-perplexity proxy)
+    "quality_corpus_freq" -> ((s, d) => {
+      TextAnalysis.corpusFrequencyStats(Tables.documents(s, d), "doc_id",
+          col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // equal-count length buckets without a single-partition NTILE window
+    "length_buckets" -> ((s, d) => {
+      graft.operators.Packing.lengthBuckets(Tables.documents(s, d),
+          col("n_chars"), col("doc_id"), nBuckets = 8)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bucket"))
+    }),
+
     // fixed-point int8 embedding quantization, integral summary per vec
     "embed_quantize" -> ((s, d) => {
       val q = graft.operators.Similarity
@@ -260,7 +278,33 @@ object PrepOps {
        |FROM qv ORDER BY vec_id""".stripMargin
   }
 
+  private def corpusFreqOracle: String =
+    """WITH t AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS token
+      |  FROM documents),
+      |f AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(tf) AS BIGINT) AS sum_freq,
+      |  MIN(tf) AS min_freq, MAX(tf) AS max_freq,
+      |  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) / COUNT(*)
+      |    AS mean_token_freq
+      |FROM t JOIN f USING (token)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  private def lengthBucketsOracle: String =
+    """WITH r AS (SELECT doc_id, n_chars,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rn
+      |  FROM documents),
+      |b AS (SELECT n_chars,
+      |    CAST((rn * 8) // (SELECT COUNT(*) FROM documents) AS INT) AS bucket
+      |  FROM r)
+      |SELECT bucket, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+      |  MAX(n_chars) AS max_chars
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "quality_corpus_freq" -> corpusFreqOracle,
+    "length_buckets" -> lengthBucketsOracle,
     "text_decontaminate" -> decontaminateOracle,
     "quality_repetition" -> repetitionOracle,
     "pii_scrub" -> piiOracle,

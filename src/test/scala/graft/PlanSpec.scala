@@ -84,6 +84,38 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("wordshinglehashes"))
   }
 
+  test("decontamination pushes the bucket filter and broadcasts eval grams") {
+    val p = plan("text_decontaminate")
+    // the eval-bucket predicate must reach the scan as a data filter (at
+    // scale the eval set never leaves its pruned scan), and both the eval
+    // shingle set and the per-doc hit counts must broadcast — the corpus
+    // text itself is never exchanged
+    assert(p.contains("DataFilters: [isnotnull(doc_id"))
+    val bcasts = "BroadcastExchange".r.findAllIn(p).size
+    assert(bcasts >= 2, s"expected eval + hits broadcasts:\n$p")
+    assert(p.toLowerCase.contains("wordshingles"))
+  }
+
+  test("boilerplate-span dedup partial-aggregates before every exchange") {
+    val p = plan("dedup_spans_corpus")
+    // span counting must combine map-side: a partial aggregate appears
+    // below the span-keyed exchange (hot-span skew dies in the combiner)
+    assert(p.contains("partial_count"))
+    // the hot-span set (bounded by spans in >= minDocs docs) broadcasts
+    // into the anti join rather than shuffling the exploded corpus
+    assert(p.contains("LeftAnti, BuildRight"),
+      s"hot spans should broadcast into the anti join:\n$p")
+  }
+
+  test("repetition stats shuffle on the doc key with map-side combine") {
+    val p = plan("quality_repetition")
+    assert(p.contains("partial_count"))
+    assert(p.contains("partial_sum"))
+    // per-n-gram pipelines rejoin the (small) per-doc aggregates via
+    // broadcast — the document table is scanned, never shuffled whole
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
   test("subq_scalar_avg runs one lineitem scan (window, no self-join)") {
     spark.catalog.clearCache()
     val p = plan("subq_scalar_avg")

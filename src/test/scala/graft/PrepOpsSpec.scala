@@ -113,6 +113,41 @@ class PrepOpsSpec extends SparkSpec {
     assert(out(1) == ((2L, 6, 6, 5L, 1L, 0L, 4L, 1L, 0L, true)))
   }
 
+  test("corpusFrequencyStats: hand-computed corpus counts") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian")).toDF("doc_id", "text")
+    // corpus freq: apple=2, banana=2, cherry=1, durian=1
+    val out = TextAnalysis.corpusFrequencyStats(df, "doc_id", $"text")
+      .select($"doc_id", $"n_tokens", $"sum_freq", $"min_freq",
+        $"max_freq", $"n_hapax", $"mean_token_freq")
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 6L, 2L, 2L, 0L, 2.0)))
+    assert(out(1) == ((2L, 2L, 3L, 1L, 2L, 1L, 1.5)))
+    assert(out(2) == ((3L, 1L, 1L, 1L, 1L, 1L, 1.0)))
+  }
+
+  test("lengthBuckets: equal-count, length-ordered, no global window") {
+    import graft.operators.Packing
+    val df = (1L to 103L).map(i => (i, (i * 37 % 101) + 10)).toDF("id", "len")
+    val out = Packing.lengthBuckets(df, $"len", $"id", nBuckets = 8)
+    val sizes = out.groupBy($"bucket").count()
+      .orderBy($"bucket").as[(Int, Long)].collect()
+    assert(sizes.map(_._1).toSeq == (0 until 8))
+    // equal-count up to one row: 103 rows over 8 buckets -> 12 or 13
+    assert(sizes.forall { case (_, n) => n == 12 || n == 13 }, sizes.toSeq)
+    // buckets respect the length order: bucket i's max <= bucket i+1's min
+    val ranges = out.groupBy($"bucket")
+      .agg(min($"len").as("lo"), max($"len").as("hi"))
+      .orderBy($"bucket").as[(Int, Long, Long)].collect()
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi), (_, lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+
   test("repetitionStats handles docs too short for any n-gram") {
     val out = TextAnalysis.repetitionStats(
         Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", $"text")
