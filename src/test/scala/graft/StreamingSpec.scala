@@ -54,6 +54,37 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("text-prep gate+scrub runs stateless on a stream, batch-identical") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, "the data table a join the scan order data the table value"),
+      (2L, "x y"), // gated out: too few tokens
+      (3L, "the data table a mail bob@example.com join the row order"),
+      (4L, "zzz qqq vvv www kkk mmm nnn")) // gated out: 'und' language
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.TextPrepPipeline.cleanDocs(docs)
+      .select($"doc_id", $"lang_pred", $"text_clean", $"n_email")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("textprep_out").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("textprep_out")
+    val batch = graft.streaming.TextPrepPipeline.cleanDocs(
+        rows.toDF("doc_id", "text"))
+      .select($"doc_id", $"lang_pred", $"text_clean", $"n_email")
+    // stateless stage: streaming output == batch output, regardless of
+    // micro-batch boundaries
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+    val r3 = streamed.filter($"doc_id" === 3L)
+      .select($"n_email", $"text_clean").as[(Int, String)].head()
+    assert(r3._1 == 1 && r3._2.contains("<EMAIL>"))
+  }
+
   test("late rows beyond the watermark are dropped") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
