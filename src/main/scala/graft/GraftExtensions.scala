@@ -68,7 +68,14 @@ object GraftFunctions {
       info(classOf[SimHash64], "simhash64",
         "simhash64(hashes) - 64-bit SimHash fingerprint of a bigint " +
           "hash array"),
-      arity("simhash64", 1)(args => SimHash64(args(0)))))
+      arity("simhash64", 1)(args => SimHash64(args(0)))),
+    (FunctionIdentifier("misra_gries_topk"),
+      info(classOf[MisraGriesTopK], "misra_gries_topk",
+        "misra_gries_topk(term, k) - bounded-memory heavy-hitters " +
+          "aggregate: <= k (term, cnt) counters, exact above N/(k+1)"),
+      arity("misra_gries_topk", 2)(args =>
+        MisraGriesTopK(args(0), intLit(args(1), "misra_gries_topk"))
+          .toAggregateExpression())))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, fi, b) =>

@@ -104,6 +104,20 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // heavy hitters via the native bounded-memory Misra-Gries aggregate;
+    // k=64 >= the fixture vocabulary, so counts are exact and the query
+    // oracle-checks against a plain GROUP BY (the sketch guarantee for
+    // k < |domain| is spec'd in HeavyHittersSpec)
+    "heavy_hitters_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .agg(graft.functions.HeavyHitters.misra_gries_topk(col("term"), 64)
+          .as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.term").as("term"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+    }),
+
     // corpus-frequency quality stats (integral CCNet-perplexity proxy)
     "quality_corpus_freq" -> ((s, d) => {
       TextAnalysis.corpusFrequencyStats(Tables.documents(s, d), "doc_id",
@@ -303,6 +317,10 @@ object PrepOps {
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "heavy_hitters_tokens" ->
+      """SELECT term, COUNT(*) AS cnt FROM (
+        |  SELECT UNNEST(string_split(text,' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY cnt DESC, term""".stripMargin,
     "quality_corpus_freq" -> corpusFreqOracle,
     "length_buckets" -> lengthBucketsOracle,
     "text_decontaminate" -> decontaminateOracle,

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.HeavyHitters.misra_gries_topk
+import org.apache.spark.sql.functions._
+
+/** Misra-Gries heavy-hitters aggregate: exactness above the domain size,
+  * the N/(k+1) guarantee below it, and merge correctness across
+  * partitions (partial states serialize through the shuffle). */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hh(df: org.apache.spark.sql.DataFrame, k: Int)
+      : Map[String, Long] =
+    df.agg(misra_gries_topk($"term", k).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.term", $"e.cnt").as[(String, Long)]
+      .collect().toMap
+
+  test("k >= |domain|: counts are exact (matches groupBy)") {
+    val toks = Tables.documents(spark, Sf0)
+      .select(explode(split($"text", " ")).as("term"))
+    val exact = toks.groupBy($"term").count()
+      .as[(String, Long)].collect().toMap
+    val sketch = hh(toks, 64)
+    assert(sketch == exact)
+  }
+
+  test("k < |domain|: every item above N/(k+1) survives, bounded undercount") {
+    // skewed stream over 8 partitions: hot=400, warm=300, 300 singletons
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(300)("warm") ++
+      (1 to 300).map(i => s"noise$i")
+    val n = rows.length // 1000
+    val k = 4
+    val df = rows.toDF("term").repartition(8)
+    val sketch = hh(df, k)
+    assert(sketch.size <= k)
+    val bound = n / (k + 1) // 200
+    // guarantee 1: true count > N/(k+1) => present
+    assert(sketch.contains("hot") && sketch.contains("warm"))
+    // guarantee 2: estimates never overcount and undercount by <= bound
+    assert(sketch("hot") <= 400 && sketch("hot") >= 400 - bound)
+    assert(sketch("warm") <= 300 && sketch("warm") >= 300 - bound)
+    sketch.get("noise1").foreach(c => assert(c <= 1))
+  }
+
+  test("misra_gries_topk is callable from raw SQL (querySql surface)") {
+    GraftFunctions.register(spark)
+    Seq("a", "a", "a", "b", "b", "c").toDF("term")
+      .createOrReplaceTempView("hh_terms")
+    val out = spark.sql(
+        "SELECT e.term, e.cnt FROM (SELECT explode(misra_gries_topk(term, 8))" +
+          " AS e FROM hh_terms) ORDER BY e.cnt DESC, e.term")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("result is deterministic under repartitioning for exact k") {
+    val toks = Tables.documents(spark, Sf0)
+      .select(explode(split($"text", " ")).as("term"))
+    assert(hh(toks.repartition(13), 64) == hh(toks.coalesce(1), 64))
+  }
+}
