@@ -20,4 +20,47 @@ object Layout {
       .sortWithinPartitions(cols: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Write `df` Z-ORDERED on two or more numeric columns: each column
+    * quantizes to `bitsPerCol` bits over its [min, max] span (one 2-value
+    * probe per column — the split planner's own probe shape), the bits
+    * interleave into a single Morton code, and files range-partition on
+    * it. Range-clustering prunes ONE predicate column; the Morton curve
+    * keeps every participating column's span small within each file, so
+    * min-max file stats prune selective filters on ANY of them (each
+    * dimension degrades gracefully as ~selectivity^(1/ncols) instead of
+    * not at all). The multi-dimensional analogue of
+    * [[writeRangeClustered]]; same one-extra-shuffle write cost. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[Column],
+      nFiles: Int, bitsPerCol: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2,
+      "z-order needs >= 2 columns; use writeRangeClustered for one")
+    require(nFiles > 0 && bitsPerCol > 0 && bitsPerCol * cols.size <= 63,
+      s"interleaved width must fit a long: $bitsPerCol x ${cols.size}")
+    val probes = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c.cast("double")).as(s"mn$i"), max(c.cast("double")).as(s"mx$i"))
+    }
+    val row = df.agg(probes.head, probes.tail: _*).head()
+    val scale = (1L << bitsPerCol) - 1L
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      val mn = row.getDouble(2 * i)
+      val mx = row.getDouble(2 * i + 1)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit(scale), greatest(lit(0L),
+        floor((c.cast("double") - lit(mn)) * lit(scale.toDouble) / lit(span))
+          .cast("long")))
+    }
+    val z = (0 until bitsPerCol).flatMap { b =>
+      qs.zipWithIndex.map { case (q, i) =>
+        shiftleft(shiftrightunsigned(q, b).bitwiseAND(lit(1L)),
+          b * cols.size + i)
+      }
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -162,6 +162,33 @@ class PlanSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/clustered").count() == orders.count())
   }
 
+  test("z-order layout prunes selective filters on EITHER dimension") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    // 100x100 grid — every (x, y) combination once
+    val grid = (for (x <- 0 until 100; y <- 0 until 100) yield (x, y))
+      .toDF("x", "y")
+    grid.repartition(16).write.parquet(s"$dir/random")
+    graft.operators.Layout.writeRangeClustered(grid, s"$dir/xrange",
+      Seq(col("x")), nFiles = 16)
+    graft.operators.Layout.writeZOrdered(grid, s"$dir/zorder",
+      Seq(col("x"), col("y")), nFiles = 16)
+    def touched(path: String, f: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(f)
+        .select(input_file_name()).distinct().count()
+    val quadrant = col("x") < 25 && col("y") < 25 // 1/16 of the space
+    assert(touched(s"$dir/random", quadrant) >= 12)
+    // 16 files ~ one file per (x-quarter, y-quarter) Morton cell
+    assert(touched(s"$dir/zorder", quadrant) <= 3)
+    val yOnly = col("y") < 25 // the dim range-clustering can't prune
+    assert(touched(s"$dir/xrange", yOnly) >= 12,
+      "x-range layout can't prune a y filter")
+    assert(touched(s"$dir/zorder", yOnly) <= 8,
+      "z-order must still prune on the second dimension")
+    assert(spark.read.parquet(s"$dir/zorder").count() == grid.count())
+  }
+
   test("quality report fuses all row rules into one scan") {
     spark.catalog.clearCache()
     val p = plan("quality_report")
