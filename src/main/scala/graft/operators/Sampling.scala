@@ -74,6 +74,22 @@ object Sampling {
       .withColumn("kept", hashBucket(id, 100) < col("keep_rate"))
   }
 
+  /** Per-group cap: keep at most `k` rows per group, chosen by the
+    * deterministic md5 order of the id — a reproducible uniform-ish
+    * per-group sample (the "cap every source/domain at N docs" mixture
+    * control; the md5 rank is the stand-in for a random draw that is
+    * stable across runs, engines, and partitionings). One shuffle on the
+    * group key; the per-group window never globalizes. */
+  def capPerGroup(df: DataFrame, id: Column, group: Column, k: Int)
+      : DataFrame = {
+    require(k > 0, s"capPerGroup needs k > 0: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(md5(id.cast("string")), id)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** The same nibble-decode bucket as ANSI SQL text (for oracle parity
     * and raw-SQL users): identical formula, identical value. */
   def hashBucketSql(idExpr: String, buckets: Int = 100): String = {

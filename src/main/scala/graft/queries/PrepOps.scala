@@ -96,6 +96,15 @@ object PrepOps {
         .orderBy(col("source"))
     }),
 
+    // per-source cap: at most 8 docs per source, md5-rank selected —
+    // deterministic cross-engine, so the kept id set oracle-checks
+    "sample_cap_per_source" -> ((s, d) => {
+      Sampling.capPerGroup(Tables.documents(s, d), col("doc_id"),
+          col("source"), k = 8)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-level boilerplate-span removal (C4-style line dedup over
     // 3-token spans; spans in >= 5 distinct docs are dropped)
     "dedup_spans_corpus" -> ((s, d) => {
@@ -321,6 +330,13 @@ object PrepOps {
       """SELECT term, COUNT(*) AS cnt FROM (
         |  SELECT UNNEST(string_split(text,' ')) AS term FROM documents)
         |GROUP BY term ORDER BY cnt DESC, term""".stripMargin,
+    "sample_cap_per_source" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rk <= 8
+        |ORDER BY doc_id""".stripMargin,
     "quality_corpus_freq" -> corpusFreqOracle,
     "length_buckets" -> lengthBucketsOracle,
     "text_decontaminate" -> decontaminateOracle,

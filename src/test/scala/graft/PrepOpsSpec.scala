@@ -113,6 +113,21 @@ class PrepOpsSpec extends SparkSpec {
     assert(out(1) == ((2L, 6, 6, 5L, 1L, 0L, 4L, 1L, 0L, true)))
   }
 
+  test("capPerGroup keeps exactly k per group, stable under repartition") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val kept = Sampling.capPerGroup(df, $"id", $"g", k = 5)
+    val sizes = kept.groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("g0" -> 5L, "g1" -> 5L, "g2" -> 5L))
+    // deterministic: same ids regardless of physical layout
+    val again = Sampling.capPerGroup(df.repartition(7), $"id", $"g", 5)
+    assert(kept.select($"id").as[Long].collect().sorted.toSeq ==
+      again.select($"id").as[Long].collect().sorted.toSeq)
+    // groups smaller than k keep everything
+    val small = Sampling.capPerGroup(
+      Seq((1L, "a"), (2L, "a")).toDF("id", "g"), $"id", $"g", 5)
+    assert(small.count() == 2)
+  }
+
   test("corpusFrequencyStats: hand-computed corpus counts") {
     val df = Seq(
       (1L, "apple banana apple"),
