@@ -108,7 +108,12 @@ case class MisraGriesTopK(child: Expression, k: Int,
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    // length-prefixed raw UTF-8 (writeUTF caps at 64 KB — too small for
+    // URL/entity heavy-hitter domains)
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -118,7 +123,11 @@ case class MisraGriesTopK(child: Expression, k: Int,
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
+    }
     buf
   }
 

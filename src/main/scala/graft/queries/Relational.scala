@@ -79,6 +79,28 @@ object Relational {
         .orderBy(col("n_name"))
     }),
 
+    // ---- TPC-H Q9 shape: 5-way star with a filtered part dim ----------
+    // profit-lite by (nation, order year) for parts matching a name
+    // pattern — the deep multi-join planner stress: three broadcast dims
+    // (part pre-filtered BEFORE the hint, so the broadcast ships only
+    // matching rows), one fact-fact equi join (lineitem x orders),
+    // decimal-exact revenue
+    "q9_product_profit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      val prt = Tables.part(s, d).filter(col("p_name").contains("widget"))
+      li.join(broadcast(prt), li("l_partkey") === prt("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("o_year"))
+    }),
+
     // ---- broadcast equi-join with dim table ---------------------------
     "join_broadcast_parts" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -529,6 +551,18 @@ object Relational {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  $revenue AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+         |ORDER BY n_name, o_year""".stripMargin,
 
     "join_broadcast_parts" ->
       s"""SELECT p_brand, COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty
