@@ -65,13 +65,12 @@ case class MisraGriesTopK(child: Expression, k: Int,
       buf.get(term) match {
         case Some(c) => buf.update(term, c + 1)
         case None if buf.size < k => buf.update(term, 1L)
-        case None => // classic MG: decrement all, evict zeros
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.keysIterator.foreach { t =>
-            val c = buf(t) - 1
-            if (c == 0) dead += t else buf.update(t, c)
-          }
-          dead.foreach(buf.remove)
+        case None =>
+          // classic MG: decrement all, evict zeros. Amortized O(1)/row:
+          // each miss drains k count-mass that prior arrivals deposited
+          // one unit at a time, so total decrement work is O(N).
+          buf.mapValuesInPlace((_, c) => c - 1)
+          buf.filterInPlace((_, c) => c > 0)
       }
     }
     buf
@@ -87,12 +86,8 @@ case class MisraGriesTopK(child: Expression, k: Int,
     }
     if (buf.size > k) {
       val d = buf.values.toArray.sortBy(-_).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.keysIterator.foreach { t =>
-        val c = buf(t) - d
-        if (c <= 0) dead += t else buf.update(t, c)
-      }
-      dead.foreach(buf.remove)
+      buf.mapValuesInPlace((_, c) => c - d)
+      buf.filterInPlace((_, c) => c > 0)
     }
     buf
   }

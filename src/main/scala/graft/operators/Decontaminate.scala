@@ -23,18 +23,29 @@ object Decontaminate {
     eval.select(explode(TextAnalysis.shingles(text, k)).as("shingle"))
       .distinct()
 
+  /** (`__id`, shingle) pairs where a training doc's k-gram hits the
+    * eval set: train explodes map-only and broadcast-hash-joins the
+    * (small) eval shingle set — the shared core of both the report and
+    * the cleaning form. Output is bounded by contamination, not corpus
+    * size. */
+  private def shingleHits(train: DataFrame, eval: DataFrame, id: Column,
+      text: Column, k: Int): DataFrame =
+    train
+      .select(id.as("__id"), explode(TextAnalysis.shingles(text, k))
+        .as("shingle"))
+      .join(broadcast(evalShingles(eval, text, k)), "shingle")
+
   /** Per-training-doc contamination report: `n_overlap` = number of the
     * doc's DISTINCT k-grams also present in the eval set, plus the
     * resulting `contaminated` flag. Every training doc appears exactly
     * once (zero-overlap docs report 0 / false). */
   def overlapReport(train: DataFrame, eval: DataFrame, id: Column,
       text: Column, k: Int): DataFrame = {
-    val ev = evalShingles(eval, text, k)
-    val tr = train
-      .select(id.as("__id"), explode(TextAnalysis.shingles(text, k))
-        .as("shingle"))
-      .distinct()
-    val hits = tr.join(broadcast(ev), "shingle")
+    // distinct AFTER the join: (__id, shingle) dedup over just the hit
+    // set (bounded by contamination) counts the same distinct k-grams
+    // as deduping the full exploded train side first, for less shuffle
+    val hits = shingleHits(train, eval, id, text, k)
+      .select(col("__id"), col("shingle")).distinct()
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_overlap"))
     train.select(id.as("__id"))
@@ -49,11 +60,7 @@ object Decontaminate {
     * set, keeping the full training schema. */
   def clean(train: DataFrame, eval: DataFrame, id: Column, text: Column,
       k: Int): DataFrame = {
-    val ev = evalShingles(eval, text, k)
-    val contaminatedIds = train
-      .select(id.as("__id"), explode(TextAnalysis.shingles(text, k))
-        .as("shingle"))
-      .join(broadcast(ev), "shingle")
+    val contaminatedIds = shingleHits(train, eval, id, text, k)
       .select(col("__id")).distinct()
     train.join(contaminatedIds.withColumnRenamed("__id", "___cid"),
       id === col("___cid"), "left_anti")

@@ -356,12 +356,18 @@ object Dedup {
       spanTokens: Int = 3, minDocs: Int = 5): DataFrame = {
     require(spanTokens > 0 && minDocs > 1,
       s"need spanTokens > 0, minDocs > 1: $spanTokens / $minDocs")
-    val ws = TextAnalysis.tokens(text)
+    // materialize the token array into a column FIRST: the transform
+    // lambda below evaluates interpreted, so slicing the raw split()
+    // expression would re-split the full document text once per span
+    // (the anti-pattern shinglesOf documents as measured ~10x slower)
+    val withWs = df.withColumn("__ws", TextAnalysis.tokens(text))
+    val ws = col("__ws")
     // span starts 1, 1+s, 1+2s, ... — a step-sequence, no division; the
     // ragged tail span just slices short
-    val spans = transform(sequence(lit(1), size(ws), lit(spanTokens)),
+    val spanStarts = sequence(lit(1), size(ws), lit(spanTokens))
+    val spans = transform(spanStarts,
       st => concat_ws(" ", slice(ws, st, lit(spanTokens))))
-    val exploded = df
+    val exploded = withWs
       .select(col(idCol), posexplode(spans).as(Seq("pos", "span")))
     val hot = exploded.groupBy(col("span"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
@@ -373,7 +379,9 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("span")))),
           x => x.getField("span")), " ").as("text_clean"))
-    df.select(col(idCol), size(spans).cast("long").as("n_spans"))
+    // n_spans = |spanStarts| — transform preserves size, so skip
+    // building the span strings just to count them
+    withWs.select(col(idCol), size(spanStarts).cast("long").as("n_spans"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_spans"),
         coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"),

@@ -44,12 +44,17 @@ object Layout {
     val row = df.agg(probes.head, probes.tail: _*).head()
     val scale = (1L << bitsPerCol) - 1L
     val qs = cols.zipWithIndex.map { case (c, i) =>
-      val mn = row.getDouble(2 * i)
-      val mx = row.getDouble(2 * i + 1)
-      val span = if (mx > mn) mx - mn else 1.0
-      least(lit(scale), greatest(lit(0L),
-        floor((c.cast("double") - lit(mn)) * lit(scale.toDouble) / lit(span))
-          .cast("long")))
+      // empty input or all-null column: the probe yields null min/max —
+      // no span to encode, so the dimension contributes a constant 0
+      if (row.isNullAt(2 * i)) lit(0L)
+      else {
+        val mn = row.getDouble(2 * i)
+        val mx = row.getDouble(2 * i + 1)
+        val span = if (mx > mn) mx - mn else 1.0
+        least(lit(scale), greatest(lit(0L), coalesce(
+          floor((c.cast("double") - lit(mn)) * lit(scale.toDouble) / lit(span))
+            .cast("long"), lit(0L))))
+      }
     }
     val z = (0 until bitsPerCol).flatMap { b =>
       qs.zipWithIndex.map { case (q, i) =>

@@ -316,9 +316,13 @@ object Similarity {
     * smaller, map-only, no shuffle). */
   def quantizeFixedPoint(emb: Column, fracBits: Int = 6): Column = {
     require(fracBits >= 0 && fracBits <= 20, s"fracBits: $fracBits")
-    transform(emb, x => greatest(lit(-128L), least(lit(127L),
-      floor(x.cast("double") * lit((1L << fracBits).toDouble))
-        .cast("long"))))
+    transform(emb, x => {
+      // least/greatest SKIP nulls, so clamp only a non-null quantized
+      // value — a null dimension stays null instead of saturating to 127
+      val q = floor(x.cast("double") * lit((1L << fracBits).toDouble))
+        .cast("long")
+      when(q.isNotNull, greatest(lit(-128L), least(lit(127L), q)))
+    })
   }
 
   /** Product-quantization approximate top-k (Jégou et al., PAMI 2011):
@@ -346,6 +350,11 @@ object Similarity {
     // cost m * iters actions of pure job-scheduling overhead)
     val books: Array[Array[Seq[Double]]] =
       pqCodebooks(corpus, m, subDim, kCodes, kmeansIter)
+    // books may shrink below kCodes when Lloyd's cells empty, so the
+    // flattened LUT's subspace segments start at the CUMULATIVE book
+    // lengths — a fixed s*kCodes stride would misread every segment
+    // after the first short one
+    val lutOffsets = books.scanLeft(0)(_ + _.length)
 
     // corpus -> m codes (map-only argmin per subspace vs literal centroids)
     def subv(v: Column, s: Int) = transform(
@@ -358,7 +367,7 @@ object Similarity {
         .as("codes"))
       .withColumn("c_n", sqrt(dotDouble(col("c_v"), col("c_v"))))
 
-    // query ADC lookup table: lut[s*kCodes + c] = |q_s - cent_{s,c}|^2
+    // query ADC lookup table: lut[lutOffsets(s) + c] = |q_s - cent_{s,c}|^2
     // minus the per-query |q|^2 constant (rank-invariant, dropped)
     val lut = array((0 until m).flatMap { s =>
       books(s).map { c =>
@@ -375,7 +384,7 @@ object Similarity {
     // ADC scan: statically-unrolled m-lookup sum (codegen'd)
     val adc = (0 until m).map { s =>
       element_at(col("lut"),
-        element_at(col("codes"), s + 1) + lit(s * kCodes + 1))
+        element_at(col("codes"), s + 1) + lit(lutOffsets(s) + 1))
     }.reduce(_ + _)
     val wPq = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_dist"), col("neighbor_id"))

@@ -189,6 +189,24 @@ class PlanSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/zorder").count() == grid.count())
   }
 
+  test("z-order write handles empty input and all-null columns") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zorder-edge").toString
+    // empty input: the min/max probe returns nulls — must write an
+    // empty table, not NPE unboxing the probe row
+    val empty = Seq.empty[(Int, Int)].toDF("x", "y")
+    graft.operators.Layout.writeZOrdered(empty, s"$dir/empty",
+      Seq(col("x"), col("y")), nFiles = 4)
+    assert(spark.read.parquet(s"$dir/empty").count() == 0)
+    // an all-null dimension degrades to a constant; rows all survive
+    val halfNull = (0 until 50)
+      .map(i => (i, null.asInstanceOf[Integer])).toDF("x", "y")
+    graft.operators.Layout.writeZOrdered(halfNull, s"$dir/nullcol",
+      Seq(col("x"), col("y")), nFiles = 4)
+    assert(spark.read.parquet(s"$dir/nullcol").count() == 50)
+  }
+
   test("quality report fuses all row rules into one scan") {
     spark.catalog.clearCache()
     val p = plan("quality_report")

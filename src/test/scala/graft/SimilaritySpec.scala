@@ -85,6 +85,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ planted near-dup recall $recall")
   }
 
+  test("PQ survives codebooks shorter than kCodes (corpus < kCodes)") {
+    // 8 vectors with kCodes=16: every Lloyd's book holds < kCodes
+    // centroids, so the flattened ADC LUT's segments are SHORT — a fixed
+    // s*kCodes stride would read past the LUT (ANSI element_at error).
+    // With candMult*k >= corpus the exact re-rank makes results exact.
+    val tiny = emb.filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding")
+    val q = tiny.filter($"vec_id" < 2)
+    val got = Similarity.pqTopK(q, tiny, 3, dim = 64)
+      .select($"query_id", $"rank", $"neighbor_id")
+    val want = Similarity.bruteForceTopK(q, tiny, 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "short-book PQ must match brute force on a tiny corpus")
+  }
+
+  test("fixed-point quantization propagates nulls instead of saturating") {
+    val df = Seq((1L, Seq[java.lang.Double](0.5, null, -0.25)))
+      .toDF("id", "v")
+    val q = df.select(Similarity.quantizeFixedPoint($"v").as("q"))
+      .as[Seq[java.lang.Long]].head()
+    assert(q == Seq(32L, null, -16L), s"got $q")
+  }
+
   test("fixed-point quantization matches scalar floor/clamp semantics") {
     val rows = emb.filter($"vec_id" < 10)
       .select($"embedding",
