@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.EventOps.defs ++
       graft.queries.SplitOps.defs ++
       graft.queries.MediaOps.defs ++
-      graft.queries.PrepOps.defs
+      graft.queries.PrepOps.defs ++
+      graft.queries.SketchOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.EventOps.oracles ++
       graft.queries.SplitOps.oracles ++
       graft.queries.MediaOps.oracles ++
-      graft.queries.PrepOps.oracles
+      graft.queries.PrepOps.oracles ++
+      graft.queries.SketchOps.oracles
 }

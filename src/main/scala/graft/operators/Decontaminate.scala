@@ -55,6 +55,32 @@ object Decontaminate {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Bloom-filter cleaning for eval sets too big to broadcast as a
+    * shingle TABLE: the eval shingles aggregate into a fixed-size bloom
+    * filter (~1.2 MB per 1M shingles at 1% fpp — size independent of
+    * shingle width), and the train side probes it map-only. No false
+    * negatives means every truly contaminated doc is dropped; false
+    * positives over-drop ~fpp of clean docs — the SAFE direction for
+    * decontamination (a benchmark leak costs more than a lost doc).
+    * Exchange: only the contaminated-id sliver, never corpus text. */
+  def cleanBloom(train: DataFrame, eval: DataFrame, id: Column,
+      text: Column, k: Int, expectedShingles: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val bytes = Bloom.buildBytes(evalShingles(eval, text, k),
+      col("shingle"), expectedShingles, fpp)
+    if (bytes == null) train // empty eval set: nothing to decontaminate
+    else {
+      val contaminatedIds = train
+        .select(id.as("__id"), explode(TextAnalysis.shingles(text, k))
+          .as("shingle"))
+        .filter(graft.functions.BloomFunctions
+          .bloom_might_contain(bytes, col("shingle")))
+        .select(col("__id")).distinct()
+      train.join(contaminatedIds.withColumnRenamed("__id", "___cid"),
+        id === col("___cid"), "left_anti")
+    }
+  }
+
   /** The cleaning form: training docs with NO k-gram overlap with the
     * eval set — a broadcast LEFT ANTI join against the contaminated-id
     * set, keeping the full training schema. */

@@ -1,0 +1,133 @@
+package graft.queries
+
+import java.io.ByteArrayInputStream
+
+import graft.Tables
+import graft.operators.{Bloom, Decontaminate, Sampling, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Sketch-backed query surface: bloom-prefiltered joins, bloom
+  * decontamination, HLL partial/union distinct counting, and count-min
+  * point frequency — the bounded-state primitives a 100 TB pipeline uses
+  * where exact structures would shuffle the full key domain.
+  *
+  * `join_bloom_prefilter` and `cms_token_freq` are DuckDB-oracle-exact:
+  * the bloom prefilter has no false negatives so prefilter+join ==
+  * plain join bit-for-bit, and the CMS probe is deterministic (fixed
+  * seed) with a sketch width that makes collisions over the fixture
+  * vocabulary vanishingly unlikely (the spec pins estimate >= truth,
+  * the gate pins equality on the fixtures). HLL estimates are
+  * engine-specific -> rows-only + a tolerance spec.
+  */
+object SketchOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Eval split shared with PrepOps (same hash-bucket convention). */
+  private def evalSplit(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .withColumn("__bucket",
+        Sampling.hashBucket(col("doc_id"), PrepOps.EvalBuckets))
+    (docs.filter(col("__bucket") =!= 0).drop("__bucket"),
+      docs.filter(col("__bucket") === 0).drop("__bucket"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    // bloom-prefiltered fact join: the small side (urgent 1997+ orders)
+    // builds a ~300 KB bloom; lineitem drops non-matching rows AT THE
+    // SCAN, before the join exchange. No false negatives => result is
+    // bit-identical to the plain join, so the oracle is exact.
+    "join_bloom_prefilter" -> ((s, d) => {
+      import graft.ColUtil._
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      Bloom.prefilteredJoin(li, ord, col("l_orderkey"), col("o_orderkey"),
+          expectedItems = 1L << 18)
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_year"), col("o_month"))
+    }),
+
+    // bloom decontamination: eval shingles as a fixed-size filter, train
+    // side probes map-only. False positives over-drop (safe direction),
+    // so the kept set is engine-specific -> rows-only; the exact-subset
+    // and no-leak guarantees are spec'd in SketchSpec.
+    "decontaminate_bloom" -> ((s, d) => {
+      val (train, eval_) = evalSplit(s, d)
+      Decontaminate.cleanBloom(train, eval_, col("doc_id"), col("text"),
+          PrepOps.DecontamK, expectedShingles = 1L << 16)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // HLL partial/union workflow: ONE sketch per source (reusable,
+    // mergeable state — the shape that lets a 100 TB pipeline store
+    // per-shard sketches and answer global distinct queries without
+    // rescanning), unioned into a corpus-wide estimate. Estimates are
+    // sketch-implementation-specific -> rows-only + tolerance spec.
+    "hll_distinct_sources" -> ((s, d) => {
+      val parts = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+          count(lit(1)).as("n_rows"))
+      val per = parts.select(col("source"), col("n_rows"),
+        hll_sketch_estimate(col("sk")).as("est_distinct"))
+      val global = parts
+        .agg(sum(col("n_rows")).as("n_rows"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
+        .select(lit("__ALL__").as("source"), col("n_rows"),
+          col("est_distinct"))
+      per.unionByName(global).orderBy(col("source"))
+    }),
+
+    // count-min point frequency: one pass builds the sketch (bounded
+    // state: depth x width counters, NOT the token domain), the driver
+    // probes the 20 alphabetically-first terms. Fixed seed + a width
+    // far beyond the fixture vocabulary -> deterministic, collision-free
+    // estimates that equal true counts (oracle-exact on the fixtures;
+    // the >= guarantee for adversarial domains is spec'd).
+    "cms_token_freq" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val bytes = toks
+        .agg(count_min_sketch(col("term"), lit(0.0001d), lit(0.999d),
+          lit(42)).as("cms"))
+        .head().getAs[Array[Byte]](0)
+      val cms = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+      val probes = toks.select(col("term")).distinct()
+        .orderBy(col("term")).limit(20)
+        .collect().map(_.getString(0))
+      import s.implicits._
+      probes.toSeq.map(t => (t, cms.estimateCount(t)))
+        .toDF("term", "est_cnt")
+        .orderBy(col("term"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_bloom_prefilter" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(month(o_orderdate) AS INT) AS o_month,
+        |  COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cms_token_freq" ->
+      """WITH toks AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |probes AS (SELECT DISTINCT term FROM toks ORDER BY term LIMIT 20)
+        |SELECT term, COUNT(*) AS est_cnt FROM toks
+        |WHERE term IN (SELECT term FROM probes)
+        |GROUP BY term ORDER BY term""".stripMargin
+  )
+}
