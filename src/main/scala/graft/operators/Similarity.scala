@@ -268,29 +268,51 @@ object Similarity {
     * query probes its `nprobe` nearest cells; candidates join on the cell
     * id (shuffle bounded by cell fan-out, never all-pairs) and are exactly
     * re-ranked. */
+  /** Default IVF coarse quantizer: per-label mean vectors — a
+    * deterministic, oracle-friendly stand-in for k-means cells. */
+  private def labelCentroids(corpus: DataFrame): DataFrame = corpus
+    .select(col("label"), posexplode(col("embedding")))
+    .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("v"))
+    .groupBy(col("label"))
+    .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+      x => x.getField("v")).as("c_v"))
+    .select(col("label").as("cell"), col("c_v"))
+
+  /** Each vector's `keep` nearest centroid cells by cosine. A codebook
+    * is small by construction (k x dim doubles), so it collects ONCE and
+    * cells rank MAP-ONLY against literal centroids: per row, an
+    * array_sort over k (dot/|c|, cell) structs — cosine ordering, since
+    * |v| is a per-row constant — then the top `keep` explode out. No
+    * broadcast join, no per-vector window shuffle: the pre-round-4 form
+    * shuffled |df| x k rows through a row_number window, which dominated
+    * the IVF plans' cost. */
+  private def nearestCells(df: DataFrame, centroids: DataFrame,
+      idAs: String, vAs: String, keep: Int): DataFrame = {
+    val cents: Array[(Int, Seq[Double])] = centroids
+      .select(col("cell").cast("int"), col("c_v"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "empty codebook")
+    val base = df.select(col("vec_id").as(idAs), col("embedding").as(vAs))
+    // struct sort is lexicographic: (-cos, cell) asc == (cos desc, cell)
+    val scored = array(cents.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct(
+        (dotDouble(col(vAs), typedlit(c)) *
+          lit(if (cn == 0) -1.0 else -1.0 / cn)).as("neg"),
+        lit(cid).as("cell"))
+    }: _*)
+    base
+      .withColumn("__top", slice(array_sort(scored), 1, keep))
+      .select(col(idAs), col(vAs),
+        explode(col("__top").getField("cell")).as("cell"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nprobe: Int = 3, codebook: Option[DataFrame] = None): DataFrame = {
-    val centroids = codebook.getOrElse(corpus
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("v"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        x => x.getField("v")).as("c_v"))
-      .select(col("label").as("cell"), col("c_v")))
-
-    // rank cells by exact cosine distance to each vector's embedding
-    def cells(df: DataFrame, idAs: String, vAs: String, keep: Int) = {
-      val scored = df.select(col("vec_id").as(idAs), col("embedding").as(vAs))
-        .join(broadcast(centroids))
-        .withColumn("c_sim", dotDouble(col(vAs), col("c_v")) /
-          (sqrt(dotDouble(col(vAs), col(vAs))) *
-            sqrt(dotDouble(col("c_v"), col("c_v")))))
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("c_sim").desc, col("cell"))
-      scored.withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= keep)
-        .select(col(idAs), col(vAs), col("cell"))
-    }
+    val centroids = codebook.getOrElse(labelCentroids(corpus))
+    def cells(df: DataFrame, idAs: String, vAs: String, keep: Int) =
+      nearestCells(df, centroids, idAs, vAs, keep)
     val c = cells(corpus, "neighbor_id", "c_v2", keep = 1)
       .withColumn("c_n", sqrt(dotDouble(col("c_v2"), col("c_v2"))))
     val q = cells(queries, "query_id", "q_v", keep = nprobe)
@@ -343,58 +365,72 @@ object Similarity {
       m: Int = 8, kCodes: Int = 16, candMult: Int = 4,
       kmeansIter: Int = 2): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val subDim = dim / m
-
     // all m per-subspace codebooks from ONE fused Lloyd's loop (one
     // Spark action per iteration; m separate kMeansCodebook calls would
     // cost m * iters actions of pure job-scheduling overhead)
-    val books: Array[Array[Seq[Double]]] =
-      pqCodebooks(corpus, m, subDim, kCodes, kmeansIter)
-    // books may shrink below kCodes when Lloyd's cells empty, so the
-    // flattened LUT's subspace segments start at the CUMULATIVE book
-    // lengths — a fixed s*kCodes stride would misread every segment
-    // after the first short one
-    val lutOffsets = books.scanLeft(0)(_ + _.length)
+    val pq = new PqMachinery(
+      pqCodebooks(corpus, m, dim / m, kCodes, kmeansIter), m, dim / m)
 
-    // corpus -> m codes (map-only argmin per subspace vs literal centroids)
-    def subv(v: Column, s: Int) = transform(
-      slice(v, s * subDim + 1, subDim), _.cast("double"))
-    def nearestCode(v: Column, s: Int): Column =
-      argminCell(subv(v, s), books(s))
     val coded = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_v"),
-      array((0 until m).map(s => nearestCode(col("embedding"), s)): _*)
-        .as("codes"))
+      col("embedding").as("c_v"), pq.codes(col("embedding")).as("codes"))
       .withColumn("c_n", sqrt(dotDouble(col("c_v"), col("c_v"))))
-
-    // query ADC lookup table: lut[lutOffsets(s) + c] = |q_s - cent_{s,c}|^2
-    // minus the per-query |q|^2 constant (rank-invariant, dropped)
-    val lut = array((0 until m).flatMap { s =>
-      books(s).map { c =>
-        val c2 = c.map(x => x * x).sum
-        graft.functions.VectorFunctions
-          .vec_dot(subv(col("q_v"), s), typedlit(c)) * lit(-2.0) + lit(c2)
-      }
-    }: _*)
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_v"))
       .withColumn("q_n", sqrt(dotDouble(col("q_v"), col("q_v"))))
-      .withColumn("lut", lut)
+      .withColumn("lut", pq.lut(col("q_v")))
 
-    // ADC scan: statically-unrolled m-lookup sum (codegen'd)
-    val adc = (0 until m).map { s =>
-      element_at(col("lut"),
-        element_at(col("codes"), s + 1) + lit(lutOffsets(s) + 1))
-    }.reduce(_ + _)
     val wPq = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_dist"), col("neighbor_id"))
     val cands = coded.join(broadcast(q),
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("pq_dist", adc)
+      .withColumn("pq_dist", pq.adc)
       .withColumn("pq_rank", row_number().over(wPq))
       .filter(col("pq_rank") <= candMult * k)
+    exactReRank(cands, k)
+  }
 
-    // exact re-rank of the surviving candidates
+  /** IVF-PQ composite (the FAISS IVFADC layout, Jégou et al. §IV): the
+    * coarse quantizer restricts each query's ADC scan to its `nprobe`
+    * probed cells, so the scan cost drops from |corpus| to
+    * ~nprobe/|cells| x |corpus| per query — the piece that makes PQ
+    * viable when the corpus no longer fits a per-query linear scan.
+    * Codes are over raw vectors (not residuals — a documented
+    * simplification; the exact cosine re-rank absorbs the coarser
+    * estimate). Shuffle is bounded by cell fan-out, never all-pairs. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      m: Int = 8, kCodes: Int = 16, nprobe: Int = 3, candMult: Int = 4,
+      kmeansIter: Int = 2, codebook: Option[DataFrame] = None): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val pq = new PqMachinery(
+      pqCodebooks(corpus, m, dim / m, kCodes, kmeansIter), m, dim / m)
+    val centroids = codebook.getOrElse(labelCentroids(corpus))
+
+    // vAs must differ from the centroids' own "c_v" column inside the
+    // cell-ranking join; rename once the centroid column is projected out
+    val coded = nearestCells(corpus, centroids, "neighbor_id", "c_v2",
+        keep = 1)
+      .withColumnRenamed("c_v2", "c_v")
+      .withColumn("codes", pq.codes(col("c_v")))
+      .withColumn("c_n", sqrt(dotDouble(col("c_v"), col("c_v"))))
+    val q = nearestCells(queries, centroids, "query_id", "q_v",
+        keep = nprobe)
+      .withColumn("q_n", sqrt(dotDouble(col("q_v"), col("q_v"))))
+      .withColumn("lut", pq.lut(col("q_v")))
+
+    val wPq = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dist"), col("neighbor_id"))
+    val cands = coded.as("c").join(broadcast(q.as("q")),
+        col("c.cell") === col("q.cell") &&
+          col("q.query_id") =!= col("c.neighbor_id"))
+      .withColumn("pq_dist", pq.adc)
+      .withColumn("pq_rank", row_number().over(wPq))
+      .filter(col("pq_rank") <= candMult * k)
+    exactReRank(cands, k)
+  }
+
+  /** Exact cosine re-rank of an ANN candidate set carrying
+    * (query_id, q_v, q_n, neighbor_id, c_v, c_n). */
+  private def exactReRank(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cands
@@ -403,6 +439,39 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Shared PQ machinery: corpus code assignment, query ADC lookup
+    * table, and the statically-unrolled ADC sum. The LUT is flattened
+    * with CUMULATIVE segment offsets because books may shrink below
+    * kCodes when Lloyd's cells empty — a fixed s*kCodes stride would
+    * misread every segment after the first short one. */
+  private final class PqMachinery(books: Array[Array[Seq[Double]]],
+      m: Int, subDim: Int) {
+    private val lutOffsets: Array[Int] = books.scanLeft(0)(_ + _.length)
+
+    private def subv(v: Column, s: Int): Column =
+      transform(slice(v, s * subDim + 1, subDim), _.cast("double"))
+
+    /** m codes per vector: map-only argmin vs literal centroids. */
+    def codes(v: Column): Column =
+      array((0 until m).map(s => argminCell(subv(v, s), books(s))): _*)
+
+    /** lut[lutOffsets(s) + c] = |q_s - cent_{s,c}|^2 minus the per-query
+      * |q|^2 constant (rank-invariant, dropped). */
+    def lut(qv: Column): Column = array((0 until m).flatMap { s =>
+      books(s).map { c =>
+        val c2 = c.map(x => x * x).sum
+        graft.functions.VectorFunctions
+          .vec_dot(subv(qv, s), typedlit(c)) * lit(-2.0) + lit(c2)
+      }
+    }: _*)
+
+    /** ADC scan: statically-unrolled m-lookup sum (codegen'd). */
+    def adc: Column = (0 until m).map { s =>
+      element_at(col("lut"),
+        element_at(col("codes"), s + 1) + lit(lutOffsets(s) + 1))
+    }.reduce(_ + _)
   }
 
   /** All m per-subspace PQ codebooks in ONE fused Lloyd's loop: the
@@ -415,17 +484,33 @@ object Similarity {
     * scheduling overhead (measured 5x slower at sf0.1).
     *
     * Deterministic: init = subvectors of the kCodes lowest-id vectors.
-    * Empty cells drop out per subspace (books may shrink below kCodes). */
+    * Empty cells drop out per subspace (books may shrink below kCodes).
+    *
+    * Training is capped at `MaxTrainRows` vectors via a deterministic
+    * hash sample (standard PQ practice — codebooks need a representative
+    * sample, not the corpus; at 100 TB, Lloyd's over every vector would
+    * rescan the corpus once per iteration for no accuracy gain). Corpus
+    * ENCODING still covers every vector. */
+  private[operators] val MaxTrainRows = 1L << 18
+
   private[operators] def pqCodebooks(corpus: DataFrame, m: Int,
       subDim: Int, kCodes: Int, maxIter: Int): Array[Array[Seq[Double]]] = {
     val subs = array((0 until m).map(s =>
       transform(slice(col("embedding"), s * subDim + 1, subDim),
         _.cast("double"))): _*)
-    val sub = corpus
+    // one count decides the deterministic hash-thinning rate — cheap
+    // next to the per-iteration full scans it saves once the corpus
+    // outgrows the cap (under the cap: train on everything, unchanged)
+    val n = corpus.count()
+    val trainSet =
+      if (n <= MaxTrainRows) corpus
+      else corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(n / MaxTrainRows + 1)) === 0)
+    val sub = trainSet
       .select(col("vec_id"), posexplode(subs).as(Seq("s", "v"))).cache()
     try {
       var centers: Array[Array[Seq[Double]]] = {
-        val rows = corpus.orderBy(col("vec_id")).limit(kCodes)
+        val rows = trainSet.orderBy(col("vec_id")).limit(kCodes)
           .select(subs.as("sv")).collect()
           .map(_.getSeq[scala.collection.Seq[Double]](0))
         (0 until m).map(s => rows.map(r => r(s).toSeq)).toArray

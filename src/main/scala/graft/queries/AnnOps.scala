@@ -82,6 +82,16 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ composite (FAISS IVFADC shape): the coarse quantizer cuts
+    // each query's ADC scan to nprobe cells — the PQ scale path when the
+    // corpus outgrows a per-query linear scan. Rows-only + recall spec
+    "ann_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < NQueries), emb,
+          TopK, Dim, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding-cosine near-duplicate pairs, quantized exact all-pairs —
     // the ORACLE GATE for embedding dedup (size-guarded; see the operator
     // scaladoc). The operator the engine ships at scale is the LSH form

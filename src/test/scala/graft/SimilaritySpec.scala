@@ -85,6 +85,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ planted near-dup recall $recall")
   }
 
+  test("IVF-PQ finds planted near-duplicates (recall >= 0.9)") {
+    // the composite must keep BOTH filters honest: the near-dup's cell
+    // must be probed (IVF recall) and its ADC distance must survive the
+    // candidate cut (PQ recall)
+    val rng = new scala.util.Random(41)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val noisy = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val q = spark.createDataFrame(noisy.toSeq).toDF("vec_id", "embedding")
+    val hits = Similarity.ivfPqTopK(q, emb, 5, dim = 64, nprobe = 3)
+      .filter($"neighbor_id" === $"query_id" - 100000L)
+      .select($"query_id").distinct().count()
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.9, s"IVF-PQ planted near-dup recall $recall")
+  }
+
   test("PQ survives codebooks shorter than kCodes (corpus < kCodes)") {
     // 8 vectors with kCodes=16: every Lloyd's book holds < kCodes
     // centroids, so the flattened ADC LUT's segments are SHORT — a fixed
