@@ -75,6 +75,13 @@ object GraftFunctions {
           "aggregate: <= k (term, cnt) counters, exact above N/(k+1)"),
       arity("misra_gries_topk", 2)(args =>
         MisraGriesTopK(args(0), intLit(args(1), "misra_gries_topk"))
+          .toAggregateExpression())),
+    (FunctionIdentifier("theta_sketch_agg"),
+      info(classOf[ThetaSketchAgg], "theta_sketch_agg",
+        "theta_sketch_agg(v, lgK) - theta distinct sketch (binary); " +
+          "supports union/intersection/difference set operations"),
+      arity("theta_sketch_agg", 2)(args =>
+        ThetaSketchAgg(args(0), intLit(args(1), "theta_sketch_agg"))
           .toAggregateExpression())))
 
   /** Register into a live session's function registry. */

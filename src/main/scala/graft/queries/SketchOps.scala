@@ -87,6 +87,39 @@ object SketchOps {
       per.unionByName(global).orderBy(col("source"))
     }),
 
+    // theta-sketch set operations: per-source token-vocabulary sketches
+    // (ONE combiner-tree aggregation — the corpus shuffles k hashes per
+    // source, never the vocabulary), pairwise intersect/union/difference
+    // on the driver. Below 2^lgK distinct tokens the sketches are in
+    // exact mode, so every estimate is the true count and the query is
+    // DuckDB-oracle-exact; past that it degrades to bounded-error
+    // estimates with the same plan (the 100 TB shape).
+    "theta_source_vocab" -> ((s, d) => {
+      import graft.functions.ThetaFunctions
+      val sk = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("source"))
+        .agg(ThetaFunctions.theta_sketch_agg(col("term")).as("sk"))
+        .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1)
+      val rows = for {
+        (sa, ba) <- sk.toSeq; (sb, bb) <- sk.toSeq if sa < sb
+      } yield {
+        val nA = ThetaFunctions.estimate(ba).round
+        val nB = ThetaFunctions.estimate(bb).round
+        val nI = ThetaFunctions
+          .estimate(ThetaFunctions.intersect(ba, bb)).round
+        val nU = ThetaFunctions
+          .estimate(ThetaFunctions.union(ba, bb)).round
+        (sa, sb, nA, nB, nI, nU, nI.toDouble / nU.toDouble)
+      }
+      import s.implicits._
+      rows.toDF("source_a", "source_b", "n_a", "n_b", "n_common",
+          "n_union", "jaccard")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // count-min point frequency: one pass builds the sketch (bounded
     // state: depth x width counters, NOT the token domain), the driver
     // probes the 20 alphabetically-first terms. Fixed seed + a width
@@ -121,6 +154,28 @@ object SketchOps {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "theta_source_vocab" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |n AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+        |x AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS n_common
+        |  FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.source AS source_a, b.source AS source_b
+        |  FROM n a JOIN n b ON a.source < b.source)
+        |SELECT p.source_a, p.source_b, na.n AS n_a, nb.n AS n_b,
+        |  COALESCE(x.n_common, 0) AS n_common,
+        |  na.n + nb.n - COALESCE(x.n_common, 0) AS n_union,
+        |  CAST(COALESCE(x.n_common, 0) AS DOUBLE)
+        |    / (na.n + nb.n - COALESCE(x.n_common, 0)) AS jaccard
+        |FROM pairs p
+        |JOIN n na ON na.source = p.source_a
+        |JOIN n nb ON nb.source = p.source_b
+        |LEFT JOIN x ON x.source_a = p.source_a AND x.source_b = p.source_b
+        |ORDER BY 1, 2""".stripMargin,
 
     "cms_token_freq" ->
       """WITH toks AS (

@@ -111,6 +111,44 @@ class SketchSpec extends SparkSpec {
       s"HLL estimate $est vs exact $exact")
   }
 
+  test("theta sketch: exact-mode set ops equal true set arithmetic") {
+    import graft.functions.ThetaFunctions._
+    // two overlapping id sets, each well under 2^12 (exact mode)
+    val a = (0L until 600L).toDF("v").repartition(4)
+    val b = (300L until 1000L).toDF("v").repartition(4)
+    val skA = a.agg(theta_sketch_agg(col("v"))).head().getAs[Array[Byte]](0)
+    val skB = b.agg(theta_sketch_agg(col("v"))).head().getAs[Array[Byte]](0)
+    assert(estimate(skA).round == 600L)
+    assert(estimate(skB).round == 700L)
+    assert(estimate(intersect(skA, skB)).round == 300L)
+    assert(estimate(union(skA, skB)).round == 1000L)
+    assert(estimate(aNotB(skA, skB)).round == 300L)
+    assert(estimate(aNotB(skB, skA)).round == 400L)
+  }
+
+  test("theta sketch estimates within 5% in sampling mode") {
+    import graft.functions.ThetaFunctions._
+    // 200k distinct >> 2^12 nominal entries: sampling mode, bounded error
+    val big = spark.range(200000).toDF("v")
+    val sk = big.agg(theta_sketch_agg(col("v"), lgK = 12))
+      .head().getAs[Array[Byte]](0)
+    val est = estimate(sk)
+    assert(math.abs(est - 200000.0) / 200000.0 < 0.05,
+      s"theta sampling-mode estimate $est vs 200000")
+  }
+
+  test("theta sketch is insertion-order independent") {
+    import graft.functions.ThetaFunctions._
+    val xs = (0L until 5000L).map(i => i * 7919)
+    val fwd = xs.toDF("v").coalesce(1)
+      .agg(theta_sketch_agg(col("v"))).head().getAs[Array[Byte]](0)
+    val rev = xs.reverse.toDF("v").repartition(8)
+      .agg(theta_sketch_agg(col("v"))).head().getAs[Array[Byte]](0)
+    assert(estimate(fwd) == estimate(rev))
+    assert(estimate(intersect(fwd, rev)) == estimate(fwd),
+      "same set => identical retained hashes")
+  }
+
   test("CMS estimates never undercount; exact on the fixture vocabulary") {
     val toks = Tables.documents(spark, Sf0)
       .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
