@@ -101,6 +101,92 @@ object Relational {
         .orderBy(col("n_name"), col("o_year"))
     }),
 
+    // ---- TPC-H Q7 shape: nation-pair trade volume ---------------------
+    // two roles of the SAME dim table (supplier nation vs customer
+    // nation) with a symmetric pair filter — the classic alias-resolution
+    // + join-reorder stress; both nation sides broadcast
+    "q7_nation_volume" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d).select(
+        col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), cust("c_nationkey") === col("n2_key"))
+        .filter(col("supp_nation").isin("NATION_0", "NATION_1",
+            "NATION_2", "NATION_3") &&
+          col("cust_nation").isin("NATION_0", "NATION_1",
+            "NATION_2", "NATION_3") &&
+          col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // ---- TPC-H Q13 shape: customer order-count distribution -----------
+    // left outer join feeding a second-level aggregation (the groupBy of
+    // a groupBy) — zero-order customers must survive as count 0
+    "q13_custdist" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- TPC-H Q18 shape: large-volume orders -------------------------
+    // HAVING-filtered aggregate rejoined to the fact tables: only orders
+    // whose total quantity clears the threshold survive; the aggregate
+    // side is small post-filter, so it broadcasts into the rejoin
+    "q18_large_orders" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val big = li.groupBy(col("l_orderkey").as("big_orderkey"))
+        .agg(sum(money(col("l_quantity"))).as("sum_qty_dec"))
+        .filter(col("sum_qty_dec") > 250)
+      ord.join(broadcast(big), ord("o_orderkey") === col("big_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty_dec").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ---- TPC-H Q22 shape: idle above-average customers ----------------
+    // scalar-aggregate predicate made DIVISION-FREE (acctbal * n > sum
+    // instead of acctbal > sum/n — exact decimal both engines, no
+    // cross-engine division rounding) + anti-join NOT EXISTS
+    "q22_idle_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+      val pos = cust.filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("n_pos"),
+          sum(money(col("c_acctbal"))).as("sum_pos"))
+      val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(pos))
+        .filter(money(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+        .join(urgent, cust("c_custkey") === urgent("o_custkey"),
+          "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(money(col("c_acctbal"))).cast("double").as("tot_acctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // ---- broadcast equi-join with dim table ---------------------------
     "join_broadcast_parts" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -563,6 +649,52 @@ object Relational {
          |WHERE p_name LIKE '%widget%'
          |GROUP BY n_name, CAST(year(o_orderdate) AS INT)
          |ORDER BY n_name, o_year""".stripMargin,
+
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  $revenue AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+         |  AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+         |  AND n1.n_name != n2.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  CAST(CAST(sum_qty_dec AS VARCHAR) AS DOUBLE) AS sum_qty
+         |FROM orders
+         |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sum_qty_dec
+         |      FROM lineitem GROUP BY l_orderkey
+         |      HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 250) big
+         |  ON o_orderkey = big.l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q22_idle_customers" ->
+      s"""WITH pos AS (
+         |  SELECT COUNT(*) AS n_pos,
+         |    SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS sum_pos
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_nationkey, COUNT(*) AS n_cust,
+         |  ${decSum("c_acctbal")} AS tot_acctbal
+         |FROM customer, pos
+         |WHERE CAST(c_acctbal AS DECIMAL(12,4)) * n_pos > sum_pos
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "join_broadcast_parts" ->
       s"""SELECT p_brand, COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty
