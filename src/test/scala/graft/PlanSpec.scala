@@ -207,6 +207,27 @@ class PlanSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/nullcol").count() == 50)
   }
 
+  test("catalog statistics drive automatic broadcast, no hint needed") {
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    spark.sql("DROP TABLE IF EXISTS stats_dim")
+    spark.sql("DROP TABLE IF EXISTS stats_fact")
+    Tables.nation(spark, Sf0).write.saveAsTable("stats_dim")
+    Tables.customer(spark, Sf0).write.saveAsTable("stats_fact")
+    // ANALYZE gives the optimizer real sizes: the dim is KBs, far under
+    // autoBroadcastJoinThreshold, so CBO must pick broadcast-hash WITHOUT
+    // an explicit broadcast() hint — "let Catalyst optimize" made checkable
+    spark.sql("ANALYZE TABLE stats_dim COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE stats_fact COMPUTE STATISTICS")
+    val joined = spark.table("stats_fact")
+      .join(spark.table("stats_dim"),
+        col("c_nationkey") === col("n_nationkey"))
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"stats should drive an unhinted broadcast join:\n$phys")
+    assert(joined.count() == Tables.customer(spark, Sf0).count())
+  }
+
   test("quality report fuses all row rules into one scan") {
     spark.catalog.clearCache()
     val p = plan("quality_report")

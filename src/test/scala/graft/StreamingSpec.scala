@@ -176,6 +176,46 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("heavy-hitters aggregate runs streaming (complete mode)") {
+    // the native TypedImperativeAggregate's serialized buffer lives in
+    // the state store between micro-batches — bounded streaming top-k
+    // without shuffling the term domain
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("term")
+      .agg(graft.functions.HeavyHitters.misra_gries_topk($"term", 8)
+        .as("hh"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hh_stream").start()
+    mem.addData("a", "a", "b")
+    q.processAllAvailable()
+    mem.addData("a", "c", "b")
+    q.processAllAvailable()
+    val hh = spark.table("hh_stream")
+      .select(explode($"hh").as("e"))
+      .select($"e.term", $"e.cnt").as[(String, Long)].collect().toMap
+    assert(hh == Map("a" -> 3L, "b" -> 2L, "c" -> 1L),
+      s"streaming MG counts: $hh")
+    q.stop()
+  }
+
+  test("theta sketch aggregate runs streaming (complete mode)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("v")
+      .agg(graft.functions.ThetaFunctions.theta_sketch_agg($"v").as("sk"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("theta_stream").start()
+    mem.addData(0L until 300L: _*)
+    q.processAllAvailable()
+    mem.addData(200L until 500L: _*) // overlaps 200-299
+    q.processAllAvailable()
+    val bytes = spark.table("theta_stream").head.getAs[Array[Byte]](0)
+    assert(graft.functions.ThetaFunctions.estimate(bytes).round == 500L,
+      "cross-batch distinct estimate must be exact in exact mode")
+    q.stop()
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
