@@ -216,6 +216,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("bloom dedup drops cross-batch duplicates with bounded state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.BloomDedup
+      .dedupKeyed(mem.toDS(), nShards = 4,
+        expectedItemsPerShard = 10000, fpp = 0.001)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bloom_dedup").start()
+    mem.addData(("a", 1L), ("b", 2L), ("a", 3L)) // within-batch dup
+    q.processAllAvailable()
+    mem.addData(("b", 4L), ("c", 5L))            // cross-batch dup
+    q.processAllAvailable()
+    val out = spark.table("bloom_dedup").as[(String, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq("a", "b", "c"),
+      s"each key exactly once: ${out.toSeq}")
+    // first occurrence wins
+    assert(out.toMap == Map("a" -> 1L, "b" -> 2L, "c" -> 5L))
+    q.stop()
+  }
+
+  test("bloom dedup false-drop rate stays near fpp on distinct keys") {
+    import spark.implicits._
+    // batch mode (one micro-batch): 20k DISTINCT keys through tight
+    // filters — survivors must be >= (1 - 5*fpp) of the input
+    val n = 20000
+    val ds = (0 until n).map(i => (s"key_$i", i.toLong)).toDS()
+    val kept = graft.streaming.BloomDedup
+      .dedupKeyed(ds, nShards = 4, expectedItemsPerShard = 10000,
+        fpp = 0.01)
+      .count()
+    assert(kept >= (n * (1 - 0.05)).toLong, s"kept $kept of $n")
+    assert(kept <= n)
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
