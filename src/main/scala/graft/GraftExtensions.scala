@@ -82,6 +82,13 @@ object GraftFunctions {
           "supports union/intersection/difference set operations"),
       arity("theta_sketch_agg", 2)(args =>
         ThetaSketchAgg(args(0), intLit(args(1), "theta_sketch_agg"))
+          .toAggregateExpression())),
+    (FunctionIdentifier("kll_sketch_agg"),
+      info(classOf[KllSketchAgg], "kll_sketch_agg",
+        "kll_sketch_agg(v, k) - KLL quantile sketch (binary); " +
+          "mergeable, ~1.65% rank error at k=200"),
+      arity("kll_sketch_agg", 2)(args =>
+        KllSketchAgg(args(0), intLit(args(1), "kll_sketch_agg"))
           .toAggregateExpression())))
 
   /** Register into a live session's function registry. */

@@ -23,8 +23,21 @@ object EventOps {
   // see us — Spark truncates the same way (ts div 1000) for exact parity.
   private val FiveMinUs = 300000000L
   private val SessionGapUs = 1800000000L // 30 min
+  private val HourUs = 3600000000L
 
   val defs: Map[String, Q] = Map(
+    // time-series regularization: hourly per-user grid over the event
+    // span, gaps carried forward (time_bucket_gapfill / resample-ffill)
+    "events_resample_gapfill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.Resample.gapFill(ev, col("user_id"),
+          expr(s"(ts div 1000) div $HourUs"), money(col("value")))
+        .select(col("k").as("user_id"),
+          (col("bucket") * 3600).as("bucket_s"), col("n_obs"),
+          col("filled_dec").cast("double").as("filled_value"))
+        .orderBy(col("user_id"), col("bucket_s"))
+    }),
+
     // tumbling 5-minute window per event type
     "events_tumbling_window" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -137,6 +150,27 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_resample_gapfill" ->
+      s"""WITH obs AS (
+         |  SELECT user_id, epoch_us(ts) // ${HourUs} AS bucket,
+         |    COUNT(*) AS n_obs,
+         |    SUM(CAST(value AS DECIMAL(12,4))) AS sum_dec
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+         |  FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id, UNNEST(range(mn, mx + 1)) AS bucket
+         |  FROM s),
+         |j AS (SELECT g.user_id, g.bucket,
+         |    COALESCE(o.n_obs, 0) AS n_obs,
+         |    LAST_VALUE(o.sum_dec IGNORE NULLS) OVER (
+         |      PARTITION BY g.user_id ORDER BY g.bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS filled_dec
+         |  FROM grid g
+         |  LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket)
+         |SELECT user_id, bucket * 3600 AS bucket_s, n_obs,
+         |  CAST(CAST(filled_dec AS STRING) AS DOUBLE) AS filled_value
+         |FROM j ORDER BY user_id, bucket_s""".stripMargin,
     "events_tumbling_window" ->
       s"""SELECT (epoch_us(ts) // $FiveMinUs) * 300 AS bucket_s, event_type,
          |  COUNT(*) AS n,

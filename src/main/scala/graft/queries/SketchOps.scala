@@ -120,6 +120,28 @@ object SketchOps {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // KLL quantile sketches: one per source (mergeable partial state —
+    // persist per-shard, merge later, no rescan), driver merges partials
+    // into the global row. Quantiles carry KLL's ~1.65% rank-error bound
+    // (k = 200) -> rows-only + rank-accuracy spec.
+    "kll_length_quantiles" -> ((s, d) => {
+      import graft.functions.KllFunctions
+      val sk = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(KllFunctions.kll_sketch_agg(col("n_chars")).as("sk"))
+        .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1)
+      def row(src: String, b: Array[Byte]) =
+        (src, KllFunctions.n(b), KllFunctions.quantile(b, 0.5),
+          KllFunctions.quantile(b, 0.9), KllFunctions.quantile(b, 0.99))
+      val global = sk.map(_._2).reduce(KllFunctions.merge)
+      import s.implicits._
+      (sk.toSeq.map { case (src, b) => row(src, b) } :+
+        row("__ALL__", global))
+        .toDF("source", "n", "p50", "p90", "p99")
+        .orderBy(col("source"))
+    }),
+
     // count-min point frequency: one pass builds the sketch (bounded
     // state: depth x width counters, NOT the token domain), the driver
     // probes the 20 alphabetically-first terms. Fixed seed + a width

@@ -210,8 +210,16 @@ class PlanSpec extends SparkSpec {
   test("catalog statistics drive automatic broadcast, no hint needed") {
     import org.apache.spark.sql.functions.col
     spark.catalog.clearCache()
-    spark.sql("DROP TABLE IF EXISTS stats_dim")
-    spark.sql("DROP TABLE IF EXISTS stats_fact")
+    // a managed-table LOCATION outlives the in-memory catalog across
+    // sessions: in a fresh session even overwrite takes the CREATE path
+    // and rejects the orphaned directory — drop table AND location
+    for (t <- Seq("stats_dim", "stats_fact")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
     Tables.nation(spark, Sf0).write.saveAsTable("stats_dim")
     Tables.customer(spark, Sf0).write.saveAsTable("stats_fact")
     // ANALYZE gives the optimizer real sizes: the dim is KBs, far under

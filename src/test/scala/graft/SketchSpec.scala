@@ -149,6 +149,38 @@ class SketchSpec extends SparkSpec {
       "same set => identical retained hashes")
   }
 
+  test("KLL quantiles land within the rank-error bound") {
+    import graft.functions.KllFunctions._
+    val n = 50000
+    val vals = spark.range(n).toDF("v") // 0..n-1 uniform
+    val sk = vals.agg(kll_sketch_agg(col("v"))).head().getAs[Array[Byte]](0)
+    assert(KllFunctions_n(sk) == n)
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = quantile(sk, q)
+      val trueRank = (est + 1) / n // uniform 0..n-1: rank of v is (v+1)/n
+      assert(math.abs(trueRank - q) < 0.03,
+        s"quantile($q) = $est, implied rank $trueRank")
+    }
+    // rank() inverts quantile() within the same bound
+    assert(math.abs(rank(sk, n / 2.0) - 0.5) < 0.03)
+  }
+
+  private def KllFunctions_n(b: Array[Byte]): Long =
+    graft.functions.KllFunctions.n(b)
+
+  test("KLL merge of partials equals one-pass sketch within bound") {
+    import graft.functions.KllFunctions._
+    val a = spark.range(0, 25000).toDF("v")
+      .agg(kll_sketch_agg(col("v"))).head().getAs[Array[Byte]](0)
+    val b = spark.range(25000, 50000).toDF("v")
+      .agg(kll_sketch_agg(col("v"))).head().getAs[Array[Byte]](0)
+    val m = merge(a, b)
+    assert(KllFunctions_n(m) == 50000)
+    val est = quantile(m, 0.5)
+    assert(math.abs(est - 25000.0) / 50000.0 < 0.03,
+      s"merged median $est")
+  }
+
   test("CMS estimates never undercount; exact on the fixture vocabulary") {
     val toks = Tables.documents(spark, Sf0)
       .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
