@@ -23,6 +23,44 @@ object Resample {
     * key is always observed, so `filled_dec` is never null. */
   def gapFill(df: DataFrame, key: Column, bucket: Column,
       valueDec: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sparseGrid(df, key, bucket, valueDec)
+      .select(col("k"), col("bucket"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("sum_dec"), ignoreNulls = true).over(w).as("filled_dec"))
+  }
+
+  /** Like [[gapFill]] but LINEARLY interpolating gap rows between their
+    * surrounding observations (trailing gaps carry the last value
+    * forward). All arithmetic past the exact decimal inputs is IEEE
+    * double (both engines compute `prev + (next-prev) * frac`
+    * identically), so the result stays cross-engine bit-exact. */
+  def gapFillInterp(df: DataFrame, key: Column, bucket: Column,
+      valueDec: Column): DataFrame = {
+    val ord = Window.partitionBy(col("k")).orderBy(col("bucket"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col("sum_dec").isNotNull, col("bucket"))
+    val prevD = last(col("sum_dec"), ignoreNulls = true).over(wPrev)
+      .cast("double")
+    val nextD = first(col("sum_dec"), ignoreNulls = true).over(wNext)
+      .cast("double")
+    val prevB = last(obsBucket, ignoreNulls = true).over(wPrev)
+    val nextB = first(obsBucket, ignoreNulls = true).over(wNext)
+    sparseGrid(df, key, bucket, valueDec)
+      .select(col("k"), col("bucket"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        when(nextB.isNull || nextB === prevB, prevD)
+          .otherwise(prevD + (nextD - prevD) *
+            ((col("bucket") - prevB) / (nextB - prevB)))
+          .as("interp_value"))
+  }
+
+  /** Per-key dense bucket grid left-joined with the per-bucket decimal
+    * observations (null `sum_dec` on gap rows). */
+  private def sparseGrid(df: DataFrame, key: Column, bucket: Column,
+      valueDec: Column): DataFrame = {
     val obs = df
       .groupBy(key.as("k"), bucket.as("bucket"))
       .agg(count(lit(1)).as("n_obs"), sum(valueDec).as("sum_dec"))
@@ -30,11 +68,6 @@ object Resample {
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
       .select(col("k"),
         explode(sequence(col("mn"), col("mx"))).as("bucket"))
-    val w = Window.partitionBy(col("k")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(obs, Seq("k", "bucket"), "left")
-      .select(col("k"), col("bucket"),
-        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-        last(col("sum_dec"), ignoreNulls = true).over(w).as("filled_dec"))
   }
 }

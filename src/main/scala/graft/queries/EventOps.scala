@@ -38,6 +38,35 @@ object EventOps {
         .orderBy(col("user_id"), col("bucket_s"))
     }),
 
+    // linear interpolation variant: gap rows take the line between the
+    // surrounding observations (IEEE-double identical both engines)
+    "events_resample_interp" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.Resample.gapFillInterp(ev, col("user_id"),
+          expr(s"(ts div 1000) div $HourUs"), money(col("value")))
+        .select(col("k").as("user_id"),
+          (col("bucket") * 3600).as("bucket_s"), col("n_obs"),
+          col("interp_value"))
+        .orderBy(col("user_id"), col("bucket_s"))
+    }),
+
+    // RANGE window frame: trailing-hour totals per user keyed on the
+    // event-TIME VALUE (ties share a frame), not on row counts — the
+    // value-based frame family the rows-frame queries don't exercise
+    "window_range_trailing" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-(HourUs - 1), 0)
+      ev.select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), money(col("value")).as("v"))
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .withColumn("sum_trailing_1h",
+          sum(col("v")).over(w).cast("double"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("n_trailing_1h"), col("sum_trailing_1h"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // tumbling 5-minute window per event type
     "events_tumbling_window" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -150,6 +179,48 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_resample_interp" ->
+      s"""WITH obs AS (
+         |  SELECT user_id, epoch_us(ts) // ${HourUs} AS bucket,
+         |    COUNT(*) AS n_obs,
+         |    SUM(CAST(value AS DECIMAL(12,4))) AS sum_dec
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+         |  FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id, UNNEST(range(mn, mx + 1)) AS bucket
+         |  FROM s),
+         |j AS (SELECT g.user_id, g.bucket,
+         |    COALESCE(o.n_obs, 0) AS n_obs,
+         |    CAST(CAST(LAST_VALUE(o.sum_dec IGNORE NULLS) OVER wp
+         |      AS STRING) AS DOUBLE) AS prev_d,
+         |    CAST(CAST(FIRST_VALUE(o.sum_dec IGNORE NULLS) OVER wn
+         |      AS STRING) AS DOUBLE) AS next_d,
+         |    LAST_VALUE(CASE WHEN o.sum_dec IS NOT NULL THEN g.bucket END
+         |      IGNORE NULLS) OVER wp AS prev_b,
+         |    FIRST_VALUE(CASE WHEN o.sum_dec IS NOT NULL THEN g.bucket END
+         |      IGNORE NULLS) OVER wn AS next_b
+         |  FROM grid g
+         |  LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+         |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wn AS (PARTITION BY g.user_id ORDER BY g.bucket
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, bucket * 3600 AS bucket_s, n_obs,
+         |  CASE WHEN next_b IS NULL OR next_b = prev_b THEN prev_d
+         |    ELSE prev_d + (next_d - prev_d) *
+         |      ((bucket - prev_b) / (next_b - prev_b)) END AS interp_value
+         |FROM j ORDER BY user_id, bucket_s""".stripMargin,
+
+    "window_range_trailing" ->
+      s"""SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |  COUNT(*) OVER w AS n_trailing_1h,
+         |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER w
+         |    AS STRING) AS DOUBLE) AS sum_trailing_1h
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN ${HourUs - 1} PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     "events_resample_gapfill" ->
       s"""WITH obs AS (
          |  SELECT user_id, epoch_us(ts) // ${HourUs} AS bucket,
