@@ -75,13 +75,11 @@ case class KllSketchAgg(child: Expression, k: Int = 200,
   override def serialize(buf: KllDoublesSketch): Array[Byte] =
     buf.toByteArray
 
-  override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
-    val s = KllDoublesSketch.heapify(Memory.wrap(bytes))
-    // heapified sketches can be read-only; merge into a fresh updatable one
-    val buf = createAggregationBuffer()
-    buf.merge(s)
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    // heapify yields a MUTABLE on-heap sketch (read-only applies only to
+    // wrapped immutable memory), so it can keep merging directly — and
+    // it preserves the serialized sketch's own k
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
 
   override def withNewMutableAggBufferOffset(offset: Int): KllSketchAgg =
     copy(mutableAggBufferOffset = offset)
@@ -110,9 +108,12 @@ object KllFunctions {
 
   def n(bytes: Array[Byte]): Long = heapify(bytes).getN
 
+  /** Merge two serialized sketches. Merging INTO the heapified left
+    * input keeps its k (a fresh default-k target would silently degrade
+    * high-k sketches to ~1.65% rank error). */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val m = KllDoublesSketch.newHeapInstance()
-    m.merge(heapify(a)); m.merge(heapify(b))
+    val m = heapify(a)
+    m.merge(heapify(b))
     m.toByteArray
   }
 }

@@ -101,8 +101,13 @@ object ThetaFunctions {
 
   def estimate(bytes: Array[Byte]): Double = heapify(bytes).getEstimate
 
-  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val u = SetOperation.builder().buildUnion()
+  /** Union of two serialized sketches. `lgK` must be >= the lgK the
+    * sketches were built with (a compact sketch does not carry its own
+    * lgK, so it cannot be inferred): a smaller union downsamples the
+    * result to 2^lgK retained hashes, silently degrading exact-mode
+    * inputs to estimates. Intersection/difference never resample. */
+  def union(a: Array[Byte], b: Array[Byte], lgK: Int = 12): Array[Byte] = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
     u.union(Memory.wrap(a)); u.union(Memory.wrap(b))
     u.getResult.toByteArray
   }

@@ -26,21 +26,42 @@ import org.apache.spark.sql.functions._
 object Bloom {
 
   /** Standard optimal bit count for `n` items at false-positive rate
-    * `fpp`: ceil(-n ln fpp / (ln 2)^2). */
+    * `fpp` — delegates to spark-sketch's own formula so sizing can
+    * never drift from the engine's bloom machinery. */
   def optimalNumBits(expectedItems: Long, fpp: Double): Long = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"need items > 0, 0 < fpp < 1: $expectedItems / $fpp")
-    math.ceil(-expectedItems.toDouble * math.log(fpp)
-      / (math.log(2) * math.log(2))).toLong
+    org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
   }
 
   /** Aggregate `key` of `df` into one bloom filter and return its
     * serialized bytes (null when the input is empty/all-null). One
     * combiner-tree aggregation; the driver holds only numBits/8 bytes,
-    * never the key set itself. */
+    * never the key set itself.
+    *
+    * FAILS LOUD when the requested size exceeds Spark's runtime-filter
+    * caps: `BloomFilterAggregate` silently clamps its item/bit
+    * parameters with `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems` / `.maxNumBits` (defaults 4M / 2^26) — above them
+    * the real fpp would quietly approach 1 and every membership
+    * guarantee this operator's callers document (prefilter selectivity,
+    * decontamination over-drop ~fpp) would be silently void. Raise
+    * those confs to the requested size instead of shrinking the ask. */
   def buildBytes(df: DataFrame, key: Column, expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] = {
     val bits = optimalNumBits(expectedItems, fpp)
+    val conf = df.sparkSession.conf
+    val maxItems = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedItems <= maxItems && bits <= maxBits,
+      s"bloom sizing ($expectedItems items / $bits bits) exceeds Spark's " +
+        s"runtime-filter caps ($maxItems items / $maxBits bits) and WOULD " +
+        "BE SILENTLY CLAMPED (real fpp -> 1). Raise spark.sql.optimizer." +
+        "runtime.bloomFilter.maxNumItems / .maxNumBits to at least the " +
+        "requested size.")
     df.agg(BloomFunctions.bloom_agg(key, expectedItems, bits).as("bf"))
       .head().getAs[Array[Byte]](0)
   }

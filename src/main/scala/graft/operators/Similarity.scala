@@ -286,13 +286,21 @@ object Similarity {
     * broadcast join, no per-vector window shuffle: the pre-round-4 form
     * shuffled |df| x k rows through a row_number window, which dominated
     * the IVF plans' cost. */
-  private def nearestCells(df: DataFrame, centroids: DataFrame,
-      idAs: String, vAs: String, keep: Int): DataFrame = {
-    val cents: Array[(Int, Seq[Double])] = centroids
+  /** Collect a (cell, c_v) codebook DataFrame ONCE for reuse across the
+    * corpus- and query-side [[nearestCells]] calls (collecting inside
+    * each call would run the centroid aggregation twice, eagerly). */
+  private def collectCentroids(centroids: DataFrame)
+      : Array[(Int, Seq[Double])] = {
+    val cents = centroids
       .select(col("cell").cast("int"), col("c_v"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1)
     require(cents.nonEmpty, "empty codebook")
+    cents
+  }
+
+  private def nearestCells(df: DataFrame, cents: Array[(Int, Seq[Double])],
+      idAs: String, vAs: String, keep: Int): DataFrame = {
     val base = df.select(col("vec_id").as(idAs), col("embedding").as(vAs))
     // struct sort is lexicographic: (-cos, cell) asc == (cos desc, cell)
     val scored = array(cents.map { case (cid, c) =>
@@ -310,9 +318,9 @@ object Similarity {
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nprobe: Int = 3, codebook: Option[DataFrame] = None): DataFrame = {
-    val centroids = codebook.getOrElse(labelCentroids(corpus))
+    val cents = collectCentroids(codebook.getOrElse(labelCentroids(corpus)))
     def cells(df: DataFrame, idAs: String, vAs: String, keep: Int) =
-      nearestCells(df, centroids, idAs, vAs, keep)
+      nearestCells(df, cents, idAs, vAs, keep)
     val c = cells(corpus, "neighbor_id", "c_v2", keep = 1)
       .withColumn("c_n", sqrt(dotDouble(col("c_v2"), col("c_v2"))))
     val q = cells(queries, "query_id", "q_v", keep = nprobe)
@@ -403,16 +411,12 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val pq = new PqMachinery(
       pqCodebooks(corpus, m, dim / m, kCodes, kmeansIter), m, dim / m)
-    val centroids = codebook.getOrElse(labelCentroids(corpus))
+    val cents = collectCentroids(codebook.getOrElse(labelCentroids(corpus)))
 
-    // vAs must differ from the centroids' own "c_v" column inside the
-    // cell-ranking join; rename once the centroid column is projected out
-    val coded = nearestCells(corpus, centroids, "neighbor_id", "c_v2",
-        keep = 1)
-      .withColumnRenamed("c_v2", "c_v")
+    val coded = nearestCells(corpus, cents, "neighbor_id", "c_v", keep = 1)
       .withColumn("codes", pq.codes(col("c_v")))
       .withColumn("c_n", sqrt(dotDouble(col("c_v"), col("c_v"))))
-    val q = nearestCells(queries, centroids, "query_id", "q_v",
+    val q = nearestCells(queries, cents, "query_id", "q_v",
         keep = nprobe)
       .withColumn("q_n", sqrt(dotDouble(col("q_v"), col("q_v"))))
       .withColumn("lut", pq.lut(col("q_v")))

@@ -36,7 +36,10 @@ object PrepOps {
       "src4" -> 10, "src5" -> 5)
   val MixDefault = 25
 
-  private def evalSplit(s: SparkSession, d: String)
+  /** Shared train/eval split convention (also used by SketchOps'
+    * decontaminate_bloom and the no-leak spec — one definition so the
+    * splits can never drift apart). */
+  def evalSplit(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
       .withColumn("__bucket", Sampling.hashBucket(col("doc_id"), EvalBuckets))

@@ -3,7 +3,7 @@ package graft.queries
 import java.io.ByteArrayInputStream
 
 import graft.Tables
-import graft.operators.{Bloom, Decontaminate, Sampling, TextAnalysis}
+import graft.operators.{Bloom, Decontaminate, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
@@ -23,16 +23,6 @@ import org.apache.spark.util.sketch.CountMinSketch
   */
 object SketchOps {
   type Q = (SparkSession, String) => DataFrame
-
-  /** Eval split shared with PrepOps (same hash-bucket convention). */
-  private def evalSplit(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, d)
-      .withColumn("__bucket",
-        Sampling.hashBucket(col("doc_id"), PrepOps.EvalBuckets))
-    (docs.filter(col("__bucket") =!= 0).drop("__bucket"),
-      docs.filter(col("__bucket") === 0).drop("__bucket"))
-  }
 
   val defs: Map[String, Q] = Map(
     // bloom-prefiltered fact join: the small side (urgent 1997+ orders)
@@ -60,7 +50,7 @@ object SketchOps {
     // so the kept set is engine-specific -> rows-only; the exact-subset
     // and no-leak guarantees are spec'd in SketchSpec.
     "decontaminate_bloom" -> ((s, d) => {
-      val (train, eval_) = evalSplit(s, d)
+      val (train, eval_) = PrepOps.evalSplit(s, d)
       Decontaminate.cleanBloom(train, eval_, col("doc_id"), col("text"),
           PrepOps.DecontamK, expectedShingles = 1L << 16)
         .select(col("doc_id"), col("source"))

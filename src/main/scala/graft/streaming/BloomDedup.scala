@@ -22,9 +22,14 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomDedup {
 
-  /** Deduplicate a keyed stream: first occurrence of each key passes,
-    * later ones (same or later micro-batch) are dropped. Works
-    * identically on a batch Dataset (one "micro-batch"). */
+  /** Deduplicate a keyed stream: exactly ONE occurrence of each key
+    * passes; duplicates in the same or any later micro-batch are
+    * dropped. Across micro-batches the EARLIER batch's occurrence wins
+    * (its insert is already in state); within one micro-batch the
+    * survivor is whichever row the post-shuffle group iterator presents
+    * first — partition-order dependent, NOT guaranteed to be the
+    * stream-order first. Works identically on a batch Dataset (one
+    * "micro-batch"). */
   def dedupKeyed[T](ds: Dataset[(String, T)], nShards: Int = 64,
       expectedItemsPerShard: Long = 1L << 20, fpp: Double = 0.01)
       (implicit te: Encoder[T]): Dataset[(String, T)] = {

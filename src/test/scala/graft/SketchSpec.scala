@@ -3,7 +3,7 @@ package graft
 import java.io.ByteArrayInputStream
 
 import graft.functions.BloomFunctions
-import graft.operators.{Bloom, Decontaminate, Sampling, TextAnalysis}
+import graft.operators.{Bloom, Decontaminate, TextAnalysis}
 import graft.queries.PrepOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
@@ -71,11 +71,9 @@ class SketchSpec extends SparkSpec {
   }
 
   test("bloom decontamination never leaks, over-drops only ~fpp") {
-    val docs = Tables.documents(spark, Sf0)
-      .withColumn("__bucket",
-        Sampling.hashBucket(col("doc_id"), PrepOps.EvalBuckets))
-    val train = docs.filter(col("__bucket") =!= 0).drop("__bucket")
-    val eval_ = docs.filter(col("__bucket") === 0).drop("__bucket")
+    // the SAME split helper the queries use — a drifting convention
+    // here would compare mismatched train/eval sets
+    val (train, eval_) = PrepOps.evalSplit(spark, Sf0)
     val exact = Decontaminate.clean(train, eval_, col("doc_id"),
       col("text"), PrepOps.DecontamK).select(col("doc_id"))
     val bloom = Decontaminate.cleanBloom(train, eval_, col("doc_id"),

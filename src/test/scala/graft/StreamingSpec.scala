@@ -231,8 +231,12 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("bloom_dedup").as[(String, Long)].collect()
     assert(out.map(_._1).sorted.toSeq == Seq("a", "b", "c"),
       s"each key exactly once: ${out.toSeq}")
-    // first occurrence wins
-    assert(out.toMap == Map("a" -> 1L, "b" -> 2L, "c" -> 5L))
+    val m = out.toMap
+    // within-batch survivor is group-iterator-order dependent; the
+    // CROSS-batch guarantee is strict: batch 1's "b" is in state, so
+    // batch 2's ("b", 4) must be the one dropped
+    assert(Set(1L, 3L).contains(m("a")), s"a -> ${m("a")}")
+    assert(m("b") == 2L && m("c") == 5L, s"$m")
     q.stop()
   }
 
