@@ -459,6 +459,34 @@ object Relational {
       s.sql(PassthroughSql)
     }),
 
+    // ---- recursive CTE (Spark 4 WITH RECURSIVE): month spine -------------
+    // an integer-index recursion generates the calendar spine (UNION ALL
+    // + a literal bound — Spark doesn't yet allow UNION-distinct
+    // recursion, so the recursion must be inherently acyclic), then the
+    // spine LEFT-joins the fact table so empty months survive as 0
+    "recursive_month_spine" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""WITH RECURSIVE mi(i) AS (
+        |  SELECT 0 UNION ALL SELECT i + 1 FROM mi WHERE i < 79)
+        |SELECT CAST(1995 + i div 12 AS INT) AS y,
+        |  CAST(i % 12 + 1 AS INT) AS m,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM mi LEFT JOIN orders
+        |  ON year(o_orderdate) = 1995 + i div 12
+        | AND month(o_orderdate) = i % 12 + 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
+    // ---- LATERAL correlated subquery with LIMIT ---------------------------
+    // per-order top line item via a correlated lateral table function —
+    // the LateralJoin plan shape (not expressible as a plain join)
+    "join_lateral_top_line" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(LateralTopLineSql)
+    }),
+
     // ---- approximate distinct (HLL++) — rows-only check: sketch
     // implementations differ across engines by design; AggSpec bounds the
     // error against the exact count
@@ -581,6 +609,17 @@ object Relational {
       |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS STRING) AS DOUBLE) AS sum_bal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Correlated LATERAL-with-LIMIT text runnable verbatim by both
+    * engines (pass-through doubles, no aggregation — parity-safe). */
+  val LateralTopLineSql: String =
+    """SELECT o_orderkey, o_orderpriority, t.l_linenumber, t.price
+      |FROM orders, LATERAL (
+      |  SELECT l_linenumber, l_extendedprice AS price FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t
+      |WHERE o_orderkey < 1000
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Correlated-EXISTS text runnable verbatim by both engines. */
   val ExistsSql: String =
@@ -883,6 +922,23 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "querysql_passthrough" -> PassthroughSql,
+
+    "join_lateral_top_line" -> LateralTopLineSql,
+
+    // recursion differs only in engine idiom: DuckDB `//` for Spark's
+    // `div`, VARCHAR-routed decimal->double cast
+    "recursive_month_spine" ->
+      """WITH RECURSIVE mi(i) AS (
+        |  SELECT 0 UNION ALL SELECT i + 1 FROM mi WHERE i < 79)
+        |SELECT CAST(1995 + i // 12 AS INT) AS y,
+        |  CAST(i % 12 + 1 AS INT) AS m,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS STRING)
+        |    AS DOUBLE) AS sum_price
+        |FROM mi LEFT JOIN orders
+        |  ON year(o_orderdate) = 1995 + i // 12
+        | AND month(o_orderdate) = i % 12 + 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "subq_exists_priority" -> ExistsSql,
 
