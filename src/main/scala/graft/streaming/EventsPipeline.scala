@@ -82,6 +82,55 @@ object EventsPipeline {
       }.toDF()
   }
 
+  /** Same running totals through Spark 4's `transformWithState` — the
+    * successor stateful API (`StatefulProcessor` + named state
+    * variables + optional TTL) that replaces mapGroupsWithState for new
+    * code: state is schema'd per variable (evolvable), timers are
+    * first-class, and TTL bounds state without watermark coupling.
+    * Requires the RocksDB state store provider
+    * (spark.sql.streaming.stateStore.providerClass) — named state
+    * variables map to column families the HDFS-backed store lacks. */
+  def statefulUserTotalsTws(spark: SparkSession,
+      events: DataFrame): DataFrame = {
+    import spark.implicits._
+    withEventTime(events)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"event_time")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
+
+  /** Per-user totals processor for [[statefulUserTotalsTws]]: one named
+    * ValueState variable, no timers, no TTL (add TTLConfig to expire
+    * idle users at stream scale). */
+  final class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, UserAgg] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserAgg] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserAgg]("totals",
+        org.apache.spark.sql.Encoders.product[UserAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[EventRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserAgg] = {
+      val prev = if (totals.exists()) totals.get() else UserAgg(uid, 0L, 0.0)
+      val (n, s) = rows.foldLeft((prev.n_events, prev.sum_value)) {
+        case ((cn, cs), r) => (cn + 1, cs + r.value)
+      }
+      val next = UserAgg(uid, n, s)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
   /** Streaming exact dedup: at most one row per `idCols` among
     * duplicates arriving within the watermark delay of each other —
     * Spark's stateful dropDuplicatesWithinWatermark, the watermark

@@ -254,6 +254,32 @@ class StreamingSpec extends SparkSpec {
     assert(kept <= n)
   }
 
+  test("transformWithState totals match mapGroupsWithState across batches") {
+    implicit val sq = spark.sqlContext
+    // transformWithState needs multi-column-family state: RocksDB
+    // provider, not the default HDFS-backed one
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(confKey)
+    spark.conf.set(confKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsPipeline.statefulUserTotalsTws(spark, df)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws_out").start()
+    val t0 = 1700000000000000000L
+    mem.addData((1L, t0, 9L, "click", 2.5), (2L, t0 + 1, 9L, "view", 1.5))
+    q.processAllAvailable()
+    mem.addData((3L, t0 + 2, 9L, "click", 6.0))
+    q.processAllAvailable()
+    val last = spark.table("tws_out").filter($"user_id" === 9)
+      .orderBy($"n_events".desc).head
+    assert(last.getLong(1) == 3 && math.abs(last.getDouble(2) - 10.0) < 1e-9)
+    q.stop()
+    } finally spark.conf.set(confKey, prev)
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
