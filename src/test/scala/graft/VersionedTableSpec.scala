@@ -1,0 +1,80 @@
+package graft
+
+import graft.sinks.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolation semantics of the manifest-log table: pinned
+  * reads, time travel, upsert-as-commit, optimistic-concurrency
+  * surface, vacuum retention. */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot() =
+    java.nio.file.Files.createTempDirectory("vtable").toString + "/t"
+
+  test("write/read round-trip and version numbering") {
+    val root = tmpRoot()
+    val v0 = VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      root)
+    assert(v0 == 0L)
+    val v1 = VersionedTable.write(Seq((3L, "c")).toDF("k", "v"), root)
+    assert(v1 == 1L)
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
+    // latest = full replace; v0 still readable (time travel)
+    assert(VersionedTable.read(spark, root).count() == 1)
+    assert(VersionedTable.read(spark, root, Some(0L)).count() == 2)
+  }
+
+  test("snapshot pinned at read time survives a later commit") {
+    val root = tmpRoot()
+    VersionedTable.write((1L to 10L).toDF("k"), root)
+    val pinned = VersionedTable.read(spark, root) // resolves v0's files
+    VersionedTable.write((1L to 3L).toDF("k"), root) // v1 replaces
+    // the pinned plan still reads v0's immutable files
+    assert(pinned.count() == 10)
+    assert(VersionedTable.read(spark, root).count() == 3)
+  }
+
+  test("append accumulates; upsert replaces by key in one commit") {
+    val root = tmpRoot()
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), root)
+    assert(VersionedTable.read(spark, root).count() == 3)
+    val v = VersionedTable.upsert(
+      Seq((2L, "B"), (4L, "d")).toDF("k", "v"), root, Seq("k"))
+    assert(v == 2L)
+    val out = VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // pre-upsert snapshot unchanged
+    val before = VersionedTable.read(spark, root, Some(1L))
+      .as[(Long, String)].collect().toMap
+    assert(before == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("vacuum deletes only files no retained manifest references") {
+    val root = tmpRoot()
+    VersionedTable.write((1L to 5L).toDF("k"), root)
+    VersionedTable.write((6L to 9L).toDF("k"), root)
+    VersionedTable.append((10L to 12L).toDF("k"), root)
+    // keep v1+v2: v0's files become dead, v1's files are shared with v2
+    val deleted = VersionedTable.vacuum(spark, root, keepVersions = 2)
+    assert(deleted > 0, "v0-only files must be deleted")
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    assert(VersionedTable.read(spark, root).count() == 7)
+    assert(VersionedTable.read(spark, root, Some(1L)).count() == 4,
+      "files shared with a retained snapshot must survive vacuum")
+  }
+
+  test("commit is an atomic manifest rename; stale tmp never commits") {
+    val root = tmpRoot()
+    VersionedTable.write((1L to 4L).toDF("k"), root)
+    // no .tmp- litter in the manifest dir after a commit
+    val f = new org.apache.hadoop.fs.Path(root, "_manifests")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = f.listStatus(
+      new org.apache.hadoop.fs.Path(root, "_manifests"))
+      .map(_.getPath.getName)
+    assert(names.forall(_.startsWith("v")), names.mkString(","))
+  }
+}
