@@ -25,6 +25,34 @@ object SketchOps {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // transactional-table surface (S4) driven end-to-end through the
+    // gate: documents committed as v0, a deterministic upsert commits
+    // v1, then BOTH snapshots aggregate — latest sees the merge, time
+    // travel sees v0 unchanged. The oracle recomputes the same merge
+    // relationally from the source table.
+    "versioned_upsert_read" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("vt")
+        .toString + "/t"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      VersionedTable.write(docs, root)
+      val upd = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") * 2)
+      VersionedTable.upsert(upd, root, Seq("doc_id"))
+      val latest = VersionedTable.read(s, root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("latest_chars"))
+      val v0 = VersionedTable.read(s, root, Some(0L))
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("v0_chars"))
+      latest.join(v0, "source")
+        .select(col("source"), col("n_docs"), col("latest_chars"),
+          col("v0_chars"))
+        .orderBy(col("source"))
+    }),
+
     // bloom-prefiltered fact join: the small side (urgent 1997+ orders)
     // builds a ~300 KB bloom; lineitem drops non-matching rows AT THE
     // SCAN, before the join exchange. No false negatives => result is
@@ -157,6 +185,20 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "versioned_upsert_read" ->
+      """WITH latest AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars * 2 ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents)
+        |SELECT l.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(l.n_chars) AS BIGINT) AS latest_chars,
+        |  CAST(MIN(v.v0_chars) AS BIGINT) AS v0_chars
+        |FROM latest l
+        |JOIN (SELECT source, SUM(n_chars) AS v0_chars FROM documents
+        |      GROUP BY source) v ON v.source = l.source
+        |GROUP BY l.source ORDER BY l.source""".stripMargin,
+
     "join_bloom_prefilter" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(month(o_orderdate) AS INT) AS o_month,
