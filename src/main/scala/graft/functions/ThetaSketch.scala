@@ -107,6 +107,15 @@ object ThetaFunctions {
     * result to 2^lgK retained hashes, silently degrading exact-mode
     * inputs to estimates. Intersection/difference never resample. */
   def union(a: Array[Byte], b: Array[Byte], lgK: Int = 12): Array[Byte] = {
+    // fail loud instead of silently downsampling: an input retaining
+    // more hashes than this union's nominal capacity was built with a
+    // larger lgK, and unioning it here would degrade exact counts to
+    // estimates behind the caller's back
+    val retained = math.max(heapify(a).getRetainedEntries,
+      heapify(b).getRetainedEntries)
+    require(retained <= (1 << lgK),
+      s"union(lgK=$lgK) would downsample a sketch retaining $retained " +
+        s"hashes — pass the lgK the sketches were aggregated with")
     val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
     u.union(Memory.wrap(a)); u.union(Memory.wrap(b))
     u.getResult.toByteArray

@@ -47,10 +47,17 @@ object SketchOps {
       val v0 = VersionedTable.read(s, root, Some(0L))
         .groupBy(col("source"))
         .agg(sum(col("n_chars")).as("v0_chars"))
-      latest.join(v0, "source")
+      val result = latest.join(v0, "source")
         .select(col("source"), col("n_docs"), col("latest_chars"),
           col("v0_chars"))
         .orderBy(col("source"))
+      // materialize, then remove the scratch table — repeated gate and
+      // min-of-N bench runs must not accumulate /tmp copies
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
     }),
 
     // bloom-prefiltered fact join: the small side (urgent 1997+ orders)

@@ -4,8 +4,9 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal versioned parquet table: an immutable commit log of manifest
   * files over immutable data files — the transactional-lake core
@@ -16,26 +17,31 @@ import org.apache.spark.sql.functions.col
   *
   *  - data files are write-once under `<root>/data/` with UUID names —
   *    no writer ever mutates or deletes a live file;
-  *  - a commit is ONE atomic rename of `<root>/_manifests/vN.json`
-  *    (the sorted list of data files in that snapshot). `rename` to an
-  *    existing name fails on Hadoop filesystems, so two writers racing
-  *    to the same version conflict EXPLICITLY (optimistic concurrency:
-  *    the loser retries on the next version);
+  *  - a commit CLAIMS `<root>/_manifests/vN.json` with an EXCLUSIVE
+  *    create (`FileSystem.create(path, overwrite = false)`) — NOT a
+  *    rename, because Hadoop's plain LocalFileSystem silently
+  *    overwrites on rename-to-existing, which would turn a version race
+  *    into lost data. Two writers racing to vN: the second create
+  *    throws, the loser recomputes against the new head and retries.
+  *    (On filesystems without atomic exclusive create — some object
+  *    stores — plug a conditional-put commit, as every log-structured
+  *    lake format requires.)
+  *  - a manifest is VALID only when terminated (`#end` last line): a
+  *    writer that crashes mid-write leaves an unterminated claim that
+  *    readers ignore and the next committer garbage-collects;
+  *  - the manifest carries the snapshot's schema (header line), so an
+  *    EMPTY committed snapshot still reads back with its own schema;
   *  - readers resolve a manifest once and read exactly its file list:
   *    a snapshot taken before a concurrent commit keeps reading the old
-  *    files (they are never overwritten), giving repeatable reads with
-  *    zero coordination;
-  *  - `vacuum` deletes data files referenced by NO retained manifest —
-  *    the only deletion in the design, safely after readers of expired
-  *    snapshots are gone (retention is the operator's contract, as in
-  *    any log-structured lake format).
-  *
-  * Deliberately minimal vs a full lake format: single-table JSON-lines
-  * manifests (no partition pruning stats, no schema evolution log) —
-  * the seam a production format slots into is the same write/read/
-  * upsert/vacuum surface.
+  *    files (never overwritten) — repeatable reads, zero coordination;
+  *  - `vacuum` deletes data files referenced by NO retained manifest
+  *    AND older than a grace window — the grace protects files a
+  *    concurrent commit has staged but not yet claimed (retention is
+  *    the operator's contract, as in any lake format).
   */
 object VersionedTable {
+
+  private val Terminator = "#end"
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -45,96 +51,118 @@ object VersionedTable {
   private def manifestPath(root: String, v: Long) =
     new Path(manifestDir(root), f"v$v%012d.json")
 
-  /** All committed versions, ascending (empty for a fresh root). */
+  private final case class Manifest(schema: StructType, files: Seq[String])
+
+  private def readManifestRaw(f: FileSystem, p: Path): Option[Manifest] = {
+    val in = f.open(p)
+    try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      val lines = new String(bytes, StandardCharsets.UTF_8).split("\n")
+        .toSeq.filter(_.nonEmpty)
+      if (lines.isEmpty || lines.last != Terminator) None // unterminated
+      else Some(Manifest(
+        DataType.fromJson(lines.head).asInstanceOf[StructType],
+        lines.tail.dropRight(1)))
+    } finally in.close()
+  }
+
+  /** All committed (valid) versions, ascending. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
     if (!f.exists(manifestDir(root))) Seq.empty
     else f.listStatus(manifestDir(root)).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .map(_.getPath)
+      .collect { case p
+        if p.getName.startsWith("v") && p.getName.endsWith(".json") &&
+          readManifestRaw(f, p).isDefined =>
+        p.getName.stripPrefix("v").stripSuffix(".json").toLong }
       .sorted
   }
 
-  private def readManifest(f: FileSystem, root: String, v: Long)
-      : Seq[String] = {
-    val in = f.open(manifestPath(root, v))
-    try {
-      val bytes = new Array[Byte](f.getFileStatus(manifestPath(root, v))
-        .getLen.toInt)
-      in.readFully(bytes)
-      new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
-        .filter(_.nonEmpty)
-    } finally in.close()
-  }
+  private def manifest(f: FileSystem, root: String, v: Long): Manifest =
+    readManifestRaw(f, manifestPath(root, v))
+      .getOrElse(throw new IllegalStateException(
+        s"manifest v$v under $root is missing or unterminated"))
 
   /** Snapshot read: pin the (latest or requested) manifest's exact file
     * list. Concurrent commits after this call do not change what this
-    * DataFrame reads — its files are immutable. */
+    * DataFrame reads — its files are immutable. An empty snapshot reads
+    * back with the schema persisted in its manifest. */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed version under $root")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in $vs")
-    val files = readManifest(fs(spark, root), root, v)
-    if (files.isEmpty)
-      spark.read.parquet(root + "/data").limit(0) // empty committed table
-    else spark.read.parquet(files: _*)
+    val m = manifest(fs(spark, root), root, v)
+    if (m.files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
+    else spark.read.schema(m.schema).parquet(m.files: _*)
   }
 
   /** Write `df` as new data files and commit them as the next version,
     * REPLACING the table's content. Returns the committed version.
-    * Retries the commit rename on version races. */
-  def write(df: DataFrame, root: String): Long =
-    commitRetrying(df.sparkSession, root) { _ => stageFiles(df, root) }
+    * Files are staged ONCE; only the cheap claim retries on races. */
+  def write(df: DataFrame, root: String): Long = {
+    val staged = stageFiles(df, root)
+    commitRetrying(df.sparkSession, root, df.schema)(_ => staged)
+  }
 
   /** Append: next version = previous file list + newly staged files. */
-  def append(df: DataFrame, root: String): Long =
-    commitRetrying(df.sparkSession, root) { prev =>
-      prev ++ stageFiles(df, root)
-    }
+  def append(df: DataFrame, root: String): Long = {
+    val staged = stageFiles(df, root)
+    commitRetrying(df.sparkSession, root, df.schema)(prev => prev ++ staged)
+  }
 
-  /** Key-based upsert as a commit: merge the update into the latest
-    * snapshot (anti-join on keys + union), stage the merged result as
-    * fresh files, commit. Old files stay for older snapshots. */
+  /** Key-based upsert as a commit: merge the update into the CURRENT
+    * head (re-merged inside the retry loop — a version race means
+    * another writer moved the head, and merging the stale snapshot
+    * would lose its rows), stage fresh files, claim the next version.
+    * Old files stay live for older snapshots. */
   def upsert(updates: DataFrame, root: String, keys: Seq[String]): Long = {
     val spark = updates.sparkSession
-    // merge is (re)computed INSIDE the commit closure: a version race
-    // means another writer moved the head, and the merge must re-read
-    // THAT snapshot or the concurrent commit's rows would be lost.
-    // Reading old files while writing new ones is safe — data files
-    // are write-once.
-    commitRetrying(spark, root) { _ =>
+    val f = fs(spark, root)
+    var lastStaged: Seq[String] = Seq.empty
+    commitRetrying(spark, root, updates.schema) { _ =>
+      // a lost race abandons the previous attempt's staged files —
+      // reclaim them now instead of leaving orphans for vacuum
+      lastStaged.foreach(p => f.delete(new Path(p), false))
       val merged =
         if (versions(spark, root).isEmpty) updates
         else read(spark, root)
           .join(updates.select(keys.map(col): _*).distinct(), keys,
             "left_anti")
           .unionByName(updates)
-      stageFiles(merged, root)
+      lastStaged = stageFiles(merged, root)
+      lastStaged
     }
   }
 
   /** Delete data files referenced by no retained manifest, and expired
-    * manifests themselves. Keeps the newest `keepVersions`. Returns the
-    * number of data files deleted. */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int): Int = {
+    * manifests themselves. Keeps the newest `keepVersions`; never
+    * touches files younger than `graceMs` (a concurrent commit may
+    * have staged them ahead of its claim). Returns files deleted. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int,
+      graceMs: Long = 3600000L): Int = {
     require(keepVersions >= 1, "must retain at least the latest version")
     val f = fs(spark, root)
     val vs = versions(spark, root)
     val keep = vs.takeRight(keepVersions)
-    val live = keep.flatMap(v => readManifest(f, root, v)).toSet
+    val live = keep.flatMap(v => manifest(f, root, v).files).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dead = f.listStatus(dataDir(root)).toSeq
+      .filter(s => s.getModificationTime < cutoff &&
+        !live.contains(s.getPath.toString))
       .map(_.getPath)
-      .filterNot(p => live.contains(p.toString))
     dead.foreach(p => f.delete(p, false))
     vs.dropRight(keepVersions)
       .foreach(v => f.delete(manifestPath(root, v), false))
     dead.size
   }
 
-  /** Stage `df` under data/ as immutable files; return their paths. */
+  /** Stage `df` under data/ as immutable files; return their qualified
+    * paths (vacuum compares against listStatus, which qualifies). */
   private def stageFiles(df: DataFrame, root: String): Seq[String] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
@@ -146,20 +174,19 @@ object VersionedTable {
     val moved = parts.map { p =>
       val dst = new Path(dataDir(root), s"${UUID.randomUUID()}.parquet")
       require(f.rename(p, dst), s"stage move failed: $p -> $dst")
-      // store FULLY-QUALIFIED uris: vacuum compares against
-      // listStatus(), which qualifies — an unqualified manifest path
-      // would never match and vacuum would delete live files
       f.makeQualified(dst).toString
     }
     f.delete(stage, true)
     moved
   }
 
-  /** Commit `nextFiles(prevFiles)` as the next version via one atomic
-    * manifest rename; on a version race (rename refused because the
-    * target exists), recompute against the new head and retry. */
-  private def commitRetrying(spark: SparkSession, root: String)
-      (nextFiles: Seq[String] => Seq[String]): Long = {
+  /** Claim `nextFiles(headFiles)` as the next version via an EXCLUSIVE
+    * manifest create. Conflict (create throws: another writer claimed
+    * the version) => recompute against the new head and retry. An
+    * existing UNTERMINATED manifest at the target version is a crashed
+    * writer's junk: delete and re-claim. */
+  private def commitRetrying(spark: SparkSession, root: String,
+      schema: StructType)(nextFiles: Seq[String] => Seq[String]): Long = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     var attempts = 0
@@ -167,19 +194,24 @@ object VersionedTable {
       attempts += 1
       val vs = versions(spark, root)
       val prev = if (vs.isEmpty) Seq.empty[String]
-        else readManifest(f, root, vs.max)
+        else manifest(f, root, vs.max).files
       val files = nextFiles(prev)
       val v = if (vs.isEmpty) 0L else vs.max + 1
-      val tmp = new Path(manifestDir(root),
-        s".tmp-${UUID.randomUUID()}.json")
-      val out = f.create(tmp, false)
-      try out.write((files.sorted.mkString("\n") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      // rename-to-existing fails => explicit optimistic-concurrency
-      // conflict; loop recomputes against the new head
-      if (f.rename(tmp, manifestPath(root, v))) return v
-      f.delete(tmp, false)
+      val target = manifestPath(root, v)
+      // crashed-writer recovery: an invalid manifest blocks its version
+      // number; remove it before claiming
+      if (f.exists(target) && readManifestRaw(f, target).isEmpty)
+        f.delete(target, false)
+      val claimed =
+        try {
+          val out = f.create(target, false) // exclusive: throws if claimed
+          try out.write((schema.json + "\n" +
+            files.sorted.map(_ + "\n").mkString +
+            Terminator + "\n").getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (claimed) return v
     }
     throw new IllegalStateException(
       s"commit contention: 10 straight version races under $root")

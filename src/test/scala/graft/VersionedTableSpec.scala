@@ -58,7 +58,10 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.write((6L to 9L).toDF("k"), root)
     VersionedTable.append((10L to 12L).toDF("k"), root)
     // keep v1+v2: v0's files become dead, v1's files are shared with v2
-    val deleted = VersionedTable.vacuum(spark, root, keepVersions = 2)
+    // (graceMs = 0 — the default grace window protects in-flight staged
+    // files, which would keep everything in this fresh fixture)
+    val deleted = VersionedTable.vacuum(spark, root, keepVersions = 2,
+      graceMs = 0L)
     assert(deleted > 0, "v0-only files must be deleted")
     assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
     assert(VersionedTable.read(spark, root).count() == 7)
@@ -66,15 +69,43 @@ class VersionedTableSpec extends SparkSpec {
       "files shared with a retained snapshot must survive vacuum")
   }
 
-  test("commit is an atomic manifest rename; stale tmp never commits") {
+  test("commit claims are exclusive; manifest dir holds only versions") {
     val root = tmpRoot()
     VersionedTable.write((1L to 4L).toDF("k"), root)
-    // no .tmp- litter in the manifest dir after a commit
     val f = new org.apache.hadoop.fs.Path(root, "_manifests")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names = f.listStatus(
       new org.apache.hadoop.fs.Path(root, "_manifests"))
       .map(_.getPath.getName)
     assert(names.forall(_.startsWith("v")), names.mkString(","))
+  }
+
+  test("empty committed snapshot reads back with its own schema") {
+    val root = tmpRoot()
+    val empty = Seq((1L, "a")).toDF("k", "v").filter(lit(false))
+    val v = VersionedTable.write(empty, root)
+    val back = VersionedTable.read(spark, root, Some(v))
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("k", "v"),
+      "schema must come from the manifest, not other snapshots' files")
+  }
+
+  test("a crashed writer's unterminated manifest is ignored and reclaimed") {
+    val root = tmpRoot()
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
+    // simulate a crash: an unterminated claim for v1
+    val junk = new org.apache.hadoop.fs.Path(root,
+      "_manifests/v000000000001.json")
+    val f = junk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(junk, false)
+    out.write("{\"type\":\"struct\",\"fields\":[]}\npartial".getBytes("UTF-8"))
+    out.close()
+    // readers ignore it...
+    assert(VersionedTable.versions(spark, root) == Seq(0L))
+    assert(VersionedTable.read(spark, root).count() == 1)
+    // ...and the next commit garbage-collects the junk and claims v1
+    val v = VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    assert(v == 1L)
+    assert(VersionedTable.read(spark, root).count() == 2)
   }
 }
