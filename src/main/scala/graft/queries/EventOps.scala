@@ -142,6 +142,26 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // the BUILT-IN session operator (vs events_sessionize's analytic
+    // form): groupBy(session_window) — the same operator Structured
+    // Streaming uses with a watermark. Boundary semantics differ from
+    // the analytic form: session_window splits at gap >= 30min (merge
+    // condition next.start < prev.end) and reports end = last + gap;
+    // the oracle mirrors BOTH.
+    "events_session_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      ev.groupBy(col("user_id"),
+          session_window(col("event_time"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(money(col("value"))).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
     // as-of join: each purchase attached to the user's most recent
     // preceding click — the custom physical operator (graft.plans:
     // AsOfJoinNode/Strategy/Exec, clustered sort-merge with O(1) state;
@@ -196,6 +216,29 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_session_window" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= $SessionGapUs
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sid AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS session_id
+         |  FROM g)
+         |SELECT user_id,
+         |  MIN(epoch_us(ts)) AS session_start_us,
+         |  MAX(epoch_us(ts)) + $SessionGapUs AS session_end_us,
+         |  COUNT(*) AS n_events,
+         |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS STRING)
+         |    AS DOUBLE) AS sum_value
+         |FROM sid GROUP BY user_id, session_id
+         |ORDER BY user_id, session_start_us""".stripMargin,
+
     "events_resample_interp" ->
       s"""WITH obs AS (
          |  SELECT user_id, epoch_us(ts) // ${HourUs} AS bucket,
