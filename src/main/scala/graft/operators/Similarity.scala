@@ -502,14 +502,16 @@ object Similarity {
     val subs = array((0 until m).map(s =>
       transform(slice(col("embedding"), s * subDim + 1, subDim),
         _.cast("double"))): _*)
-    // one count decides the deterministic hash-thinning rate — cheap
-    // next to the per-iteration full scans it saves once the corpus
-    // outgrows the cap (under the cap: train on everything, unchanged)
-    val n = corpus.count()
+    // the deterministic hash-thinning rate comes from the optimizer's
+    // LAZY size estimate (sizeInBytes / ~300B-per-embedding-row) — no
+    // count() action; thinning is an order-of-magnitude decision and a
+    // rough rate only shifts how far under the cap the sample lands
+    val estRows = (corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+      / 300).toLong
     val trainSet =
-      if (n <= MaxTrainRows) corpus
+      if (estRows <= MaxTrainRows) corpus
       else corpus.filter(
-        pmod(xxhash64(col("vec_id")), lit(n / MaxTrainRows + 1)) === 0)
+        pmod(xxhash64(col("vec_id")), lit(estRows / MaxTrainRows + 1)) === 0)
     val sub = trainSet
       .select(col("vec_id"), posexplode(subs).as(Seq("s", "v"))).cache()
     try {
