@@ -17,6 +17,27 @@ object TextDedup {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // fuzzy entity resolution by edit distance with BLOCKING: candidate
+    // pairs only form within a (length, first-word) block — the
+    // standard record-linkage shape; the expensive levenshtein runs
+    // per block, never all-pairs. Both engines ship levenshtein, so
+    // the query (including the blocking's recall trade) is oracle-exact
+    "dedup_fuzzy_parts" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        length(col("p_name")).as("len"),
+        substring_index(col("p_name"), " ", 1).as("w1"))
+      p.as("a").join(p.as("b"),
+          col("a.len") === col("b.len") && col("a.w1") === col("b.w1") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .withColumn("lev", levenshtein(col("a.p_name"), col("b.p_name")))
+        .filter(col("lev") <= 2)
+        .select(col("a.p_partkey").as("key_a"),
+          col("b.p_partkey").as("key_b"),
+          col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          col("lev"))
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
     "dedup_exact_groups" -> ((s, d) => {
       Dedup.exactGroups(Tables.documents(s, d), col("doc_id"), col("text"))
         .orderBy(col("content_hash"))
@@ -294,6 +315,17 @@ object TextDedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_fuzzy_parts" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+        |FROM part a JOIN part b
+        |  ON len(a.p_name) = len(b.p_name)
+        | AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
+
     "pipeline_clean_corpus" -> pipelineOracle,
     "pipeline_training_shards" -> trainingShardsOracle,
     "text_tfidf_topterms" ->
