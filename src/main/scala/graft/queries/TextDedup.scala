@@ -17,25 +17,27 @@ object TextDedup {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
-    // fuzzy entity resolution by edit distance with BLOCKING: candidate
-    // pairs only form within a (length, first-word) block — the
-    // standard record-linkage shape; the expensive levenshtein runs
-    // per block, never all-pairs. Both engines ship levenshtein, so
-    // the query (including the blocking's recall trade) is oracle-exact
+    // fuzzy entity resolution by edit distance: resolve the DISTINCT
+    // name dictionary (aggregate rows per name first — the pairwise
+    // work must scale with the vocabulary, never the row count), block
+    // candidates on the last word (the head noun — the discriminative
+    // token here; production linkage uses several block keys unioned),
+    // exact levenshtein <= 2 inside blocks. Both engines ship
+    // levenshtein, so the query and its blocking trade are oracle-exact
     "dedup_fuzzy_parts" -> ((s, d) => {
-      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
-        length(col("p_name")).as("len"),
-        substring_index(col("p_name"), " ", 1).as("w1"))
-      p.as("a").join(p.as("b"),
-          col("a.len") === col("b.len") && col("a.w1") === col("b.w1") &&
-            col("a.p_partkey") < col("b.p_partkey"))
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("wlast", substring_index(col("p_name"), " ", -1))
+      names.as("a").join(names.as("b"),
+          col("a.wlast") === col("b.wlast") &&
+            col("a.p_name") < col("b.p_name"))
         .withColumn("lev", levenshtein(col("a.p_name"), col("b.p_name")))
         .filter(col("lev") <= 2)
-        .select(col("a.p_partkey").as("key_a"),
-          col("b.p_partkey").as("key_b"),
-          col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          col("a.n_rows").as("n_rows_a"), col("b.n_rows").as("n_rows_b"),
           col("lev"))
-        .orderBy(col("key_a"), col("key_b"))
+        .orderBy(col("name_a"), col("name_b"))
     }),
 
     "dedup_exact_groups" -> ((s, d) => {
@@ -316,15 +318,17 @@ object TextDedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_fuzzy_parts" ->
-      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-        |  a.p_name AS name_a, b.p_name AS name_b,
+      """WITH names AS (
+        |  SELECT p_name, COUNT(*) AS n_rows FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
-        |FROM part a JOIN part b
-        |  ON len(a.p_name) = len(b.p_name)
-        | AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
-        | AND a.p_partkey < b.p_partkey
+        |FROM names a JOIN names b
+        |  ON (string_split(a.p_name, ' '))[-1]
+        |     = (string_split(b.p_name, ' '))[-1]
+        | AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
-        |ORDER BY key_a, key_b""".stripMargin,
+        |ORDER BY name_a, name_b""".stripMargin,
 
     "pipeline_clean_corpus" -> pipelineOracle,
     "pipeline_training_shards" -> trainingShardsOracle,
