@@ -236,6 +236,25 @@ class PlanSpec extends SparkSpec {
     assert(joined.count() == Tables.customer(spark, Sf0).count())
   }
 
+  test("q7 plans all three dims as broadcast joins") {
+    spark.catalog.clearCache()
+    val p = plan("q7_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("bloom prefilter sits below the join, on the scan side") {
+    spark.catalog.clearCache()
+    val p = plan("join_bloom_prefilter")
+    // the might_contain filter must run BEFORE the join exchange — its
+    // point is shrinking the shuffle, not post-filtering join output
+    val fi = p.indexOf("might_contain")
+    val ji = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin") max
+      p.indexOf("BroadcastHashJoin")
+    assert(fi > ji && ji >= 0,
+      s"filter (pos $fi) should be deeper in the plan than the join " +
+        s"(pos $ji) — explain prints top-down:\n$p")
+  }
+
   test("quality report fuses all row rules into one scan") {
     spark.catalog.clearCache()
     val p = plan("quality_report")
