@@ -42,6 +42,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object VersionedTable {
 
   private val Terminator = "#end"
+  private val BatchMarker = "#batch:"
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -51,7 +52,8 @@ object VersionedTable {
   private def manifestPath(root: String, v: Long) =
     new Path(manifestDir(root), f"v$v%012d.json")
 
-  private final case class Manifest(schema: StructType, files: Seq[String])
+  private final case class Manifest(schema: StructType, files: Seq[String],
+      batchId: Option[Long])
 
   private def readManifestRaw(f: FileSystem, p: Path): Option[Manifest] = {
     val in = f.open(p)
@@ -61,9 +63,14 @@ object VersionedTable {
       val lines = new String(bytes, StandardCharsets.UTF_8).split("\n")
         .toSeq.filter(_.nonEmpty)
       if (lines.isEmpty || lines.last != Terminator) None // unterminated
-      else Some(Manifest(
-        DataType.fromJson(lines.head).asInstanceOf[StructType],
-        lines.tail.dropRight(1)))
+      else {
+        val body = lines.tail.dropRight(1)
+        Some(Manifest(
+          DataType.fromJson(lines.head).asInstanceOf[StructType],
+          body.filterNot(_.startsWith(BatchMarker)),
+          body.collectFirst { case l if l.startsWith(BatchMarker) =>
+            l.stripPrefix(BatchMarker).toLong }))
+      }
     } finally in.close()
   }
 
@@ -114,6 +121,45 @@ object VersionedTable {
     val staged = stageFiles(df, root)
     commitRetrying(df.sparkSession, root, df.schema)(prev => prev ++ staged)
   }
+
+  /** EXACTLY-ONCE streaming append: commit a micro-batch's rows with
+    * the batch id recorded in the manifest; a batch id some committed
+    * manifest already carries is SKIPPED (returns None), so foreachBatch
+    * re-deliveries after a failure/restart are idempotent —
+    * at-least-once delivery x idempotent commit = effectively
+    * exactly-once sink writes. One writer per stream (Structured
+    * Streaming's own run model); concurrent DIFFERENT-batch writers
+    * still conflict safely on the version claim.
+    *
+    * Wire as `.writeStream.foreachBatch((b, id) =>
+    * VersionedTable.appendBatch(b, root, id))`. */
+  def appendBatch(df: DataFrame, root: String,
+      batchId: Long): Option[Long] = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    def committed: Boolean = versions(spark, root)
+      .exists(v => manifest(f, root, v).batchId.contains(batchId))
+    if (committed) None
+    else {
+      val staged = stageFiles(df, root)
+      // re-check inside the loop: the commit that raced us may have
+      // been THIS batch's earlier delivery finally landing
+      var out: Option[Long] = None
+      try {
+        out = Some(commitRetrying(spark, root, df.schema,
+          batchMarker = Some(batchId)) { prev =>
+          if (committed) throw new BatchAlreadyCommitted
+          prev ++ staged
+        })
+      } catch {
+        case _: BatchAlreadyCommitted =>
+          staged.foreach(p => f.delete(new Path(p), false)) // orphans
+      }
+      out
+    }
+  }
+
+  private final class BatchAlreadyCommitted extends RuntimeException
 
   /** Key-based upsert as a commit: merge the update into the CURRENT
     * head (re-merged inside the retry loop — a version race means
@@ -186,7 +232,8 @@ object VersionedTable {
     * existing UNTERMINATED manifest at the target version is a crashed
     * writer's junk: delete and re-claim. */
   private def commitRetrying(spark: SparkSession, root: String,
-      schema: StructType)(nextFiles: Seq[String] => Seq[String]): Long = {
+      schema: StructType, batchMarker: Option[Long] = None)
+      (nextFiles: Seq[String] => Seq[String]): Long = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     var attempts = 0
@@ -207,6 +254,7 @@ object VersionedTable {
           val out = f.create(target, false) // exclusive: throws if claimed
           try out.write((schema.json + "\n" +
             files.sorted.map(_ + "\n").mkString +
+            batchMarker.fold("")(id => s"$BatchMarker$id\n") +
             Terminator + "\n").getBytes(StandardCharsets.UTF_8))
           finally out.close()
           true

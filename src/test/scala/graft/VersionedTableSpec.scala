@@ -80,6 +80,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(names.forall(_.startsWith("v")), names.mkString(","))
   }
 
+  test("appendBatch is idempotent per batch id (exactly-once sink)") {
+    val root = tmpRoot()
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(VersionedTable.appendBatch(b0, root, batchId = 0L).isDefined)
+    // failure re-delivery of the SAME batch: skipped, no duplicates
+    assert(VersionedTable.appendBatch(b0, root, batchId = 0L).isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 2)
+    assert(VersionedTable
+      .appendBatch(Seq((3L, "c")).toDF("k", "v"), root, 1L).isDefined)
+    assert(VersionedTable.read(spark, root).count() == 3)
+    // replay from the earliest batch after a restart: both skipped
+    assert(VersionedTable.appendBatch(b0, root, 0L).isEmpty)
+    assert(VersionedTable
+      .appendBatch(Seq((3L, "c")).toDF("k", "v"), root, 1L).isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 3)
+  }
+
+  test("a stream lands exactly-once through foreachBatch + appendBatch") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmpRoot()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        VersionedTable.appendBatch(b, root, id); ()
+      }.start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val out = VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("empty committed snapshot reads back with its own schema") {
     val root = tmpRoot()
     val empty = Seq((1L, "a")).toDF("k", "v").filter(lit(false))
