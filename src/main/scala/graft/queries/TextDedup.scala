@@ -19,24 +19,28 @@ object TextDedup {
   val defs: Map[String, Q] = Map(
     // fuzzy entity resolution by edit distance: resolve the DISTINCT
     // name dictionary (aggregate rows per name first — the pairwise
-    // work must scale with the vocabulary, never the row count), block
-    // candidates on the last word (the head noun — the discriminative
-    // token here; production linkage uses several block keys unioned),
-    // exact levenshtein <= 2 inside blocks. Both engines ship
+    // work must scale with the vocabulary, never the row count), then
+    // MULTI-KEY blocking: a pair is a candidate if it shares its first
+    // OR last word (one block pass per key, unioned + distinct — a
+    // single key misses pairs whose block token itself was edited),
+    // exact levenshtein <= 2 on candidates. Both engines ship
     // levenshtein, so the query and its blocking trade are oracle-exact
     "dedup_fuzzy_parts" -> ((s, d) => {
       val names = Tables.part(s, d)
         .groupBy(col("p_name"))
         .agg(count(lit(1)).as("n_rows"))
+        .withColumn("w1", substring_index(col("p_name"), " ", 1))
         .withColumn("wlast", substring_index(col("p_name"), " ", -1))
-      names.as("a").join(names.as("b"),
-          col("a.wlast") === col("b.wlast") &&
-            col("a.p_name") < col("b.p_name"))
-        .withColumn("lev", levenshtein(col("a.p_name"), col("b.p_name")))
+      def blockPass(key: String) =
+        names.as("a").join(names.as("b"),
+            col(s"a.$key") === col(s"b.$key") &&
+              col("a.p_name") < col("b.p_name"))
+          .select(col("a.p_name").as("name_a"),
+            col("b.p_name").as("name_b"),
+            col("a.n_rows").as("n_rows_a"), col("b.n_rows").as("n_rows_b"))
+      blockPass("w1").unionByName(blockPass("wlast")).distinct()
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
         .filter(col("lev") <= 2)
-        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
-          col("a.n_rows").as("n_rows_a"), col("b.n_rows").as("n_rows_b"),
-          col("lev"))
         .orderBy(col("name_a"), col("name_b"))
     }),
 
@@ -324,8 +328,9 @@ object TextDedup {
         |  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
         |FROM names a JOIN names b
-        |  ON (string_split(a.p_name, ' '))[-1]
-        |     = (string_split(b.p_name, ' '))[-1]
+        |  ON (split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        |      OR (string_split(a.p_name, ' '))[-1]
+        |         = (string_split(b.p_name, ' '))[-1])
         | AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
