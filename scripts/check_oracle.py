@@ -21,6 +21,7 @@ def norm(rows, cols):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for p in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(p).split(".")[0]
@@ -29,6 +30,8 @@ def main():
         oracle = json.load(f)
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         sql = oracle[name]
         res_glob = f"{outdir}/{name}/*.parquet"
         if not glob.glob(res_glob):

@@ -187,6 +187,118 @@ object Relational {
         .orderBy(col("c_nationkey"))
     }),
 
+    // ---- TPC-H Q15 shape: top-revenue supplier(s) with ties ------------
+    // aggregate view + global-max selection. The classic trap is ties:
+    // the max must keep every supplier at the top revenue. Computed as
+    // agg -> broadcast 1-row max -> exact decimal equality (NOT a
+    // 1-partition rank window: the post-agg view is |suppliers| rows,
+    // which at 100 TB is still millions — a global window would funnel
+    // them through one task; the broadcast max is two cheap jobs)
+    "q15_top_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val sup = Tables.supplier(s, d)
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount")))
+          .as("rev_dec"))
+      val mx = rev.agg(max(col("rev_dec")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_dec") === col("max_rev"))
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- TPC-H Q19 shape: disjunctive join predicate ------------------
+    // OR of three conjunctive (brand, size-range, quantity-range) branches
+    // spanning BOTH sides of the join — the pushdown stress: the part-side
+    // disjunction (brand IN, size <= 35) must still reach the part scan,
+    // the join must stay a broadcast hash join on the equi key with the
+    // disjunction as a residual filter, not degrade to nested-loop
+    "q19_disjunctive_rev" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val branch1 = p("p_brand") === "Brand#1" && p("p_size").between(1, 15) &&
+        li("l_quantity").between(1, 11)
+      val branch2 = p("p_brand") === "Brand#2" && p("p_size").between(1, 25) &&
+        li("l_quantity").between(10, 20)
+      val branch3 = p("p_brand") === "Brand#3" && p("p_size").between(1, 35) &&
+        li("l_quantity").between(20, 30)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey") &&
+          (branch1 || branch2 || branch3))
+        .agg(sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // ---- TPC-H Q8 shape: national market share -------------------------
+    // two-level: revenue by (year, supplier nation) for one region's
+    // customers, then one nation's share of each year's total. The ratio
+    // is conditional-decimal-sum / decimal-sum, both cast to double
+    // before the IEEE division — bit-identical cross-engine (the oracle
+    // routes decimal->double through VARCHAR; dividing two exact doubles
+    // is correctly rounded in both engines)
+    "q8_market_share" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d).select(
+        col("n_nationkey").as("n1_key"), col("n_regionkey"))
+      val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n2 = Tables.nation(s, d).select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+      val revDec = money(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(n1), cust("c_nationkey") === col("n1_key"))
+        .join(broadcast(reg), col("n_regionkey") === reg("r_regionkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n2), sup("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_1", revDec)
+              .otherwise(lit(0).cast("decimal(20,10)"))).cast("double") /
+            sum(revDec).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_year"))
+    }),
+
+    // ---- TPC-H Q21 shape: sole-problem supplier -------------------------
+    // the hardest decorrelation shape: a fact self-join with BOTH a
+    // correlated EXISTS (another supplier contributed to the order) and a
+    // correlated NOT EXISTS (no OTHER supplier had a problem line) — two
+    // semi/anti self-joins on the equi key with a non-equi residual
+    // (l2.l_suppkey <> l1.l_suppkey). Returnflag 'R' stands in for the
+    // reference schema's receipt-after-commit lateness marker (the
+    // testdata lineitem has no commit/receipt dates)
+    "q21_waiting_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val l1 = li.filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d).filter(col("n_name") === "NATION_3")
+        .select(col("n_nationkey"))
+      val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_orderkey"),
+          col("l_suppkey").as("l3_suppkey"))
+      l1.join(ord, l1("l_orderkey") === ord("o_orderkey"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+          col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+          col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // ---- broadcast equi-join with dim table ---------------------------
     "join_broadcast_parts" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -734,6 +846,60 @@ object Relational {
          |  AND NOT EXISTS (SELECT 1 FROM orders
          |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q19_disjunctive_rev" ->
+      s"""SELECT $revenue AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,6))
+        |      ELSE CAST(0 AS DECIMAL(20,10)) END) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS VARCHAR) AS DOUBLE)
+        |    AS mkt_share,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |    WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "join_broadcast_parts" ->
       s"""SELECT p_brand, COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty

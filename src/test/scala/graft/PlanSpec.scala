@@ -282,6 +282,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q19 disjunctive predicate stays a broadcast HASH join (residual)") {
+    val p = plan("q19_disjunctive_rev")
+    // the OR-of-conjunctions spans both sides, so it cannot be an equi
+    // key — it must ride the l_partkey = p_partkey hash join as a
+    // residual condition, never degrade to a nested-loop join
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ:\n$p")
+    assert(!p.contains("NestedLoop"), s"must not degrade to NLJ:\n$p")
+    // the part-side disjunction (brand/size only) pushes into the scan
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q21 plans the two fact self-joins as semi + anti") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), s"EXISTS self-join must be semi:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS self-join must be anti:\n$p")
+    // supplier + nation dims broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("q15 max-revenue selection broadcasts the 1-row max, no global window") {
+    val p = plan("q15_top_supplier")
+    // ties-at-max via crossJoin(broadcast(max)) — a Window over the
+    // whole post-agg view would funnel |suppliers| rows into one task
+    assert(!p.contains("Window"), s"no global window expected:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast of the 1-row max:\n$p")
+  }
+
   test("bucketed tables co-locate: join and agg plan with zero Exchange") {
     import graft.operators.Bucketing
     import org.apache.spark.sql.functions.col
