@@ -335,8 +335,11 @@ object Dedup {
     a.join(b, col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .distinct()
+      // verify BEFORE the pair-dedup shuffle: most candidates fail the
+      // Hamming check, so the distinct only sees true pairs (each found
+      // once per matching band), not every random band collision
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Corpus-level boilerplate-span removal (the C4/CCNet "line dedup"

@@ -60,6 +60,36 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // row-level CDC over the versioned table, end-to-end: v0 = the
+    // documents table, v1 = an upsert (updates + inserts), v2 = a
+    // predicate delete; diff(v0 -> v2) must emit exactly the NET
+    // changes — updates carry the new image, deletes the v0 image,
+    // rows updated then deleted collapse to a single delete. The
+    // oracle reconstructs the same change set relationally.
+    "versioned_diff" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("vd")
+        .toString + "/t"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      VersionedTable.write(docs, root)
+      val updates = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") * 2)
+      val inserts = docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          lit("src_new").as("source"), col("n_chars"))
+      VersionedTable.upsert(updates.unionByName(inserts), root,
+        Seq("doc_id"))
+      val v2 = VersionedTable.deleteWhere(s, root, col("source") === "src19")
+      val result = VersionedTable.diff(s, root, Seq("doc_id"), 0L, v2)
+        .orderBy(col("doc_id"), col("change_type"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // bloom-prefiltered fact join: the small side (urgent 1997+ orders)
     // builds a ~300 KB bloom; lineitem drops non-matching rows AT THE
     // SCAN, before the join exchange. No false negatives => result is
@@ -205,6 +235,18 @@ object SketchOps {
         |JOIN (SELECT source, SUM(n_chars) AS v0_chars FROM documents
         |      GROUP BY source) v ON v.source = l.source
         |GROUP BY l.source ORDER BY l.source""".stripMargin,
+
+    "versioned_diff" ->
+      """SELECT doc_id + 1000 AS doc_id, 'src_new' AS source, n_chars,
+        |    'insert' AS change_type
+        |  FROM documents WHERE doc_id % 10 = 7
+        |UNION ALL
+        |SELECT doc_id, source, n_chars * 2, 'update'
+        |  FROM documents WHERE doc_id % 10 = 0 AND source <> 'src19'
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, 'delete'
+        |  FROM documents WHERE source = 'src19'
+        |ORDER BY doc_id, change_type""".stripMargin,
 
     "join_bloom_prefilter" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,

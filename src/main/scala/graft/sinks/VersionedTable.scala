@@ -4,8 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal versioned parquet table: an immutable commit log of manifest
@@ -161,28 +161,117 @@ object VersionedTable {
 
   private final class BatchAlreadyCommitted extends RuntimeException
 
-  /** Key-based upsert as a commit: merge the update into the CURRENT
-    * head (re-merged inside the retry loop — a version race means
-    * another writer moved the head, and merging the stale snapshot
-    * would lose its rows), stage fresh files, claim the next version.
-    * Old files stay live for older snapshots. */
+  /** Key-based upsert as a commit, FILE-PRUNED: only data files that
+    * actually contain a matching key are rewritten; every other file is
+    * carried into the next manifest untouched. An upsert touching 0.1%
+    * of keys rewrites O(matching files), not 100% of the table — the
+    * scale shape a lake-format MERGE has (the whole-table rewrite was
+    * this operator's 100 TB hazard). Merging happens against the
+    * CURRENT head inside the retry loop — a version race means another
+    * writer moved the head, and merging a stale snapshot would lose its
+    * rows. Old files stay live for older snapshots. */
   def upsert(updates: DataFrame, root: String, keys: Seq[String]): Long = {
     val spark = updates.sparkSession
     val f = fs(spark, root)
     var lastStaged: Seq[String] = Seq.empty
-    commitRetrying(spark, root, updates.schema) { _ =>
+    commitRetrying(spark, root, updates.schema) { prev =>
       // a lost race abandons the previous attempt's staged files —
       // reclaim them now instead of leaving orphans for vacuum
       lastStaged.foreach(p => f.delete(new Path(p), false))
-      val merged =
-        if (versions(spark, root).isEmpty) updates
-        else read(spark, root)
-          .join(updates.select(keys.map(col): _*).distinct(), keys,
-            "left_anti")
-          .unionByName(updates)
-      lastStaged = stageFiles(merged, root)
-      lastStaged
+      if (prev.isEmpty) { lastStaged = stageFiles(updates, root); lastStaged }
+      else {
+        val schema = manifest(f, root, versions(spark, root).max).schema
+        val head = spark.read.schema(schema).parquet(prev: _*)
+        // touched = files holding at least one matching key. The probe
+        // reads ONLY the key columns (+ file metadata) and the file
+        // list is driver-resident by construction, so the collect is
+        // bounded by |files|, not rows.
+        val touched = head
+          .select(col("_metadata.file_path").as("_f"),
+            struct(keys.map(col): _*).as("_k"))
+          .join(updates.select(struct(keys.map(col): _*).as("_k")).distinct(),
+            Seq("_k"), "left_semi")
+          .select(col("_f")).distinct().collect()
+          .map(r => new Path(r.getString(0)).toString).toSet
+        val keep = prev.filterNot(p => touched.contains(new Path(p).toString))
+        val rewrite = prev.filter(p => touched.contains(new Path(p).toString))
+        val merged =
+          if (rewrite.isEmpty) updates
+          else spark.read.schema(schema).parquet(rewrite: _*)
+            .join(updates.select(keys.map(col): _*).distinct(), keys,
+              "left_anti")
+            .unionByName(updates)
+        lastStaged = stageFiles(merged, root)
+        keep ++ lastStaged
+      }
     }
+  }
+
+  /** Row-deleting commit, file-pruned like [[upsert]]: files with no
+    * matching row are carried over untouched; files with matches are
+    * rewritten without the matching rows (a file left empty is simply
+    * dropped from the manifest). `condition` is any Catalyst predicate
+    * over the table's columns. */
+  def deleteWhere(spark: SparkSession, root: String,
+      condition: Column): Long = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val schema = manifest(f, root, vs.max).schema
+    var lastStaged: Seq[String] = Seq.empty
+    commitRetrying(spark, root, schema) { prev =>
+      lastStaged.foreach(p => f.delete(new Path(p), false))
+      val head = spark.read.schema(schema).parquet(prev: _*)
+      // DELETE semantics: remove rows where the predicate is TRUE; rows
+      // where it is FALSE or NULL stay (matching SQL DELETE)
+      val del = coalesce(condition, lit(false))
+      val touched = head
+        .filter(del)
+        .select(col("_metadata.file_path").as("_f")).distinct().collect()
+        .map(r => new Path(r.getString(0)).toString).toSet
+      val keep = prev.filterNot(p => touched.contains(new Path(p).toString))
+      val rewrite = prev.filter(p => touched.contains(new Path(p).toString))
+      lastStaged =
+        if (rewrite.isEmpty) Seq.empty
+        else {
+          val remaining = spark.read.schema(schema).parquet(rewrite: _*)
+            .filter(!del)
+          if (remaining.isEmpty) Seq.empty else stageFiles(remaining, root)
+        }
+      keep ++ lastStaged
+    }
+  }
+
+  /** Row-level change feed between two committed snapshots: one row per
+    * net difference, `change_type` in {insert, update, delete}. Updates
+    * and inserts carry the `toV` image, deletes the `fromV` image.
+    * Change detection is exact column-by-column null-safe comparison
+    * (no row-hash collisions); rows identical in both snapshots are
+    * dropped. One key-shuffle full-outer join — the unavoidable cost of
+    * row-level CDC without per-commit change logs; consumers that only
+    * need appended rows should instead read the manifests' added files. */
+  def diff(spark: SparkSession, root: String, keys: Seq[String],
+      fromV: Long, toV: Long): DataFrame = {
+    val old = read(spark, root, Some(fromV))
+    val neu = read(spark, root, Some(toV))
+    val dataCols = old.columns.filterNot(keys.contains).toSeq
+    def tagged(df: DataFrame, p: String) = df.select(
+      keys.map(col) ++ dataCols.map(c => col(c).as(p + c))
+        :+ lit(true).as(p + "present"): _*)
+    val j = tagged(old, "_o_").join(tagged(neu, "_n_"), keys, "full_outer")
+    val changed =
+      if (dataCols.isEmpty) lit(false)
+      else !dataCols.map(c => col("_o_" + c) <=> col("_n_" + c))
+        .reduce(_ && _)
+    val change = when(col("_o_present").isNull, "insert")
+      .when(col("_n_present").isNull, "delete")
+      .when(changed, "update")
+    j.withColumn("change_type", change)
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++ dataCols.map(c =>
+        when(col("change_type") === "delete", col("_o_" + c))
+          .otherwise(col("_n_" + c)).as(c))
+        :+ col("change_type"): _*)
   }
 
   /** Delete data files referenced by no retained manifest, and expired

@@ -126,6 +126,81 @@ class VersionedTableSpec extends SparkSpec {
       "schema must come from the manifest, not other snapshots' files")
   }
 
+  test("upsert is file-pruned: untouched files survive by identity") {
+    val root = tmpRoot()
+    // two disjoint key-range files via two appends (each append stages
+    // its own files)
+    VersionedTable.write((1L to 100L).map(k => (k, "a")).toDF("k", "v")
+      .repartition(1), root)
+    VersionedTable.append((101L to 200L).map(k => (k, "a")).toDF("k", "v")
+      .repartition(1), root)
+    def files(v: Long) = VersionedTable.read(spark, root, Some(v))
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val before = files(1L)
+    assert(before.size == 2)
+    // upsert touching only the low range: the high-range file must be
+    // carried over with the SAME path (no rewrite), the low one replaced
+    val v = VersionedTable.upsert(Seq((5L, "B")).toDF("k", "v"), root,
+      Seq("k"))
+    val after = files(v)
+    assert(after.intersect(before).size == 1,
+      s"exactly one (untouched) file should carry over: $before -> $after")
+    val out = VersionedTable.read(spark, root)
+    assert(out.count() == 200)
+    assert(out.filter(col("k") === 5L).select("v").head().getString(0) == "B")
+  }
+
+  test("deleteWhere removes matching rows, keeps NULL-predicate rows") {
+    val root = tmpRoot()
+    VersionedTable.write(Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (3L, Option("y"))).toDF("k", "v"), root)
+    // v = 'x' is NULL for k=2 — SQL DELETE keeps it
+    val v = VersionedTable.deleteWhere(spark, root, col("v") === "x")
+    val out = VersionedTable.read(spark, root)
+      .as[(Long, Option[String])].collect().toMap
+    assert(out == Map(2L -> None, 3L -> Some("y")))
+    // time travel still sees the deleted row
+    assert(VersionedTable.read(spark, root, Some(v - 1)).count() == 3)
+  }
+
+  test("deleteWhere is file-pruned and drops files left empty") {
+    val root = tmpRoot()
+    VersionedTable.write((1L to 50L).map(k => (k, "lo")).toDF("k", "v")
+      .repartition(1), root)
+    VersionedTable.append((51L to 100L).map(k => (k, "hi")).toDF("k", "v")
+      .repartition(1), root)
+    def files(v: Long) = VersionedTable.read(spark, root, Some(v))
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val before = files(1L)
+    // delete the whole hi file: lo must carry over by identity, hi's
+    // empty rewrite must not stage a file at all
+    val v = VersionedTable.deleteWhere(spark, root, col("v") === "hi")
+    val after = files(v)
+    assert(after.size == 1 && before.contains(after.head),
+      s"lo file must carry over by identity, hi file vanish: $before -> $after")
+    assert(VersionedTable.read(spark, root).count() == 50)
+  }
+
+  test("diff emits exact insert/update/delete rows between snapshots") {
+    val root = tmpRoot()
+    VersionedTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root) // v0
+    VersionedTable.upsert(
+      Seq((2L, "B"), (4L, "d")).toDF("k", "v"), root, Seq("k")) // v1
+    VersionedTable.deleteWhere(spark, root, col("k") === 3L) // v2
+    val d = VersionedTable.diff(spark, root, Seq("k"), 0L, 2L)
+      .as[(Long, String, String)].collect().toSet
+    assert(d == Set((2L, "B", "update"), (3L, "c", "delete"),
+      (4L, "d", "insert")))
+    // unchanged rows (k=1) emit nothing; self-diff is empty
+    assert(VersionedTable.diff(spark, root, Seq("k"), 2L, 2L).isEmpty)
+    // an upsert that rewrites a row to the SAME value is no net change
+    VersionedTable.upsert(Seq((1L, "a")).toDF("k", "v"), root, Seq("k"))
+    assert(VersionedTable.diff(spark, root, Seq("k"), 2L, 3L).isEmpty)
+  }
+
   test("a crashed writer's unterminated manifest is ignored and reclaimed") {
     val root = tmpRoot()
     VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
