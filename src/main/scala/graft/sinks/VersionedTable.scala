@@ -274,6 +274,41 @@ object VersionedTable {
         :+ col("change_type"): _*)
   }
 
+  /** Small-file compaction as a commit (the OPTIMIZE half of table
+    * maintenance; [[vacuum]] is the other). Files smaller than
+    * `smallBytes` are rewritten together into ~`targetBytes` files;
+    * larger files carry over by identity. The table's CONTENT is
+    * unchanged — only the file layout — so readers of any version see
+    * identical rows, and older snapshots still reference the original
+    * small files (which stay live until vacuumed). Returns the new
+    * version, or None when fewer than 2 small files exist (nothing to
+    * gain; a no-op commit would only churn the log). */
+  def compact(spark: SparkSession, root: String,
+      smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20): Option[Long] = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val schema = manifest(f, root, vs.max).schema
+    var lastStaged: Seq[String] = Seq.empty
+    try Some(commitRetrying(spark, root, schema) { prev =>
+      lastStaged.foreach(p => f.delete(new Path(p), false))
+      val sized = prev.map(p => p -> f.getFileStatus(new Path(p)).getLen)
+      val small = sized.filter(_._2 < smallBytes)
+      if (small.size < 2) throw new NothingToCompact // before any claim
+      val keep = sized.filterNot(_._2 < smallBytes).map(_._1)
+      val totalBytes = small.map(_._2).sum
+      val nOut = ((totalBytes + targetBytes - 1) / targetBytes).toInt.max(1)
+      val merged = spark.read.schema(schema)
+        .parquet(small.map(_._1): _*).coalesce(nOut)
+      lastStaged = stageFiles(merged, root)
+      keep ++ lastStaged
+    })
+    catch { case _: NothingToCompact => None }
+  }
+
+  private final class NothingToCompact extends RuntimeException
+
   /** Delete data files referenced by no retained manifest, and expired
     * manifests themselves. Keeps the newest `keepVersions`; never
     * touches files younger than `graceMs` (a concurrent commit may

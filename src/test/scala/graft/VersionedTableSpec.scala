@@ -201,6 +201,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.diff(spark, root, Seq("k"), 2L, 3L).isEmpty)
   }
 
+  test("compact merges small files, preserves content and old snapshots") {
+    val root = tmpRoot()
+    // 4 appends -> >= 4 small files
+    (0 until 4).foreach(i => VersionedTable.append(
+      ((i * 25 + 1).toLong to (i * 25 + 25).toLong).map(k => (k, s"b$i"))
+        .toDF("k", "v").repartition(1), root))
+    val headV = VersionedTable.versions(spark, root).max
+    def nFiles(v: Long) = VersionedTable.read(spark, root, Some(v))
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(nFiles(headV) == 4)
+    val before = VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    val Some(cv) = VersionedTable.compact(spark, root,
+      smallBytes = 32L << 20, targetBytes = 128L << 20)
+    // layout changed, content identical
+    assert(nFiles(cv) == 1)
+    assert(VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().toSet == before)
+    // pre-compaction snapshot still reads its original small files
+    assert(nFiles(headV) == 4)
+    assert(VersionedTable.read(spark, root, Some(headV)).count() == 100)
+    // immediately re-compacting is a no-op: no commit churned
+    assert(VersionedTable.compact(spark, root).isEmpty)
+    assert(VersionedTable.versions(spark, root).max == cv)
+  }
+
   test("a crashed writer's unterminated manifest is ignored and reclaimed") {
     val root = tmpRoot()
     VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
