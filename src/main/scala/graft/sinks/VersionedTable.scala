@@ -5,8 +5,12 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.catalyst.analysis
+import org.apache.spark.sql.catalyst.expressions
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max => smax, min => smin, struct, when}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
 /** Minimal versioned parquet table: an immutable commit log of manifest
   * files over immutable data files — the transactional-lake core
@@ -52,8 +56,34 @@ object VersionedTable {
   private def manifestPath(root: String, v: Long) =
     new Path(manifestDir(root), f"v$v%012d.json")
 
+  /** Per-file column statistics carried in the manifest: canonical-string
+    * min/max (absent when the file's column is all-null, the type is
+    * non-atomic, or the values are NaN/Inf) + null presence. */
+  private[sinks] final case class ColStat(min: Option[String],
+      max: Option[String], hasNulls: Boolean)
+  private[sinks] type FileStats = Map[String, ColStat]
+
   private final case class Manifest(schema: StructType, files: Seq[String],
-      batchId: Option[Long])
+      batchId: Option[Long], stats: Map[String, FileStats])
+
+  private def statsToJson(s: FileStats): String =
+    JsonMethods.compact(JsonMethods.render(JObject(s.toList.sortBy(_._1)
+      .map { case (c, st) => c -> JObject(
+        st.min.map(v => "m" -> (JString(v): JValue)).toList ++
+        st.max.map(v => "M" -> (JString(v): JValue)).toList ++
+        List("n" -> (JBool(st.hasNulls): JValue))) })))
+
+  private def statsFromJson(j: String): FileStats =
+    JsonMethods.parse(j) match {
+      case JObject(cols) => cols.map { case (c, v) =>
+        val f = v.asInstanceOf[JObject].obj.toMap
+        c -> ColStat(
+          f.get("m").collect { case JString(s) => s },
+          f.get("M").collect { case JString(s) => s },
+          f.get("n").collect { case JBool(b) => b }.getOrElse(true))
+      }.toMap
+      case _ => Map.empty
+    }
 
   private def readManifestRaw(f: FileSystem, p: Path): Option[Manifest] = {
     val in = f.open(p)
@@ -65,11 +95,18 @@ object VersionedTable {
       if (lines.isEmpty || lines.last != Terminator) None // unterminated
       else {
         val body = lines.tail.dropRight(1)
+        val fileLines = body.filterNot(_.startsWith(BatchMarker))
+          .map { l => l.split("\t", 2) match {
+            case Array(path, json) => path -> Some(json)
+            case Array(path) => path -> None
+          } }
         Some(Manifest(
           DataType.fromJson(lines.head).asInstanceOf[StructType],
-          body.filterNot(_.startsWith(BatchMarker)),
+          fileLines.map(_._1),
           body.collectFirst { case l if l.startsWith(BatchMarker) =>
-            l.stripPrefix(BatchMarker).toLong }))
+            l.stripPrefix(BatchMarker).toLong },
+          fileLines.collect { case (p0, Some(j)) =>
+            p0 -> statsFromJson(j) }.toMap))
       }
     } finally in.close()
   }
@@ -106,6 +143,156 @@ object VersionedTable {
     if (m.files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
     else spark.read.schema(m.schema).parquet(m.files: _*)
+  }
+
+  /** Data-skipping read: like [[read]], but files whose manifest stats
+    * PROVE no row can satisfy `cond` are pruned at planning time —
+    * no listing, no parquet footer reads, O(|files|) driver work over
+    * the already-resolved manifest (the Delta/Iceberg scan shape; at
+    * 100 TB the footer pass is itself a bottleneck). Pruning is
+    * conservative: unsupported predicate shapes, columns without stats,
+    * and non-ASCII string bounds keep the file. The predicate is ALSO
+    * applied to the surviving rows, so results never depend on pruning.
+    * Returns the filtered DataFrame. */
+  def readWhere(spark: SparkSession, root: String, cond: Column,
+      version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in $vs")
+    val m = manifest(fs(spark, root), root, v)
+    val types = m.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+    // resolve + constant-fold the predicate against the table schema by
+    // analyzing a probe Filter over an empty relation: attributes become
+    // typed AttributeReferences and cast literals (e.g.
+    // lit("1997-01-01").cast("timestamp")) fold to comparable Literals
+    val probe = spark
+      .createDataFrame(new java.util.ArrayList[Row](), m.schema)
+      .filter(cond).queryExecution.analyzed
+    val condExpr = org.apache.spark.sql.catalyst.optimizer
+      .ConstantFolding(probe)
+      .collectFirst {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          fl.condition
+      }
+    val kept = m.files.filter(p => condExpr.forall(ce =>
+      m.stats.get(p).forall(fst => mayMatch(ce, fst, types))))
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
+      else spark.read.schema(m.schema).parquet(kept: _*)
+    base.filter(cond)
+  }
+
+  /** Conservative may-match of a predicate against one file's stats:
+    * true unless the stats PROVE no row satisfies it. Sound for And/Or
+    * (no Not: may(¬x) is not ¬may(x)); leaf comparisons prune only when
+    * the literal and column agree on an order-preserving domain —
+    * numeric/timestamp/date via exact BigDecimal, strings only when
+    * bounds and literal are pure ASCII (Java UTF-16 ordering and
+    * Spark's UTF-8 byte ordering agree there and only there). */
+  private def mayMatch(e: expressions.Expression, fst: FileStats,
+      types: Map[String, DataType]): Boolean = {
+    import expressions._
+    def ascii(s: String) = s.forall(_ < 128)
+    // (attrName, literal) for supported leaf shapes, literal folded
+    def leaf(a: Expression, l: Expression): Option[(String, Any, DataType)] =
+      (a, l) match {
+        case (att: analysis.UnresolvedAttribute, lt: Literal) =>
+          Some((att.name, lt.value, lt.dataType))
+        case (att: AttributeReference, lt: Literal) =>
+          Some((att.name, lt.value, lt.dataType))
+        case (att, c @ Cast(_: Literal, _, _, _)) if c.resolved && c.foldable =>
+          scala.util.Try(c.eval(null)).toOption.flatMap(v =>
+            leaf(att, Literal.create(v, c.dataType)))
+        case _ => None
+      }
+    // literal + column-stat string -> comparable domain, or None
+    def dom(v: Any, ldt: DataType, s: String, cdt: DataType): Option[(Int, Int)] = {
+      def num(x: Any): Option[BigDecimal] = x match {
+        case n: Int => Some(BigDecimal(n))
+        case n: Long => Some(BigDecimal(n))
+        case n: Short => Some(BigDecimal(n.toInt))
+        case n: Byte => Some(BigDecimal(n.toInt))
+        case n: Double if !n.isNaN && !n.isInfinite => Some(BigDecimal(n))
+        case n: Float if !n.isNaN && !n.isInfinite => Some(BigDecimal(n.toDouble))
+        case n: org.apache.spark.sql.types.Decimal => Some(n.toBigDecimal)
+        case n: java.math.BigDecimal => Some(BigDecimal(n))
+        case _ => None
+      }
+      val numericCol = cdt match {
+        case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+             _: DoubleType | _: FloatType | _: DecimalType => true
+        case _ => false
+      }
+      (ldt, cdt) match {
+        case (_: TimestampType, _: TimestampType) |
+             (_: DateType, _: DateType) =>
+          // literal is internal micros/days (Long/Int); stats likewise
+          num(v).map(l => (l.compare(BigDecimal(s)), 0))
+        case (_: StringType, _: StringType) =>
+          val lv = v.toString
+          if (ascii(lv) && ascii(s)) Some((lv.compareTo(s), 0)) else None
+        case _ if numericCol =>
+          for { l <- num(v); c <- scala.util.Try(BigDecimal(s)).toOption }
+            yield (l.compare(c), 0)
+        case _ => None
+      }
+    }
+    // cmp(literal, statBound): Some(sign) or None (incomparable)
+    def cmp(v: Any, ldt: DataType, bound: Option[String],
+        cn: String): Option[Int] =
+      for {
+        cdt <- types.get(cn); s <- bound; d <- dom(v, ldt, s, cdt)
+      } yield d._1
+    def may(ex: Expression): Boolean = ex match {
+      case And(l, r) => may(l) && may(r)
+      case Or(l, r) => may(l) || may(r)
+      case EqualTo(a, b) => eqMay(a, b, nullSafe = false)
+      case EqualNullSafe(a, b) => eqMay(a, b, nullSafe = true)
+      case GreaterThan(a, b) => cmpMay(a, b, (s: Int) => s > 0)
+      case GreaterThanOrEqual(a, b) => cmpMay(a, b, (s: Int) => s >= 0)
+      case LessThan(a, b) => cmpMay(a, b, (s: Int) => s < 0)
+      case LessThanOrEqual(a, b) => cmpMay(a, b, (s: Int) => s <= 0)
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists(l => eqMay(a, l, nullSafe = false))
+      case IsNull(att: analysis.UnresolvedAttribute) =>
+        fst.get(att.name).forall(_.hasNulls)
+      case IsNull(att: AttributeReference) =>
+        fst.get(att.name).forall(_.hasNulls)
+      case _ => true // unsupported shape: keep the file
+    }
+    // literal = attr within [min, max]?
+    def eqMay(a: Expression, b: Expression, nullSafe: Boolean): Boolean =
+      leaf(a, b).orElse(leaf(b, a)) match {
+        case Some((cn, null, _)) =>
+          if (nullSafe) fst.get(cn).forall(_.hasNulls) else false
+        case Some((cn, v, ldt)) =>
+          val lo = cmp(v, ldt, fst.get(cn).flatMap(_.min), cn)
+          val hi = cmp(v, ldt, fst.get(cn).flatMap(_.max), cn)
+          lo.forall(_ >= 0) && hi.forall(_ <= 0)
+        case None => true
+      }
+    // attrOpLit: does some value in [min,max] satisfy (value op lit)?
+    def cmpMay(a: Expression, b: Expression, opHolds: Int => Boolean): Boolean = {
+      def side(attr: Expression, litE: Expression,
+          flip: Boolean): Option[Boolean] =
+        leaf(attr, litE).map {
+          case (_, null, _) => false // comparison to NULL is never true
+          case (cn, v, ldt) =>
+            // existence over the interval reduces to checking the two
+            // extreme bounds (monotone comparisons): the predicate can
+            // hold for SOME x in [min,max] iff it holds at min or max
+            Seq(fst.get(cn).flatMap(_.min), fst.get(cn).flatMap(_.max))
+              .exists(bound => cmp(v, ldt, bound, cn) match {
+                case Some(sign) => opHolds(if (flip) sign else -sign)
+                case None => true
+              })
+        }
+      side(a, b, flip = false).orElse(side(b, a, flip = true))
+        .getOrElse(true)
+    }
+    may(e)
   }
 
   /** Write `df` as new data files and commit them as the next version,
@@ -331,8 +518,48 @@ object VersionedTable {
     dead.size
   }
 
+  /** Stats for files staged by THIS process, keyed by qualified path.
+    * Data files are immutable and UUID-named, so the cache can never be
+    * stale; files staged by other processes resolve through the previous
+    * manifest instead. Bounded: cleared past 100k entries. */
+  private val stagedStats =
+    new java.util.concurrent.ConcurrentHashMap[String, FileStats]()
+
+  /** Canonical string form used in manifest stats: integral/timestamp/
+    * date as decimal integers (micros / epoch days), float/double via
+    * BigDecimal (NaN/Inf → None), strings raw. */
+  private def canonical(v: Any): Option[String] = v match {
+    case null => None
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) None
+      else Some(BigDecimal(d).bigDecimal.toPlainString)
+    case fl: Float =>
+      if (fl.isNaN || fl.isInfinite) None
+      else Some(BigDecimal(fl.toDouble).bigDecimal.toPlainString)
+    case t: java.sql.Timestamp =>
+      Some((Math.floorDiv(t.getTime, 1000L) * 1000000L +
+        t.getNanos / 1000L).toString)
+    case i: java.time.Instant =>
+      Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+    case dec: java.math.BigDecimal => Some(dec.toPlainString)
+    case s: String => Some(s)
+    case n @ (_: Long | _: Int | _: Short | _: Byte) => Some(n.toString)
+    case _ => None
+  }
+
+  private def statEligible(dt: DataType): Boolean = dt match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+         _: DoubleType | _: FloatType | _: StringType |
+         _: TimestampType | _: DateType | _: DecimalType => true
+    case _ => false
+  }
+
   /** Stage `df` under data/ as immutable files; return their qualified
-    * paths (vacuum compares against listStatus, which qualifies). */
+    * paths (vacuum compares against listStatus, which qualifies).
+    * One extra pass over ONLY the newly staged files collects per-file
+    * min/max/null stats for the manifest's data-skipping index. */
   private def stageFiles(df: DataFrame, root: String): Seq[String] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
@@ -347,7 +574,33 @@ object VersionedTable {
       f.makeQualified(dst).toString
     }
     f.delete(stage, true)
+    if (moved.nonEmpty) collectStats(spark, df.schema, moved)
     moved
+  }
+
+  private def collectStats(spark: SparkSession, schema: StructType,
+      files: Seq[String]): Unit = {
+    val cols = schema.fields.filter(fd => statEligible(fd.dataType))
+      .map(_.name).toSeq
+    if (cols.isEmpty) return
+    val aggs = cols.flatMap { c => Seq(
+      smin(col(c)).as(s"_min_$c"), smax(col(c)).as(s"_max_$c"),
+      count(col(c)).as(s"_cnt_$c")) } :+ count(lit(1)).as("_cnt_all")
+    val rows = spark.read.schema(schema).parquet(files: _*)
+      .groupBy(col("_metadata.file_path").as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    if (stagedStats.size() > 100000) stagedStats.clear()
+    rows.foreach { r =>
+      val path = new Path(r.getAs[String]("_f")).toString
+      val all = r.getAs[Long]("_cnt_all")
+      val st: FileStats = cols.map { c =>
+        c -> ColStat(canonical(r.getAs[Any](s"_min_$c")),
+          canonical(r.getAs[Any](s"_max_$c")),
+          hasNulls = r.getAs[Long](s"_cnt_$c") < all)
+      }.toMap
+      stagedStats.put(path, st)
+    }
   }
 
   /** Claim `nextFiles(headFiles)` as the next version via an EXCLUSIVE
@@ -364,11 +617,17 @@ object VersionedTable {
     while (attempts < 10) {
       attempts += 1
       val vs = versions(spark, root)
-      val prev = if (vs.isEmpty) Seq.empty[String]
-        else manifest(f, root, vs.max).files
+      val (prev, prevStats) =
+        if (vs.isEmpty) (Seq.empty[String], Map.empty[String, FileStats])
+        else { val m = manifest(f, root, vs.max); (m.files, m.stats) }
       val files = nextFiles(prev)
       val v = if (vs.isEmpty) 0L else vs.max + 1
       val target = manifestPath(root, v)
+      // per-file stats: carried-over files keep the previous manifest's
+      // entry; newly staged files resolve from this process's stage cache
+      def statsLine(p: String): String =
+        prevStats.get(p).orElse(Option(stagedStats.get(p)))
+          .fold("")(s => "\t" + statsToJson(s))
       // crashed-writer recovery: an invalid manifest blocks its version
       // number; remove it before claiming
       if (f.exists(target) && readManifestRaw(f, target).isEmpty)
@@ -377,7 +636,7 @@ object VersionedTable {
         try {
           val out = f.create(target, false) // exclusive: throws if claimed
           try out.write((schema.json + "\n" +
-            files.sorted.map(_ + "\n").mkString +
+            files.sorted.map(p => p + statsLine(p) + "\n").mkString +
             batchMarker.fold("")(id => s"$BatchMarker$id\n") +
             Terminator + "\n").getBytes(StandardCharsets.UTF_8))
           finally out.close()

@@ -227,6 +227,76 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root).max == cv)
   }
 
+  test("readWhere prunes files by manifest stats, results never change") {
+    val root = tmpRoot()
+    // 4 appends = 4 files with disjoint k ranges and distinct sources
+    (0 until 4).foreach(i => VersionedTable.append(
+      ((i * 100 + 1).toLong to (i * 100 + 100).toLong)
+        .map(k => (k, s"src$i", k.toDouble / 2))
+        .toDF("k", "src", "score").repartition(1), root))
+    def planned(df: org.apache.spark.sql.DataFrame) = df.inputFiles.length
+    // numeric range: only file 2 (201..300) can hold k in [250, 260]
+    val r1 = VersionedTable.readWhere(spark, root,
+      col("k") >= 250L && col("k") <= 260L)
+    assert(planned(r1) == 1, s"expected 1 planned file, got ${planned(r1)}")
+    assert(r1.count() == 11)
+    // string equality prunes to one file (ASCII bounds)
+    val r2 = VersionedTable.readWhere(spark, root, col("src") === "src1")
+    assert(planned(r2) == 1)
+    assert(r2.count() == 100)
+    // OR of two ranges keeps two files
+    val r3 = VersionedTable.readWhere(spark, root,
+      col("k") < 50L || col("k") > 350L)
+    assert(planned(r3) == 2)
+    assert(r3.count() == 49 + 50)
+    // impossible predicate prunes everything but still returns a typed DF
+    val r4 = VersionedTable.readWhere(spark, root, col("k") > 100000L)
+    assert(planned(r4) == 0 && r4.count() == 0)
+    assert(r4.schema.fieldNames.toSeq == Seq("k", "src", "score"))
+    // unsupported shape (modulo) prunes nothing and stays correct
+    val r5 = VersionedTable.readWhere(spark, root, col("k") % 100 === 0)
+    assert(planned(r5) == 4)
+    assert(r5.count() == 4)
+    // double column with a cast literal
+    val r6 = VersionedTable.readWhere(spark, root, col("score") <= 25.0)
+    assert(planned(r6) == 1 && r6.count() == 50)
+  }
+
+  test("readWhere stats survive carried-over files and prune timestamps") {
+    val root = tmpRoot()
+    val mkTs = (day: Int) => java.sql.Timestamp.valueOf(f"1997-01-$day%02d 00:00:00")
+    VersionedTable.append((1 to 10).map(d => (d.toLong, mkTs(d)))
+      .toDF("k", "ts").repartition(1), root)
+    VersionedTable.append((11 to 20).map(d => (d.toLong, mkTs(d)))
+      .toDF("k", "ts").repartition(1), root)
+    // timestamp predicate via a CAST STRING literal — folded at analysis
+    val r = VersionedTable.readWhere(spark, root,
+      col("ts") >= lit("1997-01-15 00:00:00").cast("timestamp"))
+    assert(r.inputFiles.length == 1, "cast-literal timestamp must prune")
+    assert(r.count() == 6)
+    // an upsert rewriting only file 2 carries file 1's stats through the
+    // new manifest — pruning still works for the untouched file
+    VersionedTable.upsert(Seq((15L, mkTs(16))).toDF("k", "ts"), root,
+      Seq("k"))
+    val r2 = VersionedTable.readWhere(spark, root, col("k") <= 5L)
+    assert(r2.inputFiles.length == 1, "carried-over stats must still prune")
+    assert(r2.count() == 5)
+  }
+
+  test("readWhere null semantics: IsNull prunes to files with nulls") {
+    val root = tmpRoot()
+    VersionedTable.append(Seq((1L, Option("a")), (2L, Option("b")))
+      .toDF("k", "v").repartition(1), root)
+    VersionedTable.append(Seq((3L, Option("c")), (4L, Option.empty[String]))
+      .toDF("k", "v").repartition(1), root)
+    val r = VersionedTable.readWhere(spark, root, col("v").isNull)
+    assert(r.inputFiles.length == 1)
+    assert(r.select("k").as[Long].collect().toSeq == Seq(4L))
+    // equality never matches a NULL: file 2's non-null bound still prunes
+    val r2 = VersionedTable.readWhere(spark, root, col("v") === "zz")
+    assert(r2.inputFiles.length == 0 && r2.count() == 0)
+  }
+
   test("a crashed writer's unterminated manifest is ignored and reclaimed") {
     val root = tmpRoot()
     VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
