@@ -451,6 +451,56 @@ object Relational {
         .orderBy(col("src"), col("nationkey"))
     }),
 
+    // ---- set ops: multiset INTERSECT ALL / EXCEPT ALL -------------------
+    // the bag-semantics variants (duplicates preserved by multiplicity) —
+    // a different operator from the set forms: Catalyst plans them as a
+    // count-compare aggregation, not a distinct + semi/anti join
+    "set_ops_all" -> ((s, d) => {
+      val custN = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val supN = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      custN.intersectAll(supN).withColumn("op", lit("intersect_all"))
+        .unionByName(supN.exceptAll(custN).withColumn("op", lit("except_all")))
+        .groupBy(col("op"), col("nationkey"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("op"), col("nationkey"))
+    }),
+
+    // ---- window: first_value / last_value / nth_value with frames ------
+    // last_value over the DEFAULT frame (unbounded preceding..current row)
+    // is the running last — the classic trap; the full-partition last
+    // needs an explicit unbounded following frame
+    "window_first_last" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val wOrd = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      ord.select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(wOrd).as("first_order"),
+          last(col("o_orderkey")).over(wFull).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- typed cogroup (Dataset API) ------------------------------------
+    // KeyValueGroupedDataset.cogroup: both sides grouped once, the
+    // co-partitioned groups meet in one function — the typed form of a
+    // full-outer grouped join (SQL reconstructs it relationally)
+    "cogroup_nation_counts" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+        .select(col("c_nationkey").as("k"), col("c_acctbal").as("v"))
+        .as[(Long, Double)].groupByKey(_._1)
+      val sup = Tables.supplier(s, d)
+        .select(col("s_nationkey").as("k"), col("s_acctbal").as("v"))
+        .as[(Long, Double)].groupByKey(_._1)
+      cust.cogroup(sup) { (k, cs, ss) =>
+        val (nc, ns) = (cs.size, ss.size)
+        Iterator((k, nc.toLong, ns.toLong))
+      }.toDF("nationkey", "n_cust", "n_supp")
+        .orderBy(col("nationkey"))
+    }),
+
     // ---- rollup ---------------------------------------------------------
     "agg_rollup_orders" -> ((s, d) => {
       Tables.orders(s, d)
@@ -846,6 +896,42 @@ object Relational {
          |  AND NOT EXISTS (SELECT 1 FROM orders
          |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "set_ops_all" ->
+      """WITH ia AS (SELECT c_nationkey AS nationkey FROM customer
+        |            INTERSECT ALL
+        |            SELECT s_nationkey AS nationkey FROM supplier),
+        |     ea AS (SELECT s_nationkey AS nationkey FROM supplier
+        |            EXCEPT ALL
+        |            SELECT c_nationkey AS nationkey FROM customer)
+        |SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS multiplicity
+        |FROM ia GROUP BY nationkey
+        |UNION ALL
+        |SELECT 'except_all' AS op, nationkey, COUNT(*) AS multiplicity
+        |FROM ea GROUP BY nationkey
+        |ORDER BY op, nationkey""".stripMargin,
+
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER wf AS last_order,
+        |  NTH_VALUE(o_orderkey, 2) OVER wf AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "cogroup_nation_counts" ->
+      """SELECT n.nationkey, COALESCE(c.n_cust, 0) AS n_cust,
+        |  COALESCE(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nationkey FROM customer
+        |      UNION SELECT s_nationkey FROM supplier) n
+        |LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |           GROUP BY 1) c ON c.c_nationkey = n.nationkey
+        |LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+        |           GROUP BY 1) s ON s.s_nationkey = n.nationkey
+        |ORDER BY n.nationkey""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (

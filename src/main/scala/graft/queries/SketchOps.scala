@@ -90,6 +90,32 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // manifest-stats data skipping end-to-end: documents committed as
+    // four doc_id-range files, then a mixed numeric-range OR string-
+    // equality readWhere — planning-time file pruning with the predicate
+    // re-applied to rows, so the result is oracle-exact regardless of
+    // how many files were skipped (the pruning itself is spec-asserted
+    // in VersionedTableSpec)
+    "versioned_skip_read" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("vs")
+        .toString + "/t"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      (0 until 4).foreach { i =>
+        VersionedTable.append(
+          docs.filter(expr("doc_id DIV 125") === i).repartition(1), root)
+      }
+      val result = VersionedTable.readWhere(s, root,
+          col("doc_id").between(120, 180) || col("source") === "src19")
+        .orderBy(col("doc_id"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // bloom-prefiltered fact join: the small side (urgent 1997+ orders)
     // builds a ~300 KB bloom; lineitem drops non-matching rows AT THE
     // SCAN, before the join exchange. No false negatives => result is
@@ -235,6 +261,11 @@ object SketchOps {
         |JOIN (SELECT source, SUM(n_chars) AS v0_chars FROM documents
         |      GROUP BY source) v ON v.source = l.source
         |GROUP BY l.source ORDER BY l.source""".stripMargin,
+
+    "versioned_skip_read" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE (doc_id BETWEEN 120 AND 180) OR source = 'src19'
+        |ORDER BY doc_id""".stripMargin,
 
     "versioned_diff" ->
       """SELECT doc_id + 1000 AS doc_id, 'src_new' AS source, n_chars,
