@@ -295,6 +295,35 @@ object VersionedTable {
     may(e)
   }
 
+  /** Schema-evolution contract for append/appendBatch/upsert: the
+    * incoming schema must match the head's by (name, type) — or, with
+    * `mergeSchema = true`, may ADD new columns (appended as nullable;
+    * old files read back NULL there). A column present in both with a
+    * DIFFERENT type is always rejected — silent type drift is the lake
+    * failure mode this table exists to prevent. [[write]] (replace)
+    * defines a fresh schema and has no constraint. */
+  private def evolve(head: StructType, incoming: StructType,
+      mergeSchema: Boolean): StructType = {
+    val headByName = head.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      headByName.get(f.name).foreach { h =>
+        require(h.dataType.catalogString == f.dataType.catalogString,
+          s"column '${f.name}' type mismatch: table has ${h.dataType}, " +
+            s"incoming has ${f.dataType}")
+      }
+    }
+    val newCols = incoming.fields.filterNot(f => headByName.contains(f.name))
+    val missing = head.fields.filterNot(f =>
+      incoming.fields.exists(_.name == f.name))
+    if (!mergeSchema) {
+      require(newCols.isEmpty && missing.isEmpty,
+        s"schema mismatch (new: ${newCols.map(_.name).mkString(",")}; " +
+          s"missing: ${missing.map(_.name).mkString(",")}); pass " +
+          "mergeSchema = true to add columns")
+      head
+    } else StructType(head.fields ++ newCols.map(_.copy(nullable = true)))
+  }
+
   /** Write `df` as new data files and commit them as the next version,
     * REPLACING the table's content. Returns the committed version.
     * Files are staged ONCE; only the cheap claim retries on races. */
@@ -303,10 +332,22 @@ object VersionedTable {
     commitRetrying(df.sparkSession, root, df.schema)(_ => staged)
   }
 
-  /** Append: next version = previous file list + newly staged files. */
-  def append(df: DataFrame, root: String): Long = {
+  /** Append: next version = previous file list + newly staged files.
+    * Schema is validated (and with `mergeSchema` widened) against the
+    * head — see [[evolve]]. */
+  def append(df: DataFrame, root: String,
+      mergeSchema: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
     val staged = stageFiles(df, root)
-    commitRetrying(df.sparkSession, root, df.schema)(prev => prev ++ staged)
+    var schema: StructType = df.schema
+    commitRetrying(spark, root, schema) { prev =>
+      val vs = versions(spark, root)
+      if (vs.nonEmpty)
+        schema = evolve(manifest(f, root, vs.max).schema, df.schema,
+          mergeSchema)
+      prev ++ staged
+    }
   }
 
   /** EXACTLY-ONCE streaming append: commit a micro-batch's rows with
@@ -336,6 +377,10 @@ object VersionedTable {
         out = Some(commitRetrying(spark, root, df.schema,
           batchMarker = Some(batchId)) { prev =>
           if (committed) throw new BatchAlreadyCommitted
+          val vs = versions(spark, root)
+          if (vs.nonEmpty) // strict: a stream's schema must not drift
+            evolve(manifest(f, root, vs.max).schema, df.schema,
+              mergeSchema = false)
           prev ++ staged
         })
       } catch {
@@ -356,18 +401,23 @@ object VersionedTable {
     * this operator's 100 TB hazard). Merging happens against the
     * CURRENT head inside the retry loop — a version race means another
     * writer moved the head, and merging a stale snapshot would lose its
-    * rows. Old files stay live for older snapshots. */
-  def upsert(updates: DataFrame, root: String, keys: Seq[String]): Long = {
+    * rows. Old files stay live for older snapshots. Schema follows
+    * [[evolve]]: with `mergeSchema` the updates may add columns (old
+    * rows read back NULL there); the keys must exist in both. */
+  def upsert(updates: DataFrame, root: String, keys: Seq[String],
+      mergeSchema: Boolean = false): Long = {
     val spark = updates.sparkSession
     val f = fs(spark, root)
     var lastStaged: Seq[String] = Seq.empty
-    commitRetrying(spark, root, updates.schema) { prev =>
+    var outSchema: StructType = updates.schema
+    commitRetrying(spark, root, outSchema) { prev =>
       // a lost race abandons the previous attempt's staged files —
       // reclaim them now instead of leaving orphans for vacuum
       lastStaged.foreach(p => f.delete(new Path(p), false))
       if (prev.isEmpty) { lastStaged = stageFiles(updates, root); lastStaged }
       else {
         val schema = manifest(f, root, versions(spark, root).max).schema
+        outSchema = evolve(schema, updates.schema, mergeSchema)
         val head = spark.read.schema(schema).parquet(prev: _*)
         // touched = files holding at least one matching key. The probe
         // reads ONLY the key columns (+ file metadata) and the file
@@ -387,7 +437,7 @@ object VersionedTable {
           else spark.read.schema(schema).parquet(rewrite: _*)
             .join(updates.select(keys.map(col): _*).distinct(), keys,
               "left_anti")
-            .unionByName(updates)
+            .unionByName(updates, allowMissingColumns = mergeSchema)
         lastStaged = stageFiles(merged, root)
         keep ++ lastStaged
       }
@@ -609,8 +659,11 @@ object VersionedTable {
     * existing UNTERMINATED manifest at the target version is a crashed
     * writer's junk: delete and re-claim. */
   private def commitRetrying(spark: SparkSession, root: String,
-      schema: StructType, batchMarker: Option[Long] = None)
+      schema: => StructType, batchMarker: Option[Long] = None)
       (nextFiles: Seq[String] => Seq[String]): Long = {
+    // `schema` is by-name: nextFiles may resolve the (possibly evolved)
+    // schema against the head it just read, and the manifest write below
+    // must see that resolution, re-done on every retry
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     var attempts = 0

@@ -297,6 +297,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(r2.inputFiles.length == 0 && r2.count() == 0)
   }
 
+  test("schema evolution: mergeSchema adds nullable columns, strict rejects") {
+    val root = tmpRoot()
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    // strict append with a new column: rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq((3L, "c", 9L)).toDF("k", "v", "extra"), root)
+    }
+    // mergeSchema: accepted; old rows read back NULL in the new column
+    VersionedTable.append(Seq((3L, "c", 9L)).toDF("k", "v", "extra"), root,
+      mergeSchema = true)
+    val out = VersionedTable.read(spark, root)
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(out == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(9L))))
+    // type drift on an existing column is ALWAYS rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq((4L, 5.0)).toDF("k", "v"), root,
+        mergeSchema = true)
+    }
+    // upsert across the widened schema: updates carry the new column
+    VersionedTable.upsert(Seq((1L, "A", 7L)).toDF("k", "v", "extra"), root,
+      Seq("k"), mergeSchema = true)
+    val out2 = VersionedTable.read(spark, root)
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(out2 == Set((1L, "A", Some(7L)), (2L, "b", None),
+      (3L, "c", Some(9L))))
+    // time travel: v0 still reads with its ORIGINAL two-column schema
+    assert(VersionedTable.read(spark, root, Some(0L))
+      .schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
   test("a crashed writer's unterminated manifest is ignored and reclaimed") {
     val root = tmpRoot()
     VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
