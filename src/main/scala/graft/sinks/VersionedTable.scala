@@ -393,6 +393,28 @@ object VersionedTable {
 
   private final class BatchAlreadyCommitted extends RuntimeException
 
+  /** Incremental consumption: rows of data files ADDED after version
+    * `afterV` up to `toV` (default head) — the cheap CDC path: pure
+    * manifest set-difference, no key shuffle, no old-data read. EXACT
+    * exactly-once semantics for append-only flows (each appended row
+    * appears in exactly one consecutive window); under upsert/delete/
+    * compact commits the added files contain rewritten OLD rows too —
+    * consumers needing net row-level changes use [[diff]] instead. */
+  def readAppended(spark: SparkSession, root: String, afterV: Long,
+      toV: Option[Long] = None): DataFrame = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.contains(afterV), s"version $afterV not in $vs")
+    val to = toV.getOrElse(vs.max)
+    require(vs.contains(to), s"version $to not in $vs")
+    val m = manifest(f, root, to)
+    val baseFiles = manifest(f, root, afterV).files.toSet
+    val added = m.files.filterNot(baseFiles)
+    if (added.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
+    else spark.read.schema(m.schema).parquet(added: _*)
+  }
+
   /** Key-based upsert as a commit, FILE-PRUNED: only data files that
     * actually contain a matching key are rewritten; every other file is
     * carried into the next manifest untouched. An upsert touching 0.1%

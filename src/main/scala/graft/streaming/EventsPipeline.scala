@@ -168,6 +168,33 @@ object EventsPipeline {
         col("click_id"), col("c_time"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[purchaseClickJoin]]
+    * but purchases with NO click in the window still emit — with null
+    * click columns — once the watermark proves no matching click can
+    * arrive. The null-emission is the hard half of outer streaming
+    * joins: the row must be HELD until event time passes the join
+    * horizon (interval + watermark), then released exactly once as the
+    * state for its window is evicted. Both sides MUST carry watermarks
+    * or state (and the unmatched rows) would be held forever. */
+  def purchaseClickJoinOuter(purchases: DataFrame, clicks: DataFrame,
+      interval: String = "1 hour", watermark: String = "10 minutes")
+      : DataFrame = {
+    val p = withEventTime(purchases)
+      .withWatermark("event_time", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_time").as("p_time"))
+    val c = withEventTime(clicks)
+      .withWatermark("event_time", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("c_time"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_time") >= col("p_time") - expr(s"INTERVAL $interval") &&
+        col("c_time") <= col("p_time"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("p_time"),
+        col("click_id"), col("c_time"))
+  }
+
   /** Streaming replace-mode sink: each micro-batch upserts by key into a
     * parquet target (partition-pruned when `partitionBy` is set).
     * foreachBatch is at-least-once; upsert-by-key is idempotent, so the

@@ -176,6 +176,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("left-outer stream-stream join releases unmatched rows on watermark") {
+    implicit val sq = spark.sqlContext
+    val pm = MemoryStream[(Long, Long, Long)]
+    val cm = MemoryStream[(Long, Long, Long)]
+    val p = pm.toDF().toDF("event_id", "ts", "user_id")
+    val c = cm.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventsPipeline.purchaseClickJoinOuter(p, c, "1 hour", "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjo_out").start()
+    val t0 = 1700000000000000000L
+    def ns(min: Double) = t0 + (min * 60e9).toLong
+    // purchase 1 has a click in-window; purchase 2 has none
+    cm.addData((100L, ns(30), 1L))
+    pm.addData((1L, ns(60), 1L), (2L, ns(60), 2L))
+    q.processAllAvailable()
+    // the unmatched purchase must be HELD while a matching click could
+    // still arrive within the horizon
+    assert(spark.table("ssjo_out")
+      .filter($"purchase_id" === 2L).count() == 0)
+    // advance BOTH watermarks far past purchase-time + interval: the
+    // held row is released exactly once, with null click columns
+    cm.addData((900L, ns(300), 9L))
+    pm.addData((901L, ns(300), 9L))
+    q.processAllAvailable()
+    val out = spark.table("ssjo_out")
+    assert(out.filter($"purchase_id" === 1L && $"click_id" === 100L)
+      .count() == 1)
+    val unmatched = out.filter($"purchase_id" === 2L).collect()
+    assert(unmatched.length == 1)
+    assert(unmatched.head.isNullAt(3) && unmatched.head.isNullAt(4),
+      "released row must carry null click columns")
+    q.stop()
+  }
+
   test("heavy-hitters aggregate runs streaming (complete mode)") {
     // the native TypedImperativeAggregate's serialized buffer lives in
     // the state store between micro-batches — bounded streaming top-k

@@ -297,6 +297,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(r2.inputFiles.length == 0 && r2.count() == 0)
   }
 
+  test("readAppended consumes append-only increments exactly once") {
+    val root = tmpRoot()
+    VersionedTable.write((1L to 3L).toDF("k"), root) // v0
+    VersionedTable.append((4L to 6L).toDF("k"), root) // v1
+    VersionedTable.append((7L to 9L).toDF("k"), root) // v2
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      df.as[Long].collect().toSet
+    assert(ks(VersionedTable.readAppended(spark, root, 0L)) ==
+      (4L to 9L).toSet)
+    // consecutive windows partition the appended rows: nothing lost,
+    // nothing duplicated
+    assert(ks(VersionedTable.readAppended(spark, root, 0L, Some(1L))) ==
+      (4L to 6L).toSet)
+    assert(ks(VersionedTable.readAppended(spark, root, 1L, Some(2L))) ==
+      (7L to 9L).toSet)
+    assert(VersionedTable.readAppended(spark, root, 2L).isEmpty)
+    // under an upsert the rewritten file's rows re-appear (documented:
+    // at-least-once for non-append flows; use diff for net changes)
+    VersionedTable.upsert(Seq(5L).toDF("k"), root, Seq("k"))
+    assert(ks(VersionedTable.readAppended(spark, root, 2L)).contains(5L))
+  }
+
   test("schema evolution: mergeSchema adds nullable columns, strict rejects") {
     val root = tmpRoot()
     VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
