@@ -26,6 +26,28 @@ object EventOps {
   private val HourUs = 3600000000L
 
   val defs: Map[String, Q] = Map(
+    // batch analogue of the streaming LEFT OUTER interval join
+    // (EventsPipeline.purchaseClickJoinOuter): every purchase with its
+    // same-user clicks in the trailing hour — purchases with NO click
+    // survive with count 0 / null first click. Equi key (user) + time-
+    // range residual; exact integer microsecond arithmetic both engines.
+    "join_interval_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          expr("ts div 1000").as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), expr("ts div 1000").as("c_us"))
+      p.join(c, col("user_id") === col("c_user") &&
+          col("c_us") >= col("p_us") - HourUs &&
+          col("c_us") <= col("p_us"), "left_outer")
+        .groupBy(col("purchase_id"), col("user_id"), col("p_us"))
+        .agg(count(col("click_id")).as("n_clicks"),
+          min(col("click_id")).as("first_click"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // time-series regularization: hourly per-user grid over the event
     // span, gaps carried forward (time_bucket_gapfill / resample-ffill)
     "events_resample_gapfill" -> ((s, d) => {
@@ -216,6 +238,19 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_interval_outer" ->
+      s"""SELECT p.event_id AS purchase_id, p.user_id,
+         |  epoch_us(p.ts) AS p_us,
+         |  COUNT(c.event_id) AS n_clicks,
+         |  MIN(c.event_id) AS first_click
+         |FROM events p
+         |LEFT JOIN events c ON c.event_type = 'click'
+         |  AND c.user_id = p.user_id
+         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - $HourUs
+         |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+         |WHERE p.event_type = 'purchase'
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
     "events_session_window" ->
       s"""WITH g AS (
          |  SELECT user_id, event_id, ts, value,

@@ -90,6 +90,40 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // incremental consumption end-to-end: three append commits, then
+    // each consecutive readAppended window aggregated — the windows must
+    // partition the appended rows exactly (no loss, no duplication),
+    // which the oracle reconstructs from the same doc_id ranges
+    "versioned_incremental" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("vi")
+        .toString + "/t"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val vs = (0 until 3).map { i =>
+        VersionedTable.append(
+          docs.filter(expr("doc_id DIV 167") === i), root)
+      }
+      val windows = (0L +: vs.dropRight(1)).zip(vs).zipWithIndex
+      val result = windows.map { case ((from, to), i) =>
+          val w = if (i == 0) VersionedTable.read(s, root, Some(vs.head))
+            else VersionedTable.readAppended(s, root, from, Some(to))
+          w.agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"),
+              min(col("doc_id")).as("min_id"),
+              max(col("doc_id")).as("max_id"))
+            .withColumn("window_id", lit(i.toLong))
+        }.reduce(_ unionByName _)
+        .select(col("window_id"), col("n_docs"), col("sum_chars"),
+          col("min_id"), col("max_id"))
+        .orderBy(col("window_id"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // manifest-stats data skipping end-to-end: documents committed as
     // four doc_id-range files, then a mixed numeric-range OR string-
     // equality readWhere — planning-time file pruning with the predicate
@@ -261,6 +295,12 @@ object SketchOps {
         |JOIN (SELECT source, SUM(n_chars) AS v0_chars FROM documents
         |      GROUP BY source) v ON v.source = l.source
         |GROUP BY l.source ORDER BY l.source""".stripMargin,
+
+    "versioned_incremental" ->
+      """SELECT doc_id // 167 AS window_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "versioned_skip_read" ->
       """SELECT doc_id, source, n_chars FROM documents
