@@ -48,6 +48,28 @@ object EventOps {
         .orderBy(col("purchase_id"))
     }),
 
+    // the SAME interval-join semantics through the native sweep operator
+    // (plans.IntervalJoinExec: sorted sliding-window merge, O(n+m+out)
+    // per key vs the built-in SMJ's per-key cross product) — oracle-
+    // identical to join_interval_outer by construction, which is the
+    // point: the custom physical operator must not change one row
+    "join_interval_sweep" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          expr("ts div 1000").as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          expr("ts div 1000").as("c_us"))
+      graft.operators.IntervalJoin.intervalJoinNative(p, c,
+          Seq("user_id"), "p_us", "c_us", Seq("click_id"),
+          before = HourUs, after = 0L, outer = true)
+        .groupBy(col("purchase_id"), col("user_id"), col("p_us"))
+        .agg(count(col("ij_click_id")).as("n_clicks"),
+          min(col("ij_click_id")).as("first_click"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // time-series regularization: hourly per-user grid over the event
     // span, gaps carried forward (time_bucket_gapfill / resample-ffill)
     "events_resample_gapfill" -> ((s, d) => {
@@ -238,6 +260,19 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_interval_sweep" ->
+      s"""SELECT p.event_id AS purchase_id, p.user_id,
+         |  epoch_us(p.ts) AS p_us,
+         |  COUNT(c.event_id) AS n_clicks,
+         |  MIN(c.event_id) AS first_click
+         |FROM events p
+         |LEFT JOIN events c ON c.event_type = 'click'
+         |  AND c.user_id = p.user_id
+         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - $HourUs
+         |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+         |WHERE p.event_type = 'purchase'
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
     "join_interval_outer" ->
       s"""SELECT p.event_id AS purchase_id, p.user_id,
          |  epoch_us(p.ts) AS p_us,

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.IntervalJoin
+import org.apache.spark.sql.functions._
+
+/** Native interval-join sweep operator (custom LogicalPlan/Strategy/
+  * SparkPlan) vs the composed equi-join-with-residual reference —
+  * identical row multisets on the events fixture (inner and outer) and
+  * on adversarial edges (inclusive bounds, ties, null timestamps, keys
+  * with no partner rows). */
+class IntervalPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Tables.events(spark, Sf0)
+    .withColumn("ts_us", expr("ts div 1000"))
+
+  private val HourUs = 3600000000L
+
+  test("native interval join equals the composed residual join (inner)") {
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"event_id".as("click_id"))
+    val native = IntervalJoin.intervalJoinNative(purchases, clicks,
+      Seq("user_id"), "ts_us", "ts_us", Seq("click_id"), HourUs, 0L)
+    val ref = IntervalJoin.intervalJoinComposed(purchases, clicks,
+      Seq("user_id"), "ts_us", "ts_us", Seq("click_id"), HourUs, 0L)
+    val n = native.select(ref.columns.map(col).toSeq: _*)
+    assert(n.count() == ref.count() && n.count() > 0)
+    assert(n.exceptAll(ref).isEmpty && ref.exceptAll(n).isEmpty)
+  }
+
+  test("native interval join equals the composed form (left outer)") {
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"event_id".as("click_id"))
+    val native = IntervalJoin.intervalJoinNative(purchases, clicks,
+      Seq("user_id"), "ts_us", "ts_us", Seq("click_id"), HourUs, 0L,
+      outer = true)
+    val ref = IntervalJoin.intervalJoinComposed(purchases, clicks,
+      Seq("user_id"), "ts_us", "ts_us", Seq("click_id"), HourUs, 0L,
+      outer = true)
+    val n = native.select(ref.columns.map(col).toSeq: _*)
+    assert(n.count() == ref.count())
+    assert(n.exceptAll(ref).isEmpty && ref.exceptAll(n).isEmpty)
+    // outer keeps every left row at least once
+    assert(native.select($"event_id").distinct().count() ==
+      purchases.count())
+  }
+
+  test("plan shape: IntervalJoinExec with clustered sort on both sides") {
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"event_id".as("click_id"))
+    val p = IntervalJoin.intervalJoinNative(purchases, clicks,
+        Seq("user_id"), "ts_us", "ts_us", Seq("click_id"), HourUs, 0L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("IntervalJoin"), p)
+    assert(p.contains("Sort"), p)
+  }
+
+  test("edges: inclusive bounds, both-direction window, nulls, dry keys") {
+    val l = Seq((1L, Option(100L), "a"), (1L, Option(200L), "b"),
+        (2L, Option(50L), "c"), (3L, Option(7L), "d"),
+        (1L, Option.empty[Long], "e"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, Option(90L), 900L), (1L, Option(100L), 901L),
+        (1L, Option(110L), 902L), (1L, Option(210L), 903L),
+        (2L, Option(80L), 904L), (1L, Option.empty[Long], 999L))
+      .toDF("k", "t", "rid")
+    // window [t-10, t+10], both bounds inclusive
+    val out = IntervalJoin.intervalJoinNative(l, r, Seq("k"), "t", "t",
+        Seq("rid"), 10L, 10L, outer = true)
+      .select($"tag", $"ij_rid").as[(String, Option[Long])]
+      .collect().toList.sorted
+    assert(out == List(
+      ("a", Some(900L)), // lower bound inclusive: 90 == 100 - 10
+      ("a", Some(901L)), // exact tie
+      ("a", Some(902L)), // upper bound inclusive: 110 == 100 + 10
+      ("b", Some(903L)), // second left row of same key, later window
+      ("c", None),       // right exists for key but outside window
+      ("d", None),       // no right rows for key
+      ("e", None)))      // null left ts -> empty window (outer keeps row)
+    // inner mode drops the windowless rows instead
+    val inner = IntervalJoin.intervalJoinNative(l, r, Seq("k"), "t", "t",
+        Seq("rid"), 10L, 10L)
+      .select($"tag").as[String].collect().toSet
+    assert(inner == Set("a", "b"))
+  }
+
+  test("a right row serving several lefts is emitted for each") {
+    val l = Seq((1L, 100L, "x"), (1L, 101L, "y"), (1L, 102L, "z"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 100L, 7L)).toDF("k", "t", "rid")
+    val out = IntervalJoin.intervalJoinNative(l, r, Seq("k"), "t", "t",
+        Seq("rid"), 5L, 0L)
+      .select($"tag").as[String].collect().toSet
+    assert(out == Set("x", "y", "z"))
+  }
+}
