@@ -68,6 +68,28 @@ object Quality {
     (rowReport.toSeq ++ uniqueReports).reduce(_ unionByName _)
   }
 
+  /** In-flight quality monitoring: attach the row rules' violation
+    * counters to `df` as OBSERVED metrics — they ride whatever action
+    * the pipeline runs anyway (zero extra scans; [[report]] costs its
+    * own pass), the way a production ingest job meters itself. Returns
+    * the instrumented frame and the Observation; after any action on a
+    * derived frame, `observation.get` yields `rule -> n_violations`
+    * (Unique rules are aggregation-level and cannot ride a row stream —
+    * use [[report]]). Works identically under Structured Streaming
+    * (observe is the streaming metrics API). */
+  def observed(df: DataFrame, rules: Seq[Rule])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val preds = rules.flatMap(r => rowPredicate(r).map(r.name -> _))
+    require(preds.nonEmpty, "no row-level rules given")
+    require(!rules.exists(_.isInstanceOf[Unique]),
+      "Unique is table-level: it needs its own aggregation (use report)")
+    val obs = org.apache.spark.sql.Observation()
+    val metrics = preds.map { case (n, p) =>
+      sum(when(p, 1L).otherwise(0L)).as(n)
+    }
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   /** The rows failing any row-level rule, tagged with the failed rule
     * names (Unique rules are table-level and not included here). */
   def violations(df: DataFrame, rules: Seq[Rule]): DataFrame = {

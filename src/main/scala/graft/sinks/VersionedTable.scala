@@ -393,6 +393,23 @@ object VersionedTable {
 
   private final class BatchAlreadyCommitted extends RuntimeException
 
+  /** Range-clustered append: rows range-partitioned and sorted by
+    * `clusterCols` before staging, so each data file covers a narrow
+    * key interval and the manifest's min/max stats become TIGHT —
+    * [[readWhere]] on the cluster key then prunes to O(selectivity)
+    * files instead of all of them (the write-side half of data
+    * skipping; same layout idea as `Layout.writeRangeClustered`, here
+    * feeding the manifest index instead of parquet footers). */
+  def appendClustered(df: DataFrame, root: String,
+      clusterCols: Seq[String], nFiles: Int,
+      mergeSchema: Boolean = false): Long = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val clustered = df
+      .repartitionByRange(nFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+    append(clustered, root, mergeSchema)
+  }
+
   /** Incremental consumption: rows of data files ADDED after version
     * `afterV` up to `toV` (default head) — the cheap CDC path: pure
     * manifest set-difference, no key shuffle, no old-data read. EXACT

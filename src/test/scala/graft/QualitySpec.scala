@@ -35,6 +35,22 @@ class QualitySpec extends SparkSpec {
     assert(clean.values.forall(_ == 0L))
   }
 
+  test("observed: violation counters ride the pipeline's own action") {
+    val rowRules = rules.filterNot(_.isInstanceOf[Unique])
+    val (instrumented, obs) = Quality.observed(df, rowRules)
+    // the pipeline's real work — no separate quality scan anywhere
+    val kept = instrumented.filter($"v" >= 0).count()
+    assert(kept == 3)
+    val m = obs.get
+    assert(m("not_null(flag)") == 1L)
+    assert(m("in_range(v,0.0,50.0)") == 2L)
+    assert(m("matches(flag)") == 1L)
+    // Unique cannot ride a row stream
+    intercept[IllegalArgumentException] {
+      Quality.observed(df, rules)
+    }
+  }
+
   test("violations: failing rows tagged with every failed rule") {
     val v = Quality.violations(df, rules)
       .select($"id", $"v", $"failed_rules")

@@ -297,6 +297,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(r2.inputFiles.length == 0 && r2.count() == 0)
   }
 
+  test("appendClustered tightens stats: narrow readWhere touches few files") {
+    val root = tmpRoot()
+    // keys arrive SHUFFLED; clustering must impose the layout
+    val shuffled = new scala.util.Random(7).shuffle((1L to 800L).toList)
+    VersionedTable.appendClustered(shuffled.toDF("k"), root,
+      Seq("k"), nFiles = 8)
+    assert(VersionedTable.read(spark, root)
+      .select(col("_metadata.file_path")).distinct().count() == 8)
+    // a ~1/8 key range must touch 1-2 clustered files, not all 8
+    val r = VersionedTable.readWhere(spark, root,
+      col("k") >= 300L && col("k") < 400L)
+    assert(r.inputFiles.length <= 2,
+      s"clustered range scan touched ${r.inputFiles.length} files")
+    assert(r.count() == 100)
+    // without clustering the same data+predicate touches every file
+    val root2 = tmpRoot()
+    VersionedTable.append(shuffled.toDF("k").repartition(8), root2)
+    val r2 = VersionedTable.readWhere(spark, root2,
+      col("k") >= 300L && col("k") < 400L)
+    assert(r2.inputFiles.length == 8,
+      "round-robin layout must not prune (control case)")
+    assert(r2.count() == 100)
+  }
+
   test("readAppended consumes append-only increments exactly once") {
     val root = tmpRoot()
     VersionedTable.write((1L to 3L).toDF("k"), root) // v0
