@@ -19,13 +19,17 @@ object Bucketing {
   /** Write `df` as a managed bucketed parquet table, sorted within
     * buckets (single sorted file per bucket lets the scan skip the Sort
     * too when compaction keeps one file per bucket). Both join sides
-    * must use the same `nBuckets` for a co-located plan. */
+    * must use the same `nBuckets` for a co-located plan. `sortCols`
+    * defaults to the bucket keys; widen it (e.g. keys :+ ts) when a
+    * downstream operator needs a finer within-bucket order — the as-of
+    * and interval execs require (keys, ts). */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      nBuckets: Int): Unit = {
+      nBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
     require(keys.nonEmpty && nBuckets > 0)
+    val sc = if (sortCols.isEmpty) keys else sortCols
     df.write.mode("overwrite")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
+      .sortBy(sc.head, sc.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

@@ -90,6 +90,34 @@ class IntervalPlanSpec extends SparkSpec {
     assert(inner == Set("a", "b"))
   }
 
+  test("over bucketed tables the sweep plans with ZERO Exchange") {
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"event_id".as("click_id"))
+    try {
+      // bucketed by the join key, sorted within buckets by (key, ts) —
+      // exactly the exec's required distribution and ordering
+      graft.operators.Bucketing.writeBucketed(purchases, "b_ij_p",
+        Seq("user_id"), 8, sortCols = Seq("user_id", "ts_us"))
+      graft.operators.Bucketing.writeBucketed(clicks, "b_ij_c",
+        Seq("user_id"), 8, sortCols = Seq("user_id", "ts_us"))
+      val j = IntervalJoin.intervalJoinNative(spark.table("b_ij_p"),
+        spark.table("b_ij_c"), Seq("user_id"), "ts_us", "ts_us",
+        Seq("click_id"), HourUs, 0L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed interval join must not shuffle:\n$p")
+      // and the write-time layout changes nothing about the rows
+      val ref = IntervalJoin.intervalJoinComposed(purchases, clicks,
+        Seq("user_id"), "ts_us", "ts_us", Seq("click_id"), HourUs, 0L)
+      assert(j.count() == ref.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_ij_p")
+      spark.sql("DROP TABLE IF EXISTS b_ij_c")
+    }
+  }
+
   test("a right row serving several lefts is emitted for each") {
     val l = Seq((1L, 100L, "x"), (1L, 101L, "y"), (1L, 102L, "z"))
       .toDF("k", "t", "tag")
