@@ -706,8 +706,12 @@ object VersionedTable {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     var attempts = 0
-    while (attempts < 10) {
+    while (attempts < 20) {
       attempts += 1
+      // losing a claim is normal under concurrent writers; a short
+      // jittered pause keeps N losers from re-colliding in lockstep
+      if (attempts > 1)
+        Thread.sleep(10L + scala.util.Random.nextInt(40 * attempts))
       val vs = versions(spark, root)
       val (prev, prevStats) =
         if (vs.isEmpty) (Seq.empty[String], Map.empty[String, FileStats])
@@ -737,6 +741,6 @@ object VersionedTable {
       if (claimed) return v
     }
     throw new IllegalStateException(
-      s"commit contention: 10 straight version races under $root")
+      s"commit contention: 20 straight version races under $root")
   }
 }

@@ -118,6 +118,31 @@ class IntervalPlanSpec extends SparkSpec {
     }
   }
 
+  test("property: sweep equals composed join on random datasets") {
+    // randomized parity: many small adversarial datasets (dup
+    // timestamps, clustered keys, asymmetric windows) — any divergence
+    // between the sweep and the relational form fails loudly
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { round =>
+      val nKeys = 1 + rnd.nextInt(4)
+      def rows(n: Int) = (1 to n).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, i.toLong)
+      }
+      val l = rows(30 + rnd.nextInt(40)).toDF("k", "t", "lid")
+      val r = rows(30 + rnd.nextInt(40)).toDF("k", "t", "rid")
+      val before = rnd.nextInt(15).toLong
+      val after = rnd.nextInt(15).toLong
+      val outer = rnd.nextBoolean()
+      val native = IntervalJoin.intervalJoinNative(l, r, Seq("k"), "t",
+        "t", Seq("rid"), before, after, outer)
+      val ref = IntervalJoin.intervalJoinComposed(l, r, Seq("k"), "t",
+        "t", Seq("rid"), before, after, outer)
+      val n = native.select(ref.columns.map(col).toSeq: _*)
+      assert(n.exceptAll(ref).isEmpty && ref.exceptAll(n).isEmpty,
+        s"round $round diverged (before=$before after=$after outer=$outer)")
+    }
+  }
+
   test("a right row serving several lefts is emitted for each") {
     val l = Seq((1L, 100L, "x"), (1L, 101L, "y"), (1L, 102L, "z"))
       .toDF("k", "t", "tag")

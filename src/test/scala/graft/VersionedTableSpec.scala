@@ -373,6 +373,36 @@ class VersionedTableSpec extends SparkSpec {
       .schema.fieldNames.toSeq == Seq("k", "v"))
   }
 
+  test("concurrent upserts: every writer commits, no update lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpRoot()
+    VersionedTable.write((1L to 20L).map(k => (k, "orig")).toDF("k", "v"),
+      root)
+    // 3 writers race disjoint key sets through the optimistic-commit
+    // loop; every one must land (losers re-merge against the new head)
+    val futs = (0 until 3).map { w =>
+      Future {
+        VersionedTable.upsert(
+          Seq(((w * 5 + 1).toLong, s"w$w"), ((w * 5 + 2).toLong, s"w$w"))
+            .toDF("k", "v"), root, Seq("k"))
+      }
+    }
+    Await.result(Future.sequence(futs), 300.seconds)
+    val out = VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 20, s"row count drifted: ${out.size}")
+    (0 until 3).foreach { w =>
+      assert(out((w * 5 + 1).toLong) == s"w$w" &&
+        out((w * 5 + 2).toLong) == s"w$w",
+        s"writer $w's update was lost: $out")
+    }
+    assert(out.count(_._2 == "orig") == 14)
+    // version chain: 1 initial + 3 upserts
+    assert(VersionedTable.versions(spark, root).size == 4)
+  }
+
   test("a crashed writer's unterminated manifest is ignored and reclaimed") {
     val root = tmpRoot()
     VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
