@@ -105,7 +105,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach(ext.injectFunction)
     // declarative HOF dot products -> codegen'd native expressions
     ext.injectOptimizerRule(_ => DotProductRewrite)
-    // custom as-of join physical operator (graft.plans)
+    // custom as-of + interval join physical operators (graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

@@ -57,10 +57,15 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val lp = PlanBridge.analyzed(left)
+    // prune the right side HERE: Catalyst's ColumnPruning cannot see
+    // through an unknown logical node, so an unselective caller would
+    // otherwise scan every right column at 100 TB
+    val rightPruned = right.select(
+      (keys :+ rightTs).concat(rightCols).distinct.map(col): _*)
     // self-join safety: both sides may derive from the same DataFrame and
     // then share exprIds (the analyzer's DeduplicateRelations only handles
     // built-in Join nodes) — re-alias the right side to fresh ids
-    val rp0 = PlanBridge.analyzed(right)
+    val rp0 = PlanBridge.analyzed(rightPruned)
     val aliases = rp0.output.map(a =>
       org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)())
     val rp = org.apache.spark.sql.catalyst.plans.logical.Project(aliases, rp0)

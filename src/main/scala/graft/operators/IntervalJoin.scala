@@ -39,9 +39,14 @@ object IntervalJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ IntervalJoinStrategy
     val lp = PlanBridge.analyzed(left)
+    // prune the right side HERE: Catalyst's ColumnPruning cannot see
+    // through an unknown logical node, so an unselective caller would
+    // otherwise scan every right column at 100 TB
+    val rightPruned = right.select(
+      (keys :+ rightTs).concat(rightCols).distinct.map(col): _*)
     // self-join safety: re-alias the right side to fresh exprIds (the
     // analyzer's DeduplicateRelations only handles built-in Join nodes)
-    val rp0 = PlanBridge.analyzed(right)
+    val rp0 = PlanBridge.analyzed(rightPruned)
     val aliases = rp0.output.map(a =>
       org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)())
     val rp = org.apache.spark.sql.catalyst.plans.logical.Project(aliases, rp0)

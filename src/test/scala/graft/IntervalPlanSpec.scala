@@ -118,6 +118,20 @@ class IntervalPlanSpec extends SparkSpec {
     }
   }
 
+  test("right side is column-pruned through the custom node") {
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    // the WIDE right frame: all fixture columns incl. props/value
+    val clicksWide = events.filter($"event_type" === "click")
+      .withColumn("click_id", $"event_id")
+    val p = IntervalJoin.intervalJoinNative(purchases, clicksWide,
+        Seq("user_id"), "ts_us", "ts_us", Seq("click_id"), HourUs, 0L)
+      .queryExecution.executedPlan.toString
+    // the wrapper prunes to (key, ts, rightCols) before the custom node,
+    // so unused wide columns never reach the right scan
+    assert(!p.contains("props"), s"right scan must not read props:\n$p")
+  }
+
   test("property: sweep equals composed join on random datasets") {
     // randomized parity: many small adversarial datasets (dup
     // timestamps, clustered keys, asymmetric windows) — any divergence
