@@ -62,6 +62,29 @@ object IntervalJoin {
       before, after, outer))
   }
 
+  /** Salted sweep for DOMINANT hot keys: the sweep is already linear
+    * per key, but one key holding a torrent still runs in one task —
+    * the last-straggler shape at 1000 executors. Left rows spread over
+    * `salts` deterministic sub-keys (hash of the whole row), right rows
+    * replicate to every salt, each (key, salt) group sweeps
+    * independently: row-identical output (spec-asserted), right-side
+    * work x`salts`, left-side parallelism x`salts` — the same trade as
+    * [[SkewJoin.saltedJoin]] makes for equi joins. */
+  def intervalJoinSalted(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightCols: Seq[String], before: Long, after: Long,
+      salts: Int, outer: Boolean = false): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val sl = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts))
+        .cast("int"))
+    val sr = right.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    intervalJoinNative(sl, sr, keys :+ "__salt", leftTs, rightTs,
+      rightCols, before, after, outer)
+      .drop("__salt")
+  }
+
   /** Composed reference implementation over built-ins (equi join with
     * the range residual), kept as the spec ground truth. Same output
     * contract as [[intervalJoinNative]]. */

@@ -663,7 +663,12 @@ object VersionedTable {
       f.makeQualified(dst).toString
     }
     f.delete(stage, true)
-    if (moved.nonEmpty) collectStats(spark, df.schema, moved)
+    // the stats pass doubles a commit's job count — free at test scale,
+    // a real choice at ingest rate. Opt out per session; files committed
+    // without stats simply aren't prunable (readWhere keeps them).
+    val statsOn = spark.conf
+      .getOption("spark.graft.lake.stats.enabled").forall(_.toBoolean)
+    if (statsOn && moved.nonEmpty) collectStats(spark, df.schema, moved)
     moved
   }
 

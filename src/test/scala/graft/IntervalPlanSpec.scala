@@ -183,6 +183,22 @@ class IntervalPlanSpec extends SparkSpec {
     assert(nCount == cCount && nCount > 0)
   }
 
+  test("salted sweep is row-identical to the plain sweep (hot key spread)") {
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"event_id".as("click_id"))
+    val plain = IntervalJoin.intervalJoinNative(purchases, clicks,
+      Seq("user_id"), "ts_us", "ts_us", Seq("click_id"), HourUs, 0L,
+      outer = true)
+    val salted = IntervalJoin.intervalJoinSalted(purchases, clicks,
+      Seq("user_id"), "ts_us", "ts_us", Seq("click_id"), HourUs, 0L,
+      salts = 4, outer = true)
+    val s = salted.select(plain.columns.map(col).toSeq: _*)
+    assert(s.count() == plain.count())
+    assert(s.exceptAll(plain).isEmpty && plain.exceptAll(s).isEmpty)
+  }
+
   test("a right row serving several lefts is emitted for each") {
     val l = Seq((1L, 100L, "x"), (1L, 101L, "y"), (1L, 102L, "z"))
       .toDF("k", "t", "tag")

@@ -321,6 +321,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(r2.count() == 100)
   }
 
+  test("stats knob off: commits skip the stats pass, reads stay correct") {
+    val root = tmpRoot()
+    spark.conf.set("spark.graft.lake.stats.enabled", "false")
+    try {
+      (0 until 2).foreach(i => VersionedTable.append(
+        ((i * 100 + 1).toLong to (i * 100 + 100).toLong).toDF("k")
+          .repartition(1), root))
+      // no stats -> no pruning, but readWhere results are unaffected
+      val r = VersionedTable.readWhere(spark, root, col("k") <= 50L)
+      assert(r.inputFiles.length == 2, "statless files must not prune")
+      assert(r.count() == 50)
+    } finally spark.conf.unset("spark.graft.lake.stats.enabled")
+    // stats resume for NEW files; old statless files still never prune
+    VersionedTable.append((201L to 300L).toDF("k").repartition(1), root)
+    val r2 = VersionedTable.readWhere(spark, root, col("k") > 250L)
+    assert(r2.inputFiles.length == 3, "only the new file carries stats")
+    val r3 = VersionedTable.readWhere(spark, root, col("k") <= 50L)
+    assert(r3.inputFiles.length == 2, "the stats-bearing file prunes")
+    assert(r3.count() == 50)
+  }
+
   test("readAppended consumes append-only increments exactly once") {
     val root = tmpRoot()
     VersionedTable.write((1L to 3L).toDF("k"), root) // v0
