@@ -145,6 +145,35 @@ object VersionedTable {
     else spark.read.schema(m.schema).parquet(m.files: _*)
   }
 
+  /** Commit log as data (the DESCRIBE HISTORY surface): one row per
+    * committed version — commit time (manifest mtime), file count,
+    * total bytes, and the streaming batch id when the commit came from
+    * [[appendBatch]]. Driver-side O(|versions|) metadata only. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    import spark.implicits._
+    versions(spark, root).map { v =>
+      val m = manifest(f, root, v)
+      val mtime = f.getFileStatus(manifestPath(root, v)).getModificationTime
+      val bytes = m.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+      (v, new java.sql.Timestamp(mtime), m.files.size, bytes, m.batchId)
+    }.toDF("version", "commit_time", "n_files", "total_bytes", "batch_id")
+  }
+
+  /** Time travel by TIMESTAMP: the newest version committed at or
+    * before `asOf` (epoch millis). The anchor is the manifest file's
+    * mtime — the moment the commit became visible. */
+  def readAsOf(spark: SparkSession, root: String, asOf: Long): DataFrame = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val eligible = vs.filter(v =>
+      f.getFileStatus(manifestPath(root, v)).getModificationTime <= asOf)
+    require(eligible.nonEmpty,
+      s"no version committed at or before $asOf under $root")
+    read(spark, root, Some(eligible.max))
+  }
+
   /** Data-skipping read: like [[read]], but files whose manifest stats
     * PROVE no row can satisfy `cond` are pruned at planning time —
     * no listing, no parquet footer reads, O(|files|) driver work over

@@ -321,6 +321,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(r2.count() == 100)
   }
 
+  test("history lists the commit chain; readAsOf time-travels by mtime") {
+    val root = tmpRoot()
+    VersionedTable.write((1L to 5L).toDF("k"), root)
+    Thread.sleep(1100) // LocalFileSystem mtime granularity is 1 s
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    VersionedTable.append((6L to 9L).toDF("k"), root)
+    val h = VersionedTable.history(spark, root)
+      .orderBy(col("version"))
+      .as[(Long, java.sql.Timestamp, Int, Long, Option[Long])].collect()
+    assert(h.map(_._1).toSeq == Seq(0L, 1L))
+    assert(h.forall(_._4 > 0) && h.forall(_._5.isEmpty))
+    assert(h(0)._2.getTime <= h(1)._2.getTime)
+    // between the two commits: readAsOf resolves v0
+    assert(VersionedTable.readAsOf(spark, root, t0).count() == 5)
+    assert(VersionedTable
+      .readAsOf(spark, root, System.currentTimeMillis()).count() == 9)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(spark, root, 1000L) // before any commit
+    }
+    // a streaming commit carries its batch id into history
+    VersionedTable.appendBatch((10L to 11L).toDF("k"), root, batchId = 42L)
+    val last = VersionedTable.history(spark, root)
+      .orderBy(col("version").desc).limit(1)
+      .select("batch_id").as[Option[Long]].head()
+    assert(last.contains(42L))
+  }
+
   test("stats knob off: commits skip the stats pass, reads stay correct") {
     val root = tmpRoot()
     spark.conf.set("spark.graft.lake.stats.enabled", "false")
