@@ -48,6 +48,40 @@ class FormatsSpec extends SparkSpec {
     roundTrips("orc", Map.empty, Map.empty)
   }
 
+  test("malformed JSON: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST throws") {
+    val dir = java.nio.file.Files.createTempDirectory("mal").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"k": 1, "v": "a"}
+        |not json at all
+        |{"k": 2, "v": "b"}
+        |{"k": "not-a-number", "v": "c"}
+        |""".stripMargin)
+    val schema = "k LONG, v STRING, _corrupt_record STRING"
+    // PERMISSIVE (the ingest default): bad lines survive as quarantine
+    // rows — the file-format face of the row-sink DLQ (W5). Spark
+    // forbids filtering on ONLY the corrupt column straight off the
+    // scan (the parser would need to re-run); cache first, as the
+    // AnalysisException itself prescribes
+    val p = spark.read.schema(schema).json(dir).cache()
+    assert(p.filter(col("_corrupt_record").isNull).count() == 2)
+    val bad = p.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() == 2)
+    assert(bad.filter(col("k").isNull).count() == 2,
+      "corrupt rows must not leak partial typed values for the bad field")
+    // DROPMALFORMED drops only syntactically unparseable lines; a
+    // TYPE-mismatched field nulls out but the row survives (asymmetric
+    // with PERMISSIVE, which flags that row corrupt above) — worth
+    // pinning, it regularly surprises ingest authors
+    assert(spark.read.schema("k LONG, v STRING")
+      .option("mode", "DROPMALFORMED").json(dir).count() == 3)
+    // FAILFAST: the batch dies loudly
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema("k LONG, v STRING")
+        .option("mode", "FAILFAST").json(dir).collect()
+    }
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
