@@ -299,6 +299,199 @@ object Relational {
         .limit(100)
     }),
 
+    // ---- TPC-H Q6 shape: single-table forecast-revenue filter-agg ------
+    // pure scan+filter+scalar-agg — the pushdown litmus: every predicate
+    // (date range, discount band, quantity cap) must reach the parquet
+    // scan as PushedFilters; no shuffle beyond the final 1-row agg
+    "q6_forecast_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.04) &&
+          col("l_quantity") < 24)
+        .agg(sum(money(col("l_extendedprice")) * frac(col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // ---- TPC-H Q4 shape: late-order priority count ----------------------
+    // EXISTS with a CROSS-TABLE residual (l_shipdate > o_orderdate + 60
+    // days): the semi join carries a non-equi condition referencing both
+    // sides, so Catalyst must keep it on the equi key with the lateness
+    // predicate as residual. (The testdata lineitem has no commit/receipt
+    // dates; ship-60-days-after-order stands in for the lateness marker.)
+    "q4_priority_count" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+      ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- TPC-H Q10 shape: returned-item revenue per customer -----------
+    // quarter of orders x returned lineitems, revenue-ranked top 20 —
+    // the orders quarter filter prunes the fact-fact join's probe side,
+    // nation broadcast, deterministic double ordering (decimal sum cast)
+    "q10_returned_items" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      val cust = Tables.customer(s, d)
+      val nat = Tables.nation(s, d)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q11 shape: important-stock threshold -----------------------
+    // per-part value for one nation's suppliers vs a GLOBAL scalar
+    // threshold, DIVISION-FREE (value * 1000 > total instead of
+    // value > total * 0.001 — exact decimal both engines). The global
+    // total is a 1-row broadcast, not a second scan of the grouped view:
+    // Spark reuses the shuffle exchange for both aggregations.
+    // (partsupp doesn't exist in the testdata; supplier-shipped lineitem
+    // value per part is the association, per SURVEY §2 adaptation note)
+    "q11_important_stock" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d).filter(col("n_name") === "NATION_11")
+        .select(col("n_nationkey"))
+      val scoped = li
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"), "left_semi")
+      val byPart = scoped.groupBy(col("l_partkey"))
+        .agg(sum(money(col("l_extendedprice"))).as("val_dec"))
+      val total = byPart.agg(sum(col("val_dec")).as("tot_dec"))
+      byPart.crossJoin(broadcast(total))
+        .filter(col("val_dec") * 1000 > col("tot_dec"))
+        .select(col("l_partkey"), col("val_dec").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // ---- TPC-H Q12 shape: late-shipment priority split ------------------
+    // fact-fact join + conditional CASE counts (high vs low priority)
+    // grouped by returnflag (stands in for shipmode, absent from the
+    // testdata schema); lateness = shipped >30 days after order date
+    "q12_shipmode_priority" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val ord = Tables.orders(s, d)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- TPC-H Q14 shape: promo-revenue share ----------------------------
+    // conditional-decimal-sum ratio over one shipdate month; both sums cast
+    // to double before the IEEE division and scaled by 100.0 with the SAME
+    // association as the oracle text (100.0 * (a / b)) — bit-identical
+    "q14_promo_effect" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      val p = Tables.part(s, d)
+      val revDec = money(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg(
+          (lit(100.0) * (sum(when(col("p_type") === "PROMO", revDec)
+              .otherwise(lit(0).cast("decimal(20,10)"))).cast("double") /
+            sum(revDec).cast("double"))).as("promo_share"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- TPC-H Q2 shape: min-cost supplier per part ----------------------
+    // the correlated-scalar-MIN shape: for each part, keep the supplier(s)
+    // at the minimum account balance among suppliers who shipped it.
+    // Computed as a window MIN over the (part, supplier) association —
+    // one shuffle on l_partkey — instead of a groupBy + rejoin (two scans
+    // of the association plus a join). Exact decimal equality keeps ties.
+    // (partsupp doesn't exist in the testdata; DISTINCT shipped pairs from
+    // lineitem are the association, acctbal stands in for supplycost)
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val p = Tables.part(s, d).filter(col("p_size") <= 5)
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      val byPart = Window.partitionBy(col("l_partkey"))
+      pairs
+        .join(sup, col("l_suppkey") === sup("s_suppkey"))
+        .withColumn("min_bal", min(money(col("s_acctbal"))).over(byPart))
+        .filter(money(col("s_acctbal")) === col("min_bal"))
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+        .limit(100)
+    }),
+
+    // ---- TPC-H Q16 shape: supplier count per part attribute --------------
+    // NOT IN (complaint suppliers) -> anti join BEFORE the distinct count;
+    // the excluded set is tiny and broadcast; COUNT(DISTINCT) groups by
+    // three part attributes ("complaints" = negative account balance —
+    // the testdata supplier has no comment field)
+    "q16_part_supplier_cnt" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excl = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val p = Tables.part(s, d).filter(col("p_brand") =!= "Brand#1")
+      pairs
+        .join(broadcast(excl), col("l_suppkey") === excl("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(100)
+    }),
+
+    // ---- TPC-H Q20 shape: promotion-candidate suppliers -------------------
+    // nested IN subqueries: suppliers IN (shipped-enough-of-a-promo-part)
+    // where the inner set is itself gated on parts IN (promo parts) with a
+    // HAVING threshold — planned as two stacked semi joins over a grouped
+    // view; nation filter broadcast-semi on the outer supplier scan
+    "q20_promo_suppliers" -> ((s, d) => {
+      val promoParts = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val shippedEnough = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(money(col("l_quantity"))).as("qty_dec"))
+        .filter(col("qty_dec") > 50)
+        .select(col("l_suppkey"))
+      val nat = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_11", "NATION_17"))
+        .select(col("n_nationkey"))
+      Tables.supplier(s, d)
+        .join(shippedEnough, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"),
+          "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // ---- broadcast equi-join with dim table ---------------------------
     "join_broadcast_parts" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -986,6 +1179,113 @@ object Relational {
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(8,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q4_priority_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  $revenue AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH by_part AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS val_dec
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_11'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(CAST(val_dec AS VARCHAR) AS DOUBLE) AS part_value
+        |FROM by_part
+        |WHERE val_dec * 1000 > (SELECT SUM(val_dec) FROM by_part)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q12_shipmode_priority" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q14_promo_effect" ->
+      """SELECT 100.0 * (
+        |    CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,6))
+        |      ELSE CAST(0 AS DECIMAL(20,10)) END) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS VARCHAR) AS DOUBLE)
+        |  ) AS promo_share,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM pairs
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size <= 5
+        |  AND CAST(s_acctbal AS DECIMAL(12,4)) = (
+        |    SELECT MIN(CAST(s2.s_acctbal AS DECIMAL(12,4)))
+        |    FROM pairs p2 JOIN supplier s2 ON p2.l_suppkey = s2.s_suppkey
+        |    WHERE p2.l_partkey = pairs.l_partkey)
+        |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin,
+
+    "q16_part_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin,
+
+    "q20_promo_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    GROUP BY l_partkey, l_suppkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 50)
+        |  AND s_nationkey IN (
+        |    SELECT n_nationkey FROM nation
+        |    WHERE n_name IN ('NATION_11','NATION_17'))
+        |ORDER BY s_suppkey""".stripMargin,
 
     "join_broadcast_parts" ->
       s"""SELECT p_brand, COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty

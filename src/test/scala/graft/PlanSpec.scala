@@ -126,6 +126,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q6 pushes every predicate into the scan; no join, no wide shuffle") {
+    spark.catalog.clearCache()
+    val p = plan("q6_forecast_revenue")
+    // date range, discount band, and quantity cap all reach the parquet scan
+    // (the explain text truncates PushedFilters with "..."; the same
+    // predicates are verbatim in the post-scan Filter node)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"))
+    assert(p.contains(">= 1997-01-01 00:00:00"))
+    assert(p.contains("< 1998-01-01 00:00:00"))
+    assert(p.contains(">= 0.02"))
+    assert(p.contains("<= 0.04"))
+    assert(p.contains("< 24.0"))
+    assert(!p.contains("Join"))
+    // only the single-row final agg crosses an exchange
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q2 computes the per-part min via a window, not a groupBy rejoin") {
+    spark.catalog.clearCache()
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("Window"))
+    // one lineitem scan: the association is not re-scanned for the min side
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q16 excludes complaint suppliers with a broadcast anti join") {
+    val p = plan("q16_part_supplier_cnt")
+    assert(p.contains("LeftAnti, BuildRight"), p)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q20's nested IN subqueries plan as stacked semi joins") {
+    val p = plan("q20_promo_suppliers")
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+  }
+
   test("salted skew join replicates the dim side, joins on (key, salt)") {
     val p = plan("join_salted_skew")
     assert(p.contains("explode"))
