@@ -185,11 +185,22 @@ object Dedup {
     * the aggregate reference form below. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       k: Int, perms: Int): DataFrame =
-    df.select(id.as("doc_id"),
-        graft.functions.SketchFunctions.minhash_signature(
-          graft.functions.ShingleFunctions.word_shingle_hashes(text, k), perms)
+    // the signature is null IFF the doc has < k tokens; gate on the token
+    // count (spaces + 1 — length arithmetic, no split allocation, no hash)
+    // BEFORE computing the signature: filtering on sig.isNotNull pushes
+    // `isnotnull(minhash_signature(...))` into the scan as a DataFilter,
+    // re-hashing and re-permuting every document a second time per side
+    // coalesce never fires (>= k tokens guarantees a signature) — it marks
+    // sig NON-NULLABLE so constraint inference can't push an inferred
+    // `isnotnull(minhash_signature(...))` back into the scan (see
+    // simhashes above for the double-hash mechanics)
+    df.filter(text.isNotNull &&
+        length(text) - length(replace(text, lit(" "), lit(""))) + 1 >= k)
+      .select(id.as("doc_id"),
+        coalesce(graft.functions.SketchFunctions.minhash_signature(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k), perms),
+          array())
           .as("sig"))
-      .filter(col("sig").isNotNull)
 
   /** Declarative reference for [[minhashSignatures]] (explode -> groupBy
     * with `perms` min-aggregates) — the shape the native expression is
@@ -246,11 +257,21 @@ object Dedup {
     * folds the token-hash array's 64 sign votes per row, no shuffle.
     * (split("") = [""], so every doc has >= 1 token hash.) */
   def simhashes(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"),
-        graft.functions.SketchFunctions.simhash64(
-          graft.functions.ShingleFunctions.word_shingle_hashes(text, 1))
+    // null text -> no fingerprint (ref parity). sh is null IFF text is null
+    // (split("") = [""] gives every non-null doc >= 1 token hash), so the
+    // null gate is on TEXT, before the hash: filtering on sh.isNotNull
+    // pushes `isnotnull(simhash64(wordshinglehashes(text)))` into the scan
+    // as a DataFilter, re-hashing every document a second time per side
+    // coalesce never fires (text is non-null here) — it marks sh
+    // NON-NULLABLE so InferFiltersFromConstraints can't see the
+    // null-intolerant join residual on sh and push an inferred
+    // `isnotnull(simhash64(...))` back into the scan (same re-hash)
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        coalesce(graft.functions.SketchFunctions.simhash64(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, 1)),
+          lit(0L))
           .as("sh"))
-      .filter(col("sh").isNotNull) // null text -> no fingerprint (ref parity)
 
   /** Declarative reference for [[simhashes]] (explode -> groupBy with 64
     * sign-vote sums), kept for spec parity. */
