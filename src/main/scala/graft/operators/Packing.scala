@@ -60,4 +60,35 @@ object Packing {
         expr(s"CAST(__rn * $nBuckets div ${n}L AS INT)"))
       .drop("__rn")
   }
+
+  /** Fixed-token-window document chunking with overlap — the RAG/context
+    * chunking step (and packing's dual: one long doc fans OUT to many
+    * windows). Chunk j covers tokens [1 + j*stride, 1 + j*stride +
+    * chunkTokens); starts are emitted while they land inside the doc, so
+    * the tail chunk may be short and `stride < chunkTokens` gives the
+    * usual overlap. Null-text docs produce no chunks.
+    *
+    * Returns (all input columns, chunk_id, start_token, n_chunk_tokens,
+    * chunk_text). Scale shape: a pure MAP-SIDE fan-out — sequence +
+    * posexplode + slice on the materialized token array, no shuffle, no
+    * per-doc state; the token array materializes once per row (slicing
+    * the raw split() would re-split per chunk, the interpreted-HOF trap
+    * documented at dropBoilerplateSpans). */
+  def chunkByTokens(df: DataFrame, text: Column,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0,
+      s"need chunkTokens > 0 and strideTokens > 0: $chunkTokens / $strideTokens")
+    val withWs = df.filter(text.isNotNull)
+      .withColumn("__ws", TextAnalysis.tokens(text))
+    val ws = col("__ws")
+    val starts = sequence(lit(1), size(ws), lit(strideTokens))
+    withWs
+      .select(col("*"), posexplode(starts).as(Seq("chunk_id", "start_token")))
+      .select(col("*"),
+        least(lit(chunkTokens), size(ws) - col("start_token") + 1)
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(ws, col("start_token"), lit(chunkTokens)))
+          .as("chunk_text"))
+      .drop("__ws")
+  }
 }

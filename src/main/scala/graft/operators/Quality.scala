@@ -101,4 +101,29 @@ object Quality {
     df.withColumn("failed_rules", filter(tags, _.isNotNull))
       .filter(size(col("failed_rules")) > 0)
   }
+
+  /** Per-group IQR (Tukey-fence) outliers: rows where `value` falls
+    * outside [q1 - k*iqr, q3 + k*iqr] of their group's exact interpolated
+    * quartiles — the distribution-free outlier rule (a z-score fence
+    * needs mean/stddev, which the outliers themselves drag; quartiles
+    * don't move). Returns the outlier rows with `lo`/`hi` fence columns.
+    *
+    * Scale shape: two passes — a per-group quartile aggregation (one
+    * shuffle, output bounded by |groups|), broadcast back, map-only fence
+    * test. Fence arithmetic is IEEE double with one fixed association
+    * (q1 - k*(q3-q1)), bit-identical cross-engine; the quartiles
+    * interpolate exactly like ANSI percentile_cont. Null values are never
+    * outliers (NULL comparisons are false in both engines). */
+  def iqrOutliers(df: DataFrame, group: Column, value: Column,
+      k: Double = 1.5): DataFrame = {
+    val stats = df.groupBy(group.as("__g"))
+      .agg(percentile(value, lit(0.25)).as("__q1"),
+        percentile(value, lit(0.75)).as("__q3"))
+      .select(col("__g"),
+        (col("__q1") - lit(k) * (col("__q3") - col("__q1"))).as("lo"),
+        (col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("hi"))
+    df.join(broadcast(stats), group === col("__g"))
+      .filter(value < col("lo") || value > col("hi"))
+      .drop("__g")
+  }
 }

@@ -90,6 +90,29 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Proportional stratified sample: keep exactly ceil(n_g * pct / 100)
+    * rows of every group g — the "same fraction of every stratum"
+    * guarantee that [[weightedKeep]]'s per-row hash test only hits in
+    * expectation (a 10-row stratum at 30% keeps exactly 3 here, not
+    * binomial(10, 0.3)). Rows are chosen by the deterministic md5 order
+    * of the id, so the sample is stable across runs/engines/partitions.
+    *
+    * The keep rule is DIVISION-FREE: rank <= ceil(n*pct/100) tested as
+    * (rank-1)*100 < n*pct — exact integers, no rounding-mode drift.
+    * One shuffle on the group key (rank and count ride the same window
+    * partition); a dominant stratum serializes its own window, the
+    * standard trade for exact per-group counts. */
+  def stratifiedSample(df: DataFrame, id: Column, group: Column,
+      pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100]: $pct")
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(group)
+    val w = byG.orderBy(md5(id.cast("string")), id)
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(byG))
+      .filter((col("__rk") - 1) * 100 < col("__n") * pct)
+      .drop("__rk", "__n")
+  }
+
   /** The same nibble-decode bucket as ANSI SQL text (for oracle parity
     * and raw-SQL users): identical formula, identical value. */
   def hashBucketSql(idExpr: String, buckets: Int = 100): String = {

@@ -256,10 +256,34 @@ object EventOps {
           sum(money(col("value"))).cast("double").as("sum_value"))
         .withColumn("span_s", expr("(last_us - first_us) div 1000000"))
         .orderBy(col("user_id"))
+    }),
+
+    // per-type IQR (Tukey-fence) outliers on the value stream — exact
+    // interpolated quartiles per group (the cross-engine-exact percentile
+    // family agg_percentiles already pins), broadcast fences, map-only
+    // test; fence arithmetic is one fixed IEEE association both engines
+    "events_outlier_iqr" -> ((s, d) => {
+      graft.operators.Quality.iqrOutliers(
+          Tables.events(s, d)
+            .select(col("event_id"), col("event_type"), col("value")),
+          col("event_type"), col("value"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("lo"), col("hi"))
+        .orderBy(col("event_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "events_outlier_iqr" ->
+      """WITH f AS (SELECT event_type AS g,
+        |    quantile_cont(value, 0.25) - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) AS lo,
+        |    quantile_cont(value, 0.75) + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value, lo, hi
+        |FROM events JOIN f ON event_type = g
+        |WHERE value < lo OR value > hi
+        |ORDER BY event_id""".stripMargin,
+
     "join_interval_sweep" ->
       s"""SELECT p.event_id AS purchase_id, p.user_id,
          |  epoch_us(p.ts) AS p_us,

@@ -148,6 +148,25 @@ object PrepOps {
         .orderBy(col("bucket"))
     }),
 
+    // fixed-token-window chunking with overlap (chunk 24, stride 16 —
+    // map-side fan-out, chunk text + offsets fully oracle-checkable)
+    "chunk_documents" -> ((s, d) => {
+      graft.operators.Packing.chunkByTokens(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("text"), chunkTokens = 24, strideTokens = 16)
+        .select(col("doc_id"), col("chunk_id"), col("start_token"),
+          col("n_chunk_tokens"), col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // proportional stratified sample: EXACTLY ceil(30% of each source)
+    "sample_stratified" -> ((s, d) => {
+      Sampling.stratifiedSample(Tables.documents(s, d), col("doc_id"),
+          col("source"), pct = 30)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // fixed-point int8 embedding quantization, integral summary per vec
     "embed_quantize" -> ((s, d) => {
       val q = graft.operators.Similarity
@@ -339,6 +358,24 @@ object PrepOps {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rk <= 8
+        |ORDER BY doc_id""".stripMargin,
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST((g - 1) / 16 AS INT) AS chunk_id,
+        |  CAST(g AS INT) AS start_token,
+        |  CAST(LEAST(24, len(ws) - g + 1) AS INT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(ws, g, g + 23), ' ') AS chunk_text
+        |FROM t, UNNEST(generate_series(1, len(ws), 16)) AS u(g)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "sample_stratified" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE (rk - 1) * 100 < n * 30
         |ORDER BY doc_id""".stripMargin,
     "quality_corpus_freq" -> corpusFreqOracle,
     "length_buckets" -> lengthBucketsOracle,

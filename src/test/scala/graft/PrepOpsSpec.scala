@@ -170,4 +170,48 @@ class PrepOpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].head()
     assert(out == ((0L, 0L, 0.0, 0.0)))
   }
+
+  test("chunkByTokens: stride-aligned starts, overlap, full coverage") {
+    import graft.operators.Packing
+    val text = (1 to 25).map(i => s"w$i").mkString(" ") // 25 tokens
+    val df = Seq((1L, text), (2L, "a b"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(df, $"text", chunkTokens = 10,
+        strideTokens = 6)
+      .select($"doc_id", $"chunk_id", $"start_token", $"n_chunk_tokens",
+        $"chunk_text")
+      .as[(Long, Int, Int, Int, String)].collect()
+    // null text -> no chunks
+    assert(!out.exists(_._1 == 3L))
+    // short doc -> exactly one (short) chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 1, 2, "a b")))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1, 7, 13, 19, 25 — while they land inside the doc
+    assert(d1.map(_._3).toSeq == Seq(1, 7, 13, 19, 25))
+    // full chunks except the ragged tail
+    assert(d1.map(_._4).toSeq == Seq(10, 10, 10, 7, 1))
+    // consecutive chunks overlap by chunk - stride = 4 tokens
+    val c0 = d1(0)._5.split(" "); val c1 = d1(1)._5.split(" ")
+    assert(c0.takeRight(4).toSeq == c1.take(4).toSeq)
+    // every token of the doc appears in at least one chunk
+    assert(d1.flatMap(_._5.split(" ")).toSet == text.split(" ").toSet)
+  }
+
+  test("stratifiedSample keeps exactly ceil(pct% of each stratum)") {
+    import graft.operators.Sampling
+    // strata of size 10, 7, 1 at 30% -> exactly 3, 3, 1 (ceil, not
+    // binomial) and re-running yields the identical id set
+    val df = ((1L to 10L).map((_, "a")) ++ (11L to 17L).map((_, "b")) ++
+      Seq((18L, "c"))).toDF("id", "g")
+    val out = Sampling.stratifiedSample(df, $"id", $"g", pct = 30)
+      .as[(Long, String)].collect().toSet
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map("a" -> 3, "b" -> 3, "c" -> 1), sizes)
+    val again = Sampling.stratifiedSample(df, $"id", $"g", pct = 30)
+      .as[(Long, String)].collect().toSet
+    assert(out == again)
+    // pct=0 keeps nothing; pct=100 keeps everything
+    assert(Sampling.stratifiedSample(df, $"id", $"g", 0).count() == 0)
+    assert(Sampling.stratifiedSample(df, $"id", $"g", 100).count() == 18)
+  }
 }

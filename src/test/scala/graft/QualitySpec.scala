@@ -62,4 +62,23 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Quality.violations(df, Seq(Unique(Seq("id")))))
   }
+
+  test("iqrOutliers: Tukey fences per group, nulls never flagged") {
+    // group a: 1..9 + outlier 100 (+ a null, ignored by the quartiles and
+    // never flagged). Sorted [1..9,100]: q1 interpolates at 2.25 -> 3.25,
+    // q3 at 6.75 -> 7.75, iqr 4.5 -> fences [-3.5, 14.5]; only 100
+    // escapes. group b: [5,5,5,6] -> q1 5.0, q3 5.25 -> fences
+    // [4.625, 5.625]; 6.0 escapes.
+    val df = ((1 to 9).map(i => ("a", Some(i.toDouble))) :+
+      ("a", Some(100.0)) :+ ("a", Option.empty[Double]) :+
+      ("b", Some(5.0)) :+ ("b", Some(5.0)) :+ ("b", Some(5.0)) :+
+      ("b", Some(6.0)))
+      .toDF("g", "v")
+    val out = Quality.iqrOutliers(df, $"g", $"v")
+      .select($"g", $"v", $"lo", $"hi")
+      .as[(String, Double, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq(("a", 100.0), ("b", 6.0)))
+    val a = out.head
+    assert(a._3 == 3.25 - 1.5 * 4.5 && a._4 == 7.75 + 1.5 * 4.5)
+  }
 }
