@@ -90,6 +90,37 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // RESTORE end-to-end: v0 = documents, v1 = a predicate delete,
+    // v2 = restore(0). The head must read exactly v0 again (files reused
+    // by identity) while v1's deleted state still time-travels — the
+    // oracle recomputes both states from the source table.
+    "versioned_restore_read" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("vr")
+        .toString + "/t"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      VersionedTable.write(docs, root)
+      VersionedTable.deleteWhere(s, root, col("source") === "src19")
+      VersionedTable.restore(s, root, 0L)
+      val head = VersionedTable.read(s, root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+      val v1 = VersionedTable.read(s, root, Some(1L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_after_delete"))
+      val result = head.join(v1, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          coalesce(col("n_after_delete"), lit(0L)).as("n_after_delete"))
+        .orderBy(col("source"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // incremental consumption end-to-end: three append commits, then
     // each consecutive readAppended window aggregated — the windows must
     // partition the appended rows exactly (no loss, no duplication),
@@ -295,6 +326,13 @@ object SketchOps {
         |JOIN (SELECT source, SUM(n_chars) AS v0_chars FROM documents
         |      GROUP BY source) v ON v.source = l.source
         |GROUP BY l.source ORDER BY l.source""".stripMargin,
+
+    "versioned_restore_read" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(CASE WHEN source = 'src19' THEN 0 ELSE COUNT(*) END
+        |    AS BIGINT) AS n_after_delete
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "versioned_incremental" ->
       """SELECT doc_id // 167 AS window_id, COUNT(*) AS n_docs,

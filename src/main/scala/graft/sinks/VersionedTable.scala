@@ -618,6 +618,29 @@ object VersionedTable {
     * manifests themselves. Keeps the newest `keepVersions`; never
     * touches files younger than `graceMs` (a concurrent commit may
     * have staged them ahead of its claim). Returns files deleted. */
+  /** RESTORE: roll the table back to `toVersion` as a NEW commit (the
+    * RESTORE TABLE ... TO VERSION shape). The head becomes a manifest
+    * with exactly the target version's file list and schema — history is
+    * append-only (every intermediate version still time-travels; a
+    * restore is itself a visible history entry), data files are reused
+    * by identity (nothing is rewritten or copied), and schema evolution
+    * after `toVersion` is rolled back with it. Per-file min/max stats
+    * carry from the TARGET manifest (a restored file may no longer be in
+    * the current head's stats — e.g. restoring past a deleteWhere), so
+    * readWhere pruning keeps working across a restore. Safe under
+    * concurrent writers via the usual exclusive version claim. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.contains(toVersion),
+      s"version $toVersion does not exist under $root (have: $vs)")
+    val target = manifest(f, root, toVersion)
+    // seed the stage cache so the commit resolves the restored files'
+    // stats even when the current head no longer lists them
+    target.stats.foreach { case (p, s) => stagedStats.put(p, s) }
+    commitRetrying(spark, root, target.schema)(_ => target.files)
+  }
+
   def vacuum(spark: SparkSession, root: String, keepVersions: Int,
       graceMs: Long = 3600000L): Int = {
     require(keepVersions >= 1, "must retain at least the latest version")

@@ -52,6 +52,39 @@ class VersionedTableSpec extends SparkSpec {
     assert(before == Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("restore rolls back as a new commit; history and stats survive") {
+    val root = tmpRoot()
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root) // v0
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), root) // v1
+    VersionedTable.deleteWhere(spark, root, col("k") <= 2L) // v2
+    assert(VersionedTable.read(spark, root).count() == 1)
+    val v3 = VersionedTable.restore(spark, root, 1L)
+    assert(v3 == 3L)
+    // head content == v1 content, files reused by identity
+    val restored = VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(restored == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // history is append-only: the pre-restore delete still time-travels
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L, 3L))
+    assert(VersionedTable.read(spark, root, Some(2L))
+      .as[(Long, String)].collect().toMap == Map(3L -> "c"))
+    // stats carried from the TARGET manifest: the restored v0 files are
+    // absent from v2's stats, yet readWhere still prunes on them
+    val r = VersionedTable.readWhere(spark, root, col("k") === 3L)
+    assert(r.inputFiles.length == 1, s"expected pruning, got ${r.inputFiles.length}")
+    assert(r.count() == 1)
+    // restoring a nonexistent version is refused
+    intercept[IllegalArgumentException](
+      VersionedTable.restore(spark, root, 99L))
+    // schema evolution rolls back with the restore
+    VersionedTable.append(Seq((4L, "d", 1.5)).toDF("k", "v", "score"),
+      root, mergeSchema = true) // v4 widens
+    assert(VersionedTable.read(spark, root).schema.fieldNames.length == 3)
+    VersionedTable.restore(spark, root, 3L) // v5
+    assert(VersionedTable.read(spark, root).schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+  }
+
   test("vacuum deletes only files no retained manifest references") {
     val root = tmpRoot()
     VersionedTable.write((1L to 5L).toDF("k"), root)
