@@ -60,6 +60,89 @@ object Dedup {
     survivors.drop("content_hash")
   }
 
+  /** Incremental cross-batch NEAR-dup ingest against a persistent
+    * MinHash-LSH band index — [[exactKeepIncremental]]'s near-duplicate
+    * sibling, the production loop for "drop new docs near-duplicating
+    * anything already ingested" without ever re-reading the old corpus.
+    *
+    * The index holds (band, band_hash, doc_id, sig) — hash-only rows,
+    * no text. A new batch: (1) builds signatures map-only (short docs
+    * with < k tokens have no signature: trivially unique, kept, never
+    * indexed); (2) drops docs whose bands collide with an index entry of
+    * a DIFFERENT doc id at estimated Jaccard >= tau (the same-id guard
+    * makes a replayed batch return the same survivors instead of
+    * self-matching against its own half-written index entries);
+    * (3) drops docs matching a LOWER-id doc within the batch (greedy
+    * keep-first — over-drops chains, never under-drops, deterministic);
+    * (4) appends the survivors' bands to the index idempotently
+    * (ParquetUpsert keyed on (band, band_hash, doc_id)). Returns the
+    * surviving rows with their original columns.
+    *
+    * Scale: the index join shuffles band keys only (16 bytes/row + the
+    * signature), the batch is bounded, and the historical corpus never
+    * rescans — index size is O(total survivors * bands). */
+  def minhashKeepIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, indexPath: String, tau: Double, k: Int = 3,
+      perms: Int = 32, bands: Int = 8): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    require(perms % bands == 0, s"bands must divide perms: $perms/$bands")
+    val spark = newDocs.sparkSession
+    val target = new org.apache.hadoop.fs.Path(indexPath)
+    val hfs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = perms / bands
+    val text = col(textCol)
+    // cheap token-count gate (no hashing) — see minhashSignatures
+    val hasSig = text.isNotNull &&
+      length(text) - length(replace(text, lit(" "), lit(""))) + 1 >= k
+    val shorties = newDocs.filter(text.isNull ||
+      length(text) - length(replace(text, lit(" "), lit(""))) + 1 < k)
+    val withSig = newDocs.filter(hasSig)
+      .withColumn("__sig",
+        coalesce(graft.functions.SketchFunctions.minhash_signature(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k),
+          perms), array()))
+    val bandHashes = array((0 until bands).map { bnd =>
+      xxhash64(lit(bnd) +: (0 until rows).map(r =>
+        element_at(col("__sig"), bnd * rows + r + 1)): _*)
+    }: _*)
+    val banded = withSig.select(col(idCol).as("__id"), col("__sig"),
+        posexplode(bandHashes))
+      .select(col("__id"), col("__sig"), col("pos").as("band"),
+        col("col").as("band_hash"))
+    def est(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+        .cast("double") / perms
+    val dupVsIndex =
+      if (hfs.exists(target))
+        banded.join(spark.read.parquet(indexPath)
+            .select(col("band"), col("band_hash"),
+              col("doc_id").as("__idx_id"), col("sig").as("__idx_sig")),
+          Seq("band", "band_hash"))
+          .filter(col("__idx_id") =!= col("__id") &&
+            est(col("__sig"), col("__idx_sig")) >= tau)
+          .select(col("__id"))
+      else banded.select(col("__id")).limit(0)
+    val a = banded.as("a"); val b = banded.as("b")
+    val dupInBatch = a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.__id") < col("b.__id"))
+      .filter(est(col("a.__sig"), col("b.__sig")) >= tau)
+      .select(col("b.__id").as("__id"))
+    val dups = dupVsIndex.union(dupInBatch).distinct()
+    // localCheckpoint CUTS lineage to the index files before the index
+    // write below refreshes the path (same trap as exactKeepIncremental)
+    val survivors = withSig
+      .join(dups, withSig(idCol) === dups("__id"), "left_anti")
+      .localCheckpoint()
+    val newEntries = survivors.select(col(idCol).as("__id"), col("__sig"),
+        posexplode(bandHashes))
+      .select(col("pos").as("band"), col("col").as("band_hash"),
+        col("__id").as("doc_id"), col("__sig").as("sig"))
+    graft.sinks.ParquetUpsert.upsert(newEntries, indexPath,
+      Seq("band", "band_hash", "doc_id"))
+    survivors.drop("__sig").unionByName(shorties)
+  }
+
   /** Distinct word-k-shingles, exploded: (id, shingle). The inverted-index
     * backbone for the near-dup operators (native codegen'd shingling —
     * graft.functions.WordShingles). */

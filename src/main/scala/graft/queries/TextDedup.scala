@@ -80,6 +80,31 @@ object TextDedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // incremental near-dup ingest end-to-end: first half of the corpus
+    // seeds a persistent LSH band index, the second half ingests against
+    // it — cross-batch near-dups drop without re-reading batch 1.
+    // xxhash64-based signatures are engine-specific -> rows-only gate
+    // (cross-batch semantics are spec'd in DedupSpec with planted dups)
+    "dedup_minhash_incremental" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("mki").toString
+      val idx = s"$root/lsh_index"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        col("source"))
+      val cut = 250L
+      Dedup.minhashKeepIncremental(docs.filter(col("doc_id") < cut),
+        "doc_id", "text", idx, tau = 0.5)
+      val survivors2 = Dedup.minhashKeepIncremental(
+        docs.filter(col("doc_id") >= cut), "doc_id", "text", idx,
+        tau = 0.5)
+      val result = survivors2.select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
           maxDist = 6)

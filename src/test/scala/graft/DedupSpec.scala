@@ -144,6 +144,39 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 4)
   }
 
+  test("incremental NEAR-dup: LSH index suppression, replay-stable") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-idx").toString
+    val idx = s"$dir/lsh_index"
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val nearBase = (1 to 19).map(i => s"tok$i").mkString(" ") + " CHANGED"
+    val other = (1 to 20).map(i => s"zzz$i").mkString(" ")
+    // batch 1: 1 ~ 2 (one word off), 3 unrelated, 4 too short to shingle
+    val b1 = Seq((1L, base), (2L, nearBase), (3L, other), (4L, "xy"))
+      .toDF("doc_id", "text")
+    val k1 = Dedup.minhashKeepIncremental(b1, "doc_id", "text", idx,
+      tau = 0.5)
+    assert(k1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    // batch 2: 10 near-dups the INDEXED doc 1; 11 is new; 12 is short
+    val b2 = Seq((10L, base + " TAIL"), (11L, (1 to 20)
+        .map(i => s"qqq$i").mkString(" ")), (12L, "ab"))
+      .toDF("doc_id", "text")
+    val k2 = Dedup.minhashKeepIncremental(b2, "doc_id", "text", idx,
+      tau = 0.5)
+    assert(k2.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(11L, 12L))
+    // replaying batch 2 returns the SAME survivors (same-id index
+    // entries are excluded, so 11 doesn't self-match)
+    val k3 = Dedup.minhashKeepIncremental(b2, "doc_id", "text", idx,
+      tau = 0.5)
+    assert(k3.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(11L, 12L))
+    // index holds bands only for admitted, shingle-able docs: 1, 3, 11
+    val indexed = spark.read.parquet(idx).select("doc_id")
+      .distinct().as[Long].collect().sorted.toSeq
+    assert(indexed == Seq(1L, 3L, 11L))
+  }
+
   test("hash split: deterministic, ratio-true, SQL formula parity") {
     import graft.operators.Sampling
     val split = Sampling.hashSplit(docs, col("doc_id"),
