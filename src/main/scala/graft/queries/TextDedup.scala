@@ -232,6 +232,26 @@ object TextDedup {
         .orderBy(col("split"), col("shard"))
     }),
 
+    // chunk-then-pack pipeline: documents fan out to overlapping
+    // 24-token windows (stride 16), each chunk gets a synthetic orderable
+    // key, and chunks pack into 128-token training sequences within 4
+    // hash shards — the "long doc -> context windows -> packed batches"
+    // layout. All arithmetic integral, fully oracle-checked.
+    "pipeline_chunked_shards" -> ((s, d) => {
+      val chunks = graft.operators.Packing.chunkByTokens(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("text"), chunkTokens = 24, strideTokens = 16)
+        .select((col("doc_id") * 100 + col("chunk_id")).as("ck"),
+          col("n_chunk_tokens"))
+      graft.operators.Packing.packSequences(chunks, col("ck"),
+          col("n_chunk_tokens"), capTokens = 128, shards = 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tok")).as("sum_tokens"),
+          max(col("seq_id")).as("max_seq"))
+        .orderBy(col("shard"))
+    }),
+
     // sequence packing: docs concatenated into 512-token sequences
     // within 8 deterministic hash shards — integral cumulative-sum
     // layout, bit-identical across engines
@@ -362,6 +382,25 @@ object TextDedup {
 
     "pipeline_clean_corpus" -> pipelineOracle,
     "pipeline_training_shards" -> trainingShardsOracle,
+    "pipeline_chunked_shards" -> {
+      import graft.operators.Sampling
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |ch AS (SELECT doc_id, CAST((g - 1) / 16 AS INT) AS chunk_id,
+         |    CAST(LEAST(24, len(ws) - g + 1) AS BIGINT) AS n_tok
+         |  FROM t, UNNEST(generate_series(1, len(ws), 16)) AS u(g)),
+         |k AS (SELECT doc_id * 100 + chunk_id AS ck, n_tok,
+         |  md5(CAST(doc_id * 100 + chunk_id AS VARCHAR)) AS h FROM ch),
+         |sb AS (SELECT ck, n_tok,
+         |  ${Sampling.hashBucketSql("ck", 4)} AS shard FROM k),
+         |c AS (SELECT shard, n_tok, ck,
+         |  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY ck
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS start FROM sb)
+         |SELECT shard, COUNT(*) AS n_chunks,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+         |  MAX(start // 128) AS max_seq
+         |FROM c GROUP BY shard ORDER BY shard""".stripMargin
+    },
     "text_tfidf_topterms" ->
       """WITH tf AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term

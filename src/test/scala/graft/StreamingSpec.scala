@@ -314,6 +314,40 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set(confKey, prev)
   }
 
+  test("AvailableNow drains a file source then stops; resume reads only new files") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("an").toString
+    val src = s"$dir/in"; val root = s"$dir/t"; val ckpt = s"$dir/ckpt"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(1).write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("k LONG, v STRING")
+        .parquet(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          VersionedTable.appendBatch(b, root, id); ()
+        }.start()
+      // AvailableNow self-terminates once the parked input is drained
+      assert(q.awaitTermination(120000), "drain did not self-stop")
+    }
+    drain()
+    assert(VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // a new file lands; the checkpoint resumes PAST the drained offsets,
+    // so the second drain ingests only the new file (no re-appends)
+    Seq((3L, "c")).toDF("k", "v")
+      .repartition(1).write.mode("append").parquet(src)
+    drain()
+    assert(VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
