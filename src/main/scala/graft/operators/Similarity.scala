@@ -582,4 +582,131 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
+
+  // --------------------------------------------------------------------
+  // PCA — dimensionality reduction for embeddings (the standard ANN
+  // preprocessing: project to the top-k variance directions before
+  // bucketing/quantizing; also the rotation step OPQ-style PQ uses).
+  // --------------------------------------------------------------------
+
+  /** Mean vector and covariance matrix of an embedding column in ONE
+    * distributed pass: the vector self-pairs via two posexplodes (upper
+    * triangle only), partial-aggregated map-side, shuffling at most
+    * dim*(dim+1)/2 groups regardless of corpus size; the mean rides the
+    * diagonal groups. Only the dim x dim result (tiny) reaches the
+    * driver. */
+  private[operators] def meanAndCovariance(df: DataFrame, vec: Column,
+      dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val rows = df
+      .select(transform(vec, _.cast("double")).as("v"))
+      .filter(size(col("v")) === dim)
+      .select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
+      .select(col("i"), col("vi"), posexplode(col("v")).as(Seq("j", "vj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("vi") * col("vj")).as("sxx"),
+        sum(when(col("j") === col("i"), col("vi"))).as("sx"),
+        count(when(col("j") === col("i"), lit(1))).as("n"))
+      .collect()
+    val n = rows.find(r => r.getInt(0) == 0 && r.getInt(1) == 0)
+      .map(_.getLong(4)).getOrElse(0L)
+    require(n > 1, s"PCA needs >= 2 vectors of dim $dim, got $n")
+    val mean = new Array[Double](dim)
+    val exx = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val sxx = r.getDouble(2)
+      exx(i)(j) = sxx / n; exx(j)(i) = sxx / n
+      if (i == j) mean(i) = r.getDouble(3) / n // sx is non-null on diagonal
+    }
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      exx(i)(j) - mean(i) * mean(j))
+    (n, mean, cov)
+  }
+
+  /** Eigendecomposition of a symmetric matrix by cyclic Jacobi rotations
+    * (deterministic sweep order, so the result is a pure function of the
+    * input). Returns (eigenvalues, eigenvectors-as-rows), sorted by
+    * descending eigenvalue, each vector's first nonzero made positive
+    * for sign stability. Fine for PCA's dim x dim (dim <= a few hundred);
+    * O(dim^3) per sweep on the driver. */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-18) {
+      for (p <- 0 until n - 1; q <- p + 1 until n
+          if math.abs(a(p)(q)) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = if (theta == 0.0) 1.0
+          else math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until n) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (j <- 0 until n) {
+          val apj = a(p)(j); val aqj = a(q)(j)
+          a(p)(j) = c * apj - s * aqj
+          a(q)(j) = s * apj + c * aqj
+        }
+        for (i <- 0 until n) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { e =>
+      val col = Array.tabulate(n)(i => v(i)(e))
+      val lead = col.find(math.abs(_) > 1e-12).getOrElse(1.0)
+      if (lead < 0) col.map(-_) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Top-k principal components of an embedding column: one distributed
+    * covariance pass ([[meanAndCovariance]]) + a driver-side Jacobi
+    * eigensolve of the dim x dim matrix. Returns (eigenvalues,
+    * components-as-rows) — deterministic for a given dataset. */
+  def pcaComponents(df: DataFrame, vec: Column, dim: Int, k: Int)
+      : (Array[Double], Array[Array[Double]]) = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]: $k")
+    val (_, _, cov) = meanAndCovariance(df, vec, dim)
+    val (vals, vecs) = jacobiEigen(cov)
+    (vals.take(k), vecs.take(k))
+  }
+
+  /** Project embeddings onto the top-k principal components (centered):
+    * adds `outCol` = array<double> of length k. The projection is
+    * MAP-ONLY and codegen'd — each component is one native dot against a
+    * literal direction plus a precomputed scalar offset (-mu . w); no
+    * shuffle, no UDF. At 100 TB: the covariance pass shuffles dim^2
+    * groups, the projection rides the scan. */
+  def pcaProject(df: DataFrame, vec: Column, dim: Int, k: Int,
+      outCol: String = "pca"): DataFrame = {
+    val (n, mean, cov) = meanAndCovariance(df, vec, dim)
+    require(n > 1, "pcaProject on an empty input")
+    val (_, comps) = jacobiEigen(cov)
+    val sel = comps.take(k)
+    val proj = array(sel.map { w =>
+      val offset = -w.indices.map(i => w(i) * mean(i)).sum
+      graft.functions.VectorFunctions.vec_dot(vec, typedLit(w.toSeq)) +
+        lit(offset)
+    }: _*)
+    df.withColumn(outCol, proj)
+  }
 }

@@ -96,6 +96,20 @@ object AnnOps {
     // the ORACLE GATE for embedding dedup (size-guarded; see the operator
     // scaladoc). The operator the engine ships at scale is the LSH form
     // below, whose recall this gate measures in SimilaritySpec.
+    // PCA projection of the embedding corpus (one covariance pass +
+    // driver Jacobi eigensolve of the 64x64 matrix, map-only codegen'd
+    // projection). Eigenvectors are engine-specific floats -> rows-only
+    // gate; the planted-direction recovery, orthonormality, and
+    // variance-capture guarantees are spec'd in SimilaritySpec.
+    "embed_pca_project" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pcaProject(emb, col("embedding"), Dim, k = 8)
+        .select(col("vec_id"), col("label"),
+          sqrt(graft.functions.VectorFunctions.vec_dot(col("pca"), col("pca")))
+            .as("pca_norm"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_embedding_cosine" -> ((s, d) => {
       Similarity.nearDupPairs(Tables.embeddings(s, d), tau = NearDupTau)
         .orderBy(col("id_a"), col("id_b"))

@@ -217,6 +217,40 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("PCA: planted dominant direction recovered, projection centered") {
+    // synthetic 8-dim data: strong variance along a known direction u
+    // (t in -50..50 steps), small deterministic wiggle elsewhere
+    val dim = 8
+    val u = Array(0.5f, 0.5f, 0.5f, 0.5f, 0f, 0f, 0f, 0f)
+    val rows = (-50 to 50).map { t =>
+      val base = u.map(_ * t)
+      val wiggle = Array.tabulate(dim)(i =>
+        0.01f * (((t * 7 + i * 13) % 5) - 2))
+      (t.toLong + 50, base.zip(wiggle).map { case (a, b) => a + b })
+    }
+    val df = rows.toDF("id", "v")
+    val (vals, comps) = Similarity.pcaComponents(df, $"v", dim, k = 3)
+    // eigenvalues descending, dominant one far above the wiggle
+    assert(vals(0) > vals(1) && vals(1) >= vals(2))
+    assert(vals(0) > 100 * math.max(vals(1), 1e-12))
+    // first component aligns with the planted direction (unit u = 0.5s)
+    val cos = comps(0).zip(u.map(_.toDouble)).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.999, s"alignment $cos")
+    // components orthonormal
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(comps(0), comps(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(comps(0), comps(1))) < 1e-9)
+    // projection: centered (mean ~ 0), first coord variance ~ val(0)
+    val proj = Similarity.pcaProject(df, $"v", dim, k = 2)
+      .select(element_at($"pca", 1)).as[Double].collect()
+    val m = proj.sum / proj.length
+    assert(math.abs(m) < 1e-6, s"projection mean $m")
+    val varr = proj.map(x => (x - m) * (x - m)).sum / proj.length
+    assert(math.abs(varr - vals(0)) / vals(0) < 1e-6,
+      s"projected variance $varr vs eigenvalue ${vals(0)}")
+  }
+
   test("LSH candidate set is much smaller than all-pairs") {
     val q = emb.filter($"vec_id" < 20)
     val nCand = Similarity.lshTopK(q, emb, 1000000, dim = 64,
