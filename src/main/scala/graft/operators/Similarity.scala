@@ -596,7 +596,8 @@ object Similarity {
     * diagonal groups. Only the dim x dim result (tiny) reaches the
     * driver. */
   private[operators] def meanAndCovariance(df: DataFrame, vec: Column,
-      dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+      dim: Int, center: Boolean = true)
+      : (Long, Array[Double], Array[Array[Double]]) = {
     val rows = df
       .select(transform(vec, _.cast("double")).as("v"))
       .filter(size(col("v")) === dim)
@@ -619,8 +620,14 @@ object Similarity {
       exx(i)(j) = sxx / n; exx(j)(i) = sxx / n
       if (i == j) mean(i) = r.getDouble(3) / n // sx is non-null on diagonal
     }
-    val cov = Array.tabulate(dim, dim)((i, j) =>
-      exx(i)(j) - mean(i) * mean(j))
+    // center=false keeps the raw second moment E[xx^T]: its eigenbasis
+    // approximately PRESERVES DOT PRODUCTS (dot(Qx, Qy) ~ dot(x, y) up
+    // to the discarded-eigenvalue mass), which is what a cosine-ANN
+    // coarse filter needs — covariance's centering shifts dots
+    val cov =
+      if (center) Array.tabulate(dim, dim)((i, j) =>
+        exx(i)(j) - mean(i) * mean(j))
+      else exx
     (n, mean, cov)
   }
 
@@ -688,6 +695,48 @@ object Similarity {
     val (_, _, cov) = meanAndCovariance(df, vec, dim)
     val (vals, vecs) = jacobiEigen(cov)
     (vals.take(k), vecs.take(k))
+  }
+
+  /** PCA-filtered cosine top-k: coarse-score in a pcaK-dim UNCENTERED
+    * projection (dot products approximately survive the projection — see
+    * [[meanAndCovariance]]), keep a `shortlist` per query, then re-rank
+    * the shortlist with the exact full-dimension cosine. The fourth ANN
+    * tier alongside LSH/IVF/PQ: per-pair coarse work drops dim -> pcaK
+    * (e.g. 64 -> 8 mults), and only shortlist*|queries| exact dots run.
+    * Recall is spec'd against [[bruteForceTopK]]; raise `shortlist` to
+    * trade work for recall. */
+  def pcaTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      pcaK: Int = 8, shortlist: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val (_, _, gram) = meanAndCovariance(corpus, col("embedding"), dim,
+      center = false)
+    val (_, comps) = jacobiEigen(gram)
+    val proj = array(comps.take(pcaK).map(w =>
+      graft.functions.VectorFunctions.vec_dot(col("embedding"),
+        typedLit(w.toSeq))): _*)
+    def prep(df: DataFrame, idAs: String, vAs: String, nAs: String,
+        pAs: String) =
+      df.select(col("vec_id").as(idAs), col("embedding").as(vAs),
+          proj.as(pAs))
+        .withColumn(nAs,
+          sqrt(dotDouble(col(vAs), col(vAs)).cast("double")))
+    val q = prep(queries, "query_id", "q_v", "q_n", "q_p")
+    val c = prep(corpus, "neighbor_id", "c_v", "c_n", "c_p")
+    val coarse = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("coarse", dotDouble(col("q_p"), col("c_p")) /
+        (col("q_n") * col("c_n")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val short = coarse.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= shortlist)
+      .withColumn("cos_sim", dotDouble(col("q_v"), col("c_v")) /
+        (col("q_n") * col("c_n")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    short.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
   }
 
   /** Project embeddings onto the top-k principal components (centered):

@@ -96,6 +96,16 @@ object AnnOps {
     // the ORACLE GATE for embedding dedup (size-guarded; see the operator
     // scaladoc). The operator the engine ships at scale is the LSH form
     // below, whose recall this gate measures in SimilaritySpec.
+    // PCA-filtered ANN: 8-dim uncentered-projection coarse cut (dots
+    // approximately survive the projection), exact full-dim re-rank.
+    // Engine-specific eigenbasis -> rows-only; recall spec'd.
+    "ann_pca_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pcaTopK(emb.filter(col("vec_id") < NQueries), emb, TopK,
+          Dim, pcaK = 8, shortlist = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // PCA projection of the embedding corpus (one covariance pass +
     // driver Jacobi eigensolve of the 64x64 matrix, map-only codegen'd
     // projection). Eigenvectors are engine-specific floats -> rows-only

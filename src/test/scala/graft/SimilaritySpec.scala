@@ -251,6 +251,24 @@ class SimilaritySpec extends SparkSpec {
       s"projected variance $varr vs eigenvalue ${vals(0)}")
   }
 
+  test("PCA coarse filter finds planted near-duplicates (recall >= 0.9)") {
+    // same planted-near-dup protocol as LSH/IVF/PQ: a cosine-~0.97 copy
+    // must survive the 8-dim coarse cut and win the exact re-rank
+    val rng = new scala.util.Random(41)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val noisy = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val q = spark.createDataFrame(noisy.toSeq).toDF("vec_id", "embedding")
+    val hits = Similarity.pcaTopK(q, emb, 5, dim = 64, pcaK = 8,
+        shortlist = 32)
+      .filter($"neighbor_id" === $"query_id" - 100000L)
+      .select($"query_id").distinct().count()
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.9, s"PCA planted near-dup recall $recall")
+  }
+
   test("LSH candidate set is much smaller than all-pairs") {
     val q = emb.filter($"vec_id" < 20)
     val nCand = Similarity.lshTopK(q, emb, 1000000, dim = 64,
