@@ -560,6 +560,29 @@ object Relational {
         .orderBy(col("l_suppkey"), col("rn"))
     }),
 
+    // ---- top-n per group WITHOUT the window: bounded heap aggregate ----
+    // identical semantics to window_topn_per_supplier via the native
+    // TopKByAgg — map-side combine caps every partition at k rows per
+    // group BEFORE the exchange (the window form shuffles every row and
+    // sort-buffers whole groups; a hot supplier is one task's sort).
+    // Line identity rides one long (orderkey*10 + linenumber; linenumber
+    // is 1..7), decoded after the explode — the oracle ranks by the same
+    // encoded tiebreak, so rows match exactly
+    "topn_heap_per_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_suppkey"))
+        .agg(graft.functions.TopKBy.topk_by(
+          col("l_extendedprice").cast("double"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long"),
+          3).as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("l_suppkey"), (col("pos") + 1).cast("long").as("rn"),
+          expr("e.id div 10").as("l_orderkey"),
+          (col("e.id") % 10).cast("int").as("l_linenumber"),
+          col("e.score").as("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
     // ---- window: running aggregate -------------------------------------
     "window_running_total" -> ((s, d) => {
       val ord = Tables.orders(s, d)
@@ -1291,6 +1314,16 @@ object Relational {
       s"""SELECT p_brand, COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "topn_heap_per_supplier" ->
+      """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC,
+        |        l_orderkey * 10 + l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM r WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
 
     "join_left_outer" ->
       s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,

@@ -59,4 +59,45 @@ class HeavyHittersSpec extends SparkSpec {
       .select(explode(split($"text", " ")).as("term"))
     assert(hh(toks.repartition(13), 64) == hh(toks.coalesce(1), 64))
   }
+
+  test("topk_by: window-identical, partition-invariant, tie-stable") {
+    import graft.functions.TopKBy.topk_by
+    val li = Tables.lineitem(spark, Sf0)
+    def heap(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"l_suppkey")
+        .agg(topk_by($"l_extendedprice".cast("double"),
+          ($"l_orderkey" * 10 + $"l_linenumber").cast("long"), 3).as("top"))
+        .select($"l_suppkey", explode($"top").as("e"))
+        .select($"l_suppkey", $"e.score", $"e.id")
+        .as[(Long, Double, Long)].collect().toSet
+    val viaWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_suppkey")
+        .orderBy($"l_extendedprice".desc,
+          ($"l_orderkey" * 10 + $"l_linenumber").asc)
+      li.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"l_suppkey", $"l_extendedprice".cast("double"),
+          ($"l_orderkey" * 10 + $"l_linenumber").cast("long"))
+        .as[(Long, Double, Long)].collect().toSet
+    }
+    assert(heap(li) == viaWindow)
+    // merge path: any partitioning produces the identical set
+    assert(heap(li.repartition(17)) == viaWindow)
+    // ties break to the smaller id; k > group size keeps the whole group
+    val tiny = Seq((1L, 5.0, 30L), (1L, 5.0, 10L), (1L, 5.0, 20L),
+      (2L, 1.0, 1L)).toDF("g", "s", "i")
+    val out = tiny.groupBy($"g")
+      .agg(topk_by($"s", $"i", 2).as("top"))
+      .select($"g", $"top").as[(Long, Seq[(Double, Long)])]
+      .collect().toMap
+    assert(out(1L) == Seq((5.0, 10L), (5.0, 20L)))
+    assert(out(2L) == Seq((1.0, 1L)))
+    // null scores never enter the heap
+    val withNull = Seq((1L, Some(2.0), 1L), (1L, None, 2L))
+      .toDF("g", "s", "i")
+    val n = withNull.groupBy($"g")
+      .agg(topk_by($"s", $"i", 5).as("top"))
+      .select(size($"top")).as[Int].head()
+    assert(n == 1)
+  }
 }

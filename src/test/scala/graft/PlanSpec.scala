@@ -126,6 +126,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("topn heap aggregates partially before the exchange; no Window") {
+    val p = plan("topn_heap_per_supplier")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass below the group exchange — k rows per group per
+    // partition cross the shuffle, not the full table
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_topk_by"))
+    assert(!p.contains("Window"), p)
+  }
+
   test("q6 pushes every predicate into the scan; no join, no wide shuffle") {
     spark.catalog.clearCache()
     val p = plan("q6_forecast_revenue")
