@@ -89,6 +89,13 @@ object GraftFunctions {
           "mergeable, ~1.65% rank error at k=200"),
       arity("kll_sketch_agg", 2)(args =>
         KllSketchAgg(args(0), intLit(args(1), "kll_sketch_agg"))
+          .toAggregateExpression())),
+    (FunctionIdentifier("topk_by"),
+      info(classOf[TopKByAgg], "topk_by",
+        "topk_by(score, id, k) - bounded-heap top-k aggregate: the k " +
+          "best (score DESC, id ASC) pairs per group, map-side combined"),
+      arity("topk_by", 3)(args =>
+        TopKByAgg(args(0), args(1), intLit(args(2), "topk_by"))
           .toAggregateExpression())))
 
   /** Register into a live session's function registry. */

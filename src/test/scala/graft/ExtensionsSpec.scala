@@ -24,6 +24,13 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT word_shingle_hashes('a b c', 2)[0] = xxhash64('a b') AS ok")
       .head.getBoolean(0)
     assert(x)
+    // the bounded-heap top-k aggregate works from pure SQL too
+    val tk = spark.sql(
+      """SELECT topk_by(s, i, 2) AS top FROM VALUES
+        |  (1.0D, 10L), (3.0D, 20L), (2.0D, 30L) AS t(s, i)""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((3.0, 20L), (2.0, 30L)))
     // sketch functions compose with the shingle hashes in pure SQL and
     // match the DataFrame-side operator results
     val s = spark.sql(
