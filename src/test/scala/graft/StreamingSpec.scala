@@ -233,6 +233,28 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("topk_by aggregate runs streaming (complete mode)") {
+    // the heap buffer serializes into the state store between batches:
+    // grouped streaming top-k with k rows of state per group, no window
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    val q = mem.toDF().toDF("g", "s", "i")
+      .groupBy($"g")
+      .agg(graft.functions.TopKBy.topk_by($"s", $"i", 2).as("top"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("topk_stream").start()
+    mem.addData(("x", 1.0, 1L), ("x", 5.0, 2L), ("y", 9.0, 3L))
+    q.processAllAvailable()
+    mem.addData(("x", 3.0, 4L), ("y", 2.0, 5L))
+    q.processAllAvailable()
+    val out = spark.table("topk_stream")
+      .select($"g", $"top").as[(String, Seq[(Double, Long)])]
+      .collect().toMap
+    assert(out("x") == Seq((5.0, 2L), (3.0, 4L)), s"x: ${out("x")}")
+    assert(out("y") == Seq((9.0, 3L), (2.0, 5L)), s"y: ${out("y")}")
+    q.stop()
+  }
+
   test("theta sketch aggregate runs streaming (complete mode)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Long]
