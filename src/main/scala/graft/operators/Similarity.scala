@@ -77,12 +77,24 @@ object Similarity {
       else dotDouble(col("q_v"), col("c_v"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", dot / (col("q_n") * col("c_n")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+    heapTopK(scored, k)
   }
+
+  /** Final per-query top-k over a scored candidate set, via the native
+    * bounded-heap aggregate (graft.functions.TopKByAgg) instead of a
+    * rank window: the window form shuffles EVERY scored candidate row to
+    * its query's partition and sort-buffers it (for brute force that is
+    * |queries| x |corpus| rows through one exchange); the heap's partial
+    * pass caps each partition at k rows per query BEFORE the shuffle.
+    * Ordering identical to the window idiom: cos_sim DESC, ties to the
+    * smaller neighbor_id. */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy.topk_by(col("cos_sim"),
+        col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cos_sim"))
 
   /** All `tables * bits` SRP hyperplanes for a deterministic seed. */
   private def planes(dim: Int, bits: Int, tables: Int, seed: Long)
@@ -330,11 +342,7 @@ object Similarity {
           col("q.query_id") =!= col("c.neighbor_id"))
       .withColumn("cos_sim",
         dotDouble(col("q.q_v"), col("c.c_v2")) / (col("q.q_n") * col("c.c_n")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+    heapTopK(scored, k)
   }
 
   /** Int8-style fixed-point embedding quantization, deterministic across
@@ -435,14 +443,9 @@ object Similarity {
   /** Exact cosine re-rank of an ANN candidate set carrying
     * (query_id, q_v, q_n, neighbor_id, c_v, c_n). */
   private def exactReRank(cands: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cands
+    heapTopK(cands
       .withColumn("cos_sim",
-        dotDouble(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+        dotDouble(col("q_v"), col("c_v")) / (col("q_n") * col("c_n"))), k)
   }
 
   /** Shared PQ machinery: corpus code assignment, query ADC lookup
@@ -576,11 +579,7 @@ object Similarity {
       .distinct()
       .withColumn("cos_sim",
         dotDouble(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+    heapTopK(cand, k)
   }
 
   // --------------------------------------------------------------------
@@ -731,12 +730,7 @@ object Similarity {
       .filter(col("crank") <= shortlist)
       .withColumn("cos_sim", dotDouble(col("q_v"), col("c_v")) /
         (col("q_n") * col("c_n")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    short.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cos_sim"))
+    heapTopK(short, k)
   }
 
   /** Project embeddings onto the top-k principal components (centered):
