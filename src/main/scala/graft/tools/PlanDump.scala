@@ -25,9 +25,12 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val t0 = System.nanoTime()
-    df.write.mode("overwrite").format("noop").save()
+    // collect() drives df's OWN QueryExecution (df.write/count clone the
+    // plan into a new execution, leaving executedPlan isFinalPlan=false
+    // — AQE runtime decisions like ReusedExchange would never show)
+    val n = df.collect().length
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"[plandump] $name ran in $sec s; executed plan:")
+    println(s"[plandump] $name ran in $sec s ($n rows); final plan:")
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
