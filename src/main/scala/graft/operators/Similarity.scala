@@ -313,7 +313,12 @@ object Similarity {
 
   private def nearestCells(df: DataFrame, cents: Array[(Int, Seq[Double])],
       idAs: String, vAs: String, keep: Int): DataFrame = {
-    val base = df.select(col("vec_id").as(idAs), col("embedding").as(vAs))
+    // a null embedding can rank against no centroid (its candidates would
+    // carry a null cos_sim and be dropped by the final top-k anyway) — gate
+    // it HERE on the input column, where it pushes to the scan as a plain
+    // isnotnull(embedding), not as a derived filter over the scoring array
+    val base = df.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as(idAs), col("embedding").as(vAs))
     // struct sort is lexicographic: (-cos, cell) asc == (cos desc, cell)
     val scored = array(cents.map { case (cid, c) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
@@ -322,10 +327,25 @@ object Similarity {
           lit(if (cn == 0) -1.0 else -1.0 / cn)).as("neg"),
         lit(cid).as("cell"))
     }: _*)
+    // exploding the computed `__top.cell` array lets Catalyst infer
+    // `size(slice(array_sort(scored)..)) > 0 && isnotnull(..)` before the
+    // Generate (and the null-intolerant cell equi-join re-derives the same
+    // via InferFiltersFromConstraints); predicate pushdown then carries the
+    // ENTIRE centroid-scoring expression into the parquet scan as a
+    // DataFilter, so every corpus row scores all centroids twice — the
+    // round-4 computed-column trap (see Dedup.simhashes). Explode a LITERAL
+    // index array instead (its inferred filter constant-folds away) and
+    // index the sorted array with a cheap element_at; the never-firing
+    // coalesce marks `cell` non-nullable so constraint inference has
+    // nothing to resurrect. `scored` always has cents.length >= n elements,
+    // so element_at(1..n) never strays out of bounds (ANSI-safe).
+    val n = math.min(keep, cents.length)
     base
-      .withColumn("__top", slice(array_sort(scored), 1, keep))
+      .withColumn("__top", slice(array_sort(scored), 1, n))
+      .withColumn("__i", explode(typedlit((1 to n).toArray)))
       .select(col(idAs), col(vAs),
-        explode(col("__top").getField("cell")).as("cell"))
+        coalesce(element_at(col("__top"), col("__i")).getField("cell"),
+          lit(-1)).as("cell"))
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,

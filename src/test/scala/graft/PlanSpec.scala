@@ -75,6 +75,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("ANN scans never evaluate vector expressions as DataFilters") {
+    // the round-4 computed-column trap (see Dedup.simhashes scaladoc):
+    // exploding a computed cell array / filtering on a computed column's
+    // nullability lets Catalyst push the whole centroid-scoring expression
+    // into the parquet scan as a DataFilter, re-scoring every corpus row
+    // at the scan AND at the project. Regression guard: scan-level filters
+    // on the ANN paths must stay cheap input-column predicates.
+    spark.catalog.clearCache()
+    for (q <- Seq("ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_pq_topk",
+        "ann_ivfpq_topk", "ann_pca_topk", "ann_lsh_topk")) {
+      val p = plan(q)
+      val scanFilters = "DataFilters: \\[[^\\]]*".r.findAllIn(p).toSeq
+      for (f <- scanFilters) {
+        assert(!f.toLowerCase.contains("vectordot"),
+          s"$q pushed a vector expression into the scan:\n$f")
+        assert(!f.toLowerCase.contains("array_sort"),
+          s"$q pushed the cell-ranking expression into the scan:\n$f")
+      }
+    }
+  }
+
   test("jaccard postings build is map-only up to the self-join") {
     val p = plan("dedup_ngram_jaccard")
     // shuffles: self-join exchange + pair aggregation + final sort only —
