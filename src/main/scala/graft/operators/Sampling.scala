@@ -109,7 +109,10 @@ object Sampling {
     val w = byG.orderBy(md5(id.cast("string")), id)
     df.withColumn("__rk", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(byG))
-      .filter((col("__rk") - 1) * 100 < col("__n") * pct)
+      // row_number is IntegerType: (rk-1)*100 overflows int for strata
+      // past ~21.4M rows — widen to long BEFORE the multiply (the count
+      // side is already long)
+      .filter((col("__rk").cast("long") - 1) * 100 < col("__n") * pct)
       .drop("__rk", "__n")
   }
 
