@@ -51,22 +51,32 @@ case class TopKByAgg(score: Expression, id: Expression, k: Int,
     StructField("score", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))), containsNull = false)
 
-  /** Keep-order: higher score wins, ties to the SMALLER id. The queue
-    * dequeues the WORST kept pair (lowest score, then largest id), so
-    * the root is the eviction candidate. */
-  private val worstFirst: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+  /** Keep-order: higher score wins, ties to the SMALLER id — via
+    * java.lang.Double.compare, a TOTAL order (NaN greater than +Inf,
+    * -0.0 < 0.0) matching Spark's NaN-greatest `ORDER BY score DESC`
+    * window semantics: a NaN score ranks FIRST, deterministically,
+    * regardless of arrival order or partitioning. (The old `s > ws`
+    * admission test was false for NaN once the buffer filled, so NaN
+    * admission depended on arrival order.) Sorts best-first; as the
+    * PriorityQueue ordering it puts the WORST kept pair at the root —
+    * the eviction candidate. */
+  private val order: Ordering[(Double, Long)] =
+    new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
 
   override def createAggregationBuffer()
       : mutable.PriorityQueue[(Double, Long)] =
-    mutable.PriorityQueue.empty(worstFirst)
+    mutable.PriorityQueue.empty(order)
 
   private def offer(buf: mutable.PriorityQueue[(Double, Long)],
       s: Double, i: Long): Unit = {
     if (buf.size < k) buf.enqueue((s, i))
-    else {
-      val (ws, wi) = buf.head
-      if (s > ws || (s == ws && i < wi)) { buf.dequeue(); buf.enqueue((s, i)) }
+    else if (order.compare((s, i), buf.head) < 0) {
+      buf.dequeue(); buf.enqueue((s, i))
     }
   }
 
@@ -87,7 +97,9 @@ case class TopKByAgg(score: Expression, id: Expression, k: Int,
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val best = buf.toArray.sortBy { case (s, i) => (-s, i) }
+    // sorted(order) is best-first under the same total order the heap
+    // admits by (sortBy(-s) would misplace NaN: -NaN == NaN)
+    val best = buf.toArray.sorted(order)
     new GenericArrayData(best.map { case (s, i) => InternalRow(s, i) })
   }
 

@@ -87,7 +87,16 @@ object Similarity {
     * |queries| x |corpus| rows through one exchange); the heap's partial
     * pass caps each partition at k rows per query BEFORE the shuffle.
     * Ordering identical to the window idiom: cos_sim DESC, ties to the
-    * smaller neighbor_id. */
+    * smaller neighbor_id (NaN-greatest, so a 0/0 zero-norm cosine ranks
+    * first, as the window form would).
+    *
+    * DELIBERATE deviation from the window form: candidates with a NULL
+    * cos_sim are dropped (the aggregate skips null scores), whereas
+    * `row_number() <= k` would admit them when a query has fewer than k
+    * non-null candidates. A null score is never a meaningful neighbor,
+    * and the alternative — `.filter(cos_sim.isNotNull)` on this COMPUTED
+    * column — is exactly the scan-pushdown trap (see [[nearestCells]]):
+    * the dot-product expression would re-evaluate at the parquet scan. */
   private def heapTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKBy.topk_by(col("cos_sim"),

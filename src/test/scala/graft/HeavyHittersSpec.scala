@@ -99,6 +99,26 @@ class HeavyHittersSpec extends SparkSpec {
       .agg(topk_by($"s", $"i", 5).as("top"))
       .select(size($"top")).as[Int].head()
     assert(n == 1)
+    // NaN scores rank FIRST (Spark's NaN-greatest desc order), are
+    // admitted deterministically regardless of arrival order /
+    // partitioning, and ties among NaNs still break to the smaller id
+    val nan = Double.NaN
+    val withNaN = Seq((1L, 3.0, 1L), (1L, nan, 9L), (1L, 5.0, 2L),
+      (1L, nan, 8L), (1L, 4.0, 3L)).toDF("g", "s", "i")
+    def top2(df: org.apache.spark.sql.DataFrame) = df.groupBy($"g")
+      .agg(topk_by($"s", $"i", 3).as("top"))
+      .select(explode($"top").as("e")).select($"e.id")
+      .as[Long].collect().toSeq
+    val expectNaN = {
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"s".desc, $"i".asc)
+      withNaN.withColumn("rn", row_number().over(w2)).filter($"rn" <= 3)
+        .orderBy($"rn").select($"i").as[Long].collect().toSeq
+    }
+    assert(expectNaN == Seq(8L, 9L, 2L)) // window form: NaN first
+    assert(top2(withNaN) == expectNaN)
+    assert(top2(withNaN.repartition(7)) == expectNaN)
+    assert(top2(withNaN.orderBy($"i".desc)) == expectNaN)
   }
 
   test("topk_by hot group: window-identical; only k rows/partition shuffle") {
