@@ -89,6 +89,36 @@ object Dedup {
     val spark = newDocs.sparkSession
     val target = new org.apache.hadoop.fs.Path(indexPath)
     val hfs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (k, perms, bands) are BAKED INTO the stored signatures and band
+    // hashes: probing an index built with different parameters zips
+    // mismatched-length signatures / joins disjoint band hashes, which
+    // silently deflates the Jaccard estimate and MISSES cross-batch
+    // near-dups instead of failing. The parameters persist in an
+    // underscore-prefixed sidecar (invisible to Spark's parquet listing,
+    // like _SUCCESS) and must match on every later ingest.
+    val paramsFile = new org.apache.hadoop.fs.Path(target,
+      "_graft_minhash_params")
+    val paramsStr = s"k=$k,perms=$perms,bands=$bands"
+    if (hfs.exists(target)) {
+      if (hfs.exists(paramsFile)) {
+        val in = hfs.open(paramsFile)
+        val stored =
+          try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        require(stored == paramsStr,
+          s"minhash index at $indexPath was built with ($stored) but this " +
+            s"ingest uses ($paramsStr) — cross-batch near-dups would be " +
+            s"silently missed; rebuild the index or match its parameters")
+      } else {
+        // pre-sidecar index: the stored signature length at least pins perms
+        spark.read.parquet(indexPath).select(size(col("sig")))
+          .limit(1).collect().headOption.foreach { r =>
+            require(r.getInt(0) == perms,
+              s"minhash index at $indexPath stores ${r.getInt(0)}-perm " +
+                s"signatures, this ingest uses perms=$perms")
+          }
+      }
+    }
     val rows = perms / bands
     val text = col(textCol)
     // cheap token-count gate (no hashing) — see minhashSignatures
@@ -140,6 +170,10 @@ object Dedup {
         col("__id").as("doc_id"), col("__sig").as("sig"))
     graft.sinks.ParquetUpsert.upsert(newEntries, indexPath,
       Seq("band", "band_hash", "doc_id"))
+    // (re)write the params sidecar AFTER the upsert so a directory swap
+    // can't drop it; overwrite is idempotent
+    val out = hfs.create(paramsFile, true)
+    try out.write(paramsStr.getBytes("UTF-8")) finally out.close()
     survivors.drop("__sig").unionByName(shorties)
   }
 

@@ -78,6 +78,14 @@ object Packing {
       chunkTokens: Int, strideTokens: Int): DataFrame = {
     require(chunkTokens > 0 && strideTokens > 0,
       s"need chunkTokens > 0 and strideTokens > 0: $chunkTokens / $strideTokens")
+    // the output appends fixed columns via select(col("*"), ...): a clash
+    // with an input column would yield ambiguous duplicates downstream
+    val reserved =
+      Seq("chunk_id", "start_token", "n_chunk_tokens", "chunk_text", "__ws")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"chunkByTokens reserves output columns ${reserved.mkString(", ")}; " +
+        s"input already has: ${clash.mkString(", ")}")
     val withWs = df.filter(text.isNotNull)
       .withColumn("__ws", TextAnalysis.tokens(text))
     val ws = col("__ws")

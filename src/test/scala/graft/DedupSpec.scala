@@ -175,6 +175,18 @@ class DedupSpec extends SparkSpec {
     val indexed = spark.read.parquet(idx).select("doc_id")
       .distinct().as[Long].collect().sorted.toSeq
     assert(indexed == Seq(1L, 3L, 11L))
+    // probing with DIFFERENT (k, perms, bands) than the index was built
+    // with fails loudly instead of silently missing cross-batch dups
+    val mismatch = intercept[IllegalArgumentException] {
+      Dedup.minhashKeepIncremental(b2, "doc_id", "text", idx,
+        tau = 0.5, perms = 16, bands = 4)
+    }
+    assert(mismatch.getMessage.contains("built with"))
+    // matching parameters still work after the failed probe
+    val k4 = Dedup.minhashKeepIncremental(b2, "doc_id", "text", idx,
+      tau = 0.5)
+    assert(k4.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(11L, 12L))
   }
 
   test("hash split: deterministic, ratio-true, SQL formula parity") {

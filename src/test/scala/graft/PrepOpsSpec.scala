@@ -195,6 +195,12 @@ class PrepOpsSpec extends SparkSpec {
     assert(c0.takeRight(4).toSeq == c1.take(4).toSeq)
     // every token of the doc appears in at least one chunk
     assert(d1.flatMap(_._5.split(" ")).toSet == text.split(" ").toSet)
+    // reserved output names clash -> loud failure, not ambiguous columns
+    val clash = intercept[IllegalArgumentException] {
+      Packing.chunkByTokens(Seq((1L, "a b", 9)).toDF("doc_id", "text",
+        "chunk_id"), $"text", chunkTokens = 2, strideTokens = 2)
+    }
+    assert(clash.getMessage.contains("chunk_id"))
   }
 
   test("stratifiedSample keeps exactly ceil(pct% of each stratum)") {
