@@ -17,6 +17,19 @@ trait SqlDialect {
   /** Positional bind variable for index i (0-based): `?` vs `:1`. */
   def bindVar(i: Int): String
 
+  /** Bind variable for a column of Spark type `dt`. The default is the
+    * bare [[bindVar]]; Oracle-style dialects wrap DATE/TIMESTAMP binds in
+    * to_date/to_timestamp conversions — a bare `:n` bound to a time string
+    * raises ORA-01861 "literal does not match format string"
+    * (oracle/field.go:55-65). */
+  def bindVarTyped(i: Int, dt: org.apache.spark.sql.types.DataType): String =
+    bindVar(i)
+
+  /** Write-side time convention paired with [[bindVarTyped]]: dialects
+    * whose typed binds are conversion-wrapped bind the FORMATTED STRING
+    * the wrapper parses; others pass the JDBC temporal through. */
+  def writeTime(v: Any): Any = v
+
   /** Oracle stores '' AS NULL; other engines keep them distinct
     * (oracle/field.go:193-195). */
   def emptyStringIsNull: Boolean = false
@@ -69,6 +82,45 @@ trait SqlDialect {
     s"insert into ${quoteTable(t)}(${cols.map(quote).mkString(",")})" +
       s" values ${(0 until rows).map(tuple).mkString(",")}"
   }
+
+  /** [[insertSql]] with per-column Spark types, so time-typed cells get
+    * the dialect's conversion-wrapped bind ([[bindVarTyped]]). */
+  def insertSqlTyped(t: TableId,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      rows: Int): String = {
+    val tuple = (i: Int) =>
+      cols.zipWithIndex.map { case ((_, dt), j) =>
+        bindVarTyped(i * cols.size + j, dt)
+      }.mkString("(", ",", ")")
+    s"insert into ${quoteTable(t)}(${cols.map(c => quote(c._1)).mkString(",")})" +
+      s" values ${(0 until rows).map(tuple).mkString(",")}"
+  }
+
+  /** Row-wise bind args pairing with [[insertSql]]/[[insertSqlTyped]]:
+    * one flat arg per bind var, row-major. String NULLs flow through
+    * [[writeString]] (Oracle's '' IS NULL convention,
+    * oracle/field.go:255-263) and temporals through [[writeTime]], so
+    * BOTH dialects' plain-insert binds honor the write conventions —
+    * not just the Oracle array-DML path. */
+  def rowBindArgs(rows: Seq[org.apache.spark.sql.Row]): Array[Any] =
+    if (rows.isEmpty) Array.empty
+    else {
+      val schema = rows.head.schema
+      rows.iterator.flatMap { r =>
+        schema.fields.indices.map { j =>
+          schema(j).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              writeString(if (r.isNullAt(j)) null else r.getString(j))
+            case _ if r.isNullAt(j) => null
+            case org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType =>
+              writeTime(r.get(j))
+            case _ => r.get(j)
+          }
+        }
+      }.toArray[Any]
+    }
 }
 
 /** MySQL-style dialect: backticks, `?`, and `replace into` upsert
@@ -90,25 +142,70 @@ object OracleStyle extends SqlDialect {
   def bindVar(i: Int): String = s":${i + 1}"
   override val emptyStringIsNull = true
 
+  /** Time binds are to_date/to_timestamp-wrapped (oracle/field.go:55-65):
+    * Oracle parses the bound STRING with an explicit mask instead of
+    * relying on NLS_DATE_FORMAT — a bare `:n` raises ORA-01861. Spark
+    * DateType maps to Oracle DATE (date + seconds), timestamps keep
+    * their 9 fractional digits (ff9). */
+  override def bindVarTyped(i: Int,
+      dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.DateType =>
+      s"to_date(${bindVar(i)},'yyyy-mm-dd hh24:mi:ss')"
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      s"to_timestamp(${bindVar(i)},'yyyy-mm-dd hh24:mi:ss.ff9')"
+    case _ => bindVar(i)
+  }
+
+  private val dateFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private val tsFmt =
+    java.time.format.DateTimeFormatter.ofPattern(
+      "yyyy-MM-dd HH:mm:ss.SSSSSSSSS")
+
+  /** The string the to_date/to_timestamp wrapper parses. */
+  override def writeTime(v: Any): Any = v match {
+    case null => null
+    case d: java.sql.Date => d.toLocalDate.atStartOfDay.format(dateFmt)
+    case t: java.sql.Timestamp => t.toLocalDateTime.format(tsFmt)
+    case d: java.time.LocalDate => d.atStartOfDay.format(dateFmt)
+    case t: java.time.LocalDateTime => t.format(tsFmt)
+    case t: java.time.Instant =>
+      t.atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(tsFmt)
+    case other => other
+  }
+
   /** Array-DML shape: one row of binds; the driver binds column arrays. */
   def arrayInsertSql(t: TableId, cols: Seq[String]): String =
     insertSql(t, cols, 1)
+
+  /** [[arrayInsertSql]] with per-column Spark types: time columns get
+    * the to_date/to_timestamp-wrapped bind. */
+  def arrayInsertSqlTyped(t: TableId,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)]): String =
+    insertSqlTyped(t, cols, 1)
 
   /** S9 array-DML bind builder (oracle/table.go:120-153 Agrs): ONE bind
     * value per COLUMN — an array spanning the batch's rows — pairing with
     * [[arrayInsertSql]]'s single-row statement; the driver executes the
     * statement once over the arrays. String NULLs bind through
-    * [[writeString]] ('' for Oracle); other NULLs bind as null slots. */
+    * [[writeString]] ('' for Oracle), temporals format through
+    * [[writeTime]] for the conversion-wrapped binds; other NULLs bind as
+    * null slots. */
   def arrayBindArgs(rows: Seq[org.apache.spark.sql.Row]): Seq[Array[Any]] =
     if (rows.isEmpty) Seq.empty
     else {
       val schema = rows.head.schema
       schema.fields.indices.map { j =>
-        val isStr =
-          schema(j).dataType == org.apache.spark.sql.types.StringType
+        val dt = schema(j).dataType
+        val isStr = dt == org.apache.spark.sql.types.StringType
+        val isTime = dt == org.apache.spark.sql.types.DateType ||
+          dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.TimestampNTZType
         rows.map { r =>
           if (isStr) writeString(if (r.isNullAt(j)) null else r.getString(j))
           else if (r.isNullAt(j)) null
+          else if (isTime) writeTime(r.get(j))
           else r.get(j)
         }.toArray[Any]
       }

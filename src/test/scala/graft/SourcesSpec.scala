@@ -38,6 +38,60 @@ class SourcesSpec extends SparkSpec {
       == "insert into \"t\"(\"a\",\"b\") values (:1,:2)")
   }
 
+  test("oracle time binds wrap in to_date/to_timestamp (field.go:55-65)") {
+    import org.apache.spark.sql.types._
+    val small = TableId(name = "t")
+    val cols = Seq(("id", LongType), ("d", DateType), ("ts", TimestampType))
+    // a bare :n bound to a time string raises ORA-01861 — the reference
+    // wraps each time bind in an explicit-mask conversion
+    assert(OracleStyle.insertSqlTyped(small, cols, 2)
+      == "insert into \"t\"(\"id\",\"d\",\"ts\") values " +
+        "(:1,to_date(:2,'yyyy-mm-dd hh24:mi:ss')," +
+        "to_timestamp(:3,'yyyy-mm-dd hh24:mi:ss.ff9'))," +
+        "(:4,to_date(:5,'yyyy-mm-dd hh24:mi:ss')," +
+        "to_timestamp(:6,'yyyy-mm-dd hh24:mi:ss.ff9'))")
+    assert(OracleStyle.arrayInsertSqlTyped(small, cols)
+      == "insert into \"t\"(\"id\",\"d\",\"ts\") values " +
+        "(:1,to_date(:2,'yyyy-mm-dd hh24:mi:ss')," +
+        "to_timestamp(:3,'yyyy-mm-dd hh24:mi:ss.ff9'))")
+    // TimestampNTZ wraps the same way; non-time types stay bare
+    assert(OracleStyle.bindVarTyped(0, TimestampNTZType)
+      == "to_timestamp(:1,'yyyy-mm-dd hh24:mi:ss.ff9')")
+    assert(OracleStyle.bindVarTyped(0, StringType) == ":1")
+    // MySQL style never wraps — `?` binds accept JDBC temporals directly
+    assert(MySqlStyle.insertSqlTyped(small, cols, 1)
+      == "insert into `t`(`id`,`d`,`ts`) values (?,?,?)")
+    // the bound VALUE pairs with the wrapper: formatted strings the
+    // explicit mask parses (date at midnight seconds, ts with ff9 digits)
+    assert(OracleStyle.writeTime(java.sql.Date.valueOf("2024-03-05"))
+      == "2024-03-05 00:00:00")
+    assert(OracleStyle.writeTime(
+        java.sql.Timestamp.valueOf("2024-03-05 01:02:03.123456789"))
+      == "2024-03-05 01:02:03.123456789")
+    assert(MySqlStyle.writeTime(java.sql.Date.valueOf("2024-03-05"))
+      == java.sql.Date.valueOf("2024-03-05"))
+  }
+
+  test("row-wise insert binds honor NULL/''/time write conventions") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("s", StringType),
+      StructField("n", LongType), StructField("ts", TimestampType)))
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 01:02:03")
+    val rows = Seq(
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](null, 7L, ts), schema),
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any]("x", null, null), schema))
+    // Oracle: NULL string binds as '' (oracle/field.go:255-263), the
+    // timestamp binds as the formatted string its to_timestamp mask parses
+    assert(OracleStyle.rowBindArgs(rows).toSeq ==
+      Seq("", 7L, "2024-03-05 01:02:03.000000000", "x", null, null))
+    // MySQL: NULL stays NULL, temporals pass through as JDBC values
+    assert(MySqlStyle.rowBindArgs(rows).toSeq ==
+      Seq(null, 7L, ts, "x", null, null))
+    assert(OracleStyle.rowBindArgs(Seq.empty).isEmpty)
+  }
+
   test("dialect registry: lookup + panic-on-duplicate") {
     assert(Dialects("mysql") == MySqlStyle)
     intercept[IllegalArgumentException](Dialects.register(MySqlStyle))
