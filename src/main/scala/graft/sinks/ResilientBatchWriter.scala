@@ -52,6 +52,68 @@ object RetryJudge {
     def shouldRetry(e: Throwable): Boolean = false
     def isDataError(e: Throwable): Boolean = true
   }
+
+  /** `errors.Cause` analogue: walk to the deepest cause, so a wrapped
+    * SQLException classifies the same as a bare one. */
+  private def rootCause(e: Throwable): Throwable = {
+    var c = e
+    while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+    c
+  }
+
+  /** Go `net.Error` analogue: the JVM's network-failure family. */
+  private def isNetError(c: Throwable): Boolean = c match {
+    case _: java.net.SocketException | _: java.net.SocketTimeoutException |
+         _: java.net.UnknownHostException |
+         _: java.nio.channels.ClosedChannelException => true
+    case _ => false
+  }
+
+  /** `driver.ErrBadConn` / `godror.IsBadConn` analogue: JDBC signals a
+    * dead or doubtful connection as SQLRecoverableException (the MySQL
+    * connector's CommunicationsException subclasses it) or a
+    * connection-subclass of the transient/non-transient families. */
+  private def isBadConn(c: Throwable): Boolean = c match {
+    case _: java.sql.SQLRecoverableException |
+         _: java.sql.SQLTransientConnectionException |
+         _: java.sql.SQLNonTransientConnectionException => true
+    case _ => false
+  }
+
+  /** MySQL classification (mysql/table.go:72-85): net errors and bad
+    * connections retry the WHOLE batch; any server-reported SQL error
+    * (the MySQLError case) is a data error — degrade row-wise. */
+  val mysql: RetryJudge = new RetryJudge {
+    def shouldRetry(e: Throwable): Boolean = {
+      val c = rootCause(e); isNetError(c) || isBadConn(c)
+    }
+    def isDataError(e: Throwable): Boolean = {
+      val c = rootCause(e)
+      c.isInstanceOf[java.sql.SQLException] && !isBadConn(c)
+    }
+  }
+
+  /** Oracle classification (oracle/table.go:72-80): ONLY a bad
+    * connection retries (net errors surface as bad-conn through the
+    * driver there); a server-reported error that is NOT bad-conn (the
+    * OraErr case) degrades row-wise. A bad connection is never a data
+    * error — it must not reach the DLQ as a quarantined row. */
+  val oracle: RetryJudge = new RetryJudge {
+    def shouldRetry(e: Throwable): Boolean = isBadConn(rootCause(e))
+    def isDataError(e: Throwable): Boolean = {
+      val c = rootCause(e)
+      c.isInstanceOf[java.sql.SQLException] && !isBadConn(c)
+    }
+  }
+
+  /** Dialect-name selection — the reference binds the judger to each
+    * dialect's Table implementation. Unknown dialects get the
+    * conservative default. */
+  def forDialect(name: String): RetryJudge = name match {
+    case "mysql" => mysql
+    case "oracle" => oracle
+    case _ => dataErrorsOnly
+  }
 }
 
 /** Pluggable retry pacing — the reference wires a schedule strategy into

@@ -41,6 +41,26 @@ object BatchWriterSpec {
       e.isInstanceOf[IllegalArgumentException]
   }
 
+  /** Sink whose failures mimic a JDBC driver: a configurable transient
+    * exception for the first N batches, then a (wrapped) SQLException on
+    * any batch containing `failKey`. */
+  class JdbcishSink(failKey: String, transientFirstN: Int,
+      mkTransient: () => Throwable) extends RowSink {
+    def writeBatch(rows: Seq[Row]): Unit = {
+      if (transientFirstN > 0 && transientFailures < transientFirstN) {
+        transientFailures += 1
+        throw mkTransient()
+      }
+      if (rows.exists(_.getString(1).contains(failKey)))
+        throw new RuntimeException("statement failed",
+          new java.sql.SQLException(
+            if (rows.size > 1) "data error in batch" else "bad row",
+            "23000", 1062))
+      batches.add(rows.size)
+      written.add(rows.map(_.getString(1)))
+    }
+  }
+
   val calls = new ConcurrentLinkedQueue[String]()
   val sleeps = new ConcurrentLinkedQueue[Long]()
   val opened = new ConcurrentLinkedQueue[Int]()
@@ -114,6 +134,66 @@ class BatchWriterSpec extends SparkSpec {
       ResilientBatchWriter.write(df(5), cfg.copy(retries = 1), judge,
         _ => new RecordingSink("-none-", 100)).count()
     }
+  }
+
+  test("mysql judge: wrapped net error retries, server error degrades") {
+    reset()
+    // the first two batches die with a WRAPPED SocketException (cause
+    // walking = the reference's errors.Cause) -> whole-batch retry; the
+    // server-reported SQLException on row7 then degrades row-wise
+    val dlq = ResilientBatchWriter.write(df(20),
+      cfg.copy(ignoreOneByOneError = true), RetryJudge.mysql,
+      _ => new JdbcishSink("row7", 2, () => new RuntimeException("io",
+        new java.net.SocketException("connection reset"))))
+    assert(dlq.count() == 1)
+    assert(transientFailures == 2)
+    assert(written.asScala.flatten.size == 19)
+    assert(!written.asScala.flatten.toSeq.contains("row7"))
+  }
+
+  test("oracle judge: bad-conn retries then succeeds; never a data error") {
+    reset()
+    val dlq = ResilientBatchWriter.write(df(8), cfg, RetryJudge.oracle,
+      _ => new JdbcishSink("-none-", 2,
+        () => new java.sql.SQLRecoverableException("conn lost")))
+    assert(dlq.count() == 0)
+    assert(transientFailures == 2)
+    assert(written.asScala.flatten.size == 8)
+  }
+
+  test("oracle judge: persistent bad-conn propagates, never enters DLQ") {
+    reset()
+    // even with ignoreOneByOneError the bad-conn is not a data error, so
+    // it cannot be quarantined as a bad row — the task fails instead
+    intercept[org.apache.spark.SparkException] {
+      ResilientBatchWriter.write(df(5),
+        cfg.copy(retries = 1, ignoreOneByOneError = true), RetryJudge.oracle,
+        _ => new JdbcishSink("-none-", 100,
+          () => new java.sql.SQLRecoverableException("conn lost"))).count()
+    }
+    assert(written.asScala.isEmpty)
+  }
+
+  test("judge classifications mirror the reference's dialect tables") {
+    import RetryJudge.{mysql => mj, oracle => oj}
+    val net = new java.net.SocketException("reset")
+    val badConn = new java.sql.SQLRecoverableException("gone")
+    val server = new java.sql.SQLException("ORA-00001", "23000", 1)
+    // mysql/table.go:72-85: net OR bad-conn retries; MySQLError = data
+    assert(mj.shouldRetry(net) && mj.shouldRetry(badConn))
+    assert(mj.isDataError(server) && !mj.isDataError(badConn))
+    assert(!mj.isDataError(net))
+    // oracle/table.go:72-80: ONLY bad-conn retries (a raw net error is
+    // not IsBadConn); OraErr-and-not-bad-conn = data
+    assert(oj.shouldRetry(badConn) && !oj.shouldRetry(net))
+    assert(oj.isDataError(server) && !oj.isDataError(badConn))
+    // cause chains unwrap like errors.Cause
+    assert(oj.shouldRetry(new RuntimeException("x",
+      new RuntimeException("y", badConn))))
+    // dialect-name selection
+    assert(RetryJudge.forDialect("mysql") eq mj)
+    assert(RetryJudge.forDialect("oracle") eq oj)
+    assert(RetryJudge.forDialect("other") eq RetryJudge.dataErrorsOnly)
   }
 
   test("idle-timeout flush fires while the iterator is stalled (W2)") {
