@@ -6,7 +6,9 @@ Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 Loads every fixture parquet as a DuckDB view, runs each oracle SQL from
 <verifyOutDir>/oracle_sql.json, and compares against the Spark result
 parquet written by graft.Verify — columns sorted by name, rows sorted,
-exact value equality (the compare the driver performs).
+exact value equality AND exact column-type equality (the driver's hash
+is type-sensitive: a DuckDB HUGEINT vs Spark BIGINT mismatch fails the
+driver even when every value repr-matches — the q12 escape).
 
 This is developer tooling only; the shipped library is pure Scala/Spark.
 """
@@ -51,6 +53,31 @@ def main():
         got_rows = got.fetchall()
         if sorted(got_cols) != sorted(exp_cols):
             print(f"SCHEMA   {name}: spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # type-sensitive compare: DESCRIBE both sides through DuckDB so the
+        # same type system names both (catches HUGEINT-vs-BIGINT etc. that
+        # repr-level value compare cannot). Calibrated to the driver's
+        # observed behavior: plain integer widths are one equivalence
+        # class (Spark row_number INTEGER vs DuckDB BIGINT passes the
+        # driver), HUGEINT is NOT (its pandas conversion goes through
+        # float — the q12 escape), and any other family difference flags.
+        def tclass(t):
+            return "INT" if t in ("TINYINT", "SMALLINT", "INTEGER",
+                                  "BIGINT") else t
+        try:
+            exp_t = {r[0]: tclass(r[1])
+                     for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+            got_t = {r[0]: tclass(r[1]) for r in
+                     con.execute(f"DESCRIBE SELECT * FROM '{res_glob}'").fetchall()}
+        except Exception as e:
+            print(f"DESC-ERR {name}: {e}")
+            n_fail += 1
+            continue
+        mism = {c: (got_t.get(c), exp_t.get(c)) for c in exp_t
+                if got_t.get(c) != exp_t.get(c)}
+        if mism:
+            print(f"TYPES    {name}: spark-vs-oracle {mism}")
             n_fail += 1
             continue
         g, cols = norm(got_rows, got_cols)
