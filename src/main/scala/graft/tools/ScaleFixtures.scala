@@ -70,8 +70,47 @@ object ScaleFixtures {
       .repartition(16)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
+    // Relational tables replicate with SHIFTED KEYS so the join graph
+    // scales the way TPC-H scales: fact and association keys grow
+    // factor-x while join selectivity, group cardinality per key, and
+    // predicate selectivity stay constant (each replica is a disjoint
+    // key universe joined only to itself); region/nation stay fixed like
+    // real TPC-H dims. events is NOT replicated (TIMESTAMP(NANOS)
+    // round-trips as long, which would change the stored schema).
+    def keyMax(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val supp = spark.read.parquet(s"$src/supplier.parquet")
+    val (mo, mc, mp, ms) = (keyMax(orders, "o_orderkey"),
+      keyMax(cust, "c_custkey"), keyMax(part, "p_partkey"),
+      keyMax(supp, "s_suppkey"))
+    def replicate(df: DataFrame, out: String,
+        shifts: Map[String, Long]): Unit =
+      (0 until factor).map { i =>
+        if (i == 0) df
+        else df.select(df.columns.toSeq.map { c =>
+          shifts.get(c).fold(col(c))(m => (col(c) + lit(i * m)).as(c))
+        }: _*)
+      }.reduce(_ unionByName _)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$dst/$out.parquet")
+    replicate(orders, "orders",
+      Map("o_orderkey" -> mo, "o_custkey" -> mc))
+    replicate(li, "lineitem",
+      Map("l_orderkey" -> mo, "l_partkey" -> mp, "l_suppkey" -> ms))
+    replicate(cust, "customer", Map("c_custkey" -> mc))
+    replicate(part, "part", Map("p_partkey" -> mp))
+    replicate(supp, "supplier", Map("s_suppkey" -> ms))
+    for (t <- Seq("region", "nation")) // fixed dims, copied verbatim
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
     println(s"[scale-fixtures] $dst: documents=${nDocs * factor} " +
-      s"embeddings=${nEmb * factor} (factor $factor from $src)")
+      s"embeddings=${nEmb * factor} relational=${factor}x " +
+      s"(factor $factor from $src)")
     spark.stop()
   }
 }
