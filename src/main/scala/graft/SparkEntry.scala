@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.SplitOps.defs ++
       graft.queries.MediaOps.defs ++
       graft.queries.PrepOps.defs ++
-      graft.queries.SketchOps.defs
+      graft.queries.SketchOps.defs ++
+      graft.queries.StreamOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.SplitOps.oracles ++
       graft.queries.MediaOps.oracles ++
       graft.queries.PrepOps.oracles ++
-      graft.queries.SketchOps.oracles
+      graft.queries.SketchOps.oracles ++
+      graft.queries.StreamOps.oracles
 }

@@ -75,6 +75,30 @@ object SplitOps {
         .orderBy(col("yr"))
     }),
 
+    // S5-S9 live: the full JDBC runtime round-trip against embedded Derby
+    // (the one live DBMS on this classpath) — parquet source -> dialect
+    // DDL -> ResilientBatchWriter over real connections in Tx mode ->
+    // bounds-probed split read back (one JDBC session per slice). The
+    // oracle reads the parquet directly, so any row lost/duplicated/
+    // mistyped anywhere in the write-read cycle fails the exact compare.
+    "jdbc_live_roundtrip" -> ((s, d) => {
+      import graft.sources._
+      JdbcLive.ensureDerbyRegistered()
+      val url =
+        s"jdbc:derby:memory:graft_rt_${Integer.toHexString(d.hashCode)};create=true"
+      val src = Tables.supplier(s, d)
+      val t = TableId(name = "supplier_rt")
+      JdbcLive.dropTableIfExists(url, DerbyStyle, t)
+      JdbcLive.createTable(url, DerbyStyle, t, src.schema)
+      val dlq = JdbcLive.write(src, url, WriterConfig(table = t,
+        batchSize = 200, execMode = graft.sinks.ExecMode.Tx), DerbyStyle)
+      require(dlq.isEmpty, "live JDBC write quarantined rows")
+      JdbcLive.read(s, url, ReaderConfig(table = t,
+          split = SplitConfig(key = "s_suppkey"), numPartitions = 8),
+          DerbyStyle)
+        .orderBy(col("s_suppkey"))
+    }),
+
     // A1/A2: the bounds probe itself (fetchMin/fetchMax)
     "split_min_max_probe" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -108,6 +132,10 @@ object SplitOps {
       """SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "jdbc_live_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
 
     "split_min_max_probe" ->
       """SELECT MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.EventsPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Oracle-gated Structured-Streaming queries (SURVEY.md §2.10).
+  *
+  * The streaming surface was previously spec-only (StreamingSpec drives
+  * MemoryStream micro-batches); these entries put the SAME pipeline
+  * functions through the driver's DuckDB gate by running them as real
+  * `readStream -> writeStream` jobs over the events fixture:
+  *
+  *  - the source is the genuine file stream source (`readStream.parquet`),
+  *    `Trigger.AvailableNow` draining all files in one micro-batch so the
+  *    bounded run is deterministic (no cross-batch watermark drops — a
+  *    batch's rows are judged against the PREVIOUS batch's watermark,
+  *    which is epoch on batch one);
+  *  - the sink is a real streaming sink (parquet file sink for append,
+  *    foreachBatch batch-write for complete/update — the modes the file
+  *    sink cannot take), never the driver-side memory sink, so the data
+  *    path stays distributed end-to-end;
+  *  - the result read back from the sink must hash-match the plain batch
+  *    SQL the oracle runs — streaming-vs-batch parity, Spark's unified-API
+  *    promise, checked row-exact by the driver.
+  *
+  * Scale posture: state stores hold only window/dedup/join state (bounded
+  * by watermark horizon x key cardinality), sinks write one file per
+  * partition task; nothing round-trips through the driver.
+  */
+object StreamOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The events fixture as a file-source stream: same rows Tables.events
+    * serves in batch, arriving through the streaming scan. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = Tables.events(s, d).schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1000000) // one AvailableNow batch
+      // the fixture is a bare file; FileStreamSource needs a directory
+      // path (it forces basePath = the source path), so stream the dir
+      // filtered down to the one table's file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+  }
+
+  /** Run a streaming frame to a fresh parquet target and read the result
+    * back. Append rides the native file sink; complete/update ride
+    * foreachBatch (overwrite resp. append semantics), the file-sink
+    * analogue for the modes it cannot accept. */
+  private def runStream(s: SparkSession, out: DataFrame, name: String,
+      d: String, mode: String): DataFrame = {
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-stream/$name-${new java.io.File(d).getName}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    if (base.exists) rm(base)
+    val data = new java.io.File(base, "data").toString
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val q = mode match {
+      case "append" =>
+        out.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", data).start()
+      case "complete" =>
+        out.writeStream.outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch((df: DataFrame, _: Long) =>
+            df.write.mode("overwrite").parquet(data))
+          .start()
+      case "update" =>
+        out.writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch((df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(data))
+          .start()
+    }
+    q.awaitTermination()
+    s.read.parquet(data)
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Watermarked tumbling-window aggregation, complete mode: hourly
+    // counts + exact decimal sums per event type. Must equal the batch
+    // GROUP BY date_trunc('hour') the oracle runs.
+    "stream_tumbling_counts" -> ((s, d) => {
+      val agg = EventsPipeline.withEventTime(eventsStream(s, d))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,4)")).as("sum_dec"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("n_events"),
+          col("sum_dec").cast("double").as("sum_value"))
+      runStream(s, agg, "tumbling", d, "complete")
+        .orderBy(col("window_us"), col("event_type"))
+    }),
+
+    // Streaming dropDuplicates keyed (user_id, event_type): the deduped
+    // append stream, re-aggregated in batch, must equal COUNT(DISTINCT
+    // user_id) per type — any duplicate leaked or first-occurrence lost
+    // by the state store breaks the count.
+    "stream_dedup_users" -> ((s, d) => {
+      val deduped = EventsPipeline.dedupStream(eventsStream(s, d),
+        Seq("user_id", "event_type"))
+      runStream(s, deduped, "dedup", d, "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // mapGroupsWithState running per-user totals, update mode: the final
+    // emitted state per user must equal the batch per-user COUNT(*).
+    // (Only the count column is gated: the state's double sum is
+    // accumulation-order-dependent; StreamingSpec pins it.)
+    "stream_stateful_user_counts" -> ((s, d) => {
+      val totals = EventsPipeline.statefulUserTotals(s, eventsStream(s, d))
+      runStream(s, totals, "stateful", d, "update")
+        .select(col("user_id"), col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // The same per-user totals through Spark 4's transformWithState
+    // (StatefulProcessor + named ValueState on the RocksDB store) — the
+    // successor stateful API gated against the same batch COUNT(*).
+    "stream_tws_user_counts" -> ((s, d) => {
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(confKey)
+      s.conf.set(confKey, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      try {
+        val totals =
+          EventsPipeline.statefulUserTotalsTws(s, eventsStream(s, d))
+        runStream(s, totals, "tws", d, "update")
+          .select(col("user_id"), col("n_events"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
+    }),
+
+    // Stream-stream time-interval inner join: every (purchase, click)
+    // pair of the same user with the click at most one hour before the
+    // purchase. Append mode emits matches as both sides arrive; the pair
+    // set must equal the batch interval self-join the oracle runs.
+    "stream_interval_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val joined = EventsPipeline.purchaseClickJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+      runStream(s, joined, "ssjoin", d, "append")
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("p_time")).as("p_us"),
+          col("click_id"), unix_micros(col("c_time")).as("c_us"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_counts" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_us,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_us, event_type""".stripMargin,
+
+    "stream_dedup_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "stream_stateful_user_counts" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "stream_tws_user_counts" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS p_us,
+        |  c.event_id AS click_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS c_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |  AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |ORDER BY purchase_id, click_id""".stripMargin
+  )
+}

@@ -53,12 +53,19 @@ object RetryJudge {
     def isDataError(e: Throwable): Boolean = true
   }
 
-  /** `errors.Cause` analogue: walk to the deepest cause, so a wrapped
-    * SQLException classifies the same as a bare one. */
-  private def rootCause(e: Throwable): Throwable = {
+  /** `errors.Cause` analogue. The JVM twist: real drivers chain INTERNAL
+    * non-SQL exceptions UNDER the SQLException (Derby hangs a
+    * StandardException off every server error), so the deepest cause is
+    * the wrong level to classify at — scan every level of the chain and
+    * classify on what any of them says. */
+  private def causeChain(e: Throwable): List[Throwable] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[Throwable]
     var c = e
-    while (c.getCause != null && (c.getCause ne c)) c = c.getCause
-    c
+    var hops = 0
+    while (c != null && hops < 32 && !buf.exists(_ eq c)) {
+      buf += c; c = c.getCause; hops += 1
+    }
+    buf.toList
   }
 
   /** Go `net.Error` analogue: the JVM's network-failure family. */
@@ -84,12 +91,12 @@ object RetryJudge {
     * connections retry the WHOLE batch; any server-reported SQL error
     * (the MySQLError case) is a data error — degrade row-wise. */
   val mysql: RetryJudge = new RetryJudge {
-    def shouldRetry(e: Throwable): Boolean = {
-      val c = rootCause(e); isNetError(c) || isBadConn(c)
-    }
+    def shouldRetry(e: Throwable): Boolean =
+      causeChain(e).exists(c => isNetError(c) || isBadConn(c))
     def isDataError(e: Throwable): Boolean = {
-      val c = rootCause(e)
-      c.isInstanceOf[java.sql.SQLException] && !isBadConn(c)
+      val chain = causeChain(e)
+      chain.exists(_.isInstanceOf[java.sql.SQLException]) &&
+        !chain.exists(isBadConn)
     }
   }
 
@@ -99,10 +106,11 @@ object RetryJudge {
     * OraErr case) degrades row-wise. A bad connection is never a data
     * error — it must not reach the DLQ as a quarantined row. */
   val oracle: RetryJudge = new RetryJudge {
-    def shouldRetry(e: Throwable): Boolean = isBadConn(rootCause(e))
+    def shouldRetry(e: Throwable): Boolean = causeChain(e).exists(isBadConn)
     def isDataError(e: Throwable): Boolean = {
-      val c = rootCause(e)
-      c.isInstanceOf[java.sql.SQLException] && !isBadConn(c)
+      val chain = causeChain(e)
+      chain.exists(_.isInstanceOf[java.sql.SQLException]) &&
+        !chain.exists(isBadConn)
     }
   }
 

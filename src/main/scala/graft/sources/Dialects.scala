@@ -9,7 +9,7 @@ package graft.sources
   * props)` and driver-side pre/post statements); the parquet engine never
   * needs them, but they are the portability seam a reference user expects.
   */
-trait SqlDialect {
+trait SqlDialect extends Serializable {
   def name: String
   /** Identifier quoting: backticks for MySQL-style, double quotes for
     * Oracle-style (mysql/field.go:50-52, oracle/field.go:55-65). */

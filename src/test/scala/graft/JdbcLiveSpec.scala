@@ -1,0 +1,194 @@
+package graft
+
+import graft.sinks.{ExecMode, ResilientBatchWriter, RetryJudge}
+import graft.sources._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.util.Properties
+import scala.util.Using
+
+/** Live JDBC end-to-end over embedded Derby (in-memory databases, Derby
+  * 10.16 from the Spark classpath): the dialect builders, the split read
+  * planner, and the resilient writer executing against a REAL database —
+  * genuine connections, transactions, and SQLExceptions. This is the
+  * runtime half of S5-S9 that the pure SQL-text specs cannot reach.
+  */
+class JdbcLiveSpec extends SparkSpec {
+
+  private def memUrl(db: String) = s"jdbc:derby:memory:$db;create=true"
+  private val d = DerbyStyle
+
+  private def withConn[A](url: String)(f: java.sql.Connection => A): A =
+    Using.resource(JdbcLive.connect(url))(f)
+
+  private def exec(url: String, sql: String*): Unit =
+    withConn(url) { c =>
+      Using.resource(c.createStatement()) { st =>
+        sql.foreach(st.executeUpdate)
+      }
+    }
+
+  private def queryLongs(url: String, sql: String): Seq[Long] =
+    withConn(url) { c =>
+      Using.resource(c.createStatement()) { st =>
+        Using.resource(st.executeQuery(sql)) { rs =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (rs.next()) buf += rs.getLong(1)
+          buf.toSeq
+        }
+      }
+    }
+
+  test("live dialect registers through the public registry seam") {
+    JdbcLive.ensureDerbyRegistered()
+    JdbcLive.ensureDerbyRegistered() // idempotent, no dup panic
+    assert(Dialects("derby").quote("a") == "\"a\"")
+  }
+
+  test("live split read: bounds probe + slice predicates, one partition per slice") {
+    val url = memUrl("readdb")
+    exec(url, """create table "people"("id" bigint, "name" varchar(100))""")
+    withConn(url) { c =>
+      Using.resource(
+        c.prepareStatement("""insert into "people" values (?, ?)""")) { ps =>
+        (0 until 100).foreach { i =>
+          ps.setLong(1, i.toLong); ps.setString(2, s"name_$i")
+          ps.executeUpdate()
+        }
+      }
+    }
+    val cfg = ReaderConfig(columns = Seq("id", "name"),
+      table = TableId(name = "people"),
+      where = "\"id\" >= 10",
+      split = SplitConfig(key = "id"), numPartitions = 4)
+    val df = JdbcLive.read(spark, url, cfg, d)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 90) // user WHERE composed into every slice
+    // every slice carried rows: equal-width split over a dense key
+    val perPart = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.forall(_ > 0), perPart.mkString(","))
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (10L until 100L).sum)
+  }
+
+  test("live bounds probe: empty table -> None -> unsplit plan") {
+    val url = memUrl("emptydb")
+    exec(url, """create table "e"("id" bigint)""")
+    assert(JdbcLive.bounds(url, d, TableId(name = "e"), "id").isEmpty)
+    val cfg = ReaderConfig(table = TableId(name = "e"),
+      split = SplitConfig(key = "id"), numPartitions = 4)
+    val df = JdbcLive.read(spark, url, cfg, d)
+    assert(df.rdd.getNumPartitions == 1 && df.count() == 0)
+  }
+
+  test("live querySql passthrough: one single-partition read per statement") {
+    val url = memUrl("qsqldb")
+    exec(url, """create table "t"("v" bigint)""",
+      """insert into "t" values (1),(2),(3),(4)""")
+    val cfg = ReaderConfig(table = TableId(name = "t"), querySql = Seq(
+      """select "v" from "t" where "v" <= 2""",
+      """select "v" from "t" where "v" > 2"""))
+    val df = JdbcLive.read(spark, url, cfg, d)
+    assert(df.count() == 4)
+  }
+
+  test("live schema probe: zero-row 1=2 statement yields the table schema") {
+    val url = memUrl("probedb")
+    exec(url,
+      """create table "s"("k" bigint not null, "txt" varchar(50), """ +
+        """"amt" double, "ts" timestamp, "dec" decimal(10,2))""")
+    val schema = JdbcLive.probeSchema(url, d, TableId(name = "s"))
+    assert(schema.map(f => (f.name, f.dataType)) == Seq(
+      ("k", LongType), ("txt", StringType), ("amt", DoubleType),
+      ("ts", TimestampType), ("dec", DecimalType(10, 2))))
+    assert(!schema("k").nullable && schema("txt").nullable)
+  }
+
+  test("live write: Tx batches through ResilientBatchWriter land exactly once") {
+    val url = memUrl("writedb")
+    JdbcLive.createTable(url, d, TableId(name = "sink_tbl"), StructType(Seq(
+      StructField("id", LongType), StructField("label", StringType),
+      StructField("ts", TimestampType))))
+    import spark.implicits._
+    val df = (0 until 57).map(i =>
+        (i.toLong, s"row_$i", java.sql.Timestamp.valueOf(s"2026-01-01 00:00:${i % 60}")))
+      .toDF("id", "label", "ts").repartition(3)
+    val cfg = WriterConfig(table = TableId(name = "sink_tbl"),
+      execMode = ExecMode.Tx, batchSize = 10)
+    val dlq = JdbcLive.write(df, url, cfg, d)
+    assert(dlq.count() == 0)
+    assert(queryLongs(url, """select count(*) from "sink_tbl"""") == Seq(57L))
+    assert(queryLongs(url, """select sum("id") from "sink_tbl"""")
+      == Seq((0L until 57L).sum))
+    // timestamps round-tripped through the bind path
+    assert(queryLongs(url,
+      """select count(*) from "sink_tbl" where "ts" is null""") == Seq(0L))
+  }
+
+  test("live degrade: real constraint violations quarantine row-wise to the DLQ") {
+    val url = memUrl("dlqdb")
+    JdbcLive.createTable(url, d, TableId(name = "uniq_tbl"), StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      primaryKey = Seq("id"))
+    import spark.implicits._
+    // ids 0..19 plus dups of 5 and 7 -> two genuine
+    // SQLIntegrityConstraintViolationExceptions from Derby
+    val rows = ((0 until 20).map(i => (i.toLong, s"v$i")) ++
+      Seq((5L, "dup5"), (7L, "dup7"))).toDF("id", "v").coalesce(1)
+    val cfg = WriterConfig(table = TableId(name = "uniq_tbl"),
+      batchSize = 100, ignoreOneByOneError = true)
+    val dlq = JdbcLive.write(rows, url, cfg, d)
+    assert(dlq.count() == 2)
+    val errs = dlq.collect().map(_.getString(1)).toSeq
+    assert(errs.forall(_.toLowerCase.contains("duplicate key")), errs)
+    assert(queryLongs(url, """select count(*) from "uniq_tbl"""") == Seq(20L))
+  }
+
+  test("live judge: Derby's SQLException classifies as data error, not retry") {
+    val e = intercept[java.sql.SQLException] {
+      exec(memUrl("judgedb"), "create table nope syntax error")
+    }
+    val judge = RetryJudge.forDialect("mysql")
+    assert(!judge.shouldRetry(e) && judge.isDataError(e))
+  }
+
+  test("live tx rollback: a failed Tx batch leaves no partial rows behind") {
+    val url = memUrl("txdb")
+    JdbcLive.createTable(url, d, TableId(name = "tx_tbl"), StructType(Seq(
+      StructField("id", LongType))), primaryKey = Seq("id"))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val sink = new JdbcRowSink(url, d, TableId(name = "tx_tbl"), schema)
+    sink.open(0)
+    try {
+      def gr(v: Long): Row =
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](v), schema)
+      sink.begin()
+      sink.writeBatch(Seq(gr(1L)))
+      intercept[java.sql.SQLException] { sink.writeBatch(Seq(gr(1L))) }
+      sink.rollback()
+      assert(queryLongs(url, """select count(*) from "tx_tbl"""") == Seq(0L))
+      sink.begin(); sink.writeBatch(Seq(gr(1L), gr(2L))); sink.commit()
+      assert(queryLongs(url, """select count(*) from "tx_tbl"""") == Seq(2L))
+    } finally sink.close()
+  }
+
+  test("live roundtrip: parquet -> batch writer -> split read-back matches source") {
+    val url = memUrl("rtdb")
+    val src = spark.read.parquet(s"$Sf0/supplier.parquet")
+    JdbcLive.dropTableIfExists(url, d, TableId(name = "supplier_rt"))
+    JdbcLive.createTable(url, d, TableId(name = "supplier_rt"), src.schema)
+    val dlq = JdbcLive.write(src, url,
+      WriterConfig(table = TableId(name = "supplier_rt"), batchSize = 50), d)
+    assert(dlq.count() == 0)
+    val back = JdbcLive.read(spark, url,
+      ReaderConfig(table = TableId(name = "supplier_rt"),
+        split = SplitConfig(key = "s_suppkey"), numPartitions = 4), d)
+    assert(back.count() == src.count())
+    val a = back.orderBy("s_suppkey").collect().toSeq
+    val b = src.orderBy("s_suppkey").collect().toSeq
+      .map(r => Row(r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(a == b)
+  }
+}
