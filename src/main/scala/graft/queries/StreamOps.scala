@@ -62,7 +62,17 @@ object StreamOps {
     if (base.exists) rm(base)
     val data = new java.io.File(base, "data").toString
     val ckpt = new java.io.File(base, "ckpt").toString
-    val q = mode match {
+    // Stateful streaming cost scales with state-store instances =
+    // shuffle partitions (a stream-stream join keeps FOUR stores per
+    // partition, each check-pointed every micro-batch): cap the
+    // streaming job's parallelism so a bounded gate run isn't dominated
+    // by empty-store checkpoint IO. Restored after the run — batch
+    // queries keep the session's setting. At production scale this knob
+    // is sized to state volume, not fixed.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsKey)
+    s.conf.set(partsKey, math.min(8, prevParts.toInt).toString)
+    val q = try mode match {
       case "append" =>
         out.writeStream.outputMode("append")
           .option("checkpointLocation", ckpt)
@@ -82,7 +92,7 @@ object StreamOps {
           .foreachBatch((df: DataFrame, _: Long) =>
             df.write.mode("append").parquet(data))
           .start()
-    }
+    } finally s.conf.set(partsKey, prevParts)
     q.awaitTermination()
     s.read.parquet(data)
   }
@@ -148,6 +158,22 @@ object StreamOps {
       }
     }),
 
+    // Session windows (30-min gap) in APPEND mode — the strictest
+    // emission semantics: a session is released only once the watermark
+    // (max event time - 10 min) proves it closed, so the gate pins BOTH
+    // the gap-merge logic and the append-mode finalization rule. The
+    // oracle recomputes sessions via gaps-and-islands SQL and applies
+    // the same session_end <= final-watermark emission filter.
+    "stream_session_windows" -> ((s, d) => {
+      val sess = EventsPipeline.sessionWindows(eventsStream(s, d))
+      runStream(s, sess, "session", d, "append")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
     // Stream-stream time-interval inner join: every (purchase, click)
     // pair of the same user with the click at most one hour before the
     // purchase. Append mode emits matches as both sides arrive; the pair
@@ -183,6 +209,30 @@ object StreamOps {
     "stream_tws_user_counts" ->
       """SELECT user_id, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "stream_session_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |), flags AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |         OR us - LAG(us) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), sess AS (
+        |  SELECT user_id, us, SUM(new_s) OVER
+        |    (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags
+        |), agg AS (
+        |  SELECT user_id, MIN(us) AS session_start_us,
+        |    MAX(us) + 1800000000 AS session_end_us,
+        |    COUNT(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid
+        |)
+        |SELECT user_id, session_start_us, session_end_us, n_events FROM agg
+        |WHERE session_end_us <= (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+        |                         - 600000000 FROM events)
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
