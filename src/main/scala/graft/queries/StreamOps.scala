@@ -37,13 +37,15 @@ object StreamOps {
     * serves in batch, arriving through the streaming scan. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     val schema = Tables.events(s, d).schema
-    s.readStream.schema(schema)
+    val reader = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1000000) // one AvailableNow batch
+    val path = new java.io.File(d, "events.parquet")
+    if (path.isDirectory) reader.parquet(path.toString)
+    else
       // the fixture is a bare file; FileStreamSource needs a directory
       // path (it forces basePath = the source path), so stream the dir
       // filtered down to the one table's file
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+      reader.option("pathGlobFilter", "events.parquet").parquet(d)
   }
 
   /** Run a streaming frame to a fresh parquet target and read the result

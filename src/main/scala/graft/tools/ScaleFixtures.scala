@@ -33,6 +33,7 @@ object ScaleFixtures {
       .master("local[8]")
       .appName("graft-scale-fixtures")
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,8 +76,7 @@ object ScaleFixtures {
     // factor-x while join selectivity, group cardinality per key, and
     // predicate selectivity stay constant (each replica is a disjoint
     // key universe joined only to itself); region/nation stay fixed like
-    // real TPC-H dims. events is NOT replicated (TIMESTAMP(NANOS)
-    // round-trips as long, which would change the stored schema).
+    // real TPC-H dims.
     def keyMax(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1
     val orders = spark.read.parquet(s"$src/orders.parquet")
@@ -107,6 +107,19 @@ object ScaleFixtures {
     for (t <- Seq("region", "nation")) // fixed dims, copied verbatim
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // events: replicas shift event_id/user_id into disjoint universes
+    // but keep the SAME time window, so event density — and therefore
+    // watermark-horizon state volume for the streaming queries (window/
+    // session/join state per key-partition) — grows factor-x, which is
+    // exactly the axis streaming state scales on. Caveat: the source
+    // column is TIMESTAMP(NANOS), which this session reads as epoch-ns
+    // long (nanosAsLong) and re-writes as plain int64 — every engine
+    // query handles either physical type, but the derived dir is for
+    // bench slopes only (DuckDB oracles expect the ns-typed original).
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val (me, mu) = (keyMax(ev, "event_id"), keyMax(ev, "user_id"))
+    replicate(ev, "events", Map("event_id" -> me, "user_id" -> mu))
 
     println(s"[scale-fixtures] $dst: documents=${nDocs * factor} " +
       s"embeddings=${nEmb * factor} relational=${factor}x " +
