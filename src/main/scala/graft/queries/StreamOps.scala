@@ -176,6 +176,28 @@ object StreamOps {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // Stream-static broadcast enrichment: the purchase stream joined to
+    // the static customer dimension (stateless map-side broadcast join —
+    // no state store), append mode through the file sink; the enriched
+    // rows re-aggregated per nation must equal the batch join the oracle
+    // runs. Covers the one streaming join family the stream-stream gates
+    // don't: bounded dim vs unbounded stream.
+    "stream_static_enrich" -> ((s, d) => {
+      val ev = EventsPipeline.withEventTime(eventsStream(s, d))
+        .filter(col("event_type") === "purchase")
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val enriched = EventsPipeline
+        .enrichWithDim(ev, dim, "user_id", "c_custkey")
+        .select(col("event_id"), col("c_nationkey"), col("value"))
+      runStream(s, enriched, "enrich", d, "append")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(12,4)"))
+            .cast("double").as("sum_value"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Stream-stream time-interval inner join: every (purchase, click)
     // pair of the same user with the click at most one hour before the
     // purchase. Append mode emits matches as both sides arrive; the pair
@@ -235,6 +257,13 @@ object StreamOps {
         |WHERE session_end_us <= (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)))
         |                         - 600000000 FROM events)
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "stream_static_enrich" ->
+      """SELECT c.c_nationkey, COUNT(*) AS n_purchases,
+        |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
 
     "stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,

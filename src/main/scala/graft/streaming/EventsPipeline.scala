@@ -195,6 +195,19 @@ object EventsPipeline {
         col("click_id"), col("c_time"))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * the (bounded) dimension frame — the streaming face of the dimension
+    * lookup a reference user runs by pointing `querySql` at a dim table.
+    * The dim side is marked broadcast so no stateful shuffle exists: the
+    * join is stateless map-side work, the 100 TB-right shape for a
+    * high-volume stream against a small dimension (re-broadcast per
+    * micro-batch picks up dim updates between triggers). `joinType`
+    * "inner" or "left_outer" (unmatched stream rows survive with null
+    * dim columns — both are stateless for stream-static). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String, joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), joinType)
+
   /** Streaming replace-mode sink: each micro-batch upserts by key into a
     * parquet target (partition-pruned when `partitionBy` is set).
     * foreachBatch is at-least-once; upsert-by-key is idempotent, so the

@@ -152,6 +152,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter($"event_id" === 1).head.getDouble(2) == 1.0)
   }
 
+  test("stream-static left enrich keeps unmatched rows with null dim cols") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val q = EventsPipeline.enrichWithDim(df, dim, "user_id", "cust_id",
+        "left_outer")
+      .select($"event_id", $"user_id", $"tier")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    val t0 = 1700000000000000000L
+    // user 9 has no dim row: a left enrich must keep it, tier null;
+    // an unmatched row silently dropped would break at-ingest lineage
+    mem.addData((1L, t0, 1L, "click", 1.0), (2L, t0, 9L, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData((3L, t0 + 1000L, 2L, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enrich_out")
+      .select($"event_id", $"tier").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, Some("gold")), (2L, None), (3L, Some("silver"))))
+  }
+
   test("stream-stream interval join matches clicks in the window only") {
     implicit val sq = spark.sqlContext
     val pm = MemoryStream[(Long, Long, Long)]
