@@ -24,6 +24,7 @@ object EventOps {
   private val FiveMinUs = 300000000L
   private val SessionGapUs = 1800000000L // 30 min
   private val HourUs = 3600000000L
+  private val SevenDaysUs = 7L * 86400000000L
 
   val defs: Map[String, Q] = Map(
     // batch analogue of the streaming LEFT OUTER interval join
@@ -270,10 +271,50 @@ object EventOps {
         .select(col("event_id"), col("event_type"), col("value"),
           col("lo"), col("hi"))
         .orderBy(col("event_id"))
+    }),
+
+    // strict sequential funnel view -> click -> purchase per user inside
+    // a 7-day conversion window from the first view: stage i matches the
+    // earliest stage-i event strictly after the stage i-1 match. Exact
+    // integer microsecond arithmetic; the oracle mirrors the cascade with
+    // chained CTEs.
+    "events_funnel" -> ((s, d) => {
+      graft.operators.Funnel.report(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_type"),
+              expr("ts div 1000").as("us")),
+          "user_id", "event_type", col("us"),
+          Seq("view", "click", "purchase"), SevenDaysUs)
+        .orderBy(col("stage_idx"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+         |), v AS (
+         |  SELECT user_id, MIN(us) AS t0 FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id
+         |), c AS (
+         |  SELECT e.user_id, t0, MIN(e.us) AS t1
+         |  FROM e JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.us > t0
+         |    AND e.us <= t0 + $SevenDaysUs
+         |  GROUP BY e.user_id, t0
+         |), p AS (
+         |  SELECT e.user_id, t0, t1, MIN(e.us) AS t2
+         |  FROM e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.us > t1
+         |    AND e.us <= t0 + $SevenDaysUs
+         |  GROUP BY e.user_id, t0, t1
+         |)
+         |SELECT 0 AS stage_idx, 'view' AS stage,
+         |  (SELECT COUNT(*) FROM v) AS n_entities
+         |UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM c)
+         |UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM p)
+         |ORDER BY stage_idx""".stripMargin,
+
     "events_outlier_iqr" ->
       """WITH f AS (SELECT event_type AS g,
         |    quantile_cont(value, 0.25) - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) AS lo,
