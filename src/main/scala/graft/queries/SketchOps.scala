@@ -60,6 +60,40 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // SCD Type-2 dimension maintenance through the versioned lake:
+    // supplier seeds the dim at version 1; a deterministic change batch
+    // (acctbal bump for suppkey%7, a no-op redelivery slice for
+    // suppkey%5, brand-new keys for suppkey%11 shifted +10000) applies
+    // at version 2 — changed keys close their old row and open a new
+    // current one, no-op keys must NOT spawn versions. Both states are
+    // real lake commits (time travel serves dimension-as-of). The
+    // oracle reconstructs the exact post-batch state relationally.
+    "versioned_scd2" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      import graft.operators.Scd2
+      val root = java.nio.file.Files.createTempDirectory("scd2")
+        .toString + "/t"
+      val sup = Tables.supplier(s, d)
+      val k = col("s_suppkey")
+      VersionedTable.write(Scd2.init(sup, 1L), root)
+      val changes = sup.filter(k % 7 === 0 || k % 5 === 0)
+        .withColumn("s_acctbal",
+          when(k % 7 === 0, col("s_acctbal") + 100.0)
+            .otherwise(col("s_acctbal")))
+        .unionByName(sup.filter(k % 11 === 0)
+          .withColumn("s_suppkey", k + 10000))
+      val next = Scd2.applyChanges(VersionedTable.read(s, root),
+        changes, Seq("s_suppkey"), 2L)
+      VersionedTable.write(next, root)
+      val result = VersionedTable.read(s, root)
+        .orderBy(col("s_suppkey"), col("effective_from"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // row-level CDC over the versioned table, end-to-end: v0 = the
     // documents table, v1 = an upsert (updates + inserts), v2 = a
     // predicate delete; diff(v0 -> v2) must emit exactly the NET
@@ -313,6 +347,23 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "versioned_scd2" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+        |  CAST(1 AS BIGINT) AS effective_from,
+        |  CASE WHEN s_suppkey % 7 = 0 THEN CAST(2 AS BIGINT) END
+        |    AS effective_to,
+        |  s_suppkey % 7 <> 0 AS is_current
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 100.0,
+        |  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM supplier WHERE s_suppkey % 7 = 0
+        |UNION ALL
+        |SELECT s_suppkey + 10000, s_name, s_nationkey, s_acctbal,
+        |  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM supplier WHERE s_suppkey % 11 = 0
+        |ORDER BY s_suppkey, effective_from""".stripMargin,
+
     "versioned_upsert_read" ->
       """WITH latest AS (
         |  SELECT source,
