@@ -176,6 +176,63 @@ object StreamOps {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // Streaming -> live JDBC, the two round-5 pillars composed end-to-
+    // end: a watermarked hourly aggregation in UPDATE mode flows through
+    // foreachBatch -> ResilientBatchWriter (Tx mode) -> JdbcUpsertRowSink
+    // into a keyed Derby table. foreachBatch is at-least-once;
+    // replace-by-key is idempotent, so the composition is exactly-once
+    // per key — the table read back over a split JDBC scan must equal
+    // the plain batch aggregation. Any duplicate emission, lost window,
+    // or non-atomic delete+insert breaks the exact compare.
+    "stream_jdbc_sink" -> ((s, d) => {
+      import graft.sources._
+      JdbcLive.ensureDerbyRegistered()
+      val url =
+        s"jdbc:derby:memory:graft_ss_${Integer.toHexString(d.hashCode)};create=true"
+      val t = TableId(name = "hourly_counts")
+      val agg = EventsPipeline.withEventTime(eventsStream(s, d))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,4)")).as("sum_dec"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("n_events"),
+          col("sum_dec").cast("double").as("sum_value"))
+      val keys = Seq("window_us", "event_type")
+      // hoisted: the sink factory must capture the schema VALUE, not the
+      // streaming Dataset (a captured Dataset fails task serialization)
+      val sinkSchema = agg.schema
+      JdbcLive.dropTableIfExists(url, DerbyStyle, t)
+      JdbcLive.createTable(url, DerbyStyle, t, sinkSchema, primaryKey = keys)
+      val base = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-stream/jdbcsink-${new java.io.File(d).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      if (base.exists) rm(base)
+      val dlq = new java.io.File(base, "dlq").toString
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, math.min(8, prevParts.toInt).toString)
+      val q = try EventsPipeline.resilientSink(agg,
+          WriterConfig(table = t, batchSize = 200,
+            execMode = graft.sinks.ExecMode.Tx),
+          graft.sinks.RetryJudge.forDialect(DerbyStyle.name),
+          _ => new JdbcUpsertRowSink(url, DerbyStyle, t, sinkSchema, keys),
+          dlq)
+        .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      finally s.conf.set(partsKey, prevParts)
+      q.awaitTermination()
+      require(!new java.io.File(dlq).exists, "JDBC stream sink quarantined rows")
+      JdbcLive.read(s, url, ReaderConfig(table = t,
+          split = SplitConfig(key = "window_us"), numPartitions = 4),
+          DerbyStyle)
+        .orderBy(col("window_us"), col("event_type"))
+    }),
+
     // Stream-static broadcast enrichment: the purchase stream joined to
     // the static customer dimension (stateless map-side broadcast join —
     // no state store), append mode through the file sink; the enriched
@@ -257,6 +314,12 @@ object StreamOps {
         |WHERE session_end_us <= (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)))
         |                         - 600000000 FROM events)
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "stream_jdbc_sink" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_us,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_us, event_type""".stripMargin,
 
     "stream_static_enrich" ->
       """SELECT c.c_nationkey, COUNT(*) AS n_purchases,

@@ -121,6 +121,24 @@ trait SqlDialect extends Serializable {
         }
       }.toArray[Any]
     }
+
+  /** Batch key-delete, the first half of the delete+insert upsert (the
+    * operational meaning of MySQL `replace into`, mysql/table.go:63-69:
+    * conflicting rows are deleted, then the new images inserted — run
+    * inside one transaction the pair IS an atomic batch upsert, and it
+    * stays a 2-statement batch on engines with no native multi-row
+    * MERGE source, e.g. Derby). One `(k1 = ? and k2 = ?)` disjunct per
+    * row; bind args come from [[rowBindArgs]] over the key projection. */
+  def deleteByKeysSql(t: TableId,
+      keys: Seq[(String, org.apache.spark.sql.types.DataType)],
+      rows: Int): String = {
+    val one = (i: Int) =>
+      keys.zipWithIndex.map { case ((k, dt), j) =>
+        s"${quote(k)} = ${bindVarTyped(i * keys.size + j, dt)}"
+      }.mkString("(", " and ", ")")
+    s"delete from ${quoteTable(t)}" +
+      s" where ${(0 until rows).map(one).mkString(" or ")}"
+  }
 }
 
 /** MySQL-style dialect: backticks, `?`, and `replace into` upsert

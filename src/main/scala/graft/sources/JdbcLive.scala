@@ -208,21 +208,27 @@ object JdbcLive {
   * ([[SqlDialect.rowBindArgs]]: '' IS NULL, to_date-wrapped temporals).
   * The transaction seams map 1:1 onto JDBC autocommit control, so
   * [[ExecMode]] Tx/StmtTx run genuine transactions. */
-final class JdbcRowSink(url: String, dialect: SqlDialect, table: TableId,
+class JdbcRowSink(url: String, dialect: SqlDialect, table: TableId,
     schema: StructType) extends RowSink {
 
-  @transient private var conn: Connection = _
-  @transient private var stmts: mutable.HashMap[Int, PreparedStatement] = _
-  private val colsTyped = schema.fields.toSeq.map(f => (f.name, f.dataType))
+  @transient protected var conn: Connection = _
+  @transient private var stmts: mutable.HashMap[(String, Int), PreparedStatement] = _
+  protected val colsTyped: Seq[(String, DataType)] =
+    schema.fields.toSeq.map(f => (f.name, f.dataType))
 
   override def open(partitionId: Int): Unit = {
     conn = JdbcLive.connect(url)
     stmts = mutable.HashMap.empty
   }
 
+  /** Prepared statements cached per (kind, batch size) — reused across
+    * same-size batches, the reference's stmt reuse (db.go:280-309). */
+  protected def preparedFor(kind: String, rows: Int)(
+      sql: => String): PreparedStatement =
+    stmts.getOrElseUpdate((kind, rows), conn.prepareStatement(sql))
+
   private def prepared(rows: Int): PreparedStatement =
-    stmts.getOrElseUpdate(rows,
-      conn.prepareStatement(dialect.insertSqlTyped(table, colsTyped, rows)))
+    preparedFor("insert", rows)(dialect.insertSqlTyped(table, colsTyped, rows))
 
   def writeBatch(rows: Seq[Row]): Unit = if (rows.nonEmpty) {
     val ps = prepared(rows.size)
@@ -241,5 +247,36 @@ final class JdbcRowSink(url: String, dialect: SqlDialect, table: TableId,
   override def close(): Unit = {
     if (stmts != null) { stmts.values.foreach(_.close()); stmts.clear() }
     if (conn != null) conn.close()
+  }
+}
+
+/** Upsert-by-key [[RowSink]]: each batch deletes the incoming keys then
+  * inserts the new images — the operational semantics of MySQL
+  * `replace into` (mysql/table.go:63-69), expressed as two statements
+  * because Derby's MERGE takes only base-table sources. Under
+  * [[graft.sinks.ExecMode.Tx]] the pair commits atomically, and because
+  * replace-by-key is idempotent the sink composes with at-least-once
+  * delivery (streaming foreachBatch redelivery, whole-batch retries)
+  * into exactly-once-per-key effects. */
+final class JdbcUpsertRowSink(url: String, dialect: SqlDialect,
+    table: TableId, schema: StructType, keys: Seq[String])
+    extends JdbcRowSink(url, dialect, table, schema) {
+
+  require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
+    s"upsert keys $keys must be columns of ${schema.fieldNames.toSeq}")
+  private val keyIdx = keys.map(schema.fieldIndex)
+  private val keySchema = StructType(keyIdx.map(schema.fields))
+  private val keysTyped = keySchema.fields.toSeq.map(f => (f.name, f.dataType))
+
+  override def writeBatch(rows: Seq[Row]): Unit = if (rows.nonEmpty) {
+    val del = preparedFor("delete", rows.size)(
+      dialect.deleteByKeysSql(table, keysTyped, rows.size))
+    val keyRows = rows.map(r => new org.apache.spark.sql.catalyst.expressions
+      .GenericRowWithSchema(keyIdx.map(r.get).toArray, keySchema): Row)
+    val delArgs = dialect.rowBindArgs(keyRows)
+    var i = 0
+    while (i < delArgs.length) { del.setObject(i + 1, delArgs(i)); i += 1 }
+    del.executeUpdate()
+    super.writeBatch(rows)
   }
 }

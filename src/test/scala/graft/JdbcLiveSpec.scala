@@ -126,6 +126,43 @@ class JdbcLiveSpec extends SparkSpec {
       """select count(*) from "sink_tbl" where "ts" is null""") == Seq(0L))
   }
 
+  test("live upsert sink: replace-by-key is idempotent across redeliveries") {
+    val url = memUrl("upsertdb")
+    val t = TableId(name = "ups_tbl")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("n", DoubleType)))
+    JdbcLive.createTable(url, d, t, schema, primaryKey = Seq("k"))
+    import spark.implicits._
+    val cfg = WriterConfig(table = t, execMode = ExecMode.Tx, batchSize = 3)
+    // local copy: the sink factory must not capture the spec instance
+    val dial = DerbyStyle
+    def put(rows: (Long, String, Double)*): Unit = {
+      val dlq = ResilientBatchWriter.write(
+        rows.toDF("k", "v", "n").repartition(2), cfg,
+        RetryJudge.forDialect(dial.name),
+        _ => new JdbcUpsertRowSink(url, dial, t, schema, Seq("k")))
+      assert(dlq.count() == 0)
+    }
+    put((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    // overlapping redelivery: 2 updated, 3 identical, 4 new
+    put((2L, "B", 20.0), (3L, "c", 3.0), (4L, "d", 4.0))
+    // exact redelivery of the whole second batch (at-least-once replay)
+    put((2L, "B", 20.0), (3L, "c", 3.0), (4L, "d", 4.0))
+    assert(queryLongs(url, """select count(*) from "ups_tbl"""") == Seq(4L))
+    assert(queryLongs(url,
+      """select cast(sum("n") as bigint) from "ups_tbl"""") == Seq(28L))
+    val v2 = withConn(url) { c =>
+      Using.resource(c.createStatement()) { st =>
+        Using.resource(
+          st.executeQuery("""select "v" from "ups_tbl" where "k" = 2""")) {
+          rs => rs.next(); rs.getString(1)
+        }
+      }
+    }
+    assert(v2 == "B")
+  }
+
   test("live degrade: real constraint violations quarantine row-wise to the DLQ") {
     val url = memUrl("dlqdb")
     JdbcLive.createTable(url, d, TableId(name = "uniq_tbl"), StructType(Seq(

@@ -30,6 +30,19 @@ class SourcesSpec extends SparkSpec {
       == "replace into `t`(`a`) values (?)")
   }
 
+  test("delete-by-keys SQL: per-row key disjuncts, typed binds (upsert half)") {
+    import org.apache.spark.sql.types._
+    val small = TableId(name = "t")
+    assert(MySqlStyle.deleteByKeysSql(small,
+        Seq(("k", LongType), ("s", StringType)), 2)
+      == "delete from `t` where (`k` = ? and `s` = ?) or (`k` = ? and `s` = ?)")
+    // oracle-style: positional :n continues across rows and time keys
+    // get the conversion-wrapped bind like every other write path
+    assert(OracleStyle.deleteByKeysSql(small, Seq(("d", DateType)), 2)
+      == "delete from \"t\" where (\"d\" = to_date(:1,'yyyy-mm-dd hh24:mi:ss'))" +
+        " or (\"d\" = to_date(:2,'yyyy-mm-dd hh24:mi:ss'))")
+  }
+
   test("oracle-style quoting and :n bind vars (S6/S9)") {
     val small = TableId(name = "t")
     assert(OracleStyle.insertSql(small, Seq("a", "b"), 2)
