@@ -126,6 +126,32 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // the distributed-BPE core, oracle-exact: frequency-weighted adjacent
+    // symbol-pair counts over the char+</w> vocabulary — the statistic
+    // every training iteration argmaxes. Total deterministic order so the
+    // top-20 cut is stable.
+    "bpe_pair_counts" -> ((s, d) => {
+      graft.operators.Bpe.pairCounts(graft.operators.Bpe.asSymbols(
+          graft.operators.Bpe.wordCounts(Tables.documents(s, d), col("text"))))
+        .orderBy(col("weight").desc, col("a"), col("b")).limit(20)
+    }),
+
+    // end-to-end BPE: train 20 merges on the corpus vocabulary (20
+    // pair-count shuffles + 20 one-row argmaxes; the corpus is scanned
+    // once), then tokenize every document with the learned merges via the
+    // rank-order native encode. Merge list is deterministic
+    // (weight DESC, a, b tie-break — partitioning-invariant, spec'd), but
+    // BPE itself is not SQL-expressible -> rows-only gate + BpeSpec
+    // parity against a single-node reference implementation.
+    "text_bpe_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.train(docs, col("text"), 20)
+      val toks = graft.operators.Bpe.tokens(col("text"), merges)
+      docs.select(col("doc_id"), size(toks).as("n_bpe_tokens"),
+          size(array_distinct(toks)).as("n_distinct_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_quality" -> ((s, d) => {
       TextAnalysis.qualityFeatures(Tables.documents(s, d), col("text"))
         .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"),
@@ -505,6 +531,23 @@ object TextDedup {
         |    AS n_subword_units,
         |  length(text) AS len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "bpe_pair_counts" ->
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS wc FROM (
+        |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w
+        |), syms AS (
+        |  SELECT wc, list_append(string_split(w, ''), '</w>') AS sym
+        |  FROM words
+        |), pairs AS (
+        |  SELECT pz[1] AS a, pz[2] AS b, wc FROM (
+        |    SELECT UNNEST(list_zip(sym[1:len(sym)-1], sym[2:len(sym)])) AS pz,
+        |      wc
+        |    FROM syms)
+        |)
+        |SELECT a, b, CAST(SUM(wc) AS BIGINT) AS weight FROM pairs
+        |GROUP BY a, b ORDER BY weight DESC, a, b LIMIT 20""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
