@@ -60,6 +60,33 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // bloom-filter file skipping: documents committed hash-partitioned
+    // by SOURCE, so every file's doc_id range overlaps every other and
+    // min/max stats can never prune a doc_id point lookup — the per-file
+    // bloom over doc_id (opted in via lake.bloom.cols) is what skips.
+    // The result is pruning-independent (readWhere re-filters rows), so
+    // the oracle checks values; BLOOM pruning itself is spec-asserted
+    // via inputFiles in VersionedTableSpec.
+    "versioned_bloom_skip" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("vb")
+        .toString + "/t"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val confKey = "spark.graft.lake.bloom.cols"
+      s.conf.set(confKey, "doc_id")
+      try VersionedTable.write(docs.repartition(8, col("source")), root)
+      finally s.conf.unset(confKey)
+      val result = VersionedTable.readWhere(s, root,
+          col("doc_id").isin(7L, 123L, 250L, 444L))
+        .orderBy(col("doc_id"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // SCD Type-2 dimension maintenance through the versioned lake:
     // supplier seeds the dim at version 1; a deterministic change batch
     // (acctbal bump for suppkey%7, a no-op redelivery slice for
@@ -347,6 +374,10 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "versioned_bloom_skip" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 123, 250, 444) ORDER BY doc_id""".stripMargin,
+
     "versioned_scd2" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
         |  CAST(1 AS BIGINT) AS effective_from,

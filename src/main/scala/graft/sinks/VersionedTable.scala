@@ -58,9 +58,14 @@ object VersionedTable {
 
   /** Per-file column statistics carried in the manifest: canonical-string
     * min/max (absent when the file's column is all-null, the type is
-    * non-atomic, or the values are NaN/Inf) + null presence. */
+    * non-atomic, or the values are NaN/Inf) + null presence + an optional
+    * bloom filter over the file's values (only for columns opted in via
+    * `spark.graft.lake.bloom.cols` — equality/IN point lookups on
+    * high-cardinality unclustered columns, where overlapping min/max
+    * ranges never prune, skip files through it). */
   private[sinks] final case class ColStat(min: Option[String],
-      max: Option[String], hasNulls: Boolean)
+      max: Option[String], hasNulls: Boolean,
+      bloom: Option[Array[Byte]] = None)
   private[sinks] type FileStats = Map[String, ColStat]
 
   private final case class Manifest(schema: StructType, files: Seq[String],
@@ -71,7 +76,9 @@ object VersionedTable {
       .map { case (c, st) => c -> JObject(
         st.min.map(v => "m" -> (JString(v): JValue)).toList ++
         st.max.map(v => "M" -> (JString(v): JValue)).toList ++
-        List("n" -> (JBool(st.hasNulls): JValue))) })))
+        List("n" -> (JBool(st.hasNulls): JValue)) ++
+        st.bloom.map(b => "b" -> (JString(
+          java.util.Base64.getEncoder.encodeToString(b)): JValue)).toList) })))
 
   private def statsFromJson(j: String): FileStats =
     JsonMethods.parse(j) match {
@@ -80,7 +87,9 @@ object VersionedTable {
         c -> ColStat(
           f.get("m").collect { case JString(s) => s },
           f.get("M").collect { case JString(s) => s },
-          f.get("n").collect { case JBool(b) => b }.getOrElse(true))
+          f.get("n").collect { case JBool(b) => b }.getOrElse(true),
+          f.get("b").collect { case JString(s) =>
+            java.util.Base64.getDecoder.decode(s) })
       }.toMap
       case _ => Map.empty
     }
@@ -291,7 +300,23 @@ object VersionedTable {
         fst.get(att.name).forall(_.hasNulls)
       case _ => true // unsupported shape: keep the file
     }
-    // literal = attr within [min, max]?
+    // literal = attr: inside [min, max] AND (when the column carries a
+    // bloom) possibly present by filter probe. The probe hashes the
+    // literal exactly as the build side hashed column values (XxHash64
+    // over the same Spark type — consulted only when the analyzed
+    // literal's type equals the column type, which type coercion
+    // guarantees for any comparison that resolved), so a negative is
+    // PROOF of absence; false positives just keep the file.
+    def bloomMay(cn: String, v: Any, ldt: DataType): Boolean =
+      fst.get(cn).flatMap(_.bloom) match {
+        case Some(bytes) if types.get(cn).contains(ldt) =>
+          val h = new XxHash64(Seq(Literal(v, ldt))).eval(null)
+            .asInstanceOf[Long]
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .mightContainLong(h)
+        case _ => true
+      }
     def eqMay(a: Expression, b: Expression, nullSafe: Boolean): Boolean =
       leaf(a, b).orElse(leaf(b, a)) match {
         case Some((cn, null, _)) =>
@@ -299,7 +324,7 @@ object VersionedTable {
         case Some((cn, v, ldt)) =>
           val lo = cmp(v, ldt, fst.get(cn).flatMap(_.min), cn)
           val hi = cmp(v, ldt, fst.get(cn).flatMap(_.max), cn)
-          lo.forall(_ >= 0) && hi.forall(_ <= 0)
+          lo.forall(_ >= 0) && hi.forall(_ <= 0) && bloomMay(cn, v, ldt)
         case None => true
       }
     // attrOpLit: does some value in [min,max] satisfy (value op lit)?
@@ -729,9 +754,20 @@ object VersionedTable {
     val cols = schema.fields.filter(fd => statEligible(fd.dataType))
       .map(_.name).toSeq
     if (cols.isEmpty) return
+    // bloom opt-in: per-file filters over the listed columns (sized by
+    // lake.bloom.bits, default 128 Kibit ≈ 16 KiB base64 per col per
+    // file) — the point-lookup complement to min/max range stats
+    val bloomCols = spark.conf.getOption("spark.graft.lake.bloom.cols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty).filter(cols.contains)
+    val bloomBits = spark.conf.getOption("spark.graft.lake.bloom.bits")
+      .map(_.toLong).getOrElse(131072L)
     val aggs = cols.flatMap { c => Seq(
       smin(col(c)).as(s"_min_$c"), smax(col(c)).as(s"_max_$c"),
-      count(col(c)).as(s"_cnt_$c")) } :+ count(lit(1)).as("_cnt_all")
+      count(col(c)).as(s"_cnt_$c")) } ++
+      bloomCols.map { c => graft.functions.BloomFunctions
+        .bloom_agg(col(c), bloomBits / 16, bloomBits).as(s"_bloom_$c") } :+
+      count(lit(1)).as("_cnt_all")
     val rows = spark.read.schema(schema).parquet(files: _*)
       .groupBy(col("_metadata.file_path").as("_f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -743,7 +779,11 @@ object VersionedTable {
       val st: FileStats = cols.map { c =>
         c -> ColStat(canonical(r.getAs[Any](s"_min_$c")),
           canonical(r.getAs[Any](s"_max_$c")),
-          hasNulls = r.getAs[Long](s"_cnt_$c") < all)
+          hasNulls = r.getAs[Long](s"_cnt_$c") < all,
+          bloom =
+            if (bloomCols.contains(c))
+              Option(r.getAs[Array[Byte]](s"_bloom_$c"))
+            else None)
       }.toMap
       stagedStats.put(path, st)
     }

@@ -295,6 +295,44 @@ class VersionedTableSpec extends SparkSpec {
     assert(planned(r6) == 1 && r6.count() == 50)
   }
 
+  test("bloom stats prune point lookups min/max cannot; negatives prove absence") {
+    val root = tmpRoot()
+    spark.conf.set("spark.graft.lake.bloom.cols", "k,src")
+    try {
+      // 4 files with INTERLEAVED k (k % 4 decides the file): every
+      // file's [min,max] spans nearly the whole domain, so range stats
+      // never prune an equality — only the bloom can
+      (0 until 4).foreach(i => VersionedTable.append(
+        (0L until 400L).filter(_ % 4 == i)
+          .map(k => (k, s"src$k", k.toDouble))
+          .toDF("k", "src", "score").repartition(1), root))
+    } finally spark.conf.unset("spark.graft.lake.bloom.cols")
+    def planned(df: org.apache.spark.sql.DataFrame) = df.inputFiles.length
+    // k = 6 lives only in file 2 (6 % 4); min/max alone keeps all 4
+    val r1 = VersionedTable.readWhere(spark, root, col("k") === 6L)
+    assert(planned(r1) == 1, s"bloom should prune to 1, got ${planned(r1)}")
+    assert(r1.count() == 1)
+    // IN list across two residues keeps exactly those files
+    val r2 = VersionedTable.readWhere(spark, root,
+      col("k").isin(8L, 9L))
+    assert(planned(r2) == 2)
+    assert(r2.count() == 2)
+    // absent key INSIDE the min/max range: bloom negative = proof,
+    // every file prunes (false positives could keep some — accept <= 4
+    // but require correctness; with 128Kibit over 100 keys fp ~ 0)
+    val r3 = VersionedTable.readWhere(spark, root, col("k") === 401L)
+    assert(planned(r3) == 0 && r3.count() == 0)
+    // string column bloom: src is unique per row, ASCII min/max overlap
+    val r4 = VersionedTable.readWhere(spark, root, col("src") === "src42")
+    assert(planned(r4) == 1 && r4.count() == 1)
+    // non-bloom column unaffected; range pruning still applies
+    val r5 = VersionedTable.readWhere(spark, root, col("score") < -1.0)
+    assert(planned(r5) == 0 && r5.count() == 0)
+    // inequality on a bloom column ignores the bloom (range-only)
+    val r6 = VersionedTable.readWhere(spark, root, col("k") >= 0L)
+    assert(planned(r6) == 4 && r6.count() == 400)
+  }
+
   test("readWhere stats survive carried-over files and prune timestamps") {
     val root = tmpRoot()
     val mkTs = (day: Int) => java.sql.Timestamp.valueOf(f"1997-01-$day%02d 00:00:00")
