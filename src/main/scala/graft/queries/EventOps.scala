@@ -273,6 +273,24 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // retention cohort matrix: users cohorted by first-active day, then
+    // distinct-user counts per (cohort_day, day offset) — the classic
+    // companion to the funnel. Day bucketing is exact integer division
+    // on epoch-micros; one agg to find cohorts, one equi-join back on
+    // user_id, one distinct-count agg — every shuffle keyed on user or
+    // the (small) cohort grid.
+    "events_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("offset_day"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("offset_day"))
+    }),
+
     // strict sequential funnel view -> click -> purchase per user inside
     // a 7-day conversion window from the first view: stage i matches the
     // earliest stage-i event strictly after the stage i-1 match. Exact
@@ -290,6 +308,17 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+        |)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS offset_day,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, offset_day""".stripMargin,
+
     "events_funnel" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events

@@ -126,6 +126,36 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style rule-based quality gate (Rae et al. 2021 applied
+    // doc-level heuristic filters before training — public literature):
+    // each document gets keep/fail with the FIRST failing rule named, so
+    // corpus curation is auditable (why was this dropped?) rather than a
+    // silent filter. Rules: length floor, top-token repetition ceiling,
+    // type-token diversity floor. One explode + two-level agg for the
+    // per-doc token histogram stats — all map-side combinable.
+    "quality_filter_rules" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ")
+      val base = docs.select(col("doc_id"), size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"))
+      val hist = docs.select(col("doc_id"), explode(toks).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      val scored = base.join(hist, "doc_id")
+        .withColumn("top_ratio", col("mx").cast("double") / col("tot"))
+        .withColumn("distinct_ratio",
+          col("n_distinct").cast("double") / col("n_tokens"))
+        .withColumn("fail_reason",
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("top_ratio") > 0.15, "repetitive")
+            .when(col("distinct_ratio") < 0.3, "low_diversity"))
+      scored.select(col("doc_id"), col("n_tokens"), col("top_ratio"),
+          col("distinct_ratio"), col("fail_reason").isNull.as("keep"),
+          col("fail_reason"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the distributed-BPE core, oracle-exact: frequency-weighted adjacent
     // symbol-pair counts over the char+</w> vocabulary — the statistic
     // every training iteration argmaxes. Total deterministic order so the
@@ -531,6 +561,32 @@ object TextDedup {
         |    AS n_subword_units,
         |  length(text) AS len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_filter_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_distinct
+        |  FROM t
+        |), hist AS (
+        |  SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM (
+        |    SELECT doc_id, w, COUNT(*) AS c FROM (
+        |      SELECT doc_id, UNNEST(toks) AS w FROM t) GROUP BY doc_id, w)
+        |  GROUP BY doc_id
+        |), scored AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    CAST(h.mx AS DOUBLE) / h.tot AS top_ratio,
+        |    CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS distinct_ratio,
+        |    CASE WHEN b.n_tokens < 20 THEN 'too_short'
+        |         WHEN CAST(h.mx AS DOUBLE) / h.tot > 0.15 THEN 'repetitive'
+        |         WHEN CAST(b.n_distinct AS DOUBLE) / b.n_tokens < 0.3
+        |           THEN 'low_diversity' END AS fail_reason
+        |  FROM base b JOIN hist h ON b.doc_id = h.doc_id
+        |)
+        |SELECT doc_id, n_tokens, top_ratio, distinct_ratio,
+        |  fail_reason IS NULL AS keep, fail_reason
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "bpe_pair_counts" ->
       """WITH words AS (
