@@ -94,4 +94,28 @@ object Scd2 {
       .unionAll(fromCur.select(cols: _*))
       .unionAll(fromChg.select(cols: _*))
   }
+
+  /** Streaming dimension maintenance: every micro-batch of the change
+    * stream applies as one SCD2 batch against a [[graft.sinks.
+    * VersionedTable]]-backed dimension, stamped with the micro-batch id
+    * (+1, so the first batch opens history at version 1). foreachBatch
+    * is at-least-once; re-applying an identical change snapshot is a
+    * no-op by the null-safe compare, so the composition is exactly-once
+    * in effect — and every batch is a lake commit, so time travel
+    * reconstructs the dimension as of any batch. */
+  def streamingSink(changes: DataFrame, root: String, keys: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.sinks.VersionedTable
+        val spark = batch.sparkSession
+        val next =
+          if (VersionedTable.versions(spark, root).isEmpty)
+            init(batch, batchId + 1)
+          else applyChanges(VersionedTable.read(spark, root), batch, keys,
+            batchId + 1)
+        VersionedTable.write(next, root)
+        ()
+      }
 }

@@ -39,6 +39,30 @@ class Scd2Spec extends SparkSpec {
       (3L, None, 1L, None, true)))
   }
 
+  test("streaming sink: each micro-batch is an SCD2 lake commit; time travel = dimension-as-of") {
+    import graft.sinks.VersionedTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scd2s").toString + "/t"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Scd2.streamingSink(
+      mem.toDF().toDF("k", "attr"), root, Seq("k")).start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((1L, "a2"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
+    val now = collectState(VersionedTable.read(spark, root))
+    assert(now == Seq(
+      (1L, Some("a"), 1L, Some(2L), false), (1L, Some("a2"), 2L, None, true),
+      (2L, Some("b"), 1L, None, true), (3L, Some("c"), 2L, None, true)))
+    // dimension-as-of batch 0: only the seed state
+    val v0 = collectState(VersionedTable.read(spark, root, Some(0L)))
+    assert(v0 == Seq((1L, Some("a"), 1L, None, true),
+      (2L, Some("b"), 1L, None, true)))
+  }
+
   test("history chains across batches; unknown keys insert") {
     val s1 = Scd2.init(snap((1L, Some("a"))), 1L)
     val s2 = Scd2.applyChanges(s1, snap((1L, Some("b")), (2L, Some("n"))),
