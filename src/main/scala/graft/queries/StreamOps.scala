@@ -233,6 +233,61 @@ object StreamOps {
         .orderBy(col("window_us"), col("event_type"))
     }),
 
+    // Exactly-once APPEND into live JDBC via the transactional commit
+    // ledger: the deduped event stream (no natural replace key at the
+    // sink — it's an append of fact rows) lands in Derby through
+    // JdbcLedgerSink, whose (epoch, partition) ledger row commits
+    // atomically with each partition's data. The table read back and
+    // re-aggregated must equal the batch COUNT(DISTINCT) — any dropped
+    // partition, duplicated delivery, or partial commit breaks it.
+    "stream_jdbc_ledger" -> ((s, d) => {
+      import graft.sources._
+      JdbcLive.ensureDerbyRegistered()
+      val url =
+        s"jdbc:derby:memory:graft_sl_${Integer.toHexString(d.hashCode)};create=true"
+      val t = TableId(name = "dedup_events")
+      val lt = TableId(name = "dedup_events_ledger")
+      val deduped = EventsPipeline.dedupStream(eventsStream(s, d),
+          Seq("user_id", "event_type"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val sinkSchema = deduped.schema
+      JdbcLive.dropTableIfExists(url, DerbyStyle, t)
+      JdbcLive.dropTableIfExists(url, DerbyStyle, lt)
+      JdbcLive.createTable(url, DerbyStyle, t, sinkSchema)
+      JdbcLedgerSink.createLedger(url, DerbyStyle, lt)
+      val base = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-stream/jdbcledger-${new java.io.File(d).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      if (base.exists) rm(base)
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, math.min(8, prevParts.toInt).toString)
+      val q = try deduped.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              batchId: Long) =>
+            val dlq = graft.sinks.ResilientBatchWriter.write(batch,
+              WriterConfig(table = t, batchSize = 500),
+              graft.sinks.RetryJudge.forDialect(DerbyStyle.name),
+              pid => new JdbcLedgerSink(url, DerbyStyle, t, lt,
+                sinkSchema, batchId))
+            require(dlq.isEmpty, "ledger stream sink quarantined rows")
+          }
+          .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+      finally s.conf.set(partsKey, prevParts)
+      q.awaitTermination()
+      JdbcLive.read(s, url, ReaderConfig(table = t,
+          split = SplitConfig(key = "event_id"), numPartitions = 4),
+          DerbyStyle)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // Stream-static broadcast enrichment: the purchase stream joined to
     // the static customer dimension (stateless map-side broadcast join —
     // no state store), append mode through the file sink; the enriched
@@ -314,6 +369,10 @@ object StreamOps {
         |WHERE session_end_us <= (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)))
         |                         - 600000000 FROM events)
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "stream_jdbc_ledger" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "stream_jdbc_sink" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_us,

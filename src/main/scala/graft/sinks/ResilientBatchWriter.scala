@@ -24,6 +24,13 @@ trait RowSink extends Serializable {
   def begin(): Unit = {}
   def commit(): Unit = {}
   def rollback(): Unit = {}
+  /** Success-only hook: called once per partition AFTER every batch
+    * landed and the terminal flush drained, BEFORE close — the W6
+    * graceful-termination distinction (batch_writer.go:244-259 treats
+    * clean termination differently from error paths; close() alone
+    * cannot tell them apart). Partition-transactional sinks commit
+    * here. */
+  def complete(): Unit = {}
   def close(): Unit = {}
 }
 
@@ -301,6 +308,7 @@ object ResilientBatchWriter {
         offer(End)
         writer.join()
         if (failure != null) throw failure
+        sink.complete() // success path only: W6 graceful termination
       } finally {
         writer.interrupt()
         sink.close()

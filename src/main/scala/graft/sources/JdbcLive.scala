@@ -250,6 +250,91 @@ class JdbcRowSink(url: String, dialect: SqlDialect, table: TableId,
   }
 }
 
+/** Exactly-once APPEND [[RowSink]] via a transactional commit ledger —
+  * the idempotence story for sinks with NO natural key (the upsert sink
+  * covers keyed data; an append stream of fact rows has nothing to
+  * replace by). The whole partition runs as ONE transaction on one
+  * connection: open() probes the ledger for (epoch, partition) and turns
+  * the partition into a no-op if a previous attempt already committed;
+  * otherwise every batch inserts uncommitted, and complete() — the
+  * success-only hook — writes the ledger row and commits ATOMICALLY with
+  * the data. Any failure before that rolls the whole partition back, so
+  * a Spark task retry or a foreachBatch redelivery starts from nothing
+  * and writes exactly once. The ledger's (epoch, partition) primary key
+  * also arbitrates speculative duplicates: the second committer hits the
+  * constraint and rolls back, leaving the first attempt's rows as the
+  * only ones. Use with [[graft.sinks.ExecMode.Normal]] — the per-batch
+  * begin/commit seams are intentionally inert here (one tx per
+  * partition IS the semantics). The writer's retry/degrade paths stay
+  * sound inside the partition tx because a failed multi-row INSERT is
+  * statement-atomic (nothing from the failed attempt persists, so a
+  * retried batch or a row-wise replay inserts each surviving row
+  * exactly once into the uncommitted tx). */
+class JdbcLedgerSink(url: String, dialect: SqlDialect, table: TableId,
+    ledger: TableId, schema: StructType, epochId: Long)
+    extends JdbcRowSink(url, dialect, table, schema) {
+
+  @transient private var skip = false
+  @transient private var completed = false
+  @transient private var pid = -1
+
+  override def open(partitionId: Int): Unit = {
+    super.open(partitionId)
+    pid = partitionId
+    completed = false
+    conn.setAutoCommit(false)
+    val probe = conn.prepareStatement(
+      s"select count(*) from ${dialect.quoteTable(ledger)}" +
+        s" where ${dialect.quote("epoch")} = ? and ${dialect.quote("part")} = ?")
+    try {
+      probe.setLong(1, epochId)
+      probe.setInt(2, partitionId)
+      val rs = probe.executeQuery()
+      rs.next()
+      skip = rs.getLong(1) > 0
+      rs.close()
+    } finally probe.close()
+  }
+
+  override def writeBatch(rows: Seq[Row]): Unit =
+    if (!skip) super.writeBatch(rows)
+
+  // the partition is one transaction: the writer's per-batch tx seams
+  // must not commit partial state
+  override def begin(): Unit = {}
+  override def commit(): Unit = {}
+  override def rollback(): Unit = {}
+
+  override def complete(): Unit = {
+    if (!skip) {
+      val ins = conn.prepareStatement(
+        s"insert into ${dialect.quoteTable(ledger)}" +
+          s"(${dialect.quote("epoch")},${dialect.quote("part")}) values (?,?)")
+      try {
+        ins.setLong(1, epochId)
+        ins.setInt(2, pid)
+        ins.executeUpdate() // PK (epoch, part): speculative loser fails here
+      } finally ins.close()
+      conn.commit()
+    } else conn.rollback() // end the probe's read-only tx before close
+    completed = true
+  }
+
+  override def close(): Unit = {
+    if (conn != null && !completed && !conn.getAutoCommit)
+      try conn.rollback() catch { case _: java.sql.SQLException => }
+    super.close()
+  }
+}
+
+object JdbcLedgerSink {
+  /** The ledger table: one row per committed (epoch, partition). */
+  def createLedger(url: String, dialect: SqlDialect, ledger: TableId): Unit =
+    JdbcLive.createTable(url, dialect, ledger, StructType(Seq(
+      StructField("epoch", LongType), StructField("part", IntegerType))),
+      primaryKey = Seq("epoch", "part"))
+}
+
 /** Upsert-by-key [[RowSink]]: each batch deletes the incoming keys then
   * inserts the new images — the operational semantics of MySQL
   * `replace into` (mysql/table.go:63-69), expressed as two statements
