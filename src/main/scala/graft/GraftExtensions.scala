@@ -24,6 +24,13 @@ object GraftFunctions {
       s"$fn: n must be an integer literal, got $other")
   }
 
+  private def strLit(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a string literal, got $other")
+  }
+
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -90,6 +97,13 @@ object GraftFunctions {
       arity("kll_sketch_agg", 2)(args =>
         KllSketchAgg(args(0), intLit(args(1), "kll_sketch_agg"))
           .toAggregateExpression())),
+    (FunctionIdentifier("bpe_merge"),
+      info(classOf[BpeMerge], "bpe_merge",
+        "bpe_merge(symbols, a, b) - one BPE merge pass: fuse adjacent " +
+          "(a, b) symbol pairs left-to-right into a+b"),
+      arity("bpe_merge", 3)(args =>
+        BpeMerge(args(0), strLit(args(1), "bpe_merge"),
+          strLit(args(2), "bpe_merge")))),
     (FunctionIdentifier("topk_by"),
       info(classOf[TopKByAgg], "topk_by",
         "topk_by(score, id, k) - bounded-heap top-k aggregate: the k " +

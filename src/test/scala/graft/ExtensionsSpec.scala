@@ -24,6 +24,11 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT word_shingle_hashes('a b c', 2)[0] = xxhash64('a b') AS ok")
       .head.getBoolean(0)
     assert(x)
+    // a BPE merge pass from pure SQL, literal pair args enforced
+    val bm = spark.sql(
+      "SELECT bpe_merge(array('l','o','w','</w>'), 'l', 'o') AS m")
+      .head.getSeq[String](0)
+    assert(bm == Seq("lo", "w", "</w>"))
     // the bounded-heap top-k aggregate works from pure SQL too
     val tk = spark.sql(
       """SELECT topk_by(s, i, 2) AS top FROM VALUES
