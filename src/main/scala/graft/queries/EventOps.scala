@@ -291,6 +291,24 @@ object EventOps {
         .orderBy(col("cohort_day"), col("offset_day"))
     }),
 
+    // conversion-latency distribution over the completed funnel: for
+    // every user that finished view -> click -> purchase, the per-stage
+    // and end-to-end delays, summarized by exact interpolated quartiles
+    // (the cross-engine-exact percentile family agg_percentiles pins).
+    "events_funnel_latency" -> ((s, d) => {
+      val f = graft.operators.Funnel.stageFrames(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us")),
+        "user_id", "event_type", col("us"),
+        Seq("view", "click", "purchase"), SevenDaysUs).last
+      f.agg(count(lit(1)).as("n_converted"),
+          percentile(col("t2") - col("t0"), lit(0.25)).as("p25_us"),
+          median(col("t2") - col("t0")).as("p50_us"),
+          percentile(col("t2") - col("t0"), lit(0.75)).as("p75_us"),
+          median(col("t1") - col("t0")).as("p50_view_click_us"),
+          median(col("t2") - col("t1")).as("p50_click_purchase_us"))
+    }),
+
     // strict sequential funnel view -> click -> purchase per user inside
     // a 7-day conversion window from the first view: stage i matches the
     // earliest stage-i event strictly after the stage i-1 match. Exact
@@ -308,6 +326,33 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_funnel_latency" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+         |), v AS (
+         |  SELECT user_id, MIN(us) AS t0 FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id
+         |), c AS (
+         |  SELECT e.user_id, t0, MIN(e.us) AS t1
+         |  FROM e JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.us > t0
+         |    AND e.us <= t0 + $SevenDaysUs
+         |  GROUP BY e.user_id, t0
+         |), p AS (
+         |  SELECT e.user_id, t0, t1, MIN(e.us) AS t2
+         |  FROM e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.us > t1
+         |    AND e.us <= t0 + $SevenDaysUs
+         |  GROUP BY e.user_id, t0, t1
+         |)
+         |SELECT COUNT(*) AS n_converted,
+         |  quantile_cont(t2 - t0, 0.25) AS p25_us,
+         |  quantile_cont(t2 - t0, 0.5) AS p50_us,
+         |  quantile_cont(t2 - t0, 0.75) AS p75_us,
+         |  quantile_cont(t1 - t0, 0.5) AS p50_view_click_us,
+         |  quantile_cont(t2 - t1, 0.5) AS p50_click_purchase_us
+         |FROM p""".stripMargin,
+
     "events_retention_cohorts" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events

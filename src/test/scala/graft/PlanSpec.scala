@@ -48,6 +48,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_orderkey")) // untouched columns never read
   }
 
+  test("funnel stage filters push into every events scan") {
+    val p = plan("events_funnel")
+    // each stage reads its own filtered slice of the log: the stage
+    // predicate must reach the parquet scan, and only the three needed
+    // columns survive pruning
+    Seq("view", "click", "purchase").foreach(s =>
+      assert(p.contains(s"EqualTo(event_type,$s)"), s"stage $s not pushed"))
+    assert(p.contains(
+      "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"))
+  }
+
   test("ann brute force broadcasts the query side") {
     val p = plan("ann_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))
