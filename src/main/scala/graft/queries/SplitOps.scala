@@ -99,6 +99,58 @@ object SplitOps {
         .orderBy(col("s_suppkey"))
     }),
 
+    // The reference's deployment shape end-to-end on a live DBMS:
+    // reader + writer job JSONs (the reference's wire format) drive
+    // DB -> DB ETL over Derby — live bounds probe, one JDBC session
+    // per split slice, preSQL clearing the target (idempotent re-runs),
+    // the Tx batch writer, postSQL stamping an audit row ON the DBMS.
+    // The copied table read back must equal the oracle's filtered
+    // projection of the source fixture.
+    "jdbc_job_json" -> ((s, d) => {
+      import graft.sources._
+      JdbcLive.ensureDerbyRegistered()
+      val url =
+        s"jdbc:derby:memory:graft_job_${Integer.toHexString(d.hashCode)};create=true"
+      val src = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val srcT = TableId(name = "customer_src")
+      val dstT = TableId(name = "customer_dst")
+      val logT = TableId(name = "job_log")
+      JdbcLive.dropTableIfExists(url, DerbyStyle, srcT)
+      JdbcLive.dropTableIfExists(url, DerbyStyle, dstT)
+      JdbcLive.dropTableIfExists(url, DerbyStyle, logT)
+      JdbcLive.createTable(url, DerbyStyle, srcT, src.schema)
+      JdbcLive.createTable(url, DerbyStyle, dstT, src.schema)
+      JdbcLive.createTable(url, DerbyStyle, logT,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("run_marker",
+            org.apache.spark.sql.types.LongType))))
+      val seedDlq = JdbcLive.write(src, url,
+        WriterConfig(table = srcT, batchSize = 500), DerbyStyle)
+      require(seedDlq.isEmpty, "seed load quarantined rows")
+      val readerJson =
+        """{"connection": {"table": {"name": "customer_src"}},
+          | "column": ["c_custkey", "c_name", "c_nationkey"],
+          | "where": "\"c_nationkey\" < 10",
+          | "split": {"key": "c_custkey"}}""".stripMargin
+      val writerJson =
+        """{"connection": {"table": {"name": "customer_dst"}},
+          | "writeMode": "insert", "execMode": "Tx", "batchSize": 300,
+          | "preSQL": ["delete from \"customer_dst\"",
+          |            "delete from \"job_log\""],
+          | "postSQL": ["insert into \"job_log\" values (1)"]}""".stripMargin
+      val dlq = JobRunner.runLive(s, readerJson, writerJson, url, url,
+        DerbyStyle, numSplits = 6)
+      require(dlq.isEmpty, "job quarantined rows")
+      val logged = JdbcLive.read(s, url,
+        ReaderConfig(table = logT), DerbyStyle).count()
+      require(logged == 1, s"post hook must stamp exactly one row, got $logged")
+      JdbcLive.read(s, url, ReaderConfig(table = dstT,
+          split = SplitConfig(key = "c_custkey"), numPartitions = 4),
+          DerbyStyle)
+        .orderBy(col("c_custkey"))
+    }),
+
     // A1/A2: the bounds probe itself (fetchMin/fetchMax)
     "split_min_max_probe" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -136,6 +188,10 @@ object SplitOps {
     "jdbc_live_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+
+    "jdbc_job_json" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE c_nationkey < 10 ORDER BY c_custkey""".stripMargin,
 
     "split_min_max_probe" ->
       """SELECT MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,

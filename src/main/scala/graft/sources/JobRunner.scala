@@ -98,4 +98,38 @@ object JobRunner {
     val wc = ConfigJson.writer(writerJson)
     write(read(spark, rc, numSplits), targetDir, wc, upsertKeys)
   }
+
+  /** S10 live: pre/post SQL hooks run ON the DBMS connection, exactly
+    * where the reference runs them (writer/job.go:64-93 executes each
+    * statement against the writer's Execer before/after the job); the
+    * select guard has already rejected queries at config validation
+    * (writer/config.go:167-175). */
+  def execHooksLive(url: String, sql: Seq[String]): Unit =
+    if (sql.nonEmpty)
+      scala.util.Using.resource(JdbcLive.connect(url)) { c =>
+        scala.util.Using.resource(c.createStatement()) { st =>
+          sql.foreach(st.executeUpdate)
+        }
+      }
+
+  /** The reference's actual deployment shape, end-to-end on a live
+    * DBMS: a reader job JSON (projection + where + split key) and a
+    * writer job JSON (mode/batch/hooks) drive DB -> DB ETL — split
+    * bounds probed live, one JDBC session per slice, pre hooks, the
+    * resilient batch writer, post hooks. `numSplits` is the
+    * framework-side channel count (reader/job.go:133-135), passed
+    * separately from the config exactly as the reference does.
+    * Returns the writer's DLQ frame. */
+  def runLive(spark: SparkSession, readerJson: String, writerJson: String,
+      srcUrl: String, dstUrl: String, dialect: SqlDialect,
+      numSplits: Int = 1): DataFrame = {
+    val rc = ConfigJson.reader(readerJson).copy(numPartitions = numSplits)
+    val wc = ConfigJson.writer(writerJson)
+    wc.validateHookSql.left.foreach(m => throw new IllegalArgumentException(m))
+    val df = JdbcLive.read(spark, srcUrl, rc, dialect)
+    execHooksLive(dstUrl, wc.preSql)
+    val dlq = JdbcLive.write(df, dstUrl, wc, dialect)
+    execHooksLive(dstUrl, wc.postSql)
+    dlq
+  }
 }
