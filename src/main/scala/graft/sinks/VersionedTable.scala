@@ -745,21 +745,40 @@ object VersionedTable {
     // without stats simply aren't prunable (readWhere keeps them).
     val statsOn = spark.conf
       .getOption("spark.graft.lake.stats.enabled").forall(_.toBoolean)
-    if (statsOn && moved.nonEmpty) collectStats(spark, df.schema, moved)
+    if (statsOn && moved.nonEmpty) collectStats(spark, df.schema, moved, root)
     moved
   }
 
+  /** Bloom columns are STICKY per table: beyond the session conf, any
+    * column carrying a bloom in the current head manifest keeps getting
+    * one on newly staged files — an upsert or compact from a session
+    * without the conf must not silently degrade the table's point-lookup
+    * pruning. */
+  private def inheritedBloomCols(spark: SparkSession, root: String)
+      : Seq[String] =
+    try {
+      val f = fs(spark, root)
+      val vs = versions(spark, root)
+      if (vs.isEmpty) Seq.empty
+      else manifest(f, root, vs.max).stats.values
+        .flatMap(_.collect { case (c, st) if st.bloom.nonEmpty => c })
+        .toSeq.distinct
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
   private def collectStats(spark: SparkSession, schema: StructType,
-      files: Seq[String]): Unit = {
+      files: Seq[String], root: String): Unit = {
     val cols = schema.fields.filter(fd => statEligible(fd.dataType))
       .map(_.name).toSeq
     if (cols.isEmpty) return
     // bloom opt-in: per-file filters over the listed columns (sized by
     // lake.bloom.bits, default 128 Kibit ≈ 16 KiB base64 per col per
-    // file) — the point-lookup complement to min/max range stats
-    val bloomCols = spark.conf.getOption("spark.graft.lake.bloom.cols")
+    // file) — the point-lookup complement to min/max range stats; the
+    // head manifest's bloom columns are inherited so the property
+    // sticks to the table across sessions
+    val bloomCols = (spark.conf.getOption("spark.graft.lake.bloom.cols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty).filter(cols.contains)
+      .getOrElse(Seq.empty) ++ inheritedBloomCols(spark, root))
+      .distinct.filter(cols.contains)
     val bloomBits = spark.conf.getOption("spark.graft.lake.bloom.bits")
       .map(_.toLong).getOrElse(131072L)
     val aggs = cols.flatMap { c => Seq(

@@ -331,6 +331,19 @@ class VersionedTableSpec extends SparkSpec {
     // inequality on a bloom column ignores the bloom (range-only)
     val r6 = VersionedTable.readWhere(spark, root, col("k") >= 0L)
     assert(planned(r6) == 4 && r6.count() == 400)
+    // STICKY blooms: an append WITHOUT the session conf (a maintenance
+    // job in a fresh session) inherits the head's bloom columns. The
+    // new file's k range [5, 365] overlaps every old file, so only its
+    // INHERITED bloom can prune it out of a k = 6 lookup
+    VersionedTable.append(
+      (0 until 10).map(i => (i * 40L + 5L, s"x$i", 0.0))
+        .toDF("k", "src", "score").repartition(1), root)
+    val r7 = VersionedTable.readWhere(spark, root, col("k") === 6L)
+    assert(planned(r7) == 1 && r7.count() == 1,
+      "the conf-less append's file must carry an inherited bloom")
+    // positive probe: 45 lives in old file 1 (45 % 4) AND the new file
+    val r8 = VersionedTable.readWhere(spark, root, col("k") === 45L)
+    assert(planned(r8) == 2 && r8.count() == 2)
   }
 
   test("readWhere stats survive carried-over files and prune timestamps") {
