@@ -76,6 +76,30 @@ class BpeSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("merge properties: content-preserving, shrinking, matches reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val syms = org.scalacheck.Gen.listOf(
+      org.scalacheck.Gen.oneOf("a", "b", "c", "d"))
+    val pairs = org.scalacheck.Gen.zip(
+      org.scalacheck.Gen.oneOf("a", "b", "c", "d"),
+      org.scalacheck.Gen.oneOf("a", "b", "c", "d"))
+    (0 until 500).foreach { _ =>
+      for (s <- syms.sample; (a, b) <- pairs.sample) {
+        val in = new GenericArrayData(
+          s.map(x => UTF8String.fromString(x)).toArray[Any])
+        val out = graft.functions.BpeUtil.mergePair(in,
+          UTF8String.fromString(a), UTF8String.fromString(b),
+          UTF8String.fromString(a + b))
+        val got = (0 until out.numElements())
+          .map(out.getUTF8String(_).toString)
+        assert(got == refMerge(s.toList, (a, b)), s"$s merge ($a,$b)")
+        assert(got.mkString == s.mkString, "content must be preserved")
+        assert(got.size <= s.size)
+      }
+    }
+  }
+
   test("merge expression: left-to-right, non-overlapping (aaa -> [aa, a])") {
     val r = Seq(Seq("a", "a", "a")).toDF("sym")
       .select(BpeFunctions.bpe_merge(col("sym"), "a", "a").as("m"))

@@ -33,6 +33,45 @@ class FunnelSpec extends SparkSpec {
     assert(r == Seq((0, "view", 1L), (1, "click", 1L), (2, "buy", 0L)))
   }
 
+  test("random logs: counts non-increasing and exact vs reference cascade") {
+    // transparent single-node reference of the strict cascade
+    def ref(ev: Seq[(Long, String, Long)], w: Long): Seq[Long] = {
+      val byUser = ev.groupBy(_._1)
+      def stageTimes(u: Long): List[Long] = {
+        val es = byUser(u)
+        val t0 = es.filter(_._2 == stages.head).map(_._3).minOption
+        t0.fold(List.empty[Long]) { anchor =>
+          stages.tail.foldLeft(List(anchor)) { (acc, st) =>
+            if (acc.size < stages.indexOf(st)) acc
+            else es.filter(e => e._2 == st && e._3 > acc.last &&
+                e._3 <= acc.head + w)
+              .map(_._3).minOption.fold(acc)(t => acc :+ t)
+          }
+        }
+      }
+      val times = byUser.keys.toSeq.map(stageTimes)
+      stages.indices.map(i => times.count(_.size >= i + 1).toLong)
+    }
+    val evGen = org.scalacheck.Gen.listOf(for {
+      u <- org.scalacheck.Gen.chooseNum(1L, 5L)
+      t <- org.scalacheck.Gen.oneOf(stages :+ "noise")
+      ts <- org.scalacheck.Gen.chooseNum(0L, 50L)
+    } yield (u, t, ts))
+    (0 until 6).foreach { _ =>
+      evGen.sample.filter(_.nonEmpty).foreach { ev =>
+        val got = Funnel.report(log(ev: _*), "uid", "etype", col("us"),
+            stages, 20L)
+          .orderBy("stage_idx").as[(Int, String, Long)]
+          .collect().map(_._3).toSeq
+        assert(got == ref(ev, 20L), s"log: $ev")
+        got.sliding(2).foreach {
+          case Seq(a, b) => assert(b <= a, "funnel must be monotone")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("earliest qualifying event is matched per stage") {
     // the EARLIEST view anchors the window even when a later view would
     // let the funnel complete: view@0 (click@5 buy@300 miss window 200),

@@ -63,6 +63,45 @@ class Scd2Spec extends SparkSpec {
       (2L, Some("b"), 1L, None, true)))
   }
 
+  test("invariants under random change sequences: one current row per key, chained intervals, last write wins") {
+    val attrs = org.scalacheck.Gen.option(
+      org.scalacheck.Gen.oneOf("p", "q", "r"))
+    val batchGen = for {
+      keys <- org.scalacheck.Gen.someOf(1L to 6L)
+      vals <- org.scalacheck.Gen.listOfN(keys.size, attrs)
+    } yield keys.toSeq.sorted.zip(vals)
+    (0 until 6).foreach { _ =>
+      val batches = (1 to 3).flatMap(_ => batchGen.sample)
+        .filter(_.nonEmpty)
+      if (batches.nonEmpty) {
+        var st = Scd2.init(snap(batches.head: _*), 1L)
+        batches.tail.zipWithIndex.foreach { case (b, i) =>
+          st = Scd2.applyChanges(st, snap(b: _*), Seq("k"), i + 2L)
+        }
+        val rows = collectState(st)
+        // driver-side model: last delivered value per key
+        val model = scala.collection.mutable.Map.empty[Long, Option[String]]
+        batches.foreach(_.foreach { case (k, v) => model(k) = v })
+        val byKey = rows.groupBy(_._1)
+        assert(byKey.keySet == model.keySet)
+        byKey.foreach { case (k, hist0) =>
+          val hist = hist0.sortBy(_._3)
+          val current = hist.filter(_._5)
+          assert(current.size == 1, s"key $k must have ONE current row")
+          assert(current.head._4.isEmpty, "current row must be open")
+          assert(current.head._2 == model(k), s"key $k: last write wins")
+          // closed rows chain: effective_to == next effective_from
+          hist.sliding(2).foreach {
+            case Seq(a, b) =>
+              assert(!a._5 && a._4.contains(b._3),
+                s"key $k: intervals must chain ${hist}")
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+
   test("history chains across batches; unknown keys insert") {
     val s1 = Scd2.init(snap((1L, Some("a"))), 1L)
     val s2 = Scd2.applyChanges(s1, snap((1L, Some("b")), (2L, Some("n"))),
