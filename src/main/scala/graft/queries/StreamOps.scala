@@ -160,6 +160,20 @@ object StreamOps {
       }
     }),
 
+    // Streaming funnel: the per-user stage state machine
+    // (flatMapGroupsWithState, bounded state = one timestamp per
+    // completed stage) emits stage completions in real time; the
+    // emitted set re-aggregated must equal the batch cascade's stage
+    // counts — the unified-API claim for the funnel operator family.
+    "stream_funnel" -> ((s, d) => {
+      val emitted = EventsPipeline.statefulFunnel(s, eventsStream(s, d),
+        Seq("view", "click", "purchase"), 7L * 86400000000L)
+      runStream(s, emitted, "funnel", d, "append")
+        .groupBy(col("stage_idx"))
+        .agg(count(lit(1)).as("n_entities"))
+        .orderBy(col("stage_idx"))
+    }),
+
     // Session windows (30-min gap) in APPEND mode — the strictest
     // emission semantics: a session is released only once the watermark
     // (max event time - 10 min) proves it closed, so the gate pins BOTH
@@ -345,6 +359,29 @@ object StreamOps {
     "stream_tws_user_counts" ->
       """SELECT user_id, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "stream_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, MIN(us) AS t0 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, t0, MIN(e.us) AS t1
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.us > t0
+        |    AND e.us <= t0 + 604800000000
+        |  GROUP BY e.user_id, t0
+        |), p AS (
+        |  SELECT e.user_id FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > t1
+        |    AND e.us <= t0 + 604800000000
+        |  GROUP BY e.user_id
+        |)
+        |SELECT 0 AS stage_idx, (SELECT COUNT(*) FROM v) AS n_entities
+        |UNION ALL SELECT 1, (SELECT COUNT(*) FROM c)
+        |UNION ALL SELECT 2, (SELECT COUNT(*) FROM p)
+        |ORDER BY stage_idx""".stripMargin,
 
     "stream_session_windows" ->
       """WITH e AS (

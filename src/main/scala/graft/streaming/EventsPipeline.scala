@@ -82,6 +82,44 @@ object EventsPipeline {
       }.toDF()
   }
 
+  /** Streaming funnel: a per-entity state machine over
+    * flatMapGroupsWithState advancing through `stages` in event-time
+    * order and EMITTING each stage completion as it happens — the
+    * real-time face of [[graft.operators.Funnel]]'s batch cascade.
+    * State per entity is just the completed-stage times (<= nStages
+    * longs — bounded regardless of event volume). Within a micro-batch
+    * the group's events sort by time, so in-order delivery reproduces
+    * the batch semantics exactly: processing chronologically, the first
+    * qualifying event per stage IS the earliest (strictly-after rule
+    * included — an equal-timestamp event fails `>` no matter the tie
+    * order, keeping the result deterministic). */
+  def statefulFunnel(spark: SparkSession, events: DataFrame,
+      stages: Seq[String], windowUs: Long): DataFrame = {
+    import spark.implicits._
+    events.select($"user_id", $"event_type",
+        expr("ts div 1000").as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[List[Long]]) =>
+          var times = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Long)]
+          rows.toSeq.sortBy(_._3).foreach { case (_, et, us) =>
+            val i = times.length
+            if (i < stages.length && et == stages(i) &&
+                (i == 0 || (us > times.last && us <= times.head + windowUs))) {
+              times = times :+ us
+              out += ((uid, i, us))
+            }
+          }
+          if (times.nonEmpty) state.update(times)
+          out.iterator
+      }.toDF("user_id", "stage_idx", "stage_us")
+  }
+
   /** Same running totals through Spark 4's `transformWithState` — the
     * successor stateful API (`StatefulProcessor` + named state
     * variables + optional TTL) that replaces mapGroupsWithState for new

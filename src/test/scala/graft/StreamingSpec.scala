@@ -176,6 +176,31 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((1L, Some("gold")), (2L, None), (3L, Some("silver"))))
   }
 
+  test("streaming funnel advances across micro-batches with bounded state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsPipeline.statefulFunnel(spark, df,
+        Seq("view", "click", "buy"), 1000000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    val t0 = 1700000000000000000L // ns; us = t0/1000
+    // batch 1: user 1 views then clicks; user 2 only views
+    mem.addData((1L, t0, 1L, "view", 0.0), (2L, t0 + 1000L, 1L, "click", 0.0),
+      (3L, t0, 2L, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2: user 1 buys (cross-batch stage advance); user 2's buy
+    // must NOT count (no click yet); a second view must not re-emit
+    mem.addData((4L, t0 + 2000L, 1L, "buy", 0.0),
+      (5L, t0 + 2000L, 2L, "buy", 0.0), (6L, t0 + 3000L, 2L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_out")
+      .select($"user_id", $"stage_idx").as[(Long, Int)]
+      .collect().sorted.toSeq
+    assert(rows == Seq((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+  }
+
   test("stream-stream interval join matches clicks in the window only") {
     implicit val sq = spark.sqlContext
     val pm = MemoryStream[(Long, Long, Long)]
