@@ -99,4 +99,19 @@ object Packing {
           .as("chunk_text"))
       .drop("__ws")
   }
+
+  /** Inverse of [[chunkByTokens]] for NON-overlapping chunks (stride ==
+    * chunk size): reassemble each document from its chunks in chunk_id
+    * order. One shuffle on the document key; the per-group collect is
+    * bounded by the document's own chunk count (a document's size, not
+    * the corpus's), the same bound chunking itself assumes. With
+    * overlapping chunks reassembly is lossy by construction — callers
+    * wanting roundtrips use stride == chunkTokens. */
+  def mergeChunks(chunks: DataFrame, idCol: String): DataFrame =
+    chunks.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          x => x.getField("chunk_text")),
+        " ").as("text"))
 }

@@ -159,6 +159,20 @@ object PrepOps {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // chunk -> reassemble roundtrip: non-overlapping token chunks merged
+    // back in chunk_id order must reproduce every document byte-exactly
+    // — the invertibility proof for the chunking pipeline (a chunk lost,
+    // duplicated, reordered, or boundary-clipped anywhere breaks it).
+    "chunk_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val chunks = graft.operators.Packing.chunkByTokens(
+        docs, col("text"), chunkTokens = 16, strideTokens = 16)
+      graft.operators.Packing.mergeChunks(
+          chunks.select(col("doc_id"), col("chunk_id"), col("chunk_text")),
+          "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // proportional stratified sample: EXACTLY ceil(30% of each source)
     "sample_stratified" -> ((s, d) => {
       Sampling.stratifiedSample(Tables.documents(s, d), col("doc_id"),
@@ -359,6 +373,9 @@ object PrepOps {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rk <= 8
         |ORDER BY doc_id""".stripMargin,
+    "chunk_roundtrip" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""".stripMargin,
+
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents WHERE text IS NOT NULL)
