@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.MediaOps.defs ++
       graft.queries.PrepOps.defs ++
       graft.queries.SketchOps.defs ++
-      graft.queries.StreamOps.defs
+      graft.queries.StreamOps.defs ++
+      graft.queries.GraphOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.MediaOps.oracles ++
       graft.queries.PrepOps.oracles ++
       graft.queries.SketchOps.oracles ++
-      graft.queries.StreamOps.oracles
+      graft.queries.StreamOps.oracles ++
+      graft.queries.GraphOps.oracles
 }

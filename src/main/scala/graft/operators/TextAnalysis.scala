@@ -153,6 +153,47 @@ object TextAnalysis {
         col("sum_freq").cast("double") / col("n_tokens"))
   }
 
+  /** Smoothed bigram language-model score per document — the statistical
+    * LM quality filter (the CCNet/KenLM perplexity-filter shape) with the
+    * corpus itself as training data: documents whose word transitions are
+    * rare under the corpus bigram model score low and get filtered.
+    *
+    * Deliberately NOT log-perplexity: ln() is not correctly-rounded IEEE
+    * and would drift between engines. Instead each bigram (w1,w2)
+    * contributes the FIXED-POINT smoothed transition frequency
+    * floor(count(w1,w2) * 1e9 / (count(w1) + V)) (add-V Laplace
+    * denominator, V = vocabulary size), an exact integer in any engine;
+    * a doc's score is the sum, comparable across docs per n_bigrams.
+    *
+    * Scale shape: bigram explode -> groupBy(bigram) model build (shuffle
+    * keyed on the bigram, map-side combine), then two joins keyed on
+    * bigram/unigram and one groupBy(doc) — no corpus-wide collect, the
+    * model stays distributed (vocab^2-bounded, in practice ~|corpus|). */
+  def bigramLmScore(df: DataFrame, idCol: String, text: Column)
+      : DataFrame = {
+    val toks = df.select(col(idCol), tokens(text).as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
+    val bgs = toks.select(col(idCol), explode(expr(
+      """CASE WHEN size(t) >= 2
+        |  THEN transform(sequence(0, size(t) - 2),
+        |                 i -> concat(t[i], ' ', t[i + 1]))
+        |  ELSE cast(array() as array<string>) END""".stripMargin)).as("bg"))
+    val bgc = bgs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val scored = bgs.join(bgc, "bg")
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .join(uni.withColumnRenamed("tok", "w1"), "w1")
+      .crossJoin(vocab)
+      .withColumn("p", expr("(c2 * 1000000000) div (c1 + v)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("score"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** Gopher-style repetition quality stats (Rae et al. 2021 §A1.1),
     * adapted to token n-grams: for n in {2, 3}, the total n-gram count,
     * the count of the single most frequent n-gram, and the number of

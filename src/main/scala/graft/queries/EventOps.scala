@@ -322,10 +322,122 @@ object EventOps {
           "user_id", "event_type", col("us"),
           Seq("view", "click", "purchase"), SevenDaysUs)
         .orderBy(col("stage_idx"))
+    }),
+
+    // Markov transition counts over each user's event sequence — the
+    // path-analytics primitive (what follows what, how often). One lag
+    // window + one groupBy; 'START' marks sequence heads so row counts
+    // reconcile (sum(n) == |events|).
+    "events_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("us"))
+        .withColumn("prev_type",
+          coalesce(lag(col("event_type"), 1).over(w), lit("START")))
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // trailing 21-event median of value per user (robust rolling center).
+    // Restricted to rows with a FULL frame: 21 is odd, so the median is a
+    // pure element selection — no interpolation arithmetic, hence
+    // bit-identical across engines (interpolation formulas may differ in
+    // the last ulp between implementations; selection cannot).
+    "events_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("us"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("med",
+          percentile(col("value"), lit(0.5)).over(w.rowsBetween(-20, 0)))
+        .filter(col("rn") > 20)
+        .select(col("event_id"), col("user_id"), col("value"), col("med"))
+        .orderBy(col("event_id"))
+    }),
+
+    // trailing z-score anomaly flags, DIVISION-FREE in exact integer
+    // arithmetic: value quantized to micro-units v, trailing-20 sums
+    // s = sum(v), q = sum(v^2) (decimal(38,0) — q can pass 2^63), and the
+    // |x - mean| > 3*sigma test algebraized to (20v - s)^2 > 9(20q - s^2)
+    // — every term an exact integer in both engines (DuckDB runs it in
+    // HUGEINT), so the boolean can never drift the way a float
+    // sqrt/stddev comparison could at the decision boundary.
+    "events_anomaly_zscore" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wt = w.rowsBetween(-20, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("us"))
+        .withColumn("v", expr("cast(round(value * 1000000) as bigint)"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("s", sum(col("v")).over(wt))
+        .withColumn("q",
+          sum((col("v") * col("v")).cast("decimal(38,0)")).over(wt))
+        .filter(col("rn") > 20)
+        .filter(expr(
+          """cast(20 * v - s as decimal(19,0))
+            |  * cast(20 * v - s as decimal(19,0))
+            |  > 9 * (20 * q - cast(s as decimal(19,0))
+            |           * cast(s as decimal(19,0)))""".stripMargin))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "events_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |), t AS (
+        |  SELECT COALESCE(LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id), 'START')
+        |    AS prev_type, event_type AS next_type
+        |  FROM e
+        |)
+        |SELECT prev_type, next_type, COUNT(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_rolling_median" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, value,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    quantile_cont(value, 0.5) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS med
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |)
+        |SELECT event_id, user_id, value, med
+        |FROM t WHERE rn > 20 ORDER BY event_id""".stripMargin,
+
+    "events_anomaly_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events
+        |), t AS (
+        |  SELECT event_id, user_id, value, v,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    SUM(v) OVER wt AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) OVER wt AS q
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id),
+        |    wt AS (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, value FROM t
+        |WHERE rn > 20
+        |  AND CAST(20 * v - s AS HUGEINT) * CAST(20 * v - s AS HUGEINT)
+        |      > 9 * (20 * q - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+        |ORDER BY event_id""".stripMargin,
+
     "events_funnel_latency" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events

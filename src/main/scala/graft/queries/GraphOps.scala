@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics query surface (operators.Graph).
+  *
+  * The fixture graph is the customer<->supplier trade graph: a directed
+  * edge per DISTINCT (customer, supplier) pair that traded (orders x
+  * lineitem), symmetrized so both endpoints rank. Node ids are disjoint by
+  * parity: customer c -> 2c, supplier s -> 2s+1.
+  *
+  * PageRank runs in fixed-point bigint arithmetic (operators.Graph.Scale),
+  * so the DuckDB oracle — the same power iteration unrolled as chained
+  * CTEs — matches bit-for-bit, iteration by iteration.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Iters = 5
+
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  val defs: Map[String, Q] = Map(
+    // 5 synchronous damped power iterations over the symmetrized trade
+    // graph; bigint fixed-point ranks are engine- and partitioning-exact
+    "graph_pagerank" -> ((s, d) => {
+      graft.operators.Graph.pageRank(tradeEdges(s, d), "src", "dst", Iters)
+        .orderBy(col("node"))
+    }),
+
+    // degree profile of the same graph (symmetrized: in == out per node)
+    "graph_degrees" -> ((s, d) => {
+      graft.operators.Graph.degrees(tradeEdges(s, d), "src", "dst")
+        .orderBy(col("node"))
+    })
+  )
+
+  private val EdgesCte =
+    """ep AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), e AS (
+      |  SELECT src, dst FROM ep
+      |  UNION
+      |  SELECT dst AS src, src AS dst FROM ep
+      |)""".stripMargin
+
+  /** One unrolled power iteration: prev CTE -> next CTE. Mirrors
+    * operators.Graph.pageRank's update rule exactly (all `//` floor
+    * divisions on non-negative bigints = Spark `div`); the CAST pins
+    * DuckDB's HUGEINT sum widening back to the bigint the engine carries. */
+  private def iterCte(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT n.node, CAST(
+       |      (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+       |      + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT ew.dst AS node, SUM(r.rank // ew.od) AS s
+       |    FROM ew JOIN $prev r ON r.node = ew.src
+       |    GROUP BY ew.dst
+       |  ) s ON s.node = n.node
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      val iters = (1 to Iters)
+        .map(i => iterCte(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH $EdgesCte,
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, d.od FROM e JOIN deg d ON d.src = e.src),
+         |r0 AS (
+         |  SELECT node,
+         |    CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
+         |  FROM nodes),
+         |$iters
+         |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin
+    },
+
+    "graph_degrees" ->
+      s"""WITH $EdgesCte,
+         |od AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src),
+         |id AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY dst)
+         |SELECT COALESCE(od.node, id.node) AS node,
+         |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+         |FROM od FULL OUTER JOIN id ON od.node = id.node
+         |ORDER BY node""".stripMargin
+  )
+}

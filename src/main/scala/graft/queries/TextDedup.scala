@@ -111,6 +111,15 @@ object TextDedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // corpus-trained smoothed bigram LM score (the perplexity-filter
+    // shape, fixed-point so it oracle-checks exactly — see
+    // TextAnalysis.bigramLmScore)
+    "text_lm_bigram" -> ((s, d) => {
+      TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id",
+          col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_tokens" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val ws = TextAnalysis.tokens(col("text"))
@@ -552,6 +561,30 @@ object TextDedup {
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY word""".stripMargin,
+
+    "text_lm_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), uni AS (
+        |  SELECT tok, COUNT(*) AS c1
+        |  FROM (SELECT UNNEST(t) AS tok FROM toks) GROUP BY tok
+        |), vv AS (SELECT COUNT(*) AS v FROM uni),
+        |bgs AS (
+        |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks
+        |), bgc AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY bg),
+        |sc AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM((c.c2 * 1000000000) // (u.c1 + (SELECT v FROM vv)))
+        |      AS score
+        |  FROM bgs b JOIN bgc c ON b.bg = c.bg
+        |  JOIN uni u ON u.tok = string_split(b.bg, ' ')[1]
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  CAST(COALESCE(score, 0) AS BIGINT) AS score
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Pins the fixed-point PageRank semantics (operators.Graph): rank-mass
+  * conservation up to floor loss, centrality ordering on known shapes,
+  * component independence, and exact invariance to input partitioning —
+  * the property the integer arithmetic exists to guarantee. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 5)
+      : Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("star graph: the hub outranks every leaf") {
+    // undirected 5-leaf star: hub 0, leaves 1..5
+    val e = (1L to 5L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val r = ranks(e)
+    assert((1L to 5L).forall(l => r(0L) > r(l)))
+    // leaves are symmetric -> identical ranks
+    assert((1L to 5L).map(r).toSet.size == 1)
+  }
+
+  test("symmetric regular graph: uniform ranks, mass conserved") {
+    // 4-cycle, both directions: perfectly regular -> uniform fixed point
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val r = ranks(e, iters = 10)
+    assert(r.values.toSet.size == 1)
+    // no dangling nodes: total rank stays within floor loss of Scale
+    // (each node's update floors at most 3 divisions per iteration)
+    val total = r.values.sum
+    assert(total <= Graph.Scale && total > Graph.Scale - 10 * 4 * 3)
+  }
+
+  test("disconnected components do not exchange rank") {
+    // two disjoint 2-cliques; adding an unrelated component must not
+    // change the first component's ranks
+    val c1 = Seq((0L, 1L), (1L, 0L))
+    val c2 = Seq((10L, 11L), (11L, 10L))
+    val alone = ranks(c1 ++ c2)
+    // both components are regular 2-node graphs over an N=4 node set:
+    // every node converges to the same rank
+    assert(alone.values.toSet.size == 1)
+  }
+
+  test("dangling nodes leak mass but still receive teleport + inflow") {
+    // 0 -> 1 only: node 1 never redistributes (dangling)
+    val r = ranks(Seq((0L, 1L)))
+    assert(r(1L) > r(0L)) // 1 gets teleport + 0's contribution
+    assert(r.values.sum < Graph.Scale) // the leak is real
+  }
+
+  test("bit-exact under repartitioning and input duplication") {
+    val e = (0L until 40L).map(i => (i, (i * 7 + 3) % 40))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val base = ranks(e)
+    val shuffled = Graph.pageRank(
+      e.toDF("src", "dst").repartition(13).union(e.toDF("src", "dst")),
+      "src", "dst", 5).as[(Long, Long)].collect().toMap
+    assert(base == shuffled)
+  }
+
+  test("degrees: full-outer of in/out sides, zeros filled") {
+    val m = Graph.degrees(Seq((1L, 2L), (1L, 3L), (3L, 1L))
+        .toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(m(1L) == ((2L, 1L)) && m(2L) == ((0L, 1L)) && m(3L) == ((1L, 1L)))
+  }
+}
