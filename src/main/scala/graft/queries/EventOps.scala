@@ -387,10 +387,55 @@ object EventOps {
             |           * cast(s as decimal(19,0)))""".stripMargin))
         .select(col("event_id"), col("user_id"), col("value"))
         .orderBy(col("event_id"))
+    }),
+
+    // per-user least-squares trend of value over time (drift detection):
+    // ONE aggregation pass collecting exact sufficient statistics —
+    // x = seconds since the user's first event (bigint), y quantized
+    // money-scale — then slope/intercept as a fixed IEEE-double dag over
+    // those identical inputs (operators.Trend scaladoc).
+    "events_trend_ols" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("value"), expr("ts div 1000").as("us"))
+        .withColumn("t", expr(
+          "(us - min(us) over (partition by user_id)) div 1000000"))
+      graft.operators.Trend.ols(base, Seq("user_id"), col("t"),
+          col("value"))
+        .orderBy(col("user_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // same sufficient statistics in exact arithmetic, same double dag
+    // (decimal -> double through VARCHAR per the ColUtil parity rule)
+    "events_trend_ols" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us FROM events
+        |), b AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(12,4)) AS y,
+        |    (us - MIN(us) OVER (PARTITION BY user_id)) // 1000000 AS t
+        |  FROM e
+        |), a AS (
+        |  SELECT user_id, COUNT(*) AS n, COUNT(DISTINCT t) AS nx,
+        |    SUM(t) AS sx, SUM(y) AS sy, SUM(t * y) AS sxy,
+        |    SUM(CAST(t AS HUGEINT) * t) AS sxx
+        |  FROM b GROUP BY user_id
+        |), s AS (
+        |  SELECT user_id, n,
+        |    (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |         * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |    / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |         * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS slope,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx
+        |  FROM a WHERE nx > 1
+        |)
+        |SELECT user_id, n, slope,
+        |  (dy - slope * dx) / n AS intercept
+        |FROM s ORDER BY user_id""".stripMargin,
+
     "events_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us

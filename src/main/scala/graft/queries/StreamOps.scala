@@ -174,6 +174,17 @@ object StreamOps {
         .orderBy(col("stage_idx"))
     }),
 
+    // Streaming Markov transitions: one (last-event) triple of state per
+    // user; the emitted edge multiset re-aggregated must equal the batch
+    // lag window's transition counts (events_transitions' own oracle).
+    "stream_transitions" -> ((s, d) => {
+      val tr = EventsPipeline.statefulTransitions(s, eventsStream(s, d))
+      runStream(s, tr, "transitions", d, "append")
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // Session windows (30-min gap) in APPEND mode — the strictest
     // emission semantics: a session is released only once the watermark
     // (max event time - 10 min) proves it closed, so the gate pins BOTH
@@ -342,6 +353,19 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |), t AS (
+        |  SELECT COALESCE(LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id), 'START')
+        |    AS prev_type, event_type AS next_type
+        |  FROM e
+        |)
+        |SELECT prev_type, next_type, COUNT(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "stream_tumbling_counts" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_us,
         |  event_type, COUNT(*) AS n_events,

@@ -120,6 +120,37 @@ object EventsPipeline {
       }.toDF("user_id", "stage_idx", "stage_us")
   }
 
+  /** Per-user event-sequence transitions as a streaming state machine —
+    * the real-time face of the batch `events_transitions` lag window.
+    * State per user is exactly ONE (us, event_id, type) triple (the last
+    * event seen), so state is bounded by user cardinality, not volume.
+    * Within a micro-batch the group's rows sort by (us, event_id) — the
+    * batch window's total order — so in-order batch delivery reproduces
+    * the lag semantics exactly; sequence heads emit prev='START'. */
+  def statefulTransitions(spark: SparkSession, events: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    events.select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, String, Long)],
+            state: GroupState[(Long, Long, String)]) =>
+          var prev: Option[(Long, Long, String)] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, String)]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach {
+            case (_, eid, et, us) =>
+              out += ((uid, prev.map(_._3).getOrElse("START"), et))
+              prev = Some((us, eid, et))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }.toDF("user_id", "prev_type", "next_type")
+  }
+
   /** Same running totals through Spark 4's `transformWithState` — the
     * successor stateful API (`StatefulProcessor` + named state
     * variables + optional TTL) that replaces mapGroupsWithState for new

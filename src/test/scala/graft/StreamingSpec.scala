@@ -201,6 +201,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
   }
 
+  test("streaming transitions carry the last event across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsPipeline.statefulTransitions(spark, df)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans_out").start()
+    val t0 = 1700000000000000000L
+    // batch 1 arrives out of order: the in-batch sort must pair
+    // view->click, not click->view
+    mem.addData((2L, t0 + 1000L, 1L, "click", 0.0),
+      (1L, t0, 1L, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2: user 1's purchase chains off batch 1's LAST event (click);
+    // user 2 starts fresh with START
+    mem.addData((3L, t0 + 2000L, 1L, "purchase", 0.0),
+      (4L, t0, 2L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("trans_out")
+      .select($"user_id", $"prev_type", $"next_type")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(rows == Seq((1L, "START", "view"), (1L, "click", "purchase"),
+      (1L, "view", "click"), (2L, "START", "view")))
+  }
+
   test("stream-stream interval join matches clicks in the window only") {
     implicit val sq = spark.sqlContext
     val pm = MemoryStream[(Long, Long, Long)]

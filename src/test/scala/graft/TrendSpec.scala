@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Trend
+import org.apache.spark.sql.functions._
+
+/** Pins Trend.ols: exact recovery on noiseless lines, the constant-x
+  * guard, and bit-exactness under repartitioning (the property the
+  * exact-sufficient-statistics design exists for). */
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recovers a noiseless line exactly") {
+    // y = 2.5x + 3 on x = 0..9: sums are exact, the double dag closes
+    // over exactly-representable values -> slope/intercept exact
+    val df = (0L to 9L).map(x => (1L, x, 2.5 * x + 3.0))
+      .toDF("k", "x", "y")
+    val r = Trend.ols(df, Seq("k"), col("x"), col("y"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r == ((1L, 10L, 2.5, 3.0)))
+  }
+
+  test("groups with constant x are dropped, not divided by zero") {
+    val df = Seq((1L, 5L, 1.0), (1L, 5L, 2.0), (2L, 1L, 1.0),
+      (2L, 2L, 2.0)).toDF("k", "x", "y")
+    val ks = Trend.ols(df, Seq("k"), col("x"), col("y"))
+      .select("k").as[Long].collect().toSet
+    assert(ks == Set(2L))
+  }
+
+  test("negative slope and multiple keys") {
+    val df = ((0L to 4L).map(x => (1L, x, 10.0 - 2.0 * x)) ++
+      (0L to 4L).map(x => (2L, x, 1.0 * x))).toDF("k", "x", "y")
+    val m = Trend.ols(df, Seq("k"), col("x"), col("y"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(m(1L) == ((-2.0, 10.0)) && m(2L) == ((1.0, 0.0)))
+  }
+
+  test("bit-exact under repartitioning") {
+    val rows = (1L to 500L).map(i =>
+      ((i % 7), i, (i % 13) * 0.25 + (i % 5)))
+    val a = Trend.ols(rows.toDF("k", "x", "y"), Seq("k"), col("x"),
+      col("y")).as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val b = Trend.ols(rows.toDF("k", "x", "y").repartition(23), Seq("k"),
+      col("x"), col("y"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+}
