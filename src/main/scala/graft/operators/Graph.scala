@@ -44,39 +44,64 @@ object Graph {
     * are computed once and cached across iterations.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int, checkpointEvery: Int = 1,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters=$iters out of [1,100]")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
+    // ONE dedup shuffle, cached: nodes / degrees / the edge working set
+    // all derive from it (uncached, each would recompute the distinct).
+    // Callers whose edge set is distinct by construction skip the dedup
+    // shuffle entirely (edgesDistinct=true) — at |E| rows it is the
+    // single biggest setup stage.
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-    // dst-only nodes (dangling: inflow but no outflow) still rank
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
-    // broadcast scalars: N and the per-node teleport term
-    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-    // edges pre-joined with out-degree, reused every iteration
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val ew = e.join(deg, "src").cache()
+    val e = (if (edgesDistinct) raw else raw.distinct()).cache()
+    // ONE pass over the edges yields both the node universe (dst-only
+    // dangling nodes included — inflow but no outflow) and the
+    // out-degree per node: explode both endpoints, sum a src marker.
+    // Separate nodes-distinct + degree aggregations would each shuffle
+    // the edge table again.
+    val nd = e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("o")),
+        struct(col("dst").as("node"), lit(0L).as("o")))).as("x"))
+      .select(col("x.node").as("node"), col("x.o").as("o"))
+      .groupBy(col("node")).agg(sum(col("o")).as("od"))
+      .cache()
+    val nn = broadcast(nd.agg(count(lit(1)).as("n")))
+    // edge working set pre-joined with out-degree AND pre-partitioned on
+    // the join key: the per-iteration join then shuffles only the rank
+    // side (|V| rows), never the |E|-row edge table — the iterative-join
+    // layout every Pregel-style engine uses
+    val deg = nd.filter(col("od") > 0)
+      .select(col("node").as("src"), col("od"))
+    val ew = e.join(deg, "src").repartition(col("src")).cache()
     try {
-      var ranks = nodes.crossJoin(nn)
-        .select(col("node"), expr(s"$Scale div n").as("rank"))
+      // per-node init rank + teleport term, computed once (tiny: |V|)
+      val base = nd.crossJoin(nn)
+        .select(col("node"), expr(s"$Scale div n").as("rank"),
+          expr(s"(15 * ($Scale div n)) div 100").as("tp"))
         .localCheckpoint()
+      var ranks = base.select(col("node"), col("rank"))
       var i = 0
       while (i < iters) {
         val sums = ew.join(ranks, ew("src") === ranks("node"))
           .select(col("dst"), expr("rank div od").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        ranks = nodes.crossJoin(nn)
-          .join(sums, nodes("node") === sums("dst"), "left")
-          .select(col("node"),
-            expr(s"(15 * ($Scale div n)) div 100" +
-              s" + (85 * coalesce(s, 0L)) div 100").as("rank"))
-          .localCheckpoint()
+        ranks = base.join(sums, base("node") === sums("dst"), "left")
+          .select(base("node"),
+            expr("tp + (85 * coalesce(s, 0L)) div 100").as("rank"))
         i += 1
+        // lineage cut cadence: interval 1 (default) materializes each
+        // round — measured fastest here, since one compact job per round
+        // beats one mega-job whose 3-exchanges-per-round dag AQE
+        // re-optimizes stage by stage; raising the interval trades
+        // scheduler round-trips for plan depth on long runs
+        if (i % checkpointEvery == 0 && i < iters)
+          ranks = ranks.localCheckpoint()
       }
-      ranks
-    } finally { ew.unpersist(); nodes.unpersist() }
+      ranks.localCheckpoint()
+    } finally { ew.unpersist(); nd.unpersist(); e.unpersist() }
   }
 
   /** In/out degree per node — the cheap first look at any edge table. */

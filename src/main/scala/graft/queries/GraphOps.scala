@@ -27,14 +27,22 @@ object GraphOps {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize in ONE map-side explode pass — a union of pairs with
+    // its reversal would execute the join+distinct subplan twice; and
+    // the result stays distinct by construction (endpoint parity
+    // differs), so pageRank can skip its own dedup shuffle
+    pairs.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   val defs: Map[String, Q] = Map(
     // 5 synchronous damped power iterations over the symmetrized trade
     // graph; bigint fixed-point ranks are engine- and partitioning-exact
     "graph_pagerank" -> ((s, d) => {
-      graft.operators.Graph.pageRank(tradeEdges(s, d), "src", "dst", Iters)
+      graft.operators.Graph.pageRank(tradeEdges(s, d), "src", "dst", Iters,
+          edgesDistinct = true)
         .orderBy(col("node"))
     }),
 
