@@ -104,6 +104,100 @@ object Graph {
     } finally { ew.unpersist(); nd.unpersist(); e.unpersist() }
   }
 
+  /** Exact triangle count over an undirected graph (edges in either or
+    * both directions; self-loops dropped) — the graph-clustering /
+    * spam-mass primitive.
+    *
+    * DEGREE-ORDERED orientation (the node-iterator++ algorithm): each
+    * undirected edge is directed from the endpoint that is smaller under
+    * the total order (degree, node) toward the larger. Every wedge is
+    * then generated at its LOWEST-degree corner, so a hub of degree d
+    * contributes at most O(d_out^2) wedges where d_out is bounded by
+    * ~sqrt(m) — total work O(m^1.5) instead of the naive sum of d^2
+    * (quadratic on hubs). The closing edge of an oriented wedge
+    * (v, w) with v before w is necessarily oriented v -> w, so one
+    * equi-join against the oriented edge set finishes the count.
+    *
+    * Result: 1 row (n_nodes, n_edges, n_triangles) — counts only, never
+    * the triangle list, so output stays driver-safe at any scale.
+    *
+    * `edgesCanonical = true` asserts the input is already a DISTINCT
+    * src<dst edge set and skips the normalization shuffle (the same
+    * contract as pageRank's `edgesDistinct`).
+    *
+    * With `broadcastEdges` (default) the closing-edge semi-join
+    * BROADCASTS the oriented edge set (m×16 bytes): the wedge stream —
+    * the O(m^1.5) blow-up side — then never crosses an exchange; each
+    * partition expands wedges, probes the edge hash map, and emits one
+    * partial count. (Broadcasting the wedge-expansion build side too
+    * was measured SLOWER — a second broadcast build outweighs the small
+    * shuffle of m oriented edges.) Suits graphs to ~10^8 edges (GB-scale
+    * broadcast); beyond that pass `broadcastEdges = false`.
+    *
+    * When every node id fits in uint32 (checked with one agg over the
+    * cached edge set), the closing probe key is PACKED into a single
+    * long `v1<<32|v2` so Spark builds a LongHashedRelation instead of a
+    * generic UnsafeRow map — measured 5x on the probe stage (4.3 s ->
+    * 0.85 s over 41M wedges at sf0.1); wider ids fall back to the
+    * two-column key. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
+      edgesCanonical: Boolean = false, broadcastEdges: Boolean = true)
+      : DataFrame = {
+    val raw =
+      if (edgesCanonical)
+        edges.select(col(srcCol).cast("long").as("a"),
+          col(dstCol).cast("long").as("b"))
+      else edges
+        .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+    val und = raw.cache()
+    try {
+      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val withDeg = und
+        .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      // orient toward the (degree, node)-larger endpoint; carry the
+      // head's degree so wedge pairs can be ordered by the same relation
+      val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+        .localCheckpoint()
+      val w1 = oriented.select(col("u"), col("v").as("v1"),
+        col("dv").as("dv1"))
+      val w2 = oriented.select(col("u"), col("v").as("v2"),
+        col("dv").as("dv2"))
+      val wedges = w1.join(w2, "u")
+        .filter(col("dv1") < col("dv2") ||
+          (col("dv1") === col("dv2") && col("v1") < col("v2")))
+        .select(col("v1"), col("v2"))
+      val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+      val idRange = und.agg(min(col("a")), max(col("b"))).head()
+      val packable = !idRange.isNullAt(0) && idRange.getLong(0) >= 0L &&
+        idRange.getLong(1) < (1L << 32)
+      def packed(df: DataFrame) = df.select(
+        shiftleft(col("v1"), 32).bitwiseOR(col("v2")).as("k"))
+      val (probe, build, keys) =
+        if (packable) (packed(wedges), packed(closing), Seq("k"))
+        else (wedges, closing, Seq("v1", "v2"))
+      val close = if (broadcastEdges) broadcast(build) else build
+      val tri = probe.join(close, keys, "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val sizes = und.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      sizes.crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+        .localCheckpoint()
+    } finally und.unpersist()
+  }
+
   /** In/out degree per node — the cheap first look at any edge table. */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

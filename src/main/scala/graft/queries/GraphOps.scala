@@ -50,6 +50,23 @@ object GraphOps {
     "graph_degrees" -> ((s, d) => {
       graft.operators.Graph.degrees(tradeEdges(s, d), "src", "dst")
         .orderBy(col("node"))
+    }),
+
+    // exact triangle census of the part co-purchase graph (parts joined
+    // when they appear in the same order) — naturally sparse (~0.6%
+    // density at sf0.1, vs the complete co-supplier graph) and growing
+    // with SF. Degree-ordered O(m^1.5) wedge join in the engine, naive
+    // a<b<c three-way join in the oracle: same count by construction
+    "graph_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val a = li.select(col("o"), col("p").as("p1"))
+      val b = li.select(col("o").as("o2"), col("p").as("p2"))
+      val coBuy = a.join(b,
+          col("o") === col("o2") && col("p1") < col("p2"))
+        .select(col("p1"), col("p2")).distinct()
+      graft.operators.Graph.triangleCount(coBuy, "p1", "p2",
+        edgesCanonical = true)
     })
   )
 
@@ -95,6 +112,22 @@ object GraphOps {
          |$iters
          |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin
     },
+
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |), nn AS (
+        |  SELECT COUNT(*) AS n_nodes FROM
+        |    (SELECT a AS v FROM e UNION SELECT b FROM e)
+        |), ne AS (SELECT COUNT(*) AS n_edges FROM e),
+        |nt AS (
+        |  SELECT COUNT(*) AS n_triangles FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, nt""".stripMargin,
 
     "graph_degrees" ->
       s"""WITH $EdgesCte,

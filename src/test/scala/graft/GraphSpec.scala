@@ -64,6 +64,26 @@ class GraphSpec extends SparkSpec {
     assert(base == shuffled)
   }
 
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) =
+    Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long)].collect().head
+
+  test("triangles: K4 has 4, a cycle has 0, a star has 0") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(tri(k4) == ((4L, 6L, 4L)))
+    assert(tri(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) ==
+      ((4L, 4L, 0L)))
+    assert(tri((1L to 5L).map(l => (0L, l))) == ((6L, 5L, 0L)))
+  }
+
+  test("triangles: reversed duplicates and self-loops do not change it") {
+    val k3 = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val noisy = k3 ++ k3.map(_.swap) ++ Seq((0L, 0L), (1L, 1L))
+    assert(tri(noisy) == ((3L, 3L, 1L)))
+    // pendant node adds a node and an edge, no triangle
+    assert(tri(k3 :+ (2L, 9L)) == ((4L, 4L, 1L)))
+  }
+
   test("degrees: full-outer of in/out sides, zeros filled") {
     val m = Graph.degrees(Seq((1L, 2L), (1L, 3L), (3L, 1L))
         .toDF("src", "dst"), "src", "dst")
