@@ -143,6 +143,82 @@ object Graph {
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
       edgesCanonical: Boolean = false, broadcastEdges: Boolean = true)
       : DataFrame = {
+    val w = wedgePipeline(edges, srcCol, dstCol, edgesCanonical)
+    try {
+      val probe =
+        if (w.packable) packPair(w.wedges) else w.wedges.drop("u")
+      val build = if (w.packable) packPair(w.closing) else w.closing
+      val close = if (broadcastEdges) broadcast(build) else build
+      val keys = if (w.packable) Seq("k") else Seq("v1", "v2")
+      val tri = probe.join(close, keys, "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val sizes = w.und.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(w.deg.agg(count(lit(1)).as("n_nodes")))
+      sizes.crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+        .localCheckpoint()
+    } finally w.und.unpersist()
+  }
+
+  /** Per-node triangle count and LOCAL CLUSTERING COEFFICIENT
+    * lcc(v) = 2*tri(v) / (d(v)*(d(v)-1)) — the node-level cohesion
+    * signal (link-farm hubs have huge degree and near-zero lcc; tight
+    * communities sit near 1). Output: (node, degree, n_tri, lcc), one
+    * row per node, zero-filled for triangle-free nodes.
+    *
+    * Same degree-ordered wedge machinery as [[triangleCount]], but the
+    * closing-edge probe is an INNER join that keeps the wedge corner, so
+    * each found triangle (u, v1, v2) explodes into its three corners and
+    * a map-side-partial count per node finishes the job — output stays
+    * one row per node, never a triangle list, at any scale.
+    *
+    * lcc is computed as exact-integer products cast to double and
+    * divided ONCE, so the value is IEEE-bit-identical in any engine
+    * (the division is the only inexact step). */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
+      edgesCanonical: Boolean = false, broadcastEdges: Boolean = true)
+      : DataFrame = {
+    val w = wedgePipeline(edges, srcCol, dstCol, edgesCanonical)
+    try {
+      val (probe, build, keys) =
+        if (w.packable) (packPair(w.wedges, keep = Seq(col("u"))),
+          packPair(w.closing), Seq("k"))
+        else (w.wedges, w.closing, Seq("v1", "v2"))
+      val close = if (broadcastEdges) broadcast(build) else build
+      // inner probe keeps (u, v1, v2); unpack when the key was packed
+      val tris = probe.join(close, keys, "inner")
+      val corners =
+        (if (w.packable)
+          tris.select(explode(array(col("u"),
+            shiftrightunsigned(col("k"), 32),
+            col("k").bitwiseAND(lit((1L << 32) - 1)))).as("node"))
+        else
+          tris.select(explode(array(col("u"), col("v1"), col("v2")))
+            .as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      w.deg.join(corners, Seq("node"), "left")
+        .select(col("node"), col("d").as("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("d") < 2, lit(0.0d)).otherwise(
+            (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+              (col("d") * (col("d") - 1)).cast("double")).as("lcc"))
+        .localCheckpoint()
+    } finally w.und.unpersist()
+  }
+
+  /** Shared wedge machinery for the triangle family: canonicalize,
+    * degree-order, orient, expand wedges at the lowest-degree corner.
+    * `wedges` keeps the corner `u`; `closing` is the oriented edge set
+    * keyed (v1, v2). Caller must unpersist `und`. */
+  private case class Wedges(und: DataFrame, deg: DataFrame,
+      wedges: DataFrame, closing: DataFrame, packable: Boolean)
+
+  private def packPair(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]
+      = Nil): DataFrame =
+    df.select(keep :+ shiftleft(col("v1"), 32).bitwiseOR(col("v2")).as("k"): _*)
+
+  private def wedgePipeline(edges: DataFrame, srcCol: String, dstCol: String,
+      edgesCanonical: Boolean): Wedges = {
     val raw =
       if (edgesCanonical)
         edges.select(col(srcCol).cast("long").as("a"),
@@ -153,49 +229,35 @@ object Graph {
         .filter(col("a") < col("b"))
         .distinct()
     val und = raw.cache()
-    try {
-      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      val withDeg = und
-        .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
-      // orient toward the (degree, node)-larger endpoint; carry the
-      // head's degree so wedge pairs can be ordered by the same relation
-      val oriented = withDeg.select(
-        when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
-          .otherwise(
-            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
-          .as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
-        .localCheckpoint()
-      val w1 = oriented.select(col("u"), col("v").as("v1"),
-        col("dv").as("dv1"))
-      val w2 = oriented.select(col("u"), col("v").as("v2"),
-        col("dv").as("dv2"))
-      val wedges = w1.join(w2, "u")
-        .filter(col("dv1") < col("dv2") ||
-          (col("dv1") === col("dv2") && col("v1") < col("v2")))
-        .select(col("v1"), col("v2"))
-      val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
-      val idRange = und.agg(min(col("a")), max(col("b"))).head()
-      val packable = !idRange.isNullAt(0) && idRange.getLong(0) >= 0L &&
-        idRange.getLong(1) < (1L << 32)
-      def packed(df: DataFrame) = df.select(
-        shiftleft(col("v1"), 32).bitwiseOR(col("v2")).as("k"))
-      val (probe, build, keys) =
-        if (packable) (packed(wedges), packed(closing), Seq("k"))
-        else (wedges, closing, Seq("v1", "v2"))
-      val close = if (broadcastEdges) broadcast(build) else build
-      val tri = probe.join(close, keys, "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
-      val sizes = und.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-      sizes.crossJoin(tri)
-        .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
-        .localCheckpoint()
-    } finally und.unpersist()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+    // orient toward the (degree, node)-larger endpoint; carry the
+    // head's degree so wedge pairs can be ordered by the same relation
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .localCheckpoint()
+    val w1 = oriented.select(col("u"), col("v").as("v1"),
+      col("dv").as("dv1"))
+    val w2 = oriented.select(col("u"), col("v").as("v2"),
+      col("dv").as("dv2"))
+    val wedges = w1.join(w2, "u")
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+      .select(col("u"), col("v1"), col("v2"))
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+    val idRange = und.agg(min(col("a")), max(col("b"))).head()
+    val packable = !idRange.isNullAt(0) && idRange.getLong(0) >= 0L &&
+      idRange.getLong(1) < (1L << 32)
+    Wedges(und, deg, wedges, closing, packable)
   }
 
   /** In/out degree per node — the cheap first look at any edge table. */

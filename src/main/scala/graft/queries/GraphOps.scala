@@ -37,6 +37,18 @@ object GraphOps {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
+  /** Part co-purchase graph: parts linked when they appear in the same
+    * order — naturally sparse (~0.6% density at sf0.1) and SF-scaled;
+    * emitted canonical (p1 < p2, distinct). */
+  private def coBuyEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val a = li.select(col("o"), col("p").as("p1"))
+    val b = li.select(col("o").as("o2"), col("p").as("p2"))
+    a.join(b, col("o") === col("o2") && col("p1") < col("p2"))
+      .select(col("p1"), col("p2")).distinct()
+  }
+
   val defs: Map[String, Q] = Map(
     // 5 synchronous damped power iterations over the symmetrized trade
     // graph; bigint fixed-point ranks are engine- and partitioning-exact
@@ -58,17 +70,27 @@ object GraphOps {
     // with SF. Degree-ordered O(m^1.5) wedge join in the engine, naive
     // a<b<c three-way join in the oracle: same count by construction
     "graph_triangles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val a = li.select(col("o"), col("p").as("p1"))
-      val b = li.select(col("o").as("o2"), col("p").as("p2"))
-      val coBuy = a.join(b,
-          col("o") === col("o2") && col("p1") < col("p2"))
-        .select(col("p1"), col("p2")).distinct()
-      graft.operators.Graph.triangleCount(coBuy, "p1", "p2",
+      graft.operators.Graph.triangleCount(coBuyEdges(s, d), "p1", "p2",
         edgesCanonical = true)
+    }),
+
+    // per-node triangle counts + local clustering coefficient on the
+    // same co-purchase graph (the trade graph is bipartite — no odd
+    // cycles, so its triangle census is degenerately zero). lcc is one
+    // double division over exact integers: IEEE-bit-identical to the
+    // DuckDB oracle
+    "graph_tri_stats" -> ((s, d) => {
+      graft.operators.Graph.triangleStats(coBuyEdges(s, d), "p1", "p2",
+        edgesCanonical = true).orderBy(col("node"))
     })
   )
+
+  private val CoBuyCte =
+    """e AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |)""".stripMargin
 
   private val EdgesCte =
     """ep AS (
@@ -114,11 +136,7 @@ object GraphOps {
     },
 
     "graph_triangles" ->
-      """WITH e AS (
-        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        |  FROM lineitem x JOIN lineitem y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-        |), nn AS (
+      s"""WITH $CoBuyCte, nn AS (
         |  SELECT COUNT(*) AS n_nodes FROM
         |    (SELECT a AS v FROM e UNION SELECT b FROM e)
         |), ne AS (SELECT COUNT(*) AS n_edges FROM e),
@@ -128,6 +146,30 @@ object GraphOps {
         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         |)
         |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, nt""".stripMargin,
+
+    "graph_tri_stats" ->
+      s"""WITH $CoBuyCte, deg AS (
+        |  SELECT node, COUNT(*) AS d FROM
+        |    (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node
+        |), t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), tc AS (
+        |  SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT x AS node FROM t
+        |    UNION ALL SELECT y FROM t
+        |    UNION ALL SELECT z FROM t)
+        |  GROUP BY node
+        |)
+        |SELECT deg.node, deg.d AS degree,
+        |  COALESCE(tc.n_tri, 0) AS n_tri,
+        |  CASE WHEN deg.d < 2 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(COALESCE(tc.n_tri, 0) * 2 AS DOUBLE)
+        |      / CAST(deg.d * (deg.d - 1) AS DOUBLE) END AS lcc
+        |FROM deg LEFT JOIN tc ON tc.node = deg.node
+        |ORDER BY deg.node""".stripMargin,
 
     "graph_degrees" ->
       s"""WITH $EdgesCte,

@@ -84,6 +84,29 @@ class GraphSpec extends SparkSpec {
     assert(tri(k3 :+ (2L, 9L)) == ((4L, 4L, 1L)))
   }
 
+  test("tri stats: K4 all-1.0 lcc; wedge and pendant corners zero-fill") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val s4 = Graph.triangleStats(k4.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Double)].collect().sorted
+    assert(s4.toSeq == (0L to 3L).map(n => (n, 3L, 3L, 1.0)))
+    // k3 plus a pendant: corner 2 has d=3 but only 1 triangle
+    val s = Graph.triangleStats(
+      Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 9L)).toDF("src", "dst"),
+      "src", "dst").as[(Long, Long, Long, Double)].collect().sorted
+    assert(s.toSeq == Seq((0L, 2L, 1L, 1.0), (1L, 2L, 1L, 1.0),
+      (2L, 3L, 1L, 1.0 / 3.0), (9L, 1L, 0L, 0.0)))
+  }
+
+  test("triangle family: ids past uint32 fall back to the unpacked key") {
+    val big = 5000000000L // > 2^32
+    val k3 = Seq((big, big + 1), (big + 1, big + 2), (big, big + 2))
+    assert(tri(k3) == ((3L, 3L, 1L)))
+    val s = Graph.triangleStats(k3.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Double)].collect().sorted
+    assert(s.toSeq == Seq((big, 2L, 1L, 1.0), (big + 1, 2L, 1L, 1.0),
+      (big + 2, 2L, 1L, 1.0)))
+  }
+
   test("degrees: full-outer of in/out sides, zeros filled") {
     val m = Graph.degrees(Seq((1L, 2L), (1L, 3L), (3L, 1L))
         .toDF("src", "dst"), "src", "dst")
