@@ -104,6 +104,60 @@ object Graph {
     } finally { ew.unpersist(); nd.unpersist(); e.unpersist() }
   }
 
+  /** Synchronous label-propagation community detection (LPA), `iters`
+    * fixed rounds, fully deterministic:
+    *
+    *   lab_0(v)   = v
+    *   lab_i+1(v) = the label with the MOST in-neighbors under lab_i,
+    *                ties broken toward the SMALLEST label; a node with
+    *                no in-neighbors keeps its label.
+    *
+    * Classic async LPA is run-order-dependent; pinning synchronous
+    * rounds + the (count desc, label asc) total order makes the result
+    * a pure function of the edge set, so a DuckDB oracle can replay it
+    * round by round (the same unrolled-CTE trick as the pageRank gate).
+    * Labels flow src -> dst; symmetrize first for undirected community
+    * semantics (as the gate query does).
+    *
+    * Scale posture: per round, ONE join against the pre-partitioned
+    * edge working set (only the |V|-row label side shuffles), ONE
+    * map-side-partial count by (node, label), ONE argmax by node — the
+    * argmax is a struct max aggregate, not a window, so partials
+    * combine before the exchange; lineage is cut per round. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, edgesDistinct: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters=$iters out of [1,100]")
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = (if (edgesDistinct) raw else raw.distinct())
+      .repartition(col("src")).cache()
+    try {
+      val nodes = e.select(explode(array(col("src"), col("dst")))
+        .as("node")).distinct()
+      var labels = nodes.select(col("node"), col("node").as("lab"))
+        .localCheckpoint()
+      var i = 0
+      while (i < iters) {
+        val cnt = e.join(labels, e("src") === labels("node"))
+          .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        // argmax by (c desc, lab asc) == struct-max of (c, -lab):
+        // labels are node ids >= 0 so the negation is order-exact
+        val pick = cnt
+          .groupBy(col("dst"))
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("dst"), (-col("m.nl")).as("plab"))
+        labels = labels.join(pick, labels("node") === pick("dst"), "left")
+          .select(labels("node"),
+            coalesce(col("plab"), col("lab")).as("lab"))
+        i += 1
+        if (i < iters) labels = labels.localCheckpoint()
+      }
+      labels.select(col("node"), col("lab").as("community"))
+        .localCheckpoint()
+    } finally e.unpersist()
+  }
+
   /** Exact triangle count over an undirected graph (edges in either or
     * both directions; self-loops dropped) — the graph-clustering /
     * spam-mass primitive.

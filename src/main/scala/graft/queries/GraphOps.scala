@@ -19,6 +19,7 @@ object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
   private val Iters = 5
+  private val LpaIters = 4
 
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -82,6 +83,18 @@ object GraphOps {
     "graph_tri_stats" -> ((s, d) => {
       graft.operators.Graph.triangleStats(coBuyEdges(s, d), "p1", "p2",
         edgesCanonical = true).orderBy(col("node"))
+    }),
+
+    // synchronous LPA communities on the symmetrized co-purchase graph;
+    // the canonical p1<p2 edge set plus its reversal is distinct by
+    // construction, so the operator's dedup shuffle is skipped
+    "graph_communities" -> ((s, d) => {
+      val sym = coBuyEdges(s, d).select(explode(array(
+          struct(col("p1").as("src"), col("p2").as("dst")),
+          struct(col("p2").as("src"), col("p1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      graft.operators.Graph.labelPropagation(sym, "src", "dst", LpaIters,
+        edgesDistinct = true).orderBy(col("node"))
     })
   )
 
@@ -170,6 +183,38 @@ object GraphOps {
         |      / CAST(deg.d * (deg.d - 1) AS DOUBLE) END AS lcc
         |FROM deg LEFT JOIN tc ON tc.node = deg.node
         |ORDER BY deg.node""".stripMargin,
+
+    "graph_communities" -> {
+      // one unrolled LPA round: count in-neighbor labels, pick
+      // (count desc, label asc), keep the old label when isolated —
+      // mirrors operators.Graph.labelPropagation exactly
+      def round(i: Int): String = {
+        val (p, c, pk, l) = (s"l${i - 1}", s"c$i", s"p$i", s"l$i")
+        s"""$c AS (
+           |  SELECT es.dst AS node, l.lab, COUNT(*) AS c
+           |  FROM es JOIN $p l ON l.node = es.src
+           |  GROUP BY es.dst, l.lab
+           |), $pk AS (
+           |  SELECT node, lab FROM (
+           |    SELECT node, lab, ROW_NUMBER() OVER
+           |      (PARTITION BY node ORDER BY c DESC, lab) AS rn
+           |    FROM $c)
+           |  WHERE rn = 1
+           |), $l AS (
+           |  SELECT n.node, COALESCE(p.lab, n.lab) AS lab
+           |  FROM $p n LEFT JOIN $pk p ON p.node = n.node
+           |)""".stripMargin
+      }
+      val rounds = (1 to LpaIters).map(round).mkString(",\n")
+      s"""WITH $CoBuyCte,
+         |es AS (SELECT a AS src, b AS dst FROM e
+         |       UNION ALL SELECT b, a FROM e),
+         |nodes AS (SELECT DISTINCT src AS node FROM es),
+         |l0 AS (SELECT node, node AS lab FROM nodes),
+         |$rounds
+         |SELECT node, lab AS community FROM l$LpaIters
+         |ORDER BY node""".stripMargin
+    },
 
     "graph_degrees" ->
       s"""WITH $EdgesCte,

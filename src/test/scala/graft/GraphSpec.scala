@@ -107,6 +107,35 @@ class GraphSpec extends SparkSpec {
       (big + 2, 2L, 1L, 1.0)))
   }
 
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges ++ edges.map(_.swap)
+    Graph.labelPropagation(sym.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("lpa: disjoint triangles converge to their min node id") {
+    val two = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    assert(lpa(two, 3) ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("lpa: one round of a star — hub takes min spoke, spokes take hub") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    assert(lpa(star, 1) == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("lpa: result is partitioning-invariant") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (5L, 6L), (6L, 7L))
+    val sym = edges ++ edges.map(_.swap)
+    val base = lpa(edges, 4)
+    val shuffled = Graph.labelPropagation(
+      sym.toDF("src", "dst").repartition(7), "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(base == shuffled)
+  }
+
   test("degrees: full-outer of in/out sides, zeros filled") {
     val m = Graph.degrees(Seq((1L, 2L), (1L, 3L), (3L, 1L))
         .toDF("src", "dst"), "src", "dst")
