@@ -104,6 +104,59 @@ object Graph {
     } finally { ew.unpersist(); nd.unpersist(); e.unpersist() }
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes
+    * whose remaining undirected degree is < k until nothing changes (or
+    * `maxRounds` is hit). Output: (node, core_deg) for the surviving
+    * core — the standard graph-cleanup primitive (crawl-frontier /
+    * link-farm pruning keeps only the densely-embedded nodes).
+    *
+    * Determinism contract: peeling only ever REMOVES edges, so a round
+    * that removes nothing is a fixpoint and every later round is a
+    * no-op — the early exit therefore returns exactly what a fixed
+    * `maxRounds`-round unroll would, which is how the DuckDB oracle
+    * replays it (R unrolled rounds, trailing no-ops included).
+    *
+    * Scale posture: each round is one map-side-partial degree count
+    * (explode both endpoints) + two semi-joins against the surviving
+    * node set, lineage cut per round; the only driver value is the
+    * edge count that drives the exit test. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 20, edgesCanonical: Boolean = false): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(maxRounds >= 1 && maxRounds <= 100,
+      s"maxRounds=$maxRounds out of [1,100]")
+    val raw =
+      if (edgesCanonical)
+        edges.select(col(srcCol).cast("long").as("a"),
+          col(dstCol).cast("long").as("b"))
+      else edges
+        .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+    var cur = raw.localCheckpoint()
+    var curCnt = cur.count()
+    var r = 0
+    var fixed = curCnt == 0L
+    while (r < maxRounds && !fixed) {
+      val deg = cur.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("node"))
+      val next = cur
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val nextCnt = next.count()
+      fixed = nextCnt == curCnt || nextCnt == 0L
+      cur = next
+      curCnt = nextCnt
+      r += 1
+    }
+    cur.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Synchronous label-propagation community detection (LPA), `iters`
     * fixed rounds, fully deterministic:
     *

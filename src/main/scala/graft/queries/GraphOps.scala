@@ -20,6 +20,8 @@ object GraphOps {
 
   private val Iters = 5
   private val LpaIters = 4
+  private val KCoreK = 36
+  private val KCoreRounds = 6
 
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -95,6 +97,15 @@ object GraphOps {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.operators.Graph.labelPropagation(sym, "src", "dst", LpaIters,
         edgesDistinct = true).orderBy(col("node"))
+    }),
+
+    // 36-core of the trade graph: keep only customers/suppliers still
+    // trading with >= 36 dense counterparties after iterative peeling
+    // (652 of 1600 nodes at sf0.01). The symmetrized input collapses
+    // back to canonical form in the operator's normalization pass
+    "graph_kcore" -> ((s, d) => {
+      graft.operators.Graph.kCore(tradeEdges(s, d), "src", "dst",
+        k = KCoreK, maxRounds = KCoreRounds).orderBy(col("node"))
     })
   )
 
@@ -214,6 +225,36 @@ object GraphOps {
          |$rounds
          |SELECT node, lab AS community FROM l$LpaIters
          |ORDER BY node""".stripMargin
+    },
+
+    "graph_kcore" -> {
+      // one unrolled peel round; trailing rounds past the fixpoint are
+      // no-ops, which is exactly the operator's early-exit contract.
+      // Each e$i is MATERIALIZED: every round references its
+      // predecessor three times, so inlined CTEs would expand 3^R
+      // scans of the base tables (DuckDB runs out of file handles)
+      def peel(i: Int): String =
+        s"""d$i AS (
+           |  SELECT node, COUNT(*) AS d FROM
+           |    (SELECT a AS node FROM e${i - 1}
+           |     UNION ALL SELECT b FROM e${i - 1})
+           |  GROUP BY node
+           |), k$i AS (SELECT node FROM d$i WHERE d >= $KCoreK),
+           |e$i AS MATERIALIZED (
+           |  SELECT a, b FROM e${i - 1}
+           |  WHERE a IN (SELECT node FROM k$i)
+           |    AND b IN (SELECT node FROM k$i)
+           |)""".stripMargin
+      val rounds = (1 to KCoreRounds).map(peel).mkString(",\n")
+      s"""WITH $EdgesCte,
+         |e0 AS MATERIALIZED (
+         |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM ep),
+         |$rounds
+         |SELECT node, COUNT(*) AS core_deg FROM
+         |  (SELECT a AS node FROM e$KCoreRounds
+         |   UNION ALL SELECT b FROM e$KCoreRounds)
+         |GROUP BY node ORDER BY node""".stripMargin
     },
 
     "graph_degrees" ->

@@ -136,6 +136,29 @@ class GraphSpec extends SparkSpec {
     assert(base == shuffled)
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int, rounds: Int = 20)
+      : Map[Long, Long] =
+    Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("kcore: pendant chain peels link by link down to the triangle") {
+    // triangle {0,1,2} with a 4-link tail: the 2-core must shed the
+    // tail one node per round (far end first) — the cascade case
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(core(g, 2) == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // insufficient rounds stop mid-cascade: after 2 rounds nodes 5,6
+    // are gone but the rest of the tail still stands
+    assert(core(g, 2, rounds = 2) ==
+      Map(0L -> 2L, 1L -> 2L, 2L -> 3L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("kcore: K4 is its own 3-core; K4 minus an edge dissolves") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(core(k4, 3) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(core(k4.filterNot(_ == ((2L, 3L))), 3) == Map.empty)
+  }
+
   test("degrees: full-outer of in/out sides, zeros filled") {
     val m = Graph.degrees(Seq((1L, 2L), (1L, 3L), (3L, 1L))
         .toDF("src", "dst"), "src", "dst")
