@@ -159,6 +159,36 @@ class GraphSpec extends SparkSpec {
     assert(core(k4.filterNot(_ == ((2L, 3L))), 3) == Map.empty)
   }
 
+  test("triangle closing probe is a broadcast semi join on a packed key") {
+    // the operators run eagerly (localCheckpoint), so the 100 TB shape
+    // must be asserted on the EXECUTED plans captured via listener: the
+    // wedge stream may never cross an exchange on its way to the probe
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+      Graph.triangleCount(k4.toDF("src", "dst"), "src", "dst")
+      // listener delivery is async; poll until the semi-join plan lands
+      val deadline = System.nanoTime() + 10000000000L
+      def probe = plans.synchronized {
+        plans.filter(p => p.contains("LeftSemi")).toList }
+      while (probe.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(probe.nonEmpty, "no semi-join plan captured")
+      // broadcast probe (never a shuffled semi), keyed on the packed long
+      assert(probe.exists(p => p.contains("BroadcastHashJoin") &&
+        p.contains("shiftleft")))
+      assert(!probe.exists(_.contains("SortMergeJoin")))
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("degrees: full-outer of in/out sides, zeros filled") {
     val m = Graph.degrees(Seq((1L, 2L), (1L, 3L), (3L, 1L))
         .toDF("src", "dst"), "src", "dst")
