@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-distribution profiling — the diagnostics you run BEFORE picking
+  * a physical strategy at 100 TB: a join/agg key's skew profile decides
+  * between a plain shuffle join, a broadcast, or the salted-key plan
+  * (operators.SkewJoin), and per-key counts decide shuffle-partition
+  * sizing. No reference counterpart (its DBMS hides the physical
+  * layer); sibling of Quality's corpus stats.
+  *
+  * All-integer outputs (counts, floor-division ratios in thousandths)
+  * — the repo-wide fixed-point discipline, so profiles are
+  * oracle-exact cross-engine.
+  */
+object Profiling {
+
+  /** Skew ratios are thousandths: 1000 = perfectly uniform. */
+  val Scale: Long = 1000L
+
+  /** Key-distribution profile of a prospective join/agg key: the top
+    * `topK` heaviest keys by (count desc, key), each row carrying the
+    * global summary — total rows, distinct keys, max/avg per-key count
+    * and `skew_x1000 = max*1000 div avg` (a 50x-skewed key reads
+    * 50000). One aggregation over the data (map-side partial), a
+    * 1-row summary broadcast onto a TakeOrderedAndProject top-k: no
+    * full sort, no second scan. */
+  def keySkew(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val summary = counts
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        expr("n_rows div n_keys").as("avg_cnt"),
+        expr(s"(max_cnt * $Scale) div (n_rows div n_keys)")
+          .as("skew_x1000"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(summary))
+  }
+}

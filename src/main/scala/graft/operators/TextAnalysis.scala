@@ -18,6 +18,45 @@ object TextAnalysis {
     * space-separated text; swap the delimiter regex for real corpora). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Fixed-point idf scale for [[rankByTerms]]: weights are integer
+    * multiples of 1e-9 of the idf unit, so scoring is engine-exact. */
+  val IdfScale: Long = 1000000000L
+
+  /** Ranked keyword retrieval: score every document against a fixed
+    * query-term set with integer tf-idf weights —
+    *
+    *   score(d) = sum over query terms t of tf(t,d) * (IdfScale div df(t))
+    *
+    * where df(t) counts matching documents. All-integer math (the
+    * repo-wide fixed-point discipline: ln() is not correctly-rounded
+    * IEEE, so a log-idf BM25 could not be oracle-checked bit-exact;
+    * the div-based inverse keeps the same rare-term-dominates ranking).
+    * Returns the top `k` docs by (score desc, id) — ties broken by id
+    * so the cut is total-order deterministic.
+    *
+    * Scale posture: the term filter prunes the exploded token stream
+    * BEFORE any shuffle (only query-term hits survive, a tiny fraction
+    * of the corpus); df is a broadcast-sized aggregate (one row per
+    * query term); the final cut is orderBy+limit, which plans as
+    * TakeOrderedAndProject — k rows per partition cross to the driver
+    * side, never a global sort. */
+  def rankByTerms(docs: DataFrame, idCol: String, text: Column,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "rankByTerms needs at least one query term")
+    require(k >= 1, s"k=$k must be >= 1")
+    val tf = docs
+      .select(col(idCol), explode(tokens(text)).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfc), "term")
+      .select(col(idCol),
+        (col("tf") * expr(s"$IdfScale div df")).as("w"))
+      .groupBy(col(idCol)).agg(sum(col("w")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array column.
     * Use this form (with `tokens(text)` projected once in a prior select)
     * on any path that shingles in bulk: `ws` appears n+2 times in this

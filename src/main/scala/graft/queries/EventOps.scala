@@ -27,6 +27,14 @@ object EventOps {
   private val SevenDaysUs = 7L * 86400000000L
 
   val defs: Map[String, Q] = Map(
+    // key-distribution profile of the events join key: the diagnostic
+    // that decides plain vs broadcast vs salted join at scale. Top-10
+    // heaviest users + global summary, all-integer
+    "profile_key_skew" -> ((s, d) => {
+      graft.operators.Profiling.keySkew(Tables.events(s, d),
+        col("user_id"), topK = 10)
+    }),
+
     // batch analogue of the streaming LEFT OUTER interval join
     // (EventsPipeline.purchaseClickJoinOuter): every purchase with its
     // same-user clicks in the trailing hour — purchases with NO click
@@ -406,6 +414,20 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, COUNT(*) AS cnt FROM events
+        |  GROUP BY user_id
+        |), s AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    COUNT(*) AS n_keys, MAX(cnt) AS max_cnt FROM c
+        |)
+        |SELECT t.key, t.cnt, s.n_rows, s.n_keys, s.max_cnt,
+        |  s.n_rows // s.n_keys AS avg_cnt,
+        |  (s.max_cnt * 1000) // (s.n_rows // s.n_keys) AS skew_x1000
+        |FROM (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10) t, s
+        |ORDER BY t.cnt DESC, t.key""".stripMargin,
+
     // same sufficient statistics in exact arithmetic, same double dag
     // (decimal -> double through VARCHAR per the ColUtil parity rule)
     "events_trend_ols" ->

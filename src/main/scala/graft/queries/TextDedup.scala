@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
 object TextDedup {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Fixed retrieval query for `text_search_topk`: two common + two
+    * rarer fixture-vocabulary terms so idf weights actually differ. */
+  private val SearchTerms = Seq("hash", "merge", "window", "spark")
+
   val defs: Map[String, Q] = Map(
     // fuzzy entity resolution by edit distance: resolve the DISTINCT
     // name dictionary (aggregate rows per name first — the pairwise
@@ -247,6 +251,16 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // ranked keyword retrieval: top-20 docs for a fixed 4-term query,
+    // fixed-point integer idf weights (IdfScale div df) — the
+    // oracle-exact stand-in for log-idf BM25, same rare-term-dominates
+    // ordering. The term filter prunes the token stream pre-shuffle and
+    // the cut is TakeOrderedAndProject
+    "text_search_topk" -> ((s, d) => {
+      TextAnalysis.rankByTerms(Tables.documents(s, d), "doc_id",
+        col("text"), SearchTerms, k = 20)
+    }),
+
     // TF-IDF backbone, integer-exact: per-doc term frequencies + corpus
     // document frequencies, top-3 terms per doc by (tf desc, term). The
     // idf itself is a float log the caller applies (ln(N/df)) — keeping
@@ -466,6 +480,23 @@ object TextDedup {
          |  MAX(start // 128) AS max_seq
          |FROM c GROUP BY shard ORDER BY shard""".stripMargin
     },
+    "text_search_topk" -> {
+      val terms = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |  WHERE term IN ($terms) GROUP BY doc_id, term),
+         |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+         |SELECT tf.doc_id,
+         |  CAST(SUM(tf.tf * (${TextAnalysis.IdfScale} // dfc.df))
+         |    AS BIGINT) AS score
+         |FROM tf JOIN dfc USING (term)
+         |GROUP BY tf.doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
     "text_tfidf_topterms" ->
       """WITH tf AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
