@@ -110,7 +110,14 @@ object GraftFunctions {
           "best (score DESC, id ASC) pairs per group, map-side combined"),
       arity("topk_by", 3)(args =>
         TopKByAgg(args(0), args(1), intLit(args(2), "topk_by"))
-          .toAggregateExpression())))
+          .toAggregateExpression())),
+    (FunctionIdentifier("range_lookup_idx"),
+      info(classOf[RangeLookupIdx], "range_lookup_idx",
+        "range_lookup_idx(x, los, his) - binary search sorted " +
+          "non-overlapping inclusive intervals; 0-based index of the " +
+          "interval containing x, else NULL"),
+      arity("range_lookup_idx", 3)(args =>
+        RangeLookupIdx(args(0), args(1), args(2)))))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, fi, b) =>

@@ -35,6 +35,21 @@ object EventOps {
         col("user_id"), topK = 10)
     }),
 
+    // broadcast interval-lookup join: user-id cohort blocks (with a
+    // deliberate 10..29 gap -> NULL cohort) attach by binary search
+    // over bounds-array literals instead of the BroadcastNestedLoopJoin
+    // a BETWEEN join would plan — O(log n) per probe row, no shuffle
+    "join_range_lookup" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq((0L, 4L, "c0"), (5L, 9L, "c1"), (30L, 99L, "c3"),
+        (100L, 399L, "c4"), (400L, 999999L, "c5"))
+        .toDF("lo", "hi", "cohort")
+      graft.operators.RangeDim.lookupJoin(Tables.events(s, d), dim,
+          col("user_id"), "lo", "hi", Seq("cohort"))
+        .groupBy(col("cohort")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("cohort"))
+    }),
+
     // batch analogue of the streaming LEFT OUTER interval join
     // (EventsPipeline.purchaseClickJoinOuter): every purchase with its
     // same-user clicks in the trailing hour — purchases with NO click
@@ -414,6 +429,14 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_range_lookup" ->
+      """WITH b(lo, hi, cohort) AS (
+        |  VALUES (0, 4, 'c0'), (5, 9, 'c1'), (30, 99, 'c3'),
+        |         (100, 399, 'c4'), (400, 999999, 'c5'))
+        |SELECT b.cohort, COUNT(*) AS n_events
+        |FROM events LEFT JOIN b ON events.user_id BETWEEN b.lo AND b.hi
+        |GROUP BY b.cohort ORDER BY b.cohort""".stripMargin,
+
     "profile_key_skew" ->
       """WITH c AS (
         |  SELECT user_id AS key, COUNT(*) AS cnt FROM events
