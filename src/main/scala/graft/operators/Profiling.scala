@@ -39,4 +39,29 @@ object Profiling {
     counts.orderBy(col("cnt").desc, col("key")).limit(topK)
       .crossJoin(broadcast(summary))
   }
+
+  /** Exact distribution-drift report between two slices of a numeric
+    * column (corpus version A vs B, yesterday vs today): fixed-width
+    * histogram of each side, full-outer aligned by bucket, zero-filled,
+    * with the per-bucket absolute difference. Sum `abs_diff` for the L1
+    * (total-variation x2) drift in ROWS — integral end to end, so the
+    * report is oracle-exact (the only float op is floor(x/width), an
+    * IEEE-exact division+floor both engines share).
+    *
+    * Two map-side-partial aggregations + one bucket-keyed join of
+    * histogram-sized (not data-sized) inputs — nothing here scales with
+    * row count past the first aggregation. */
+  def histogramDrift(a: DataFrame, b: DataFrame, x: Column, width: Double)
+      : DataFrame = {
+    require(width > 0, s"width=$width must be > 0")
+    def hist(df: DataFrame, n: String) =
+      df.select(floor(x / lit(width)).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    hist(a, "n_a").join(hist(b, "n_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        abs(coalesce(col("n_a"), lit(0L)) - coalesce(col("n_b"), lit(0L)))
+          .as("abs_diff"))
+  }
 }

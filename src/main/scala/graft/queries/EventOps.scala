@@ -50,6 +50,18 @@ object EventOps {
         .orderBy(col("cohort"))
     }),
 
+    // distribution drift between the click and purchase value
+    // distributions: width-25 histograms full-outer aligned, per-bucket
+    // absolute difference — the corpus-version drift report, integral
+    "profile_value_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.Profiling.histogramDrift(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          col("value"), width = 25.0)
+        .orderBy(col("bucket"))
+    }),
+
     // batch analogue of the streaming LEFT OUTER interval join
     // (EventsPipeline.purchaseClickJoinOuter): every purchase with its
     // same-user clicks in the trailing hour — purchases with NO click
@@ -436,6 +448,21 @@ object EventOps {
         |SELECT b.cohort, COUNT(*) AS n_events
         |FROM events LEFT JOIN b ON events.user_id BETWEEN b.lo AND b.hi
         |GROUP BY b.cohort ORDER BY b.cohort""".stripMargin,
+
+    "profile_value_drift" ->
+      """WITH ha AS (
+        |  SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n_a
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |hb AS (
+        |  SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n_b
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+        |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+        |  ABS(COALESCE(n_a, 0) - COALESCE(n_b, 0)) AS abs_diff
+        |FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+        |ORDER BY bucket""".stripMargin,
 
     "profile_key_skew" ->
       """WITH c AS (

@@ -17,6 +17,15 @@ class ProfilingSpec extends SparkSpec {
       Seq((12L, 6L, 6L, 2L, 3000L)))
   }
 
+  test("histogramDrift: full-outer buckets, zero fill, abs diff") {
+    val a = Seq(1.0, 2.0, 11.0, 26.0).toDF("v") // buckets 0,0,1,2
+    val b = Seq(3.0, 31.0, 33.0, 47.0).toDF("v") // buckets 0,3,3,4
+    val got = Profiling.histogramDrift(a, b, col("v"), width = 10.0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L, 1L, 1L), (1L, 1L, 0L, 1L),
+      (2L, 1L, 0L, 1L), (3L, 0L, 2L, 2L), (4L, 0L, 1L, 1L)))
+  }
+
   test("rankByTerms: rare terms dominate, ties break by id") {
     val docs = Seq(
       (1L, "rare common common"), // rare hit + 2 common
