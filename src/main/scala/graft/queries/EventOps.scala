@@ -50,6 +50,29 @@ object EventOps {
         .orderBy(col("cohort"))
     }),
 
+    // dynamic partition pruning, demonstrated end to end: events land
+    // partitioned by day index, the selective dim side (every third
+    // day) broadcasts, and Spark's DPP injects its runtime subquery
+    // into the partitioned scan's PartitionFilters — only matching
+    // day directories are read (plan-asserted in PlanSpec). The
+    // oracle replays the join relationally from the raw table: pruning
+    // must never change results
+    "join_dpp_prune" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("dpp")
+        .toString + "/ev"
+      val DayNs = 86400000000000L
+      Tables.events(s, d)
+        .withColumn("day", expr(s"ts div ${DayNs}L"))
+        .write.mode("overwrite").partitionBy("day").parquet(root)
+      val fact = s.read.parquet(root)
+      val dim = Tables.events(s, d)
+        .select(expr(s"ts div ${DayNs}L").as("day")).distinct()
+        .filter(col("day") % 3 === 0)
+      fact.join(broadcast(dim), "day")
+        .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("day"))
+    }),
+
     // distribution drift between the click and purchase value
     // distributions: width-25 histograms full-outer aligned, per-bucket
     // absolute difference — the corpus-version drift report, integral
@@ -448,6 +471,13 @@ object EventOps {
         |SELECT b.cohort, COUNT(*) AS n_events
         |FROM events LEFT JOIN b ON events.user_id BETWEEN b.lo AND b.hi
         |GROUP BY b.cohort ORDER BY b.cohort""".stripMargin,
+
+    "join_dpp_prune" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day FROM events)
+        |SELECT day, COUNT(*) AS n_events FROM e
+        |WHERE day % 3 = 0
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "profile_value_drift" ->
       """WITH ha AS (

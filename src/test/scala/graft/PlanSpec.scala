@@ -204,6 +204,15 @@ class PlanSpec extends SparkSpec {
     assert("LeftSemi".r.findAllIn(p).size >= 2, p)
   }
 
+  test("dpp join injects a runtime subquery into the partitioned scan") {
+    val p = plan("join_dpp_prune")
+    // the fact side is dir-partitioned on month and the scan's
+    // PartitionFilters carry Spark's DPP subquery — directories for
+    // months the dim filter rejects are never read
+    assert(p.contains("PartitionFilters"))
+    assert(p.contains("dynamicpruning"))
+  }
+
   test("salted skew join replicates the dim side, joins on (key, salt)") {
     val p = plan("join_salted_skew")
     assert(p.contains("explode"))
