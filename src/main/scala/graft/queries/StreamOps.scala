@@ -103,6 +103,35 @@ object StreamOps {
     // Watermarked tumbling-window aggregation, complete mode: hourly
     // counts + exact decimal sums per event type. Must equal the batch
     // GROUP BY date_trunc('hour') the oracle runs.
+    // streaming distribution monitor: the hourly value histogram joined
+    // (stream-static, stateless, post-agg) to the batch-derived
+    // expected-per-window baseline — drift = n - expected, integral end
+    // to end. One stateful op (the windowed agg); the baseline
+    // broadcast-joins on bucket
+    "stream_value_histogram" -> ((s, d) => {
+      val HourNs = 3600000000000L
+      val ev = Tables.events(s, d)
+      val nWindows = ev.select(countDistinct(expr(s"ts div ${HourNs}L"))
+        .as("nw"))
+      val baseline = ev
+        .select(floor(col("value") / 25.0).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("total"))
+        .crossJoin(broadcast(nWindows))
+        .select(col("bucket"), expr("total div nw").as("expected"))
+      val agg = EventsPipeline.withEventTime(eventsStream(s, d))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour"),
+          floor(col("value") / 25.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("bucket"), col("n"))
+        .join(broadcast(baseline), "bucket")
+        .select(col("window_us"), col("bucket"), col("n"),
+          col("expected"), (col("n") - col("expected")).as("drift"))
+      runStream(s, agg, "valuehist", d, "complete")
+        .orderBy(col("window_us"), col("bucket"))
+    }),
+
     "stream_tumbling_counts" -> ((s, d) => {
       val agg = EventsPipeline.withEventTime(eventsStream(s, d))
         .withWatermark("event_time", "10 minutes")
@@ -365,6 +394,24 @@ object StreamOps {
         |)
         |SELECT prev_type, next_type, COUNT(*) AS n
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_value_histogram" ->
+      """WITH base AS (
+        |  SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+        |    COUNT(*) // (SELECT COUNT(DISTINCT
+        |      epoch_ns(CAST(ts AS TIMESTAMP)) // 3600000000000)
+        |      FROM events) AS expected
+        |  FROM events GROUP BY 1),
+        |wh AS (
+        |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      AS window_us,
+        |    CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT wh.window_us, wh.bucket, wh.n, base.expected,
+        |  wh.n - base.expected AS drift
+        |FROM wh JOIN base ON base.bucket = wh.bucket
+        |ORDER BY window_us, wh.bucket""".stripMargin,
 
     "stream_tumbling_counts" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_us,
