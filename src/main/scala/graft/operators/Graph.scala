@@ -313,6 +313,58 @@ object Graph {
     } finally w.und.unpersist()
   }
 
+  /** Common-neighbor link prediction: the top `k` NON-adjacent node
+    * pairs ranked by how many neighbors they share — the classic
+    * "customers also bought" / candidate-edge primitive. Output:
+    * (v1, v2, common), v1 < v2, ordered (common desc, v1, v2) — a
+    * total order, so the cut is deterministic.
+    *
+    * Unlike the triangle family this needs FULL wedges (a common
+    * neighbor u of {a,b} counts regardless of degree orientation), so
+    * wedge volume is sum over u of C(d(u), 2) — quadratic on hubs. At
+    * scale, cap it with `maxDegree`: nodes with more neighbors than the
+    * cap are excluded as wedge CORNERS (their pairs are spurious
+    * co-recommendations anyway — sharing a mega-hub carries no signal;
+    * the standard practice in similarity mining). The final cut is
+    * orderBy+limit = TakeOrderedAndProject: k rows per partition cross,
+    * never a global sort. */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxDegree: Int = Int.MaxValue,
+      edgesCanonical: Boolean = false): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(maxDegree >= 2, s"maxDegree=$maxDegree must be >= 2")
+    val raw =
+      if (edgesCanonical)
+        edges.select(col(srcCol).cast("long").as("a"),
+          col(dstCol).cast("long").as("b"))
+      else edges
+        .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+    val und = raw.localCheckpoint()
+    val sym = und.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val corners =
+      if (maxDegree == Int.MaxValue) sym
+      else {
+        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        sym.join(deg.filter(col("d") <= maxDegree).select(col("u")), "u")
+      }
+    val w1 = corners.select(col("u"), col("v").as("v1"))
+    val w2 = corners.select(col("u"), col("v").as("v2"))
+    val common = w1.join(w2, "u")
+      .filter(col("v1") < col("v2"))
+      .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("common"))
+    common
+      .join(und.select(col("a").as("v1"), col("b").as("v2")),
+        Seq("v1", "v2"), "left_anti")
+      .orderBy(col("common").desc, col("v1"), col("v2"))
+      .limit(k)
+  }
+
   /** Shared wedge machinery for the triangle family: canonicalize,
     * degree-order, orient, expand wedges at the lowest-degree corner.
     * `wedges` keeps the corner `u`; `closing` is the oriented edge set

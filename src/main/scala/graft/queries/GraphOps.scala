@@ -99,6 +99,24 @@ object GraphOps {
         edgesDistinct = true).orderBy(col("node"))
     }),
 
+    // common-neighbor link prediction over the REPEAT co-purchase graph
+    // (pairs co-bought in >= 2 orders — the frequent-itemset edge set):
+    // top-20 part pairs that share the most co-purchase partners but
+    // were never co-bought themselves — "customers also bought"
+    "graph_link_predict" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val a = li.select(col("o"), col("p").as("p1"))
+      val b = li.select(col("o").as("o2"), col("p").as("p2"))
+      val repeat = a.join(b,
+          col("o") === col("o2") && col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(countDistinct(col("o")).as("w"))
+        .filter(col("w") >= 2).select(col("p1"), col("p2"))
+      graft.operators.Graph.linkPredict(repeat, "p1", "p2", k = 20,
+        edgesCanonical = true)
+    }),
+
     // 36-core of the trade graph: keep only customers/suppliers still
     // trading with >= 36 dense counterparties after iterative peeling
     // (652 of 1600 nodes at sf0.01). The symmetrized input collapses
@@ -226,6 +244,24 @@ object GraphOps {
          |SELECT node, lab AS community FROM l$LpaIters
          |ORDER BY node""".stripMargin
     },
+
+    "graph_link_predict" ->
+      """WITH ee AS MATERIALIZED (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT x.l_orderkey) >= 2
+        |), es AS (
+        |  SELECT a AS u, b AS v FROM ee UNION ALL SELECT b, a FROM ee
+        |), w AS (
+        |  SELECT e1.v AS v1, e2.v AS v2, COUNT(*) AS common
+        |  FROM es e1 JOIN es e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  GROUP BY 1, 2
+        |)
+        |SELECT v1, v2, common FROM w
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM ee WHERE ee.a = w.v1 AND ee.b = w.v2)
+        |ORDER BY common DESC, v1, v2 LIMIT 20""".stripMargin,
 
     "graph_kcore" -> {
       // one unrolled peel round; trailing rounds past the fixpoint are

@@ -189,6 +189,25 @@ class GraphSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("link predict: common neighbors of non-adjacent pairs, hub cap") {
+    // square 0-1-2-3-0: the two diagonals share both their neighbors
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val got = Graph.linkPredict(sq.toDF("src", "dst"), "src", "dst", 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 2L), (1L, 3L, 2L)))
+    // K4 has no non-adjacent pairs at all
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(Graph.linkPredict(k4.toDF("src", "dst"), "src", "dst", 10)
+      .count() == 0L)
+    // a degree cap excludes the star hub as a wedge corner: the spokes
+    // stop looking similar
+    val star = (1L to 5L).map(l => (0L, l))
+    assert(Graph.linkPredict(star.toDF("src", "dst"), "src", "dst", 10)
+      .count() == 10L) // C(5,2) spoke pairs via the hub
+    assert(Graph.linkPredict(star.toDF("src", "dst"), "src", "dst", 10,
+      maxDegree = 4).count() == 0L)
+  }
+
   test("degrees: full-outer of in/out sides, zeros filled") {
     val m = Graph.degrees(Seq((1L, 2L), (1L, 3L), (3L, 1L))
         .toDF("src", "dst"), "src", "dst")
