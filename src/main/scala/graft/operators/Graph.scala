@@ -45,34 +45,45 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, checkpointEvery: Int = 1,
-      edgesDistinct: Boolean = false): DataFrame = {
+      edgesDistinct: Boolean = false,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters=$iters out of [1,100]")
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
+    // WEIGHTED generalization, same fixed-point arithmetic: an edge of
+    // integer weight w carries (rank(u) * w) div strength(u), where
+    // strength = sum of outgoing weights. With w = 1 every division
+    // reduces to the unweighted rank div outdeg BIT-IDENTICALLY, so one
+    // code path serves both and the unweighted oracle stays exact.
+    //
     // ONE dedup shuffle, cached: nodes / degrees / the edge working set
     // all derive from it (uncached, each would recompute the distinct).
     // Callers whose edge set is distinct by construction skip the dedup
     // shuffle entirely (edgesDistinct=true) — at |E| rows it is the
-    // single biggest setup stage.
+    // single biggest setup stage. Weighted duplicates merge by SUMMING w.
     val raw = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
+        col(dstCol).cast("long").as("dst"),
+        weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L)).as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val e = (if (edgesDistinct) raw else raw.distinct()).cache()
+    val e = (if (edgesDistinct) raw
+      else if (weightCol.isEmpty) raw.distinct()
+      else raw.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+      .cache()
     // ONE pass over the edges yields both the node universe (dst-only
     // dangling nodes included — inflow but no outflow) and the
-    // out-degree per node: explode both endpoints, sum a src marker.
-    // Separate nodes-distinct + degree aggregations would each shuffle
-    // the edge table again.
+    // out-strength per node: explode both endpoints, sum a src-side w.
+    // Separate nodes-distinct + strength aggregations would each
+    // shuffle the edge table again.
     val nd = e.select(explode(array(
-        struct(col("src").as("node"), lit(1L).as("o")),
+        struct(col("src").as("node"), col("w").as("o")),
         struct(col("dst").as("node"), lit(0L).as("o")))).as("x"))
       .select(col("x.node").as("node"), col("x.o").as("o"))
       .groupBy(col("node")).agg(sum(col("o")).as("od"))
       .cache()
     val nn = broadcast(nd.agg(count(lit(1)).as("n")))
-    // edge working set pre-joined with out-degree AND pre-partitioned on
-    // the join key: the per-iteration join then shuffles only the rank
-    // side (|V| rows), never the |E|-row edge table — the iterative-join
-    // layout every Pregel-style engine uses
+    // edge working set pre-joined with out-strength AND pre-partitioned
+    // on the join key: the per-iteration join then shuffles only the
+    // rank side (|V| rows), never the |E|-row edge table — the
+    // iterative-join layout every Pregel-style engine uses
     val deg = nd.filter(col("od") > 0)
       .select(col("node").as("src"), col("od"))
     val ew = e.join(deg, "src").repartition(col("src")).cache()
@@ -86,7 +97,7 @@ object Graph {
       var i = 0
       while (i < iters) {
         val sums = ew.join(ranks, ew("src") === ranks("node"))
-          .select(col("dst"), expr("rank div od").as("c"))
+          .select(col("dst"), expr("(rank * w) div od").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         ranks = base.join(sums, base("node") === sums("dst"), "left")
           .select(base("node"),

@@ -61,6 +61,29 @@ object GraphOps {
         .orderBy(col("node"))
     }),
 
+    // WEIGHTED PageRank over the co-purchase graph: edge weight = how
+    // many orders co-bought the pair, rank flow proportional to weight
+    // ((rank * w) div strength, same fixed-point discipline) — hub
+    // parts that co-occur often rank above incidental neighbors
+    "graph_pagerank_weighted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val a = li.select(col("o"), col("p").as("p1"))
+      val b = li.select(col("o").as("o2"), col("p").as("p2"))
+      val wp = a.join(b, col("o") === col("o2") && col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(countDistinct(col("o")).as("w"))
+      val sym = wp.select(explode(array(
+          struct(col("p1").as("src"), col("p2").as("dst"), col("w")),
+          struct(col("p2").as("src"), col("p1").as("dst"), col("w"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.w").as("w"))
+      graft.operators.Graph.pageRank(sym, "src", "dst", Iters,
+          edgesDistinct = true, weightCol = Some("w"))
+        .orderBy(col("node"))
+    }),
+
     // degree profile of the same graph (symmetrized: in == out per node)
     "graph_degrees" -> ((s, d) => {
       graft.operators.Graph.degrees(tradeEdges(s, d), "src", "dst")
@@ -147,14 +170,17 @@ object GraphOps {
   /** One unrolled power iteration: prev CTE -> next CTE. Mirrors
     * operators.Graph.pageRank's update rule exactly (all `//` floor
     * divisions on non-negative bigints = Spark `div`); the CAST pins
-    * DuckDB's HUGEINT sum widening back to the bigint the engine carries. */
-  private def iterCte(prev: String, next: String): String =
+    * DuckDB's HUGEINT sum widening back to the bigint the engine
+    * carries. `contrib` is the per-edge flow term — unweighted rank
+    * share by default, (rank * w) // strength for the weighted gate. */
+  private def iterCte(prev: String, next: String,
+      contrib: String = "r.rank // ew.od"): String =
     s"""$next AS (
        |  SELECT n.node, CAST(
        |      (15 * (1000000000000 // (SELECT n FROM nn))) // 100
        |      + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
        |  FROM nodes n LEFT JOIN (
-       |    SELECT ew.dst AS node, SUM(r.rank // ew.od) AS s
+       |    SELECT ew.dst AS node, SUM($contrib) AS s
        |    FROM ew JOIN $prev r ON r.node = ew.src
        |    GROUP BY ew.dst
        |  ) s ON s.node = n.node
@@ -243,6 +269,35 @@ object GraphOps {
          |$rounds
          |SELECT node, lab AS community FROM l$LpaIters
          |ORDER BY node""".stripMargin
+    },
+
+    "graph_pagerank_weighted" -> {
+      val iters = (1 to Iters)
+        .map(i => iterCte(s"r${i - 1}", s"r$i",
+          contrib = "(r.rank * ew.w) // ew.od")).mkString(",\n")
+      s"""WITH ew0 AS MATERIALIZED (
+         |  SELECT x.l_partkey AS a, y.l_partkey AS b,
+         |    COUNT(DISTINCT x.l_orderkey) AS w
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |  GROUP BY 1, 2
+         |), e AS (
+         |  SELECT a AS src, b AS dst, w FROM ew0
+         |  UNION ALL SELECT b, a, w FROM ew0
+         |),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS od
+         |        FROM e GROUP BY src),
+         |ew AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.w, d.od
+         |  FROM e JOIN deg d ON d.src = e.src),
+         |r0 AS (
+         |  SELECT node,
+         |    CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
+         |  FROM nodes),
+         |$iters
+         |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin
     },
 
     "graph_link_predict" ->

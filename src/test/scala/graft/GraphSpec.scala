@@ -189,6 +189,31 @@ class GraphSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("pagerank: weightCol of all-1s is bit-identical to unweighted") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val plain = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    val ones = Graph.pageRank(
+      edges.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"),
+      "src", "dst", 4, weightCol = Some("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(plain == ones)
+  }
+
+  test("pagerank weighted: the heavier edge carries more rank") {
+    // 0 splits rank 9:1 between 1 and 2; symmetrized so ranks flow back
+    val w = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 9L), (2L, 0L, 1L))
+    val r = Graph.pageRank(w.toDF("src", "dst", "w"), "src", "dst", 3,
+      weightCol = Some("w")).as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L))
+    // weighted duplicates merge by summing: two w=4/w=5 copies == one w=9
+    val dup = Seq((0L, 1L, 4L), (0L, 1L, 5L), (0L, 2L, 1L),
+      (1L, 0L, 9L), (2L, 0L, 1L))
+    val r2 = Graph.pageRank(dup.toDF("src", "dst", "w"), "src", "dst", 3,
+      weightCol = Some("w")).as[(Long, Long)].collect().toMap
+    assert(r2 == r)
+  }
+
   test("link predict: common neighbors of non-adjacent pairs, hub cap") {
     // square 0-1-2-3-0: the two diagonals share both their neighbors
     val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
