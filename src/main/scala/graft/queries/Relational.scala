@@ -655,6 +655,20 @@ object Relational {
         .limit(25)
     }),
 
+    // ---- skyline: 2-D pareto frontier ----------------------------------
+    // per-brand pareto-minimal parts on (retailprice, size): the bucketed
+    // two-phase skyline (Skyline.pareto2d) replaces the O(n²) NOT EXISTS
+    // self-join the oracle runs — same rows, no nested loop, no global
+    // single-partition sort
+    "skyline_parts" -> ((s, d) => {
+      graft.operators.Skyline.pareto2d(
+          Tables.part(s, d), col("p_retailprice"), col("p_size"),
+          groupCols = Seq("p_brand"))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("p_size"))
+        .orderBy(col("p_brand"), col("p_partkey"))
+    }),
+
     // ---- set ops: union / intersect / except ---------------------------
     "set_ops_nations" -> ((s, d) => {
       val custN = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -1422,6 +1436,17 @@ object Relational {
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "skyline_parts" ->
+      """SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_brand = p.p_brand
+        |    AND q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+        |ORDER BY p.p_brand, p.p_partkey""".stripMargin,
 
     "set_ops_nations" ->
       """SELECT nationkey, 'both' AS src FROM (
