@@ -205,6 +205,19 @@ object EventOps {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // interval coalescing: each event opens a span of `value` minutes;
+    // overlapping/touching spans per user merge into maximal disjoint
+    // activity spans (Intervals.merge — the union-of-intervals sweep)
+    "events_interval_merge" -> ((s, d) => {
+      val iv = Tables.events(s, d)
+        .withColumn("start_us", expr("ts div 1000"))
+        .withColumn("end_us",
+          col("start_us") + floor(col("value") * lit(60000000L)).cast("long"))
+      graft.operators.Intervals
+        .merge(iv, Seq("user_id"), col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("span_start"))
+    }),
+
     // sliding 10-min windows every 5 min (batch form of the streaming
     // sliding window: each event lands in size/slide = 2 buckets)
     "events_sliding_window" -> ((s, d) => {
@@ -800,6 +813,28 @@ object EventOps {
          |    AS sum_value
          |FROM sid GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    "events_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(FLOOR(value * 60000000) AS BIGINT) AS e
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |sweep AS (
+        |  SELECT user_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |grp AS (
+        |  SELECT user_id, s, e,
+        |    CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS g
+        |  FROM sweep)
+        |SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
+        |  COUNT(*) AS n_rows
+        |FROM grp GROUP BY user_id, g
+        |ORDER BY user_id, span_start""".stripMargin,
 
     "events_sliding_window" ->
       s"""SELECT w * 300 AS wstart_s, event_type, COUNT(*) AS n,
