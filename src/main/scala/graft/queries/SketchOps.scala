@@ -151,6 +151,46 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // incremental matview maintenance: bootstrap a per-source count/sum
+    // aggregate at v0, mutate the lake (upsert + insert + delete), then
+    // maintain the aggregate from the CDC diff ONLY — the before-images
+    // of changed keys come from a key-pruned time-travel read, so the
+    // maintenance cost is O(|delta| + touched files), never a base rescan
+    "versioned_matview" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      import graft.operators.Matview
+      val root = java.nio.file.Files.createTempDirectory("mv")
+        .toString + "/t"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val v0 = VersionedTable.write(docs, root)
+      val agg0 = Matview.sumsOf(VersionedTable.read(s, root, Some(v0)),
+        Seq("source"), Seq("n_chars"))
+      val updates = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("n_chars", col("n_chars") * 3)
+      val inserts = docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 5000).as("doc_id"),
+          lit("src_new").as("source"), col("n_chars"))
+      VersionedTable.upsert(updates.unionByName(inserts), root,
+        Seq("doc_id"))
+      val v2 = VersionedTable.deleteWhere(s, root, col("source") === "src7")
+      val cdc = VersionedTable.diff(s, root, Seq("doc_id"), v0, v2)
+      val inserted = cdc.filter(col("change_type").isin("insert", "update"))
+      val removedKeys = cdc
+        .filter(col("change_type").isin("update", "delete"))
+        .select(col("doc_id"))
+      val removed = VersionedTable.read(s, root, Some(v0))
+        .join(removedKeys, Seq("doc_id"), "leftsemi")
+      val result = Matview.maintainSums(agg0, inserted, removed,
+          Seq("source"), Seq("n_chars"))
+        .orderBy(col("source"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // RESTORE end-to-end: v0 = documents, v1 = a predicate delete,
     // v2 = restore(0). The head must read exactly v0 again (files reused
     // by identity) while v1's deleted state still time-travels — the
@@ -438,6 +478,19 @@ object SketchOps {
         |SELECT doc_id, source, n_chars, 'delete'
         |  FROM documents WHERE source = 'src19'
         |ORDER BY doc_id, change_type""".stripMargin,
+
+    "versioned_matview" ->
+      """WITH final AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 10 = 3 THEN n_chars * 3 ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents WHERE source <> 'src7'
+        |  UNION ALL
+        |  SELECT 'src_new' AS source, n_chars FROM documents
+        |  WHERE doc_id % 10 = 4)
+        |SELECT source, COUNT(*) AS n_rows,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM final GROUP BY source ORDER BY source""".stripMargin,
 
     "join_bloom_prefilter" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
