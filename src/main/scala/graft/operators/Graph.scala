@@ -430,6 +430,48 @@ object Graph {
     Wedges(und, deg, wedges, closing, packable)
   }
 
+  /** Multi-source BFS hop distance: `hops(v)` = minimum number of edges
+    * from ANY seed to `v` along directed edges, capped at `maxHops`
+    * (symmetrize first for undirected distance). Seeds are hop 0 even
+    * when isolated; unreached nodes are absent from the output.
+    *
+    * Fully deterministic — the result is a pure function of (edges,
+    * seeds, maxHops) — so a DuckDB recursive CTE replays it exactly:
+    * `min(hop)` over the hop-bounded reachability closure is the same
+    * frontier expansion.
+    *
+    * Scale posture: the edge set is hash-partitioned on `src` ONCE and
+    * lineage-cut; each round is ONE equi-join of the current frontier
+    * (only the frontier side shuffles — AQE broadcasts it while it is
+    * small), ONE distinct, ONE anti join against the visited set, with
+    * the round's result checkpointed. Rounds are bounded by `maxHops`,
+    * memory by |visited| ≤ |V| rows of (node, hops). */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 50, s"maxHops=$maxHops out of [0,50]")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .repartition(col("src")).localCheckpoint()
+    var visited = seeds.select(col(seedCol).cast("long").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var h = 0L
+    var done = frontier.isEmpty
+    while (h < maxHops && !done) {
+      h += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      done = next.isEmpty
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    visited
+  }
+
   /** In/out degree per node — the cheap first look at any edge table. */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

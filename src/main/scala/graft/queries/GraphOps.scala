@@ -22,6 +22,7 @@ object GraphOps {
   private val LpaIters = 4
   private val KCoreK = 36
   private val KCoreRounds = 6
+  private val BfsHops = 4
 
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -147,6 +148,18 @@ object GraphOps {
     "graph_kcore" -> ((s, d) => {
       graft.operators.Graph.kCore(tradeEdges(s, d), "src", "dst",
         k = KCoreK, maxRounds = KCoreRounds).orderBy(col("node"))
+    }),
+
+    // multi-source BFS over the symmetrized trade graph: hop distance
+    // from nation 0's suppliers, capped at 4 — the oracle replays the
+    // frontier expansion as a hop-bounded recursive CTE + MIN(hop)
+    "graph_shortest_hops" -> ((s, d) => {
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).as("seed"))
+      graft.operators.Graph.shortestHops(tradeEdges(s, d), "src", "dst",
+          seeds, "seed", maxHops = BfsHops)
+        .orderBy(col("node"))
     })
   )
 
@@ -187,6 +200,24 @@ object GraphOps {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_shortest_hops" ->
+      s"""WITH RECURSIVE ep AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT src, dst FROM ep
+         |  UNION
+         |  SELECT dst AS src, src AS dst FROM ep
+         |), walk(node, hop) AS (
+         |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT), 0
+         |  FROM supplier WHERE s_nationkey = 0
+         |  UNION
+         |  SELECT e.dst, w.hop + 1 FROM walk w
+         |  JOIN e ON e.src = w.node WHERE w.hop < $BfsHops
+         |)
+         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hops
+         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
     "graph_pagerank" -> {
       val iters = (1 to Iters)
         .map(i => iterCte(s"r${i - 1}", s"r$i")).mkString(",\n")

@@ -240,4 +240,45 @@ class GraphSpec extends SparkSpec {
       .toMap
     assert(m(1L) == ((2L, 1L)) && m(2L) == ((0L, 1L)) && m(3L) == ((1L, 1L)))
   }
+
+  private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], cap: Int)
+      : Map[Long, Long] =
+    Graph.shortestHops(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("seed"), "seed", cap)
+      .as[(Long, Long)].collect().toMap
+
+  test("BFS: line graph distances, cap respected, unreachable absent") {
+    // directed line 0->1->2->3->4->5
+    val line = (0L to 4L).map(i => (i, i + 1))
+    assert(hops(line, Seq(0L), 3) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L)) // 4,5 beyond cap
+    // edges are directed: nothing upstream of the seed is reached
+    assert(hops(line, Seq(3L), 5) == Map(3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("BFS: multi-seed takes the minimum; isolated seed is hop 0") {
+    val line = (0L to 4L).map(i => (i, i + 1))
+    val m = hops(line, Seq(0L, 4L, 99L), 5)
+    assert(m(4L) == 0L && m(5L) == 1L && m(3L) == 3L && m(99L) == 0L)
+  }
+
+  test("BFS: randomized parity with a sequential BFS") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val edges = Seq.fill(150)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val seeds = Seq(rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      val cap = 1 + rnd.nextInt(5)
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var dist = seeds.distinct.map(_ -> 0L).toMap
+      var front = seeds.distinct
+      for (h <- 1 to cap) {
+        val nxt = front.flatMap(n => adj.getOrElse(n, Nil))
+          .distinct.filterNot(dist.contains)
+        nxt.foreach(n => dist += n -> h.toLong)
+        front = nxt
+      }
+      assert(hops(edges, seeds, cap) == dist, s"trial=$trial cap=$cap")
+    }
+  }
 }
