@@ -64,4 +64,37 @@ object Profiling {
         abs(coalesce(col("n_a"), lit(0L)) - coalesce(col("n_b"), lit(0L)))
           .as("abs_diff"))
   }
+
+  /** Per-column table profile — the schema-discovery / constraint-
+    * suggestion pass (null counts feed NOT NULL candidates, distinct
+    * counts feed key candidates): one row per profiled column with
+    * `n_rows`, `n_nulls`, exact `n_distinct` (counts nulls as a value
+    * like SQL COUNT(DISTINCT) does NOT — nulls are excluded), and
+    * min/max rendered as strings so heterogeneous columns stack.
+    *
+    * ONE aggregation pass over the data produces a single wide row
+    * (Catalyst plans the multi-column COUNT(DISTINCT)s as one Expand —
+    * data×|cols| rows through a partial aggregate, still map-side
+    * combined and far cheaper than |cols| scans); the row then explodes
+    * into the per-column report, so the report itself is |cols|-sized.
+    * Cast non-string/date columns deterministically upstream (doubles
+    * through decimal) if the profile must be engine-exact. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no column $c"))
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+          col(s"__nd_$c").as("n_distinct"),
+          col(s"__mn_$c").as("min_value"),
+          col(s"__mx_$c").as("max_value"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
 }

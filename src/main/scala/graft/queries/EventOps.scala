@@ -35,6 +35,18 @@ object EventOps {
         col("user_id"), topK = 10)
     }),
 
+    // per-column table profile in one aggregation pass: null counts,
+    // exact distinct counts, stringified min/max — the double column
+    // goes through decimal so both engines render identical strings
+    "profile_columns" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,4)"))
+      graft.operators.Profiling.columnProfile(o,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy(col("col_name"))
+    }),
+
     // broadcast interval-lookup join: user-id cohort blocks (with a
     // deliberate 10..29 gap -> NULL cohort) attach by binary search
     // over bounds-array literals instead of the BroadcastNestedLoopJoin
@@ -520,6 +532,23 @@ object EventOps {
         |  (s.max_cnt * 1000) // (s.n_rows // s.n_keys) AS skew_x1000
         |FROM (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10) t, s
         |ORDER BY t.cnt DESC, t.key""".stripMargin,
+
+    "profile_columns" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val per = cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value FROM src""".stripMargin)
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CAST(o_totalprice AS DECIMAL(12,4)) AS o_totalprice,
+         |    o_orderdate, o_orderpriority FROM orders)
+         |${per.mkString("\nUNION ALL\n")}
+         |ORDER BY col_name""".stripMargin
+    },
 
     // same sufficient statistics in exact arithmetic, same double dag
     // (decimal -> double through VARCHAR per the ColUtil parity rule)

@@ -43,4 +43,25 @@ class ProfilingSpec extends SparkSpec {
       (2L, 3 * (s / 4)), // three common
       (4L, s / 4))) // single common; doc 5 identical score, id cut
   }
+
+  test("columnProfile: nulls, distincts, stringified bounds per column") {
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(2L), None),
+      (Some(2L), Some("a")), (None, Some("a"))
+    ).toDF("k", "s")
+    val rows = Profiling.columnProfile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      // COUNT(DISTINCT) excludes nulls; min/max ignore nulls too
+      ("k", 4L, 1L, 2L, "1", "2"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+  }
+
+  test("columnProfile: unknown column is rejected loudly") {
+    val df = Seq((1L, "x")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      Profiling.columnProfile(df, Seq("k", "nope"))
+    }
+  }
 }
