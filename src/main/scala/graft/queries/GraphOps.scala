@@ -150,6 +150,15 @@ object GraphOps {
         k = KCoreK, maxRounds = KCoreRounds).orderBy(col("node"))
     }),
 
+    // pairwise association rules over order baskets: support >= 2
+    // co-purchases promoted to directed rules ranked by exact
+    // fixed-point lift (decimal(38) products, floor-divided thousandths)
+    "basket_rules" -> ((s, d) => {
+      graft.operators.Itemsets.pairRules(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2, topK = 20)
+    }),
+
     // multi-source BFS over the symmetrized trade graph: hop distance
     // from nation 0's suppliers, capped at 4 — the oracle replays the
     // frontier expansion as a hop-bounded recursive CTE + MIN(hop)
@@ -200,6 +209,25 @@ object GraphOps {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "basket_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |ic AS (SELECT it, COUNT(*) AS n FROM b GROUP BY it),
+        |nt AS (SELECT COUNT(DISTINCT bk) AS n_total FROM b),
+        |p AS (
+        |  SELECT x.it AS a, y.it AS c, COUNT(*) AS n_both
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.it <> y.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.a AS antecedent, p.c AS consequent,
+        |  CAST(p.n_both AS BIGINT) AS n_both,
+        |  ia.n AS n_ante, iz.n AS n_cons, nt.n_total AS n_total,
+        |  CAST(p.n_both * 1000 // ia.n AS BIGINT) AS conf_x1000,
+        |  CAST((CAST(p.n_both AS HUGEINT) * nt.n_total * 1000)
+        |    // (CAST(ia.n AS HUGEINT) * iz.n) AS BIGINT) AS lift_x1000
+        |FROM p JOIN ic ia ON ia.it = p.a JOIN ic iz ON iz.it = p.c, nt
+        |ORDER BY lift_x1000 DESC, conf_x1000 DESC, antecedent, consequent
+        |LIMIT 20""".stripMargin,
+
     "graph_shortest_hops" ->
       s"""WITH RECURSIVE ep AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
