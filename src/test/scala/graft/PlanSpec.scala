@@ -429,4 +429,27 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("grouped skyline never plans a single-partition stage") {
+    // the whole point of the bucketed two-phase frontier: both dominance
+    // windows are partitioned (group, bucket) / (group), so no stage
+    // funnels the data through one partition (a plain window-over-all
+    // formulation would)
+    val p = plan("skyline_parts")
+    assert(!p.contains("SinglePartition"),
+      s"skyline must stay partition-parallel:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "skyline must not fall back to the O(n^2) dominance join")
+  }
+
+  test("basket rules prune by support before the per-item joins") {
+    // the Apriori property in the plan: the n_both >= minSupport filter
+    // applies to the pair aggregate BELOW the joins that attach
+    // n_ante/n_cons, so only supported pairs flow into rule math
+    val p = plan("basket_rules")
+    assert(p.contains("Filter (n_both"), s"support filter missing:\n$p")
+    // final cut is top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
