@@ -450,6 +450,24 @@ object EventOps {
     // — every term an exact integer in both engines (DuckDB runs it in
     // HUGEINT), so the boolean can never drift the way a float
     // sqrt/stddev comparison could at the decision boundary.
+    // seasonality-adjusted anomalies: residual against the per-(type,
+    // hour-of-day) mean in ALL-INTEGER fixed point — dev = |v*n - sum|
+    // div n is the mean deviation scaled by 1e4, exact in both engines
+    // (the abs keeps the floor/trunc division split irrelevant). The
+    // (type, hod) profile is tiny -> broadcast back onto the stream.
+    "events_seasonal_baseline" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("hod", expr("(ts div 1000 div 3600000000) % 24"))
+        .withColumn("v4", (money(col("value")) * 10000).cast("long"))
+      val p = e.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("v4")).as("s4"))
+      e.join(p, Seq("event_type", "hod"))
+        .select(col("event_id"), col("event_type"), col("hod"), col("v4"),
+          col("n"), expr("abs(v4 * n - s4) DIV n").as("dev_x10000"))
+        .orderBy(col("dev_x10000").desc, col("event_id"))
+        .limit(20)
+    }),
+
     "events_anomaly_zscore" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
@@ -605,6 +623,21 @@ object EventOps {
         |)
         |SELECT event_id, user_id, value, med
         |FROM t WHERE rn > 20 ORDER BY event_id""".stripMargin,
+
+    "events_seasonal_baseline" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |    CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS v4
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (
+        |  SELECT event_type, hod, COUNT(*) AS n,
+        |    CAST(SUM(v4) AS BIGINT) AS s4
+        |  FROM e GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.hod, e.v4, p.n,
+        |  ABS(e.v4 * p.n - p.s4) // p.n AS dev_x10000
+        |FROM e JOIN p ON p.event_type = e.event_type AND p.hod = e.hod
+        |ORDER BY dev_x10000 DESC, e.event_id LIMIT 20""".stripMargin,
 
     "events_anomaly_zscore" ->
       """WITH e AS (

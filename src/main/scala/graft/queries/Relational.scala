@@ -655,6 +655,41 @@ object Relational {
         .limit(25)
     }),
 
+    // ---- referential-integrity audit ------------------------------------
+    // one report over every FK edge of the schema: child row count +
+    // orphan count per relation, each check a distinct-parent anti join
+    // (never a row-multiplying inner join). A deterministic drift is
+    // seeded into lineitem.l_suppkey so the audit provably DETECTS
+    // orphans rather than printing zeros
+    "quality_ri_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).withColumn("l_suppkey",
+        when(col("l_linenumber") % 7 === 0, col("l_suppkey") + 1000000)
+          .otherwise(col("l_suppkey")))
+      def check(name: String, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String) = {
+        val orphans = child
+          .join(parent.select(col(parentKey).as(childKey)).distinct(),
+            Seq(childKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        child.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+          .select(lit(name).as("relation"), col("n_rows"),
+            col("n_orphans"))
+      }
+      Seq(
+        check("customer_nationkey", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        check("lineitem_orderkey", li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        check("lineitem_partkey", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        check("lineitem_suppkey", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        check("orders_custkey", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .reduce(_ unionByName _)
+        .orderBy(col("relation"))
+    }),
+
     // ---- skyline: 2-D pareto frontier ----------------------------------
     // per-brand pareto-minimal parts on (retailprice, size): the bucketed
     // two-phase skyline (Skyline.pareto2d) replaces the O(n²) NOT EXISTS
@@ -1436,6 +1471,35 @@ object Relational {
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "quality_ri_audit" ->
+      """WITH li2 AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    CASE WHEN l_linenumber % 7 = 0 THEN l_suppkey + 1000000
+        |         ELSE l_suppkey END AS l_suppkey
+        |  FROM lineitem)
+        |SELECT 'customer_nationkey' AS relation,
+        |  (SELECT COUNT(*) FROM customer) AS n_rows,
+        |  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS (
+        |     SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |    AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem_orderkey', (SELECT COUNT(*) FROM li2),
+        |  (SELECT COUNT(*) FROM li2 WHERE NOT EXISTS (
+        |     SELECT 1 FROM orders o WHERE o.o_orderkey = li2.l_orderkey))
+        |UNION ALL
+        |SELECT 'lineitem_partkey', (SELECT COUNT(*) FROM li2),
+        |  (SELECT COUNT(*) FROM li2 WHERE NOT EXISTS (
+        |     SELECT 1 FROM part p WHERE p.p_partkey = li2.l_partkey))
+        |UNION ALL
+        |SELECT 'lineitem_suppkey', (SELECT COUNT(*) FROM li2),
+        |  (SELECT COUNT(*) FROM li2 WHERE NOT EXISTS (
+        |     SELECT 1 FROM supplier s WHERE s.s_suppkey = li2.l_suppkey))
+        |UNION ALL
+        |SELECT 'orders_custkey', (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+        |     SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY relation""".stripMargin,
 
     "skyline_parts" ->
       """SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
