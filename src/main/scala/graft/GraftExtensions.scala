@@ -133,6 +133,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach(ext.injectFunction)
     // declarative HOF dot products -> codegen'd native expressions
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // time-range predicates push through the micros->nanos normalization
+    ext.injectOptimizerRule(_ => TimeScalePushdown)
     // custom as-of + interval join physical operators (graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)

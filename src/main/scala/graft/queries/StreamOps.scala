@@ -34,18 +34,23 @@ object StreamOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** The events fixture as a file-source stream: same rows Tables.events
-    * serves in batch, arriving through the streaming scan. */
+    * serves in batch, arriving through the streaming scan. The stream
+    * must declare the file's RAW footer schema (ts may be a physical
+    * timestamp); the nanos-long normalization then applies on top,
+    * exactly as in the batch loader. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val schema = Tables.events(s, d).schema
+    val schema = s.read.parquet(s"$d/events.parquet").schema
     val reader = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1000000) // one AvailableNow batch
     val path = new java.io.File(d, "events.parquet")
-    if (path.isDirectory) reader.parquet(path.toString)
-    else
-      // the fixture is a bare file; FileStreamSource needs a directory
-      // path (it forces basePath = the source path), so stream the dir
-      // filtered down to the one table's file
-      reader.option("pathGlobFilter", "events.parquet").parquet(d)
+    val raw =
+      if (path.isDirectory) reader.parquet(path.toString)
+      else
+        // the fixture is a bare file; FileStreamSource needs a directory
+        // path (it forces basePath = the source path), so stream the dir
+        // filtered down to the one table's file
+        reader.option("pathGlobFilter", "events.parquet").parquet(d)
+    Tables.normalizeEventTs(raw)
   }
 
   /** Run a streaming frame to a fresh parquet target and read the result

@@ -124,4 +124,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.filter($"k" === 99 && $"w".isNull).count() == 1)
   }
+
+  test("TimeScalePushdown: rewritten bounds agree on every edge case") {
+    // NTZ timestamps at consecutive micros; nanos literals probe every
+    // floor/ceil boundary (k*1000 - 1, exact, +1) under each operator.
+    // The rule registers via the normalizeEventTs seam; semantics must
+    // match direct long arithmetic on micros*1000.
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(
+        graft.functions.TimeScalePushdown))
+      exp.extraOptimizations =
+        exp.extraOptimizations :+ graft.functions.TimeScalePushdown
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    val micros = (-3L to 3L).map(baseUs + _)
+    val df = micros.toDF("us")
+      .selectExpr("timestamp_micros(us) AS tstz", "us")
+      .selectExpr("CAST(tstz AS TIMESTAMP_NTZ) AS ts", "us")
+      .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    for {
+      delta <- Seq(-1L, 0L, 1L, 999L)
+      op <- Seq(">=", ">", "<", "<=", "=")
+    } {
+      val lim = baseUs * 1000L + delta
+      val got = df.filter(expr(s"ts $op $lim")).select("us")
+        .as[Long].collect().toSet
+      val want = micros.filter { m =>
+        val n = m * 1000L
+        op match {
+          case ">=" => n >= lim; case ">" => n > lim
+          case "<" => n < lim; case "<=" => n <= lim
+          case _ => n == lim
+        }
+      }.toSet
+      assert(got == want, s"op=$op delta=$delta")
+    }
+  }
 }

@@ -55,8 +55,12 @@ class PlanSpec extends SparkSpec {
     // columns survive pruning
     Seq("view", "click", "purchase").foreach(s =>
       assert(p.contains(s"EqualTo(event_type,$s)"), s"stage $s not pushed"))
+    // only the three needed columns survive pruning (ts's physical type
+    // varies by fixture generation: nanos-long vs timestamp)
     assert(p.contains(
-      "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"))
+      "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>") ||
+      p.contains(
+        "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string>"))
   }
 
   test("ann brute force broadcasts the query side") {
