@@ -97,4 +97,90 @@ object Profiling {
           col(s"__mx_$c").as("max_value"))): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** EXACT equi-depth histogram of an integral column: `buckets` ranges
+    * each holding n/buckets (±1) rows, with per-bucket count and
+    * lo/hi bounds — the statistics pass behind range-partition planning
+    * and quantile reporting when approx (KLL) is not enough.
+    *
+    * The naive form — NTILE() over a global ORDER BY — collapses to one
+    * partition (the same cliff Ids.denseGlobalRowNumber exists for), so
+    * this routes through the range-repartitioned global row number and
+    * assigns bucket = row_id*buckets div n (Bresenham-even sizes, a
+    * deterministic pure-integer rule shared with the SQL oracle).
+    * Cost: the zip's count job + main job, then a bucket-keyed
+    * aggregation — full parallelism throughout. `order` must extend `v`
+    * with a unique tiebreaker so the total order (and hence bucket
+    * membership at duplicate values) is engine-independent. */
+  def equiDepthHistogram(df: DataFrame, v: Column, tieBreak: Seq[String],
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    require(tieBreak.nonEmpty,
+      "equiDepthHistogram needs a unique tiebreaker column")
+    val base = df.select((v.as("__v") +: tieBreak.map(col)): _*)
+    val ranked = Ids.denseGlobalRowNumber(base,
+      col("__v") +: tieBreak.map(col))
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(expr(s"(row_id * $buckets) div __n").as("bucket"),
+        col("__v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+  }
+
+  /** Functional-dependency audit: for each candidate `lhs -> rhs` pair,
+    * does lhs determine rhs, and how badly does it fail? Output one row
+    * per pair: distinct-lhs group count, number of groups where rhs
+    * takes >1 value, and the worst group's variant count — the
+    * discovery pass behind key/constraint suggestions and denormalized-
+    * table sanity checks. One map-side-combined aggregation per pair
+    * over (lhs, rhs) — pairs are few, data passes are per-pair but each
+    * is a plain two-level aggregate, no joins, no windows. */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdAudit needs at least one candidate pair")
+    pairs.foreach { case (l, r) =>
+      require(df.columns.contains(l) && df.columns.contains(r),
+        s"no such columns ($l, $r)")
+    }
+    pairs.map { case (l, r) =>
+      df.groupBy(col(l)).agg(countDistinct(col(r)).as("__nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("__nd")).as("max_rhs_variants"))
+        .select(lit(l).as("lhs_col"), lit(r).as("rhs_col"),
+          col("n_groups"), col("n_violating"), col("max_rhs_variants"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Chi-square association report between two low-cardinality
+    * categorical columns: the contingency table with each cell's
+    * observed count, expected count under independence, and chi-square
+    * contribution (sum `contrib` for the statistic; the per-cell form
+    * keeps every float op a fixed scalar dag over exact integers —
+    * bit-identical cross-engine, where a distributed float SUM of the
+    * statistic would drift with partition order).
+    *
+    * One aggregation over the data builds the cells; margins and the
+    * total re-aggregate the CELLS (contingency-sized, not data-sized)
+    * and broadcast back. Counts must stay under ~2^26 per margin pair
+    * so r*c is float-exact (< 2^53) — true for any plausible
+    * contingency use. */
+  def chi2Association(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("observed"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("observed")).as("__r"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("observed")).as("__c"))
+    val tot = cells.agg(sum(col("observed")).as("__t"))
+    val e = (col("__r") * col("__c")).cast("double") /
+      col("__t").cast("double")
+    val od = col("observed").cast("double")
+    cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", e)
+      .withColumn("contrib",
+        (od - col("expected")) * (od - col("expected")) / col("expected"))
+      .select(col("a"), col("b"), col("observed"), col("expected"),
+        col("contrib"))
+  }
 }

@@ -57,4 +57,43 @@ object Trend {
         (col("__dy") - col("slope") * col("__dx")) / col("__dn"))
       .select(keys ++ Seq(col("n"), col("slope"), col("intercept")): _*)
   }
+
+  /** Trailing exponentially-weighted moving average per key, EXACT.
+    *
+    * The usual recursive EWMA (s_t = a*x_t + (1-a)*s_{t-1}) is
+    * sequential per key and float-order-sensitive; the trailing-window
+    * form truncates the tail (weights decay geometrically, so a window
+    * of W rows keeps all but decay^W of the mass) and becomes a single
+    * window pass of W lag() terms — codegen'd, one shuffle, no
+    * recursion. Determinism contract: the decay is a RATIONAL
+    * num/den, so weight_j = num^j * den^(W-1-j) is an exact integer
+    * coefficient; numerator and denominator accumulate in bigint and
+    * the only float op is one final long/long IEEE division —
+    * bit-identical in any engine, under any partitioning.
+    *
+    * `v` must already be an integral fixed-point column (e.g. value
+    * quantized to 1e4); rows where `v` is null must be pre-filtered.
+    * Output: input columns + `ewma` (double). Overflow bound:
+    * |v| * den^(W-1) * W must fit in int64 — for den=10, W=8 that is
+    * |v| < ~1.1e11, far above money-scale fixed point. */
+  def ewmaTrailing(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[Column], v: Column, window: Int,
+      decayNum: Long, decayDen: Long): DataFrame = {
+    require(window >= 1 && decayNum > 0 && decayDen > decayNum,
+      s"need 0 < decayNum < decayDen, window >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    def pow(b: Long, e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * b)
+    val terms = (0 until window).map { j =>
+      val c = pow(decayNum, j) * pow(decayDen, window - 1 - j)
+      val lv = if (j == 0) v else lag(v, j).over(w)
+      (coalesce(lv, lit(0L)) * lit(c),
+        when(lv.isNotNull, lit(c)).otherwise(lit(0L)))
+    }
+    df.withColumn("__ewma_num", terms.map(_._1).reduce(_ + _))
+      .withColumn("__ewma_den", terms.map(_._2).reduce(_ + _))
+      .withColumn("ewma",
+        col("__ewma_num").cast("double") / col("__ewma_den").cast("double"))
+      .drop("__ewma_num", "__ewma_den")
+  }
 }

@@ -42,6 +42,21 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // filtered ANN: metadata predicate + vector top-k composed as
+    // PRE-filter — `label` is a stored column, so the predicate reaches
+    // the parquet scan (PushedFilters) and the scored set shrinks before
+    // any vector math runs; a post-filter would pay the full dot-product
+    // cost for rows it then throws away (and return < k survivors).
+    // Same exact-decimal scoring as ann_cosine_exact -> fully
+    // oracle-checked
+    "ann_filtered_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < NQueries),
+          emb.filter(col("label") === 1), TopK, exact = true)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "ann_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb.filter(col("vec_id") < NQueries), emb, TopK, Dim)
@@ -164,6 +179,19 @@ object AnnOps {
          |    ${duckCosExact("q", "c")} AS cos_sim
          |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
          |  WHERE q.vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_filtered_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${duckCosExact("q", "c")} AS cos_sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < $NQueries AND c.label = 1),
          |ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS rank

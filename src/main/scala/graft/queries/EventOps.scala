@@ -47,6 +47,33 @@ object EventOps {
         .orderBy(col("col_name"))
     }),
 
+    // EXACT equi-depth histogram of the value column: global NTILE would
+    // collapse to one partition; this routes through the range-
+    // repartitioned dense row number and a pure-integer Bresenham bucket
+    // rule shared with the oracle (operators.Profiling scaladoc)
+    "profile_equidepth" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(expr("cast(round(value * 10000) as bigint)").as("v4"),
+          col("event_id"))
+      graft.operators.Profiling.equiDepthHistogram(e, col("v4"),
+          Seq("v4", "event_id"), buckets = 8)
+        .orderBy(col("bucket"))
+    }),
+
+    // chi-square association report between event type and a user
+    // cohort: per-cell observed/expected/contribution — float ops are a
+    // fixed scalar dag over exact integer counts, so the report is
+    // bit-identical cross-engine (a float SUM of the statistic would
+    // drift with partition order; summing `contrib` client-side gives
+    // the statistic)
+    "profile_chi2_assoc" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("cohort", col("user_id") % 4)
+      graft.operators.Profiling.chi2Association(e, col("event_type"),
+          col("cohort"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // broadcast interval-lookup join: user-id cohort blocks (with a
     // deliberate 10..29 gap -> NULL cohort) attach by binary search
     // over bounds-array literals instead of the BroadcastNestedLoopJoin
@@ -503,8 +530,55 @@ object EventOps {
       graft.operators.Trend.ols(base, Seq("user_id"), col("t"),
           col("value"))
         .orderBy(col("user_id"))
+    }),
+
+    // per-user trailing EWMA (decay 0.7, window 8) as ONE window pass of
+    // integer-coefficient lag() terms — the recursive form is sequential
+    // per key; this truncated form is codegen'd, shuffle-once, and EXACT
+    // (rational decay -> integer weights; the only float op is the final
+    // long/long division). See operators.Trend.ewmaTrailing scaladoc.
+    "events_ewma" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("us"))
+        .withColumn("v4", expr("cast(round(value * 10000) as bigint)"))
+      graft.operators.Trend.ewmaTrailing(e, Seq("user_id"),
+          Seq(col("us"), col("event_id")), col("v4"),
+          window = 8, decayNum = 7, decayDen = 10)
+        .select(col("event_id"), col("user_id"), col("value"), col("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
+    // last-touch attribution: each purchase credits the user's most
+    // recent PRECEDING non-purchase event type. One window pass (carry
+    // the last touch forward with ignoreNulls last()) + one tiny
+    // aggregation — no self-join, no per-user history materialization;
+    // at 100 TB this shuffles the stream once on user_id.
+    "events_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), expr("ts div 1000").as("us"))
+        .withColumn("touch",
+          when(col("event_type") =!= "purchase", col("event_type")))
+        .withColumn("attr_type", last(col("touch"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("event_type") === "purchase" && col("attr_type").isNotNull)
+        .groupBy(col("attr_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(money(col("value"))).cast("double").as("attributed_value"))
+        .orderBy(col("attr_type"))
     })
   )
+
+  // exact integer EWMA coefficients 7^j * 10^(W-1-j) shared by the Spark
+  // plan (via Trend.ewmaTrailing) and the oracle text below
+  private val EwmaW = 8
+  private val EwmaCoefs: IndexedSeq[Long] = (0 until EwmaW).map { j =>
+    (0 until j).foldLeft(1L)((a, _) => a * 7) *
+      (0 until (EwmaW - 1 - j)).foldLeft(1L)((a, _) => a * 10)
+  }
 
   val oracles: Map[String, String] = Map(
     "join_range_lookup" ->
@@ -965,6 +1039,80 @@ object EventOps {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS STRING) AS DOUBLE)
         |    AS sum_value,
         |  (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS span_s
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_ewma" -> {
+      val num = EwmaCoefs.zipWithIndex.map { case (c, j) =>
+        val lv = if (j == 0) "v4" else s"LAG(v4,$j) OVER w"
+        s"COALESCE($lv, 0) * $c"
+      }.mkString(" + ")
+      val den = EwmaCoefs.zipWithIndex.map { case (c, j) =>
+        val lv = if (j == 0) "v4" else s"LAG(v4,$j) OVER w"
+        s"CASE WHEN $lv IS NOT NULL THEN $c ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         |    CAST(round(value * 10000) AS BIGINT) AS v4
+         |  FROM events WHERE value IS NOT NULL
+         |), t AS (
+         |  SELECT event_id, user_id, value,
+         |    $num AS num,
+         |    $den AS den
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |)
+         |SELECT event_id, user_id, value,
+         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+         |FROM t ORDER BY event_id""".stripMargin
+    },
+
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+        |    CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type, value,
+        |    LAST_VALUE(touch IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_type
+        |  FROM e
+        |)
+        |SELECT attr_type, COUNT(*) AS n_purchases,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+        |    AS attributed_value
+        |FROM t WHERE event_type = 'purchase' AND attr_type IS NOT NULL
+        |GROUP BY attr_type ORDER BY attr_type""".stripMargin,
+
+    "profile_equidepth" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 10000) AS BIGINT) AS v4, event_id
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT v4, ROW_NUMBER() OVER (ORDER BY v4, event_id) - 1 AS rid,
+        |    COUNT(*) OVER () AS n
+        |  FROM e
+        |)
+        |SELECT (rid * 8) // n AS bucket, COUNT(*) AS n_rows,
+        |  MIN(v4) AS lo, MAX(v4) AS hi
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "profile_chi2_assoc" ->
+      """WITH cells AS (
+        |  SELECT event_type AS a, user_id % 4 AS b, COUNT(*) AS observed
+        |  FROM events GROUP BY 1, 2
+        |), ra AS (
+        |  SELECT a, CAST(SUM(observed) AS BIGINT) AS r FROM cells GROUP BY a
+        |), cb AS (
+        |  SELECT b, CAST(SUM(observed) AS BIGINT) AS c FROM cells GROUP BY b
+        |), tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS t FROM cells)
+        |SELECT cells.a, cells.b, observed,
+        |  CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE) AS expected,
+        |  (CAST(observed AS DOUBLE)
+        |     - CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE))
+        |  * (CAST(observed AS DOUBLE)
+        |     - CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE))
+        |  / (CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE)) AS contrib
+        |FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+        |ORDER BY a, b""".stripMargin
   )
 }

@@ -690,6 +690,19 @@ object Relational {
         .orderBy(col("relation"))
     }),
 
+    // ---- functional-dependency audit ----------------------------------
+    // does lhs determine rhs, and how badly does it fail? One two-level
+    // aggregation per candidate pair (no joins, no windows) — the
+    // constraint-discovery sibling of quality_ri_audit. o_orderkey is a
+    // key (holds); the other two candidates are expected violations
+    "quality_fd_audit" -> ((s, d) => {
+      graft.operators.Profiling.fdAudit(Tables.orders(s, d),
+          Seq("o_orderkey" -> "o_custkey",
+            "o_custkey" -> "o_orderpriority",
+            "o_orderstatus" -> "o_orderpriority"))
+        .orderBy(col("lhs_col"), col("rhs_col"))
+    }),
+
     // ---- skyline: 2-D pareto frontier ----------------------------------
     // per-brand pareto-minimal parts on (retailprice, size): the bucketed
     // two-phase skyline (Skyline.pareto2d) replaces the O(n²) NOT EXISTS
@@ -1500,6 +1513,23 @@ object Relational {
         |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
         |     SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |ORDER BY relation""".stripMargin,
+
+    "quality_fd_audit" -> {
+      def pair(l: String, r: String) =
+        s"""SELECT '$l' AS lhs_col, '$r' AS rhs_col,
+           |  COUNT(*) AS n_groups,
+           |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  MAX(nd) AS max_rhs_variants
+           |FROM (SELECT $l, COUNT(DISTINCT $r) AS nd
+           |      FROM orders GROUP BY 1) g""".stripMargin
+      s"""${pair("o_orderkey", "o_custkey")}
+         |UNION ALL
+         |${pair("o_custkey", "o_orderpriority")}
+         |UNION ALL
+         |${pair("o_orderstatus", "o_orderpriority")}
+         |ORDER BY lhs_col, rhs_col""".stripMargin
+    },
 
     "skyline_parts" ->
       """SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size

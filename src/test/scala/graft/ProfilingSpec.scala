@@ -64,4 +64,54 @@ class ProfilingSpec extends SparkSpec {
       Profiling.columnProfile(df, Seq("k", "nope"))
     }
   }
+
+  test("equiDepthHistogram: Bresenham-even buckets, exact bounds") {
+    // 10 rows into 4 buckets -> sizes 3,2,3,2 (rid*4 div 10), bounds
+    // follow the (v, id) total order
+    val df = (1L to 10L).map(i => (i * 10, i)).toDF("v", "id")
+    val got = Profiling.equiDepthHistogram(df, col("v"), Seq("id"), 4)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 10L, 30L), (1L, 2L, 40L, 50L),
+      (2L, 3L, 60L, 80L), (3L, 2L, 90L, 100L)))
+    // duplicate values split deterministically by the tiebreaker
+    val dup = Seq.fill(6)(7L).zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      .toDF("v", "id")
+    val sizes = Profiling.equiDepthHistogram(dup, col("v"), Seq("id"), 3)
+      .orderBy("bucket").select("n_rows").as[Long].collect().toSeq
+    assert(sizes == Seq(2L, 2L, 2L))
+  }
+
+  test("fdAudit: held and violated dependencies, worst-group count") {
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "x"), // k=1 -> a only (holds)
+      (2L, "a", "x"), (2L, "b", "x"), (2L, "c", "x"), // k=2 -> 3 variants
+      (3L, "a", "y")).toDF("k", "v", "w")
+    val got = Profiling.fdAudit(df, Seq("k" -> "v", "k" -> "w"))
+      .orderBy("lhs_col", "rhs_col")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("k", "v", 3L, 1L, 3L), ("k", "w", 3L, 0L, 1L)))
+  }
+
+  test("chi2Association: uniform table has zero contributions") {
+    // perfectly independent 2x2 with equal counts: expected == observed
+    val df = (for { a <- Seq("p", "q"); b <- Seq(0L, 1L); _ <- 1 to 5 }
+      yield (a, b)).toDF("x", "y")
+    val got = Profiling.chi2Association(df, col("x"), col("y"))
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got.size == 4)
+    assert(got.forall(r => r._3 == 5L && r._4 == 5.0 && r._5 == 0.0))
+  }
+
+  test("chi2Association: contributions recover the textbook statistic") {
+    // 2x2 table [[10, 20], [30, 40]]: chi2 = N*(ad-bc)^2/(r1*r2*c1*c2)
+    val rows = Seq.fill(10)(("a", 0L)) ++ Seq.fill(20)(("a", 1L)) ++
+      Seq.fill(30)(("b", 0L)) ++ Seq.fill(40)(("b", 1L))
+    val contribs = Profiling.chi2Association(rows.toDF("x", "y"),
+        col("x"), col("y"))
+      .select("contrib").as[Double].collect()
+    val n = 100.0
+    val expected = n * math.pow(10.0 * 40 - 20.0 * 30, 2) /
+      (30.0 * 70.0 * 40.0 * 60.0)
+    assert(math.abs(contribs.sum - expected) < 1e-9)
+  }
 }

@@ -46,4 +46,38 @@ class TrendSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("ewmaTrailing matches the recursive reference on a full window") {
+    // decay 1/2, window deep enough to cover the whole series: the
+    // truncated form IS the recursive EWMA restarted at the first row,
+    // with weights renormalized over the observed prefix
+    val df = Seq((1L, 1L, 4L), (1L, 2L, 8L), (1L, 3L, 16L))
+      .toDF("k", "t", "v")
+    val got = Trend.ewmaTrailing(df, Seq("k"), Seq(col("t")), col("v"),
+        window = 4, decayNum = 1, decayDen = 2)
+      .orderBy("t").select("ewma").as[Double].collect().toSeq
+    // weights (newest first) 1, 1/2, 1/4 -> row1: 4; row2: (8 + 4/2)/(3/2);
+    // row3: (16 + 8/2 + 4/4)/(7/4)
+    assert(got == Seq(4.0, 20.0 / 3.0, 12.0))
+  }
+
+  test("ewmaTrailing is bit-exact under repartitioning and truncates at W") {
+    val rows = (1L to 400L).map(i => (i % 5, i, (i * 37 % 1000) * 10))
+    def run(np: Int) = {
+      val base = rows.toDF("k", "t", "v")
+      val df = if (np > 0) base.repartition(np) else base
+      Trend.ewmaTrailing(df, Seq("k"), Seq(col("t")), col("v"),
+          window = 8, decayNum = 7, decayDen = 10)
+        .orderBy("k", "t").select("ewma").as[Double].collect().toSeq
+    }
+    val a = run(0)
+    assert(a == run(17))
+    // truncation: row 400's EWMA depends only on the trailing 8 rows of
+    // its key — perturbing an older row must not change it
+    val pert = rows.updated(10, (rows(10)._1, rows(10)._2, 999999L))
+    val b = Trend.ewmaTrailing(pert.toDF("k", "t", "v"), Seq("k"),
+        Seq(col("t")), col("v"), window = 8, decayNum = 7, decayDen = 10)
+      .orderBy("k", "t").select("ewma").as[Double].collect().toSeq
+    assert(a.last == b.last)
+  }
 }
