@@ -444,11 +444,20 @@ object Dedup {
     * the recall argument and keyspace sizing), then verified exactly with
     * bit_count. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    hammingPairs64(simhashes(df, id, text), maxDist)
+
+  /** Hamming-ball candidate pairs over ANY precomputed 64-bit code
+    * column `(doc_id, sh)` — the blocking engine behind [[simhashPairs]],
+    * exposed for other locality-sensitive codes (perceptual image
+    * hashes, audio fingerprints: see graft.operators.Multimodal). Same
+    * pigeonhole-complete m-of-b chunk-combination blocking, exact
+    * bit_count verify before the pair-dedup shuffle. */
+  def hammingPairs64(hashed: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
-      s"simhash maxDist must be in [0, 63], got $maxDist")
+      s"hamming maxDist must be in [0, 63], got $maxDist")
     val (m, nChunks) = simhashBlocking(maxDist)
-    val sh = simhashes(df, id, text)
+    val sh = hashed
     // chunks partition the 64 bits as evenly as integer division allows
     val starts = (0 to nChunks).map(i => i * 64 / nChunks)
     def chunk(i: Int): Column = {

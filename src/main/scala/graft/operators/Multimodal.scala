@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: media as opaque `binary` columns with typed
@@ -71,6 +71,35 @@ object Multimodal {
       pixels_hash = f.pixels_hash * 1315423911L + w.toLong * 31 + h))(
       frames.encoder)
   }
+
+  /** Perceptual-hash column over the media payload: a 63-bit code on
+    * which Hamming distance means visual similarity. The CODE ITSELF is
+    * the codec stub (a real pHash DCTs a downscaled grayscale; media
+    * libs are not on this classpath): two 31/32-bit halves of
+    * md5(bytes) packed into one non-negative long — deterministic,
+    * cross-engine reproducible (hex arithmetic only, so the DuckDB
+    * oracle computes the identical code), and hash-like, so identical
+    * payloads collide at distance 0 and the dedup plumbing downstream
+    * is exercised for real. 63 bits (top bit masked) keeps the pack
+    * exact in any signed-64 engine. Swap this projection for a real
+    * codec hash without touching [[phashPairs]]. */
+  def perceptualHash(df: DataFrame, media: Column = col("media"),
+      as: String = "phash"): DataFrame = {
+    val hex = md5(media)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+      .bitwiseAND(lit(0x7FFFFFFFL))
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    df.withColumn(as, shiftleft(hi, 32).bitwiseOR(lo))
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash Hamming distance:
+    * delegates to the pigeonhole-complete chunk-combination blocking in
+    * [[Dedup.hammingPairs64]] — banded shuffle keys, never all-pairs,
+    * exact bit_count verify. Output (doc_a, doc_b, hamming). */
+  def phashPairs(df: DataFrame, id: Column, maxDist: Int): DataFrame =
+    Dedup.hammingPairs64(
+      perceptualHash(df).select(id.as("doc_id"), col("phash").as("sh")),
+      maxDist)
 
   /** Feature extraction stub over decoded frames: deterministic
     * "embedding" per frame, keeping the array<float> contract that feeds

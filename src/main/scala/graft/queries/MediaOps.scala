@@ -48,6 +48,24 @@ object MediaOps {
         .select(col("doc_id"), col("frame_idx"),
           size(col("embedding")).as("n_dims"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // perceptual-hash media dedup: 63-bit code per payload, Hamming-ball
+    // pairs via the pigeonhole-complete chunk-combination blocking
+    // (Dedup.hammingPairs64 — banded shuffle keys, never all-pairs).
+    // The scenario is re-upload dedup: the corpus plus a re-ingested
+    // batch (every 7th payload under a fresh id) — each re-upload must
+    // pair with its original at distance 0. Unlike simhash (whose
+    // 64-bit fold is not SQL-expressible) the stub code is pure hex
+    // arithmetic, so this one is FULLY oracle-checked: blocking +
+    // verify must reproduce DuckDB's brute-force all-pairs
+    "multimodal_phash_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reupload = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val media = Multimodal.withMediaColumn(docs.unionByName(reupload))
+      Multimodal.phashPairs(media, col("doc_id"), maxDist = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -61,6 +79,25 @@ object MediaOps {
     "multimodal_frame_features" ->
       """SELECT doc_id, CAST(0 AS INTEGER) AS frame_idx,
         |  CAST(8 AS INTEGER) AS n_dims
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // brute-force all-pairs reference for the banded blocking plan: the
+    // identical 63-bit code from md5 hex halves, exact bit_count Hamming
+    "multimodal_phash_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+        |), p AS (
+        |  SELECT doc_id,
+        |    (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+        |       & 2147483647) * 4294967296
+        |    + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS ph
+        |  FROM u)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -105,6 +105,47 @@ object StreamOps {
   }
 
   val defs: Map[String, Q] = Map(
+    // native bounded-heap top-k INSIDE a streaming aggregation: the
+    // TypedImperativeAggregate's serialize/merge runs through the state
+    // store across micro-batches (partial heaps merge exactly like the
+    // batch map-side combine), so per-window top-k needs no rank window
+    // and no second aggregation — the state per (window, type) group is
+    // k entries, not the row history. Complete-mode AvailableNow run
+    // equals batch semantics -> fully oracle-checked
+    "stream_topk_events" -> ((s, d) => {
+      val agg = EventsPipeline.withEventTime(eventsStream(s, d))
+        .filter(col("value").isNotNull)
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(graft.functions.TopKBy.topk_by(col("value").cast("double"),
+          col("event_id").cast("long"), 3).as("top"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("window_us"), col("event_type"),
+          (col("pos") + 1).cast("long").as("rn"),
+          col("e.id").as("event_id"), col("e.score").as("value"))
+      runStream(s, agg, "topk", d, "complete")
+        .orderBy(col("window_us"), col("event_type"), col("rn"))
+    }),
+
+    // mergeable HLL sketch in streaming state: per-window distinct-user
+    // estimates where the state per group is one sketch, not the user
+    // set — the cardinality path that still works when a window sees
+    // millions of distinct keys. Estimate values are engine-specific ->
+    // rows-only gate; StreamingSpec pins exact batch parity
+    "stream_hll_users" -> ((s, d) => {
+      val agg = EventsPipeline.withEventTime(eventsStream(s, d))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("est_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("est_users"), col("n_events"))
+      runStream(s, agg, "hllu", d, "complete")
+        .orderBy(col("window_us"), col("event_type"))
+    }),
+
     // Watermarked tumbling-window aggregation, complete mode: hourly
     // counts + exact decimal sums per event type. Must equal the batch
     // GROUP BY date_trunc('hour') the oracle runs.
@@ -387,6 +428,21 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_topk_events" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events WHERE value IS NOT NULL
+        |), w AS (
+        |  SELECT (us // 3600000000) * 3600000000 AS window_us,
+        |    event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY us // 3600000000, event_type
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM e
+        |)
+        |SELECT window_us, event_type, rn, event_id, value
+        |FROM w WHERE rn <= 3
+        |ORDER BY window_us, event_type, rn""".stripMargin,
+
     "stream_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us

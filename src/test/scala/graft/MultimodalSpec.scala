@@ -76,4 +76,39 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeFrames(spark, media.limit(10)), dim = 8)
     assert(feats.except(f2).isEmpty)
   }
+
+  test("perceptualHash: non-negative 63-bit, equal payloads collide") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val ph = Multimodal.perceptualHash(
+        Multimodal.withMediaColumn(df))
+      .select($"doc_id", $"phash").as[(Long, Long)].collect().toMap
+    assert(ph.values.forall(_ >= 0L))
+    assert(ph(1L) == ph(2L) && ph(1L) != ph(3L))
+  }
+
+  test("hammingPairs64 blocking equals brute force on random codes") {
+    // random 63-bit codes + planted near-pairs at distances 0..9 around
+    // maxDist=8: the banded plan must reproduce exact all-pairs
+    val rng = new scala.util.Random(7)
+    val base = (0 until 120).map(i =>
+      (i.toLong, rng.nextLong() & Long.MaxValue))
+    val planted = (0 until 10).map { d =>
+      val (id, code) = base(d * 3)
+      // flip exactly d distinct bit positions
+      val flipped = (0 until d).foldLeft(code)((c, b) => c ^ (1L << (b * 5)))
+      (1000L + d, flipped)
+    }
+    val all = base ++ planted
+    val df = all.toDF("doc_id", "sh")
+    val got = graft.operators.Dedup.hammingPairs64(df, maxDist = 8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (ia, ca) <- all; (ib, cb) <- all
+      if ia < ib && java.lang.Long.bitCount(ca ^ cb) <= 8
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    // the 9 planted pairs at distance 0..8 are all present
+    assert(want.count(_._2 >= 1000L) >= 9)
+  }
 }

@@ -462,4 +462,30 @@ class StreamingSpec extends SparkSpec {
     assert(last.getLong(1) == 3 && math.abs(last.getDouble(2) - 10.0) < 1e-9)
     q.stop()
   }
+
+  test("streaming HLL sketch state merges to exact batch parity") {
+    // the same sketch aggregation, streamed across MULTIPLE micro-batches
+    // (state-store round trips + partial merges) vs one batch pass: the
+    // estimates must be IDENTICAL — HLL merge is deterministic and
+    // order-insensitive, which is exactly why it can live in stream state
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val df = mem.toDF().toDF("user_id", "k")
+    val q = df.groupBy($"k")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_out").start()
+    val rows = (1L to 500L).map(u => (u % 173, u % 3))
+    mem.addData(rows.take(200): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(200): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("hll_out")
+      .as[(Long, Long)].collect().toMap
+    val batch = rows.toDF("user_id", "k").groupBy($"k")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+    q.stop()
+  }
 }
