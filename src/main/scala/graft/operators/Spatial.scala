@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spatial distance joins on integer planar coordinates.
+  *
+  * The reference delegates every join to the backing DBMS (querySql
+  * passthrough, `/root/reference/database/dbms/reader/parameter.go:94-101`);
+  * a distance-threshold ("epsilon") join is the canonical spatial case a
+  * 100 TB pipeline meets (dedup of geotagged records, neighbor features,
+  * map-matching candidates). The naive form is an O(n^2) cross join — a
+  * non-starter at scale. This operator is the textbook GRID-BLOCKED
+  * epsilon join: partition the plane into r x r cells, replicate ONE side
+  * of the self-join to its 3x3 cell neighborhood, equi-join on the cell
+  * key, and verify the exact distance on the candidates. Shuffle cost is
+  * O(9n) rows hashed by cell; candidate verification cost is bounded by
+  * the point density per cell, never by n^2. A pair within radius r can
+  * never span more than one cell boundary per axis, so the 3x3
+  * neighborhood is exhaustive (no recall loss) and each unordered pair
+  * meets exactly once (the left row sits in its own cell; the right
+  * row's nine replicas contain that cell exactly once).
+  *
+  * Coordinates are integers and the predicate is on SQUARED distance —
+  * every comparison is exact int64 arithmetic, so results are
+  * bit-identical across engines/partitionings (fully oracle-checkable,
+  * unlike float-haversine forms whose last-ulp differs across libm
+  * implementations). Callers with float coords quantize first (one
+  * multiply) — standard practice for geohash/S2-style cell schemes.
+  *
+  * 100 TB posture: one shuffle each side (hash by packed cell key), 9x
+  * replication of the probe side only, exact verify inside the join —
+  * no cartesian anywhere (plan-guarded in SpatialSpec). Dense hot cells
+  * (city centers) are ordinary join skew: AQE skew-join splits them, or
+  * pre-salt the cell key like SkewJoin does.
+  */
+object Spatial {
+
+  /** Pack a 2-d cell index into one long join key. Cell indices are
+    * |x|/r + 1 bounded; 2^31 headroom per axis keeps the pack injective
+    * for any realistic plane. */
+  private def cellKey(cx: Column, cy: Column): Column =
+    cx * lit(1L << 32) + cy
+
+  /** All pairs (a, b) with `a.id < b.id` whose squared euclidean
+    * distance is <= r^2, via grid blocking. `points` must expose long
+    * (or int) columns `idCol`, `xCol`, `yCol` with non-negative coords;
+    * output columns: id_a, id_b, dist2 (exact squared distance).
+    *
+    * Cell side = r exactly: candidates per probe = the 3x3 neighborhood
+    * population, the minimum-replication choice that stays exhaustive. */
+  def gridWithinJoin(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, r: Long): DataFrame = {
+    require(r > 0, s"radius must be positive: $r")
+    val reserved = Seq("__cx", "__cy", "__cell")
+    require(!reserved.exists(points.columns.contains),
+      s"input must not contain reserved columns ${reserved.mkString(",")}")
+    val base = points.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+
+    // exact floor division (Column./ is double division; this subtract-
+    // mod form divides an exactly-divisible long, so the double quotient
+    // is the exact integer for any |result| < 2^53)
+    def cellOf(c: Column): Column =
+      ((c - pmod(c, lit(r))) / lit(r)).cast("long")
+
+    // build side: each point once, in its own cell
+    val left = base.withColumn("__cell",
+      cellKey(cellOf(col("x")), cellOf(col("y"))))
+
+    // probe side: replicated to the 3x3 neighborhood of its own cell —
+    // one explode, 9 rows per point, all map-side (no shuffle until the
+    // join hashes by the packed key)
+    val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val right = base
+      .select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+        explode(offsets).as("o"))
+      .withColumn("__cell",
+        cellKey(cellOf(col("xb")) + col("o.dx"),
+          cellOf(col("yb")) + col("o.dy")))
+      .drop("o")
+
+    val dx = col("x") - col("xb")
+    val dy = col("y") - col("yb")
+    left.join(right, Seq("__cell"))
+      .filter(col("id") < col("id_b"))
+      .withColumn("dist2", dx * dx + dy * dy)
+      .filter(col("dist2") <= lit(r * r))
+      .select(col("id").as("id_a"), col("id_b"), col("dist2"))
+  }
+
+  /** For each point, the count of neighbors within r and the nearest
+    * neighbor (smallest dist2, ties to the smallest id) — the DBSCAN
+    * core-point / kNN-feature primitive, from one grid pass. Points with
+    * no neighbor within r are absent (left-join at the call site if the
+    * zero rows matter). */
+  def neighborStats(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, r: Long): DataFrame = {
+    val pairs = gridWithinJoin(points, idCol, xCol, yCol, r)
+    // undirect the a<b pairs so every endpoint sees the edge
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"),
+        col("dist2"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb"),
+        col("dist2")))
+    sym.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        min(struct(col("dist2"), col("nb"))).as("__nn"))
+      .select(col("id"), col("n_neighbors"),
+        col("__nn.nb").as("nn_id"), col("__nn.dist2").as("nn_dist2"))
+  }
+
+  // ---- deterministic cross-engine coordinates (test/oracle harness) ----
+
+  private def nib(h: Column, i: Int): Column = {
+    val a = ascii(substring(h, i, 1))
+    (a - when(a >= 97, 87).otherwise(48)).cast("long")
+  }
+
+  /** Integer in [0, 16^n) decoded from md5 nibbles [start, start+n) of
+    * the id rendered as a string — the Sampling.hashBucket trick, here
+    * yielding a uniform synthetic coordinate both engines compute
+    * identically (see [[hexCoordSql]] for the ANSI twin). */
+  def hexCoord(id: Column, start: Int, n: Int): Column = {
+    require(start >= 1 && n >= 1 && start + n <= 33)
+    val h = md5(id.cast("string"))
+    (0 until n).map(j => nib(h, start + j) * lit(math.pow(16, n - 1 - j).toLong))
+      .reduce(_ + _)
+  }
+
+  /** ANSI SQL text computing exactly [[hexCoord]] given a hex column
+    * `h` = md5(CAST(id AS VARCHAR)). */
+  def hexCoordSql(h: String, start: Int, n: Int): String = {
+    def nibSql(i: Int): String =
+      s"CAST(ascii(substring($h,$i,1)) - CASE WHEN ascii(substring($h,$i,1))" +
+        s" >= 97 THEN 87 ELSE 48 END AS BIGINT)"
+    "(" + (0 until n)
+      .map(j => s"${nibSql(start + j)} * ${math.pow(16, n - 1 - j).toLong}")
+      .mkString(" + ") + ")"
+  }
+}

@@ -569,8 +569,37 @@ object EventOps {
         .agg(count(lit(1)).as("n_purchases"),
           sum(money(col("value"))).cast("double").as("attributed_value"))
         .orderBy(col("attr_type"))
+    }),
+
+    // grid-blocked epsilon self-join: all point pairs within radius 64
+    // on a 4096^2 integer plane (deterministic md5-nibble coordinates —
+    // both engines derive the exact same ints). The oracle is the O(n^2)
+    // brute-force form; the Spark plan is the 3x3-cell equi-join that
+    // replaces it at scale (plan-guarded: no cartesian in SpatialSpec)
+    "spatial_within_join" -> ((s, d) => {
+      graft.operators.Spatial.gridWithinJoin(
+          spatialPoints(s, d), "id", "x", "y", SpatialR)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // per-point neighborhood features from the same grid pass: neighbor
+    // count within r + exact nearest neighbor (the DBSCAN-core / kNN
+    // feature primitive)
+    "spatial_neighbor_stats" -> ((s, d) => {
+      graft.operators.Spatial.neighborStats(
+          spatialPoints(s, d), "id", "x", "y", SpatialR)
+        .orderBy(col("id"))
     })
   )
+
+  // synthetic integer plane for the spatial family: every 4th event is a
+  // point; x/y decode md5 nibbles 1-3 / 4-6 (12 bits each -> 0..4095)
+  private val SpatialR = 64L
+  private def spatialPoints(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("event_id") % 4 === 0)
+      .select(col("event_id").as("id"),
+        graft.operators.Spatial.hexCoord(col("event_id"), 1, 3).as("x"),
+        graft.operators.Spatial.hexCoord(col("event_id"), 4, 3).as("y"))
 
   // exact integer EWMA coefficients 7^j * 10^(W-1-j) shared by the Spark
   // plan (via Trend.ewmaTrailing) and the oracle text below
@@ -1113,6 +1142,44 @@ object EventOps {
         |     - CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE))
         |  / (CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE)) AS contrib
         |FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    "spatial_within_join" ->
+      s"""WITH xy AS ($spatialPointsSql)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+         |FROM xy a JOIN xy b ON a.id < b.id
+         |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |  <= ${SpatialR * SpatialR}
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "spatial_neighbor_stats" ->
+      s"""WITH xy AS ($spatialPointsSql),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+         |  FROM xy a JOIN xy b ON a.id < b.id
+         |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |    <= ${SpatialR * SpatialR}),
+         |sym AS (
+         |  SELECT id_a AS id, id_b AS nb, dist2 FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS id, id_a AS nb, dist2 FROM pairs),
+         |ranked AS (
+         |  SELECT id, nb, dist2,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist2, nb) AS rn,
+         |    COUNT(*) OVER (PARTITION BY id) AS n_neighbors
+         |  FROM sym)
+         |SELECT id, n_neighbors, nb AS nn_id, dist2 AS nn_dist2
+         |FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin
   )
+
+  // DuckDB twin of spatialPoints: same filter, same nibble decode
+  private def spatialPointsSql: String = {
+    val x = graft.operators.Spatial.hexCoordSql("h", 1, 3)
+    val y = graft.operators.Spatial.hexCoordSql("h", 4, 3)
+    s"""SELECT event_id AS id, $x AS x, $y AS y
+       |  FROM (SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h
+       |        FROM events WHERE event_id % 4 = 0)""".stripMargin
+  }
 }
