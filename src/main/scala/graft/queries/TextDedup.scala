@@ -355,6 +355,22 @@ object TextDedup {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy(col("split"))
+    }),
+
+    // full entity-resolution pipeline: blocked levenshtein match ->
+    // transitive-closure clustering -> deterministic survivorship (the
+    // canonical record per entity). brand is deterministically nulled on
+    // id % 7 = 0 so the first-non-null-in-id-order rule is exercised for
+    // real; the oracle reproduces the closure with a recursive CTE
+    "er_resolve_parts" -> ((s, d) => {
+      val recs = Tables.part(s, d).select(
+        col("p_partkey").as("id"), col("p_name").as("name"),
+        when(col("p_partkey") % 7 =!= 0, col("p_brand")).as("brand"),
+        col("p_retailprice").as("price"))
+      graft.operators.EntityResolution
+        .resolve(recs, "id", "name", Seq("brand", "price"), maxDist = 2)
+        .withColumnRenamed("canonical_name", "name")
+        .orderBy(col("entity_id"))
     })
   )
 
@@ -458,6 +474,41 @@ object TextDedup {
         | AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
+
+    "er_resolve_parts" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT p_partkey AS id, p_name AS name,
+        |    CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS brand,
+        |    p_retailprice AS price
+        |  FROM part),
+        |n AS (SELECT id, name,
+        |    split_part(name, ' ', 1) AS w1,
+        |    (string_split(name, ' '))[-1] AS wlast
+        |  FROM r),
+        |p AS (
+        |  SELECT a.id AS src, b.id AS dst FROM n a JOIN n b
+        |  ON (a.w1 = b.w1 OR a.wlast = b.wlast) AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |walk(node, lbl) AS (
+        |  SELECT id, id FROM r
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+        |comp AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+        |j AS (SELECT r.*, c.component FROM r JOIN comp c ON c.node = r.id),
+        |agg AS (
+        |  SELECT component AS entity_id, COUNT(*) AS n_records,
+        |    MIN(id) AS min_id,
+        |    MIN(CASE WHEN brand IS NOT NULL THEN id END) AS brand_id,
+        |    MIN(CASE WHEN price IS NOT NULL THEN id END) AS price_id
+        |  FROM j GROUP BY component)
+        |SELECT a.entity_id, a.n_records, rn.name AS name,
+        |  rb.brand AS brand, rp.price AS price
+        |FROM agg a
+        |JOIN r rn ON rn.id = a.min_id
+        |LEFT JOIN r rb ON rb.id = a.brand_id
+        |LEFT JOIN r rp ON rp.id = a.price_id
+        |ORDER BY a.entity_id""".stripMargin,
 
     "pipeline_clean_corpus" -> pipelineOracle,
     "pipeline_training_shards" -> trainingShardsOracle,
