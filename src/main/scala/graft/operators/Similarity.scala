@@ -80,6 +80,39 @@ object Similarity {
     heapTopK(scored, k)
   }
 
+  /** Exact maximum-inner-product top-k (MIPS) — the retrieval mode for
+    * embeddings trained with dot-product objectives (two-tower
+    * recommenders), where the longest vectors matter and cosine's norm
+    * division is wrong. Scores are EXACT int64 dots of `scale`-quantized
+    * vectors: quantization (same double-multiply-then-round both engines
+    * compute bit-identically — see [[quantize]]) at 1e4 keeps
+    * dim * (|x| * scale)^2 well under 2^53, so the score survives the
+    * double-typed heap aggregate losslessly and casts back to the exact
+    * BIGINT — fully oracle-checkable, no float ordering anywhere.
+    *
+    * Scale path: MIPS reduces to cosine by augmenting each corpus vector
+    * with sqrt(M^2 - |x|^2) (M = max norm; Bachrach et al., RecSys 2014)
+    * — after that one extra dimension, every bucketed ANN tier here
+    * (SRP-LSH, IVF, PQ) serves MIPS unchanged. This exact form is the
+    * oracle gate those tiers are measured against. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      scale: Double = 1e4): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vAs: String) =
+      df.select(col("vec_id").as(idAs),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(scale)).cast("long")).as(vAs))
+    val q = prep(queries, "query_id", "q_v")
+    val c = prep(corpus, "neighbor_id", "c_v")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__ip", dotLong(col("q_v"), col("c_v")).cast("double"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy.topk_by(col("__ip"),
+        col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").cast("long").as("ip"))
+  }
+
   /** Final per-query top-k over a scored candidate set, via the native
     * bounded-heap aggregate (graft.functions.TopKByAgg) instead of a
     * rank window: the window form shuffles EVERY scored candidate row to

@@ -57,6 +57,14 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // exact MIPS gate: top-k by INNER PRODUCT (not cosine) — int64 dots
+    // of 1e4-quantized vectors, bit-exact cross-engine
+    "ann_mips_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mipsTopK(emb.filter(col("vec_id") < NQueries), emb, TopK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "ann_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb.filter(col("vec_id") < NQueries), emb, TopK, Dim)
@@ -173,6 +181,24 @@ object AnnOps {
        |      i -> ${qel(s"$b.embedding[i]")} * ${qel(s"$b.embedding[i]")})) AS STRING) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_mips_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS ip
+         |  FROM q a JOIN q b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ip DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, ip FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
     "ann_cosine_exact" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
