@@ -116,6 +116,21 @@ object Sampling {
       .drop("__rk", "__n")
   }
 
+  /** Probability-proportional-to-size Bernoulli sampling: keep a row iff
+    * hashBucket(id, den) < weight, i.e. with probability weight/den —
+    * the importance-sampling primitive (oversample long documents, heavy
+    * orders, rare classes) in the same deterministic md5-nibble protocol
+    * as [[hashSplit]]: map-only, no shuffle, stable across runs/engines/
+    * appends, and exactly reproducible in ANSI SQL via [[hashBucketSql]].
+    * `weight` must be integral-valued in [0, den] (0 = never, den =
+    * always); rows keep independently, so the sample needs no global
+    * coordination at any scale. */
+  def ppsKeep(df: DataFrame, id: Column, weight: Column, den: Int)
+      : DataFrame = {
+    require(den > 0, s"den must be positive: $den")
+    df.filter(hashBucket(id, den) < weight)
+  }
+
   /** The same nibble-decode bucket as ANSI SQL text (for oracle parity
     * and raw-SQL users): identical formula, identical value. */
   def hashBucketSql(idExpr: String, buckets: Int = 100): String = {

@@ -96,4 +96,48 @@ object Trend {
         col("__ewma_num").cast("double") / col("__ewma_den").cast("double"))
       .drop("__ewma_num", "__ewma_den")
   }
+
+  /** CUSUM change-point estimate per key, EXACT.
+    *
+    * For an ordered series (t, c) the cumulative-sum statistic
+    * S_t = sum_{i<=t} (c_i - mean) peaks in magnitude at the most likely
+    * single change point (Page 1954 / Pettitt's argmax form). The mean
+    * is rational (total/n), so everything is scaled by n:
+    * S'_t = n * S_t = sum_{i<=t} (n*c_i - total) — pure int64, exact in
+    * any engine, no float thresholds anywhere. Ties on |S'| resolve to
+    * the earliest t.
+    *
+    * Output per key: `changepoint` (the argmax t — the LAST point of the
+    * pre-change segment), `peak_cusum_scaled` (signed S' there; positive
+    * = the early segment ran above the mean, i.e. the level dropped
+    * after the change), `n`, `total`.
+    *
+    * Scale shape: two window passes + one map-side-partial aggregate,
+    * all hashed on the key — series length per key never materializes
+    * anywhere but its own partition (same posture as the rolling-window
+    * family); `c` must be integral with n * |c| within int64. */
+  def cusumChangepoint(df: DataFrame, keyCols: Seq[String], t: Column,
+      c: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*)
+    // order by the renamed projection, not the caller's column — `t` may
+    // be an expression that no longer resolves after the select below
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__t"))
+    df.select(keys :+ t.as("__t") :+ c.cast("long").as("__c"): _*)
+      .withColumn("__total", sum(col("__c")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__cusum",
+        sum(col("__n") * col("__c") - col("__total"))
+          .over(wRun.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(keys: _*)
+      .agg(min(struct((-abs(col("__cusum"))).as("na"), col("__t"),
+          col("__cusum"), col("__n"), col("__total"))).as("__peak"))
+      .select(keys ++ Seq(col("__peak.__t").as("changepoint"),
+        col("__peak.__cusum").as("peak_cusum_scaled"),
+        col("__peak.__n").as("n"), col("__peak.__total").as("total")): _*)
+  }
 }

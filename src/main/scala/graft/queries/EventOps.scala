@@ -571,6 +571,22 @@ object EventOps {
         .orderBy(col("attr_type"))
     }),
 
+    // CUSUM change-point estimate over each event type's daily count
+    // series: scaled cumulative deviations in pure int64 (mean cleared
+    // by multiplying through by n), peak magnitude marks the most
+    // likely level shift — no float thresholds anywhere
+    "events_cusum_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.Trend
+        .cusumChangepoint(daily, Seq("event_type"), col("day"), col("c"))
+        .withColumnRenamed("changepoint", "changepoint_day")
+        .orderBy(col("event_type"))
+    }),
+
     // grid-blocked epsilon self-join: all point pairs within radius 64
     // on a 4096^2 integer plane (deterministic md5-nibble coordinates —
     // both engines derive the exact same ints). The oracle is the O(n^2)
@@ -1143,6 +1159,30 @@ object EventOps {
         |  / (CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE)) AS contrib
         |FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
         |ORDER BY a, b""".stripMargin,
+
+    "events_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, day, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM daily),
+        |cu AS (
+        |  SELECT event_type, day, n, total,
+        |    CAST(SUM(n * c - total) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cusum
+        |  FROM st),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY ABS(cusum) DESC, day) AS rn
+        |  FROM cu)
+        |SELECT event_type, day AS changepoint_day,
+        |  cusum AS peak_cusum_scaled, n, total
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "spatial_within_join" ->
       s"""WITH xy AS ($spatialPointsSql)

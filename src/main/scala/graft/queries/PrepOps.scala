@@ -181,6 +181,20 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // probability-proportional-to-size sampling: each lineitem keeps
+    // with probability l_quantity/50 (deterministic md5-nibble draw) —
+    // heavy rows oversampled, map-only, no shuffle before the summary agg
+    "sample_pps_lineitem" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).withColumn("lid",
+        col("l_orderkey") * lit(10L) + col("l_linenumber"))
+      Sampling.ppsKeep(li, col("lid"), col("l_quantity"), den = 50)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          min(col("lid")).as("min_lid"), max(col("lid")).as("max_lid"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // fixed-point int8 embedding quantization, integral summary per vec
     "embed_quantize" -> ((s, d) => {
       val q = graft.operators.Similarity
@@ -394,6 +408,18 @@ object PrepOps {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE (rk - 1) * 100 < n * 30
         |ORDER BY doc_id""".stripMargin,
+    "sample_pps_lineitem" -> {
+      val lid = "l_orderkey * 10 + l_linenumber"
+      s"""WITH k AS (SELECT l_returnflag, l_quantity, $lid AS lid,
+         |    md5(CAST($lid AS VARCHAR)) AS h
+         |  FROM lineitem),
+         |f AS (SELECT * FROM k
+         |  WHERE ${Sampling.hashBucketSql("lid", 50)} < l_quantity)
+         |SELECT l_returnflag, COUNT(*) AS n_kept,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  MIN(lid) AS min_lid, MAX(lid) AS max_lid
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "quality_corpus_freq" -> corpusFreqOracle,
     "length_buckets" -> lengthBucketsOracle,
     "text_decontaminate" -> decontaminateOracle,

@@ -596,6 +596,26 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }),
 
+    // year-over-year growth: the period-comparison report shape. The
+    // yearly rollup is a map-side-partial aggregate; the unpartitioned
+    // lag window then runs over ~|years| rows (already reduced — the
+    // single-partition window is fine precisely because aggregation
+    // happened first). Exact decimal throughout, double only at the edge
+    "window_yoy_growth" -> ((s, d) => {
+      val yearly = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(sum(money(col("o_totalprice"))).as("rev"))
+      val w = Window.orderBy(col("yr"))
+      yearly
+        .withColumn("revenue", col("rev").cast("double"))
+        .withColumn("prev_revenue", lag(col("rev"), 1).over(w).cast("double"))
+        .withColumn("yoy_diff",
+          (col("rev") - lag(col("rev"), 1).over(w)).cast("double"))
+        .select(col("yr"), col("revenue"), col("prev_revenue"),
+          col("yoy_diff"))
+        .orderBy(col("yr"))
+    }),
+
     // ---- window: lag/lead ----------------------------------------------
     "window_lag_gap" -> ((s, d) => {
       val ord = Tables.orders(s, d)
@@ -1428,6 +1448,18 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
         |    AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "window_yoy_growth" ->
+      """WITH y AS (
+        |  SELECT year(o_orderdate) AS yr,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+        |  CAST(CAST(LAG(rev, 1) OVER (ORDER BY yr) AS VARCHAR) AS DOUBLE)
+        |    AS prev_revenue,
+        |  CAST(CAST(rev - LAG(rev, 1) OVER (ORDER BY yr) AS VARCHAR)
+        |    AS DOUBLE) AS yoy_diff
+        |FROM y ORDER BY yr""".stripMargin,
 
     "window_lag_gap" ->
       """SELECT o_custkey, o_orderkey,

@@ -24,6 +24,26 @@ class PrepOpsSpec extends SparkSpec {
     assert(out(3) == ((4L, "plain words only", 0, 0, 0)))
   }
 
+  test("ppsKeep: weight 0 drops all, weight den keeps all, monotone") {
+    val df = (1L to 2000L).map(i => (i, (i % 51))).toDF("id", "w")
+    assert(Sampling.ppsKeep(df, $"id", lit(0), 50).count() == 0)
+    assert(Sampling.ppsKeep(df, $"id", lit(50), 50).count() == 2000)
+    // keeps under weight w are a SUBSET of keeps under w' > w (the
+    // threshold rule is monotone in the weight — same draw per id)
+    val k20 = Sampling.ppsKeep(df, $"id", lit(20), 50)
+      .select("id").as[Long].collect().toSet
+    val k35 = Sampling.ppsKeep(df, $"id", lit(35), 50)
+      .select("id").as[Long].collect().toSet
+    assert(k20.subsetOf(k35))
+    // per-row weights: observed keep rate of weight-w rows tracks w/50
+    val kept = Sampling.ppsKeep(df, $"id", $"w", 50)
+      .groupBy($"w").count().as[(Long, Long)].collect().toMap
+    assert(!kept.contains(0L))
+    val highRate = kept.getOrElse(45L, 0L) / 40.0
+    val lowRate = kept.getOrElse(5L, 0L) / 40.0
+    assert(highRate > lowRate)
+  }
+
   test("Scrub counts measure the text the rule actually saw (in order)") {
     // the email's digits are consumed by the email rule before the
     // digits rule runs — n_digits must not double-count them

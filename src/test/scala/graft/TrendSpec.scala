@@ -80,4 +80,32 @@ class TrendSpec extends SparkSpec {
       .orderBy("k", "t").select("ewma").as[Double].collect().toSeq
     assert(a.last == b.last)
   }
+
+  test("cusumChangepoint finds a planted level shift exactly") {
+    // key A: 5 then jumps to 50 at t=11 — the argmax of |S'| is t=10,
+    // the last pre-change point; key B: flat, cusum 0 everywhere -> the
+    // earliest t wins the tie
+    val rows = (1L to 20L).map(t => ("A", t, if (t <= 10) 5L else 50L)) ++
+      (1L to 6L).map(t => ("B", t, 7L))
+    val got = Trend.cusumChangepoint(rows.toDF("k", "t", "c"),
+        Seq("k"), col("t"), col("c"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // A: n=20 total=550; S'_10 = sum of 10*(20*5-550) = -4500 (early
+    // segment below mean); B: n=6 total=42, S' = 0, tie -> t=1
+    assert(got == Seq(("A", 10L, -4500L, 20L, 550L), ("B", 1L, 0L, 6L, 42L)))
+  }
+
+  test("cusumChangepoint is partition-invariant") {
+    val rows = (1L to 300L).map(t =>
+      (t % 3, t, if (t < 150) t % 7 else t % 13))
+    def run(np: Int) = {
+      val base = rows.toDF("k", "t", "c")
+      Trend.cusumChangepoint(if (np > 0) base.repartition(np) else base,
+          Seq("k"), col("t"), col("c"))
+        .orderBy("k").collect().map(_.toSeq).toSeq
+    }
+    assert(run(0) == run(23))
+  }
 }
