@@ -25,6 +25,28 @@ object SketchOps {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // z-order layout round trip through the gate: lineitem written
+    // Morton-interleaved on (l_partkey, l_suppkey), read back with a
+    // selective filter on BOTH dims and aggregated — data fidelity is
+    // oracle-checked here; the file-prune effect of the same layout is
+    // measured in PlanSpec ("z-order layout prunes selective filters on
+    // EITHER dimension")
+    "layout_zorder_read" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("zorder-q")
+        .toString + "/t"
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      graft.operators.Layout.writeZOrdered(li, dir,
+        Seq(col("l_partkey"), col("l_suppkey")), nFiles = 16)
+      s.read.parquet(dir)
+        .filter(col("l_partkey") < 100 && col("l_suppkey") < 40)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          max(col("l_orderkey")).as("max_orderkey"))
+        .orderBy(col("l_partkey"))
+    }),
+
     // transactional-table surface (S4) driven end-to-end through the
     // gate: documents committed as v0, a deterministic upsert commits
     // v1, then BOTH snapshots aggregate — latest sees the merge, time
@@ -414,6 +436,14 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder_read" ->
+      """SELECT l_partkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  MAX(l_orderkey) AS max_orderkey
+        |FROM lineitem
+        |WHERE l_partkey < 100 AND l_suppkey < 40
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
     "versioned_bloom_skip" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id IN (7, 123, 250, 444) ORDER BY doc_id""".stripMargin,
