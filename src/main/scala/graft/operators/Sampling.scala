@@ -18,21 +18,20 @@ import org.apache.spark.sql.functions._
   * (ascii/substring/CASE only; no engine-specific hash). */
 object Sampling {
 
-  /** Decoded value of hex nibble `i` (1-based) of lowercase hex `h`:
-    * ascii - 48 for '0'..'9', ascii - 87 for 'a'..'f'. */
-  private def nib(h: Column, i: Int): Column = {
-    val a = ascii(substring(h, i, 1))
-    (a - when(a >= 97, 87).otherwise(48)).cast("long")
-  }
-
   /** Uniform bucket in [0, buckets) from the first 8 md5 nibbles of the
     * id rendered as a string (a full 32-bit value, so modulo bias is
-    * < 2^-25 for buckets <= 10^4). */
+    * < 2^-25 for buckets <= 10^4).
+    *
+    * Spark side decodes via ONE base-16 `conv` of the 8-char hex prefix
+    * — the earlier per-nibble ascii-arithmetic tree repeated the md5
+    * subexpression 16x in the plan and codegen did not always eliminate
+    * it (a full lineitem pps filter ran 8x slower). Value is identical
+    * (first 8 hex chars big-endian IS the nibble sum); the ANSI twin
+    * [[hashBucketSql]] keeps the portable nibble-decode formula. */
   def hashBucket(id: Column, buckets: Int = 100): Column = {
     require(buckets > 0)
-    val h = md5(id.cast("string"))
-    (1 to 8).map(i => nib(h, i) * lit(1L << (4 * (8 - i))))
-      .reduce(_ + _) % buckets
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
   }
 
   /** Split assignment by cumulative bucket ranges: `splits` are

@@ -112,20 +112,15 @@ object Spatial {
 
   // ---- deterministic cross-engine coordinates (test/oracle harness) ----
 
-  private def nib(h: Column, i: Int): Column = {
-    val a = ascii(substring(h, i, 1))
-    (a - when(a >= 97, 87).otherwise(48)).cast("long")
-  }
-
   /** Integer in [0, 16^n) decoded from md5 nibbles [start, start+n) of
     * the id rendered as a string — the Sampling.hashBucket trick, here
     * yielding a uniform synthetic coordinate both engines compute
-    * identically (see [[hexCoordSql]] for the ANSI twin). */
+    * identically (see [[hexCoordSql]] for the ANSI twin). One base-16
+    * `conv` of the hex slice, same single-md5-eval rationale as
+    * Sampling.hashBucket. */
   def hexCoord(id: Column, start: Int, n: Int): Column = {
-    require(start >= 1 && n >= 1 && start + n <= 33)
-    val h = md5(id.cast("string"))
-    (0 until n).map(j => nib(h, start + j) * lit(math.pow(16, n - 1 - j).toLong))
-      .reduce(_ + _)
+    require(start >= 1 && n >= 1 && start + n <= 33 && n <= 15)
+    conv(substring(md5(id.cast("string")), start, n), 16, 10).cast("long")
   }
 
   /** ANSI SQL text computing exactly [[hexCoord]] given a hex column
