@@ -644,6 +644,56 @@ object Similarity {
     heapTopK(cand, k)
   }
 
+  /** Bucketed MIPS — the scale path [[mipsTopK]] gates. The classic
+    * norm-augmentation reduction (Bachrach et al., RecSys 2014 /
+    * Neyshabur-Srebro 2015): append sqrt(M^2 - |x|^2) to every corpus
+    * vector (M = max corpus norm) and 0 to every query — augmented
+    * corpus norms are all exactly M, so the augmented COSINE is monotone
+    * in the raw INNER PRODUCT and angle-based SRP buckets retrieve MIPS
+    * candidates. Candidates join per (table, bucket) cell (never
+    * all-pairs); the final re-rank scores the RAW vectors with the same
+    * quantized int64 dot as [[mipsTopK]], so every reported ip is exact
+    * and identical to the brute-force gate on the pairs it finds.
+    * Approximate (recall < 1, grows with `tables`); recall spec'd
+    * against [[mipsTopK]] in SimilaritySpec. M is the only driver-side
+    * value — one scalar from one aggregate. */
+  def mipsLshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      bits: Int = 8, tables: Int = 4, scale: Double = 1e4): DataFrame = {
+    val m2 = corpus
+      .agg(max(dotDouble(col("embedding"), col("embedding"))))
+      .head().getDouble(0)
+    def quant(vAs: String) = transform(col(vAs),
+      x => round(x.cast("double") * lit(scale)).cast("long"))
+    // greatest(0, ...) guards the float rounding edge at |x| = M
+    val cAug = concat(col("c_v"),
+      array(sqrt(greatest(lit(0.0),
+        lit(m2) - dotDouble(col("c_v"), col("c_v"))))))
+    val qAug = concat(col("q_v"), array(lit(0.0)))
+    def bucketed(df: DataFrame, idAs: String, vAs: String, aug: Column,
+        bAs: String) =
+      df.select(col("vec_id").as(idAs), col("embedding").as(vAs))
+        .withColumn("__qv", quant(vAs))
+        .select(col(idAs), col("__qv").as(s"${bAs}_qv"),
+          posexplode(srpBuckets(aug, dim + 1, bits, tables)))
+        .withColumnRenamed("pos", s"${bAs}_tbl")
+        .withColumnRenamed("col", s"${bAs}_bkt")
+    val q = bucketed(queries, "query_id", "q_v", qAug, "q")
+    val c = bucketed(corpus, "neighbor_id", "c_v", cAug, "c")
+    val cand = c.join(broadcast(q),
+        col("c_tbl") === col("q_tbl") && col("c_bkt") === col("q_bkt") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_qv"), col("c_qv"))
+      .distinct()
+      .withColumn("__ip",
+        dotLong(col("q_qv"), col("c_qv")).cast("double"))
+    cand.groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy.topk_by(col("__ip"),
+        col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").cast("long").as("ip"))
+  }
+
   // --------------------------------------------------------------------
   // PCA — dimensionality reduction for embeddings (the standard ANN
   // preprocessing: project to the top-k variance directions before

@@ -64,7 +64,12 @@ object MediaOps {
       val reupload = docs.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + lit(1000000L))
       val media = Multimodal.withMediaColumn(docs.unionByName(reupload))
-      Multimodal.phashPairs(media, col("doc_id"), maxDist = 8)
+      // Hamming <= 4: the standard 64-bit-phash re-upload operating
+      // point, and the blocking sweet spot — C(6,2)=15 band keys per
+      // row; <= 8 would force C(12,4)=495 bands (20x the explode and
+      // self-join) to keep the keyspace >= 16 bits, for pairs that a
+      // random-bit corpus doesn't contain
+      Multimodal.phashPairs(media, col("doc_id"), maxDist = 4)
         .orderBy(col("doc_a"), col("doc_b"))
     })
   )
@@ -97,7 +102,7 @@ object MediaOps {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ph, b.ph)) <= 8
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 4
         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -47,6 +47,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"planted near-dup recall $recall")
   }
 
+  test("MIPS-LSH recalls planted high-ip neighbors (recall >= 0.7)") {
+    // On RANDOM embeddings the true MIPS winners are not angular
+    // neighbors, so no LSH family can find them — same reasoning as the
+    // planted-near-dup cosine specs above. MIPS structure is planted
+    // instead: for each query, a 3x-scaled noisy copy (high norm AND
+    // aligned — the shape real recommender item towers produce). The
+    // exact gate must rank the plant first; the bucketed tier must
+    // recover most plants, and must score every recovered pair with the
+    // IDENTICAL integer ip as the exact gate.
+    val rng = new scala.util.Random(11)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val planted = base.map { case (id, v) =>
+      (id + 200000L,
+        v.map(x => 3.0f * x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(
+      spark.createDataFrame(planted.toSeq).toDF("vec_id", "embedding"))
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.mipsTopK(q, corpus, 5)
+    assert(exact.filter($"rank" === 1 &&
+        $"neighbor_id" === $"query_id" + 200000L).count() == base.length,
+      "exact MIPS must rank each planted 3x copy first")
+    val lsh = Similarity.mipsLshTopK(q, corpus, 5, dim = 64, bits = 6,
+        tables = 12)
+    val hits = lsh.filter($"neighbor_id" === $"query_id" + 200000L)
+      .select($"query_id").distinct().count()
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.7, s"MIPS-LSH planted recall $recall")
+    val ipParity = exact.select($"query_id", $"neighbor_id", $"ip".as("e"))
+      .join(lsh, Seq("query_id", "neighbor_id"))
+      .filter($"ip" =!= $"e").count()
+    assert(ipParity == 0,
+      "LSH tier must score recovered pairs identically to the exact gate")
+  }
+
   test("IVF finds planted near-duplicates (recall >= 0.9)") {
     // The IVF guarantee that matters for dedup: a genuine near-neighbor
     // (cosine ~0.97) lands in one of the query's nprobe probed cells. The
