@@ -472,6 +472,58 @@ object Graph {
     visited
   }
 
+  /** Hop-bounded cheapest paths from a seed set over NON-NEGATIVE
+    * integer edge weights — distributed Bellman-Ford. Each round relaxes
+    * every edge leaving the improved frontier (ONE equi-join + ONE
+    * min-aggregate, both hashed on the node key) and merges into the
+    * running distance map with a full-outer least(); rounds stop at
+    * `maxHops` or at the fixed point, whichever first — so the result is
+    * exactly "min cost over paths of <= maxHops edges", the same
+    * semantics a hop-bounded recursive-CTE closure computes. All-int64
+    * arithmetic: no float accumulation, deterministic under any
+    * partitioning.
+    *
+    * Scale posture mirrors [[shortestHops]]: edges hash-partitioned once
+    * and lineage-cut, only the frontier moves per round (AQE broadcasts
+    * it while small), distance state bounded by |V| rows, one action per
+    * round (the frontier-empty check on the checkpointed delta). */
+  def cheapestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 50, s"maxHops=$maxHops out of [0,50]")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .repartition(col("src")).localCheckpoint()
+    var dist = seeds.select(col(seedCol).cast("long").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("cost", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var h = 0
+    var done = frontier.isEmpty
+    while (h < maxHops && !done) {
+      h += 1
+      val cand = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("c"))
+        .groupBy(col("node")).agg(min(col("c")).as("cand_cost"))
+      val improved = cand
+        .join(dist.withColumnRenamed("cost", "cur"), Seq("node"), "left")
+        .filter(col("cur").isNull || col("cand_cost") < col("cur"))
+        .select(col("node"), col("cand_cost").as("cost"))
+        .localCheckpoint()
+      done = improved.isEmpty
+      dist = dist.withColumnRenamed("cost", "a")
+        .join(improved.withColumnRenamed("cost", "b"), Seq("node"),
+          "full_outer")
+        .select(col("node"),
+          least(coalesce(col("a"), col("b")), coalesce(col("b"), col("a")))
+            .as("cost"))
+        .localCheckpoint()
+      frontier = improved
+    }
+    dist
+  }
+
   /** In/out degree per node — the cheap first look at any edge table. */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -126,4 +126,43 @@ object Quality {
       .filter(value < col("lo") || value > col("hi"))
       .drop("__g")
   }
+
+  /** log10(1 + 1/d) for d = 1..9 — Benford's first-digit law. Computed
+    * once on the JVM and embedded as literals in the plan (and rendered
+    * into oracle SQL by the query layer), so no engine's libm is in the
+    * data path and results are bit-identical everywhere. */
+  val BenfordExpected: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford first-digit audit of a positive money-scale column — the
+    * classic fabricated-data / unit-mixing detector for financial
+    * pipelines. `value` is quantized to decimal(12,2) and the FIRST
+    * DIGIT comes from its decimal string (both engines render decimals
+    * identically; a double->int cast would differ: Spark truncates,
+    * DuckDB rounds). Output per digit 1..9: observed count, Benford-
+    * expected count (n * log10(1+1/d), IEEE-exact from the shared
+    * literals), and the chi-square contribution — a fixed scalar dag
+    * over exact integers, deterministic cross-engine.
+    *
+    * Scale shape: one map-side-partial aggregate to 9 groups; the
+    * digit-total join is a broadcast of 9 rows. Non-positive values are
+    * excluded (Benford is defined on positive magnitudes). */
+  def benfordReport(df: DataFrame, value: Column): DataFrame = {
+    val digits = df.filter(value > 0)
+      .select(substring(value.cast("decimal(12,2)").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val expectedArr = array(BenfordExpected.map(lit): _*)
+    digits
+      .withColumn("__total", sum(col("n_obs"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("expected",
+        col("__total").cast("double") * element_at(expectedArr, col("digit")))
+      .withColumn("chi2_contrib",
+        (col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) / col("expected"))
+      .select(col("digit"), col("n_obs"), col("expected"),
+        col("chi2_contrib"))
+  }
 }

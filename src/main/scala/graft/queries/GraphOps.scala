@@ -41,6 +41,26 @@ object GraphOps {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
+  /** tradeEdges with a deterministic small-integer weight per edge
+    * ((custkey + suppkey) % 5 + 1, symmetric by construction) — small
+    * weights keep the oracle's hop-bounded closure at O(V * maxCost)
+    * distinct rows. */
+  private def weightedTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"),
+        ((col("o_custkey") + col("l_suppkey")) % 5 + 1).as("w"))
+      .distinct()
+    pairs.select(explode(array(
+        struct(col("src"), col("dst"), col("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.w").as("w"))
+  }
+
   /** Part co-purchase graph: parts linked when they appear in the same
     * order — naturally sparse (~0.6% density at sf0.1) and SF-scaled;
     * emitted canonical (p1 < p2, distinct). */
@@ -169,6 +189,18 @@ object GraphOps {
       graft.operators.Graph.shortestHops(tradeEdges(s, d), "src", "dst",
           seeds, "seed", maxHops = BfsHops)
         .orderBy(col("node"))
+    }),
+
+    // hop-bounded WEIGHTED cheapest paths (Bellman-Ford): integer edge
+    // costs, exact min-cost over paths of <= BfsHops edges — the oracle
+    // reproduces the identical semantics as a hop-bounded recursive CTE
+    "graph_cheapest_paths" -> ((s, d) => {
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).as("seed"))
+      graft.operators.Graph.cheapestPaths(weightedTradeEdges(s, d),
+          "src", "dst", "w", seeds, "seed", maxHops = BfsHops)
+        .orderBy(col("node"))
     })
   )
 
@@ -244,6 +276,28 @@ object GraphOps {
          |  JOIN e ON e.src = w.node WHERE w.hop < $BfsHops
          |)
          |SELECT node, CAST(MIN(hop) AS BIGINT) AS hops
+         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
+    // hop-bounded weighted closure: the walk carries (node, cost, hop);
+    // small integer weights bound distinct cost values, keeping the
+    // closure O(V * maxCost * hops) rows
+    "graph_cheapest_paths" ->
+      s"""WITH RECURSIVE ep AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         |    (o_custkey + l_suppkey) % 5 + 1 AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT src, dst, w FROM ep
+         |  UNION
+         |  SELECT dst AS src, src AS dst, w FROM ep
+         |), walk(node, cost, hop) AS (
+         |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT), CAST(0 AS BIGINT), 0
+         |  FROM supplier WHERE s_nationkey = 0
+         |  UNION
+         |  SELECT e.dst, w.cost + e.w, w.hop + 1 FROM walk w
+         |  JOIN e ON e.src = w.node WHERE w.hop < $BfsHops
+         |)
+         |SELECT node, MIN(cost) AS cost
          |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     "graph_pagerank" -> {

@@ -675,6 +675,16 @@ object Relational {
         .limit(25)
     }),
 
+    // Benford first-digit audit on order totals: the fabricated-data /
+    // unit-mixing detector. Counts are exact; expected/chi2 are a fixed
+    // IEEE dag over JVM-computed log10 literals shared with the oracle
+    // text, so even the doubles are bit-identical
+    "quality_benford_prices" -> ((s, d) => {
+      graft.operators.Quality
+        .benfordReport(Tables.orders(s, d), col("o_totalprice"))
+        .orderBy(col("digit"))
+    }),
+
     // ---- referential-integrity audit ------------------------------------
     // one report over every FK edge of the schema: child row count +
     // orphan count per relation, each check a distinct-parent anti join
@@ -1516,6 +1526,30 @@ object Relational {
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "quality_benford_prices" -> {
+      // CAST from VARCHAR: a bare 17-digit literal would bind as DECIMAL
+      // and the decimal->double hop double-rounds (the standing gotcha);
+      // string->double parses correctly rounded, bit-equal to the JVM
+      val vals = graft.operators.Quality.BenfordExpected.zipWithIndex
+        .map { case (l, i) => s"(${i + 1}, CAST('$l' AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH dg AS (
+         |  SELECT CAST(substring(
+         |      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+         |    AS INTEGER) AS digit
+         |  FROM orders WHERE o_totalprice > 0),
+         |cnt AS (SELECT digit, COUNT(*) AS n_obs FROM dg GROUP BY digit),
+         |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM cnt),
+         |ex(digit, l) AS (VALUES $vals),
+         |j AS (
+         |  SELECT c.digit, c.n_obs, CAST(t.t AS DOUBLE) * ex.l AS expected
+         |  FROM cnt c JOIN ex ON ex.digit = c.digit CROSS JOIN tot t)
+         |SELECT digit, n_obs, expected,
+         |  (CAST(n_obs AS DOUBLE) - expected) *
+         |  (CAST(n_obs AS DOUBLE) - expected) / expected AS chi2_contrib
+         |FROM j ORDER BY digit""".stripMargin
+    },
 
     "quality_ri_audit" ->
       """WITH li2 AS (

@@ -281,4 +281,47 @@ class GraphSpec extends SparkSpec {
       assert(hops(edges, seeds, cap) == dist, s"trial=$trial cap=$cap")
     }
   }
+
+  test("Bellman-Ford: cheaper long path beats direct edge; hop cap bites") {
+    import spark.implicits._
+    // 1 -> 2 direct cost 10; 1 -> 3 -> 4 -> 2 cost 1+1+1 = 3
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 2L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("seed")
+    def run(h: Int) = graft.operators.Graph
+      .cheapestPaths(edges, "src", "dst", "w", seeds, "seed", h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(3) == Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 2L))
+    // with only 1 relaxation round the direct edge is the best 2 can do
+    assert(run(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+  }
+
+  test("Bellman-Ford: randomized parity with sequential hop-bounded BF") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    for (trial <- 1 to 2) {
+      val n = 30
+      val edges = Seq.fill(120)((rng.nextInt(n).toLong,
+        rng.nextInt(n).toLong, rng.nextInt(9) + 1L))
+        .filter(e => e._1 != e._2).distinct
+      val seeds = Seq(0L, (n / 2).toLong)
+      val cap = 4
+      // sequential reference: cap rounds of full relaxation
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to cap) {
+        val next = edges.flatMap { case (s, d, w) =>
+          dist.get(s).map(c => d -> (c + w)) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+        dist = (dist.keySet ++ next.keySet).map { k =>
+          k -> math.min(dist.getOrElse(k, Long.MaxValue),
+            next.getOrElse(k, Long.MaxValue))
+        }.toMap
+      }
+      val got = graft.operators.Graph.cheapestPaths(
+          edges.toDF("src", "dst", "w"), "src", "dst", "w",
+          seeds.toDF("seed"), "seed", cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist, s"trial=$trial")
+    }
+  }
 }
