@@ -127,6 +127,29 @@ object Quality {
       .drop("__g")
   }
 
+  /** Winsorize `value` per group: clip to the [pLo, pHi] percentile
+    * fences instead of dropping rows — the robust-mean prep step
+    * (heavy-tail damping before averaging, the usual companion of
+    * [[iqrOutliers]] when rows must be KEPT). Same two-pass shape:
+    * per-group percentile aggregate (bounded by |groups|), broadcast
+    * back, map-only clip. Adds `value_w` (the clipped value), `lo`,
+    * `hi`; percentiles interpolate exactly like ANSI percentile_cont,
+    * and clipping double-vs-double is bit-deterministic. Null values
+    * pass through unclipped (comparisons are false). */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad fences [$pLo,$pHi]")
+    val fences = df.groupBy(group.as("__g"))
+      .agg(percentile(value, lit(pLo)).as("lo"),
+        percentile(value, lit(pHi)).as("hi"))
+    df.join(broadcast(fences), group === col("__g"))
+      .withColumn("value_w",
+        when(value < col("lo"), col("lo"))
+          .when(value > col("hi"), col("hi"))
+          .otherwise(value))
+      .drop("__g")
+  }
+
   /** log10(1 + 1/d) for d = 1..9 — Benford's first-digit law. Computed
     * once on the JVM and embedded as literals in the plan (and rendered
     * into oracle SQL by the query layer), so no engine's libm is in the

@@ -383,6 +383,24 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // winsorized robust mean per event type: clip values at the
+    // [p5, p95] fences (keep the rows), then exact-decimal aggregate —
+    // the heavy-tail-damped companion of the IQR outlier report
+    "events_winsorized_mean" -> ((s, d) => {
+      graft.operators.Quality.winsorize(
+          Tables.events(s, d)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .filter(col("value").isNotNull),
+          col("event_type"), col("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+          sum(money(col("value_w"))).cast("double").as("sum_w"),
+          sum(when(col("value_w") =!= col("value"), 1L).otherwise(0L))
+            .as("n_clipped"))
+        .orderBy(col("event_type"))
+    }),
+
     // retention cohort matrix: users cohorted by first-active day, then
     // distinct-user counts per (cohort_day, day offset) — the classic
     // companion to the funnel. Day bucketing is exact integer division
@@ -851,6 +869,25 @@ object EventOps {
         |FROM events JOIN f ON event_type = g
         |WHERE value < lo OR value > hi
         |ORDER BY event_id""".stripMargin,
+
+    "events_winsorized_mean" ->
+      """WITH f AS (SELECT event_type AS g,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |w AS (
+        |  SELECT event_type, lo, hi,
+        |    CASE WHEN value < lo THEN lo
+        |         WHEN value > hi THEN hi ELSE value END AS vw,
+        |    value
+        |  FROM events JOIN f ON event_type = g
+        |  WHERE value IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n, MIN(lo) AS lo, MIN(hi) AS hi,
+        |  CAST(CAST(SUM(CAST(vw AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+        |    AS sum_w,
+        |  CAST(SUM(CASE WHEN vw <> value THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_interval_sweep" ->
       s"""SELECT p.event_id AS purchase_id, p.user_id,

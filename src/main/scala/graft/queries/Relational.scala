@@ -675,6 +675,25 @@ object Relational {
         .limit(25)
     }),
 
+    // keyed two-table diff audit: orders vs a deterministically mutated
+    // copy (deletes, status/price updates, inserts) -> tall
+    // added/removed/changed report with null-safe per-column counters
+    "diff_orders_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val mutated = o.filter(col("o_orderkey") % 17 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 19 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+      graft.operators.Diff.tableDiff(o, mutated, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy(col("metric"))
+    }),
+
     // Benford first-digit audit on order totals: the fabricated-data /
     // unit-mixing detector. Counts are exact; expected/chi2 are a fixed
     // IEEE dag over JVM-computed log10 literals shared with the oracle
@@ -1526,6 +1545,52 @@ object Relational {
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "diff_orders_audit" ->
+      """WITH nw AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 19 = 0),
+        |j AS (
+        |  SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+        |    o.o_orderstatus AS s_o, n.o_orderstatus AS s_n,
+        |    o.o_totalprice AS p_o, n.o_totalprice AS p_n,
+        |    o.o_orderpriority AS r_o, n.o_orderpriority AS r_n
+        |  FROM orders o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey),
+        |f AS (
+        |  SELECT ko IS NULL AS a, kn IS NULL AS r,
+        |    ko IS NOT NULL AND kn IS NOT NULL
+        |      AND s_o IS DISTINCT FROM s_n AS cs,
+        |    ko IS NOT NULL AND kn IS NOT NULL
+        |      AND p_o IS DISTINCT FROM p_n AS cp,
+        |    ko IS NOT NULL AND kn IS NOT NULL
+        |      AND r_o IS DISTINCT FROM r_n AS cr
+        |  FROM j)
+        |SELECT 'n_added' AS metric,
+        |  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n FROM f
+        |UNION ALL SELECT 'n_removed',
+        |  CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |UNION ALL SELECT 'n_changed',
+        |  CAST(SUM(CASE WHEN cs OR cp OR cr THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM f
+        |UNION ALL SELECT 'n_unchanged',
+        |  CAST(SUM(CASE WHEN NOT a AND NOT r AND NOT (cs OR cp OR cr)
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |UNION ALL SELECT 'changed_o_orderstatus',
+        |  CAST(SUM(CASE WHEN cs THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |UNION ALL SELECT 'changed_o_totalprice',
+        |  CAST(SUM(CASE WHEN cp THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |UNION ALL SELECT 'changed_o_orderpriority',
+        |  CAST(SUM(CASE WHEN cr THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |ORDER BY metric""".stripMargin,
 
     "quality_benford_prices" -> {
       // CAST from VARCHAR: a bare 17-digit literal would bind as DECIMAL

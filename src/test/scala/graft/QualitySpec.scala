@@ -81,4 +81,36 @@ class QualitySpec extends SparkSpec {
     val a = out.head
     assert(a._3 == 3.25 - 1.5 * 4.5 && a._4 == 7.75 + 1.5 * 4.5)
   }
+
+  test("tableDiff: null-safe per-column flags and row classes") {
+    import spark.implicits._
+    val old_ = Seq((1L, Some("a"), Some(1.0)), (2L, None, Some(2.0)),
+      (3L, Some("c"), None), (4L, Some("d"), Some(4.0)))
+      .toDF("k", "s", "v")
+    val new_ = Seq((1L, Some("a"), Some(1.0)), // unchanged
+      (2L, Some("b"), Some(2.0)), // null -> value: changed_s
+      (3L, Some("c"), None), // null <=> null: unchanged
+      (5L, Some("e"), Some(5.0))) // added; 4 removed
+      .toDF("k", "s", "v")
+    val got = graft.operators.Diff
+      .tableDiff(old_, new_, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("n_added" -> 1L, "n_removed" -> 1L,
+      "n_changed" -> 1L, "n_unchanged" -> 2L,
+      "changed_s" -> 1L, "changed_v" -> 0L))
+  }
+
+  test("winsorize keeps every row and clips exactly at the fences") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val w = Quality.winsorize(df, $"g", $"v", 0.10, 0.90)
+    assert(w.count() == 100)
+    val r = w.agg(min($"value_w"), max($"value_w"),
+      sum(($"value_w" === $"lo").cast("long")),
+      sum(($"value_w" === $"hi").cast("long"))).head()
+    // percentile_cont fences on 1..100 at 0.1/0.9 — 90.1 lands on the
+    // IEEE interpolation artifact 90.10000000000001, deterministically
+    assert(r.getDouble(0) == 10.9 && r.getDouble(1) == 90.10000000000001)
+    assert(r.getLong(2) == 10L && r.getLong(3) == 10L)
+  }
 }
