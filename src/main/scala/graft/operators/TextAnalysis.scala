@@ -310,4 +310,50 @@ object TextAnalysis {
     }
     out
   }
+
+  /** Corpus collocations: adjacent-token bigrams ranked by LIFT — the
+    * multiword-expression miner ("new york", "machine learning") whose
+    * usual PMI score is log(lift); ranking by lift ranks identically and
+    * stays EXACT: lift_x1000 = (c_ab * N_u^2 * 1000) div (N_b * c_a *
+    * c_b) in floor-divided thousandths through decimal(38) products
+    * (N_u^2 overflows int64 at ~3B tokens; decimal(38) holds to 1e19
+    * tokens) — the Itemsets.pairRules fixed-point scheme. No log, no
+    * float, fully oracle-checkable.
+    *
+    * Scale shape: two map-side-partial count aggregates (unigrams,
+    * bigrams) + two broadcast totals + two hash joins on the word key;
+    * `minCount` prunes the bigram tail before the joins. */
+  def collocations(df: DataFrame, text: Column, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1)
+    val toks = df.select(split(text, " ").as("__ws"))
+      .where(text.isNotNull)
+    val uniCnt = toks.select(explode(col("__ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nU = uniCnt.agg(sum(col("c")).as("n_uni"))
+    // sequence(1, size-1) DESCENDS when size = 1 (Spark steps -1 toward
+    // the stop) — single-token docs must be excluded before the expand
+    val bigrams = toks.filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(__ws) - 1),
+          |  i -> named_struct('w1', element_at(__ws, i),
+          |                    'w2', element_at(__ws, i + 1)))""".stripMargin))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairCnt = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nB = bigrams.agg(count(lit(1)).as("n_bi"))
+    pairCnt
+      .join(uniCnt.select(col("w").as("w1"), col("c").as("n_w1")), "w1")
+      .join(uniCnt.select(col("w").as("w2"), col("c").as("n_w2")), "w2")
+      .crossJoin(broadcast(nU)).crossJoin(broadcast(nB))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"),
+        expr("""CAST(n_pair AS DECIMAL(38,0)) * n_uni * n_uni * 1000
+                DIV (CAST(n_bi AS DECIMAL(38,0)) * n_w1 * n_w2)""")
+          .as("lift_x1000"))
+      .orderBy(col("lift_x1000").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -357,6 +357,14 @@ object TextDedup {
         .orderBy(col("split"))
     }),
 
+    // collocation mining: adjacent-token bigrams ranked by exact
+    // fixed-point lift (= monotone in PMI) — no log, no float, the
+    // pairRules decimal(38) scheme over unigram/bigram counts
+    "text_collocations" -> ((s, d) => {
+      graft.operators.TextAnalysis.collocations(
+        Tables.documents(s, d), col("text"), minCount = 5, topK = 20)
+    }),
+
     // full entity-resolution pipeline: blocked levenshtein match ->
     // transitive-closure clustering -> deterministic survivorship (the
     // canonical record per entity). brand is deterministically nulled on
@@ -474,6 +482,27 @@ object TextDedup {
         | AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
+
+    "text_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL),
+        |u AS (SELECT UNNEST(ws) AS w FROM t),
+        |uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+        |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+        |bg AS (
+        |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM t, UNNEST(range(1, len(ws))) AS r(i)),
+        |bc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2),
+        |nb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n FROM bc)
+        |SELECT w1, w2, n_pair, ca.c AS n_w1, cb.c AS n_w2,
+        |  CAST((CAST(n_pair AS HUGEINT) * nu.n * nu.n * 1000)
+        |    // (CAST(nb.n AS HUGEINT) * ca.c * cb.c) AS BIGINT)
+        |    AS lift_x1000
+        |FROM bc JOIN uc ca ON ca.w = bc.w1 JOIN uc cb ON cb.w = bc.w2,
+        |  nu, nb
+        |WHERE n_pair >= 5
+        |ORDER BY lift_x1000 DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "er_resolve_parts" ->
       """WITH RECURSIVE r AS (
