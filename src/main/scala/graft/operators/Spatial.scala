@@ -110,6 +110,59 @@ object Spatial {
         col("__nn.nb").as("nn_id"), col("__nn.dist2").as("nn_dist2"))
   }
 
+  /** DBSCAN density clustering, composed from the grid epsilon join and
+    * the pointer-jumping connected components (Ester et al., KDD 1996 —
+    * the distributed formulation is exactly this composition):
+    * core points have >= minPts points in their eps-ball (self
+    * included); clusters are the connected components of the core-core
+    * eps-graph; border points adopt the SMALLEST cluster label among
+    * their core neighbors (the deterministic tie rule — textbook DBSCAN
+    * leaves border assignment order-dependent, which would be
+    * partition-dependent here); everything else is noise.
+    *
+    * Output: id, cluster (min core id of the component; null for
+    * noise), role ('core' | 'border' | 'noise'). All decisions are
+    * integer comparisons on exact int64 distances — fully
+    * oracle-checkable against a recursive-CTE replay.
+    *
+    * Scale shape: one grid join (O(9n) shuffle + density-bounded
+    * verify), one degree aggregate, CC on the core subgraph (iterative,
+    * O(log n) pointer-jumping rounds), one border min-join. No stage
+    * ever materializes more than the eps-graph. */
+  def dbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
+      eps: Long, minPts: Long): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val pairs = gridWithinJoin(points, idCol, xCol, yCol, eps)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val ids = points.select(col(idCol).cast("long").as("id"))
+    val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("__deg"))
+    val core = ids.join(deg, Seq("id"), "left")
+      .filter(coalesce(col("__deg"), lit(0L)) + 1 >= minPts)
+      .select(col("id"))
+    val coreEdges = sym
+      .join(core.select(col("id")), Seq("id"))
+      .join(core.select(col("id").as("nb")), Seq("nb"))
+      .select(col("id").as("id_a"), col("nb").as("id_b"))
+    val comp = Dedup.connectedComponents(
+      core.select(col("id").as("node")), coreEdges, "node", "id_a", "id_b")
+    val coreOut = comp.select(col("node").as("id"),
+      col("component").as("cluster"), lit("core").as("role"))
+    val borderOut = sym
+      .join(comp.select(col("node").as("nb"), col("component")), Seq("nb"))
+      .join(core.select(col("id"), lit(1).as("__isc")), Seq("id"), "left")
+      .filter(col("__isc").isNull)
+      .groupBy(col("id")).agg(min(col("component")).as("cluster"))
+      .withColumn("role", lit("border"))
+    val noiseOut = ids
+      .join(coreOut.select(col("id")).unionAll(borderOut.select(col("id"))),
+        Seq("id"), "left_anti")
+      .select(col("id"), lit(null).cast("long").as("cluster"),
+        lit("noise").as("role"))
+    coreOut.unionByName(borderOut.select(col("id"), col("cluster"),
+      col("role"))).unionByName(noiseOut)
+  }
+
   // ---- deterministic cross-engine coordinates (test/oracle harness) ----
 
   /** Integer in [0, 16^n) decoded from md5 nibbles [start, start+n) of

@@ -623,6 +623,15 @@ object EventOps {
       graft.operators.Spatial.neighborStats(
           spatialPoints(s, d), "id", "x", "y", SpatialR)
         .orderBy(col("id"))
+    }),
+
+    // full DBSCAN over the grid epsilon join + core-graph connected
+    // components, deterministic border tie rule (min core-neighbor
+    // cluster) — oracle replays it with a recursive CTE
+    "spatial_dbscan" -> ((s, d) => {
+      graft.operators.Spatial.dbscan(
+          spatialPoints(s, d), "id", "x", "y", SpatialR, minPts = 4)
+        .orderBy(col("id"))
     })
   )
 
@@ -1197,6 +1206,8 @@ object EventOps {
         |FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
         |ORDER BY a, b""".stripMargin,
 
+    "spatial_dbscan" -> dbscanOracle,
+
     "events_cusum_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -1250,6 +1261,41 @@ object EventOps {
          |SELECT id, n_neighbors, nb AS nn_id, dist2 AS nn_dist2
          |FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin
   )
+
+  // def, not val: the oracles map initializes before this point in the
+  // object body, and a forward val reference would silently be null
+  private def dbscanOracle: String =
+    s"""WITH RECURSIVE xy AS ($spatialPointsSql),
+       |pairs AS (
+       |  SELECT a.id AS ia, b.id AS ib
+       |  FROM xy a JOIN xy b ON a.id < b.id
+       |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+       |    <= ${SpatialR * SpatialR}),
+       |sym AS (
+       |  SELECT ia AS id, ib AS nb FROM pairs
+       |  UNION ALL SELECT ib, ia FROM pairs),
+       |deg AS (SELECT id, COUNT(*) AS c FROM sym GROUP BY id),
+       |core AS (SELECT id FROM deg WHERE c + 1 >= 4),
+       |ce AS (
+       |  SELECT s.id AS src, s.nb AS dst FROM sym s
+       |  JOIN core c1 ON c1.id = s.id JOIN core c2 ON c2.id = s.nb),
+       |walk(node, lbl) AS (
+       |  SELECT id, id FROM core
+       |  UNION
+       |  SELECT ce.dst, w.lbl FROM walk w JOIN ce ON ce.src = w.node),
+       |comp AS (SELECT node, MIN(lbl) AS cluster FROM walk GROUP BY node),
+       |border AS (
+       |  SELECT s.id, MIN(comp.cluster) AS cluster
+       |  FROM sym s JOIN comp ON comp.node = s.nb
+       |  WHERE s.id NOT IN (SELECT id FROM core)
+       |  GROUP BY s.id)
+       |SELECT node AS id, cluster, 'core' AS role FROM comp
+       |UNION ALL SELECT id, cluster, 'border' FROM border
+       |UNION ALL
+       |SELECT id, CAST(NULL AS BIGINT), 'noise' FROM xy
+       |WHERE id NOT IN (SELECT node FROM comp)
+       |  AND id NOT IN (SELECT id FROM border)
+       |ORDER BY id""".stripMargin
 
   // DuckDB twin of spatialPoints: same filter, same nibble decode
   private def spatialPointsSql: String = {

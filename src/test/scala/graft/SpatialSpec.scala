@@ -79,6 +79,32 @@ class SpatialSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"))
   }
 
+  test("dbscan: planted clusters, border tie rule, noise") {
+    // cluster A: tight knot at (0,0); cluster B: knot at (1000,1000);
+    // border point 50 within eps of A's cores but itself sparse;
+    // noise point far from everything
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 1L), (4L, 1L, 1L), // A cores
+      (50L, 6L, 0L), // border: within eps of core 2 only (1+self < 4)
+      (10L, 1000L, 1000L), (11L, 1001L, 1000L), (12L, 1000L, 1001L),
+      (13L, 1001L, 1001L), // B cores
+      (99L, 5000L, 5000L) // noise
+    ).toDF("id", "x", "y")
+    val got = graft.operators.Spatial.dbscan(pts, "id", "x", "y",
+        eps = 5L, minPts = 4L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toSeq
+    // A cores 1-4 have >= 4 points (incl. self) within 5 -> cluster 1;
+    // 50 is within 5 of cores 2 and 4 only -> border of cluster 1;
+    // B forms cluster 10; 99 is noise
+    assert(got == Seq(
+      (1L, 1L, "core"), (2L, 1L, "core"), (3L, 1L, "core"),
+      (4L, 1L, "core"), (10L, 10L, "core"), (11L, 10L, "core"),
+      (12L, 10L, "core"), (13L, 10L, "core"), (50L, 1L, "border"),
+      (99L, -1L, "noise")))
+  }
+
   test("hexCoord matches its SQL twin") {
     val ids = (0L until 200L).toDF("id")
     val sparkSide = ids.select(col("id"),
