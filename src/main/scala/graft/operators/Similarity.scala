@@ -845,6 +845,56 @@ object Similarity {
     heapTopK(short, k)
   }
 
+  /** OPQ-style rotated PQ: rotate into the PCA eigenbasis with
+    * EIGENVALUE ALLOCATION (Ge et al., CVPR 2013, the parametric
+    * non-iterative OPQ): dimensions are permuted so each of the m PQ
+    * subspaces receives a balanced share of the variance (greedy
+    * assignment of eigenvalues, largest first, to the bucket with the
+    * smallest log-product and free capacity). A plain PCA ordering
+    * would pile all variance into the first subspace and starve the
+    * rest — balanced subspaces is where rotated PQ's accuracy gain
+    * comes from. The rotation is orthonormal, so dot products and
+    * cosines are preserved and the PQ tier's exact re-rank semantics
+    * are unchanged; the rotation itself is map-only (dim native dots
+    * against literal rows, codegen'd) and everything downstream IS
+    * [[pqTopK]] on the rotated frames. Recall spec'd in SimilaritySpec
+    * alongside the other tiers. */
+  def opqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      m: Int = 8, kCodes: Int = 16, candMult: Int = 4,
+      kmeansIter: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val (_, _, gram) = meanAndCovariance(corpus, col("embedding"), dim,
+      center = false)
+    val (vals, comps) = jacobiEigen(gram)
+    val order = eigenvalueAllocation(vals, m, dim / m)
+    val rows = order.map(comps(_))
+    def rot(df: DataFrame) = df.select(col("vec_id"),
+      array(rows.map(w =>
+        graft.functions.VectorFunctions.vec_dot(col("embedding"),
+          typedLit(w.toSeq)).cast("float")): _*).as("embedding"))
+    pqTopK(rot(queries), rot(corpus), k, dim, m, kCodes, candMult,
+      kmeansIter)
+  }
+
+  /** Greedy eigenvalue allocation: assign eigenvalue indices (sorted
+    * descending by |value|) to m buckets of `cap` slots, each to the
+    * bucket with the smallest current log-product — balances per-
+    * subspace variance products. Returns the permutation: bucket 0's
+    * dims, then bucket 1's, ... */
+  private[graft] def eigenvalueAllocation(vals: Array[Double], m: Int,
+      cap: Int): IndexedSeq[Int] = {
+    val buckets = Array.fill(m)(List.empty[Int])
+    val logSum = Array.fill(m)(0.0)
+    val eps = 1e-12
+    vals.indices.sortBy(i => -math.abs(vals(i))).foreach { i =>
+      val b = (0 until m).filter(buckets(_).length < cap)
+        .minBy(logSum(_))
+      buckets(b) = i :: buckets(b)
+      logSum(b) += math.log(math.abs(vals(i)) + eps)
+    }
+    buckets.toIndexedSeq.flatMap(_.reverse)
+  }
+
   /** Project embeddings onto the top-k principal components (centered):
     * adds `outCol` = array<double> of length k. The projection is
     * MAP-ONLY and codegen'd — each component is one native dot against a

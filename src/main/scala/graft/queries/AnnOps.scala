@@ -71,6 +71,15 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // OPQ-style rotated PQ (eigenvalue-allocation PCA rotation, then
+    // the PQ tier unchanged) — approximate: rows-only + recall spec
+    "ann_opq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.opqTopK(emb.filter(col("vec_id") < NQueries), emb,
+          TopK, Dim)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // norm-augmented SRP buckets serving MIPS — the scale path gated by
     // ann_mips_topk (approximate: rows-only check + recall spec)
     "ann_mips_lsh_topk" -> ((s, d) => {

@@ -121,6 +121,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ planted near-dup recall $recall")
   }
 
+  test("OPQ finds planted near-duplicates (recall >= 0.9)") {
+    // rotated PQ: the orthonormal eigen-rotation preserves cosines, so
+    // the planted pair survives the candidate cut for the same reason
+    // as plain PQ — with balanced per-subspace variance on top
+    val rng = new scala.util.Random(31)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val noisy = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val q = spark.createDataFrame(noisy.toSeq).toDF("vec_id", "embedding")
+    val hits = Similarity.opqTopK(q, emb, 5, dim = 64)
+      .filter($"neighbor_id" === $"query_id" - 100000L)
+      .select($"query_id").distinct().count()
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.9, s"OPQ planted near-dup recall $recall")
+  }
+
+  test("eigenvalue allocation balances and is a valid permutation") {
+    val vals = Array(100.0, 50.0, 25.0, 12.0, 6.0, 3.0, 2.0, 1.0)
+    val perm = Similarity.eigenvalueAllocation(vals, m = 2, cap = 4)
+    assert(perm.sorted == (0 until 8))
+    val (b0, b1) = perm.splitAt(4)
+    def logp(b: Seq[Int]) = b.map(i => math.log(vals(i))).sum
+    // greedy balance: the log-product gap is far below the sorted-split
+    // gap (which would put 100*50*25*12 against 6*3*2*1)
+    assert(math.abs(logp(b0) - logp(b1)) < math.log(16.0))
+  }
+
   test("IVF-PQ finds planted near-duplicates (recall >= 0.9)") {
     // the composite must keep BOTH filters honest: the near-dup's cell
     // must be probed (IVF recall) and its ADC distance must survive the
