@@ -857,8 +857,11 @@ object Similarity {
     * cosines are preserved and the PQ tier's exact re-rank semantics
     * are unchanged; the rotation itself is map-only (dim native dots
     * against literal rows, codegen'd) and everything downstream IS
-    * [[pqTopK]] on the rotated frames. Recall spec'd in SimilaritySpec
-    * alongside the other tiers. */
+    * [[pqTopK]] on the rotated frames. The rotation is deliberately
+    * RECOMPUTED per downstream pass rather than cached: at corpus scale
+    * a cache would pin corpus * dim floats in memory, while the
+    * recompute is a codegen'd map riding scans that happen anyway.
+    * Recall spec'd in SimilaritySpec alongside the other tiers. */
   def opqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       m: Int = 8, kCodes: Int = 16, candMult: Int = 4,
       kmeansIter: Int = 2): DataFrame = {

@@ -627,10 +627,18 @@ object EventOps {
 
     // full DBSCAN over the grid epsilon join + core-graph connected
     // components, deterministic border tie rule (min core-neighbor
-    // cluster) — oracle replays it with a recursive CTE
+    // cluster) — oracle replays it with a recursive CTE. Clustering runs
+    // on a BOUNDED window (first 10k event ids — at the sf0.01 gate
+    // that is every point): on a fixed plane, point density grows with
+    // SF until the eps-graph percolates into one giant component whose
+    // CC diameter — not data volume — dominates runtime; real DBSCAN
+    // runs bound their window the same way (a city, a day). The grid
+    // join itself is the scale surface and stays unbounded in
+    // spatial_within_join / spatial_neighbor_stats
     "spatial_dbscan" -> ((s, d) => {
       graft.operators.Spatial.dbscan(
-          spatialPoints(s, d), "id", "x", "y", SpatialR, minPts = 4)
+          spatialPoints(s, d).filter(col("id") < 10000),
+          "id", "x", "y", SpatialR, minPts = 4)
         .orderBy(col("id"))
     })
   )
@@ -1265,7 +1273,8 @@ object EventOps {
   // def, not val: the oracles map initializes before this point in the
   // object body, and a forward val reference would silently be null
   private def dbscanOracle: String =
-    s"""WITH RECURSIVE xy AS ($spatialPointsSql),
+    s"""WITH RECURSIVE xy AS (
+       |  SELECT * FROM ($spatialPointsSql) WHERE id < 10000),
        |pairs AS (
        |  SELECT a.id AS ia, b.id AS ib
        |  FROM xy a JOIN xy b ON a.id < b.id
