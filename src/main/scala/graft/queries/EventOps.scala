@@ -589,6 +589,45 @@ object EventOps {
         .orderBy(col("attr_type"))
     }),
 
+    // gaps-and-islands: longest consecutive-day activity streak per
+    // user (day - row_number is constant within an island) — pure
+    // integer window arithmetic, the classic engagement metric
+    "events_active_streaks" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
+    }),
+
+    // segmented regression: split each event type's daily series at its
+    // CUSUM change-point and fit the exact-stat OLS to each side — the
+    // before/after slope report, composed from two existing operators
+    "events_segmented_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val cp = graft.operators.Trend
+        .cusumChangepoint(daily, Seq("event_type"), col("day"), col("c"))
+        .select(col("event_type").as("__et"), col("changepoint"))
+      val seg = daily.join(broadcast(cp), col("event_type") === col("__et"))
+        .withColumn("segment",
+          when(col("day") <= col("changepoint"), "pre").otherwise("post"))
+      graft.operators.Trend
+        .ols(seg, Seq("event_type", "segment"), col("day"), col("c"))
+        .orderBy(col("event_type"), col("segment"))
+    }),
+
     // CUSUM change-point estimate over each event type's daily count
     // series: scaled cumulative deviations in pure int64 (mean cleared
     // by multiplying through by n), peak magnitude marks the most
@@ -1215,6 +1254,69 @@ object EventOps {
         |ORDER BY a, b""".stripMargin,
 
     "spatial_dbscan" -> dbscanOracle,
+
+    "events_active_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM d),
+        |st AS (SELECT user_id, grp, COUNT(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_segmented_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |stt AS (
+        |  SELECT event_type, day, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        |  FROM daily),
+        |cu AS (
+        |  SELECT event_type, day,
+        |    CAST(SUM(nn * c - total) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cusum
+        |  FROM stt),
+        |rk AS (
+        |  SELECT event_type, day AS changepoint,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(cusum) DESC, day) AS rn
+        |  FROM cu),
+        |cp AS (SELECT event_type, changepoint FROM rk WHERE rn = 1),
+        |seg AS (
+        |  SELECT daily.event_type,
+        |    CASE WHEN day <= cp.changepoint THEN 'pre' ELSE 'post' END
+        |      AS segment,
+        |    day AS t, CAST(c AS DECIMAL(12,4)) AS y
+        |  FROM daily JOIN cp ON cp.event_type = daily.event_type),
+        |a AS (
+        |  SELECT event_type, segment, COUNT(*) AS n,
+        |    COUNT(DISTINCT t) AS nx,
+        |    SUM(t) AS sx, SUM(y) AS sy, SUM(t * y) AS sxy,
+        |    SUM(CAST(t AS HUGEINT) * t) AS sxx
+        |  FROM seg GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, segment, n,
+        |    (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |         * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |    / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |         * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS slope,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx
+        |  FROM a WHERE nx > 1)
+        |SELECT event_type, segment, n, slope,
+        |  (dy - slope * dx) / n AS intercept
+        |FROM s ORDER BY event_type, segment""".stripMargin,
 
     "events_cusum_changepoint" ->
       """WITH daily AS (
