@@ -42,6 +42,37 @@ object Spatial {
   private def cellKey(cx: Column, cy: Column): Column =
     cx * lit(1L << 32) + cy
 
+  /** Packed key of the r-cell CONTAINING (x, y) — the probe key for
+    * [[neighborhoodIndex]]. Non-negative integer coords. */
+  def cellKeyOf(x: Column, y: Column, r: Long): Column = {
+    def cellOf(c: Column): Column =
+      ((c.cast("long") - pmod(c.cast("long"), lit(r))) / lit(r))
+        .cast("long")
+    cellKey(cellOf(x), cellOf(y))
+  }
+
+  /** Static 3x3-neighborhood population index: for every cell, the
+    * number of `points` anywhere in that cell's 3x3 neighborhood —
+    * i.e. probing [[cellKeyOf]] of a location answers "how many indexed
+    * points are within one r-cell of me" with ONE stateless equi-join
+    * lookup (the streaming-enrichment form of the grid join: the index
+    * is a bounded static table, the probe side needs no state). Built
+    * by the same 9-cell replication as [[gridWithinJoin]]'s probe side,
+    * then one count per cell. */
+  def neighborhoodIndex(points: DataFrame, xCol: String, yCol: String,
+      r: Long): DataFrame = {
+    require(r > 0, s"radius must be positive: $r")
+    val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    points
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"),
+        explode(offsets).as("o"))
+      .select((cellKeyOf(col("x"), col("y"), r) +
+        col("o.dx") * lit(1L << 32) + col("o.dy")).as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_nearby"))
+  }
+
   /** All pairs (a, b) with `a.id < b.id` whose squared euclidean
     * distance is <= r^2, via grid blocking. `points` must expose long
     * (or int) columns `idCol`, `xCol`, `yCol` with non-negative coords;

@@ -394,6 +394,33 @@ object StreamOps {
     // rows re-aggregated per nation must equal the batch join the oracle
     // runs. Covers the one streaming join family the stream-stream gates
     // don't: bounded dim vs unbounded stream.
+    // stream-static SPATIAL enrichment: each streamed point looks up
+    // its r-cell in a static 3x3-neighborhood population index — the
+    // grid join's streaming form: one stateless equi-join per event, no
+    // state store, the index bounded by occupied cells. Coordinates and
+    // radius mirror the batch spatial family (md5 nibbles 1-3/4-6,
+    // r=64); oracle recomputes the cell-population lookup relationally
+    "stream_spatial_enrich" -> ((s, d) => {
+      import graft.operators.Spatial
+      val r = 64L
+      val staticPts = Tables.events(s, d)
+        .filter(col("event_id") % 4 === 0)
+        .select(Spatial.hexCoord(col("event_id"), 1, 3).as("x"),
+          Spatial.hexCoord(col("event_id"), 4, 3).as("y"))
+      val index = Spatial.neighborhoodIndex(staticPts, "x", "y", r)
+      val ev = EventsPipeline.withEventTime(eventsStream(s, d))
+        .filter(col("event_id") % 4 === 0)
+        .withColumn("cell", Spatial.cellKeyOf(
+          Spatial.hexCoord(col("event_id"), 1, 3),
+          Spatial.hexCoord(col("event_id"), 4, 3), r))
+        .join(index, Seq("cell")) // stream-static inner: stateless
+        .select(col("event_id"), col("n_nearby"))
+      runStream(s, ev, "spatial-enrich", d, "append")
+        .groupBy(col("n_nearby"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy(col("n_nearby"))
+    }),
+
     "stream_static_enrich" -> ((s, d) => {
       val ev = EventsPipeline.withEventTime(eventsStream(s, d))
         .filter(col("event_type") === "purchase")
@@ -548,6 +575,28 @@ object StreamOps {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_us, event_type""".stripMargin,
+
+    "stream_spatial_enrich" -> {
+      val x = graft.operators.Spatial.hexCoordSql("h", 1, 3)
+      val y = graft.operators.Spatial.hexCoordSql("h", 4, 3)
+      s"""WITH xy AS (
+         |  SELECT event_id AS id, $x AS x, $y AS y
+         |  FROM (SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h
+         |        FROM events WHERE event_id % 4 = 0)),
+         |cells AS (
+         |  SELECT id, (x - x % 64) // 64 AS cx, (y - y % 64) // 64 AS cy
+         |  FROM xy),
+         |idx AS (
+         |  SELECT cx + dx.d AS cx, cy + dy.d AS cy, COUNT(*) AS n
+         |  FROM cells, (VALUES (-1), (0), (1)) dx(d),
+         |       (VALUES (-1), (0), (1)) dy(d)
+         |  GROUP BY 1, 2),
+         |en AS (
+         |  SELECT c.id, idx.n FROM cells c
+         |  JOIN idx ON idx.cx = c.cx AND idx.cy = c.cy)
+         |SELECT n AS n_nearby, COUNT(*) AS n_points
+         |FROM en GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "stream_static_enrich" ->
       """SELECT c.c_nationkey, COUNT(*) AS n_purchases,
