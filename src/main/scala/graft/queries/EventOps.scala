@@ -589,6 +589,43 @@ object EventOps {
         .orderBy(col("attr_type"))
     }),
 
+    // time-weighted average price per user (TWAP): each observation
+    // weighted by its holding duration to the next one — numerator and
+    // denominator accumulate exactly (decimal x integer micros), the
+    // only float op is one final division of identically-rounded doubles
+    "events_twap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("us"))
+        .withColumn("dur", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("dur")).as("total_us"),
+          (sum(money(col("value")) * col("dur")).cast("double") /
+            sum(col("dur")).cast("double")).as("twap"))
+        .orderBy(col("user_id"))
+    }),
+
+    // per-user event-type diversity as GINI IMPURITY (1 - sum p^2) in
+    // exact floor-divided millionths — the entropy-style diversity
+    // metric without the cross-engine log: (n^2 - sum c^2) * 1e6 div n^2
+    "events_user_gini" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("__ssq"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          expr("""(n_events * n_events - __ssq) * 1000000
+                  DIV (n_events * n_events)""").as("gini_x1e6"))
+        .orderBy(col("user_id"))
+    }),
+
     // gaps-and-islands: longest consecutive-day activity streak per
     // user (day - row_number is constant within an island) — pure
     // integer window arithmetic, the classic engagement metric
@@ -1254,6 +1291,36 @@ object EventOps {
         |ORDER BY a, b""".stripMargin,
 
     "spatial_dbscan" -> dbscanOracle,
+
+    "events_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(12,4)) AS v,
+        |    LEAD(us, 1) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) - us AS dur
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_obs,
+        |  CAST(SUM(dur) AS BIGINT) AS total_us,
+        |  CAST(CAST(SUM(v * dur) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(SUM(dur) AS BIGINT) AS VARCHAR) AS DOUBLE)
+        |    AS twap
+        |FROM b WHERE dur IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_user_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    COUNT(*) AS n_types, CAST(SUM(c * c) AS BIGINT) AS ssq
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n_events, n_types,
+        |  (n_events * n_events - ssq) * 1000000
+        |    // (n_events * n_events) AS gini_x1e6
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "events_active_streaks" ->
       """WITH d AS (
