@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, sum}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Global dense row numbering at scale.
@@ -21,6 +22,60 @@ object Ids {
     * `numPartitions` pins the range-partition fan-out; by default AQE
     * sizes it (and may coalesce small inputs to one partition — set it
     * explicitly when asserting parallelism). */
+  /** Append `outCol` = the EXACT global running sum of `v` under the
+    * total order `order` — the distributed prefix sum. A global-window
+    * `sum over (order by ...)` collapses to ONE partition (the same
+    * cliff [[denseGlobalRowNumber]] exists for); this is the two-phase
+    * form: range-repartition on the order, per-PARTITION running sums in
+    * parallel windows, then each partition adds the total of every
+    * partition before it (partition totals are the only driver-side
+    * value — bounded by the partition count, joined back broadcast).
+    * `v` should be decimal/integral so the prefix is exact. Include a
+    * unique tiebreaker in `order` for cross-engine determinism. */
+  def prefixSum(df: DataFrame, order: Seq[Column], v: Column,
+      outCol: String): DataFrame = {
+    require(order.nonEmpty)
+    val parted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", org.apache.spark.sql.functions
+        .spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val local = parted.withColumn("__run", sum(v).over(w))
+    val totals = local.groupBy(col("__pid"))
+      .agg(sum(v).as("__tot")).orderBy(col("__pid")).collect()
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    // offset for partition i = sum of totals of partitions < i, exact
+    // BigDecimal arithmetic (totals may be decimal or integral)
+    def toDec(x: Any): java.math.BigDecimal = x match {
+      case null => java.math.BigDecimal.ZERO
+      case d: java.math.BigDecimal => d
+      case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+    }
+    var acc = java.math.BigDecimal.ZERO
+    val rows = totals.map { r =>
+      val out = Row(r.getInt(0), acc)
+      acc = acc.add(toDec(r.get(1)))
+      out
+    }
+    val runType = local.schema("__run").dataType
+    val offDf = spark.createDataFrame(rows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.DecimalType(38, 10), nullable = false))))
+    local.join(broadcast(offDf), Seq("__pid"), "left")
+      .withColumn(outCol,
+        (col("__run").cast("decimal(38,10)") +
+          coalesce(col("__off"), lit(0).cast("decimal(38,10)")))
+          .cast(runType))
+      .drop("__pid", "__run", "__off")
+  }
+
   def denseGlobalRowNumber(df: DataFrame, order: Seq[Column],
       idCol: String = "row_id", numPartitions: Option[Int] = None)
       : DataFrame = {

@@ -129,6 +129,22 @@ object Profiling {
         max(col("__v")).as("hi"))
   }
 
+  /** Append `outCol` = this row's EXACT global k-quantile bucket
+    * (1..k) under the total order (v, tieBreak) — the per-row companion
+    * of [[equiDepthHistogram]], same scale rationale: global NTILE
+    * collapses to one partition, the range-repartitioned row number
+    * keeps full parallelism, and bucket = row_id*k div n is the
+    * deterministic Bresenham rule an ANSI oracle reproduces. */
+  def exactBucket(df: DataFrame, v: Column, tieBreak: Seq[Column],
+      k: Int, outCol: String): DataFrame = {
+    require(k >= 1 && tieBreak.nonEmpty)
+    val ranked = Ids.denseGlobalRowNumber(df, v +: tieBreak, "__rk")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn(outCol, expr(s"(__rk * $k) div __n") + 1)
+      .drop("__rk", "__n")
+  }
+
   /** Functional-dependency audit: for each candidate `lhs -> rhs` pair,
     * does lhs determine rhs, and how badly does it fail? Output one row
     * per pair: distinct-lhs group count, number of groups where rhs

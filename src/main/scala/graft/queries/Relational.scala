@@ -675,6 +675,54 @@ object Relational {
         .limit(25)
     }),
 
+    // ABC / Pareto classification: parts ranked by revenue, cumulative
+    // share classes A (<=80%), B (<=95%), C. The running total is the
+    // distributed PREFIX SUM (range-repartitioned two-phase — a global
+    // window would collapse to one partition); class thresholds compare
+    // by integer cross-multiplication on exact decimals, never division
+    "abc_classification" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(money(col("l_extendedprice")) *
+          frac(lit(1) - col("l_discount"))).as("rev"))
+      val cum = graft.operators.Ids.prefixSum(rev,
+        Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum_rev")
+      val tot = rev.agg(sum(col("rev")).as("total_rev"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when(col("cum_rev") * 100 <= col("total_rev") * 80, "A")
+            .when(col("cum_rev") * 100 <= col("total_rev") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("double").as("class_revenue"))
+        .orderBy(col("abc_class"))
+    }),
+
+    // RFM customer segmentation: recency/frequency/monetary quintiles
+    // via the EXACT global bucket (range-repartitioned row number +
+    // Bresenham rule — global NTILE would collapse to one partition),
+    // reported as segment cells with exact-decimal monetary totals
+    "rfm_segments" -> ((s, d) => {
+      import graft.operators.Profiling.exactBucket
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(datediff(col("o_orderdate"), lit("1970-01-01")))
+            .cast("long").as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(money(col("o_totalprice"))).as("monetary"))
+      val tie = Seq(col("o_custkey"))
+      val scored = Seq(("last_day", "r_score"), ("frequency", "f_score"),
+        ("monetary", "m_score"))
+        .foldLeft(base) { case (df, (v, out)) =>
+          exactBucket(df, col(v), tie, 5, out)
+        }
+      scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary")).cast("double").as("total_monetary"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    }),
+
     // keyed two-table diff audit: orders vs a deterministically mutated
     // copy (deletes, status/price updates, inserts) -> tall
     // added/removed/changed report with null-safe per-column counters
@@ -1545,6 +1593,50 @@ object Relational {
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "abc_classification" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * CAST(1 - l_discount AS DECIMAL(8,6))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(rev) AS total_rev FROM rev),
+        |c AS (
+        |  SELECT l_partkey, rev,
+        |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev)
+        |SELECT CASE WHEN cum * 100 <= total_rev * 80 THEN 'A'
+        |            WHEN cum * 100 <= total_rev * 95 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        |  COUNT(*) AS n_parts,
+        |  CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS class_revenue
+        |FROM c, tot GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(MAX(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        |r AS (
+        |  SELECT o_custkey, monetary,
+        |    (ROW_NUMBER() OVER (ORDER BY last_day, o_custkey) - 1) AS rr,
+        |    (ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) - 1) AS rf,
+        |    (ROW_NUMBER() OVER (ORDER BY monetary, o_custkey) - 1) AS rm
+        |  FROM base),
+        |s AS (
+        |  SELECT o_custkey, monetary,
+        |    rr * 5 // n.n + 1 AS r_score,
+        |    rf * 5 // n.n + 1 AS f_score,
+        |    rm * 5 // n.n + 1 AS m_score
+        |  FROM r, n)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+        |  CAST(CAST(SUM(monetary) AS VARCHAR) AS DOUBLE) AS total_monetary
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "diff_orders_audit" ->
       """WITH nw AS (

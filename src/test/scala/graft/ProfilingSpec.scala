@@ -114,4 +114,48 @@ class ProfilingSpec extends SparkSpec {
       (30.0 * 70.0 * 40.0 * 60.0)
     assert(math.abs(contribs.sum - expected) < 1e-9)
   }
+
+  test("prefixSum equals the sequential scan, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 5000L).map(i => ((i * 37) % 1000, i))
+    val expect = rows.sortBy(r => (r._1, r._2))
+      .scanLeft(0L)((a, r) => a + r._1).tail
+    for (np <- Seq(1, 13)) {
+      val df = rows.toDF("v", "id").repartition(np)
+      val got = graft.operators.Ids
+        .prefixSum(df, Seq(col("v"), col("id")), col("v"), "cum")
+        .orderBy("v", "id").select("cum").as[Long].collect().toSeq
+      assert(got == expect, s"np=$np")
+    }
+  }
+
+  test("prefixSum on decimals stays exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 100).map(i => (i.toLong, s"$i.25"))
+      .toDF("id", "s")
+      .select(col("id"), col("s").cast("decimal(12,4)").as("v"))
+    val last = graft.operators.Ids
+      .prefixSum(df, Seq(col("id")), col("v"), "cum")
+      .orderBy(col("id").desc).select("cum").limit(1)
+      .collect()(0).getDecimal(0)
+    // sum of (i + 0.25) for 1..100 = 5050 + 25
+    assert(last.compareTo(new java.math.BigDecimal("5075.00")) == 0)
+  }
+
+  test("exactBucket: every bucket holds n/k rows (+-1), order respected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 103L).map(i => ((i * 7919) % 103, i)).toDF("v", "id")
+    val b = graft.operators.Profiling
+      .exactBucket(df, col("v"), Seq(col("id")), 5, "bucket")
+    val sizes = b.groupBy("bucket").count().orderBy("bucket")
+      .as[(Long, Long)].collect().toSeq
+    assert(sizes.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(sizes.map(_._2).forall(c => c >= 20 && c <= 21))
+    // bucket is monotone in v (ties broken by id)
+    val rows = b.orderBy("v", "id").select("bucket").as[Long].collect()
+    assert(rows.sameElements(rows.sorted))
+  }
 }
