@@ -181,6 +181,45 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature-scaled mixture weights (alpha = 0.5): source share
+    // proportional to sqrt(n_docs) — the standard down-weighting of
+    // giant crawl sources when mixing training corpora. Weights go
+    // FIXED-POINT immediately (floor(sqrt(n) * 1e6) — IEEE sqrt and one
+    // multiply are bit-deterministic, and integer weights make the
+    // total ASSOCIATIVE; a double sum would drift with aggregation
+    // order), so shares and targets are exact integer division
+    "mix_temperature_weights" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight_x1e6",
+          floor(sqrt(col("n_docs").cast("double")) * lit(1e6))
+            .cast("long"))
+      val tot = counts.agg(sum(col("weight_x1e6")).as("__tw"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("weight_x1e6"),
+          expr("weight_x1e6 * 1000000 DIV __tw").as("share_x1e6"),
+          expr("weight_x1e6 * 100000 DIV __tw").as("target_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // token-budget sampling: walk documents in the deterministic
+    // md5-draw order and keep while the EXACT running token total stays
+    // within budget — the "give me ~1M tokens, reproducibly" primitive.
+    // The running total is the distributed prefix sum (no global window)
+    "sample_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+      val cum = graft.operators.Ids.prefixSum(docs,
+        Seq(col("h"), col("doc_id")), col("n_tok"), "cum_tok")
+      cum.filter(col("cum_tok") <= lit(200000L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          max(col("cum_tok")).as("max_cum"))
+        .orderBy(col("source"))
+    }),
+
     // probability-proportional-to-size sampling: each lineitem keeps
     // with probability l_quantity/50 (deterministic md5-nibble draw) —
     // heavy rows oversampled, map-only, no shuffle before the summary agg
@@ -408,6 +447,36 @@ object PrepOps {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE (rk - 1) * 100 < n * 30
         |ORDER BY doc_id""".stripMargin,
+    "mix_temperature_weights" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS weight_x1e6
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(weight_x1e6) AS BIGINT) AS tw FROM c)
+        |SELECT source, n_docs, weight_x1e6,
+        |  weight_x1e6 * 1000000 // tw AS share_x1e6,
+        |  weight_x1e6 * 100000 // tw AS target_docs
+        |FROM c, t ORDER BY source""".stripMargin,
+
+    "sample_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MAX(cum_tok) AS max_cum
+        |FROM c WHERE cum_tok <= 200000
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "sample_pps_lineitem" -> {
       val lid = "l_orderkey * 10 + l_linenumber"
       s"""WITH k AS (SELECT l_returnflag, l_quantity, $lid AS lid,
