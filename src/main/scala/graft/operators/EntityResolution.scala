@@ -48,8 +48,12 @@ object EntityResolution {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           col("a.name").as("name_a"), col("b.name").as("name_b"))
     blockPass("w1").unionByName(blockPass("wlast")).distinct()
-      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("lev") <= maxDist)
+      // thresholded 3-arg levenshtein: banded DP with early abandon
+      // (O(maxDist * len) per pair instead of O(len^2)), returns -1
+      // past the bound — the verify step's cost no longer grows with
+      // how DIFFERENT non-matching candidates are
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("lev") >= 0)
       .select(col("id_a"), col("id_b"), col("lev"))
   }
 
