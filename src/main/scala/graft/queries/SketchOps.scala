@@ -47,6 +47,31 @@ object SketchOps {
         .orderBy(col("l_partkey"))
     }),
 
+    // full ANSI MERGE through the gate: one commit carrying deletes
+    // (matched + condition), updates (matched remainder), and inserts
+    // (unmatched source) — the three-way surface upsert/deleteWhere are
+    // special cases of. Oracle reproduces the merge relationally
+    "versioned_merge" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("vm")
+        .toString + "/t"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      VersionedTable.write(docs, root)
+      val updates = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 7)
+      val news = docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      VersionedTable.merge(updates.unionByName(news), root, Seq("doc_id"),
+        matchedDelete = Some(col("src_n_chars") % 3 === 0),
+        matchedUpdate = Map("n_chars" -> col("src_n_chars")))
+      VersionedTable.read(s, root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }),
+
     // transactional-table surface (S4) driven end-to-end through the
     // gate: documents committed as v0, a deterministic upsert commits
     // v1, then BOTH snapshots aggregate — latest sees the merge, time
@@ -436,6 +461,23 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "versioned_merge" ->
+      """WITH upd AS (
+        |  SELECT doc_id, n_chars + 7 AS nn FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |merged AS (
+        |  SELECT b.doc_id, b.source,
+        |    CASE WHEN u.doc_id IS NOT NULL THEN u.nn
+        |         ELSE b.n_chars END AS n_chars
+        |  FROM documents b LEFT JOIN upd u USING (doc_id)
+        |  WHERE NOT (u.doc_id IS NOT NULL AND u.nn % 3 = 0)
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, n_chars FROM documents
+        |  WHERE doc_id % 11 = 0)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin,
+
     "layout_zorder_read" ->
       """SELECT l_partkey, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

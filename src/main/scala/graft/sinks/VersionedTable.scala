@@ -537,6 +537,83 @@ object VersionedTable {
     }
   }
 
+  /** Full MERGE INTO on `keys`: matched target rows are DELETED when
+    * `matchedDelete` holds, otherwise UPDATED per `matchedUpdate`
+    * (target column -> new-value expression); unmatched source rows
+    * INSERT when `insertUnmatched`. Conditions and assignments evaluate
+    * over the joined row: target columns under their own names, source
+    * columns prefixed `src_` — the ANSI MERGE surface that [[upsert]]
+    * (pure replace) and [[deleteWhere]] (pure delete) are special cases
+    * of. `source` must be key-unique, like upsert.
+    *
+    * File-pruned identically to upsert: only files holding a matching
+    * key rewrite (the probe reads key columns + file metadata; collects
+    * are file-path lists bounded by |files|); every unmatched-source
+    * key is by construction absent from kept files, so inserts
+    * anti-join only the rewritten rows. */
+  def merge(source: DataFrame, root: String, keys: Seq[String],
+      matchedDelete: Option[Column], matchedUpdate: Map[String, Column],
+      insertUnmatched: Boolean = true): Long = {
+    val spark = source.sparkSession
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val schema = manifest(f, root, vs.max).schema
+    require(matchedUpdate.keySet.forall(schema.fieldNames.contains),
+      s"update assigns unknown columns: " +
+        s"${matchedUpdate.keySet -- schema.fieldNames}")
+    var lastStaged: Seq[String] = Seq.empty
+    commitRetrying(spark, root, schema) { prev =>
+      lastStaged.foreach(p => f.delete(new Path(p), false))
+      val head = spark.read.schema(schema).parquet(prev: _*)
+      val touched = head
+        .select(col("_metadata.file_path").as("_f"),
+          struct(keys.map(col): _*).as("_k"))
+        .join(source.select(struct(keys.map(col): _*).as("_k")).distinct(),
+          Seq("_k"), "left_semi")
+        .select(col("_f")).distinct().collect()
+        .map(r => new Path(r.getString(0)).toString).toSet
+      val keep = prev.filterNot(p => touched.contains(new Path(p).toString))
+      val rewrite = prev.filter(p => touched.contains(new Path(p).toString))
+      val src = source.select(keys.map(col) ++
+        source.columns.filterNot(keys.contains)
+          .map(c => col(c).as(s"src_$c")): _*)
+        .withColumn("__matched", lit(1))
+      val rewritten =
+        if (rewrite.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[Row](), schema)
+        else {
+          val joined = spark.read.schema(schema).parquet(rewrite: _*)
+            .join(src, keys, "left")
+          val isM = col("__matched").isNotNull
+          val del = matchedDelete
+            .map(c => isM && coalesce(c, lit(false)))
+            .getOrElse(lit(false))
+          joined.filter(!del)
+            .select(schema.fieldNames.toSeq.map { c =>
+              matchedUpdate.get(c)
+                .map(u => when(isM, u).otherwise(col(c)).as(c))
+                .getOrElse(col(c))
+            }: _*)
+        }
+      val inserts =
+        if (!insertUnmatched) None
+        else {
+          val existing =
+            if (rewrite.isEmpty) Seq.empty
+            else Seq(spark.read.schema(schema).parquet(rewrite: _*)
+              .select(keys.map(col): _*).distinct())
+          val unmatched = existing.foldLeft(
+            source.select(schema.fieldNames.toSeq.map(col): _*))(
+            (s, e) => s.join(e, keys, "left_anti"))
+          Some(unmatched)
+        }
+      val out = inserts.fold(rewritten)(rewritten.unionByName(_))
+      lastStaged = if (out.isEmpty) Seq.empty else stageFiles(out, root)
+      keep ++ lastStaged
+    }
+  }
+
   /** Row-deleting commit, file-pruned like [[upsert]]: files with no
     * matching row are carried over untouched; files with matches are
     * rewritten without the matching rows (a file left empty is simply

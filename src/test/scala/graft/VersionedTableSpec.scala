@@ -554,4 +554,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(v == 1L)
     assert(VersionedTable.read(spark, root).count() == 2)
   }
+
+  test("merge: delete + update + insert in one commit; time travel intact") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.write(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("k", "v"), root)
+    // source: k=1 -> delete (src_v negative), k=2 -> update to 99,
+    // k=9 -> insert
+    val src = Seq((1L, -1L), (2L, 99L), (9L, 90L)).toDF("k", "v")
+    VersionedTable.merge(src, root, Seq("k"),
+      matchedDelete = Some(col("src_v") < 0),
+      matchedUpdate = Map("v" -> col("src_v")))
+    val got = VersionedTable.read(spark, root)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 99L), (3L, 30L), (4L, 40L), (9L, 90L)))
+    // v0 unchanged under time travel
+    assert(VersionedTable.read(spark, root, Some(0L)).count() == 4)
+  }
+
+  test("merge: insertUnmatched=false drops new keys; bad column rejected") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.write(Seq((1L, 10L)).toDF("k", "v"), root)
+    VersionedTable.merge(Seq((1L, 11L), (5L, 50L)).toDF("k", "v"), root,
+      Seq("k"), matchedDelete = None,
+      matchedUpdate = Map("v" -> col("src_v")), insertUnmatched = false)
+    val got = VersionedTable.read(spark, root)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 11L)))
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(Seq((1L, 1L)).toDF("k", "v"), root, Seq("k"),
+        None, Map("nope" -> lit(1)))
+    }
+  }
 }
