@@ -129,6 +129,43 @@ object Profiling {
         max(col("__v")).as("hi"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift statistic, EXACT: the KS
+    * distance sup|F_a - F_b| is found by comparing empirical CDFs only
+    * at observed values, and the comparison cross-multiplies instead of
+    * dividing — |cumA * nB - cumB * nA| is exact decimal(38) — so the
+    * argmax value, the scaled statistic, and every intermediate are
+    * engine- and partitioning-exact (the usual float-CDF form drifts in
+    * the last ulp and can flip the argmax). Output: one row — n_a, n_b,
+    * ks_at (the value attaining the sup, earliest on ties), ks_x1e6
+    * (floor-divided millionths of the statistic).
+    *
+    * Scale shape: one grouped count over the union, two distributed
+    * prefix sums (Ids.prefixSum — no single-partition window), one
+    * max-of-struct aggregate. Complements histogramDrift (bucketed L1)
+    * with the distribution-free sup statistic. */
+  def ksReport(a: DataFrame, b: DataFrame, v: Column): DataFrame = {
+    val merged = a.select(v.as("value")).withColumn("ca", lit(1L))
+      .withColumn("cb", lit(0L))
+      .unionByName(b.select(v.as("value")).withColumn("ca", lit(0L))
+        .withColumn("cb", lit(1L)))
+      .where(col("value").isNotNull)
+      .groupBy(col("value"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val c1 = Ids.prefixSum(merged, Seq(col("value")), col("ca"), "cum_a")
+    val c2 = Ids.prefixSum(c1, Seq(col("value")), col("cb"), "cum_b")
+    val tot = merged.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    c2.crossJoin(broadcast(tot))
+      .withColumn("__d",
+        abs(col("cum_a").cast("decimal(38,0)") * col("n_b") -
+          col("cum_b").cast("decimal(38,0)") * col("n_a")))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(struct(col("__d"), (-col("value")).as("nv"))).as("__m"))
+      .select(col("n_a"), col("n_b"), (-col("__m.nv")).as("ks_at"),
+        expr("""CAST(__m.__d * 1000000 DIV
+                (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+          .as("ks_x1e6"))
+  }
+
   /** Append `outCol` = this row's EXACT global k-quantile bucket
     * (1..k) under the total order (v, tieBreak) — the per-row companion
     * of [[equiDepthHistogram]], same scale rationale: global NTILE

@@ -383,6 +383,16 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // exact two-sample KS drift between even- and odd-user value
+    // distributions: CDFs compared by decimal cross-multiplication (no
+    // float CDF, no argmax flip), prefix sums distributed
+    "profile_ks_drift" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("value"))
+      graft.operators.Profiling.ksReport(
+        e.filter(col("user_id") % 2 === 0),
+        e.filter(col("user_id") % 2 === 1), col("value"))
+    }),
+
     // winsorized robust mean per event type: clip values at the
     // [p5, p95] fences (keep the rows), then exact-decimal aggregate —
     // the heavy-tail-damped companion of the IQR outlier report
@@ -962,6 +972,35 @@ object EventOps {
         |FROM events JOIN f ON event_type = g
         |WHERE value < lo OR value > hi
         |ORDER BY event_id""".stripMargin,
+
+    "profile_ks_drift" ->
+      """WITH m AS (
+        |  SELECT value,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL GROUP BY value),
+        |c AS (
+        |  SELECT value,
+        |    CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+        |    CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+        |  FROM m
+        |  WINDOW w AS (ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |  CAST(SUM(cb) AS BIGINT) AS n_b FROM m),
+        |dd AS (
+        |  SELECT value,
+        |    ABS(CAST(cum_a AS HUGEINT) * n_b
+        |      - CAST(cum_b AS HUGEINT) * n_a) AS d
+        |  FROM c, t),
+        |r AS (SELECT value, d,
+        |  ROW_NUMBER() OVER (ORDER BY d DESC, value) AS rn FROM dd)
+        |SELECT t.n_a, t.n_b, r.value AS ks_at,
+        |  CAST(r.d * 1000000 // (CAST(t.n_a AS HUGEINT) * t.n_b)
+        |    AS BIGINT) AS ks_x1e6
+        |FROM r, t WHERE rn = 1""".stripMargin,
 
     "events_winsorized_mean" ->
       """WITH f AS (SELECT event_type AS g,
