@@ -383,6 +383,29 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // temporal ANTI join: views never followed by a purchase from the
+    // same user within 7 days — the "did A but not B within w" segment.
+    // One equi-join on user_id with the window as a join-side predicate,
+    // then left_anti semantics via a null probe — never a cartesian;
+    // the hot-key variant would ride the interval-join sweep exec
+    "events_view_no_purchase" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("us"))
+      val views = e.filter(col("event_type") === "view")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("us").as("p_us"))
+      views.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_us") > col("us") &&
+            col("p_us") <= col("us") + lit(SevenDaysUs),
+          "left_anti")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_unconverted_views"),
+          min(col("event_id")).as("first_view_id"))
+        .orderBy(col("user_id"))
+    }),
+
     // exact two-sample KS drift between even- and odd-user value
     // distributions: CDFs compared by decimal cross-multiplication (no
     // float CDF, no argmax flip), prefix sums distributed
@@ -972,6 +995,19 @@ object EventOps {
         |FROM events JOIN f ON event_type = g
         |WHERE value < lo OR value > hi
         |ORDER BY event_id""".stripMargin,
+
+    "events_view_no_purchase" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events)
+        |SELECT v.user_id, COUNT(*) AS n_unconverted_views,
+        |  MIN(v.event_id) AS first_view_id
+        |FROM e v
+        |WHERE v.event_type = 'view' AND NOT EXISTS (
+        |  SELECT 1 FROM e p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        |    AND p.us > v.us AND p.us <= v.us + 604800000000)
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
 
     "profile_ks_drift" ->
       """WITH m AS (
