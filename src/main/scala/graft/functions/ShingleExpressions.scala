@@ -84,6 +84,69 @@ object ShingleUtil {
   }
 }
 
+/** Rolling-hash machinery for [[CharWindowHashes]]. Polynomial
+  * Rabin-Karp over Unicode CODE POINTS (not bytes): the oracle-side
+  * `substr` is code-point addressed in every ANSI engine, so span
+  * positions derived from these hashes line up with SQL `substr`
+  * positions for any input, not just ASCII. Base 1000003 mod the
+  * Mersenne prime 2^61-1; the O(1) per-position update makes the whole
+  * array one linear pass per document. */
+object CharWindowHashUtil {
+  private val Mod = (1L << 61) - 1
+  private val Base = 1000003L
+
+  private def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val lo61 = lo & Mod
+    val rest = (lo >>> 61) | (hi << 3)
+    val r = lo61 + rest
+    if (r >= Mod) r - Mod else r
+  }
+
+  def charWindowHashes(s: UTF8String, w: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val m = cps.length - w + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    var pow = 1L
+    var i = 1
+    while (i < w) { pow = mulmod(pow, Base); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = (mulmod(h, Base) + cps(i)) % Mod; i += 1 }
+    val out = new Array[Long](m)
+    out(0) = h
+    i = w
+    while (i < cps.length) {
+      h = (h + Mod - mulmod(cps(i - w).toLong, pow)) % Mod
+      h = (mulmod(h, Base) + cps(i)) % Mod
+      out(i - w + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Rolling hash of every w-code-point window as `array<long>` — entry j
+  * (0-based) fingerprints `substr(text, j+1, w)` in SQL terms. The
+  * primitive under cross-document duplicate-substring detection
+  * ([[graft.operators.Dedup.duplicateSpans]]): only 8-byte hashes reach
+  * the explode/shuffle, never the substrings themselves. */
+case class CharWindowHashes(child: Expression, n: Int)
+    extends ShingleExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CharWindowHashUtil.charWindowHashes(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharWindowHashUtil.charWindowHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CharWindowHashes = copy(child = newChild)
+}
+
 sealed abstract class ShingleExpression extends UnaryExpression {
   def n: Int
 
@@ -140,4 +203,8 @@ object ShingleFunctions {
   /** Column API for [[WordShingleHashes]]. */
   def word_shingle_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(text), n))
+
+  /** Column API for [[CharWindowHashes]]. */
+  def char_window_hashes(text: Column, w: Int): Column =
+    ColumnBridge.column(CharWindowHashes(ColumnBridge.expression(text), w))
 }

@@ -537,4 +537,49 @@ object Dedup {
         coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** Cross-document EXACT duplicate-substring spans (the "dedup exact
+    * substrings" pass of LLM corpus prep, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): every maximal character
+    * span whose every `window`-char substring also appears in >= `minDocs`
+    * distinct documents. Returns (id, span_start, span_end) with 1-based
+    * INCLUSIVE character positions — `substr(text, span_start,
+    * span_end - span_start + 1)` is the duplicated run.
+    *
+    * Plan shape, suffix-array-free: (1) one codegen'd linear pass per doc
+    * emits the rolling hash of every w-char window
+    * ([[graft.functions.CharWindowHashes]] — 8-byte hashes, never
+    * substrings, reach the explode); (2) distinct (hash, doc) then a
+    * partial-agg count finds hashes in >= minDocs docs; (3) hits join back
+    * on hash; (4) per-doc gaps-and-islands (pos - row_number) merges
+    * overlapping/adjacent duplicated windows into maximal spans. At
+    * 100 TB: the gram stream is |corpus chars| rows of (long, long, int) —
+    * the dominant but embarrassingly hash-partitioned shuffle (the exact
+    * shape of the published MapReduce variants); the island window is
+    * per-document, bounded by document length. Hash collisions (2^-61 per
+    * pair) can only ADD a span, never lose one.
+    *
+    * Oracle-exact: positions are code-point addressed, matching SQL
+    * `substr`, so DuckDB reproduces the spans from raw substrings. */
+  def duplicateSpans(df: DataFrame, idCol: String, text: Column,
+      window: Int, minDocs: Int = 2): DataFrame = {
+    require(window > 0 && minDocs > 1,
+      s"need window > 0, minDocs > 1: $window / $minDocs")
+    val grams = df.select(col(idCol),
+        posexplode(graft.functions.ShingleFunctions
+          .char_window_hashes(text, window)).as(Seq("idx", "h")))
+      .select(col(idCol), (col("idx") + 1).cast("long").as("pos"), col("h"))
+    val dup = grams.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    val hits = grams.join(dup, Seq("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + window - 1).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
 }

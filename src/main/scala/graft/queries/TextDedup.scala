@@ -118,6 +118,17 @@ object TextDedup {
     // corpus-trained smoothed bigram LM score (the perplexity-filter
     // shape, fixed-point so it oracle-checks exactly — see
     // TextAnalysis.bigramLmScore)
+    // cross-document exact duplicate-substring spans (Lee et al. 2022):
+    // maximal character runs whose every 40-char window appears in >= 2
+    // distinct docs. Rolling code-point hashes keep substrings off the
+    // shuffle; positions are substr-compatible, so DuckDB reproduces the
+    // exact spans from raw substrings — a fully oracle-checked dedup gate.
+    "dedup_substring_spans" -> ((s, d) => {
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", col("text"),
+          window = 40, minDocs = 2)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "text_lm_bigram" -> ((s, d) => {
       TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id",
           col("text"))
@@ -672,6 +683,22 @@ object TextDedup {
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY word""".stripMargin,
+
+    "dedup_substring_spans" ->
+      """WITH n AS (SELECT UNNEST(range(1, 2001)) AS i),
+        |grams AS (
+        |  SELECT d.doc_id, n.i AS pos, substr(d.text, CAST(n.i AS INT), 40) AS g
+        |  FROM documents d JOIN n ON n.i <= length(d.text) - 39),
+        |dup AS (
+        |  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM hits)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 39 AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
     "text_lm_bigram" ->
       """WITH toks AS (

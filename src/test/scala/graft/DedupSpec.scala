@@ -297,4 +297,45 @@ class DedupSpec extends SparkSpec {
     assert(h1.distinct.length == h1.length)
     assert(TextAnalysis.rollingHash("abc", 4).isEmpty)
   }
+
+  test("char_window_hashes: shift-invariance, short-input, codegen=eval") {
+    import graft.functions.ShingleFunctions.char_window_hashes
+    val df = Seq("abcdefgh", "XYabcdefgh", "abc").toDF("t")
+    val rows = df.select(char_window_hashes($"t", 4)).as[Seq[Long]].collect()
+    assert(rows(0).length == 5 && rows(1).length == 7 && rows(2).isEmpty)
+    (0 until 5).foreach(i => assert(rows(0)(i) == rows(1)(i + 2)))
+    // interpreted eval agrees with the codegen'd path
+    val interp = graft.functions.CharWindowHashUtil
+      .charWindowHashes(org.apache.spark.unsafe.types.UTF8String
+        .fromString("abcdefgh"), 4).toLongArray().toSeq
+    assert(interp == rows(0))
+  }
+
+  test("duplicateSpans: planted cross-doc run found; overlaps merge; " +
+      "within-doc repeats alone do not fire") {
+    val shared = "0123456789ABCDEFGHIJ" // 20 chars, window 10 => 11 windows
+    val docs = Seq(
+      (1L, s"aaaaaaaaaa${shared}bbbbbbbbbb"),          // run at 11..30
+      (2L, s"cccc${shared}dddddddddddddddd"),          // run at 5..24
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"), // unique
+      (4L, "qqqqqqqqqqqqqqqqqqqqqqqqqqqqqq")            // self-repetitive only
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", col("text"), window = 10)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect()
+    assert(spans.toSeq == Seq((1L, 11L, 30L), (2L, 5L, 24L)),
+      spans.mkString(","))
+    // minDocs = 3 excludes a 2-doc run
+    assert(Dedup.duplicateSpans(docs, "doc_id", col("text"),
+      window = 10, minDocs = 3).count() == 0)
+  }
+
+  test("duplicateSpans: exact-duplicate docs produce full-length spans") {
+    val text = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", col("text"), window = 8)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(spans == Seq((1L, 1L, text.length.toLong),
+      (2L, 1L, text.length.toLong)))
+  }
 }
