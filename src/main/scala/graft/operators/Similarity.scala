@@ -193,6 +193,40 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic dedup by k-means clustering + INTRA-CLUSTER cosine pruning.
+    * Cluster the embeddings (distributed Lloyd's, [[kMeansCodebook]]),
+    * then within each cluster drop every vector that has a smaller-id
+    * cluster-mate with cosine >= `tau` — a deterministic stand-in for the
+    * paper's keep-one-per-semantic-group rule (greedy by id: chains a~b,
+    * b~c with a!~c keep only a, like the paper's random-keeper variant).
+    * Returns the KEPT rows of `corpus`, all original columns.
+    *
+    * Approximate by design: a near-dup pair split across a cluster
+    * boundary is missed — the paper's trade. Scale shape: centroids are
+    * a k x dim driver matrix (broadcast as literals into a codegen'd
+    * map-only assignment, see [[nearestCells]]); the ONLY data shuffle is
+    * keyed on the cell id, and the per-cell self-join degree is bounded
+    * by cluster occupancy — at corpus scale k grows with n so n/k stays
+    * ~constant (the paper runs 50k clusters). Zero-norm embeddings score
+    * NaN cosines, never >= tau, so they are always kept. Rows-only at the
+    * driver gate (k-means is not SQL-expressible); planted-duplicate
+    * semantics spec'd in SimilaritySpec. */
+  def semanticDedup(corpus: DataFrame, k: Int, tau: Double,
+      maxIter: Int = 4): DataFrame = {
+    require(k >= 1 && tau > 0 && tau <= 1, s"k=$k tau=$tau")
+    val cents = collectCentroids(kMeansCodebook(corpus, k, maxIter))
+    val assigned = nearestCells(corpus, cents, "vec_id", "v", keep = 1)
+      .withColumn("nrm", sqrt(dotDouble(col("v"), col("v"))))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .filter(dotDouble(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")) >= tau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    corpus.join(dups, Seq("vec_id"), "left_anti")
+  }
+
   /** Scale path for near-dup detection: candidate pairs only from shared
     * SRP (table, bucket) cells — shuffle on the bucket key, never
     * all-pairs — then exact quantized re-check against `tau`. Approximate

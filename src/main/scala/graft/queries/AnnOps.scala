@@ -176,6 +176,17 @@ object AnnOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup: k-means + intra-cluster cosine pruning (Abbas et al.
+    // 2023). Clustering is engine-specific -> rows-only driver check;
+    // planted-duplicate removal + cluster-blocking recall are spec'd in
+    // SimilaritySpec.
+    "dedup_semantic" -> ((s, d) => {
+      Similarity.semanticDedup(Tables.embeddings(s, d), k = 8,
+          tau = NearDupTau)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // label-conditioned centroid similarity: every embedding joined to its
     // label's centroid with an exact cross-engine quantized cosine —
     // exercises array aggregation + broadcast rejoin + integer dot

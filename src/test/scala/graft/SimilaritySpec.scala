@@ -341,4 +341,30 @@ class SimilaritySpec extends SparkSpec {
     val allPairs = 20L * (emb.count() - 1)
     assert(nCand < allPairs / 2, s"$nCand candidates vs $allPairs pairs")
   }
+
+  test("semanticDedup drops planted semantic copies, keeps the originals") {
+    val rng = new scala.util.Random(11)
+    val base = emb.filter($"vec_id" < 40)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    // near-copies at cosine ~0.999: same direction, tiny noise, higher ids
+    val noisy = base.take(15).map { case (id, v, l) =>
+      (id + 100000L, v.map(x => x + 0.002f * rng.nextGaussian().toFloat), l)
+    }
+    val corpus = spark.createDataFrame((base ++ noisy).toSeq)
+      .toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedup(corpus, k = 4, tau = 0.99)
+      .select($"vec_id").as[Long].collect().toSet
+    // every original survives (it is the smallest id of its group)
+    base.foreach { case (id, _, _) => assert(kept.contains(id), s"lost $id") }
+    // every planted copy is removed (identical direction => same cluster)
+    noisy.foreach { case (id, _, _) =>
+      assert(!kept.contains(id), s"copy $id survived") }
+  }
+
+  test("semanticDedup with tau above any real cosine keeps everything") {
+    val corpus = emb.filter($"vec_id" < 60)
+    assert(Similarity.semanticDedup(corpus, k = 3, tau = 0.9999).count() ==
+      corpus.count())
+  }
 }
