@@ -129,6 +129,26 @@ object TextDedup {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // CCNet-style head/middle/tail quality partition (Wenzek et al.
+    // 2020): rank docs by LM predictability (fixed-point bigram score
+    // per bigram — higher = more language-like) and cut into three
+    // equal-depth buckets with the distributed exactBucket (a global
+    // NTILE would collapse to one partition). Per-bucket totals stay
+    // integral, so the gate is fully oracle-exact.
+    "text_perplexity_buckets" -> ((s, d) => {
+      val scored = TextAnalysis.bigramLmScore(Tables.documents(s, d),
+          "doc_id", col("text"))
+        .withColumn("proxy",
+          col("score").cast("double") / greatest(col("n_bigrams"), lit(1L)))
+      graft.operators.Profiling.exactBucket(scored, col("proxy").desc,
+          Seq(col("doc_id")), 3, "bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score")).as("total_score"),
+          sum(col("n_bigrams")).as("total_bigrams"))
+        .orderBy(col("bucket"))
+    }),
+
     "text_lm_bigram" -> ((s, d) => {
       TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id",
           col("text"))
@@ -699,6 +719,41 @@ object TextDedup {
         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
         |  CAST(MAX(pos) + 39 AS BIGINT) AS span_end
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    "text_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), uni AS (
+        |  SELECT tok, COUNT(*) AS c1
+        |  FROM (SELECT UNNEST(t) AS tok FROM toks) GROUP BY tok
+        |), vv AS (SELECT COUNT(*) AS v FROM uni),
+        |bgs AS (
+        |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks
+        |), bgc AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY bg),
+        |sc AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM((c.c2 * 1000000000) // (u.c1 + (SELECT v FROM vv)))
+        |      AS score
+        |  FROM bgs b JOIN bgc c ON b.bg = c.bg
+        |  JOIN uni u ON u.tok = string_split(b.bg, ' ')[1]
+        |  GROUP BY b.doc_id),
+        |docsc AS (
+        |  SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+        |    CAST(COALESCE(score, 0) AS BIGINT) AS score
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docsc),
+        |r AS (
+        |  SELECT doc_id, n_bigrams, score,
+        |    (ROW_NUMBER() OVER (ORDER BY
+        |      CAST(score AS DOUBLE) / GREATEST(n_bigrams, 1) DESC, doc_id)
+        |      - 1) AS rr
+        |  FROM docsc)
+        |SELECT rr * 3 // n.n + 1 AS bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(score) AS BIGINT) AS total_score,
+        |  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
+        |FROM r, n GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_lm_bigram" ->
       """WITH toks AS (
