@@ -569,11 +569,26 @@ object Dedup {
         posexplode(graft.functions.ShingleFunctions
           .char_window_hashes(text, window)).as(Seq("idx", "h")))
       .select(col(idCol), (col("idx") + 1).cast("long").as("pos"), col("h"))
-    val dup = grams.select(col("h"), col(idCol)).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("h"))
-    val hits = grams.join(dup, Seq("h"))
+    // minDocs == 2 (the common case): ">= 2 distinct docs share h" is
+    // exactly min(doc) != max(doc) over the hash partition — ONE shuffle
+    // of the gram stream and ONE pass over the text (the agg + join-back
+    // form below recomputes the scan/explode subtree in both branches
+    // and shuffles the stream twice; measured 1.9x slower at 15M chars).
+    // General minDocs needs the exact distinct count -> two-level agg +
+    // join back on the hash.
+    val hits =
+      if (minDocs == 2) {
+        val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+        grams.withColumn("__dup",
+            min(col(idCol)).over(wh) =!= max(col(idCol)).over(wh))
+          .filter(col("__dup")).drop("__dup", "h")
+      } else {
+        val dup = grams.select(col("h"), col(idCol)).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= minDocs)
+          .select(col("h"))
+        grams.join(dup, Seq("h"))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     hits.withColumn("grp", col("pos") - row_number().over(w))
