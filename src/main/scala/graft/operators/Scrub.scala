@@ -49,4 +49,19 @@ object Scrub {
       case (d, (name, c)) => d.withColumn(name, c)
     }
   }
+
+  /** Corpus text normalization — the canonical first stage of every text
+    * pipeline: Unicode NFC (native [[graft.functions.NfcNormalize]], so
+    * composed/decomposed twins unify before any hashing or shingling) →
+    * lowercase → whitespace-run collapse → trim. Entirely map-only
+    * codegen'd column transforms; the whitespace class is spelled out
+    * (`[ \t\r\n\f]`) because java.util.regex's `\s` and RE2's differ on
+    * vertical tab — the explicit class is engine-portable, keeping the
+    * operator oracle-checkable. */
+  def normalize(df: DataFrame, text: Column,
+      outCol: String = "text_norm"): DataFrame =
+    df.withColumn(outCol,
+      trim(regexp_replace(
+        lower(graft.functions.NormalizeFunctions.nfc_normalize(text)),
+        "[ \\t\\r\\n\\f]+", " ")))
 }

@@ -88,6 +88,18 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus normalization gate: NFC + casefold + whitespace collapse.
+    // The fixture is ASCII (NFC = identity there — the unicode paths are
+    // spec'd in ScrubSpec with composed/decomposed literals); the gate
+    // pins the lowercase/whitespace/trim composition cross-engine.
+    "text_normalize" -> ((s, d) => {
+      Scrub.normalize(Tables.documents(s, d),
+          concat(lit("  MIXED Case\t"), col("text"), lit("  ")))
+        .select(col("doc_id"), col("text_norm"),
+          length(col("text_norm")).cast("long").as("n_chars_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // weighted mixture sampling: per-source deterministic keep rates
     "mix_weighted_sample" -> ((s, d) => {
       Sampling.weightedKeep(Tables.documents(s, d), col("doc_id"),
@@ -494,6 +506,15 @@ object PrepOps {
     "text_decontaminate" -> decontaminateOracle,
     "quality_repetition" -> repetitionOracle,
     "pii_scrub" -> piiOracle,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    lower(nfc_normalize('  MIXED Case' || chr(9) || text || '  ')),
+        |    '[ \t\r\n\f]+', ' ', 'g')) AS text_norm,
+        |  CAST(length(trim(regexp_replace(
+        |    lower(nfc_normalize('  MIXED Case' || chr(9) || text || '  ')),
+        |    '[ \t\r\n\f]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mix_weighted_sample" -> mixOracle,
     "dedup_spans_corpus" -> spansOracle,
     "embed_quantize" -> quantizeOracle

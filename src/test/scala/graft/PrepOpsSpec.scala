@@ -240,4 +240,25 @@ class PrepOpsSpec extends SparkSpec {
     assert(Sampling.stratifiedSample(df, $"id", $"g", 0).count() == 0)
     assert(Sampling.stratifiedSample(df, $"id", $"g", 100).count() == 18)
   }
+
+  test("Scrub.normalize: NFC unifies composed/decomposed, folds case, " +
+      "collapses whitespace") {
+    val decomposed = "Cafe\u0301  DU   MONDE\t\r\n x" // e + combining acute
+    val composed = "café du monde x"
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "  plain ascii  "),
+        (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = Scrub.normalize(rows, $"t").select($"id", $"text_norm")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == composed, out(1L))
+    assert(out(2L) == composed)
+    assert(out(3L) == "plain ascii")
+    assert(out(4L) == null)
+    // interpreted eval agrees with codegen; ASCII fast path is identity
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("abc def")
+    assert(graft.functions.NormalizeUtil.nfc(u) eq u)
+    val d = org.apache.spark.unsafe.types.UTF8String.fromString("e\u0301")
+    assert(graft.functions.NormalizeUtil.nfc(d).toString == "\u00e9")
+    assert(graft.functions.NormalizeUtil.nfc(d).numChars() == 1)
+  }
 }
