@@ -132,6 +132,57 @@ object Sampling {
 
   /** The same nibble-decode bucket as ANSI SQL text (for oracle parity
     * and raw-SQL users): identical formula, identical value. */
+  /** DSIR-style hashed n-gram importance scores (Xie et al., NeurIPS
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): rank raw-corpus documents by how target-domain-like
+    * their hashed n-gram distribution is. Features are word bigrams
+    * hashed into `buckets` cells via the cross-engine md5 bucket
+    * ([[hashBucket]] on the gram string); the target and raw corpora
+    * reduce to bucket count vectors; a document's importance is the sum
+    * over its grams of the add-1-smoothed FIXED-POINT frequency ratio
+    *   floor(scale * (c_target[b] + 1) / (c_raw[b] + buckets))
+    * — a monotone surrogate for the paper's log-likelihood ratio (sum of
+    * ratios, not sum of logs: ln() is not correctly-rounded IEEE and
+    * drifts between engines; the integer form is exact everywhere, so
+    * the whole operator is oracle-checkable). Feed the scores to
+    * [[ppsKeep]] for the resampling step.
+    *
+    * Returns one row per `raw` document: (id, n_grams, imp_score) —
+    * gramless docs score 0. Scale shape: the bucket count vectors are
+    * <= `buckets` rows (broadcast); the gram stream is map-only and the
+    * only corpus-sized shuffles are the bucket-keyed count (map-side
+    * partial, `buckets`-bounded output) and the per-doc score groupBy.
+    * The corpus is read twice (count pass + score pass) — inherent to
+    * the estimator, both passes pipelined column scans. */
+  def importanceScores(raw: DataFrame, target: DataFrame, idCol: String,
+      text: Column, buckets: Int = 256,
+      scale: Long = 1000000L): DataFrame = {
+    require(buckets > 1 && scale > 0, s"buckets=$buckets scale=$scale")
+    def grams(df: DataFrame, cols: Seq[Column]) = df.select(
+      cols :+ explode(graft.functions.ShingleFunctions
+        .word_shingles(text, 2)).as("g"): _*)
+    // coalesce marks the computed bucket non-nullable so the broadcast
+    // equi-joins below can't resurrect a derived null-filter that
+    // re-evaluates the md5 tree (the computed-column pushdown trap)
+    def bucketed(df: DataFrame) =
+      df.withColumn("b", coalesce(hashBucket(col("g"), buckets), lit(-1L)))
+    val rawG = bucketed(grams(raw, Seq(col(idCol))))
+    val cRaw = rawG.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+    val cTgt = bucketed(grams(target, Seq.empty))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val scored = rawG
+      .join(broadcast(cRaw), Seq("b"))
+      .join(broadcast(cTgt), Seq("b"), "left")
+      .withColumn("imp", expr(
+        s"($scale * (coalesce(c_tgt, 0L) + 1L)) div (c_raw + $buckets)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("imp")).as("imp_score"))
+    raw.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("imp_score"), lit(0L)).as("imp_score"))
+  }
+
   def hashBucketSql(idExpr: String, buckets: Int = 100): String = {
     def nibSql(i: Int): String =
       s"CAST(ascii(substring(h,$i,1)) - CASE WHEN ascii(substring(h,$i,1))" +

@@ -88,6 +88,16 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weighting: rank every document by how 'de'-like
+    // its hashed-bigram distribution is (fixed-point smoothed frequency
+    // ratios — fully oracle-exact, see Sampling.importanceScores)
+    "sample_dsir_importance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.importanceScores(docs, docs.filter(col("lang") === "de"),
+          "doc_id", col("text"), buckets = 256)
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus normalization gate: NFC + casefold + whitespace collapse.
     // The fixture is ASCII (NFC = identity there — the unicode paths are
     // spec'd in ScrubSpec with composed/decomposed literals); the gate
@@ -506,6 +516,28 @@ object PrepOps {
     "text_decontaminate" -> decontaminateOracle,
     "quality_repetition" -> repetitionOracle,
     "pii_scrub" -> piiOracle,
+    "sample_dsir_importance" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents),
+         |gr AS (SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+         |  i -> t[i] || ' ' || t[i + 1])) AS g FROM toks),
+         |hx AS (SELECT doc_id, md5(g) AS h FROM gr),
+         |bb AS (SELECT doc_id, ${Sampling.hashBucketSql("g", 256)} AS b
+         |  FROM hx),
+         |craw AS (SELECT b, COUNT(*) AS c_raw FROM bb GROUP BY b),
+         |ctgt AS (SELECT bb.b, COUNT(*) AS c_tgt FROM bb
+         |  JOIN documents d ON bb.doc_id = d.doc_id
+         |  WHERE d.lang = 'de' GROUP BY bb.b),
+         |sc AS (
+         |  SELECT bb.doc_id, COUNT(*) AS n_grams,
+         |    SUM((1000000 * (COALESCE(c_tgt, 0) + 1)) // (c_raw + 256))
+         |      AS s
+         |  FROM bb JOIN craw USING (b) LEFT JOIN ctgt USING (b)
+         |  GROUP BY bb.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(s, 0) AS BIGINT) AS imp_score
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

@@ -261,4 +261,23 @@ class PrepOpsSpec extends SparkSpec {
     assert(graft.functions.NormalizeUtil.nfc(d).toString == "\u00e9")
     assert(graft.functions.NormalizeUtil.nfc(d).numChars() == 1)
   }
+
+  test("importanceScores: target-like docs outrank unrelated; gramless " +
+      "docs score 0; n_grams exact") {
+    val raw = Seq(
+      (1L, "alpha beta alpha beta alpha beta"), // matches target exactly
+      (2L, "gamma delta gamma delta gamma delta"), // disjoint from target
+      (3L, "alpha beta gamma delta"),             // mixed
+      (4L, "solo")).toDF("doc_id", "text")        // no bigrams
+    val target = Seq((9L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val out = Sampling.importanceScores(raw, target, "doc_id", $"text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 5 && byId(2L)._2 == 5 && byId(3L)._2 == 3 &&
+      byId(4L)._2 == 0, out.mkString(","))
+    assert(byId(4L)._3 == 0L)
+    // per-gram importance: the target-matching doc must dominate
+    assert(byId(1L)._3 > byId(2L)._3)
+    assert(byId(1L)._3.toDouble / 5 > byId(3L)._3.toDouble / 3)
+  }
 }
