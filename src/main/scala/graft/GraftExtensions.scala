@@ -111,6 +111,11 @@ object GraftFunctions {
       arity("topk_by", 3)(args =>
         TopKByAgg(args(0), args(1), intLit(args(2), "topk_by"))
           .toAggregateExpression())),
+    (FunctionIdentifier("deflate_len"),
+      info(classOf[DeflateLen], "deflate_len",
+        "deflate_len(text) - DEFLATE-compressed byte count (level 6, " +
+          "raw): the compression-ratio quality signal"),
+      arity("deflate_len", 1)(args => DeflateLen(args(0)))),
     (FunctionIdentifier("range_lookup_idx"),
       info(classOf[RangeLookupIdx], "range_lookup_idx",
         "range_lookup_idx(x, los, his) - binary search sorted " +

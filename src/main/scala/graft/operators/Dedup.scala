@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
@@ -223,6 +224,115 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
         col("n_b"), col("jaccard"))
+  }
+
+  /** Prefix-filtered exact Jaccard pairs — identical output to
+    * [[jaccardPairs]], radically smaller candidate join. The full
+    * inverted-index self-join posts EVERY shingle, so corpus-frequent
+    * shingles ("of the", boilerplate n-grams) each contribute O(df²)
+    * candidate pairs — the term that blows up first at 100 TB. Prefix
+    * filtering (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07 —
+    * all-pairs/PPJoin) posts only each doc's first
+    * n − ⌈tau·n⌉ + 1 shingles under a GLOBAL rarest-first order:
+    * J(A,B) ≥ tau forces |A∩B| ≥ ⌈tau·max(|A|,|B|)⌉, and two sets
+    * with that much overlap must share an element inside both prefixes
+    * (the standard prefix-filter theorem), so no qualifying pair is
+    * lost. Stop-shingles land at the END of the order and mostly fall
+    * outside every prefix — exactly the postings that caused the df²
+    * blow-up.
+    *
+    * Three shuffles instead of one (df aggregate, per-doc rarest-first
+    * rank, candidate join) plus an exact verify join on the surviving
+    * candidates (array_intersect over the full sets) — the right trade
+    * precisely when candidates ≪ all shared-shingle pairs, i.e. at
+    * scale. The length-ratio prune and tau filter are unchanged, so the
+    * output is row-identical to [[jaccardPairs]] (spec-asserted) and
+    * rides the same DuckDB oracle. */
+  def jaccardPairsPrefix(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, tau: Double = 0.5): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    val sets = df.select(id.as("doc_id"),
+        array_distinct(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k))
+          .as("set"))
+      .withColumn("n_sh", size(col("set")))
+    val post = sets.select(col("doc_id"), col("n_sh"),
+      explode(col("set")).as("sh"))
+    val dfreq = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // global total order = (df ASC, sh): rarest shingles first; ties
+    // broken by the hash so the order is total (any consistent total
+    // order preserves the theorem)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = post.join(dfreq, "sh")
+      .withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <=
+        col("n_sh") - ceil(lit(tau) * col("n_sh")).cast("int") + 1)
+      .select(col("doc_id"), col("n_sh"), col("sh"))
+    val a = prefix.as("a"); val b = prefix.as("b")
+    val cand = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n_sh"), col("b.n_sh")) >=
+          greatest(col("a.n_sh"), col("b.n_sh")) * tau)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verified = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("__sa"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("__sb"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+    verified
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+  }
+
+  /** Asymmetric shingle-containment pairs: C(A in B) = |A ∩ B| / |A|.
+    * Catches the subset-duplicate family symmetric Jaccard structurally
+    * misses — a short doc pasted verbatim inside a much longer one has
+    * J = |A|/|B| ≈ 0 but containment ≈ 1 (Broder's original resemblance
+    * vs containment distinction, SEQUENCES '97). Emits each unordered
+    * candidate pair once with BOTH directions' containment plus the
+    * symmetric max; a pair qualifies when either direction >= tau.
+    *
+    * Same inverted-index backbone as [[jaccardPairs]] (map-only postings
+    * over the native shingle-hash expression, self-join only on shared
+    * shingles), with one deliberate difference: the Jaccard length-ratio
+    * prune is UNSOUND here — a 10-shingle doc fully contained in a
+    * 10,000-shingle doc is exactly the pair this operator exists to find,
+    * so size-incompatible pairs must still meet. The exact-preserving
+    * prune that remains: inter <= min(|A|,|B|), so
+    * max-containment >= tau can only hold when n_inter >= tau * min —
+    * applied after the count, it only trims the output. At 100 TB the
+    * blocking story is unchanged from Jaccard (candidates require a
+    * shared shingle); the missing length prune is inherent to the
+    * semantics, not a plan defect. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, tau: Double = 0.8): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    val postings = df.select(id.as("doc_id"),
+        array_distinct(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k))
+          .as("set"))
+      .select(col("doc_id"), size(col("set")).as("n_sh"),
+        explode(col("set")).as("sh"))
+    val a = postings.as("a"); val b = postings.as("b")
+    a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("cont_a_in_b", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_b_in_a", col("n_inter").cast("double") / col("n_b"))
+      .withColumn("containment", greatest(col("cont_a_in_b"),
+        col("cont_b_in_a")))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("cont_a_in_b"), col("cont_b_in_a"),
+        col("containment"))
   }
 
   /** Connected components over a near-duplicate pair graph — the final

@@ -89,6 +89,24 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Exact-k global uniform sample without replacement — the distributed
+    * stand-in for reservoir sampling, chosen by the deterministic md5
+    * order of the id (same draw protocol as [[capPerGroup]], applied
+    * globally). Where [[weightedKeep]]/[[ppsKeep]] hit a TARGET COUNT
+    * only in expectation, this returns exactly min(k, n) rows, stable
+    * across runs/engines/partitionings.
+    *
+    * The plan is the point: orderBy(...).limit(k) compiles to
+    * TakeOrderedAndProject — each partition keeps a local k-row
+    * bounded heap and only those k-row heaps reach the driver-side
+    * merge. No global sort, no full shuffle, O(partitions * k) moved:
+    * the same cost profile as a per-partition reservoir + merge, but
+    * deterministic and oracle-checkable (`ORDER BY md5(id) LIMIT k`). */
+  def reservoirK(df: DataFrame, id: Column, k: Int): DataFrame = {
+    require(k > 0, s"reservoirK needs k > 0: $k")
+    df.orderBy(md5(id.cast("string")), id).limit(k)
+  }
+
   /** Proportional stratified sample: keep exactly ceil(n_g * pct / 100)
     * rows of every group g — the "same fraction of every stratum"
     * guarantee that [[weightedKeep]]'s per-row hash test only hits in

@@ -64,4 +64,34 @@ object Scrub {
       trim(regexp_replace(
         lower(graft.functions.NormalizeFunctions.nfc_normalize(text)),
         "[ \\t\\r\\n\\f]+", " ")))
+
+  /** HTML/markup stripping — the web-corpus extraction stage (the
+    * heuristic core of trafilatura/jusText-style extractors, minus their
+    * DOM scoring): drop script/style payloads WITH their content, drop
+    * comments, drop remaining tags, decode the five predefined XML
+    * entities plus nbsp, collapse whitespace. Pure codegen'd
+    * regexp_replace/replace chain — map-only at any scale — and every
+    * pattern stays in the Java-regex ∩ RE2 portable subset ((?is) inline
+    * flags, non-greedy `.*?`, no lookaround), so the operator is
+    * oracle-checkable against an RE2 engine verbatim.
+    *
+    * Order is load-bearing: script/style first (their BODIES must go —
+    * tag-stripping alone would leak JS/CSS text into the corpus), then
+    * comments, then tags; `&amp;` decodes LAST so `&amp;lt;` yields the
+    * literal `&lt;` rather than double-decoding to `<`. */
+  def stripMarkup(df: DataFrame, text: Column,
+      outCol: String = "text_plain"): DataFrame = {
+    val noScript = regexp_replace(text,
+      "(?is)(<script[^>]*>.*?</script>)|(<style[^>]*>.*?</style>)", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&amp;", "&"))
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        replace(c, lit(ent), lit(ch))
+      }
+    df.withColumn(outCol,
+      trim(regexp_replace(decoded, "[ \\t\\r\\n\\f]+", " ")))
+  }
 }

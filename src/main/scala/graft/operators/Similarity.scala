@@ -113,6 +113,47 @@ object Similarity {
         col("e.id").as("neighbor_id"), col("e.score").cast("long").as("ip"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the highest-value negatives for triplet/InfoNCE objectives
+    * (the easy negatives a random sampler draws are already separated;
+    * the near-boundary ones here carry the gradient). Scoring is the
+    * exact quantized-integer cosine ([[quantize]]), so results are
+    * bit-identical across engines and fully oracle-checkable.
+    *
+    * Plan shape matches [[bruteForceTopK]]: queries broadcast, label
+    * inequality rides the SAME broadcast join (a per-pair predicate, not
+    * a pre-filter — each query excludes only its own class), one dot per
+    * surviving pair, bounded-heap top-k. At scale the label check prunes
+    * pairs before the dot product evaluates (cheap int comparison guards
+    * the expensive vector expression in the join condition order). */
+  def hardNegativesTopK(queries: DataFrame, corpus: DataFrame, k: Int)
+      : DataFrame = {
+    def prep(df: DataFrame, idAs: String, vAs: String, nAs: String,
+        lAs: String) =
+      df.select(col("vec_id").as(idAs), col("label").as(lAs),
+          quantize(col("embedding")).as(vAs))
+        .withColumn(nAs, sqrt(dotLong(col(vAs), col(vAs)).cast("double")))
+    val q = prep(queries, "query_id", "q_v", "q_n", "q_label")
+    val c = prep(corpus, "neighbor_id", "c_v", "c_n", "c_label")
+    val scored = c.join(broadcast(q),
+        col("q_label") =!= col("c_label") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        dotLong(col("q_v"), col("c_v")).cast("double") /
+          (col("q_n") * col("c_n")))
+    // re-attach the negative's label by broadcasting the TINY top-k
+    // result (|queries| * k rows) back over a map-only corpus scan — the
+    // heap aggregate carries (score, id) only, and shuffling the corpus
+    // to decorate nq*k rows would invert the size relationship
+    val top = heapTopK(scored, k)
+    corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"))
+      .join(broadcast(top), Seq("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neg_label"), col("cos_sim"))
+  }
+
   /** Final per-query top-k over a scored candidate set, via the native
     * bounded-heap aggregate (graft.functions.TopKByAgg) instead of a
     * rank window: the window form shuffles EVERY scored candidate row to

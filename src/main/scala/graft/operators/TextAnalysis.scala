@@ -244,6 +244,80 @@ object TextAnalysis {
     * explode -> groupBy(doc, gram) -> groupBy(doc) pipeline per n, both
     * shuffles keyed on the doc id with map-side partial aggregation —
     * no corpus-wide state, unlike the corpus-frequency operators. */
+  /** Unicode-script profile per document — the writing-system complement
+    * to the stopword [[langId]] (which only separates languages SHARING
+    * a script): per-script character counts, ratios, and the dominant
+    * script. Multilingual pipeline uses: route CJK/Arabic docs to
+    * script-specific tokenizers, drop mixed-script spam (Latin text
+    * stuffed with Cyrillic look-alikes), partition a crawl by writing
+    * system before per-language processing.
+    *
+    * Counts are `regexp_count` over explicit CODEPOINT-RANGE classes
+    * (`[\x{4E00}-\x{9FFF}]` etc.) rather than `\p{script=...}`:
+    * codepoint ranges mean the same thing in every regex engine and
+    * every Unicode version, so the operator is oracle-checkable
+    * verbatim, while named script classes drift with each engine's
+    * Unicode tables. Map-only codegen'd column math, no shuffle. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}]")
+
+  def scriptProfile(df: DataFrame, idCol: String, text: Column)
+      : DataFrame = {
+    val counted = ScriptRanges.foldLeft(df.select(col(idCol),
+        text.as("__t"))) { case (d, (name, pat)) =>
+      d.withColumn(s"n_$name", regexp_count(col("__t"), lit(pat))
+        .cast("long"))
+    }
+    val total = ScriptRanges.map { case (n, _) => col(s"n_$n") }
+      .reduce(_ + _)
+    val withTotal = counted.withColumn("n_scripted", total)
+    // dominant script: max count, ties to the declaration order above —
+    // a deterministic argmax CASE chain both engines evaluate identically
+    val best = greatest(ScriptRanges.map { case (n, _) => col(s"n_$n") }: _*)
+    val dominant = when(col("n_scripted") === 0, lit("none"))
+      .otherwise(ScriptRanges.reverse.foldLeft(lit(null)
+        .cast("string")) { case (acc, (name, _)) =>
+        when(col(s"n_$name") === best, lit(name)).otherwise(acc)
+      })
+    withTotal
+      .withColumn("dominant_script", dominant)
+      .withColumn("dominant_ratio",
+        when(col("n_scripted") > 0,
+          greatest(ScriptRanges.map { case (n, _) =>
+            col(s"n_$n") }: _*).cast("double") / col("n_scripted")))
+      .drop("__t")
+  }
+
+  /** Compression-ratio quality signal: `deflate_len(text) / bytes` —
+    * the practical Kolmogorov-complexity estimate RefinedWeb-family
+    * pipelines threshold on (template spam, keyword stuffing, and
+    * machine-generated boilerplate compress far better than prose; the
+    * shingle-based [[repetitionStats]] catches verbatim n-gram repeats,
+    * this catches the LONG-RANGE and structural redundancy n-grams
+    * miss). One native codegen'd expression per row — map-only at any
+    * scale. No SQL engine can reproduce DEFLATE, so queries over this
+    * are gated rows-only; the signal's semantics are pinned in
+    * QualitySpec. Docs below `minRatio` fail (empty docs pass — length
+    * filtering is a different rule's job). */
+  def compressionStats(df: DataFrame, idCol: String, text: Column,
+      minRatio: Double = 0.35): DataFrame =
+    df.select(col(idCol), text.as("__t"))
+      .withColumn("n_bytes", octet_length(col("__t")))
+      .withColumn("n_deflate",
+        graft.functions.CompressFunctions.deflate_len(col("__t")))
+      .withColumn("compress_ratio",
+        when(col("n_bytes") > 0,
+          col("n_deflate").cast("double") / col("n_bytes")))
+      .withColumn("passes_compression",
+        coalesce(col("compress_ratio") >= minRatio, lit(true)))
+      .drop("__t")
+
   def repetitionStats(df: DataFrame, idCol: String, text: Column)
       : DataFrame = {
     def statsFor(n: Int): DataFrame = {

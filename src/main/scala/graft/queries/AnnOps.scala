@@ -57,6 +57,17 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // hard-negative mining: per query, nearest neighbors with a
+    // DIFFERENT label (contrastive-training negatives) — exact quantized
+    // scoring, fully oracle-checked; the label inequality is a per-pair
+    // join predicate, not a pre-filter
+    "ann_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegativesTopK(
+          emb.filter(col("vec_id") < NQueries), emb, TopK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // exact MIPS gate: top-k by INNER PRODUCT (not cosine) — int64 dots
     // of 1e4-quantized vectors, bit-exact cross-engine
     "ann_mips_topk" -> ((s, d) => {
@@ -239,6 +250,19 @@ object AnnOps {
          |    ORDER BY cos_sim DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_hard_negatives" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    c.label AS neg_label, ${duckCosExact("q", "c")} AS cos_sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < $NQueries AND q.label != c.label),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, neg_label, cos_sim FROM ranked
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
 
     "ann_filtered_topk" ->

@@ -30,6 +30,41 @@ object PrepOps {
   val SpanTokens = 3
   val SpanMinDocs = 5
 
+  /** Planted non-Latin suffixes for the script-profile gate, keyed by
+    * doc_id % 4 — exercises the cyrillic/cjk/greek/arabic count branches
+    * and the argmax tie order on an otherwise-ASCII fixture. Shared
+    * verbatim with the DuckDB oracle (UTF-8 literals both sides). */
+  val ScriptMarkers: Seq[String] = Seq(
+    "привет мир", "你好 世界", "γεια σου κόσμε", "مرحبا بالعالم")
+
+  // oracle generated from the SAME range/order tables the operator uses
+  // (TextAnalysis.ScriptRanges, ScriptMarkers) — pattern text and argmax
+  // order cannot drift between engine and oracle
+  private lazy val scriptProfileOracle = {
+    val m = ScriptMarkers
+    val ranges = TextAnalysis.ScriptRanges
+    val counts = ranges.map { case (n, p) =>
+      s"CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_$n"
+    }.mkString(",\n  ")
+    val total = ranges.map { case (n, _) => s"n_$n" }.mkString(" + ")
+    val g = s"GREATEST(${ranges.map { case (n, _) => s"n_$n" }.mkString(", ")})"
+    val argmax = ranges.map { case (n, _) =>
+      s"WHEN n_$n = $g THEN '$n'"
+    }.mkString(" ")
+    s"""WITH t2 AS (
+       |  SELECT doc_id, text || ' ' || CASE CAST(doc_id % 4 AS INT)
+       |    WHEN 0 THEN '${m(0)}' WHEN 1 THEN '${m(1)}'
+       |    WHEN 2 THEN '${m(2)}' ELSE '${m(3)}' END AS t
+       |  FROM documents),
+       |c AS (SELECT doc_id, $counts FROM t2)
+       |SELECT doc_id, ${ranges.map { case (n, _) => s"n_$n" }.mkString(", ")},
+       |  CAST($total AS BIGINT) AS n_scripted,
+       |  CASE WHEN $total = 0 THEN 'none' $argmax END AS dominant_script,
+       |  CASE WHEN $total > 0
+       |    THEN CAST($g AS DOUBLE) / ($total) END AS dominant_ratio
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** Mixture rates by source; unlisted sources keep `MixDefault`%. */
   val MixRates: Seq[(String, Int)] =
     Seq("src0" -> 100, "src1" -> 80, "src2" -> 50, "src3" -> 20,
@@ -56,6 +91,34 @@ object PrepOps {
           DecontamK)
         .select(col("__id").as("doc_id"), col("n_overlap"),
           col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode-script profile: per-script char counts over portable
+    // codepoint-range classes + deterministic dominant-script argmax.
+    // The fixture text plus a per-doc planted non-Latin suffix keyed by
+    // doc_id exercises every branch of the argmax cross-engine.
+    "text_script_profile" -> ((s, d) => {
+      val planted = concat(col("text"), lit(" "),
+        element_at(typedlit(ScriptMarkers), (col("doc_id") % 4 + 1).cast("int")))
+      TextAnalysis.scriptProfile(
+          Tables.documents(s, d).withColumn("text", planted),
+          "doc_id", col("text"))
+        .select(col("doc_id"), col("n_latin"), col("n_greek"),
+          col("n_cyrillic"), col("n_arabic"), col("n_devanagari"),
+          col("n_cjk"), col("n_hangul"), col("n_scripted"),
+          col("dominant_script"), col("dominant_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // compression-ratio quality signal (DEFLATE bytes / raw bytes):
+    // rows-only — no SQL engine reproduces DEFLATE; semantics pinned in
+    // QualitySpec (repetitive << prose, monotone under repetition)
+    "quality_compress_ratio" -> ((s, d) => {
+      TextAnalysis.compressionStats(Tables.documents(s, d), "doc_id",
+          col("text"))
+        .select(col("doc_id"), col("n_bytes"), col("n_deflate"),
+          col("compress_ratio"), col("passes_compression"))
         .orderBy(col("doc_id"))
     }),
 
@@ -110,6 +173,23 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // web-corpus markup stripping: the fixture text is wrapped in a
+    // deterministic HTML shell (tags + comment + script + entities) and
+    // the operator must recover exactly "Title <text> & more" — script
+    // bodies dropped, entities decoded, whitespace collapsed
+    "text_strip_markup" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head>" +
+          "<body>\n<h1>Title</h1>\n<p class=\"x\">"),
+        col("text"),
+        lit(" &amp; more</p><!-- boilerplate -->" +
+          "<script>var x = 1 < 2;</script></body></html>"))
+      Scrub.stripMarkup(Tables.documents(s, d), html)
+        .select(col("doc_id"), col("text_plain"),
+          length(col("text_plain")).cast("long").as("n_chars_plain"))
+        .orderBy(col("doc_id"))
+    }),
+
     // weighted mixture sampling: per-source deterministic keep rates
     "mix_weighted_sample" -> ((s, d) => {
       Sampling.weightedKeep(Tables.documents(s, d), col("doc_id"),
@@ -119,6 +199,15 @@ object PrepOps {
           count(lit(1)).as("n_total"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy(col("source"))
+    }),
+
+    // exact-k global uniform sample (distributed reservoir analogue):
+    // md5-order TakeOrderedAndProject — only partition-local k-heaps
+    // move, no global sort; the kept id set oracle-checks exactly
+    "sample_reservoir_k" -> ((s, d) => {
+      Sampling.reservoirK(Tables.documents(s, d), col("doc_id"), k = 100)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     // per-source cap: at most 8 docs per source, md5-rank selected —
@@ -441,6 +530,11 @@ object PrepOps {
       """SELECT term, COUNT(*) AS cnt FROM (
         |  SELECT UNNEST(string_split(text,' ')) AS term FROM documents)
         |GROUP BY term ORDER BY cnt DESC, term""".stripMargin,
+    "sample_reservoir_k" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
     "sample_cap_per_source" ->
       """WITH r AS (SELECT doc_id, source,
         |    ROW_NUMBER() OVER (PARTITION BY source
@@ -547,6 +641,30 @@ object PrepOps {
         |    lower(nfc_normalize('  MIXED Case' || chr(9) || text || '  ')),
         |    '[ \t\r\n\f]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_script_profile" -> scriptProfileOracle,
+    "text_strip_markup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style></head><body>'
+        |    || chr(10) || '<h1>Title</h1>' || chr(10) || '<p class="x">'
+        |    || text ||
+        |    ' &amp; more</p><!-- boilerplate --><script>var x = 1 < 2;</script></body></html>'
+        |    AS html FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)(<script[^>]*>.*?</script>)|(<style[^>]*>.*?</style>)',
+        |  ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+        |  replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g')) AS text_plain,
+        |  CAST(length(trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g')))
+        |    AS BIGINT) AS n_chars_plain
+        |FROM s4 ORDER BY doc_id""".stripMargin,
     "mix_weighted_sample" -> mixOracle,
     "dedup_spans_corpus" -> spansOracle,
     "embed_quantize" -> quantizeOracle

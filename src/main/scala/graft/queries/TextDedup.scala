@@ -65,6 +65,24 @@ object TextDedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // prefix-filtered exact Jaccard (PPJoin-style): row-identical to
+    // dedup_ngram_jaccard — same oracle — but only rarest-prefix
+    // postings enter the candidate join (the 100 TB form of the
+    // set-similarity self-join)
+    "dedup_jaccard_prefix" -> ((s, d) => {
+      Dedup.jaccardPairsPrefix(Tables.documents(s, d), col("doc_id"),
+          col("text"), k = 3, tau = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // asymmetric containment |A∩B|/|A| — the subset-duplicate detector
+    // (short doc pasted inside a long one scores ~1 here, ~0 on Jaccard)
+    "dedup_containment" -> ((s, d) => {
+      Dedup.containmentPairs(Tables.documents(s, d), col("doc_id"),
+          col("text"), k = 3, tau = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // near-dup clustering: connected components over the exact-Jaccard
     // pair graph — every doc mapped to its cluster's canonical (min) id.
     // DuckDB checks it with a recursive-CTE transitive closure.
@@ -413,6 +431,25 @@ object TextDedup {
     })
   )
 
+  // shared by dedup_ngram_jaccard and dedup_jaccard_prefix (prefix
+  // filtering changes the plan, never the output)
+  private lazy val jaccardOracle =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, UNNEST($duckShingles) AS shingle
+       |  FROM documents),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter, ca.n AS n_a, cb.n AS n_b,
+       |  CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+       |FROM pairs
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // DuckDB-side shingle expression: word 3-grams from 1-based list math,
   // empty for docs with < 3 tokens (mirrors TextAnalysis.shingles).
   private val duckShingles =
@@ -658,7 +695,11 @@ object TextDedup {
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    // prefix filtering is output-invariant: same oracle verbatim
+    "dedup_jaccard_prefix" -> jaccardOracle,
+
+    "dedup_containment" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, UNNEST($duckShingles) AS shingle
          |  FROM documents),
@@ -668,11 +709,15 @@ object TextDedup {
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_inter, ca.n AS n_a, cb.n AS n_b,
-         |  CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+         |  CAST(n_inter AS DOUBLE) / ca.n AS cont_a_in_b,
+         |  CAST(n_inter AS DOUBLE) / cb.n AS cont_b_in_a,
+         |  GREATEST(CAST(n_inter AS DOUBLE) / ca.n,
+         |           CAST(n_inter AS DOUBLE) / cb.n) AS containment
          |FROM pairs
          |JOIN cnt ca ON doc_a = ca.doc_id
          |JOIN cnt cb ON doc_b = cb.doc_id
-         |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
+         |WHERE GREATEST(CAST(n_inter AS DOUBLE) / ca.n,
+         |               CAST(n_inter AS DOUBLE) / cb.n) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_near_clusters" ->

@@ -51,6 +51,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered Jaccard: row-identical to the full-index join, " +
+      "including planted near-dups") {
+    // plant near-dups so the equality isn't vacuous: word-level
+    // perturbed copies land at J ~ 0.7-0.9
+    val perturbed = docs.select($"doc_id" + 500000, // still > any real id
+        regexp_replace($"text", "^(\\S+) ", "$1x "))
+      .toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionByName(perturbed)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5))
+    val full = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"),
+      k = 3, tau = 0.5).collect().map(key).sortBy(p => (p._1, p._2))
+    val pref = Dedup.jaccardPairsPrefix(corpus, col("doc_id"), col("text"),
+      k = 3, tau = 0.5).collect().map(key).sortBy(p => (p._1, p._2))
+    assert(full.nonEmpty, "fixture produced no near-dup pairs")
+    assert(pref.toSeq == full.toSeq)
+  }
+
+  test("containment finds a planted subset-dup that Jaccard misses") {
+    // short doc = an exact 12-word excerpt of a much longer doc: every
+    // shingle of the excerpt appears in the host, so containment = 1.0
+    // while Jaccard ~ |A|/|B| is far below any useful tau
+    val long = docs.orderBy(desc("n_chars")).select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    val excerpt = long._2.split(" ").slice(3, 15).mkString(" ")
+    val planted = Seq((900001L, excerpt)).toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+
+    val cont = Dedup.containmentPairs(corpus, col("doc_id"), col("text"),
+        k = 3, tau = 0.9)
+      .filter($"doc_a" === long._1 && $"doc_b" === 900001L)
+      .collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getAs[Double]("cont_b_in_a") == 1.0) // excerpt fully contained
+    assert(r.getAs[Double]("containment") == 1.0)
+    // symmetric Jaccard on the same pair is below the dedup threshold
+    val jac = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"),
+        k = 3, tau = 0.0001)
+      .filter($"doc_a" === long._1 && $"doc_b" === 900001L)
+      .select($"jaccard").as[Double].collect()
+    assert(jac.headOption.forall(_ < 0.5))
+  }
+
   test("simhash: identical docs distance 0; pairs verified <= maxDist") {
     // identical text => identical simhash
     val dup = docs.select(($"doc_id" + 100000).as("doc_id"), $"text")

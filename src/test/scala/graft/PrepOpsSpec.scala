@@ -148,6 +148,69 @@ class PrepOpsSpec extends SparkSpec {
     assert(small.count() == 2)
   }
 
+  test("scriptProfile: counts per range, dominant argmax with " +
+      "declaration-order ties, none for unscripted") {
+    val df = Seq(
+      (1L, "hello world"),                       // pure latin
+      (2L, "привет мир hello"),                  // cyrillic-dominant
+      (3L, "你好世界"),                           // cjk only
+      (4L, "ab гд"),                             // 2-2 tie -> latin first
+      (5L, "12345 !!!"),                         // no scripted chars
+      (6L, "مرحبا γεια")).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def dom(id: Long) = out(id).getAs[String]("dominant_script")
+    assert(dom(1L) == "latin" && out(1L).getAs[Long]("n_latin") == 10)
+    assert(dom(2L) == "cyrillic")
+    assert(dom(3L) == "cjk" && out(3L).getAs[Long]("n_cjk") == 4)
+    assert(dom(4L) == "latin") // tie broken by declaration order
+    assert(dom(5L) == "none" &&
+      out(5L).isNullAt(out(5L).fieldIndex("dominant_ratio")))
+    assert(out(6L).getAs[Long]("n_arabic") == 5 &&
+      out(6L).getAs[Long]("n_greek") == 4)
+    assert(out(2L).getAs[Double]("dominant_ratio") == 9.0 / 14)
+  }
+
+  test("stripMarkup: script bodies gone, entities decode once, " +
+      "whitespace collapses") {
+    val df = Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "<script>var hidden = 1;</script>visible<style>p{}</style>"),
+      (3L, "a &amp;lt; b and 1 &lt; 2 &amp; 3 &gt; 2"),
+      (4L, "<!-- secret -->shown<br/>next\n\n\tline"),
+      (5L, "no markup at all")).toDF("id", "t")
+    val out = Scrub.stripMarkup(df, $"t")
+      .select($"id", $"text_plain").as[(Long, String)].collect()
+      .sortBy(_._1).map(_._2)
+    assert(out(0) == "Hello world")
+    assert(out(1) == "visible") // script/style BODIES removed, not leaked
+    // &amp;lt; decodes to the literal "&lt;" (no double decode), while
+    // plain &lt;/&gt;/&amp; decode to < > &
+    assert(out(2) == "a &lt; b and 1 < 2 & 3 > 2")
+    assert(out(3) == "shown next line")
+    assert(out(4) == "no markup at all")
+  }
+
+  test("reservoirK: exactly k, deterministic, TakeOrdered plan, " +
+      "uniform-ish across a keyspace") {
+    val df = (1L to 10000L).toDF("id")
+    val kept = Sampling.reservoirK(df, $"id", k = 500)
+    val ids = kept.select($"id").as[Long].collect()
+    assert(ids.length == 500 && ids.distinct.length == 500)
+    // layout-independent draw
+    val again = Sampling.reservoirK(df.repartition(13), $"id", 500)
+      .select($"id").as[Long].collect()
+    assert(ids.sorted.toSeq == again.sorted.toSeq)
+    // no global sort: partition-local heaps + driver merge
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    // md5 order is uniform over the id range: each half gets 40-60%
+    val low = ids.count(_ <= 5000L)
+    assert(low > 200 && low < 300, s"skewed draw: $low/500 in low half")
+    // k > n keeps everything
+    assert(Sampling.reservoirK(df.limit(10), $"id", 500).count() == 10)
+  }
+
   test("corpusFrequencyStats: hand-computed corpus counts") {
     val df = Seq(
       (1L, "apple banana apple"),

@@ -63,6 +63,40 @@ class QualitySpec extends SparkSpec {
       Quality.violations(df, Seq(Unique(Seq("id")))))
   }
 
+  test("compressionStats: repetitive text compresses far better than " +
+      "prose; ratio monotone; empty/null-safe") {
+    val prose = "the quick brown fox jumps over a lazy dog while " +
+      "seventeen violet zeppelins drift across the quiet harbor at dusk"
+    val docs = Seq(
+      (1L, "spam " * 400),                // pure repetition
+      (2L, prose * 4),                    // natural-ish prose
+      (3L, (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")),
+      (4L, ""),                           // empty: passes, null ratio
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .compressionStats(docs, "doc_id", col("text"), minRatio = 0.2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def ratio(id: Long) = out(id).getAs[Double]("compress_ratio")
+    assert(ratio(1L) < 0.05, s"repetition should crush: ${ratio(1L)}")
+    assert(ratio(3L) > ratio(2L), "distinct tokens compress worse")
+    assert(ratio(1L) < ratio(2L))
+    assert(!out(1L).getAs[Boolean]("passes_compression"))
+    assert(out(3L).getAs[Boolean]("passes_compression"))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("compress_ratio")))
+    assert(out(4L).getAs[Boolean]("passes_compression"))
+    assert(out(5L).getAs[Boolean]("passes_compression"))
+    // SQL surface + codegen/eval parity for the native expression
+    graft.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("cmp_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, deflate_len(text) AS d FROM cmp_docs WHERE " +
+        "text IS NOT NULL").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql(1L) == out(1L).getAs[Int]("n_deflate"))
+    assert(viaSql(2L) == out(2L).getAs[Int]("n_deflate"))
+  }
+
   test("iqrOutliers: Tukey fences per group, nulls never flagged") {
     // group a: 1..9 + outlier 100 (+ a null, ignored by the quartiles and
     // never flagged). Sorted [1..9,100]: q1 interpolates at 2.25 -> 3.25,

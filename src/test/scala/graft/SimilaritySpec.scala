@@ -29,6 +29,39 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(one - 1.0) < 1e-12)
   }
 
+  test("hard negatives: no same-label neighbor, exactly the best " +
+      "different-label scores") {
+    val q = emb.filter($"vec_id" < 5)
+    val out = Similarity.hardNegativesTopK(q, emb, k = 10)
+    // every mined negative has a different label than its query
+    val labels = emb.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    val rows = out.select($"query_id", $"rank", $"neighbor_id", $"neg_label",
+      $"cos_sim").as[(Long, Int, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, _, nid, nl, _) =>
+      assert(labels(nid) == nl)
+      assert(labels(qid) != nl, s"same-label negative $nid for query $qid")
+    }
+    // the mined set IS the exact top-k of the label-excluded brute force:
+    // per query, the worst mined score >= the best unmined different-label
+    // score (checked against the unfiltered exact ranking)
+    val all = Similarity.bruteForceTopK(q, emb, emb.count().toInt,
+        exact = true)
+      .select($"query_id", $"neighbor_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val mined = rows.groupBy(_._1)
+    for ((qid, ms) <- mined) {
+      val minedIds = ms.map(_._3).toSet
+      val bestUnmined = all.filter { case (q2, n, _) =>
+        q2 == qid && labels(n) != labels(qid) && !minedIds.contains(n) }
+        .map(_._3).maxOption.getOrElse(Double.NegativeInfinity)
+      val worstMined = ms.map(_._5).min
+      assert(worstMined >= bestUnmined,
+        s"query $qid missed a harder negative: $bestUnmined > $worstMined")
+    }
+  }
+
   test("LSH finds planted near-duplicates (recall >= 0.8)") {
     // random embeddings have no near neighbors (8-bit bucket collision
     // ~1% per table), so recall is measured on planted near-dups:
