@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Decontaminate, Dedup, Sampling, Scrub, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Decontaminate, Dedup, Sampling, Scrub, TextAnalysis, Urls}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data preparation query surface, round 4: benchmark
@@ -36,6 +36,90 @@ object PrepOps {
     * verbatim with the DuckDB oracle (UTF-8 literals both sides). */
   val ScriptMarkers: Seq[String] = Seq(
     "привет мир", "你好 世界", "γεια σου κόσμε", "مرحبا بالعالم")
+
+  /** Deterministic raw-URL synthesis for the web_url_* gates: residues
+    * of doc_id pick case/www/port/tracking/fragment variants so
+    * canonicalization has real work on every branch, and the even/odd
+    * host suffix splits registered domains between a co.uk-style
+    * 3-label suffix and a plain 2-label one. Mirrored verbatim in
+    * [[urlSqlExpr]]. */
+  private def urlExpr: Column = {
+    val g5 = col("doc_id") % 5
+    val g3 = col("doc_id") % 3
+    val prefix = when(g5 === 0, lit("HTTP://WWW."))
+      .when(g5 === 1, lit("https://www."))
+      .when(g5 === 2, lit("https://"))
+      .when(g5 === 3, lit("HTTPS://News."))
+      .otherwise(lit("http://"))
+    val hostSuffix = when(col("doc_id") % 2 === 0, lit(".Example.co.uk"))
+      .otherwise(lit(".org"))
+    val port = when(g5 === 0, lit(":80")).when(g5 === 1, lit(":443"))
+      .when(g5 === 3, lit(":8080")).otherwise(lit(""))
+    val path = when(g3 === 0, concat(lit("/a/"),
+        (col("doc_id") % 10).cast("string"),
+        lit("?utm_source=x&id="), (col("doc_id") % 7).cast("string"),
+        lit("&utm_campaign=z#frag")))
+      .when(g3 === 1, concat(lit("?fbclid="),
+        (col("doc_id") % 2).cast("string")))
+      .otherwise(lit("/"))
+    concat(prefix, col("source"), hostSuffix, port, path)
+  }
+
+  /** DuckDB twin of [[urlExpr]]. */
+  private val urlSqlExpr: String =
+    """(CASE CAST(doc_id % 5 AS INT)
+      |   WHEN 0 THEN 'HTTP://WWW.' WHEN 1 THEN 'https://www.'
+      |   WHEN 2 THEN 'https://' WHEN 3 THEN 'HTTPS://News.'
+      |   ELSE 'http://' END
+      | || source
+      | || CASE WHEN doc_id % 2 = 0 THEN '.Example.co.uk' ELSE '.org' END
+      | || CASE CAST(doc_id % 5 AS INT)
+      |   WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 3 THEN ':8080'
+      |   ELSE '' END
+      | || CASE CAST(doc_id % 3 AS INT)
+      |   WHEN 0 THEN '/a/' || CAST(doc_id % 10 AS VARCHAR)
+      |     || '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+      |     || '&utm_campaign=z#frag'
+      |   WHEN 1 THEN '?fbclid=' || CAST(doc_id % 2 AS VARCHAR)
+      |   ELSE '/' END)""".stripMargin
+
+  /** Shared CTE chain mirroring Urls.canonicalize / host /
+    * registeredDomain over the synthesized `url` (ends with relation
+    * `dom(doc_id, url, url_canon, domain)`). */
+  private val urlCtes: String =
+    // the inner expression flattens to ONE line before interpolation:
+    // its '||' continuation lines would otherwise be re-stripped as
+    // margins by the outer stripMargin
+    s"""WITH u AS (SELECT doc_id, ${urlSqlExpr.linesIterator.mkString(" ")} AS url FROM documents),
+       |p AS (SELECT doc_id, url,
+       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$$', 1)) AS sch,
+       |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+).*$$', 1)) AS hostport,
+       |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$$', 1) AS rest0
+       | FROM u),
+       |q AS (SELECT doc_id, url, sch,
+       |  regexp_replace(CASE WHEN sch = 'http'
+       |      THEN regexp_replace(hostport, ':80$$', '')
+       |    WHEN sch = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |    ELSE hostport END, '^www\\.', '') AS h,
+       |  regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''),
+       |    '^www\\.', '') AS hostonly,
+       |  regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(rest0, '#.*$$', ''),
+       |    '(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+       |    '\\?&', '?', 'g'), '[?&]+$$', '') AS rest2
+       | FROM p),
+       |c AS (SELECT doc_id, url, hostonly,
+       |  sch || '://' || h ||
+       |    CASE WHEN rest2 = '' THEN '/' ELSE rest2 END AS url_canon,
+       |  string_split(hostonly, '.') AS ls FROM q),
+       |dom AS (SELECT doc_id, url, url_canon,
+       |  CASE WHEN len(ls) <= 1 OR regexp_matches(hostonly, '^[0-9.]+$$')
+       |      THEN hostonly
+       |    WHEN len(ls) >= 3 AND ls[-2] IN (${Urls.SecondLevelSuffixes
+                .map("'" + _ + "'").mkString(",")})
+       |      THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+       |    ELSE ls[-2] || '.' || ls[-1] END AS domain
+       | FROM c)""".stripMargin
 
   // oracle generated from the SAME range/order tables the operator uses
   // (TextAnalysis.ScriptRanges, ScriptMarkers) — pattern text and argmax
@@ -91,6 +175,35 @@ object PrepOps {
           DecontamK)
         .select(col("__id").as("doc_id"), col("n_overlap"),
           col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization: the fixture has no URL column, so each doc
+    // derives a deterministic raw URL (case/port/www/tracking/fragment
+    // variants keyed by doc_id residues — both engines build the same
+    // string) and the operator must collapse the variants
+    "web_url_canonicalize" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("url", urlExpr)
+        .select(col("doc_id"), col("url"),
+          Urls.canonicalize(col("url")).as("url_canon"),
+          Urls.registeredDomain(Urls.host(col("url"))).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the crawl-dedup composition: collapse to one doc per CANONICAL
+    // url (min doc_id — different raw spellings of one resource merge),
+    // then cap every registered domain at 5 docs so no site dominates
+    "web_url_dedup_cap" -> ((s, d) => {
+      val canon = Tables.documents(s, d)
+        .withColumn("url", urlExpr)
+        .select(col("doc_id"),
+          Urls.canonicalize(col("url")).as("url_canon"),
+          Urls.registeredDomain(Urls.host(col("url"))).as("domain"))
+      val kept = canon.groupBy(col("url_canon"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("domain")).as("domain"))
+      Sampling.capPerGroup(kept, col("doc_id"), col("domain"), k = 5)
+        .select(col("doc_id"), col("url_canon"), col("domain"))
         .orderBy(col("doc_id"))
     }),
 
@@ -641,6 +754,21 @@ object PrepOps {
         |    lower(nfc_normalize('  MIXED Case' || chr(9) || text || '  ')),
         |    '[ \t\r\n\f]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "web_url_canonicalize" ->
+      s"""$urlCtes
+         |SELECT doc_id, url, url_canon, domain FROM dom
+         |ORDER BY doc_id""".stripMargin,
+    "web_url_dedup_cap" ->
+      s"""$urlCtes,
+         |kept AS (SELECT url_canon, MIN(doc_id) AS doc_id,
+         |    MIN(domain) AS domain
+         |  FROM dom GROUP BY url_canon),
+         |r AS (SELECT doc_id, url_canon, domain,
+         |    ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM kept)
+         |SELECT doc_id, url_canon, domain FROM r WHERE rk <= 5
+         |ORDER BY doc_id""".stripMargin,
     "text_script_profile" -> scriptProfileOracle,
     "text_strip_markup" ->
       """WITH h AS (

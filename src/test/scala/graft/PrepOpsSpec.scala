@@ -148,6 +148,35 @@ class PrepOpsSpec extends SparkSpec {
     assert(small.count() == 2)
   }
 
+  test("Urls: canonicalization collapses case/port/www/tracking/" +
+      "fragment variants; registered domain handles 2-level suffixes") {
+    import graft.operators.Urls
+    val urls = Seq(
+      (1L, "HTTP://WWW.Example.COM:80/a/b?utm_source=x&id=7#frag"),
+      (2L, "http://example.com/a/b?id=7"),           // same resource as 1
+      (3L, "https://example.com:443/"),
+      (4L, "https://example.com:8443/"),             // non-default port kept
+      (5L, "https://news.bbc.CO.UK/story?fbclid=z"),
+      (6L, "http://10.0.0.1:8080/x"),
+      (7L, "https://localhost/y"),
+      (8L, "http://site.org?utm_a=1&utm_b=2")).toDF("id", "url")
+    val out = urls.select($"id", Urls.canonicalize($"url").as("c"),
+        Urls.registeredDomain(Urls.host($"url")).as("d"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(out(1L)._1 == "http://example.com/a/b?id=7")
+    assert(out(1L)._1 == out(2L)._1) // variants collapse
+    assert(out(3L)._1 == "https://example.com/")
+    assert(out(4L)._1 == "https://example.com:8443/")
+    assert(out(5L)._1 == "https://news.bbc.co.uk/story")
+    assert(out(5L)._2 == "bbc.co.uk") // co.uk is a public suffix
+    assert(out(6L)._1 == "http://10.0.0.1:8080/x")
+    assert(out(6L)._2 == "10.0.0.1")  // IPs are not domains
+    assert(out(7L)._2 == "localhost") // single label passes through
+    assert(out(8L)._1 == "http://site.org/") // tracking-only -> root
+    assert(out(1L)._2 == "example.com")
+  }
+
   test("scriptProfile: counts per range, dominant argmax with " +
       "declaration-order ties, none for unscripted") {
     val df = Seq(
