@@ -127,6 +127,34 @@ object Quality {
       .drop("__g")
   }
 
+  /** Robust per-group outliers by MEDIAN + MAD (median absolute
+    * deviation) — the estimator of choice when the group itself is
+    * heavily contaminated: IQR's quartile fences start drifting past
+    * ~25% outliers, MAD's breakdown point is 50% (Hampel; Leys et al.
+    * 2013). Flags rows with |x − med| > k · 1.4826 · MAD (1.4826
+    * rescales MAD to σ under normality; k = 3 is the conventional
+    * cutoff).
+    *
+    * Two grouped exact-percentile passes (median, then median of
+    * absolute deviations) with a broadcast rejoin between — both
+    * aggregates are bounded by |groups|, the flagging pass is map-only,
+    * and the interpolated median is the same cross-engine-exact
+    * percentile the IQR/winsorize family already pins. A zero-MAD group
+    * (> 50% identical values) flags every row off the shared value —
+    * the documented MAD caveat, left to the caller's k. */
+  def madOutliers(df: DataFrame, group: Column, value: Column,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(group.as("__g"))
+      .agg(percentile(value, lit(0.5)).as("med"))
+    val withMed = df.join(broadcast(med), group === col("__g")).drop("__g")
+    val mad = withMed.groupBy(group.as("__g"))
+      .agg(percentile(abs(value - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), group === col("__g"))
+      .withColumn("cutoff", lit(k) * lit(1.4826) * col("mad"))
+      .filter(abs(value - col("med")) > col("cutoff"))
+      .drop("__g")
+  }
+
   /** Winsorize `value` per group: clip to the [pLo, pHi] percentile
     * fences instead of dropping rows — the robust-mean prep step
     * (heavy-tail damping before averaging, the usual companion of

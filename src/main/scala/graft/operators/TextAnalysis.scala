@@ -244,6 +244,39 @@ object TextAnalysis {
     * explode -> groupBy(doc, gram) -> groupBy(doc) pipeline per n, both
     * shuffles keyed on the doc id with map-side partial aggregation —
     * no corpus-wide state, unlike the corpus-frequency operators. */
+  /** Within-document duplicate-chunk fraction — the Gopher
+    * `dup_para_frac` family signal (Rae et al. 2021 drop docs whose
+    * paragraphs repeat; the fixtures carry no paragraph breaks, so the
+    * unit is the non-overlapping `w`-word chunk, the same
+    * quality-vs-granularity trade). Per doc: number of chunks, distinct
+    * chunks, and `dup_chunk_frac = 1 − distinct/total` (null when the
+    * doc is shorter than one chunk). Complements [[repetitionStats]]
+    * (overlapping n-gram repeats) and the compression ratio (long-range
+    * redundancy) at the intermediate block granularity.
+    *
+    * Chunks are every w-th entry of the codegen'd shingle array — one
+    * explode + one grouped count/count-distinct, a single shuffle on
+    * doc id; the trailing `len % w` words are ignored (a partial chunk
+    * can't be a duplicate of a full one). */
+  def dupChunkStats(df: DataFrame, idCol: String, text: Column,
+      w: Int = 8): DataFrame = {
+    require(w > 0, s"chunk width must be positive: $w")
+    val chunks = df.select(col(idCol),
+        posexplode(shingles(text, w)).as(Seq("__pos", "__gram")))
+      .filter(col("__pos") % w === 0)
+    val stats = chunks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("__gram")).as("n_distinct_chunks"))
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .withColumn("n_chunks", coalesce(col("n_chunks"), lit(0L)))
+      .withColumn("n_distinct_chunks",
+        coalesce(col("n_distinct_chunks"), lit(0L)))
+      .withColumn("dup_chunk_frac",
+        when(col("n_chunks") > 0,
+          lit(1.0) - col("n_distinct_chunks").cast("double") /
+            col("n_chunks")))
+  }
+
   /** Unicode-script profile per document — the writing-system complement
     * to the stopword [[langId]] (which only separates languages SHARING
     * a script): per-script character counts, ratios, and the dominant

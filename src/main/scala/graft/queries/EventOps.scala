@@ -383,6 +383,18 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // robust MAD outliers per type — the 50%-breakdown companion of the
+    // IQR fences (same exact-percentile parity, two grouped passes)
+    "events_outlier_mad" -> ((s, d) => {
+      graft.operators.Quality.madOutliers(
+          Tables.events(s, d)
+            .select(col("event_id"), col("event_type"), col("value")),
+          col("event_type"), col("value"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("cutoff"))
+        .orderBy(col("event_id"))
+    }),
+
     // temporal ANTI join: views never followed by a purchase from the
     // same user within 7 days — the "did A but not B within w" segment.
     // One equi-join on user_id with the window as a join-side predicate,
@@ -994,6 +1006,20 @@ object EventOps {
         |SELECT event_id, event_type, value, lo, hi
         |FROM events JOIN f ON event_type = g
         |WHERE value < lo OR value > hi
+        |ORDER BY event_id""".stripMargin,
+
+    "events_outlier_mad" ->
+      """WITH m AS (SELECT event_type AS g, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |a AS (SELECT event_id, event_type, value, med
+        |  FROM events JOIN m ON event_type = g),
+        |d AS (SELECT event_type AS g2,
+        |    quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM a GROUP BY event_type)
+        |SELECT event_id, event_type, value, med, mad,
+        |  3.0 * 1.4826 * mad AS cutoff
+        |FROM a JOIN d ON event_type = g2
+        |WHERE abs(value - med) > 3.0 * 1.4826 * mad
         |ORDER BY event_id""".stripMargin,
 
     "events_view_no_purchase" ->

@@ -224,6 +224,21 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style duplicate-chunk fraction: the fixture text plus its
+    // own first 16 words appended twice — planted block repetition both
+    // engines construct identically, so the fraction math is gated on
+    // real duplicates, not a column of zeros
+    "quality_dup_chunks" -> ((s, d) => {
+      val ws16 = array_join(slice(split(col("text"), " "), 1, 16), " ")
+      val t2 = concat_ws(" ", col("text"), ws16, ws16)
+      TextAnalysis.dupChunkStats(
+          Tables.documents(s, d).withColumn("text", t2),
+          "doc_id", col("text"))
+        .select(col("doc_id"), col("n_chunks"), col("n_distinct_chunks"),
+          col("dup_chunk_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // compression-ratio quality signal (DEFLATE bytes / raw bytes):
     // rows-only — no SQL engine reproduces DEFLATE; semantics pinned in
     // QualitySpec (repetitive << prose, monotone under repetition)
@@ -769,6 +784,27 @@ object PrepOps {
          |  FROM kept)
          |SELECT doc_id, url_canon, domain FROM r WHERE rk <= 5
          |ORDER BY doc_id""".stripMargin,
+    "quality_dup_chunks" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    text || ' '
+        |    || array_to_string(string_split(text, ' ')[1:16], ' ') || ' '
+        |    || array_to_string(string_split(text, ' ')[1:16], ' ') AS t
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(t, ' ') AS ws FROM t0),
+        |g AS (SELECT doc_id, ws,
+        |    CASE WHEN len(ws) >= 8 THEN (len(ws) - 8) // 8 + 1
+        |      ELSE 0 END AS nc
+        |  FROM t),
+        |c AS (SELECT doc_id, nc,
+        |    list_transform(range(0, CAST(nc AS INT)),
+        |      i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS grams
+        |  FROM g)
+        |SELECT doc_id, CAST(nc AS BIGINT) AS n_chunks,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_chunks,
+        |  CASE WHEN nc > 0 THEN
+        |    1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / nc
+        |  END AS dup_chunk_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_script_profile" -> scriptProfileOracle,
     "text_strip_markup" ->
       """WITH h AS (

@@ -148,6 +148,27 @@ class PrepOpsSpec extends SparkSpec {
     assert(small.count() == 2)
   }
 
+  test("dupChunkStats: planted block repetition counted exactly; short " +
+      "docs yield zero chunks with null fraction") {
+    val block = (1 to 8).map(i => s"w$i").mkString(" ")
+    val other = (9 to 16).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$block $other $block"),   // 3 chunks, block twice
+      (2L, s"$block $other"),          // 2 distinct chunks
+      (3L, "too short"),               // < 8 words
+      (4L, s"$block $block $block $block")) // 4 chunks, all same
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupChunkStats(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_chunks") == 3 &&
+      out(1L).getAs[Long]("n_distinct_chunks") == 2)
+    assert(out(1L).getAs[Double]("dup_chunk_frac") == 1.0 - 2.0 / 3)
+    assert(out(2L).getAs[Double]("dup_chunk_frac") == 0.0)
+    assert(out(3L).getAs[Long]("n_chunks") == 0 &&
+      out(3L).isNullAt(out(3L).fieldIndex("dup_chunk_frac")))
+    assert(out(4L).getAs[Double]("dup_chunk_frac") == 0.75)
+  }
+
   test("Urls: canonicalization collapses case/port/www/tracking/" +
       "fragment variants; registered domain handles 2-level suffixes") {
     import graft.operators.Urls

@@ -97,6 +97,31 @@ class QualitySpec extends SparkSpec {
     assert(viaSql(2L) == out(2L).getAs[Int]("n_deflate"))
   }
 
+  test("madOutliers: hand-computed median/MAD per group, robust to " +
+      "contamination that drags the mean") {
+    // group a: values 1..9 plus two gross outliers; med = 5 over the
+    // 11 values? values: 1..9 median 5 -> with outliers 1000,2000:
+    // sorted [1..9,1000,2000], n=11, med = 6th = 6... keep it simple
+    // and hand-compute: med=6, |x-6| = [5,4,3,2,1,0,1,2,3,994,1994],
+    // MAD = median = 3, cutoff = 3*1.4826*3 = 13.3434
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) ++
+      Seq(("a", 1000.0), ("a", 2000.0)) ++
+      Seq(("b", 10.0), ("b", 10.0), ("b", 10.0), ("b", 10.5)))
+      .toDF("g", "v")
+    val out = Quality.madOutliers(df, $"g", $"v")
+      .select($"g", $"v", $"med", $"mad", $"cutoff")
+      .collect()
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getDouble(1)).sorted.toSeq == Seq(1000.0, 2000.0))
+    assert(a.head.getDouble(2) == 6.0 && a.head.getDouble(3) == 3.0)
+    assert(math.abs(a.head.getDouble(4) - 3 * 1.4826 * 3) < 1e-12)
+    // group b: med=10, MAD=0 (zero-MAD caveat) -> only 10.5 flagged
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.map(_.getDouble(1)).toSeq == Seq(10.5))
+    // the mean-based view would call nothing in 1..9 an outlier after
+    // contamination shifts the mean to ~277 — MAD still centers at 6
+  }
+
   test("iqrOutliers: Tukey fences per group, nulls never flagged") {
     // group a: 1..9 + outlier 100 (+ a null, ignored by the quartiles and
     // never flagged). Sorted [1..9,100]: q1 interpolates at 2.25 -> 3.25,
