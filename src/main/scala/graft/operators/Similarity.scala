@@ -324,6 +324,50 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cos_centroid"))
   }
 
+  /** Margin-based ambiguity mining — the active-learning acquisition
+    * query (Lewis & Gale '94 uncertainty sampling, margin variant):
+    * rank every embedding by the gap between its two closest LABEL
+    * CENTROIDS and return the k most ambiguous rows. These are the
+    * examples whose annotation budget buys the most — deep inside a
+    * class region both cosines differ sharply; near a decision boundary
+    * the margin collapses.
+    *
+    * Same exact quantized-integer scoring and truncating-mean centroids
+    * as [[labelCentroidCosine]] (fully oracle-checkable); the per-vector
+    * top-2 rides the bounded-heap `topk_by` aggregate (2 rows per vector
+    * per partition cross the shuffle), and the global smallest-k margins
+    * compile to TakeOrderedAndProject — no global sort at any scale. */
+  def marginMining(df: DataFrame, k: Int): DataFrame = {
+    val q = df.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("qv"))
+    val cent = q.select(col("label"), posexplode(col("qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cv_i", expr("s div n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+        x => x.getField("cv_i")).as("cv"))
+    val scored = q.crossJoin(broadcast(
+        cent.select(col("label").as("c_label"), col("cv"))))
+      .withColumn("cos_c",
+        dotLong(col("qv"), col("cv")).cast("double") /
+          (sqrt(dotLong(col("qv"), col("qv")).cast("double")) *
+            sqrt(dotLong(col("cv"), col("cv")).cast("double"))))
+    scored.groupBy(col("vec_id"), col("label"))
+      // the heap aggregate's id slot is bigint; labels round-trip the cast
+      .agg(graft.functions.TopKBy.topk_by(col("cos_c"),
+        col("c_label").cast("long"), 2).as("top"))
+      .filter(size(col("top")) >= 2) // needs two centroids to have a margin
+      .select(col("vec_id"), col("label"),
+        col("top")(0).getField("id").cast("int").as("best_label"),
+        col("top")(0).getField("score").as("best_cos"),
+        col("top")(1).getField("id").cast("int").as("second_label"),
+        col("top")(1).getField("score").as("second_cos"))
+      .withColumn("margin", col("best_cos") - col("second_cos"))
+      .orderBy(col("margin"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Distributed Lloyd's k-means codebook over an embedding column —
     * the real coarse quantizer for [[ivfTopK]]. Every iteration is one
     * Spark job: assign each vector to its nearest centroid (broadcast

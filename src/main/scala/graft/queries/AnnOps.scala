@@ -198,6 +198,13 @@ object AnnOps {
         .orderBy(col("vec_id"))
     }),
 
+    // active-learning margin mining: the 50 embeddings whose two
+    // closest label centroids score nearest each other — exact quantized
+    // cosines, bounded-heap top-2 per vector, TakeOrdered smallest-k
+    "ann_margin_mining" -> ((s, d) => {
+      Similarity.marginMining(Tables.embeddings(s, d), k = 50)
+    }),
+
     // label-conditioned centroid similarity: every embedding joined to its
     // label's centroid with an exact cross-engine quantized cosine —
     // exercises array aggregation + broadcast rejoin + integer dot
@@ -281,6 +288,42 @@ object AnnOps {
     // centroid = per-label element-wise quantized mean with TRUNCATING
     // integer division (// truncates toward zero like Spark's `div`);
     // integer dots go to double via VARCHAR (HUGEINT->DOUBLE double-rounds)
+    "ann_margin_mining" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding,
+         |      x -> ${qel("x")}) AS qv
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT label, i AS pos, qv[i] AS v
+         |  FROM q, range(1, ${Dim + 1}) t(i)),
+         |cent AS (
+         |  SELECT label, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cv_i
+         |  FROM ex GROUP BY label, pos),
+         |centv AS (
+         |  SELECT label AS c_label, list(cv_i ORDER BY pos) AS cv
+         |  FROM cent GROUP BY label),
+         |sc AS (
+         |  SELECT q.vec_id, q.label, c.c_label,
+         |    CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |        i -> qv[i] * cv[i])) AS STRING) AS DOUBLE)
+         |    / (SQRT(CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |        i -> qv[i] * qv[i])) AS STRING) AS DOUBLE))
+         |     * SQRT(CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |        i -> cv[i] * cv[i])) AS STRING) AS DOUBLE))) AS cos_c
+         |  FROM q CROSS JOIN centv c),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_c DESC, c_label) AS rn FROM sc),
+         |p AS (SELECT r1.vec_id, r1.label,
+         |    r1.c_label AS best_label, r1.cos_c AS best_cos,
+         |    r2.c_label AS second_label, r2.cos_c AS second_cos,
+         |    r1.cos_c - r2.cos_c AS margin
+         |  FROM r r1 JOIN r r2
+         |    ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2)
+         |SELECT vec_id, label, best_label, best_cos,
+         |  second_label, second_cos, margin
+         |FROM p ORDER BY margin, vec_id LIMIT 50""".stripMargin,
+
     "ann_label_centroid" ->
       s"""WITH q AS (
          |  SELECT vec_id, label,

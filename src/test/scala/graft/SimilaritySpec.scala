@@ -29,6 +29,33 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(one - 1.0) < 1e-12)
   }
 
+  test("marginMining surfaces boundary points first; margins ordered " +
+      "and consistent") {
+    // two tight clusters on orthogonal axes + one planted point on the
+    // bisector: its two centroid cosines nearly tie -> smallest margin
+    val rows = (0 until 10).map(i =>
+        (i.toLong, Array(1f, 0.01f * i, 0f, 0f), 0)) ++
+      (10 until 20).map(i =>
+        (i.toLong, Array(0.01f * (i - 10), 1f, 0f, 0f), 1)) ++
+      Seq((99L, Array(0.705f, 0.709f, 0f, 0f), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.marginMining(df, k = 5)
+      .select($"vec_id", $"best_label", $"second_label", $"best_cos",
+        $"second_cos", $"margin")
+      .collect()
+    assert(out.length == 5)
+    assert(out.head.getLong(0) == 99L, "bisector point must mine first")
+    out.foreach { r =>
+      assert(r.getInt(1) != r.getInt(2)) // two DIFFERENT labels
+      assert(math.abs(r.getDouble(5) -
+        (r.getDouble(3) - r.getDouble(4))) < 1e-15)
+      assert(r.getDouble(5) >= 0)
+    }
+    // ascending margins
+    val ms = out.map(_.getDouble(5))
+    assert(ms.zip(ms.tail).forall { case (a, b) => a <= b })
+  }
+
   test("hard negatives: no same-label neighbor, exactly the best " +
       "different-label scores") {
     val q = emb.filter($"vec_id" < 5)
