@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Optimizer fence for expensive computed arrays that feed an explode +
+    * equi-join: returns `arr` unchanged but NON-DETERMINISTIC, so
+    * predicate pushdown cannot substitute the projection away — the
+    * generator/constraint-inferred `size(...) > 0 / isnotnull(...)`
+    * filters then evaluate on the projected ATTRIBUTE (the array already
+    * in hand) instead of re-running the full shingle-hash chain inside
+    * the parquet scan as a DataFilter (the round-4/5 computed-column
+    * trap; PlanDump showed the postings scans of the Jaccard family
+    * evaluating `array_distinct(word_shingle_hashes(text))` twice per
+    * row). The value is ALWAYS exactly `arr`: whichever branch the
+    * gaussian draw takes, the coalesce lands on `arr` — the identity
+    * holds unconditionally, the non-determinism marker is all that
+    * remains. `randn()` rather than `rand()`: Spark 4's OptimizeRand
+    * bounds-folds rand comparisons (`rand() < 2` → true, verified, and
+    * the trap returns with it), while the gaussian is unbounded so no
+    * rule can fold it. Cost: one PRNG draw per row (an earlier
+    * `shuffle(arr)` fence drew per ELEMENT — measurably slower on long
+    * shingle sets). PlanSpec pins the fenced plans. */
+  private def fence(arr: Column): Column =
+    coalesce(when(randn() < 1e9, arr), arr)
+
   /** Exact dedup groups: one row per distinct content hash with the
     * surviving doc id (min) and duplicate count. */
   def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
@@ -205,8 +226,8 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       k: Int = 3, tau: Double = 0.5): DataFrame = {
     val postings = df.select(id.as("doc_id"),
-        array_distinct(
-          graft.functions.ShingleFunctions.word_shingle_hashes(text, k))
+        fence(array_distinct(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k)))
           .as("set"))
       .select(col("doc_id"), size(col("set")).as("n_sh"),
         explode(col("set")).as("sh"))
@@ -252,8 +273,8 @@ object Dedup {
       k: Int = 3, tau: Double = 0.5): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
     val sets = df.select(id.as("doc_id"),
-        array_distinct(
-          graft.functions.ShingleFunctions.word_shingle_hashes(text, k))
+        fence(array_distinct(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k)))
           .as("set"))
       .withColumn("n_sh", size(col("set")))
     val post = sets.select(col("doc_id"), col("n_sh"),
@@ -314,8 +335,8 @@ object Dedup {
       k: Int = 3, tau: Double = 0.8): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
     val postings = df.select(id.as("doc_id"),
-        array_distinct(
-          graft.functions.ShingleFunctions.word_shingle_hashes(text, k))
+        fence(array_distinct(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k)))
           .as("set"))
       .select(col("doc_id"), size(col("set")).as("n_sh"),
         explode(col("set")).as("sh"))

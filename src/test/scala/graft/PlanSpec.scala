@@ -111,6 +111,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shingle-set scans never evaluate the hash chain as DataFilters") {
+    // same trap, Jaccard family: exploding the computed shingle set +
+    // the null-intolerant sh equi-join let Catalyst push
+    // size(array_distinct(wordshinglehashes(text))) > 0 into the parquet
+    // scan, shingling every document twice per side. Dedup.fence (a
+    // shuffle() wrap — set semantics, order immaterial) blocks the
+    // substitution; this guard keeps it blocked.
+    spark.catalog.clearCache()
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_containment",
+        "dedup_jaccard_prefix")) {
+      val p = plan(q)
+      val scanFilters = "DataFilters: \\[[^\\]]*".r.findAllIn(p).toSeq
+      assert(scanFilters.nonEmpty, s"$q plan shows no scans")
+      for (f <- scanFilters)
+        assert(!f.toLowerCase.contains("shinglehashes"),
+          s"$q pushed the shingle-hash chain into the scan:\n$f")
+    }
+  }
+
   test("jaccard postings build is map-only up to the self-join") {
     val p = plan("dedup_ngram_jaccard")
     // shuffles: self-join exchange + pair aggregation + final sort only —
