@@ -356,6 +356,67 @@ object Dedup {
         col("containment"))
   }
 
+  /** Prefix-filtered containment pairs — identical output to
+    * [[containmentPairs]] (same oracle), with the df² stop-shingle
+    * candidate term pruned the way [[jaccardPairsPrefix]] prunes
+    * Jaccard's. Containment's asymmetry changes the prefix argument:
+    * max-containment ≥ tau forces |A∩B| ≥ ⌈tau·min(|A|,|B|)⌉ — a bound
+    * in the SMALLER set's size only — so only the smaller side of a
+    * pair can be prefix-trimmed, and the candidate join becomes
+    * prefix(smaller) ⋈ full-postings(larger): if every common element
+    * avoided the smaller's rarest-first prefix of length
+    * n − ⌈tau·n⌉ + 1, the ⌈tau·n⌉ required common elements would have
+    * to fit in its ⌈tau·n⌉ − 1 suffix slots — contradiction, so no
+    * qualifying pair is lost. Per shared shingle the candidate count
+    * drops from df² to df_prefix · df, and corpus-frequent shingles
+    * rarely survive into any prefix. Candidates verify exactly via
+    * array_intersect over the full sets, then the tau filter — output
+    * row-identical to the all-postings form (spec-asserted). */
+  def containmentPairsPrefix(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, tau: Double = 0.8): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    val sets = df.select(id.as("doc_id"),
+        fence(array_distinct(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k)))
+          .as("set"))
+      .withColumn("n_sh", size(col("set")))
+    val full = sets.select(col("doc_id"), col("n_sh"),
+      explode(col("set")).as("sh"))
+    val dfreq = full.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = full.join(dfreq, "sh")
+      .withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <=
+        col("n_sh") - ceil(lit(tau) * col("n_sh")).cast("int") + 1)
+      .select(col("doc_id").as("p_id"), col("n_sh").as("p_n"), col("sh"))
+    // smaller (or equal) side's prefix probes the full postings; the
+    // unordered pair then re-keys to (min id, max id) to match the
+    // all-postings output convention
+    val cand = prefix.join(
+        full.select(col("doc_id").as("f_id"), col("n_sh").as("f_n"),
+          col("sh")), "sh")
+      .filter(col("p_id") =!= col("f_id") && col("p_n") <= col("f_n"))
+      .select(least(col("p_id"), col("f_id")).as("doc_a"),
+        greatest(col("p_id"), col("f_id")).as("doc_b"))
+      .distinct()
+    val verified = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("__sa"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("__sb"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+    verified
+      .withColumn("cont_a_in_b", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_b_in_a", col("n_inter").cast("double") / col("n_b"))
+      .withColumn("containment", greatest(col("cont_a_in_b"),
+        col("cont_b_in_a")))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("cont_a_in_b"), col("cont_b_in_a"),
+        col("containment"))
+  }
+
   /** Connected components over a near-duplicate pair graph — the final
     * dedup step (pairs -> clusters -> one canonical survivor per
     * cluster). Component id = min node id reachable.

@@ -207,6 +207,35 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // the full RefinedWeb-shaped extraction pipeline as ONE declarative
+    // plan: raw (url, html) -> markup strip -> normalize -> quality gate
+    // (token count) -> canonical-URL dedup -> exact-content dedup ->
+    // cleaned corpus. Every stage is the already-gated operator; the
+    // value of the query is the composition — one optimizer pass plans
+    // the whole pipeline, and the oracle replays it stage by stage.
+    "pipeline_web_corpus" -> ((s, d) => {
+      val raw = Tables.documents(s, d)
+        .withColumn("url", urlExpr)
+        .withColumn("html", concat(lit("<html><body><p>"), col("text"),
+          lit("</p><script>track();</script></body></html>")))
+      val stripped = Scrub.stripMarkup(raw, col("html"))
+      val normed = Scrub.normalize(stripped, col("text_plain"))
+      // quality gate: >= 5 whitespace tokens post-normalization
+      val gated = normed.filter(
+        size(split(col("text_norm"), " ")) >= 5)
+      // one survivor per CANONICAL url (min doc_id)
+      val canon = gated.withColumn("url_canon",
+        Urls.canonicalize(col("url")))
+      val urlKept = canon.join(
+        canon.groupBy(col("url_canon")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("doc_id", "url_canon"), "left_semi")
+      // then one survivor per distinct cleaned CONTENT
+      Dedup.exactKeep(urlKept, "doc_id", "text_norm")
+        .select(col("doc_id"), col("url_canon"),
+          length(col("text_norm")).cast("long").as("n_chars_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode-script profile: per-script char counts over portable
     // codepoint-range classes + deterministic dominant-script argmax.
     // The fixture text plus a per-doc planted non-Latin suffix keyed by
@@ -769,6 +798,51 @@ object PrepOps {
         |    lower(nfc_normalize('  MIXED Case' || chr(9) || text || '  ')),
         |    '[ \t\r\n\f]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_web_corpus" ->
+      s"""WITH u AS (SELECT doc_id, text, ${urlSqlExpr.linesIterator.mkString(" ")} AS url FROM documents),
+         |h AS (SELECT doc_id, url, '<html><body><p>' || text ||
+         |  '</p><script>track();</script></body></html>' AS html FROM u),
+         |s1 AS (SELECT doc_id, url, regexp_replace(html,
+         |  '(?is)(<script[^>]*>.*?</script>)|(<style[^>]*>.*?</style>)',
+         |  ' ', 'g') AS t FROM h),
+         |s2 AS (SELECT doc_id, url,
+         |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, url,
+         |  regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id, url, replace(replace(replace(replace(replace(
+         |  replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+         |sp AS (SELECT doc_id, url,
+         |  trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g')) AS tp FROM s4),
+         |nm AS (SELECT doc_id, url, trim(regexp_replace(
+         |  lower(nfc_normalize(tp)), '[ \t\r\n\f]+', ' ', 'g')) AS tn
+         |  FROM sp),
+         |g AS (SELECT * FROM nm WHERE len(string_split(tn, ' ')) >= 5),
+         |p AS (SELECT doc_id, tn,
+         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$$', 1)) AS sch,
+         |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+).*$$', 1)) AS hostport,
+         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$$', 1) AS rest0
+         | FROM g),
+         |q AS (SELECT doc_id, tn, sch,
+         |  regexp_replace(CASE WHEN sch = 'http'
+         |      THEN regexp_replace(hostport, ':80$$', '')
+         |    WHEN sch = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |    ELSE hostport END, '^www\\.', '') AS hh,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(rest0, '#.*$$', ''),
+         |    '(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+         |    '\\?&', '?', 'g'), '[?&]+$$', '') AS rest2
+         | FROM p),
+         |c AS (SELECT doc_id, tn, sch || '://' || hh ||
+         |  CASE WHEN rest2 = '' THEN '/' ELSE rest2 END AS url_canon
+         | FROM q),
+         |uk AS (SELECT c.* FROM c JOIN (SELECT url_canon,
+         |    MIN(doc_id) AS doc_id FROM c GROUP BY url_canon) m
+         |  ON c.doc_id = m.doc_id AND c.url_canon = m.url_canon),
+         |ck AS (SELECT * FROM uk WHERE doc_id IN (
+         |  SELECT MIN(doc_id) FROM uk GROUP BY md5(tn)))
+         |SELECT doc_id, url_canon, CAST(length(tn) AS BIGINT) AS n_chars_clean
+         |FROM ck ORDER BY doc_id""".stripMargin,
     "web_url_canonicalize" ->
       s"""$urlCtes
          |SELECT doc_id, url, url_canon, domain FROM dom

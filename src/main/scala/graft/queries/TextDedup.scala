@@ -83,6 +83,15 @@ object TextDedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // containment's scale path: the SMALLER side's rarest prefix probes
+    // the full postings index (the asymmetric prefix-filter argument) —
+    // row-identical to dedup_containment, same oracle
+    "dedup_containment_prefix" -> ((s, d) => {
+      Dedup.containmentPairsPrefix(Tables.documents(s, d), col("doc_id"),
+          col("text"), k = 3, tau = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // near-dup clustering: connected components over the exact-Jaccard
     // pair graph — every doc mapped to its cluster's canonical (min) id.
     // DuckDB checks it with a recursive-CTE transitive closure.
@@ -450,6 +459,29 @@ object TextDedup {
        |WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // shared by dedup_containment and dedup_containment_prefix (the
+  // smaller-side prefix filter changes the plan, never the output)
+  private lazy val containmentOracle =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, UNNEST($duckShingles) AS shingle
+       |  FROM documents),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter, ca.n AS n_a, cb.n AS n_b,
+       |  CAST(n_inter AS DOUBLE) / ca.n AS cont_a_in_b,
+       |  CAST(n_inter AS DOUBLE) / cb.n AS cont_b_in_a,
+       |  GREATEST(CAST(n_inter AS DOUBLE) / ca.n,
+       |           CAST(n_inter AS DOUBLE) / cb.n) AS containment
+       |FROM pairs
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE GREATEST(CAST(n_inter AS DOUBLE) / ca.n,
+       |               CAST(n_inter AS DOUBLE) / cb.n) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // DuckDB-side shingle expression: word 3-grams from 1-based list math,
   // empty for docs with < 3 tokens (mirrors TextAnalysis.shingles).
   private val duckShingles =
@@ -699,26 +731,9 @@ object TextDedup {
     // prefix filtering is output-invariant: same oracle verbatim
     "dedup_jaccard_prefix" -> jaccardOracle,
 
-    "dedup_containment" ->
-      s"""WITH sh AS (
-         |  SELECT DISTINCT doc_id, UNNEST($duckShingles) AS shingle
-         |  FROM documents),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, n_inter, ca.n AS n_a, cb.n AS n_b,
-         |  CAST(n_inter AS DOUBLE) / ca.n AS cont_a_in_b,
-         |  CAST(n_inter AS DOUBLE) / cb.n AS cont_b_in_a,
-         |  GREATEST(CAST(n_inter AS DOUBLE) / ca.n,
-         |           CAST(n_inter AS DOUBLE) / cb.n) AS containment
-         |FROM pairs
-         |JOIN cnt ca ON doc_a = ca.doc_id
-         |JOIN cnt cb ON doc_b = cb.doc_id
-         |WHERE GREATEST(CAST(n_inter AS DOUBLE) / ca.n,
-         |               CAST(n_inter AS DOUBLE) / cb.n) >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" -> containmentOracle,
+    // smaller-side prefix filtering is output-invariant: same oracle
+    "dedup_containment_prefix" -> containmentOracle,
 
     "dedup_near_clusters" ->
       s"""WITH RECURSIVE

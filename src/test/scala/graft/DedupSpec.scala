@@ -70,6 +70,25 @@ class DedupSpec extends SparkSpec {
     assert(pref.toSeq == full.toSeq)
   }
 
+  test("prefix-filtered containment: row-identical to the all-postings " +
+      "form, including a planted subset-dup") {
+    val long = docs.orderBy(desc("n_chars")).select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    val excerpt = long._2.split(" ").slice(3, 20).mkString(" ")
+    val corpus = docs.select("doc_id", "text")
+      .unionByName(Seq((900001L, excerpt)).toDF("doc_id", "text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    val full = Dedup.containmentPairs(corpus, col("doc_id"), col("text"),
+      k = 3, tau = 0.8).collect().map(key).sortBy(p => (p._1, p._2))
+    val pref = Dedup.containmentPairsPrefix(corpus, col("doc_id"),
+      col("text"), k = 3, tau = 0.8).collect().map(key)
+      .sortBy(p => (p._1, p._2))
+    assert(full.nonEmpty, "planted subset-dup not found by the base form")
+    assert(pref.toSeq == full.toSeq)
+  }
+
   test("containment finds a planted subset-dup that Jaccard misses") {
     // short doc = an exact 12-word excerpt of a much longer doc: every
     // shingle of the excerpt appears in the host, so containment = 1.0
