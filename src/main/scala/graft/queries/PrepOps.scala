@@ -207,6 +207,27 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // the dataset data card: per-source AND overall corpus stats in ONE
+    // rollup pass — doc/token/char volume, language breadth, exact
+    // duplicate rate, exact interpolated token-length quantiles. The
+    // single-scan rollup is the point: a 100 TB corpus gets its release
+    // documentation from one aggregation, not a stats query per source.
+    "profile_data_card" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .rollup(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars_total"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"),
+          (lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
+            count(lit(1))).as("exact_dup_rate"),
+          percentile(col("n_toks"), lit(0.5)).as("p50_tokens"),
+          percentile(col("n_toks"), lit(0.95)).as("p95_tokens"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     // the full RefinedWeb-shaped extraction pipeline as ONE declarative
     // plan: raw (url, html) -> markup strip -> normalize -> quality gate
     // (token count) -> canonical-URL dedup -> exact-content dedup ->
@@ -798,6 +819,21 @@ object PrepOps {
         |    lower(nfc_normalize('  MIXED Case' || chr(9) || text || '  ')),
         |    '[ \t\r\n\f]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "profile_data_card" ->
+      """WITH t AS (SELECT source, lang, text, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+        |  1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+        |    AS exact_dup_rate,
+        |  quantile_cont(n_toks, 0.5) AS p50_tokens,
+        |  quantile_cont(n_toks, 0.95) AS p95_tokens
+        |FROM t GROUP BY ROLLUP(source)
+        |ORDER BY source NULLS FIRST""".stripMargin,
     "pipeline_web_corpus" ->
       s"""WITH u AS (SELECT doc_id, text, ${urlSqlExpr.linesIterator.mkString(" ")} AS url FROM documents),
          |h AS (SELECT doc_id, url, '<html><body><p>' || text ||
