@@ -92,6 +92,37 @@ object Multimodal {
     df.withColumn(as, shiftleft(hi, 32).bitwiseOR(lo))
   }
 
+  /** Audio frame segmentation — the ASR/mel-frame windowing fan-out:
+    * each payload (interpreted as 16-bit PCM mono at `sampleRate`)
+    * explodes into overlapping sample windows of `windowSamples` with
+    * stride `hopSamples`, each row carrying sample AND millisecond
+    * bounds. Everything is metadata arithmetic over the byte length —
+    * the decode itself stays behind the codec seam like every other
+    * media op here — so the whole fan-out is a map-side explode of a
+    * `sequence()` (the plan a real featurizer feeds from), and the
+    * window math is integer-exact, fully oracle-checkable. Payloads
+    * shorter than one window emit no rows (a partial window has no
+    * fixed-shape feature). */
+  def audioWindows(df: DataFrame, windowSamples: Int, hopSamples: Int,
+      sampleRate: Int = 16000): DataFrame = {
+    require(windowSamples > 0 && hopSamples > 0 && sampleRate > 0)
+    df.select(col("doc_id"),
+        expr("octet_length(media) div 2").as("n_samples"))
+      // integer `div` throughout — Spark's `/` is always double
+      .withColumn("__nw", when(col("n_samples") >= windowSamples,
+        expr(s"(n_samples - $windowSamples) div $hopSamples + 1"))
+        .otherwise(0L))
+      .withColumn("win_idx", explode(when(col("__nw") > 0,
+        sequence(lit(0L), col("__nw") - 1)).otherwise(
+        array().cast("array<bigint>"))))
+      .withColumn("start_sample", col("win_idx") * hopSamples)
+      .withColumn("end_sample", col("start_sample") + windowSamples)
+      // `div` (integer division), not `/` (Spark's `/` is always double)
+      .withColumn("start_ms", expr(s"start_sample * 1000 div $sampleRate"))
+      .withColumn("end_ms", expr(s"end_sample * 1000 div $sampleRate"))
+      .drop("__nw")
+  }
+
   /** Near-duplicate media pairs by perceptual-hash Hamming distance:
     * delegates to the pigeonhole-complete chunk-combination blocking in
     * [[Dedup.hammingPairs64]] — banded shuffle keys, never all-pairs,

@@ -37,6 +37,19 @@ object MediaOps {
         .orderBy(col("doc_id"))
     }),
 
+    // audio windowing: each payload (16-bit PCM view of the bytes)
+    // explodes into overlapping sample windows on the 25ms/10ms-style
+    // grid (sized to the fixture's byte lengths so docs span the 0..10+
+    // window range, short docs hitting the no-window edge) — pure
+    // metadata arithmetic, integer-exact, the map-side fan-out a real
+    // featurizer feeds from
+    "multimodal_audio_windows" -> ((s, d) => {
+      Multimodal.audioWindows(
+          Multimodal.withMediaColumn(Tables.documents(s, d)),
+          windowSamples = 64, hopSamples = 25)
+        .orderBy(col("doc_id"), col("win_idx"))
+    }),
+
     // decode -> sample every 2nd frame -> feature-extract: the full
     // multimodal pipeline; deterministic shape (1 sampled frame per doc,
     // fixed feature dim) is oracle-checked, feature values are the stub's
@@ -80,6 +93,22 @@ object MediaOps {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash, CAST(2 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_audio_windows" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples
+        |  FROM documents),
+        |w AS (SELECT doc_id, n_samples,
+        |    CASE WHEN n_samples >= 64
+        |      THEN (n_samples - 64) // 25 + 1 ELSE 0 END AS nw
+        |  FROM b),
+        |e AS (SELECT doc_id, n_samples,
+        |    UNNEST(range(0, nw)) AS i FROM w)
+        |SELECT doc_id, n_samples, i AS win_idx,
+        |  i * 25 AS start_sample, i * 25 + 64 AS end_sample,
+        |  (i * 25 * 1000) // 16000 AS start_ms,
+        |  ((i * 25 + 64) * 1000) // 16000 AS end_ms
+        |FROM e ORDER BY doc_id, win_idx""".stripMargin,
 
     "multimodal_frame_features" ->
       """SELECT doc_id, CAST(0 AS INTEGER) AS frame_idx,

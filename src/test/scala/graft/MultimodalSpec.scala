@@ -66,6 +66,28 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.count() == 5, "every planted duplicate pair surfaces")
   }
 
+  test("audioWindows: hand-computed bounds, hop overlap, " +
+      "short-payload edge") {
+    // payloads of 300 / 128 / 63 bytes -> 150 / 64 / 31 samples
+    val df = Seq(
+      (1L, "x" * 300), (2L, "y" * 128), (3L, "z" * 63))
+      .toDF("doc_id", "text")
+    val out = Multimodal.audioWindows(
+        Multimodal.withMediaColumn(df), windowSamples = 64,
+        hopSamples = 25, sampleRate = 16000)
+      .select($"doc_id", $"win_idx", $"start_sample", $"end_sample",
+        $"start_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted
+    // doc 1: 150 samples -> (150-64)/25+1 = 4 windows at 0,25,50,75
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(0L, 25L, 50L, 75L))
+    assert(d1.forall(w => w._4 == w._3 + 64))
+    assert(d1.head._5 == 0L && d1(1)._5 == 25L * 1000 / 16000)
+    // doc 2: exactly one full window; doc 3: one sample short -> none
+    assert(out.count(_._1 == 2L) == 1)
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("frame features keep the array<float> similarity contract") {
     val feats = Multimodal.frameFeatures(spark,
       Multimodal.decodeFrames(spark, media.limit(10)), dim = 8)
