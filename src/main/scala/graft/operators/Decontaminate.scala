@@ -18,6 +18,54 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** FUZZY decontamination: training docs whose full-document n-gram
+    * JACCARD against some eval doc reaches `tau` — the near-duplicate
+    * contamination the n-gram-hit forms above can't express (a train doc
+    * sharing a handful of common grams is noise; a train doc that IS an
+    * eval doc lightly paraphrased shares most of its shingle set). This
+    * is the document-level fuzzy-dedup-against-benchmarks control
+    * Llama-family pipelines run alongside exact n-gram overlap.
+    *
+    * Exact, not sketched: the CROSS-corpus inverted-index join (train
+    * postings ⋈ eval postings on the shingle hash) materializes
+    * candidates only for pairs sharing a shingle, with the same
+    * exact-preserving length-ratio prune as [[Dedup.jaccardPairs]] —
+    * the eval side is benchmark-sized, so the join is bounded by
+    * contamination, never |train|². Returns the contaminated pairs
+    * (train_id, eval_id, n_inter, n_train, n_eval, jaccard); compose
+    * with an anti-join to drop them ([[cleanFuzzy]]). */
+  def fuzzyPairs(train: DataFrame, eval: DataFrame, id: Column,
+      text: Column, k: Int = 3, tau: Double = 0.5): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    def postings(df: DataFrame, idAs: String, nAs: String) =
+      df.select(id.as(idAs),
+          Dedup.fence(array_distinct(graft.functions.ShingleFunctions
+            .word_shingle_hashes(text, k))).as("set"))
+        .select(col(idAs), size(col("set")).as(nAs),
+          explode(col("set")).as("sh"))
+    val t = postings(train, "train_id", "n_train")
+    val e = postings(eval, "eval_id", "n_eval")
+    t.join(e, t("sh") === e("sh") &&
+        least(col("n_train"), col("n_eval")) >=
+          greatest(col("n_train"), col("n_eval")) * tau)
+      .groupBy(col("train_id"), col("eval_id"), col("n_train"),
+        col("n_eval"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_train") + col("n_eval") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("train_id"), col("eval_id"), col("n_inter"),
+        col("n_train"), col("n_eval"), col("jaccard"))
+  }
+
+  /** The cleaned corpus: training rows minus [[fuzzyPairs]] hits. */
+  def cleanFuzzy(train: DataFrame, eval: DataFrame, id: Column,
+      text: Column, k: Int = 3, tau: Double = 0.5): DataFrame =
+    train.join(
+      fuzzyPairs(train, eval, id, text, k, tau)
+        .select(col("train_id")).distinct(),
+      id === col("train_id"), "left_anti")
+
   /** Distinct word-k-gram set of the eval corpus. */
   def evalShingles(eval: DataFrame, text: Column, k: Int): DataFrame =
     eval.select(explode(TextAnalysis.shingles(text, k)).as("shingle"))

@@ -178,6 +178,17 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // FUZZY decontamination: training docs near-duplicating an eval doc
+    // at document-level 3-gram Jaccard >= 0.5 — the paraphrased-leak
+    // control exact n-gram hits can't express; cross-corpus inverted-
+    // index join, exact scores, fully oracle-checked
+    "text_decontaminate_fuzzy" -> ((s, d) => {
+      val (train, eval_) = evalSplit(s, d)
+      Decontaminate.fuzzyPairs(train, eval_, col("doc_id"), col("text"),
+          k = 3, tau = 0.5)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     // URL canonicalization: the fixture has no URL column, so each doc
     // derives a deterministic raw URL (case/port/www/tracking/fragment
     // variants keyed by doc_id residues — both engines build the same
@@ -786,6 +797,29 @@ object PrepOps {
     "quality_corpus_freq" -> corpusFreqOracle,
     "length_buckets" -> lengthBucketsOracle,
     "text_decontaminate" -> decontaminateOracle,
+    "text_decontaminate_fuzzy" ->
+      s"""WITH hx AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |b AS (SELECT doc_id, text, $bucket20 AS bucket FROM hx),
+         |tsh AS (SELECT DISTINCT doc_id, UNNEST(${duckGrams(3)}) AS shingle
+         |  FROM b WHERE bucket != 0),
+         |esh AS (SELECT DISTINCT doc_id, UNNEST(${duckGrams(3)}) AS shingle
+         |  FROM b WHERE bucket = 0),
+         |tc AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY doc_id),
+         |ec AS (SELECT doc_id, COUNT(*) AS n FROM esh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+         |    COUNT(*) AS n_inter
+         |  FROM tsh t JOIN esh e ON t.shingle = e.shingle
+         |  GROUP BY 1, 2)
+         |SELECT train_id, eval_id, n_inter, tc.n AS n_train,
+         |  ec.n AS n_eval,
+         |  CAST(n_inter AS DOUBLE) / (tc.n + ec.n - n_inter) AS jaccard
+         |FROM pairs
+         |JOIN tc ON train_id = tc.doc_id
+         |JOIN ec ON eval_id = ec.doc_id
+         |WHERE CAST(n_inter AS DOUBLE) / (tc.n + ec.n - n_inter) >= 0.5
+         |ORDER BY train_id, eval_id""".stripMargin,
     "quality_repetition" -> repetitionOracle,
     "pii_scrub" -> piiOracle,
     "sample_dsir_importance" ->

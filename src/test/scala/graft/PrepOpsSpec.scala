@@ -74,6 +74,32 @@ class PrepOpsSpec extends SparkSpec {
     assert(cleaned == Seq(2L))
   }
 
+  test("fuzzy decontamination: paraphrased eval leaks flagged and " +
+      "dropped; shared-gram noise is not") {
+    import graft.operators.Decontaminate
+    val eval_ = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF(
+      "doc_id", "text")
+    val train = Seq(
+      // light paraphrase of eval doc 1: J well above 0.5
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+      // shares one 3-gram with eval doc 2 only: J far below 0.5
+      (11L, "one two three completely different material here now"),
+      (12L, "unrelated words with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val pairs = Decontaminate.fuzzyPairs(train, eval_, col("doc_id"),
+      col("text"), k = 3, tau = 0.5)
+    val hit = pairs.select($"train_id", $"eval_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(hit.map(h => (h._1, h._2)).toSet == Set((10L, 1L)))
+    assert(hit.head._3 > 0.5)
+    val kept = Decontaminate.cleanFuzzy(train, eval_, col("doc_id"),
+      col("text"), k = 3, tau = 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L, 12L))
+  }
+
   test("weightedKeep: rate 0 drops all, 100 keeps all, rates are nested") {
     val df = (0L until 200L).map(i => (i, s"g${i % 2}")).toDF("id", "g")
     def keptAt(r20: Int): Set[Long] =
