@@ -324,6 +324,40 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cos_centroid"))
   }
 
+  /** Bitext-style mutual-nearest-neighbor alignment — the parallel-
+    * corpus mining shape (LASER/CCMatrix family): a source and a target
+    * embedding space, candidate pairs = vectors that are EACH OTHER's
+    * nearest neighbor, each carrying both directions' best-vs-second
+    * margins (the Artetxe & Schwenk margin criterion in its
+    * order-independent difference form — an AVERAGE of k neighbor
+    * cosines would make the score depend on float summation order and
+    * break cross-engine exactness; best minus second is max/2nd-max
+    * selection plus one subtraction, bit-stable anywhere).
+    *
+    * Exact quantized cosine scoring, both directions ride the
+    * bounded-heap top-2 (k rows per query per partition cross the
+    * shuffle), and mutuality is one equi-join of the two tiny top-1
+    * sets. Output: (src_id, tgt_id, cos_sim, margin_src, margin_tgt),
+    * one row per mutual pair. */
+  def mutualNearestPairs(src: DataFrame, tgt: DataFrame): DataFrame = {
+    def top2(q: DataFrame, c: DataFrame, idAs: String, bestAs: String,
+        m: String) =
+      bruteForceTopK(q, c, k = 2, exact = true)
+        .groupBy(col("query_id").as(idAs))
+        .agg(
+          max(when(col("rank") === 1, col("neighbor_id"))).as(bestAs),
+          max(when(col("rank") === 1, col("cos_sim"))).as(s"__c1$m"),
+          max(when(col("rank") === 2, col("cos_sim"))).as(s"__c2$m"))
+        .withColumn(s"margin$m", col(s"__c1$m") - col(s"__c2$m"))
+    val fwd = top2(src, tgt, "src_id", "tgt_best", "_src")
+    val bwd = top2(tgt, src, "tgt_id", "src_best", "_tgt")
+    fwd.join(bwd, col("tgt_best") === col("tgt_id") &&
+        col("src_best") === col("src_id"))
+      .select(col("src_id"), col("tgt_id"),
+        col("__c1_src").as("cos_sim"),
+        col("margin_src"), col("margin_tgt"))
+  }
+
   /** Margin-based ambiguity mining — the active-learning acquisition
     * query (Lewis & Gale '94 uncertainty sampling, margin variant):
     * rank every embedding by the gap between its two closest LABEL

@@ -198,6 +198,16 @@ object AnnOps {
         .orderBy(col("vec_id"))
     }),
 
+    // bitext-style alignment: label-0 vectors as the source space,
+    // label-1 as the target — mutual nearest neighbors with both
+    // directions' best-vs-second margins, exact scoring throughout
+    "ann_bitext_mutual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mutualNearestPairs(
+          emb.filter(col("label") === 0), emb.filter(col("label") === 1))
+        .orderBy(col("src_id"))
+    }),
+
     // active-learning margin mining: the 50 embeddings whose two
     // closest label centroids score nearest each other — exact quantized
     // cosines, bounded-heap top-2 per vector, TakeOrdered smallest-k
@@ -288,6 +298,35 @@ object AnnOps {
     // centroid = per-label element-wise quantized mean with TRUNCATING
     // integer division (// truncates toward zero like Spark's `div`);
     // integer dots go to double via VARCHAR (HUGEINT->DOUBLE double-rounds)
+    "ann_bitext_mutual" ->
+      s"""WITH fs AS (
+         |  SELECT s.vec_id AS src_id, t.vec_id AS n_id,
+         |    ${duckCosExact("s", "t")} AS c,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |      ORDER BY ${duckCosExact("s", "t")} DESC, t.vec_id) AS rn
+         |  FROM embeddings s JOIN embeddings t
+         |    ON s.label = 0 AND t.label = 1),
+         |f1 AS (SELECT src_id, n_id AS tgt_best, c AS fc1 FROM fs
+         |  WHERE rn = 1),
+         |f2 AS (SELECT src_id, c AS fc2 FROM fs WHERE rn = 2),
+         |bs AS (
+         |  SELECT t.vec_id AS tgt_id, s.vec_id AS n_id,
+         |    ${duckCosExact("t", "s")} AS c,
+         |    ROW_NUMBER() OVER (PARTITION BY t.vec_id
+         |      ORDER BY ${duckCosExact("t", "s")} DESC, s.vec_id) AS rn
+         |  FROM embeddings t JOIN embeddings s
+         |    ON s.label = 0 AND t.label = 1),
+         |b1 AS (SELECT tgt_id, n_id AS src_best, c AS bc1 FROM bs
+         |  WHERE rn = 1),
+         |b2 AS (SELECT tgt_id, c AS bc2 FROM bs WHERE rn = 2)
+         |SELECT f1.src_id, b1.tgt_id, f1.fc1 AS cos_sim,
+         |  f1.fc1 - f2.fc2 AS margin_src, b1.bc1 - b2.bc2 AS margin_tgt
+         |FROM f1
+         |JOIN f2 USING (src_id)
+         |JOIN b1 ON f1.tgt_best = b1.tgt_id AND b1.src_best = f1.src_id
+         |JOIN b2 USING (tgt_id)
+         |ORDER BY src_id""".stripMargin,
+
     "ann_margin_mining" ->
       s"""WITH q AS (
          |  SELECT vec_id, label,

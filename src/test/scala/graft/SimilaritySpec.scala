@@ -29,6 +29,36 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(one - 1.0) < 1e-12)
   }
 
+  test("mutualNearestPairs: planted aligned pairs are mutual, the " +
+      "one-sided attraction case is not") {
+    // tgt space: three well-separated anchors; src: one vector near
+    // each anchor, plus a src vector whose nearest tgt (anchor 0) has
+    // a DIFFERENT nearest src — one-sided, must not pair
+    val src = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0.1f, 0f), 0),
+      (2L, Array(0f, 0f, 0f, 1f), 0),
+      (3L, Array(0.9f, 0.1f, 0f, 0f), 0)) // also points at anchor 10
+      .toDF("vec_id", "embedding", "label")
+    val tgt = Seq(
+      (10L, Array(0.99f, 0.01f, 0f, 0f), 1),
+      (11L, Array(0.01f, 0.99f, 0.1f, 0f), 1),
+      (12L, Array(0f, 0.01f, 0f, 0.99f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mutualNearestPairs(src, tgt)
+      .select($"src_id", $"tgt_id", $"margin_src", $"margin_tgt")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // src 0 (exactly on anchor 0) beats src 3 for tgt 10's affection
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L).getLong(1) == 10L)
+    assert(out(1L).getLong(1) == 11L)
+    assert(out(2L).getLong(1) == 12L)
+    // margins are best-minus-second: strictly positive for clean pairs
+    out.values.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(3) > 0)
+    }
+  }
+
   test("marginMining surfaces boundary points first; margins ordered " +
       "and consistent") {
     // two tight clusters on orthogonal axes + one planted point on the
