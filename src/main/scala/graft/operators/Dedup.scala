@@ -311,6 +311,56 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
+  /** Content-defined chunking (CDC) — the byte-level dedup unit of
+    * storage/dataset dedup systems (FastCDC family): a chunk boundary
+    * falls wherever the rolling `w`-codepoint hash satisfies
+    * `hash % 2^maskBits == 0` (expected chunk length ≈ 2^maskBits), so
+    * boundaries are a function of CONTENT, not position — prepending a
+    * sentence to a document shifts every fixed-window chunk but CDC
+    * boundaries resynchronize right after the edit, and the unchanged
+    * tail keeps its chunk hashes (the resync property the spec pins).
+    * Fixed-size chunking ([[graft.operators.Packing.chunkByTokens]])
+    * cannot see that kind of sharing.
+    *
+    * Map-only: the rolling hashes are one codegen'd expression
+    * (CharWindowHashes, the winnow/span machinery), cut positions and
+    * chunk spans are array math over it, and the chunk explode is the
+    * usual fan-out. Output: (doc_id, chunk_idx, start_cp, len_cp,
+    * chunk_hash). Chunk hashes are engine-specific (xxhash64) — queries
+    * over this are rows-only gated with the semantics spec-pinned. */
+  def cdcChunks(df: DataFrame, id: Column, text: Column,
+      w: Int = 16, maskBits: Int = 6): DataFrame = {
+    require(w > 0 && maskBits >= 0 && maskBits < 62)
+    val m = 1L << maskBits
+    val hs = graft.functions.ShingleFunctions.char_window_hashes(text, w)
+    // cut AFTER the window that fires: position i (0-based window start)
+    // -> boundary at codepoint i + w
+    val cuts = filter(
+      transform(hs, (h, i) => when(pmod(h, lit(m)) === 0, i + w)),
+      c => c.isNotNull)
+    val bounds = array_union(
+      concat(array(lit(0)), cuts, array(char_length(text))),
+      array(lit(0))) // array_union also dedups a cut landing on the end
+    val sorted = array_sort(bounds)
+    df.select(id.as("doc_id"), text.as("__t"),
+        fence(sorted).as("__b"))
+      // a doc with no text yields bounds [0]: guard the descending-
+      // sequence edge (sequence(0, -1) counts DOWN in Spark)
+      .withColumn("chunk_idx",
+        explode(when(size(col("__b")) >= 2,
+          sequence(lit(0), size(col("__b")) - 2))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("start_cp",
+        element_at(col("__b"), col("chunk_idx") + 1))
+      .withColumn("len_cp",
+        element_at(col("__b"), col("chunk_idx") + 2) - col("start_cp"))
+      .filter(col("len_cp") > 0)
+      .withColumn("chunk_hash",
+        xxhash64(col("__t").substr(col("start_cp") + 1, col("len_cp"))))
+      .select(col("doc_id"), col("chunk_idx"), col("start_cp"),
+        col("len_cp"), col("chunk_hash"))
+  }
+
   /** Asymmetric shingle-containment pairs: C(A in B) = |A ∩ B| / |A|.
     * Catches the subset-duplicate family symmetric Jaccard structurally
     * misses — a short doc pasted verbatim inside a much longer one has

@@ -92,6 +92,23 @@ object TextDedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // content-defined chunking: per-doc chunk counts + how many chunks
+    // are shared with another doc (the byte-level storage-dedup view).
+    // Chunk hashes are engine-specific (xxhash rolling windows) ->
+    // rows-only; the boundary-resync property is spec'd in DedupSpec
+    "dedup_cdc_chunks" -> ((s, d) => {
+      val chunks = Dedup.cdcChunks(Tables.documents(s, d), col("doc_id"),
+        col("text"))
+      val sharing = chunks.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      chunks.join(sharing, "chunk_hash")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs_with") > 1, 1L).otherwise(0L))
+            .as("n_shared_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // near-dup clustering: connected components over the exact-Jaccard
     // pair graph — every doc mapped to its cluster's canonical (min) id.
     // DuckDB checks it with a recursive-CTE transitive closure.

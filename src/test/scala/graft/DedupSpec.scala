@@ -51,6 +51,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("CDC chunks: boundaries resync after a prepended edit (shared " +
+      "tail keeps its chunk hashes); chunks tile the doc exactly") {
+    val rng = new scala.util.Random(11)
+    val body = (0 until 300).map(_ =>
+      ('a' + rng.nextInt(26)).toChar).mkString
+    val df = Seq(
+      (1L, body),
+      (2L, "PREPENDED EDIT >>> " + body), // shifts every fixed window
+      (3L, rng.shuffle(body.toList).mkString)) // same chars, other order
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(df, col("doc_id"), col("text"),
+        w = 16, maskBits = 4)
+      .select($"doc_id", $"chunk_idx", $"start_cp", $"len_cp",
+        $"chunk_hash")
+      .as[(Long, Int, Int, Int, Long)].collect()
+    // chunks tile each doc: contiguous, full coverage
+    for (id <- Seq(1L, 2L, 3L)) {
+      val cs = out.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 0)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3)
+        case _ =>
+      }
+      val n = df.filter($"doc_id" === id).select(length($"text"))
+        .as[Int].head()
+      assert(cs.last._3 + cs.last._4 == n)
+    }
+    // the resync property: doc 2 = edit + doc 1's exact body, so most
+    // of doc 1's chunk hashes reappear in doc 2 — while the same-length
+    // shuffled doc 3 shares essentially nothing
+    val h1 = out.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = out.filter(_._1 == 2L).map(_._5).toSet
+    val h3 = out.filter(_._1 == 3L).map(_._5).toSet
+    val shared12 = (h1 & h2).size.toDouble / h1.size
+    assert(shared12 > 0.5, s"resync failed: only $shared12 shared")
+    assert((h1 & h3).size <= 1)
+  }
+
   test("prefix-filtered Jaccard: row-identical to the full-index join, " +
       "including planted near-dups") {
     // plant near-dups so the equality isn't vacuous: word-level
