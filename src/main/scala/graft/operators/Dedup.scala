@@ -33,7 +33,7 @@ object Dedup {
     * rule can fold it. Cost: one PRNG draw per row (an earlier
     * `shuffle(arr)` fence drew per ELEMENT — measurably slower on long
     * shingle sets). PlanSpec pins the fenced plans. */
-  private[operators] def fence(arr: Column): Column =
+  private[graft] def fence(arr: Column): Column =
     coalesce(when(randn() < 1e9, arr), arr)
 
   /** Exact dedup groups: one row per distinct content hash with the

@@ -251,7 +251,11 @@ object PrepOps {
         .withColumn("html", concat(lit("<html><body><p>"), col("text"),
           lit("</p><script>track();</script></body></html>")))
       val stripped = Scrub.stripMarkup(raw, col("html"))
+      // fence text_norm: the token-count gate below would otherwise push
+      // the ENTIRE strip+normalize regex chain into the parquet scan as
+      // a DataFilter (PlanDump-verified) and run it twice per row
       val normed = Scrub.normalize(stripped, col("text_plain"))
+        .withColumn("text_norm", Dedup.fence(col("text_norm")))
       // quality gate: >= 5 whitespace tokens post-normalization
       val gated = normed.filter(
         size(split(col("text_norm"), " ")) >= 5)
