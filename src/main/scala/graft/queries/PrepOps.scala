@@ -259,9 +259,16 @@ object PrepOps {
       // quality gate: >= 5 whitespace tokens post-normalization
       val gated = normed.filter(
         size(split(col("text_norm"), " ")) >= 5)
-      // one survivor per CANONICAL url (min doc_id)
+      // one survivor per CANONICAL url (min doc_id). The dedup stages
+      // below are SELF-joins — without a materialization barrier each
+      // branch re-executes the whole strip+normalize chain (PlanDump
+      // showed it three times); localCheckpoint computes the cleaned
+      // intermediate once, exactly where a production pipeline would
+      // persist it
       val canon = gated.withColumn("url_canon",
-        Urls.canonicalize(col("url")))
+          Urls.canonicalize(col("url")))
+        .select(col("doc_id"), col("url_canon"), col("text_norm"))
+        .localCheckpoint()
       val urlKept = canon.join(
         canon.groupBy(col("url_canon")).agg(min(col("doc_id")).as("doc_id")),
         Seq("doc_id", "url_canon"), "left_semi")
