@@ -454,6 +454,20 @@ object TextDedup {
         .resolve(recs, "id", "name", Seq("brand", "price"), maxDist = 2)
         .withColumnRenamed("canonical_name", "name")
         .orderBy(col("entity_id"))
+    }),
+
+    // model-based quality filter (CCNet/fastText recipe): weak labels
+    // from the corpus's own bigram-LM signal, hashed unigram+bigram
+    // logistic regression, map-only scoring of every doc. L-BFGS floats
+    // are not cross-engine reproducible -> rows-only gate; the planted
+    // clean-vs-junk separation and weak-label agreement are spec-pinned
+    // in QualityModelSpec.
+    "quality_model_score" -> ((s, d) => {
+      graft.operators.QualityModel
+        .weakLabelScore(Tables.documents(s, d), "doc_id", col("text"),
+          numFeatures = 1 << 12, maxIter = 20)
+        .select(col("doc_id"), col("weak_label"), col("model_quality"))
+        .orderBy(col("doc_id"))
     })
   )
 

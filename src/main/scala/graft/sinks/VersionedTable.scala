@@ -47,6 +47,11 @@ object VersionedTable {
 
   private val Terminator = "#end"
   private val BatchMarker = "#batch:"
+  private val WriterMarker = "#writer:"
+  // an UNTERMINATED manifest younger than this is presumed to be a live
+  // writer mid-write (create -> write -> close is milliseconds), not a
+  // crashed writer's junk — recovery must not delete it yet
+  private val CrashedManifestGraceMs = 10000L
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -104,7 +109,8 @@ object VersionedTable {
       if (lines.isEmpty || lines.last != Terminator) None // unterminated
       else {
         val body = lines.tail.dropRight(1)
-        val fileLines = body.filterNot(_.startsWith(BatchMarker))
+        val fileLines = body.filterNot(l =>
+          l.startsWith(BatchMarker) || l.startsWith(WriterMarker))
           .map { l => l.split("\t", 2) match {
             case Array(path, json) => path -> Some(json)
             case Array(path) => path -> None
@@ -888,8 +894,14 @@ object VersionedTable {
   /** Claim `nextFiles(headFiles)` as the next version via an EXCLUSIVE
     * manifest create. Conflict (create throws: another writer claimed
     * the version) => recompute against the new head and retry. An
-    * existing UNTERMINATED manifest at the target version is a crashed
-    * writer's junk: delete and re-claim. */
+    * existing UNTERMINATED manifest at the target version that is older
+    * than the grace window is a crashed writer's junk: delete and
+    * re-claim (younger ones are presumed live writers mid-write). A
+    * claim only counts once the post-close read-back returns this
+    * attempt's own token-stamped bytes — the recovery path on another
+    * writer may race a deletion between our create and close, and
+    * without the verification that lost claim would look like success
+    * (the concurrency hole the `concurrent upserts` spec hunts). */
   private def commitRetrying(spark: SparkSession, root: String,
       schema: => StructType, batchMarker: Option[Long] = None)
       (nextFiles: Seq[String] => Seq[String]): Long = {
@@ -899,7 +911,10 @@ object VersionedTable {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     var attempts = 0
-    while (attempts < 20) {
+    // 30 attempts outlasts the crashed-manifest grace window: a claim
+    // blocked by a crashed writer's young junk manifest must survive
+    // retrying until recovery is allowed to delete it (~10 s of backoff)
+    while (attempts < 30) {
       attempts += 1
       // losing a claim is normal under concurrent writers; a short
       // jittered pause keeps N losers from re-colliding in lockstep
@@ -918,22 +933,44 @@ object VersionedTable {
         prevStats.get(p).orElse(Option(stagedStats.get(p)))
           .fold("")(s => "\t" + statsToJson(s))
       // crashed-writer recovery: an invalid manifest blocks its version
-      // number; remove it before claiming
-      if (f.exists(target) && readManifestRaw(f, target).isEmpty)
-        f.delete(target, false)
+      // number; remove it before claiming — but ONLY once it is old
+      // enough that no live writer can still be mid-write on it. Without
+      // the grace window this deletes a manifest between a concurrent
+      // writer's create() and close(), re-claims its version, and that
+      // writer's commit is silently lost (its stream flushes to an
+      // unlinked inode and it reports success).
+      try {
+        if (f.exists(target) && readManifestRaw(f, target).isEmpty &&
+          System.currentTimeMillis() -
+            f.getFileStatus(target).getModificationTime >
+            CrashedManifestGraceMs)
+          f.delete(target, false)
+      } catch { case _: java.io.FileNotFoundException => () }
+      // the claim token makes this attempt's manifest bytes unique, so
+      // the read-back below can tell "my commit survived" from "someone
+      // recovered over my claim"
+      val payload = (schema.json + "\n" +
+        files.sorted.map(p => p + statsLine(p) + "\n").mkString +
+        batchMarker.fold("")(id => s"$BatchMarker$id\n") +
+        WriterMarker + java.util.UUID.randomUUID().toString + "\n" +
+        Terminator + "\n").getBytes(StandardCharsets.UTF_8)
       val claimed =
         try {
           val out = f.create(target, false) // exclusive: throws if claimed
-          try out.write((schema.json + "\n" +
-            files.sorted.map(p => p + statsLine(p) + "\n").mkString +
-            batchMarker.fold("")(id => s"$BatchMarker$id\n") +
-            Terminator + "\n").getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          true
+          try out.write(payload) finally out.close()
+          // post-close verification: exclusive create wins the claim,
+          // but a concurrent "crashed-writer recovery" may have deleted
+          // this manifest while it was being written. Success is only
+          // real if the bytes on disk after close are OURS.
+          val st = f.getFileStatus(target)
+          val back = new Array[Byte](st.getLen.toInt)
+          val in = f.open(target)
+          try in.readFully(back) finally in.close()
+          java.util.Arrays.equals(back, payload)
         } catch { case _: java.io.IOException => false }
       if (claimed) return v
     }
     throw new IllegalStateException(
-      s"commit contention: 20 straight version races under $root")
+      s"commit contention: 30 straight version races under $root")
   }
 }

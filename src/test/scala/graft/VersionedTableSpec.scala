@@ -546,12 +546,43 @@ class VersionedTableSpec extends SparkSpec {
     val out = f.create(junk, false)
     out.write("{\"type\":\"struct\",\"fields\":[]}\npartial".getBytes("UTF-8"))
     out.close()
+    // age it past the in-flight grace window: a crashed manifest is only
+    // reclaimable once no live writer could still be mid-write on it
+    f.setTimes(junk, System.currentTimeMillis() - 60000L, -1L)
     // readers ignore it...
     assert(VersionedTable.versions(spark, root) == Seq(0L))
     assert(VersionedTable.read(spark, root).count() == 1)
     // ...and the next commit garbage-collects the junk and claims v1
     val v = VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), root)
     assert(v == 1L)
+    assert(VersionedTable.read(spark, root).count() == 2)
+  }
+
+  test("a YOUNG unterminated manifest is not stolen while its writer " +
+    "may still be mid-write") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpRoot()
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
+    val junk = new org.apache.hadoop.fs.Path(root,
+      "_manifests/v000000000001.json")
+    val f = junk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(junk, false)
+    out.write("{\"type\":\"struct\",\"fields\":[]}\npartial".getBytes("UTF-8"))
+    out.close() // fresh mtime: looks like a writer between create and close
+    val append = Future {
+      VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    }
+    // within the grace window the committer must keep retrying, NOT
+    // delete the young claim out from under its (presumed live) writer
+    Thread.sleep(3000)
+    assert(!append.isCompleted, "young in-flight manifest was stolen")
+    assert(f.exists(junk), "young in-flight manifest was deleted")
+    // the "writer" dies for real: clear its claim; the committer's next
+    // retry finds the slot free and lands v1
+    f.delete(junk, false)
+    assert(Await.result(append, 60.seconds) == 1L)
     assert(VersionedTable.read(spark, root).count() == 2)
   }
 
