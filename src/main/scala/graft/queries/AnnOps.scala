@@ -221,8 +221,24 @@ object AnnOps {
     "ann_label_centroid" -> ((s, d) => {
       Similarity.labelCentroidCosine(Tables.embeddings(s, d))
         .orderBy(col("vec_id"))
+    }),
+
+    // greedy k-center coreset (diversity selection): exact int64
+    // quantized distances make the whole iterative selection
+    // bit-deterministic, so the oracle replays all k greedy stages as
+    // unrolled DuckDB CTEs — a FULL oracle over an iterative algorithm,
+    // not a rows-only check
+    "ann_kcenter_coreset" -> ((s, d) => {
+      graft.operators.Coreset
+        .kCenter(Tables.embeddings(s, d), "vec_id", col("embedding"),
+          k = KCenterK)
+        .select(col("vec_id"), col("center_id"), col("center_rank"),
+          col("d2_to_center"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  val KCenterK = 6
 
   // quantized-integer cosine (see Similarity.cosineExactDecimal scaladoc);
   // int sums go to double via VARCHAR: DuckDB's HUGEINT->DOUBLE cast
@@ -393,6 +409,52 @@ object AnnOps {
          |  ${duckCosExact("a", "b")} AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${duckCosExact("a", "b")} >= $NearDupTau
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_kcenter_coreset" -> kCenterOracle
   )
+
+  /** Greedy k-center, replayed stage by stage in SQL: the operator's
+    * quantized distances are exact int64, so every greedy pick is
+    * engine-independent and each of the k selection rounds unrolls to a
+    * CTE pair (min-dist-to-selected per row, then the argmax row with
+    * ties to the smaller vec_id — the operator's (dist, -id) key). The
+    * final assignment replays array_min's (d2, rank) order. */
+  private def kCenterOracle: String = {
+    // exact squared distance between two quantized BIGINT lists
+    def d2(a: String, b: String): String =
+      s"""CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)""".stripMargin
+    // min-dist per row via join+GROUP BY, not a correlated subquery:
+    // DuckDB lambdas cannot capture correlated outer columns
+    val stages = (1 until KCenterK).map { r =>
+      s"""m$r AS (
+         |  SELECT q.vec_id, MIN(${d2("q.v", "s.v")}) AS md
+         |  FROM q CROSS JOIN sel${r - 1} s
+         |  GROUP BY q.vec_id),
+         |s$r AS (
+         |  SELECT $r AS rank, q.vec_id AS cid, q.v
+         |  FROM m$r m JOIN q ON q.vec_id = m.vec_id
+         |  ORDER BY m.md DESC, m.vec_id LIMIT 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |sel0 AS (
+       |  SELECT 0 AS rank, vec_id AS cid, v FROM q
+       |  ORDER BY vec_id LIMIT 1),
+       |$stages,
+       |assigned AS (
+       |  SELECT q.vec_id, s.cid, s.rank, ${d2("q.v", "s.v")} AS d2,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${d2("q.v", "s.v")}, s.rank) AS rn
+       |  FROM q CROSS JOIN sel${KCenterK - 1} s)
+       |SELECT vec_id, cid AS center_id, rank AS center_rank,
+       |  d2 AS d2_to_center
+       |FROM assigned WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
 }
