@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trigram-postings substring search — the code-search index design
+  * (Google Code Search / Zoekt, public write-ups): a literal pattern can
+  * only occur in a document that contains EVERY trigram of the pattern,
+  * so an inverted index of (trigram, doc) postings turns "grep 100 TB"
+  * into an index probe over |pattern| postings lists plus an exact
+  * verify on the few candidates — the full-corpus text scan happens
+  * once at BUILD time, never per query.
+  *
+  * Trigram keys are the codegen'd rolling code-point hashes the
+  * duplicate-span machinery already uses ([[graft.functions.CharWindowHashes]]),
+  * NOT the raw strings: 8-byte fixed-width keys keep the postings table
+  * compact and its shuffle cheap. Hash collisions can only ADD
+  * candidates (never lose one), and the verify step removes them — the
+  * result is exactly `contains(text, pattern)`, which is what the
+  * DuckDB oracle checks.
+  *
+  * Scale shape: build is one map-only explode + a distinct shuffle
+  * keyed on (hash, doc) — the one corpus-sized pass. A probe touches
+  * only the pattern's ~|pattern| hash keys (broadcast IN-filter on the
+  * postings scan — with the index written range-clustered on gram_hash
+  * the filter prunes FILES too), one count-distinct per surviving doc,
+  * then a semi-join + exact contains() on candidates only. */
+object TextIndex {
+
+  /** Trigram window: the standard code-search operating point — short
+    * enough that any 3+-char pattern decomposes, long enough that
+    * postings lists stay selective. */
+  val Gram = 3
+
+  /** Build the postings index: one `(gram_hash, doc_id)` row per
+    * DISTINCT trigram per document (presence, not positions — the
+    * verify step re-checks the actual text, so positions would buy
+    * nothing and cost index size). */
+  def buildPostings(df: DataFrame, idCol: String, text: Column)
+      : DataFrame =
+    df.filter(text.isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(graft.functions.ShingleFunctions
+          .char_window_hashes(text, Gram))).as("gram_hash"))
+      .distinct()
+
+  /** The pattern's trigram hash keys, computed by the SAME expression
+    * the index build ran — one 1-row local plan, so driver and executors
+    * can never disagree on the hash. */
+  def patternHashes(spark: SparkSession, pattern: String): Seq[Long] = {
+    require(pattern.codePointCount(0, pattern.length) >= Gram,
+      s"pattern shorter than $Gram code points cannot use the index " +
+        "(fall back to a contains() scan)")
+    spark.range(1)
+      .select(explode(array_distinct(graft.functions.ShingleFunctions
+        .char_window_hashes(lit(pattern), Gram))).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Candidate doc ids: documents whose postings cover EVERY pattern
+    * trigram. May contain hash-collision false positives; never misses
+    * a true match. */
+  def candidates(postings: DataFrame, spark: SparkSession,
+      pattern: String): DataFrame = {
+    val hs = patternHashes(spark, pattern)
+    postings.filter(col("gram_hash").isin(hs: _*))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram_hash")).as("__ti_n"))
+      .filter(col("__ti_n") === hs.size)
+      .select(col("doc_id"))
+  }
+
+  /** Index-assisted exact substring search: semantically identical to
+    * `df.filter(contains(text, pattern))`, but only candidate documents
+    * are read and verified. `df` must be the corpus the index was built
+    * from (a stale index can miss newer documents — rebuild or
+    * incrementally append postings on ingest). */
+  def search(postings: DataFrame, df: DataFrame, idCol: String,
+      text: Column, pattern: String): DataFrame = {
+    if (pattern.codePointCount(0, pattern.length) < Gram)
+      df.filter(text.contains(pattern)) // too short to decompose: scan
+    else
+      df.join(
+          candidates(postings, df.sparkSession, pattern)
+            .withColumnRenamed("doc_id", idCol),
+          Seq(idCol), "left_semi")
+        .filter(text.contains(pattern)) // collision scrub: exact verify
+  }
+}

@@ -468,8 +468,28 @@ object TextDedup {
           numFeatures = 1 << 12, maxIter = 20)
         .select(col("doc_id"), col("weak_label"), col("model_quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // trigram-postings substring search (the code-search index shape):
+    // build the (gram_hash, doc) inverted index, probe it with the
+    // pattern's trigrams, exact-verify candidates — result provably
+    // identical to contains(text, pattern), which the oracle computes
+    // directly
+    "text_substring_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val postings = graft.operators.TextIndex
+        .buildPostings(docs, "doc_id", col("text"))
+      graft.operators.TextIndex
+        .search(postings, docs, "doc_id", col("text"), SearchPattern)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Fixed probe for `text_substring_search`: a two-word phrase, so the
+    * result depends on word ADJACENCY that any bag-of-words/token query
+    * cannot express (matches ~5% of fixture docs at every SF). */
+  private val SearchPattern = "merge batch"
 
   // shared by dedup_ngram_jaccard and dedup_jaccard_prefix (prefix
   // filtering changes the plan, never the output)
@@ -935,6 +955,11 @@ object TextDedup {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> langCase,
+
+    "text_substring_search" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE contains(text, '$SearchPattern')
+         |ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_hash,

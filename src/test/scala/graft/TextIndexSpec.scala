@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.TextIndex
+import org.apache.spark.sql.functions._
+
+/** Pins the trigram-postings substring index: exact parity with a
+  * contains() scan on real fixture text (the index can only add
+  * collision candidates, verify must scrub them), actual candidate
+  * pruning, the short-pattern fallback, and code-point (not UTF-16)
+  * windowing. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, Sf0)
+  private lazy val postings =
+    TextIndex.buildPostings(docs, "doc_id", col("text")).cache()
+
+  private def scanIds(pattern: String): Seq[Long] =
+    docs.filter(col("text").contains(pattern))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+
+  private def searchIds(pattern: String): Seq[Long] =
+    TextIndex.search(postings, docs, "doc_id", col("text"), pattern)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+
+  test("index search == contains() scan for phrases, words, and misses") {
+    for (p <- Seq("merge batch", "table", "scan slow fast",
+      "no such needle", "row scan")) {
+      assert(searchIds(p) == scanIds(p), s"parity broke for '$p'")
+    }
+  }
+
+  test("probing is selective: candidates far fewer than the corpus") {
+    val n = docs.count()
+    val c = TextIndex.candidates(postings, spark, "merge batch").count()
+    val hits = scanIds("merge batch").size.toLong
+    assert(c >= hits, "candidates must cover every true match")
+    assert(c < n / 2, s"index should prune: $c candidates of $n docs")
+  }
+
+  test("short patterns fall back to a scan, same semantics") {
+    assert(searchIds("ta") == scanIds("ta"))
+    intercept[IllegalArgumentException] {
+      TextIndex.patternHashes(spark, "ab")
+    }
+  }
+
+  test("code-point windows: supplementary chars count as one") {
+    val emoji = Seq((1L, "a😀b see"), (2L, "plain text here"))
+      .toDF("doc_id", "text")
+    val p = TextIndex.buildPostings(emoji, "doc_id", col("text"))
+    // "a<emoji>b" is 3 code points -> indexable as one trigram
+    val out = TextIndex
+      .search(p, emoji, "doc_id", col("text"), "a😀b")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
+  test("null text is indexable corpus-side and never matches") {
+    val d = Seq((1L, "has merge batch inside"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((2L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val p = TextIndex.buildPostings(d, "doc_id", col("text"))
+    val out = TextIndex.search(p, d, "doc_id", col("text"), "merge batch")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+}
