@@ -270,6 +270,22 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // end-to-end unigram-LM tokenizer (SentencePiece's second
+    // algorithm): seed substring vocabulary, 2 EM rounds of native
+    // Viterbi re-segmentation over the distinct-word table, then
+    // tokenize every doc. Exact counts + deterministic DP tie-breaks
+    // make the output partition-invariant (UnigramSpec), but the model
+    // is not SQL-expressible -> rows-only gate.
+    "text_unigram_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = graft.operators.Unigram.train(docs, col("text"),
+        vocabSize = 200)
+      val toks = graft.operators.Unigram.tokens(col("text"), vocab)
+      docs.select(col("doc_id"), size(toks).as("n_pieces"),
+          size(array_distinct(toks)).as("n_distinct_pieces"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_quality" -> ((s, d) => {
       TextAnalysis.qualityFeatures(Tables.documents(s, d), col("text"))
         .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"),
