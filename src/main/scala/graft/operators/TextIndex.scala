@@ -70,11 +70,30 @@ object TextIndex {
       .select(col("doc_id"))
   }
 
+  /** Incremental ingest: upsert the batch's postings into a PERSISTED
+    * index keyed on (gram_hash, doc_id) — replaying a batch is a no-op,
+    * and the old corpus is never re-shingled (the
+    * [[Dedup.exactKeepIncremental]] production-loop pattern). This is
+    * the shape that makes the index pay at scale: the corpus-sized
+    * trigram pass happens once per ingested batch, and every later
+    * probe reads only the persisted postings. */
+  def appendPostings(df: DataFrame, idCol: String, text: Column,
+      indexPath: String): Unit =
+    graft.sinks.ParquetUpsert.upsert(
+      buildPostings(df, idCol, text), indexPath,
+      Seq("gram_hash", "doc_id"))
+
+  /** Probe a persisted index (see [[appendPostings]]). */
+  def searchIndexed(indexPath: String, df: DataFrame, idCol: String,
+      text: Column, pattern: String): DataFrame =
+    search(df.sparkSession.read.parquet(indexPath), df, idCol, text,
+      pattern)
+
   /** Index-assisted exact substring search: semantically identical to
     * `df.filter(contains(text, pattern))`, but only candidate documents
     * are read and verified. `df` must be the corpus the index was built
     * from (a stale index can miss newer documents — rebuild or
-    * incrementally append postings on ingest). */
+    * incrementally [[appendPostings]] on ingest). */
   def search(postings: DataFrame, df: DataFrame, idCol: String,
       text: Column, pattern: String): DataFrame = {
     if (pattern.codePointCount(0, pattern.length) < Gram)

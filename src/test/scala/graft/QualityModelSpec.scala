@@ -84,6 +84,30 @@ class QualityModelSpec extends SparkSpec {
       s"model must separate its weak classes: $meanPos vs $meanNeg")
   }
 
+  test("a batch-trained model scores a STREAM, bit-identical to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val df = planted
+    val model = QualityModel.train(df, col("text"), col("label"),
+      numFeatures = 1 << 12, maxIter = 10)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(planted.select($"id", $"text").as[(Long, String)]
+      .collect().toSeq: _*)
+    val scored = QualityModel.score(model,
+      mem.toDF().toDF("id", "text"), col("text"))
+    val q = scored.writeStream.format("memory")
+      .queryName("qm_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("qm_stream")
+      .select($"id", $"model_quality").as[(Long, Double)]
+      .collect().toMap
+    val batch = QualityModel.score(model, df, col("text"))
+      .select($"id", $"model_quality").as[(Long, Double)]
+      .collect().toMap
+    assert(streamed == batch,
+      "stream scoring must equal batch scoring exactly")
+  }
+
   test("reserved output column is guarded") {
     val df = planted.withColumn("model_quality", lit(0.0))
     val model = QualityModel.train(planted, col("text"), col("label"),

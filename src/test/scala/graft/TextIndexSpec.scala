@@ -56,6 +56,25 @@ class TextIndexSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("incremental persisted index: batches accrue, replays are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("tidx").toString + "/idx"
+    val b1 = Seq((1L, "alpha merge batch beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "the merge batch returns"), (4L, "unrelated words"))
+      .toDF("doc_id", "text")
+    TextIndex.appendPostings(b1, "doc_id", col("text"), dir)
+    TextIndex.appendPostings(b2, "doc_id", col("text"), dir)
+    TextIndex.appendPostings(b2, "doc_id", col("text"), dir) // replay
+    val all = b1.unionByName(b2)
+    val out = TextIndex
+      .searchIndexed(dir, all, "doc_id", col("text"), "merge batch")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L))
+    // replayed batch added no duplicate postings
+    val p = spark.read.parquet(dir)
+    assert(p.count() == p.distinct().count())
+  }
+
   test("null text is indexable corpus-side and never matches") {
     val d = Seq((1L, "has merge batch inside"))
       .toDF("doc_id", "text")
