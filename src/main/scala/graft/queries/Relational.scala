@@ -787,6 +787,22 @@ object Relational {
         .orderBy(col("relation"))
     }),
 
+    // ---- re-identification risk audit ---------------------------------
+    // k-anonymity + l-diversity over (nation, balance-bucket) quasi-
+    // identifiers with the market segment as the sensitive attribute:
+    // one groupBy computes class size and sensitive diversity, flagged
+    // classes are those a release pipeline must generalize. floor(bal /
+    // 100) keeps the bucket rule an exact IEEE division both engines
+    // compute identically (round() would hit HALF_EVEN-vs-HALF_UP)
+    "privacy_k_anonymity" -> ((s, d) => {
+      graft.operators.Privacy.anonymityViolations(
+          Tables.customer(s, d),
+          Seq("c_nationkey" -> col("c_nationkey"),
+            "bal_bucket" -> floor(col("c_acctbal") / 100).cast("long")),
+          sensitive = col("c_mktsegment"), k = 3, l = 2)
+        .orderBy(col("c_nationkey"), col("bal_bucket"))
+    }),
+
     // ---- functional-dependency audit ----------------------------------
     // does lhs determine rhs, and how badly does it fail? One two-level
     // aggregation per candidate pair (no joins, no windows) — the
@@ -1707,6 +1723,16 @@ object Relational {
          |  (CAST(n_obs AS DOUBLE) - expected) / expected AS chi2_contrib
          |FROM j ORDER BY digit""".stripMargin
     },
+
+    "privacy_k_anonymity" ->
+      """SELECT c_nationkey,
+        |  CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+        |  COUNT(*) AS class_size,
+        |  COUNT(DISTINCT c_mktsegment) AS n_sensitive
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) < 3 OR COUNT(DISTINCT c_mktsegment) < 2
+        |ORDER BY c_nationkey, bal_bucket""".stripMargin,
 
     "quality_ri_audit" ->
       """WITH li2 AS (
