@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.feature.HashingTF
-import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -40,7 +39,7 @@ object QualityModel {
     * Takes the COLUMN NAME of the token array so the SQL lambda indexes
     * the materialized array (re-deriving from text would re-split per
     * element — the interpreted-HOF trap noted at dropBoilerplateSpans). */
-  private[operators] def grams(toksCol: String): Column = expr(
+  private[graft] def grams(toksCol: String): Column = expr(
     s"""concat($toksCol,
        |  CASE WHEN size($toksCol) >= 2
        |    THEN transform(sequence(0, size($toksCol) - 2),
@@ -77,22 +76,32 @@ object QualityModel {
 
   /** Score `df`: appends `model_quality` = P(label = 1 | text), in
     * [0, 1]. Null text scores null (no fabricated quality for missing
-    * documents). Map-only: hashing + a broadcast dot product per row. */
+    * documents).
+    *
+    * Scoring is a PURE CATALYST plan, not `model.transform`: the native
+    * fused [[graft.functions.LinearTextMargin]] expression accumulates
+    * `intercept + coef[index(gram)]` over unigrams+bigrams in one
+    * codegen'd JVM pass per row, with `index` the REAL HashingTF bucket
+    * (NOT SQL `hash()` — different murmur3 tail mixing; parity against
+    * model.transform is spec-asserted at 1e-12). Summing the
+    * coefficient once per gram occurrence equals the dot product with
+    * the TF count vector. The coefficients ride the expression as one
+    * reference object; no UDF, no model object in any task closure
+    * (model.transform's prediction UDF drags the training summary's
+    * SparkSession into the closure — a serialization landmine — and
+    * evaluates interpreted besides). */
   def score(model: LogisticRegressionModel, df: DataFrame, text: Column)
       : DataFrame = {
     val cols = df.columns.toSeq
     require(!cols.contains("model_quality") &&
       !cols.exists(_.startsWith("__qm_")),
       "score reserves model_quality and __qm_* column names")
-    val tf = new HashingTF().setInputCol("__qm_grams")
-      .setOutputCol(model.getFeaturesCol)
-      .setNumFeatures(model.numFeatures)
-    val prepped = tf.transform(
-      withGrams(df, coalesce(text, lit(""))))
-    model.transform(prepped)
-      .withColumn("model_quality",
+    val margin = graft.functions.MlHashFunctions.linear_text_margin(
+      TextAnalysis.tokens(coalesce(text, lit(""))),
+      model.coefficients.toArray, model.intercept, model.numFeatures)
+    df.withColumn("model_quality",
         when(text.isNull, lit(null).cast("double"))
-          .otherwise(vector_to_array(col(model.getProbabilityCol))(1)))
+          .otherwise(lit(1.0) / (lit(1.0) + exp(-margin))))
       .select(cols.map(col) :+ col("model_quality"): _*)
   }
 

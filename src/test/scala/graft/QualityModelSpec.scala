@@ -84,6 +84,29 @@ class QualityModelSpec extends SparkSpec {
       s"model must separate its weak classes: $meanPos vs $meanNeg")
   }
 
+  test("declarative scoring == model.transform probabilities " +
+    "(SQL hash() must be HashingTF's murmur3)") {
+    import org.apache.spark.ml.feature.HashingTF
+    import org.apache.spark.ml.functions.vector_to_array
+    val df = planted
+    val model = QualityModel.train(df, col("text"), col("label"),
+      numFeatures = 1 << 12, maxIter = 10)
+    val ours = QualityModel.score(model, df, col("text"))
+      .select($"id", $"model_quality").as[(Long, Double)].collect().toMap
+    // reference: the full spark.ml transform path on the same grams
+    val tf = new HashingTF().setInputCol("__g").setOutputCol("features")
+      .setNumFeatures(model.numFeatures)
+    val prepped = tf.transform(df
+      .withColumn("__qm_toks", split($"text", " "))
+      .withColumn("__g", graft.operators.QualityModel.grams("__qm_toks")))
+    val ref = model.transform(prepped)
+      .select($"id", vector_to_array(col("probability"))(1))
+      .as[(Long, Double)].collect().toMap
+    val worst = ours.map { case (k, v) => math.abs(v - ref(k)) }.max
+    assert(worst < 1e-12,
+      s"declarative margin drifted from model.transform: $worst")
+  }
+
   test("a batch-trained model scores a STREAM, bit-identical to batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
