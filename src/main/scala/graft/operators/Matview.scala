@@ -53,4 +53,83 @@ object Matview {
     base.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         sumCols.map(c => sum(col(c).cast("long")).as(s"sum_$c")): _*)
+
+  /** Incremental maintenance for an INNER equi-join view `V = L ⋈ R`
+    * on `on` — the delta-propagation identity
+    *
+    *   V1 − V0 = ΔL ⋈ R0  +  L1 ⋈ ΔR
+    *
+    * (exact in bag semantics: expanding (L0+ΔL)⋈(R0+ΔR) − L0⋈R0 gives
+    * ΔL⋈R0 + L0⋈ΔR + ΔL⋈ΔR, and the last two fold into L1⋈ΔR). The
+    * cost is two joins whose DELTA side is O(|ΔL|)/(O(|ΔR|)) — the base
+    * tables are probed, never re-joined against each other, so a small
+    * nightly delta maintains a 100 TB join view without rescanning it.
+    *
+    * `lKey`/`rKey` are the sides' primary keys (update = remove(before)
+    * ⊎ insert(after), the CDC convention [[maintainSums]] uses); view
+    * rows are identified by the (lKey, rKey) pair. Returns the view
+    * delta: every output row is a full view row plus `__op` —
+    * `'D'` retract (the before-image) or `'I'` assert (the after-image).
+    * An updated row yields a D and an I under the same (lKey, rKey);
+    * apply D-without-I as deletes and every I as an upsert
+    * ([[applyJoinDelta]] does exactly that against a versioned view). */
+  def joinDelta(l0: DataFrame, lIns: DataFrame, lDel: DataFrame,
+      lKey: String, r0: DataFrame, rIns: DataFrame, rDel: DataFrame,
+      rKey: String, on: Seq[String]): DataFrame = {
+    require(on.nonEmpty, "need at least one join column")
+    require(l0.columns.toSet.intersect(r0.columns.toSet) == on.toSet,
+      "the join columns must be the only names the sides share " +
+        s"(shared: ${l0.columns.toSet.intersect(r0.columns.toSet)})")
+    require(!(l0.columns ++ r0.columns).contains("__sgn"),
+      "joinDelta reserves the __sgn column name")
+    require(l0.columns.contains(lKey) && r0.columns.contains(rKey),
+      s"primary keys must exist on their sides: $lKey / $rKey")
+    val sgn = col("__sgn")
+    val dl = lIns.withColumn("__sgn", lit(1L))
+      .unionByName(lDel.withColumn("__sgn", lit(-1L)))
+    val dr = rIns.withColumn("__sgn", lit(1L))
+      .unionByName(rDel.withColumn("__sgn", lit(-1L)))
+    val l1 = l0.join(lDel.select(col(lKey)).distinct(), Seq(lKey),
+      "left_anti").unionByName(lIns)
+    val d1 = dl.join(r0, on)
+    val d2 = l1.join(dr, on)
+    val viewCols = d1.columns.filterNot(_ == "__sgn").toSeq
+    // net per FULL ROW: an L-update's retract(old payload) and
+    // assert(new payload) are different rows and must both survive;
+    // only identical-row +/- pairs (e.g. delete+reinsert of the same
+    // values) cancel
+    d1.select((viewCols.map(col) :+ sgn): _*)
+      .unionByName(d2.select((viewCols.map(col) :+ sgn): _*))
+      .groupBy(viewCols.map(col): _*)
+      .agg(sum(sgn).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .withColumn("__op", when(col("__net") > 0, lit("I")).otherwise(lit("D")))
+      .drop("__net")
+  }
+
+  /** Apply a [[joinDelta]] to a versioned view table keyed
+    * (lKey, rKey): pure retractions (a D with no I on the same view
+    * key) delete; every assertion upserts (covering the update case
+    * where D and I share the key). Both operations are file-pruned lake
+    * commits — O(|delta| + matching files). */
+  def applyJoinDelta(spark: org.apache.spark.sql.SparkSession,
+      viewRoot: String, delta: DataFrame, lKey: String, rKey: String)
+      : Unit = {
+    val keys = Seq(lKey, rKey)
+    // materialize the delta ONCE: it is O(|delta|) by construction, and
+    // the lake's upsert/merge machinery (key probe, staging, stats,
+    // commit retry) evaluates its input several times — lazily each
+    // evaluation would re-run the CDC diffs and both maintenance joins
+    val d = delta.localCheckpoint()
+    val inserts = d.filter(col("__op") === "I").drop("__op")
+    val pureDeletes = d.filter(col("__op") === "D")
+      .join(inserts.select(keys.map(col): _*), keys, "left_anti")
+      .drop("__op")
+    if (!pureDeletes.isEmpty)
+      graft.sinks.VersionedTable.merge(pureDeletes, viewRoot, keys,
+        matchedDelete = Some(lit(true)), matchedUpdate = Map.empty,
+        insertUnmatched = false)
+    if (!inserts.isEmpty)
+      graft.sinks.VersionedTable.upsert(inserts, viewRoot, keys)
+  }
 }

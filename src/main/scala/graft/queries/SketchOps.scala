@@ -238,6 +238,74 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // incremental JOIN-view maintenance end-to-end: orders JOIN customer
+    // materialized as a versioned view, both bases mutated (price
+    // updates, inserts, deletes, segment updates), the view maintained
+    // ONLY from the two CDC feeds via the delta identity
+    // V1-V0 = dL*R0 + L1*dR — never re-joining the bases — then
+    // hash-checked against the oracle's from-scratch join of the edited
+    // tables. Updates exercise the retract+assert path (same view key,
+    // different payload).
+    "versioned_join_matview" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      import graft.operators.Matview
+      val dir = java.nio.file.Files.createTempDirectory("jmv").toString
+      val (lRoot, rRoot, vRoot) = (s"$dir/l", s"$dir/r", s"$dir/v")
+      // a quarter of orders keeps the gate SF-proportional while the
+      // uniform %10 edit pattern (which defeats file pruning by design
+      // — every file holds touched keys) stays affordable at bench SF
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"),
+          col("c_mktsegment"))
+      val lv0 = VersionedTable.write(orders, lRoot)
+      val rv0 = VersionedTable.write(cust, rRoot)
+      VersionedTable.write(
+        VersionedTable.read(s, lRoot).join(VersionedTable.read(s, rRoot),
+          Seq("o_custkey")), vRoot)
+      // mutate the bases: price doubling, key-shifted inserts, deletes
+      // on the left; segment updates on the right
+      VersionedTable.upsert(
+        orders.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(orders.filter(col("o_orderkey") % 10 === 4)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice"))),
+        lRoot, Seq("o_orderkey"))
+      VersionedTable.deleteWhere(s, lRoot, col("o_orderkey") % 10 === 7)
+      VersionedTable.upsert(
+        cust.filter(col("o_custkey") % 5 === 2)
+          .withColumn("c_mktsegment", lit("SEG_X")),
+        rRoot, Seq("o_custkey"))
+      def cdcOf(root: String, key: String, fromV: Long) = {
+        val cdc = VersionedTable.diff(s, root, Seq(key), fromV,
+          VersionedTable.versions(s, root).max)
+        (cdc.filter(col("change_type").isin("insert", "update"))
+            .drop("change_type"),
+          VersionedTable.read(s, root, Some(fromV))
+            .join(cdc.filter(col("change_type").isin("update", "delete"))
+              .select(key), Seq(key), "leftsemi"))
+      }
+      val (lI, lD) = cdcOf(lRoot, "o_orderkey", lv0)
+      val (rI, rD) = cdcOf(rRoot, "o_custkey", rv0)
+      val delta = Matview.joinDelta(
+        VersionedTable.read(s, lRoot, Some(lv0)), lI, lD, "o_orderkey",
+        VersionedTable.read(s, rRoot, Some(rv0)), rI, rD, "o_custkey",
+        on = Seq("o_custkey"))
+      Matview.applyJoinDelta(s, vRoot, delta, "o_orderkey", "o_custkey")
+      val result = VersionedTable.read(s, vRoot)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // RESTORE end-to-end: v0 = documents, v1 = a predicate delete,
     // v2 = restore(0). The head must read exactly v0 again (files reused
     // by identity) while v1's deleted state still time-travels — the
@@ -550,6 +618,28 @@ object SketchOps {
         |SELECT doc_id, source, n_chars, 'delete'
         |  FROM documents WHERE source = 'src19'
         |ORDER BY doc_id, change_type""".stripMargin,
+
+    "versioned_join_matview" ->
+      """WITH l0 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 = 1),
+        |l1 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM l0 WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM l0 WHERE o_orderkey % 10 = 4),
+        |r1 AS (
+        |  SELECT c_custkey AS o_custkey, c_nationkey,
+        |    CASE WHEN c_custkey % 5 = 2 THEN 'SEG_X'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT o_orderkey, o_custkey, o_totalprice, c_nationkey,
+        |  c_mktsegment
+        |FROM l1 JOIN r1 USING (o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "versioned_matview" ->
       """WITH final AS (

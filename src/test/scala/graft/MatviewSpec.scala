@@ -64,6 +64,89 @@ class MatviewSpec extends SparkSpec {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  test("join view: randomized delta rounds == recompute, through the lake") {
+    val rnd = new scala.util.Random(11)
+    val dir = java.nio.file.Files.createTempDirectory("jmv").toString
+    val (lRoot, rRoot, vRoot) = (s"$dir/l", s"$dir/r", s"$dir/v")
+    def mkL(n: Int, tag: String) = (0 until n).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, s"$tag$i")).toDF("lid", "k", "lv")
+    def mkR(n: Int) = (0 until n).map(i =>
+      (i.toLong + 500, rnd.nextInt(8).toLong, rnd.nextInt(100)))
+      .toDF("rid", "k", "rv")
+    var lv = VersionedTable.write(mkL(120, "a"), lRoot)
+    var rv = VersionedTable.write(mkR(40), rRoot)
+    val view0 = VersionedTable.read(spark, lRoot).join(
+      VersionedTable.read(spark, rRoot), Seq("k"))
+    VersionedTable.write(view0, vRoot)
+
+    def viewSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lid", "lv", "rid", "rv")
+        .as[(Long, Long, String, Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+
+    for (round <- 0 until 3) {
+      // left: updates that MOVE join keys + inserts + deletes
+      val lUps = (0 until 25).map(_ => rnd.nextInt(120).toLong).distinct
+        .map(id => (id, rnd.nextInt(9).toLong, s"u$round$id"))
+      val lIns2 = (0 until 8).map(i =>
+        (1000L + round * 10 + i, rnd.nextInt(9).toLong, s"n$round$i"))
+      VersionedTable.upsert((lUps ++ lIns2).toDF("lid", "k", "lv"),
+        lRoot, Seq("lid"))
+      val lv1 = VersionedTable.deleteWhere(spark, lRoot,
+        col("lid") % 13 === round.toLong)
+      // right: updates that change payload and keys
+      val rUps = (0 until 10).map(_ => 500L + rnd.nextInt(40))
+        .distinct.map(id => (id, rnd.nextInt(9).toLong, rnd.nextInt(100)))
+      val rv1 = VersionedTable.upsert(rUps.toDF("rid", "k", "rv"),
+        rRoot, Seq("rid"))
+
+      def cdcOf(root: String, key: String, fromV: Long) = {
+        val cdc = VersionedTable.diff(spark, root, Seq(key), fromV,
+          VersionedTable.versions(spark, root).max)
+        val ins = cdc.filter(col("change_type").isin("insert", "update"))
+          .drop("change_type")
+        val del = VersionedTable.read(spark, root, Some(fromV))
+          .join(cdc.filter(col("change_type").isin("update", "delete"))
+            .select(key), Seq(key), "leftsemi")
+        (ins, del)
+      }
+      val (lI, lD) = cdcOf(lRoot, "lid", lv)
+      val (rI, rD) = cdcOf(rRoot, "rid", rv)
+      val delta = Matview.joinDelta(
+        VersionedTable.read(spark, lRoot, Some(lv)), lI, lD, "lid",
+        VersionedTable.read(spark, rRoot, Some(rv)), rI, rD, "rid",
+        on = Seq("k"))
+      Matview.applyJoinDelta(spark, vRoot, delta, "lid", "rid")
+      val got = viewSet(VersionedTable.read(spark, vRoot))
+      val expect = viewSet(VersionedTable.read(spark, lRoot)
+        .join(VersionedTable.read(spark, rRoot), Seq("k")))
+      assert(got == expect, s"round=$round diverged")
+      lv = lv1; rv = rv1
+    }
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  test("join view: retract and assert collapse only on identical rows") {
+    // an update that changes only the payload must emit BOTH the
+    // retract of the old row and the assert of the new one
+    val l0 = Seq((1L, 7L, "old")).toDF("lid", "k", "lv")
+    val r0 = Seq((9L, 7L, 42L)).toDF("rid", "k", "rv")
+    val delta = Matview.joinDelta(
+      l0, lIns = Seq((1L, 7L, "new")).toDF("lid", "k", "lv"),
+      lDel = l0, lKey = "lid",
+      r0 = r0, rIns = r0.limit(0), rDel = r0.limit(0), rKey = "rid",
+      on = Seq("k"))
+      .select("__op", "lv").as[(String, String)].collect().toSet
+    assert(delta == Set(("D", "old"), ("I", "new")))
+    // delete + reinsert of the identical row nets to nothing
+    val noop = Matview.joinDelta(
+      l0, lIns = l0, lDel = l0, lKey = "lid",
+      r0 = r0, rIns = r0.limit(0), rDel = r0.limit(0), rKey = "rid",
+      on = Seq("k"))
+    assert(noop.isEmpty)
+  }
+
   test("update that only changes the sum column keeps counts stable") {
     val prev = Seq(("a", 2L, 10L)).toDF("g", "n_rows", "sum_x")
     val out = asMap(Matview.maintainSums(prev,
