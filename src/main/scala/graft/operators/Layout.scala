@@ -32,7 +32,17 @@ object Layout {
     * not at all). The multi-dimensional analogue of
     * [[writeRangeClustered]]; same one-extra-shuffle write cost. */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[Column],
-      nFiles: Int, bitsPerCol: Int = 16): Unit = {
+      nFiles: Int, bitsPerCol: Int = 16): Unit =
+    zOrdered(df, cols, nFiles, bitsPerCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** The Morton-clustered DataFrame behind [[writeZOrdered]], exposed so
+    * other writers (e.g. the versioned lake's re-clustering compaction)
+    * can stage the same layout through their own commit machinery. The
+    * quantization probe (one min/max agg per column) runs HERE, eagerly,
+    * once. */
+  def zOrdered(df: DataFrame, cols: Seq[Column],
+      nFiles: Int, bitsPerCol: Int = 16): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cols.size >= 2,
       "z-order needs >= 2 columns; use writeRangeClustered for one")
@@ -66,6 +76,5 @@ object Layout {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

@@ -249,6 +249,13 @@ object SketchOps {
     "versioned_join_matview" -> ((s, d) => {
       import graft.sinks.VersionedTable
       import graft.operators.Matview
+      // eight commits, none of which this gate reads back selectively:
+      // skip the per-file stats pass (it doubles each commit's job
+      // count), restoring the session default afterward
+      val statsKey = "spark.graft.lake.stats.enabled"
+      val prevStats = s.conf.getOption(statsKey)
+      s.conf.set(statsKey, "false")
+      try {
       val dir = java.nio.file.Files.createTempDirectory("jmv").toString
       val (lRoot, rRoot, vRoot) = (s"$dir/l", s"$dir/r", s"$dir/v")
       // a quarter of orders keeps the gate SF-proportional while the
@@ -302,6 +309,37 @@ object SketchOps {
       val rows = java.util.Arrays.asList(result.collect(): _*)
       val schema = result.schema
       val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+      } finally prevStats match {
+        case Some(v) => s.conf.set(statsKey, v)
+        case None => s.conf.unset(statsKey)
+      }
+    }),
+
+    // OPTIMIZE ZORDER end-to-end: customers land in the lake in hash
+    // order (every (key, balance) range in every file), the head is
+    // re-clustered on (c_custkey, c_acctbal) as one content-identical
+    // commit, and a two-dimensional readWhere box comes back — results
+    // must equal the oracle's plain filter regardless of how many files
+    // the Morton layout let the read skip (pruning is spec-asserted in
+    // VersionedTableSpec; the gate pins result fidelity through the
+    // rewrite)
+    "versioned_zorder_read" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("vz")
+        .toString + "/t"
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      VersionedTable.write(cust.repartition(16), root)
+      VersionedTable.compactZOrdered(s, root,
+        Seq(col("c_custkey"), col("c_acctbal")), nFiles = 16)
+      val result = VersionedTable.readWhere(s, root,
+          col("c_custkey") <= 400L && col("c_acctbal") >= 5000.0)
+        .orderBy(col("c_custkey"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       s.createDataFrame(rows, schema)
     }),
@@ -618,6 +656,11 @@ object SketchOps {
         |SELECT doc_id, source, n_chars, 'delete'
         |  FROM documents WHERE source = 'src19'
         |ORDER BY doc_id, change_type""".stripMargin,
+
+    "versioned_zorder_read" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |WHERE c_custkey <= 400 AND c_acctbal >= 5000
+        |ORDER BY c_custkey""".stripMargin,
 
     "versioned_join_matview" ->
       """WITH l0 AS (

@@ -722,6 +722,34 @@ object VersionedTable {
 
   private final class NothingToCompact extends RuntimeException
 
+  /** OPTIMIZE ... ZORDER BY: rewrite the ENTIRE head Morton-clustered
+    * on `cols` as one content-identical commit (Layout.zOrdered does
+    * the interleaving; the staging pass records fresh per-file stats),
+    * so after the commit `readWhere` prunes selective filters on ANY of
+    * the participating columns — the multi-dimensional repair for a
+    * table whose ingest order scattered every key range over every
+    * file. Older snapshots keep their original files until vacuum, like
+    * [[compact]]. Unlike size-tiered compact this always rewrites the
+    * full table — it is the periodic layout job you run when read
+    * patterns warrant it, not an every-commit cost. */
+  def compactZOrdered(spark: SparkSession, root: String,
+      cols: Seq[Column], nFiles: Int, bitsPerCol: Int = 16): Long = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val schema = manifest(f, root, vs.max).schema
+    var lastStaged: Seq[String] = Seq.empty
+    commitRetrying(spark, root, schema) { prev =>
+      lastStaged.foreach(p => f.delete(new Path(p), false))
+      require(prev.nonEmpty, "cannot z-order an empty snapshot")
+      val head = spark.read.schema(schema).parquet(prev: _*)
+      lastStaged = stageFiles(
+        graft.operators.Layout.zOrdered(head, cols, nFiles, bitsPerCol),
+        root)
+      lastStaged
+    }
+  }
+
   /** Delete data files referenced by no retained manifest, and expired
     * manifests themselves. Keeps the newest `keepVersions`; never
     * touches files younger than `graceMs` (a concurrent commit may

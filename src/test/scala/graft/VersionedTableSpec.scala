@@ -346,6 +346,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(planned(r8) == 2 && r8.count() == 2)
   }
 
+  test("compactZOrdered: content identical, old snapshot intact, " +
+    "quadrant readWhere prunes where the random layout could not") {
+    val root = tmpRoot()
+    val rnd = new scala.util.Random(5)
+    val pts = rnd.shuffle((0 until 64).flatMap(x =>
+      (0 until 64).map(y => (x.toLong, y.toLong, s"p$x-$y"))))
+    val v0 = VersionedTable.write(pts.toDF("x", "y", "tag")
+      .repartition(16), root)
+    def planned(df: org.apache.spark.sql.DataFrame) = df.inputFiles.length
+    val quadrant = col("x") < 16L && col("y") < 16L
+    // shuffled ingest spread every (x, y) range over every file
+    assert(planned(VersionedTable.readWhere(spark, root, quadrant)) >= 12)
+    val v1 = VersionedTable.compactZOrdered(spark, root,
+      Seq(col("x"), col("y")), nFiles = 16)
+    assert(v1 == v0 + 1)
+    // content identical at the head...
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() == 64 * 64)
+    assert(head.as[(Long, Long, String)].collect().toSet ==
+      pts.toSet)
+    // ...the Morton layout prunes on BOTH dims...
+    val q = VersionedTable.readWhere(spark, root, quadrant)
+    assert(planned(q) <= 4, s"quadrant still touches ${planned(q)} files")
+    assert(q.count() == 16 * 16)
+    val yOnly = VersionedTable.readWhere(spark, root, col("y") >= 48L)
+    assert(planned(yOnly) <= 10, s"y-only touches ${planned(yOnly)}")
+    assert(yOnly.count() == 64 * 16)
+    // ...and the pre-optimize snapshot still reads its original files
+    assert(VersionedTable.read(spark, root, Some(v0)).count() == 64 * 64)
+  }
+
   test("readWhere stats survive carried-over files and prune timestamps") {
     val root = tmpRoot()
     val mkTs = (day: Int) => java.sql.Timestamp.valueOf(f"1997-01-$day%02d 00:00:00")
