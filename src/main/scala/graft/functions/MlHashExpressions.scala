@@ -25,7 +25,10 @@ object MlHashUtil {
   def index(tf: org.apache.spark.ml.feature.HashingTF,
       term: UTF8String): Int = tf.indexOf(term.toString)
 
-  /** Fused unigram+bigram linear margin over one token array. */
+  /** Fused unigram+bigram linear margin over one token array. A null
+    * element contributes nothing and breaks bigram adjacency (the
+    * tokenizer paths never produce one, but the expression accepts any
+    * array<string> — a null must not NPE the task). */
   def margin(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       tf: org.apache.spark.ml.feature.HashingTF, coefs: Array[Double],
       intercept: Double): Double = {
@@ -34,10 +37,13 @@ object MlHashUtil {
     var prev: String = null
     var i = 0
     while (i < n) {
-      val t = arr.getUTF8String(i).toString
-      s += coefs(tf.indexOf(t))
-      if (prev != null) s += coefs(tf.indexOf(prev + " " + t))
-      prev = t
+      if (arr.isNullAt(i)) prev = null
+      else {
+        val t = arr.getUTF8String(i).toString
+        s += coefs(tf.indexOf(t))
+        if (prev != null) s += coefs(tf.indexOf(prev + " " + t))
+        prev = t
+      }
       i += 1
     }
     s

@@ -50,9 +50,16 @@ object UnigramUtil {
       while (j < i) {
         val piece = word.substring(j, i)
         val lpBoxed = table.get(piece)
+        // coverage floor for one unknown CODE POINT — including a
+        // surrogate pair (2 UTF-16 units), or segmentation of an astral
+        // char absent from the table would score -Inf and the Viterbi
+        // path would emit lone surrogates
+        val oneCp = i - j == 1 ||
+          (i - j == 2 && Character.isHighSurrogate(word.charAt(j)) &&
+            Character.isLowSurrogate(word.charAt(j + 1)))
         val lp =
           if (lpBoxed != null) lpBoxed.doubleValue()
-          else if (i - j == 1) unkLp // unknown single char: coverage floor
+          else if (oneCp) unkLp
           else Double.NegativeInfinity
         val cand = best(j) + lp
         if (cand > best(i)) { best(i) = cand; back(i) = j }

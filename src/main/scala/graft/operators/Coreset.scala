@@ -53,6 +53,12 @@ object Coreset {
   def kCenter(df: DataFrame, idCol: String, vecCol: Column, k: Int,
       scale: Double = 1e6): DataFrame = {
     require(k > 0, s"k must be > 0: $k")
+    val reserved =
+      Seq("center_id", "center_rank", "d2_to_center", "__kc_q", "__kc_xx")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"kCenter reserves output columns ${reserved.mkString(", ")}; " +
+        s"input already has: ${clash.mkString(", ")}")
     val base = df.select(col(idCol), vecCol.as("__kc_v"))
       .filter(col("__kc_v").isNotNull && size(col("__kc_v")) > 0)
       .select(col(idCol), q(col("__kc_v"), scale).as("__kc_q"))

@@ -80,8 +80,9 @@ object Matview {
     require(l0.columns.toSet.intersect(r0.columns.toSet) == on.toSet,
       "the join columns must be the only names the sides share " +
         s"(shared: ${l0.columns.toSet.intersect(r0.columns.toSet)})")
-    require(!(l0.columns ++ r0.columns).contains("__sgn"),
-      "joinDelta reserves the __sgn column name")
+    val reserved = Seq("__sgn", "__net", "__op")
+    require(!(l0.columns ++ r0.columns).exists(reserved.contains),
+      s"joinDelta reserves the ${reserved.mkString("/")} column names")
     require(l0.columns.contains(lKey) && r0.columns.contains(rKey),
       s"primary keys must exist on their sides: $lKey / $rKey")
     val sgn = col("__sgn")

@@ -80,10 +80,14 @@ object Unigram {
             MaxPieceLen, UnkLogProb)).as("piece"))
         .groupBy(col("piece")).agg(sum(col("wc")).as("freq"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      // prune by expected count; chars always survive (coverage)
-      val chars = seed.filter(_._1.length == 1).map { case (p, c) =>
+      // prune by expected count; chars always survive (coverage) — a
+      // "char" is one CODE POINT (an astral char is 2 UTF-16 units;
+      // classifying by .length would let it be pruned and break the
+      // segmentability guarantee)
+      def isOneCp(p: String) = p.codePointCount(0, p.length) == 1
+      val chars = seed.filter(p => isOneCp(p._1)).map { case (p, c) =>
         p -> math.max(counts.getOrElse(p, 0L), 1L) }
-      val multi = counts.filter(_._1.length > 1).toSeq
+      val multi = counts.filter(p => !isOneCp(p._1)).toSeq
         .sortBy { case (p, c) => (-c, p) }
         .take(math.max(0, vocabSize - chars.size))
       vocab = toLogProbs((chars ++ multi).distinct)

@@ -229,9 +229,13 @@ object AnnOps {
     // unrolled DuckDB CTEs — a FULL oracle over an iterative algorithm,
     // not a rows-only check
     "ann_kcenter_coreset" -> ((s, d) => {
+      // null/empty embeddings are excluded to MATCH the oracle's q CTE
+      // (the operator itself returns them with null center columns;
+      // the fixture has none today, but the gate must not depend on it)
       graft.operators.Coreset
-        .kCenter(Tables.embeddings(s, d), "vec_id", col("embedding"),
-          k = KCenterK)
+        .kCenter(Tables.embeddings(s, d)
+            .filter(col("embedding").isNotNull && size(col("embedding")) > 0),
+          "vec_id", col("embedding"), k = KCenterK)
         .select(col("vec_id"), col("center_id"), col("center_rank"),
           col("d2_to_center"))
         .orderBy(col("vec_id"))

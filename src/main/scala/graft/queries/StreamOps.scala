@@ -101,6 +101,13 @@ object StreamOps {
           .start()
     } finally s.conf.set(partsKey, prevParts)
     q.awaitTermination()
+    // a long-lived session (the 255-query bench JVM) otherwise
+    // accumulates every terminated StreamingQuery — plans, progress,
+    // state references — in the StreamingQueryManager; ~100 of them
+    // turn GC pressure into a 5-10x slowdown of the streaming family
+    // (measured: stream_interval_join 3.5 s isolated vs 33 s at the
+    // end of a full bench run before this line)
+    s.streams.resetTerminated()
     s.read.parquet(data)
   }
 

@@ -175,6 +175,59 @@ object VersionedTable {
     }.toDF("version", "commit_time", "n_files", "total_bytes", "batch_id")
   }
 
+  /** Tag a committed version with a stable name (release pointers:
+    * `tag(root, "train-v1", v)`), claimed by EXCLUSIVE create like a
+    * commit — two writers racing the same tag name get one winner, and
+    * a tag is immutable unless `overwrite` (re-pointing a released
+    * name is an explicit act). Tagged versions are a retention
+    * contract: [[vacuum]] keeps every tagged version's files alive
+    * regardless of `keepVersions`. */
+  def tag(spark: SparkSession, root: String, name: String, version: Long,
+      overwrite: Boolean = false): Unit = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"tag names are [A-Za-z0-9._-]+: '$name'")
+    val f = fs(spark, root)
+    require(versions(spark, root).contains(version),
+      s"cannot tag missing version $version under $root")
+    val p = tagPath(root, name)
+    f.mkdirs(tagDir(root))
+    if (overwrite && f.exists(p)) f.delete(p, false)
+    val out = f.create(p, false) // exclusive: racing taggers get one winner
+    try out.write(s"$version\n".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** All tags as (tag, version), name-sorted. */
+  def tags(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val f = fs(spark, root)
+    if (!f.exists(tagDir(root))) Seq.empty
+    else f.listStatus(tagDir(root)).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".tag"))
+      .map { p =>
+        val in = f.open(p)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong finally in.close()
+        p.getName.stripSuffix(".tag") -> v
+      }.sortBy(_._1)
+  }
+
+  /** Snapshot read by tag name. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = tags(spark, root).collectFirst {
+      case (n, ver) if n == name => ver }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no tag '$name' under $root (have: ${tags(spark, root).map(_._1)})"))
+    read(spark, root, Some(v))
+  }
+
+  /** Drop a tag (releases its vacuum pin). */
+  def untag(spark: SparkSession, root: String, name: String): Boolean =
+    fs(spark, root).delete(tagPath(root, name), false)
+
+  private def tagDir(root: String) = new Path(root, "_tags")
+  private def tagPath(root: String, name: String) =
+    new Path(tagDir(root), s"$name.tag")
+
   /** Time travel by TIMESTAMP: the newest version committed at or
     * before `asOf` (epoch millis). The anchor is the manifest file's
     * mtime — the moment the commit became visible. */
@@ -782,7 +835,10 @@ object VersionedTable {
     require(keepVersions >= 1, "must retain at least the latest version")
     val f = fs(spark, root)
     val vs = versions(spark, root)
-    val keep = vs.takeRight(keepVersions)
+    // tagged versions are pinned: a release pointer must keep reading
+    // no matter how the retention window moves
+    val tagged = tags(spark, root).map(_._2).toSet
+    val keep = (vs.takeRight(keepVersions) ++ vs.filter(tagged)).distinct
     val live = keep.flatMap(v => manifest(f, root, v).files).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val dead = f.listStatus(dataDir(root)).toSeq
@@ -790,7 +846,7 @@ object VersionedTable {
         !live.contains(s.getPath.toString))
       .map(_.getPath)
     dead.foreach(p => f.delete(p, false))
-    vs.dropRight(keepVersions)
+    vs.filterNot(keep.contains)
       .foreach(v => f.delete(manifestPath(root, v), false))
     dead.size
   }

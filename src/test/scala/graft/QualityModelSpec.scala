@@ -131,6 +131,39 @@ class QualityModelSpec extends SparkSpec {
       "stream scoring must equal batch scoring exactly")
   }
 
+  test("ml_term_index matches HashingTF's bucket for every probe term") {
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setNumFeatures(1 << 12)
+    val terms = Seq("the", "table", "a b", "zzz9", "", "😀", "merge batch")
+    val got = terms.toDF("t")
+      .select(graft.functions.MlHashFunctions
+        .ml_term_index(col("t"), 1 << 12))
+      .as[Int].collect().toSeq
+    assert(got == terms.map(t => tf.indexOf(t)))
+  }
+
+  test("margin skips null tokens and breaks bigram adjacency on them") {
+    val model = QualityModel.train(planted, col("text"), col("label"),
+      numFeatures = 1 << 12, maxIter = 5)
+    val withNullTok = Seq(1).toDF("one")
+      .select(array(lit("the"), lit(null).cast("string"), lit("table"))
+        .as("toks"))
+      .select(graft.functions.MlHashFunctions.linear_text_margin(
+        col("toks"), model.coefficients.toArray, model.intercept,
+        model.numFeatures).as("m"))
+      .as[Double].head()
+    val separate = Seq(1).toDF("one")
+      .select((graft.functions.MlHashFunctions.linear_text_margin(
+          array(lit("the")), model.coefficients.toArray, 0.0,
+          model.numFeatures) +
+        graft.functions.MlHashFunctions.linear_text_margin(
+          array(lit("table")), model.coefficients.toArray,
+          model.intercept, model.numFeatures)).as("m"))
+      .as[Double].head()
+    assert(math.abs(withNullTok - separate) < 1e-12,
+      "null token must contribute nothing and break the bigram")
+  }
+
   test("reserved output column is guarded") {
     val df = planted.withColumn("model_quality", lit(0.0))
     val model = QualityModel.train(planted, col("text"), col("label"),

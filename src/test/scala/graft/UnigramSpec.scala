@@ -70,6 +70,22 @@ class UnigramSpec extends SparkSpec {
       s"unknown chars must not break segmentation: $segged")
   }
 
+  test("astral (non-BMP) characters survive training and segmentation") {
+    // the emoji is 2 UTF-16 units but ONE code point: it must stay in
+    // the pruned vocabulary as a coverage char, and an UNKNOWN astral
+    // char must segment via the one-code-point floor, never as lone
+    // surrogates (which would mangle to replacement chars)
+    val astral = Seq((1L, "the 😀 table"), (2L, "the 😀 window"))
+      .toDF("doc_id", "text")
+    val vocab = Unigram.train(astral, col("text"), vocabSize = 30)
+    assert(vocab.exists(_._1 == "😀"), "astral char pruned from vocab")
+    val segged = spark.range(1)
+      .select(Unigram.tokens(lit("the 🎉"), vocab).as("t"))
+      .as[Seq[String]].head()
+    assert(segged == Seq("the", "🎉"),
+      s"unknown astral char must segment whole: $segged")
+  }
+
   test("null text yields null, empty text yields no pieces") {
     val vocab = Unigram.train(corpus, col("text"), vocabSize = 60)
     val df = Seq((1L, "the table"), (2L, ""),

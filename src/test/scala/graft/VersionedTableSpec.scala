@@ -567,6 +567,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root).size == 4)
   }
 
+  test("tags: stable release pointers, immutable unless overwritten, " +
+    "pinned through vacuum") {
+    val root = tmpRoot()
+    val v0 = VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "v"), root)
+    VersionedTable.tag(spark, root, "train-v1", v0)
+    assert(VersionedTable.readTag(spark, root, "train-v1").count() == 1)
+    assert(VersionedTable.tags(spark, root) == Seq("train-v1" -> v0))
+    // immutable: re-pointing needs overwrite
+    intercept[java.io.IOException] {
+      VersionedTable.tag(spark, root, "train-v1", v0 + 1)
+    }
+    // a missing version or bad name is rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.tag(spark, root, "nope", 99L)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.tag(spark, root, "bad name", v0)
+    }
+    // vacuum keeps only the newest version... except tagged pins
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    assert(VersionedTable.versions(spark, root).toSet ==
+      Set(v0, v0 + 2), "tagged v0 must survive the retention window")
+    assert(VersionedTable.readTag(spark, root, "train-v1")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // re-point with overwrite, then untag releases the pin
+    VersionedTable.tag(spark, root, "train-v1", v0 + 2, overwrite = true)
+    assert(VersionedTable.readTag(spark, root, "train-v1").count() == 3)
+    assert(VersionedTable.untag(spark, root, "train-v1"))
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    assert(VersionedTable.versions(spark, root) == Seq(v0 + 2))
+  }
+
   test("a crashed writer's unterminated manifest is ignored and reclaimed") {
     val root = tmpRoot()
     VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
