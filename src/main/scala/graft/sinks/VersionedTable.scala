@@ -21,18 +21,23 @@ import org.json4s.jackson.JsonMethods
   *
   *  - data files are write-once under `<root>/data/` with UUID names —
   *    no writer ever mutates or deletes a live file;
-  *  - a commit CLAIMS `<root>/_manifests/vN.json` with an EXCLUSIVE
-  *    create (`FileSystem.create(path, overwrite = false)`) — NOT a
-  *    rename, because Hadoop's plain LocalFileSystem silently
-  *    overwrites on rename-to-existing, which would turn a version race
-  *    into lost data. Two writers racing to vN: the second create
-  *    throws, the loser recomputes against the new head and retries.
-  *    (On filesystems without atomic exclusive create — some object
-  *    stores — plug a conditional-put commit, as every log-structured
-  *    lake format requires.)
-  *  - a manifest is VALID only when terminated (`#end` last line): a
-  *    writer that crashes mid-write leaves an unterminated claim that
-  *    readers ignore and the next committer garbage-collects;
+  *  - a commit CLAIMS `<root>/_manifests/vN.json.claim` with a TRULY
+  *    atomic exclusive create (NIO O_CREAT|O_EXCL locally — Hadoop's
+  *    local `create(overwrite = false)` is check-then-create and two
+  *    racers can both pass it; server-side exclusive create elsewhere;
+  *    NOT a rename, because Hadoop's LocalFileSystem silently
+  *    overwrites on rename-to-existing). Only the claim winner writes
+  *    `vN.json`, and its commit counts only after a token-stamped
+  *    read-back returns its own bytes. Losers recompute against the
+  *    new head and retry. (On filesystems without atomic exclusive
+  *    create — some object stores — plug a conditional-put commit, as
+  *    every log-structured lake format requires.)
+  *  - a manifest is VALID only when terminated (`#end` last line) and
+  *    readable (torn racing writes surface as checksum/EOF errors and
+  *    classify as invalid): a writer that crashes mid-write leaves a
+  *    dead claim that readers ignore and the next committer
+  *    garbage-collects after a grace window no live writer can
+  *    straddle;
   *  - the manifest carries the snapshot's schema (header line), so an
   *    EMPTY committed snapshot still reads back with its own schema;
   *  - readers resolve a manifest once and read exactly its file list:
@@ -48,10 +53,13 @@ object VersionedTable {
   private val Terminator = "#end"
   private val BatchMarker = "#batch:"
   private val WriterMarker = "#writer:"
-  // an UNTERMINATED manifest younger than this is presumed to be a live
-  // writer mid-write (create -> write -> close is milliseconds), not a
-  // crashed writer's junk — recovery must not delete it yet
-  private val CrashedManifestGraceMs = 10000L
+  // an UNTERMINATED (or torn) manifest younger than this is presumed to
+  // be a live writer mid-write (create -> write -> close is
+  // milliseconds), not a crashed writer's junk — recovery must not
+  // delete it yet. Sized WELL below the ~10 s of cumulative backoff in
+  // a 30-attempt commit loop, so a claim blocked by junk always
+  // survives retrying until recovery may clear it.
+  private val CrashedManifestGraceMs = 5000L
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -99,7 +107,23 @@ object VersionedTable {
       case _ => Map.empty
     }
 
-  private def readManifestRaw(f: FileSystem, p: Path): Option[Manifest] = {
+  private def readManifestRaw(f: FileSystem, p: Path): Option[Manifest] =
+    try readManifestBytes(f, p)
+    catch {
+      // a manifest that cannot be READ is as invalid as an unterminated
+      // one: local create(overwrite=false) has a check-then-create
+      // window, so two racing claimers can interleave writes and leave
+      // bytes that mismatch the checksum sidecar (both their post-close
+      // verifications fail, so neither reports success); a torn or
+      // vanished file mid-read is the same crashed-claim shape. All are
+      // recovery's job (delete after the grace window), not a reader
+      // crash.
+      case _: java.io.FileNotFoundException => None
+      case _: org.apache.hadoop.fs.ChecksumException => None
+      case _: java.io.EOFException => None
+    }
+
+  private def readManifestBytes(f: FileSystem, p: Path): Option[Manifest] = {
     val in = f.open(p)
     try {
       val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
@@ -192,7 +216,12 @@ object VersionedTable {
     val p = tagPath(root, name)
     f.mkdirs(tagDir(root))
     if (overwrite && f.exists(p)) f.delete(p, false)
-    val out = f.create(p, false) // exclusive: racing taggers get one winner
+    // atomic claim of the name (see atomicCreate), then the content
+    // write has a single author; a reader glimpsing the empty window
+    // between the two skips the entry (tags() tolerates it)
+    if (!atomicCreate(f, p))
+      throw new java.io.IOException(s"tag '$name' already exists under $root")
+    val out = f.create(p, true)
     try out.write(s"$version\n".getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -203,11 +232,13 @@ object VersionedTable {
     if (!f.exists(tagDir(root))) Seq.empty
     else f.listStatus(tagDir(root)).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".tag"))
-      .map { p =>
+      .flatMap { p =>
         val in = f.open(p)
-        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toLong finally in.close()
-        p.getName.stripSuffix(".tag") -> v
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        // empty/partial = a tagger between claim and content write
+        scala.util.Try(txt.toLong).toOption
+          .map(p.getName.stripSuffix(".tag") -> _)
       }.sortBy(_._1)
   }
 
@@ -846,8 +877,10 @@ object VersionedTable {
         !live.contains(s.getPath.toString))
       .map(_.getPath)
     dead.foreach(p => f.delete(p, false))
-    vs.filterNot(keep.contains)
-      .foreach(v => f.delete(manifestPath(root, v), false))
+    vs.filterNot(keep.contains).foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(claimPath(root, v), false)
+    }
     dead.size
   }
 
@@ -975,17 +1008,18 @@ object VersionedTable {
     }
   }
 
-  /** Claim `nextFiles(headFiles)` as the next version via an EXCLUSIVE
-    * manifest create. Conflict (create throws: another writer claimed
-    * the version) => recompute against the new head and retry. An
-    * existing UNTERMINATED manifest at the target version that is older
-    * than the grace window is a crashed writer's junk: delete and
-    * re-claim (younger ones are presumed live writers mid-write). A
-    * claim only counts once the post-close read-back returns this
-    * attempt's own token-stamped bytes — the recovery path on another
-    * writer may race a deletion between our create and close, and
-    * without the verification that lost claim would look like success
-    * (the concurrency hole the `concurrent upserts` spec hunts). */
+  /** Claim `nextFiles(headFiles)` as the next version. The claim is the
+    * ATOMIC creation of `vN.json.claim` (see [[atomicCreate]] — the
+    * manifest create itself is not atomic-exclusive on local FS, and
+    * the OCC-torture spec caught two writers both "winning" vN through
+    * it); only the claim winner writes the manifest. Claim lost =>
+    * recompute against the new head and retry. A DEAD claim (no valid
+    * manifest behind it, older than the grace window — which a live
+    * writer's create-to-close can never straddle) is crashed-writer
+    * junk: recovery clears claim + manifest and the version is
+    * re-claimable. Success still requires the token-stamped read-back
+    * to return this attempt's own bytes, as a guard against any
+    * recovery interleaving. */
   private def commitRetrying(spark: SparkSession, root: String,
       schema: => StructType, batchMarker: Option[Long] = None)
       (nextFiles: Seq[String] => Seq[String]): Long = {
@@ -1016,45 +1050,73 @@ object VersionedTable {
       def statsLine(p: String): String =
         prevStats.get(p).orElse(Option(stagedStats.get(p)))
           .fold("")(s => "\t" + statsToJson(s))
-      // crashed-writer recovery: an invalid manifest blocks its version
-      // number; remove it before claiming — but ONLY once it is old
-      // enough that no live writer can still be mid-write on it. Without
-      // the grace window this deletes a manifest between a concurrent
-      // writer's create() and close(), re-claims its version, and that
-      // writer's commit is silently lost (its stream flushes to an
-      // unlinked inode and it reports success).
+      // crashed-writer recovery: a dead claim (claim file present, no
+      // valid manifest behind it, older than the grace window) blocks
+      // its version number; clear claim + junk manifest before trying.
+      // The grace window keeps a LIVE writer's in-flight claim safe.
+      val claimP = claimPath(root, v)
       try {
-        if (f.exists(target) && readManifestRaw(f, target).isEmpty &&
-          System.currentTimeMillis() -
-            f.getFileStatus(target).getModificationTime >
+        val now = System.currentTimeMillis()
+        if (f.exists(claimP)) {
+          if (now - f.getFileStatus(claimP).getModificationTime >
+              CrashedManifestGraceMs &&
+            (!f.exists(target) || readManifestRaw(f, target).isEmpty)) {
+            f.delete(claimP, false); f.delete(target, false)
+          }
+        } else if (f.exists(target) && readManifestRaw(f, target).isEmpty &&
+          now - f.getFileStatus(target).getModificationTime >
             CrashedManifestGraceMs)
-          f.delete(target, false)
+          f.delete(target, false) // legacy/torn junk without a claim
       } catch { case _: java.io.FileNotFoundException => () }
-      // the claim token makes this attempt's manifest bytes unique, so
-      // the read-back below can tell "my commit survived" from "someone
-      // recovered over my claim"
+      // THE claim is the separate claim file, created ATOMICALLY
+      // (Hadoop's local create(overwrite=false) is check-then-create: two
+      // racing writers can both pass it, interleave manifest writes, and
+      // even both pass a read-back verification at different moments —
+      // observed as two commits returning the same version). Only the
+      // claim winner may write the manifest, so its bytes have a single
+      // author; the token read-back stays as a final guard against any
+      // recovery interleaving.
       val payload = (schema.json + "\n" +
         files.sorted.map(p => p + statsLine(p) + "\n").mkString +
         batchMarker.fold("")(id => s"$BatchMarker$id\n") +
         WriterMarker + java.util.UUID.randomUUID().toString + "\n" +
         Terminator + "\n").getBytes(StandardCharsets.UTF_8)
-      val claimed =
-        try {
-          val out = f.create(target, false) // exclusive: throws if claimed
+      val claimed = atomicCreate(f, claimP) &&
+        (try {
+          // overwrite = true: the claim owns this version; any bytes
+          // here are a recovered crash's torn junk
+          val out = f.create(target, true)
           try out.write(payload) finally out.close()
-          // post-close verification: exclusive create wins the claim,
-          // but a concurrent "crashed-writer recovery" may have deleted
-          // this manifest while it was being written. Success is only
-          // real if the bytes on disk after close are OURS.
           val st = f.getFileStatus(target)
           val back = new Array[Byte](st.getLen.toInt)
           val in = f.open(target)
           try in.readFully(back) finally in.close()
           java.util.Arrays.equals(back, payload)
-        } catch { case _: java.io.IOException => false }
+        } catch { case _: java.io.IOException => false })
       if (claimed) return v
     }
     throw new IllegalStateException(
       s"commit contention: 30 straight version races under $root")
   }
+
+  private def claimPath(root: String, v: Long) =
+    new Path(manifestDir(root), f"v$v%012d.json.claim")
+
+  /** TRULY atomic exclusive create. Hadoop's RawLocalFileSystem
+    * implements create(overwrite = false) as exists-check-then-create —
+    * a race window two concurrent claimers can both pass — so local
+    * paths go through NIO's createFile (O_CREAT|O_EXCL, atomic at the
+    * syscall). Non-local filesystems (HDFS etc.) arbitrate exclusive
+    * create server-side and use the plain API. */
+  private def atomicCreate(f: FileSystem, p: Path): Boolean =
+    if ("file" == f.getUri.getScheme) {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch { case _: java.io.IOException => false }
+    } else {
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
 }

@@ -623,30 +623,73 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 2)
   }
 
-  test("a YOUNG unterminated manifest is not stolen while its writer " +
-    "may still be mid-write") {
+  test("OCC torture: 8 writers, mixed ops, nothing lost, chain contiguous") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpRoot()
+    VersionedTable.write((1L to 80L).map(k => (k, "orig", 0L))
+      .toDF("k", "who", "round"), root)
+    // 8 writers x 3 rounds of disjoint-key upserts racing each other —
+    // every single update must survive to the head (the lost-update
+    // invariant the round-5 race broke), and the version chain must be
+    // contiguous (no claimed-but-vanished versions)
+    val futs = (0 until 8).map { w =>
+      Future {
+        (1 to 3).foreach { r =>
+          VersionedTable.upsert(
+            (1 to 5).map(i => ((w * 10 + i).toLong, s"w$w", r.toLong))
+              .toDF("k", "who", "round"), root, Seq("k"))
+        }
+      }
+    }
+    Await.result(Future.sequence(futs), 600.seconds)
+    val vs = VersionedTable.versions(spark, root)
+    assert(vs == (0L to 24L), s"version chain not contiguous: $vs")
+    val head = VersionedTable.read(spark, root)
+      .as[(Long, String, Long)].collect()
+    assert(head.length == 80)
+    (0 until 8).foreach { w =>
+      (1 to 5).foreach { i =>
+        val row = head.find(_._1 == w * 10 + i).get
+        assert(row._2 == s"w$w" && row._3 == 3L,
+          s"writer $w key ${w * 10 + i} lost its final round: $row")
+      }
+    }
+    // untouched keys intact
+    assert(head.count(_._2 == "orig") == 80 - 40)
+  }
+
+  test("a YOUNG claim is not stolen while its writer may still be " +
+    "mid-write; a crashed claim is recovered after the grace window") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val root = tmpRoot()
     VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
-    val junk = new org.apache.hadoop.fs.Path(root,
-      "_manifests/v000000000001.json")
-    val f = junk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a live writer between claim and manifest terminator:
+    // claim file + partial manifest, both with fresh mtimes
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val f = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(mdir,
+      "v000000000001.json.claim")
+    val junk = new org.apache.hadoop.fs.Path(mdir, "v000000000001.json")
+    f.create(claim, false).close()
     val out = f.create(junk, false)
     out.write("{\"type\":\"struct\",\"fields\":[]}\npartial".getBytes("UTF-8"))
-    out.close() // fresh mtime: looks like a writer between create and close
+    out.close()
     val append = Future {
       VersionedTable.append(Seq((2L, "b")).toDF("k", "v"), root)
     }
     // within the grace window the committer must keep retrying, NOT
-    // delete the young claim out from under its (presumed live) writer
-    Thread.sleep(3000)
-    assert(!append.isCompleted, "young in-flight manifest was stolen")
-    assert(f.exists(junk), "young in-flight manifest was deleted")
-    // the "writer" dies for real: clear its claim; the committer's next
-    // retry finds the slot free and lands v1
-    f.delete(junk, false)
+    // clear the young claim out from under its (presumed live) writer
+    Thread.sleep(2500)
+    assert(!append.isCompleted, "young in-flight claim was stolen")
+    assert(f.exists(claim), "young in-flight claim was deleted")
+    // the writer "crashes": age the claim past the grace window; the
+    // committer's next retry recovers the slot and lands v1
+    f.setTimes(claim, System.currentTimeMillis() - 60000L, -1L)
+    f.setTimes(junk, System.currentTimeMillis() - 60000L, -1L)
     assert(Await.result(append, 60.seconds) == 1L)
     assert(VersionedTable.read(spark, root).count() == 2)
   }
