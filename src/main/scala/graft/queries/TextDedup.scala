@@ -486,6 +486,17 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-source overlap matrix: per source pair, exact intersection/
+    // union of distinct word-shingle sets (mixture observability — "how
+    // much of A is already in B"). Integer counts, no ratio -> hash-
+    // exact; pairs with empty intersections are absent by construction
+    "dedup_source_overlap" -> ((s, d) => {
+      graft.operators.CorpusOverlap
+        .pairwiseShingleOverlap(Tables.documents(s, d), col("source"),
+          col("text"), n = 3)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // trigram-postings substring search (the code-search index shape):
     // build the (gram_hash, doc) inverted index, probe it with the
     // pattern's trigrams, exact-verify candidates — result provably
@@ -976,6 +987,22 @@ object TextDedup {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE contains(text, '$SearchPattern')
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_source_overlap" ->
+      s"""WITH posts AS (
+         |  SELECT DISTINCT source AS src, UNNEST($duckShingles) AS sh
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |sizes AS (SELECT src, COUNT(*) AS n FROM posts GROUP BY src),
+         |common AS (
+         |  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_common
+         |  FROM posts a JOIN posts b ON a.sh = b.sh AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+         |  sa.n + sb.n - n_common AS n_union
+         |FROM common
+         |JOIN sizes sa ON sa.src = common.src_a
+         |JOIN sizes sb ON sb.src = common.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_hash,
