@@ -84,6 +84,24 @@ object MediaOps {
       // random-bit corpus doesn't contain
       Multimodal.phashPairs(media, col("doc_id"), maxDist = 4)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // re-upload CLUSTERS: the phash pair stream closed into groups by
+    // distributed connected components (one asset id per re-upload
+    // family, however long the chain of near-identical variants) —
+    // the grouping a dedup pipeline actually acts on. Oracle replays
+    // the closure with a recursive CTE over the same pair predicate
+    "multimodal_phash_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reupload = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val all = docs.unionByName(reupload)
+      val media = Multimodal.withMediaColumn(all)
+      val pairs = Multimodal.phashPairs(media, col("doc_id"), maxDist = 4)
+      graft.operators.Dedup.connectedComponents(
+          all.select(col("doc_id")), pairs, "doc_id", "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -132,6 +150,30 @@ object MediaOps {
         |  CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 4
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "multimodal_phash_clusters" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+        |), p AS (
+        |  SELECT doc_id,
+        |    (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+        |       & 2147483647) * 4294967296
+        |    + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS ph
+        |  FROM u),
+        |good AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ph, b.ph)) <= 4),
+        |edges AS (SELECT doc_a AS eu, doc_b AS ev FROM good
+        |  UNION SELECT doc_b, doc_a FROM good),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM u
+        |  UNION
+        |  SELECT e.eu, r.label FROM edges e JOIN reach r ON e.ev = r.node)
+        |SELECT node AS doc_id, MIN(label) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   )
 }
