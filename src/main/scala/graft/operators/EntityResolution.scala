@@ -57,6 +57,53 @@ object EntityResolution {
       .select(col("id_a"), col("id_b"), col("lev"))
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort by a
+    * blocking key, candidates = all pairs within a sliding `window` of
+    * the GLOBAL sort order, then the same thresholded-levenshtein
+    * verify. Complements [[matchPairs]]' token blocks: SNM catches
+    * pairs whose shared block token itself was corrupted (it only
+    * needs the sort to bring them NEAR each other) and its candidate
+    * count is exactly n * (window-1) - C(window,2) — data-independent,
+    * where token blocks degrade on hot tokens.
+    *
+    * Distributed shape: the global rank comes from
+    * [[Ids.denseGlobalRowNumber]] (range shuffle + zipWithIndex — never
+    * a one-partition window), and the within-window self-join is an
+    * EQUI-join on the window bucket `rank div window` (each left row
+    * joins its own and the next bucket — 2 keys/row) with the rank
+    * band as a residual, so the candidate join is hash-partitioned,
+    * never a cross product. */
+  def sortedNeighborhoodPairs(records: DataFrame, idCol: String,
+      nameCol: String, sortKey: Column, window: Int, maxDist: Int)
+      : DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(maxDist >= 0)
+    val ranked = Ids.denseGlobalRowNumber(
+        records.select(col(idCol).as("id"), col(nameCol).as("name"),
+          sortKey.as("__snm_key")),
+        order = Seq(col("__snm_key"), col("id")), idCol = "__snm_rn")
+      .select(col("id"), col("name"), col("__snm_rn"))
+    val w = window.toLong
+    val left = ranked
+      .withColumn("__snm_b", explode(array(
+        (col("__snm_rn") / w).cast("long"),
+        (col("__snm_rn") / w).cast("long") + 1L)))
+    val right = ranked
+      .withColumn("__snm_b", (col("__snm_rn") / w).cast("long"))
+    left.as("a").join(right.as("b"),
+        col("a.__snm_b") === col("b.__snm_b") &&
+          col("b.__snm_rn") > col("a.__snm_rn") &&
+          col("b.__snm_rn") < col("a.__snm_rn") + w)
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("lev") >= 0)
+      .select(col("id_a"), col("id_b"), col("lev"))
+  }
+
   /** Resolve `records` into canonical entities. `attrs` are the
     * survivable attribute columns: each canonical value is the first
     * non-null in ascending-id order within the cluster. Output:

@@ -486,6 +486,27 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // sorted-neighborhood ER blocking (Hernandez-Stolfo SNM): candidates
+    // = pairs within a window of the global name order — catches pairs
+    // whose shared block TOKEN was itself corrupted, with a data-
+    // independent candidate count. Global rank via the distributed
+    // zipWithIndex (never a one-partition window), bucketed equi-join
+    // the sort KEY is the designed part (Hernandez-Stolfo's point):
+    // last word first, so "cold widget"/"old widget" sort adjacent by
+    // noun — plain alphabetical order puts them a whole color-alphabet
+    // apart (gap 32 in this fixture) and any affordable window misses
+    // them
+    "er_sorted_neighborhood" -> ((s, d) => {
+      val names = Tables.part(s, d).groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"))
+        .select(col("id"), col("p_name").as("name"))
+      val key = concat(substring_index(col("name"), " ", -1),
+        lit(" "), col("name"))
+      graft.operators.EntityResolution.sortedNeighborhoodPairs(
+          names, "id", "name", key, window = 9, maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // cross-source overlap matrix: per source pair, exact intersection/
     // union of distinct word-shingle sets (mixture observability — "how
     // much of A is already in B"). Integer counts, no ratio -> hash-
@@ -987,6 +1008,22 @@ object TextDedup {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE contains(text, '$SearchPattern')
          |ORDER BY doc_id""".stripMargin,
+
+    "er_sorted_neighborhood" ->
+      """WITH names AS (
+        |  SELECT MIN(p_partkey) AS id, p_name AS name
+        |  FROM part GROUP BY p_name),
+        |r AS (
+        |  SELECT id, name, ROW_NUMBER() OVER (ORDER BY
+        |    (string_split(name, ' '))[-1] || ' ' || name, id) AS rn
+        |  FROM names),
+        |cand AS (
+        |  SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b,
+        |    a.name AS na, b.name AS nb
+        |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 9)
+        |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS lev
+        |FROM cand WHERE levenshtein(na, nb) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_source_overlap" ->
       s"""WITH posts AS (

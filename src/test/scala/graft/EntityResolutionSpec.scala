@@ -57,6 +57,41 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got.length == 1 && got(0).isNullAt(3))
   }
 
+  test("sorted-neighborhood: exactly the within-window matches, " +
+    "partition-invariant, distributed rank == single-node reference") {
+    val recs = (0 until 60).map { i =>
+      val base = f"item$i%03d"
+      (i.toLong, if (i % 10 == 3) base.replace('0', 'o') else base)
+    }.toDF("id", "name")
+    val got = EntityResolution.sortedNeighborhoodPairs(
+        recs, "id", "name", col("name"), window = 4, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // single-node reference: sort, window, verify
+    val sorted = recs.as[(Long, String)].collect()
+      .sortBy { case (id, n) => (n, id) }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + 4, sorted.length)
+      l = lev(sorted(i)._2, sorted(j)._2) if l <= 2
+    } yield {
+      val (x, y) = (sorted(i)._1, sorted(j)._1)
+      (math.min(x, y), math.max(x, y), l)
+    }).toSet
+    assert(got == expect, s"got ${got.size} vs expect ${expect.size}")
+    val again = EntityResolution.sortedNeighborhoodPairs(
+        recs.repartition(7), "id", "name", col("name"), window = 4,
+        maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(again == got)
+  }
+
   test("maxDist 0 still links exact same-name records, not near ones") {
     val dup = Seq((1L, "same exact"), (2L, "same exact"), (3L, "same exacz"))
       .toDF("id", "name")
