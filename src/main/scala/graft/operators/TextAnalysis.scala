@@ -57,6 +57,58 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Sparse TF-IDF cosine document pairs, DIVISION-FREE: every pair
+    * whose weighted-bag cosine clears `tauNum/tauDen`, reported with
+    * the exact integer evidence (dot numerator + both squared norms)
+    * instead of a float ratio — the threshold test is the decimal
+    * cross-multiplication `tauDen^2 * num^2 >= tauNum^2 * n2a * n2b`,
+    * so the whole report is bit-identical across engines (the IR
+    * similarity the n-gram Jaccard family cannot express: tf weighting
+    * and rare-term dominance).
+    *
+    * Weights follow [[rankByTerms]]' fixed-point idf:
+    * `w = tf * (scale div df)`, over the vector space of terms with
+    * `df <= maxDf` — the idf prune that also bounds the self-join
+    * (a term's pair fan-out is df^2; hot terms carry ~zero idf weight
+    * AND quadratic cost, so excluding them is both the scoring and the
+    * scale decision, exactly the stop-term convention). Postings
+    * materialize once (consumed by norms + both join sides). */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, text: Column,
+      tauNum: Int, tauDen: Int, maxDf: Long, scale: Long = 100000L)
+      : DataFrame = {
+    require(tauNum >= 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a fraction in [0,1]: $tauNum/$tauDen")
+    require(maxDf >= 1 && scale >= 1, s"maxDf/scale must be >= 1")
+    val tf = docs.filter(text.isNotNull)
+      .select(col(idCol), explode(tokens(text)).as("__sc_t"))
+      .groupBy(col(idCol), col("__sc_t")).agg(count(lit(1)).as("__sc_tf"))
+    val dfc = tf.groupBy(col("__sc_t")).agg(count(lit(1)).as("__sc_df"))
+    val w = tf.join(dfc, "__sc_t")
+      .filter(col("__sc_df") <= maxDf)
+      .select(col(idCol).as("__sc_id"), col("__sc_t"),
+        (col("__sc_tf") * expr(s"$scale div __sc_df")).as("__sc_w"))
+      .localCheckpoint()
+    val norms = w.groupBy(col("__sc_id"))
+      .agg(sum(col("__sc_w") * col("__sc_w")).as("__sc_n2"))
+    val pairs = w.as("a").join(w.as("b"),
+        col("a.__sc_t") === col("b.__sc_t") &&
+          col("a.__sc_id") < col("b.__sc_id"))
+      .groupBy(col("a.__sc_id").as("doc_a"), col("b.__sc_id").as("doc_b"))
+      .agg(sum(col("a.__sc_w") * col("b.__sc_w")).as("num"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    pairs
+      .join(norms.select(col("__sc_id").as("doc_a"),
+        col("__sc_n2").as("norm_a")), Seq("doc_a"))
+      .join(norms.select(col("__sc_id").as("doc_b"),
+        col("__sc_n2").as("norm_b")), Seq("doc_b"))
+      .filter(dec(lit(tauDen.toLong * tauDen)) * dec(col("num")) *
+        dec(col("num")) >=
+        dec(lit(tauNum.toLong * tauNum)) * dec(col("norm_a")) *
+          dec(col("norm_b")))
+      .select(col("doc_a"), col("doc_b"), col("num"), col("norm_a"),
+        col("norm_b"))
+  }
+
   /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array column.
     * Use this form (with `tokens(text)` projected once in a prior select)
     * on any path that shingles in bulk: `ws` appears n+2 times in this

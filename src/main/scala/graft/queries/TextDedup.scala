@@ -486,6 +486,17 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // sparse TF-IDF cosine pairs: weighted-bag document similarity (tf
+    // weighting + rare-term dominance, which set-Jaccard can't express),
+    // thresholded by exact decimal cross-multiplication — no float
+    // ratio anywhere, so the pair report hash-matches. df <= 400 is the
+    // idf prune that is also the quadratic-fan-out guard
+    "text_sparse_cosine_pairs" -> ((s, d) => {
+      TextAnalysis.sparseCosinePairs(Tables.documents(s, d), "doc_id",
+          col("text"), tauNum = 9, tauDen = 10, maxDf = 400)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // sorted-neighborhood ER blocking (Hernandez-Stolfo SNM): candidates
     // = pairs within a window of the global name order — catches pairs
     // whose shared block TOKEN was itself corrupted, with a data-
@@ -1008,6 +1019,30 @@ object TextDedup {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE contains(text, '$SearchPattern')
          |ORDER BY doc_id""".stripMargin,
+
+    "text_sparse_cosine_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text,' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT doc_id, t.term, CAST(tf * (100000 // df) AS BIGINT) AS w
+        |  FROM tf t JOIN dfc USING (term) WHERE df <= 400),
+        |norms AS (
+        |  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+        |  FROM w GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(SUM(a.w * b.w) AS BIGINT) AS num
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, num, x.n2 AS norm_a, y.n2 AS norm_b
+        |FROM pairs p
+        |JOIN norms x ON p.doc_a = x.doc_id
+        |JOIN norms y ON p.doc_b = y.doc_id
+        |WHERE 100 * num * num >= 81 * x.n2 * y.n2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "er_sorted_neighborhood" ->
       """WITH names AS (
