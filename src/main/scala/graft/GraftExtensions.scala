@@ -116,6 +116,12 @@ object GraftFunctions {
         "deflate_len(text) - DEFLATE-compressed byte count (level 6, " +
           "raw): the compression-ratio quality signal"),
       arity("deflate_len", 1)(args => DeflateLen(args(0)))),
+    (FunctionIdentifier("log2_fp"),
+      info(classOf[Log2Fp], "log2_fp",
+        "log2_fp(x) - floor(2^20 * log2(x)) by exact integer " +
+          "shift-and-square: the cross-engine-exact log for entropy/" +
+          "PSI/PMI statistics; NULL for x <= 0"),
+      arity("log2_fp", 1)(args => Log2Fp(args(0)))),
     (FunctionIdentifier("range_lookup_idx"),
       info(classOf[RangeLookupIdx], "range_lookup_idx",
         "range_lookup_idx(x, los, his) - binary search sorted " +

@@ -236,4 +236,58 @@ object Profiling {
       .select(col("a"), col("b"), col("observed"), col("expected"),
         col("contrib"))
   }
+
+  /** Population-stability-index (PSI) drift report between a baseline
+    * and a current sample of one numeric column — the standard
+    * ML-monitoring drift score, HASH-EXACT: the log lives in the
+    * fixed-point integer `log2_fp` expression (no libm anywhere) and
+    * each bucket's contribution is reported as an exact integer
+    * FRACTION (`psi_num` over the constant `denom`) rather than a
+    * float, so no cross-engine division semantics are involved.
+    * `PSI_nats = ln(2) * sum(psi_num) / denom`.
+    *
+    * Buckets are `nBuckets` equal-width slices of the caller-declared
+    * `[lo, hi)` Long domain (values clamp to the edge buckets — the
+    * production convention where the bucket spec is frozen with the
+    * baseline, NOT re-derived from data). Every bucket appears (a
+    * broadcast 0..n-1 spine), with Laplace +1 smoothing so empty
+    * buckets contribute finitely:
+    * `p_b=(c_base+1)/(T+n), q_b=(c_cur+1)/(R+n)`, and
+    * `psi_num = ((c_base+1)(R+n) - (c_cur+1)(T+n)) * log2r_fp`,
+    * `log2r_fp = L(c_base+1)+L(R+n)-L(c_cur+1)-L(T+n)` with L =
+    * log2_fp. Decimal(38) products keep 100 TB-scale counts exact.
+    * Two count aggregations (map-side partial) + bounded-state
+    * broadcasts: nothing here grows past `nBuckets` rows. */
+  def psiReport(base: DataFrame, cur: DataFrame, v: Column,
+      lo: Long, hi: Long, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && hi > lo,
+      s"need nBuckets >= 2 and hi > lo: $nBuckets, [$lo, $hi)")
+    import graft.functions.FixedLogFunctions.log2_fp
+    val spark = base.sparkSession
+    def bucketed(df: DataFrame, out: String): DataFrame =
+      df.filter(v.isNotNull).select(v.cast("long").as("__pv"))
+        .groupBy(expr(s"least(${nBuckets - 1}, greatest(0, " +
+          s"((__pv - $lo) * $nBuckets) div ${hi - lo}))").as("bucket"))
+        .agg(count(lit(1)).as(out))
+    val cb = bucketed(base, "c_base")
+    val cc = bucketed(cur, "c_cur")
+    val spine = spark.range(nBuckets).select(col("id").as("bucket"))
+      .join(cb, Seq("bucket"), "left").join(cc, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("c_base"), lit(0L)).as("c_base"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = spine.agg(
+      (sum(col("c_base")) + nBuckets).as("__tn"),
+      (sum(col("c_cur")) + nBuckets).as("__rn"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    spine.crossJoin(broadcast(tot))
+      .withColumn("log2r_fp",
+        log2_fp(col("c_base") + 1) + log2_fp(col("__rn")) -
+          log2_fp(col("c_cur") + 1) - log2_fp(col("__tn")))
+      .select(col("bucket"), col("c_base"), col("c_cur"), col("log2r_fp"),
+        ((dec(col("c_base") + 1) * dec(col("__rn")) -
+          dec(col("c_cur") + 1) * dec(col("__tn"))) *
+          dec(col("log2r_fp"))).as("psi_num"),
+        (dec(col("__tn")) * dec(col("__rn")) *
+          dec(lit(1L << graft.functions.FixedLog.FracBits))).as("denom"))
+  }
 }

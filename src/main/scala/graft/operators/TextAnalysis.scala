@@ -109,6 +109,35 @@ object TextAnalysis {
         col("norm_b"))
   }
 
+  /** Per-group Shannon entropy of the token distribution — the
+    * vocabulary-diversity quality signal (template spam and keyword
+    * stuffing have low token entropy; natural prose is high), reported
+    * HASH-EXACT as an integer fraction: for group total T and per-token
+    * counts c, `H_bits = ent_num / (T * 2^20)` with
+    * `ent_num = T*L(T) - sum(c*L(c))` and L = the fixed-point integer
+    * `log2_fp` (derivation: H = log2 T - (1/T) sum c*log2 c). No float
+    * op anywhere, so the report hash-matches cross-engine; the oracle
+    * replays L as a 20-step recursive CTE over the distinct counts.
+    *
+    * Two aggregations (token counts, then the per-group rollup), both
+    * map-side combined; L runs codegen'd on count values (the
+    * vocabulary stream), never on raw tokens. */
+  def tokenEntropy(docs: DataFrame, group: Column, text: Column)
+      : DataFrame = {
+    import graft.functions.FixedLogFunctions.log2_fp
+    val counts = docs.filter(text.isNotNull)
+      .select(group.as("__te_g"), explode(tokens(text)).as("__te_t"))
+      .groupBy(col("__te_g"), col("__te_t"))
+      .agg(count(lit(1)).as("__te_c"))
+    counts.groupBy(col("__te_g").as("grp"))
+      .agg(sum(col("__te_c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("__te_c") * log2_fp(col("__te_c"))).as("sum_clc"))
+      .select(col("grp"), col("n_tokens"), col("vocab"), col("sum_clc"),
+        (col("n_tokens") * log2_fp(col("n_tokens")) - col("sum_clc"))
+          .as("ent_num"))
+  }
+
   /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array column.
     * Use this form (with `tokens(text)` projected once in a prior select)
     * on any path that shingles in bulk: `ws` appears n+2 times in this

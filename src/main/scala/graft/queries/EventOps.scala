@@ -428,6 +428,21 @@ object EventOps {
         e.filter(col("user_id") % 2 === 1), col("value"))
     }),
 
+    // PSI drift between early and late shipment quantity distributions:
+    // the standard ML-monitoring drift score made hash-exact — the log
+    // is the fixed-point integer log2_fp expression and each bucket
+    // reports its contribution as an exact integer fraction (psi_num /
+    // denom), so there is no float and no division anywhere in the gate
+    "profile_psi_drift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_quantity"), col("l_shipdate"))
+      graft.operators.Profiling.psiReport(
+          li.filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+          li.filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")),
+          col("l_quantity"), lo = 1L, hi = 51L, nBuckets = 10)
+        .orderBy(col("bucket"))
+    }),
+
     // winsorized robust mean per event type: clip values at the
     // [p5, p95] fences (keep the rows), then exact-decimal aggregate —
     // the heavy-tail-damped companion of the IQR outlier report
@@ -1034,6 +1049,38 @@ object EventOps {
         |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
         |    AND p.us > v.us AND p.us <= v.us + 604800000000)
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    "profile_psi_drift" ->
+      s"""WITH RECURSIVE src AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q, l_shipdate
+         |  FROM lineitem WHERE l_quantity IS NOT NULL),
+         |cb AS (SELECT LEAST(9, GREATEST(0, ((q - 1) * 10) // 50)) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM src WHERE l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+         |cc AS (SELECT LEAST(9, GREATEST(0, ((q - 1) * 10) // 50)) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM src WHERE l_shipdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+         |spine AS (SELECT CAST(UNNEST(range(10)) AS BIGINT) AS bucket),
+         |j AS (SELECT s.bucket, CAST(COALESCE(cb.c, 0) AS BIGINT) AS c_base,
+         |    CAST(COALESCE(cc.c, 0) AS BIGINT) AS c_cur
+         |  FROM spine s LEFT JOIN cb USING (bucket) LEFT JOIN cc USING (bucket)),
+         |tot AS (SELECT CAST(SUM(c_base) + 10 AS BIGINT) AS tn,
+         |    CAST(SUM(c_cur) + 10 AS BIGINT) AS rn FROM j),
+         |xs AS (SELECT c_base + 1 AS x FROM j
+         |  UNION SELECT c_cur + 1 FROM j
+         |  UNION SELECT tn FROM tot UNION SELECT rn FROM tot),
+         |${graft.functions.FixedLog.duckdbCte("xs")}
+         |SELECT j.bucket, j.c_base, j.c_cur,
+         |  CAST(lb.l + lr.l - lc.l - lt.l AS BIGINT) AS log2r_fp,
+         |  CAST(((j.c_base + 1) * tot.rn - (j.c_cur + 1) * tot.tn)
+         |    * (lb.l + lr.l - lc.l - lt.l) AS DECIMAL(38,0)) AS psi_num,
+         |  CAST(tot.tn * tot.rn * 1048576 AS DECIMAL(38,0)) AS denom
+         |FROM j CROSS JOIN tot
+         |JOIN lg lb ON lb.x = j.c_base + 1
+         |JOIN lg lc ON lc.x = j.c_cur + 1
+         |JOIN lg lt ON lt.x = tot.tn
+         |JOIN lg lr ON lr.x = tot.rn
+         |ORDER BY j.bucket""".stripMargin,
 
     "profile_ks_drift" ->
       """WITH m AS (

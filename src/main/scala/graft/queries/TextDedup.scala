@@ -486,6 +486,17 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source token-distribution Shannon entropy: the vocabulary-
+    // diversity quality signal, hash-exact — H_bits = ent_num/(T*2^20)
+    // with the log in the fixed-point integer log2_fp expression (no
+    // libm), replayed by the oracle as a 20-step recursive CTE
+    "text_token_entropy" -> ((s, d) => {
+      TextAnalysis.tokenEntropy(Tables.documents(s, d), col("source"),
+          col("text"))
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"))
+    }),
+
     // sparse TF-IDF cosine pairs: weighted-bag document similarity (tf
     // weighting + rare-term dominance, which set-Jaccard can't express),
     // thresholded by exact decimal cross-multiplication — no float
@@ -1019,6 +1030,24 @@ object TextDedup {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE contains(text, '$SearchPattern')
          |ORDER BY doc_id""".stripMargin,
+
+    "text_token_entropy" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT source, UNNEST(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |cnt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY 1, 2),
+         |g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS vocab
+         |  FROM cnt GROUP BY 1),
+         |xs AS (SELECT c AS x FROM cnt UNION SELECT n_tokens FROM g),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |sc AS (SELECT source, CAST(SUM(c * lg.l) AS BIGINT) AS sum_clc
+         |  FROM cnt JOIN lg ON cnt.c = lg.x GROUP BY 1)
+         |SELECT g.source, g.n_tokens, g.vocab, sc.sum_clc,
+         |  CAST(g.n_tokens * lt.l - sc.sum_clc AS BIGINT) AS ent_num
+         |FROM g JOIN sc USING (source) JOIN lg lt ON g.n_tokens = lt.x
+         |ORDER BY g.source""".stripMargin,
 
     "text_sparse_cosine_pairs" ->
       """WITH toks AS (
