@@ -77,6 +77,34 @@ object SketchOps {
     // v1, then BOTH snapshots aggregate — latest sees the merge, time
     // travel sees v0 unchanged. The oracle recomputes the same merge
     // relationally from the source table.
+    // metadata-only aggregation: COUNT/MIN/MAX answered from the
+    // manifest's per-file stats — zero data files read at query time
+    // (the petabyte-table COUNT(*) as a manifest fold). Exercised
+    // across an upsert AND a deleteWhere so the folded stats are the
+    // REWRITTEN files', not the original commit's; the oracle replays
+    // the edits and aggregates the data directly
+    "versioned_stats_agg" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("vsa")
+        .toString + "/t"
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      VersionedTable.write(orders, root)
+      VersionedTable.upsert(
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        root, Seq("o_orderkey"))
+      VersionedTable.deleteWhere(s, root,
+        col("o_orderpriority") === "1-URGENT")
+      val result = VersionedTable.statsAgg(s, root, Seq("o_orderkey",
+        "o_totalprice", "o_orderdate", "o_orderpriority"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     "versioned_upsert_read" -> ((s, d) => {
       import graft.sinks.VersionedTable
       val root = java.nio.file.Files.createTempDirectory("vt")
@@ -612,6 +640,25 @@ object SketchOps {
         |  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
         |FROM supplier WHERE s_suppkey % 11 = 0
         |ORDER BY s_suppkey, effective_from""".stripMargin,
+
+    "versioned_stats_agg" ->
+      """WITH edited AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders),
+        |kept AS (SELECT * FROM edited WHERE o_orderpriority <> '1-URGENT')
+        |SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  MIN(o_orderkey) AS min_o_orderkey,
+        |  MAX(o_orderkey) AS max_o_orderkey,
+        |  MIN(o_totalprice) AS min_o_totalprice,
+        |  MAX(o_totalprice) AS max_o_totalprice,
+        |  MIN(o_orderdate) AS min_o_orderdate,
+        |  MAX(o_orderdate) AS max_o_orderdate,
+        |  MIN(o_orderpriority) AS min_o_orderpriority,
+        |  MAX(o_orderpriority) AS max_o_orderpriority
+        |FROM kept""".stripMargin,
 
     "versioned_upsert_read" ->
       """WITH latest AS (

@@ -78,7 +78,8 @@ object VersionedTable {
     * ranges never prune, skip files through it). */
   private[sinks] final case class ColStat(min: Option[String],
       max: Option[String], hasNulls: Boolean,
-      bloom: Option[Array[Byte]] = None)
+      bloom: Option[Array[Byte]] = None,
+      rows: Option[Long] = None)
   private[sinks] type FileStats = Map[String, ColStat]
 
   private final case class Manifest(schema: StructType, files: Seq[String],
@@ -91,7 +92,8 @@ object VersionedTable {
         st.max.map(v => "M" -> (JString(v): JValue)).toList ++
         List("n" -> (JBool(st.hasNulls): JValue)) ++
         st.bloom.map(b => "b" -> (JString(
-          java.util.Base64.getEncoder.encodeToString(b)): JValue)).toList) })))
+          java.util.Base64.getEncoder.encodeToString(b)): JValue)).toList ++
+        st.rows.map(n => "r" -> (JInt(n): JValue)).toList) })))
 
   private def statsFromJson(j: String): FileStats =
     JsonMethods.parse(j) match {
@@ -102,7 +104,8 @@ object VersionedTable {
           f.get("M").collect { case JString(s) => s },
           f.get("n").collect { case JBool(b) => b }.getOrElse(true),
           f.get("b").collect { case JString(s) =>
-            java.util.Base64.getDecoder.decode(s) })
+            java.util.Base64.getDecoder.decode(s) },
+          f.get("r").collect { case JInt(n) => n.toLong })
       }.toMap
       case _ => Map.empty
     }
@@ -182,6 +185,130 @@ object VersionedTable {
     if (m.files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
     else spark.read.schema(m.schema).parquet(m.files: _*)
+  }
+
+  /** METADATA-ONLY aggregation: `COUNT(*)` plus `MIN`/`MAX` of the
+    * requested columns answered from the manifest's per-file stats —
+    * O(|files|) driver folding, ZERO data read when every live file
+    * carries stats (the normal case: stats are collected at commit and
+    * re-collected on every rewrite, so they are exact for the head and
+    * for any time-travel version). The 100 TB point: `SELECT COUNT(*),
+    * MIN(k), MAX(k)` on a petabyte table becomes a manifest read.
+    * Files committed with `lake.stats.enabled=false` (or from manifests
+    * predating row counts) fall back to ONE bounded parquet aggregation
+    * over exactly those files, so the result is EXACT either way —
+    * never an estimate.
+    *
+    * Output: one row `(cnt, min_<c>, max_<c>, ...)` with each bound in
+    * the column's own type — the same row the full-scan aggregate
+    * produces (min/max fold per-file bounds; string order is UTF-8
+    * binary, matching Spark's). */
+  def statsAgg(spark: SparkSession, root: String, cols: Seq[String],
+      version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in $vs")
+    val m = manifest(fs(spark, root), root, v)
+    val fieldOf = m.schema.fields.map(fd => fd.name -> fd).toMap
+    cols.foreach { c =>
+      require(fieldOf.contains(c), s"no column $c in ${m.schema.simpleString}")
+      require(statEligible(fieldOf(c).dataType),
+        s"column $c (${fieldOf(c).dataType.simpleString}) carries no stats")
+    }
+    // a file is foldable iff it has a row count and a ColStat for every
+    // requested column (all-null files have ColStat(min=None, ...) and
+    // still fold: they contribute rows but no bounds)
+    val (fast, slow) = m.files.partition(p => m.stats.get(p).exists(st =>
+      st.values.exists(_.rows.nonEmpty) && cols.forall(st.contains)))
+
+    // canonical-string bounds -> the column's comparison domain
+    // (decimal strings compare as exact BigDecimal; strings as UTF-8
+    // bytes, Spark's binary order)
+    def toCmp(dt: DataType, s: String): Any = dt match {
+      case _: StringType => s
+      case _ => BigDecimal(s)
+    }
+    def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
+      case _: StringType =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String])) < 0
+      case _ => a.asInstanceOf[BigDecimal] < b.asInstanceOf[BigDecimal]
+    }
+    // fold the fast files on the driver
+    var cnt = 0L
+    val mins = scala.collection.mutable.Map[String, Any]()
+    val maxs = scala.collection.mutable.Map[String, Any]()
+    fast.foreach { p =>
+      val st = m.stats(p)
+      cnt += st.values.flatMap(_.rows).head
+      cols.foreach { c =>
+        val dt = fieldOf(c).dataType
+        st(c).min.map(toCmp(dt, _)).foreach { mv =>
+          if (!mins.contains(c) || lt(dt, mv, mins(c))) mins(c) = mv }
+        st(c).max.map(toCmp(dt, _)).foreach { mv =>
+          if (!maxs.contains(c) || lt(dt, maxs(c), mv)) maxs(c) = mv }
+      }
+    }
+    // exact fallback for stats-less files: one aggregation over them
+    if (slow.nonEmpty) {
+      val aggs = count(lit(1)).as("_n") +:
+        cols.flatMap(c => Seq(smin(col(c)).as(s"_mn_$c"),
+          smax(col(c)).as(s"_mx_$c")))
+      val r = spark.read.schema(m.schema).parquet(slow: _*)
+        .agg(aggs.head, aggs.tail: _*).collect().head
+      cnt += r.getAs[Long]("_n")
+      cols.foreach { c =>
+        val dt = fieldOf(c).dataType
+        Seq(s"_mn_$c" -> mins, s"_mx_$c" -> maxs).foreach { case (k, dst) =>
+          canonical(r.getAs[Any](k)).map(toCmp(dt, _)).foreach { mv =>
+            val better =
+              if (!dst.contains(c)) true
+              else if (dst eq mins) lt(dt, mv, dst(c))
+              else lt(dt, dst(c), mv)
+            if (better) dst(c) = mv
+          }
+        }
+      }
+    }
+    // comparison domain -> the column's external Spark value
+    def toValue(dt: DataType, a: Any): Any = dt match {
+      case _: StringType => a
+      case _: LongType => a.asInstanceOf[BigDecimal].toLongExact
+      case _: IntegerType => a.asInstanceOf[BigDecimal].toIntExact
+      case _: ShortType => a.asInstanceOf[BigDecimal].toShortExact
+      case _: ByteType => a.asInstanceOf[BigDecimal].toByteExact
+      case _: DoubleType => a.asInstanceOf[BigDecimal].toDouble
+      case _: FloatType => a.asInstanceOf[BigDecimal].toFloat
+      case d: DecimalType => a.asInstanceOf[BigDecimal]
+        .setScale(d.scale).bigDecimal
+      case _: TimestampType =>
+        val us = a.asInstanceOf[BigDecimal].toLongExact
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
+      case _: TimestampNTZType =>
+        val us = a.asInstanceOf[BigDecimal].toLongExact
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case _: DateType =>
+        java.time.LocalDate.ofEpochDay(
+          a.asInstanceOf[BigDecimal].toLongExact)
+      case other => throw new IllegalArgumentException(
+        s"statsAgg cannot realize type ${other.simpleString}")
+    }
+    val outSchema = StructType(
+      StructField("cnt", org.apache.spark.sql.types.LongType,
+        nullable = false) +:
+      cols.flatMap(c => Seq(
+        StructField(s"min_$c", fieldOf(c).dataType),
+        StructField(s"max_$c", fieldOf(c).dataType))))
+    val row = Row.fromSeq(cnt +: cols.flatMap(c => Seq(
+      mins.get(c).map(toValue(fieldOf(c).dataType, _)).orNull,
+      maxs.get(c).map(toValue(fieldOf(c).dataType, _)).orNull)))
+    spark.createDataFrame(java.util.Arrays.asList(row), outSchema)
   }
 
   /** Commit log as data (the DESCRIBE HISTORY surface): one row per
@@ -909,6 +1036,9 @@ object VersionedTable {
       Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
     case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+    case ldt: java.time.LocalDateTime => // TIMESTAMP_NTZ, micros-as-UTC
+      Some((ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L).toString)
     case dec: java.math.BigDecimal => Some(dec.toPlainString)
     case s: String => Some(s)
     case n @ (_: Long | _: Int | _: Short | _: Byte) => Some(n.toString)
@@ -918,14 +1048,21 @@ object VersionedTable {
   private def statEligible(dt: DataType): Boolean = dt match {
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
          _: DoubleType | _: FloatType | _: StringType |
-         _: TimestampType | _: DateType | _: DecimalType => true
+         _: TimestampType | _: TimestampNTZType | _: DateType |
+         _: DecimalType => true
     case _ => false
   }
 
   /** Stage `df` under data/ as immutable files; return their qualified
     * paths (vacuum compares against listStatus, which qualifies).
     * One extra pass over ONLY the newly staged files collects per-file
-    * min/max/null stats for the manifest's data-skipping index. */
+    * min/max/null stats for the manifest's data-skipping index — and,
+    * as a byproduct, identifies EMPTY part files (a write with more
+    * shuffle partitions than rows produces them): those are deleted
+    * instead of committed, so manifests never accumulate zero-row
+    * entries (at ingest rate, a real file-count leak). With the stats
+    * pass disabled the empties can't be told apart cheaply and are
+    * committed as before (harmless to readers). */
   private def stageFiles(df: DataFrame, root: String): Seq[String] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
@@ -945,8 +1082,17 @@ object VersionedTable {
     // without stats simply aren't prunable (readWhere keeps them).
     val statsOn = spark.conf
       .getOption("spark.graft.lake.stats.enabled").forall(_.toBoolean)
-    if (statsOn && moved.nonEmpty) collectStats(spark, df.schema, moved, root)
-    moved
+    if (statsOn && moved.nonEmpty) {
+      val stated = collectStats(spark, df.schema, moved, root)
+      stated match {
+        case Some(nonEmpty) => // stats ran: files with no stats row are
+          // zero-row part files — drop them from disk and the commit
+          val (keep, empty) = moved.partition(nonEmpty.contains)
+          empty.foreach(p => f.delete(new Path(p), false))
+          keep
+        case None => moved // no stat-eligible column: can't tell, keep
+      }
+    } else moved
   }
 
   /** Bloom columns are STICKY per table: beyond the session conf, any
@@ -965,11 +1111,14 @@ object VersionedTable {
         .toSeq.distinct
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
+  /** Returns the set of paths that produced a stats row (= the
+    * non-empty files), or None when no column is stat-eligible and the
+    * pass was skipped. */
   private def collectStats(spark: SparkSession, schema: StructType,
-      files: Seq[String], root: String): Unit = {
+      files: Seq[String], root: String): Option[Set[String]] = {
     val cols = schema.fields.filter(fd => statEligible(fd.dataType))
       .map(_.name).toSeq
-    if (cols.isEmpty) return
+    if (cols.isEmpty) return None
     // bloom opt-in: per-file filters over the listed columns (sized by
     // lake.bloom.bits, default 128 Kibit ≈ 16 KiB base64 per col per
     // file) — the point-lookup complement to min/max range stats; the
@@ -1002,10 +1151,12 @@ object VersionedTable {
           bloom =
             if (bloomCols.contains(c))
               Option(r.getAs[Array[Byte]](s"_bloom_$c"))
-            else None)
+            else None,
+          rows = Some(all))
       }.toMap
       stagedStats.put(path, st)
     }
+    Some(rows.map(r => new Path(r.getAs[String]("_f")).toString).toSet)
   }
 
   /** Claim `nextFiles(headFiles)` as the next version. The claim is the

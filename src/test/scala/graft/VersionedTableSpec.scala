@@ -727,4 +727,55 @@ class VersionedTableSpec extends SparkSpec {
         None, Map("nope" -> lit(1)))
     }
   }
+
+  test("statsAgg answers from the manifest alone: exact after edits, " +
+      "zero data files touched") {
+    val root = tmpRoot()
+    VersionedTable.write(
+      Seq((1L, 5.0, "b"), (2L, 7.0, "a"), (3L, 1.5, "c"))
+        .toDF("k", "x", "s"),
+      root)
+    VersionedTable.upsert(Seq((2L, 70.0, "a")).toDF("k", "x", "s"), root,
+      Seq("k"))
+    VersionedTable.deleteWhere(spark, root, col("s") === "c")
+    def expect(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      assert(r.getLong(0) == 2L) // cnt
+      assert(r.getLong(1) == 1L && r.getLong(2) == 2L) // k bounds
+      assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 70.0) // x bounds
+      assert(r.getString(5) == "a" && r.getString(6) == "b") // s bounds
+    }
+    expect(VersionedTable.statsAgg(spark, root, Seq("k", "x", "s")))
+    // the metadata-only proof: remove every data file; the head's
+    // statsAgg still answers (nothing below the manifest is read)
+    val dd = new org.apache.hadoop.fs.Path(root, "data")
+    dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(dd, true)
+    expect(VersionedTable.statsAgg(spark, root, Seq("k", "x", "s")))
+  }
+
+  test("statsAgg: exact fallback for stats-less files; all-null and " +
+      "empty-table edges") {
+    val root = tmpRoot()
+    spark.conf.set("spark.graft.lake.stats.enabled", "false")
+    try VersionedTable.write(Seq((10L, Some(2.0)), (20L, None))
+        .toDF("k", "x"), root)
+    finally spark.conf.unset("spark.graft.lake.stats.enabled")
+    VersionedTable.append(Seq((30L, Some(9.0))).toDF("k", "x"), root)
+    // v1 head: one stats-less file (read back), one stats-bearing file
+    val r = VersionedTable.statsAgg(spark, root, Seq("k", "x"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 10L && r.getLong(2) == 30L)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 9.0)
+    // all-null column: bounds are NULL, count still exact
+    val root2 = tmpRoot()
+    VersionedTable.write(Seq((1L, Option.empty[Double]),
+      (2L, Option.empty[Double])).toDF("k", "x"), root2)
+    val r2 = VersionedTable.statsAgg(spark, root2, Seq("x")).collect().head
+    assert(r2.getLong(0) == 2L && r2.isNullAt(1) && r2.isNullAt(2))
+    // time travel: bounds of the PRE-delete version
+    val rv0 = VersionedTable.statsAgg(spark, root, Seq("k"),
+      version = Some(0L)).collect().head
+    assert(rv0.getLong(0) == 2L && rv0.getLong(2) == 20L)
+  }
 }
