@@ -237,6 +237,37 @@ object Profiling {
         col("contrib"))
   }
 
+  /** Mutual information between two categorical columns, HASH-EXACT —
+    * the information-theoretic association measure next to
+    * [[chi2Association]] (chi2 tests independence; MI quantifies the
+    * shared information in bits, comparable across column pairs for
+    * feature selection). Per-cell report:
+    * `mi_num = n_ab * (L(N) + L(n_ab) - L(n_a) - L(n_b))` with L = the
+    * fixed-point integer `log2_fp`, so
+    * `MI_bits = sum(mi_num) / (N * 2^20)` — every op exact integer,
+    * no libm, oracle-replayable. NULL categories are their own class
+    * (GROUP BY semantics in both engines).
+    *
+    * One aggregation over the data builds the cells; margins and the
+    * total re-aggregate the CELLS (contingency-sized) and broadcast
+    * back — the chi2Association shape. */
+  def mutualInfo(df: DataFrame, a: Column, b: Column): DataFrame = {
+    import graft.functions.FixedLogFunctions.log2_fp
+    val cells = df.groupBy(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = cells.agg(sum(col("n_ab")).as("n_tot"))
+    cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("lr_fp",
+        log2_fp(col("n_tot")) + log2_fp(col("n_ab")) -
+          log2_fp(col("n_a")) - log2_fp(col("n_b")))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_tot"), col("lr_fp"),
+        (col("n_ab") * col("lr_fp")).as("mi_num"))
+  }
+
   /** Population-stability-index (PSI) drift report between a baseline
     * and a current sample of one numeric column — the standard
     * ML-monitoring drift score, HASH-EXACT: the log lives in the

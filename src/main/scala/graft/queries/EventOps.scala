@@ -74,6 +74,16 @@ object EventOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // exact mutual information between return flag and line status:
+    // the information-theoretic association next to chi2 — per-cell
+    // integer numerators (log via the fixed-point log2_fp expression),
+    // MI_bits = sum(mi_num)/(N*2^20), all hash-exact
+    "profile_mutual_info" -> ((s, d) => {
+      graft.operators.Profiling.mutualInfo(Tables.lineitem(s, d),
+          col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // broadcast interval-lookup join: user-id cohort blocks (with a
     // deliberate 10..29 gap -> NULL cohort) attach by binary search
     // over bounds-array literals instead of the BroadcastNestedLoopJoin
@@ -1049,6 +1059,29 @@ object EventOps {
         |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
         |    AND p.us > v.us AND p.us <= v.us + 604800000000)
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    "profile_mutual_info" ->
+      s"""WITH RECURSIVE cells AS (
+         |  SELECT l_returnflag AS a, l_linestatus AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_ab
+         |  FROM lineitem GROUP BY 1, 2),
+         |ra AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a
+         |  FROM cells GROUP BY 1),
+         |cb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b
+         |  FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_tot FROM cells),
+         |xs AS (SELECT n_ab AS x FROM cells UNION SELECT n_a FROM ra
+         |  UNION SELECT n_b FROM cb UNION SELECT n_tot FROM tot),
+         |${graft.functions.FixedLog.duckdbCte("xs")}
+         |SELECT c.a, c.b, c.n_ab, ra.n_a, cb.n_b, tot.n_tot,
+         |  CAST(lt.l + lab.l - la.l - lb.l AS BIGINT) AS lr_fp,
+         |  CAST(c.n_ab * (lt.l + lab.l - la.l - lb.l) AS BIGINT) AS mi_num
+         |FROM cells c JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+         |JOIN lg lab ON lab.x = c.n_ab
+         |JOIN lg la ON la.x = ra.n_a
+         |JOIN lg lb ON lb.x = cb.n_b
+         |JOIN lg lt ON lt.x = tot.n_tot
+         |ORDER BY c.a, c.b""".stripMargin,
 
     "profile_psi_drift" ->
       s"""WITH RECURSIVE src AS (

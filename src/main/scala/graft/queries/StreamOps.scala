@@ -267,6 +267,57 @@ object StreamOps {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Streaming drift observability: per-day value histograms built by
+    // a real watermarked streaming aggregation, then PSI-scored in
+    // batch against the static whole-history baseline with the exact
+    // fixed-point log — the ML-monitoring loop (watch a live feature's
+    // distribution walk away from its training profile) with zero float
+    // in the gate. Buckets divide by 64 (a power of two), so the float
+    // floor is IEEE-exact cross-engine; per-(window, bucket) psi_num /
+    // denom integer fractions as in profile_psi_drift.
+    "stream_psi_drift" -> ((s, d) => {
+      import graft.functions.FixedLogFunctions.log2_fp
+      val binned = EventsPipeline.withEventTime(eventsStream(s, d))
+        .filter(col("value").isNotNull)
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 day"),
+          least(lit(7L), floor(col("value") / 64.0).cast("long"))
+            .as("bucket"))
+        .agg(count(lit(1)).as("c_cur"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("bucket"), col("c_cur"))
+      val hist = runStream(s, binned, "psi", d, "complete")
+      // batch post-processing over the WINDOW-COUNT table (bounded by
+      // |windows| x 8): spine, baseline, exact fixed-point scoring
+      val base = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(least(lit(7L), floor(col("value") / 64.0).cast("long"))
+          .as("bucket"))
+        .agg(count(lit(1)).as("c_base"))
+      val spine = hist.select(col("window_us")).distinct()
+        .crossJoin(s.range(8).select(col("id").as("bucket")))
+        .join(hist, Seq("window_us", "bucket"), "left")
+        .join(base, Seq("bucket"), "left")
+        .select(col("window_us"), col("bucket"),
+          coalesce(col("c_base"), lit(0L)).as("c_base"),
+          coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+      val tw = spine.groupBy(col("window_us"))
+        .agg((sum(col("c_cur")) + 8).as("__tw"))
+      val rtot = base.agg((sum(col("c_base")) + 8).as("__r"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      spine.join(broadcast(tw), "window_us").crossJoin(broadcast(rtot))
+        .withColumn("lr_fp",
+          log2_fp(col("c_cur") + 1) + log2_fp(col("__r")) -
+            log2_fp(col("c_base") + 1) - log2_fp(col("__tw")))
+        .select(col("window_us"), col("bucket"), col("c_base"),
+          col("c_cur"), col("lr_fp"),
+          ((dec(col("c_cur") + 1) * dec(col("__r")) -
+            dec(col("c_base") + 1) * dec(col("__tw"))) *
+            dec(col("lr_fp"))).as("psi_num"),
+          (dec(col("__tw")) * dec(col("__r")) * dec(lit(1L << 20)))
+            .as("denom"))
+        .orderBy(col("window_us"), col("bucket"))
+    }),
+
     // Session windows (30-min gap) in APPEND mode — the strictest
     // emission semantics: a session is released only once the watermark
     // (max event time - 10 min) proves it closed, so the gate pins BOTH
@@ -548,6 +599,44 @@ object StreamOps {
         |UNION ALL SELECT 1, (SELECT COUNT(*) FROM c)
         |UNION ALL SELECT 2, (SELECT COUNT(*) FROM p)
         |ORDER BY stage_idx""".stripMargin,
+
+    "stream_psi_drift" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+         |      AS window_us,
+         |    LEAST(7, CAST(FLOOR(value / 64.0) AS BIGINT)) AS bucket
+         |  FROM events WHERE value IS NOT NULL),
+         |hist AS (SELECT window_us, bucket, CAST(COUNT(*) AS BIGINT)
+         |    AS c_cur FROM ev GROUP BY 1, 2),
+         |base AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_base
+         |  FROM ev GROUP BY 1),
+         |spine AS (
+         |  SELECT w.window_us, b.bucket,
+         |    CAST(COALESCE(base.c_base, 0) AS BIGINT) AS c_base,
+         |    CAST(COALESCE(hist.c_cur, 0) AS BIGINT) AS c_cur
+         |  FROM (SELECT DISTINCT window_us FROM hist) w
+         |  CROSS JOIN (SELECT CAST(UNNEST(range(8)) AS BIGINT) AS bucket) b
+         |  LEFT JOIN hist ON hist.window_us = w.window_us
+         |    AND hist.bucket = b.bucket
+         |  LEFT JOIN base ON base.bucket = b.bucket),
+         |tw AS (SELECT window_us, CAST(SUM(c_cur) + 8 AS BIGINT) AS twn
+         |  FROM spine GROUP BY 1),
+         |rt AS (SELECT CAST(SUM(c_base) + 8 AS BIGINT) AS rn FROM base),
+         |xs AS (SELECT c_cur + 1 AS x FROM spine
+         |  UNION SELECT c_base + 1 FROM spine
+         |  UNION SELECT twn FROM tw UNION SELECT rn FROM rt),
+         |${graft.functions.FixedLog.duckdbCte("xs")}
+         |SELECT s.window_us, s.bucket, s.c_base, s.c_cur,
+         |  CAST(lc.l + lr.l - lb.l - lt.l AS BIGINT) AS lr_fp,
+         |  CAST(((s.c_cur + 1) * rt.rn - (s.c_base + 1) * tw.twn)
+         |    * (lc.l + lr.l - lb.l - lt.l) AS DECIMAL(38,0)) AS psi_num,
+         |  CAST(tw.twn * rt.rn * 1048576 AS DECIMAL(38,0)) AS denom
+         |FROM spine s JOIN tw USING (window_us) CROSS JOIN rt
+         |JOIN lg lc ON lc.x = s.c_cur + 1
+         |JOIN lg lb ON lb.x = s.c_base + 1
+         |JOIN lg lt ON lt.x = tw.twn
+         |JOIN lg lr ON lr.x = rt.rn
+         |ORDER BY s.window_us, s.bucket""".stripMargin,
 
     "stream_session_windows" ->
       """WITH e AS (

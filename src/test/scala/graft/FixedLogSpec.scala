@@ -113,6 +113,28 @@ class FixedLogSpec extends SparkSpec {
     assert(math.abs(psi - (4.0 / 3) * math.log(5.0)) < 1e-4)
   }
 
+  test("mutualInfo: exactly zero on independent power-of-two uniforms") {
+    // 2x2 perfectly independent: every cell n/4, margins n/2 — all
+    // powers of two, so every lr_fp is exactly 0 (no truncation slack)
+    val rows = for { a <- 0 to 1; b <- 0 to 1; _ <- 1 to 4 } yield (a, b)
+    val out = Profiling.mutualInfo(rows.toDF("a", "b"), col("a"), col("b"))
+      .select(col("lr_fp"), col("mi_num")).as[(Long, Long)]
+      .collect().toSeq
+    assert(out.size == 4 && out.forall(_ == ((0L, 0L))))
+  }
+
+  test("mutualInfo of a column with itself equals its entropy numerator") {
+    // MI(X, X) = H(X): sum(mi_num) must equal tokenEntropy's ent_num
+    // on the same distribution {a:2, b:1}
+    val df = Seq("a", "a", "b").toDF("v")
+    val mi = Profiling.mutualInfo(df, col("v"), col("v"))
+      .agg(sum(col("mi_num"))).as[Long].collect().head
+    val ent = TextAnalysis.tokenEntropy(
+        Seq((1L, "g", "a a b")).toDF("id", "g", "t"), col("g"), col("t"))
+      .select(col("ent_num")).as[Long].collect().head
+    assert(mi == ent)
+  }
+
   test("partition invariance of entropy and PSI") {
     val docs = (1L to 60L).map(i =>
       (i, s"s${i % 3}", s"w${i % 7} w${i % 5} w${i % 7} w${i % 2}"))
