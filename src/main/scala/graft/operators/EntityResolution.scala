@@ -28,6 +28,95 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  /** Fellegi–Sunter probabilistic match scoring (Fellegi & Sunter 1969;
+    * the model behind Splink-style record linkage) over the same
+    * first/last-token blocks as [[matchPairs]] — the principled
+    * replacement for an ad-hoc edit-distance threshold: each attribute
+    * contributes an AGREEMENT weight `log2(m/u)` or a DISAGREEMENT
+    * weight `log2((1-m)/(1-u))` and the pair's match score is their
+    * sum.
+    *
+    * `m` (P[agree | same entity]) is the caller's prior as an exact
+    * fraction `mNum/mDen` (default 9/10). `u` (P[agree | different
+    * entities]) is estimated EXACTLY from the data as the
+    * without-replacement collision probability
+    * `sum(f_v*(f_v-1)) / (N*(N-1))` over each attribute's non-null
+    * value frequencies — the standard frequency-based u. Both are
+    * exact integer fractions, so the weights are differences of
+    * fixed-point logs ([[graft.functions.FixedLog.log2Fp]], units of
+    * 2^-20 bits) and every score is an exact BIGINT — hash-exact, the
+    * oracle replays the same integer algorithm. A zero numerator or
+    * denominator (all-distinct or constant column) floors at 1, the
+    * Laplace convention. NULL on either side contributes weight 0 (the
+    * missing-gamma convention).
+    *
+    * u-estimation is one aggregation per attribute collapsing to TWO
+    * scalars (driver state is 2|attrs| longs); blocking and scoring
+    * are the equi-join shapes of [[matchPairs]] — nothing here reads
+    * the n^2 cross product. Output: id_a, id_b, n_agree, score_fp. */
+  def fellegiSunterScore(records: DataFrame, idCol: String,
+      nameCol: String, attrs: Seq[String],
+      mNum: Long = 9, mDen: Long = 10): DataFrame = {
+    require(attrs.nonEmpty, "need at least one scoring attribute")
+    require(mNum >= 1 && mNum < mDen,
+      s"m must be a fraction in (0,1): $mNum/$mDen")
+    import graft.functions.FixedLog.log2Fp
+    val recs = records.select(
+      (idCol +: (nameCol +: attrs).distinct).map(col): _*)
+      .localCheckpoint() // consumed by |attrs| u-aggs + both join sides
+    // exact u per attribute: collision probability of two random
+    // non-null values, as the integer fraction (sum f(f-1), N(N-1))
+    val weights: Map[String, (Long, Long)] = attrs.map { c =>
+      val r = recs.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * (col("f") - 1)).as("un"),
+          sum(col("f")).as("n"))
+        .collect().head
+      // N(N-1) multiplied on the driver with an explicit bound check —
+      // Spark's non-ANSI long multiply would wrap silently. Past ~3e9
+      // non-null values per attribute the fraction leaves 63 bits;
+      // estimate u on a hash sample at that scale (m is a prior anyway)
+      val n = BigInt(r.getLong(1))
+      require(n * (n - 1) <= Long.MaxValue,
+        s"u-denominator overflows 63 bits for $c (N=$n): " +
+          "estimate u on a hash sample at this scale")
+      val (un, ud) = (math.max(1L, r.getLong(0)),
+        math.max(1L, (n * (n - 1)).toLong))
+      val wAgree = log2Fp(mNum) - log2Fp(mDen) - log2Fp(un) + log2Fp(ud)
+      val wDis = log2Fp(mDen - mNum) - log2Fp(mDen) -
+        log2Fp(math.max(1L, ud - un)) + log2Fp(ud)
+      c -> ((wAgree, wDis))
+    }.toMap
+    // first/last-token candidate blocks, the matchPairs structure
+    val base = recs.select(col(idCol).as("__fs_id"),
+      substring_index(col(nameCol), " ", 1).as("w1"),
+      substring_index(col(nameCol), " ", -1).as("wlast"))
+    def blockPass(key: String) =
+      base.as("a").join(base.as("b"),
+          col(s"a.$key") === col(s"b.$key") &&
+            col("a.__fs_id") < col("b.__fs_id"))
+        .select(col("a.__fs_id").as("id_a"), col("b.__fs_id").as("id_b"))
+    val pairs = blockPass("w1").unionByName(blockPass("wlast")).distinct()
+    val aSide = recs.select(col(idCol).as("id_a") +:
+      attrs.map(c => col(c).as(s"__fa_$c")): _*)
+    val bSide = recs.select(col(idCol).as("id_b") +:
+      attrs.map(c => col(c).as(s"__fb_$c")): _*)
+    val scored = pairs.join(aSide, "id_a").join(bSide, "id_b")
+    val perAttr = attrs.map { c =>
+      val (wa, wd) = weights(c)
+      when(col(s"__fa_$c").isNull || col(s"__fb_$c").isNull, lit(0L))
+        .when(col(s"__fa_$c") === col(s"__fb_$c"), lit(wa))
+        .otherwise(lit(wd))
+    }
+    val agrees = attrs.map { c =>
+      when(col(s"__fa_$c").isNotNull && col(s"__fb_$c").isNotNull &&
+        col(s"__fa_$c") === col(s"__fb_$c"), 1L).otherwise(0L)
+    }
+    scored.select(col("id_a"), col("id_b"),
+      agrees.reduce(_ + _).as("n_agree"),
+      perAttr.reduce(_ + _).as("score_fp"))
+  }
+
   /** Candidate pairs (id_a < id_b) sharing a first- or last-token block
     * whose names are within `maxDist` edits. Output: id_a, id_b, lev.
     *

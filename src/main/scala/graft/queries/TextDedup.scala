@@ -472,6 +472,21 @@ object TextDedup {
         .orderBy(col("entity_id"))
     }),
 
+    // Fellegi-Sunter probabilistic linkage scores over the ER blocks:
+    // per-attribute log2(m/u) agreement weights with u estimated
+    // exactly from value frequencies, all integer fixed-point — the
+    // principled match score next to the edit-distance pipeline
+    "er_fellegi_sunter" -> ((s, d) => {
+      val recs = Tables.part(s, d).select(
+        col("p_partkey").as("id"), col("p_name").as("name"),
+        when(col("p_partkey") % 7 =!= 0, col("p_brand")).as("brand"),
+        col("p_retailprice").as("price"))
+      graft.operators.EntityResolution
+        .fellegiSunterScore(recs, "id", "name",
+          Seq("name", "brand", "price"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // model-based quality filter (CCNet/fastText recipe): weak labels
     // from the corpus's own bigram-LM signal, hashed unigram+bigram
     // logistic regression, map-only scoring of every doc. L-BFGS floats
@@ -1072,6 +1087,77 @@ object TextDedup {
         |JOIN norms y ON p.doc_b = y.doc_id
         |WHERE 100 * num * num >= 81 * x.n2 * y.n2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "er_fellegi_sunter" ->
+      s"""WITH RECURSIVE recs AS (
+         |  SELECT p_partkey AS id, p_name AS name,
+         |    CASE WHEN p_partkey % 7 <> 0 THEN p_brand END AS brand,
+         |    p_retailprice AS price
+         |  FROM part),
+         |un AS (SELECT CAST(GREATEST(1, SUM(f*(f-1))) AS BIGINT) AS u,
+         |    CAST(GREATEST(1, SUM(f)*(SUM(f)-1)) AS BIGINT) AS d
+         |  FROM (SELECT COUNT(*) AS f FROM recs
+         |        WHERE name IS NOT NULL GROUP BY name)),
+         |ub AS (SELECT CAST(GREATEST(1, SUM(f*(f-1))) AS BIGINT) AS u,
+         |    CAST(GREATEST(1, SUM(f)*(SUM(f)-1)) AS BIGINT) AS d
+         |  FROM (SELECT COUNT(*) AS f FROM recs
+         |        WHERE brand IS NOT NULL GROUP BY brand)),
+         |up AS (SELECT CAST(GREATEST(1, SUM(f*(f-1))) AS BIGINT) AS u,
+         |    CAST(GREATEST(1, SUM(f)*(SUM(f)-1)) AS BIGINT) AS d
+         |  FROM (SELECT COUNT(*) AS f FROM recs
+         |        WHERE price IS NOT NULL GROUP BY price)),
+         |xs AS (SELECT CAST(9 AS BIGINT) AS x UNION SELECT 10 UNION
+         |  SELECT 1 UNION
+         |  SELECT u FROM un UNION SELECT d FROM un
+         |  UNION SELECT GREATEST(1, d - u) FROM un
+         |  UNION SELECT u FROM ub UNION SELECT d FROM ub
+         |  UNION SELECT GREATEST(1, d - u) FROM ub
+         |  UNION SELECT u FROM up UNION SELECT d FROM up
+         |  UNION SELECT GREATEST(1, d - u) FROM up),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |w AS (SELECT
+         |  (SELECT l FROM lg WHERE x = 9) AS lm,
+         |  (SELECT l FROM lg WHERE x = 10) AS lmd,
+         |  (SELECT l FROM lg WHERE x = 1) AS lm1,
+         |  (SELECT l FROM lg JOIN un ON lg.x = un.u) AS lun,
+         |  (SELECT l FROM lg JOIN un ON lg.x = un.d) AS lud,
+         |  (SELECT l FROM lg JOIN un ON lg.x = GREATEST(1, un.d - un.u))
+         |    AS ludn,
+         |  (SELECT l FROM lg JOIN ub ON lg.x = ub.u) AS lbn,
+         |  (SELECT l FROM lg JOIN ub ON lg.x = ub.d) AS lbd,
+         |  (SELECT l FROM lg JOIN ub ON lg.x = GREATEST(1, ub.d - ub.u))
+         |    AS lbdn,
+         |  (SELECT l FROM lg JOIN up ON lg.x = up.u) AS lpn,
+         |  (SELECT l FROM lg JOIN up ON lg.x = up.d) AS lpd,
+         |  (SELECT l FROM lg JOIN up ON lg.x = GREATEST(1, up.d - up.u))
+         |    AS lpdn),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.name AS na, b.name AS nb, a.brand AS ba, b.brand AS bb,
+         |    a.price AS pa, b.price AS pb
+         |  FROM recs a JOIN recs b ON a.id < b.id AND
+         |    (split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+         |     OR (string_split(a.name, ' '))[-1] =
+         |        (string_split(b.name, ' '))[-1]))
+         |SELECT id_a, id_b,
+         |  CAST((CASE WHEN na IS NOT NULL AND nb IS NOT NULL AND na = nb
+         |      THEN 1 ELSE 0 END)
+         |    + (CASE WHEN ba IS NOT NULL AND bb IS NOT NULL AND ba = bb
+         |      THEN 1 ELSE 0 END)
+         |    + (CASE WHEN pa IS NOT NULL AND pb IS NOT NULL AND pa = pb
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST((CASE WHEN na IS NULL OR nb IS NULL THEN 0
+         |      WHEN na = nb THEN w.lm - w.lmd - w.lun + w.lud
+         |      ELSE w.lm1 - w.lmd - w.ludn + w.lud END)
+         |    + (CASE WHEN ba IS NULL OR bb IS NULL THEN 0
+         |      WHEN ba = bb THEN w.lm - w.lmd - w.lbn + w.lbd
+         |      ELSE w.lm1 - w.lmd - w.lbdn + w.lbd END)
+         |    + (CASE WHEN pa IS NULL OR pb IS NULL THEN 0
+         |      WHEN pa = pb THEN w.lm - w.lmd - w.lpn + w.lpd
+         |      ELSE w.lm1 - w.lmd - w.lpdn + w.lpd END) AS BIGINT)
+         |    AS score_fp
+         |FROM pairs CROSS JOIN w
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "er_sorted_neighborhood" ->
       """WITH names AS (

@@ -99,4 +99,52 @@ class EntityResolutionSpec extends SparkSpec {
       .orderBy("entity_id").collect().map(_.getLong(0)).toSeq
     assert(ents == Seq(1L, 3L))
   }
+
+  test("fellegiSunter: hand-checked weights, null gamma, sign structure") {
+    import graft.functions.FixedLog.log2Fp
+    val F = graft.functions.FixedLog.FracBits
+    // 4 records, two blocks ("acme *"), city attr: {x, x, y, null}
+    // u(city): values x,x,y -> sum f(f-1) = 2, N(N-1) = 6 -> u = 1/3
+    val recs = Seq(
+      (1L, "acme east", Some("x")), (2L, "acme west", Some("x")),
+      (3L, "acme north", Some("y")), (4L, "acme south", None))
+      .toDF("id", "name", "city")
+    val out = EntityResolution.fellegiSunterScore(recs, "id", "name",
+        Seq("city"))
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // all 6 pairs share the "acme" first-token block
+    assert(out.map(p => (p._1, p._2)) ==
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    val wAgree = log2Fp(9) - log2Fp(10) - log2Fp(2) + log2Fp(6)
+    val wDis = log2Fp(1) - log2Fp(10) - log2Fp(4) + log2Fp(6)
+    // agree(1,2): m/u = 0.9/(1/3) = 2.7 -> positive ~log2(2.7) bits
+    assert(out(0) == ((1L, 2L, 1L, wAgree)))
+    assert(wAgree > (1L << F) && wAgree < 2L * (1L << F)) // in (1, 2) bits
+    // disagree(1,3): (1-m)/(1-u) = 0.1/(2/3) -> negative
+    assert(out(1) == ((1L, 3L, 0L, wDis)) && wDis < 0)
+    // null city on either side -> zero contribution
+    assert(out(2) == ((1L, 4L, 0L, 0L)))
+    assert(out(5) == ((3L, 4L, 0L, 0L)))
+  }
+
+  test("fellegiSunter: rarer attributes weigh more; partition invariant") {
+    // plate is nearly unique (u tiny) -> agreement outweighs the common
+    // color's agreement
+    // 41 shares 7's first-token block (n2), its rare plate (p7), and
+    // its color (c1), but not its full name
+    val recs = (1L to 40L).map(i => (i, s"n${i % 5} t${i % 7}",
+      s"c${i % 2}", s"p$i")) :+ ((41L, "n2 t5", "c1", "p7"))
+    val df = recs.toDF("id", "name", "color", "plate")
+    val out = EntityResolution.fellegiSunterScore(df, "id", "name",
+        Seq("color", "plate"))
+      .as[(Long, Long, Long, Long)].collect()
+    val byPair = out.map(p => (p._1, p._2) -> p._4).toMap
+    // (7, 41): plate agrees (rare) -> strongly positive overall
+    assert(byPair.contains((7L, 41L)) && byPair((7L, 41L)) > 0)
+    val shuffled = EntityResolution.fellegiSunterScore(
+        df.repartition(13), "id", "name", Seq("color", "plate"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sorted.toSeq == shuffled.sorted.toSeq)
+  }
 }
