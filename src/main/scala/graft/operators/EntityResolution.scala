@@ -29,9 +29,9 @@ import org.apache.spark.sql.functions._
 object EntityResolution {
 
   /** Fellegi–Sunter probabilistic match scoring (Fellegi & Sunter 1969;
-    * the model behind Splink-style record linkage) over the same
-    * first/last-token blocks as [[matchPairs]] — the principled
-    * replacement for an ad-hoc edit-distance threshold: each attribute
+    * the model behind Splink-style record linkage) over caller-chosen
+    * candidate blocks — the principled replacement for an ad-hoc
+    * edit-distance threshold: each attribute
     * contributes an AGREEMENT weight `log2(m/u)` or a DISAGREEMENT
     * weight `log2((1-m)/(1-u))` and the pair's match score is their
     * sum.
@@ -51,19 +51,29 @@ object EntityResolution {
     * missing-gamma convention).
     *
     * u-estimation is one aggregation per attribute collapsing to TWO
-    * scalars (driver state is 2|attrs| longs); blocking and scoring
-    * are the equi-join shapes of [[matchPairs]] — nothing here reads
-    * the n^2 cross product. Output: id_a, id_b, n_agree, score_fp. */
+    * scalars (driver state is 2|attrs| longs); candidate pairs are the
+    * union of one equi-join per caller-supplied `blockKeys` expression
+    * — nothing here reads the n^2 cross product. The BLOCK KEY is the
+    * scale lever and is deliberately explicit: a key whose domain does
+    * not grow with the data (e.g. the first token of a fixed
+    * vocabulary) makes block occupancy linear in the data and pair
+    * count QUADRATIC; pick keys whose cardinality grows with the
+    * table (composite tokens, sorted-neighborhood ranks, phonetic
+    * codes) so occupancy stays bounded. Output: id_a, id_b, n_agree,
+    * score_fp. */
   def fellegiSunterScore(records: DataFrame, idCol: String,
-      nameCol: String, attrs: Seq[String],
+      blockKeys: Seq[Column], attrs: Seq[String],
       mNum: Long = 9, mDen: Long = 10): DataFrame = {
     require(attrs.nonEmpty, "need at least one scoring attribute")
+    require(blockKeys.nonEmpty, "need at least one blocking key")
     require(mNum >= 1 && mNum < mDen,
       s"m must be a fraction in (0,1): $mNum/$mDen")
     import graft.functions.FixedLog.log2Fp
-    val recs = records.select(
-      (idCol +: (nameCol +: attrs).distinct).map(col): _*)
+    val keyed = records.select(
+      (idCol +: attrs).distinct.map(col) ++
+        blockKeys.zipWithIndex.map { case (k, i) => k.as(s"__fs_k$i") }: _*)
       .localCheckpoint() // consumed by |attrs| u-aggs + both join sides
+    val recs = keyed
     // exact u per attribute: collision probability of two random
     // non-null values, as the integer fraction (sum f(f-1), N(N-1))
     val weights: Map[String, (Long, Long)] = attrs.map { c =>
@@ -87,16 +97,16 @@ object EntityResolution {
         log2Fp(math.max(1L, ud - un)) + log2Fp(ud)
       c -> ((wAgree, wDis))
     }.toMap
-    // first/last-token candidate blocks, the matchPairs structure
-    val base = recs.select(col(idCol).as("__fs_id"),
-      substring_index(col(nameCol), " ", 1).as("w1"),
-      substring_index(col(nameCol), " ", -1).as("wlast"))
-    def blockPass(key: String) =
+    // one equi-join per blocking key, unioned and deduped
+    val base = recs.select(col(idCol).as("__fs_id") +:
+      blockKeys.indices.map(i => col(s"__fs_k$i")): _*)
+    def blockPass(i: Int) =
       base.as("a").join(base.as("b"),
-          col(s"a.$key") === col(s"b.$key") &&
+          col(s"a.__fs_k$i") === col(s"b.__fs_k$i") &&
             col("a.__fs_id") < col("b.__fs_id"))
         .select(col("a.__fs_id").as("id_a"), col("b.__fs_id").as("id_b"))
-    val pairs = blockPass("w1").unionByName(blockPass("wlast")).distinct()
+    val pairs = blockKeys.indices.map(blockPass)
+      .reduce(_ unionByName _).distinct()
     val aSide = recs.select(col(idCol).as("id_a") +:
       attrs.map(c => col(c).as(s"__fa_$c")): _*)
     val bSide = recs.select(col(idCol).as("id_b") +:

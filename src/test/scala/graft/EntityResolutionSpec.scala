@@ -109,8 +109,8 @@ class EntityResolutionSpec extends SparkSpec {
       (1L, "acme east", Some("x")), (2L, "acme west", Some("x")),
       (3L, "acme north", Some("y")), (4L, "acme south", None))
       .toDF("id", "name", "city")
-    val out = EntityResolution.fellegiSunterScore(recs, "id", "name",
-        Seq("city"))
+    val out = EntityResolution.fellegiSunterScore(recs, "id",
+        Seq(substring_index(col("name"), " ", 1)), Seq("city"))
       .orderBy(col("id_a"), col("id_b"))
       .as[(Long, Long, Long, Long)].collect().toSeq
     // all 6 pairs share the "acme" first-token block
@@ -136,14 +136,16 @@ class EntityResolutionSpec extends SparkSpec {
     val recs = (1L to 40L).map(i => (i, s"n${i % 5} t${i % 7}",
       s"c${i % 2}", s"p$i")) :+ ((41L, "n2 t5", "c1", "p7"))
     val df = recs.toDF("id", "name", "color", "plate")
-    val out = EntityResolution.fellegiSunterScore(df, "id", "name",
+    val keys = Seq(substring_index(col("name"), " ", 1),
+      substring_index(col("name"), " ", -1))
+    val out = EntityResolution.fellegiSunterScore(df, "id", keys,
         Seq("color", "plate"))
       .as[(Long, Long, Long, Long)].collect()
     val byPair = out.map(p => (p._1, p._2) -> p._4).toMap
     // (7, 41): plate agrees (rare) -> strongly positive overall
     assert(byPair.contains((7L, 41L)) && byPair((7L, 41L)) > 0)
     val shuffled = EntityResolution.fellegiSunterScore(
-        df.repartition(13), "id", "name", Seq("color", "plate"))
+        df.repartition(13), "id", keys, Seq("color", "plate"))
       .as[(Long, Long, Long, Long)].collect()
     assert(out.sorted.toSeq == shuffled.sorted.toSeq)
   }
