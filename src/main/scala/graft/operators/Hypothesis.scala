@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.ColUtil
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Two-sample hypothesis tests — the A/B-experiment readout primitives
+  * (is variant B's metric actually different, or noise?). No reference
+  * counterpart (its DBMS surface stops at aggregates); sibling of
+  * Profiling's drift statistics, which compare DISTRIBUTIONS — these
+  * compare GROUP MEANS/RANKS and attach a test statistic.
+  *
+  * Determinism contract (the ColUtil/Trend scheme): every sufficient
+  * statistic accumulates in EXACT arithmetic — counts in bigint,
+  * money-quantized sums in decimal, squared sums in decimal(38,8) —
+  * so the inputs to the final statistic are identical in any engine
+  * and under any partitioning; the statistic itself is a fixed dag of
+  * IEEE double ops (+,*,/,sqrt — all correctly rounded, no libm) over
+  * those identical inputs, hence bit-identical too.
+  *
+  * Scale shape: Welch is ONE aggregation over the filtered stream
+  * (map-side partial, O(1) state). Mann–Whitney is a grouped count on
+  * the value domain plus one distributed prefix sum ([[Ids.prefixSum]]
+  * — never a single-partition window): cost follows the DISTINCT value
+  * count, not the row count, the same bound as Profiling.ksReport.
+  */
+object Hypothesis {
+
+  /** Welch's unequal-variance t-test comparing `value` between rows
+    * where `group` = `a` vs `b`. Returns one row:
+    * (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, dof) with dof
+    * the Welch–Satterthwaite approximation. `value` must be
+    * money-scale (quantized via ColUtil.money); both groups need
+    * n >= 2 — callers on smaller slices get a null t/dof rather
+    * than a crash (guarded divisions). */
+  def welchT(df: DataFrame, group: Column, value: Column,
+      a: String, b: String): DataFrame = {
+    val base = df
+      .select(group.as("__g"), ColUtil.money(value).as("__v"))
+      .where(col("__g").isin(a, b) && col("__v").isNotNull)
+    def side(tag: String, want: String) = Seq(
+      sum(when(col("__g") === want, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col("__g") === want, col("__v"))).as(s"__s$tag"),
+      sum(when(col("__g") === want,
+        (col("__v") * col("__v")).cast("decimal(38,8)")))
+        .as(s"__q$tag"))
+    val aggs = side("a", a) ++ side("b", b)
+    def mean(t: String) =
+      col(s"__s$t").cast("double") / col(s"n_$t").cast("double")
+    // var_samp from exact sums: (Σv² - (Σv)²/n) / (n-1)
+    def vr(t: String) =
+      (col(s"__q$t").cast("double") -
+        col(s"__s$t").cast("double") * col(s"__s$t").cast("double") /
+          col(s"n_$t").cast("double")) /
+        (col(s"n_$t").cast("double") - lit(1.0d))
+    base.agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_a", mean("a")).withColumn("mean_b", mean("b"))
+      .withColumn("var_a", when(col("n_a") > 1, vr("a")))
+      .withColumn("var_b", when(col("n_b") > 1, vr("b")))
+      .withColumn("__se2",
+        col("var_a") / col("n_a").cast("double") +
+          col("var_b") / col("n_b").cast("double"))
+      .withColumn("t_stat",
+        (col("mean_a") - col("mean_b")) / sqrt(col("__se2")))
+      // squares written as x*x, not pow(x,2): pow is libm territory,
+      // multiplication is correctly-rounded IEEE in every engine
+      .withColumn("__wa", col("var_a") / col("n_a").cast("double"))
+      .withColumn("__wb", col("var_b") / col("n_b").cast("double"))
+      .withColumn("dof",
+        col("__se2") * col("__se2") /
+          (col("__wa") * col("__wa") /
+             (col("n_a").cast("double") - lit(1.0d)) +
+           col("__wb") * col("__wb") /
+             (col("n_b").cast("double") - lit(1.0d))))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"), col("t_stat"), col("dof"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test of `value` between
+    * `group` = `a` vs `b`, with midrank tie handling and the tie-
+    * corrected normal approximation. Returns one row:
+    * (n_a, n_b, u2_a, u_a, z_score) where `u2_a` = 2·U_a held exact
+    * in bigint (midranks are half-integers, so DOUBLING keeps every
+    * intermediate integral — the same fixed-point discipline as
+    * log2_fp) and U_a = u2_a/2 as a double for readability.
+    *
+    * Rank sums never materialize per-row ranks: values collapse to
+    * (value → count, count_a) first, the cumulative count comes from
+    * one distributed prefix sum, and the midrank of a run of t tied
+    * values is (2·cum − t + 1)/2 — so the shuffled volume is the
+    * distinct-value domain. */
+  def mannWhitneyU(df: DataFrame, group: Column, value: Column,
+      a: String, b: String): DataFrame = {
+    val base = df
+      .select(group.as("__g"), ColUtil.money(value).as("__v"))
+      .where(col("__g").isin(a, b) && col("__v").isNotNull)
+    val perVal = base.groupBy(col("__v")).agg(
+      sum(when(col("__g") === a, 1L).otherwise(0L)).as("__ca"),
+      count(lit(1)).as("__ct"))
+    val cum = Ids.prefixSum(perVal, Seq(col("__v")), col("__ct"), "__cum")
+    // Σ over tied runs of count_a · (2·avg_rank) and the Σ(t³−t) tie
+    // term, both exact (decimal(38,0) guards the N² products at scale)
+    val agg = cum.agg(
+      sum(col("__ca")).as("n_a"),
+      sum(col("__ct") - col("__ca")).as("n_b"),
+      sum((col("__ca").cast("decimal(19,0)") *
+        (lit(2L) * col("__cum") - col("__ct") + lit(1L)))
+        .cast("decimal(38,0)")).as("__ra2"),
+      sum((col("__ct").cast("decimal(19,0)") * col("__ct") * col("__ct") -
+        col("__ct")).cast("decimal(38,0)")).as("__ties"))
+    agg
+      // 2·U_a = 2·R_a − n_a(n_a+1); both terms integral and exact
+      .withColumn("u2_a",
+        (col("__ra2") - col("n_a").cast("decimal(38,0)") *
+          (col("n_a") + lit(1L))).cast("bigint"))
+      .withColumn("u_a", col("u2_a").cast("double") / lit(2.0d))
+      .withColumn("__n", (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("__mu",
+        col("n_a").cast("double") * col("n_b").cast("double") / lit(2.0d))
+      // tie-corrected variance: n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1)))
+      .withColumn("__sig2",
+        col("n_a").cast("double") * col("n_b").cast("double") / lit(12.0d) *
+          (col("__n") + lit(1.0d) -
+            col("__ties").cast("double") /
+              (col("__n") * (col("__n") - lit(1.0d)))))
+      .withColumn("z_score",
+        when(col("__sig2") > 0,
+          (col("u_a") - col("__mu")) / sqrt(col("__sig2"))))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("u_a"),
+        col("z_score"))
+  }
+}

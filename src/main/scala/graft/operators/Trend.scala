@@ -140,4 +140,49 @@ object Trend {
         col("__peak.__cusum").as("peak_cusum_scaled"),
         col("__peak.__n").as("n"), col("__peak.__total").as("total")): _*)
   }
+
+  /** Theil–Sen estimator per key: the median of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i) over x_i < x_j — the robust alternative to
+    * [[ols]] (a single wild outlier moves OLS arbitrarily; Theil–Sen
+    * tolerates ~29% contamination). Output: keys, n_pairs, slope.
+    *
+    * Determinism: each slope is one double division of exact operands
+    * (decimal y-difference, integer x-difference); the median is an
+    * explicit rank selection — rows ranked by slope, the middle one or
+    * two averaged as sum/count (1–2 IEEE adds, order-free) — never a
+    * percentile approximation. Pairs with equal x are excluded (slope
+    * undefined), matching the classical estimator.
+    *
+    * Scale contract: the pair set is QUADRATIC in each key's series
+    * length — callers reduce the series first (e.g. daily exact sums,
+    * as events_theilsen_trend does), exactly like any published
+    * distributed Theil–Sen variant; the join itself is key-partitioned
+    * so cost is Σ_k n_k², never a cross product across keys. */
+  def theilSen(df: DataFrame, keyCols: Seq[String], x: Column, y: Column)
+      : DataFrame = {
+    val keys = keyCols.map(col)
+    val base = df.select(
+      keys :+ x.cast("long").as("__x") :+
+        graft.ColUtil.money(y).as("__y"): _*)
+    val a = base.select(keys :+ col("__x").as("__xa") :+
+      col("__y").as("__ya"): _*)
+    val b = base.select(keys :+ col("__x").as("__xb") :+
+      col("__y").as("__yb"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__slope"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*)
+    a.join(b, keyCols, "inner")
+      .where(col("__xa") < col("__xb"))
+      .withColumn("__slope",
+        (col("__yb") - col("__ya")).cast("double") /
+          (col("__xb") - col("__xa")).cast("double"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__rk") === expr("(__n + 1) div 2") ||
+        col("__rk") === expr("(__n + 2) div 2"))
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n_pairs"),
+        (sum(col("__slope")) / count(lit(1))).as("slope"))
+  }
 }

@@ -786,6 +786,40 @@ object EventOps {
           spatialPoints(s, d).filter(col("id") < 10000),
           "id", "x", "y", SpatialR, minPts = 4)
         .orderBy(col("id"))
+    }),
+
+    // Welch unequal-variance t-test of `value` between click and view
+    // events — the A/B-experiment readout. ONE aggregation pass of
+    // exact sufficient statistics, then a fixed double dag
+    // (operators.Hypothesis scaladoc); hash-exact cross-engine
+    "events_ab_welch" -> ((s, d) => {
+      graft.operators.Hypothesis.welchT(Tables.events(s, d),
+        col("event_type"), col("value"), "click", "view")
+    }),
+
+    // rank-based (distribution-free) alternative: Mann–Whitney U with
+    // midrank ties + tie-corrected z. Shuffle volume follows the
+    // DISTINCT value domain (grouped counts + one distributed prefix
+    // sum), not the row count — the ksReport scale bound
+    "events_ab_mannwhitney" -> ((s, d) => {
+      graft.operators.Hypothesis.mannWhitneyU(Tables.events(s, d),
+        col("event_type"), col("value"), "click", "view")
+    }),
+
+    // robust per-user trend: Theil–Sen median slope over DAILY exact
+    // sums — the quadratic-pair scale contract (reduce the series
+    // first, then pair; Trend.theilSen scaladoc). Complements
+    // events_trend_ols, which a single wild outlier can move
+    "events_theilsen_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          money(col("value")).as("v"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("v")).cast("decimal(12,4)").as("y"))
+      graft.operators.Trend.theilSen(daily, Seq("user_id"),
+          col("day"), col("y"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -807,6 +841,115 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same exact sufficient statistics (bigint counts, decimal sums),
+    // same double dag; decimal -> double through VARCHAR per the
+    // ColUtil parity rule
+    "events_ab_welch" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, CAST(value AS DECIMAL(12,4)) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click','view') AND value IS NOT NULL
+        |), a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN g='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    SUM(CASE WHEN g='click' THEN v END) AS sa,
+        |    SUM(CASE WHEN g='view' THEN v END) AS sb,
+        |    SUM(CASE WHEN g='click' THEN CAST(v*v AS DECIMAL(38,8)) END) AS qa,
+        |    SUM(CASE WHEN g='view' THEN CAST(v*v AS DECIMAL(38,8)) END) AS qb
+        |  FROM base
+        |), s AS (
+        |  SELECT n_a, n_b,
+        |    CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS dsa,
+        |    CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS dsb,
+        |    CAST(CAST(qa AS VARCHAR) AS DOUBLE) AS dqa,
+        |    CAST(CAST(qb AS VARCHAR) AS DOUBLE) AS dqb,
+        |    CAST(n_a AS DOUBLE) AS dna, CAST(n_b AS DOUBLE) AS dnb
+        |  FROM a
+        |), t AS (
+        |  SELECT n_a, n_b, dna, dnb,
+        |    dsa/dna AS mean_a, dsb/dnb AS mean_b,
+        |    (dqa - dsa*dsa/dna)/(dna-1) AS var_a,
+        |    (dqb - dsb*dsb/dnb)/(dnb-1) AS var_b
+        |  FROM s
+        |), u AS (
+        |  SELECT n_a, n_b, mean_a, mean_b, var_a, var_b, dna, dnb,
+        |    var_a/dna + var_b/dnb AS se2,
+        |    var_a/dna AS wa, var_b/dnb AS wb
+        |  FROM t
+        |)
+        |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+        |  (mean_a - mean_b)/sqrt(se2) AS t_stat,
+        |  se2*se2 / (wa*wa/(dna-1) + wb*wb/(dnb-1)) AS dof
+        |FROM u""".stripMargin,
+
+    // midranks doubled to stay integral; exact hugeint rank sums, the
+    // z statistic as the identical double dag
+    "events_ab_mannwhitney" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, CAST(value AS DECIMAL(12,4)) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click','view') AND value IS NOT NULL
+        |), pv AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN g='click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    COUNT(*) AS ct
+        |  FROM base GROUP BY v
+        |), cum AS (
+        |  SELECT v, ca, ct,
+        |    SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pv
+        |), agg AS (
+        |  SELECT
+        |    CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(ct - ca) AS BIGINT) AS n_b,
+        |    SUM(CAST(ca AS HUGEINT) * (2*cum - ct + 1)) AS ra2,
+        |    SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS ties
+        |  FROM cum
+        |), fin AS (
+        |  SELECT n_a, n_b,
+        |    CAST(ra2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+        |    CAST(n_a AS DOUBLE) AS dna, CAST(n_b AS DOUBLE) AS dnb,
+        |    CAST(n_a + n_b AS DOUBLE) AS nn,
+        |    CAST(CAST(ties AS VARCHAR) AS DOUBLE) AS dties
+        |  FROM agg
+        |), z AS (
+        |  SELECT n_a, n_b, u2_a,
+        |    CAST(u2_a AS DOUBLE) / 2 AS u_a,
+        |    dna * dnb / 2 AS mu,
+        |    dna * dnb / 12 * (nn + 1 - dties / (nn * (nn - 1))) AS sig2
+        |  FROM fin
+        |)
+        |SELECT n_a, n_b, u2_a, u_a,
+        |  CASE WHEN sig2 > 0 THEN (u_a - mu)/sqrt(sig2) END AS z_score
+        |FROM z""".stripMargin,
+
+    // same daily reduction, same pair set, same explicit rank-selected
+    // median (sum/count over the 1-2 middle rows)
+    "events_theilsen_trend" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(value AS DECIMAL(12,4)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), dly AS (
+        |  SELECT user_id, day, CAST(SUM(v) AS DECIMAL(12,4)) AS y
+        |  FROM e GROUP BY user_id, day
+        |), p AS (
+        |  SELECT a.user_id,
+        |    CAST(CAST(b.y - a.y AS VARCHAR) AS DOUBLE)
+        |      / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM dly a JOIN dly b ON a.user_id = b.user_id AND a.day < b.day
+        |), r AS (
+        |  SELECT user_id, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope) AS rk,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM p
+        |)
+        |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_pairs,
+        |  SUM(slope)/COUNT(*) AS slope
+        |FROM r WHERE rk = (n+1)//2 OR rk = (n+2)//2
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "join_range_lookup" ->
       """WITH b(lo, hi, cohort) AS (
         |  VALUES (0, 4, 'c0'), (5, 9, 'c1'), (30, 99, 'c3'),

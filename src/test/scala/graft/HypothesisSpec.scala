@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Hypothesis
+import org.apache.spark.sql.functions._
+
+/** Two-sample tests: statistics validated against hand-computed
+  * closed forms on small planted samples, plus invariance checks
+  * (partitioning must not change a single bit — the determinism
+  * contract the oracle hash relies on). */
+class HypothesisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: Seq[(String, Double)]) =
+    rows.toDF("g", "v")
+
+  test("welchT matches the closed form on a planted sample") {
+    // a: [1,2,3,4]  (n=4, mean=2.5, var=5/3)
+    // b: [2,4,6]    (n=3, mean=4,   var=4)
+    val d = df(Seq("a" -> 1d, "a" -> 2d, "a" -> 3d, "a" -> 4d,
+      "b" -> 2d, "b" -> 4d, "b" -> 6d))
+    val r = Hypothesis.welchT(d, col("g"), col("v"), "a", "b").head()
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 3)
+    assert(math.abs(r.getAs[Double]("mean_a") - 2.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_a") - 5.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_b") - 4.0) < 1e-12)
+    val se2 = 5.0 / 3 / 4 + 4.0 / 3
+    val t = (2.5 - 4.0) / math.sqrt(se2)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-12)
+    val dof = se2 * se2 /
+      ((5.0 / 3 / 4) * (5.0 / 3 / 4) / 3 + (4.0 / 3) * (4.0 / 3) / 2)
+    assert(math.abs(r.getAs[Double]("dof") - dof) < 1e-12)
+  }
+
+  test("mannWhitneyU matches hand-computed ranks incl. midrank ties") {
+    // pooled sorted: 1(a) 2(a) 2(b) 3(a) 5(b) 7(b)
+    // midranks:      1   2.5 2.5  4    5    6
+    // R_a = 1 + 2.5 + 4 = 7.5 -> u2_a = 2*7.5 - 3*4 = 3 (U_a = 1.5)
+    val d = df(Seq("a" -> 1d, "a" -> 2d, "a" -> 3d,
+      "b" -> 2d, "b" -> 5d, "b" -> 7d))
+    val r = Hypothesis.mannWhitneyU(d, col("g"), col("v"), "a", "b").head()
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Long]("u2_a") == 3L)
+    assert(math.abs(r.getAs[Double]("u_a") - 1.5) < 1e-12)
+    // tie-corrected sigma^2 = (9/12) * (7 - 6/(6*5)) = 5.1
+    val z = (1.5 - 4.5) / math.sqrt(0.75 * (7.0 - 6.0 / 30.0))
+    assert(math.abs(r.getAs[Double]("z_score") - z) < 1e-12)
+  }
+
+  test("statistics are bit-identical under repartitioning") {
+    val base = Tables.events(spark, Sf0)
+    for (parts <- Seq(1, 7)) {
+      val d = base.repartition(parts)
+      val w = Hypothesis.welchT(d, col("event_type"), col("value"),
+        "click", "view").head()
+      val u = Hypothesis.mannWhitneyU(d, col("event_type"), col("value"),
+        "click", "view").head()
+      val w1 = Hypothesis.welchT(base, col("event_type"), col("value"),
+        "click", "view").head()
+      val u1 = Hypothesis.mannWhitneyU(base, col("event_type"),
+        col("value"), "click", "view").head()
+      assert(w.toSeq == w1.toSeq, s"welch drifted at $parts partitions")
+      assert(u.toSeq == u1.toSeq, s"mw drifted at $parts partitions")
+    }
+  }
+
+  test("welch degenerate group sizes yield null stats, not crashes") {
+    val d = df(Seq("a" -> 1d, "b" -> 2d, "b" -> 3d))
+    val r = Hypothesis.welchT(d, col("g"), col("v"), "a", "b").head()
+    assert(r.getAs[Long]("n_a") == 1)
+    assert(r.isNullAt(r.fieldIndex("var_a")))
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+  }
+}

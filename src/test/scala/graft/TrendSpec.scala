@@ -108,4 +108,43 @@ class TrendSpec extends SparkSpec {
     }
     assert(run(0) == run(23))
   }
+
+  test("theilSen ignores an outlier OLS cannot") {
+    // y = 2x except one wild point: Theil-Sen median slope stays 2,
+    // OLS on the same data does not
+    val df = (Seq((1L, 0L, 0.0), (1L, 1L, 2.0), (1L, 2L, 4.0),
+      (1L, 3L, 6.0), (1L, 4L, 1000.0))).toDF("k", "x", "y")
+    val ts = Trend.theilSen(df, Seq("k"), col("x"), col("y"))
+      .select("n_pairs", "slope").as[(Long, Double)].collect().head
+    assert(ts._1 == 10L && ts._2 == 2.0)
+    val o = Trend.ols(df, Seq("k"), col("x"), col("y"))
+      .select("slope").as[Double].collect().head
+    assert(math.abs(o - 2.0) > 10)
+  }
+
+  test("theilSen even pair count averages the two middle slopes") {
+    // x=0..3, y: 0,1,4,5 -> six slopes sorted: 1,1,5/3,2,2,3 ->
+    // median = (5/3 + 2)/2 = 11/6
+    val df = Seq((1L, 0L, 0.0), (1L, 1L, 1.0), (1L, 2L, 4.0),
+      (1L, 3L, 5.0)).toDF("k", "x", "y")
+    val r = Trend.theilSen(df, Seq("k"), col("x"), col("y"))
+      .select("n_pairs", "slope").as[(Long, Double)].collect().head
+    assert(r._1 == 6L && math.abs(r._2 - 11.0 / 6) < 1e-15)
+  }
+
+  test("theilSen drops equal-x pairs and is partition-invariant") {
+    val rows = (1L to 200L).map(i =>
+      (i % 4, i / 2, (i % 11).toDouble))
+    def run(np: Int) = {
+      val base = rows.toDF("k", "x", "y")
+      Trend.theilSen(if (np > 0) base.repartition(np) else base,
+          Seq("k"), col("x"), col("y"))
+        .orderBy("k").collect().map(_.toSeq).toSeq
+    }
+    val r = run(0)
+    assert(r == run(17))
+    // equal-x pairs excluded: with 50 distinct x per key appearing
+    // twice... pair count must be < C(100,2)
+    assert(r.forall(_(1).asInstanceOf[Long] < 100L * 99 / 2))
+  }
 }
