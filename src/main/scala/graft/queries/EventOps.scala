@@ -820,6 +820,35 @@ object EventOps {
       graft.operators.Trend.theilSen(daily, Seq("user_id"),
           col("day"), col("y"))
         .orderBy(col("user_id"))
+    }),
+
+    // Kaplan-Meier survival of SESSION durations (whole minutes):
+    // subjects are the 30-min-gap sessions, a session whose last event
+    // sits within one gap of the data edge is right-censored (it could
+    // have continued past the window), everything else "dies" at its
+    // observed length. Survival carried in exact log2 fixed point — no
+    // float product, no libm (operators.Survival scaladoc)
+    "events_survival_km" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_us")).as("s0"), max(col("ts_us")).as("s1"))
+      val g = sess.agg(max(col("s1")).as("gmax"))
+      val subj = sess.crossJoin(broadcast(g))
+        .withColumn("t", expr("(s1 - s0) div 60000000"))
+        .withColumn("event",
+          when(col("s1") < col("gmax") - lit(SessionGapUs), 1L)
+            .otherwise(0L))
+      graft.operators.Survival.kaplanMeier(subj, col("t"), col("event"))
+        .orderBy(col("t"))
     })
   )
 
@@ -949,6 +978,69 @@ object EventOps {
         |  SUM(slope)/COUNT(*) AS slope
         |FROM r WHERE rk = (n+1)//2 OR rk = (n+2)//2
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same censoring rule, same at-risk prefix arithmetic, survival
+    // replayed through the log2_fp recursive CTE
+    "events_survival_km" ->
+      s"""WITH RECURSIVE gg AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > $SessionGapUs
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sid AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM gg
+         |), sess AS (
+         |  SELECT user_id, session_id, MIN(epoch_us(ts)) AS s0,
+         |    MAX(epoch_us(ts)) AS s1
+         |  FROM sid GROUP BY user_id, session_id
+         |), g AS (SELECT MAX(s1) AS gmax FROM sess),
+         |subj AS (
+         |  SELECT (s1 - s0) // 60000000 AS t,
+         |    CASE WHEN s1 < gmax - ${SessionGapUs} THEN 1 ELSE 0
+         |      END AS ev
+         |  FROM sess, g
+         |), pd AS (
+         |  SELECT t, CAST(SUM(ev) AS BIGINT) AS n_events,
+         |    CAST(SUM(1 - ev) AS BIGINT) AS n_censored,
+         |    COUNT(*) AS alln
+         |  FROM subj GROUP BY t
+         |), tot AS (SELECT COUNT(*) AS n FROM subj),
+         |cum AS (
+         |  SELECT t, n_events, n_censored, alln,
+         |    SUM(alln) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS c
+         |  FROM pd
+         |), steps AS (
+         |  SELECT t, n_events, n_censored,
+         |    CAST(n - (c - alln) AS BIGINT) AS n_risk
+         |  FROM cum, tot
+         |  WHERE n_events > 0
+         |), xs AS (
+         |  SELECT n_risk AS x FROM steps UNION
+         |  SELECT n_risk - n_events FROM steps WHERE n_risk > n_events
+         |),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |terms AS (
+         |  SELECT s.t, s.n_risk, s.n_events, s.n_censored,
+         |    CASE WHEN s.n_risk > s.n_events THEN lr.l - ln.l
+         |      ELSE 0 END AS term,
+         |    CASE WHEN s.n_risk = s.n_events THEN 1 ELSE 0 END AS z
+         |  FROM steps s
+         |  JOIN lg ln ON s.n_risk = ln.x
+         |  LEFT JOIN lg lr ON s.n_risk - s.n_events = lr.x
+         |), fin AS (
+         |  SELECT t, n_risk, n_events, n_censored,
+         |    SUM(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cterm,
+         |    SUM(z) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cz
+         |  FROM terms
+         |)
+         |SELECT t, n_risk, n_events, n_censored,
+         |  CASE WHEN cz = 0 THEN CAST(cterm AS BIGINT) END AS log2_surv_fp
+         |FROM fin ORDER BY t""".stripMargin,
 
     "join_range_lookup" ->
       """WITH b(lo, hi, cohort) AS (
