@@ -139,4 +139,43 @@ object Decontaminate {
     train.join(contaminatedIds.withColumnRenamed("__id", "___cid"),
       id === col("___cid"), "left_anti")
   }
+
+  /** SEMANTIC decontamination: drop training rows whose `embedding`
+    * has cosine >= `tau` to ANY eval-set embedding — the contamination
+    * tier lexical overlap cannot see (a benchmark item rewritten in
+    * different words shares no shingles but lands next to it in
+    * embedding space). Third rung of the ladder: exact n-grams
+    * ([[clean]]) -> fuzzy Jaccard ([[cleanFuzzy]]) -> embeddings.
+    *
+    * Scoring is the quantized-exact cosine (Similarity.quantize:
+    * int64 dots, double only at the final division) so the judgment is
+    * cross-engine deterministic; zero-norm embeddings score NaN, never
+    * >= tau, and are kept — the Similarity-family convention.
+    *
+    * Scale shape: the eval side is benchmark-sized by construction and
+    * BROADCASTS; the corpus streams through one map-only LEFT ANTI
+    * broadcast-nested-loop pass (each row scores |eval| dots and is
+    * emitted or not) — no shuffle of the corpus, no candidate
+    * materialization, nothing driver-side. At |eval| in the thousands
+    * this is the same per-row cost class as the n-gram probes. */
+  def semantic(train: DataFrame, evalSet: DataFrame, tau: Double)
+      : DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    val ev = evalSet
+      .select(Similarity.quantize(col("embedding")).as("__ev"))
+      .withColumn("__en",
+        sqrt(graft.functions.VectorFunctions
+          .vec_dot_long(col("__ev"), col("__ev")).cast("double")))
+    train
+      .withColumn("__qv", Similarity.quantize(col("embedding")))
+      .withColumn("__cn",
+        sqrt(graft.functions.VectorFunctions
+          .vec_dot_long(col("__qv"), col("__qv")).cast("double")))
+      .join(broadcast(ev),
+        graft.functions.VectorFunctions
+          .vec_dot_long(col("__qv"), col("__ev")).cast("double") /
+          (col("__cn") * col("__en")) >= tau,
+        "left_anti")
+      .drop("__qv", "__cn")
+  }
 }

@@ -177,6 +177,20 @@ object AnnOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // semantic decontamination: corpus rows too close in embedding
+    // space to ANY "benchmark" vector (vec_id < NQueries stands in for
+    // the eval set) are dropped — the paraphrase-contamination tier
+    // lexical n-gram overlap misses. One map-only broadcast anti pass,
+    // quantized-exact cosine -> fully oracle-checked
+    "decontaminate_semantic" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Decontaminate.semantic(
+          emb.filter(col("vec_id") >= NQueries),
+          emb.filter(col("vec_id") < NQueries), tau = NearDupTau)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // THE embedding-dedup operator: SRP-bucketed candidate pairs + exact
     // quantized re-check. Bucket hashing is engine-specific -> rows-only
     // driver check; recall >= threshold vs the exact pairs is spec'd in
@@ -414,6 +428,17 @@ object AnnOps {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${duckCosExact("a", "b")} >= $NearDupTau
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "decontaminate_semantic" ->
+      s"""WITH bad AS (
+         |  SELECT DISTINCT c.vec_id
+         |  FROM embeddings c JOIN embeddings q
+         |    ON c.vec_id >= $NQueries AND q.vec_id < $NQueries
+         |  WHERE ${duckCosExact("q", "c")} >= $NearDupTau)
+         |SELECT c.vec_id, c.label FROM embeddings c
+         |WHERE c.vec_id >= $NQueries
+         |  AND c.vec_id NOT IN (SELECT vec_id FROM bad)
+         |ORDER BY c.vec_id""".stripMargin,
 
     "ann_kcenter_coreset" -> kCenterOracle
   )

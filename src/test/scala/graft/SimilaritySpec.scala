@@ -457,4 +457,27 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semanticDedup(corpus, k = 3, tau = 0.9999).count() ==
       corpus.count())
   }
+
+  test("semantic decontamination drops planted paraphrases, keeps rest") {
+    import graft.operators.Decontaminate
+    val evalSet = emb.filter($"vec_id" < 5)
+    // plant: corpus row 9001 = eval row 0's embedding scaled by 2
+    // (same direction -> cosine 1), 9002 with sign flipped (cosine -1)
+    val planted = evalSet.filter($"vec_id" === 0)
+      .select(lit(9001L).as("vec_id"),
+        transform($"embedding", x => x * 2.0f).as("embedding"),
+        lit(7).as("label"))
+      .unionByName(evalSet.filter($"vec_id" === 0)
+        .select(lit(9002L).as("vec_id"),
+          transform($"embedding", x => -x).as("embedding"),
+          lit(7).as("label")))
+    val corpus = emb.filter($"vec_id" >= 5 && $"vec_id" < 60)
+      .unionByName(planted)
+    val kept = Decontaminate.semantic(corpus, evalSet, tau = 0.95)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!kept.contains(9001L), "scaled copy of an eval vector survived")
+    assert(kept.contains(9002L), "opposite-direction vector wrongly dropped")
+    // nothing outside the planted copy is near the eval set at 0.95
+    assert(kept.size == corpus.count() - 1)
+  }
 }
