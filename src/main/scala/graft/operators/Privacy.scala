@@ -41,4 +41,47 @@ object Privacy {
       .reduce(_ && _)
     df.join(flagged, cond, "left_semi")
   }
+
+  /** ε-differentially-private histogram: per-key counts plus Laplace
+    * (sensitivity 1 / ε) noise — the release mechanism for publishing
+    * aggregate statistics of training corpora (Dwork et al. 2006).
+    * Histogram cells are disjoint, so each cell spends the full ε
+    * (parallel composition).
+    *
+    * The Laplace draw is the inverse-CDF transform
+    * −(1/ε)·sign(u−½)·ln(1−2|u−½|) over a uniform u derived from a
+    * keyed hash (md5 nibbles, [[Sampling.hashBucket]]'s decode) — a
+    * seeded PRG like any production DP library uses, so runs are
+    * reproducible and the oracle can replay them; the guarantee holds
+    * against adversaries without the salt, exactly the usual PRG
+    * assumption. The ln runs through log2_fp (exact integer fixed
+    * point, functions.FixedLog) scaled by one ln2 double constant —
+    * no libm, so the released values are bit-identical cross-engine
+    * and under any partitioning.
+    *
+    * Scale shape: ONE grouped count (map-side partial), then per-KEY
+    * noise arithmetic on the aggregated relation — noise cost follows
+    * the key domain, not the row count. Output: (key, noisy_count,
+    * epsilon); the true count never leaves the plan. */
+  def dpHistogram(df: DataFrame, key: Column, eps: Double,
+      salt: String = "dp"): DataFrame = {
+    require(eps > 0, s"epsilon must be positive: $eps")
+    import graft.functions.FixedLogFunctions.log2_fp
+    val counts = df.groupBy(key).agg(count(lit(1)).as("__n"))
+    val keyName = counts.columns.head
+    val u32 = conv(substring(md5(concat(col(keyName).cast("string"),
+      lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    val h = u32 - lit(1L << 31)
+    // 1 − 2|u−½| = (2^31 − |h|)/2^31, clamped one ulp off exact zero
+    // (u = 0 would be −∞; a real sampler's support excludes it too)
+    val zInt = greatest(lit(1L << 31) - abs(h), lit(1L))
+    val lnz = (log2_fp(zInt) - lit(31L * (1L << 20))).cast("double") *
+      lit(0.6931471805599453d) / lit(1048576.0d)
+    val sign = when(h >= 0, lit(1.0d)).otherwise(lit(-1.0d))
+    counts
+      .withColumn("noisy_count",
+        col("__n").cast("double") + lit(-1.0d / eps) * sign * lnz)
+      .select(col(keyName), col("noisy_count"),
+        lit(eps).as("epsilon"))
+  }
 }

@@ -201,13 +201,21 @@ object Sampling {
         coalesce(col("imp_score"), lit(0L)).as("imp_score"))
   }
 
-  def hashBucketSql(idExpr: String, buckets: Int = 100): String = {
+  def hashBucketSql(idExpr: String, buckets: Int = 100): String =
+    s"(${hashU32Sql(idExpr)} % $buckets)"
+
+  /** The raw 32-bit value (no modulo) of the first 8 md5 nibbles of
+    * `h` — the ANSI twin of `conv(substring(md5(x),1,8),16,10)`;
+    * expects the enclosing query to bind `h` to the md5 hex string.
+    * [[Privacy.dpHistogram]]'s oracle turns this into the Laplace
+    * uniform. */
+  def hashU32Sql(idExpr: String): String = {
     def nibSql(i: Int): String =
       s"CAST(ascii(substring(h,$i,1)) - CASE WHEN ascii(substring(h,$i,1))" +
         s" >= 97 THEN 87 ELSE 48 END AS BIGINT)"
     val sum = (1 to 8)
       .map(i => s"${nibSql(i)} * ${1L << (4 * (8 - i))}")
       .mkString(" + ")
-    s"(($sum) % $buckets)"
+    s"($sum)"
   }
 }

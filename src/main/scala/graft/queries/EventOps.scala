@@ -849,6 +849,16 @@ object EventOps {
             .otherwise(0L))
       graft.operators.Survival.kaplanMeier(subj, col("t"), col("event"))
         .orderBy(col("t"))
+    }),
+
+    // ε-DP release of the event-type histogram: Laplace(1/ε) noise
+    // from a keyed-hash PRG, ln through exact fixed-point log2 — the
+    // released values are bit-deterministic, so fully oracle-checked
+    // (operators.Privacy.dpHistogram scaladoc)
+    "privacy_dp_counts" -> ((s, d) => {
+      graft.operators.Privacy.dpHistogram(Tables.events(s, d),
+          col("event_type"), eps = 1.0)
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1041,6 +1051,37 @@ object EventOps {
          |SELECT t, n_risk, n_events, n_censored,
          |  CASE WHEN cz = 0 THEN CAST(cterm AS BIGINT) END AS log2_surv_fp
          |FROM fin ORDER BY t""".stripMargin,
+
+    // same keyed-hash uniform (md5 nibble decode), same clamped
+    // inverse-CDF through the log2_fp CTE, same double dag
+    "privacy_dp_counts" ->
+      s"""WITH RECURSIVE cnt AS (
+         |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+         |), hs AS (
+         |  SELECT event_type, n, md5(event_type || ':dp') AS h FROM cnt
+         |), hv AS (
+         |  SELECT event_type, n,
+         |    ${graft.operators.Sampling.hashU32Sql("h")} - 2147483648 AS hh
+         |  FROM hs
+         |), zc AS (
+         |  SELECT event_type, n, hh,
+         |    GREATEST(2147483648 - ABS(hh), 1) AS x
+         |  FROM hv
+         |),
+         |${graft.functions.FixedLog.duckdbCte("zc")},
+         |fin AS (
+         |  SELECT zc.event_type, zc.n, zc.hh, lg.l
+         |  FROM zc JOIN lg ON zc.x = lg.x
+         |)
+         |SELECT event_type,
+         |  CAST(n AS DOUBLE) + CAST(-1.0 AS DOUBLE)
+         |    * (CASE WHEN hh >= 0 THEN CAST(1.0 AS DOUBLE)
+         |        ELSE CAST(-1.0 AS DOUBLE) END)
+         |    * ((CAST(l - 32505856 AS DOUBLE) * 0.6931471805599453)
+         |        / 1048576.0)
+         |    AS noisy_count,
+         |  CAST(1.0 AS DOUBLE) AS epsilon
+         |FROM fin ORDER BY event_type""".stripMargin,
 
     "join_range_lookup" ->
       """WITH b(lo, hi, cohort) AS (

@@ -65,5 +65,36 @@ class PrivacySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Privacy.anonymityViolations(records, quasi, $"disease", 0)
     }
+    intercept[IllegalArgumentException] {
+      Privacy.dpHistogram(records, $"zip", eps = 0.0)
+    }
+  }
+
+  test("dpHistogram noise matches the closed-form keyed-hash Laplace") {
+    val df = Seq.fill(100)("alpha").union(Seq.fill(40)("beta"))
+      .toDF("k")
+    val got = Privacy.dpHistogram(df, $"k", eps = 1.0)
+      .orderBy($"k").collect()
+    def expected(key: String, n: Long, eps: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((key + ":dp").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val h = java.lang.Long.parseLong(hex, 16) - (1L << 31)
+      val z = math.max((1L << 31) - math.abs(h), 1L)
+      val lnz = (graft.functions.FixedLog.log2Fp(z) -
+        31L * (1L << 20)).toDouble * 0.6931471805599453 / 1048576.0
+      val sign = if (h >= 0) 1.0 else -1.0
+      n.toDouble + (-1.0 / eps) * sign * lnz
+    }
+    assert(got.map(_.getString(0)).toSeq == Seq("alpha", "beta"))
+    assert(got(0).getDouble(1) == expected("alpha", 100L, 1.0))
+    assert(got(1).getDouble(1) == expected("beta", 40L, 1.0))
+    // halving epsilon doubles the noise magnitude, exactly
+    val wide = Privacy.dpHistogram(df, $"k", eps = 0.5)
+      .orderBy($"k").collect()
+    val n0 = got(0).getDouble(1) - 100.0
+    assert(math.abs((wide(0).getDouble(1) - 100.0) - 2.0 * n0) < 1e-12)
+    // the true count never appears in the output schema
+    assert(!got.head.schema.fieldNames.contains("__n"))
   }
 }
