@@ -468,6 +468,37 @@ object TextAnalysis {
     * the UTF-8 bytes — the classic fingerprint primitive. Exposed as a
     * deterministic Scala function for winnowing-style pipelines; not
     * SQL-oracle-checkable, covered by unit spec. */
+  /** Classical readability scores — Flesch reading ease and
+    * Flesch–Kincaid grade — from three regexp counts: sentence runs
+    * ([.!?]+, clamped to >= 1 so fragment-only docs still score),
+    * letter-run words, and vowel-group syllables ([aeiouy]+ runs; a
+    * vowel-less token contributes 0 — the cross-engine-safe
+    * approximation, since the per-word min-1 convention needs
+    * lookbehind, which RE2 engines lack). The counts are exact
+    * integers, the two scores a fixed double dag over them —
+    * hash-exact cross-engine; map-only, no shuffle at any scale. */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = lower(coalesce(text, lit("")))
+    df.select(id.as("doc_id"),
+        greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+          .as("n_sents"),
+        regexp_count(t, lit("[a-z]+")).cast("long").as("n_words"),
+        regexp_count(t, lit("[aeiouy]+")).cast("long").as("n_syll"))
+      .withColumn("__wps",
+        col("n_words").cast("double") / col("n_sents").cast("double"))
+      // guard the zero-word division itself (ANSI mode errors eagerly,
+      // before the downstream when() could mask it)
+      .withColumn("__spw", when(col("n_words") > 0,
+        col("n_syll").cast("double") / col("n_words").cast("double")))
+      .withColumn("fk_grade", when(col("n_words") > 0,
+        lit(0.39d) * col("__wps") + lit(11.8d) * col("__spw") -
+          lit(15.59d)))
+      .withColumn("reading_ease", when(col("n_words") > 0,
+        lit(206.835d) - lit(1.015d) * col("__wps") -
+          lit(84.6d) * col("__spw")))
+      .drop("__wps", "__spw")
+  }
+
   def rollingHash(s: String, window: Int): Array[Long] = {
     val Mod = (1L << 61) - 1
     val Base = 257L

@@ -293,6 +293,15 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Flesch reading ease + Flesch-Kincaid grade from three exact
+    // regexp counts (sentences clamped >= 1; vowel-group syllables) —
+    // map-only quality signals for filter thresholds
+    "text_readability" -> ((s, d) => {
+      TextAnalysis.readability(Tables.documents(s, d), col("doc_id"),
+          col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_langid" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang").as("lang_label"),
@@ -711,6 +720,32 @@ object TextDedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // same three regexp counts (RE2 len(regexp_extract_all) = Java
+    // regexp_count on these patterns), same double dag
+    "text_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(GREATEST(len(regexp_extract_all(t, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(t, '[a-z]+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT)
+        |      AS n_syll
+        |  FROM b
+        |), m AS (
+        |  SELECT doc_id, n_sents, n_words, n_syll,
+        |    CAST(n_words AS DOUBLE)/CAST(n_sents AS DOUBLE) AS wps,
+        |    CAST(n_syll AS DOUBLE)/CAST(n_words AS DOUBLE) AS spw
+        |  FROM c
+        |)
+        |SELECT doc_id, n_sents, n_words, n_syll,
+        |  CASE WHEN n_words > 0
+        |    THEN 0.39 * wps + 11.8 * spw - 15.59 END AS fk_grade,
+        |  CASE WHEN n_words > 0
+        |    THEN 206.835 - 1.015 * wps - 84.6 * spw END AS reading_ease
+        |FROM m ORDER BY doc_id""".stripMargin,
     "dedup_fuzzy_parts" ->
       """WITH names AS (
         |  SELECT p_name, COUNT(*) AS n_rows FROM part GROUP BY p_name)

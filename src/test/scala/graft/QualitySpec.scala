@@ -159,6 +159,25 @@ class QualitySpec extends SparkSpec {
       "changed_s" -> 1L, "changed_v" -> 0L))
   }
 
+  test("readability counts and scores on known English sentences") {
+    val docs = Seq(
+      (1L, "The cat sat on the mat. It was happy!"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .readability(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    // sentence runs: ". " and "!" -> 2; words: 9 letter runs;
+    // syllables: the(1) cat(1) sat(1) on(1) the(1) mat(1) it(1)
+    // was(1) ha-ppy(2) = 10
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == 9L &&
+      r(0).getLong(3) == 10L)
+    val fk = 0.39 * (9.0 / 2) + 11.8 * (10.0 / 9) - 15.59
+    assert(math.abs(r(0).getDouble(4) - fk) < 1e-12)
+    // null text: zero words -> clamped sentence count, null scores
+    assert(r(1).getLong(1) == 1L && r(1).getLong(2) == 0L)
+    assert(r(1).isNullAt(4) && r(1).isNullAt(5))
+  }
+
   test("winsorize keeps every row and clips exactly at the fences") {
     import spark.implicits._
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
