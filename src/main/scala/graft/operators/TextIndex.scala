@@ -105,4 +105,42 @@ object TextIndex {
           Seq(idCol), "left_semi")
         .filter(text.contains(pattern)) // collision scrub: exact verify
   }
+
+  /** Exact PHRASE search over the token stream — consecutive-token
+    * match, the retrieval primitive substring search can't express
+    * (substring "table scan" also hits "…portable scans…"; the phrase
+    * form tokenizes first). Classical positional-postings query: each
+    * phrase term's postings shift left by its offset, and a position
+    * where ALL offsets land is a phrase start — duplicate terms in the
+    * phrase just contribute their own offsets, so "the cat the" works
+    * unchanged.
+    *
+    * Returns (idCol, n_matches, first_pos) per matching document.
+    *
+    * Scale shape: one map-only posexplode with an IN-filter down to
+    * the phrase's terms (the postings actually shuffled are the
+    * phrase-term postings, not the corpus), a broadcast join against
+    * the |phrase|-row offset table, then ONE shuffle keyed on
+    * (doc, start). Complements [[search]]: that one answers substring
+    * containment via the trigram index, this one token adjacency. */
+  def phraseSearch(df: DataFrame, idCol: String, text: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = phrase.zipWithIndex.toDF("term", "__k")
+    df.where(text.isNotNull)
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase.distinct: _*))
+      .join(broadcast(offsets), "term")
+      .select(col(idCol), (col("pos") - col("__k")).as("__start"))
+      .where(col("__start") >= 0)
+      .groupBy(col(idCol), col("__start"))
+      .agg(count(lit(1)).as("__hits"))
+      .where(col("__hits") === phrase.length)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("__start")).cast("long").as("first_pos"))
+  }
 }

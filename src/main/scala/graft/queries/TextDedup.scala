@@ -583,6 +583,15 @@ object TextDedup {
         .search(postings, docs, "doc_id", col("text"), SearchPattern)
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // positional-postings phrase query: docs where the tokens "table"
+    // and "scan" are ADJACENT, with match count and first position —
+    // the retrieval primitive substring containment can't express
+    "text_phrase_search" -> ((s, d) => {
+      graft.operators.TextIndex.phraseSearch(Tables.documents(s, d),
+          "doc_id", col("text"), Seq("table", "scan"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -720,6 +729,27 @@ object TextDedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // positions via list index + range unnest; same shift-and-count
+    // phrase alignment
+    "text_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, l[i+1] AS term, i AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |        FROM documents WHERE text IS NOT NULL),
+        |    UNNEST(range(len(l))) AS r(i)
+        |), ph(term, k) AS (VALUES ('table', 0), ('scan', 1)),
+        |st AS (
+        |  SELECT doc_id, pos - k AS start
+        |  FROM toks JOIN ph USING (term)
+        |  WHERE pos - k >= 0
+        |), m AS (
+        |  SELECT doc_id, start FROM st
+        |  GROUP BY doc_id, start HAVING COUNT(*) = 2
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(MIN(start) AS BIGINT) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // same three regexp counts (RE2 len(regexp_extract_all) = Java
     // regexp_count on these patterns), same double dag
     "text_readability" ->

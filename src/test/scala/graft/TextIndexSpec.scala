@@ -75,6 +75,24 @@ class TextIndexSpec extends SparkSpec {
     assert(p.count() == p.distinct().count())
   }
 
+  test("phraseSearch: adjacency only, duplicate terms, positions exact") {
+    val corpus = Seq(
+      (1L, "the cat the dog"),   // "the cat the" at 0
+      (2L, "the cat the cat the"), // matches at 0 and 2
+      (3L, "cat the the cat"),   // no "the cat the" run
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextIndex.phraseSearch(corpus, "doc_id", col("text"),
+        Seq("the", "cat", "the"))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 1L, 0L), (2L, 2L, 0L)))
+    // single-term phrase degenerates to term positions
+    val one = TextIndex.phraseSearch(corpus, "doc_id", col("text"),
+        Seq("dog")).orderBy("doc_id").collect()
+    assert(one.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSeq == Seq((1L, 1L, 3L)))
+  }
+
   test("null text is indexable corpus-side and never matches") {
     val d = Seq((1L, "has merge batch inside"))
       .toDF("doc_id", "text")
