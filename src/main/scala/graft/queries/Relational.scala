@@ -1096,6 +1096,26 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- co-located bucketed join (write-once shuffle) ------------------
+    // both sides bucket-written on the join key, then join + group-by on
+    // that key plan with ZERO Exchange (PlanSpec asserts the plan; this
+    // gate asserts the VALUES) — the pay-the-shuffle-once pattern for
+    // joins that recur at 100 TB
+    "join_bucketed_colocated" -> ((s, d) => {
+      graft.operators.Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+        "bq_orders", Seq("o_custkey"), 8)
+      graft.operators.Bucketing.writeBucketed(
+        Tables.customer(s, d).select(col("c_custkey")),
+        "bq_customer", Seq("c_custkey"), 8)
+      graft.operators.Bucketing.coLocatedJoin(s, "bq_orders",
+          "bq_customer", Seq("o_custkey"), Seq("c_custkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(money(col("o_totalprice"))).cast("double").as("sum_total"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // ---- full outer join with coalesced keys ----------------------------
     "join_full_outer" -> ((s, d) => {
       val cn = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
@@ -1916,6 +1936,13 @@ object Relational {
          |  ${decSum("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the bucketed plan must be value-identical to the plain join
+    "join_bucketed_colocated" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |  ${decSum("o_totalprice")} AS sum_total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "join_full_outer" ->
       """SELECT COALESCE(ck, sk) AS nationkey,
