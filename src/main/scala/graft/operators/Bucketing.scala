@@ -27,6 +27,15 @@ object Bucketing {
       nBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
     require(keys.nonEmpty && nBuckets > 0)
     val sc = if (sortCols.isEmpty) keys else sortCols
+    // a FRESH session can inherit the managed table's directory from a
+    // previous JVM without its catalog entry — saveAsTable then fails
+    // with LOCATION_ALREADY_EXISTS even in overwrite mode; drop both
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(sc.head, sc.tail: _*)

@@ -129,4 +129,52 @@ object Hypothesis {
       .select(col("n_a"), col("n_b"), col("u2_a"), col("u_a"),
         col("z_score"))
   }
+
+  /** Spearman rank correlation between `x` and `y` — Pearson on
+    * midranks, the monotone-association measure that ignores outliers
+    * and nonlinearity Pearson chokes on. Returns one row: (n, rho).
+    *
+    * Midranks are DOUBLED to stay integral (the Mann–Whitney trick):
+    * a tie run of t values whose inclusive cumulative count is c has
+    * 2·midrank = 2c − t + 1, straight off one distributed prefix sum
+    * per side — never a global rank window. Doubling both sides
+    * leaves rho unchanged. All five sufficient statistics accumulate
+    * in decimal(38,0) (rank products reach 4n², far past int64 at
+    * corpus scale), then the standard fixed double dag.
+    *
+    * Scale shape: two grouped counts + two prefix sums on the DISTINCT
+    * value domains, two value-keyed joins to hand each row its ranks,
+    * one aggregation. */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(ColUtil.money(x).as("__x"),
+        ColUtil.money(y).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    def rankMap(c: String, out: String) = {
+      val pv = base.groupBy(col(c)).agg(count(lit(1)).as("__ct"))
+      Ids.prefixSum(pv, Seq(col(c)), col("__ct"), "__cum")
+        .select(col(c),
+          (lit(2L) * col("__cum") - col("__ct") + lit(1L)).as(out))
+    }
+    val ranked = base
+      .join(rankMap("__x", "__a"), "__x")
+      .join(rankMap("__y", "__b"), "__y")
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("__a")).cast("decimal(38,0)")).as("__sa"),
+      sum(dec(col("__b")).cast("decimal(38,0)")).as("__sb"),
+      sum((dec(col("__a")) * col("__a")).cast("decimal(38,0)"))
+        .as("__qa"),
+      sum((dec(col("__b")) * col("__b")).cast("decimal(38,0)"))
+        .as("__qb"),
+      sum((dec(col("__a")) * col("__b")).cast("decimal(38,0)"))
+        .as("__p"))
+    def d(c: String) = col(c).cast("double")
+    val dn = col("n").cast("double")
+    val num = dn * d("__p") - d("__sa") * d("__sb")
+    val va = dn * d("__qa") - d("__sa") * d("__sa")
+    val vb = dn * d("__qb") - d("__sb") * d("__sb")
+    agg.select(col("n"),
+      when(va > 0 && vb > 0, num / (sqrt(va) * sqrt(vb))).as("rho"))
+  }
 }

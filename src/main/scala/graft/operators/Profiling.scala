@@ -321,4 +321,48 @@ object Profiling {
         (dec(col("__tn")) * dec(col("__rn")) *
           dec(lit(1L << graft.functions.FixedLog.FracBits))).as("denom"))
   }
+
+  /** Pairwise Pearson correlation across `cols` in ONE aggregation
+    * pass: every per-column sum/square-sum and per-pair product sum
+    * accumulates exactly (money-quantized decimal), then each pair's
+    * r comes from the standard fixed double dag over those identical
+    * inputs — order-free, hence hash-exact. Rows with a null in ANY
+    * profiled column are excluded (one shared n keeps the matrix
+    * internally consistent — the complete-case convention).
+    *
+    * Output: one row per unordered pair (col_a < col_b by input
+    * order): (col_a, col_b, n, corr); corr null when either side is
+    * constant. The K(K−1)/2 pair rows explode from the single
+    * aggregate row — the corpus is scanned ONCE regardless of K. */
+  def correlationPairs(df: DataFrame, cols: Seq[(String, Column)])
+      : DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val named = cols.map { case (n, c) =>
+      n -> graft.ColUtil.money(c).as(s"__v_$n") }
+    val base = df.select(named.map(_._2): _*)
+      .where(cols.map { case (n, _) => col(s"__v_$n").isNotNull }
+        .reduce(_ && _))
+    val aggs =
+      cols.map { case (n, _) => sum(col(s"__v_$n")).as(s"__s_$n") } ++
+      cols.map { case (n, _) =>
+        sum((col(s"__v_$n") * col(s"__v_$n")).cast("decimal(38,8)"))
+          .as(s"__q_$n") } ++
+      cols.combinations(2).map { case Seq((a, _), (b, _)) =>
+        sum((col(s"__v_$a") * col(s"__v_$b")).cast("decimal(38,8)"))
+          .as(s"__p_${a}_$b") }.toSeq
+    val agg = base.agg(count(lit(1)).as("n"), aggs: _*)
+    def d(c: String) = col(c).cast("double")
+    val dn = col("n").cast("double")
+    val pairRows = cols.combinations(2).map { case Seq((a, _), (b, _)) =>
+      val num = dn * d(s"__p_${a}_$b") - d(s"__s_$a") * d(s"__s_$b")
+      val va = dn * d(s"__q_$a") - d(s"__s_$a") * d(s"__s_$a")
+      val vb = dn * d(s"__q_$b") - d(s"__s_$b") * d(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(va > 0 && vb > 0, num / (sqrt(va) * sqrt(vb)))
+          .as("corr"))
+    }.toSeq
+    agg.select(col("n"), explode(array(pairRows: _*)).as("__pr"))
+      .select(col("__pr.col_a"), col("__pr.col_b"), col("n"),
+        col("__pr.corr"))
+  }
 }

@@ -859,8 +859,83 @@ object EventOps {
       graft.operators.Privacy.dpHistogram(Tables.events(s, d),
           col("event_type"), eps = 1.0)
         .orderBy(col("event_type"))
+    }),
+
+    // pairwise Pearson matrix over the lineitem measures in ONE scan:
+    // all sums/square-sums/cross-products exact, six pair rows explode
+    // from the single aggregate row (Profiling.correlationPairs)
+    "profile_correlation" -> ((s, d) => {
+      graft.operators.Profiling.correlationPairs(Tables.lineitem(s, d),
+          CorrCols.map { case (c, _) => c -> col(c) })
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
+    // Spearman rank correlation between per-user activity and spend:
+    // monotone association robust to the outliers Pearson chases;
+    // midranks doubled to stay integral (Hypothesis.spearman)
+    "events_spearman_corr" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(money(col("value"))).cast("decimal(12,4)").as("sv"))
+      graft.operators.Hypothesis.spearman(per, col("n_ev"), col("sv"))
     })
   )
+
+  // correlation-matrix columns, shared by the Spark plan and the
+  // generated oracle so the two can only drift in review
+  private val CorrCols = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+    "l_discount" -> "dc", "l_tax" -> "tx")
+
+  /** DuckDB replay of [[graft.operators.Profiling.correlationPairs]]
+    * over [[CorrCols]]: one aggregate CTE, six UNION ALL pair selects,
+    * decimal -> double through VARCHAR, identical corr dag. */
+  private def corrOracle: String = {
+    val sels = CorrCols.map { case (c, a) =>
+      s"CAST($c AS DECIMAL(12,4)) AS $a" }.mkString(",\n    ")
+    val notnull = CorrCols.map { case (c, _) => s"$c IS NOT NULL" }
+      .mkString(" AND ")
+    // one operand widened past 18 digits: DuckDB's decimal multiply
+    // otherwise overflows at DECIMAL(18) (the repo-wide parity trap)
+    val sums = (CorrCols.map { case (_, a) => s"SUM($a) AS s_$a" } ++
+      CorrCols.map { case (_, a) =>
+        s"SUM(CAST(CAST($a AS DECIMAL(19,4))*$a AS DECIMAL(38,8)))" +
+          s" AS q_$a" } ++
+      CorrCols.combinations(2).map { case Seq((_, a), (_, b)) =>
+        s"SUM(CAST(CAST($a AS DECIMAL(19,4))*$b AS DECIMAL(38,8)))" +
+          s" AS p_${a}_$b" })
+      .mkString(",\n    ")
+    val dcols = (Seq("CAST(n AS DOUBLE) AS dn") ++
+      CorrCols.map { case (_, a) =>
+        s"CAST(CAST(s_$a AS VARCHAR) AS DOUBLE) AS ds_$a" } ++
+      CorrCols.map { case (_, a) =>
+        s"CAST(CAST(q_$a AS VARCHAR) AS DOUBLE) AS dq_$a" } ++
+      CorrCols.combinations(2).map { case Seq((_, a), (_, b)) =>
+        s"CAST(CAST(p_${a}_$b AS VARCHAR) AS DOUBLE) AS dp_${a}_$b" })
+      .mkString(",\n    ")
+    val pairs = CorrCols.combinations(2).map { case Seq((ca, a), (cb, b)) =>
+      val va = s"(dn*dq_$a - ds_$a*ds_$a)"
+      val vb = s"(dn*dq_$b - ds_$b*ds_$b)"
+      s"""SELECT '$ca' AS col_a, '$cb' AS col_b, n,
+         |  CASE WHEN $va > 0 AND $vb > 0
+         |    THEN (dn*dp_${a}_$b - ds_$a*ds_$b)
+         |      / (sqrt($va) * sqrt($vb)) END AS corr
+         |FROM d""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT $sels
+       |  FROM lineitem WHERE $notnull
+       |), a AS (
+       |  SELECT COUNT(*) AS n,
+       |    $sums
+       |  FROM b
+       |), d AS (
+       |  SELECT n,
+       |    $dcols
+       |  FROM a
+       |)
+       |$pairs
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 
   // synthetic integer plane for the spatial family: every 4th event is a
   // point; x/y decode md5 nibbles 1-3 / 4-6 (12 bits each -> 0..4095)
@@ -1082,6 +1157,47 @@ object EventOps {
          |    AS noisy_count,
          |  CAST(1.0 AS DOUBLE) AS epsilon
          |FROM fin ORDER BY event_type""".stripMargin,
+
+    "profile_correlation" -> corrOracle,
+
+    // RANK()+tiecount-1 is the window twin of the prefix-sum midrank
+    // (2*mid = 2*rank + t - 1); hugeint rank sums, same corr dag
+    "events_spearman_corr" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(COUNT(*) AS DECIMAL(12,4)) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(12,4)) AS y
+        |  FROM events GROUP BY user_id
+        |), b AS (
+        |  SELECT x, y FROM per WHERE x IS NOT NULL AND y IS NOT NULL
+        |), r AS (
+        |  SELECT
+        |    2*RANK() OVER (ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY x) - 1 AS a,
+        |    2*RANK() OVER (ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY y) - 1 AS b
+        |  FROM b
+        |), agg AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b AS HUGEINT)) AS sb,
+        |    SUM(CAST(a AS HUGEINT)*a) AS qa,
+        |    SUM(CAST(b AS HUGEINT)*b) AS qb,
+        |    SUM(CAST(a AS HUGEINT)*b) AS p
+        |  FROM r
+        |), dd AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS dn,
+        |    CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS dsa,
+        |    CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS dsb,
+        |    CAST(CAST(qa AS VARCHAR) AS DOUBLE) AS dqa,
+        |    CAST(CAST(qb AS VARCHAR) AS DOUBLE) AS dqb,
+        |    CAST(CAST(p AS VARCHAR) AS DOUBLE) AS dp
+        |  FROM agg
+        |)
+        |SELECT n,
+        |  CASE WHEN (dn*dqa - dsa*dsa) > 0 AND (dn*dqb - dsb*dsb) > 0
+        |    THEN (dn*dp - dsa*dsb)
+        |      / (sqrt(dn*dqa - dsa*dsa) * sqrt(dn*dqb - dsb*dsb)) END
+        |    AS rho
+        |FROM dd""".stripMargin,
 
     "join_range_lookup" ->
       """WITH b(lo, hi, cohort) AS (

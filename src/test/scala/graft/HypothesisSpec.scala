@@ -63,6 +63,35 @@ class HypothesisSpec extends SparkSpec {
     }
   }
 
+  test("spearman: monotone = 1, known mixed case, ties via midranks") {
+    def rho(rows: Seq[(Double, Double)]): java.lang.Double = {
+      val r = Hypothesis.spearman(rows.toDF("x", "y"), col("x"), col("y"))
+        .head()
+      if (r.isNullAt(1)) null else r.getDouble(1)
+    }
+    // same tie pattern on both sides, monotone -> exactly 1 (mod ulp)
+    assert(math.abs(rho(Seq(1d -> 10d, 2d -> 20d, 2d -> 20d,
+      3d -> 40d)) - 1.0) < 1e-12)
+    // outlier-proof: blowing up the top y does not move rho
+    assert(math.abs(rho(Seq(1d -> 10d, 2d -> 20d, 2d -> 20d,
+      3d -> 1e6)) - 1.0) < 1e-12)
+    // ranks (1,2,3) vs (3,1,2): Pearson of ranks = -0.5
+    assert(math.abs(rho(Seq(1d -> 3d, 2d -> 1d, 3d -> 2d)) + 0.5) < 1e-12)
+    // constant side -> null
+    assert(rho(Seq(1d -> 5d, 2d -> 5d, 3d -> 5d)) == null)
+  }
+
+  test("spearman is bit-identical under repartitioning") {
+    val rows = (1 to 2000).map(i =>
+      ((i % 97).toDouble, ((i * 7) % 89).toDouble))
+    def run(np: Int) = {
+      val base = rows.toDF("x", "y")
+      Hypothesis.spearman(if (np > 0) base.repartition(np) else base,
+        col("x"), col("y")).head().toSeq
+    }
+    assert(run(0) == run(13))
+  }
+
   test("welch degenerate group sizes yield null stats, not crashes") {
     val d = df(Seq("a" -> 1d, "b" -> 2d, "b" -> 3d))
     val r = Hypothesis.welchT(d, col("g"), col("v"), "a", "b").head()

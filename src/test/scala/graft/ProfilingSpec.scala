@@ -144,6 +144,34 @@ class ProfilingSpec extends SparkSpec {
     assert(last.compareTo(new java.math.BigDecimal("5075.00")) == 0)
   }
 
+  test("correlationPairs: planted linear pair, constants null, " +
+      "complete-case n, one scan for all pairs") {
+    val rows = (1 to 50).map { i =>
+      val x = i.toDouble
+      (x, 2.0 * x + 1.0, 5.0,
+        if (i == 50) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf((i % 7).toDouble))
+    }
+    val df = rows.toDF("x", "y", "c", "z")
+    val out = Profiling.correlationPairs(df,
+        Seq("x" -> col("x"), "y" -> col("y"), "c" -> col("c"),
+          "z" -> col("z")))
+      .orderBy("col_a", "col_b").collect()
+    assert(out.length == 6)
+    // complete-case: the one null z row drops from EVERY pair
+    assert(out.forall(_.getLong(2) == 49L))
+    val xy = out.find(r => r.getString(0) == "x" && r.getString(1) == "y")
+      .get
+    assert(math.abs(xy.getDouble(3) - 1.0) < 1e-12)
+    // constant column: null corr against everything
+    out.filter(r => r.getString(0) == "c" || r.getString(1) == "c")
+      .foreach(r => assert(r.isNullAt(3), s"constant pair $r"))
+    // symmetric sanity: corr(x,z) finite and in [-1,1]
+    val xz = out.find(r => r.getString(0) == "x" && r.getString(1) == "z")
+      .get
+    assert(math.abs(xz.getDouble(3)) <= 1.0)
+  }
+
   test("exactBucket: every bucket holds n/k rows (+-1), order respected") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
