@@ -34,9 +34,19 @@ object Hypothesis {
     * n >= 2 — callers on smaller slices get a null t/dof rather
     * than a crash (guarded divisions). */
   def welchT(df: DataFrame, group: Column, value: Column,
-      a: String, b: String): DataFrame = {
+      a: String, b: String): DataFrame =
+    welchTBy(df, Seq.empty, group, value, a, b)
+
+  /** Per-key [[welchT]] — one test per `keys` group (e.g. per time
+    * window: the streaming A/B monitor runs this under a tumbling
+    * window, where the exact sums/counts merge across micro-batches
+    * like any mergeable aggregate). */
+  def welchTBy(df: DataFrame, keys: Seq[(String, Column)],
+      group: Column, value: Column, a: String, b: String): DataFrame = {
+    val keyCols = keys.map { case (n, c) => c.as(n) }
     val base = df
-      .select(group.as("__g"), ColUtil.money(value).as("__v"))
+      .select(keyCols ++ Seq(group.as("__g"),
+        ColUtil.money(value).as("__v")): _*)
       .where(col("__g").isin(a, b) && col("__v").isNotNull)
     def side(tag: String, want: String) = Seq(
       sum(when(col("__g") === want, 1L).otherwise(0L)).as(s"n_$tag"),
@@ -53,7 +63,8 @@ object Hypothesis {
         col(s"__s$t").cast("double") * col(s"__s$t").cast("double") /
           col(s"n_$t").cast("double")) /
         (col(s"n_$t").cast("double") - lit(1.0d))
-    base.agg(aggs.head, aggs.tail: _*)
+    base.groupBy(keys.map { case (n, _) => col(n) }: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("mean_a", mean("a")).withColumn("mean_b", mean("b"))
       .withColumn("var_a", when(col("n_a") > 1, vr("a")))
       .withColumn("var_b", when(col("n_b") > 1, vr("b")))
@@ -72,8 +83,9 @@ object Hypothesis {
              (col("n_a").cast("double") - lit(1.0d)) +
            col("__wb") * col("__wb") /
              (col("n_b").cast("double") - lit(1.0d))))
-      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
-        col("var_a"), col("var_b"), col("t_stat"), col("dof"))
+      .select(keys.map { case (n, _) => col(n) } ++
+        Seq(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          col("var_a"), col("var_b"), col("t_stat"), col("dof")): _*)
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) test of `value` between

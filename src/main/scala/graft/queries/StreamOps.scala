@@ -509,6 +509,24 @@ object StreamOps {
           unix_micros(col("p_time")).as("p_us"),
           col("click_id"), unix_micros(col("c_time")).as("c_us"))
         .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
+    // streaming A/B monitor: per-day Welch t between click and view
+    // values — the exact sufficient statistics (counts, decimal sums)
+    // are mergeable aggregates, so they merge across micro-batches
+    // through the state store like any partial agg, and the t/dof dag
+    // is a stateless projection on top. Complete-mode AvailableNow
+    // equals batch semantics -> fully oracle-checked
+    "stream_ab_welch" -> ((s, d) => {
+      val ev = EventsPipeline.withEventTime(eventsStream(s, d))
+      val out = graft.operators.Hypothesis.welchTBy(ev,
+          Seq("w" -> window(col("event_time"), "1 day")),
+          col("event_type"), col("value"), "click", "view")
+        .select(unix_micros(col("w.start")).as("window_us"),
+          col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          col("t_stat"), col("dof"))
+      runStream(s, out, "ab-welch", d, "complete")
+        .orderBy(col("window_us"))
     })
   )
 
@@ -710,6 +728,50 @@ object StreamOps {
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
         |  AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
-        |ORDER BY purchase_id, click_id""".stripMargin
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // batch replay of the per-day Welch monitor: same exact sufficient
+    // statistics per epoch-aligned day, same double dag as
+    // events_ab_welch
+    "stream_ab_welch" ->
+      """WITH base AS (
+        |  SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+        |      AS window_us,
+        |    event_type AS g, CAST(value AS DECIMAL(12,4)) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click','view') AND value IS NOT NULL
+        |), a AS (
+        |  SELECT window_us,
+        |    CAST(SUM(CASE WHEN g='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN g='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    SUM(CASE WHEN g='click' THEN v END) AS sa,
+        |    SUM(CASE WHEN g='view' THEN v END) AS sb,
+        |    SUM(CASE WHEN g='click' THEN CAST(v*v AS DECIMAL(38,8)) END) AS qa,
+        |    SUM(CASE WHEN g='view' THEN CAST(v*v AS DECIMAL(38,8)) END) AS qb
+        |  FROM base GROUP BY window_us
+        |), s AS (
+        |  SELECT window_us, n_a, n_b,
+        |    CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS dsa,
+        |    CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS dsb,
+        |    CAST(CAST(qa AS VARCHAR) AS DOUBLE) AS dqa,
+        |    CAST(CAST(qb AS VARCHAR) AS DOUBLE) AS dqb,
+        |    CAST(n_a AS DOUBLE) AS dna, CAST(n_b AS DOUBLE) AS dnb
+        |  FROM a
+        |), t AS (
+        |  SELECT window_us, n_a, n_b, dna, dnb,
+        |    dsa/dna AS mean_a, dsb/dnb AS mean_b,
+        |    (dqa - dsa*dsa/dna)/(dna-1) AS var_a,
+        |    (dqb - dsb*dsb/dnb)/(dnb-1) AS var_b
+        |  FROM s
+        |), u AS (
+        |  SELECT window_us, n_a, n_b, mean_a, mean_b, dna, dnb,
+        |    var_a/dna + var_b/dnb AS se2,
+        |    var_a/dna AS wa, var_b/dnb AS wb
+        |  FROM t
+        |)
+        |SELECT window_us, n_a, n_b, mean_a, mean_b,
+        |  (mean_a - mean_b)/sqrt(se2) AS t_stat,
+        |  se2*se2 / (wa*wa/(dna-1) + wb*wb/(dnb-1)) AS dof
+        |FROM u ORDER BY window_us""".stripMargin
   )
 }
