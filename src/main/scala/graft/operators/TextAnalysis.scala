@@ -57,6 +57,52 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 ranked retrieval, all-integer: the tf-saturating,
+    * length-normalized scoring that supersedes plain tf-idf
+    * ([[rankByTerms]]) in every production search stack (Robertson &
+    * Zaragoza 2009). With k1 = 6/5 and b = 3/4 held as RATIONALS and
+    * avgdl = A/D kept un-divided, each term's contribution reduces to
+    *   idf2_fp · 44·A·tf  div  (20·A·tf + 6·A + 18·dl·D)
+    * — one exact integer floor division per (doc, term), where
+    * idf2_fp = log2_fp(2D+2) − log2_fp(2df+1) is the always-positive
+    * Lucene idf ln(1+(N−df+½)/(df+½)) in fixed point (positive matters:
+    * floor and truncate agree, so the division is engine-independent).
+    * Scores are exact bigints → ranking is deterministic cross-engine.
+    *
+    * Scale shape: one token pass builds per-doc lengths and the
+    * query-term tf's (everything else prunes at the isin filter); df
+    * and the (A, D) totals broadcast; final order is a
+    * TakeOrderedAndProject top-k, never a full sort. */
+  def bm25TopK(docs: DataFrame, idCol: String, text: Column,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k >= 1, s"need terms and k >= 1: $terms $k")
+    import graft.functions.FixedLogFunctions.log2_fp
+    val toks = docs.where(text.isNotNull)
+      .select(col(idCol), explode(tokens(text)).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val tot = dl.agg(sum(col("__dl")).as("__A"), count(lit(1)).as("__D"))
+    val tf = toks.where(col("term").isin(terms.distinct: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(tot))
+      .select(col("term"),
+        (log2_fp(lit(2L) * col("__D") + 2) -
+          log2_fp(lit(2L) * col("__df") + 1)).as("__idf2"))
+    tf.join(broadcast(idf), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("__c", expr(
+        """CAST(CAST(__idf2 AS DECIMAL(38,0)) * 44 * __A * __tf div
+          |  (CAST(__A AS DECIMAL(38,0)) * 20 * __tf
+          |   + CAST(__A AS DECIMAL(38,0)) * 6
+          |   + CAST(__dl AS DECIMAL(38,0)) * 18 * __D)
+          |  AS BIGINT)""".stripMargin))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("bm25_fp"))
+      .orderBy(col("bm25_fp").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sparse TF-IDF cosine document pairs, DIVISION-FREE: every pair
     * whose weighted-bag cosine clears `tauNum/tauDen`, reported with
     * the exact integer evidence (dot numerator + both squared norms)

@@ -592,6 +592,14 @@ object TextDedup {
       graft.operators.TextIndex.phraseSearch(Tables.documents(s, d),
           "doc_id", col("text"), Seq("table", "scan"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 top-k: tf saturation + length normalization in exact
+    // integer fixed point (rational k1/b, un-divided avgdl, log2_fp
+    // Lucene idf) — scores are bigints, ranking engine-independent
+    "text_search_bm25" -> ((s, d) => {
+      TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id",
+        col("text"), Seq("fast", "join", "scan"), k = 20)
     })
   )
 
@@ -729,6 +737,47 @@ object TextDedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // same rational-BM25 integer arithmetic, idf through the log2_fp
+    // CTE (scalar-subquery lookups into lg), hugeint floor division
+    "text_search_bm25" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL
+         |), dlen AS (
+         |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+         |), tot AS (
+         |  SELECT CAST(SUM(dl) AS BIGINT) AS a_tot, COUNT(*) AS d_tot
+         |  FROM dlen
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks WHERE term IN ('fast','join','scan')
+         |  GROUP BY doc_id, term
+         |), dfq AS (
+         |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+         |), xs AS (
+         |  SELECT 2*d_tot + 2 AS x FROM tot
+         |  UNION SELECT 2*df + 1 FROM dfq
+         |),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |idf AS (
+         |  SELECT d.term,
+         |    (SELECT l FROM lg WHERE x = 2*t.d_tot + 2)
+         |      - (SELECT l FROM lg WHERE x = 2*d.df + 1) AS idf2
+         |  FROM dfq d, tot t
+         |), contrib AS (
+         |  SELECT f.doc_id,
+         |    CAST(i.idf2 AS HUGEINT) * 44 * t.a_tot * f.tf
+         |      // (CAST(t.a_tot AS HUGEINT) * 20 * f.tf
+         |          + CAST(t.a_tot AS HUGEINT) * 6
+         |          + CAST(l.dl AS HUGEINT) * 18 * t.d_tot) AS c
+         |  FROM tf f
+         |  JOIN idf i USING (term)
+         |  JOIN dlen l USING (doc_id), tot t
+         |)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bm25_fp
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin,
+
     // positions via list index + range unnest; same shift-and-count
     // phrase alignment
     "text_phrase_search" ->

@@ -93,6 +93,39 @@ class TextIndexSpec extends SparkSpec {
       .toSeq == Seq((1L, 1L, 3L)))
   }
 
+  test("bm25TopK: rarity, saturation, and length normalization") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "rare word pad pad pad pad"),        // one rare hit, long
+      (2L, "rare word"),                        // one rare hit, short
+      (3L, "common common common common pad"),  // saturated common hits
+      (4L, "common pad"),
+      (5L, "pad pad pad pad pad pad pad"),
+      (6L, "common rare pad")                   // both terms
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(corpus, "doc_id", col("text"),
+        Seq("rare", "common"), k = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val ids = got.map(_._1).toSeq
+    // doc 6 (both terms) first; 5 (no hits) absent entirely
+    assert(ids.head == 6L && !ids.contains(5L))
+    val score = got.toMap
+    // length normalization: same single 'rare' hit, shorter doc wins
+    assert(score(2L) > score(1L))
+    // tf saturation: 4x'common' beats 1x but nowhere near 4x the score
+    assert(score(3L) > score(4L) &&
+      score(3L).toDouble / score(4L) < 2.5)
+    // replay the exact integer formula for one cell: doc 2, 'rare'
+    // (df=3, D=6, A=25 total tokens, tf=1, dl=2)
+    val a = 25L; val dTot = 6L; val dl = 2L; val tf = 1L
+    val idf2 = graft.functions.FixedLog.log2Fp(2 * dTot + 2) -
+      graft.functions.FixedLog.log2Fp(2 * 3 + 1)
+    val rare2 = (BigInt(idf2) * 44 * a * tf /
+      (BigInt(a) * 20 * tf + BigInt(a) * 6 + BigInt(dl) * 18 * dTot))
+      .toLong
+    assert(score(2L) == rare2, s"got ${score(2L)} want $rare2")
+  }
+
   test("null text is indexable corpus-side and never matches") {
     val d = Seq((1L, "has merge batch inside"))
       .toDF("doc_id", "text")
