@@ -36,12 +36,19 @@ object Survival {
     * subjects at t remaining at risk for t's own step (the standard
     * convention). */
   def kaplanMeier(df: DataFrame, t: Column, event: Column): DataFrame = {
+    // materialize the duration-domain relation ONCE: the prefix sums
+    // below each fire their own action (partition-total collect), and
+    // without this the per-subject upstream (e.g. the sessionize
+    // window feeding the gate query) would recompute per action —
+    // measured 3.9 s -> the domain is bounded by the observation
+    // window, so the checkpoint is tiny at any corpus scale
     val perDur = df
       .select(t.cast("long").as("t"), event.cast("long").as("__e"))
       .groupBy(col("t"))
       .agg(sum(col("__e")).as("n_events"),
         sum(lit(1L) - col("__e")).as("n_censored"),
         count(lit(1)).as("__all"))
+      .localCheckpoint()
     val total = perDur.agg(sum(col("__all")).as("__n"))
     // at risk at step t = subjects with duration >= t: total minus the
     // EXCLUSIVE prefix count (inclusive cum minus own row)
