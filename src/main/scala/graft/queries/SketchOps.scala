@@ -105,6 +105,37 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // shallow clone: branch the table by manifest reference (zero data
+    // copied), then diverge BOTH sides — the gate proves clone/source
+    // isolation and clone time travel in one relation
+    "versioned_clone_read" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val base = java.nio.file.Files.createTempDirectory("vtc").toString
+      val src = base + "/src"; val dst = base + "/clone"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      VersionedTable.write(docs, src)
+      VersionedTable.cloneShallow(s, src, dst)
+      VersionedTable.upsert(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") * 2), src, Seq("doc_id"))
+      VersionedTable.upsert(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("n_chars", col("n_chars") + 1), dst, Seq("doc_id"))
+      def sums(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.groupBy(col("source")).agg(sum(col("n_chars")).as(as))
+      val result = sums(VersionedTable.read(s, dst), "clone_chars")
+        .join(sums(VersionedTable.read(s, dst, Some(0L)), "v0_chars"),
+          "source")
+        .join(sums(VersionedTable.read(s, src), "src_chars"), "source")
+        .orderBy(col("source"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     "versioned_upsert_read" -> ((s, d) => {
       import graft.sinks.VersionedTable
       val root = java.nio.file.Files.createTempDirectory("vt")
@@ -659,6 +690,17 @@ object SketchOps {
         |  MIN(o_orderpriority) AS min_o_orderpriority,
         |  MAX(o_orderpriority) AS max_o_orderpriority
         |FROM kept""".stripMargin,
+
+    // clone head = +1 on doc_id%7, clone v0 = original, source head =
+    // doubled on doc_id%10 — isolation means three independent sums
+    "versioned_clone_read" ->
+      """SELECT source,
+        |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN n_chars + 1
+        |    ELSE n_chars END) AS BIGINT) AS clone_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS v0_chars,
+        |  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN n_chars * 2
+        |    ELSE n_chars END) AS BIGINT) AS src_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "versioned_upsert_read" ->
       """WITH latest AS (

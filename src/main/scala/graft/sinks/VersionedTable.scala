@@ -187,6 +187,37 @@ object VersionedTable {
     else spark.read.schema(m.schema).parquet(m.files: _*)
   }
 
+  /** SHALLOW CLONE (Delta-style): commit a new table at `dstRoot`
+    * whose first manifest references the SOURCE snapshot's data files
+    * — zero data copied, O(|files|) metadata work, so branching a
+    * petabyte table is instant. The clone is immediately a first-class
+    * table: reads/time-travel work, per-file stats carry over (so
+    * readWhere/statsAgg skip on the clone exactly as on the source),
+    * and writes are copy-on-write — an upsert/delete/compact on the
+    * clone stages ITS OWN files under the clone's data directory and
+    * merely drops source references from the clone's manifest.
+    *
+    * Isolation: mutating either table never touches the other. The
+    * clone's `vacuum` can never delete source data (vacuum only lists
+    * its OWN data directory; foreign references are invisible to it).
+    * The one caveat — same as every shallow-clone design — is that
+    * vacuuming the SOURCE doesn't know about clones: pin the cloned
+    * version with a [[tag]] on the source, or deep-copy via a plain
+    * write, if the source's retention may outrun the clone. */
+  def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
+      asOf: Option[Long] = None): Long = {
+    val f = fs(spark, srcRoot)
+    val vs = versions(spark, srcRoot)
+    require(vs.nonEmpty, s"no committed version under $srcRoot")
+    val v = asOf.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in $vs")
+    val m = manifest(f, srcRoot, v)
+    // carry the source's per-file stats through the staged-stats cache
+    // (the commit writer resolves stats for "new" files from there)
+    m.stats.foreach { case (p, st) => stagedStats.put(p, st) }
+    commitRetrying(spark, dstRoot, m.schema)(_ => m.files)
+  }
+
   /** METADATA-ONLY aggregation: `COUNT(*)` plus `MIN`/`MAX` of the
     * requested columns answered from the manifest's per-file stats —
     * O(|files|) driver folding, ZERO data read when every live file

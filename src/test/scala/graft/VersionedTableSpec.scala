@@ -25,6 +25,39 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root, Some(0L)).count() == 2)
   }
 
+  test("shallow clone: zero-copy branch, copy-on-write isolation, " +
+      "stats carry, vacuum safety") {
+    val base = java.nio.file.Files.createTempDirectory("vclone").toString
+    val src = base + "/src"; val dst = base + "/clone"
+    VersionedTable.write((1L to 100L).map(i => (i, i * 10))
+      .toDF("k", "v"), src)
+    VersionedTable.write((1L to 50L).map(i => (i, i * 10))
+      .toDF("k", "v"), src) // v1 shrinks
+    // clone the OLD version explicitly
+    val cv = VersionedTable.cloneShallow(spark, src, dst, asOf = Some(0L))
+    assert(cv == 0L)
+    assert(VersionedTable.read(spark, dst).count() == 100)
+    // zero data copied: the clone's data dir doesn't even exist yet
+    assert(!new java.io.File(dst, "data").exists ||
+      new java.io.File(dst, "data").listFiles.isEmpty)
+    // per-file stats carried: metadata-only agg answers on the clone
+    val st = VersionedTable.statsAgg(spark, dst, Seq("k")).head()
+    assert(st.getLong(0) == 100L)
+    // copy-on-write divergence: upsert the clone, source untouched
+    VersionedTable.upsert(Seq((1L, 999L)).toDF("k", "v"), dst, Seq("k"))
+    assert(VersionedTable.read(spark, dst)
+      .filter($"k" === 1).select("v").as[Long].head() == 999L)
+    assert(VersionedTable.read(spark, src, Some(0L))
+      .filter($"k" === 1).select("v").as[Long].head() == 10L)
+    // clone's vacuum must never delete SOURCE data: drop the clone's
+    // history and vacuum with zero grace, then the source still reads
+    VersionedTable.vacuum(spark, dst, keepVersions = 1, graceMs = 0L)
+    assert(VersionedTable.read(spark, src, Some(0L)).count() == 100)
+    assert(VersionedTable.read(spark, src).count() == 50)
+    // and the clone itself still reads its head after vacuum
+    assert(VersionedTable.read(spark, dst).count() == 100)
+  }
+
   test("snapshot pinned at read time survives a later commit") {
     val root = tmpRoot()
     VersionedTable.write((1L to 10L).toDF("k"), root)
