@@ -142,6 +142,79 @@ object Hypothesis {
         col("z_score"))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    * unit's experiment metric by its PRE-experiment covariate,
+    * `adj = post − θ·(pre − mean(pre))` with θ = cov(pre,post)/var(pre)
+    * pooled — the industry-standard trick that shrinks A/B confidence
+    * intervals without adding traffic. Returns one row:
+    * (n_a, n_b, theta, mean_adj_a, mean_adj_b, t_raw, t_adj) — t_adj
+    * is Welch's t on the adjusted metric, t_raw on the raw one, so the
+    * sensitivity gain is visible in the same relation.
+    *
+    * No per-row adjusted values are ever summed: by linearity,
+    * group means and variances of the adjusted metric are closed forms
+    * over the EXACT sufficient statistics
+    * (mean_adj = mean_post − θ·(mean_pre_g − mean_pre);
+    * var_adj = var_post − 2θ·cov + θ²·var_pre), so the whole readout
+    * is ONE aggregation pass plus a fixed double dag — deterministic
+    * under any partitioning, like every test in this object. */
+  def cuped(df: DataFrame, group: Column, pre: Column, post: Column,
+      a: String, b: String): DataFrame = {
+    val base = df.select(group.as("__g"),
+        ColUtil.money(pre).as("__x"), ColUtil.money(post).as("__y"))
+      .where(col("__g").isin(a, b) && col("__x").isNotNull &&
+        col("__y").isNotNull)
+    def side(tag: String, want: Column) = {
+      def m(c: Column) = sum(when(want, c))
+      Seq(
+        sum(when(want, 1L).otherwise(0L)).as(s"n_$tag"),
+        m(col("__x")).as(s"__sx_$tag"), m(col("__y")).as(s"__sy_$tag"),
+        m((col("__x") * col("__x")).cast("decimal(38,8)"))
+          .as(s"__qx_$tag"),
+        m((col("__y") * col("__y")).cast("decimal(38,8)"))
+          .as(s"__qy_$tag"),
+        m((col("__x") * col("__y")).cast("decimal(38,8)"))
+          .as(s"__p_$tag"))
+    }
+    val aggs = side("a", col("__g") === a) ++ side("b", col("__g") === b)
+    val agg = base.agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def dn(t: String) = col(s"n_$t").cast("double")
+    // pooled theta: (NΣxy − ΣxΣy)/(NΣx² − (Σx)²) — the N² cancels
+    val nn = dn("a") + dn("b")
+    def pooled(c: String) = d(s"${c}_a") + d(s"${c}_b")
+    val theta = (nn * (d("__p_a") + d("__p_b")) -
+        pooled("__sx") * pooled("__sy")) /
+      (nn * (d("__qx_a") + d("__qx_b")) - pooled("__sx") * pooled("__sx"))
+    val meanPre = pooled("__sx") / nn
+    def meanAdj(t: String) =
+      d(s"__sy_$t") / dn(t) -
+        col("theta") * (d(s"__sx_$t") / dn(t) - col("__mean_pre"))
+    def vr(q: String, s1: String, s2: String, t: String) =
+      (d(s"${q}_$t") - d(s"${s1}_$t") * d(s"${s2}_$t") / dn(t)) /
+        (dn(t) - lit(1.0d))
+    def welch(va: Column, vb: Column, ma: Column, mb: Column) =
+      (ma - mb) / sqrt(va / dn("a") + vb / dn("b"))
+    val out = agg
+      .withColumn("theta", theta).withColumn("__mean_pre", meanPre)
+      .withColumn("mean_adj_a", meanAdj("a"))
+      .withColumn("mean_adj_b", meanAdj("b"))
+    Seq("a", "b").foldLeft(out) { (df0, t) =>
+      df0.withColumn(s"__vy_$t", vr("__qy", "__sy", "__sy", t))
+        .withColumn(s"__vx_$t", vr("__qx", "__sx", "__sx", t))
+        .withColumn(s"__cv_$t", vr("__p", "__sx", "__sy", t))
+        .withColumn(s"__va_$t",
+          col(s"__vy_$t") - lit(2.0d) * col("theta") * col(s"__cv_$t") +
+            col("theta") * col("theta") * col(s"__vx_$t"))
+    }
+      .withColumn("t_raw", welch(col("__vy_a"), col("__vy_b"),
+        d("__sy_a") / dn("a"), d("__sy_b") / dn("b")))
+      .withColumn("t_adj", welch(col("__va_a"), col("__va_b"),
+        col("mean_adj_a"), col("mean_adj_b")))
+      .select(col("n_a"), col("n_b"), col("theta"),
+        col("mean_adj_a"), col("mean_adj_b"), col("t_raw"), col("t_adj"))
+  }
+
   /** Spearman rank correlation between `x` and `y` — Pearson on
     * midranks, the monotone-association measure that ignores outliers
     * and nonlinearity Pearson chokes on. Returns one row: (n, rho).

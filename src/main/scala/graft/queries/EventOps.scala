@@ -861,6 +861,28 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // CUPED A/B readout: per-user pre-period spend (first 15 days)
+    // adjusts the post-period metric, theta pooled — group means and
+    // variances of the ADJUSTED metric come from closed forms over
+    // exact sufficient statistics (no per-row double sums), so t_raw
+    // and t_adj are both hash-exact (Hypothesis.cuped scaladoc)
+    "events_ab_cuped" -> ((s, d) => {
+      val cut = 1705363200000000L // 2024-01-16T00:00Z epoch micros
+      val per = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          money(col("value")).as("v"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < cut, col("v"))).as("pre0"),
+          sum(when(col("us") >= cut, col("v"))).as("post0"))
+        .select(
+          when(graft.operators.Sampling.hashBucket(col("user_id"), 2)
+            === 0, "ctl").otherwise("trt").as("grp"),
+          coalesce(col("pre0"), lit(0).cast("decimal(12,4)")).as("pre"),
+          coalesce(col("post0"), lit(0).cast("decimal(12,4)")).as("post"))
+      graft.operators.Hypothesis.cuped(per, col("grp"),
+        col("pre"), col("post"), "ctl", "trt")
+    }),
+
     // pairwise Pearson matrix over the lineitem measures in ONE scan:
     // all sums/square-sums/cross-products exact, six pair rows explode
     // from the single aggregate row (Profiling.correlationPairs)
@@ -1159,6 +1181,92 @@ object EventOps {
          |FROM fin ORDER BY event_type""".stripMargin,
 
     "profile_correlation" -> corrOracle,
+
+    // same md5-bucket assignment, same closed-form CUPED dag over
+    // exact per-group sufficient statistics
+    "events_ab_cuped" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us,
+         |    CAST(value AS DECIMAL(12,4)) AS v
+         |  FROM events WHERE value IS NOT NULL
+         |), per0 AS (
+         |  SELECT user_id,
+         |    CAST(COALESCE(SUM(CASE WHEN us < 1705363200000000 THEN v
+         |      END), 0) AS DECIMAL(12,4)) AS x,
+         |    CAST(COALESCE(SUM(CASE WHEN us >= 1705363200000000 THEN v
+         |      END), 0) AS DECIMAL(12,4)) AS y
+         |  FROM e GROUP BY user_id
+         |), per AS (
+         |  SELECT x, y, CASE WHEN
+         |      ${graft.operators.Sampling.hashBucketSql("h", 2)} = 0
+         |    THEN 'ctl' ELSE 'trt' END AS grp
+         |  FROM (SELECT per0.*, md5(CAST(user_id AS VARCHAR)) AS h
+         |        FROM per0)
+         |), a AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN grp='ctl' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN grp='trt' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    SUM(CASE WHEN grp='ctl' THEN x END) AS sxa,
+         |    SUM(CASE WHEN grp='trt' THEN x END) AS sxb,
+         |    SUM(CASE WHEN grp='ctl' THEN y END) AS sya,
+         |    SUM(CASE WHEN grp='trt' THEN y END) AS syb,
+         |    SUM(CASE WHEN grp='ctl' THEN
+         |      CAST(CAST(x AS DECIMAL(19,4))*x AS DECIMAL(38,8)) END) AS qxa,
+         |    SUM(CASE WHEN grp='trt' THEN
+         |      CAST(CAST(x AS DECIMAL(19,4))*x AS DECIMAL(38,8)) END) AS qxb,
+         |    SUM(CASE WHEN grp='ctl' THEN
+         |      CAST(CAST(y AS DECIMAL(19,4))*y AS DECIMAL(38,8)) END) AS qya,
+         |    SUM(CASE WHEN grp='trt' THEN
+         |      CAST(CAST(y AS DECIMAL(19,4))*y AS DECIMAL(38,8)) END) AS qyb,
+         |    SUM(CASE WHEN grp='ctl' THEN
+         |      CAST(CAST(x AS DECIMAL(19,4))*y AS DECIMAL(38,8)) END) AS pa,
+         |    SUM(CASE WHEN grp='trt' THEN
+         |      CAST(CAST(x AS DECIMAL(19,4))*y AS DECIMAL(38,8)) END) AS pb
+         |  FROM per
+         |), dd AS (
+         |  SELECT n_a, n_b,
+         |    CAST(n_a AS DOUBLE) AS dna, CAST(n_b AS DOUBLE) AS dnb,
+         |    CAST(CAST(sxa AS VARCHAR) AS DOUBLE) AS dsxa,
+         |    CAST(CAST(sxb AS VARCHAR) AS DOUBLE) AS dsxb,
+         |    CAST(CAST(sya AS VARCHAR) AS DOUBLE) AS dsya,
+         |    CAST(CAST(syb AS VARCHAR) AS DOUBLE) AS dsyb,
+         |    CAST(CAST(qxa AS VARCHAR) AS DOUBLE) AS dqxa,
+         |    CAST(CAST(qxb AS VARCHAR) AS DOUBLE) AS dqxb,
+         |    CAST(CAST(qya AS VARCHAR) AS DOUBLE) AS dqya,
+         |    CAST(CAST(qyb AS VARCHAR) AS DOUBLE) AS dqyb,
+         |    CAST(CAST(pa AS VARCHAR) AS DOUBLE) AS dpa,
+         |    CAST(CAST(pb AS VARCHAR) AS DOUBLE) AS dpb
+         |  FROM a
+         |), th AS (
+         |  SELECT dd.*, dna + dnb AS nn,
+         |    ((dna + dnb) * (dpa + dpb) - (dsxa + dsxb) * (dsya + dsyb))
+         |      / ((dna + dnb) * (dqxa + dqxb)
+         |         - (dsxa + dsxb) * (dsxa + dsxb)) AS theta,
+         |    (dsxa + dsxb) / (dna + dnb) AS mean_pre
+         |  FROM dd
+         |), m AS (
+         |  SELECT th.*,
+         |    dsya/dna - theta * (dsxa/dna - mean_pre) AS mean_adj_a,
+         |    dsyb/dnb - theta * (dsxb/dnb - mean_pre) AS mean_adj_b,
+         |    (dqya - dsya*dsya/dna)/(dna-1) AS vya,
+         |    (dqyb - dsyb*dsyb/dnb)/(dnb-1) AS vyb,
+         |    (dqxa - dsxa*dsxa/dna)/(dna-1) AS vxa,
+         |    (dqxb - dsxb*dsxb/dnb)/(dnb-1) AS vxb,
+         |    (dpa - dsxa*dsya/dna)/(dna-1) AS cva,
+         |    (dpb - dsxb*dsyb/dnb)/(dnb-1) AS cvb
+         |  FROM th
+         |), va AS (
+         |  SELECT m.*,
+         |    vya - 2.0 * theta * cva + theta * theta * vxa AS vaa,
+         |    vyb - 2.0 * theta * cvb + theta * theta * vxb AS vab
+         |  FROM m
+         |)
+         |SELECT n_a, n_b, theta, mean_adj_a, mean_adj_b,
+         |  (dsya/dna - dsyb/dnb) / sqrt(vya/dna + vyb/dnb) AS t_raw,
+         |  (mean_adj_a - mean_adj_b) / sqrt(vaa/dna + vab/dnb) AS t_adj
+         |FROM va""".stripMargin,
 
     // RANK()+tiecount-1 is the window twin of the prefix-sum midrank
     // (2*mid = 2*rank + t - 1); hugeint rank sums, same corr dag

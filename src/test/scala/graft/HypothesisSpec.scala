@@ -92,6 +92,40 @@ class HypothesisSpec extends SparkSpec {
     assert(run(0) == run(13))
   }
 
+  test("cuped: covariate adjustment recovers the effect and shrinks " +
+      "variance") {
+    // post = pre + effect(group) + small per-unit wiggle: pre explains
+    // most variance, so theta ~ 1 and t_adj should dwarf t_raw
+    val rows = (1 to 400).map { i =>
+      val pre = (i % 100).toDouble
+      val grp = if (i % 2 == 0) "ctl" else "trt"
+      val eff = if (grp == "trt") 1.0 else 0.0
+      (grp, pre, pre + eff + (i % 7) * 0.1)
+    }
+    val r = Hypothesis.cuped(rows.toDF("g", "pre", "post"),
+      col("g"), col("pre"), col("post"), "ctl", "trt").head()
+    assert(r.getAs[Long]("n_a") == 200 && r.getAs[Long]("n_b") == 200)
+    assert(math.abs(r.getAs[Double]("theta") - 1.0) < 0.01)
+    val lift = r.getAs[Double]("mean_adj_b") - r.getAs[Double]("mean_adj_a")
+    assert(math.abs(lift - 1.0) < 0.2, s"adjusted lift $lift")
+    assert(math.abs(r.getAs[Double]("t_adj")) >
+      5 * math.abs(r.getAs[Double]("t_raw")),
+      s"t_adj ${r.getAs[Double]("t_adj")} vs t_raw ${r.getAs[Double]("t_raw")}")
+  }
+
+  test("cuped is bit-identical under repartitioning") {
+    val rows = (1 to 300).map { i =>
+      (if (i % 2 == 0) "a" else "b", (i % 13).toDouble,
+        (i % 13) + (i % 5).toDouble)
+    }
+    def run(np: Int) = {
+      val base = rows.toDF("g", "pre", "post")
+      Hypothesis.cuped(if (np > 0) base.repartition(np) else base,
+        col("g"), col("pre"), col("post"), "a", "b").head().toSeq
+    }
+    assert(run(0) == run(11))
+  }
+
   test("welch degenerate group sizes yield null stats, not crashes") {
     val d = df(Seq("a" -> 1d, "b" -> 2d, "b" -> 3d))
     val r = Hypothesis.welchT(d, col("g"), col("v"), "a", "b").head()
