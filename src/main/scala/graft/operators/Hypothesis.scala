@@ -142,6 +142,37 @@ object Hypothesis {
         col("z_score"))
   }
 
+  /** Sample-ratio-mismatch check — the A/B trust gate that runs BEFORE
+    * any metric readout: a chi-square goodness-of-fit of the observed
+    * group counts against the designed `pn/pd` allocation (e.g. 1/2
+    * for 50-50). An SRM means the assignment itself is broken
+    * (redirect loss, bot filtering skew, logging bugs) and every
+    * downstream test is invalid. Returns one row:
+    * (n_a, n_b, chi2, srm_flag) with srm_flag = chi2 > 3.841 (the 95%
+    * critical value at 1 dof — flag semantics, not a p-value).
+    * Counts are exact; chi2 is the fixed double dag over them. */
+  def srmCheck(df: DataFrame, group: Column, a: String, b: String,
+      pn: Int = 1, pd: Int = 2): DataFrame = {
+    require(pn > 0 && pd > pn, s"allocation must be 0 < pn/pd < 1: $pn/$pd")
+    val base = df.select(group.as("__g")).where(col("__g").isin(a, b))
+    base.agg(
+        sum(when(col("__g") === a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("__ea",
+        (col("n_a") + col("n_b")).cast("double") * lit(pn.toDouble) /
+          lit(pd.toDouble))
+      .withColumn("__eb",
+        (col("n_a") + col("n_b")).cast("double") * lit((pd - pn).toDouble) /
+          lit(pd.toDouble))
+      .withColumn("chi2",
+        (col("n_a").cast("double") - col("__ea")) *
+          (col("n_a").cast("double") - col("__ea")) / col("__ea") +
+        (col("n_b").cast("double") - col("__eb")) *
+          (col("n_b").cast("double") - col("__eb")) / col("__eb"))
+      .withColumn("srm_flag", col("chi2") > lit(3.841d))
+      .select(col("n_a"), col("n_b"), col("chi2"), col("srm_flag"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM 2013): adjust each
     * unit's experiment metric by its PRE-experiment covariate,
     * `adj = post − θ·(pre − mean(pre))` with θ = cov(pre,post)/var(pre)

@@ -861,6 +861,16 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // SRM trust gate on the same hash assignment the CUPED readout
+    // uses: chi-square GOF of user counts vs the designed 50-50 —
+    // run before believing any A/B metric
+    "events_ab_srm" -> ((s, d) => {
+      val per = Tables.events(s, d).select(col("user_id")).distinct()
+        .select(when(graft.operators.Sampling.hashBucket(col("user_id"),
+          2) === 0, "ctl").otherwise("trt").as("grp"))
+      graft.operators.Hypothesis.srmCheck(per, col("grp"), "ctl", "trt")
+    }),
+
     // CUPED A/B readout: per-user pre-period spend (first 15 days)
     // adjusts the post-period metric, theta pooled — group means and
     // variances of the ADJUSTED metric come from closed forms over
@@ -1181,6 +1191,34 @@ object EventOps {
          |FROM fin ORDER BY event_type""".stripMargin,
 
     "profile_correlation" -> corrOracle,
+
+    "events_ab_srm" ->
+      s"""WITH per AS (
+         |  SELECT CASE WHEN
+         |      ${graft.operators.Sampling.hashBucketSql("h", 2)} = 0
+         |    THEN 'ctl' ELSE 'trt' END AS grp
+         |  FROM (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+         |        FROM events)
+         |), a AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN grp='ctl' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN grp='trt' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b
+         |  FROM per
+         |), c AS (
+         |  SELECT n_a, n_b,
+         |    CAST(n_a + n_b AS DOUBLE) * 1.0 / 2.0 AS ea,
+         |    CAST(n_a + n_b AS DOUBLE) * 1.0 / 2.0 AS eb
+         |  FROM a
+         |), f AS (
+         |  SELECT n_a, n_b,
+         |    (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
+         |    + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb
+         |      AS chi2
+         |  FROM c
+         |)
+         |SELECT n_a, n_b, chi2, chi2 > 3.841 AS srm_flag FROM f""".stripMargin,
 
     // same md5-bucket assignment, same closed-form CUPED dag over
     // exact per-group sufficient statistics

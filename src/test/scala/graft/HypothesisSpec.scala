@@ -92,6 +92,22 @@ class HypothesisSpec extends SparkSpec {
     assert(run(0) == run(13))
   }
 
+  test("srmCheck: textbook chi2 and the 3.841 flag boundary") {
+    def run(na: Int, nb: Int) = {
+      val d = (Seq.fill(na)("a") ++ Seq.fill(nb)("b")).toDF("g")
+      Hypothesis.srmCheck(d, col("g"), "a", "b").head()
+    }
+    val bad = run(60, 40) // chi2 = 2*(10^2/50) = 4.0 > 3.841
+    assert(bad.getDouble(2) == 4.0 && bad.getBoolean(3))
+    val ok = run(50, 50)
+    assert(ok.getDouble(2) == 0.0 && !ok.getBoolean(3))
+    // 90/10 against a designed 9:1 split is NOT an SRM
+    val ninety = Hypothesis.srmCheck(
+      (Seq.fill(90)("a") ++ Seq.fill(10)("b")).toDF("g"),
+      col("g"), "a", "b", pn = 9, pd = 10).head()
+    assert(ninety.getDouble(2) == 0.0 && !ninety.getBoolean(3))
+  }
+
   test("cuped: covariate adjustment recovers the effect and shrinks " +
       "variance") {
     // post = pre + effect(group) + small per-unit wiggle: pre explains
