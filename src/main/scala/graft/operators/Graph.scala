@@ -524,6 +524,62 @@ object Graph {
     dist
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the DIRECTED
+    * centrality pair PageRank's single score can't express: a hub
+    * points at many good authorities, an authority is pointed at by
+    * many good hubs (on a buyer→seller graph: discerning buyers vs
+    * sought-after sellers). Mutual recursion, iterated `iters` rounds.
+    *
+    * Same fixed-point discipline as [[pageRank]]: scores are bigint
+    * multiples of 1/[[Scale]], each half-round L1-normalizes by an
+    * exact integer floor division ((raw · Scale) div Σraw, widened
+    * through decimal — raw·Scale overflows int64 by design), so the
+    * result is bit-identical in any engine and the oracle can unroll
+    * every round. (Textbook HITS normalizes in L2; L1 keeps the
+    * arithmetic integral, and normalization choice doesn't change the
+    * RANKING fixed point, only the scale.)
+    *
+    * Scale shape: edges dedup once and cache pre-partitioned; each
+    * half-round shuffles only the |V|-row score table against the
+    * cached edges plus one 1-row total broadcast; scores localCheckpoint
+    * per round (bounded lineage). Output: (node, auth, hub). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, edgesDistinct: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters out of [1,50]")
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = (if (edgesDistinct) raw else raw.distinct()).cache()
+    try {
+      val nodes = e.select(explode(array(col("src"), col("dst")))
+        .as("node")).distinct().localCheckpoint()
+      def normalized(rawScores: DataFrame, keyed: String, out: String) = {
+        val tot = broadcast(rawScores.agg(sum(col("s")).as("t")))
+        nodes.join(rawScores, nodes("node") === rawScores(keyed), "left")
+          .crossJoin(tot)
+          .select(nodes("node"), expr(
+            s"""CAST((coalesce(s, 0) * CAST($Scale AS DECIMAL(38,0)))
+               |  div t AS BIGINT)""".stripMargin).as(out))
+          .localCheckpoint()
+      }
+      var hub = nodes.select(col("node"), lit(Scale).as("hub"))
+      var auth: DataFrame = null
+      var i = 0
+      while (i < iters) {
+        auth = normalized(
+          e.join(hub, e("src") === hub("node"))
+            .groupBy(col("dst")).agg(sum(col("hub")).as("s")),
+          "dst", "auth")
+        hub = normalized(
+          e.join(auth, e("dst") === auth("node"))
+            .groupBy(col("src")).agg(sum(col("auth")).as("s")),
+          "src", "hub")
+        i += 1
+      }
+      auth.join(hub, "node")
+    } finally e.unpersist()
+  }
+
   /** In/out degree per node — the cheap first look at any edge table. */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -24,6 +24,19 @@ object GraphOps {
   private val KCoreRounds = 6
   private val BfsHops = 4
 
+  private val HitsIters = 4
+
+  /** The buyer->seller half of [[tradeEdges]], kept DIRECTED (HITS
+    * needs direction; a symmetric graph collapses hub == auth). */
+  private def directedTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+  }
+
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
@@ -79,6 +92,16 @@ object GraphOps {
     "graph_pagerank" -> ((s, d) => {
       graft.operators.Graph.pageRank(tradeEdges(s, d), "src", "dst", Iters,
           edgesDistinct = true)
+        .orderBy(col("node"))
+    }),
+
+    // HITS on the DIRECTED buyer->seller graph (no symmetrize):
+    // hubs = discerning customers, authorities = sought-after
+    // suppliers — the two-score centrality PageRank can't express.
+    // Integer L1-normalized rounds; the oracle unrolls all of them
+    "graph_hits" -> ((s, d) => {
+      graft.operators.Graph.hits(directedTradeEdges(s, d), "src", "dst",
+          HitsIters, edgesDistinct = true)
         .orderBy(col("node"))
     }),
 
@@ -314,6 +337,46 @@ object GraphOps {
          |  FROM nodes),
          |$iters
          |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin
+    },
+
+    // every L1-normalized half-round unrolled; hugeint // matches the
+    // operator's nonnegative decimal floor division bit-for-bit.
+    // Every stage is AS MATERIALIZED: each level is referenced more
+    // than once (join + total), and DuckDB's default CTE inlining
+    // re-evaluates per reference — ~3^(2*iters) base-join blowup
+    // without it (measured: minutes vs milliseconds)
+    "graph_hits" -> {
+      val sc = graft.operators.Graph.Scale
+      val rounds = (1 to HitsIters).map { i =>
+        val hp = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a${i}raw AS MATERIALIZED (
+           |  SELECT e.dst AS node, SUM(h.hub) AS s
+           |  FROM e JOIN $hp h ON h.node = e.src GROUP BY e.dst),
+           |a$i AS MATERIALIZED (
+           |  SELECT n.node, (COALESCE(r.s, 0) * $sc)
+           |    // (SELECT SUM(s) FROM a${i}raw) AS auth
+           |  FROM nodes n LEFT JOIN a${i}raw r ON r.node = n.node),
+           |h${i}raw AS MATERIALIZED (
+           |  SELECT e.src AS node, SUM(a.auth) AS s
+           |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+           |h$i AS MATERIALIZED (
+           |  SELECT n.node, (COALESCE(r.s, 0) * $sc)
+           |    // (SELECT SUM(s) FROM h${i}raw) AS hub
+           |  FROM nodes n LEFT JOIN h${i}raw r ON r.node = n.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS MATERIALIZED (
+         |  SELECT node, CAST($sc AS HUGEINT) AS hub FROM nodes),
+         |$rounds
+         |SELECT a.node, CAST(a.auth AS BIGINT) AS auth,
+         |  CAST(h.hub AS BIGINT) AS hub
+         |FROM a$HitsIters a JOIN h$HitsIters h ON a.node = h.node
+         |ORDER BY a.node""".stripMargin
     },
 
     "graph_triangles" ->

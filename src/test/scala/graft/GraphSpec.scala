@@ -282,6 +282,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("HITS: authorities and hubs separate on a directed bipartite " +
+      "shape; partition-invariant") {
+    // 1 points at both authorities, 2 and 3 only at 10 -> 10 is the
+    // stronger authority, 1 the stronger hub
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+    def run(np: Int) = {
+      val base = edges.toDF("src", "dst")
+      Graph.hits(if (np > 0) base.repartition(np) else base,
+          "src", "dst", iters = 4)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    }
+    val h = run(0)
+    assert(h(10L)._1 > h(11L)._1, s"authority order: $h")
+    assert(h(1L)._2 > h(2L)._2, s"hub order: $h")
+    // pure sources have zero authority; pure sinks zero hub
+    assert(h(1L)._1 == 0L && h(10L)._2 == 0L)
+    // scores L1-normalize to Scale up to floor loss
+    val authSum = h.values.map(_._1).sum
+    assert(authSum <= Graph.Scale &&
+      authSum > Graph.Scale - h.size, s"auth mass $authSum")
+    assert(run(7) == h)
+  }
+
   test("Bellman-Ford: cheaper long path beats direct edge; hop cap bites") {
     import spark.implicits._
     // 1 -> 2 direct cost 10; 1 -> 3 -> 4 -> 2 cost 1+1+1 = 3
