@@ -142,6 +142,38 @@ object Hypothesis {
         col("z_score"))
   }
 
+  /** Two-proportion z-test — the CONVERSION-RATE readout (binary
+    * success per unit), the other half of A/B practice next to the
+    * continuous-metric t tests. Pooled-variance form:
+    * z = (p_a − p_b)/sqrt(p(1−p)(1/n_a + 1/n_b)) with p the pooled
+    * success rate. `success` must be 0/1 per row (one row per unit).
+    * Returns one row: (n_a, n_b, conv_a, conv_b, p_a, p_b, z_score).
+    * Counts exact; the z a fixed double dag. */
+  def proportionZ(df: DataFrame, group: Column, success: Column,
+      a: String, b: String): DataFrame = {
+    val base = df.select(group.as("__g"), success.cast("long").as("__s"))
+      .where(col("__g").isin(a, b) && col("__s").isNotNull)
+    def side(tag: String, want: String) = Seq(
+      sum(when(col("__g") === want, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col("__g") === want, col("__s")).otherwise(0L))
+        .as(s"conv_$tag"))
+    val aggs = side("a", a) ++ side("b", b)
+    def dn(t: String) = col(s"n_$t").cast("double")
+    def dc(t: String) = col(s"conv_$t").cast("double")
+    base.agg(aggs.head, aggs.tail: _*)
+      .withColumn("p_a", dc("a") / dn("a"))
+      .withColumn("p_b", dc("b") / dn("b"))
+      .withColumn("__p", (dc("a") + dc("b")) / (dn("a") + dn("b")))
+      .withColumn("__se2",
+        col("__p") * (lit(1.0d) - col("__p")) *
+          (lit(1.0d) / dn("a") + lit(1.0d) / dn("b")))
+      .withColumn("z_score",
+        when(col("__se2") > 0,
+          (col("p_a") - col("p_b")) / sqrt(col("__se2"))))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("p_a"), col("p_b"), col("z_score"))
+  }
+
   /** Sample-ratio-mismatch check — the A/B trust gate that runs BEFORE
     * any metric readout: a chi-square goodness-of-fit of the observed
     * group counts against the designed `pn/pd` allocation (e.g. 1/2

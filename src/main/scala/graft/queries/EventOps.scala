@@ -861,6 +861,19 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // conversion-rate A/B: two-proportion z on "did the user ever
+    // purchase", same hash assignment as the CUPED/SRM family — the
+    // binary-metric half of experiment practice
+    "events_ab_proportions" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .select(when(graft.operators.Sampling.hashBucket(col("user_id"),
+          2) === 0, "ctl").otherwise("trt").as("grp"), col("converted"))
+      graft.operators.Hypothesis.proportionZ(per, col("grp"),
+        col("converted"), "ctl", "trt")
+    }),
+
     // SRM trust gate on the same hash assignment the CUPED readout
     // uses: chi-square GOF of user counts vs the designed 50-50 —
     // run before believing any A/B metric
@@ -1191,6 +1204,46 @@ object EventOps {
          |FROM fin ORDER BY event_type""".stripMargin,
 
     "profile_correlation" -> corrOracle,
+
+    "events_ab_proportions" ->
+      s"""WITH per0 AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM events GROUP BY user_id
+         |), per AS (
+         |  SELECT converted, CASE WHEN
+         |      ${graft.operators.Sampling.hashBucketSql("h", 2)} = 0
+         |    THEN 'ctl' ELSE 'trt' END AS grp
+         |  FROM (SELECT per0.*, md5(CAST(user_id AS VARCHAR)) AS h
+         |        FROM per0)
+         |), a AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN grp='ctl' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN grp='trt' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(SUM(CASE WHEN grp='ctl' THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_a,
+         |    CAST(SUM(CASE WHEN grp='trt' THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_b
+         |  FROM per
+         |), dd AS (
+         |  SELECT n_a, n_b, conv_a, conv_b,
+         |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+         |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+         |    (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p
+         |  FROM a
+         |), se AS (
+         |  SELECT dd.*,
+         |    p * (1.0 - p) * (1.0 / CAST(n_a AS DOUBLE)
+         |      + 1.0 / CAST(n_b AS DOUBLE)) AS se2
+         |  FROM dd
+         |)
+         |SELECT n_a, n_b, conv_a, conv_b, p_a, p_b,
+         |  CASE WHEN se2 > 0 THEN (p_a - p_b) / sqrt(se2) END AS z_score
+         |FROM se""".stripMargin,
 
     "events_ab_srm" ->
       s"""WITH per AS (

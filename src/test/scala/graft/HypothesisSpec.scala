@@ -92,6 +92,23 @@ class HypothesisSpec extends SparkSpec {
     assert(run(0) == run(13))
   }
 
+  test("proportionZ: closed form on planted conversion counts") {
+    // a: 30/100 convert, b: 20/100
+    val rows = (1 to 100).map(i => ("a", if (i <= 30) 1L else 0L)) ++
+      (1 to 100).map(i => ("b", if (i <= 20) 1L else 0L))
+    val r = Hypothesis.proportionZ(rows.toDF("g", "s"), col("g"),
+      col("s"), "a", "b").head()
+    assert(r.getAs[Long]("conv_a") == 30 && r.getAs[Long]("conv_b") == 20)
+    val p = 50.0 / 200
+    val z = (0.3 - 0.2) / math.sqrt(p * (1 - p) * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(r.getAs[Double]("z_score") - z) < 1e-12)
+    // all-convert both sides: se2 = 0 -> null z, no crash
+    val deg = Hypothesis.proportionZ(
+      Seq(("a", 1L), ("b", 1L)).toDF("g", "s"), col("g"), col("s"),
+      "a", "b").head()
+    assert(deg.isNullAt(deg.fieldIndex("z_score")))
+  }
+
   test("srmCheck: textbook chi2 and the 3.841 flag boundary") {
     def run(na: Int, nb: Int) = {
       val d = (Seq.fill(na)("a") ++ Seq.fill(nb)("b")).toDF("g")
