@@ -92,6 +92,35 @@ object Multimodal {
     df.withColumn(as, shiftleft(hi, 32).bitwiseOR(lo))
   }
 
+  /** Shot-boundary (scene-cut) detection over per-frame 64-bit
+    * perceptual codes — the video-curation primitive that turns raw
+    * footage into shot-level training clips: a cut is where
+    * consecutive frames' codes differ by >= `tau` Hamming bits
+    * (within-shot frames share most bits, a hard cut flips ~half).
+    * Codes come from the caller (the codec seam, same contract as
+    * [[perceptualHash]]); this operator is pure plan — one window
+    * pass per asset (lag + codegen'd xor/bit_count), no self-join,
+    * no state beyond the 1-frame lag.
+    *
+    * Returns cut rows (asset_id, prev_idx, frame_idx, hamming) —
+    * compose with a gaps-and-islands pass for shot spans. */
+  def sceneCuts(frames: DataFrame, asset: Column, idx: Column,
+      code: Column, tau: Int): DataFrame = {
+    require(tau >= 1 && tau <= 64, s"tau must be in [1,64]: $tau")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+    frames
+      .select(asset.as("asset_id"), idx.as("frame_idx"), code.as("__c"))
+      .withColumn("__prev", lag(col("__c"), 1).over(w))
+      .withColumn("prev_idx", lag(col("frame_idx"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .withColumn("hamming",
+        bit_count(col("__c").bitwiseXOR(col("__prev"))).cast("long"))
+      .where(col("hamming") >= tau)
+      .select(col("asset_id"), col("prev_idx"), col("frame_idx"),
+        col("hamming"))
+  }
+
   /** Audio frame segmentation — the ASR/mel-frame windowing fan-out:
     * each payload (interpreted as 16-bit PCM mono at `sampleRate`)
     * explodes into overlapping sample windows of `windowSamples` with

@@ -72,6 +72,32 @@ object MediaOps {
     // 64-bit fold is not SQL-expressible) the stub code is pure hex
     // arithmetic, so this one is FULLY oracle-checked: blocking +
     // verify must reproduce DuckDB's brute-force all-pairs
+    // shot-boundary detection: 8 synthetic frames per doc, two 4-frame
+    // "shots" whose codes share a 63-bit base with a <=2-bit in-shot
+    // jitter — the only >=tau Hamming jump is the shot boundary. Codes
+    // are hex arithmetic (the codec seam's SQL-expressible stand-in),
+    // so the whole detector is oracle-exact
+    "multimodal_scene_cuts" -> ((s, d) => {
+      val frames = Tables.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(7))).as("frame_idx"))
+        .withColumn("__hex",
+          md5(concat(col("text"), lit(":"),
+            expr("frame_idx div 4").cast("string"))))
+        .withColumn("__base",
+          shiftleft(conv(substring(col("__hex"), 1, 8), 16, 10)
+            .cast("long").bitwiseAND(lit(0x7FFFFFFFL)), 32)
+            .bitwiseOR(conv(substring(col("__hex"), 9, 8), 16, 10)
+              .cast("long")))
+        .withColumn("code",
+          col("__base").bitwiseXOR(
+            expr("shiftleft(cast(1 as bigint), frame_idx % 4)")))
+      Multimodal.sceneCuts(frames, col("doc_id"), col("frame_idx"),
+          col("code"), tau = 10)
+        .orderBy(col("asset_id"), col("frame_idx"))
+    }),
+
     "multimodal_phash_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val reupload = docs.filter(col("doc_id") % 7 === 0)
@@ -132,6 +158,32 @@ object MediaOps {
       """SELECT doc_id, CAST(0 AS INTEGER) AS frame_idx,
         |  CAST(8 AS INTEGER) AS n_dims
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same hex base + bit jitter, same lag window, exact bit_count
+    "multimodal_scene_cuts" ->
+      """WITH f AS (
+        |  SELECT doc_id, i AS frame_idx,
+        |    xor(
+        |      (CAST(('0x' || substr(md5(text || ':' ||
+        |          CAST(i // 4 AS VARCHAR)), 1, 8)) AS BIGINT)
+        |         & 2147483647) * 4294967296
+        |      + CAST(('0x' || substr(md5(text || ':' ||
+        |          CAST(i // 4 AS VARCHAR)), 9, 8)) AS BIGINT),
+        |      CAST(1 AS BIGINT) << CAST(i % 4 AS INTEGER)) AS code
+        |  FROM (SELECT doc_id, text FROM documents
+        |        WHERE text IS NOT NULL),
+        |    UNNEST(range(8)) AS r(i)
+        |), lagd AS (
+        |  SELECT doc_id AS asset_id, frame_idx, code,
+        |    LAG(code) OVER w AS prev,
+        |    LAG(frame_idx) OVER w AS prev_idx
+        |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        |)
+        |SELECT asset_id, prev_idx, frame_idx,
+        |  CAST(bit_count(xor(code, prev)) AS BIGINT) AS hamming
+        |FROM lagd
+        |WHERE prev IS NOT NULL AND bit_count(xor(code, prev)) >= 10
+        |ORDER BY asset_id, frame_idx""".stripMargin,
 
     // brute-force all-pairs reference for the banded blocking plan: the
     // identical 63-bit code from md5 hex halves, exact bit_count Hamming

@@ -133,4 +133,21 @@ class MultimodalSpec extends SparkSpec {
     // the 9 planted pairs at distance 0..8 are all present
     assert(want.count(_._2 >= 1000L) >= 9)
   }
+
+  test("sceneCuts: boundary-only detection, jitter tolerated, " +
+      "single-frame assets silent") {
+    // asset 1: frames 0-2 near 0x0F0F..., frames 3-5 near 0xFF00...
+    // (in-shot jitter 1 bit); asset 2: one frame only
+    val b1 = 0x0F0F0F0FL; val b2 = 0x7F00FF00FF00L
+    val frames = Seq(
+      (1L, 0, b1), (1L, 1, b1 ^ 2L), (1L, 2, b1 ^ 4L),
+      (1L, 3, b2), (1L, 4, b2 ^ 1L), (1L, 5, b2 ^ 8L),
+      (2L, 0, b1)).toDF("a", "i", "c")
+    val cuts = Multimodal.sceneCuts(frames, $"a", $"i", $"c", tau = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSeq
+    assert(cuts.map(c => (c._1, c._2, c._3)) == Seq((1L, 2, 3)))
+    assert(cuts.head._4 ==
+      java.lang.Long.bitCount((b1 ^ 4L) ^ b2).toLong)
+  }
 }
