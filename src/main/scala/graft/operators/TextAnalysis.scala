@@ -57,6 +57,57 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents"): candidate phrases are the
+    * maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) (deg = Σ lengths of phrases containing it — words
+    * that travel in long phrases score high); a phrase scores the sum
+    * of its words. Scores ride the repo's fixed point
+    * (deg·2^20 div freq per word, then exact integer sums), so the
+    * ranking is engine-independent and fully oracle-checkable.
+    *
+    * Returns the top `k` phrase TYPES by (score desc, phrase):
+    * (phrase, n_words, n_occurrences, score_fp).
+    *
+    * Scale shape: one posexplode pass; runs come from a per-doc
+    * stopword prefix count (window, keyed by doc); word stats are one
+    * grouped agg on the member stream; the per-occurrence score
+    * re-join is keyed on the word. Nothing driver-side, no all-pairs. */
+  def rakePhrases(docs: DataFrame, idCol: String, text: Column,
+      stop: Seq[String], k: Int): DataFrame = {
+    require(stop.nonEmpty && k >= 1, "need stopwords and k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("pos"))
+    val runs = docs.where(text.isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(tokens(text)).as(Seq("pos", "term")))
+      .withColumn("__stop", col("term").isin(stop: _*))
+      .withColumn("__run",
+        sum(when(col("__stop"), 1).otherwise(0)).over(w))
+      .where(!col("__stop"))
+    val members = runs.groupBy(col("__id"), col("__run"))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          x => x.getField("term"))).as("phrase"),
+        count(lit(1)).as("__len"),
+        collect_list(col("term")).as("__ws"))
+      .select(col("__id"), col("__run"), col("phrase"), col("__len"),
+        explode(col("__ws")).as("term"))
+    val wordScores = members.groupBy(col("term"))
+      .agg(sum(col("__len")).as("__deg"), count(lit(1)).as("__freq"))
+      .select(col("term"),
+        expr(s"(__deg * ${1L << 20}) div __freq").as("__wfp"))
+    members.join(wordScores, "term")
+      .groupBy(col("__id"), col("__run"), col("phrase"), col("__len"))
+      .agg(sum(col("__wfp")).as("__occ_fp"))
+      .groupBy(col("phrase"))
+      .agg(max(col("__len")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("__occ_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** BM25 ranked retrieval, all-integer: the tf-saturating,
     * length-normalized scoring that supersedes plain tf-idf
     * ([[rankByTerms]]) in every production search stack (Robertson &

@@ -600,6 +600,14 @@ object TextDedup {
     "text_search_bm25" -> ((s, d) => {
       TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id",
         col("text"), Seq("fast", "join", "scan"), k = 20)
+    }),
+
+    // RAKE keyphrases: stopword-free runs scored by fixed-point
+    // deg/freq word weights — document keyword extraction without a
+    // model, engine-exact ranking
+    "text_keyphrases_rake" -> ((s, d) => {
+      TextAnalysis.rakePhrases(Tables.documents(s, d), "doc_id",
+        col("text"), stop = Seq("a", "the"), k = 20)
     })
   )
 
@@ -737,6 +745,46 @@ object TextDedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // same run segmentation (stopword prefix count), same fixed-point
+    // deg/freq word scores, same phrase-type rollup
+    "text_keyphrases_rake" ->
+      """WITH toks AS (
+        |  SELECT doc_id, l[i+1] AS term, i AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |        FROM documents WHERE text IS NOT NULL),
+        |    UNNEST(range(len(l))) AS r(i)
+        |), marked AS (
+        |  SELECT doc_id, term, pos, term IN ('a','the') AS stop,
+        |    SUM(CASE WHEN term IN ('a','the') THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM toks
+        |), runs AS (SELECT * FROM marked WHERE NOT stop),
+        |phr AS (
+        |  SELECT doc_id, run,
+        |    string_agg(term, ' ' ORDER BY pos) AS phrase,
+        |    COUNT(*) AS len
+        |  FROM runs GROUP BY doc_id, run
+        |), members AS (
+        |  SELECT p.doc_id, p.run, p.phrase, p.len, r.term
+        |  FROM phr p JOIN runs r
+        |    ON r.doc_id = p.doc_id AND r.run = p.run
+        |), ws AS (
+        |  SELECT term,
+        |    (SUM(len) * 1048576) // COUNT(*) AS wfp
+        |  FROM members GROUP BY term
+        |), occ AS (
+        |  SELECT m.doc_id, m.run, m.phrase, m.len,
+        |    SUM(w.wfp) AS occ_fp
+        |  FROM members m JOIN ws w ON w.term = m.term
+        |  GROUP BY m.doc_id, m.run, m.phrase, m.len
+        |)
+        |SELECT phrase, CAST(MAX(len) AS BIGINT) AS n_words,
+        |  COUNT(*) AS n_occurrences,
+        |  CAST(MAX(occ_fp) AS BIGINT) AS score_fp
+        |FROM occ GROUP BY phrase
+        |ORDER BY score_fp DESC, phrase LIMIT 20""".stripMargin,
+
     // same rational-BM25 integer arithmetic, idf through the log2_fp
     // CTE (scalar-subquery lookups into lg), hugeint floor division
     "text_search_bm25" ->

@@ -126,6 +126,28 @@ class TextIndexSpec extends SparkSpec {
     assert(score(2L) == rare2, s"got ${score(2L)} want $rare2")
   }
 
+  test("rakePhrases: run segmentation and exact deg/freq fixed point") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "deep learning of deep networks"),
+      (2L, "deep")).toDF("doc_id", "text")
+    val got = TextAnalysis.rakePhrases(corpus, "doc_id", col("text"),
+        stop = Seq("of"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    // deg(deep)=2+2+1=5 freq=3 -> wfp=floor(5*2^20/3); learning/
+    // networks: deg=2 freq=1 -> 2*2^20
+    val wDeep = 5L * (1L << 20) / 3
+    val w2 = 2L * (1L << 20)
+    assert(got.map(_._1).toSet ==
+      Set("deep learning", "deep networks", "deep"))
+    val m = got.map(x => x._1 -> x).toMap
+    assert(m("deep learning")._4 == wDeep + w2)
+    assert(m("deep")._4 == wDeep && m("deep")._2 == 1L)
+    // multi-word phrases outrank the bare common word
+    assert(got.head._1 != "deep")
+  }
+
   test("null text is indexable corpus-side and never matches") {
     val d = Seq((1L, "has merge batch inside"))
       .toDF("doc_id", "text")
