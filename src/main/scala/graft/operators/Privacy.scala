@@ -66,22 +66,64 @@ object Privacy {
   def dpHistogram(df: DataFrame, key: Column, eps: Double,
       salt: String = "dp"): DataFrame = {
     require(eps > 0, s"epsilon must be positive: $eps")
-    import graft.functions.FixedLogFunctions.log2_fp
     val counts = df.groupBy(key).agg(count(lit(1)).as("__n"))
     val keyName = counts.columns.head
-    val u32 = conv(substring(md5(concat(col(keyName).cast("string"),
-      lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    counts
+      .withColumn("noisy_count",
+        col("__n").cast("double") +
+          laplace(concat(col(keyName).cast("string"), lit(":" + salt)),
+            1.0 / eps))
+      .select(col(keyName), col("noisy_count"),
+        lit(eps).as("epsilon"))
+  }
+
+  /** One Laplace(b) draw per row from a keyed-hash uniform: inverse
+    * CDF −b·sign(u−½)·ln(1−2|u−½|), ln through exact fixed-point log2
+    * (see [[dpHistogram]]'s scaladoc for the PRG stance). The
+    * (2^31 − |h|)/2^31 argument is clamped one ulp off exact zero —
+    * u = 0 would be −∞, and a real sampler's support excludes it. */
+  private def laplace(seed: Column, b: Double): Column = {
+    import graft.functions.FixedLogFunctions.log2_fp
+    val u32 = conv(substring(md5(seed), 1, 8), 16, 10).cast("long")
     val h = u32 - lit(1L << 31)
-    // 1 − 2|u−½| = (2^31 − |h|)/2^31, clamped one ulp off exact zero
-    // (u = 0 would be −∞; a real sampler's support excludes it too)
     val zInt = greatest(lit(1L << 31) - abs(h), lit(1L))
     val lnz = (log2_fp(zInt) - lit(31L * (1L << 20))).cast("double") *
       lit(0.6931471805599453d) / lit(1048576.0d)
     val sign = when(h >= 0, lit(1.0d)).otherwise(lit(-1.0d))
-    counts
-      .withColumn("noisy_count",
-        col("__n").cast("double") + lit(-1.0d / eps) * sign * lnz)
-      .select(col(keyName), col("noisy_count"),
+    lit(-b) * sign * lnz
+  }
+
+  /** ε-DP mean of a clipped metric per key — the other standard
+    * release next to the count histogram. Values clip to [0, `clip`]
+    * (bounding the sum's sensitivity at `clip`, the count's at 1); the
+    * budget splits evenly, Laplace(2·clip/ε) on the exact decimal sum
+    * and Laplace(2/ε) on the exact count (sequential composition:
+    * ε/2 + ε/2); the released mean is noisy_sum over the noisy count
+    * floored at 1. Same keyed-hash PRG as [[dpHistogram]] with
+    * distinct per-query salts, so the whole release is
+    * bit-deterministic and oracle-replayable; neither the true sum
+    * nor the true count leaves the plan. Null metrics are excluded
+    * before counting (they contribute to neither statistic). */
+  def dpMean(df: DataFrame, key: Column, value: Column, clip: Double,
+      eps: Double, salt: String = "dpm"): DataFrame = {
+    require(eps > 0 && clip > 0, s"need eps > 0, clip > 0: $eps $clip")
+    val clipped = least(
+      greatest(graft.ColUtil.money(value), lit(0).cast("decimal(12,4)")),
+      lit(clip).cast("decimal(12,4)"))
+    val agg = df.where(value.isNotNull)
+      .groupBy(key)
+      .agg(sum(clipped).as("__s"), count(lit(1)).as("__n"))
+    val keyName = agg.columns.head
+    def seed(tag: String) =
+      concat(col(keyName).cast("string"), lit(s":$tag:$salt"))
+    agg
+      .withColumn("__ns",
+        col("__s").cast("double") + laplace(seed("s"), 2.0 * clip / eps))
+      .withColumn("__nc",
+        col("__n").cast("double") + laplace(seed("c"), 2.0 / eps))
+      .select(col(keyName),
+        (col("__ns") / greatest(col("__nc"), lit(1.0d)))
+          .as("noisy_mean"),
         lit(eps).as("epsilon"))
   }
 }

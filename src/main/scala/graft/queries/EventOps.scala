@@ -906,6 +906,15 @@ object EventOps {
         col("pre"), col("post"), "ctl", "trt")
     }),
 
+    // ε-DP mean release: per-type clipped value means, budget split
+    // between the sum and count draws (Privacy.dpMean scaladoc) —
+    // the companion release to privacy_dp_counts
+    "privacy_dp_mean" -> ((s, d) => {
+      graft.operators.Privacy.dpMean(Tables.events(s, d),
+          col("event_type"), col("value"), clip = 20.0, eps = 1.0)
+        .orderBy(col("event_type"))
+    }),
+
     // pairwise Pearson matrix over the lineitem measures in ONE scan:
     // all sums/square-sums/cross-products exact, six pair rows explode
     // from the single aggregate row (Profiling.correlationPairs)
@@ -1204,6 +1213,71 @@ object EventOps {
          |FROM fin ORDER BY event_type""".stripMargin,
 
     "profile_correlation" -> corrOracle,
+
+    // two laplace draws per key (sum/count salts), both through the
+    // nibble decode + log2_fp CTE; clip bounds replayed in decimal
+    "privacy_dp_mean" ->
+      s"""WITH RECURSIVE cv AS (
+         |  SELECT event_type, CAST(value AS DECIMAL(12,4)) AS v
+         |  FROM events WHERE value IS NOT NULL
+         |), cnt AS (
+         |  -- clip via CASE, NOT least/greatest: DuckDB's least/greatest
+         |  -- over decimals falls back to DOUBLE and the sum goes
+         |  -- order-dependent (caught as a last-ulp gate mismatch)
+         |  SELECT event_type AS k,
+         |    SUM(CASE WHEN v < CAST(0 AS DECIMAL(12,4))
+         |          THEN CAST(0 AS DECIMAL(12,4))
+         |        WHEN v > CAST(20.0 AS DECIMAL(12,4))
+         |          THEN CAST(20.0 AS DECIMAL(12,4))
+         |        ELSE v END) AS s,
+         |    COUNT(*) AS n
+         |  FROM cv GROUP BY event_type
+         |), hs0 AS (
+         |  SELECT k, s, n, md5(k || ':s:dpm') AS h FROM cnt
+         |), hs1 AS (
+         |  SELECT k, s, n,
+         |    ${graft.operators.Sampling.hashU32Sql("h")} - 2147483648
+         |      AS hh_s
+         |  FROM hs0
+         |), hc0 AS (
+         |  SELECT k, s, n, hh_s, md5(k || ':c:dpm') AS h FROM hs1
+         |), hc1 AS (
+         |  SELECT k, s, n, hh_s,
+         |    ${graft.operators.Sampling.hashU32Sql("h")} - 2147483648
+         |      AS hh_c
+         |  FROM hc0
+         |), zc AS (
+         |  SELECT k, s, n, hh_s, hh_c,
+         |    GREATEST(2147483648 - ABS(hh_s), 1) AS x_s,
+         |    GREATEST(2147483648 - ABS(hh_c), 1) AS x_c
+         |  FROM hc1
+         |), xs AS (
+         |  SELECT x_s AS x FROM zc UNION SELECT x_c FROM zc
+         |),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |fin AS (
+         |  SELECT zc.*, ls.l AS l_s, lc.l AS l_c
+         |  FROM zc JOIN lg ls ON zc.x_s = ls.x
+         |  JOIN lg lc ON zc.x_c = lc.x
+         |), rel AS (
+         |  SELECT k,
+         |    CAST(CAST(s AS VARCHAR) AS DOUBLE)
+         |      + CAST(-40.0 AS DOUBLE)
+         |        * (CASE WHEN hh_s >= 0 THEN CAST(1.0 AS DOUBLE)
+         |            ELSE CAST(-1.0 AS DOUBLE) END)
+         |        * ((CAST(l_s - 32505856 AS DOUBLE) * 0.6931471805599453)
+         |            / 1048576.0) AS ns,
+         |    CAST(n AS DOUBLE)
+         |      + CAST(-2.0 AS DOUBLE)
+         |        * (CASE WHEN hh_c >= 0 THEN CAST(1.0 AS DOUBLE)
+         |            ELSE CAST(-1.0 AS DOUBLE) END)
+         |        * ((CAST(l_c - 32505856 AS DOUBLE) * 0.6931471805599453)
+         |            / 1048576.0) AS nc
+         |  FROM fin
+         |)
+         |SELECT k AS event_type, ns / GREATEST(nc, 1.0) AS noisy_mean,
+         |  CAST(1.0 AS DOUBLE) AS epsilon
+         |FROM rel ORDER BY event_type""".stripMargin,
 
     "events_ab_proportions" ->
       s"""WITH per0 AS (

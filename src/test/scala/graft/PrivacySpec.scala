@@ -97,4 +97,29 @@ class PrivacySpec extends SparkSpec {
     // the true count never appears in the output schema
     assert(!got.head.schema.fieldNames.contains("__n"))
   }
+
+  test("dpMean: clipping, split budget, closed-form noise replay") {
+    // key 'k': values 5, 10, 50 (clips to 20), -3 (clips to 0), null
+    // (excluded) -> clipped sum 35, n = 4
+    val df = Seq(("k", 5.0), ("k", 10.0), ("k", 50.0), ("k", -3.0))
+      .toDF("g", "v")
+      .union(Seq(("k", null.asInstanceOf[java.lang.Double]))
+        .toDF("g", "v"))
+    val r = Privacy.dpMean(df, $"g", $"v", clip = 20.0, eps = 1.0)
+      .head()
+    def lap(key: String, b: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val h = java.lang.Long.parseLong(hex, 16) - (1L << 31)
+      val z = math.max((1L << 31) - math.abs(h), 1L)
+      val lnz = (graft.functions.FixedLog.log2Fp(z) -
+        31L * (1L << 20)).toDouble * 0.6931471805599453 / 1048576.0
+      -b * (if (h >= 0) 1.0 else -1.0) * lnz
+    }
+    val ns = 35.0 + lap("k:s:dpm", 40.0)
+    val nc = 4.0 + lap("k:c:dpm", 2.0)
+    assert(r.getDouble(1) == ns / math.max(nc, 1.0),
+      s"got ${r.getDouble(1)}")
+  }
 }
