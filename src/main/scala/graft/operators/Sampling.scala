@@ -201,6 +201,51 @@ object Sampling {
         coalesce(col("imp_score"), lit(0L)).as("imp_score"))
   }
 
+  /** Cross-source QUANTILE NORMALIZATION — the batch-effect correction
+    * for mixing corpora whose metric scales disagree (one crawl's
+    * "quality 0.9" is another's 0.5): every row's value is replaced by
+    * the POOLED value at the same relative rank, so all sources leave
+    * with the pooled distribution and downstream thresholds mean the
+    * same thing everywhere. Type-1 (floor) quantile matching on exact
+    * integer ranks: row with within-source rank r of n_s maps to
+    * pooled order statistic ceil(r·N/n_s) — all-integer, so the
+    * mapping is engine-exact and fully oracle-checkable.
+    *
+    * Scale shape: the within-source rank is one window keyed by source
+    * (parallel across sources, bounded by the largest source — the
+    * sessionize-family contract); the pooled order index is the
+    * distributed [[Ids.denseGlobalRowNumber]] (range repartition +
+    * zipWithIndex, never a single-partition window); one equi-join on
+    * the index hands each row its normalized value.
+    *
+    * Output: (id, source, value, normalized), money-quantized. */
+  def quantileNormalize(df: DataFrame, id: Column, source: Column,
+      value: Column): DataFrame = {
+    val base = df.select(id.as("id"), source.as("source"),
+        graft.ColUtil.money(value).as("value"))
+      .where(col("value").isNotNull)
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("value"), col("id"))
+    val ranked = base
+      .withColumn("__r", row_number().over(wS))
+      .join(base.groupBy(col("source")).agg(count(lit(1)).as("__ns")),
+        "source")
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__N"))))
+    val pooled = Ids.denseGlobalRowNumber(
+        base.select(col("value").as("normalized"),
+          col("source").as("__ps"), col("id").as("__pid")),
+        Seq(col("normalized"), col("__ps"), col("__pid")), "__gi")
+      .select((col("__gi") + 1).as("__gidx"), col("normalized"))
+    ranked
+      // ceil(r*N/ns) as exact integers, decimal-widened: r*N reaches
+      // N^2 which outruns int64 at corpus scale
+      .withColumn("__gidx", expr(
+        "CAST((CAST(__r AS DECIMAL(38,0)) * __N + __ns - 1) div __ns" +
+          " AS BIGINT)"))
+      .join(pooled, "__gidx")
+      .select(col("id"), col("source"), col("value"), col("normalized"))
+  }
+
   def hashBucketSql(idExpr: String, buckets: Int = 100): String =
     s"(${hashU32Sql(idExpr)} % $buckets)"
 

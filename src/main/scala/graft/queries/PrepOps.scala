@@ -513,6 +513,16 @@ object PrepOps {
         .orderBy(col("source"))
     }),
 
+    // cross-source quantile normalization: each doc's length metric is
+    // replaced by the pooled value at the same relative rank, so every
+    // source leaves with the pooled distribution and one threshold
+    // means the same thing everywhere (Sampling.quantileNormalize)
+    "mix_quantile_normalize" -> ((s, d) => {
+      graft.operators.Sampling.quantileNormalize(Tables.documents(s, d),
+          col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("id"))
+    }),
+
     // token-budget sampling: walk documents in the deterministic
     // md5-draw order and keep while the EXACT running token total stays
     // within budget — the "give me ~1M tokens, reproducibly" primitive.
@@ -726,6 +736,29 @@ object PrepOps {
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same (value, source, id) pooled order, same ceil(r*N/ns) type-1
+    // quantile index
+    "mix_quantile_normalize" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, source, CAST(n_chars AS DECIMAL(12,4))
+        |    AS value
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), ranked AS (
+        |  SELECT id, source, value,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY value, id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS ns,
+        |    COUNT(*) OVER () AS n
+        |  FROM base
+        |), pooled AS (
+        |  SELECT value AS normalized,
+        |    ROW_NUMBER() OVER (ORDER BY value, source, id) AS gidx
+        |  FROM base
+        |)
+        |SELECT rk.id, rk.source, rk.value, p.normalized
+        |FROM ranked rk JOIN pooled p
+        |  ON p.gidx = (CAST(rk.r AS HUGEINT) * rk.n + rk.ns - 1) // rk.ns
+        |ORDER BY rk.id""".stripMargin,
     "heavy_hitters_tokens" ->
       """SELECT term, COUNT(*) AS cnt FROM (
         |  SELECT UNNEST(string_split(text,' ')) AS term FROM documents)

@@ -419,4 +419,39 @@ class PrepOpsSpec extends SparkSpec {
     assert(byId(1L)._3 > byId(2L)._3)
     assert(byId(1L)._3.toDouble / 5 > byId(3L)._3.toDouble / 3)
   }
+
+  test("quantileNormalize: rank-preserving, max maps to pooled max, " +
+      "single source is the identity, partition-invariant") {
+    // source A shifted by +100 vs source B: after normalization both
+    // share the pooled distribution
+    val rows = (1L to 40L).map(i => (i, "A", (i % 20) + 100.0)) ++
+      (41L to 80L).map(i => (i, "B", (i % 20).toDouble))
+    def run(np: Int) = {
+      val base = rows.toDF("id", "src", "v")
+      Sampling.quantileNormalize(
+        if (np > 0) base.repartition(np) else base,
+        $"id", $"src", $"v")
+    }
+    val out = run(0).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue))
+    // monotone within source: sort by value, normalized must be sorted
+    for (s <- Seq("A", "B")) {
+      val vs = out.filter(_._2 == s).sortBy(x => (x._3, x._1)).map(_._4)
+      assert(vs.sameElements(vs.sorted), s"non-monotone in $s")
+    }
+    // the top-ranked row of each source gets the pooled max (119)
+    for (s <- Seq("A", "B"))
+      assert(out.filter(_._2 == s).map(_._4).max == 119.0)
+    // B's values rise toward the pooled scale, A's fall
+    assert(out.filter(_._2 == "B").map(_._4).sum >
+      out.filter(_._2 == "B").map(_._3).sum)
+    assert(run(0).collect().map(_.toSeq).toSeq.sortBy(_.head.toString) ==
+      run(13).collect().map(_.toSeq).toSeq.sortBy(_.head.toString))
+    // one source: ceil(r*N/ns) = r -> identity
+    val one = Sampling.quantileNormalize(
+      (1L to 30L).map(i => (i, "X", (i * 7 % 13).toDouble))
+        .toDF("id", "src", "v"), $"id", $"src", $"v").collect()
+    one.foreach(r => assert(r.getDecimal(2) == r.getDecimal(3)))
+  }
 }
