@@ -932,6 +932,22 @@ object EventOps {
         .agg(count(lit(1)).as("n_ev"),
           sum(money(col("value"))).cast("decimal(12,4)").as("sv"))
       graft.operators.Hypothesis.spearman(per, col("n_ev"), col("sv"))
+    }),
+
+    // leave-one-out target encoding of event_type against the money-
+    // quantized value — the high-cardinality categorical feature for
+    // model training. The Spark plan aggregates the category domain once
+    // (partial-agg shuffle over |domain| keys) and BROADCASTS the stats
+    // back, so the encode is map-only over the fact table; the oracle
+    // replays it as the full-table window form. Rows whose category has
+    // no other labeled member (or whose own label is NULL) encode NULL.
+    "ml_target_encode" -> ((s, d) => {
+      graft.operators.Encoding.targetEncodeLoo(
+          Tables.events(s, d)
+            .select(col("event_id"), col("event_type"), col("value")),
+          col("event_type"), col("value"))
+        .select(col("event_id"), col("event_type"), col("enc"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -2282,7 +2298,26 @@ object EventOps {
          |    COUNT(*) OVER (PARTITION BY id) AS n_neighbors
          |  FROM sym)
          |SELECT id, n_neighbors, nb AS nn_id, dist2 AS nn_dist2
-         |FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin
+         |FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // window replay of the broadcast-stats LOO encode: exact decimal
+    // window sum, one IEEE division; decimal -> double through VARCHAR
+    // per the ColUtil parity rule
+    "ml_target_encode" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(12,4)) AS v
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, event_type, v,
+        |    SUM(v) OVER (PARTITION BY event_type) AS s,
+        |    CAST(COUNT(v) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM b
+        |)
+        |SELECT event_id, event_type,
+        |  CASE WHEN v IS NOT NULL AND n > 1
+        |    THEN CAST(CAST(s - v AS VARCHAR) AS DOUBLE)
+        |      / CAST(n - 1 AS DOUBLE) END AS enc
+        |FROM w ORDER BY event_id""".stripMargin
   )
 
   // def, not val: the oracles map initializes before this point in the

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Encoding
+import org.apache.spark.sql.functions._
+
+/** Pins Encoding.targetEncodeLoo: hand-computed encodings, the
+  * leakage property (a row's own label never reaches its feature),
+  * NULL/singleton handling, reserved-name guards, and bit-exactness
+  * under repartitioning. */
+class EncodingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+    (4L, "b", 5.0), (5L, "b", 7.0),
+    (6L, "c", 99.0)).toDF("id", "cat", "t")
+
+  test("leave-one-out means match hand computation") {
+    val m = Encoding.targetEncodeLoo(df, col("cat"), col("t"))
+      .select("id", "enc").as[(Long, Option[Double])].collect().toMap
+    assert(m(1L).contains(25.0)) // (20+30)/2
+    assert(m(2L).contains(20.0)) // (10+30)/2
+    assert(m(3L).contains(15.0)) // (10+20)/2
+    assert(m(4L).contains(7.0))
+    assert(m(5L).contains(5.0))
+    assert(m(6L).isEmpty) // singleton category: no evidence left
+  }
+
+  test("own label is excluded: outlier moves siblings, not itself") {
+    val out = df.withColumn("t",
+      when(col("id") === 1L, lit(1e6)).otherwise(col("t")))
+    val m = Encoding.targetEncodeLoo(out, col("cat"), col("t"))
+      .select("id", "enc").as[(Long, Option[Double])].collect().toMap
+    assert(m(1L).contains(25.0)) // unchanged: its own label held out
+    assert(m(2L).get > 1000.0 && m(3L).get > 1000.0)
+  }
+
+  test("NULL target and NULL category pass through with NULL encoding") {
+    val withNulls = Seq(
+      (1L, Option("a"), Option(10.0)), (2L, Option("a"), Option(20.0)),
+      (3L, Option("a"), None), (4L, None, Option(7.0)))
+      .toDF("id", "cat", "t")
+    val m = Encoding.targetEncodeLoo(withNulls, col("cat"), col("t"))
+      .select("id", "enc").as[(Long, Option[Double])].collect().toMap
+    assert(m(1L).contains(20.0) && m(2L).contains(10.0))
+    assert(m(3L).isEmpty && m(4L).isEmpty)
+    // NULL-target rows contribute nothing: id=1 sees only id=2's label
+  }
+
+  test("reserved and duplicate output names are rejected") {
+    intercept[IllegalArgumentException] {
+      Encoding.targetEncodeLoo(df.withColumn("enc", lit(1)),
+        col("cat"), col("t"))
+    }
+    intercept[IllegalArgumentException] {
+      Encoding.targetEncodeLoo(df.withColumn("__te_n", lit(1)),
+        col("cat"), col("t"))
+    }
+  }
+
+  test("bit-exact under repartitioning") {
+    val big = (1L to 2000L).map(i => (i, s"c${i % 7}",
+      (i % 101).toDouble / 4)).toDF("id", "cat", "t")
+    def run(parts: Int) =
+      Encoding.targetEncodeLoo(big.repartition(parts), col("cat"),
+          col("t"))
+        .select("id", "enc").as[(Long, Double)].collect().sortBy(_._1)
+    assert(run(1).sameElements(run(13)))
+  }
+}
