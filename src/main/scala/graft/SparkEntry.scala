@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.PrepOps.defs ++
       graft.queries.SketchOps.defs ++
       graft.queries.StreamOps.defs ++
-      graft.queries.GraphOps.defs
+      graft.queries.GraphOps.defs ++
+      graft.queries.MlOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.PrepOps.oracles ++
       graft.queries.SketchOps.oracles ++
       graft.queries.StreamOps.oracles ++
-      graft.queries.GraphOps.oracles
+      graft.queries.GraphOps.oracles ++
+      graft.queries.MlOps.oracles
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.ColUtil
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation statistics for training pipelines — the readouts a
+  * data engine owes the team training on its output: did the quality
+  * model rank well (ROC-AUC), are its scores honest probabilities
+  * (calibration), per data segment. Both are exact-arithmetic through
+  * the same sufficient-statistic discipline as [[Hypothesis]]: integer/
+  * decimal aggregation, one fixed IEEE dag at the end, so every number
+  * is hash-identical cross-engine and partition-invariant.
+  */
+object MlEval {
+
+  /** Per-key exact ROC-AUC of `score` against binary `label` (0/1) —
+    * via the rank-statistic identity AUC = U⁺/(n⁺·n⁻) (AUC is the
+    * probability a random positive outranks a random negative; Hanley &
+    * McNeil 1982), with midrank tie handling, so it needs no threshold
+    * sweep and no per-row ranks.
+    *
+    * Same shuffle shape as [[Hypothesis.mannWhitneyU]] but keyed:
+    * rows collapse to (key, value → count, positives) first, the
+    * cumulative count is a window per key (partitioned — no global-sort
+    * cliff), and the midrank of a tied run is (2·cum − t + 1)/2. The
+    * doubled rank sum keeps every intermediate integral; the returned
+    * `u2_pos` = 2·U⁺ is exact bigint, `auc` one fixed double dag.
+    * Shuffled volume is the per-key distinct score domain, not rows.
+    *
+    * AUC is NULL when a key has no positives or no negatives (the
+    * curve is undefined). Output: (key, n_pos, n_neg, u2_pos, auc). */
+  def aucRoc(df: DataFrame, key: Column, score: Column, label: Column,
+      keyName: String = "key"): DataFrame = {
+    val base = df.select(key.as(keyName), ColUtil.money(score).as("__v"),
+        label.cast("long").as("__y"))
+      .where(col("__v").isNotNull && col("__y").isin(0L, 1L))
+    val perVal = base.groupBy(col(keyName), col("__v"))
+      .agg(sum(col("__y")).as("__cp"), count(lit(1)).as("__ct"))
+    val w = Window.partitionBy(col(keyName)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perVal.withColumn("__cum", sum(col("__ct")).over(w))
+    cum.groupBy(col(keyName))
+      .agg(
+        sum(col("__cp")).as("n_pos"),
+        sum(col("__ct") - col("__cp")).as("n_neg"),
+        // Σ over tied runs of pos_count · 2·midrank, exact in decimal
+        // (N² products at corpus scale outrun int64)
+        sum((col("__cp").cast("decimal(19,0)") *
+          (lit(2L) * col("__cum") - col("__ct") + lit(1L)))
+          .cast("decimal(38,0)")).as("__r2"))
+      .withColumn("u2_pos",
+        (col("__r2") - col("n_pos").cast("decimal(38,0)") *
+          (col("n_pos") + lit(1L))).cast("bigint"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2_pos").cast("double") /
+            (lit(2.0d) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))))
+      .select(col(keyName), col("n_pos"), col("n_neg"), col("u2_pos"),
+        col("auc"))
+  }
+
+  /** Reliability (calibration) bins of a probability `score` in [0,1]
+    * against binary `label`: equal-width bins, per-bin support,
+    * positive count, mean confidence and accuracy, and the |conf−acc|
+    * gap — the per-bin rows an ECE/reliability diagram is built from
+    * (Guo et al. 2017). Binning is EXACT: the score quantizes to
+    * decimal 4 dp and the bin index is floor(score·bins) on decimals
+    * (clamped to bins−1 so score = 1.0 lands in the top bin) — no
+    * float threshold wobble at bin edges cross-engine. One
+    * partial-aggregated shuffle over ≤ `bins` keys; conf/acc/gap are
+    * fixed double dags from exact sums.
+    *
+    * Output: (bin, n, n_pos, conf, acc, gap) for non-empty bins. */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val q = ColUtil.money(score)
+    val base = df.select(q.as("__s"), label.cast("long").as("__y"))
+      .where(col("__s").isNotNull && col("__s") >= 0 && col("__s") <= 1 &&
+        col("__y").isin(0L, 1L))
+    base
+      .withColumn("bin",
+        least(lit(bins - 1),
+          floor(col("__s") * lit(bins)).cast("int")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__s")).as("__ss"))
+      .withColumn("conf", col("__ss").cast("double") / col("n"))
+      .withColumn("acc",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("gap", abs(col("conf") - col("acc")))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf"),
+        col("acc"), col("gap"))
+  }
+}

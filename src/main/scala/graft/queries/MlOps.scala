@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ColUtil._
+
+/** Model-evaluation / training-data-ML query surface: the readouts and
+  * transforms that sit between the corpus engine and the training loop
+  * (ranking quality, calibration, supervised encodings, split hygiene).
+  * Implementations in [[graft.operators.MlEval]] / [[graft.operators.Encoding]];
+  * every query here is exact-arithmetic and oracle-checked.
+  */
+object MlOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // Exact ROC-AUC of a per-user propensity score (engagement value over
+    // click/view events) against the observed purchase label, per user
+    // segment — the rank-statistic form (AUC = U+/(n+ n-)), midrank ties,
+    // no threshold sweep. Shuffles the per-segment distinct score domain,
+    // never per-row ranks.
+    "ml_auc_roc" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type").isin("click", "view"),
+            money(col("value"))).otherwise(lit(0).cast("decimal(12,4)")))
+            .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("label"))
+      graft.operators.MlEval.aucRoc(per, col("user_id") % 4,
+          col("score"), col("label"), "seg")
+        .orderBy(col("seg"))
+    }),
+
+    // Reliability bins of a [0,1] probability score (value/100) against
+    // the purchase label: 10 equal-width bins, exact decimal binning, per
+    // bin support/confidence/accuracy/|gap| — the ECE inputs.
+    "ml_calibration_bins" -> ((s, d) => {
+      graft.operators.MlEval.calibrationBins(
+          Tables.events(s, d)
+            .withColumn("score", col("value") / lit(100.0d))
+            .withColumn("label",
+              when(col("event_type") === "purchase", 1L).otherwise(0L)),
+          col("score"), col("label"), bins = 10)
+        .orderBy(col("bin"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // window replay of the keyed rank statistic; HUGEINT internally,
+    // BIGINT at the seam (type-sensitive gate), one double dag at the end
+    "ml_auc_roc" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type IN ('click','view')
+        |      THEN CAST(value AS DECIMAL(12,4))
+        |      ELSE CAST(0 AS DECIMAL(12,4)) END) AS v,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id
+        |), keyed AS (
+        |  SELECT user_id % 4 AS seg, CAST(v AS DECIMAL(12,4)) AS v, y
+        |  FROM per WHERE v IS NOT NULL
+        |), pv AS (
+        |  SELECT seg, v, CAST(SUM(y) AS BIGINT) AS cp, COUNT(*) AS ct
+        |  FROM keyed GROUP BY seg, v
+        |), cum AS (
+        |  SELECT seg, v, cp, ct,
+        |    SUM(ct) OVER (PARTITION BY seg ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM pv
+        |), agg AS (
+        |  SELECT seg,
+        |    CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |    CAST(SUM(ct - cp) AS BIGINT) AS n_neg,
+        |    SUM(CAST(cp AS HUGEINT) * (2*c - ct + 1)) AS r2
+        |  FROM cum GROUP BY seg
+        |), fin AS (
+        |  SELECT seg, n_pos, n_neg,
+        |    CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT)
+        |      AS u2_pos
+        |  FROM agg
+        |)
+        |SELECT seg, n_pos, n_neg, u2_pos,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN CAST(u2_pos AS DOUBLE) /
+        |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END
+        |    AS auc
+        |FROM fin ORDER BY seg""".stripMargin,
+
+    // exact decimal binning (no float edges); decimal sums -> double
+    // through VARCHAR per the parity rule
+    "ml_calibration_bins" ->
+      """WITH base AS (
+        |  SELECT CAST(value / 100.0 AS DECIMAL(12,4)) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |), dom AS (
+        |  SELECT s, y FROM base WHERE s >= 0 AND s <= 1
+        |), binned AS (
+        |  SELECT LEAST(9, CAST(FLOOR(s * 10) AS INT)) AS bin, s, y
+        |  FROM dom
+        |), agg AS (
+        |  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    SUM(s) AS ss
+        |  FROM binned GROUP BY bin
+        |), fin AS (
+        |  SELECT bin, n, n_pos,
+        |    CAST(CAST(ss AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS conf,
+        |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+        |  FROM agg
+        |)
+        |SELECT bin, n, n_pos, conf, acc, ABS(conf - acc) AS gap
+        |FROM fin ORDER BY bin""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.MlEval
+import org.apache.spark.sql.functions._
+
+/** Pins MlEval: ROC-AUC against hand-computed rank statistics
+  * (including midrank ties and degenerate one-class keys) and
+  * calibration bins against hand-binned counts; both bit-stable under
+  * repartitioning. */
+class MlEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfect, inverted, and random rankers hit exact AUC") {
+    // scores 1..8, labels: top half positive -> AUC 1; inverted -> 0
+    val perfect = (1 to 8).map(i => ("k", i.toDouble, if (i > 4) 1 else 0))
+      .toDF("k", "s", "y")
+    val m = MlEval.aucRoc(perfect, col("k"), col("s"), col("y"))
+      .select("auc").as[Double].head()
+    assert(m == 1.0)
+    val inverted = (1 to 8).map(i => ("k", i.toDouble, if (i <= 4) 1 else 0))
+      .toDF("k", "s", "y")
+    assert(MlEval.aucRoc(inverted, col("k"), col("s"), col("y"))
+      .select("auc").as[Double].head() == 0.0)
+  }
+
+  test("midrank ties match the hand-computed U") {
+    // scores: pos {3, 2}, neg {2, 1}; tie at 2 -> U+ = 1*2 + 0.5 + 1 ... by
+    // hand: ranks of sorted (1,2,2,3) = (1, 2.5, 2.5, 4); R+ = 2.5+4 = 6.5
+    // U+ = R+ - n+(n++1)/2 = 6.5 - 3 = 3.5; AUC = 3.5/4 = 0.875
+    val df = Seq(("k", 3.0, 1), ("k", 2.0, 1), ("k", 2.0, 0), ("k", 1.0, 0))
+      .toDF("k", "s", "y")
+    val r = MlEval.aucRoc(df, col("k"), col("s"), col("y"))
+      .select("u2_pos", "auc").as[(Long, Double)].head()
+    assert(r._1 == 7L) // 2*U+ exact
+    assert(r._2 == 0.875)
+  }
+
+  test("one-class keys yield NULL auc, mixed keys compute per key") {
+    val df = Seq(("a", 1.0, 1), ("a", 2.0, 1), // all positive
+      ("b", 1.0, 0), ("b", 2.0, 1)).toDF("k", "s", "y")
+    val m = MlEval.aucRoc(df, col("k"), col("s"), col("y"), "k")
+      .select("k", "auc").as[(String, Option[Double])].collect().toMap
+    assert(m("a").isEmpty)
+    assert(m("b").contains(1.0))
+  }
+
+  test("calibration bins: exact edges, top-bin clamp, gap arithmetic") {
+    // 0.05 -> bin 0; 0.10 lands in bin 1 (exact decimal edge, not a
+    // float wobble); 1.0 clamps into bin 9
+    val df = Seq((0.05, 0), (0.10, 1), (0.95, 1), (1.0, 1))
+      .toDF("s", "y")
+    val rows = MlEval.calibrationBins(df, col("s"), col("y"), bins = 10)
+      .select("bin", "n", "n_pos").as[(Int, Long, Long)].collect().toSet
+    assert(rows == Set((0, 1L, 0L), (1, 1L, 1L), (9, 2L, 2L)))
+    val gap = MlEval.calibrationBins(df, col("s"), col("y"), bins = 10)
+      .where(col("bin") === 9).select("gap").as[Double].head()
+    assert(gap == math.abs((0.95 + 1.0) / 2 - 1.0))
+  }
+
+  test("out-of-range and null scores are excluded") {
+    val df = Seq((Option(-0.1), 0), (Option(1.1), 1), (None, 1),
+      (Option(0.5), 1)).toDF("s", "y")
+    val rows = MlEval.calibrationBins(df, col("s"), col("y"), 10)
+      .select("bin", "n").as[(Int, Long)].collect().toSeq
+    assert(rows == Seq((5, 1L)))
+  }
+
+  test("bit-exact under repartitioning") {
+    val big = (1L to 4000L).map(i =>
+      (s"k${i % 3}", (i % 97).toDouble / 97, (i % 5 == 0).compareTo(false)))
+      .toDF("k", "s", "y")
+    def auc(parts: Int) =
+      MlEval.aucRoc(big.repartition(parts), col("k"), col("s"), col("y"),
+          "k")
+        .select("k", "u2_pos", "auc").as[(String, Long, Double)]
+        .collect().sortBy(_._1)
+    assert(auc(1).sameElements(auc(17)))
+    def cal(parts: Int) =
+      MlEval.calibrationBins(big.repartition(parts), col("s"), col("y"))
+        .select("bin", "n", "conf", "acc").as[(Int, Long, Double, Double)]
+        .collect().sortBy(_._1)
+    assert(cal(1).sameElements(cal(17)))
+  }
+}
