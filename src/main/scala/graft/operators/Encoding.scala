@@ -58,4 +58,45 @@ object Encoding {
             (col("__te_n") - 1).cast("double")))
       .drop(reserved: _*)
   }
+
+  /** Weight-of-evidence statistics of binary `label` per `category` —
+    * the other standard supervised encoding next to [[targetEncodeLoo]]
+    * (credit-scoring lineage; Siddiqi 2006): WOE(c) = ln of the odds
+    * ratio (pos_c/pos_tot)/(neg_c/neg_tot), with add-`smooth` Laplace
+    * smoothing so empty cells stay finite.
+    *
+    * The log runs through log2_fp (exact integer fixed point — see
+    * [[graft.functions.FixedLog]]), each argument a COUNT (fits int64
+    * at any corpus size; products of counts would not), so `woe_fp` =
+    * 2²⁰·log2(odds ratio) is hash-exact cross-engine:
+    * woe_fp = (lg(pos_c+s) − lg(pos_tot+s·C)) − (lg(neg_c+s) − lg(neg_tot+s·C)),
+    * C = |categories|. `woe` is the double readout (one division by
+    * 2²⁰). Scale shape: one partial-agg shuffle over the category
+    * domain; the totals are a one-row broadcast.
+    *
+    * Returns (category named `catName`, n_pos, n_neg, woe_fp, woe) —
+    * a stats table; encoding rows is a broadcast join away. NULL
+    * categories are excluded (they are their own modeling decision). */
+  def woeEncode(df: DataFrame, category: Column, label: Column,
+      smooth: Int = 1, catName: String = "category"): DataFrame = {
+    require(smooth >= 1, s"smooth must be >= 1 (log domain): $smooth")
+    import graft.functions.FixedLogFunctions.log2_fp
+    val perCat = df
+      .select(category.as(catName), label.cast("long").as("__y"))
+      .where(col(catName).isNotNull && col("__y").isin(0L, 1L))
+      .groupBy(col(catName))
+      .agg(sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"))
+    val tot = perCat.agg(sum(col("n_pos")).as("__pt"),
+      sum(col("n_neg")).as("__nt"), count(lit(1)).as("__c"))
+    perCat.crossJoin(broadcast(tot))
+      .withColumn("woe_fp",
+        (log2_fp(col("n_pos") + lit(smooth.toLong)) -
+          log2_fp(col("__pt") + lit(smooth.toLong) * col("__c"))) -
+        (log2_fp(col("n_neg") + lit(smooth.toLong)) -
+          log2_fp(col("__nt") + lit(smooth.toLong) * col("__c"))))
+      .withColumn("woe", col("woe_fp").cast("double") / lit(1048576.0d))
+      .select(col(catName), col("n_pos"), col("n_neg"), col("woe_fp"),
+        col("woe"))
+  }
 }

@@ -45,6 +45,18 @@ object MlOps {
               when(col("event_type") === "purchase", 1L).otherwise(0L)),
           col("score"), col("label"), bins = 10)
         .orderBy(col("bin"))
+    }),
+
+    // Weight-of-evidence of each corpus source against the is-English
+    // label, Laplace-smoothed, in exact 2^20 fixed point through log2_fp
+    // — the supervised encoding whose log is bit-identical cross-engine.
+    "ml_woe_encode" -> ((s, d) => {
+      graft.operators.Encoding.woeEncode(
+          Tables.documents(s, d),
+          col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L),
+          smooth = 1, catName = "source")
+        .orderBy(col("source"))
     })
   )
 
@@ -114,6 +126,41 @@ object MlOps {
         |  FROM agg
         |)
         |SELECT bin, n, n_pos, conf, acc, ABS(conf - acc) AS gap
-        |FROM fin ORDER BY bin""".stripMargin
+        |FROM fin ORDER BY bin""".stripMargin,
+
+    // counts + four lookups into the shared log2_fp CTE (one per WOE
+    // term); the double readout is one division by 2^20
+    "ml_woe_encode" ->
+      s"""WITH RECURSIVE pc AS (
+         |  SELECT source,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS np,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS nn
+         |  FROM documents WHERE source IS NOT NULL GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS pt,
+         |    CAST(SUM(nn) AS BIGINT) AS nt, COUNT(*) AS c
+         |  FROM pc
+         |), xs AS (
+         |  SELECT np + 1 AS x FROM pc UNION
+         |  SELECT nn + 1 FROM pc UNION
+         |  SELECT pt + c FROM tot UNION
+         |  SELECT nt + c FROM tot
+         |),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |fin AS (
+         |  SELECT pc.source, pc.np, pc.nn,
+         |    (lp.l - lpt.l) - (lq.l - lnt.l) AS wfp
+         |  FROM pc CROSS JOIN tot
+         |  JOIN lg lp ON pc.np + 1 = lp.x
+         |  JOIN lg lq ON pc.nn + 1 = lq.x
+         |  JOIN lg lpt ON tot.pt + tot.c = lpt.x
+         |  JOIN lg lnt ON tot.nt + tot.c = lnt.x
+         |)
+         |SELECT source, np AS n_pos, nn AS n_neg,
+         |  CAST(wfp AS BIGINT) AS woe_fp,
+         |  CAST(wfp AS DOUBLE) / 1048576.0 AS woe
+         |FROM fin ORDER BY source""".stripMargin
   )
 }

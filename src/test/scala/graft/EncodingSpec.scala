@@ -58,6 +58,26 @@ class EncodingSpec extends SparkSpec {
     }
   }
 
+  test("WOE matches the fixed-point log identity by hand") {
+    // cat a: 3 pos, 1 neg; cat b: 1 pos, 3 neg; totals 4/4, C=2, s=1
+    // woe_fp(a) = (lg(4)-lg(6)) - (lg(2)-lg(6)) = lg(4)-lg(2) = 2^20
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0),
+      ("b", 1), ("b", 0), ("b", 0), ("b", 0)).toDF("c", "y")
+    val m = Encoding.woeEncode(df, col("c"), col("y"), catName = "c")
+      .select("c", "n_pos", "n_neg", "woe_fp")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m("a") == ("a", 3L, 1L, 1048576L))
+    assert(m("b") == ("b", 1L, 3L, -1048576L)) // symmetric by swap
+  }
+
+  test("WOE smoothing keeps empty cells finite and sums to balance") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 0)).toDF("c", "y")
+    val rows = Encoding.woeEncode(df, col("c"), col("y"), catName = "c")
+      .select("c", "woe_fp").as[(String, Long)].collect().toMap
+    // cat a has zero negatives, cat b zero positives: both finite
+    assert(rows("a") > 0 && rows("b") < 0)
+  }
+
   test("bit-exact under repartitioning") {
     val big = (1L to 2000L).map(i => (i, s"c${i % 7}",
       (i % 101).toDouble / 4)).toDF("id", "cat", "t")
