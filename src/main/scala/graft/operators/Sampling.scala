@@ -246,6 +246,54 @@ object Sampling {
       .select(col("id"), col("source"), col("value"), col("normalized"))
   }
 
+  /** Deterministic k-negative sampling with positive exclusion — the
+    * contrastive-training staple (word2vec/SGNS lineage, Mikolov et al.
+    * 2013): for every distinct query in `positives`, draw `k` corpus
+    * ids the query is NOT positively paired with, reproducibly.
+    *
+    * The scale-right shape is INDEXED draws, not candidate joins: the
+    * corpus gets a dense global index once (range-partitioned zip — no
+    * global-sort cliff), each query derives k+overdraw pseudo-random
+    * indices as md5(query#j) mod N (the same cross-engine nibble hash
+    * as [[hashBucket]]), and ONE equi-join on the index resolves them —
+    * |Q|·(k+overdraw) rows through the exchange, never |Q|×|corpus|.
+    * Draws that hit a positive (or repeat within a query) are dropped
+    * and the overdraw absorbs the loss: the result keeps the first k
+    * surviving draws in draw order (a per-query window over ≤
+    * k+overdraw rows). A query whose draws all collide yields fewer
+    * than k rows — deterministically; raise `overdraw` if exactness
+    * matters (collisions are ~(k+overdraw)·(pos+k)/N).
+    *
+    * Returns (query_id, rank, neg_id), rank 1..k in draw order. */
+  def negativeSample(positives: DataFrame, query: Column, positive: Column,
+      corpus: DataFrame, corpusId: Column, k: Int, overdraw: Int = 4)
+      : DataFrame = {
+    require(k > 0 && overdraw >= 0, s"need k > 0: $k, overdraw >= 0")
+    val pos = positives.select(query.as("query_id"), positive.as("pos_id"))
+    val ids = corpus.select(corpusId.as("neg_id")).distinct()
+    val n = ids.count() // bounded driver state: one long
+    require(n > 0, "empty corpus")
+    val indexed = Ids.denseGlobalRowNumber(ids, Seq(col("neg_id")), "__idx")
+    val draws = pos.select(col("query_id")).distinct()
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(k + overdraw - 1))).as("__j"))
+      .withColumn("__idx",
+        conv(substring(md5(concat(col("query_id").cast("string"),
+          lit("#"), col("__j").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % n)
+    draws.join(indexed, "__idx")
+      .join(pos.withColumnRenamed("pos_id", "neg_id"),
+        Seq("query_id", "neg_id"), "left_anti")
+      .groupBy(col("query_id"), col("neg_id"))
+      .agg(min(col("__j")).as("__j"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("__j"), col("neg_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neg_id"))
+  }
+
   def hashBucketSql(idExpr: String, buckets: Int = 100): String =
     s"(${hashU32Sql(idExpr)} % $buckets)"
 

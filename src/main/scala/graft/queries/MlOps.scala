@@ -57,6 +57,16 @@ object MlOps {
           when(col("lang") === "en", 1L).otherwise(0L),
           smooth = 1, catName = "source")
         .orderBy(col("source"))
+    }),
+
+    // Deterministic 2-negative sampling per order against the part
+    // catalog, excluding the parts the order actually contains — indexed
+    // md5 draws, one equi-join on the corpus index, never |Q|x|corpus|.
+    "ml_negative_sample" -> ((s, d) => {
+      graft.operators.Sampling.negativeSample(
+          Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
+          Tables.part(s, d), col("p_partkey"), k = 2)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -161,6 +171,46 @@ object MlOps {
          |SELECT source, np AS n_pos, nn AS n_neg,
          |  CAST(wfp AS BIGINT) AS woe_fp,
          |  CAST(wfp AS DOUBLE) / 1048576.0 AS woe
-         |FROM fin ORDER BY source""".stripMargin
+         |FROM fin ORDER BY source""".stripMargin,
+
+    // same indexed-draw protocol: dense corpus index by id order, md5
+    // nibble hash mod N per (query, draw), positive exclusion, first-k
+    // surviving draws in draw order
+    "ml_negative_sample" ->
+      s"""WITH pos AS (
+         |  SELECT DISTINCT l_orderkey AS query_id, l_partkey AS pos_id
+         |  FROM lineitem
+         |), ids AS (SELECT DISTINCT p_partkey AS neg_id FROM part),
+         |idx AS (
+         |  SELECT neg_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY neg_id) - 1 AS BIGINT) AS i
+         |  FROM ids
+         |), cnt AS (SELECT COUNT(*) AS n FROM ids),
+         |q AS (SELECT DISTINCT query_id FROM pos),
+         |draws AS (
+         |  SELECT query_id, j,
+         |    md5(CAST(query_id AS VARCHAR) || '#' || CAST(j AS VARCHAR))
+         |      AS h
+         |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j)
+         |), dv AS (
+         |  SELECT query_id, j,
+         |    ${graft.operators.Sampling.hashU32Sql("h")} % n AS i
+         |  FROM draws CROSS JOIN cnt
+         |), cand AS (
+         |  SELECT d.query_id, d.j, x.neg_id
+         |  FROM dv d JOIN idx x ON d.i = x.i
+         |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+         |    WHERE p.query_id = d.query_id AND p.pos_id = x.neg_id)
+         |), dd AS (
+         |  SELECT query_id, neg_id, MIN(j) AS j
+         |  FROM cand GROUP BY query_id, neg_id
+         |), rk AS (
+         |  SELECT query_id, neg_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY j, neg_id) AS rank
+         |  FROM dd
+         |)
+         |SELECT query_id, rank, neg_id FROM rk WHERE rank <= 2
+         |ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -454,4 +454,28 @@ class PrepOpsSpec extends SparkSpec {
         .toDF("id", "src", "v"), $"id", $"src", $"v").collect()
     one.foreach(r => assert(r.getDecimal(2) == r.getDecimal(3)))
   }
+
+  test("negativeSample: k per query, positives excluded, draw-ordered, " +
+      "stable under repartition") {
+    val pos = Seq((1L, 10L), (1L, 11L), (2L, 12L), (3L, 10L))
+      .toDF("q", "p")
+    val corpus = (10L to 49L).toDF("id")
+    val out = Sampling.negativeSample(pos, $"q", $"p", corpus, $"id",
+      k = 3, overdraw = 8)
+    val rows = out.as[(Long, Int, Long)].collect().toSeq
+    // exactly k per query (40 candidates, 8 overdraw absorbs collisions)
+    assert(rows.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map(1L -> 3, 2L -> 3, 3L -> 3))
+    // no sampled negative is a positive of its query
+    val posSet = Set((1L, 10L), (1L, 11L), (2L, 12L), (3L, 10L))
+    assert(rows.forall(r => !posSet.contains((r._1, r._3))))
+    // ranks are 1..k per query
+    assert(rows.groupBy(_._1).values.forall(
+      g => g.map(_._2).sorted == Seq(1, 2, 3)))
+    // deterministic under partitioning
+    val again = Sampling.negativeSample(pos.repartition(7), $"q", $"p",
+        corpus.repartition(5), $"id", k = 3, overdraw = 8)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(rows.sorted == again.sorted)
+  }
 }
