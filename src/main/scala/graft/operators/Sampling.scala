@@ -246,6 +246,43 @@ object Sampling {
       .select(col("id"), col("source"), col("value"), col("normalized"))
   }
 
+  /** Leakage-safe temporal train/test split with an embargo gap — the
+    * time-series evaluation protocol (purged splits; López de Prado
+    * 2018): rows at or before the `trainPct`-th percentile timestamp
+    * train, rows inside `(t*, t* + embargoNanos]` are EMBARGOED (labeled
+    * so the caller drops them — they leak label horizon across the
+    * boundary), and rows after the gap test. Unlike [[hashSplit]], which
+    * is exchangeable by design, this split respects causality: nothing
+    * in train happens after anything in test.
+    *
+    * The boundary t* is the EXACT discrete percentile (smallest t with
+    * 100·cum ≥ N·pct — division-free integers), computed from value
+    * counts + one distributed prefix sum (shuffled volume = the distinct
+    * timestamp domain, no global sort). The labeling pass is map-only
+    * against the one-row broadcast boundary. `ts` must be the engine's
+    * epoch-nanos long. Adds a `split` column: train/embargo/test. */
+  def timeSplitEmbargo(df: DataFrame, ts: Column, trainPct: Int,
+      embargoNanos: Long): DataFrame = {
+    require(trainPct > 0 && trainPct < 100,
+      s"trainPct must be in (0,100): $trainPct")
+    require(embargoNanos >= 0, s"embargo must be >= 0: $embargoNanos")
+    val perVal = df.select(ts.as("__t")).where(col("__t").isNotNull)
+      .groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val cum = Ids.prefixSum(perVal, Seq(col("__t")), col("__n"), "__cum")
+    val tot = perVal.agg(sum(col("__n")).as("__N"))
+    // cum and tot share perVal lineage: alias both sides so the analyzer
+    // can't see one attribute twice through the self-join
+    val boundary = cum.alias("c").crossJoin(broadcast(tot.alias("n")))
+      .where(col("c.__cum") * 100 >= col("n.__N") * trainPct)
+      .agg(min(col("c.__t")).as("__tstar"))
+    df.crossJoin(broadcast(boundary))
+      .withColumn("split",
+        when(ts <= col("__tstar"), "train")
+          .when(ts <= col("__tstar") + lit(embargoNanos), "embargo")
+          .otherwise("test"))
+      .drop("__tstar")
+  }
+
   /** Deterministic k-negative sampling with positive exclusion — the
     * contrastive-training staple (word2vec/SGNS lineage, Mikolov et al.
     * 2013): for every distinct query in `positives`, draw `k` corpus

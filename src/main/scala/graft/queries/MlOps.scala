@@ -67,6 +67,20 @@ object MlOps {
           Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
           Tables.part(s, d), col("p_partkey"), k = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Causality-respecting 70/30 time split of the event stream with a
+    // one-day embargo after the boundary; the boundary is the exact
+    // discrete percentile from a distributed prefix sum over the
+    // distinct-timestamp domain. Grouped readout pins every row's label.
+    "ml_time_split" -> ((s, d) => {
+      graft.operators.Sampling.timeSplitEmbargo(
+          Tables.events(s, d), col("ts"),
+          trainPct = 70, embargoNanos = 86400L * 1000 * 1000 * 1000)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        .orderBy(col("split"))
     })
   )
 
@@ -211,6 +225,31 @@ object MlOps {
          |  FROM dd
          |)
          |SELECT query_id, rank, neg_id FROM rk WHERE rank <= 2
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // same division-free discrete percentile (100*cum >= N*pct) over
+    // epoch-nanos, same three-way labeling
+    "ml_time_split" ->
+      """WITH e AS (SELECT epoch_us(ts) * 1000 AS t FROM events
+        |  WHERE ts IS NOT NULL),
+        |tot AS (SELECT COUNT(*) AS n FROM e),
+        |pv AS (SELECT t, COUNT(*) AS c FROM e GROUP BY t),
+        |cum AS (
+        |  SELECT t, SUM(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |    AS cm
+        |  FROM pv
+        |), b AS (
+        |  SELECT MIN(t) AS tstar FROM cum CROSS JOIN tot
+        |  WHERE cm * 100 >= n * 70
+        |), lab AS (
+        |  SELECT t,
+        |    CASE WHEN t <= tstar THEN 'train'
+        |      WHEN t <= tstar + 86400000000000 THEN 'embargo'
+        |      ELSE 'test' END AS split
+        |  FROM e CROSS JOIN b
+        |)
+        |SELECT split, COUNT(*) AS n_rows,
+        |  CAST(MIN(t) AS BIGINT) AS min_ts, CAST(MAX(t) AS BIGINT) AS max_ts
+        |FROM lab GROUP BY split ORDER BY split""".stripMargin
   )
 }

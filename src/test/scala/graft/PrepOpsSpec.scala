@@ -455,6 +455,35 @@ class PrepOpsSpec extends SparkSpec {
     one.foreach(r => assert(r.getDecimal(2) == r.getDecimal(3)))
   }
 
+  test("timeSplitEmbargo: exact percentile boundary, embargo window, " +
+      "causal ordering, stable under repartition") {
+    // 10 rows at t = 100..1000; 70th percentile -> t* = 700
+    val df = (1L to 10L).map(i => (i, i * 100L)).toDF("id", "ts")
+    val out = Sampling.timeSplitEmbargo(df, $"ts", 70, embargoNanos = 150L)
+      .select("ts", "split").as[(Long, String)].collect().toMap
+    assert((100L to 700L by 100).forall(t => out(t) == "train"))
+    assert(out(800L) == "embargo") // 700 < 800 <= 850
+    assert(out(900L) == "test" && out(1000L) == "test")
+    // ties at the boundary: all equal timestamps land on one side
+    val tied = Seq(1L, 2L, 2L, 2L, 3L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "ts")
+    val m = Sampling.timeSplitEmbargo(tied, $"ts", 60, 0L)
+      .select("ts", "split").as[(Long, String)].collect()
+    assert(m.filter(_._1 == 2L).map(_._2).distinct.toSeq == Seq("train"))
+    // nothing in train is later than anything in test
+    val big = (1L to 500L).map(i => (i, (i * 37 % 211) + 1)).toDF("id", "ts")
+    val lab = Sampling.timeSplitEmbargo(big.repartition(9), $"ts", 50, 5L)
+    val trainMax = lab.where($"split" === "train").agg(max($"ts"))
+      .as[Long].head()
+    val testMin = lab.where($"split" === "test").agg(min($"ts"))
+      .as[Long].head()
+    assert(trainMax < testMin)
+    val a = lab.select("id", "split").as[(Long, String)].collect().sorted
+    val b = Sampling.timeSplitEmbargo(big.repartition(2), $"ts", 50, 5L)
+      .select("id", "split").as[(Long, String)].collect().sorted
+    assert(a.sameElements(b))
+  }
+
   test("negativeSample: k per query, positives excluded, draw-ordered, " +
       "stable under repartition") {
     val pos = Seq((1L, 10L), (1L, 11L), (2L, 12L), (3L, 10L))
