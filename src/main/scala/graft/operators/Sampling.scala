@@ -246,6 +246,29 @@ object Sampling {
       .select(col("id"), col("source"), col("value"), col("normalized"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the stable
+    * sharding protocol (Thaler & Ravishankar 1998): every row scores
+    * all `shards` candidates with the cross-engine md5 nibble hash of
+    * `id#shard` and lands on the argmax. The property modulo sharding
+    * lacks: growing S → S+1 moves only ~1/(S+1) of keys, and every
+    * moved key moves INTO the new shard (each existing pairwise order
+    * is untouched) — so resizing a 100 TB corpus's shard layout
+    * rewrites one new shard's worth of data, not all of it.
+    *
+    * Map-only; S md5 evaluations per row, so meant for shard counts in
+    * the tens-to-hundreds (layout/bucketing), not millions. Ties in the
+    * 32-bit hash break to the higher shard index, deterministically.
+    * Adds an int `shard` column. */
+  def rendezvousShard(df: DataFrame, id: Column, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    def score(s: Int): Column =
+      conv(substring(md5(concat(id.cast("string"), lit("#"),
+        lit(s.toString))), 1, 8), 16, 10).cast("long")
+    df.withColumn("shard",
+      array_max(array((0 until shards).map(s =>
+        struct(score(s).as("h"), lit(s).as("s"))): _*)).getField("s"))
+  }
+
   /** Leakage-safe temporal train/test split with an embargo gap — the
     * time-series evaluation protocol (purged splits; López de Prado
     * 2018): rows at or before the `trainPct`-th percentile timestamp

@@ -81,6 +81,18 @@ object MlOps {
         .agg(count(lit(1)).as("n_rows"),
           min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
         .orderBy(col("split"))
+    }),
+
+    // Rendezvous-hash layout of the document corpus over 8 shards —
+    // stable under resharding (S -> S+1 moves only ~1/(S+1) of keys,
+    // all into the new shard). Grouped readout pins every assignment
+    // via per-shard count + id checksum.
+    "ml_shard_rendezvous" -> ((s, d) => {
+      graft.operators.Sampling.rendezvousShard(
+          Tables.documents(s, d), col("doc_id"), shards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -250,6 +262,27 @@ object MlOps {
         |)
         |SELECT split, COUNT(*) AS n_rows,
         |  CAST(MIN(t) AS BIGINT) AS min_ts, CAST(MAX(t) AS BIGINT) AS max_ts
-        |FROM lab GROUP BY split ORDER BY split""".stripMargin
+        |FROM lab GROUP BY split ORDER BY split""".stripMargin,
+
+    // highest-random-weight replay: score all 8 candidates per doc with
+    // the same md5 nibble hash, keep the argmax (ties to higher shard)
+    "ml_shard_rendezvous" ->
+      s"""WITH cand AS (
+         |  SELECT doc_id, s,
+         |    md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR))
+         |      AS h
+         |  FROM documents
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)
+         |), scored AS (
+         |  SELECT doc_id, s,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY ${graft.operators.Sampling.hashU32Sql("h")} DESC,
+         |        s DESC) AS rn
+         |  FROM cand
+         |)
+         |SELECT s AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_id
+         |FROM scored WHERE rn = 1
+         |GROUP BY s ORDER BY shard""".stripMargin
   )
 }

@@ -455,6 +455,29 @@ class PrepOpsSpec extends SparkSpec {
     one.foreach(r => assert(r.getDecimal(2) == r.getDecimal(3)))
   }
 
+  test("rendezvousShard: minimal movement on grow, rough balance, " +
+      "deterministic") {
+    val df = (1L to 3000L).toDF("id")
+    val s8 = Sampling.rendezvousShard(df, $"id", 8)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    val s9 = Sampling.rendezvousShard(df, $"id", 9)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    // every reassigned key moved INTO the new shard, none shuffled
+    // among the old ones — the rendezvous guarantee modulo lacks
+    val moved = (1L to 3000L).filter(i => s8(i) != s9(i))
+    assert(moved.nonEmpty && moved.forall(i => s9(i) == 8))
+    // expected movement ~ 1/9 of keys; allow generous slack
+    assert(moved.size > 3000 / 18 && moved.size < 3000 / 4)
+    // rough balance: each of 8 shards holds 12.5% +- 5pp
+    val byShard = s8.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.size == 8 && byShard.values.forall(
+      n => n > 3000 * 7 / 100 && n < 3000 * 18 / 100))
+    // stable under partitioning
+    val again = Sampling.rendezvousShard(df.repartition(11), $"id", 8)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    assert(again == s8)
+  }
+
   test("timeSplitEmbargo: exact percentile boundary, embargo window, " +
       "causal ordering, stable under repartition") {
     // 10 rows at t = 100..1000; 70th percentile -> t* = 700
