@@ -99,4 +99,43 @@ object Encoding {
       .select(col(catName), col("n_pos"), col("n_neg"), col("woe_fp"),
         col("woe"))
   }
+
+  /** Z-score standardization of money-scale numeric features — the
+    * train-time feature transform, with the fit statistics computed in
+    * the same pass: ONE exact-decimal aggregation over all features
+    * (count, Σx, Σx² per feature, 4-dp quantized), broadcast back, and
+    * a map-only per-row dag (x − mean)/σ with σ from the textbook
+    * sufficient-stat identity — the [[graft.operators.Hypothesis]]
+    * Welch discipline, so every standardized value is bit-identical
+    * cross-engine and partition-invariant. No window, no second scan,
+    * no shuffle beyond the one-row stats reduce.
+    *
+    * Adds `z_<name>` per feature; NULL inputs yield NULL z, constant
+    * features (σ² = 0, or n < 2) yield NULL across the column. */
+  def standardize(df: DataFrame, features: Seq[(String, Column)])
+      : DataFrame = {
+    require(features.nonEmpty, "standardize needs at least one feature")
+    features.foreach { case (n, _) =>
+      require(!df.columns.contains(s"z_$n"),
+        s"output column 'z_$n' already exists in the input") }
+    val aggs = features.flatMap { case (n, c) =>
+      val m = ColUtil.money(c)
+      Seq(count(m).as(s"__n_$n"),
+        sum(m).cast("decimal(38,4)").as(s"__s_$n"),
+        sum((m * m).cast("decimal(38,8)")).as(s"__q_$n"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val out = features.foldLeft(joined) { case (acc, (n, c)) =>
+      val dn = col(s"__n_$n").cast("double")
+      val s = col(s"__s_$n").cast("double")
+      val q = col(s"__q_$n").cast("double")
+      val vr = (q - s * s / dn) / (dn - lit(1.0d))
+      acc.withColumn(s"z_$n",
+        when(col(s"__n_$n") > 1 && vr > 0,
+          (ColUtil.money(c).cast("double") - s / dn) / sqrt(vr)))
+    }
+    out.drop(features.flatMap { case (n, _) =>
+      Seq(s"__n_$n", s"__s_$n", s"__q_$n") }: _*)
+  }
 }

@@ -93,6 +93,20 @@ object MlOps {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
         .orderBy(col("shard"))
+    }),
+
+    // One-pass z-score standardization of two lineitem features: exact
+    // decimal sufficient stats broadcast back, map-only per-row dag —
+    // every standardized value bit-identical to the oracle replay.
+    "ml_feature_scale" -> ((s, d) => {
+      graft.operators.Encoding.standardize(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_extendedprice")),
+          Seq("qty" -> col("l_quantity"), "price" -> col("l_extendedprice")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("z_qty"), col("z_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -283,6 +297,40 @@ object MlOps {
          |SELECT s AS shard, COUNT(*) AS n_docs,
          |  CAST(SUM(doc_id) AS BIGINT) AS sum_id
          |FROM scored WHERE rn = 1
-         |GROUP BY s ORDER BY shard""".stripMargin
+         |GROUP BY s ORDER BY shard""".stripMargin,
+
+    // same sufficient-stat dag; decimal -> double through VARCHAR, the
+    // variance from (q - s*s/n)/(n-1) with identical association
+    "ml_feature_scale" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS DECIMAL(12,4)) AS q4,
+        |    CAST(l_extendedprice AS DECIMAL(12,4)) AS p4
+        |  FROM lineitem
+        |), st AS (
+        |  SELECT
+        |    CAST(COUNT(q4) AS DOUBLE) AS nq,
+        |    CAST(CAST(SUM(q4) AS VARCHAR) AS DOUBLE) AS sq,
+        |    CAST(CAST(SUM(CAST(q4 AS DECIMAL(19,4)) * q4) AS VARCHAR)
+        |      AS DOUBLE) AS qq,
+        |    CAST(COUNT(p4) AS DOUBLE) AS np,
+        |    CAST(CAST(SUM(p4) AS VARCHAR) AS DOUBLE) AS sp,
+        |    CAST(CAST(SUM(CAST(p4 AS DECIMAL(19,4)) * p4) AS VARCHAR)
+        |      AS DOUBLE) AS qp
+        |  FROM b
+        |), v AS (
+        |  SELECT (qq - sq*sq/nq) / (nq - 1.0) AS vq,
+        |    (qp - sp*sp/np) / (np - 1.0) AS vp, nq, sq, np, sp
+        |  FROM st
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN nq > 1 AND vq > 0
+        |    THEN (CAST(CAST(q4 AS VARCHAR) AS DOUBLE) - sq/nq) / sqrt(vq)
+        |  END AS z_qty,
+        |  CASE WHEN np > 1 AND vp > 0
+        |    THEN (CAST(CAST(p4 AS VARCHAR) AS DOUBLE) - sp/np) / sqrt(vp)
+        |  END AS z_price
+        |FROM b CROSS JOIN v
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

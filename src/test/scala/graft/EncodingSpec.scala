@@ -78,6 +78,29 @@ class EncodingSpec extends SparkSpec {
     assert(rows("a") > 0 && rows("b") < 0)
   }
 
+  test("standardize: hand-computed z, nulls pass through, constant " +
+      "feature yields NULL column, stable under repartition") {
+    // x = 1,2,3: mean 2, var 1 -> z = -1, 0, 1
+    val df3 = Seq((1L, Option(1.0)), (2L, Option(2.0)), (3L, Option(3.0)),
+      (4L, None)).toDF("id", "x")
+    val z = Encoding.standardize(df3, Seq("x" -> col("x")))
+      .select("id", "z_x").as[(Long, Option[Double])].collect().toMap
+    assert(z(1L).contains(-1.0) && z(2L).contains(0.0) &&
+      z(3L).contains(1.0) && z(4L).isEmpty)
+    // constant feature: sigma = 0 -> NULL everywhere, no NaN/Inf
+    val const = Seq((1L, 5.0), (2L, 5.0)).toDF("id", "x")
+    assert(Encoding.standardize(const, Seq("x" -> col("x")))
+      .select("z_x").as[Option[Double]].collect().forall(_.isEmpty))
+    // multi-feature, bit-exact across partitionings
+    val big = (1L to 999L).map(i =>
+      (i, (i % 83).toDouble / 7, (i % 311).toDouble)).toDF("id", "a", "b")
+    def run(p: Int) = Encoding.standardize(big.repartition(p),
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .select("id", "z_a", "z_b").as[(Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(run(1).sameElements(run(13)))
+  }
+
   test("bit-exact under repartitioning") {
     val big = (1L to 2000L).map(i => (i, s"c${i % 7}",
       (i % 101).toDouble / 4)).toDF("id", "cat", "t")
