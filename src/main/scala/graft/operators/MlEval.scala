@@ -62,6 +62,53 @@ object MlEval {
         col("auc"))
   }
 
+  /** Per-key average precision (area under the PR curve, step rule) of
+    * `score` against binary `label` — the imbalanced-data companion to
+    * [[aucRoc]]. With thresholds at the distinct score values descending
+    * and ties treated as blocks, AP = (1/n⁺)·Σ_blocks pos_b·(cp_b/c_b)
+    * where cp_b/c_b is the precision of everything at-or-above block b
+    * — recall only moves where positives sit, so the step area is one
+    * sum over the distinct-score domain.
+    *
+    * Exactness protocol: each block term is ONE integer floor-division
+    * in 2²⁰ fixed point (pos·cp·2²⁰ div c — numerator held in
+    * decimal(38,0), quotient ≤ n⁺·2²⁰ fits int64), summed exactly, so
+    * `ap_fp` is bit-identical cross-engine with truncation error
+    * < |blocks|·2⁻²⁰/n⁺ — far under any model-selection delta, and
+    * deterministic, unlike a float Σ whose value depends on summation
+    * order. `ap` is the double readout. Same shuffle shape as aucRoc:
+    * the per-key distinct score domain. NULL when a key has no
+    * positives. Output: (key, n_pos, n_neg, ap_fp, ap). */
+  def averagePrecision(df: DataFrame, key: Column, score: Column,
+      label: Column, keyName: String = "key"): DataFrame = {
+    val base = df.select(key.as(keyName), ColUtil.money(score).as("__v"),
+        label.cast("long").as("__y"))
+      .where(col("__v").isNotNull && col("__y").isin(0L, 1L))
+    val perVal = base.groupBy(col(keyName), col("__v"))
+      .agg(sum(col("__y")).as("__cp"), count(lit(1)).as("__ct"))
+    val w = Window.partitionBy(col(keyName))
+      .orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perVal
+      .withColumn("__cumP", sum(col("__cp")).over(w))
+      .withColumn("__cumT", sum(col("__ct")).over(w))
+      .withColumn("__num",
+        (col("__cp").cast("decimal(38,0)") * col("__cumP") *
+          lit(1048576L)).cast("decimal(38,0)"))
+      // integral floor-divide: quotient <= cp * 2^20, fits int64
+      .withColumn("__fp", expr("__num div __cumT"))
+    cum.groupBy(col(keyName))
+      .agg(sum(col("__cp")).as("n_pos"),
+        sum(col("__ct") - col("__cp")).as("n_neg"),
+        sum(col("__fp")).as("ap_fp"))
+      .withColumn("ap",
+        when(col("n_pos") > 0,
+          col("ap_fp").cast("double") /
+            (lit(1048576.0d) * col("n_pos").cast("double"))))
+      .select(col(keyName), col("n_pos"), col("n_neg"), col("ap_fp"),
+        col("ap"))
+  }
+
   /** Reliability (calibration) bins of a probability `score` in [0,1]
     * against binary `label`: equal-width bins, per-bin support,
     * positive count, mean confidence and accuracy, and the |conf−acc|

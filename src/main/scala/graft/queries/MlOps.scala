@@ -34,6 +34,23 @@ object MlOps {
         .orderBy(col("seg"))
     }),
 
+    // Average precision (step-rule PR area) of the same propensity
+    // score, per segment — block terms are single integer floor-divides
+    // in 2^20 fixed point, so the sum is order-independent and exact.
+    "ml_pr_auc" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type").isin("click", "view"),
+            money(col("value"))).otherwise(lit(0).cast("decimal(12,4)")))
+            .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("label"))
+      graft.operators.MlEval.averagePrecision(per, col("user_id") % 4,
+          col("score"), col("label"), "seg")
+        .orderBy(col("seg"))
+    }),
+
     // Reliability bins of a [0,1] probability score (value/100) against
     // the purchase label: 10 equal-width bins, exact decimal binning, per
     // bin support/confidence/accuracy/|gap| — the ECE inputs.
@@ -150,6 +167,44 @@ object MlOps {
         |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END
         |    AS auc
         |FROM fin ORDER BY seg""".stripMargin,
+
+    // descending-threshold replay; HUGEINT products, // floor-divide,
+    // BIGINT at the seam
+    "ml_pr_auc" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type IN ('click','view')
+        |      THEN CAST(value AS DECIMAL(12,4))
+        |      ELSE CAST(0 AS DECIMAL(12,4)) END) AS v,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id
+        |), keyed AS (
+        |  SELECT user_id % 4 AS seg, CAST(v AS DECIMAL(12,4)) AS v, y
+        |  FROM per WHERE v IS NOT NULL
+        |), pv AS (
+        |  SELECT seg, v, CAST(SUM(y) AS BIGINT) AS cp, COUNT(*) AS ct
+        |  FROM keyed GROUP BY seg, v
+        |), cum AS (
+        |  SELECT seg, v, cp, ct,
+        |    SUM(cp) OVER (PARTITION BY seg ORDER BY v DESC
+        |      ROWS UNBOUNDED PRECEDING) AS cP,
+        |    SUM(ct) OVER (PARTITION BY seg ORDER BY v DESC
+        |      ROWS UNBOUNDED PRECEDING) AS cT
+        |  FROM pv
+        |), terms AS (
+        |  SELECT seg, cp, ct,
+        |    (CAST(cp AS HUGEINT) * cP * 1048576) // cT AS fp
+        |  FROM cum
+        |), agg AS (
+        |  SELECT seg, CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |    CAST(SUM(ct - cp) AS BIGINT) AS n_neg,
+        |    CAST(SUM(fp) AS BIGINT) AS ap_fp
+        |  FROM terms GROUP BY seg
+        |)
+        |SELECT seg, n_pos, n_neg, ap_fp,
+        |  CASE WHEN n_pos > 0 THEN CAST(ap_fp AS DOUBLE)
+        |    / (1048576.0 * CAST(n_pos AS DOUBLE)) END AS ap
+        |FROM agg ORDER BY seg""".stripMargin,
 
     // exact decimal binning (no float edges); decimal sums -> double
     // through VARCHAR per the parity rule

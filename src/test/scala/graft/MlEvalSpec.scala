@@ -44,6 +44,26 @@ class MlEvalSpec extends SparkSpec {
     assert(m("b").contains(1.0))
   }
 
+  test("average precision: perfect ranker = 1, hand-computed tie block, " +
+      "no-positive key NULL") {
+    val perfect = (1 to 6).map(i => ("k", i.toDouble, if (i > 3) 1 else 0))
+      .toDF("k", "s", "y")
+    assert(MlEval.averagePrecision(perfect, col("k"), col("s"), col("y"),
+      "k").select("ap").as[Double].head() == 1.0)
+    // blocks desc: s=3 (1 pos of 1), s=2 tie block (1 pos of 2 rows ->
+    // c=3, cp=2), s=1 (neg). AP = (1*1/1 + 1*2/3)/2 = 5/6
+    val tied = Seq(("k", 3.0, 1), ("k", 2.0, 1), ("k", 2.0, 0),
+      ("k", 1.0, 0)).toDF("k", "s", "y")
+    val r = MlEval.averagePrecision(tied, col("k"), col("s"), col("y"), "k")
+      .select("ap_fp", "ap").as[(Long, Double)].head()
+    // ap_fp = 2^20 + floor(2*2^20/3); ap within 2^-20 of 5/6
+    assert(r._1 == 1048576L + (2L * 1048576L) / 3)
+    assert(math.abs(r._2 - 5.0 / 6) < 2e-6)
+    val noPos = Seq(("k", 1.0, 0), ("k", 2.0, 0)).toDF("k", "s", "y")
+    assert(MlEval.averagePrecision(noPos, col("k"), col("s"), col("y"),
+      "k").select("ap").as[Option[Double]].head().isEmpty)
+  }
+
   test("calibration bins: exact edges, top-bin clamp, gap arithmetic") {
     // 0.05 -> bin 0; 0.10 lands in bin 1 (exact decimal edge, not a
     // float wobble); 1.0 clamps into bin 9
