@@ -109,6 +109,52 @@ object MlEval {
         col("ap"))
   }
 
+  /** Per-key NDCG@k of a ranking induced by `score` against graded
+    * integer relevance `rel` (Järvelin & Kekäläinen 2002) — the
+    * learning-to-rank readout. Positions come from a per-key
+    * row_number over (score DESC, `tiebreak` ASC) so ties are
+    * deterministic cross-engine; the ideal ordering is the same window
+    * over (rel DESC, tiebreak).
+    *
+    * The discount 1/log2(i+1) is irrational — a float Σ would be
+    * summation-order-dependent — so each position's discount is ONE
+    * integer floor-division against the exact fixed-point log:
+    * d_i = 2⁴⁰ div log2_fp(i+1), in 2²⁰ units (d_1 = 2²⁰ exactly).
+    * DCG_fp = Σ rel_i·d_i and IDCG_fp likewise are exact int64 sums;
+    * `ndcg` = DCG_fp/IDCG_fp is one IEEE division. NULL when the key
+    * has no positive relevance in its ideal top-k.
+    *
+    * Scale shape: both windows partition by key — the sort is per
+    * candidate set (a re-rank universe, typically ≤ thousands), never
+    * global. Output: (key, n_items, dcg_fp, idcg_fp, ndcg). */
+  def ndcgAtK(df: DataFrame, key: Column, score: Column, rel: Column,
+      tiebreak: Column, k: Int, keyName: String = "query_id")
+      : DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import graft.functions.FixedLogFunctions.log2_fp
+    val base = df.select(key.as(keyName), tiebreak.as("__id"),
+        score.as("__s"), rel.cast("long").as("__rel"))
+      .where(col("__s").isNotNull && col("__rel") >= 0)
+    val wS = Window.partitionBy(col(keyName))
+      .orderBy(col("__s").desc, col("__id"))
+    val wR = Window.partitionBy(col(keyName))
+      .orderBy(col("__rel").desc, col("__id"))
+    val ranked = base.withColumn("__rn", row_number().over(wS))
+      .withColumn("__ri", row_number().over(wR))
+    def gain(rankCol: String) = ranked.where(col(rankCol) <= k)
+      .withColumn("__l", log2_fp((col(rankCol) + 1).cast("long")))
+      .withColumn("__d", expr("1099511627776 div __l")) // 2^40 div
+      .groupBy(col(keyName))
+      .agg(sum(col("__rel") * col("__d")).as(s"__g_$rankCol"),
+        count(lit(1)).as(s"__n_$rankCol"))
+    gain("__rn").join(gain("__ri"), keyName)
+      .select(col(keyName), col("__n___rn").as("n_items"),
+        col("__g___rn").as("dcg_fp"), col("__g___ri").as("idcg_fp"))
+      .withColumn("ndcg",
+        when(col("idcg_fp") > 0,
+          col("dcg_fp").cast("double") / col("idcg_fp").cast("double")))
+  }
+
   /** Reliability (calibration) bins of a probability `score` in [0,1]
     * against binary `label`: equal-width bins, per-bin support,
     * positive count, mean confidence and accuracy, and the |conf−acc|

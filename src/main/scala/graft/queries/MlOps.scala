@@ -51,6 +51,17 @@ object MlOps {
         .orderBy(col("seg"))
     }),
 
+    // NDCG@10 per brand of parts ranked by retail price against a
+    // graded synthetic relevance (p_size mod 3) — integer fixed-point
+    // discounts (2^40 div log2_fp) keep the sums order-independent.
+    "ml_ndcg" -> ((s, d) => {
+      graft.operators.MlEval.ndcgAtK(
+          Tables.part(s, d), col("p_brand"), col("p_retailprice"),
+          col("p_size") % 3, col("p_partkey"), k = 10,
+          keyName = "p_brand")
+        .orderBy(col("p_brand"))
+    }),
+
     // Reliability bins of a [0,1] probability score (value/100) against
     // the purchase label: 10 equal-width bins, exact decimal binning, per
     // bin support/confidence/accuracy/|gap| — the ECE inputs.
@@ -205,6 +216,36 @@ object MlOps {
         |  CASE WHEN n_pos > 0 THEN CAST(ap_fp AS DOUBLE)
         |    / (1048576.0 * CAST(n_pos AS DOUBLE)) END AS ap
         |FROM agg ORDER BY seg""".stripMargin,
+
+    // same two windows (score and ideal), discounts via the shared
+    // log2_fp CTE over ranks 2..k+1, HUGEINT sums cast at the seam
+    "ml_ndcg" ->
+      s"""WITH RECURSIVE ranked AS (
+         |  SELECT p_brand, p_partkey, p_size % 3 AS rel,
+         |    ROW_NUMBER() OVER (PARTITION BY p_brand
+         |      ORDER BY p_retailprice DESC, p_partkey) AS rn,
+         |    ROW_NUMBER() OVER (PARTITION BY p_brand
+         |      ORDER BY p_size % 3 DESC, p_partkey) AS ri
+         |  FROM part WHERE p_retailprice IS NOT NULL
+         |), xs AS (SELECT unnest(generate_series(2, 11)) AS x),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |disc AS (SELECT x, 1099511627776 // l AS d FROM lg),
+         |dcg AS (
+         |  SELECT p_brand, CAST(SUM(rel * d) AS BIGINT) AS dcg_fp,
+         |    COUNT(*) AS n_items
+         |  FROM ranked JOIN disc ON rn + 1 = x
+         |  WHERE rn <= 10 GROUP BY p_brand
+         |), idcg AS (
+         |  SELECT p_brand, CAST(SUM(rel * d) AS BIGINT) AS idcg_fp
+         |  FROM ranked JOIN disc ON ri + 1 = x
+         |  WHERE ri <= 10 GROUP BY p_brand
+         |)
+         |SELECT dcg.p_brand, n_items, dcg_fp, idcg_fp,
+         |  CASE WHEN idcg_fp > 0
+         |    THEN CAST(dcg_fp AS DOUBLE) / CAST(idcg_fp AS DOUBLE) END
+         |    AS ndcg
+         |FROM dcg JOIN idcg ON dcg.p_brand = idcg.p_brand
+         |ORDER BY dcg.p_brand""".stripMargin,
 
     // exact decimal binning (no float edges); decimal sums -> double
     // through VARCHAR per the parity rule

@@ -64,6 +64,36 @@ class MlEvalSpec extends SparkSpec {
       "k").select("ap").as[Option[Double]].head().isEmpty)
   }
 
+  test("ndcgAtK: ideal order = 1, swapped pair matches the fixed-point " +
+      "discount ratio, zero relevance NULL, k truncates") {
+    // graded rel already in score order -> dcg = idcg -> exactly 1.0
+    val ideal = Seq(("q", 1L, 30.0, 3), ("q", 2L, 20.0, 2),
+      ("q", 3L, 10.0, 1)).toDF("q", "id", "s", "r")
+    assert(MlEval.ndcgAtK(ideal, col("q"), col("s"), col("r"), col("id"),
+      k = 10, "q").select("ndcg").as[Double].head() == 1.0)
+    // the only relevant item ranked 2nd: ndcg = d2/d1 with
+    // d_i = 2^40 div log2_fp(i+1)
+    val swapped = Seq(("q", 1L, 30.0, 0), ("q", 2L, 20.0, 1))
+      .toDF("q", "id", "s", "r")
+    val d1 = (1L << 40) / graft.functions.FixedLog.log2Fp(2)
+    val d2 = (1L << 40) / graft.functions.FixedLog.log2Fp(3)
+    val got = MlEval.ndcgAtK(swapped, col("q"), col("s"), col("r"),
+      col("id"), 10, "q").select("dcg_fp", "idcg_fp", "ndcg")
+      .as[(Long, Long, Double)].head()
+    assert(got == ((d2, d1, d2.toDouble / d1.toDouble)))
+    // all-zero relevance: idcg = 0 -> NULL
+    val zero = Seq(("q", 1L, 30.0, 0)).toDF("q", "id", "s", "r")
+    assert(MlEval.ndcgAtK(zero, col("q"), col("s"), col("r"), col("id"),
+      10, "q").select("ndcg").as[Option[Double]].head().isEmpty)
+    // k truncation: 3 items, k=2 -> n_items = 2 and the rank-3 item's
+    // relevance never contributes to dcg
+    val three = Seq(("q", 1L, 30.0, 0), ("q", 2L, 20.0, 0),
+      ("q", 3L, 10.0, 5)).toDF("q", "id", "s", "r")
+    val t = MlEval.ndcgAtK(three, col("q"), col("s"), col("r"), col("id"),
+      2, "q").select("n_items", "dcg_fp").as[(Long, Long)].head()
+    assert(t == ((2L, 0L)))
+  }
+
   test("calibration bins: exact edges, top-bin clamp, gap arithmetic") {
     // 0.05 -> bin 0; 0.10 lands in bin 1 (exact decimal edge, not a
     // float wobble); 1.0 clamps into bin 9
