@@ -325,4 +325,64 @@ object Hypothesis {
     agg.select(col("n"),
       when(va > 0 && vb > 0, num / (sqrt(va) * sqrt(vb))).as("rho"))
   }
+
+  /** Poisson(1) inverse-CDF thresholds in 2³² units: a 32-bit uniform
+    * u maps to weight w = |{k : u ≥ T_k}| ∈ 0..10 (P(w > 10) ≈ 1e-8 is
+    * truncated). INTEGER comparisons only — the draw is exact and
+    * engine-independent. Shared by the Spark plan and the SQL oracle so
+    * the two can only drift in review. */
+  val PoissonThresholds: Seq[Long] = Seq(1580030168L, 3160060337L,
+    3950075421L, 4213413783L, 4279248373L, 4292415291L, 4294609777L,
+    4294923276L, 4294962463L, 4294966817L)
+
+  /** Per-key Poisson-bootstrap percentile CI for the mean of `value` —
+    * THE distributed bootstrap (Chamandy et al., Google 2012;
+    * Kleiner et al.'s BLB is the heavier cousin): resampling n rows
+    * with replacement is equivalent in the limit to giving every row
+    * an independent Poisson(1) multiplicity, which needs NO global
+    * coordination — each of the `replicas` resamples draws its weights
+    * row-locally from the cross-engine md5 hash of (id, replica).
+    *
+    * Everything is exact: weights are integer threshold-counts against
+    * [[PoissonThresholds]], per-replica sums accumulate in decimal,
+    * each replica mean is one IEEE division, and the CI bounds are
+    * DISCRETE order statistics of the replica means (ranks
+    * ⌈R/40⌉ and R−⌈R/40⌉+1 — the 2.5%/97.5% percentile bootstrap,
+    * division-free) — no interpolation, no float summation order.
+    *
+    * Scale shape: the explode is a map-only ×R fan-out; one shuffle on
+    * (key, replica) reduces it to R rows per key; the rank window
+    * sorts R rows per key. Output: (key, n_replicas, ci_lo, ci_hi). */
+  def bootstrapMeanCI(df: DataFrame, key: Column, id: Column,
+      value: Column, replicas: Int = 40, keyName: String = "key")
+      : DataFrame = {
+    require(replicas >= 2, s"need >= 2 replicas: $replicas")
+    val base = df.select(key.as(keyName), id.as("__id"),
+        ColUtil.money(value).as("__v"))
+      .where(col("__v").isNotNull)
+    val expl = base.withColumn("__b",
+      explode(sequence(lit(0), lit(replicas - 1))))
+    val u = conv(substring(md5(concat(col("__id").cast("string"),
+      lit("#"), col("__b").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = PoissonThresholds.map(t =>
+      when(u >= lit(t), 1L).otherwise(0L)).reduce(_ + _)
+    val rep = expl.withColumn("__w", w)
+      .groupBy(col(keyName), col("__b"))
+      .agg(sum(col("__w") * col("__v")).as("__s"),
+        sum(col("__w")).as("__n"))
+      .where(col("__n") > 0)
+      .withColumn("__m", col("__s").cast("double") / col("__n"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyName)).orderBy(col("__m"), col("__b"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyName))
+    rep.withColumn("__rn", row_number().over(wRank))
+      .withColumn("__R", count(lit(1)).over(wAll))
+      .withColumn("__lo", expr("(__R + 39) div 40"))
+      .groupBy(col(keyName))
+      .agg(max(col("__R")).as("n_replicas"),
+        min(when(col("__rn") === col("__lo"), col("__m"))).as("ci_lo"),
+        min(when(col("__rn") === col("__R") - col("__lo") + 1,
+          col("__m"))).as("ci_hi"))
+  }
 }

@@ -51,6 +51,17 @@ object MlOps {
         .orderBy(col("seg"))
     }),
 
+    // Poisson-bootstrap 95% CI of the mean event value per event type:
+    // 40 resamples whose weights are integer threshold-counts of the
+    // (event_id, replica) hash — no global coordination, exact sums,
+    // discrete order-statistic bounds.
+    "ml_bootstrap_ci" -> ((s, d) => {
+      graft.operators.Hypothesis.bootstrapMeanCI(
+          Tables.events(s, d), col("event_type"), col("event_id"),
+          col("value"), replicas = 40, keyName = "event_type")
+        .orderBy(col("event_type"))
+    }),
+
     // NDCG@10 per brand of parts ranked by retail price against a
     // graded synthetic relevance (p_size mod 3) — integer fixed-point
     // discounts (2^40 div log2_fp) keep the sums order-independent.
@@ -216,6 +227,50 @@ object MlOps {
         |  CASE WHEN n_pos > 0 THEN CAST(ap_fp AS DOUBLE)
         |    / (1048576.0 * CAST(n_pos AS DOUBLE)) END AS ap
         |FROM agg ORDER BY seg""".stripMargin,
+
+    // full replay: same hash, same integer thresholds (generated from
+    // the one Scala constant table), same discrete rank selection
+    "ml_bootstrap_ci" -> {
+      val wSql = graft.operators.Hypothesis.PoissonThresholds
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT event_type, event_id AS id,
+         |    CAST(value AS DECIMAL(12,4)) AS v
+         |  FROM events WHERE value IS NOT NULL
+         |), expl AS (
+         |  SELECT event_type, id, v, b FROM base
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS b)
+         |), hs AS (
+         |  SELECT event_type, v, b,
+         |    md5(CAST(id AS VARCHAR) || '#' || CAST(b AS VARCHAR)) AS h
+         |  FROM expl
+         |), hw AS (
+         |  SELECT event_type, v, b,
+         |    ${graft.operators.Sampling.hashU32Sql("h")} AS u
+         |  FROM hs
+         |), ww AS (
+         |  SELECT event_type, v, b, $wSql AS w FROM hw
+         |), rep AS (
+         |  SELECT event_type, b, SUM(w * v) AS s,
+         |    CAST(SUM(w) AS BIGINT) AS n
+         |  FROM ww GROUP BY event_type, b
+         |), mm AS (
+         |  SELECT event_type, b,
+         |    CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS m
+         |  FROM rep WHERE n > 0
+         |), rk AS (
+         |  SELECT event_type, b, m,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m, b)
+         |      AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS r
+         |  FROM mm
+         |)
+         |SELECT event_type, CAST(MAX(r) AS BIGINT) AS n_replicas,
+         |  MIN(CASE WHEN rn = (r + 39) // 40 THEN m END) AS ci_lo,
+         |  MIN(CASE WHEN rn = r - (r + 39) // 40 + 1 THEN m END) AS ci_hi
+         |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
 
     // same two windows (score and ideal), discounts via the shared
     // log2_fp CTE over ranks 2..k+1, HUGEINT sums cast at the seam

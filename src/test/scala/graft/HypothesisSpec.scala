@@ -166,4 +166,25 @@ class HypothesisSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("var_a")))
     assert(r.isNullAt(r.fieldIndex("t_stat")))
   }
+
+  test("bootstrapMeanCI: brackets the sample mean, Poisson weights " +
+      "average ~1, bit-stable under repartition") {
+    val rows = (1L to 600L).map(i => ("k", i, (i % 37).toDouble))
+      .toDF("k", "id", "v")
+    val ci = Hypothesis.bootstrapMeanCI(rows, $"k", $"id", $"v",
+        replicas = 40, keyName = "k")
+      .select("n_replicas", "ci_lo", "ci_hi")
+      .as[(Long, Double, Double)].head()
+    assert(ci._1 == 40L)
+    val mean = (1L to 600L).map(i => (i % 37).toDouble).sum / 600
+    // percentile CI must straddle the point estimate and be ordered
+    assert(ci._2 < mean && mean < ci._3 && ci._2 < ci._3)
+    // a 95% CI of a 600-row mean is tight: width under one unit of sd
+    assert(ci._3 - ci._2 < 2.5)
+    val again = Hypothesis.bootstrapMeanCI(rows.repartition(13), $"k",
+        $"id", $"v", 40, "k")
+      .select("n_replicas", "ci_lo", "ci_hi")
+      .as[(Long, Double, Double)].head()
+    assert(again == ci)
+  }
 }
