@@ -155,6 +155,49 @@ object MlEval {
           col("dcg_fp").cast("double") / col("idcg_fp").cast("double")))
   }
 
+  /** Cohen's kappa agreement between two categorical raters (Cohen
+    * 1960) — the labeling-pipeline QA readout (annotator vs annotator,
+    * or declared label vs model prediction): chance-corrected agreement
+    * κ = (p_o − p_e)/(1 − p_e).
+    *
+    * Held EXACT as one integer rational: with cell counts n_ab,
+    * marginals r/c and N rows, κ = (N·Σn_aa − Σ_ℓ r_ℓ·c_ℓ) /
+    * (N² − Σ_ℓ r_ℓ·c_ℓ) — numerator and denominator are decimal(38,0)
+    * integers (N² outruns int64 at corpus scale), the double `kappa`
+    * one IEEE division. One shuffle over the label-pair domain (≤ C²
+    * cells); everything after is on ≤ C rows. Output one row:
+    * (n_items, agree, kappa_num, kappa_den, kappa). */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column)
+      : DataFrame = {
+    val cells = df.select(raterA.as("__ra"), raterB.as("__rb"))
+      .where(col("__ra").isNotNull && col("__rb").isNotNull)
+      .groupBy(col("__ra"), col("__rb")).agg(count(lit(1)).as("__n"))
+    val tot = cells.agg(sum(col("__n")).as("n_items"),
+      sum(when(col("__ra") === col("__rb"), col("__n")).otherwise(0L))
+        .as("agree"))
+    val rs = cells.groupBy(col("__ra").as("__l"))
+      .agg(sum(col("__n")).as("__r"))
+    val cs = cells.groupBy(col("__rb").as("__l"))
+      .agg(sum(col("__n")).as("__c"))
+    val pe = rs.join(cs, "__l")
+      .agg(coalesce(sum((col("__r").cast("decimal(19,0)") * col("__c"))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        .as("__pe"))
+    tot.crossJoin(broadcast(pe))
+      .withColumn("kappa_num",
+        (col("n_items").cast("decimal(19,0)") * col("agree") -
+          col("__pe")).cast("decimal(38,0)"))
+      .withColumn("kappa_den",
+        (col("n_items").cast("decimal(19,0)") * col("n_items") -
+          col("__pe")).cast("decimal(38,0)"))
+      .withColumn("kappa",
+        when(col("kappa_den") =!= 0,
+          col("kappa_num").cast("double") /
+            col("kappa_den").cast("double")))
+      .select(col("n_items"), col("agree"), col("kappa_num"),
+        col("kappa_den"), col("kappa"))
+  }
+
   /** Reliability (calibration) bins of a probability `score` in [0,1]
     * against binary `label`: equal-width bins, per-bin support,
     * positive count, mean confidence and accuracy, and the |conf−acc|

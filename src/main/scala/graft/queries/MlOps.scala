@@ -51,6 +51,15 @@ object MlOps {
         .orderBy(col("seg"))
     }),
 
+    // Cohen's kappa between the declared document language and the
+    // n-gram language detector — chance-corrected agreement held as one
+    // exact integer rational (decimal(38,0) num/den), one IEEE division.
+    "ml_cohens_kappa" -> ((s, d) => {
+      graft.operators.MlEval.cohensKappa(
+        Tables.documents(s, d), col("lang"),
+        graft.operators.TextAnalysis.langId(col("text")))
+    }),
+
     // Poisson-bootstrap 95% CI of the mean event value per event type:
     // 40 resamples whose weights are integer threshold-counts of the
     // (event_id, replica) hash — no global coordination, exact sums,
@@ -227,6 +236,45 @@ object MlOps {
         |  CASE WHEN n_pos > 0 THEN CAST(ap_fp AS DOUBLE)
         |    / (1048576.0 * CAST(n_pos AS DOUBLE)) END AS ap
         |FROM agg ORDER BY seg""".stripMargin,
+
+    // rater B replayed through TextDedup's shared lang-ID scaffolding;
+    // marginal products in DECIMAL(19,0)*..., VARCHAR-routed doubles
+    "ml_cohens_kappa" ->
+      s"""WITH scored AS (SELECT lang,
+         |    ${TextDedup.langHits}
+         |  FROM documents),
+         |b AS (SELECT *, ${TextDedup.langBest} AS best FROM scored),
+         |r AS (SELECT lang AS ra, ${TextDedup.langChain} AS rb
+         |  FROM b WHERE lang IS NOT NULL),
+         |cells AS (SELECT ra, rb, COUNT(*) AS n FROM r GROUP BY ra, rb),
+         |tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |    CAST(SUM(CASE WHEN ra = rb THEN n ELSE 0 END) AS BIGINT)
+         |      AS diag
+         |  FROM cells
+         |), rs AS (
+         |  SELECT ra AS l, CAST(SUM(n) AS BIGINT) AS r
+         |  FROM cells GROUP BY ra
+         |), cs AS (
+         |  SELECT rb AS l, CAST(SUM(n) AS BIGINT) AS c
+         |  FROM cells GROUP BY rb
+         |), pe AS (
+         |  SELECT COALESCE(CAST(SUM(CAST(rs.r AS DECIMAL(19,0)) * cs.c)
+         |    AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0))) AS pen
+         |  FROM rs JOIN cs ON rs.l = cs.l
+         |), fin AS (
+         |  SELECT nn, diag,
+         |    CAST(CAST(nn AS DECIMAL(19,0)) * diag - pen
+         |      AS DECIMAL(38,0)) AS kn,
+         |    CAST(CAST(nn AS DECIMAL(19,0)) * nn - pen
+         |      AS DECIMAL(38,0)) AS kd
+         |  FROM tot CROSS JOIN pe
+         |)
+         |SELECT nn AS n_items, diag AS agree, kn AS kappa_num,
+         |  kd AS kappa_den,
+         |  CASE WHEN kd <> 0 THEN CAST(CAST(kn AS VARCHAR) AS DOUBLE)
+         |    / CAST(CAST(kd AS VARCHAR) AS DOUBLE) END AS kappa
+         |FROM fin""".stripMargin,
 
     // full replay: same hash, same integer thresholds (generated from
     // the one Scala constant table), same discrete rank selection

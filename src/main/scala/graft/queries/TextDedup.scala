@@ -669,7 +669,7 @@ object TextDedup {
   // shared DuckDB scaffolding for the language-ID heuristic — one source
   // of truth for every oracle that scores languages (hits columns,
   // GREATEST(best), argmax CASE chain)
-  private lazy val (langHits, langBest, langChain) = {
+  private[queries] lazy val (langHits, langBest, langChain) = {
     val sets = TextAnalysis.Stopwords.toSeq.sortBy(_._1)
     val hits = sets.map { case (l, ws) =>
       s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS hits_$l"

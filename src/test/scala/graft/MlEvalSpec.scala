@@ -64,6 +64,29 @@ class MlEvalSpec extends SparkSpec {
       "k").select("ap").as[Option[Double]].head().isEmpty)
   }
 
+  test("cohensKappa: perfect = 1, independence = 0, hand-computed 2x2") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a"))
+      .toDF("ra", "rb")
+    val p = MlEval.cohensKappa(perfect, col("ra"), col("rb"))
+      .select("kappa").as[Double].head()
+    assert(p == 1.0)
+    // exactly independent raters: every (A,B) cell once -> po = pe
+    val indep = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("ra", "rb")
+    assert(MlEval.cohensKappa(indep, col("ra"), col("rb"))
+      .select("kappa").as[Double].head() == 0.0)
+    // textbook 2x2: cells (a,a)=20 (a,b)=5 (b,a)=10 (b,b)=15, N=50
+    // po = 35/50; r_a=25 c_a=30, r_b=25 c_b=20 -> pe_sum = 1250
+    // num = 50*35 - 1250 = 500; den = 2500 - 1250 = 1250; k = 0.4
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val r = MlEval.cohensKappa(rows.toDF("ra", "rb"), col("ra"),
+        col("rb"))
+      .select("n_items", "agree", "kappa")
+      .as[(Long, Long, Double)].head()
+    assert(r == ((50L, 35L, 0.4)))
+  }
+
   test("ndcgAtK: ideal order = 1, swapped pair matches the fixed-point " +
       "discount ratio, zero relevance NULL, k truncates") {
     // graded rel already in score order -> dcg = idcg -> exactly 1.0
