@@ -155,6 +155,55 @@ object MlEval {
           col("dcg_fp").cast("double") / col("idcg_fp").cast("double")))
   }
 
+  /** Split-conformal prediction interval calibration (Vovk et al.;
+    * Lei et al. 2018) — the distribution-free uncertainty wrapper for
+    * ANY point predictor: hash-split the rows into calibration/test,
+    * take nonconformity s = |target − score| on calibration, set
+    * q̂ = the ⌈(n_cal+1)·(1−α)⌉-th smallest s (the finite-sample-
+    * conservative rank), and report test coverage of the interval
+    * score ± q̂ — which the conformal guarantee lower-bounds by 1−α in
+    * expectation, regardless of the predictor.
+    *
+    * Exactness: nonconformity is a decimal subtraction (4 dp), the
+    * rank is division-free integers (cum ≥ ⌈(n+1)(100−α)/100⌉ via the
+    * distributed prefix sum — no global sort), q̂ a discrete order
+    * statistic, coverage counts exact. If the rank exceeds n_cal
+    * (tiny calibration sets), q̂ = ∞ by convention — reported NULL,
+    * every test row covered. Output one row:
+    * (n_cal, n_test, qhat, n_covered, coverage). */
+  def conformalSplit(df: DataFrame, id: Column, score: Column,
+      target: Column, alphaPct: Int, calPct: Int = 50): DataFrame = {
+    require(alphaPct > 0 && alphaPct < 100,
+      s"alphaPct must be in (0,100): $alphaPct")
+    require(calPct > 0 && calPct < 100,
+      s"calPct must be in (0,100): $calPct")
+    val base = df.select(Sampling.hashBucket(id).as("__bkt"),
+        ColUtil.money(score).as("__p"), ColUtil.money(target).as("__t"))
+      .where(col("__p").isNotNull && col("__t").isNotNull)
+      .withColumn("__s", abs(col("__t") - col("__p")))
+    val cal = base.where(col("__bkt") < calPct)
+    val tst = base.where(col("__bkt") >= calPct)
+    val pv = cal.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val cum = Ids.prefixSum(pv, Seq(col("__s")), col("__c"), "__cum")
+    val withK = pv.agg(coalesce(sum(col("__c")), lit(0L)).as("n_cal"))
+      .withColumn("__k",
+        expr(s"((n_cal + 1) * ${100 - alphaPct} + 99) div 100"))
+    val qh = cum.alias("c").crossJoin(broadcast(withK.alias("k")))
+      .where(col("c.__cum") >= col("k.__k"))
+      .agg(min(col("c.__s")).as("qhat"))
+    val cov = tst.crossJoin(broadcast(qh))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("qhat").isNull || col("__s") <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+    withK.select(col("n_cal")).crossJoin(cov)
+      .crossJoin(broadcast(qh))
+      .withColumn("coverage",
+        when(col("n_test") > 0,
+          col("n_covered").cast("double") / col("n_test").cast("double")))
+      .select(col("n_cal"), col("n_test"), col("qhat"),
+        col("n_covered"), col("coverage"))
+  }
+
   /** Cohen's kappa agreement between two categorical raters (Cohen
     * 1960) — the labeling-pipeline QA readout (annotator vs annotator,
     * or declared label vs model prediction): chance-corrected agreement

@@ -51,6 +51,20 @@ object MlOps {
         .orderBy(col("seg"))
     }),
 
+    // Split-conformal calibration of the LOO target encoder as a value
+    // predictor: hash-split cal/test, q-hat = the conservative discrete
+    // 90% quantile of |value - enc| on calibration, coverage on test —
+    // two session operators composed, fully oracle-replayed.
+    "ml_conformal" -> ((s, d) => {
+      val enc = graft.operators.Encoding.targetEncodeLoo(
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value")),
+        col("event_type"), col("value"))
+      graft.operators.MlEval.conformalSplit(
+        enc.where(col("enc").isNotNull),
+        col("event_id"), col("enc"), col("value"), alphaPct = 10)
+    }),
+
     // Cohen's kappa between the declared document language and the
     // n-gram language detector — chance-corrected agreement held as one
     // exact integer rational (decimal(38,0) num/den), one IEEE division.
@@ -236,6 +250,56 @@ object MlOps {
         |  CASE WHEN n_pos > 0 THEN CAST(ap_fp AS DOUBLE)
         |    / (1048576.0 * CAST(n_pos AS DOUBLE)) END AS ap
         |FROM agg ORDER BY seg""".stripMargin,
+
+    // LOO-encode window replay feeding the same hash split, the same
+    // division-free conservative rank, the same discrete q-hat
+    "ml_conformal" -> {
+      val bkt = s"(${graft.operators.Sampling.hashU32Sql("h")} % 100)"
+      s"""WITH b AS (
+         |  SELECT event_id, event_type, CAST(value AS DECIMAL(12,4)) AS v
+         |  FROM events
+         |), w AS (
+         |  SELECT event_id, v,
+         |    SUM(v) OVER (PARTITION BY event_type) AS sm,
+         |    CAST(COUNT(v) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM b
+         |), enc AS (
+         |  SELECT event_id, v,
+         |    CASE WHEN v IS NOT NULL AND n > 1
+         |      THEN CAST(CAST(sm - v AS VARCHAR) AS DOUBLE)
+         |        / CAST(n - 1 AS DOUBLE) END AS p
+         |  FROM w
+         |), pt AS (
+         |  SELECT event_id, CAST(p AS DECIMAL(12,4)) AS p4, v
+         |  FROM enc WHERE p IS NOT NULL AND v IS NOT NULL
+         |), hs AS (
+         |  SELECT ABS(v - p4) AS s, md5(CAST(event_id AS VARCHAR)) AS h
+         |  FROM pt
+         |), sp AS (SELECT s, $bkt AS bkt FROM hs),
+         |cal AS (SELECT s FROM sp WHERE bkt < 50),
+         |tst AS (SELECT s FROM sp WHERE bkt >= 50),
+         |pv AS (SELECT s, COUNT(*) AS c FROM cal GROUP BY s),
+         |cum AS (
+         |  SELECT s, SUM(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+         |    AS cm
+         |  FROM pv
+         |), nc AS (
+         |  SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n_cal FROM pv
+         |), kk AS (
+         |  SELECT n_cal, ((n_cal + 1) * 90 + 99) // 100 AS k FROM nc
+         |), qh AS (
+         |  SELECT MIN(s) AS qhat FROM cum CROSS JOIN kk WHERE cm >= k
+         |), cov AS (
+         |  SELECT COUNT(*) AS n_test,
+         |    CAST(SUM(CASE WHEN qhat IS NULL OR s <= qhat
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+         |  FROM tst CROSS JOIN qh
+         |)
+         |SELECT n_cal, n_test, qhat, n_covered,
+         |  CASE WHEN n_test > 0 THEN CAST(n_covered AS DOUBLE)
+         |    / CAST(n_test AS DOUBLE) END AS coverage
+         |FROM kk CROSS JOIN cov CROSS JOIN qh""".stripMargin
+    },
 
     // rater B replayed through TextDedup's shared lang-ID scaffolding;
     // marginal products in DECIMAL(19,0)*..., VARCHAR-routed doubles

@@ -64,6 +64,32 @@ class MlEvalSpec extends SparkSpec {
       "k").select("ap").as[Option[Double]].head().isEmpty)
   }
 
+  test("conformalSplit: conservative rank, coverage >= 1 - alpha on " +
+      "exchangeable data, infinite qhat convention") {
+    // scores constant 0, targets uniform |s| in 0..99 -> q-hat is the
+    // discrete 90% quantile of the calibration half
+    val df = (1L to 2000L).map(i => (i, 0.0, (i % 100).toDouble))
+      .toDF("id", "p", "t")
+    val full = MlEval.conformalSplit(df, col("id"), col("p"), col("t"),
+        alphaPct = 10)
+      .select("n_cal", "n_test", "qhat", "n_covered", "coverage")
+      .as[(Long, Long, BigDecimal, Long, Double)].head()
+    assert(full._1 + full._2 == 2000L)
+    // q-hat lands at the discrete 90% quantile of the uniform 0..99
+    // nonconformity domain (+- hash-split wobble)
+    assert(full._3 >= BigDecimal(85) && full._3 <= BigDecimal(95))
+    // the >= 1 - alpha guarantee is in EXPECTATION over the split;
+    // this one fixed-hash realization sits near it
+    assert(full._5 >= 0.85 && full._5 <= 1.0)
+    // alpha tiny + small cal set: rank > n_cal -> qhat NULL, cover all
+    val tiny = (1L to 8L).map(i => (i, 0.0, i.toDouble)).toDF("id", "p", "t")
+    val inf = MlEval.conformalSplit(tiny, col("id"), col("p"), col("t"),
+        alphaPct = 1)
+      .select("qhat", "n_test", "n_covered")
+      .as[(Option[BigDecimal], Long, Long)].head()
+    assert(inf._1.isEmpty && inf._2 == inf._3)
+  }
+
   test("cohensKappa: perfect = 1, independence = 0, hand-computed 2x2") {
     val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a"))
       .toDF("ra", "rb")
