@@ -51,6 +51,29 @@ object MlOps {
         .orderBy(col("seg"))
     }),
 
+    // Bradley-Terry strengths of part brands from within-order price
+    // "preferences" (higher-priced line wins), 8 MM rounds in exact Q20
+    // fixed point — the preference-aggregation layer of a reward-data
+    // pipeline, every round bit-identical to the oracle's unrolled CTEs.
+    "ml_bradley_terry" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+          money(col("l_extendedprice")).as("ep"), col("p_brand").as("b"))
+      val pr = li.alias("a")
+        .join(li.alias("bb"),
+          col("a.o") === col("bb.o") && col("a.ln") < col("bb.ln"))
+        .where(col("a.b") =!= col("bb.b") && col("a.ep") =!= col("bb.ep"))
+        .select(
+          when(col("a.ep") > col("bb.ep"), col("a.b"))
+            .otherwise(col("bb.b")).as("w"),
+          when(col("a.ep") > col("bb.ep"), col("bb.b"))
+            .otherwise(col("a.b")).as("l"))
+      graft.operators.Preference.bradleyTerry(pr, col("w"), col("l"),
+          iters = 8)
+        .orderBy(col("item"))
+    }),
+
     // Split-conformal calibration of the LOO target encoder as a value
     // predictor: hash-split cal/test, q-hat = the conservative discrete
     // 90% quantile of |value - enc| on calibration, coverage on test —
@@ -250,6 +273,63 @@ object MlOps {
         |  CASE WHEN n_pos > 0 THEN CAST(ap_fp AS DOUBLE)
         |    / (1048576.0 * CAST(n_pos AS DOUBLE)) END AS ap
         |FROM agg ORDER BY seg""".stripMargin,
+
+    // the 8 MM rounds unrolled as CTEs (the HITS oracle protocol):
+    // HUGEINT products, // floor-divides, BIGINT at every seam
+    "ml_bradley_terry" -> {
+      val rounds = (1 to 8).map { r =>
+        val prev = s"p${r - 1}"
+        s"""s$r AS MATERIALIZED (
+           |  SELECT sym.i,
+           |    SUM((CAST(nij AS HUGEINT) * 1099511627776)
+           |      // (pi.p + pj.p)) AS s
+           |  FROM sym JOIN $prev pi ON sym.i = pi.i
+           |  JOIN $prev pj ON sym.j = pj.i
+           |  GROUP BY sym.i
+           |), r$r AS MATERIALIZED (
+           |  SELECT tw.i,
+           |    CASE WHEN s > 0 THEN CAST((CAST(wins AS HUGEINT)
+           |      * 1099511627776) // s AS BIGINT) ELSE 0 END AS pn
+           |  FROM tw JOIN s$r ON tw.i = s$r.i
+           |), t$r AS MATERIALIZED (SELECT SUM(pn) AS tot FROM r$r),
+           |p$r AS MATERIALIZED (
+           |  SELECT i, CAST((CAST(pn AS HUGEINT) * c * 1048576) // tot
+           |    AS BIGINT) AS p
+           |  FROM r$r CROSS JOIN t$r CROSS JOIN cnt
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT l_orderkey AS o, l_linenumber AS ln,
+         |    CAST(l_extendedprice AS DECIMAL(12,4)) AS ep, p_brand AS b
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |), pr AS MATERIALIZED (
+         |  SELECT CASE WHEN a.ep > b.ep THEN a.b ELSE b.b END AS w,
+         |    CASE WHEN a.ep > b.ep THEN b.b ELSE a.b END AS l
+         |  FROM li a JOIN li b ON a.o = b.o AND a.ln < b.ln
+         |  WHERE a.b <> b.b AND a.ep <> b.ep
+         |), wins AS MATERIALIZED (SELECT w, l, COUNT(*) AS n FROM pr GROUP BY w, l),
+         |sym AS MATERIALIZED (
+         |  SELECT i, j, CAST(SUM(n) AS BIGINT) AS nij FROM (
+         |    SELECT w AS i, l AS j, n FROM wins
+         |    UNION ALL SELECT l AS i, w AS j, n FROM wins)
+         |  GROUP BY i, j
+         |), items AS MATERIALIZED (SELECT DISTINCT i FROM sym),
+         |tw AS MATERIALIZED (
+         |  SELECT items.i, COALESCE(ww.wins, 0) AS wins
+         |  FROM items LEFT JOIN (
+         |    SELECT w, CAST(SUM(n) AS BIGINT) AS wins
+         |    FROM wins GROUP BY w) ww ON items.i = ww.w
+         |), cnt AS MATERIALIZED (SELECT COUNT(*) AS c FROM items),
+         |p0 AS MATERIALIZED (SELECT i, CAST(1048576 AS BIGINT) AS p FROM items),
+         |$rounds
+         |SELECT tw.i AS item, wins, games, p8.p AS strength_fp,
+         |  CAST(p8.p AS DOUBLE) / 1048576.0 AS strength
+         |FROM tw
+         |JOIN (SELECT i, CAST(SUM(nij) AS BIGINT) AS games
+         |      FROM sym GROUP BY i) g ON tw.i = g.i
+         |JOIN p8 ON tw.i = p8.i
+         |ORDER BY item""".stripMargin
+    },
 
     // LOO-encode window replay feeding the same hash split, the same
     // division-free conservative rank, the same discrete q-hat
