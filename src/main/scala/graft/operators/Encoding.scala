@@ -100,6 +100,53 @@ object Encoding {
         col("woe"))
   }
 
+  /** Information value of a categorical feature against a binary label
+    * — the feature-selection score that pairs with [[woeEncode]]
+    * (credit-scoring practice: IV < 0.02 useless, > 0.3 strong):
+    * IV = Σ_c (pos_c/pos_tot − neg_c/neg_tot) · WOE(c).
+    *
+    * Held exact as ONE integer rational over the common denominator
+    * pos_tot·neg_tot·2²⁰: each category contributes
+    * (pos_c·neg_tot − neg_c·pos_tot) · woe_fp(c) — decimal(38,0)
+    * products of counts and the fixed-point log — so `iv_num`/`iv_den`
+    * are bit-exact and `iv` is one IEEE division. Same smoothed WOE
+    * definition and same one-shuffle shape as [[woeEncode]].
+    * Output one row: (n_categories, iv_num, iv_den, iv). */
+  def informationValue(df: DataFrame, category: Column, label: Column,
+      smooth: Int = 1): DataFrame = {
+    require(smooth >= 1, s"smooth must be >= 1 (log domain): $smooth")
+    import graft.functions.FixedLogFunctions.log2_fp
+    val perCat = df
+      .select(category.as("__cat"), label.cast("long").as("__y"))
+      .where(col("__cat").isNotNull && col("__y").isin(0L, 1L))
+      .groupBy(col("__cat"))
+      .agg(sum(col("__y")).as("__np"),
+        sum(lit(1L) - col("__y")).as("__nn"))
+    val tot = perCat.agg(sum(col("__np")).as("__pt"),
+      sum(col("__nn")).as("__nt"), count(lit(1)).as("__c"))
+    perCat.crossJoin(broadcast(tot))
+      .withColumn("__woe_fp",
+        (log2_fp(col("__np") + lit(smooth.toLong)) -
+          log2_fp(col("__pt") + lit(smooth.toLong) * col("__c"))) -
+        (log2_fp(col("__nn") + lit(smooth.toLong)) -
+          log2_fp(col("__nt") + lit(smooth.toLong) * col("__c"))))
+      .withColumn("__term",
+        ((col("__np").cast("decimal(19,0)") * col("__nt") -
+          col("__nn").cast("decimal(19,0)") * col("__pt"))
+          .cast("decimal(38,0)") * col("__woe_fp")).cast("decimal(38,0)"))
+      .groupBy()
+      .agg(max(col("__c")).as("n_categories"),
+        sum(col("__term")).cast("decimal(38,0)").as("iv_num"),
+        (max(col("__pt")).cast("decimal(19,0)") * max(col("__nt")) *
+          lit(1048576L)).cast("decimal(38,0)").as("iv_den"))
+      .withColumn("iv",
+        when(col("iv_den") > 0,
+          col("iv_num").cast("double") / col("iv_den").cast("double") *
+            lit(0.6931471805599453d))) // × ln2: WOE's log2 -> natural-log IV
+      .select(col("n_categories"), col("iv_num"), col("iv_den"),
+        col("iv"))
+  }
+
   /** Z-score standardization of money-scale numeric features — the
     * train-time feature transform, with the fit statistics computed in
     * the same pass: ONE exact-decimal aggregation over all features

@@ -144,6 +144,15 @@ object MlOps {
         .orderBy(col("source"))
     }),
 
+    // Information value of the source feature against the is-English
+    // label — the WOE-paired feature-selection score as one exact
+    // integer rational over the common denominator pos*neg*2^20.
+    "ml_information_value" -> ((s, d) => {
+      graft.operators.Encoding.informationValue(
+        Tables.documents(s, d), col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L))
+    }),
+
     // Deterministic 2-negative sampling per order against the part
     // catalog, excluding the parts the order actually contains — indexed
     // md5 draws, one equi-join on the corpus index, never |Q|x|corpus|.
@@ -555,6 +564,54 @@ object MlOps {
          |  CAST(wfp AS BIGINT) AS woe_fp,
          |  CAST(wfp AS DOUBLE) / 1048576.0 AS woe
          |FROM fin ORDER BY source""".stripMargin,
+
+    // WOE CTE extended with the exact-rational IV sum; x ln2 converts
+    // the log2-based WOE to conventional natural-log IV units
+    "ml_information_value" ->
+      s"""WITH RECURSIVE pc AS (
+         |  SELECT source,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS np,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS nn
+         |  FROM documents WHERE source IS NOT NULL GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS pt,
+         |    CAST(SUM(nn) AS BIGINT) AS nt, COUNT(*) AS c
+         |  FROM pc
+         |), xs AS (
+         |  SELECT np + 1 AS x FROM pc UNION
+         |  SELECT nn + 1 FROM pc UNION
+         |  SELECT pt + c FROM tot UNION
+         |  SELECT nt + c FROM tot
+         |),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |woe AS (
+         |  SELECT pc.np, pc.nn, tot.pt, tot.nt,
+         |    (lp.l - lpt.l) - (lq.l - lnt.l) AS wfp
+         |  FROM pc CROSS JOIN tot
+         |  JOIN lg lp ON pc.np + 1 = lp.x
+         |  JOIN lg lq ON pc.nn + 1 = lq.x
+         |  JOIN lg lpt ON tot.pt + tot.c = lpt.x
+         |  JOIN lg lnt ON tot.nt + tot.c = lnt.x
+         |), terms AS (
+         |  SELECT np, nn, pt, nt,
+         |    (CAST(np AS HUGEINT) * nt - CAST(nn AS HUGEINT) * pt) * wfp
+         |      AS term
+         |  FROM woe
+         |), fin AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         |    CAST(SUM(term) AS DECIMAL(38,0)) AS iv_num,
+         |    CAST(MAX(CAST(pt AS HUGEINT) * nt * 1048576)
+         |      AS DECIMAL(38,0)) AS iv_den
+         |  FROM terms
+         |)
+         |SELECT n_categories, iv_num, iv_den,
+         |  CASE WHEN iv_den > 0
+         |    THEN CAST(CAST(iv_num AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(iv_den AS VARCHAR) AS DOUBLE)
+         |      * 0.6931471805599453 END AS iv
+         |FROM fin""".stripMargin,
 
     // same indexed-draw protocol: dense corpus index by id order, md5
     // nibble hash mod N per (query, draw), positive exclusion, first-k

@@ -78,6 +78,28 @@ class EncodingSpec extends SparkSpec {
     assert(rows("a") > 0 && rows("b") < 0)
   }
 
+  test("informationValue: independence gives IV ~ 0, separation large, " +
+      "sign structure exact") {
+    // perfectly balanced: every (cat,label) cell equal -> all woe_fp = 0
+    val indep = Seq(("a", 1), ("a", 0), ("b", 1), ("b", 0))
+      .toDF("c", "y")
+    val z = Encoding.informationValue(indep, col("c"), col("y"))
+      .select("iv_num", "iv").as[(BigDecimal, Double)].head()
+    assert(z._1 == BigDecimal(0) && z._2 == 0.0)
+    // strong separation: a mostly-positive, b mostly-negative
+    val sep = (Seq.fill(9)(("a", 1)) ++ Seq.fill(1)(("a", 0)) ++
+      Seq.fill(1)(("b", 1)) ++ Seq.fill(9)(("b", 0))).toDF("c", "y")
+    val iv = Encoding.informationValue(sep, col("c"), col("y"))
+      .select("iv").as[Double].head()
+    assert(iv > 1.0) // textbook "suspiciously strong" territory
+    // IV is non-negative by construction (term and woe share sign)
+    val skew = (Seq.fill(5)(("a", 1)) ++ Seq.fill(3)(("a", 0)) ++
+      Seq.fill(2)(("b", 1)) ++ Seq.fill(6)(("b", 0)) ++
+      Seq.fill(4)(("c", 1)) ++ Seq.fill(4)(("c", 0))).toDF("c", "y")
+    assert(Encoding.informationValue(skew, col("c"), col("y"))
+      .select("iv").as[Double].head() >= 0.0)
+  }
+
   test("standardize: hand-computed z, nulls pass through, constant " +
       "feature yields NULL column, stable under repartition") {
     // x = 1,2,3: mean 2, var 1 -> z = -1, 0, 1
