@@ -147,6 +147,49 @@ object Encoding {
         col("iv"))
   }
 
+  /** Robust (median/MAD) scaling of money-scale numeric features —
+    * [[standardize]]'s outlier-immune sibling (sklearn's RobustScaler
+    * family): rz = (x − median) / (MAD·1.4826), the consistency
+    * constant making MAD estimate σ under normality.
+    *
+    * Both statistics are DISCRETE lower medians (smallest v with
+    * 2·cum ≥ n — division-free integers over a distributed prefix sum
+    * of the distinct-value domain, no global sort, no interpolation),
+    * so they are exact decimals and the per-row transform is one fixed
+    * IEEE dag. Two value-domain passes per feature; the transform
+    * itself is map-only against broadcast one-row statistics. Constant
+    * features (MAD = 0) yield NULL, never Inf. Adds `rz_<name>`. */
+  def robustScale(df: DataFrame, features: Seq[(String, Column)])
+      : DataFrame = {
+    require(features.nonEmpty, "robustScale needs at least one feature")
+    features.foreach { case (n, _) =>
+      require(!df.columns.contains(s"rz_$n"),
+        s"output column 'rz_$n' already exists in the input") }
+    def lowerMedian(vals: DataFrame, outName: String): DataFrame = {
+      val pv = vals.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      val cum = Ids.prefixSum(pv, Seq(col("__v")), col("__c"), "__cum")
+      val tot = pv.agg(sum(col("__c")).as("__N"))
+      cum.alias("c").crossJoin(broadcast(tot.alias("t")))
+        .where(col("c.__cum") * 2 >= col("t.__N"))
+        .agg(min(col("c.__v")).as(outName))
+    }
+    features.foldLeft(df) { case (acc, (n, c)) =>
+      val v = ColUtil.money(c)
+      val med = lowerMedian(
+        acc.select(v.as("__v")).where(col("__v").isNotNull), s"__med_$n")
+      val withMed = acc.crossJoin(broadcast(med))
+      val mad = lowerMedian(
+        withMed.select(abs(v - col(s"__med_$n")).as("__v"))
+          .where(col("__v").isNotNull), s"__mad_$n")
+      withMed.crossJoin(broadcast(mad))
+        .withColumn(s"rz_$n",
+          when(col(s"__mad_$n") > 0,
+            (v - col(s"__med_$n")).cast("double") /
+              (col(s"__mad_$n").cast("double") * lit(1.4826d))))
+        .drop(s"__med_$n", s"__mad_$n")
+    }
+  }
+
   /** Z-score standardization of money-scale numeric features — the
     * train-time feature transform, with the fit statistics computed in
     * the same pass: ONE exact-decimal aggregation over all features

@@ -189,6 +189,19 @@ object MlOps {
         .orderBy(col("shard"))
     }),
 
+    // Median/MAD robust scaling of the quantity feature — discrete
+    // lower medians over distributed prefix sums, map-only transform
+    // against one-row broadcast stats, NULL (never Inf) on MAD = 0.
+    "ml_robust_scale" -> ((s, d) => {
+      graft.operators.Encoding.robustScale(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity")),
+          Seq("qty" -> col("l_quantity")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("rz_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // One-pass z-score standardization of two lineitem features: exact
     // decimal sufficient stats broadcast back, map-only per-row dag —
     // every standardized value bit-identical to the oracle replay.
@@ -698,6 +711,36 @@ object MlOps {
          |  CAST(SUM(doc_id) AS BIGINT) AS sum_id
          |FROM scored WHERE rn = 1
          |GROUP BY s ORDER BY shard""".stripMargin,
+
+    // same two lower medians via window prefix sums; decimal -> double
+    // through VARCHAR, identical dag association
+    "ml_robust_scale" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS DECIMAL(12,4)) AS q4
+        |  FROM lineitem
+        |), pv AS (SELECT q4 AS v, COUNT(*) AS c FROM b
+        |  WHERE q4 IS NOT NULL GROUP BY q4),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cm FROM pv),
+        |nn AS (SELECT SUM(c) AS n FROM pv),
+        |med AS (SELECT MIN(v) AS med FROM cum CROSS JOIN nn
+        |  WHERE cm * 2 >= n),
+        |dv AS (SELECT ABS(q4 - med) AS d FROM b CROSS JOIN med
+        |  WHERE q4 IS NOT NULL),
+        |dpv AS (SELECT d, COUNT(*) AS c FROM dv GROUP BY d),
+        |dcum AS (SELECT d, SUM(c) OVER (ORDER BY d
+        |  ROWS UNBOUNDED PRECEDING) AS cm FROM dpv),
+        |dnn AS (SELECT SUM(c) AS n FROM dpv),
+        |mad AS (SELECT MIN(d) AS mad FROM dcum CROSS JOIN dnn
+        |  WHERE cm * 2 >= n)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN mad > 0
+        |    THEN CAST(CAST(q4 - med AS VARCHAR) AS DOUBLE)
+        |      / (CAST(CAST(mad AS VARCHAR) AS DOUBLE) * 1.4826)
+        |  END AS rz_qty
+        |FROM b CROSS JOIN med CROSS JOIN mad
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // same sufficient-stat dag; decimal -> double through VARCHAR, the
     // variance from (q - s*s/n)/(n-1) with identical association

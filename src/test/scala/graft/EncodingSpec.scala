@@ -123,6 +123,29 @@ class EncodingSpec extends SparkSpec {
     assert(run(1).sameElements(run(13)))
   }
 
+  test("robustScale: lower-median convention, outlier immunity, " +
+      "MAD = 0 yields NULL, stable under repartition") {
+    // values 1..5 + outlier 1000: median 3 (lower of {3,4} domain? n=6
+    // -> lower median = 3rd smallest = 3), MAD of |x-3| = {2,1,0,1,2,
+    // 997} -> sorted {0,1,1,2,2,997}, lower median (3rd) = 1
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val z = Encoding.robustScale(df, Seq("x" -> col("x")))
+      .select("id", "rz_x").as[(Long, Double)].collect().toMap
+    assert(z(2L) == 0.0) // x = 3 = median
+    assert(z(3L) == 1.0 / 1.4826) // (4-3)/(1*1.4826)
+    // the outlier barely moves the scale (vs z-score where it dominates)
+    assert(z(5L) == 997.0 / 1.4826)
+    val const = Seq((1L, 7.0), (2L, 7.0), (3L, 7.0)).toDF("id", "x")
+    assert(Encoding.robustScale(const, Seq("x" -> col("x")))
+      .select("rz_x").as[Option[Double]].collect().forall(_.isEmpty))
+    val big = (1L to 777L).map(i => (i, (i % 53).toDouble)).toDF("id", "x")
+    def run(p: Int) = Encoding.robustScale(big.repartition(p),
+        Seq("x" -> col("x")))
+      .select("id", "rz_x").as[(Long, Double)].collect().sortBy(_._1)
+    assert(run(1).sameElements(run(13)))
+  }
+
   test("bit-exact under repartitioning") {
     val big = (1L to 2000L).map(i => (i, s"c${i % 7}",
       (i % 101).toDouble / 4)).toDF("id", "cat", "t")
