@@ -185,6 +185,37 @@ object StreamOps {
         .orderBy(col("window_us"), col("bucket"))
     }),
 
+    // Streaming model-calibration monitor: per-DAY reliability bins of
+    // a [0,1] probability score (value/100) against the purchase label
+    // — the production drift loop for a deployed scorer, with the same
+    // exact decimal bin edges as the batch ml_calibration_bins. State
+    // is bounded by days x 10 bins; conf/acc/gap are fixed IEEE dags
+    // over exact window sums, so streaming-vs-batch parity is row- and
+    // bit-exact.
+    "stream_ml_calibration" -> ((s, d) => {
+      val agg = EventsPipeline.withEventTime(eventsStream(s, d))
+        .withWatermark("event_time", "10 minutes")
+        .where(col("value").isNotNull)
+        .withColumn("__s", (col("value") / lit(100.0d))
+          .cast("decimal(12,4)"))
+        .where(col("__s") >= 0 && col("__s") <= 1)
+        .withColumn("bin",
+          least(lit(9), floor(col("__s") * 10).cast("int")))
+        .withColumn("y",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .groupBy(window(col("event_time"), "1 day"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("__s")).as("ss"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("bin"), col("n"), col("n_pos"),
+          (col("ss").cast("double") / col("n")).as("conf"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("acc"))
+        .withColumn("gap", abs(col("conf") - col("acc")))
+      runStream(s, agg, "mlcalib", d, "complete")
+        .orderBy(col("window_us"), col("bin"))
+    }),
+
     "stream_tumbling_counts" -> ((s, d) => {
       val agg = EventsPipeline.withEventTime(eventsStream(s, d))
         .withWatermark("event_time", "10 minutes")
@@ -576,6 +607,29 @@ object StreamOps {
         |  wh.n - base.expected AS drift
         |FROM wh JOIN base ON base.bucket = wh.bucket
         |ORDER BY window_us, wh.bucket""".stripMargin,
+
+    "stream_ml_calibration" ->
+      """WITH b AS (
+        |  SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+        |      AS window_us,
+        |    CAST(value / 100.0 AS DECIMAL(12,4)) AS s2,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), dom AS (SELECT * FROM b WHERE s2 >= 0 AND s2 <= 1),
+        |agg AS (
+        |  SELECT window_us, LEAST(9, CAST(FLOOR(s2 * 10) AS INT)) AS bin,
+        |    COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos, SUM(s2) AS ss
+        |  FROM dom GROUP BY 1, 2
+        |), fin AS (
+        |  SELECT window_us, bin, n, n_pos,
+        |    CAST(CAST(ss AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS conf,
+        |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+        |  FROM agg
+        |)
+        |SELECT window_us, bin, n, n_pos, conf, acc,
+        |  ABS(conf - acc) AS gap
+        |FROM fin ORDER BY window_us, bin""".stripMargin,
 
     "stream_tumbling_counts" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_us,
