@@ -362,8 +362,12 @@ object Hypothesis {
       .where(col("__v").isNotNull)
     val expl = base.withColumn("__b",
       explode(sequence(lit(0), lit(replicas - 1))))
-    val u = conv(substring(md5(concat(col("__id").cast("string"),
-      lit("#"), col("__b").cast("string"))), 1, 8), 16, 10).cast("long")
+    // one md5 serves FOUR replicas: the 32-nibble digest splits into
+    // four independent 8-nibble (32-bit) windows, so the dominant map
+    // cost — hashing — drops 4x vs one digest per (row, replica)
+    val u = conv(expr("substring(md5(concat(cast(__id as string), '#'," +
+      " cast(__b div 4 as string))), 1 + (__b % 4) * 8, 8)"), 16, 10)
+      .cast("long")
     val w = PoissonThresholds.map(t =>
       when(u >= lit(t), 1L).otherwise(0L)).reduce(_ + _)
     val rep = expl.withColumn("__w", w)

@@ -457,7 +457,8 @@ object MlOps {
          |  CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS b)
          |), hs AS (
          |  SELECT event_type, v, b,
-         |    md5(CAST(id AS VARCHAR) || '#' || CAST(b AS VARCHAR)) AS h
+         |    substring(md5(CAST(id AS VARCHAR) || '#'
+         |      || CAST(b // 4 AS VARCHAR)), 1 + (b % 4) * 8, 8) AS h
          |  FROM expl
          |), hw AS (
          |  SELECT event_type, v, b,
