@@ -155,6 +155,50 @@ object MlEval {
           col("dcg_fp").cast("double") / col("idcg_fp").cast("double")))
   }
 
+  /** Decile lift/gains table of `score` against binary `label` — the
+    * campaign-targeting readout (how much better is the model's top
+    * 10%/20%/... than random?): rows rank into `k` EXACT equi-depth
+    * buckets by score descending ([[Profiling.exactBucket]]'s
+    * range-partitioned global rank — no one-partition NTILE), and each
+    * decile reports support, positives, cumulative gain
+    * (cum_pos/total_pos) and cumulative lift
+    * ((cum_pos/cum_n)/(total_pos/total_n)).
+    *
+    * Gains/lifts are IEEE divisions of exact integer cross-products
+    * (decimal(38,0) — N² terms), so the table is bit-exact
+    * cross-engine. Post-bucket work runs on k rows. Output:
+    * (decile, n, n_pos, cum_n, cum_pos, gain, lift). */
+  def liftTable(df: DataFrame, id: Column, score: Column, label: Column,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val base = df.select(id.as("__id"), ColUtil.money(score).as("__v"),
+        label.cast("long").as("__y"))
+      .where(col("__v").isNotNull && col("__y").isin(0L, 1L))
+    val bucketed = Profiling.exactBucket(base, negate(col("__v")),
+      Seq(col("__id")), k, "decile")
+    val per = bucketed.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per // k rows: the single-partition window is fine here
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+    val tot = per.agg(sum(col("n")).as("__tn"),
+      sum(col("n_pos")).as("__tp"))
+    cum.alias("c").crossJoin(broadcast(tot.alias("t")))
+      .withColumn("gain",
+        when(col("t.__tp") > 0,
+          col("c.cum_pos").cast("double") / col("t.__tp").cast("double")))
+      .withColumn("lift",
+        when(col("t.__tp") > 0 && col("c.cum_n") > 0,
+          (col("c.cum_pos").cast("decimal(19,0)") * col("t.__tn"))
+            .cast("decimal(38,0)").cast("double") /
+          (col("c.cum_n").cast("decimal(19,0)") * col("t.__tp"))
+            .cast("decimal(38,0)").cast("double")))
+      .select(col("c.decile"), col("c.n"), col("c.n_pos"),
+        col("c.cum_n"), col("c.cum_pos"), col("gain"), col("lift"))
+  }
+
   /** Split-conformal prediction interval calibration (Vovk et al.;
     * Lei et al. 2018) — the distribution-free uncertainty wrapper for
     * ANY point predictor: hash-split the rows into calibration/test,

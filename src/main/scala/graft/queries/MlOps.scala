@@ -74,6 +74,23 @@ object MlOps {
         .orderBy(col("item"))
     }),
 
+    // Decile lift/gains table of the per-user propensity score against
+    // the purchase label — exact equi-depth deciles by global rank,
+    // gains/lifts as IEEE divisions of exact integer cross-products.
+    "ml_lift_table" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type").isin("click", "view"),
+            money(col("value"))).otherwise(lit(0).cast("decimal(12,4)")))
+            .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("label"))
+      graft.operators.MlEval.liftTable(per, col("user_id"),
+          col("score"), col("label"), k = 10)
+        .orderBy(col("decile"))
+    }),
+
     // Split-conformal calibration of the LOO target encoder as a value
     // predictor: hash-split cal/test, q-hat = the conservative discrete
     // 90% quantile of |value - enc| on calibration, coverage on test —
@@ -352,6 +369,51 @@ object MlOps {
          |JOIN p8 ON tw.i = p8.i
          |ORDER BY item""".stripMargin
     },
+
+    // same 0-based Bresenham bucket rule ((r*k) div n + 1) over the
+    // score-desc global rank; cross-products HUGEINT -> VARCHAR-routed
+    "ml_lift_table" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type IN ('click','view')
+        |      THEN CAST(value AS DECIMAL(12,4))
+        |      ELSE CAST(0 AS DECIMAL(12,4)) END) AS v,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id
+        |), keyed AS (
+        |  SELECT user_id AS id, CAST(v AS DECIMAL(12,4)) AS v, y
+        |  FROM per WHERE v IS NOT NULL
+        |), nn AS (SELECT COUNT(*) AS n FROM keyed),
+        |rk AS (
+        |  SELECT id, v, y,
+        |    ROW_NUMBER() OVER (ORDER BY v DESC, id) - 1 AS r
+        |  FROM keyed
+        |), bk AS (
+        |  SELECT y, CAST((r * 10) // n + 1 AS BIGINT) AS decile
+        |  FROM rk CROSS JOIN nn
+        |), per2 AS (
+        |  SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM bk GROUP BY decile
+        |), cum AS (
+        |  SELECT decile, n, n_pos,
+        |    CAST(SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(SUM(n_pos) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |  FROM per2
+        |), tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(n_pos) AS BIGINT) AS tp
+        |  FROM per2
+        |)
+        |SELECT decile, n, n_pos, cum_n, cum_pos,
+        |  CASE WHEN tp > 0
+        |    THEN CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE) END AS gain,
+        |  CASE WHEN tp > 0 AND cum_n > 0 THEN
+        |    CAST(CAST(CAST(cum_pos AS HUGEINT) * tn AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(cum_n AS HUGEINT) * tp AS VARCHAR) AS DOUBLE)
+        |  END AS lift
+        |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
 
     // LOO-encode window replay feeding the same hash split, the same
     // division-free conservative rank, the same discrete q-hat

@@ -64,6 +64,27 @@ class MlEvalSpec extends SparkSpec {
       "k").select("ap").as[Option[Double]].head().isEmpty)
   }
 
+  test("liftTable: perfect ranker concentrates gain, random is flat, " +
+      "equi-depth deciles exact") {
+    // 100 rows, top-20 scores are the 20 positives -> deciles 1-2 carry
+    // all gain; lift of decile 1 = (10/10)/(20/100) = 5
+    val perfect = (1 to 100).map(i =>
+      (i.toLong, (101 - i).toDouble, if (i <= 20) 1 else 0))
+      .toDF("id", "s", "y")
+    val rows = MlEval.liftTable(perfect, col("id"), col("s"), col("y"))
+      .select("decile", "n", "cum_pos", "lift")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._2).forall(_ == 10L)) // exact equi-depth
+    assert(rows(0)._3 == 10L && rows(0)._4 == 5.0)
+    assert(rows(1)._3 == 20L && rows(1)._4 == 5.0)
+    assert(rows(9)._3 == 20L && rows(9)._4 == 1.0) // full-population lift
+    // constant score: ties broken by id, gains still sum to 1
+    val flat = (1 to 50).map(i => (i.toLong, 1.0, i % 2)).toDF("id", "s", "y")
+    val g = MlEval.liftTable(flat, col("id"), col("s"), col("y"))
+      .agg(max(col("gain"))).as[Double].head()
+    assert(g == 1.0)
+  }
+
   test("conformalSplit: conservative rank, coverage >= 1 - alpha on " +
       "exchangeable data, infinite qhat convention") {
     // scores constant 0, targets uniform |s| in 0..99 -> q-hat is the
