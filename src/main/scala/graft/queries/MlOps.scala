@@ -74,6 +74,21 @@ object MlOps {
         .orderBy(col("item"))
     }),
 
+    // Train-vs-test PSI across the embargo time split: did the feature
+    // distribution drift over the split boundary? timeSplitEmbargo and
+    // psiReport composed — the leakage-safe split hygiene check run
+    // before training. Exact integer PSI fractions, spine-complete.
+    "ml_psi_split" -> ((s, d) => {
+      val lab = graft.operators.Sampling.timeSplitEmbargo(
+        Tables.events(s, d), col("ts"),
+        trainPct = 70, embargoNanos = 86400L * 1000 * 1000 * 1000)
+      graft.operators.Profiling.psiReport(
+          lab.where(col("split") === "train"),
+          lab.where(col("split") === "test"),
+          col("value"), lo = 0L, hi = 100L, nBuckets = 10)
+        .orderBy(col("bucket"))
+    }),
+
     // Decile lift/gains table of the per-user propensity score against
     // the purchase label — exact equi-depth deciles by global rank,
     // gains/lifts as IEEE divisions of exact integer cross-products.
@@ -369,6 +384,66 @@ object MlOps {
          |JOIN p8 ON tw.i = p8.i
          |ORDER BY item""".stripMargin
     },
+
+    // time-split boundary replay feeding the PSI scaffolding; FLOOR
+    // (not CAST) mirrors Spark's truncating double->long on [0,100]
+    "ml_psi_split" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT epoch_us(ts) * 1000 AS t, value FROM events
+         |  WHERE ts IS NOT NULL
+         |), tot0 AS (SELECT COUNT(*) AS n FROM e),
+         |pv0 AS (SELECT t, COUNT(*) AS c FROM e GROUP BY t),
+         |cum0 AS (
+         |  SELECT t, SUM(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+         |    AS cm
+         |  FROM pv0
+         |), b AS (
+         |  SELECT MIN(t) AS tstar FROM cum0 CROSS JOIN tot0
+         |  WHERE cm * 100 >= n * 70
+         |), lab AS (
+         |  SELECT value,
+         |    CASE WHEN t <= tstar THEN 'train'
+         |      WHEN t <= tstar + 86400000000000 THEN 'embargo'
+         |      ELSE 'test' END AS split
+         |  FROM e CROSS JOIN b
+         |), src AS (
+         |  SELECT CAST(FLOOR(value) AS BIGINT) AS q, split FROM lab
+         |  WHERE value IS NOT NULL
+         |), cb AS (
+         |  SELECT LEAST(9, GREATEST(0, (q * 10) // 100)) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM src WHERE split = 'train' GROUP BY 1
+         |), cc AS (
+         |  SELECT LEAST(9, GREATEST(0, (q * 10) // 100)) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM src WHERE split = 'test' GROUP BY 1
+         |), spine AS (SELECT CAST(UNNEST(range(10)) AS BIGINT) AS bucket),
+         |j AS (
+         |  SELECT s.bucket, CAST(COALESCE(cb.c, 0) AS BIGINT) AS c_base,
+         |    CAST(COALESCE(cc.c, 0) AS BIGINT) AS c_cur
+         |  FROM spine s LEFT JOIN cb USING (bucket)
+         |  LEFT JOIN cc USING (bucket)
+         |), tot AS (
+         |  SELECT CAST(SUM(c_base) + 10 AS BIGINT) AS tn,
+         |    CAST(SUM(c_cur) + 10 AS BIGINT) AS rn
+         |  FROM j
+         |), xs AS (
+         |  SELECT c_base + 1 AS x FROM j
+         |  UNION SELECT c_cur + 1 FROM j
+         |  UNION SELECT tn FROM tot UNION SELECT rn FROM tot
+         |),
+         |${graft.functions.FixedLog.duckdbCte("xs")}
+         |SELECT j.bucket, j.c_base, j.c_cur,
+         |  CAST(lb.l + lr.l - lc.l - lt.l AS BIGINT) AS log2r_fp,
+         |  CAST(((j.c_base + 1) * tot.rn - (j.c_cur + 1) * tot.tn)
+         |    * (lb.l + lr.l - lc.l - lt.l) AS DECIMAL(38,0)) AS psi_num,
+         |  CAST(tot.tn * tot.rn * 1048576 AS DECIMAL(38,0)) AS denom
+         |FROM j CROSS JOIN tot
+         |JOIN lg lb ON lb.x = j.c_base + 1
+         |JOIN lg lc ON lc.x = j.c_cur + 1
+         |JOIN lg lt ON lt.x = tot.tn
+         |JOIN lg lr ON lr.x = tot.rn
+         |ORDER BY j.bucket""".stripMargin,
 
     // same 0-based Bresenham bucket rule ((r*k) div n + 1) over the
     // score-desc global rank; cross-products HUGEINT -> VARCHAR-routed
