@@ -155,6 +155,44 @@ object MlEval {
           col("dcg_fp").cast("double") / col("idcg_fp").cast("double")))
   }
 
+  /** Mean reciprocal rank at k — the first-hit retrieval metric next
+    * to [[ndcgAtK]]: per query, the reciprocal rank of the FIRST
+    * relevant candidate under (score DESC, tiebreak) within the top k;
+    * queries with no relevant hit in the top k contribute 0.
+    *
+    * Reciprocals are integer fixed point (rr_fp = 2²⁰ div rank — rank 1
+    * gives exactly 2²⁰), so the sum is exact and MRR is one IEEE
+    * division by n_queries·2²⁰. Per-query windows only; queries are
+    * counted from the candidate set, so a query whose candidates all
+    * have rel = 0 still counts in the denominator (the retrieval-eval
+    * convention). Output one row:
+    * (n_queries, n_hit, mrr_fp_sum, mrr). */
+  def mrrAtK(df: DataFrame, key: Column, score: Column, rel: Column,
+      tiebreak: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val base = df.select(key.as("__q"), tiebreak.as("__id"),
+        score.as("__s"), rel.cast("long").as("__rel"))
+      .where(col("__s").isNotNull && col("__rel") >= 0)
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("__s").desc, col("__id"))
+    val firstHit = base.withColumn("__rn", row_number().over(w))
+      .where(col("__rel") > 0 && col("__rn") <= k)
+      .groupBy(col("__q")).agg(min(col("__rn")).as("__r"))
+      .withColumn("__rr", expr("1048576 div __r"))
+    val nq = base.select(col("__q")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    val hits = firstHit.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_hit"),
+      coalesce(sum(col("__rr")), lit(0L)).as("mrr_fp_sum"))
+    nq.crossJoin(broadcast(hits))
+      .withColumn("mrr",
+        when(col("n_queries") > 0,
+          col("mrr_fp_sum").cast("double") /
+            (lit(1048576.0d) * col("n_queries").cast("double"))))
+      .select(col("n_queries"), col("n_hit"), col("mrr_fp_sum"),
+        col("mrr"))
+  }
+
   /** Decile lift/gains table of `score` against binary `label` — the
     * campaign-targeting readout (how much better is the model's top
     * 10%/20%/... than random?): rows rank into `k` EXACT equi-depth

@@ -151,6 +151,15 @@ object MlOps {
         .orderBy(col("p_brand"))
     }),
 
+    // MRR@10 over the same brand rankings as ml_ndcg (first part with
+    // p_size mod 3 > 0 under price-desc order) — integer fixed-point
+    // reciprocals, one IEEE division at the end.
+    "ml_mrr" -> ((s, d) => {
+      graft.operators.MlEval.mrrAtK(
+        Tables.part(s, d), col("p_brand"), col("p_retailprice"),
+        col("p_size") % 3, col("p_partkey"), k = 10)
+    }),
+
     // Reliability bins of a [0,1] probability score (value/100) against
     // the purchase label: 10 equal-width bins, exact decimal binning, per
     // bin support/confidence/accuracy/|gap| — the ECE inputs.
@@ -653,6 +662,30 @@ object MlOps {
          |    AS ndcg
          |FROM dcg JOIN idcg ON dcg.p_brand = idcg.p_brand
          |ORDER BY dcg.p_brand""".stripMargin,
+
+    // same window, MIN first-hit rank, 2^20 // rank reciprocals
+    "ml_mrr" ->
+      """WITH ranked AS (
+        |  SELECT p_brand,
+        |    p_size % 3 AS rel,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part WHERE p_retailprice IS NOT NULL
+        |), fh AS (
+        |  SELECT p_brand, MIN(rn) AS r FROM ranked
+        |  WHERE rel > 0 AND rn <= 10 GROUP BY p_brand
+        |), hits AS (
+        |  SELECT COALESCE(COUNT(*), 0) AS n_hit,
+        |    COALESCE(CAST(SUM(1048576 // r) AS BIGINT), 0) AS mrr_fp_sum
+        |  FROM fh
+        |), nq AS (
+        |  SELECT COUNT(DISTINCT p_brand) AS n_queries FROM part
+        |  WHERE p_retailprice IS NOT NULL
+        |)
+        |SELECT n_queries, n_hit, mrr_fp_sum,
+        |  CASE WHEN n_queries > 0 THEN CAST(mrr_fp_sum AS DOUBLE)
+        |    / (1048576.0 * CAST(n_queries AS DOUBLE)) END AS mrr
+        |FROM nq CROSS JOIN hits""".stripMargin,
 
     // exact decimal binning (no float edges); decimal sums -> double
     // through VARCHAR per the parity rule

@@ -64,6 +64,26 @@ class MlEvalSpec extends SparkSpec {
       "k").select("ap").as[Option[Double]].head().isEmpty)
   }
 
+  test("mrrAtK: exact reciprocals, no-hit queries count in the " +
+      "denominator, k truncates") {
+    // q1: first relevant at rank 2; q2: at rank 1; q3: none relevant
+    val df = Seq(
+      ("q1", 1L, 9.0, 0), ("q1", 2L, 8.0, 1), ("q1", 3L, 7.0, 1),
+      ("q2", 4L, 9.0, 1), ("q2", 5L, 8.0, 0),
+      ("q3", 6L, 9.0, 0)).toDF("q", "id", "s", "r")
+    val m = MlEval.mrrAtK(df, col("q"), col("s"), col("r"), col("id"),
+        k = 10)
+      .select("n_queries", "n_hit", "mrr_fp_sum", "mrr")
+      .as[(Long, Long, Long, Double)].head()
+    assert(m._1 == 3L && m._2 == 2L)
+    assert(m._3 == 1048576L / 2 + 1048576L)
+    assert(m._4 == m._3.toDouble / (1048576.0 * 3))
+    // k = 1: q1's rank-2 hit no longer counts
+    val k1 = MlEval.mrrAtK(df, col("q"), col("s"), col("r"), col("id"), 1)
+      .select("n_hit", "mrr_fp_sum").as[(Long, Long)].head()
+    assert(k1 == ((1L, 1048576L)))
+  }
+
   test("liftTable: perfect ranker concentrates gain, random is flat, " +
       "equi-depth deciles exact") {
     // 100 rows, top-20 scores are the 20 positives -> deciles 1-2 carry
