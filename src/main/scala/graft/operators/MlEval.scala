@@ -286,6 +286,56 @@ object MlEval {
         col("n_covered"), col("coverage"))
   }
 
+  /** Binary label-noise screen in the confident-learning style
+    * (Northcutt et al. 2021, simplified to one score): estimate each
+    * class's confidence threshold as its mean predicted score, then
+    * flag rows whose score crosses the OTHER class's threshold —
+    * labeled negative but scoring ≥ t⁺ (suspected missed positive),
+    * labeled positive but scoring ≤ t⁻ (suspected false positive).
+    * The flagged sets are what a labeling pipeline routes to re-review.
+    *
+    * Threshold tests are DIVISION-FREE decimal cross-multiplications
+    * (s·n⁺ ≥ Σs⁺ instead of s ≥ Σs⁺/n⁺), so flag counts are exact
+    * integers; the reported thresholds and noise rate are fixed IEEE
+    * dags at readout. Two passes: one stats aggregate (broadcast
+    * back), one flag count. Output one row: (n, n_pos, n_neg, t_pos,
+    * t_neg, n_flag_in_neg, n_flag_in_pos, noise_rate). */
+  def labelNoise(df: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    val base = df.select(ColUtil.money(score).as("__s"),
+        label.cast("long").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isin(0L, 1L))
+    val zero = lit(0).cast("decimal(12,4)")
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(col("__y")).as("n_pos"),
+      sum(lit(1L) - col("__y")).as("n_neg"),
+      sum(when(col("__y") === 1L, col("__s")).otherwise(zero)).as("__s1"),
+      sum(when(col("__y") === 0L, col("__s")).otherwise(zero)).as("__s0"))
+    base.crossJoin(broadcast(stats))
+      .agg(max(col("n")).as("n"), max(col("n_pos")).as("n_pos"),
+        max(col("n_neg")).as("n_neg"),
+        max(col("__s1")).as("__s1"), max(col("__s0")).as("__s0"),
+        sum(when(col("__y") === 0L && col("n_pos") > 0 &&
+          col("__s").cast("decimal(19,4)") * col("n_pos") >= col("__s1"),
+          1L).otherwise(0L)).as("n_flag_in_neg"),
+        sum(when(col("__y") === 1L && col("n_neg") > 0 &&
+          col("__s").cast("decimal(19,4)") * col("n_neg") <= col("__s0"),
+          1L).otherwise(0L)).as("n_flag_in_pos"))
+      .withColumn("t_pos",
+        when(col("n_pos") > 0,
+          col("__s1").cast("double") / col("n_pos").cast("double")))
+      .withColumn("t_neg",
+        when(col("n_neg") > 0,
+          col("__s0").cast("double") / col("n_neg").cast("double")))
+      .withColumn("noise_rate",
+        when(col("n") > 0,
+          (col("n_flag_in_neg") + col("n_flag_in_pos")).cast("double") /
+            col("n").cast("double")))
+      .select(col("n"), col("n_pos"), col("n_neg"), col("t_pos"),
+        col("t_neg"), col("n_flag_in_neg"), col("n_flag_in_pos"),
+        col("noise_rate"))
+  }
+
   /** Cohen's kappa agreement between two categorical raters (Cohen
     * 1960) — the labeling-pipeline QA readout (annotator vs annotator,
     * or declared label vs model prediction): chance-corrected agreement

@@ -151,6 +151,22 @@ object MlOps {
         .orderBy(col("p_brand"))
     }),
 
+    // Confident-learning label-noise screen on the per-user propensity
+    // dataset: rows whose score crosses the other class's mean-score
+    // threshold are flagged for re-review. Division-free decimal
+    // threshold tests; exact flag counts.
+    "ml_label_noise" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type").isin("click", "view"),
+            money(col("value"))).otherwise(lit(0).cast("decimal(12,4)")))
+            .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("label"))
+      graft.operators.MlEval.labelNoise(per, col("score"), col("label"))
+    }),
+
     // MRR@10 over the same brand rankings as ml_ndcg (first part with
     // p_size mod 3 > 0 under price-desc order) — integer fixed-point
     // reciprocals, one IEEE division at the end.
@@ -662,6 +678,50 @@ object MlOps {
          |    AS ndcg
          |FROM dcg JOIN idcg ON dcg.p_brand = idcg.p_brand
          |ORDER BY dcg.p_brand""".stripMargin,
+
+    // same division-free cross-multiplied thresholds; widened decimal
+    // products (the DuckDB int64 multiply trap), VARCHAR-routed doubles
+    "ml_label_noise" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type IN ('click','view')
+        |      THEN CAST(value AS DECIMAL(12,4))
+        |      ELSE CAST(0 AS DECIMAL(12,4)) END) AS v,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id
+        |), b AS (
+        |  SELECT CAST(v AS DECIMAL(12,4)) AS s, y FROM per
+        |  WHERE v IS NOT NULL
+        |), st AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+        |    SUM(CASE WHEN y = 1 THEN s ELSE CAST(0 AS DECIMAL(12,4)) END)
+        |      AS s1,
+        |    SUM(CASE WHEN y = 0 THEN s ELSE CAST(0 AS DECIMAL(12,4)) END)
+        |      AS s0
+        |  FROM b
+        |), fl AS (
+        |  SELECT MAX(n) AS n, MAX(n_pos) AS n_pos, MAX(n_neg) AS n_neg,
+        |    MAX(s1) AS s1, MAX(s0) AS s0,
+        |    CAST(SUM(CASE WHEN y = 0 AND n_pos > 0
+        |      AND CAST(s AS DECIMAL(19,4)) * n_pos >= s1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_in_neg,
+        |    CAST(SUM(CASE WHEN y = 1 AND n_neg > 0
+        |      AND CAST(s AS DECIMAL(19,4)) * n_neg <= s0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_in_pos
+        |  FROM b CROSS JOIN st
+        |)
+        |SELECT n, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 THEN CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+        |    / CAST(n_pos AS DOUBLE) END AS t_pos,
+        |  CASE WHEN n_neg > 0 THEN CAST(CAST(s0 AS VARCHAR) AS DOUBLE)
+        |    / CAST(n_neg AS DOUBLE) END AS t_neg,
+        |  n_flag_in_neg, n_flag_in_pos,
+        |  CASE WHEN n > 0
+        |    THEN CAST(n_flag_in_neg + n_flag_in_pos AS DOUBLE)
+        |      / CAST(n AS DOUBLE) END AS noise_rate
+        |FROM fl""".stripMargin,
 
     // same window, MIN first-hit rank, 2^20 // rank reciprocals
     "ml_mrr" ->

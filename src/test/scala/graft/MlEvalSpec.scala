@@ -64,6 +64,28 @@ class MlEvalSpec extends SparkSpec {
       "k").select("ap").as[Option[Double]].head().isEmpty)
   }
 
+  test("labelNoise: planted mislabels flagged, clean separation flags " +
+      "only boundary rows, threshold arithmetic exact") {
+    // positives score ~0.9, negatives ~0.1, one negative scored 0.95
+    // (the planted missed positive) and one positive scored 0.05
+    val rows = Seq((0.9, 1), (0.92, 1), (0.88, 1), (0.05, 1),
+      (0.1, 0), (0.12, 0), (0.08, 0), (0.95, 0)).toDF("s", "y")
+    val r = MlEval.labelNoise(rows, col("s"), col("y"))
+      .select("n", "n_pos", "n_neg", "n_flag_in_neg", "n_flag_in_pos")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r._1 == 8L && r._2 == 4L && r._3 == 4L)
+    // t_pos = (0.9+0.92+0.88+0.05)/4 = 0.6875: only the 0.95 negative
+    // crosses it; t_neg = (0.1+0.12+0.08+0.95)/4 = 0.3125: only the
+    // 0.05 positive is at or below
+    assert(r._4 == 1L && r._5 == 1L)
+    // one-class input: the empty class flags nothing, no divide-by-zero
+    val onePos = Seq((0.5, 1), (0.7, 1)).toDF("s", "y")
+    val o = MlEval.labelNoise(onePos, col("s"), col("y"))
+      .select("n_flag_in_neg", "n_flag_in_pos", "t_neg")
+      .as[(Long, Long, Option[Double])].head()
+    assert(o._1 == 0L && o._2 == 0L && o._3.isEmpty)
+  }
+
   test("mrrAtK: exact reciprocals, no-hit queries count in the " +
       "denominator, k truncates") {
     // q1: first relevant at rank 2; q2: at rank 1; q3: none relevant
