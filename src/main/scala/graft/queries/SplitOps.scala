@@ -81,6 +81,37 @@ object SplitOps {
     // bounds-probed split read back (one JDBC session per slice). The
     // oracle reads the parquet directly, so any row lost/duplicated/
     // mistyped anywhere in the write-read cycle fails the exact compare.
+    // Text-format source paths end-to-end: the corpus written to JSONL
+    // (the interchange format LLM corpora actually ship as) and read
+    // back through the JSON source with an explicit schema — the read
+    // must be byte-identical to the parquet fixture. Escaping (quotes,
+    // newlines, unicode) is pinned by SourcesSpec on adversarial rows;
+    // the fixture pins the bulk path.
+    "source_jsonl_roundtrip" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+      val dir = s"/tmp/graft_jsonl_${Integer.toHexString(d.hashCode)}"
+      src.write.mode("overwrite").json(dir)
+      s.read.schema(src.schema).json(dir)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Same contract through the CSV source: RFC-4180 quoting (escape =
+    // quote char), multiLine read for embedded newlines, \N as the
+    // null sentinel so NULL and '' survive distinctly.
+    "source_csv_roundtrip" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+      val dir = s"/tmp/graft_csv_${Integer.toHexString(d.hashCode)}"
+      src.write.mode("overwrite")
+        .option("quoteAll", true).option("escape", "\"")
+        .option("nullValue", "\\N")
+        .csv(dir)
+      s.read.schema(src.schema)
+        .option("multiLine", true).option("escape", "\"")
+        .option("nullValue", "\\N")
+        .csv(dir)
+        .orderBy(col("doc_id"))
+    }),
+
     "jdbc_live_roundtrip" -> ((s, d) => {
       import graft.sources._
       JdbcLive.ensureDerbyRegistered()
@@ -188,6 +219,14 @@ object SplitOps {
     "jdbc_live_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+
+    "source_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "source_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "jdbc_job_json" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer

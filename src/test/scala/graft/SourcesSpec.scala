@@ -276,4 +276,36 @@ class SourcesSpec extends SparkSpec {
     val res = SchemaNormalize.requireSupported(bad)
     assert(res.isLeft && res.swap.exists(_.contains("x")))
   }
+
+  test("CSV and JSONL roundtrips survive quotes, newlines, commas, " +
+      "unicode, NULL, and empty string") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, Option("plain"), "en"),
+      (2L, Option("embedded \"quotes\" and, commas"), "en"),
+      (3L, Option("multi\nline\r\ntext"), "fr"),
+      (4L, Option("unicode 日本語 éè 😀"), "zh"),
+      (5L, None, "de"),
+      (6L, Option(""), "es"),
+      (7L, Option("backslash \\ and \\N literal"), "en"))
+      .toDF("id", "text", "lang")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    val want = sorted(nasty)
+
+    val jd = "/tmp/graft_spec_jsonl"
+    nasty.write.mode("overwrite").json(jd)
+    assert(sorted(spark.read.schema(nasty.schema).json(jd)) == want)
+
+    val cd = "/tmp/graft_spec_csv"
+    nasty.write.mode("overwrite")
+      .option("quoteAll", true).option("escape", "\"")
+      .option("nullValue", "\\N")
+      .csv(cd)
+    val back = sorted(spark.read.schema(nasty.schema)
+      .option("multiLine", true).option("escape", "\"")
+      .option("nullValue", "\\N")
+      .csv(cd))
+    assert(back == want)
+  }
 }
