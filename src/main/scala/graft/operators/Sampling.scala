@@ -246,6 +246,22 @@ object Sampling {
       .select(col("id"), col("source"), col("value"), col("normalized"))
   }
 
+  /** Rolling-origin (expanding-window) cross-validation segments — the
+    * time-series CV protocol (Tashman 2000): rows rank into `folds`
+    * time-ordered EQUI-COUNT segments; evaluation fold f trains on
+    * segments 1..f and tests on segment f+1, so every fold respects
+    * causality and fold sizes are exact, not quantile-approximate.
+    * Segments come from [[Profiling.exactBucket]]'s range-partitioned
+    * global rank (no one-partition NTILE); `tiebreak` pins rows with
+    * equal timestamps deterministically. Adds int-like `segment`
+    * (1-based). Compose with [[timeSplitEmbargo]] when an embargo gap
+    * between train and test is also needed. */
+  def rollingOriginSegments(df: DataFrame, ts: Column, tiebreak: Column,
+      folds: Int): DataFrame = {
+    require(folds >= 2, s"need >= 2 folds: $folds")
+    Profiling.exactBucket(df, ts, Seq(tiebreak), folds, "segment")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment — the stable
     * sharding protocol (Thaler & Ravishankar 1998): every row scores
     * all `shards` candidates with the cross-engine md5 nibble hash of

@@ -220,6 +220,18 @@ object MlOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Rolling-origin CV segments over the event stream: 5 time-ordered
+    // equi-count segments; the readout pins exact sizes and that
+    // segment time ranges never interleave (causality).
+    "ml_rolling_origin" -> ((s, d) => {
+      graft.operators.Sampling.rollingOriginSegments(
+          Tables.events(s, d), col("ts"), col("event_id"), folds = 5)
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        .orderBy(col("segment"))
+    }),
+
     // Causality-respecting 70/30 time split of the event stream with a
     // one-day embargo after the boundary; the boundary is the exact
     // discrete percentile from a distributed prefix sum over the
@@ -896,6 +908,22 @@ object MlOps {
          |)
          |SELECT query_id, rank, neg_id FROM rk WHERE rank <= 2
          |ORDER BY query_id, rank""".stripMargin,
+
+    // same 0-based Bresenham segment rule over the (ts, id) global rank
+    "ml_rolling_origin" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) * 1000 AS t, event_id FROM events
+        |), nn AS (SELECT COUNT(*) AS n FROM e),
+        |rk AS (
+        |  SELECT t, ROW_NUMBER() OVER (ORDER BY t, event_id) - 1 AS r
+        |  FROM e
+        |), seg AS (
+        |  SELECT t, CAST((r * 5) // n + 1 AS BIGINT) AS segment
+        |  FROM rk CROSS JOIN nn
+        |)
+        |SELECT segment, COUNT(*) AS n_rows,
+        |  CAST(MIN(t) AS BIGINT) AS min_ts, CAST(MAX(t) AS BIGINT) AS max_ts
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
 
     // same division-free discrete percentile (100*cum >= N*pct) over
     // epoch-nanos, same three-way labeling

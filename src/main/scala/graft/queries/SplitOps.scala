@@ -112,6 +112,17 @@ object SplitOps {
         .orderBy(col("doc_id"))
     }),
 
+    // The third columnar format Spark ships natively: ORC write + read
+    // must round-trip the fixture exactly (decimal/timestamp fidelity
+    // differs from parquet's physical encodings — this pins it).
+    "source_orc_roundtrip" -> ((s, d) => {
+      val src = Tables.supplier(s, d)
+      val dir = s"/tmp/graft_orc_${Integer.toHexString(d.hashCode)}"
+      src.write.mode("overwrite").orc(dir)
+      s.read.schema(src.schema).orc(dir)
+        .orderBy(col("s_suppkey"))
+    }),
+
     "jdbc_live_roundtrip" -> ((s, d) => {
       import graft.sources._
       JdbcLive.ensureDerbyRegistered()
@@ -223,6 +234,10 @@ object SplitOps {
     "source_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "source_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
 
     "source_csv_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents

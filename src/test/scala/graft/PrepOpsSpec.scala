@@ -455,6 +455,32 @@ class PrepOpsSpec extends SparkSpec {
     one.foreach(r => assert(r.getDecimal(2) == r.getDecimal(3)))
   }
 
+  test("rollingOriginSegments: exact equi-count, time-ordered, " +
+      "non-interleaving, stable under repartition") {
+    val df = (1L to 103L).map(i => (i, (i * 7919) % 1000)).toDF("id", "ts")
+    val seg = Sampling.rollingOriginSegments(df.repartition(7), $"ts",
+      $"id", folds = 5)
+    val sizes = seg.groupBy("segment").count()
+      .as[(Long, Long)].collect().toMap
+    // 103 over 5 via the Bresenham rule: sizes differ by at most 1
+    assert(sizes.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(sizes.values.sum == 103L &&
+      (sizes.values.max - sizes.values.min) <= 1)
+    // causality: max ts of segment f < min ts of segment f+1 (ts here
+    // are distinct, so strict ordering must hold)
+    val ranges = seg.groupBy("segment")
+      .agg(min($"ts").as("lo"), max($"ts").as("hi"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2)
+    }
+    val again = Sampling.rollingOriginSegments(df.repartition(2), $"ts",
+        $"id", 5)
+      .select("id", "segment").as[(Long, Long)].collect().sorted
+    assert(again.sameElements(
+      seg.select("id", "segment").as[(Long, Long)].collect().sorted))
+  }
+
   test("rendezvousShard: minimal movement on grow, rough balance, " +
       "deterministic") {
     val df = (1L to 3000L).toDF("id")
