@@ -94,4 +94,28 @@ object Scrub {
     df.withColumn(outCol,
       trim(regexp_replace(decoded, "[ \\t\\r\\n\\f]+", " ")))
   }
+
+  /** Keyed pseudonymization of identifier columns — the PII control
+    * between redaction (destroys joins) and plaintext (leaks): each
+    * value is replaced IN PLACE by `p_` + the first 16 md5 nibbles of
+    * salt:value, so equal values map to equal tokens across every
+    * table sharing the salt (referential integrity survives — joins,
+    * group-bys, and dedup still work on the pseudonymized data) while
+    * the originals never leave the cluster. Deterministic and
+    * cross-engine (the md5-hex protocol every sampler here uses);
+    * 64-bit tokens make birthday collisions negligible below ~2³²
+    * distinct values. Rotating the salt unlinkably re-keys a release.
+    * NULL stays NULL. Map-only. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String)
+      : DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no column '$c'"))
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNotNull,
+          concat(lit("p_"), substring(
+            md5(concat(lit(salt), lit(":"), col(c).cast("string"))),
+            1, 16))))
+    }
+  }
 }

@@ -151,6 +151,40 @@ object MlOps {
         .orderBy(col("p_brand"))
     }),
 
+    // Point-in-time-correct feature backfill: each purchase (label row)
+    // carries the user's cumulative pre-purchase click count and click
+    // value as of STRICTLY before the purchase instant — the
+    // feature-store PIT join that prevents label-time leakage. One
+    // tagged union + per-user running windows (label rows sort before
+    // equal-timestamp feature rows, so same-instant features are
+    // excluded); exact decimal feature sums.
+    "ml_pit_features" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val labels = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          lit(0).as("__side"), lit(null).cast("decimal(12,4)").as("__v"))
+      val feats = ev.where(col("event_type") === "click")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("ts_us"), lit(1).as("__side"),
+          money(col("value")).as("__v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("__side"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      labels.unionByName(feats)
+        .withColumn("n_clicks_before", count(col("__v")).over(w))
+        .withColumn("sum_click_value",
+          coalesce(sum(col("__v")).over(w),
+            lit(0).cast("decimal(12,4)")).cast("decimal(22,4)"))
+        .where(col("__side") === 0)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_clicks_before"),
+          col("sum_click_value").cast("double").as("sum_click_value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // Confident-learning label-noise screen on the per-user propensity
     // dataset: rows whose score crosses the other class's mean-score
     // threshold are flagged for re-review. Division-free decimal
@@ -690,6 +724,37 @@ object MlOps {
          |    AS ndcg
          |FROM dcg JOIN idcg ON dcg.p_brand = idcg.p_brand
          |ORDER BY dcg.p_brand""".stripMargin,
+
+    // same tagged union + strict-before frame (1 PRECEDING); null
+    // ordering never decides a boundary (labels carry non-null ids,
+    // features all-null ids, sides differ at equal ts)
+    "ml_pit_features" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |    CAST(value AS DECIMAL(12,4)) AS v
+        |  FROM events
+        |), u AS (
+        |  SELECT event_id, user_id, ts_us, 0 AS side,
+        |    CAST(NULL AS DECIMAL(12,4)) AS v
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT CAST(NULL AS BIGINT), user_id, ts_us, 1, v
+        |  FROM ev WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT event_id, user_id, ts_us, side,
+        |    COUNT(v) OVER w AS n_clicks_before,
+        |    SUM(v) OVER w AS sv
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(n_clicks_before AS BIGINT) AS n_clicks_before,
+        |  CAST(CAST(COALESCE(sv, CAST(0 AS DECIMAL(12,4))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_click_value
+        |FROM r WHERE side = 0
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     // same division-free cross-multiplied thresholds; widened decimal
     // products (the DuckDB int64 multiply trap), VARCHAR-routed doubles

@@ -334,6 +334,23 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Keyed pseudonymization preserving referential integrity: customer
+    // names become salted md5 tokens, and the orders join + group-by
+    // still computes correctly ON the pseudonymized key — the PII
+    // control that keeps joins alive where redaction would kill them.
+    "pii_pseudonymize" -> ((s, d) => {
+      val cust = graft.operators.Scrub.pseudonymize(
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        Seq("c_name"), salt = "k1")
+      Tables.orders(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("c_nationkey")).as("c_nationkey"))
+        .orderBy(col("c_name"))
+    }),
+
     // PII scrub over text + a deterministic doc_id-derived PII footer
     // (the fixtures' text is pure words; the footer plants one email,
     // one IPv4, and one long digit run per doc so every rule fires)
@@ -865,6 +882,18 @@ object PrepOps {
          |WHERE CAST(n_inter AS DOUBLE) / (tc.n + ec.n - n_inter) >= 0.5
          |ORDER BY train_id, eval_id""".stripMargin,
     "quality_repetition" -> repetitionOracle,
+    "pii_pseudonymize" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    'p_' || substring(md5('k1:' || c_name), 1, 16) AS c_name,
+        |    c_nationkey
+        |  FROM customer
+        |)
+        |SELECT c_name, COUNT(*) AS n_orders,
+        |  MAX(c_nationkey) AS c_nationkey
+        |FROM orders JOIN c ON o_custkey = c_custkey
+        |GROUP BY c_name ORDER BY c_name""".stripMargin,
+
     "pii_scrub" -> piiOracle,
     "sample_dsir_importance" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

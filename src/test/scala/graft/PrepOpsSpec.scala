@@ -455,6 +455,25 @@ class PrepOpsSpec extends SparkSpec {
     one.foreach(r => assert(r.getDecimal(2) == r.getDecimal(3)))
   }
 
+  test("pseudonymize: cross-table consistency, salt rotation unlinks, " +
+      "NULL passes, collisions none on distinct inputs") {
+    val a = Seq((1L, Option("alice")), (2L, Option("bob")),
+      (3L, None)).toDF("id", "name")
+    val b = Seq((10L, "alice"), (11L, "carol")).toDF("id", "name")
+    val pa = Scrub.pseudonymize(a, Seq("name"), "s1")
+      .select("id", "name").as[(Long, Option[String])].collect().toMap
+    val pb = Scrub.pseudonymize(b, Seq("name"), "s1")
+      .select("id", "name").as[(Long, Option[String])].collect().toMap
+    // same value, same salt -> same token across tables
+    assert(pa(1L) == pb(10L) && pa(1L).get.startsWith("p_"))
+    assert(pa(3L).isEmpty) // NULL stays NULL
+    assert(pa(1L) != pa(2L) && pb(10L) != pb(11L))
+    // a different salt unlinks every token
+    val rot = Scrub.pseudonymize(a, Seq("name"), "s2")
+      .select("id", "name").as[(Long, Option[String])].collect().toMap
+    assert(rot(1L) != pa(1L) && rot(2L) != pa(2L))
+  }
+
   test("rollingOriginSegments: exact equi-count, time-ordered, " +
       "non-interleaving, stable under repartition") {
     val df = (1L to 103L).map(i => (i, (i * 7919) % 1000)).toDF("id", "ts")
