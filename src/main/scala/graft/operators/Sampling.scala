@@ -246,6 +246,39 @@ object Sampling {
       .select(col("id"), col("source"), col("value"), col("normalized"))
   }
 
+  /** Weighted exact-k sampling without replacement — the
+    * Efraimidis–Spirtakis (2006) A-ES scheme, deterministic: each row
+    * draws u = its md5 32-bit hash (uniform over [1, 2³²]) and ranks by
+    * u^(1/w); the top k ranks win, giving inclusion odds proportional
+    * to weight with EXACTLY k survivors — the slot [[ppsKeep]]
+    * (weighted, Bernoulli, inexact k) and [[reservoirK]] (exact k,
+    * unweighted) both leave open.
+    *
+    * With u/2³² uniform on (0,1], maximizing u^(1/w) is minimizing
+    * (32 − log2 u)/w, held in fixed point as the POSITIVE key
+    * ((32·2²⁰ − log2_fp(u))·2²⁰) div w — positive integer division, so
+    * truncation equals floor in every engine (a negative-numerator key
+    * would split on Spark-truncates vs DuckDB-floors) and the selection
+    * is bit-deterministic (quantization: keys collide only within 2⁻²⁰
+    * of log-ratio, broken by id). One TakeOrdered bottom-k, no shuffle
+    * beyond it; weights must be positive integers (scale rationals
+    * up). */
+  def weightedSampleK(df: DataFrame, id: Column, weight: Column, k: Int)
+      : DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import graft.functions.FixedLogFunctions.log2_fp
+    val u = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") + 1L
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("__es_l", log2_fp(u))
+      .withColumn("__es_w", weight.cast("long"))
+      .withColumn("__es_key",
+        expr("((33554432 - __es_l) * 1048576) div __es_w"))
+      .orderBy(col("__es_key"), id)
+      .limit(k)
+      .drop("__es_l", "__es_w", "__es_key")
+  }
+
   /** Rolling-origin (expanding-window) cross-validation segments — the
     * time-series CV protocol (Tashman 2000): rows rank into `folds`
     * time-ordered EQUI-COUNT segments; evaluation fold f trains on

@@ -254,6 +254,19 @@ object MlOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Weighted exact-k sample of orders, inclusion odds proportional to
+    // order value (Efraimidis-Spirtakis in fixed point) — the weighted
+    // slot between Bernoulli PPS (inexact k) and reservoirK (unweighted).
+    "sample_weighted_k" -> ((s, d) => {
+      graft.operators.Sampling.weightedSampleK(
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice")),
+          col("o_orderkey"),
+          (money(col("o_totalprice")) * 100).cast("long"), k = 100)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Rolling-origin CV segments over the event stream: 5 time-ordered
     // equi-count segments; the readout pins exact sizes and that
     // segment time ranges never interleave (causality).
@@ -973,6 +986,30 @@ object MlOps {
          |)
          |SELECT query_id, rank, neg_id FROM rk WHERE rank <= 2
          |ORDER BY query_id, rank""".stripMargin,
+
+    // same positive fixed-point E-S key through the shared log CTE
+    "sample_weighted_k" -> {
+      val u32 = graft.operators.Sampling.hashU32Sql("h")
+      s"""WITH RECURSIVE src AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT)
+         |      AS wt,
+         |    md5(CAST(o_orderkey AS VARCHAR)) AS h
+         |  FROM orders
+         |), wu AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice, wt,
+         |    $u32 + 1 AS u
+         |  FROM src WHERE wt > 0
+         |), xs AS (SELECT DISTINCT u AS x FROM wu),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |keyed AS (
+         |  SELECT wu.o_orderkey, wu.o_custkey, wu.o_totalprice,
+         |    ((33554432 - lg.l) * 1048576) // wt AS k
+         |  FROM wu JOIN lg ON wu.u = lg.x
+         |)
+         |SELECT o_orderkey, o_custkey, o_totalprice FROM keyed
+         |ORDER BY k, o_orderkey LIMIT 100""".stripMargin
+    },
 
     // same 0-based Bresenham segment rule over the (ts, id) global rank
     "ml_rolling_origin" ->

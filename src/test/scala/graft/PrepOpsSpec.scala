@@ -455,6 +455,25 @@ class PrepOpsSpec extends SparkSpec {
     one.foreach(r => assert(r.getDecimal(2) == r.getDecimal(3)))
   }
 
+  test("weightedSampleK: exactly k, heavy weights dominate, zero/null " +
+      "weights excluded, stable under repartition") {
+    val df = (1L to 1000L).map(i =>
+      (i, if (i <= 500) 100L else 1L)).toDF("id", "w")
+    val got = Sampling.weightedSampleK(df, $"id", $"w", k = 50)
+      .as[(Long, Long)].collect()
+    assert(got.length == 50)
+    // 100x weight ratio: the 500 heavy rows should own nearly every slot
+    assert(got.count(_._2 == 100L) >= 45)
+    val degenerate = Seq((1L, Option(5L)), (2L, None), (3L, Option(0L)))
+      .toDF("id", "w")
+    val d = Sampling.weightedSampleK(degenerate, $"id", $"w", 10)
+      .as[(Long, Option[Long])].collect()
+    assert(d.map(_._1).toSeq == Seq(1L)) // only the positive weight
+    val again = Sampling.weightedSampleK(df.repartition(9), $"id", $"w",
+      50).as[(Long, Long)].collect()
+    assert(got.map(_._1).sorted.sameElements(again.map(_._1).sorted))
+  }
+
   test("pseudonymize: cross-table consistency, salt rotation unlinks, " +
       "NULL passes, collisions none on distinct inputs") {
     val a = Seq((1L, Option("alice")), (2L, Option("bob")),
