@@ -254,6 +254,30 @@ object MlOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Freshness / completeness monitor per event source: lag of each
+    // source's newest row behind the globally newest, last-day volume,
+    // and a staleness flag — the ingestion-health readout a pipeline
+    // checks before training on "current" data. Exact nanos integers.
+    "profile_freshness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val g = ev.agg(max(col("ts")).as("__gmax"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), max(col("ts")).as("max_ts"))
+        .crossJoin(broadcast(g))
+        .join(
+          ev.crossJoin(broadcast(g))
+            .where(col("ts") > col("__gmax") - lit(86400000000000L))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_last_day")),
+          Seq("event_type"), "left")
+        .select(col("event_type"), col("n_rows"), col("max_ts"),
+          (col("__gmax") - col("max_ts")).as("lag_ns"),
+          coalesce(col("n_last_day"), lit(0L)).as("n_last_day"),
+          (col("__gmax") - col("max_ts") > 86400000000000L)
+            .as("stale"))
+        .orderBy(col("event_type"))
+    }),
+
     // Weighted exact-k sample of orders, inclusion odds proportional to
     // order value (Efraimidis-Spirtakis in fixed point) — the weighted
     // slot between Bernoulli PPS (inexact k) and reservoirK (unweighted).
@@ -986,6 +1010,27 @@ object MlOps {
          |)
          |SELECT query_id, rank, neg_id FROM rk WHERE rank <= 2
          |ORDER BY query_id, rank""".stripMargin,
+
+    // same integer-nanos lag arithmetic over epoch_us * 1000
+    "profile_freshness" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) * 1000 AS t FROM events
+        |), g AS (SELECT MAX(t) AS gmax FROM e),
+        |per AS (
+        |  SELECT event_type, COUNT(*) AS n_rows,
+        |    CAST(MAX(t) AS BIGINT) AS max_ts
+        |  FROM e GROUP BY event_type
+        |), ld AS (
+        |  SELECT event_type, COUNT(*) AS n_last_day
+        |  FROM e CROSS JOIN g WHERE t > gmax - 86400000000000
+        |  GROUP BY event_type
+        |)
+        |SELECT per.event_type, per.n_rows, per.max_ts,
+        |  CAST(gmax - per.max_ts AS BIGINT) AS lag_ns,
+        |  CAST(COALESCE(ld.n_last_day, 0) AS BIGINT) AS n_last_day,
+        |  (gmax - per.max_ts > 86400000000000) AS stale
+        |FROM per CROSS JOIN g LEFT JOIN ld USING (event_type)
+        |ORDER BY per.event_type""".stripMargin,
 
     // same positive fixed-point E-S key through the shared log CTE
     "sample_weighted_k" -> {
