@@ -475,4 +475,36 @@ class PlanSpec extends SparkSpec {
     // final cut is top-k, not a global sort
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("target encoding broadcasts category stats — never the window " +
+      "form the oracle replays") {
+    val p = plan("ml_target_encode")
+    assert(p.contains("BroadcastHashJoin"))
+    // the whole point of the operator: no full-fact-table window sort
+    assert(!p.contains("windowspecdefinition"))
+  }
+
+  test("feature standardization is one stats pass + map-only transform") {
+    val p = plan("ml_feature_scale")
+    assert(!p.contains("windowspecdefinition"))
+    // the one-row stats frame arrives by broadcast, not shuffle
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("partial_count"))
+  }
+
+  test("negative sampling caps draws per query before the rank shuffle") {
+    val p = plan("ml_negative_sample")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("bootstrap replicas aggregate map-side before the shuffle") {
+    val p = plan("ml_bootstrap_ci")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("weighted exact-k sampling is a TakeOrdered cut, not a global " +
+      "sort") {
+    val p = plan("sample_weighted_k")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
