@@ -114,4 +114,42 @@ object Packing {
           array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
           x => x.getField("chunk_text")),
         " ").as("text"))
+
+  /** Skip-gram (target, context) pair generation from ordered event/
+    * token sequences — the training-data op behind word2vec/item2vec
+    * embeddings (Mikolov et al. 2013): within each `key`'s sequence
+    * (ordered by `order`, ties to `item`), every pair at positional
+    * distance 1..`window` is emitted in BOTH directions with its
+    * distance.
+    *
+    * Scale shape: positions come from a per-key rank window, then ONE
+    * equi-join on (key, pos + offset) after a 1..window offset explode
+    * — |rows|·window join rows, never a per-key cross product; both
+    * directions come from the same joined row. Output:
+    * (key named `keyName`, target, context, distance). */
+  def skipGramPairs(df: DataFrame, key: Column, order: Column,
+      item: Column, window: Int, keyName: String = "key"): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val ranked = df.select(key.as(keyName), order.as("__o"),
+        item.as("__it"))
+      .where(col(keyName).isNotNull && col("__o").isNotNull &&
+        col("__it").isNotNull)
+      .withColumn("__pos", row_number().over(Window
+        .partitionBy(col(keyName)).orderBy(col("__o"), col("__it"))))
+      .select(col(keyName), col("__pos"), col("__it"))
+    val lhs = ranked
+      .withColumn("__off",
+        explode(sequence(lit(1), lit(window))))
+      .select(col(keyName), (col("__pos") + col("__off")).as("__pos2"),
+        col("__it").as("__a"), col("__off"))
+    val joined = lhs.join(
+      ranked.select(col(keyName), col("__pos").as("__pos2"),
+        col("__it").as("__b")),
+      Seq(keyName, "__pos2"))
+    joined.select(col(keyName), col("__a").as("target"),
+        col("__b").as("context"), col("__off").as("distance"))
+      .unionByName(joined.select(col(keyName),
+        col("__b").as("target"), col("__a").as("context"),
+        col("__off").as("distance")))
+  }
 }

@@ -254,6 +254,19 @@ object MlOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Skip-gram (target, context) pair counts from per-user event
+    // sequences, window 2 — the item2vec/word2vec training-pair
+    // generator; one offset-explode equi-join, never a per-key cross
+    // product. Aggregated counts gate every pair emission.
+    "ml_skipgram_pairs" -> ((s, d) => {
+      graft.operators.Packing.skipGramPairs(
+          Tables.events(s, d), col("user_id"), col("ts"),
+          col("event_type"), window = 2, keyName = "user_id")
+        .groupBy(col("target"), col("context"), col("distance"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("target"), col("context"), col("distance"))
+    }),
+
     // Freshness / completeness monitor per event source: lag of each
     // source's newest row behind the globally newest, last-day volume,
     // and a staleness flag — the ingestion-health readout a pipeline
@@ -1010,6 +1023,31 @@ object MlOps {
          |)
          |SELECT query_id, rank, neg_id FROM rk WHERE rank <= 2
          |ORDER BY query_id, rank""".stripMargin,
+
+    // rank + offset self-join replay, both directions unioned
+    "ml_skipgram_pairs" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) * 1000 AS t, event_type AS it
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), rk AS (
+        |  SELECT user_id, it,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, it)
+        |      AS pos
+        |  FROM e
+        |), offs AS (SELECT unnest(generate_series(1, 2)) AS off),
+        |j AS (
+        |  SELECT a.it AS ta, b.it AS tb, o.off AS distance
+        |  FROM rk a CROSS JOIN offs o
+        |  JOIN rk b ON a.user_id = b.user_id AND a.pos + o.off = b.pos
+        |), pairs AS (
+        |  SELECT ta AS target, tb AS context, distance FROM j
+        |  UNION ALL
+        |  SELECT tb, ta, distance FROM j
+        |)
+        |SELECT target, context, distance, COUNT(*) AS n_pairs
+        |FROM pairs GROUP BY target, context, distance
+        |ORDER BY target, context, distance""".stripMargin,
 
     // same integer-nanos lag arithmetic over epoch_us * 1000
     "profile_freshness" ->

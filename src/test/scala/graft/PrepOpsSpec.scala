@@ -455,6 +455,26 @@ class PrepOpsSpec extends SparkSpec {
     one.foreach(r => assert(r.getDecimal(2) == r.getDecimal(3)))
   }
 
+  test("skipGramPairs: hand-computed pairs, window truncation at " +
+      "sequence edges, symmetric emission, keys never mix") {
+    // user 1 sequence: A B C D; window 2
+    val df = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"),
+      (1L, 4L, "D"), (2L, 1L, "X"), (2L, 2L, "Y")).toDF("u", "t", "it")
+    val pairs = graft.operators.Packing.skipGramPairs(df, $"u", $"t",
+        $"it", window = 2, keyName = "u")
+      .as[(Long, String, String, Int)].collect().toSeq
+    val u1 = pairs.filter(_._1 == 1L).map(p => (p._2, p._3, p._4)).sorted
+    // forward: (A,B,1)(B,C,1)(C,D,1)(A,C,2)(B,D,2) + reversals
+    val fwd = Seq(("A","B",1),("B","C",1),("C","D",1),("A","C",2),
+      ("B","D",2))
+    val want = (fwd ++ fwd.map(p => (p._2, p._1, p._3))).sorted
+    assert(u1 == want)
+    // user 2: only the adjacent pair, both directions, never cross-user
+    val u2 = pairs.filter(_._1 == 2L).map(p => (p._2, p._3, p._4)).sorted
+    assert(u2 == Seq(("X","Y",1),("Y","X",1)).sorted)
+    assert(!pairs.exists(p => Set(p._2, p._3) == Set("D", "X")))
+  }
+
   test("weightedSampleK: exactly k, heavy weights dominate, zero/null " +
       "weights excluded, stable under repartition") {
     val df = (1L to 1000L).map(i =>
