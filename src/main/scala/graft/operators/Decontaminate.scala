@@ -103,6 +103,42 @@ object Decontaminate {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * graded form of [[overlapReport]] and the memorization-risk audit
+    * (Lee et al. 2022 motivate it: training data already public in a
+    * reference set teaches little and raises regurgitation risk):
+    * novelty = 1 − |doc's distinct k-grams ∩ reference| / |doc's
+    * distinct k-grams|. Low-novelty docs are near-copies of reference
+    * material even when no single shingle pair crosses a dedup
+    * threshold.
+    *
+    * One distinct pass over the train shingles feeds BOTH counts (the
+    * denominator needs it anyway — unlike overlapReport, which can
+    * defer dedup to the hit sliver); the reference side broadcasts as
+    * a distinct shingle set. Docs with fewer than k tokens have no
+    * shingles: novelty NULL. Output: (__id, n_shingles, n_known,
+    * novelty). */
+  def noveltyReport(train: DataFrame, ref: DataFrame, id: Column,
+      text: Column, k: Int): DataFrame = {
+    val sh = train.select(id.as("__id"),
+        explode(TextAnalysis.shingles(text, k)).as("shingle"))
+      .distinct()
+    val tot = sh.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val known = sh.join(broadcast(evalShingles(ref, text, k)), "shingle")
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_known"))
+    train.select(id.as("__id"))
+      .join(tot, Seq("__id"), "left")
+      .join(known, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"))
+      .withColumn("novelty",
+        when(col("n_shingles") > 0,
+          lit(1.0d) - col("n_known").cast("double") /
+            col("n_shingles").cast("double")))
+  }
+
   /** Bloom-filter cleaning for eval sets too big to broadcast as a
     * shingle TABLE: the eval shingles aggregate into a fixed-size bloom
     * filter (~1.2 MB per 1M shingles at 1% fpp — size independent of

@@ -169,6 +169,20 @@ object PrepOps {
   val defs: Map[String, Q] = Map(
     // benchmark decontamination: training docs flagged by word-4-gram
     // overlap with the (hash-bucket-derived) eval set
+    // Per-document n-gram novelty against the already-public reference
+    // slice (source src0): the memorization-risk grade — near-copies of
+    // reference material score low even when no dedup threshold fires.
+    "text_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontaminate.noveltyReport(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          col("doc_id"), col("text"), k = 3)
+        .select(col("__id").as("doc_id"), col("n_shingles"),
+          col("n_known"), col("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_decontaminate" -> ((s, d) => {
       val (train, eval_) = evalSplit(s, d)
       Decontaminate.overlapReport(train, eval_, col("doc_id"), col("text"),
@@ -857,6 +871,33 @@ object PrepOps {
     },
     "quality_corpus_freq" -> corpusFreqOracle,
     "length_buckets" -> lengthBucketsOracle,
+    "text_novelty" ->
+      s"""WITH tr AS (
+         |  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+         |), rf AS (SELECT text FROM documents WHERE source = 'src0'),
+         |ts AS (
+         |  SELECT DISTINCT doc_id, UNNEST(${TextDedup.duckShingles})
+         |    AS shingle
+         |  FROM tr
+         |), rs AS (
+         |  SELECT DISTINCT UNNEST(${TextDedup.duckShingles}) AS shingle
+         |  FROM rf
+         |), tot AS (
+         |  SELECT doc_id, COUNT(*) AS n_shingles FROM ts GROUP BY doc_id
+         |), kn AS (
+         |  SELECT ts.doc_id, COUNT(*) AS n_known
+         |  FROM ts JOIN rs USING (shingle) GROUP BY ts.doc_id
+         |)
+         |SELECT tr.doc_id,
+         |  CAST(COALESCE(tot.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(kn.n_known, 0) AS BIGINT) AS n_known,
+         |  CASE WHEN COALESCE(tot.n_shingles, 0) > 0
+         |    THEN CAST(1.0 AS DOUBLE)
+         |      - CAST(COALESCE(kn.n_known, 0) AS DOUBLE)
+         |        / CAST(tot.n_shingles AS DOUBLE) END AS novelty
+         |FROM tr LEFT JOIN tot USING (doc_id) LEFT JOIN kn USING (doc_id)
+         |ORDER BY tr.doc_id""".stripMargin,
+
     "text_decontaminate" -> decontaminateOracle,
     "text_decontaminate_fuzzy" ->
       s"""WITH hx AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h

@@ -660,7 +660,7 @@ object TextDedup {
 
   // DuckDB-side shingle expression: word 3-grams from 1-based list math,
   // empty for docs with < 3 tokens (mirrors TextAnalysis.shingles).
-  private val duckShingles =
+  private[queries] val duckShingles =
     """list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
       |    i -> string_split(text,' ')[i] || ' ' ||
       |         string_split(text,' ')[i+1] || ' ' ||

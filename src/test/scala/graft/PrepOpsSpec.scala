@@ -455,6 +455,28 @@ class PrepOpsSpec extends SparkSpec {
     one.foreach(r => assert(r.getDecimal(2) == r.getDecimal(3)))
   }
 
+  test("noveltyReport: exact copy scores 0, disjoint text scores 1, " +
+      "partial overlap counts distinct shingles once") {
+    val ref = Seq((0L, "the quick brown fox jumps over dogs"))
+      .toDF("id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over dogs"), // exact copy
+      (2L, "completely different words entirely here now"),
+      // shares exactly the shingle "quick brown fox" (twice — distinct
+      // counting must see it once)
+      (3L, "quick brown fox and quick brown fox again"),
+      (4L, "too few")).toDF("id", "text") // < 3 tokens: no shingles
+    val m = Decontaminate.noveltyReport(train, ref, col("id"),
+        col("text"), k = 3)
+      .select("__id", "n_shingles", "n_known", "novelty")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m(1L)._4.contains(0.0))
+    assert(m(2L)._3 == 0L && m(2L)._4.contains(1.0))
+    assert(m(3L)._3 >= 1L && m(3L)._4.exists(v => v > 0 && v < 1))
+    assert(m(4L)._2 == 0L && m(4L)._4.isEmpty)
+  }
+
   test("skipGramPairs: hand-computed pairs, window truncation at " +
       "sequence edges, symmetric emission, keys never mix") {
     // user 1 sequence: A B C D; window 2
