@@ -228,4 +228,40 @@ object Encoding {
     out.drop(features.flatMap { case (n, _) =>
       Seq(s"__n_$n", s"__s_$n", s"__q_$n") }: _*)
   }
+
+  /** Signed hashing-trick text vectorization (Weinberger et al. 2009,
+    * "Feature hashing for large scale multitask learning"): each token
+    * hashes to a bucket in [0, dim) and a sign ±1 from an independent
+    * hash bit; the feature value is the SIGNED occurrence count, so
+    * colliding tokens cancel in expectation instead of piling up — the
+    * unbiased estimator that lets `dim` stay fixed while the vocabulary
+    * is unbounded (no vocabulary pass, no dictionary to broadcast,
+    * nothing to retrain when new tokens appear — exactly what a 100 TB
+    * crawl needs).
+    *
+    * Output is the SPARSE long form (id, bucket, value), one row per
+    * touched bucket — the layout a distributed trainer joins/aggregates
+    * on; densify downstream only if dim is small. Bucket = first 8 md5
+    * nibbles of the token mod dim; sign = parity of nibble 9 (an
+    * independent hex digit of the same digest) — both cross-engine
+    * replayable, so the whole feature matrix is hash-exact against the
+    * SQL oracle. One token explode + one (id, bucket) partial-agg
+    * shuffle; zero-sum buckets (exact collision cancellation) are kept:
+    * dropping them would make presence depend on collision luck. */
+  def hashingTrick(df: DataFrame, idCol: String, text: Column, dim: Int)
+      : DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val tok = df.select(col(idCol),
+        explode(split(text, " ")).as("__t"))
+      .where(length(col("__t")) > 0)
+    val h = md5(col("__t"))
+    tok
+      .withColumn("bucket",
+        conv(substring(h, 1, 8), 16, 10).cast("long") % dim)
+      .withColumn("__sgn",
+        when(conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sgn")).cast("bigint").as("value"))
+  }
 }

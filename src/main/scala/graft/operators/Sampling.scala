@@ -403,6 +403,71 @@ object Sampling {
       .select(col("query_id"), col("rank"), col("neg_id"))
   }
 
+  /** Epoch-deterministic global training-order shuffle — the "reshuffle
+    * the corpus every epoch" step of a training loader, with no RNG
+    * state to carry: the permutation IS the md5 order of `epoch:id`, so
+    * any engine, any re-run, and any cluster size derives the identical
+    * order, and epoch e+1's order is independent of epoch e's without
+    * materializing either (the loader never stores a permutation for a
+    * 100 TB corpus; it recomputes the keys).
+    *
+    * Rows land in `shards` output shards (shard = hash(id) under the
+    * epoch salt, mod shards) and get a dense 0-based `pos` within their
+    * shard — the physical layout a sharded loader consumes: shard files
+    * read sequentially, order within file = sample order. One hash
+    * exchange on the shard key plus a per-shard sort; no global sort
+    * and no one-partition window (the window partitions BY shard, so
+    * parallelism = shard count — size shards to the cluster). 128-bit
+    * hex collisions break by id. */
+  def epochShuffle(df: DataFrame, id: Column, epoch: Int, shards: Int)
+      : DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val h = md5(concat(lit(s"$epoch:"), id.cast("string")))
+    df.withColumn("__eh", h)
+      .withColumn("shard",
+        conv(substring(col("__eh"), 1, 8), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__eh"), id))
+        .cast("long") - 1L)
+      .drop("__eh")
+  }
+
+  /** Grouped k-fold assignment — cross-validation hygiene when rows
+    * cluster under an entity (user, document, session): every row of a
+    * group lands in the SAME fold, fold = content-hash of the group
+    * key, so no group straddles a train/eval boundary and entity-level
+    * leakage is structurally impossible (scikit-learn's GroupKFold
+    * protocol, hash-assigned instead of size-balanced — the price of
+    * determinism under appends). Same cross-engine md5 bucket as
+    * [[hashSplit]]: map-only, stable across runs/engines/appends. Adds
+    * a 0-based long `fold`. */
+  def groupKFold(df: DataFrame, group: Column, k: Int): DataFrame = {
+    require(k >= 2, s"need >= 2 folds: $k")
+    df.withColumn("fold", hashBucket(group, k))
+  }
+
+  /** Curriculum ordering — arrange the corpus easiest-first for
+    * curriculum training (Bengio et al. 2009): rows rank into `stages`
+    * exact equi-count difficulty stages ([[Profiling.exactBucket]]'s
+    * range-partitioned global rank — no one-partition NTILE), and
+    * within a stage the order is the [[epochShuffle]] hash of
+    * `epoch:id` (so each epoch re-shuffles within stages while the
+    * stage ramp stays fixed). `pos` is the dense 0-based GLOBAL
+    * curriculum position, from the distributed zipWithIndex rank over
+    * (stage, hash, id) — two range exchanges and a count job, no global
+    * sort through one partition. Adds `stage` (1-based) and `pos`. */
+  def curriculumOrder(df: DataFrame, id: Column, difficulty: Column,
+      stages: Int, epoch: Int): DataFrame = {
+    require(stages >= 1, s"stages must be positive: $stages")
+    val staged = Profiling.exactBucket(df, difficulty, Seq(id), stages,
+      "stage")
+    val h = md5(concat(lit(s"$epoch:"), id.cast("string")))
+    Ids.denseGlobalRowNumber(staged.withColumn("__ch", h),
+        Seq(col("stage"), col("__ch"), id), "pos")
+      .drop("__ch")
+  }
+
   def hashBucketSql(idExpr: String, buckets: Int = 100): String =
     s"(${hashU32Sql(idExpr)} % $buckets)"
 

@@ -596,6 +596,30 @@ object TextAnalysis {
       .drop("__wps", "__spw")
   }
 
+  /** Rule-based sentence segmentation: the pattern `[^.!?]+[.!?]*`
+    * consumes the text left-to-right so every character lands in
+    * exactly ONE match (terminal punctuation glued to its sentence, a
+    * trailing fragment kept as the last sentence) — segmentation is a
+    * partition of the text and loses nothing. No lookarounds, so the
+    * same pattern runs identically under Java regex and RE2 and the
+    * operator is fully oracle-checkable.
+    *
+    * Output: one row per non-blank sentence — (doc_id, sent_idx,
+    * sentence, n_chars), `sent_idx` the 1-based match ordinal in the
+    * original text (blank matches — e.g. trailing whitespace after a
+    * terminator — are dropped AFTER numbering, so indices always
+    * reflect textual position), `sentence` whitespace-trimmed. Map-only
+    * explode at any scale; downstream per-sentence dedup/quality runs
+    * on rows, not substrings. */
+  def sentences(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(coalesce(text, lit("")),
+          lit("[^.!?]+[.!?]*"), lit(0))).as(Seq("__p", "__s")))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("sent_idx"),
+        trim(col("__s")).as("sentence"))
+      .where(length(col("sentence")) > 0)
+      .withColumn("n_chars", length(col("sentence")).cast("long"))
+
   def rollingHash(s: String, window: Int): Array[Long] = {
     val Mod = (1L << 61) - 1
     val Base = 257L

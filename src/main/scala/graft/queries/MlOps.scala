@@ -367,6 +367,49 @@ object MlOps {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("z_qty"), col("z_price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Epoch-1 deterministic training shuffle of the document corpus
+    // into 8 shards: shard + dense within-shard position from the
+    // cross-engine md5 permutation — the whole epoch order is oracle-
+    // replayed row for row.
+    "ml_epoch_shuffle" -> ((s, d) => {
+      graft.operators.Sampling.epochShuffle(
+          Tables.documents(s, d).select(col("doc_id")),
+          col("doc_id"), epoch = 1, shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // Grouped 5-fold split of events by user: per-fold row/group
+    // counts; every user's rows land in one fold by construction.
+    "ml_group_kfold" -> ((s, d) => {
+      graft.operators.Sampling.groupKFold(
+          Tables.events(s, d), col("user_id"), k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("fold"))
+    }),
+
+    // Curriculum order over documents: 4 exact equi-count difficulty
+    // stages by n_chars, epoch-hash order within stage, dense global
+    // curriculum position — the easiest-first loader layout.
+    "ml_curriculum" -> ((s, d) => {
+      graft.operators.Sampling.curriculumOrder(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), stages = 4, epoch = 1)
+        .select(col("doc_id"), col("stage"), col("pos"))
+        .orderBy(col("pos"))
+    }),
+
+    // Signed hashing-trick vectorization of document text into 128
+    // buckets — the sparse (doc, bucket, signed count) feature matrix,
+    // bit-identical to the oracle's md5 replay.
+    "ml_feature_hash" -> ((s, d) => {
+      graft.operators.Encoding.hashingTrick(
+          Tables.documents(s, d), "doc_id", col("text"), dim = 128)
+        .orderBy(col("doc_id"), col("bucket"))
     })
   )
 
@@ -1218,6 +1261,74 @@ object MlOps {
         |    THEN (CAST(CAST(p4 AS VARCHAR) AS DOUBLE) - sp/np) / sqrt(vp)
         |  END AS z_price
         |FROM b CROSS JOIN v
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // same epoch salt, same md5 order, same shard modulus
+    "ml_epoch_shuffle" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, md5(concat('1:', CAST(doc_id AS VARCHAR))) AS h
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, h,
+         |    ${graft.operators.Sampling.hashU32Sql("h")} % 8 AS shard
+         |  FROM b
+         |)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |    - 1 AS BIGINT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "ml_group_kfold" ->
+      s"""WITH b AS (
+         |  SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+         |), f AS (
+         |  SELECT user_id,
+         |    ${graft.operators.Sampling.hashBucketSql("h", 5)} AS fold
+         |  FROM b
+         |)
+         |SELECT fold, COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+
+    // exactBucket replay (0-based global rank * stages // n) + the
+    // epoch-hash order within stage
+    "ml_curriculum" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |rk AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS r
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, CAST((r * 4) // n + 1 AS BIGINT) AS stage
+        |  FROM rk CROSS JOIN nn
+        |), hh AS (
+        |  SELECT doc_id, stage,
+        |    md5(concat('1:', CAST(doc_id AS VARCHAR))) AS h
+        |  FROM st
+        |)
+        |SELECT doc_id, stage,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY stage, h, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM hh ORDER BY pos""".stripMargin,
+
+    // same token md5: bucket from nibbles 1-8, sign from nibble 9
+    "ml_feature_hash" -> {
+      val nib9 = "CAST(ascii(substring(h,9,1)) - CASE WHEN " +
+        "ascii(substring(h,9,1)) >= 97 THEN 87 ELSE 48 END AS BIGINT)"
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(str_split(text, ' ')) AS t
+         |  FROM documents
+         |), nz AS (
+         |  SELECT doc_id, t, md5(t) AS h FROM tok WHERE length(t) > 0
+         |), b AS (
+         |  SELECT doc_id,
+         |    ${graft.operators.Sampling.hashU32Sql("h")} % 128 AS bucket,
+         |    CASE WHEN $nib9 % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM nz
+         |)
+         |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS value
+         |FROM b GROUP BY doc_id, bucket
+         |ORDER BY doc_id, bucket""".stripMargin
+    }
   )
 }

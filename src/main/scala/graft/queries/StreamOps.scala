@@ -229,6 +229,56 @@ object StreamOps {
         .orderBy(col("window_us"), col("event_type"))
     }),
 
+    // Streaming -> versioned lake, exactly-once end to end: the
+    // watermark-finalized hourly windows (append mode) flow through
+    // foreachBatch -> VersionedTable.appendBatch, which records the
+    // micro-batch id in the manifest and SKIPS an id some committed
+    // manifest already carries — each batch body also RE-DELIVERS
+    // itself once on purpose (the at-least-once retry foreachBatch
+    // allows) and asserts the replay lands as a no-op. The lake
+    // read-back must equal the batch aggregation filtered to windows
+    // the final watermark closed: a duplicated batch, a lost window,
+    // or a stats/manifest race all break the exact compare.
+    "stream_lake_sink" -> ((s, d) => {
+      val base = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-stream/lakesink-${new java.io.File(d).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      if (base.exists) rm(base)
+      val root = new java.io.File(base, "lake").toString
+      val agg = EventsPipeline.withEventTime(eventsStream(s, d))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,4)")).as("sum_dec"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("n_events"),
+          col("sum_dec").cast("double").as("sum_value"))
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, math.min(8, prevParts.toInt).toString)
+      val q = try agg.writeStream.outputMode("append")
+          .option("checkpointLocation",
+            new java.io.File(base, "ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.sinks.VersionedTable.appendBatch(b, root, id)
+            // the at-least-once redelivery, replayed deliberately:
+            // the same batch id must be skipped, never re-appended
+            require(graft.sinks.VersionedTable.appendBatch(b, root, id)
+              .isEmpty, s"batch $id re-delivery was not idempotent")
+            ()
+          }.start()
+        finally s.conf.set(partsKey, prevParts)
+      q.awaitTermination()
+      s.streams.resetTerminated()
+      graft.sinks.VersionedTable.read(s, root)
+        .orderBy(col("window_us"), col("event_type"))
+    }),
+
     // Streaming dropDuplicates keyed (user_id, event_type): the deduped
     // append stream, re-aggregated in batch, must equal COUNT(DISTINCT
     // user_id) per type — any duplicate leaked or first-occurrence lost
@@ -636,6 +686,24 @@ object StreamOps {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_us, event_type""".stripMargin,
+
+    // the batch aggregation, filtered to hourly windows the final
+    // watermark (max event time - 10 min) closed — append mode emits
+    // exactly these, and appendBatch must land them exactly once
+    "stream_lake_sink" ->
+      """WITH a AS (
+        |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      AS window_us,
+        |    event_type, COUNT(*) AS n_events,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT window_us, event_type, n_events, sum_value FROM a
+        |WHERE window_us + 3600000000 <=
+        |  (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 600000000
+        |   FROM events)
+        |ORDER BY window_us, event_type""".stripMargin,
 
     "stream_dedup_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users

@@ -608,6 +608,19 @@ object TextDedup {
     "text_keyphrases_rake" -> ((s, d) => {
       TextAnalysis.rakePhrases(Tables.documents(s, d), "doc_id",
         col("text"), stop = Seq("a", "the"), k = 20)
+    }),
+
+    // Rule-based sentence segmentation: the partition-of-the-text
+    // regexp, match ordinals preserved, blank matches dropped — the
+    // map-only explode that turns document-level cleaning into
+    // sentence-level rows. The fixture text carries no punctuation, so
+    // the query first derives it deterministically (a period after
+    // every 'table', word-boundary matched — replayable in Java regex
+    // and RE2 alike); segmentation itself is fully oracle-exact.
+    "text_sentences" -> ((s, d) => {
+      TextAnalysis.sentences(Tables.documents(s, d), "doc_id",
+          regexp_replace(col("text"), "\\btable\\b", "table."))
+        .orderBy(col("doc_id"), col("sent_idx"))
     })
   )
 
@@ -1364,6 +1377,29 @@ object TextDedup {
       s"""SELECT doc_id, md5(text) AS content_hash,
          |  list_aggregate(list_transform($duckShingles, s -> md5(s)), 'min')
          |    AS min_shingle_md5
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same left-to-right partition regexp, same 1-based ordinals, same
+    // trim-then-drop-blank rule
+    "text_sentences" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(coalesce(text, ''), '\btable\b', 'table.',
+        |      'g') AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(t, '[^.!?]+[.!?]*') AS l
+        |  FROM p
+        |), e AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS sent_idx,
+        |    unnest(l) AS s
+        |  FROM m
+        |)
+        |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+        |  trim(s) AS sentence,
+        |  CAST(length(trim(s)) AS BIGINT) AS n_chars
+        |FROM e WHERE length(trim(s)) > 0
+        |ORDER BY doc_id, sent_idx""".stripMargin
   )
 }

@@ -44,6 +44,54 @@ class PrepOpsSpec extends SparkSpec {
     assert(highRate > lowRate)
   }
 
+  test("epochShuffle: a permutation per epoch, dense per-shard order") {
+    val df = (1L to 500L).toDF("id")
+    val e1 = Sampling.epochShuffle(df, $"id", epoch = 1, shards = 8)
+      .select($"id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    // every row kept exactly once
+    assert(e1.map(_._1).sorted.toSeq == (1L to 500L))
+    // pos is dense 0..n-1 within each shard
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == rows.indices.map(_.toLong))
+    }
+    // deterministic across runs, different across epochs
+    val e1b = Sampling.epochShuffle(df, $"id", epoch = 1, shards = 8)
+      .select($"id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq == e1b.sortBy(_._1).toSeq)
+    val e2 = Sampling.epochShuffle(df, $"id", epoch = 2, shards = 8)
+      .select($"id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq != e2.sortBy(_._1).toSeq)
+  }
+
+  test("groupKFold: a group never straddles folds; k folds populated") {
+    val df = (1L to 3000L).map(i => (i, i % 97)).toDF("id", "grp")
+    val folds = Sampling.groupKFold(df, $"grp", k = 5)
+    val perGroup = folds.groupBy($"grp")
+      .agg(countDistinct($"fold").as("nf"))
+      .agg(max($"nf")).as[Long].head()
+    assert(perGroup == 1L, "a group landed in more than one fold")
+    assert(folds.select($"fold").distinct().count() == 5)
+  }
+
+  test("curriculumOrder: exact stage sizes, difficulty ramp, dense pos") {
+    val df = (1L to 400L).map(i => (i, 1000L - i)).toDF("id", "diff")
+    val out = Sampling.curriculumOrder(df, $"id", $"diff", stages = 4,
+        epoch = 1)
+      .select($"id", $"diff", $"stage", $"pos")
+      .as[(Long, Long, Long, Long)].collect()
+    // exact equi-count stages
+    assert(out.groupBy(_._3).view.mapValues(_.length).toMap ==
+      Map(1L -> 100, 2L -> 100, 3L -> 100, 4L -> 100))
+    // the ramp: every stage-s difficulty <= every stage-(s+1) difficulty
+    val maxByStage = out.groupBy(_._3).view.mapValues(_.map(_._2).max)
+    val minByStage = out.groupBy(_._3).view.mapValues(_.map(_._2).min)
+    (1L to 3L).foreach(s =>
+      assert(maxByStage(s) <= minByStage(s + 1)))
+    // pos is a dense global permutation ordered stage-major
+    assert(out.map(_._4).sorted.toSeq == (0L until 400L))
+    assert(out.sortBy(_._4).map(_._3).toSeq == out.map(_._3).sorted.toSeq)
+  }
+
   test("Scrub counts measure the text the rule actually saw (in order)") {
     // the email's digits are consumed by the email rule before the
     // digits rule runs — n_digits must not double-count them

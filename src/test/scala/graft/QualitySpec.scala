@@ -191,4 +191,33 @@ class QualitySpec extends SparkSpec {
     assert(r.getDouble(0) == 10.9 && r.getDouble(1) == 90.10000000000001)
     assert(r.getLong(2) == 10L && r.getLong(3) == 10L)
   }
+
+  test("sentences: partition of the text, ordinals pin position") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "Hello world. How are you? Fine! Trailing frag"),
+      (2L, "No terminator at all"),
+      (3L, "Ends clean."),
+      (4L, "Dots... then more.  "),
+      (5L, "")).toDF("doc_id", "t")
+    val out = TextAnalysis.sentences(docs, "doc_id", col("t"))
+      .select($"doc_id", $"sent_idx", $"sentence", $"n_chars")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(out(1L).map(_._3) ==
+      Seq("Hello world.", "How are you?", "Fine!", "Trailing frag"))
+    assert(out(1L).map(_._2) == Seq(1L, 2L, 3L, 4L))
+    assert(out(2L).map(_._3) == Seq("No terminator at all"))
+    assert(out(3L).map(_._3) == Seq("Ends clean."))
+    // "Dots..." consumes the ellipsis into one match; the trailing
+    // blank match after the final '.' is dropped but never renumbered
+    assert(out(4L).map(_._3) == Seq("Dots...", "then more."))
+    assert(out(4L).map(_._2) == Seq(1L, 2L))
+    assert(!out.contains(5L))
+    assert(out(1L).forall(r => r._4 == r._3.length.toLong))
+    // reversibility on the punctuated doc: matches concatenate (with
+    // the original inter-sentence whitespace trimmed) to the full text
+    assert(out(1L).map(_._3).mkString(" ") ==
+      "Hello world. How are you? Fine! Trailing frag")
+  }
 }
