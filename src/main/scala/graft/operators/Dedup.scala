@@ -780,6 +780,43 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Corpus-wide sentence dedup, FIRST OCCURRENCE KEPT (the
+    * RefinedWeb-style line-dedup rule, at sentence granularity via
+    * [[TextAnalysis.sentences]]): every later occurrence of an exact
+    * duplicate sentence is removed and each document reassembled from
+    * its surviving sentences in order. Contrast [[dropBoilerplateSpans]]
+    * — that rule deletes EVERY copy of a frequent span; this one always
+    * preserves one canonical copy (the globally first by (id, ordinal)),
+    * so information is never lost, only repetition.
+    *
+    * Returns (id, n_sents, n_kept, text_clean); text_clean is '' when
+    * every sentence of a doc appeared earlier elsewhere. Scale shape:
+    * sentence explode (map-only) -> first-occurrence cut as a
+    * rank-1-per-sentence window — Spark plans the rk=1 filter as
+    * WindowGroupLimit, one survivor candidate per partition BEFORE the
+    * sentence-keyed exchange, so the shuffle carries ~|distinct
+    * sentences|, not |occurrences| — -> groupBy(doc) reassembly. */
+  def dedupSentencesKeepFirst(df: DataFrame, idCol: String, text: Column)
+      : DataFrame = {
+    val sents = TextAnalysis.sentences(df, idCol, text)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sentence")).orderBy(col(idCol), col("sent_idx"))
+    val survivors = sents
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+    val rebuilt = survivors.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_idx"),
+            col("sentence")))),
+          x => x.getField("sentence")), " ").as("text_clean"))
+    sents.groupBy(col(idCol)).agg(count(lit(1)).as("n_sents"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Cross-document EXACT duplicate-substring spans (the "dedup exact
     * substrings" pass of LLM corpus prep, Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better"): every maximal character

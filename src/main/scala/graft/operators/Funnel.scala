@@ -58,4 +58,39 @@ object Funnel {
           .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"),
             col("n_entities"))
       }.reduce(_ unionAll _)
+
+  /** Top user-journey paths — the unsupervised sibling of the funnel
+    * (the funnel counts a PRESCRIBED sequence; this DISCOVERS the
+    * common ones): each entity's first `steps` events, in `order`,
+    * concatenated into a '>'-joined path string, then paths ranked by
+    * how many entities walked them. Entities with fewer than `steps`
+    * events contribute their full (shorter) path — prefixes and
+    * complete paths are distinct keys, and n_steps disambiguates.
+    *
+    * Returns top `k` rows of (path, n_steps, n_entities) by
+    * (n_entities desc, path). Scale shape: the rank<=steps cut plans
+    * as WindowGroupLimit (≤ steps candidate rows per entity per
+    * partition cross the entity exchange, not the entity's whole
+    * history); reassembly is one groupBy(entity); the final cut is
+    * TakeOrderedAndProject over |distinct paths| — bounded by
+    * |types|^steps, not the corpus. `order` must end in a unique
+    * tiebreaker (event id) or first-k membership is nondeterministic. */
+  def topPaths(events: DataFrame, entity: String, typeCol: String,
+      order: Seq[Column], steps: Int, k: Int): DataFrame = {
+    require(steps >= 1 && k >= 1, s"need steps, k >= 1: $steps $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entity)).orderBy(order: _*)
+    events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= steps)
+      .groupBy(col(entity))
+      .agg(count(lit(1)).as("n_steps"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__rn"), col(typeCol)))),
+          x => x.getField(typeCol)), ">").as("path"))
+      .groupBy(col("path"), col("n_steps"))
+      .agg(count(lit(1)).as("n_entities"))
+      .orderBy(col("n_entities").desc, col("path"))
+      .limit(k)
+  }
 }

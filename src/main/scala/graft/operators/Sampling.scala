@@ -279,6 +279,23 @@ object Sampling {
       .drop("__es_l", "__es_w", "__es_key")
   }
 
+  /** Exact class balancing — downsample every label class to the
+    * MINORITY class size, the standard rebalance before training on
+    * skewed labels: per-class keeps are the first min-count rows in the
+    * deterministic md5 order ([[capPerGroup]]'s draw protocol), so the
+    * balanced set is stable across runs/engines/appends-of-majority
+    * (new majority rows rank after existing keeps; only new MINORITY
+    * rows shift the cut). One bounded driver action (the min class
+    * count — a single long), then one group-keyed window; the rank <= k
+    * cut plans as WindowGroupLimit, k survivors per partition before
+    * the exchange. */
+  def classBalance(df: DataFrame, id: Column, label: Column): DataFrame = {
+    val k = df.groupBy(label).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).head().getLong(0)
+    require(k > 0 && k <= Int.MaxValue, s"degenerate class floor: $k")
+    capPerGroup(df, id, label, k.toInt)
+  }
+
   /** Rolling-origin (expanding-window) cross-validation segments — the
     * time-series CV protocol (Tashman 2000): rows rank into `folds`
     * time-ordered EQUI-COUNT segments; evaluation fold f trains on
@@ -431,6 +448,45 @@ object Sampling {
           .partitionBy(col("shard")).orderBy(col("__eh"), id))
         .cast("long") - 1L)
       .drop("__eh")
+  }
+
+  /** Deterministic weighted source interleave — the LOAD-TIME mixing
+    * schedule of a training pipeline: given per-source integer weights,
+    * produce one merged global order in which sources appear in weight
+    * proportion over EVERY prefix, not just in expectation. This is
+    * weighted fair queuing's virtual-finish-time schedule (Demers,
+    * Keshav & Shenker 1989) applied to corpus mixing: row r (0-based,
+    * in [[epochShuffle]]'s md5 order within its source) gets virtual
+    * time vt = ((r+1) · 2²⁰) div w, and the merged order sorts by
+    * (vt, source, id) — a source with twice the weight fires twice as
+    * often, interleaved, never batched. Contrast [[weightedKeep]]
+    * (which SUBSAMPLES to a mixture) — this op keeps every row and
+    * ORDERS the stream, so one pass over the merged order realizes the
+    * mixture at any cut-off.
+    *
+    * All-integer (floor divisions of positive ints), so the schedule
+    * is bit-identical cross-engine. Per-source rank is one window
+    * partitioned by source; the global position is the distributed
+    * zipWithIndex rank over (vt, source, id) — no one-partition sort.
+    * Unlisted sources get `defaultW`. Adds `vt` and a dense 0-based
+    * global `pos`. */
+  def interleaveByWeight(df: DataFrame, id: Column, source: Column,
+      weights: Map[String, Int], defaultW: Int = 1, epoch: Int = 1)
+      : DataFrame = {
+    require(defaultW > 0 && weights.values.forall(_ > 0),
+      s"weights must be positive: $weights / $defaultW")
+    val w = weights.foldLeft(lit(defaultW)) { case (acc, (src, wt)) =>
+      when(source === src, wt).otherwise(acc)
+    }
+    val h = md5(concat(lit(s"$epoch:"), id.cast("string")))
+    val r = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(source).orderBy(h, id)).cast("long")
+    val staged = df.withColumn("__w", w.cast("long"))
+      .withColumn("__r", r)
+      .withColumn("vt", expr("(__r * 1048576) div __w"))
+      .drop("__w", "__r")
+    Ids.denseGlobalRowNumber(staged, Seq(col("vt"), source, id), "pos")
   }
 
   /** Grouped k-fold assignment — cross-validation hygiene when rows

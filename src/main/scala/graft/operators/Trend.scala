@@ -185,4 +185,63 @@ object Trend {
       .agg(max(col("__n")).as("n_pairs"),
         (sum(col("__slope")) / count(lit(1))).as("slope"))
   }
+
+  /** Per-key lag-k autocorrelation of an integer series, EXACT — the
+    * seasonality/self-similarity readout (does Monday look like last
+    * Monday; is the metric mean-reverting). For lags 1..maxLag over a
+    * series ordered by `t`, reports the ACF as an integer RATIONAL
+    * instead of a float: multiplying the textbook estimator through by
+    * n² clears the mean, so
+    *   num(k) = Σ_{consecutive-rank pairs at distance k} (n·x_t − S)(n·x_{t+k} − S)
+    *   den    = Σ_t (n·x_t − S)²          (S = Σx over the key's series)
+    * and acf(k) = num/den with both sides exact DECIMAL(38,0) — engine-
+    * independent, so sign tests / threshold rules on the rational are
+    * hash-exact. Ranks (not raw t gaps) index the series: the caller
+    * aggregates to the grain FIRST (one row per key per period), and a
+    * missing period shortens the series rather than zero-filling —
+    * document the grain at the call site.
+    *
+    * Scale shape: the input is a PRE-AGGREGATED series (periods per
+    * key, not events), so every stage is over |keys|·|periods| rows:
+    * one rank window per key, one stats agg broadcast back, a maxLag
+    * fan-out (posexplode) + self-equi-join on (key, rank) for the
+    * lagged pairs. No window or join ever touches raw events. */
+  def autocorr(series: DataFrame, keyCols: Seq[String], t: Column,
+      x: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val keys = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(t)
+    val ranked = series
+      .select(keys :+ t.as("__t") :+
+        x.cast("decimal(38,0)").as("__x"): _*)
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keys: _*).orderBy(col("__t"))).cast("long"))
+    val stats = ranked.groupBy(keys: _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__x")).as("__S"))
+    // centered-by-n value: n*x - S (exact decimal)
+    val centered = ranked.join(stats, keyCols)
+      .select(keys :+ col("__r") :+
+        (col("__n") * col("__x") - col("__S")).as("__c") :+
+        col("__n"): _*)
+    val den = centered.groupBy(keys: _*)
+      .agg(sum(col("__c") * col("__c")).cast("decimal(38,0)").as("den"),
+        max(col("__n")).cast("bigint").as("n_periods"))
+    val probes = centered.select(keys :+ col("__c").as("__ca") :+
+      posexplode(array((1 to maxLag).map(l => col("__r") + l): _*))
+        .as(Seq("__p", "__rb")): _*)
+      .withColumn("lag", (col("__p") + 1).cast("int")).drop("__p")
+    val num = probes
+      .join(centered.select(keys :+ col("__r").as("__rb") :+
+          col("__c").as("__cb"): _*),
+        keyCols :+ "__rb")
+      .groupBy(keys :+ col("lag"): _*)
+      .agg(sum(col("__ca") * col("__cb")).cast("decimal(38,0)")
+        .as("num"), count(lit(1)).as("n_pairs"))
+    num.join(den, keyCols)
+      .select(keys ++ Seq(col("lag"), col("n_periods"), col("n_pairs"),
+        col("num"), col("den")): _*)
+  }
 }

@@ -450,6 +450,28 @@ object PrepOps {
         .orderBy(col("doc_id"))
     }),
 
+    // exact class balancing: a 4:2:1-skewed deterministic label, every
+    // class downsampled to the minority count under the md5 draw order
+    // — the kept id set oracle-checks exactly
+    "sample_class_balance" -> ((s, d) => {
+      val labeled = Tables.documents(s, d).withColumn("label",
+        when(col("doc_id") % 7 < 4, "a")
+          .when(col("doc_id") % 7 < 6, "b").otherwise("c"))
+      Sampling.classBalance(labeled, col("doc_id"), col("label"))
+        .select(col("doc_id"), col("label"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus-wide sentence dedup, first occurrence kept (RefinedWeb
+    // line-dedup at sentence granularity): punctuation first derived
+    // deterministically (period after every 'table'), then every later
+    // copy of a sentence removed and docs reassembled in order
+    "dedup_sentences_first" -> ((s, d) => {
+      Dedup.dedupSentencesKeepFirst(Tables.documents(s, d), "doc_id",
+          regexp_replace(col("text"), "\\btable\\b", "table."))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-level boilerplate-span removal (C4-style line dedup over
     // 3-token spans; spans in >= 5 distinct docs are dropped)
     "dedup_spans_corpus" -> ((s, d) => {
@@ -542,6 +564,20 @@ object PrepOps {
           expr("weight_x1e6 * 1000000 DIV __tw").as("share_x1e6"),
           expr("weight_x1e6 * 100000 DIV __tw").as("target_docs"))
         .orderBy(col("source"))
+    }),
+
+    // WFQ mixture schedule: the deterministic load-time interleave —
+    // src0 weighted 4x, src1 2x, the rest 1x; every source appears in
+    // weight proportion over every prefix of the merged order, and the
+    // whole schedule (virtual times + global positions) is integer-
+    // exact against the oracle replay.
+    "mix_interleave_schedule" -> ((s, d) => {
+      graft.operators.Sampling.interleaveByWeight(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          col("doc_id"), col("source"),
+          weights = Map("src0" -> 4, "src1" -> 2))
+        .select(col("doc_id"), col("source"), col("vt"), col("pos"))
+        .orderBy(col("pos"))
     }),
 
     // cross-source quantile normalization: each doc's length metric is
@@ -806,6 +842,63 @@ object PrepOps {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rk <= 8
         |ORDER BY doc_id""".stripMargin,
+
+    // same skewed label rule, same md5 per-class draw, cut at the
+    // minority class count
+    "sample_class_balance" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 < 4 THEN 'a'
+        |         WHEN doc_id % 7 < 6 THEN 'b' ELSE 'c' END AS label
+        |  FROM documents
+        |), k AS (
+        |  SELECT MIN(n) AS k FROM
+        |    (SELECT COUNT(*) AS n FROM l GROUP BY label)
+        |), r AS (
+        |  SELECT doc_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM l
+        |)
+        |SELECT doc_id, label FROM r, k WHERE rk <= k
+        |ORDER BY doc_id""".stripMargin,
+
+    // same partition-of-the-text segmentation as text_sentences, then
+    // rank-1-per-sentence by (doc_id, sent_idx) and in-order reassembly
+    "dedup_sentences_first" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(coalesce(text, ''), '\btable\b', 'table.',
+        |      'g') AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]*') AS l
+        |  FROM p
+        |), e AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS sent_idx,
+        |    unnest(l) AS s
+        |  FROM m
+        |), sn AS (
+        |  SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+        |    trim(s) AS sentence
+        |  FROM e WHERE length(trim(s)) > 0
+        |), f AS (
+        |  SELECT doc_id, sent_idx, sentence,
+        |    ROW_NUMBER() OVER (PARTITION BY sentence
+        |      ORDER BY doc_id, sent_idx) AS rk
+        |  FROM sn
+        |), reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(sentence, ' ' ORDER BY sent_idx) AS text_clean
+        |  FROM f WHERE rk = 1 GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, COUNT(*) AS n_sents FROM sn GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, t.n_sents,
+        |  coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |  coalesce(r.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "chunk_roundtrip" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -838,6 +931,30 @@ object PrepOps {
         |  weight_x1e6 * 1000000 // tw AS share_x1e6,
         |  weight_x1e6 * 100000 // tw AS target_docs
         |FROM c, t ORDER BY source""".stripMargin,
+
+    // same per-source md5 rank, same integer virtual-finish times,
+    // same (vt, source, id) merge order
+    "mix_interleave_schedule" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    md5(concat('1:', CAST(doc_id AS VARCHAR))) AS h,
+        |    CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2
+        |      ELSE 1 END AS w
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS rk, w
+        |  FROM b
+        |), v AS (
+        |  SELECT doc_id, source,
+        |    CAST((rk * 1048576) // w AS BIGINT) AS vt
+        |  FROM r
+        |)
+        |SELECT doc_id, source, vt,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY vt, source, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM v ORDER BY pos""".stripMargin,
 
     "sample_token_budget" ->
       """WITH d AS (

@@ -434,6 +434,43 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // retention end-to-end: a 4-file write, a delete commit, a compact
+    // commit, then vacuum(keep=1, grace=0) — orphaned data files and
+    // pre-head manifests must be GONE (asserted: orphans removed > 0,
+    // only the head version remains, time travel to v0 now fails) while
+    // the head read stays exactly intact, which is what the oracle
+    // checks. Any live file deleted, or the head re-read drifting,
+    // breaks the exact compare.
+    "versioned_vacuum_read" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("vv")
+        .toString + "/t"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      VersionedTable.write(docs.repartition(4), root)
+      VersionedTable.deleteWhere(s, root, col("source") === "src19")
+      VersionedTable.compact(s, root)
+      val removed = VersionedTable.vacuum(s, root, keepVersions = 1,
+        graceMs = 0L)
+      require(removed > 0, "vacuum removed no orphaned files")
+      val vs = VersionedTable.versions(s, root)
+      require(vs.size == 1, s"retention left extra versions: $vs")
+      val timeTravelGone =
+        try { VersionedTable.read(s, root, Some(0L)).count(); false }
+        catch { case _: Throwable => true }
+      require(timeTravelGone, "vacuumed version 0 still readable")
+      val result = VersionedTable.read(s, root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // incremental consumption end-to-end: three append commits, then
     // each consecutive readAppended window aggregated — the windows must
     // partition the appended rows exactly (no loss, no duplication),
@@ -722,6 +759,13 @@ object SketchOps {
         |  CAST(CASE WHEN source = 'src19' THEN 0 ELSE COUNT(*) END
         |    AS BIGINT) AS n_after_delete
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the head after the delete commit, unchanged by compact + vacuum
+    "versioned_vacuum_read" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source <> 'src19'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "versioned_incremental" ->
       """SELECT doc_id // 167 AS window_id, COUNT(*) AS n_docs,

@@ -507,4 +507,30 @@ class PlanSpec extends SparkSpec {
     val p = plan("sample_weighted_k")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("epoch shuffle windows BY SHARD — never one global sort " +
+      "partition") {
+    val p = plan("ml_epoch_shuffle")
+    // the within-shard rank hashes on the shard key (parallelism =
+    // shard count); a SinglePartition exchange would serialize the
+    // whole corpus through one task
+    assert(p.contains("hashpartitioning(shard"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("feature hashing aggregates map-side; no UDF in the plan") {
+    val p = plan("ml_feature_hash")
+    assert(p.contains("partial_sum"))
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("ScalaUDF"))
+  }
+
+  test("group k-fold is map-only over the scan (no exchange before " +
+      "the fold aggregation)") {
+    val p = plan("ml_group_kfold")
+    // exactly the aggregation exchanges: fold assignment itself adds
+    // none (the first Exchange in the plan text sits above the scan's
+    // partial aggregate, not below a fold-computation stage)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+  }
 }

