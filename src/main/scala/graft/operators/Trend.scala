@@ -210,8 +210,6 @@ object Trend {
       x: Column, maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
     val keys = keyCols.map(col)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys: _*).orderBy(t)
     val ranked = series
       .select(keys :+ t.as("__t") :+
         x.cast("decimal(38,0)").as("__x"): _*)

@@ -539,6 +539,33 @@ object EventOps {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // top user-journey paths: each user's first 5 events joined into a
+    // '>'-path, paths ranked by walker count — the discovered-funnel
+    // readout. The rank<=5 cut is WindowGroupLimit-capped; the final
+    // cut is TakeOrderedAndProject over |distinct paths|.
+    "events_top_paths" -> ((s, d) => {
+      graft.operators.Funnel.topPaths(
+        Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"), expr("ts div 1000").as("us")),
+        "user_id", "event_type", Seq(col("us"), col("event_id")),
+        steps = 5, k = 20)
+    }),
+
+    // per-type lag-1..3 autocorrelation of the DAILY event-count
+    // series, reported as the exact integer rational (num, den) —
+    // multiplied through by n^2 so the mean never divides. The raw
+    // scan reduces to |types| x |days| rows before any window runs.
+    "events_autocorr" -> ((s, d) => {
+      val series = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Trend.autocorr(series, Seq("event_type"),
+          col("day"), col("n"), maxLag = 3)
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
     // trailing 21-event median of value per user (robust rolling center).
     // Restricted to rows with a FULL frame: 21 is odd, so the median is a
     // pure element selection — no interpolation arithmetic, hence
@@ -1591,6 +1618,65 @@ object EventOps {
         |)
         |SELECT prev_type, next_type, COUNT(*) AS n
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS rn
+        |  FROM e
+        |), p AS (
+        |  SELECT user_id, COUNT(*) AS n_steps,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id
+        |)
+        |SELECT path, n_steps, COUNT(*) AS n_entities
+        |FROM p GROUP BY path, n_steps
+        |ORDER BY n_entities DESC, path LIMIT 20""".stripMargin,
+
+    // same n^2-cleared rational: num(k) = sum (n*x_t - S)(n*x_{t+k} - S)
+    // over rank-adjacent pairs, den = sum (n*x_t - S)^2
+    "events_autocorr" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type, day, CAST(COUNT(*) AS HUGEINT) AS x
+        |  FROM e GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, day, x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rk
+        |  FROM s
+        |), st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx
+        |  FROM r GROUP BY 1
+        |), c AS (
+        |  SELECT r.event_type, rk, (st.n * x - st.sx) AS cv, st.n
+        |  FROM r JOIN st USING (event_type)
+        |), den AS (
+        |  SELECT event_type, SUM(cv * cv) AS den,
+        |    CAST(MAX(n) AS BIGINT) AS n_periods
+        |  FROM c GROUP BY 1
+        |), lags(lag) AS (VALUES (1), (2), (3)),
+        |num AS (
+        |  SELECT a.event_type, l.lag, SUM(a.cv * b.cv) AS num,
+        |    COUNT(*) AS n_pairs
+        |  FROM c a JOIN lags l ON true
+        |  JOIN c b ON b.event_type = a.event_type
+        |    AND b.rk = a.rk + l.lag
+        |  GROUP BY 1, 2
+        |)
+        |SELECT n.event_type, CAST(n.lag AS INT) AS lag, d.n_periods,
+        |  n.n_pairs, CAST(n.num AS DECIMAL(38,0)) AS num,
+        |  CAST(d.den AS DECIMAL(38,0)) AS den
+        |FROM num n JOIN den d USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
 
     "events_rolling_median" ->
       """WITH t AS (

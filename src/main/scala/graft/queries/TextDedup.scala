@@ -602,6 +602,27 @@ object TextDedup {
         col("text"), Seq("fast", "join", "scan"), k = 20)
     }),
 
+    // hybrid-retrieval rank fusion: the fixed-point idf term ranking
+    // and the rational-BM25 ranking (different terms, incomparable
+    // score scales) fused by reciprocal rank — each list contributes
+    // 2^20 div (rank + 60), so the fused scores are exact bigints and
+    // the agreement count (n_lists) rides along. Everything downstream
+    // of the two top-20 cuts is arithmetic over <= 40 rows.
+    "search_rrf_fusion" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val docs = Tables.documents(s, d)
+      val lex = Retrieval.rankOf(
+        TextAnalysis.rankByTerms(docs, "doc_id", col("text"),
+          SearchTerms, k = 20),
+        Nil, Seq(col("score").desc, col("doc_id")))
+      val bm = Retrieval.rankOf(
+        TextAnalysis.bm25TopK(docs, "doc_id", col("text"),
+          Seq("fast", "join", "scan"), k = 20),
+        Nil, Seq(col("bm25_fp").desc, col("doc_id")))
+      Retrieval.rrfFuse(Seq(lex, bm), "doc_id")
+        .orderBy(col("rrf_fp").desc, col("doc_id"))
+    }),
+
     // RAKE keyphrases: stopword-free runs scored by fixed-point
     // deg/freq word weights — document keyword extraction without a
     // model, engine-exact ranking
@@ -838,6 +859,73 @@ object TextDedup {
          |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bm25_fp
          |FROM contrib GROUP BY doc_id
          |ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin,
+
+    // both retrieval oracles replayed as CTE chains (lexical CTEs
+    // renamed to avoid clashes), then rank + 2^20 // (rank+60) fusion
+    "search_rrf_fusion" -> {
+      val terms = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL
+         |), dlen AS (
+         |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+         |), tot AS (
+         |  SELECT CAST(SUM(dl) AS BIGINT) AS a_tot, COUNT(*) AS d_tot
+         |  FROM dlen
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks WHERE term IN ('fast','join','scan')
+         |  GROUP BY doc_id, term
+         |), dfq AS (
+         |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+         |), xs AS (
+         |  SELECT 2*d_tot + 2 AS x FROM tot
+         |  UNION SELECT 2*df + 1 FROM dfq
+         |),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |idf AS (
+         |  SELECT d.term,
+         |    (SELECT l FROM lg WHERE x = 2*t.d_tot + 2)
+         |      - (SELECT l FROM lg WHERE x = 2*d.df + 1) AS idf2
+         |  FROM dfq d, tot t
+         |), contrib AS (
+         |  SELECT f.doc_id,
+         |    CAST(i.idf2 AS HUGEINT) * 44 * t.a_tot * f.tf
+         |      // (CAST(t.a_tot AS HUGEINT) * 20 * f.tf
+         |          + CAST(t.a_tot AS HUGEINT) * 6
+         |          + CAST(l.dl AS HUGEINT) * 18 * t.d_tot) AS c
+         |  FROM tf f
+         |  JOIN idf i USING (term)
+         |  JOIN dlen l USING (doc_id), tot t
+         |), bmtop AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bm25_fp
+         |  FROM contrib GROUP BY doc_id
+         |  ORDER BY bm25_fp DESC, doc_id LIMIT 20
+         |), tf2 AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |  WHERE term IN ($terms) GROUP BY doc_id, term
+         |), dfc2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY term),
+         |lextop AS (
+         |  SELECT tf2.doc_id,
+         |    CAST(SUM(tf2.tf * (${TextAnalysis.IdfScale} // dfc2.df))
+         |      AS BIGINT) AS score
+         |  FROM tf2 JOIN dfc2 USING (term)
+         |  GROUP BY tf2.doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 20
+         |), ranked AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM lextop
+         |  UNION ALL
+         |  SELECT doc_id, ROW_NUMBER() OVER (
+         |      ORDER BY bm25_fp DESC, doc_id) AS rank
+         |  FROM bmtop
+         |)
+         |SELECT doc_id, COUNT(*) AS n_lists,
+         |  CAST(SUM(1048576 // (rank + 60)) AS BIGINT) AS rrf_fp
+         |FROM ranked GROUP BY doc_id
+         |ORDER BY rrf_fp DESC, doc_id""".stripMargin
+    },
 
     // positions via list index + range unnest; same shift-and-count
     // phrase alignment

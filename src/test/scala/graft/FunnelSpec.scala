@@ -85,4 +85,27 @@ class FunnelSpec extends SparkSpec {
     assert(c == Seq((1L, 0L, 5L)))
     assert(frames(2).isEmpty)
   }
+
+  test("topPaths: first-k order respected, short journeys kept as " +
+      "prefixes, count ties broken by path") {
+    // users 1,2 walk view>click>buy; user 3 walks view>click (short);
+    // user 4 walks click>view (different order, same multiset)
+    val ev = log(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "buy", 30L),
+      (2L, "view", 1L), (2L, "click", 2L), (2L, "buy", 3L),
+      (3L, "view", 5L), (3L, "click", 9L),
+      (4L, "click", 5L), (4L, "view", 9L))
+    val out = Funnel.topPaths(ev, "uid", "etype",
+        Seq($"us", $"uid"), steps = 5, k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("view>click>buy", 3L, 2L),
+      ("click>view", 2L, 1L),
+      ("view>click", 2L, 1L)))
+    // steps=2 truncates user 1/2's journeys into user 3's path
+    val cut = Funnel.topPaths(ev, "uid", "etype",
+        Seq($"us", $"uid"), steps = 2, k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(cut == Seq(("view>click", 2L, 3L), ("click>view", 2L, 1L)))
+  }
 }

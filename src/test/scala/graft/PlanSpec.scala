@@ -525,6 +525,19 @@ class PlanSpec extends SparkSpec {
       !p.contains("ScalaUDF"))
   }
 
+  test("top paths: first-k cut is WindowGroupLimit-capped and the " +
+      "final cut a TakeOrderedAndProject") {
+    val p = plan("events_top_paths")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("autocorr windows per key — never one global sort partition") {
+    val p = plan("events_autocorr")
+    assert(p.contains("hashpartitioning(event_type"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("group k-fold is map-only over the scan (no exchange before " +
       "the fold aggregation)") {
     val p = plan("ml_group_kfold")

@@ -157,4 +157,28 @@ class TextIndexSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSeq
     assert(out == Seq(1L))
   }
+
+  test("rrfFuse: exact reciprocal fixed point, per-query partitions, " +
+      "agreement count") {
+    import graft.operators.Retrieval
+    // two per-query ranked lists; doc 10 is rank 1 in both for q1
+    val a = Seq(("q1", 10L, 5L), ("q1", 11L, 3L), ("q2", 12L, 9L))
+      .toDF("q", "id", "s")
+    val b = Seq(("q1", 10L, 0.9), ("q1", 12L, 0.8), ("q2", 12L, 0.7))
+      .toDF("q", "id", "s")
+    val ra = Retrieval.rankOf(a, Seq("q"), Seq($"s".desc, $"id"))
+    val rb = Retrieval.rankOf(b, Seq("q"), Seq($"s".desc, $"id"))
+    val out = Retrieval.rrfFuse(Seq(ra, rb), "id", by = Seq("q"))
+      .orderBy($"q", $"id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    def fp(rank: Long) = (1L << 20) / (rank + 60)
+    assert(out == Seq(
+      ("q1", 10L, 2L, 2 * fp(1)),
+      ("q1", 11L, 1L, fp(2)),
+      ("q1", 12L, 1L, fp(2)),
+      ("q2", 12L, 2L, 2 * fp(1))))
+    // both-lists doc must outrank any single-list doc at these depths:
+    // 2/(61) > 1/(61) always, and the paper bound holds for k=60
+    assert(out.filter(_._1 == "q1").maxBy(_._4)._2 == 10L)
+  }
 }

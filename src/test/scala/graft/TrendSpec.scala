@@ -147,4 +147,44 @@ class TrendSpec extends SparkSpec {
     // twice... pair count must be < C(100,2)
     assert(r.forall(_(1).asInstanceOf[Long] < 100L * 99 / 2))
   }
+
+  test("autocorr matches the brute-force n^2-cleared estimator and " +
+      "is partition-invariant") {
+    // an irregular deterministic series per key; brute-force the exact
+    // rational in BigInt and compare term-for-term
+    val rows = for (k <- Seq("a", "b"); t <- 1L to 40L)
+      yield (k, t * 3, (t * t * 7 + t * (if (k == "a") 5 else 11)) % 23)
+    val df = rows.toDF("k", "t", "x")
+    def brute(xs: Seq[Long], lag: Int): (BigInt, BigInt) = {
+      val n = BigInt(xs.length); val s = xs.map(BigInt(_)).sum
+      val c = xs.map(x => n * x - s)
+      val num = (0 until xs.length - lag)
+        .map(i => c(i) * c(i + lag)).sum
+      val den = c.map(v => v * v).sum
+      (num, den)
+    }
+    def run(np: Int) = Trend.autocorr(
+        if (np > 0) df.repartition(np) else df,
+        Seq("k"), col("t"), col("x"), maxLag = 3)
+      .orderBy("k", "lag")
+      .select("k", "lag", "n_periods", "n_pairs", "num", "den")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), BigInt(r.getDecimal(4).toBigInteger),
+        BigInt(r.getDecimal(5).toBigInteger))).toSeq
+    val got = run(0)
+    assert(got == run(13))
+    for (k <- Seq("a", "b"); lag <- 1 to 3) {
+      val xs = rows.filter(_._1 == k).sortBy(_._2).map(_._3)
+      val (num, den) = brute(xs, lag)
+      val row = got.find(r => r._1 == k && r._2 == lag).get
+      assert(row == ((k, lag, 40L, 40L - lag, num, den)),
+        s"k=$k lag=$lag expected ($num, $den) got $row")
+    }
+    // sanity: a constant series has zero den (undefined ACF, not a crash)
+    val const = (1L to 10L).map(t => ("c", t, 4L)).toDF("k", "t", "x")
+    val cz = Trend.autocorr(const, Seq("k"), col("t"), col("x"), 2)
+      .select("num", "den").collect()
+    assert(cz.forall(r => r.getDecimal(0).signum == 0 &&
+      r.getDecimal(1).signum == 0))
+  }
 }
