@@ -118,4 +118,35 @@ object Scrub {
             1, 16))))
     }
   }
+
+  /** Blocklist hit report: one row per (id, phrase) with the exact
+    * occurrence count, via the codegen'd Aho-Corasick pass
+    * ([[graft.functions.MultiPatternCounts]]) — ONE scan of each text
+    * for the whole phrase list, every (pattern, start) occurrence
+    * counted (a pattern's own overlaps included). Map-only: the
+    * automaton rides the plan, no join, no shuffle; only matched
+    * (id, ordinal, count) rows survive the explode. */
+  def blocklistHits(df: DataFrame, id: Column, text: Column,
+      phrases: Seq[String]): DataFrame = {
+    import graft.functions.AhoCorasickFunctions.multi_pattern_counts
+    df.select(id,
+        posexplode(multi_pattern_counts(text, phrases))
+          .as(Seq("__pi", "n_hits")))
+      .filter(col("n_hits") > 0)
+      .select(id,
+        element_at(typedLit(phrases), col("__pi") + 1).as("phrase"),
+        col("n_hits"))
+  }
+
+  /** Blocklist FILTER: rows whose text contains NO blocklist phrase —
+    * the corpus-cleaning gate itself. Same single automaton pass;
+    * `aggregate` folds the count vector so nothing explodes. NULL text
+    * passes (nothing to match). */
+  def blocklistKeep(df: DataFrame, text: Column, phrases: Seq[String])
+      : DataFrame = {
+    import graft.functions.AhoCorasickFunctions.multi_pattern_counts
+    df.filter(text.isNull ||
+      aggregate(multi_pattern_counts(text, phrases),
+        lit(0L), (acc, x) => acc + x) === 0L)
+  }
 }

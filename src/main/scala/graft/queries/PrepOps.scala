@@ -368,6 +368,19 @@ object PrepOps {
     // PII scrub over text + a deterministic doc_id-derived PII footer
     // (the fixtures' text is pure words; the footer plants one email,
     // one IPv4, and one long digit run per doc so every rule fires)
+    // blocklist phrase report via the codegen'd Aho-Corasick pass: one
+    // text scan for the whole phrase list, every (pattern, start)
+    // occurrence counted — overlapping phrases ("table scan"/"scan
+    // merge" share 'scan'), self-overlap ("batch batch" in "batch
+    // batch batch" = 2), and sub-word matches ('an' inside 'scan') all
+    // exercised; the oracle replays it as a substring-position scan
+    "text_blocklist_hits" -> ((s, d) => {
+      Scrub.blocklistHits(Tables.documents(s, d), col("doc_id"),
+          col("text"), Seq("table scan", "scan merge", "batch batch",
+            "an", "merge slow"))
+        .orderBy(col("doc_id"), col("phrase"))
+    }),
+
     "pii_scrub" -> ((s, d) => {
       val withPii = Tables.documents(s, d).withColumn("text2",
         concat(col("text"), lit(" contact user"),
@@ -1053,6 +1066,18 @@ object PrepOps {
         |GROUP BY c_name ORDER BY c_name""".stripMargin,
 
     "pii_scrub" -> piiOracle,
+
+    // every (pattern, start) occurrence = the substring-position scan
+    "text_blocklist_hits" ->
+      """WITH pats(phrase) AS (VALUES ('table scan'), ('scan merge'),
+        |  ('batch batch'), ('an'), ('merge slow')),
+        |d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, UNNEST(range(1, length(t) + 1)) AS i
+        |  FROM d),
+        |m AS (SELECT doc_id, phrase
+        |  FROM pos JOIN pats ON substr(t, i, length(phrase)) = phrase)
+        |SELECT doc_id, phrase, COUNT(*) AS n_hits
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sample_dsir_importance" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
          |  FROM documents),
