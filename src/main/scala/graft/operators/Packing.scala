@@ -152,4 +152,40 @@ object Packing {
         col("__b").as("target"), col("__a").as("context"),
         col("__off").as("distance")))
   }
+
+  /** Serpentine balanced sharding — equal-WORK data shards for a fixed
+    * shard count (training wants every worker's shard to cost the
+    * same, not to hold the same row count): rows rank globally by
+    * (weight desc, tiebreak), then round r = rank div S walks the
+    * shards boustrophedon (0..S−1, then S−1..0, ...), so each shard
+    * takes exactly one row per round and alternating direction cancels
+    * the within-round descent across consecutive round PAIRS: max−min
+    * load over the whole assignment is bounded by the single largest
+    * weight (the sorted-round-robin guarantee, tight when one head row
+    * dominates; with a flat tail the spread collapses to the tail
+    * scale — same approximation family as LPT but embarrassingly
+    * parallel and, unlike LPT's least-loaded-heap, fully deterministic
+    * and oracle-replayable).
+    *
+    * Contrast [[packSequences]]: that packs into CAPACITY-bounded
+    * sequences (count varies, cap fixed); this balances a FIXED shard
+    * count (load varies minimally). Scale shape: one range exchange +
+    * count job ([[Ids.denseGlobalRowNumber]]), then a map-only shard
+    * formula — no window over the corpus, no driver state. Adds
+    * `shard`; `weight` must be non-negative. */
+  def balancedShards(df: DataFrame, id: Column, weight: Column,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    require(!df.columns.contains("__bw") && !df.columns.contains("__gr"),
+      "reserved temp columns __bw/__gr present in the input")
+    val ranked = graft.operators.Ids.denseGlobalRowNumber(
+      df.withColumn("__bw", weight.cast("long")),
+      Seq(col("__bw").desc, id), "__gr")
+    ranked.withColumn("shard", expr(
+      s"""CAST(CASE WHEN (__gr div $shards) % 2 = 0
+         |  THEN __gr % $shards
+         |  ELSE ${shards - 1} - (__gr % $shards) END AS INT)"""
+        .stripMargin))
+      .drop("__bw", "__gr")
+  }
 }

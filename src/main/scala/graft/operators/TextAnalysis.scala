@@ -411,6 +411,63 @@ object TextAnalysis {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** Interpolated Kneser-Ney bigram score per document — the smoothing
+    * that actually powers n-gram LM quality filters (Kneser & Ney 1995;
+    * Chen & Goodman 1999 found interpolated KN the best-performing
+    * n-gram smoothing): where [[bigramLmScore]]'s add-V Laplace hands
+    * unseen mass out uniformly, KN discounts every seen bigram by a
+    * fixed d and redistributes by CONTINUATION counts — "how many
+    * distinct contexts does w2 follow" — so frequent-but-bound words
+    * (the 'Francisco' effect) stop inflating scores.
+    *
+    *   P(w2|w1) = (c(w1,w2) − d)⁺ / c(w1·)
+    *            + d·N1+(w1,·)/c(w1·) · N1+(·,w2)/T
+    *
+    * with d = 3/4 and T = |bigram types|. Everything is a ratio of
+    * integers, so each bigram contributes the exact fixed point
+    *   floor( ((4c2−3)⁺·T + 3·n1p(w1)·nc(w2)) · 2²⁰ / (4·c1(w1)·T) )
+    * — hash-exact cross-engine, no ln/float drift; a doc's score is
+    * the sum (comparable across docs per n_bigrams).
+    *
+    * Scale shape mirrors [[bigramLmScore]]: one bigram-keyed model
+    * build with map-side combine, then context/continuation tables
+    * keyed on single tokens (vocabulary-bound; AQE broadcasts when
+    * they fit), one groupBy(doc). The model never leaves the cluster. */
+  def kneserNeyScore(df: DataFrame, idCol: String, text: Column)
+      : DataFrame = {
+    val toks = df.select(col(idCol), tokens(text).as("t"))
+    val bgs = toks.select(col(idCol), explode(expr(
+      """CASE WHEN size(t) >= 2
+        |  THEN transform(sequence(0, size(t) - 2),
+        |                 i -> concat(t[i], ' ', t[i + 1]))
+        |  ELSE cast(array() as array<string>) END""".stripMargin)).as("bg"))
+    val bgc = bgs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val parts = bgc
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .withColumn("w2", expr("split(bg, ' ')[1]"))
+    val ctx = parts.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = parts.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val tTot = broadcast(parts.agg(count(lit(1)).as("tt")))
+    val scored = bgs.join(bgc, "bg")
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .withColumn("w2", expr("split(bg, ' ')[1]"))
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .crossJoin(tTot)
+      .withColumn("p", expr(
+        """CAST((CAST(greatest(4 * c2 - 3, 0) AS DECIMAL(38,0)) * tt
+          |       + CAST(3 AS DECIMAL(38,0)) * n1p * nc) * 1048576
+          |  div (CAST(4 AS DECIMAL(38,0)) * c1 * tt) AS BIGINT)"""
+          .stripMargin))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("score_kn"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_kn"), lit(0L)).as("score_kn"))
+  }
+
   /** Gopher-style repetition quality stats (Rae et al. 2021 §A1.1),
     * adapted to token n-grams: for n in {2, 3}, the total n-gram count,
     * the count of the single most frequent n-gram, and the number of

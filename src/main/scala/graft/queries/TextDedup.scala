@@ -199,6 +199,15 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // interpolated Kneser-Ney bigram scores: absolute discount d=3/4,
+    // continuation-count backoff, the whole probability a ratio of
+    // integers ridden in 2^20 fixed point — exact vs the oracle replay
+    "text_lm_kneser_ney" -> ((s, d) => {
+      TextAnalysis.kneserNeyScore(Tables.documents(s, d), "doc_id",
+          col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_tokens" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val ws = TextAnalysis.tokens(col("text"))
@@ -442,6 +451,19 @@ object TextDedup {
         .select(col("doc_id"), col("shard"), col("n_tok"), col("seq_id"),
           col("tok_offset"))
         .orderBy(col("doc_id"))
+    }),
+
+    // serpentine balanced sharding: 8 equal-WORK shards by n_chars —
+    // rank desc, boustrophedon rounds; per-shard loads land within one
+    // max row weight of each other, assignment fully replayable
+    "pack_balanced_shards" -> ((s, d) => {
+      graft.operators.Packing.balancedShards(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), shards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("shard"))
     }),
 
     // deterministic train/val/test split by content-hash bucket — the
@@ -1097,6 +1119,23 @@ object TextDedup {
         |SELECT doc_id, rnk, term, tf, df FROM ranked
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
+    // rank desc by weight, snake over 8 shards, aggregate loads
+    "pack_balanced_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1
+        |      AS gr
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN (gr // 8) % 2 = 0 THEN gr % 8
+        |      ELSE 7 - (gr % 8) END AS INT) AS shard
+        |  FROM r
+        |)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
     "pack_sequences" ->
       s"""WITH hx AS (SELECT doc_id,
          |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
@@ -1241,6 +1280,40 @@ object TextDedup {
         |  GROUP BY b.doc_id)
         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
         |  CAST(COALESCE(score, 0) AS BIGINT) AS score
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // same discount/continuation arithmetic: (4c2-3)+ * T + 3*n1p*nc
+    // over 4*c1*T, floored at 2^20
+    "text_lm_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), bgs AS (
+        |  SELECT doc_id, UNNEST(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM toks
+        |), bgc AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY bg),
+        |parts AS (
+        |  SELECT bg, c2, string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[2] AS w2
+        |  FROM bgc
+        |), ctx AS (
+        |  SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p
+        |  FROM parts GROUP BY w1
+        |), cont AS (SELECT w2, COUNT(*) AS nc FROM parts GROUP BY w2),
+        |tt AS (SELECT COUNT(*) AS t FROM parts),
+        |sc AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM((CAST(greatest(4 * p.c2 - 3, 0) AS HUGEINT) * tt.t
+        |         + CAST(3 AS HUGEINT) * x.n1p * n.nc) * 1048576
+        |      // (CAST(4 AS HUGEINT) * x.c1 * tt.t)) AS score_kn
+        |  FROM bgs b
+        |  JOIN parts p ON b.bg = p.bg
+        |  JOIN ctx x ON x.w1 = p.w1
+        |  JOIN cont n ON n.w2 = p.w2, tt
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  CAST(COALESCE(score_kn, 0) AS BIGINT) AS score_kn
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

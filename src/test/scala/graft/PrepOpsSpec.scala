@@ -134,6 +134,38 @@ class PrepOpsSpec extends SparkSpec {
     assert(out(2) == ((3L, 2L, 0L, "")))
   }
 
+  test("balancedShards: loads within one max weight, deterministic, " +
+      "every row assigned") {
+    // heavily skewed weights (Zipf-ish): the failure mode of hash
+    // sharding, the case serpentine assignment exists for
+    val df = (1L to 1001L).map(i => (i, 1000000L / i)).toDF("id", "w")
+    val out = graft.operators.Packing.balancedShards(df, $"id", $"w",
+      shards = 7)
+    val loads = out.groupBy($"shard")
+      .agg(sum($"w").as("load"), count(lit(1)).as("n"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(loads.map(_._1).toSeq == (0 until 7))
+    assert(loads.map(_._3).sum == 1001L)
+    val (mx, mn) = (loads.map(_._2).max, loads.map(_._2).min)
+    // the serpentine guarantee: spread bounded by the single largest
+    // weight (here the head row's 1e6; observed ~816k — the head round
+    // dominates under steep Zipf, exactly the worst case of the bound)
+    assert(mx - mn <= 1000000L,
+      s"spread ${mx - mn} exceeds the max single weight")
+    // flat-tail case: drop the head row and the spread collapses
+    val flat = graft.operators.Packing.balancedShards(
+        df.filter($"id" > 10), $"id", $"w", shards = 7)
+      .groupBy($"shard").agg(sum($"w").as("load"))
+      .as[(Int, Long)].collect().map(_._2)
+    assert(flat.max - flat.min <= 1000000L / 11)
+    val again = graft.operators.Packing.balancedShards(
+        df.repartition(11), $"id", $"w", shards = 7)
+      .select($"id", $"shard").as[(Long, Int)].collect().toMap
+    val first = out.select($"id", $"shard")
+      .as[(Long, Int)].collect().toMap
+    assert(first == again)
+  }
+
   test("groupKFold: a group never straddles folds; k folds populated") {
     val df = (1L to 3000L).map(i => (i, i % 97)).toDF("id", "grp")
     val folds = Sampling.groupKFold(df, $"grp", k = 5)

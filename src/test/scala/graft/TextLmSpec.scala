@@ -51,4 +51,73 @@ class TextLmSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(a == b)
   }
+
+  private def knScore(docs: Seq[(Long, String)]) =
+    TextAnalysis.kneserNeyScore(docs.toDF("doc_id", "text"), "doc_id",
+      col("text")).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("Kneser-Ney matches brute-force exact arithmetic") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"w${i % 5} w${(i * 3) % 5} w${(i * 7) % 5} w${i % 3} end"))
+    // brute-force the model in BigInt
+    val bgsByDoc = docs.map { case (id, t) =>
+      id -> t.split(" ").toSeq.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq
+    }.toMap
+    val all = bgsByDoc.values.flatten.toSeq
+    val c2 = all.groupBy(identity).map { case (k, v) =>
+      k -> BigInt(v.size) }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> m.values.sum }
+    val n1p = c2.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> BigInt(m.size) }
+    val nc = c2.groupBy(_._1._2).map { case (w2, m) =>
+      w2 -> BigInt(m.size) }
+    val t = BigInt(c2.size)
+    def fp(bg: (String, String)): BigInt = {
+      val seen = (4 * c2(bg) - 3).max(0)
+      (seen * t + 3 * n1p(bg._1) * nc(bg._2)) * BigInt(1 << 20) /
+        (4 * c1(bg._1) * t)
+    }
+    val got = knScore(docs)
+    docs.foreach { case (id, _) =>
+      val exp = bgsByDoc(id).map(fp).sum
+      assert(got(id) == ((bgsByDoc(id).size.toLong, exp.toLong)),
+        s"doc $id: expected $exp got ${got(id)}")
+    }
+  }
+
+  test("Kneser-Ney demotes the 'Francisco' pattern the Laplace LM " +
+      "cannot see") {
+    // two probe bigrams with IDENTICAL seen statistics (c2=2, c1=2,
+    // n1p=1) differing only in the continuation count of the second
+    // word: p follows only a (nc=1), q follows b/c/d/e (nc=4). The
+    // discounted seen parts tie exactly, so the ordering is decided by
+    // the continuation mass d*n1p/c1 * nc/T — the Francisco effect.
+    val corpus = Seq(
+      (1L, "a p"), (2L, "a p"),
+      (3L, "b q"), (4L, "b q"),
+      (5L, "c q"), (6L, "d q"), (7L, "e q"))
+    val m = knScore(corpus)
+    val knRare = m(1L)._2 // "a p": nc(p)=1
+    val knDiverse = m(3L)._2 // "b q": nc(q)=4
+    assert(knDiverse > knRare,
+      s"diverse-continuation $knDiverse should outscore $knRare")
+    // and the Laplace scorer cannot separate them: same c2, same c1
+    val lap = score(corpus)
+    assert(lap(1L)._2 == lap(3L)._2)
+  }
+
+  test("kneserNeyScore is partition-invariant and zero on short docs") {
+    val docs = (1L to 50L).map(i =>
+      (i, if (i % 10 == 0) "solo" else s"a${i % 4} b${(i * 3) % 4} c"))
+    val a = knScore(docs)
+    val b = TextAnalysis.kneserNeyScore(
+      docs.toDF("doc_id", "text").repartition(13), "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(a == b)
+    assert(a(10L) == ((0L, 0L)))
+  }
 }
