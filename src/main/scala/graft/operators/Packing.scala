@@ -153,6 +153,62 @@ object Packing {
         col("__off").as("distance")))
   }
 
+  /** T5-style span-corruption pairs (Raffel et al. 2020 §3.1.4, the
+    * denoising pretraining objective): contiguous `spanTokens`-token
+    * blocks are masked with probability `maskPct`%, the input keeps a
+    * `<extra_id_K>` sentinel per masked block (K = per-doc masked
+    * ordinal, left to right) and the target lists each sentinel
+    * followed by the tokens it hides. The mask draw is the repo's
+    * md5-bucket protocol on (doc, block) — deterministic across
+    * runs/engines/partitionings, so the generated pairs are
+    * oracle-exact, replayable, and stable under corpus appends (a new
+    * doc never reshuffles another doc's masks).
+    *
+    * Returns (idCol, n_tokens, n_masked, input_text, target_text);
+    * docs whose every block survives get target_text ''. Scale shape:
+    * token posexplode -> (doc, block) agg -> per-doc ordinal window
+    * (keyed on the doc id, never global) -> one groupBy(doc)
+    * reassembly. Map-only except the two doc-keyed shuffles. */
+  def spanCorruptionPairs(df: DataFrame, idCol: String, text: Column,
+      spanTokens: Int = 3, maskPct: Int = 15): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1: $spanTokens")
+    require(maskPct >= 0 && maskPct <= 100, s"bad maskPct: $maskPct")
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(text)).as(Seq("__i", "__tok")))
+    val blocks = toks
+      .withColumn("__blk", expr(s"__i div $spanTokens"))
+      .groupBy(col(idCol), col("__blk"))
+      .agg(count(lit(1)).as("__bn"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__i"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("__btxt"))
+      .withColumn("__masked", Sampling.hashBucket(
+        concat(col(idCol).cast("string"), lit(":"),
+          col("__blk").cast("string")), 100) < maskPct)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__blk"))
+    val flag = when(col("__masked"), 1L).otherwise(0L)
+    val numbered = blocks
+      .withColumn("__k", sum(flag).over(w) - flag)
+      .withColumn("__sent",
+        concat(lit("<extra_id_"), col("__k").cast("string"), lit(">")))
+    numbered.groupBy(col(idCol))
+      .agg(sum(col("__bn")).as("n_tokens"),
+        sum(when(col("__masked"), col("__bn")).otherwise(0L))
+          .as("n_masked"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__blk"),
+            when(col("__masked"), col("__sent")).otherwise(col("__btxt"))
+              .as("__piece")))),
+          x => x.getField("__piece")), " ").as("input_text"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__masked"),
+            struct(col("__blk"),
+              concat(col("__sent"), lit(" "), col("__btxt"))
+                .as("__tp"))))),
+          x => x.getField("__tp")), " ").as("target_text"))
+  }
+
   /** Serpentine balanced sharding — equal-WORK data shards for a fixed
     * shard count (training wants every worker's shard to cost the
     * same, not to hold the same row count): rows rank globally by

@@ -216,6 +216,29 @@ object StreamOps {
         .orderBy(col("window_us"), col("bin"))
     }),
 
+    // the Aho-Corasick blocklist expression under Structured Streaming:
+    // the automaton is plan-resident state (no broadcast, no UDF), the
+    // per-event hit vector explodes statelessly, and only the windowed
+    // counts are stateful — blocklist monitoring of an ingest stream.
+    // Complete-mode AvailableNow equals batch -> fully oracle-checked
+    "stream_blocklist_hits" -> ((s, d) => {
+      import graft.functions.AhoCorasickFunctions.multi_pattern_counts
+      val pats = Seq("\"k\": 1", "\"k\": 2", "7}")
+      val agg = EventsPipeline.withEventTime(eventsStream(s, d))
+        .withWatermark("event_time", "10 minutes")
+        .select(col("event_time"),
+          posexplode(multi_pattern_counts(col("props"), pats))
+            .as(Seq("pi", "cnt")))
+        .filter(col("cnt") > 0)
+        .groupBy(window(col("event_time"), "1 hour"), col("pi"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cnt")).as("n_hits"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          element_at(typedLit(pats), col("pi") + 1).as("pattern"),
+          col("n_events"), col("n_hits"))
+      runStream(s, agg, "blocklist", d, "complete")
+        .orderBy(col("window_us"), col("pattern"))
+    }),
+
     "stream_tumbling_counts" -> ((s, d) => {
       val agg = EventsPipeline.withEventTime(eventsStream(s, d))
         .withWatermark("event_time", "10 minutes")
@@ -680,6 +703,29 @@ object StreamOps {
         |SELECT window_us, bin, n, n_pos, conf, acc,
         |  ABS(conf - acc) AS gap
         |FROM fin ORDER BY window_us, bin""".stripMargin,
+
+    // per-event hit counts via the substring-position scan, then the
+    // same (window, pattern) rollup the stream computes
+    "stream_blocklist_hits" ->
+      """WITH pats(pattern) AS (VALUES ('"k": 1'), ('"k": 2'), ('7}')),
+        |e AS (
+        |  SELECT event_id,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      AS window_us,
+        |    coalesce(props, '') AS p
+        |  FROM events
+        |), pos AS (
+        |  SELECT event_id, window_us, p,
+        |    UNNEST(range(1, length(p) + 1)) AS i
+        |  FROM e
+        |), m AS (
+        |  SELECT event_id, window_us, pattern, COUNT(*) AS cnt
+        |  FROM pos JOIN pats ON substr(p, i, length(pattern)) = pattern
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT window_us, pattern, COUNT(*) AS n_events,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_hits
+        |FROM m GROUP BY 1, 2 ORDER BY window_us, pattern""".stripMargin,
 
     "stream_tumbling_counts" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_us,

@@ -453,6 +453,16 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // T5 span corruption: 3-token blocks masked at 15% by the md5
+    // draw on (doc, block); input keeps one <extra_id_K> sentinel per
+    // masked block, target lists sentinel + hidden tokens — the
+    // denoising-objective pair generator, fully replayable
+    "pack_span_corruption" -> ((s, d) => {
+      graft.operators.Packing.spanCorruptionPairs(
+          Tables.documents(s, d), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // serpentine balanced sharding: 8 equal-WORK shards by n_chars —
     // rank desc, boustrophedon rounds; per-shard loads land within one
     // max row weight of each other, assignment fully replayable
@@ -1118,6 +1128,52 @@ object TextDedup {
         |  FROM tfc JOIN dfc USING (term))
         |SELECT doc_id, rnk, term, tf, df FROM ranked
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // same md5-bucket mask draw per (doc, block), same sentinel
+    // numbering via the running masked count
+    "pack_span_corruption" -> {
+      val h = graft.operators.Sampling.hashU32Sql("")
+      s"""WITH t0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l
+         |  FROM documents WHERE text IS NOT NULL
+         |), toks AS (
+         |  SELECT doc_id, i AS pos, l[i + 1] AS tok
+         |  FROM t0, UNNEST(range(len(l))) AS r(i)
+         |), b AS (
+         |  SELECT doc_id, pos // 3 AS blk, COUNT(*) AS bn,
+         |    string_agg(tok, ' ' ORDER BY pos) AS btxt
+         |  FROM toks GROUP BY 1, 2
+         |), hx AS (
+         |  SELECT doc_id, blk, bn, btxt,
+         |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR))
+         |      AS h
+         |  FROM b
+         |), m AS (
+         |  SELECT doc_id, blk, bn, btxt, ($h % 100) < 15 AS msk
+         |  FROM hx
+         |), k AS (
+         |  SELECT doc_id, blk, bn, btxt, msk,
+         |    COALESCE(SUM(CASE WHEN msk THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY blk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS kk
+         |  FROM m
+         |), sel AS (
+         |  SELECT doc_id, blk, bn, msk,
+         |    CASE WHEN msk THEN '<extra_id_' || CAST(kk AS VARCHAR)
+         |      || '>' ELSE btxt END AS piece,
+         |    CASE WHEN msk THEN '<extra_id_' || CAST(kk AS VARCHAR)
+         |      || '> ' || btxt END AS tpiece
+         |  FROM k
+         |)
+         |SELECT doc_id, CAST(SUM(bn) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN msk THEN bn ELSE 0 END) AS BIGINT)
+         |    AS n_masked,
+         |  string_agg(piece, ' ' ORDER BY blk) AS input_text,
+         |  COALESCE(string_agg(tpiece, ' ' ORDER BY blk), '')
+         |    AS target_text
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // rank desc by weight, snake over 8 shards, aggregate loads
     "pack_balanced_shards" ->

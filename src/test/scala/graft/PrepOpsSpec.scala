@@ -166,6 +166,40 @@ class PrepOpsSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("spanCorruptionPairs: mask extremes roundtrip; sentinels " +
+      "number left-to-right; token accounting exact") {
+    import graft.operators.Packing
+    val df = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("id", "t")
+    // 0% mask: input is the original text, target empty
+    val none = Packing.spanCorruptionPairs(df, "id", $"t", 3, 0)
+      .as[(Long, Long, Long, String, String)].collect().sortBy(_._1)
+    assert(none(0) == ((1L, 7L, 0L, "a b c d e f g", "")))
+    assert(none(1) == ((2L, 2L, 0L, "x y", "")))
+    // 100% mask: every block a sentinel, target carries every token,
+    // sentinels strictly 0..K-1 in input order and target order
+    val all = Packing.spanCorruptionPairs(df, "id", $"t", 3, 100)
+      .as[(Long, Long, Long, String, String)].collect().sortBy(_._1)
+    assert(all(0) == ((1L, 7L, 7L,
+      "<extra_id_0> <extra_id_1> <extra_id_2>",
+      "<extra_id_0> a b c <extra_id_1> d e f <extra_id_2> g")))
+    assert(all(1) == ((2L, 2L, 2L, "<extra_id_0>", "<extra_id_0> x y")))
+    // intermediate: n_masked + surviving input tokens == n_tokens, and
+    // target tokens == sentinels + masked tokens
+    val mid = Packing.spanCorruptionPairs(
+        (1L to 200L).map(i => (i, (1 to 20).map(j => s"t$j")
+          .mkString(" "))).toDF("id", "t"), "id", $"t", 3, 40)
+      .as[(Long, Long, Long, String, String)].collect()
+    mid.foreach { case (id, nTok, nMask, inp, tgt) =>
+      assert(nTok == 20L, s"doc $id")
+      val sentinels = "<extra_id_".r.findAllIn(inp).size
+      val inWords = inp.split(" ").count(!_.startsWith("<extra_id_"))
+      assert(inWords + nMask == nTok, s"doc $id: $inp")
+      if (nMask == 0) assert(tgt == "")
+      else assert(tgt.split(" ").length == sentinels + nMask,
+        s"doc $id: $tgt")
+    }
+  }
+
   test("groupKFold: a group never straddles folds; k folds populated") {
     val df = (1L to 3000L).map(i => (i, i % 97)).toDF("id", "grp")
     val folds = Sampling.groupKFold(df, $"grp", k = 5)
