@@ -365,4 +365,32 @@ object Profiling {
       .select(col("__pr.col_a"), col("__pr.col_b"), col("n"),
         col("__pr.corr"))
   }
+
+  /** Order-independent content digest per group — "is this table the
+    * same data over there": row digests are the arithmetic md5-nibble
+    * u32 of a '|'-joined column key (the one hash protocol every
+    * engine here reproduces — NOT xxhash64, which no oracle can
+    * replay), folded per group as SUM and SUM OF SQUARES. Both folds
+    * commute, so the digest is invariant to row order, partitioning,
+    * and engine; the squares fold catches the multiset differences a
+    * plain sum cancels (two rows swapped between groups, +d here −d
+    * there). A replica diverging in ANY row changes (n_rows,
+    * digest_sum, digest_sq) with overwhelming probability — the
+    * cross-engine migration audit in one aggregation pass, no sort,
+    * no row shipping. NULL columns fold as the literal 'ø' so
+    * NULL-vs-empty-string differences register. */
+  def contentDigest(df: DataFrame, group: Column, cols: Seq[Column])
+      : DataFrame = {
+    require(cols.nonEmpty, "contentDigest needs key columns")
+    val key = concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit("ø"))): _*)
+    val u32 = conv(substring(md5(key), 1, 8), 16, 10)
+      .cast("decimal(38,0)")
+    df.select(group.as("grp"), u32.as("__h"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h")).cast("decimal(38,0)").as("digest_sum"),
+        sum(col("__h") * col("__h")).cast("decimal(38,0)")
+          .as("digest_sq"))
+  }
 }

@@ -143,4 +143,48 @@ object TextIndex {
       .agg(count(lit(1)).as("n_matches"),
         min(col("__start")).cast("long").as("first_pos"))
   }
+
+  /** Minimal cover window — proximity ranking: per doc, the length (in
+    * tokens, inclusive) of the SMALLEST window containing ALL query
+    * terms, the classic IR proximity signal that separates "terms
+    * scattered across 3 pages" from "terms in one sentence" where
+    * bag-of-words scoring cannot. Sweep formulation: at each query-term
+    * occurrence p, the best cover ending at p spans
+    * [min over terms of last-occurrence-before-p, p]; the per-term
+    * last-occurrences are running conditional MAX windows over the
+    * doc's (position-sorted) query-term postings, so the whole operator
+    * is |terms| window aggregates over the FILTERED postings (the
+    * IN-filter cuts the corpus to query-term rows before any shuffle),
+    * one doc-keyed exchange, no self-join, no quadratic pair scan.
+    *
+    * Returns (idCol, n_covers, min_cover) for docs containing all
+    * terms — n_covers counts the query-term positions at which a full
+    * cover ends (every one after the first occurrence of the rarest
+    * prefix); min_cover >= |terms|, == |terms| iff some adjacent run
+    * holds all of them. */
+  def minCoverSpan(df: DataFrame, idCol: String, text: Column,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      s"need distinct query terms: $terms")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val lastCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("pos"))).over(w).as(s"__l$i")
+    }
+    df.where(text.isNotNull)
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "term")))
+      .where(col("term").isin(terms: _*))
+      .select(col(idCol) +: col("pos") +: lastCols: _*)
+      .where(terms.indices.map(i => col(s"__l$i").isNotNull)
+        .reduce(_ && _))
+      .withColumn("__cover",
+        col("pos") - least(terms.indices.map(i => col(s"__l$i")): _*)
+          + 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_covers"),
+        min(col("__cover")).cast("long").as("min_cover"))
+  }
 }

@@ -35,6 +35,16 @@ object EventOps {
         col("user_id"), topK = 10)
     }),
 
+    // order-independent per-source content digest: arithmetic md5 u32
+    // row hashes folded as sum + sum-of-squares — the cross-engine
+    // replica audit (same data elsewhere <=> same three numbers),
+    // one aggregation pass, no sort, no row shipping
+    "profile_content_digest" -> ((s, d) => {
+      graft.operators.Profiling.contentDigest(Tables.documents(s, d),
+          col("source"), Seq(col("doc_id"), col("lang"), col("n_chars")))
+        .orderBy(col("grp"))
+    }),
+
     // per-column table profile in one aggregation pass: null counts,
     // exact distinct counts, stringified min/max — the double column
     // goes through decimal so both engines render identical strings
@@ -1558,6 +1568,24 @@ object EventOps {
         |  (s.max_cnt * 1000) // (s.n_rows // s.n_keys) AS skew_x1000
         |FROM (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10) t, s
         |ORDER BY t.cnt DESC, t.key""".stripMargin,
+
+    // same '|'-joined key, same md5-nibble u32, same two folds
+    "profile_content_digest" -> {
+      val u = graft.operators.Sampling.hashU32Sql("")
+      s"""WITH k AS (
+         |  SELECT source, md5(
+         |    COALESCE(CAST(doc_id AS VARCHAR), 'ø') || '|' ||
+         |    COALESCE(lang, 'ø') || '|' ||
+         |    COALESCE(CAST(n_chars AS VARCHAR), 'ø')) AS h
+         |  FROM documents
+         |), u AS (
+         |  SELECT source, CAST($u AS HUGEINT) AS u32 FROM k
+         |)
+         |SELECT source AS grp, COUNT(*) AS n_rows,
+         |  CAST(SUM(u32) AS DECIMAL(38,0)) AS digest_sum,
+         |  CAST(SUM(u32 * u32) AS DECIMAL(38,0)) AS digest_sq
+         |FROM u GROUP BY 1 ORDER BY grp""".stripMargin
+    },
 
     "profile_columns" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -47,6 +47,26 @@ object SketchOps {
         .orderBy(col("l_partkey"))
     }),
 
+    // Hilbert layout: same box query as the Z-order gate but clustered
+    // along the adjacency-preserving curve — content identical to the
+    // plain scan (the oracle), locality properties spec'd in PlanSpec/
+    // LayoutSpec territory (each file's 2-D bounding box is connected)
+    "layout_hilbert_read" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("hilbert-q")
+        .toString + "/t"
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      graft.operators.Layout.writeHilbertOrdered(li, dir,
+        col("l_partkey"), col("l_suppkey"), nFiles = 16)
+      s.read.parquet(dir)
+        .filter(col("l_partkey") < 100 && col("l_suppkey") < 40)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          max(col("l_orderkey")).as("max_orderkey"))
+        .orderBy(col("l_partkey"))
+    }),
+
     // full ANSI MERGE through the gate: one commit carrying deletes
     // (matched + condition), updates (matched remainder), and inserts
     // (unmatched source) — the three-way surface upsert/deleteWhere are
@@ -681,6 +701,15 @@ object SketchOps {
         |FROM merged GROUP BY source ORDER BY source""".stripMargin,
 
     "layout_zorder_read" ->
+      """SELECT l_partkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  MAX(l_orderkey) AS max_orderkey
+        |FROM lineitem
+        |WHERE l_partkey < 100 AND l_suppkey < 40
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    // layout never changes content: same box select
+    "layout_hilbert_read" ->
       """SELECT l_partkey, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  MAX(l_orderkey) AS max_orderkey

@@ -626,6 +626,16 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // proximity ranking: the minimal token window covering ALL of
+    // (fast, join, scan) per doc — the conditional-running-max sweep,
+    // |terms| windows over IN-filtered postings, top 20 tightest
+    "text_search_proximity" -> ((s, d) => {
+      graft.operators.TextIndex.minCoverSpan(Tables.documents(s, d),
+          "doc_id", col("text"), Seq("fast", "join", "scan"))
+        .orderBy(col("min_cover"), col("doc_id"))
+        .limit(20)
+    }),
+
     // BM25 top-k: tf saturation + length normalization in exact
     // integer fixed point (rational k1/b, un-divided avgdl, log2_fp
     // Lucene idf) — scores are bigints, ranking engine-independent
@@ -891,6 +901,34 @@ object TextDedup {
          |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bm25_fp
          |FROM contrib GROUP BY doc_id
          |ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin,
+
+    // same conditional-running-max sweep per term, least() cover cut
+    "text_search_proximity" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents WHERE text IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, i AS pos, l[i + 1] AS term
+        |  FROM t0, UNNEST(range(len(l))) AS r(i)
+        |), f AS (
+        |  SELECT doc_id, pos, term FROM toks
+        |  WHERE term IN ('fast', 'join', 'scan')
+        |), lw AS (
+        |  SELECT doc_id, pos,
+        |    MAX(CASE WHEN term = 'fast' THEN pos END) OVER w AS l0,
+        |    MAX(CASE WHEN term = 'join' THEN pos END) OVER w AS l1,
+        |    MAX(CASE WHEN term = 'scan' THEN pos END) OVER w AS l2
+        |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING)
+        |), c AS (
+        |  SELECT doc_id, pos - least(l0, l1, l2) + 1 AS cover
+        |  FROM lw
+        |  WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covers,
+        |  CAST(MIN(cover) AS BIGINT) AS min_cover
+        |FROM c GROUP BY doc_id
+        |ORDER BY min_cover, doc_id LIMIT 20""".stripMargin,
 
     // both retrieval oracles replayed as CTE chains (lexical CTEs
     // renamed to avoid clashes), then rank + 2^20 // (rank+60) fusion

@@ -299,6 +299,57 @@ class PlanSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/zorder").count() == grid.count())
   }
 
+  test("hilbert curve: bijective, every consecutive pair of codes is " +
+      "grid-adjacent (the property Morton lacks)") {
+    import graft.functions.HilbertUtil
+    val order = 5
+    val n = 1 << order // 32x32 grid
+    val cells = for (x <- 0L until n; y <- 0L until n)
+      yield (x, y, HilbertUtil.xy2d(order, x, y))
+    // bijection: 1024 distinct codes covering exactly [0, 1024)
+    assert(cells.map(_._3).toSet == (0L until (n.toLong * n)).toSet)
+    // adjacency: d and d+1 are unit Manhattan neighbors — for EVERY d
+    val byD = cells.map(c => c._3 -> ((c._1, c._2))).toMap
+    (0L until n.toLong * n - 1).foreach { dd =>
+      val (x1, y1) = byD(dd)
+      val (x2, y2) = byD(dd + 1)
+      assert((x1 - x2).abs + (y1 - y2).abs == 1,
+        s"jump at d=$dd: ($x1,$y1)->($x2,$y2)")
+    }
+    // Morton, for contrast, jumps at the very first quadrant boundary
+    def morton(x: Long, y: Long): Long = (0 until order).map(b =>
+      (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))).sum
+    val mByD = cells.map(c => morton(c._1, c._2) -> ((c._1, c._2))).toMap
+    val jumps = (0L until n.toLong * n - 1).count { dd =>
+      val (x1, y1) = mByD(dd); val (x2, y2) = mByD(dd + 1)
+      (x1 - x2).abs + (y1 - y2).abs > 1
+    }
+    assert(jumps > 300, s"morton should jump often, saw $jumps")
+  }
+
+  test("hilbert layout prunes a 2-D box at least as well as required " +
+      "and preserves content") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hilbert").toString
+    val grid = (for (x <- 0 until 100; y <- 0 until 100) yield (x, y))
+      .toDF("x", "y")
+    graft.operators.Layout.writeHilbertOrdered(grid, s"$dir/h",
+      col("x"), col("y"), nFiles = 16)
+    def touched(f: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(s"$dir/h").filter(f)
+        .select(input_file_name()).distinct().count()
+    // 1/16 quadrant: connected curve locality -> very few files
+    assert(touched(col("x") < 25 && col("y") < 25) <= 3)
+    // single-dimension band still prunes
+    assert(touched(col("y") < 25) <= 8)
+    assert(spark.read.parquet(s"$dir/h").count() == grid.count())
+    // content identical to the source grid
+    val back = spark.read.parquet(s"$dir/h").as[(Int, Int)]
+      .collect().toSet
+    assert(back == grid.as[(Int, Int)].collect().toSet)
+  }
+
   test("z-order write handles empty input and all-null columns") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -523,6 +574,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"))
     assert(!p.toLowerCase.contains("batchevalpython") &&
       !p.contains("ScalaUDF"))
+  }
+
+  test("sentence dedup: the rank-1 survivor cut is WindowGroupLimit-" +
+      "capped (shuffle carries ~distinct sentences, not occurrences)") {
+    val p = plan("dedup_sentences_first")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("proximity min-cover: windows key on the doc, final cut is " +
+      "top-k — no global sort of the postings") {
+    val p = plan("text_search_proximity")
+    assert(p.contains("hashpartitioning(doc_id"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange SinglePartition"))
   }
 
   test("top paths: first-k cut is WindowGroupLimit-capped and the " +

@@ -186,4 +186,29 @@ class ProfilingSpec extends SparkSpec {
     val rows = b.orderBy("v", "id").select("bucket").as[Long].collect()
     assert(rows.sameElements(rows.sorted))
   }
+
+  test("contentDigest: order/partition-invariant, detects row swaps " +
+      "and NULL-vs-empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 500L)
+      .map(i => (s"g${i % 3}", i, if (i % 7 == 0) null else s"v$i"))
+      .toDF("g", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Profiling.contentDigest(d, col("g"),
+          Seq(col("id"), col("v")))
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+    val a = run(df)
+    assert(a == run(df.repartition(13).sortWithinPartitions("v")))
+    // swapping one row's group must change BOTH groups' digests
+    // (id 3 lives in g0 = 3 % 3; move it to g1)
+    val swapped = df.withColumn("g",
+      when(col("id") === 3L, "g1").otherwise(col("g")))
+    val b = run(swapped)
+    assert(a(0) != b(0) && a(1) != b(1) && a(2) == b(2))
+    // NULL and '' are different content
+    val empt = df.withColumn("v",
+      when(col("v").isNull, "").otherwise(col("v")))
+    assert(a != run(empt))
+  }
 }

@@ -158,6 +158,41 @@ class TextIndexSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("minCoverSpan: brute-force parity on seeded corpora; absent " +
+      "term excludes the doc") {
+    import graft.operators.TextIndex
+    val terms = Seq("a", "b", "c")
+    val rnd = new scala.util.Random(17)
+    val alphabet = Vector("a", "b", "c", "x", "y")
+    val txts = (1L to 120L).map(i =>
+      (i, (1 to 2 + rnd.nextInt(25))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" ")))
+    def brute(t: String): Option[(Long, Long)] = {
+      val toks = t.split(" ")
+      val covers = for {
+        j <- toks.indices if terms.contains(toks(j))
+        starts = terms.map(q => (0 to j).filter(i => toks(i) == q))
+        if starts.forall(_.nonEmpty)
+      } yield j - starts.map(_.max).min + 1
+      if (covers.isEmpty) None
+      else Some((covers.size.toLong, covers.min.toLong))
+    }
+    val got = TextIndex.minCoverSpan(txts.toDF("id", "t"), "id", $"t",
+        terms)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    txts.foreach { case (id, t) =>
+      assert(got.get(id) == brute(t), s"doc $id: '$t'")
+    }
+    // sanity on a known layout: cover of the adjacent run is |terms|
+    val tight = TextIndex.minCoverSpan(
+        Seq((1L, "x a y b c a z")).toDF("id", "t"), "id", $"t", terms)
+      .as[(Long, Long, Long)].collect().head
+    // covers end at c(pos4): [a1..c4] = 4, and at a(pos5):
+    // [b3..a5] = 3 — the sweep must find the tighter trailing window
+    assert(tight == ((1L, 2L, 3L)))
+  }
+
   test("rrfFuse: exact reciprocal fixed point, per-query partitions, " +
       "agreement count") {
     import graft.operators.Retrieval
