@@ -122,6 +122,14 @@ object GraftFunctions {
           "shift-and-square: the cross-engine-exact log for entropy/" +
           "PSI/PMI statistics; NULL for x <= 0"),
       arity("log2_fp", 1)(args => Log2Fp(args(0)))),
+    (FunctionIdentifier("hilbert_index"),
+      info(classOf[HilbertIndex2], "hilbert_index",
+        "hilbert_index(x, y, order) - Hilbert curve distance of the " +
+          "quantized (x, y) cell in a 2^order grid; the locality-" +
+          "preserving file-clustering key"),
+      arity("hilbert_index", 3)(args =>
+        HilbertIndex2(args(0), args(1), intLit(args(2),
+          "hilbert_index")))),
     (FunctionIdentifier("range_lookup_idx"),
       info(classOf[RangeLookupIdx], "range_lookup_idx",
         "range_lookup_idx(x, los, his) - binary search sorted " +

@@ -264,4 +264,61 @@ object Encoding {
       .groupBy(col(idCol), col("bucket"))
       .agg(sum(col("__sgn")).cast("bigint").as("value"))
   }
+
+  /** Group-wise missing-value imputation — the feature-repair step
+    * before training: numeric nulls fill with their group's LOWER
+    * MEDIAN (a pure element selection — no interpolation arithmetic,
+    * hence bit-identical cross-engine; the [[robustScale]] convention,
+    * here per group), categorical nulls with their group's MODE (ties
+    * broken lexicographically — deterministic, unlike hash-order
+    * argmax). Columns are replaced IN PLACE; per column an `imp_<name>`
+    * flag marks rows actually filled (a group with no donors leaves
+    * NULL and the flag false, so downstream can distinguish repaired
+    * from unrepairable).
+    *
+    * Scale shape: per column one group-keyed aggregation/window over
+    * NON-NULL rows only (the median rank cut selects one row per
+    * group) and one join back on the group key — donors-sized state,
+    * no global sort, broadcastable when groups are few. */
+  def imputeByGroup(df: DataFrame, group: Column,
+      nums: Seq[(String, Column)], cats: Seq[(String, Column)])
+      : DataFrame = {
+    require(nums.nonEmpty || cats.nonEmpty, "nothing to impute")
+    (nums ++ cats).foreach { case (n, _) =>
+      require(!df.columns.contains(s"imp_$n"),
+        s"output column 'imp_$n' already exists in the input") }
+    val wFill = nums.foldLeft(df) { case (acc, (n, c)) =>
+      val nn = acc.select(group.as("__g"), c.as("__v"))
+        .where(col("__v").isNotNull)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__g")).orderBy(col("__v"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__g"))
+      val med = nn
+        .withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .where(col("__rk") * 2 === col("__n") ||
+          col("__rk") * 2 === col("__n") + 1)
+        .groupBy(col("__g")).agg(min(col("__v")).as(s"__fill_$n"))
+      acc.join(med, group === col("__g"), "left").drop("__g")
+        .withColumn(s"imp_$n", c.isNull && col(s"__fill_$n").isNotNull)
+        .withColumn(n, coalesce(c, col(s"__fill_$n")))
+        .drop(s"__fill_$n")
+    }
+    cats.foldLeft(wFill) { case (acc, (n, c)) =>
+      val cnt = acc.select(group.as("__g"), c.as("__v"))
+        .where(col("__v").isNotNull)
+        .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__g"))
+        .orderBy(col("__c").desc, col("__v"))
+      val mode = cnt.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("__g"), col("__v").as(s"__fill_$n"))
+      acc.join(mode, group === col("__g"), "left").drop("__g")
+        .withColumn(s"imp_$n", c.isNull && col(s"__fill_$n").isNotNull)
+        .withColumn(n, coalesce(c, col(s"__fill_$n")))
+        .drop(s"__fill_$n")
+    }
+  }
 }

@@ -358,6 +358,25 @@ object MlOps {
     // One-pass z-score standardization of two lineitem features: exact
     // decimal sufficient stats broadcast back, map-only per-row dag —
     // every standardized value bit-identical to the oracle replay.
+    // group-wise imputation: numeric nulls <- per-user lower median
+    // (pure element selection), categorical nulls <- per-user mode
+    // (lexicographic tie-break), imp_* flags mark actual fills; nulls
+    // planted deterministically so the repair is oracle-replayable
+    "ml_impute" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("user_id"),
+        when(col("event_id") % 13 === 0, lit(null))
+          .otherwise(col("value")).as("value"),
+        when(col("event_id") % 17 === 0, lit(null))
+          .otherwise(col("event_type")).as("etype"))
+      graft.operators.Encoding.imputeByGroup(ev, col("user_id"),
+          nums = Seq("value" -> col("value")),
+          cats = Seq("etype" -> col("etype")))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("etype"), col("imp_value"), col("imp_etype"))
+        .orderBy(col("event_id"))
+    }),
+
     "ml_feature_scale" -> ((s, d) => {
       graft.operators.Encoding.standardize(
           Tables.lineitem(s, d)
@@ -1228,6 +1247,44 @@ object MlOps {
         |  END AS rz_qty
         |FROM b CROSS JOIN med CROSS JOIN mad
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // same rank-selected lower median and (count desc, value) mode
+    "ml_impute" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END
+        |      AS value,
+        |    CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END
+        |      AS etype
+        |  FROM events
+        |), nv AS (
+        |  SELECT user_id, value FROM e WHERE value IS NOT NULL
+        |), mr AS (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value)
+        |      AS rk,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM nv
+        |), med AS (
+        |  SELECT user_id, MIN(value) AS mv FROM mr
+        |  WHERE 2 * rk = n OR 2 * rk = n + 1 GROUP BY user_id
+        |), cv AS (
+        |  SELECT user_id, etype, COUNT(*) AS c FROM e
+        |  WHERE etype IS NOT NULL GROUP BY 1, 2
+        |), md AS (
+        |  SELECT user_id, etype AS me FROM (
+        |    SELECT user_id, etype, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY c DESC, etype) AS rk
+        |    FROM cv) WHERE rk = 1
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  COALESCE(e.value, m.mv) AS value,
+        |  COALESCE(e.etype, d.me) AS etype,
+        |  (e.value IS NULL AND m.mv IS NOT NULL) AS imp_value,
+        |  (e.etype IS NULL AND d.me IS NOT NULL) AS imp_etype
+        |FROM e LEFT JOIN med m USING (user_id)
+        |LEFT JOIN md d USING (user_id)
+        |ORDER BY event_id""".stripMargin,
 
     // same sufficient-stat dag; decimal -> double through VARCHAR, the
     // variance from (q - s*s/n)/(n-1) with identical association

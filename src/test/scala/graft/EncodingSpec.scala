@@ -191,4 +191,37 @@ class EncodingSpec extends SparkSpec {
     }.sum
     assert(mass == direct)
   }
+
+  test("imputeByGroup: lower median, lexicographic mode, no-donor " +
+      "groups stay NULL with a false flag") {
+    val df = Seq(
+      // g1 numeric donors 1,3,9 (odd -> median 3); cat donors b,b,a
+      (1L, "g1", Some(1.0), Some("b")), (2L, "g1", Some(3.0), Some("b")),
+      (3L, "g1", Some(9.0), Some("a")), (4L, "g1", None: Option[Double],
+        None: Option[String]),
+      // g2 numeric donors 2,8 (even -> LOWER median 2); cat tie a/b ->
+      // lexicographic a
+      (5L, "g2", Some(8.0), Some("b")), (6L, "g2", Some(2.0), Some("a")),
+      (7L, "g2", None, None),
+      // g3: no donors at all
+      (8L, "g3", None, None))
+      .toDF("id", "g", "v", "c")
+    val out = graft.operators.Encoding.imputeByGroup(df, $"g",
+        nums = Seq("v" -> $"v"), cats = Seq("c" -> $"c"))
+      .select($"id", $"v", $"c", $"imp_v", $"imp_c")
+      .as[(Long, Option[Double], Option[String], Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(4L) == ((Some(3.0), Some("b"), true, true)))
+    assert(out(7L) == ((Some(2.0), Some("a"), true, true)))
+    assert(out(8L) == ((None, None, false, false)))
+    // donor rows untouched, flags false
+    assert(out(1L) == ((Some(1.0), Some("b"), false, false)))
+    // partition invariance
+    val again = graft.operators.Encoding.imputeByGroup(
+        df.repartition(7), $"g", Seq("v" -> $"v"), Seq("c" -> $"c"))
+      .select($"id", $"v", $"c", $"imp_v", $"imp_c")
+      .as[(Long, Option[Double], Option[String], Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out == again)
+  }
 }

@@ -49,6 +49,13 @@ class ExtensionsSpec extends SparkSpec {
         col("doc_id"), col("text"))
       .select($"sh").as[Long].head()
     assert(s.getLong(1) == expectSh)
+    // hilbert_index from pure SQL: order-1 curve visits the 2x2 grid
+    // in the canonical (0,0)->(0,1)->(1,1)->(1,0) order
+    val hb = spark.sql(
+      """SELECT hilbert_index(0L, 0L, 1), hilbert_index(0L, 1L, 1),
+        |  hilbert_index(1L, 1L, 1), hilbert_index(1L, 0L, 1)"""
+        .stripMargin).head
+    assert((0 to 3).map(hb.getLong) == Seq(0L, 1L, 2L, 3L))
   }
 
   test("extensions entry point applies the same function list") {
