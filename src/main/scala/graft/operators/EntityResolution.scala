@@ -252,4 +252,62 @@ object EntityResolution {
     labeled.groupBy(col("component").as("entity_id"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Survivorship rule for one golden-record attribute. */
+  sealed trait Pick
+  /** Most frequent non-null value; ties break to the LEXICOGRAPHICALLY
+    * SMALLEST value (deterministic, unlike hash-order argmax). */
+  case object ModePick extends Pick
+  /** Value of the row with the greatest `ts` (non-null values only);
+    * ties break to the LARGEST value. */
+  final case class LatestPick(ts: Column) extends Pick
+  /** Longest non-null value; ties break to the LARGEST value. */
+  case object LongestPick extends Pick
+
+  /** Golden-record consolidation — the survivorship step AFTER entity
+    * resolution (dedup found the cluster; this decides what the ONE
+    * surviving record says): per cluster, each attribute picks its
+    * value by a declared rule. Every rule is a deterministic total
+    * order, so the golden record is engine/partitioning-independent
+    * and fully oracle-checkable — the property ad-hoc "first()/any()"
+    * consolidation lacks.
+    *
+    * Scale shape: non-mode rules fold in ONE cluster-keyed aggregation
+    * via the max(struct(orderKey, value)) trick (map-side combined, no
+    * window); each mode rule adds one (cluster, value) count + rank
+    * (WindowGroupLimit-capped) and a join back on the cluster key. No
+    * row history is carried — state per cluster is one struct per
+    * attribute. */
+  def goldenRecord(df: DataFrame, cluster: Column,
+      attrs: Seq[(String, Column, Pick)]): DataFrame = {
+    require(attrs.nonEmpty, "goldenRecord needs attributes")
+    val foldAggs = attrs.flatMap {
+      case (n, c, LatestPick(ts)) => Some(
+        max(when(c.isNotNull, struct(ts.as("k"), c.as("v"))))
+          .getField("v").as(n))
+      case (n, c, LongestPick) => Some(
+        max(when(c.isNotNull, struct(length(c).as("k"), c.as("v"))))
+          .getField("v").as(n))
+      case (_, _, ModePick) => None
+    }
+    val base = df.groupBy(cluster.as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        foldAggs: _*)
+    attrs.foldLeft(base) {
+      case (acc, (n, c, ModePick)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__cl"))
+          .orderBy(col("__c").desc, col("__v"))
+        val mode = df.select(cluster.as("__cl"), c.as("__v"))
+          .where(col("__v").isNotNull)
+          .groupBy(col("__cl"), col("__v"))
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") === 1)
+          .select(col("__cl"), col("__v").as(n))
+        acc.join(mode, acc("cluster") === mode("__cl"), "left")
+          .drop("__cl")
+      case (acc, _) => acc
+    }
+  }
 }

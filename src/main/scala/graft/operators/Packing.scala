@@ -153,6 +153,39 @@ object Packing {
         col("__off").as("distance")))
   }
 
+  /** Sentence-boundary-aware chunking — the RAG/embedding prep that
+    * [[chunkByTokens]]'s fixed token windows cannot give: sentences
+    * NEVER split across chunks. Greedy offset rule: a sentence joins
+    * chunk `floor(tokens-before-it / budgetTokens)` — chunks fill to
+    * the budget and the sentence straddling a boundary belongs to the
+    * chunk its FIRST token falls in (so a chunk may overrun by at most
+    * one sentence; a sentence longer than the budget still lands
+    * whole). Deterministic, replayable, append-stable per doc.
+    *
+    * Returns one row per (idCol, chunk_id): n_sents, n_chunk_tokens,
+    * chunk_text (sentences joined in order). Scale shape: sentence
+    * explode (map-only) -> one doc-keyed running-sum window -> one
+    * (doc, chunk) reassembly groupBy. */
+  def chunkBySentences(df: DataFrame, idCol: String, text: Column,
+      budgetTokens: Int): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1: $budgetTokens")
+    val sents = TextAnalysis.sentences(df, idCol, text)
+      .withColumn("__nt", size(split(col("sentence"), " ")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sent_idx"))
+    sents
+      .withColumn("__before", sum(col("__nt")).over(w) - col("__nt"))
+      .withColumn("chunk_id",
+        expr(s"__before div ${budgetTokens.toLong}").cast("int"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(col("__nt")).as("n_chunk_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_idx"),
+            col("sentence")))),
+          x => x.getField("sentence")), " ").as("chunk_text"))
+  }
+
   /** T5-style span-corruption pairs (Raffel et al. 2020 §3.1.4, the
     * denoising pretraining objective): contiguous `spanTokens`-token
     * blocks are masked with probability `maskPct`%, the input keeps a

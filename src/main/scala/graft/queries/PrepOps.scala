@@ -536,6 +536,18 @@ object PrepOps {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // sentence-boundary-aware chunking: sentences never split; a
+    // sentence joins the chunk its FIRST token's offset falls in
+    // (greedy 16-token budget), punctuation derived as in
+    // dedup_sentences_first — the RAG-prep layout
+    "chunk_sentences" -> ((s, d) => {
+      graft.operators.Packing.chunkBySentences(Tables.documents(s, d),
+          "doc_id",
+          regexp_replace(col("text"), "\\btable\\b", "table."),
+          budgetTokens = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // chunk -> reassemble roundtrip: non-overlapping token chunks merged
     // back in chunk_id order must reproduce every document byte-exactly
     // — the invertibility proof for the chunking pipeline (a chunk lost,
@@ -875,6 +887,39 @@ object PrepOps {
         |)
         |SELECT doc_id, label FROM r, k WHERE rk <= k
         |ORDER BY doc_id""".stripMargin,
+
+    // same segmentation, running token offsets, before-div-budget cut
+    "chunk_sentences" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(coalesce(text, ''), '\btable\b', 'table.',
+        |      'g') AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]*') AS l
+        |  FROM p
+        |), e AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS sent_idx,
+        |    unnest(l) AS s
+        |  FROM m
+        |), sn AS (
+        |  SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+        |    trim(s) AS sentence
+        |  FROM e WHERE length(trim(s)) > 0
+        |), t2 AS (
+        |  SELECT doc_id, sent_idx, sentence,
+        |    CAST(len(string_split(sentence, ' ')) AS BIGINT) AS nt
+        |  FROM sn
+        |), c AS (
+        |  SELECT doc_id, sent_idx, sentence, nt,
+        |    CAST((SUM(nt) OVER (PARTITION BY doc_id ORDER BY sent_idx
+        |      ROWS UNBOUNDED PRECEDING) - nt) // 16 AS INT) AS chunk_id
+        |  FROM t2
+        |)
+        |SELECT doc_id, chunk_id, COUNT(*) AS n_sents,
+        |  CAST(SUM(nt) AS BIGINT) AS n_chunk_tokens,
+        |  string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
+        |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
 
     // same partition-of-the-text segmentation as text_sentences, then
     // rank-1-per-sentence by (doc_id, sent_idx) and in-order reassembly

@@ -513,6 +513,20 @@ object TextDedup {
         .orderBy(col("entity_id"))
     }),
 
+    // golden-record survivorship over declared clusters: per attribute
+    // a deterministic total-order pick — longest name, modal brand,
+    // latest price (recency stood in by p_partkey, documented) — the
+    // MDM consolidation step after resolution, fully oracle-replayable
+    "er_golden_record" -> ((s, d) => {
+      import graft.operators.EntityResolution._
+      goldenRecord(Tables.part(s, d),
+          expr("p_partkey div 4"),
+          Seq(("name", col("p_name"), LongestPick),
+            ("brand", col("p_brand"), ModePick),
+            ("price", col("p_retailprice"), LatestPick(col("p_partkey")))))
+        .orderBy(col("cluster"))
+    }),
+
     // Fellegi-Sunter probabilistic linkage scores over two-token
     // composite blocks: per-attribute log2(m/u) agreement weights with
     // u estimated exactly from value frequencies, all integer
@@ -901,6 +915,42 @@ object TextDedup {
          |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bm25_fp
          |FROM contrib GROUP BY doc_id
          |ORDER BY bm25_fp DESC, doc_id LIMIT 20""".stripMargin,
+
+    // per-rule window replays: longest -> (len desc, value desc),
+    // latest -> (ts desc, value desc), mode -> (count desc, value asc)
+    "er_golden_record" ->
+      """WITH p AS (
+        |  SELECT p_partkey // 4 AS cluster, p_partkey, p_name, p_brand,
+        |    p_retailprice
+        |  FROM part
+        |), base AS (
+        |  SELECT cluster, COUNT(*) AS n_members FROM p GROUP BY 1
+        |), nm AS (
+        |  SELECT cluster, p_name FROM (
+        |    SELECT cluster, p_name, ROW_NUMBER() OVER (
+        |      PARTITION BY cluster
+        |      ORDER BY length(p_name) DESC, p_name DESC) AS rk
+        |    FROM p WHERE p_name IS NOT NULL) WHERE rk = 1
+        |), pr AS (
+        |  SELECT cluster, p_retailprice FROM (
+        |    SELECT cluster, p_retailprice, ROW_NUMBER() OVER (
+        |      PARTITION BY cluster
+        |      ORDER BY p_partkey DESC, p_retailprice DESC) AS rk
+        |    FROM p WHERE p_retailprice IS NOT NULL) WHERE rk = 1
+        |), mf AS (
+        |  SELECT cluster, p_brand FROM (
+        |    SELECT cluster, p_brand, ROW_NUMBER() OVER (
+        |      PARTITION BY cluster ORDER BY c DESC, p_brand) AS rk
+        |    FROM (SELECT cluster, p_brand, COUNT(*) AS c FROM p
+        |          WHERE p_brand IS NOT NULL GROUP BY 1, 2)) WHERE rk = 1
+        |)
+        |SELECT b.cluster, b.n_members, nm.p_name AS name,
+        |  mf.p_brand AS brand, pr.p_retailprice AS price
+        |FROM base b
+        |LEFT JOIN nm USING (cluster)
+        |LEFT JOIN mf USING (cluster)
+        |LEFT JOIN pr USING (cluster)
+        |ORDER BY cluster""".stripMargin,
 
     // same conditional-running-max sweep per term, least() cover cut
     "text_search_proximity" ->

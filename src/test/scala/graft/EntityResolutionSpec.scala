@@ -149,4 +149,38 @@ class EntityResolutionSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(out.sorted.toSeq == shuffled.sorted.toSeq)
   }
+
+  test("goldenRecord: longest/mode/latest rules, null tolerance, " +
+      "deterministic ties, partition invariance") {
+    import EntityResolution._
+    val df = Seq(
+      // cluster 1: names of lengths 2,4,4 (tie -> 'dddd' > 'cccc');
+      // brand mode 'x' (2 vs 1); latest ts=30 carries price 9.0
+      (1L, 10L, "ab", Some("x"), Some(1.0)),
+      (1L, 20L, "cccc", Some("x"), Some(5.0)),
+      (1L, 30L, "dddd", Some("y"), Some(9.0)),
+      // cluster 2: brand all null; latest row's price is null ->
+      // latest NON-NULL (ts=40) must win, not null-at-ts-50
+      (2L, 40L, "zz", None, Some(7.0)),
+      (2L, 50L, "zzz", None, None))
+      .toDF("cl", "ts", "name", "brand", "price")
+    val out = EntityResolution.goldenRecord(df, $"cl", Seq(
+        ("name", $"name", LongestPick),
+        ("brand", $"brand", ModePick),
+        ("price", $"price", LatestPick($"ts"))))
+      .select($"cluster", $"n_members", $"name", $"brand", $"price")
+      .as[(Long, Long, String, Option[String], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, "dddd", Some("x"), Some(9.0)),
+      (2L, 2L, "zzz", None, Some(7.0))))
+    val again = EntityResolution.goldenRecord(df.repartition(7), $"cl",
+        Seq(("name", $"name", LongestPick),
+          ("brand", $"brand", ModePick),
+          ("price", $"price", LatestPick($"ts"))))
+      .select($"cluster", $"n_members", $"name", $"brand", $"price")
+      .as[(Long, Long, String, Option[String], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == again)
+  }
 }

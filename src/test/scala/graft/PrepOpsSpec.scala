@@ -200,6 +200,49 @@ class PrepOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkBySentences: sentences never split, chunks fill to the " +
+      "budget, concatenation round-trips") {
+    import graft.operators.Packing
+    // sentences of 3,3,3,3 tokens, budget 5: offsets 0,3,6,9 ->
+    // chunks 0,0,1,1
+    val df = Seq((1L, "a b c. d e f. g h i. j k l.")).toDF("id", "t")
+    val out = Packing.chunkBySentences(df, "id", $"t", 5)
+      .orderBy($"chunk_id")
+      .as[(Long, Int, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 2L, 6L, "a b c. d e f."),
+      (1L, 1, 2L, 6L, "g h i. j k l.")))
+    // an over-budget sentence lands whole in one chunk
+    val big = Packing.chunkBySentences(
+        Seq((2L, "one two three four five six seven. tail."))
+          .toDF("id", "t"), "id", $"t", 3)
+      .orderBy($"chunk_id")
+      .as[(Long, Int, Long, Long, String)].collect().toSeq
+    assert(big == Seq(
+      (2L, 0, 1L, 7L, "one two three four five six seven."),
+      (2L, 2, 1L, 1L, "tail.")))
+    // roundtrip on fixture-shaped docs: chunks joined in order ==
+    // the sentence-joined original
+    val docs = (1L to 50L).map(i =>
+      (i, (1 to 40).map(j => s"w${(i * j) % 13}" +
+        (if (j % 7 == 0) "." else "")).mkString(" ")))
+      .toDF("id", "t")
+    val sents = graft.operators.TextAnalysis
+      .sentences(docs, "id", $"t")
+      .groupBy($"id")
+      .agg(array_join(transform(array_sort(collect_list(
+        struct($"sent_idx", $"sentence"))),
+        x => x.getField("sentence")), " ").as("full"))
+    val rebuilt = Packing.chunkBySentences(docs, "id", $"t", 16)
+      .groupBy($"id")
+      .agg(array_join(transform(array_sort(collect_list(
+        struct($"chunk_id", $"chunk_text"))),
+        x => x.getField("chunk_text")), " ").as("full"))
+    val a = sents.as[(Long, String)].collect().toMap
+    val b = rebuilt.as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
   test("groupKFold: a group never straddles folds; k folds populated") {
     val df = (1L to 3000L).map(i => (i, i % 97)).toDF("id", "grp")
     val folds = Sampling.groupKFold(df, $"grp", k = 5)
