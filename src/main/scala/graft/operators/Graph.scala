@@ -43,10 +43,21 @@ object Graph {
     * 10-iteration plan does not nest 10 joins deep. Edge dedup + degree
     * are computed once and cached across iterations.
     */
+  /** `seeds` switches the uniform teleport to a PERSONALIZED restart
+    * vector (PPR, the seeded-relevance propagation of curation/
+    * recommendation pipelines): all teleport mass — and the initial
+    * rank — concentrates uniformly on the seed nodes, so scores
+    * measure proximity TO THE SEEDS rather than global centrality.
+    * Seeds absent from the node universe contribute nothing (their
+    * mass is simply never minted); ranks of nodes unreachable from
+    * every seed converge to exactly 0 — both facts the oracle replays
+    * identically. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, checkpointEvery: Int = 1,
       edgesDistinct: Boolean = false,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      seeds: Option[Seq[Long]] = None): DataFrame = {
+    require(seeds.forall(_.nonEmpty), "seeds, when given, must be non-empty")
     require(iters >= 1 && iters <= 100, s"iters=$iters out of [1,100]")
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     // WEIGHTED generalization, same fixed-point arithmetic: an edge of
@@ -89,10 +100,19 @@ object Graph {
     val ew = e.join(deg, "src").repartition(col("src")).cache()
     try {
       // per-node init rank + teleport term, computed once (tiny: |V|)
-      val base = nd.crossJoin(nn)
-        .select(col("node"), expr(s"$Scale div n").as("rank"),
-          expr(s"(15 * ($Scale div n)) div 100").as("tp"))
-        .localCheckpoint()
+      val base = (seeds match {
+        case None => nd.crossJoin(nn)
+          .select(col("node"), expr(s"$Scale div n").as("rank"),
+            expr(s"(15 * ($Scale div n)) div 100").as("tp"))
+        case Some(ss) =>
+          val k = ss.distinct.size
+          val isSeed = col("node").isin(ss.distinct: _*)
+          nd.select(col("node"),
+            when(isSeed, expr(s"$Scale div $k")).otherwise(lit(0L))
+              .as("rank"),
+            when(isSeed, expr(s"(15 * ($Scale div $k)) div 100"))
+              .otherwise(lit(0L)).as("tp"))
+      }).localCheckpoint()
       var ranks = base.select(col("node"), col("rank"))
       var i = 0
       while (i < iters) {

@@ -26,6 +26,10 @@ object GraphOps {
 
   private val HitsIters = 4
 
+  /** PPR restart set: customer nodes (custkey*2 in the bipartite
+    * encoding) 1, 7, 13 — present with orders at every fixture SF. */
+  private val PprSeeds = Seq(2L, 14L, 26L)
+
   /** The buyer->seller half of [[tradeEdges]], kept DIRECTED (HITS
     * needs direction; a symmetric graph collapses hub == auth). */
   private def directedTradeEdges(s: SparkSession, d: String): DataFrame = {
@@ -92,6 +96,16 @@ object GraphOps {
     "graph_pagerank" -> ((s, d) => {
       graft.operators.Graph.pageRank(tradeEdges(s, d), "src", "dst", Iters,
           edgesDistinct = true)
+        .orderBy(col("node"))
+    }),
+
+    // personalized PageRank from three customer seeds: all teleport
+    // mass restarts at the seeds, so ranks measure proximity to them
+    // (the seeded-relevance curation primitive); unreachable nodes
+    // converge to exactly 0 — oracle unrolls the same iterations
+    "graph_ppr_seeded" -> ((s, d) => {
+      graft.operators.Graph.pageRank(tradeEdges(s, d), "src", "dst",
+          Iters, edgesDistinct = true, seeds = Some(PprSeeds))
         .orderBy(col("node"))
     }),
 
@@ -251,10 +265,12 @@ object GraphOps {
     * carries. `contrib` is the per-edge flow term — unweighted rank
     * share by default, (rank * w) // strength for the weighted gate. */
   private def iterCte(prev: String, next: String,
-      contrib: String = "r.rank // ew.od"): String =
+      contrib: String = "r.rank // ew.od",
+      tpSql: String =
+        "(15 * (1000000000000 // (SELECT n FROM nn))) // 100"): String =
     s"""$next AS (
        |  SELECT n.node, CAST(
-       |      (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+       |      $tpSql
        |      + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
        |  FROM nodes n LEFT JOIN (
        |    SELECT ew.dst AS node, SUM($contrib) AS s
@@ -334,6 +350,29 @@ object GraphOps {
          |r0 AS (
          |  SELECT node,
          |    CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
+         |  FROM nodes),
+         |$iters
+         |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin
+    },
+
+    // same unrolled iterations with the teleport term concentrated on
+    // the seed set; init rank = Scale div |seeds| on seeds else 0
+    "graph_ppr_seeded" -> {
+      val seedList = PprSeeds.mkString(", ")
+      val k = PprSeeds.size
+      val tp = s"(CASE WHEN n.node IN ($seedList) " +
+        s"THEN (15 * (1000000000000 // $k)) // 100 ELSE 0 END)"
+      val iters = (1 to Iters)
+        .map(i => iterCte(s"r${i - 1}", s"r$i", tpSql = tp)).mkString(",\n")
+      s"""WITH $EdgesCte,
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, d.od FROM e JOIN deg d ON d.src = e.src),
+         |r0 AS (
+         |  SELECT node,
+         |    CAST(CASE WHEN node IN ($seedList)
+         |      THEN 1000000000000 // $k ELSE 0 END AS BIGINT) AS rank
          |  FROM nodes),
          |$iters
          |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin

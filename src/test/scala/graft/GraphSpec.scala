@@ -348,4 +348,29 @@ class GraphSpec extends SparkSpec {
       assert(got == dist, s"trial=$trial")
     }
   }
+
+  test("personalized pagerank: mass stays in the seeds' reachable " +
+      "set; unreachable nodes are exactly zero") {
+    import graft.operators.Graph
+    // cycle 1->2->3->1 reachable from seed 1; island 4->5 is not
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iters = 6,
+        seeds = Some(Seq(1L)))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(4L) == 0L && r(5L) == 0L)
+    assert(r(1L) > 0L && r(2L) > 0L && r(3L) > 0L)
+    // seed-proximity ordering: the seed itself carries the teleport
+    assert(r(1L) > r(3L) || r(1L) > r(2L))
+    // a seed absent from the graph mints nothing
+    val r2 = Graph.pageRank(edges, "src", "dst", iters = 3,
+        seeds = Some(Seq(99L)))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2.values.forall(_ == 0L))
+    // determinism under repartition
+    val r3 = Graph.pageRank(edges.repartition(5), "src", "dst",
+        iters = 6, seeds = Some(Seq(1L)))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == r3)
+  }
 }
