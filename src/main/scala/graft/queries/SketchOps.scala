@@ -47,6 +47,61 @@ object SketchOps {
         .orderBy(col("l_partkey"))
     }),
 
+    // three-way branch merge end-to-end: clone, diverge BOTH branches
+    // (into: x2 upserts + deletes; from: +1 upserts), merge from->into
+    // against the clone-point base. From-only changes land; into-only
+    // changes survive; both-changed keys conflict and keep the into
+    // state (asserted: conflict set == the predicate intersection;
+    // re-merge applies nothing — idempotence). Oracle reconstructs the
+    // merged table relationally.
+    "versioned_branch_merge" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val base = java.nio.file.Files.createTempDirectory("vbm").toString
+      val src = base + "/main"; val dst = base + "/branch"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      VersionedTable.write(docs, src)
+      VersionedTable.cloneShallow(s, src, dst)
+      // into-branch divergence: double %10 keys, delete %97 keys
+      VersionedTable.upsert(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") * 2), src, Seq("doc_id"))
+      VersionedTable.deleteWhere(s, src, col("doc_id") % 97 === 0)
+      // from-branch divergence: +1 on %7 keys, delete %131 keys
+      VersionedTable.upsert(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("n_chars", col("n_chars") + 1), dst, Seq("doc_id"))
+      VersionedTable.deleteWhere(s, dst, col("doc_id") % 131 === 0)
+      val m = VersionedTable.mergeBranch(s, src, dst, Seq("doc_id"),
+        baseRoot = src, baseVersion = 0L)
+      // conflict set = keys both branches touched, to DIFFERENT states
+      // (both-deleted keys and x2==+1 coincidences are convergent)
+      val expect = docs.filter(
+        (col("doc_id") % 7 === 0 || col("doc_id") % 131 === 0) &&
+        (col("doc_id") % 10 === 0 || col("doc_id") % 97 === 0) &&
+        !((col("doc_id") % 97 === 0 && col("doc_id") % 131 === 0) ||
+          (col("doc_id") % 10 === 0 && col("doc_id") % 7 === 0 &&
+            col("doc_id") % 97 =!= 0 && col("doc_id") % 131 =!= 0 &&
+            col("n_chars") === 1))).count()
+      require(m.conflicts.count() == expect,
+        s"conflicts ${m.conflicts.count()} != expected $expect")
+      // idempotence: a second merge of the same branches is a no-op
+      val m2 = VersionedTable.mergeBranch(s, src, dst, Seq("doc_id"),
+        baseRoot = src, baseVersion = 0L)
+      require(m2.nUpserts == 0 && m2.nDeletes == 0 &&
+        m2.conflicts.count() == expect, "re-merge must apply nothing")
+      val result = VersionedTable.read(s, src)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // Hilbert layout: same box query as the Z-order gate but clustered
     // along the adjacency-preserving curve — content identical to the
     // plain scan (the oracle), locality properties spec'd in PlanSpec/
@@ -707,6 +762,23 @@ object SketchOps {
         |FROM lineitem
         |WHERE l_partkey < 100 AND l_suppkey < 40
         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    // relational reconstruction of the merged head: into deletions
+    // always survive; from deletions land only where into is
+    // unchanged; both-changed keys keep the into (x2) value
+    "versioned_branch_merge" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars * 2
+        |         WHEN doc_id % 7 = 0 THEN n_chars + 1
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 97 <> 0
+        |    AND NOT (doc_id % 131 = 0 AND doc_id % 10 <> 0)
+        |)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // layout never changes content: same box select
     "layout_hilbert_read" ->

@@ -1284,6 +1284,97 @@ object VersionedTable {
   private def claimPath(root: String, v: Long) =
     new Path(manifestDir(root), f"v$v%012d.json.claim")
 
+  /** Result of [[mergeBranch]]: the into-table's head after the merge
+    * (None when nothing applied) and the conflicting keys — one row
+    * per key BOTH branches changed to DIFFERENT states, carrying each
+    * side's values (`into_`/`from_`-prefixed, presence flags included)
+    * for the caller's resolution policy. */
+  final case class BranchMerge(version: Option[Long],
+      conflicts: DataFrame, nUpserts: Long, nDeletes: Long)
+
+  /** Three-way branch merge — the git-pull of the lake ([[cloneShallow]]
+    * is the branch): key-wise against the declared common base
+    * snapshot,
+    *
+    *  - keys only the FROM branch changed (insert/update/delete alike)
+    *    take the from state — applied to the into table as one
+    *    file-pruned [[upsert]] commit plus, when the from branch
+    *    deleted keys, one [[deleteWhere]] commit;
+    *  - keys only the INTO branch changed (or neither) stay as they
+    *    are — a merge never rewrites what the receiving branch already
+    *    decided;
+    *  - keys BOTH changed, to the SAME state, are silently convergent;
+    *  - keys BOTH changed, to DIFFERENT states, are CONFLICTS: the
+    *    into state is kept untouched and the pair is reported — the
+    *    caller resolves and re-merges (exactly git's semantics: a
+    *    merge never silently overwrites divergent work).
+    *
+    * "Changed" compares full row STATE (presence + every non-key
+    * column, null-safe), so delete-vs-update divergence conflicts too.
+    * Scale shape: one 3-way full-outer shuffle join on the keys; the
+    * apply path is the file-pruned upsert; the delete key set is
+    * collected to build the predicate — bounded by the from-branch's
+    * delete count (the same bounded-driver-state contract as the file
+    * lists), fine for branch workflows where deletions are targeted.
+    * Idempotent: re-merging after a no-change merge applies nothing. */
+  def mergeBranch(spark: SparkSession, intoRoot: String,
+      fromRoot: String, keys: Seq[String], baseRoot: String,
+      baseVersion: Long): BranchMerge = {
+    require(keys.nonEmpty, "mergeBranch needs merge keys")
+    val base = read(spark, baseRoot, Some(baseVersion))
+    val into = read(spark, intoRoot)
+    val from = read(spark, fromRoot)
+    val dataCols = base.columns.filterNot(keys.contains).toSeq
+    def tagged(df: DataFrame, p: String) = df.select(
+      keys.map(col) ++ dataCols.map(c => col(c).as(p + c))
+        :+ lit(true).as(p + "present"): _*)
+    val j = tagged(base, "b_")
+      .join(tagged(into, "into_"), keys, "full_outer")
+      .join(tagged(from, "from_"), keys, "full_outer")
+    def stateEq(a: String, b: String): Column = {
+      val bothAbsent = col(a + "present").isNull &&
+        col(b + "present").isNull
+      val bothPresent = col(a + "present").isNotNull &&
+        col(b + "present").isNotNull
+      val colsEq =
+        if (dataCols.isEmpty) lit(true)
+        else dataCols.map(c => col(a + c) <=> col(b + c))
+          .reduce(_ && _)
+      bothAbsent || (bothPresent && colsEq)
+    }
+    val iChanged = !stateEq("into_", "b_")
+    val fChanged = !stateEq("from_", "b_")
+    val convergent = stateEq("into_", "from_")
+    val classified = j.withColumn("__take",
+        fChanged && !iChanged)
+      .withColumn("__conflict", iChanged && fChanged && !convergent)
+      .localCheckpoint()
+    val conflictCols: Seq[Column] = keys.map(col) ++
+      dataCols.map(c => col("into_" + c)) ++ Seq(col("into_present")) ++
+      dataCols.map(c => col("from_" + c)) ++ Seq(col("from_present"))
+    val conflicts = classified.filter(col("__conflict"))
+      .select(conflictCols: _*)
+    val upserts = classified
+      .filter(col("__take") && col("from_present").isNotNull)
+      .select(keys.map(col) ++
+        dataCols.map(c => col("from_" + c).as(c)): _*)
+    val deleteKeys = classified
+      .filter(col("__take") && col("from_present").isNull)
+      .select(keys.map(col): _*)
+    val nUp = upserts.count()
+    val delRows = deleteKeys.collect()
+    var version: Option[Long] = None
+    if (nUp > 0) version = Some(upsert(upserts, intoRoot, keys))
+    if (delRows.nonEmpty) {
+      val pred = delRows.map { r =>
+        keys.zipWithIndex.map { case (k, i) =>
+          col(k) <=> lit(r.get(i)) }.reduce(_ && _)
+      }.reduce(_ || _)
+      version = Some(deleteWhere(spark, intoRoot, pred))
+    }
+    BranchMerge(version, conflicts, nUp, delRows.length.toLong)
+  }
+
   /** TRULY atomic exclusive create. Hadoop's RawLocalFileSystem
     * implements create(overwrite = false) as exists-check-then-create —
     * a race window two concurrent claimers can both pass — so local

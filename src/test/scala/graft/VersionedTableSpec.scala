@@ -811,4 +811,45 @@ class VersionedTableSpec extends SparkSpec {
       version = Some(0L)).collect().head
     assert(rv0.getLong(0) == 2L && rv0.getLong(2) == 20L)
   }
+
+  test("mergeBranch: from-only changes land (insert/update/delete), " +
+      "into-only survive, divergent keys conflict with both payloads, " +
+      "convergent edits are silent") {
+    val root = tmpRoot(); val br = root + "-branch"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e"), (6L, "f")).toDF("k", "v")
+    VersionedTable.write(base, root)
+    VersionedTable.cloneShallow(spark, root, br)
+    // into: update 1, delete 4, update 5 -> "zz" (will converge)
+    VersionedTable.upsert(Seq((1L, "A"), (5L, "zz")).toDF("k", "v"),
+      root, Seq("k"))
+    VersionedTable.deleteWhere(spark, root, col("k") === 4L)
+    // from: update 1 differently (conflict), update 2, delete 3,
+    // insert 7, update 5 -> "zz" identically (convergent)
+    VersionedTable.upsert(
+      Seq((1L, "X"), (2L, "B"), (7L, "g"), (5L, "zz")).toDF("k", "v"),
+      br, Seq("k"))
+    VersionedTable.deleteWhere(spark, br, col("k") === 3L)
+    val m = VersionedTable.mergeBranch(spark, root, br, Seq("k"),
+      baseRoot = root, baseVersion = 0L)
+    assert(m.nUpserts == 2 && m.nDeletes == 1) // 2:B, 7:g; delete 3
+    val conf = m.conflicts.select(col("k"), col("into_v"), col("from_v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(conf.toSeq == Seq((1L, "A", "X")))
+    val got = VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "A", 2L -> "B", 5L -> "zz", 6L -> "f",
+      7L -> "g")) // 3 deleted by merge, 4 by into; 1 keeps into
+    // delete-vs-update divergence also conflicts
+    val m2root = tmpRoot(); val m2br = m2root + "-b"
+    VersionedTable.write(Seq((9L, "q")).toDF("k", "v"), m2root)
+    VersionedTable.cloneShallow(spark, m2root, m2br)
+    VersionedTable.deleteWhere(spark, m2root, col("k") === 9L)
+    VersionedTable.upsert(Seq((9L, "Q")).toDF("k", "v"), m2br, Seq("k"))
+    val m2 = VersionedTable.mergeBranch(spark, m2root, m2br, Seq("k"),
+      baseRoot = m2root, baseVersion = 0L)
+    assert(m2.nUpserts == 0 && m2.nDeletes == 0)
+    assert(m2.conflicts.count() == 1)
+    assert(VersionedTable.read(spark, m2root).count() == 0)
+  }
 }
