@@ -459,7 +459,12 @@ object Sampling {
     * in [[epochShuffle]]'s md5 order within its source) gets virtual
     * time vt = ((r+1) · 2²⁰) div w, and the merged order sorts by
     * (vt, source, id) — a source with twice the weight fires twice as
-    * often, interleaved, never batched. Contrast [[weightedKeep]]
+    * often, interleaved, never batched. The proportion guarantee is
+    * the scheduler's: it holds over every prefix WHILE ALL SOURCES
+    * REMAIN BACKLOGGED (row counts roughly ∝ weights); once a source
+    * drains, the remainder interleaves whatever is left — size the
+    * per-source row budgets to the weights (e.g. via [[weightedKeep]])
+    * when end-to-end proportion matters. Contrast [[weightedKeep]]
     * (which SUBSAMPLES to a mixture) — this op keeps every row and
     * ORDERS the stream, so one pass over the merged order realizes the
     * mixture at any cut-off.

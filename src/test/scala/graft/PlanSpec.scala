@@ -576,6 +576,25 @@ class PlanSpec extends SparkSpec {
       !p.contains("ScalaUDF"))
   }
 
+  test("session-eight text paths keep heavy expressions out of the " +
+      "scan DataFilters") {
+    // the round-4 computed-column trap, guarded for the newest family:
+    // sentence segmentation (regexp_extract_all), token explode
+    // (split), the AC automaton, and the span mask must evaluate once
+    // in the project, never at the parquet scan
+    spark.catalog.clearCache()
+    for (q <- Seq("dedup_sentences_first", "pack_span_corruption",
+        "text_lm_kneser_ney", "chunk_sentences", "text_blocklist_hits",
+        "text_search_proximity")) {
+      val p = plan(q)
+      val scanFilters = "DataFilters: \\[[^\\]]*".r.findAllIn(p).toSeq
+      for (f <- scanFilters; bad <- Seq("regexp_extract_all", "split(",
+          "multipatterncounts", "posexplode"))
+        assert(!f.toLowerCase.contains(bad.toLowerCase),
+          s"$q pushed $bad into the scan:\n$f")
+    }
+  }
+
   test("sentence dedup: the rank-1 survivor cut is WindowGroupLimit-" +
       "capped (shuffle carries ~distinct sentences, not occurrences)") {
     val p = plan("dedup_sentences_first")

@@ -243,6 +243,62 @@ class PrepOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("interleaveByWeight property: over random weight maps, every " +
+      "prefix's source counts stay within one period of proportion") {
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val srcs = ('a' to ('a' + 2 + rnd.nextInt(3)).toChar).map(_.toString)
+      val weights = srcs.map(s => s -> (1 + rnd.nextInt(5))).toMap
+      val wSum = weights.values.sum
+      // rows per source PROPORTIONAL to weight, so every source stays
+      // backlogged until the common end of virtual time — the regime
+      // the WFQ proportion guarantee speaks about (once a source
+      // drains, the tail is whatever remains, as in any scheduler)
+      val rows = srcs.flatMap(s => (1 to 100 * weights(s)).map(i =>
+        ((s.hashCode.toLong << 20) + i, s)))
+      val out = Sampling.interleaveByWeight(rows.toDF("id", "src"),
+          $"id", $"src", weights)
+        .select($"pos", $"src").as[(Long, String)].collect()
+        .sortBy(_._1).map(_._2)
+      // WFQ bound: each source's prefix count tracks its ideal share
+      // within one virtual slot per COMPETING source (vt ties across
+      // sources resolve by name and batch; the per-flow GPS lag is one
+      // slot, and k flows' slots can align) — far tighter than any
+      // random or blocked order, and the bound that actually holds
+      (1 to out.length).foreach { p =>
+        val pref = out.take(p)
+        srcs.foreach { s =>
+          val got = pref.count(_ == s)
+          val ideal = p.toDouble * weights(s) / wSum
+          // merged arithmetic sequences: count at virtual time V is
+          // V*w_s +- 1; the prefix's own +-k and a mid-tie-cluster cut
+          // each add up to one row per source -> |dev| <= 2k + 1
+          assert(math.abs(got - ideal) <= 2 * srcs.size + 1,
+            s"trial=$trial prefix=$p src=$s got=$got ideal=$ideal")
+        }
+      }
+    }
+  }
+
+  test("balancedShards property: spread <= max weight over random " +
+      "weight draws and shard counts") {
+    val rnd = new scala.util.Random(31)
+    (1 to 4).foreach { trial =>
+      val s = 2 + rnd.nextInt(9)
+      val n = 50 + rnd.nextInt(500)
+      val rows = (1L to n).map(i =>
+        (i, 1L + rnd.nextInt(10000).toLong))
+      val wMax = rows.map(_._2).max
+      val loads = graft.operators.Packing.balancedShards(
+          rows.toDF("id", "w"), $"id", $"w", s)
+        .groupBy($"shard").agg(sum($"w").as("l"))
+        .as[(Int, Long)].collect()
+      assert(loads.length == math.min(s, n).min(s))
+      val spread = loads.map(_._2).max - loads.map(_._2).min
+      assert(spread <= wMax, s"trial=$trial spread=$spread wMax=$wMax")
+    }
+  }
+
   test("groupKFold: a group never straddles folds; k folds populated") {
     val df = (1L to 3000L).map(i => (i, i % 97)).toDF("id", "grp")
     val folds = Sampling.groupKFold(df, $"grp", k = 5)
