@@ -80,6 +80,20 @@ def main():
             print(f"TYPES    {name}: spark-vs-oracle {mism}")
             n_fail += 1
             continue
+        # HARD RULE: any final-schema DECIMAL (either side, any
+        # precision) is driver-hazardous — the driver's pandas-path
+        # decimal conversion hashes differently from Spark's parquet
+        # decimal even at equal values (the q12/psi escape class).
+        # Cast your gate projection to BIGINT/DOUBLE/VARCHAR.
+        dec_cols = sorted({c for c, t in list(exp_t.items()) +
+                           list(got_t.items())
+                           if t.startswith("DECIMAL")})
+        if dec_cols:
+            print(f"DECIMAL  {name}: final-schema decimal columns "
+                  f"{dec_cols} — cast your gate projection to "
+                  f"BIGINT/DOUBLE/VARCHAR on both sides")
+            n_fail += 1
+            continue
         g, cols = norm(got_rows, got_cols)
         e, _ = norm(exp_rows, exp_cols)
         if len(g) != len(e):

@@ -143,8 +143,11 @@ object Encoding {
         when(col("iv_den") > 0,
           col("iv_num").cast("double") / col("iv_den").cast("double") *
             lit(0.6931471805599453d))) // × ln2: WOE's log2 -> natural-log IV
-      .select(col("n_categories"), col("iv_num"), col("iv_den"),
-        col("iv"))
+      // exact decimal internally; BIGINT at the gate (final-schema
+      // DecimalType is a driver-hash hazard, SURVEY §5)
+      .select(col("n_categories"),
+        col("iv_num").cast("long").as("iv_num"),
+        col("iv_den").cast("long").as("iv_den"), col("iv"))
   }
 
   /** Robust (median/MAD) scaling of money-scale numeric features —

@@ -282,7 +282,11 @@ object MlEval {
       .withColumn("coverage",
         when(col("n_test") > 0,
           col("n_covered").cast("double") / col("n_test").cast("double")))
-      .select(col("n_cal"), col("n_test"), col("qhat"),
+      // qhat is an exact money-decimal internally; DOUBLE at the gate
+      // (4-dp values round identically in both engines; final-schema
+      // DecimalType is a driver-hash hazard, SURVEY §5)
+      .select(col("n_cal"), col("n_test"),
+        col("qhat").cast("double").as("qhat"),
         col("n_covered"), col("coverage"))
   }
 
@@ -375,8 +379,11 @@ object MlEval {
         when(col("kappa_den") =!= 0,
           col("kappa_num").cast("double") /
             col("kappa_den").cast("double")))
-      .select(col("n_items"), col("agree"), col("kappa_num"),
-        col("kappa_den"), col("kappa"))
+      // exact decimal internally; BIGINT at the gate (final-schema
+      // DecimalType is a driver-hash hazard, SURVEY §5)
+      .select(col("n_items"), col("agree"),
+        col("kappa_num").cast("long").as("kappa_num"),
+        col("kappa_den").cast("long").as("kappa_den"), col("kappa"))
   }
 
   /** Reliability (calibration) bins of a probability `score` in [0,1]

@@ -310,6 +310,10 @@ object Profiling {
       (sum(col("c_base")) + nBuckets).as("__tn"),
       (sum(col("c_cur")) + nBuckets).as("__rn"))
     def dec(c: Column) = c.cast("decimal(38,0)")
+    // internal math is exact decimal; the GATE projection is BIGINT —
+    // the driver's hash converts decimal columns through a pandas path
+    // that diverges from Spark's parquet decimal even at equal values,
+    // so no final schema may carry DecimalType (see SURVEY §5)
     spine.crossJoin(broadcast(tot))
       .withColumn("log2r_fp",
         log2_fp(col("c_base") + 1) + log2_fp(col("__rn")) -
@@ -317,9 +321,10 @@ object Profiling {
       .select(col("bucket"), col("c_base"), col("c_cur"), col("log2r_fp"),
         ((dec(col("c_base") + 1) * dec(col("__rn")) -
           dec(col("c_cur") + 1) * dec(col("__tn"))) *
-          dec(col("log2r_fp"))).as("psi_num"),
+          dec(col("log2r_fp"))).cast("long").as("psi_num"),
         (dec(col("__tn")) * dec(col("__rn")) *
-          dec(lit(1L << graft.functions.FixedLog.FracBits))).as("denom"))
+          dec(lit(1L << graft.functions.FixedLog.FracBits)))
+          .cast("long").as("denom"))
   }
 
   /** Pairwise Pearson correlation across `cols` in ONE aggregation
@@ -386,11 +391,14 @@ object Profiling {
       cols.map(c => coalesce(c.cast("string"), lit("ø"))): _*)
     val u32 = conv(substring(md5(key), 1, 8), 16, 10)
       .cast("decimal(38,0)")
+    // gate projection: digest_sum fits int64 (u32 sums), digest_sq can
+    // exceed it (u32² sums), so it ships as the exact digit string —
+    // no final-schema DecimalType (driver-hash hazard, SURVEY §5)
     df.select(group.as("grp"), u32.as("__h"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("__h")).cast("decimal(38,0)").as("digest_sum"),
+        sum(col("__h")).cast("long").as("digest_sum"),
         sum(col("__h") * col("__h")).cast("decimal(38,0)")
-          .as("digest_sq"))
+          .cast("string").as("digest_sq"))
   }
 }

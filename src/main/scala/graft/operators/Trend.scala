@@ -238,8 +238,11 @@ object Trend {
       .groupBy(keys :+ col("lag"): _*)
       .agg(sum(col("__ca") * col("__cb")).cast("decimal(38,0)")
         .as("num"), count(lit(1)).as("n_pairs"))
+    // exact decimal internally; BIGINT at the gate (final-schema
+    // DecimalType is a driver-hash hazard, SURVEY §5)
     num.join(den, keyCols)
       .select(keys ++ Seq(col("lag"), col("n_periods"), col("n_pairs"),
-        col("num"), col("den")): _*)
+        col("num").cast("long").as("num"),
+        col("den").cast("long").as("den")): _*)
   }
 }

@@ -1582,8 +1582,9 @@ object EventOps {
          |  SELECT source, CAST($u AS HUGEINT) AS u32 FROM k
          |)
          |SELECT source AS grp, COUNT(*) AS n_rows,
-         |  CAST(SUM(u32) AS DECIMAL(38,0)) AS digest_sum,
-         |  CAST(SUM(u32 * u32) AS DECIMAL(38,0)) AS digest_sq
+         |  CAST(SUM(u32) AS BIGINT) AS digest_sum,
+         |  CAST(CAST(SUM(u32 * u32) AS DECIMAL(38,0)) AS VARCHAR)
+         |    AS digest_sq
          |FROM u GROUP BY 1 ORDER BY grp""".stripMargin
     },
 
@@ -1701,8 +1702,8 @@ object EventOps {
         |  GROUP BY 1, 2
         |)
         |SELECT n.event_type, CAST(n.lag AS INT) AS lag, d.n_periods,
-        |  n.n_pairs, CAST(n.num AS DECIMAL(38,0)) AS num,
-        |  CAST(d.den AS DECIMAL(38,0)) AS den
+        |  n.n_pairs, CAST(n.num AS BIGINT) AS num,
+        |  CAST(d.den AS BIGINT) AS den
         |FROM num n JOIN den d USING (event_type)
         |ORDER BY event_type, lag""".stripMargin,
 
@@ -1901,8 +1902,8 @@ object EventOps {
          |SELECT j.bucket, j.c_base, j.c_cur,
          |  CAST(lb.l + lr.l - lc.l - lt.l AS BIGINT) AS log2r_fp,
          |  CAST(((j.c_base + 1) * tot.rn - (j.c_cur + 1) * tot.tn)
-         |    * (lb.l + lr.l - lc.l - lt.l) AS DECIMAL(38,0)) AS psi_num,
-         |  CAST(tot.tn * tot.rn * 1048576 AS DECIMAL(38,0)) AS denom
+         |    * (lb.l + lr.l - lc.l - lt.l) AS BIGINT) AS psi_num,
+         |  CAST(tot.tn * tot.rn * 1048576 AS BIGINT) AS denom
          |FROM j CROSS JOIN tot
          |JOIN lg lb ON lb.x = j.c_base + 1
          |JOIN lg lc ON lc.x = j.c_cur + 1

@@ -619,8 +619,8 @@ object MlOps {
          |SELECT j.bucket, j.c_base, j.c_cur,
          |  CAST(lb.l + lr.l - lc.l - lt.l AS BIGINT) AS log2r_fp,
          |  CAST(((j.c_base + 1) * tot.rn - (j.c_cur + 1) * tot.tn)
-         |    * (lb.l + lr.l - lc.l - lt.l) AS DECIMAL(38,0)) AS psi_num,
-         |  CAST(tot.tn * tot.rn * 1048576 AS DECIMAL(38,0)) AS denom
+         |    * (lb.l + lr.l - lc.l - lt.l) AS BIGINT) AS psi_num,
+         |  CAST(tot.tn * tot.rn * 1048576 AS BIGINT) AS denom
          |FROM j CROSS JOIN tot
          |JOIN lg lb ON lb.x = j.c_base + 1
          |JOIN lg lc ON lc.x = j.c_cur + 1
@@ -717,7 +717,8 @@ object MlOps {
          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
          |  FROM tst CROSS JOIN qh
          |)
-         |SELECT n_cal, n_test, qhat, n_covered,
+         |SELECT n_cal, n_test,
+         |  CAST(CAST(qhat AS VARCHAR) AS DOUBLE) AS qhat, n_covered,
          |  CASE WHEN n_test > 0 THEN CAST(n_covered AS DOUBLE)
          |    / CAST(n_test AS DOUBLE) END AS coverage
          |FROM kk CROSS JOIN cov CROSS JOIN qh""".stripMargin
@@ -756,8 +757,9 @@ object MlOps {
          |      AS DECIMAL(38,0)) AS kd
          |  FROM tot CROSS JOIN pe
          |)
-         |SELECT nn AS n_items, diag AS agree, kn AS kappa_num,
-         |  kd AS kappa_den,
+         |SELECT nn AS n_items, diag AS agree,
+         |  CAST(kn AS BIGINT) AS kappa_num,
+         |  CAST(kd AS BIGINT) AS kappa_den,
          |  CASE WHEN kd <> 0 THEN CAST(CAST(kn AS VARCHAR) AS DOUBLE)
          |    / CAST(CAST(kd AS VARCHAR) AS DOUBLE) END AS kappa
          |FROM fin""".stripMargin,
@@ -1034,9 +1036,9 @@ object MlOps {
          |  FROM woe
          |), fin AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
-         |    CAST(SUM(term) AS DECIMAL(38,0)) AS iv_num,
+         |    CAST(SUM(term) AS BIGINT) AS iv_num,
          |    CAST(MAX(CAST(pt AS HUGEINT) * nt * 1048576)
-         |      AS DECIMAL(38,0)) AS iv_den
+         |      AS BIGINT) AS iv_den
          |  FROM terms
          |)
          |SELECT n_categories, iv_num, iv_den,

@@ -847,7 +847,9 @@ object PrepOps {
         |    ROW_NUMBER() OVER (ORDER BY value, source, id) AS gidx
         |  FROM base
         |)
-        |SELECT rk.id, rk.source, rk.value, p.normalized
+        |SELECT rk.id, rk.source,
+        |  CAST(CAST(rk.value AS VARCHAR) AS DOUBLE) AS value,
+        |  CAST(CAST(p.normalized AS VARCHAR) AS DOUBLE) AS normalized
         |FROM ranked rk JOIN pooled p
         |  ON p.gidx = (CAST(rk.r AS HUGEINT) * rk.n + rk.ns - 1) // rk.ns
         |ORDER BY rk.id""".stripMargin,

@@ -416,9 +416,9 @@ object StreamOps {
           col("c_cur"), col("lr_fp"),
           ((dec(col("c_cur") + 1) * dec(col("__r")) -
             dec(col("c_base") + 1) * dec(col("__tw"))) *
-            dec(col("lr_fp"))).as("psi_num"),
+            dec(col("lr_fp"))).cast("long").as("psi_num"),
           (dec(col("__tw")) * dec(col("__r")) * dec(lit(1L << 20)))
-            .as("denom"))
+            .cast("long").as("denom"))
         .orderBy(col("window_us"), col("bucket"))
     }),
 
@@ -815,8 +815,8 @@ object StreamOps {
          |SELECT s.window_us, s.bucket, s.c_base, s.c_cur,
          |  CAST(lc.l + lr.l - lb.l - lt.l AS BIGINT) AS lr_fp,
          |  CAST(((s.c_cur + 1) * rt.rn - (s.c_base + 1) * tw.twn)
-         |    * (lc.l + lr.l - lb.l - lt.l) AS DECIMAL(38,0)) AS psi_num,
-         |  CAST(tw.twn * rt.rn * 1048576 AS DECIMAL(38,0)) AS denom
+         |    * (lc.l + lr.l - lb.l - lt.l) AS BIGINT) AS psi_num,
+         |  CAST(tw.twn * rt.rn * 1048576 AS BIGINT) AS denom
          |FROM spine s JOIN tw USING (window_us) CROSS JOIN rt
          |JOIN lg lc ON lc.x = s.c_cur + 1
          |JOIN lg lb ON lb.x = s.c_base + 1

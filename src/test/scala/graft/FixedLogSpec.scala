@@ -82,9 +82,9 @@ class FixedLogSpec extends SparkSpec {
     val out = Profiling.psiReport(d.toDF("v"), d.toDF("v"), col("v"),
         0L, 10L, 5)
       .select(col("bucket"), col("log2r_fp"), col("psi_num"))
-      .as[(Long, Long, java.math.BigDecimal)].collect().toSeq
+      .as[(Long, Long, Long)].collect().toSeq
     assert(out.size == 5)
-    assert(out.forall(r => r._2 == 0L && r._3.signum == 0))
+    assert(out.forall(r => r._2 == 0L && r._3 == 0L))
   }
 
   test("psiReport: hand-checked buckets, spine covers empty buckets") {
@@ -93,22 +93,19 @@ class FixedLogSpec extends SparkSpec {
     val cur = Seq(5L, 5L, 6L, 7L).toDF("v")
     val out = Profiling.psiReport(base, cur, col("v"), 0L, 8L, 2)
       .orderBy(col("bucket"))
-      .as[(Long, Long, Long, Long, java.math.BigDecimal,
-        java.math.BigDecimal)].collect().toSeq
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     // T+n = R+n = 6; bucket 0: c_base=4, c_cur=0 -> p=5/6, q=1/6
     val l5 = FixedLog.log2Fp(5L); val l1 = 0L; val l6 = FixedLog.log2Fp(6L)
     assert(out(0) == ((0L, 4L, 0L, l5 - l1,
-      java.math.BigDecimal.valueOf((5L * 6 - 1L * 6) * (l5 - l1)),
-      java.math.BigDecimal.valueOf(36L << F))))
+      (5L * 6 - 1L * 6) * (l5 - l1), 36L << F)))
     // symmetric bucket 1 mirrors with negated sign structure
     assert(out(1)._4 == l1 - l5)
-    assert(out(1)._5 ==
-      java.math.BigDecimal.valueOf((1L * 6 - 5L * 6) * (l1 - l5)))
+    assert(out(1)._5 == (1L * 6 - 5L * 6) * (l1 - l5))
     // both contributions positive (p-q and log ratio share sign)
-    assert(out.forall(_._5.signum >= 0))
+    assert(out.forall(_._5 >= 0L))
     // total PSI in nats: (5/6-1/6)*ln(5) + (1/6-5/6)*ln(1/5)
     //                  = (4/3)*ln(5) = 2.1459
-    val psi = out.map(r => r._5.doubleValue / r._6.doubleValue).sum *
+    val psi = out.map(r => r._5.toDouble / r._6.toDouble).sum *
       math.log(2.0)
     assert(math.abs(psi - (4.0 / 3) * math.log(5.0)) < 1e-4)
   }

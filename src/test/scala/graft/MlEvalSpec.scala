@@ -136,11 +136,11 @@ class MlEvalSpec extends SparkSpec {
     val full = MlEval.conformalSplit(df, col("id"), col("p"), col("t"),
         alphaPct = 10)
       .select("n_cal", "n_test", "qhat", "n_covered", "coverage")
-      .as[(Long, Long, BigDecimal, Long, Double)].head()
+      .as[(Long, Long, Double, Long, Double)].head()
     assert(full._1 + full._2 == 2000L)
     // q-hat lands at the discrete 90% quantile of the uniform 0..99
     // nonconformity domain (+- hash-split wobble)
-    assert(full._3 >= BigDecimal(85) && full._3 <= BigDecimal(95))
+    assert(full._3 >= 85.0 && full._3 <= 95.0)
     // the >= 1 - alpha guarantee is in EXPECTATION over the split;
     // this one fixed-hash realization sits near it
     assert(full._5 >= 0.85 && full._5 <= 1.0)
@@ -149,7 +149,7 @@ class MlEvalSpec extends SparkSpec {
     val inf = MlEval.conformalSplit(tiny, col("id"), col("p"), col("t"),
         alphaPct = 1)
       .select("qhat", "n_test", "n_covered")
-      .as[(Option[BigDecimal], Long, Long)].head()
+      .as[(Option[Double], Long, Long)].head()
     assert(inf._1.isEmpty && inf._2 == inf._3)
   }
 

@@ -169,8 +169,8 @@ class TrendSpec extends SparkSpec {
       .orderBy("k", "lag")
       .select("k", "lag", "n_periods", "n_pairs", "num", "den")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
-        r.getLong(3), BigInt(r.getDecimal(4).toBigInteger),
-        BigInt(r.getDecimal(5).toBigInteger))).toSeq
+        r.getLong(3), BigInt(r.getLong(4)),
+        BigInt(r.getLong(5)))).toSeq
     val got = run(0)
     assert(got == run(13))
     for (k <- Seq("a", "b"); lag <- 1 to 3) {
@@ -184,7 +184,6 @@ class TrendSpec extends SparkSpec {
     val const = (1L to 10L).map(t => ("c", t, 4L)).toDF("k", "t", "x")
     val cz = Trend.autocorr(const, Seq("k"), col("t"), col("x"), 2)
       .select("num", "den").collect()
-    assert(cz.forall(r => r.getDecimal(0).signum == 0 &&
-      r.getDecimal(1).signum == 0))
+    assert(cz.forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L))
   }
 }
