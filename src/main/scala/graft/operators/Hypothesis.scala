@@ -331,9 +331,8 @@ object Hypothesis {
     * truncated). INTEGER comparisons only — the draw is exact and
     * engine-independent. Shared by the Spark plan and the SQL oracle so
     * the two can only drift in review. */
-  val PoissonThresholds: Seq[Long] = Seq(1580030168L, 3160060337L,
-    3950075421L, 4213413783L, 4279248373L, 4292415291L, 4294609777L,
-    4294923276L, 4294962463L, 4294966817L)
+  val PoissonThresholds: Seq[Long] =
+    graft.functions.HashUtil.PoissonThresholds.toSeq
 
   /** Per-key Poisson-bootstrap percentile CI for the mean of `value` —
     * THE distributed bootstrap (Chamandy et al., Google 2012;
@@ -350,9 +349,18 @@ object Hypothesis {
     * ⌈R/40⌉ and R−⌈R/40⌉+1 — the 2.5%/97.5% percentile bootstrap,
     * division-free) — no interpolation, no float summation order.
     *
-    * Scale shape: the explode is a map-only ×R fan-out; one shuffle on
-    * (key, replica) reduces it to R rows per key; the rank window
-    * sorts R rows per key. Output: (key, n_replicas, ci_lo, ci_hi). */
+    * Scale shape: digests and all R weights are projected ONCE per row
+    * (R/4 md5 calls — one digest's four 32-bit windows serve four
+    * replicas), the (replica, weight) pairs posexplode, and ZERO-WEIGHT
+    * pairs — e⁻¹ ≈ 37% of them — drop before the aggregate (a w = 0
+    * row contributes nothing to either sum, and an all-zero replica is
+    * filtered by the n > 0 guard either way), so the narrow
+    * codegen-friendly hash aggregate probes ~0.63·R× the input rows
+    * with map-side partials bounding the exchange at R rows per key.
+    * (Two rejected shapes, both measured slower at sf0.1: per-replica
+    * md5 inside the explode — 4× the hashing; and one 2R-column-wide
+    * aggregate — falls out of whole-stage codegen.)
+    * Output: (key, n_replicas, ci_lo, ci_hi). */
   def bootstrapMeanCI(df: DataFrame, key: Column, id: Column,
       value: Column, replicas: Int = 40, keyName: String = "key")
       : DataFrame = {
@@ -360,17 +368,19 @@ object Hypothesis {
     val base = df.select(key.as(keyName), id.as("__id"),
         ColUtil.money(value).as("__v"))
       .where(col("__v").isNotNull)
-    val expl = base.withColumn("__b",
-      explode(sequence(lit(0), lit(replicas - 1))))
-    // one md5 serves FOUR replicas: the 32-nibble digest splits into
-    // four independent 8-nibble (32-bit) windows, so the dominant map
-    // cost — hashing — drops 4x vs one digest per (row, replica)
-    val u = conv(expr("substring(md5(concat(cast(__id as string), '#'," +
-      " cast(__b div 4 as string))), 1 + (__b % 4) * 8, 8)"), 16, 10)
-      .cast("long")
-    val w = PoissonThresholds.map(t =>
-      when(u >= lit(t), 1L).otherwise(0L)).reduce(_ + _)
-    val rep = expl.withColumn("__w", w)
+    val nDigests = (replicas + 3) / 4
+    // the fused native draw (Md5Pois4): one codegen'd call per digest
+    // yields FOUR replica weights — the replica axis materializes as a
+    // flat weight array per row, never as per-replica md5/conv/when
+    // expression trees (the conv radix decode then the 10R `when`
+    // branches were the measured bottlenecks of earlier shapes)
+    val ws = slice(flatten(array((0 until nDigests).map(k =>
+      graft.functions.HashFunctions.md5_pois4(
+        concat(col("__id").cast("string"), lit(s"#$k")))): _*)),
+      1, replicas)
+    val rep = base.select(col(keyName), col("__v"),
+        posexplode(ws).as(Seq("__b", "__w")))
+      .where(col("__w") > 0)
       .groupBy(col(keyName), col("__b"))
       .agg(sum(col("__w") * col("__v")).as("__s"),
         sum(col("__w")).as("__n"))

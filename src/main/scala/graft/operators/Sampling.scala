@@ -30,8 +30,10 @@ object Sampling {
     * [[hashBucketSql]] keeps the portable nibble-decode formula. */
   def hashBucket(id: Column, buckets: Int = 100): Column = {
     require(buckets > 0)
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long") % buckets
+    // native digest-byte decode (HashExpressions) — identical value to
+    // conv(substring(md5(x),1,8),16,10), ~6x faster than conv's generic
+    // radix path (parity-spec'd in HashExprSpec)
+    graft.functions.HashFunctions.md5_u32(id.cast("string")) % buckets
   }
 
   /** Split assignment by cumulative bucket ranges: `splits` are
@@ -243,7 +245,11 @@ object Sampling {
         "CAST((CAST(__r AS DECIMAL(38,0)) * __N + __ns - 1) div __ns" +
           " AS BIGINT)"))
       .join(pooled, "__gidx")
-      .select(col("id"), col("source"), col("value"), col("normalized"))
+      // exact money-decimals internally; DOUBLE at the gate
+      // (final-schema DecimalType is a driver-hash hazard, SURVEY §5)
+      .select(col("id"), col("source"),
+        col("value").cast("double").as("value"),
+        col("normalized").cast("double").as("normalized"))
   }
 
   /** Weighted exact-k sampling without replacement — the
@@ -272,6 +278,11 @@ object Sampling {
     df.where(weight.isNotNull && weight > 0)
       .withColumn("__es_l", log2_fp(u))
       .withColumn("__es_w", weight.cast("long"))
+      // enforce the documented 'positive integer weights' contract at
+      // the CAST value: a fractional weight in (0,1) passes the raw
+      // `> 0` filter but truncates to 0, which would divide by zero
+      // (ANSI crash) or null-key-win the sample — exclude it instead
+      .where(col("__es_w") >= 1L)
       .withColumn("__es_key",
         expr("((33554432 - __es_l) * 1048576) div __es_w"))
       .orderBy(col("__es_key"), id)
@@ -283,15 +294,18 @@ object Sampling {
     * MINORITY class size, the standard rebalance before training on
     * skewed labels: per-class keeps are the first min-count rows in the
     * deterministic md5 order ([[capPerGroup]]'s draw protocol), so the
-    * balanced set is stable across runs/engines/appends-of-majority
-    * (new majority rows rank after existing keeps; only new MINORITY
-    * rows shift the cut). One bounded driver action (the min class
-    * count — a single long), then one group-keyed window; the rank <= k
-    * cut plans as WindowGroupLimit, k survivors per partition before
-    * the exchange. */
+    * balanced set is deterministic for a given input (same rows in →
+    * same keeps out, across runs/engines/partitionings) with EXACTLY
+    * min-class-count survivors per class. (The kept id set is NOT
+    * stable under appends: a new row whose md5 draw ranks inside the
+    * top min-count displaces an existing keep.) One bounded driver
+    * action (the min class count — a single long), then one group-keyed
+    * window; the rank <= k cut plans as WindowGroupLimit, k survivors
+    * per partition before the exchange. */
   def classBalance(df: DataFrame, id: Column, label: Column): DataFrame = {
     val k = df.groupBy(label).agg(count(lit(1)).as("__n"))
-      .agg(min(col("__n"))).head().getLong(0)
+      .agg(min(col("__n"))).collect().headOption
+      .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
     require(k > 0 && k <= Int.MaxValue, s"degenerate class floor: $k")
     capPerGroup(df, id, label, k.toInt)
   }

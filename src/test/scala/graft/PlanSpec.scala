@@ -144,8 +144,13 @@ class PlanSpec extends SparkSpec {
     // the eval-bucket predicate must reach the scan as a data filter (at
     // scale the eval set never leaves its pruned scan), and both the eval
     // shingle set and the per-doc hit counts must broadcast — the corpus
-    // text itself is never exchanged
-    assert(p.contains("DataFilters: [isnotnull(doc_id"))
+    // text itself is never exchanged. Order-insensitive: the native
+    // md5u32 bucket predicate and the null guard must share a scan's
+    // DataFilters, wherever Catalyst sorts them.
+    val scanFilters = "DataFilters: \\[[^\\]]*".r.findAllIn(p).toSeq
+    assert(scanFilters.exists(f =>
+      f.contains("md5u32") && f.contains("isnotnull(doc_id")),
+      s"bucket filter did not reach the corpus scan:\n$p")
     val bcasts = "BroadcastExchange".r.findAllIn(p).size
     assert(bcasts >= 2, s"expected eval + hits broadcasts:\n$p")
     assert(p.toLowerCase.contains("wordshingles"))

@@ -718,7 +718,7 @@ class PrepOpsSpec extends SparkSpec {
     }
     val out = run(0).collect()
       .map(r => (r.getLong(0), r.getString(1),
-        r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue))
+        r.getDouble(2), r.getDouble(3)))
     // monotone within source: sort by value, normalized must be sorted
     for (s <- Seq("A", "B")) {
       val vs = out.filter(_._2 == s).sortBy(x => (x._3, x._1)).map(_._4)
@@ -736,7 +736,7 @@ class PrepOpsSpec extends SparkSpec {
     val one = Sampling.quantileNormalize(
       (1L to 30L).map(i => (i, "X", (i * 7 % 13).toDouble))
         .toDF("id", "src", "v"), $"id", $"src", $"v").collect()
-    one.foreach(r => assert(r.getDecimal(2) == r.getDecimal(3)))
+    one.foreach(r => assert(r.getDouble(2) == r.getDouble(3)))
   }
 
   test("noveltyReport: exact copy scores 0, disjoint text scores 1, " +
