@@ -29,13 +29,20 @@ object Bucketing {
     val sc = if (sortCols.isEmpty) keys else sortCols
     // a FRESH session can inherit the managed table's directory from a
     // previous JVM without its catalog entry — saveAsTable then fails
-    // with LOCATION_ALREADY_EXISTS even in overwrite mode; drop both
+    // with LOCATION_ALREADY_EXISTS even in overwrite mode. Delete the
+    // directory ONLY in that stale-orphan case (no catalog entry): when
+    // the catalog DOES know the table, DROP TABLE owns the cleanup —
+    // an unconditional recursive delete would silently destroy a live
+    // unrelated table that happens to share the name.
     val spark = df.sparkSession
+    val known = spark.catalog.tableExists(table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (!known) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(sc.head, sc.tail: _*)

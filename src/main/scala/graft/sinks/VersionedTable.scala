@@ -897,6 +897,48 @@ object VersionedTable {
     }
   }
 
+  /** Join-based row-deleting commit: removes rows whose key tuple
+    * appears in `keyRows` (null-safe equality on `keys`, matching
+    * [[deleteWhere]]'s `<=>` semantics). Same file-pruned shape as
+    * [[deleteWhere]] — files with no matching key carry over untouched
+    * — but the match set is a DataFrame, so the commit is bounded by
+    * cluster memory, never by driver state or Catalyst expression size
+    * (an OR-of-ANDs literal predicate grows linearly in the key count
+    * and blows up analysis/codegen). The key set is pinned with
+    * localCheckpoint so OCC retries re-plan against identical keys. */
+  def deleteMatching(spark: SparkSession, root: String,
+      keyRows: DataFrame, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "deleteMatching needs key columns")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val schema = manifest(f, root, vs.max).schema
+    val delKeys = keyRows
+      .select(keys.map(k => col(k).as("__dk_" + k)): _*)
+      .distinct().localCheckpoint()
+    def cond(left: DataFrame): Column =
+      keys.map(k => left(k) <=> delKeys("__dk_" + k)).reduce(_ && _)
+    var lastStaged: Seq[String] = Seq.empty
+    commitRetrying(spark, root, schema) { prev =>
+      lastStaged.foreach(p => f.delete(new Path(p), false))
+      val head = spark.read.schema(schema).parquet(prev: _*)
+      val touched = head
+        .join(delKeys, cond(head), "left_semi")
+        .select(col("_metadata.file_path").as("_f")).distinct().collect()
+        .map(r => new Path(r.getString(0)).toString).toSet
+      val keep = prev.filterNot(p => touched.contains(new Path(p).toString))
+      val rewrite = prev.filter(p => touched.contains(new Path(p).toString))
+      lastStaged =
+        if (rewrite.isEmpty) Seq.empty
+        else {
+          val rw = spark.read.schema(schema).parquet(rewrite: _*)
+          val remaining = rw.join(delKeys, cond(rw), "left_anti")
+          if (remaining.isEmpty) Seq.empty else stageFiles(remaining, root)
+        }
+      keep ++ lastStaged
+    }
+  }
+
   /** Row-level change feed between two committed snapshots: one row per
     * net difference, `change_type` in {insert, update, delete}. Updates
     * and inserts carry the `toV` image, deletes the `fromV` image.
@@ -1098,7 +1140,19 @@ object VersionedTable {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val stage = new Path(root, s".stage-${UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // write timestamps as standard INT64 TIMESTAMP_MICROS, not Spark's
+    // legacy INT96 default: INT96 column chunks carry NO usable min/max
+    // (deprecated ordering), which would blind the footer stats path —
+    // and the lake's files become standard-interoperable as a bonus.
+    // Session-conf swap restored in finally (no per-write option exists).
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     f.mkdirs(dataDir(root))
     val parts = f.listStatus(stage).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
@@ -1144,21 +1198,215 @@ object VersionedTable {
 
   /** Returns the set of paths that produced a stats row (= the
     * non-empty files), or None when no column is stat-eligible and the
-    * pass was skipped. */
+    * pass was skipped.
+    *
+    * Two collection paths:
+    *  - FOOTER (default): per-column min/max/null-count and row counts
+    *    read straight from the parquet footers of the just-staged files
+    *    — O(|files|) metadata reads, NO second data scan. Sound because
+    *    the files are OUR OWN fresh writes: modern parquet-mr footer
+    *    stats are exact (no truncation by default) and byte-ordered the
+    *    way Spark compares (unsigned UTF-8 for strings). Any column
+    *    whose chunk stats are missing/unusable (INT96 timestamps,
+    *    NaN/Inf float bounds, unset null counts) is simply OMITTED for
+    *    that file — the file then takes readWhere's conservative-keep
+    *    and statsAgg's exact slow path, never a wrong bound.
+    *  - SCAN (fallback; forced by `spark.graft.lake.stats.footer=false`
+    *    or when bloom columns are configured, which genuinely need the
+    *    values): one aggregation pass over the staged files.
+    * FooterStatsSpec pins byte-identical ColStat output between the two
+    * paths across every eligible type. */
   private def collectStats(spark: SparkSession, schema: StructType,
       files: Seq[String], root: String): Option[Set[String]] = {
     val cols = schema.fields.filter(fd => statEligible(fd.dataType))
       .map(_.name).toSeq
     if (cols.isEmpty) return None
+    val footerOn = spark.conf
+      .getOption("spark.graft.lake.stats.footer").forall(_.toBoolean)
+    val anyBloom = bloomColsFor(spark, root, cols).nonEmpty
+    if (footerOn && !anyBloom) footerStats(spark, schema, files) match {
+      case Some(perFile) =>
+        if (stagedStats.size() > 100000) stagedStats.clear()
+        perFile.foreach { case (p, (n, st)) =>
+          if (n > 0) stagedStats.put(p, st) }
+        return Some(perFile.collect {
+          case (p, (n, _)) if n > 0 => p }.toSet)
+      case None => () // unreadable footer etc. — fall through to scan
+    }
+    collectStatsByScan(spark, schema, files, root, cols)
+  }
+
+  /** The bloom-opted columns for this table (session conf ∪ columns
+    * already carrying blooms in the head manifest), restricted to
+    * stat-eligible ones. */
+  private def bloomColsFor(spark: SparkSession, root: String,
+      cols: Seq[String]): Seq[String] =
+    (spark.conf.getOption("spark.graft.lake.bloom.cols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty) ++ inheritedBloomCols(spark, root))
+      .distinct.filter(cols.contains)
+
+  /** Footer-metadata stats for freshly staged files: returns
+    * path -> (rowCount, per-column ColStat), or None if any footer is
+    * unreadable (caller falls back to the scan path). Column chunks are
+    * merged across row groups with parquet's own per-type comparator;
+    * a column is dropped (not bounded wrongly) unless EVERY chunk
+    * either carries bounds or is provably all-null, with null counts
+    * set. Runs on a small driver thread pool — footers are KB-sized,
+    * so even a many-thousand-file commit costs seconds of metadata I/O
+    * instead of a full data scan. */
+  private def footerStats(spark: SparkSession, schema: StructType,
+      files: Seq[String]): Option[Map[String, (Long, FileStats)]] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val eligible = schema.fields.filter(fd => statEligible(fd.dataType))
+    def one(pathStr: String): (String, (Long, FileStats)) = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(pathStr), conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val st: FileStats = eligible.flatMap { fd =>
+          footerColStat(blocks, fd, rows).map(fd.name -> _) }.toMap
+        pathStr -> (rows, st)
+      } finally rd.close()
+    }
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(16, math.max(1, files.size)))
+    try {
+      val fs = files.map { p =>
+        pool.submit(new java.util.concurrent.Callable[
+          (String, (Long, FileStats))] { def call() = one(p) }) }
+      Some(fs.map(_.get()).toMap)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally pool.shutdown()
+  }
+
+  /** Merge one column's chunk statistics across row groups into a
+    * ColStat, or None when any chunk's stats are unusable. */
+  private def footerColStat(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      fd: StructField, rows: Long): Option[ColStat] = {
+    import scala.jdk.CollectionConverters._
+    val perBlock = blocks.map(_.getColumns.asScala
+      .find(_.getPath.toDotString == fd.name))
+    if (perBlock.exists(_.isEmpty)) return None
+    val chunks = perBlock.flatten
+    val stats = chunks.map(_.getStatistics)
+    if (stats.exists(s => s == null || s.isEmpty || !s.isNumNullsSet))
+      return None
+    // every chunk must either carry bounds or be provably all-null
+    if (chunks.zip(stats).exists { case (c, s) =>
+        !s.hasNonNullValue && s.getNumNulls != c.getValueCount })
+      return None
+    val nulls = stats.map(_.getNumNulls).sum
+    val valued = stats.filter(_.hasNonNullValue)
+    if (valued.isEmpty)
+      return Some(ColStat(None, None, hasNulls = nulls > 0,
+        rows = Some(rows)))
+    val prim = chunks.head.getPrimitiveType
+    val cmp = prim.comparator()
+      .asInstanceOf[java.util.Comparator[AnyRef]]
+    val minV = valued.map(_.genericGetMin().asInstanceOf[AnyRef])
+      .reduce((a, b) => if (cmp.compare(a, b) <= 0) a else b)
+    val maxV = valued.map(_.genericGetMax().asInstanceOf[AnyRef])
+      .reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
+    for {
+      mn <- footerCanonical(fd.dataType, prim, minV)
+      mx <- footerCanonical(fd.dataType, prim, maxV)
+    } yield ColStat(Some(mn), Some(mx), hasNulls = nulls > 0,
+      rows = Some(rows))
+  }
+
+  /** Footer statistics value -> the manifest's canonical string for the
+    * Spark type, or None when the value can't be represented exactly
+    * and soundly (NaN/Inf floats, INT96/unexpected physical encodings)
+    * — the caller then omits the column for the file rather than risk
+    * a wrong bound. Must produce byte-identical strings to
+    * [[canonical]] over the scan path's Spark values (FooterStatsSpec
+    * asserts it per type). */
+  private def footerCanonical(dt: DataType,
+      prim: org.apache.parquet.schema.PrimitiveType,
+      v: AnyRef): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    dt match {
+      case _: ByteType | _: ShortType | _: IntegerType => v match {
+        case i: java.lang.Integer => Some(i.toString)
+        case _ => None
+      }
+      case _: LongType => v match {
+        case l: java.lang.Long => Some(l.toString)
+        case _ => None
+      }
+      case _: DoubleType => v match {
+        case d: java.lang.Double if !d.isNaN && !d.isInfinite =>
+          Some(BigDecimal(d).bigDecimal.toPlainString)
+        case _ => None
+      }
+      case _: FloatType => v match {
+        case f: java.lang.Float if !f.isNaN && !f.isInfinite =>
+          Some(BigDecimal(f.toDouble).bigDecimal.toPlainString)
+        case _ => None
+      }
+      case _: StringType => v match {
+        case b: org.apache.parquet.io.api.Binary =>
+          Some(new String(b.getBytes, StandardCharsets.UTF_8))
+        case _ => None
+      }
+      case _: TimestampType | _: TimestampNTZType =>
+        (v, prim.getLogicalTypeAnnotation) match {
+          case (l: java.lang.Long,
+              ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                Some(l.toString)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some((l * 1000L).toString)
+              case _ => None // NANOS floor would be inexact; INT96 never
+            }
+          case _ => None
+        }
+      case _: DateType => v match {
+        case i: java.lang.Integer => Some(i.toString)
+        case _ => None
+      }
+      case d: DecimalType => {
+        val scaleOk = prim.getLogicalTypeAnnotation match {
+          case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            Some(dec.getScale)
+          case _ => None
+        }
+        scaleOk.flatMap { scale =>
+          val unscaled: Option[java.math.BigInteger] = v match {
+            case i: java.lang.Integer =>
+              Some(java.math.BigInteger.valueOf(i.longValue()))
+            case l: java.lang.Long =>
+              Some(java.math.BigInteger.valueOf(l))
+            case b: org.apache.parquet.io.api.Binary =>
+              Some(new java.math.BigInteger(b.getBytes))
+            case _ => None
+          }
+          unscaled.map(u =>
+            new java.math.BigDecimal(u, scale).toPlainString)
+        }
+      }
+      case _ => None
+    }
+  }
+
+  /** The original one-aggregation-pass stats collection (also the bloom
+    * path — bloom filters need the values, footers can't provide them). */
+  private def collectStatsByScan(spark: SparkSession, schema: StructType,
+      files: Seq[String], root: String, cols: Seq[String])
+      : Option[Set[String]] = {
     // bloom opt-in: per-file filters over the listed columns (sized by
     // lake.bloom.bits, default 128 Kibit ≈ 16 KiB base64 per col per
     // file) — the point-lookup complement to min/max range stats; the
     // head manifest's bloom columns are inherited so the property
     // sticks to the table across sessions
-    val bloomCols = (spark.conf.getOption("spark.graft.lake.bloom.cols")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty) ++ inheritedBloomCols(spark, root))
-      .distinct.filter(cols.contains)
+    val bloomCols = bloomColsFor(spark, root, cols)
     val bloomBits = spark.conf.getOption("spark.graft.lake.bloom.bits")
       .map(_.toLong).getOrElse(131072L)
     val aggs = cols.flatMap { c => Seq(
@@ -1362,17 +1610,16 @@ object VersionedTable {
       .filter(col("__take") && col("from_present").isNull)
       .select(keys.map(col): _*)
     val nUp = upserts.count()
-    val delRows = deleteKeys.collect()
+    // join-based delete: the from-branch's deletion set stays
+    // distributed (a branch may delete millions of keys — collecting
+    // them into an OR-of-ANDs predicate would be unbounded driver
+    // memory plus a linearly growing Catalyst expression tree)
+    val nDel = deleteKeys.count()
     var version: Option[Long] = None
     if (nUp > 0) version = Some(upsert(upserts, intoRoot, keys))
-    if (delRows.nonEmpty) {
-      val pred = delRows.map { r =>
-        keys.zipWithIndex.map { case (k, i) =>
-          col(k) <=> lit(r.get(i)) }.reduce(_ && _)
-      }.reduce(_ || _)
-      version = Some(deleteWhere(spark, intoRoot, pred))
-    }
-    BranchMerge(version, conflicts, nUp, delRows.length.toLong)
+    if (nDel > 0)
+      version = Some(deleteMatching(spark, intoRoot, deleteKeys, keys))
+    BranchMerge(version, conflicts, nUp, nDel)
   }
 
   /** TRULY atomic exclusive create. Hadoop's RawLocalFileSystem
