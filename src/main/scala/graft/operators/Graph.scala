@@ -605,6 +605,103 @@ object Graph {
     } finally e.unpersist()
   }
 
+  /** Deterministic DeepWalk-style random-walk corpus (Perozzi et al.,
+    * KDD 2014): `walksPerNode` truncated walks of `walkLen` steps from
+    * every node with out-edges, each step choosing neighbor
+    * `md5_u32(start#rep#step) % outdeg(cur)` in the dst-sorted adjacency
+    * — a hash draw, not an RNG, so the corpus is bit-identical across
+    * engines/partitionings/reruns (the house draw protocol) and a SQL
+    * oracle can replay every step. Walks that reach a dangling node end
+    * early (the standard truncation).
+    *
+    * Output: (start, rep, step, node) — step 0 is the start node itself.
+    *
+    * Scale shape: the ranked adjacency (one window pass over the edge
+    * set: 0-based dst-rank + out-degree) is built ONCE, pre-partitioned
+    * on its (src, rk) probe key and cached — each of the walkLen steps
+    * then shuffles ONLY the frontier (|V| x walksPerNode rows, never
+    * |E|): one join against the degree table to form the draw index and
+    * one composite-key probe that lands a single adjacency row per
+    * walker. Frontier lineage is cut per step. This is the corpus-
+    * generation half of node embeddings; feed the output through
+    * [[Packing.skipGramPairs]]-style windows for training pairs. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      walkLen: Int, walksPerNode: Int,
+      edgesDistinct: Boolean = false): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 50, s"walkLen=$walkLen out of [1,50]")
+    require(walksPerNode >= 1 && walksPerNode <= 100,
+      s"walksPerNode=$walksPerNode out of [1,100]")
+    import org.apache.spark.sql.expressions.Window
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = if (edgesDistinct) raw else raw.distinct()
+    // ranked adjacency, pre-partitioned on the probe key: the per-step
+    // join then reshuffles only the walker frontier to meet it
+    val adj = e.select(col("src"),
+        (row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("dst"))) - 1).cast("long").as("rk"),
+        col("dst"))
+      .repartition(col("src"), col("rk"))
+      .cache()
+    val degs = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).cache()
+    try {
+      val reps = explode(sequence(lit(0), lit(walksPerNode - 1))).as("rep")
+      var frontier = degs
+        .select(col("node").as("start"), reps)
+        .select(col("start"), col("rep").cast("long").as("rep"),
+          col("start").as("cur"))
+        .localCheckpoint()
+      val out = Seq.newBuilder[DataFrame]
+      out += frontier.select(col("start"), col("rep"),
+        lit(0L).as("step"), col("cur").as("node"))
+      var t = 0
+      while (t < walkLen) {
+        val draw = graft.functions.HashFunctions.md5_u32(
+          concat(col("start").cast("string"), lit("#"),
+            col("rep").cast("string"), lit("#"), lit(t.toString)))
+        val idx = frontier.join(degs, frontier("cur") === degs("node"))
+          .select(col("start"), col("rep"), col("cur"),
+            pmod(draw, col("deg")).as("idx"))
+        frontier = idx.join(adj,
+            idx("cur") === adj("src") && idx("idx") === adj("rk"))
+          .select(col("start"), col("rep"), col("dst").as("cur"))
+          .localCheckpoint()
+        t += 1
+        out += frontier.select(col("start"), col("rep"),
+          lit(t.toLong).as("step"), col("cur").as("node"))
+      }
+      out.result().reduce(_ unionByName _).localCheckpoint()
+    } finally { adj.unpersist(); degs.unpersist() }
+  }
+
+  /** Skip-gram (center, context) co-occurrence counts over a walk
+    * corpus — the DeepWalk training-pair extraction: for every walk and
+    * every offset d in [1, window], emit both (w_t, w_t+d) and
+    * (w_t+d, w_t), then count by pair. ONE window pass (lead per
+    * offset over the step-ordered walk) — never a walk self-join — so
+    * the pair stream is |walks| x walkLen x window rows, map-generated
+    * and partial-aggregated before the single pair-keyed exchange. */
+  def walkSkipGrams(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1 && window <= 10, s"window=$window out of [1,10]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("start"), col("rep"))
+      .orderBy(col("step"))
+    val withLeads = walks.select(col("node") +:
+      (1 to window).map(d => lead(col("node"), d).over(w).as(s"__l$d")): _*)
+    val pairs = withLeads.select(explode(flatten(array(
+        (1 to window).map(d => when(col(s"__l$d").isNotNull,
+          array(struct(col("node").as("center"), col(s"__l$d").as("context")),
+            struct(col(s"__l$d").as("center"), col("node").as("context"))))
+          .otherwise(array().cast(
+            "array<struct<center:bigint,context:bigint>>"))): _*)))
+        .as("p"))
+      .select(col("p.center"), col("p.context"))
+    pairs.groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_cooc"))
+  }
+
   /** In/out degree per node — the cheap first look at any edge table. */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

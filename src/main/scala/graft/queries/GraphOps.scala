@@ -26,6 +26,51 @@ object GraphOps {
 
   private val HitsIters = 4
 
+  private val WalkLen = 4
+  private val WalksPerNode = 2
+  private val SkipWindow = 2
+
+  /** The random-walk CTE chain shared by the walk + skip-gram oracles:
+    * ranked adjacency, per-node degree, then one unrolled CTE per step
+    * replaying the engine's md5 draw (`hashU32Sql` over the hex digest
+    * of start#rep#step, mod out-degree) against the dst-rank. Ends with
+    * a `walk(start, rep, step, node)` union of all step levels. */
+  private def walkCtes: String = {
+    val steps = (1 to WalkLen).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT x.start, x.rep, a.dst AS cur
+         |  FROM (
+         |    SELECT w.start, w.rep, w.cur,
+         |      ${graft.operators.Sampling.hashU32Sql("h")} % dd.deg AS idx
+         |    FROM (
+         |      SELECT start, rep, cur,
+         |        md5(CAST(start AS VARCHAR) || '#' ||
+         |            CAST(rep AS VARCHAR) || '#${t - 1}') AS h
+         |      FROM w${t - 1}
+         |    ) w JOIN deg dd ON dd.node = w.cur
+         |  ) x JOIN adj a ON a.src = x.cur AND a.rk = x.idx
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to WalkLen).map(t =>
+      s"SELECT start, rep, CAST($t AS BIGINT) AS step, cur AS node FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""$EdgesCte,
+       |adj AS (
+       |  SELECT src, dst, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rk
+       |  FROM e),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+       |w0 AS MATERIALIZED (
+       |  SELECT d.node AS start, CAST(r.rep AS BIGINT) AS rep,
+       |    d.node AS cur
+       |  FROM deg d CROSS JOIN (
+       |    ${(0 until WalksPerNode).map(r => s"SELECT $r AS rep")
+             .mkString(" UNION ALL ")}) r),
+       |$steps,
+       |walk AS MATERIALIZED (
+       |  $union)""".stripMargin
+  }
+
   /** PPR restart set: customer nodes (custkey*2 in the bipartite
     * encoding) 1, 7, 13 — present with orders at every fixture SF. */
   private val PprSeeds = Seq(2L, 14L, 26L)
@@ -238,6 +283,24 @@ object GraphOps {
       graft.operators.Graph.cheapestPaths(weightedTradeEdges(s, d),
           "src", "dst", "w", seeds, "seed", maxHops = BfsHops)
         .orderBy(col("node"))
+    }),
+
+    // DeepWalk corpus: 2 hash-driven truncated walks of 4 steps from
+    // every node — each step a deterministic md5 draw over the
+    // dst-sorted adjacency, so the oracle replays every walk exactly
+    "graph_random_walks" -> ((s, d) => {
+      graft.operators.Graph.randomWalks(tradeEdges(s, d), "src", "dst",
+          WalkLen, WalksPerNode, edgesDistinct = true)
+        .orderBy(col("start"), col("rep"), col("step"))
+    }),
+
+    // the walks' skip-gram training pairs: symmetric (center, context)
+    // co-occurrence counts within a +-2 window along each walk
+    "graph_walk_skipgrams" -> ((s, d) => {
+      val walks = graft.operators.Graph.randomWalks(tradeEdges(s, d),
+        "src", "dst", WalkLen, WalksPerNode, edgesDistinct = true)
+      graft.operators.Graph.walkSkipGrams(walks, SkipWindow)
+        .orderBy(col("center"), col("context"))
     })
   )
 
@@ -280,6 +343,28 @@ object GraphOps {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_random_walks" ->
+      s"""WITH $walkCtes
+         |SELECT start, rep, step, node FROM walk
+         |ORDER BY start, rep, step""".stripMargin,
+
+    "graph_walk_skipgrams" ->
+      s"""WITH $walkCtes,
+         |pr AS (
+         |  SELECT a.node AS center, b.node AS context
+         |  FROM walk a JOIN walk b
+         |    ON a.start = b.start AND a.rep = b.rep
+         |    AND b.step BETWEEN a.step + 1 AND a.step + $SkipWindow
+         |  UNION ALL
+         |  SELECT b.node AS center, a.node AS context
+         |  FROM walk a JOIN walk b
+         |    ON a.start = b.start AND a.rep = b.rep
+         |    AND b.step BETWEEN a.step + 1 AND a.step + $SkipWindow
+         |)
+         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_cooc
+         |FROM pr GROUP BY 1, 2
+         |ORDER BY center, context""".stripMargin,
+
     "basket_rules" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),

@@ -373,4 +373,72 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r == r3)
   }
+
+  private def walks(edges: Seq[(Long, Long)], len: Int, reps: Int)
+      : Seq[(Long, Long, Long, Long)] =
+    Graph.randomWalks(edges.toDF("src", "dst"), "src", "dst", len, reps)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+
+  test("random walks: every step follows an edge, walks start at start") {
+    // K4 both directions: no dangling, every walk runs full length
+    val e = (for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b))
+    val w = walks(e, len = 5, reps = 3)
+    val eset = e.toSet
+    // 4 nodes x 3 reps x 6 steps
+    assert(w.size == 4 * 3 * 6)
+    val byWalk = w.groupBy(x => (x._1, x._2))
+    assert(byWalk.size == 12)
+    for (((start, _), rows) <- byWalk) {
+      val path = rows.sortBy(_._3).map(_._4)
+      assert(rows.map(_._3) == (0L to 5L), "contiguous steps")
+      assert(path.head == start, "step 0 is the start node")
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(eset.contains((a, b)), s"($a,$b) not an edge")
+      }
+    }
+  }
+
+  test("random walks: dangling node truncates; no walk starts there") {
+    // path 0->1->2, nothing out of 2
+    val e = Seq((0L, 1L), (1L, 2L))
+    val w = walks(e, len = 4, reps = 1)
+    // starts only from nodes with out-edges
+    assert(w.map(_._1).distinct.sorted == Seq(0L, 1L))
+    // the walk from 0 is forced 0,1,2 then truncates at dangling 2;
+    // from 1 it is 1,2 and truncates
+    assert(w.filter(_._1 == 0L).sortBy(_._3).map(_._4) == Seq(0L, 1L, 2L))
+    assert(w.filter(_._1 == 1L).sortBy(_._3).map(_._4) == Seq(1L, 2L))
+  }
+
+  test("random walks: bit-identical under repartitioning and dup edges") {
+    val e = (for (a <- 0L to 9L; b <- 0L to 9L if a != b) yield (a, b))
+      .filter { case (a, b) => (a + b) % 3 != 0 }
+    val base = walks(e, len = 4, reps = 2)
+    val again = Graph.randomWalks(
+        (e ++ e ++ e).toDF("src", "dst").repartition(7),
+        "src", "dst", 4, 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(base == again)
+  }
+
+  test("walk skip-grams: hand-checked symmetric window pairs") {
+    // one walk 10,20,30,40 with window 2:
+    // d=1 pairs: (10,20)(20,30)(30,40) + reverses
+    // d=2 pairs: (10,30)(20,40) + reverses -> all counts 1
+    val wdf = Seq((0L, 0L, 0L, 10L), (0L, 0L, 1L, 20L),
+        (0L, 0L, 2L, 30L), (0L, 0L, 3L, 40L))
+      .toDF("start", "rep", "step", "node")
+    val got = Graph.walkSkipGrams(wdf, window = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val fwd = Seq((10L, 20L), (20L, 30L), (30L, 40L), (10L, 30L),
+      (20L, 40L))
+    val want = (fwd ++ fwd.map(_.swap)).map { case (a, b) => (a, b, 1L) }
+      .sorted
+    assert(got == want)
+    // two identical walks double every count
+    val got2 = Graph.walkSkipGrams(wdf.union(
+        wdf.withColumn("rep", lit(1L))), window = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got2 == want.map { case (a, b, _) => (a, b, 2L) })
+  }
 }
