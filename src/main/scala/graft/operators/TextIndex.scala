@@ -187,4 +187,60 @@ object TextIndex {
       .agg(count(lit(1)).cast("long").as("n_covers"),
         min(col("__cover")).cast("long").as("min_cover"))
   }
+
+  /** All strings reachable from `w` by up to `d` single-character
+    * deletions, `w` itself included — the SymSpell key set, generated
+    * as ONE nested array expression (no explode until the caller keys
+    * on it). Empty intermediates are dropped: a "" key would link every
+    * length-<=d string into one bucket (the degenerate hot key). */
+  private def deletionSet(w: Column, d: Int): Column = {
+    def delOnce(xs: Column): Column =
+      array_distinct(flatten(transform(
+        filter(xs, x => length(x) > 0),
+        x => transform(sequence(lit(1), length(x)), i =>
+          concat(x.substr(lit(1), i - lit(1)),
+            x.substr(i + lit(1), length(x)))))))
+    var acc = array(w)
+    var cur = array(w)
+    (1 to d).foreach { _ =>
+      cur = delOnce(cur)
+      acc = array_union(acc, cur)
+    }
+    acc
+  }
+
+  /** SymSpell fuzzy term lookup (Garbe's deletion-neighborhood trick,
+    * public algorithm): every (query, vocab) pair within Levenshtein
+    * distance `maxEdits` shares at least one up-to-`maxEdits`-deletions
+    * variant, so candidates come from an equi-join of the two deletion
+    * key sets and only candidates pay the exact distance check — a
+    * 100 TB corpus never sees the |Q| x |V| brute-force product the
+    * oracle runs at gate scale.
+    *
+    * Output: (query_term, match_term, dist), one row per matched pair.
+    *
+    * Scale shape: key generation is map-only, |rows| x (len choose <=d)
+    * keys; the join is keyed on the deletion string; candidate pairs
+    * are distinct-ed BEFORE the levenshtein verify, so a pair reachable
+    * through many shared deletions is verified once. Hot keys are
+    * bounded by vocabulary words per deletion variant (a vocabulary
+    * property, not a corpus-size one — vocab is distinct terms). */
+  def fuzzyLookup(vocab: DataFrame, termCol: String, queries: DataFrame,
+      queryCol: String, maxEdits: Int): DataFrame = {
+    require(maxEdits >= 1 && maxEdits <= 2,
+      s"maxEdits=$maxEdits out of [1,2]")
+    val v = vocab.select(col(termCol).as("__w"))
+      .where(col("__w").isNotNull).distinct()
+      .select(col("__w"), explode(deletionSet(col("__w"), maxEdits))
+        .as("__k"))
+    val q = queries.select(col(queryCol).as("__q"))
+      .where(col("__q").isNotNull).distinct()
+      .select(col("__q"), explode(deletionSet(col("__q"), maxEdits))
+        .as("__k"))
+    q.join(v, "__k")
+      .select(col("__q"), col("__w")).distinct()
+      .where(levenshtein(col("__q"), col("__w")) <= maxEdits)
+      .select(col("__q").as("query_term"), col("__w").as("match_term"),
+        levenshtein(col("__q"), col("__w")).cast("long").as("dist"))
+  }
 }

@@ -631,6 +631,27 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // SymSpell fuzzy lookup over the part-name corpus: deterministic
+    // one-char-deleted corruptions of a 5% name sample matched back
+    // within edit distance 1 through the deletion-neighborhood
+    // equi-join; the oracle brute-forces the |Q| x |V| levenshtein
+    // product the engine's index avoids (customer names are the one
+    // SF-scaled high-cardinality string column in the fixture — the
+    // realistic entity-matching shape)
+    "text_fuzzy_lookup" -> ((s, d) => {
+      val vocab = Tables.customer(s, d).select(col("c_name").as("term"))
+        .where(col("term").isNotNull).distinct()
+      val pos = pmod(graft.functions.HashFunctions.md5_u32(
+        concat(lit("fz#"), col("term"))), length(col("term"))) + 1
+      val queries = vocab
+        .where(graft.operators.Sampling.hashBucket(col("term"), 20) === 0)
+        .select(concat(col("term").substr(lit(1), pos - 1),
+          col("term").substr(pos + 1, length(col("term")))).as("q"))
+      graft.operators.TextIndex.fuzzyLookup(vocab, "term", queries, "q",
+          maxEdits = 1)
+        .orderBy(col("query_term"), col("match_term"))
+    }),
+
     // positional-postings phrase query: docs where the tokens "table"
     // and "scan" are ADJACENT, with match count and first position —
     // the retrieval primitive substring containment can't express
@@ -1531,6 +1552,26 @@ object TextDedup {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE contains(text, '$SearchPattern')
          |ORDER BY doc_id""".stripMargin,
+
+    "text_fuzzy_lookup" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT c_name AS term FROM customer
+         |  WHERE c_name IS NOT NULL),
+         |sel AS (
+         |  SELECT term FROM (SELECT term, md5(term) AS h FROM toks) x
+         |  WHERE (${graft.operators.Sampling.hashU32Sql("term")}) % 20 = 0),
+         |qs AS (
+         |  SELECT DISTINCT
+         |    substring(term, 1, pos - 1) || substring(term, pos + 1) AS q
+         |  FROM (
+         |    SELECT term,
+         |      (${graft.operators.Sampling.hashU32Sql("term")})
+         |        % length(term) + 1 AS pos
+         |    FROM (SELECT term, md5('fz#' || term) AS h FROM sel) y) z)
+         |SELECT q.q AS query_term, t.term AS match_term,
+         |  CAST(levenshtein(q.q, t.term) AS BIGINT) AS dist
+         |FROM qs q JOIN toks t ON levenshtein(q.q, t.term) <= 1
+         |ORDER BY query_term, match_term""".stripMargin,
 
     "text_token_entropy" ->
       s"""WITH RECURSIVE toks AS (

@@ -216,4 +216,52 @@ class TextIndexSpec extends SparkSpec {
     // 2/(61) > 1/(61) always, and the paper bound holds for k=60
     assert(out.filter(_._1 == "q1").maxBy(_._4)._2 == 10L)
   }
+
+  private def fuzzy(vocab: Seq[String], qs: Seq[String], d: Int)
+      : Seq[(String, String, Long)] =
+    TextIndex.fuzzyLookup(vocab.toDF("w"), "w", qs.toDF("q"), "q", d)
+      .as[(String, String, Long)].collect().toSeq.sorted
+
+  test("fuzzyLookup == brute-force levenshtein filter (d=1 and d=2)") {
+    // small vocab where all edit kinds occur: substitution, insertion,
+    // deletion, transposition-as-two-edits, and a total miss
+    val vocab = Seq("spark", "spork", "sprk", "sharks", "scala", "stark")
+    val qs = Seq("spark", "sprak", "shark", "zcala", "qqqqq")
+    for (d <- Seq(1, 2)) {
+      val brute = (for (q <- qs.distinct; w <- vocab.distinct) yield {
+        val dist = levDist(q, w)
+        (q, w, dist.toLong)
+      }).filter(_._3 <= d).sorted
+      assert(fuzzy(vocab, qs, d) == brute, s"d=$d")
+    }
+  }
+
+  test("fuzzyLookup: duplicates collapse; nulls and empties are safe") {
+    val out = fuzzy(Seq("ab", "ab", "abc"), Seq("ab", "ab"), 1)
+    assert(out == Seq(("ab", "ab", 0L), ("ab", "abc", 1L)))
+    // null query/vocab rows drop; empty-string query still matches
+    // 1-char vocab via the vocab side's deletion (its own "" key is
+    // suppressed, but the identity key "a" meets the query's insert)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("w", StringType, true)))
+    val v = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a"), Row(null))), sch)
+    val q = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a"), Row(null))), sch)
+    val got = TextIndex.fuzzyLookup(v, "w", q, "w", 1)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "a", 0L)))
+  }
+
+  /** Reference Levenshtein for the brute-force cross-check. */
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
 }
