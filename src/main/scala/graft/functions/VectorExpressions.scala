@@ -124,6 +124,79 @@ case class LongVectorDot(left: Expression, right: Expression)
       newRight: Expression): LongVectorDot = copy(newLeft, newRight)
 }
 
+/** ColBERT-style late-interaction MaxSim over two multi-vector arrays
+  * (Khattab & Zaharia, SIGIR 2020): both inputs are `subVecs` token
+  * vectors of dim/subVecs elements flattened into one array<bigint>;
+  * the score is sum over LEFT tokens of the max over RIGHT tokens of
+  * the exact int64 sub-vector dot. All-integer arithmetic — max and sum
+  * of int64 dots are order-free — so scores are bit-identical across
+  * engines and the gate query is fully oracle-checkable. One codegen'd
+  * S^2-dot loop per pair, no per-token explode in the plan. */
+case class LongVectorMaxSim(left: Expression, right: Expression,
+    subVecs: Int) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (!(ok(left) && ok(right))) TypeCheckResult.TypeCheckFailure(
+      s"vec_maxsim_long needs array<bigint>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    else if (subVecs < 1) TypeCheckResult.TypeCheckFailure(
+      s"subVecs must be positive: $subVecs")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LongVectorMaxSim.maxSim(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], subVecs)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LongVectorMaxSim.maxSim(" +
+        s"$a, $b, $subVecs);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LongVectorMaxSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongVectorMaxSim {
+  /** sum_t max_u dot(a[t], b[u]) over the flattened sub-vector layout.
+    * Sub-dim comes from the LEFT array; a short/ragged right array
+    * contributes only its complete prefix elements (missing tail = 0),
+    * mirroring LongVectorDot's min-length rule. */
+  def maxSim(a: ArrayData, b: ArrayData, subVecs: Int): Long = {
+    val m = a.numElements() / subVecs
+    if (m == 0) return 0L
+    var score = 0L
+    var t = 0
+    while (t < subVecs) {
+      var best = Long.MinValue
+      var u = 0
+      while (u < subVecs) {
+        var d = 0L
+        var i = 0
+        while (i < m) {
+          val ai = t * m + i
+          val bi = u * m + i
+          if (bi < b.numElements())
+            d += a.getLong(ai) * b.getLong(bi)
+          i += 1
+        }
+        if (d > best) best = d
+        u += 1
+      }
+      score += best
+      t += 1
+    }
+    score
+  }
+}
+
 object VectorFunctions {
   /** Column API for [[FloatVectorDot]]. */
   def vec_dot(a: Column, b: Column): Column =
@@ -140,4 +213,10 @@ object VectorFunctions {
     ColumnBridge.column(
       LongVectorDot(ColumnBridge.expression(a),
         ColumnBridge.expression(b)))
+
+  /** Column API for [[LongVectorMaxSim]] (late-interaction score). */
+  def vec_maxsim_long(a: Column, b: Column, subVecs: Int): Column =
+    ColumnBridge.column(
+      LongVectorMaxSim(ColumnBridge.expression(a),
+        ColumnBridge.expression(b), subVecs))
 }

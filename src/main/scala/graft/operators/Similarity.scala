@@ -113,6 +113,39 @@ object Similarity {
         col("e.id").as("neighbor_id"), col("e.score").cast("long").as("ip"))
   }
 
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020):
+    * the embedding is treated as `subVecs` flattened token vectors and
+    * score(q, d) = sum over query tokens of the max over doc tokens of
+    * the exact int64 quantized dot — the multi-vector relevance model
+    * single-vector cosine can't express (per-token soft alignment).
+    * All-integer scoring makes ranks bit-identical cross-engine: a FULL
+    * oracle gate, unlike typical ANN tiers.
+    *
+    * Plan shape matches [[mipsTopK]]: queries broadcast, one codegen'd
+    * S^2-dot MaxSim per pair (never a per-token explode — the pair
+    * stream stays |Q| x |corpus| rows, not x S^2), bounded-heap top-k
+    * per query. At 100 TB the corpus side stays partition-local. */
+  def maxSimTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      subVecs: Int = 4, scale: Double = 1e4): DataFrame = {
+    require(subVecs >= 1, s"subVecs: $subVecs")
+    def prep(df: DataFrame, idAs: String, vAs: String) =
+      df.select(col("vec_id").as(idAs),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(scale)).cast("long")).as(vAs))
+    val q = prep(queries, "query_id", "q_v")
+    val c = prep(corpus, "neighbor_id", "c_v")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__ms", graft.functions.VectorFunctions
+        .vec_maxsim_long(col("q_v"), col("c_v"), subVecs).cast("double"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy.topk_by(col("__ms"),
+        col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("neighbor_id"),
+        col("e.score").cast("long").as("maxsim"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar corpus vectors with a DIFFERENT
     * label — the highest-value negatives for triplet/InfoNCE objectives

@@ -24,6 +24,7 @@ object AnnOps {
   val NQueries = 20
   val TopK = 5
   val Dim = 64
+  val SubVecs = 4
   // fixtures carry no planted near-dups (max pairwise cosine ~0.5-0.6);
   // 0.4 yields a non-empty, engine-checkable pair set at every SF
   val NearDupTau = 0.4
@@ -65,6 +66,18 @@ object AnnOps {
       val emb = Tables.embeddings(s, d)
       Similarity.hardNegativesTopK(
           emb.filter(col("vec_id") < NQueries), emb, TopK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ColBERT-style late interaction: the 64-dim embedding read as 4
+    // token vectors of 16 dims; score = sum over query tokens of the
+    // best doc-token int64 dot. All-integer -> bit-exact cross-engine,
+    // FULL oracle (the multi-vector retrieval model, not another
+    // single-vector ANN tier)
+    "ann_maxsim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.maxSimTopK(emb.filter(col("vec_id") < NQueries), emb,
+          TopK, subVecs = SubVecs)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -289,6 +302,34 @@ object AnnOps {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, ip FROM ranked
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_maxsim_topk" -> {
+      val m = Dim / SubVecs
+      // MaxSim between two quantized lists: per query token t, the max
+      // over doc tokens u of the int64 sub-vector dot (1-based list
+      // indexing: element t*m+i)
+      val msim =
+        s"""CAST(list_sum(list_transform(range(0, $SubVecs), t ->
+           |    list_max(list_transform(range(0, $SubVecs), u ->
+           |      list_sum(list_transform(range(1, ${m + 1}),
+           |        i -> a.qv[t * $m + i] * b.qv[u * $m + i]))))))
+           |  AS BIGINT)""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    $msim AS maxsim
+         |  FROM q a JOIN q b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY maxsim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, maxsim FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
 
     "ann_cosine_exact" ->
       s"""WITH scored AS (

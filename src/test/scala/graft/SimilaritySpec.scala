@@ -173,6 +173,45 @@ class SimilaritySpec extends SparkSpec {
       "LSH tier must score recovered pairs identically to the exact gate")
   }
 
+  test("maxSim: subVecs=1 reduces to exact MIPS; brute-force parity at 4") {
+    val q = emb.filter($"vec_id" < 10)
+    // degenerate reduction: one sub-vector means max over one doc token
+    // of the full dot — exactly the MIPS ranking, score for score
+    val mips = Similarity.mipsTopK(q, emb, 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"ip")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ms1 = Similarity.maxSimTopK(q, emb, 5, subVecs = 1)
+      .select($"query_id", $"rank", $"neighbor_id", $"maxsim")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ms1 == mips)
+
+    // brute-force reference at subVecs = 4 over a small corpus slice
+    val slice = emb.filter($"vec_id" < 40)
+    val vecs = slice.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 10000))
+    def msim(a: Array[Long], b: Array[Long], s: Int): Long = {
+      val m = a.length / s
+      (0 until s).map { t =>
+        (0 until s).map { u =>
+          (0 until m).map(i => a(t * m + i) * b(u * m + i)).sum
+        }.max
+      }.sum
+    }
+    val expect = vecs.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, msim(quant(qv), quant(nv), 4)) }
+        .sortBy { case (nid, sc) => (-sc, nid) }.take(5).zipWithIndex
+        .map { case ((nid, sc), i) => (qid, i + 1L, nid, sc) }
+    }.toSet
+    val got = Similarity.maxSimTopK(emb.filter($"vec_id" < 10), slice, 5,
+        subVecs = 4)
+      .select($"query_id", $"rank", $"neighbor_id", $"maxsim")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
   test("IVF finds planted near-duplicates (recall >= 0.9)") {
     // The IVF guarantee that matters for dedup: a genuine near-neighbor
     // (cosine ~0.97) lands in one of the query's nprobe probed cells. The
