@@ -136,7 +136,27 @@ object GraftFunctions {
           "non-overlapping inclusive intervals; 0-based index of the " +
           "interval containing x, else NULL"),
       arity("range_lookup_idx", 3)(args =>
-        RangeLookupIdx(args(0), args(1), args(2)))))
+        RangeLookupIdx(args(0), args(1), args(2)))),
+    (FunctionIdentifier("md5_u32"),
+      info(classOf[Md5U32], "md5_u32",
+        "md5_u32(str, w) - unsigned 32-bit window w (0..3) of md5(str): " +
+          "the cross-engine deterministic draw, native twin of " +
+          "conv(substring(md5(str), 1+8*w, 8), 16, 10)"),
+      arity("md5_u32", 2)(args =>
+        Md5U32(args(0), intLit(args(1), "md5_u32")))),
+    (FunctionIdentifier("md5_pois4"),
+      info(classOf[Md5Pois4], "md5_pois4",
+        "md5_pois4(str) - four Poisson(1) bootstrap weights from one " +
+          "md5 digest (inverse-CDF threshold count per u32 window)"),
+      arity("md5_pois4", 1)(args => Md5Pois4(args(0)))),
+    (FunctionIdentifier("vec_maxsim_long"),
+      info(classOf[LongVectorMaxSim], "vec_maxsim_long",
+        "vec_maxsim_long(a, b, subVecs) - ColBERT MaxSim over two " +
+          "flattened multi-vector bigint arrays: sum over a's sub-" +
+          "vectors of the best exact int64 dot against b's"),
+      arity("vec_maxsim_long", 3)(args =>
+        LongVectorMaxSim(args(0), args(1),
+          intLit(args(2), "vec_maxsim_long")))))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, fi, b) =>

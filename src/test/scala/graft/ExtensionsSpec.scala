@@ -56,6 +56,20 @@ class ExtensionsSpec extends SparkSpec {
         |  hilbert_index(1L, 1L, 1), hilbert_index(1L, 0L, 1)"""
         .stripMargin).head
     assert((0 to 3).map(hb.getLong) == Seq(0L, 1L, 2L, 3L))
+    // md5_u32 matches the composed conv/substring form, all 4 windows
+    val mu = spark.sql(
+      """SELECT md5_u32('abc', 0) = CAST(conv(substring(md5('abc'), 1, 8),
+        |    16, 10) AS BIGINT) AS w0,
+        |  md5_u32('abc', 3) = CAST(conv(substring(md5('abc'), 25, 8),
+        |    16, 10) AS BIGINT) AS w3,
+        |  size(md5_pois4('seed#0')) AS np""".stripMargin).head
+    assert(mu.getBoolean(0) && mu.getBoolean(1) && mu.getInt(2) == 4)
+    // vec_maxsim_long: 2 sub-vectors of dim 1 — max picks the best
+    // element per query token: 3*5 + 4*5 = 35
+    val ms = spark.sql(
+      "SELECT vec_maxsim_long(array(3L, 4L), array(2L, 5L), 2) AS s")
+      .head.getLong(0)
+    assert(ms == 35L)
   }
 
   test("extensions entry point applies the same function list") {
