@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Markov-chain sequence scoring over event streams: fit the first-order
+  * transition model on the corpus itself, then score every entity's
+  * event sequence by its total and per-step SURPRISAL under that model —
+  * the classic sequence-anomaly readout (bot/fraud sessions follow paths
+  * the population rarely takes, so their mean transition surprisal is
+  * high). The LM-scoring idea of [[TextAnalysis]]'s bigram scorer
+  * applied to behavioral sequences instead of tokens.
+  *
+  * All arithmetic is the engine's cross-engine-exact fixed point:
+  * surprisal(a -> b) = log2_fp(c(a, *)) - log2_fp(c(a, b)) >= 0 (counts,
+  * never probabilities, so no division until the final non-negative
+  * integer `div` by the step count) — bit-identical in any engine, fully
+  * oracle-checkable including the top-k cut.
+  *
+  * Scale shape: ONE user-keyed window pass forms transitions (the
+  * events_transitions shuffle); the model is |types|^2 rows — broadcast
+  * back onto the transition stream; one user-keyed aggregate; the k cut
+  * is TakeOrderedAndProject, never a global sort. The START row makes
+  * every entity carry >= 1 transition, so no empty-group edge exists.
+  */
+object SequenceModel {
+
+  /** Top-`k` most anomalous entities by mean transition surprisal.
+    * Output: (user_id, n_trans, surprise_fp, avg_surprise_fp), ordered
+    * most-anomalous first with id tie-break. `tieCol` makes the
+    * within-timestamp event order deterministic. */
+  def sequenceAnomaly(events: DataFrame, userCol: Column, tsCol: Column,
+      tieCol: Column, typeCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    import graft.functions.FixedLogFunctions.log2_fp
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    val tr = events
+      .select(userCol.as("__u"), tsCol.as("__ts"), tieCol.as("__tie"),
+        typeCol.as("__next"))
+      .withColumn("__prev",
+        coalesce(lag(col("__next"), 1).over(w), lit("START")))
+      .select(col("__u"), col("__prev"), col("__next"))
+    val bi = tr.groupBy(col("__prev"), col("__next"))
+      .agg(count(lit(1)).as("__n_ab"))
+    val uni = bi.groupBy(col("__prev")).agg(sum(col("__n_ab")).as("__n_a"))
+    val model = broadcast(bi.join(uni, "__prev")
+      .withColumn("__s", log2_fp(col("__n_a")) - log2_fp(col("__n_ab"))))
+    tr.join(model, Seq("__prev", "__next"))
+      .groupBy(col("__u"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__s")).as("surprise_fp"))
+      .select(col("__u").as("user_id"), col("n_trans"),
+        col("surprise_fp"),
+        expr("surprise_fp div n_trans").as("avg_surprise_fp"))
+      .orderBy(col("avg_surprise_fp").desc, col("user_id"))
+      .limit(k)
+  }
+}

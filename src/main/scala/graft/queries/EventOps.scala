@@ -549,6 +549,18 @@ object EventOps {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Markov sequence anomaly: fit the corpus transition model, score
+    // every user's path by mean transition surprisal in exact fixed
+    // point, surface the 20 most improbable journeys — bot/fraud
+    // detection over behavioral sequences, fully oracle-checked
+    "events_sequence_anomaly" -> ((s, d) => {
+      graft.operators.SequenceModel.sequenceAnomaly(
+        Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"), expr("ts div 1000").as("us")),
+        col("user_id"), col("us"), col("event_id"), col("event_type"),
+        k = 20)
+    }),
+
     // top user-journey paths: each user's first 5 events joined into a
     // '>'-path, paths ranked by walker count — the discovered-funnel
     // readout. The rank<=5 cut is WindowGroupLimit-capped; the final
@@ -1647,6 +1659,39 @@ object EventOps {
         |)
         |SELECT prev_type, next_type, COUNT(*) AS n
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sequence_anomaly" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events
+         |), tr AS (
+         |  SELECT user_id, COALESCE(LAG(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY us, event_id), 'START')
+         |    AS prev, event_type AS next
+         |  FROM e
+         |), bi AS (
+         |  SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n_ab
+         |  FROM tr GROUP BY 1, 2
+         |), uni AS (
+         |  SELECT prev, CAST(SUM(n_ab) AS BIGINT) AS n_a
+         |  FROM bi GROUP BY 1
+         |), xs AS (
+         |  SELECT n_ab AS x FROM bi UNION SELECT n_a FROM uni
+         |),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |scored AS (
+         |  SELECT t.user_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+         |    CAST(SUM(la.l - lb.l) AS BIGINT) AS surprise_fp
+         |  FROM tr t
+         |  JOIN bi ON bi.prev = t.prev AND bi.next = t.next
+         |  JOIN uni ON uni.prev = t.prev
+         |  JOIN lg lb ON lb.x = bi.n_ab
+         |  JOIN lg la ON la.x = uni.n_a
+         |  GROUP BY t.user_id)
+         |SELECT user_id, n_trans, surprise_fp,
+         |  CAST(surprise_fp // n_trans AS BIGINT) AS avg_surprise_fp
+         |FROM scored
+         |ORDER BY avg_surprise_fp DESC, user_id LIMIT 20""".stripMargin,
 
     "events_top_paths" ->
       """WITH e AS (
