@@ -49,6 +49,36 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Cross-source duplicate survivorship by SOURCE PRIORITY: when the
+    * same `key` (canonical URL, content hash, entity id...) appears in
+    * several sources, keep the copy from the most-trusted source — the
+    * mixture-hygiene rule real crawl pipelines apply (a curated dump
+    * beats a raw scrape of the same resource). `priority` lists sources
+    * best-first; unlisted sources rank after ALL listed ones, and ties
+    * break (source, id) lexicographically so the survivor set is
+    * deterministic under any partitioning.
+    *
+    * Scale shape: one key-keyed aggregate whose min-struct combiner is
+    * map-side partial (a hot key reduces before the exchange), then a
+    * semi-join on the id — never a window over the full corpus. */
+  def priorityKeep(df: DataFrame, idCol: String, key: Column,
+      sourceCol: String, priority: Seq[String]): DataFrame = {
+    require(priority.nonEmpty && priority.distinct.size == priority.size,
+      s"priority must be non-empty and distinct: $priority")
+    val rank = priority.zipWithIndex
+      .foldRight(lit(priority.size).cast("int"): Column) {
+        case ((sv, i), acc) =>
+          when(col(sourceCol) === sv, lit(i)).otherwise(acc)
+      }
+    val keyed = df.withColumn("__pk", key)
+    val winners = keyed
+      .groupBy(col("__pk"))
+      .agg(min(struct(rank.as("r"), col(sourceCol).as("s"),
+        col(idCol).as("i"))).as("w"))
+      .select(col("w.i").as(idCol))
+    keyed.join(winners, Seq(idCol), "left_semi").drop("__pk")
+  }
+
   /** Incremental exact dedup against a persistent hash index — how dedup
     * actually runs in a production ingest loop: each new batch drops rows
     * whose content hash was EVER seen before, then the survivors' hashes

@@ -43,6 +43,16 @@ object PrepOps {
     * host suffix splits registered domains between a co.uk-style
     * 3-label suffix and a plain 2-label one. Mirrored verbatim in
     * [[urlSqlExpr]]. */
+  /** Source trust order for [[dedup_source_priority]]: listed best
+    * first; everything else ranks after, (source, id)-tie-broken. */
+  private val SourcePriority = Seq("src7", "src3", "src11")
+
+  /** DuckDB twin of [[graft.operators.Dedup.priorityKeep]]'s rank. */
+  private def prioritySql: String =
+    "CASE source " + SourcePriority.zipWithIndex
+      .map { case (sv, i) => s"WHEN '$sv' THEN $i" }
+      .mkString(" ") + s" ELSE ${SourcePriority.size} END"
+
   private def urlExpr: Column = {
     val g5 = col("doc_id") % 5
     val g3 = col("doc_id") % 3
@@ -229,6 +239,19 @@ object PrepOps {
         .agg(min(col("doc_id")).as("doc_id"), min(col("domain")).as("domain"))
       Sampling.capPerGroup(kept, col("doc_id"), col("domain"), k = 5)
         .select(col("doc_id"), col("url_canon"), col("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cross-source survivorship: one doc per canonical URL, the copy
+    // from the most-trusted source winning (src7 > src3 > src11 > the
+    // rest) — the crawl-mixture hygiene rule min-id dedup can't express
+    "dedup_source_priority" -> ((s, d) => {
+      val canon = Tables.documents(s, d)
+        .withColumn("url", urlExpr)
+        .select(col("doc_id"), col("source"),
+          Urls.canonicalize(col("url")).as("url_canon"))
+      graft.operators.Dedup.priorityKeep(canon, "doc_id",
+          col("url_canon"), "source", SourcePriority)
         .orderBy(col("doc_id"))
     }),
 
@@ -1220,6 +1243,17 @@ object PrepOps {
       s"""$urlCtes
          |SELECT doc_id, url, url_canon, domain FROM dom
          |ORDER BY doc_id""".stripMargin,
+    "dedup_source_priority" ->
+      s"""$urlCtes,
+         |sd AS (SELECT dom.doc_id, d.source, dom.url_canon
+         |  FROM dom JOIN documents d USING (doc_id)),
+         |r AS (SELECT doc_id, source, url_canon,
+         |    ROW_NUMBER() OVER (PARTITION BY url_canon ORDER BY
+         |      ${prioritySql}, source, doc_id) AS rk
+         |  FROM sd)
+         |SELECT doc_id, source, url_canon FROM r WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin,
+
     "web_url_dedup_cap" ->
       s"""$urlCtes,
          |kept AS (SELECT url_canon, MIN(doc_id) AS doc_id,

@@ -440,4 +440,31 @@ class DedupSpec extends SparkSpec {
     assert(spans == Seq((1L, 1L, text.length.toLong),
       (2L, 1L, text.length.toLong)))
   }
+
+  test("priorityKeep: trusted source wins its key; unlisted sources " +
+      "rank after all listed; deterministic under repartitioning") {
+    val rows = Seq(
+      // key k1 in three sources: curated must beat raw and unlisted
+      (1L, "raw", "k1"), (2L, "curated", "k1"), (3L, "zzz", "k1"),
+      // key k2 only in unlisted sources: (source, id) lexicographic
+      (4L, "bbb", "k2"), (5L, "aaa", "k2"), (6L, "aaa", "k2"),
+      // key k3 single row survives untouched
+      (7L, "raw", "k3"))
+    val df = rows.toDF("id", "source", "key")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.priorityKeep(d, "id", col("key"), "source",
+          Seq("curated", "raw"))
+        .select($"id").as[Long].collect().toSeq.sorted
+    val got = run(df)
+    // k1 -> curated id 2; k2 -> source aaa, min id 5; k3 -> 7
+    assert(got == Seq(2L, 5L, 7L))
+    assert(run(df.repartition(5)) == got)
+    // a listed source present loses to a better-listed one even with a
+    // smaller id (priority dominates the id tie-break)
+    val g2 = graft.operators.Dedup.priorityKeep(
+        Seq((1L, "raw", "k"), (9L, "curated", "k")).toDF("id", "source", "key"),
+        "id", col("key"), "source", Seq("curated", "raw"))
+      .select($"id").as[Long].collect().toSeq
+    assert(g2 == Seq(9L))
+  }
 }
