@@ -26,6 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object SequenceModel {
 
+  /** The per-user transition stream: (user, prev, next) with the START
+    * sentinel on each user's first event, ONE window pass. */
+  private def transitions(events: DataFrame, userCol: Column,
+      tsCol: Column, tieCol: Column, typeCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    events
+      .select(userCol.as("__u"), tsCol.as("__ts"), tieCol.as("__tie"),
+        typeCol.as("__next"))
+      .withColumn("__prev",
+        coalesce(lag(col("__next"), 1).over(w), lit("START")))
+      .select(col("__u"), col("__prev"), col("__next"))
+  }
+
+  /** The fitted model: one row per observed transition with its
+    * fixed-point surprisal `__s = log2_fp(c(a,*)) - log2_fp(c(a,b))`.
+    * |types|^2-bounded — broadcast-sized by construction (the type
+    * vocabulary is a schema property, not a data-size one). */
+  def transitionModel(events: DataFrame, userCol: Column, tsCol: Column,
+      tieCol: Column, typeCol: Column): DataFrame = {
+    import graft.functions.FixedLogFunctions.log2_fp
+    val tr = transitions(events, userCol, tsCol, tieCol, typeCol)
+    val bi = tr.groupBy(col("__prev"), col("__next"))
+      .agg(count(lit(1)).as("__n_ab"))
+    val uni = bi.groupBy(col("__prev")).agg(sum(col("__n_ab")).as("__n_a"))
+    bi.join(uni, "__prev")
+      .withColumn("__s", log2_fp(col("__n_a")) - log2_fp(col("__n_ab")))
+      .select(col("__prev"), col("__next"), col("__s"))
+  }
+
   /** Top-`k` most anomalous entities by mean transition surprisal.
     * Output: (user_id, n_trans, surprise_fp, avg_surprise_fp), ordered
     * most-anomalous first with id tie-break. `tieCol` makes the
@@ -33,19 +62,9 @@ object SequenceModel {
   def sequenceAnomaly(events: DataFrame, userCol: Column, tsCol: Column,
       tieCol: Column, typeCol: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
-    import graft.functions.FixedLogFunctions.log2_fp
-    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
-    val tr = events
-      .select(userCol.as("__u"), tsCol.as("__ts"), tieCol.as("__tie"),
-        typeCol.as("__next"))
-      .withColumn("__prev",
-        coalesce(lag(col("__next"), 1).over(w), lit("START")))
-      .select(col("__u"), col("__prev"), col("__next"))
-    val bi = tr.groupBy(col("__prev"), col("__next"))
-      .agg(count(lit(1)).as("__n_ab"))
-    val uni = bi.groupBy(col("__prev")).agg(sum(col("__n_ab")).as("__n_a"))
-    val model = broadcast(bi.join(uni, "__prev")
-      .withColumn("__s", log2_fp(col("__n_a")) - log2_fp(col("__n_ab"))))
+    val tr = transitions(events, userCol, tsCol, tieCol, typeCol)
+    val model = broadcast(
+      transitionModel(events, userCol, tsCol, tieCol, typeCol))
     tr.join(model, Seq("__prev", "__next"))
       .groupBy(col("__u"))
       .agg(count(lit(1)).as("n_trans"), sum(col("__s")).as("surprise_fp"))

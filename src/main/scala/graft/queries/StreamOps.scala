@@ -319,6 +319,28 @@ object StreamOps {
     // emitted state per user must equal the batch per-user COUNT(*).
     // (Only the count column is gated: the state's double sum is
     // accumulation-order-dependent; StreamingSpec pins it.)
+    // in-stream Markov surprisal scoring: the batch-fitted transition
+    // model broadcasts into per-user keyed state; emitted totals must
+    // equal the batch scorer's bit-for-bit (fixed-point arithmetic) —
+    // model-based sequence anomaly detection AT INGEST, fully
+    // oracle-checked per user
+    "stream_sequence_anomaly" -> ((s, d) => {
+      val batch = Tables.events(s, d).select(col("user_id"),
+        col("event_id"), col("event_type"), expr("ts div 1000").as("us"))
+      val model = graft.operators.SequenceModel
+        .transitionModel(batch, col("user_id"), col("us"),
+          col("event_id"), col("event_type"))
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .toMap
+      val scored = EventsPipeline.statefulSequenceScore(s,
+        eventsStream(s, d), model)
+      runStream(s, scored, "seqscore", d, "update")
+        .select(col("user_id"), col("n_trans"), col("surprise_fp"),
+          expr("surprise_fp div n_trans").as("avg_surprise_fp"))
+        .orderBy(col("user_id"))
+    }),
+
     "stream_stateful_user_counts" -> ((s, d) => {
       val totals = EventsPipeline.statefulUserTotals(s, eventsStream(s, d))
       runStream(s, totals, "stateful", d, "update")
@@ -758,6 +780,38 @@ object StreamOps {
     "stream_stateful_user_counts" ->
       """SELECT user_id, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "stream_sequence_anomaly" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events
+         |), tr AS (
+         |  SELECT user_id, COALESCE(LAG(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY us, event_id), 'START')
+         |    AS prev, event_type AS next
+         |  FROM e
+         |), bi AS (
+         |  SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n_ab
+         |  FROM tr GROUP BY 1, 2
+         |), uni AS (
+         |  SELECT prev, CAST(SUM(n_ab) AS BIGINT) AS n_a
+         |  FROM bi GROUP BY 1
+         |), xs AS (
+         |  SELECT n_ab AS x FROM bi UNION SELECT n_a FROM uni
+         |),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |scored AS (
+         |  SELECT t.user_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+         |    CAST(SUM(la.l - lb.l) AS BIGINT) AS surprise_fp
+         |  FROM tr t
+         |  JOIN bi ON bi.prev = t.prev AND bi.next = t.next
+         |  JOIN uni ON uni.prev = t.prev
+         |  JOIN lg lb ON lb.x = bi.n_ab
+         |  JOIN lg la ON la.x = uni.n_a
+         |  GROUP BY t.user_id)
+         |SELECT user_id, n_trans, surprise_fp,
+         |  CAST(surprise_fp // n_trans AS BIGINT) AS avg_surprise_fp
+         |FROM scored ORDER BY user_id""".stripMargin,
 
     "stream_tws_user_counts" ->
       """SELECT user_id, COUNT(*) AS n_events

@@ -82,6 +82,48 @@ object EventsPipeline {
       }.toDF()
   }
 
+  final case class SeqScoreState(last_type: String, n_trans: Long,
+    surprise_fp: Long)
+
+  /** Streaming Markov surprisal scoring — the real-time face of
+    * [[graft.operators.SequenceModel]]: per-user keyed state carries
+    * (last event type, transition count, accumulated fixed-point
+    * surprisal) and each micro-batch advances it through the broadcast
+    * transition model. `model` maps (prev, next) -> surprisal and is
+    * |types|^2-bounded driver state (a schema property, not data size —
+    * same class as the Aho-Corasick pattern set and k-means codebooks).
+    * Within a batch the group's events sort by (us, event_id), so the
+    * emitted totals are bit-identical to the batch scorer's — the gate
+    * checks exactly that. Unseen transitions (possible when the model
+    * was fitted on a different corpus) contribute `unseenFp`. */
+  def statefulSequenceScore(spark: SparkSession, events: DataFrame,
+      model: Map[(String, String), Long], unseenFp: Long = 0L)
+      : DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    events.select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, String, Long)],
+            state: GroupState[SeqScoreState]) =>
+          val prev = state.getOption
+            .getOrElse(SeqScoreState("START", 0L, 0L))
+          var last = prev.last_type
+          var n = prev.n_trans
+          var s = prev.surprise_fp
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { r =>
+            s += bc.value.getOrElse((last, r._3), unseenFp)
+            n += 1
+            last = r._3
+          }
+          val next = SeqScoreState(last, n, s)
+          state.update(next)
+          (uid, n, s)
+      }.toDF("user_id", "n_trans", "surprise_fp")
+  }
+
   /** Streaming funnel: a per-entity state machine over
     * flatMapGroupsWithState advancing through `stages` in event-time
     * order and EMITTING each stage completion as it happens — the

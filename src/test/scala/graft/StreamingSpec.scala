@@ -227,6 +227,49 @@ class StreamingSpec extends SparkSpec {
       (1L, "view", "click"), (2L, "START", "view")))
   }
 
+  test("streaming sequence scorer matches the batch scorer across " +
+      "micro-batches (state carries last type + running surprisal)") {
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000000000L
+    val rows = Seq(
+      (1L, t0, 1L, "view"), (2L, t0 + 1000L, 1L, "click"),
+      (3L, t0 + 2000L, 1L, "purchase"),
+      (4L, t0, 2L, "view"), (5L, t0 + 1000L, 2L, "view"),
+      (6L, t0, 3L, "click"))
+    val batch = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val model = graft.operators.SequenceModel.transitionModel(
+        batch.withColumn("us", expr("ts div 1000")),
+        $"user_id", $"us", $"event_id", $"event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val expect = graft.operators.SequenceModel.sequenceAnomaly(
+        batch.withColumn("us", expr("ts div 1000")),
+        $"user_id", $"us", $"event_id", $"event_type", k = 10)
+      .select($"user_id", $"n_trans", $"surprise_fp")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = EventsPipeline.statefulSequenceScore(spark, df, model)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("seq_out").start()
+    // batch 1 out of order within user 1; batch 2 chains off its state
+    mem.addData((2L, t0 + 1000L, 1L, "click"), (1L, t0, 1L, "view"),
+      (4L, t0, 2L, "view"))
+    q.processAllAvailable()
+    mem.addData((3L, t0 + 2000L, 1L, "purchase"),
+      (5L, t0 + 1000L, 2L, "view"), (6L, t0, 3L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    // last update per user = final totals; must equal the batch scorer
+    val fin = spark.table("seq_out")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_trans", $"surprise_fp")).as("s"))
+      .select($"user_id", $"s.n_trans", $"s.surprise_fp")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fin == expect)
+  }
+
   test("stream-stream interval join matches clicks in the window only") {
     implicit val sq = spark.sqlContext
     val pm = MemoryStream[(Long, Long, Long)]
