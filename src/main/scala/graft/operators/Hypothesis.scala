@@ -205,6 +205,62 @@ object Hypothesis {
       .select(col("n_a"), col("n_b"), col("chi2"), col("srm_flag"))
   }
 
+  /** Post-stratified treatment-effect estimate — the second classic
+    * A/B variance-reduction tool next to [[cuped]]: units are grouped
+    * by a pre-treatment covariate (stratum), the B-minus-A mean lift is
+    * taken WITHIN each stratum, and the per-stratum lifts combine
+    * weighted by stratum size — removing the covariate-imbalance
+    * component of the variance (and of the bias, under covariate shift
+    * between arms).
+    *
+    * The cross-strata combine is where naive float math breaks
+    * cross-engine (a SUM of per-stratum doubles is order-dependent), so
+    * each stratum's lift is first floored to an exact fixed-point
+    * integer: fp_s = (num_s * 2^20 + OFF * den_s) div den_s - OFF with
+    * num_s = (S_b n_a - S_a n_b) in 1e-4 money units and
+    * den_s = n_a n_b — the OFF = 2^50 shift keeps the dividend
+    * non-negative (valid for |lift| up to ~10^5 money units), making
+    * truncating `div` and flooring `//` agree. The weighted sum
+    * SUM(n_s * fp_s) is then pure int64 — bit-exact in any engine.
+    *
+    * One grouped aggregate (map-side partials) + one 1-row reduce;
+    * strata with an empty arm are dropped (inestimable). Output row:
+    * (n_strata, n_units, ate_num, ate_den, ate) with
+    * ate = ate_num / ate_den in money units. */
+  def postStratified(df: DataFrame, group: Column, stratum: Column,
+      value: Column, a: String, b: String): DataFrame = {
+    val ScaleFp = 1L << 20
+    val Off = 1L << 50
+    val base = df.select(group.as("__g"), stratum.as("__s"),
+        ColUtil.money(value).as("__v"))
+      .where(col("__g").isin(a, b) && col("__v").isNotNull &&
+        col("__s").isNotNull)
+    val per = base.groupBy(col("__s"))
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__g") === a, col("__v"))).as("s_a"),
+        sum(when(col("__g") === b, col("__v"))).as("s_b"))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+    def iu(c: Column) = (c * 10000).cast("decimal(38,0)")
+    val fp = per
+      .withColumn("n_s", col("n_a") + col("n_b"))
+      .withColumn("den_s",
+        (col("n_a") * col("n_b")).cast("decimal(38,0)"))
+      .withColumn("num_s",
+        iu(col("s_b")) * col("n_a") - iu(col("s_a")) * col("n_b"))
+      .withColumn("fp_s",
+        expr(s"CAST((num_s * $ScaleFp + CAST($Off AS DECIMAL(38,0)) " +
+          s"* den_s) div den_s AS BIGINT) - $Off")
+      )
+    fp.agg(count(lit(1)).as("n_strata"),
+        sum(col("n_s")).as("n_units"),
+        sum(col("n_s") * col("fp_s")).as("ate_num"))
+      .select(col("n_strata"), col("n_units"), col("ate_num"),
+        (col("n_units") * lit(ScaleFp) * lit(10000L)).as("ate_den"))
+      .withColumn("ate",
+        col("ate_num").cast("double") / col("ate_den").cast("double"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM 2013): adjust each
     * unit's experiment metric by its PRE-experiment covariate,
     * `adj = post − θ·(pre − mean(pre))` with θ = cov(pre,post)/var(pre)

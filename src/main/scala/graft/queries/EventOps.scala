@@ -955,6 +955,30 @@ object EventOps {
         col("pre"), col("post"), "ctl", "trt")
     }),
 
+    // post-stratified A/B lift: strata = each user's FIRST event type
+    // (an acquisition-channel covariate), per-stratum mean lift combined
+    // weighted by stratum size — the covariate-balance companion to
+    // CUPED. Per-stratum lifts floor to exact fixed point before the
+    // weighted sum, so the estimate is bit-exact cross-engine
+    "events_ab_poststrat" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val per = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("us"), money(col("value")).as("v"))
+        .withColumn("__first", first(col("event_type")).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("__first")).as("stratum"),
+          sum(col("v")).as("v_tot"))
+        .select(
+          when(graft.operators.Sampling.hashBucket(col("user_id"), 2)
+            === 0, "ctl").otherwise("trt").as("grp"),
+          col("stratum"),
+          coalesce(col("v_tot"), lit(0).cast("decimal(12,4)")).as("v"))
+      graft.operators.Hypothesis.postStratified(per, col("grp"),
+        col("stratum"), col("v"), "ctl", "trt")
+    }),
+
     // ε-DP mean release: per-type clipped value means, budget split
     // between the sum and count draws (Privacy.dpMean scaladoc) —
     // the companion release to privacy_dp_counts
@@ -1414,6 +1438,61 @@ object EventOps {
 
     // same md5-bucket assignment, same closed-form CUPED dag over
     // exact per-group sufficient statistics
+    "events_ab_poststrat" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |    CAST(value AS DECIMAL(12,4)) AS v
+         |  FROM events
+         |), fe AS (
+         |  SELECT user_id, event_type AS stratum FROM (
+         |    SELECT user_id, event_type, ROW_NUMBER() OVER (
+         |      PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |    FROM e) x WHERE rn = 1
+         |), pu AS (
+         |  SELECT user_id,
+         |    CAST(COALESCE(SUM(v), 0) AS DECIMAL(12,4)) AS v
+         |  FROM e GROUP BY user_id
+         |), g AS (
+         |  SELECT CASE WHEN
+         |      ${graft.operators.Sampling.hashBucketSql("h", 2)} = 0
+         |    THEN 'ctl' ELSE 'trt' END AS grp, stratum, v
+         |  FROM (SELECT pu.user_id, fe.stratum, pu.v,
+         |          md5(CAST(pu.user_id AS VARCHAR)) AS h
+         |        FROM pu JOIN fe USING (user_id))
+         |), st AS (
+         |  SELECT stratum,
+         |    CAST(SUM(CASE WHEN grp='ctl' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN grp='trt' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(COALESCE(SUM(CASE WHEN grp='ctl' THEN v END), 0)
+         |      AS DECIMAL(22,4)) AS s_a,
+         |    CAST(COALESCE(SUM(CASE WHEN grp='trt' THEN v END), 0)
+         |      AS DECIMAL(22,4)) AS s_b
+         |  FROM g GROUP BY stratum
+         |  HAVING SUM(CASE WHEN grp='ctl' THEN 1 ELSE 0 END) > 0
+         |     AND SUM(CASE WHEN grp='trt' THEN 1 ELSE 0 END) > 0
+         |), f AS (
+         |  SELECT n_a + n_b AS n_s,
+         |    CAST(n_a * n_b AS HUGEINT) AS den_s,
+         |    CAST(s_b * 10000 AS HUGEINT) * n_a
+         |      - CAST(s_a * 10000 AS HUGEINT) * n_b AS num_s
+         |  FROM st
+         |), f2 AS (
+         |  SELECT n_s, CAST((num_s * 1048576
+         |      + CAST(1125899906842624 AS HUGEINT) * den_s) // den_s
+         |    AS BIGINT) - 1125899906842624 AS fp_s
+         |  FROM f
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         |  CAST(SUM(n_s) AS BIGINT) AS n_units,
+         |  CAST(SUM(n_s * fp_s) AS BIGINT) AS ate_num,
+         |  CAST(SUM(n_s) * 1048576 * 10000 AS BIGINT) AS ate_den,
+         |  CAST(CAST(SUM(n_s * fp_s) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(SUM(n_s) * 1048576 * 10000 AS BIGINT) AS DOUBLE)
+         |    AS ate
+         |FROM f2""".stripMargin,
+
     "events_ab_cuped" ->
       s"""WITH e AS (
          |  SELECT user_id, epoch_us(ts) AS us,

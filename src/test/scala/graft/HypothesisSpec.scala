@@ -187,4 +187,37 @@ class HypothesisSpec extends SparkSpec {
       .as[(Long, Double, Double)].head()
     assert(again == ci)
   }
+
+  test("postStratified: hand-checked weighted lift; inestimable strata " +
+      "drop; bit-identical under repartitioning") {
+    // stratum X: ctl {10, 20} (mean 15), trt {19, 21} (mean 20): lift 5
+    // stratum Y: ctl {100} (mean 100), trt {104, 112} (mean 108): lift 8
+    // stratum Z: trt only -> dropped
+    // ATE = (4*5 + 3*8) / 7 = 44/7
+    val rows = Seq(
+      ("ctl", "X", 10.0), ("ctl", "X", 20.0),
+      ("trt", "X", 19.0), ("trt", "X", 21.0),
+      ("ctl", "Y", 100.0),
+      ("trt", "Y", 104.0), ("trt", "Y", 112.0),
+      ("trt", "Z", 999.0))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Hypothesis.postStratified(df, $"g", $"s", $"v",
+          "ctl", "trt")
+        .as[(Long, Long, Long, Long, Double)].head()
+    val out = run(rows.toDF("g", "s", "v"))
+    assert(out._1 == 2 && out._2 == 7)
+    // exact rational check: ate_num/ate_den == 44/7 up to the 2^-20
+    // per-stratum floor (each fp_s floors once; lifts here are exact
+    // in 1e-4 money units so no floor loss at all)
+    assert(out._3 == (4L * 5 + 3L * 8) * 10000 * (1L << 20),
+      s"ate_num ${out._3}")
+    assert(out._4 == 7L * 10000 * (1L << 20))
+    assert(math.abs(out._5 - 44.0 / 7) < 1e-12)
+    assert(run(rows.toDF("g", "s", "v").repartition(5)) == out)
+    // negative lift survives the offset trick exactly
+    val neg = run(Seq(("ctl", "X", 30.0), ("trt", "X", 10.0))
+      .toDF("g", "s", "v"))
+    assert(neg._3 == -20L * 10000 * (1L << 20) * 2 &&
+      math.abs(neg._5 + 20.0) < 1e-12)
+  }
 }
