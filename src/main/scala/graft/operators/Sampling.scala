@@ -252,6 +252,35 @@ object Sampling {
         col("normalized").cast("double").as("normalized"))
   }
 
+  /** Deterministic epoch OVERSAMPLING — the materialization half of
+    * mixture weighting: a row with replication factor f (fixed-point
+    * x1e6, e.g. 2.5e6 = "2.5 epochs of this source") emits floor(f)
+    * copies plus one more iff its md5 draw lands under the fractional
+    * part — so every engine, rerun, and partitioning materializes the
+    * IDENTICAL multiset, and each source's realized volume is within
+    * one doc-draw of n * f (the "repeat the high-quality sources" knob
+    * of LLM data curricula, done reproducibly instead of by RNG).
+    *
+    * Map-only: a codegen'd draw + a bounded sequence explode per row;
+    * no shuffle at any size. The `copy` index (0-based) keeps replicas
+    * distinguishable downstream (epoch-shuffle keys, pack salts). */
+  def epochOversample(df: DataFrame, id: Column, factorX1e6: Column)
+      : DataFrame = {
+    val base = df.withColumn("__f", factorX1e6.cast("long"))
+      .where(col("__f") > 0)
+    // threshold compares the u32 draw against frac(f) scaled to 2^32;
+    // the div is exact integer arithmetic in both engines
+    val thr = expr("(__f % 1000000) * 4294967296 div 1000000")
+    val u = graft.functions.HashFunctions.md5_u32(
+      concat(lit("os#"), id.cast("string")))
+    base
+      .withColumn("__n",
+        expr("__f div 1000000") + when(u < thr, 1L).otherwise(0L))
+      .where(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__f", "__n")
+  }
+
   /** Weighted exact-k sampling without replacement — the
     * Efraimidis–Spirtakis (2006) A-ES scheme, deterministic: each row
     * draws u = its md5 32-bit hash (uniform over [1, 2³²]) and ranks by

@@ -614,6 +614,20 @@ object PrepOps {
         .orderBy(col("source"))
     }),
 
+    // mixture materialization: per-source replication factors (1x /
+    // 1.75x / 2.5x by source hash) realized as exact copy multisets —
+    // floor(f) copies + one more iff the doc's md5 draw lands under
+    // frac(f). Map-only at any scale, bit-identical across engines
+    "mix_epoch_oversample" -> ((s, d) => {
+      val f = lit(1000000L) +
+        graft.operators.Sampling.hashBucket(col("source"), 3) * 750000L
+      graft.operators.Sampling.epochOversample(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          col("doc_id"), f)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     // WFQ mixture schedule: the deterministic load-time interleave —
     // src0 weighted 4x, src1 2x, the rest 1x; every source appears in
     // weight proportion over every prefix of the merged order, and the
@@ -1243,6 +1257,26 @@ object PrepOps {
       s"""$urlCtes
          |SELECT doc_id, url, url_canon, domain FROM dom
          |ORDER BY doc_id""".stripMargin,
+    "mix_epoch_oversample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    1000000 + (${graft.operators.Sampling.hashBucketSql("h", 3)})
+         |      * 750000 AS fx
+         |  FROM (SELECT doc_id, source, md5(source) AS h FROM documents) x
+         |), c AS (
+         |  SELECT doc_id, source,
+         |    fx // 1000000 + CASE WHEN
+         |      ${graft.operators.Sampling.hashU32Sql("h")}
+         |        < ((fx % 1000000) * 4294967296) // 1000000
+         |      THEN 1 ELSE 0 END AS n
+         |  FROM (SELECT d.*, md5('os#' || CAST(doc_id AS VARCHAR)) AS h
+         |        FROM d) y
+         |)
+         |SELECT doc_id, source, UNNEST(range(0, CAST(n AS BIGINT)))
+         |  AS copy
+         |FROM c WHERE n > 0
+         |ORDER BY doc_id, copy""".stripMargin,
+
     "dedup_source_priority" ->
       s"""$urlCtes,
          |sd AS (SELECT dom.doc_id, d.source, dom.url_canon

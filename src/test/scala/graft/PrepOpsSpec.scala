@@ -920,4 +920,28 @@ class PrepOpsSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSeq
     assert(rows.sorted == again.sorted)
   }
+
+  test("epochOversample: integer factors are exact, fractional factors " +
+      "land within the draw bound, copies index 0..n-1, deterministic") {
+    val df = (1L to 1000L).map(i => (i, "s")).toDF("id", "src")
+    // exact 3x: every row exactly 3 copies, indices 0,1,2
+    val x3 = Sampling.epochOversample(df, $"id", lit(3000000L))
+      .groupBy($"id").agg(count(lit(1)).as("n"),
+        sort_array(collect_list($"copy")).as("cs"))
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(x3.length == 1000 &&
+      x3.forall(r => r._2 == 3 && r._3 == Seq(0L, 1L, 2L)))
+    // 1.5x over 1000 rows: binomial(1000, .5) extra draws — realized
+    // volume within 5 sigma (~79) of 1500
+    val n15 = Sampling.epochOversample(df, $"id", lit(1500000L)).count()
+    assert(math.abs(n15 - 1500L) < 80, s"n=$n15")
+    // bit-identical under repartitioning; zero/negative factors drop
+    val a = Sampling.epochOversample(df, $"id", lit(1500000L))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val b = Sampling.epochOversample(df.repartition(7), $"id",
+        lit(1500000L))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(a == b)
+    assert(Sampling.epochOversample(df, $"id", lit(0L)).count() == 0)
+  }
 }
