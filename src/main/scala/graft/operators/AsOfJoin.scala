@@ -87,6 +87,39 @@ object AsOfJoin {
       rightCols: Seq[String]): DataFrame =
     asofNative(left, right, keys, leftTs, rightTs, rightCols)
 
+  /** NEAREST-direction as-of (pandas merge_asof direction='nearest'):
+    * each left row attaches the right row minimizing |left.ts -
+    * right.ts| within `tolerance`, ties preferring the backward
+    * (earlier-or-equal) candidate. Composed from the two native
+    * single-direction passes — each is the one-merge-pass custom
+    * operator, so the cost is two clustered sorts of the (pruned)
+    * right side, never a window buffer or a range join. Output adds
+    * `asof_direction` ('backward'/'forward', null when nothing
+    * qualifies) so callers — and the oracle — can pin the choice. */
+  def asofNearestNative(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightCols: Seq[String], tolerance: Option[Long] = None)
+      : DataFrame = {
+    val cols = (rightCols :+ rightTs).distinct
+    val back = asofNative(left, right, keys, leftTs, rightTs, cols,
+      "backward", tolerance)
+    val backRen = cols.foldLeft(back)((d, c) =>
+      d.withColumnRenamed(s"asof_$c", s"__bk_$c"))
+    val both = asofNative(backRen, right, keys, leftTs, rightTs, cols,
+      "forward", tolerance)
+    val bTs = col(s"__bk_$rightTs")
+    val fTs = col(s"asof_$rightTs")
+    val useBack = bTs.isNotNull &&
+      (fTs.isNull || (col(leftTs) - bTs) <= (fTs - col(leftTs)))
+    val picked = rightCols.map(c =>
+      when(useBack, col(s"__bk_$c")).otherwise(col(s"asof_$c"))
+        .as(s"asof_$c"))
+    val dir = when(bTs.isNull && fTs.isNull, lit(null).cast("string"))
+      .when(useBack, lit("backward")).otherwise(lit("forward"))
+      .as("asof_direction")
+    both.select(left.columns.map(col) ++ picked :+ dir: _*)
+  }
+
   /** Composed reference implementation (tagged union + window), kept as
     * the spec ground truth for [[asofBackwardNative]]. `rightCols` are
     * carried onto the left rows as `asof_<name>` (null when no right row

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BoundReference, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Native as-of join: the full custom-operator stack (logical node ->
@@ -76,8 +76,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     direction: String = "backward",
     tolerance: Option[Long] = None) extends BinaryExecNode {
 
+  // keyless as-of (one global timeline) degenerates to a single
+  // partition on both sides — ClusteredDistribution(Nil) is illegal
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (leftKeys.isEmpty) AllTuples :: AllTuples :: Nil
+    else ClusteredDistribution(leftKeys) ::
+      ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),

@@ -357,6 +357,26 @@ object EventOps {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // nearest as-of: each purchase attached to the CLOSEST click either
+    // direction within one hour, ties preferring backward (the pandas
+    // merge_asof 'nearest' convention) — composed from the two native
+    // single-direction merge passes, with the chosen direction emitted
+    // so the oracle pins the selection logic itself
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"))
+      graft.operators.AsOfJoin.asofNearestNative(purchases, clicks,
+          Seq("user_id"), "ts_us", "ts_us", Seq("click_id"),
+          tolerance = Some(3600000000L))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_click_id"), col("asof_direction"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // forward as-of with tolerance: each purchase attached to the user's
     // NEXT click within one hour (merge-asof's other direction, same
     // custom physical operator; null beyond the tolerance window). The
@@ -2289,6 +2309,43 @@ object EventOps {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    event_type FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM ev
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us, event_id AS click_id FROM ev
+        |  WHERE event_type = 'click'),
+        |bk AS (
+        |  SELECT p.event_id, c.click_id, c.ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts_us DESC, c.click_id) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        |    AND p.ts_us - c.ts_us <= 3600000000),
+        |fw AS (
+        |  SELECT p.event_id, c.click_id, c.ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts_us, c.click_id) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts_us >= p.ts_us
+        |    AND c.ts_us - p.ts_us <= 3600000000),
+        |pick AS (
+        |  SELECT p.user_id, p.event_id, p.ts_us,
+        |    b.click_id AS b_id, b.ts_us AS b_ts,
+        |    f.click_id AS f_id, f.ts_us AS f_ts
+        |  FROM p
+        |  LEFT JOIN bk b ON b.event_id = p.event_id AND b.rn = 1
+        |  LEFT JOIN fw f ON f.event_id = p.event_id AND f.rn = 1)
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+        |      OR ts_us - b_ts <= f_ts - ts_us)
+        |    THEN b_id ELSE f_id END AS asof_click_id,
+        |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+        |    WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+        |      OR ts_us - b_ts <= f_ts - ts_us)
+        |    THEN 'backward' ELSE 'forward' END AS asof_direction
+        |FROM pick
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "join_asof_forward" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -119,4 +119,37 @@ class AsOfPlanSpec extends SparkSpec {
     assert(native.filter($"k1".isNull).select($"asof_rid")
       .as[Option[Long]].head().contains(8L))
   }
+
+  test("nearest: closer side wins, ties go backward, tolerance nulls, " +
+      "direction column pins the choice") {
+    val left = Seq((1L, 100L), (2L, 205L), (3L, 300L), (4L, 900L))
+      .toDF("lid", "ts")
+    val right = Seq((10L, 90L), (11L, 104L), (12L, 210L), (13L, 200L),
+      (14L, 290L), (15L, 310L)).toDF("rid", "ts")
+    val out = AsOfJoin.asofNearestNative(left, right, Seq.empty,
+        "ts", "ts", Seq("rid"), tolerance = Some(50L))
+      .select($"lid", $"asof_rid", $"asof_direction")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      // 100: backward 90 (d=10) vs forward 104 (d=4) -> forward
+      (1L, Some(11L), Some("forward")),
+      // 205: backward 200 (d=5) vs forward 210 (d=5) -> tie: backward
+      (2L, Some(13L), Some("backward")),
+      // 300: backward 290 (d=10) vs forward 310 (d=10) -> tie: backward
+      (3L, Some(14L), Some("backward")),
+      // 900: nothing within 50 either way
+      (4L, None, None)))
+    // keyed variant matches a brute-force nearest on the events shape
+    val l2 = Seq((1L, "a", 10L), (2L, "a", 25L), (3L, "b", 10L))
+      .toDF("lid", "k", "ts")
+    val r2 = Seq(("a", 8L, 100L), ("a", 24L, 101L), ("b", 40L, 102L))
+      .toDF("k", "ts", "rid")
+    val g2 = AsOfJoin.asofNearestNative(l2, r2, Seq("k"), "ts", "ts",
+        Seq("rid"))
+      .select($"lid", $"asof_rid").as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(g2 == Seq((1L, Some(100L)), (2L, Some(101L)),
+      (3L, Some(102L))))
+  }
 }
