@@ -636,22 +636,27 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
     val e = if (edgesDistinct) raw else raw.distinct()
-    // ranked adjacency, pre-partitioned on the probe key: the per-step
-    // join then reshuffles only the walker frontier to meet it
+    val degs = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // ranked adjacency pre-partitioned on the probe key, each row ALSO
+    // carrying the DESTINATION's out-degree (null when dst dangles):
+    // the frontier then knows its current node's degree without a
+    // per-step degree join — ONE probe join per step, the other half
+    // paid once at build time
     val adj = e.select(col("src"),
         (row_number().over(Window.partitionBy(col("src"))
           .orderBy(col("dst"))) - 1).cast("long").as("rk"),
         col("dst"))
+      .join(degs.select(col("node").as("dst"),
+        col("deg").as("dst_deg")), Seq("dst"), "left")
       .repartition(col("src"), col("rk"))
       .cache()
-    val degs = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).cache()
     try {
       val reps = explode(sequence(lit(0), lit(walksPerNode - 1))).as("rep")
       var frontier = degs
-        .select(col("node").as("start"), reps)
+        .select(col("node").as("start"), reps, col("deg"))
         .select(col("start"), col("rep").cast("long").as("rep"),
-          col("start").as("cur"))
+          col("start").as("cur"), col("deg").as("cur_deg"))
         .localCheckpoint()
       val out = Seq.newBuilder[DataFrame]
       out += frontier.select(col("start"), col("rep"),
@@ -661,19 +666,20 @@ object Graph {
         val draw = graft.functions.HashFunctions.md5_u32(
           concat(col("start").cast("string"), lit("#"),
             col("rep").cast("string"), lit("#"), lit(t.toString)))
-        val idx = frontier.join(degs, frontier("cur") === degs("node"))
+        val idx = frontier.where(col("cur_deg").isNotNull)
           .select(col("start"), col("rep"), col("cur"),
-            pmod(draw, col("deg")).as("idx"))
+            pmod(draw, col("cur_deg")).as("idx"))
         frontier = idx.join(adj,
             idx("cur") === adj("src") && idx("idx") === adj("rk"))
-          .select(col("start"), col("rep"), col("dst").as("cur"))
+          .select(col("start"), col("rep"), col("dst").as("cur"),
+            col("dst_deg").as("cur_deg"))
           .localCheckpoint()
         t += 1
         out += frontier.select(col("start"), col("rep"),
           lit(t.toLong).as("step"), col("cur").as("node"))
       }
       out.result().reduce(_ unionByName _).localCheckpoint()
-    } finally { adj.unpersist(); degs.unpersist() }
+    } finally adj.unpersist()
   }
 
   /** Skip-gram (center, context) co-occurrence counts over a walk
