@@ -605,6 +605,50 @@ object Graph {
     } finally e.unpersist()
   }
 
+  /** Neighbor-set Jaccard similarity — the structural node-similarity
+    * readout (the SimRank-family base case): for every node pair with
+    * at least `minCommon` shared neighbors, |N(a) ∩ N(b)| over
+    * |N(a) ∪ N(b)| as an exact 1e6 fixed-point integer, top `k` by
+    * (similarity, a, b). Distinct from [[linkPredict]]: adjacent pairs
+    * score too (similarity, not link prediction), and the score is the
+    * normalized Jaccard rather than the raw common count.
+    *
+    * Scale shape: the wedge-pair stream (the [[triangleCount]] cost
+    * class — hub nodes contribute deg² pairs, the inherent price of
+    * any common-neighbor statistic) partial-aggregates map-side before
+    * the pair-keyed exchange; degrees broadcast back; the k cut is
+    * TakeOrderedAndProject. */
+  def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Int, k: Int): DataFrame = {
+    require(minCommon >= 1 && k >= 1, s"minCommon=$minCommon k=$k")
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = raw.distinct().cache()
+    try {
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val wa = e.select(col("src").as("c"), col("dst").as("a"))
+      val wb = e.select(col("src").as("c2"), col("dst").as("b"))
+      val common = wa.join(wb, col("c") === col("c2") &&
+          col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_common"))
+        .where(col("n_common") >= minCommon)
+      // no forced broadcast: |V| can be huge at scale — AQE broadcasts
+      // the degree table when it is actually small
+      common
+        .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+        .withColumn("jaccard_x1e6",
+          expr("n_common * 1000000 div (deg_a + deg_b - n_common)"))
+        .select(col("a"), col("b"), col("n_common"), col("deg_a"),
+          col("deg_b"), col("jaccard_x1e6"))
+        .orderBy(col("jaccard_x1e6").desc, col("a"), col("b"))
+        .limit(k)
+    } finally e.unpersist()
+  }
+
   /** Deterministic DeepWalk-style random-walk corpus (Perozzi et al.,
     * KDD 2014): `walksPerNode` truncated walks of `walkLen` steps from
     * every node with out-edges, each step choosing neighbor

@@ -285,6 +285,14 @@ object GraphOps {
         .orderBy(col("node"))
     }),
 
+    // structural node similarity: exact fixed-point neighbor-set
+    // Jaccard over the symmetrized trade graph, top 20 pairs — the
+    // normalized cousin of graph_link_predict's raw common counts
+    "graph_jaccard_neighbors" -> ((s, d) => {
+      graft.operators.Graph.neighborJaccard(tradeEdges(s, d),
+        "src", "dst", minCommon = 2, k = 20)
+    }),
+
     // DeepWalk corpus: 2 hash-driven truncated walks of 4 steps from
     // every node — each step a deterministic md5 draw over the
     // dst-sorted adjacency, so the oracle replays every walk exactly
@@ -343,6 +351,21 @@ object GraphOps {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_jaccard_neighbors" ->
+      s"""WITH $EdgesCte,
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM e GROUP BY src),
+         |cmn AS (
+         |  SELECT x.dst AS a, y.dst AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT a, b, n_common, da.deg AS deg_a, db.deg AS deg_b,
+         |  CAST(n_common * 1000000
+         |    // (da.deg + db.deg - n_common) AS BIGINT) AS jaccard_x1e6
+         |FROM cmn JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+         |ORDER BY jaccard_x1e6 DESC, a, b LIMIT 20""".stripMargin,
+
     "graph_random_walks" ->
       s"""WITH $walkCtes
          |SELECT start, rep, step, node FROM walk

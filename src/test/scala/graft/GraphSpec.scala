@@ -421,6 +421,34 @@ class GraphSpec extends SparkSpec {
     assert(base == again)
   }
 
+  test("neighborJaccard: hand-checked scores, minCommon prunes, " +
+      "partitioning-invariant") {
+    // square 0-1-2-3-0 (undirected): opposite corners share BOTH
+    // neighbors -> jaccard 2/(2+2-2) = 1.0; adjacent corners share none
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val out = Graph.neighborJaccard(sq.toDF("src", "dst"), "src", "dst",
+        minCommon = 2, k = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((0L, 2L, 2L, 2L, 2L, 1000000L),
+      (1L, 3L, 2L, 2L, 2L, 1000000L)))
+    // pendant attached to 0 dilutes: star 0-{1,2,3} + edge 1-2 means
+    // 1,2 share {0} plus each other... check minCommon=1 exact values
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val s1 = Graph.neighborJaccard(star.toDF("src", "dst"), "src", "dst",
+        minCommon = 1, k = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    // leaves pairwise share exactly {0}: 1/(1+1-1) = 1.0
+    assert(s1 == Seq((1L, 2L, 1L, 1L, 1L, 1000000L),
+      (1L, 3L, 1L, 1L, 1L, 1000000L), (2L, 3L, 1L, 1L, 1L, 1000000L)))
+    val rep = Graph.neighborJaccard(
+        (sq ++ sq).toDF("src", "dst").repartition(7), "src", "dst",
+        minCommon = 2, k = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(rep == out)
+  }
+
   test("walk skip-grams: hand-checked symmetric window pairs") {
     // one walk 10,20,30,40 with window 2:
     // d=1 pairs: (10,20)(20,30)(30,40) + reverses
