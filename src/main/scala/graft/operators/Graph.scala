@@ -613,14 +613,23 @@ object Graph {
     * score too (similarity, not link prediction), and the score is the
     * normalized Jaccard rather than the raw common count.
     *
-    * Scale shape: the wedge-pair stream (the [[triangleCount]] cost
-    * class — hub nodes contribute deg² pairs, the inherent price of
-    * any common-neighbor statistic) partial-aggregates map-side before
-    * the pair-keyed exchange; degrees broadcast back; the k cut is
+    * Scale shape: a wedge CENTER of degree d contributes d² pairs, so
+    * an uncapped hub makes the pair stream quadratic in hub degree (the
+    * inherent price of any common-neighbor statistic — measured 36 s at
+    * sf0.1 through the ~230-degree supplier hubs). `maxCenterDegree`
+    * applies [[linkPredict]]'s standard mitigation: only centers of
+    * degree <= cap generate wedges, deterministically — similarities
+    * count only low-degree shared neighbors (a lower bound; hub
+    * neighbors carry little similarity signal anyway, the idf
+    * intuition), and the oracle replicates the cap exactly. The capped
+    * pair stream partial-aggregates map-side before the pair-keyed
+    * exchange; degree joins are AQE-sized; the k cut is
     * TakeOrderedAndProject. */
   def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
-      minCommon: Int, k: Int): DataFrame = {
+      minCommon: Int, k: Int,
+      maxCenterDegree: Int = Int.MaxValue): DataFrame = {
     require(minCommon >= 1 && k >= 1, s"minCommon=$minCommon k=$k")
+    require(maxCenterDegree >= 1, s"maxCenterDegree=$maxCenterDegree")
     val raw = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -628,8 +637,12 @@ object Graph {
     try {
       val deg = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
-      val wa = e.select(col("src").as("c"), col("dst").as("a"))
-      val wb = e.select(col("src").as("c2"), col("dst").as("b"))
+      val centers =
+        if (maxCenterDegree == Int.MaxValue) e
+        else e.join(deg.filter(col("deg") <= maxCenterDegree)
+          .select(col("node").as("src")), "src")
+      val wa = centers.select(col("src").as("c"), col("dst").as("a"))
+      val wb = centers.select(col("src").as("c2"), col("dst").as("b"))
       val common = wa.join(wb, col("c") === col("c2") &&
           col("a") < col("b"))
         .groupBy(col("a"), col("b"))

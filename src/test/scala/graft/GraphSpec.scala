@@ -447,6 +447,17 @@ class GraphSpec extends SparkSpec {
         minCommon = 2, k = 10)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
     assert(rep == out)
+    // center cap: hub 0 (degree 3) stops generating wedges under cap 2,
+    // so the star's leaf pairs vanish; the square (all degree 2) is
+    // unaffected — and TRUE degrees still feed the denominator
+    val capped = Graph.neighborJaccard(star.toDF("src", "dst"),
+        "src", "dst", minCommon = 1, k = 10, maxCenterDegree = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(capped.isEmpty)
+    val sqCap = Graph.neighborJaccard(sq.toDF("src", "dst"), "src", "dst",
+        minCommon = 2, k = 10, maxCenterDegree = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(sqCap == out)
   }
 
   test("walk skip-grams: hand-checked symmetric window pairs") {
