@@ -191,8 +191,12 @@ object TextIndex {
   /** All strings reachable from `w` by up to `d` single-character
     * deletions, `w` itself included — the SymSpell key set, generated
     * as ONE nested array expression (no explode until the caller keys
-    * on it). Empty intermediates are dropped: a "" key would link every
-    * length-<=d string into one bucket (the degenerate hot key). */
+    * on it). The empty string IS a legitimate key when len(w) <= d
+    * (dropping it would lose pairs like ("a","b") whose only shared
+    * deletion is "") — its bucket links only the length-<=d vocabulary,
+    * a bounded set; "" is merely never expanded FURTHER (the filter
+    * below), which is a no-op semantically and keeps the transform
+    * total. */
   private def deletionSet(w: Column, d: Int): Column = {
     def delOnce(xs: Column): Column =
       array_distinct(flatten(transform(
@@ -224,7 +228,8 @@ object TextIndex {
     * are distinct-ed BEFORE the levenshtein verify, so a pair reachable
     * through many shared deletions is verified once. Hot keys are
     * bounded by vocabulary words per deletion variant (a vocabulary
-    * property, not a corpus-size one — vocab is distinct terms). */
+    * property, not a corpus-size one — vocab is distinct terms; the ""
+    * key's bucket is exactly the length-<=d words). */
   def fuzzyLookup(vocab: DataFrame, termCol: String, queries: DataFrame,
       queryCol: String, maxEdits: Int): DataFrame = {
     require(maxEdits >= 1 && maxEdits <= 2,

@@ -239,9 +239,8 @@ class TextIndexSpec extends SparkSpec {
   test("fuzzyLookup: duplicates collapse; nulls and empties are safe") {
     val out = fuzzy(Seq("ab", "ab", "abc"), Seq("ab", "ab"), 1)
     assert(out == Seq(("ab", "ab", 0L), ("ab", "abc", 1L)))
-    // null query/vocab rows drop; empty-string query still matches
-    // 1-char vocab via the vocab side's deletion (its own "" key is
-    // suppressed, but the identity key "a" meets the query's insert)
+    // null query/vocab rows drop; 1-char words share the "" deletion
+    // key (kept on purpose — SymSpell completeness for length-<=d words)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("w", StringType, true)))
@@ -252,6 +251,10 @@ class TextIndexSpec extends SparkSpec {
     val got = TextIndex.fuzzyLookup(v, "w", q, "w", 1)
       .as[(String, String, Long)].collect().toSeq
     assert(got == Seq(("a", "a", 0L)))
+    // completeness through the "" key: dist("a","b") = 1 and their ONLY
+    // shared deletion variant is the empty string
+    val ab = fuzzy(Seq("a", "b"), Seq("a"), 1)
+    assert(ab == Seq(("a", "a", 0L), ("a", "b", 1L)))
   }
 
   /** Reference Levenshtein for the brute-force cross-check. */
