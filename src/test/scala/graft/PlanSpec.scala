@@ -635,4 +635,37 @@ class PlanSpec extends SparkSpec {
     // partial aggregate, not below a fold-computation stage)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
   }
+
+  test("walk skip-grams: lead windows, never a walk self-join") {
+    val p = plan("graph_walk_skipgrams")
+    // the pair stream comes from per-walk lead() windows plus one
+    // pair-keyed partial-aggregated count — a SortMergeJoin of the walk
+    // output with itself would re-shuffle the corpus per window offset
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(p.contains("partial_count"))
+    assert(p.contains("hashpartitioning(center"))
+  }
+
+  test("maxsim: queries broadcast, corpus never exchanged, heap top-k") {
+    val p = plan("ann_maxsim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"))
+    // the bounded-heap aggregate (never a rank window over all pairs)
+    assert(p.toLowerCase.contains("topk_by") && !p.contains("Window"))
+  }
+
+  test("source-priority dedup partial-aggregates the min-struct " +
+      "before its exchange") {
+    val p = plan("dedup_source_priority")
+    assert(p.contains("partial_min"))
+    // survivor selection is the aggregate + semi-join — no window over
+    // the corpus
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("epoch oversample is map-only: no exchange below the output sort") {
+    val p = plan("mix_epoch_oversample")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
 }
