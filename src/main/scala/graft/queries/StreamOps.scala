@@ -302,6 +302,60 @@ object StreamOps {
         .orderBy(col("window_us"), col("event_type"))
     }),
 
+    // the production ingest loop end-to-end: stream -> content-dedup
+    // against a PERSISTENT hash index (exactKeepIncremental: only the
+    // hash-only index is ever re-read, never the historical corpus) ->
+    // exactly-once versioned-lake append -> head read. Survivors are
+    // min-id-per-content, so the whole path is oracle-exact; the
+    // replayed delivery inside foreachBatch asserts idempotence of BOTH
+    // stages (the index drops everything already seen, the lake skips
+    // the committed batch id)
+    "stream_dedup_ingest" -> ((s, d) => {
+      val base = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-stream/dedupingest-${new java.io.File(d).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      if (base.exists) rm(base)
+      val root = new java.io.File(base, "lake").toString
+      val idx = new java.io.File(base, "index").toString
+      val src = eventsStream(s, d)
+        .select(col("event_id"), col("event_type"),
+          concat_ws("|", col("event_type"),
+            coalesce(col("props"), lit("ø"))).as("content"))
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, math.min(8, prevParts.toInt).toString)
+      val q = try src.writeStream.outputMode("append")
+          .option("checkpointLocation",
+            new java.io.File(base, "ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val survivors = graft.operators.Dedup
+              .exactKeepIncremental(b, "event_id", "content", idx)
+              .select(col("event_id"), col("event_type"))
+            graft.sinks.VersionedTable.appendBatch(survivors, root, id)
+            // deliberate at-least-once replay: the index now knows every
+            // hash, so the replayed batch must fully dedup away — and
+            // the lake must skip the committed batch id either way
+            val replay = graft.operators.Dedup
+              .exactKeepIncremental(b, "event_id", "content", idx)
+            require(replay.isEmpty,
+              s"index replay of batch $id was not idempotent")
+            require(graft.sinks.VersionedTable
+              .appendBatch(survivors, root, id).isEmpty,
+              s"lake re-delivery of batch $id was not idempotent")
+            ()
+          }.start()
+        finally s.conf.set(partsKey, prevParts)
+      q.awaitTermination()
+      s.streams.resetTerminated()
+      graft.sinks.VersionedTable.read(s, root)
+        .orderBy(col("event_id"))
+    }),
+
     // Streaming dropDuplicates keyed (user_id, event_type): the deduped
     // append stream, re-aggregated in batch, must equal COUNT(DISTINCT
     // user_id) per type — any duplicate leaked or first-occurrence lost
@@ -780,6 +834,13 @@ object StreamOps {
     "stream_stateful_user_counts" ->
       """SELECT user_id, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "stream_dedup_ingest" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_id IN (
+        |  SELECT MIN(event_id) FROM events
+        |  GROUP BY event_type || '|' || COALESCE(props, 'ø'))
+        |ORDER BY event_id""".stripMargin,
 
     "stream_sequence_anomaly" ->
       s"""WITH RECURSIVE e AS (
