@@ -419,4 +419,166 @@ object MlEval {
       .select(col("bin"), col("n"), col("n_pos"), col("conf"),
         col("acc"), col("gap"))
   }
+
+  /** McNemar's test for PAIRED classifier comparison (McNemar 1947) —
+    * "is model B actually better than model A on the same rows, or is
+    * the delta churn?" — the question accuracy deltas can't answer
+    * because they ignore pairing. Only the discordant cells matter:
+    * b = A right ∧ B wrong, c = A wrong ∧ B right; the continuity-
+    * corrected statistic is χ² = (|b−c|−1)²/(b+c) on 1 df.
+    *
+    * One map-side-combined count over 4 cells (a full shuffle of 4
+    * rows), so it runs at any corpus size. The statistic is held as an
+    * exact integer rational: chi2_num = max(|b−c|−1, 0)² bigint,
+    * chi2_den = b+c, one IEEE division for the readout (NULL when
+    * b+c = 0 — the models never disagree). Output one row:
+    * (n_items, both_right, both_wrong, b_only_wrong, a_only_wrong,
+    * chi2_num, chi2_den, chi2). */
+  def mcnemarTest(df: DataFrame, label: Column, predA: Column,
+      predB: Column): DataFrame = {
+    val base = df.select(label.as("__y"), predA.as("__a"),
+        predB.as("__b"))
+      .where(col("__y").isNotNull && col("__a").isNotNull &&
+        col("__b").isNotNull)
+      .select((col("__a") === col("__y")).as("__ra"),
+        (col("__b") === col("__y")).as("__rb"))
+    base.agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("__ra") && col("__rb"), 1L).otherwise(0L))
+          .as("both_right"),
+        sum(when(!col("__ra") && !col("__rb"), 1L).otherwise(0L))
+          .as("both_wrong"),
+        sum(when(col("__ra") && !col("__rb"), 1L).otherwise(0L))
+          .as("b_only_wrong"),
+        sum(when(!col("__ra") && col("__rb"), 1L).otherwise(0L))
+          .as("a_only_wrong"))
+      .withColumn("chi2_num", {
+        val d = greatest(abs(col("b_only_wrong") - col("a_only_wrong"))
+          - lit(1L), lit(0L))
+        d * d
+      })
+      .withColumn("chi2_den", col("b_only_wrong") + col("a_only_wrong"))
+      .withColumn("chi2",
+        when(col("chi2_den") > 0,
+          col("chi2_num").cast("double") /
+            col("chi2_den").cast("double")))
+  }
+
+  /** Per-class precision/recall/F1 report of categorical `pred`
+    * against `label` — the multi-class readout behind every labeling-
+    * pipeline dashboard. For class ℓ: tp = |pred=ℓ ∧ label=ℓ|,
+    * fp = |pred=ℓ ∧ label≠ℓ|, fn = |label=ℓ ∧ pred≠ℓ|; precision,
+    * recall and F1 = 2tp/(2tp+fp+fn) are each ONE IEEE division from
+    * exact bigint counts, so the report is hash-identical
+    * cross-engine.
+    *
+    * Rows first collapse to the (label, pred) confusion cells (≤ C²,
+    * map-side combined); marginals are two ≤C-row aggregates of the
+    * cells and the final join runs on the broadcast class domain — at
+    * 100 TB the shuffle carries the cell domain, never rows. Classes
+    * appearing only in `pred` still get a row (support 0, recall
+    * NULL). Output: (class, support, tp, fp, fn, precision, recall,
+    * f1) ordered by class. */
+  def classificationReport(df: DataFrame, label: Column, pred: Column)
+      : DataFrame = {
+    val cells = df.select(label.as("__y"), pred.as("__p"))
+      .where(col("__y").isNotNull && col("__p").isNotNull)
+      .groupBy(col("__y"), col("__p")).agg(count(lit(1)).as("__n"))
+    val byLabel = cells.groupBy(col("__y").as("class"))
+      .agg(sum(col("__n")).as("support"),
+        sum(when(col("__p") === col("__y"), col("__n")).otherwise(0L))
+          .as("tp"))
+    val byPred = cells.groupBy(col("__p").as("class"))
+      .agg(sum(col("__n")).as("__pred_n"))
+    byLabel.join(byPred, Seq("class"), "full_outer")
+      .select(col("class"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("__pred_n"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(col("support") > 0,
+          col("tp").cast("double") / col("support").cast("double")))
+      .withColumn("f1",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2.0d) * col("tp").cast("double")) /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+  }
+
+  /** Best single-feature threshold split by Gini impurity decrease —
+    * the decision STUMP, the unit of gradient-boosted trees and the
+    * standard "is this feature predictive at all" probe run per
+    * feature over a labeled corpus. For each candidate threshold t
+    * (the distinct quantized feature values), rows split into
+    * left = {v ≤ t} / right = {v > t}; the chosen t maximizes
+    * S(t) = (posL²+negL²)/nL + (posR²+negR²)/nR (equivalent to
+    * maximal weighted-Gini decrease, since parent impurity is
+    * constant).
+    *
+    * Exactness protocol: rows collapse to the per-key distinct
+    * feature-value domain (same shuffle shape as [[aucRoc]]); the
+    * cumulative split counts are a per-key window; S(t) is TWO integer
+    * floor-divisions in 2²⁰ fixed point with numerators held in
+    * decimal(38,0) — (ΣcL²·2²⁰ div nL) + (ΣcR²·2²⁰ div nR) — so the
+    * argmax is deterministic cross-engine (ties break to the smallest
+    * threshold). The trailing all-rows-left candidate is excluded
+    * (nR = 0 splits nothing). Output per key: (key, threshold, n_left,
+    * pos_left, n_right, pos_right, split_score_fp, gini_gain) where
+    * gini_gain is the double impurity decrease readout. */
+  def decisionStump(df: DataFrame, key: Column, feature: Column,
+      label: Column, keyName: String = "key"): DataFrame = {
+    val base = df.select(key.as(keyName),
+        ColUtil.money(feature).as("__v"), label.cast("long").as("__y"))
+      .where(col("__v").isNotNull && col("__y").isin(0L, 1L))
+    val perVal = base.groupBy(col(keyName), col("__v"))
+      .agg(sum(col("__y")).as("__cp"), count(lit(1)).as("__ct"))
+    val w = Window.partitionBy(col(keyName)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(keyName))
+    val cum = perVal
+      .withColumn("__nL", sum(col("__ct")).over(w))
+      .withColumn("__pL", sum(col("__cp")).over(w))
+      .withColumn("__n", sum(col("__ct")).over(tot))
+      .withColumn("__p", sum(col("__cp")).over(tot))
+      .where(col("__nL") < col("__n")) // nR = 0 splits nothing
+    def sq(c: Column): Column =
+      (c.cast("decimal(19,0)") * c).cast("decimal(38,0)")
+    val scored = cum
+      .withColumn("__nR", col("__n") - col("__nL"))
+      .withColumn("__pR", col("__p") - col("__pL"))
+      // per-side terms divide separately — numerators stay ≤ n²·2²⁰
+      // (decimal(38,0) holds that to n = 10¹²; the single-div form's
+      // n³ factor would overflow at corpus scale), each quotient
+      // ≤ n·2²⁰ fits bigint
+      .withColumn("__numL",
+        ((sq(col("__pL")) + sq(col("__nL") - col("__pL"))) *
+          lit(1048576L)).cast("decimal(38,0)"))
+      .withColumn("__numR",
+        ((sq(col("__pR")) + sq(col("__nR") - col("__pR"))) *
+          lit(1048576L)).cast("decimal(38,0)"))
+      .withColumn("__score_fp",
+        expr("(__numL div __nL) + (__numR div __nR)"))
+    val best = Window.partitionBy(col(keyName))
+      .orderBy(col("__score_fp").desc, col("__v"))
+    scored
+      .withColumn("__rn", row_number().over(best))
+      .where(col("__rn") === 1)
+      .select(col(keyName),
+        col("__v").cast("double").as("threshold"),
+        col("__nL").as("n_left"), col("__pL").as("pos_left"),
+        col("__nR").as("n_right"), col("__pR").as("pos_right"),
+        col("__score_fp").cast("long").as("split_score_fp"),
+        // gini_gain = S/n − (p² + (n−p)²)/n² as a fixed double dag
+        (col("__score_fp").cast("double") / lit(1048576.0d) /
+          col("__n").cast("double") -
+          (sq(col("__p")) + sq(col("__n") - col("__p"))).cast("double") /
+            (col("__n").cast("double") * col("__n").cast("double")))
+          .as("gini_gain"))
+  }
 }

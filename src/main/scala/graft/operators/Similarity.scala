@@ -187,6 +187,39 @@ object Similarity {
         col("neg_label"), col("cos_sim"))
   }
 
+  /** k-NN majority-vote classification over the embedding corpus —
+    * the classic label-propagation readout ("what label do my nearest
+    * neighbors carry?") used to audit embedding quality and to
+    * pseudo-label unlabeled pools. Neighbors come from
+    * [[bruteForceTopK]] in exact int64-quantized mode, so the ranking
+    * is fully oracle-checkable; the vote is pure integer counting with
+    * the deterministic tie rule (most votes, then smallest label).
+    *
+    * Scale path: the neighbor stage is whatever ANN tier fits the
+    * corpus (IVF/LSH replace bruteForce 1:1 on the same output shape);
+    * the vote is a |queries|·k → |queries| aggregation — negligible.
+    * The neighbor-label decorate broadcasts the tiny top-k result over
+    * a map-only corpus scan (same inversion as [[hardNegativesTopK]]).
+    * Output: (query_id, true_label, pred_label, votes, correct). */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int)
+      : DataFrame = {
+    val top = bruteForceTopK(queries, corpus, k, exact = true)
+    val decorated = corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("__nl"))
+      .join(broadcast(top), Seq("neighbor_id"))
+    val votes = decorated.groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("votes"))
+    val best = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__nl"))
+    votes.withColumn("__rn", row_number().over(best))
+      .where(col("__rn") === 1)
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("__nl").as("pred_label"), col("votes"),
+        (col("__nl") === col("true_label")).cast("long").as("correct"))
+  }
+
   /** Final per-query top-k over a scored candidate set, via the native
     * bounded-heap aggregate (graft.functions.TopKByAgg) instead of a
     * rank window: the window form shuffles EVERY scored candidate row to

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -233,6 +234,54 @@ object TextAnalysis {
       .select(col("grp"), col("n_tokens"), col("vocab"), col("sum_clc"),
         (col("n_tokens") * log2_fp(col("n_tokens")) - col("sum_clc"))
           .as("ent_num"))
+  }
+
+  /** Moving-average type-token ratio (MATTR, Covington & McFall 2010)
+    * per document — the lexical-diversity signal that, unlike raw TTR,
+    * doesn't collapse with document length: the mean over all windows
+    * of `w` consecutive tokens of (distinct tokens in window)/w.
+    * Repetitive boilerplate scores low at any length; natural prose
+    * stays high.
+    *
+    * Computed WITHOUT materializing windows: occurrence q of a token
+    * (previous occurrence at prev_q) is the window-winning "first copy"
+    * exactly for window-end positions p ∈ [max(q, prev_q+w, w),
+    * min(q+w−1, T)], so Σ_p distinct_p = Σ_q max(0, interval length) —
+    * one lag window per (doc, token) stream plus one per-doc sum, all
+    * integer-exact (`mattr` is the single IEEE division readout).
+    * Shuffle volume is the token stream keyed by doc — no window
+    * explosion, no w× row inflation. Docs shorter than `w` tokens have
+    * no full window and are omitted.
+    *
+    * Output: (id, n_tokens, mattr_num, mattr_den, mattr). */
+  def mattr(docs: DataFrame, id: Column, text: Column, w: Int = 25)
+      : DataFrame = {
+    require(w > 1, s"window must exceed 1 token: $w")
+    val toks = docs.filter(text.isNotNull)
+      .select(id.as("id"), posexplode(tokens(text)).as(Seq("__p0", "__t")))
+      .select(col("id"), (col("__p0") + 1).as("__q"), col("__t"))
+    val byTok = Window.partitionBy(col("id"), col("__t"))
+      .orderBy(col("__q"))
+    val lagd = toks.withColumn("__prev", lag(col("__q"), 1).over(byTok))
+    // the doc total T clips each interval at the right edge — a window
+    // max over the doc partition (reuses the doc-keyed exchange the lag
+    // already created; no second shuffle, no join)
+    val byDoc = Window.partitionBy(col("id"))
+    lagd.withColumn("n_tokens", max(col("__q")).over(byDoc))
+      .withColumn("__lo",
+        greatest(col("__q"), coalesce(col("__prev"), lit(Long.MinValue / 4))
+          + lit(w), lit(w.toLong)))
+      .withColumn("__hi", least(col("__q") + lit(w - 1), col("n_tokens")))
+      .withColumn("__c", greatest(col("__hi") - col("__lo") + 1, lit(0L)))
+      .groupBy(col("id"), col("n_tokens"))
+      .agg(sum(col("__c")).as("mattr_num"))
+      .where(col("n_tokens") >= w)
+      .withColumn("mattr_den",
+        lit(w.toLong) * (col("n_tokens") - lit(w - 1)))
+      .withColumn("mattr",
+        col("mattr_num").cast("double") / col("mattr_den").cast("double"))
+      .select(col("id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("mattr_num"), col("mattr_den"), col("mattr"))
   }
 
   /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array column.

@@ -37,6 +37,17 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // k-NN majority-vote classification: predicted label = mode of the
+    // k exact-cosine nearest labels (ties: most votes, then smallest
+    // label) — the embedding-quality / pseudo-labeling audit; fully
+    // oracle-checked because ranking and voting are integer-exact.
+    "ann_knn_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnClassify(
+          emb.filter(col("vec_id") < NQueries), emb, TopK)
+        .orderBy(col("query_id"))
+    }),
+
     "ann_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < NQueries), emb, TopK)
@@ -343,6 +354,31 @@ object AnnOps {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_knn_classify" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS true_label,
+         |    c.vec_id AS neighbor_id, c.label AS nb_label,
+         |    ${duckCosExact("q", "c")} AS cos_sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |votes AS (
+         |  SELECT query_id, true_label, nb_label, COUNT(*) AS votes
+         |  FROM ranked WHERE rank <= $TopK GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, nb_label) AS rn
+         |  FROM votes)
+         |SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+         |  CAST(nb_label AS BIGINT) AS pred_label,
+         |  CAST(votes AS BIGINT) AS votes,
+         |  CAST(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END
+         |    AS BIGINT) AS correct
+         |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
 
     "ann_hard_negatives" ->
       s"""WITH scored AS (

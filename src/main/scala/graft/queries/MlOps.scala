@@ -129,6 +129,37 @@ object MlOps {
         graft.operators.TextAnalysis.langId(col("text")))
     }),
 
+    // McNemar's paired test: is the n-gram language detector actually
+    // better than the majority-class baseline (always 'en') on the SAME
+    // documents? Only the discordant cells carry signal; the continuity-
+    // corrected chi-square is an exact bigint rational.
+    "ml_mcnemar" -> ((s, d) => {
+      graft.operators.MlEval.mcnemarTest(
+        Tables.documents(s, d), col("lang"),
+        lit("en"),
+        graft.operators.TextAnalysis.langId(col("text")))
+    }),
+
+    // Per-class precision/recall/F1 of the language detector against
+    // the declared document language — the multi-class confusion
+    // readout; every ratio one IEEE division from exact counts.
+    "ml_classification_report" -> ((s, d) => {
+      graft.operators.MlEval.classificationReport(
+          Tables.documents(s, d), col("lang"),
+          graft.operators.TextAnalysis.langId(col("text")))
+        .orderBy(col("class"))
+    }),
+
+    // Decision stump per source: the best n_chars threshold separating
+    // English from non-English docs by Gini decrease — the "is this
+    // feature predictive" probe, argmax exact in 2^20 fixed point.
+    "ml_decision_stump" -> ((s, d) => {
+      graft.operators.MlEval.decisionStump(
+          Tables.documents(s, d), col("source"), col("n_chars"),
+          (col("lang") === "en").cast("int"), keyName = "source")
+        .orderBy(col("source"))
+    }),
+
     // Poisson-bootstrap 95% CI of the mean event value per event type:
     // 40 resamples whose weights are integer threshold-counts of the
     // (event_id, replica) hash — no global coordination, exact sums,
@@ -763,6 +794,109 @@ object MlOps {
          |  CASE WHEN kd <> 0 THEN CAST(CAST(kn AS VARCHAR) AS DOUBLE)
          |    / CAST(CAST(kd AS VARCHAR) AS DOUBLE) END AS kappa
          |FROM fin""".stripMargin,
+
+    "ml_mcnemar" ->
+      s"""WITH scored AS (SELECT lang,
+         |    ${TextDedup.langHits}
+         |  FROM documents),
+         |b AS (SELECT *, ${TextDedup.langBest} AS best FROM scored),
+         |r AS (SELECT ('en' = lang) AS ra,
+         |    (${TextDedup.langChain}) = lang AS rb
+         |  FROM b WHERE lang IS NOT NULL),
+         |cells AS (
+         |  SELECT COUNT(*) AS n_items,
+         |    CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS both_right,
+         |    CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS both_wrong,
+         |    CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b_only_wrong,
+         |    CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a_only_wrong
+         |  FROM r)
+         |SELECT *,
+         |  GREATEST(ABS(b_only_wrong - a_only_wrong) - 1, 0)
+         |    * GREATEST(ABS(b_only_wrong - a_only_wrong) - 1, 0)
+         |    AS chi2_num,
+         |  b_only_wrong + a_only_wrong AS chi2_den,
+         |  CASE WHEN b_only_wrong + a_only_wrong > 0 THEN
+         |    CAST(GREATEST(ABS(b_only_wrong - a_only_wrong) - 1, 0)
+         |        * GREATEST(ABS(b_only_wrong - a_only_wrong) - 1, 0)
+         |        AS DOUBLE)
+         |      / CAST(b_only_wrong + a_only_wrong AS DOUBLE) END AS chi2
+         |FROM cells""".stripMargin,
+
+    "ml_classification_report" ->
+      s"""WITH scored AS (SELECT lang,
+         |    ${TextDedup.langHits}
+         |  FROM documents),
+         |b AS (SELECT *, ${TextDedup.langBest} AS best FROM scored),
+         |r AS (SELECT lang AS y, ${TextDedup.langChain} AS p
+         |  FROM b WHERE lang IS NOT NULL),
+         |cells AS (SELECT y, p, COUNT(*) AS n FROM r GROUP BY y, p),
+         |byl AS (SELECT y AS class, CAST(SUM(n) AS BIGINT) AS support,
+         |    CAST(SUM(CASE WHEN p = y THEN n ELSE 0 END) AS BIGINT) AS tp
+         |  FROM cells GROUP BY y),
+         |byp AS (SELECT p AS class, CAST(SUM(n) AS BIGINT) AS pred_n
+         |  FROM cells GROUP BY p),
+         |j AS (SELECT COALESCE(byl.class, byp.class) AS class,
+         |    COALESCE(support, 0) AS support, COALESCE(tp, 0) AS tp,
+         |    COALESCE(pred_n, 0) - COALESCE(tp, 0) AS fp,
+         |    COALESCE(support, 0) - COALESCE(tp, 0) AS fn
+         |  FROM byl FULL OUTER JOIN byp ON byl.class = byp.class)
+         |SELECT class, support, tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+         |    AS "precision",
+         |  CASE WHEN support > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END
+         |    AS recall,
+         |  CASE WHEN 2 * tp + fp + fn > 0
+         |    THEN (2.0 * CAST(tp AS DOUBLE))
+         |      / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+         |FROM j ORDER BY class""".stripMargin,
+
+    "ml_decision_stump" ->
+      """WITH base AS (
+        |  SELECT source,
+        |    CAST(n_chars AS DECIMAL(12,4)) AS v,
+        |    CASE WHEN lang IS NULL THEN NULL
+        |      WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |fbase AS (SELECT * FROM base WHERE v IS NOT NULL AND y IN (0, 1)),
+        |perval AS (SELECT source, v, CAST(SUM(y) AS BIGINT) AS cp,
+        |    COUNT(*) AS ct
+        |  FROM fbase GROUP BY source, v),
+        |cum AS (SELECT *,
+        |    SUM(ct) OVER (PARTITION BY source ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS nl,
+        |    SUM(cp) OVER (PARTITION BY source ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS pl,
+        |    SUM(ct) OVER (PARTITION BY source) AS n,
+        |    SUM(cp) OVER (PARTITION BY source) AS p
+        |  FROM perval),
+        |f AS (SELECT *, n - nl AS nr, p - pl AS pr FROM cum
+        |  WHERE nl < n),
+        |scored AS (SELECT *,
+        |    ((CAST(pl AS HUGEINT) * pl
+        |        + CAST(nl - pl AS HUGEINT) * (nl - pl)) * 1048576) // nl
+        |    + ((CAST(pr AS HUGEINT) * pr
+        |        + CAST(nr - pr AS HUGEINT) * (nr - pr)) * 1048576) // nr
+        |      AS score_fp
+        |  FROM f),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY score_fp DESC, v) AS rn
+        |  FROM scored)
+        |SELECT source, CAST(CAST(v AS VARCHAR) AS DOUBLE) AS threshold,
+        |  CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+        |  CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+        |  CAST(score_fp AS BIGINT) AS split_score_fp,
+        |  CAST(score_fp AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)
+        |    - CAST(CAST(p AS HUGEINT) * p
+        |        + CAST(n - p AS HUGEINT) * (n - p) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini_gain
+        |FROM best WHERE rn = 1 ORDER BY source""".stripMargin,
 
     // full replay: same hash, same integer thresholds (generated from
     // the one Scala constant table), same discrete rank selection

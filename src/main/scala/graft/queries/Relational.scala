@@ -464,6 +464,32 @@ object Relational {
         .limit(100)
     }),
 
+    // ---- TPC-H Q17 shape: small-quantity-order revenue --------------------
+    // the correlated scalar-AVG threshold (qty < 0.2 * per-part avg qty)
+    // rewritten division-free: qty * 5 * n < sum(qty) — exact decimal
+    // integer comparison, so engine division rounding can't flip boundary
+    // rows. One shuffle on l_partkey builds the per-part stats over the
+    // brand-pruned slice (broadcast semi first, so the groupBy sees only
+    // qualifying parts' lines), then the stats re-join is on the same key
+    // (AQE keeps it local). (testdata part has no p_container; brand+size
+    // stand in for the brand+container predicate)
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
+        .select(col("p_partkey"))
+      val sel = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val stats = sel.groupBy(col("l_partkey").as("k"))
+        .agg(sum(money(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      sel.join(stats, col("l_partkey") === col("k"))
+        .filter(money(col("l_quantity")) * lit(5) * col("n") < col("sum_qty"))
+        .agg(
+          (sum(money(col("l_extendedprice"))).cast("double") / lit(7.0))
+            .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // ---- TPC-H Q20 shape: promotion-candidate suppliers -------------------
     // nested IN subqueries: suppliers IN (shipped-enough-of-a-promo-part)
     // where the inner set is itself gated on parts IN (promo parts) with a
@@ -1489,6 +1515,22 @@ object Relational {
         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH sel AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3' AND p_size <= 10),
+        |stats AS (
+        |  SELECT l_partkey AS k,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sum_qty,
+        |    COUNT(*) AS n
+        |  FROM sel GROUP BY 1)
+        |SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM sel JOIN stats ON l_partkey = k
+        |WHERE CAST(l_quantity AS DECIMAL(12,4)) * 5 * n < sum_qty""".stripMargin,
 
     "q20_promo_suppliers" ->
       """SELECT s_suppkey, s_name, s_acctbal

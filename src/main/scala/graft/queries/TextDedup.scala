@@ -573,6 +573,17 @@ object TextDedup {
         .orderBy(col("source"))
     }),
 
+    // moving-average type-token ratio: length-robust lexical diversity
+    // per doc — repetitive boilerplate scores low at any length. The
+    // window mean is computed interval-analytically (no w-times row
+    // inflation); integers end-to-end, one IEEE division readout.
+    "text_mattr" -> ((s, d) => {
+      TextAnalysis.mattr(Tables.documents(s, d), col("doc_id"),
+          col("text"), w = 25)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // sparse TF-IDF cosine pairs: weighted-bag document similarity (tf
     // weighting + rare-term dominance, which set-Jaccard can't express),
     // thresholded by exact decimal cross-multiplication — no float
@@ -1590,6 +1601,32 @@ object TextDedup {
          |  CAST(g.n_tokens * lt.l - sc.sum_clc AS BIGINT) AS ent_num
          |FROM g JOIN sc USING (source) JOIN lg lt ON g.n_tokens = lt.x
          |ORDER BY g.source""".stripMargin,
+
+    "text_mattr" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    UNNEST(string_split(text, ' ')) AS term,
+        |    UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS q
+        |  FROM documents WHERE text IS NOT NULL),
+        |lagd AS (SELECT doc_id, q,
+        |    LAG(q) OVER (PARTITION BY doc_id, term ORDER BY q) AS prev
+        |  FROM toks),
+        |tn AS (SELECT doc_id, MAX(q) OVER (PARTITION BY doc_id) AS t,
+        |    q, prev
+        |  FROM lagd),
+        |contrib AS (SELECT doc_id, t,
+        |    GREATEST(LEAST(q + 24, t)
+        |      - GREATEST(q, COALESCE(prev, -2305843009213693952) + 25, 25)
+        |      + 1, 0) AS c
+        |  FROM tn),
+        |agg AS (SELECT doc_id, CAST(MAX(t) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(c) AS BIGINT) AS mattr_num
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, mattr_num,
+        |  CAST(25 * (n_tokens - 24) AS BIGINT) AS mattr_den,
+        |  CAST(mattr_num AS DOUBLE)
+        |    / CAST(25 * (n_tokens - 24) AS DOUBLE) AS mattr
+        |FROM agg WHERE n_tokens >= 25 ORDER BY doc_id""".stripMargin,
 
     "text_sparse_cosine_pairs" ->
       """WITH toks AS (

@@ -243,4 +243,88 @@ class MlEvalSpec extends SparkSpec {
         .collect().sortBy(_._1)
     assert(cal(1).sameElements(cal(17)))
   }
+
+  test("mcnemar: hand-computed discordant cells and corrected chi2") {
+    // label y; A predicts y except on rows 1-6; B wrong on rows 1-2 and
+    // 7-10 -> both_wrong = 2 (rows 1-2), a_only_wrong = 4 (rows 3-6),
+    // b_only_wrong = 4 (rows 7-10), both_right = the remaining 10
+    val rows = (1 to 20).map { i =>
+      val y = "t"
+      val a = if (i <= 6) "f" else "t"
+      val b = if (i <= 2 || (i >= 7 && i <= 10)) "f" else "t"
+      (y, a, b)
+    }.toDF("y", "a", "b")
+    val r = MlEval.mcnemarTest(rows, col("y"), col("a"), col("b"))
+      .select("n_items", "both_right", "both_wrong", "b_only_wrong",
+        "a_only_wrong", "chi2_num", "chi2_den")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((20L, 10L, 2L, 4L, 4L, 0L, 8L))) // |4-4|-1 -> clamp 0
+    // asymmetric case: b=7, c=1 -> chi2 = (|6|-1)^2/8 = 25/8
+    val asym = ((1 to 7).map(_ => ("t", "t", "f")) :+ (("t", "f", "t")))
+      .toDF("y", "a", "b")
+    val r2 = MlEval.mcnemarTest(asym, col("y"), col("a"), col("b"))
+      .select("chi2_num", "chi2_den", "chi2")
+      .as[(Long, Long, Double)].head()
+    assert(r2 == ((25L, 8L, 3.125)))
+    // concordant-only input: chi2 NULL (den 0)
+    val conc = Seq(("t", "t", "t"), ("t", "f", "f")).toDF("y", "a", "b")
+    assert(MlEval.mcnemarTest(conc, col("y"), col("a"), col("b"))
+      .select("chi2").as[Option[Double]].head().isEmpty)
+  }
+
+  test("classification report: hand confusion, pred-only class row") {
+    // y: a a a b b c ; p: a a b b b d
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b"), ("c", "d")).toDF("y", "p")
+    val m = MlEval.classificationReport(df, col("y"), col("p"))
+      .select("class", "support", "tp", "fp", "fn")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(m("a") == ((3L, 2L, 0L, 1L)))
+    assert(m("b") == ((2L, 2L, 1L, 0L)))
+    assert(m("c") == ((1L, 0L, 0L, 1L)))
+    assert(m("d") == ((0L, 0L, 1L, 0L))) // appears only in pred
+    val f1 = MlEval.classificationReport(df, col("y"), col("p"))
+      .where(col("class") === "a").select("precision", "recall", "f1")
+      .as[(Double, Double, Double)].head()
+    assert(f1._1 == 1.0 && f1._2 == 2.0 / 3.0 && f1._3 == 4.0 / 5.0)
+    // recall NULL for the pred-only class
+    assert(MlEval.classificationReport(df, col("y"), col("p"))
+      .where(col("class") === "d").select("recall")
+      .as[Option[Double]].head().isEmpty)
+  }
+
+  test("decision stump finds the planted separator; argmax matches " +
+      "brute force under repartitioning") {
+    // feature < 10 -> label 0, feature >= 10 -> label 1: perfect split
+    // at the largest left value (9)
+    val sep = ((1 to 9).map(v => ("k", v.toDouble, 0)) ++
+      (10 to 20).map(v => ("k", v.toDouble, 1))).toDF("k", "v", "y")
+    val r = MlEval.decisionStump(sep, col("k"), col("v"), col("y"), "k")
+      .select("threshold", "n_left", "pos_left", "n_right", "pos_right")
+      .as[(Double, Long, Long, Long, Long)].head()
+    assert(r == ((9.0, 9L, 0L, 11L, 11L)))
+    // brute-force cross-check on a noisy set, stable across partitions
+    val noisy = (1 to 60).map(i =>
+      ("k", (i % 13).toDouble, if ((i * 7) % 11 < 4) 1 else 0))
+    def bruteBest(rows: Seq[(String, Double, Int)]): (Double, Long) = {
+      val vs = rows.map(_._2).distinct.sorted.init
+      val cands = vs.map { t =>
+        val (l, rt) = rows.partition(_._2 <= t)
+        val fp = ((BigInt(l.count(_._3 == 1)).pow(2) +
+          BigInt(l.count(_._3 == 0)).pow(2)) * 1048576 / l.size) +
+          ((BigInt(rt.count(_._3 == 1)).pow(2) +
+            BigInt(rt.count(_._3 == 0)).pow(2)) * 1048576 / rt.size)
+        (t, fp.toLong)
+      }
+      cands.maxBy(c => (c._2, -c._1))
+    }
+    val expect = bruteBest(noisy)
+    def got(parts: Int) =
+      MlEval.decisionStump(noisy.toDF("k", "v", "y").repartition(parts),
+          col("k"), col("v"), col("y"), "k")
+        .select("threshold", "split_score_fp").as[(Double, Long)].head()
+    assert(got(1) == expect)
+    assert(got(13) == expect)
+  }
 }

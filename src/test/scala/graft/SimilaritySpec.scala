@@ -519,4 +519,40 @@ class SimilaritySpec extends SparkSpec {
     // nothing outside the planted copy is near the eval set at 0.95
     assert(kept.size == corpus.count() - 1)
   }
+
+  test("knnClassify: planted clusters vote their own label; majority " +
+      "tie breaks to the smaller label") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // two tight clusters along orthogonal axes + a query per cluster
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(4)(0.0f); a(axis) = 1.0f; a((axis + 1) % 4) = eps; a
+    }
+    val rows = (0 until 6).map(i => Row(10L + i, vec(0, 0.01f * i).toSeq, 3)) ++
+      (0 until 6).map(i => Row(20L + i, vec(2, 0.01f * i).toSeq, 8)) ++
+      Seq(Row(0L, vec(0, 0.001f).toSeq, 99), Row(1L, vec(2, 0.002f).toSeq, 99))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+    val out = Similarity.knnClassify(df.filter($"vec_id" < 2), df, 5)
+      .select("query_id", "true_label", "pred_label", "votes", "correct")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((99L, 3L, 5L, 0L))) // axis-0 cluster wins 5/5
+    assert(out(1L) == ((99L, 8L, 5L, 0L)))
+    // tie case: k=4 over two 2-vote labels -> smaller label wins.
+    // query on the diagonal, two corpus points per axis equidistant
+    val diag = Array(1.0f, 0.0f, 1.0f, 0.0f)
+    val tieRows = Seq(
+      Row(0L, diag.toSeq, 1),
+      Row(10L, vec(0, 0.0f).toSeq, 5), Row(11L, vec(0, 0.0f).toSeq, 5),
+      Row(20L, vec(2, 0.0f).toSeq, 2), Row(21L, vec(2, 0.0f).toSeq, 2))
+    val tdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(tieRows), schema)
+    val tie = Similarity.knnClassify(tdf.filter($"vec_id" === 0), tdf, 4)
+      .select("pred_label", "votes").as[(Long, Long)].head()
+    assert(tie == ((2L, 2L)))
+  }
 }

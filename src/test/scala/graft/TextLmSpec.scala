@@ -120,4 +120,38 @@ class TextLmSpec extends SparkSpec {
     assert(a == b)
     assert(a(10L) == ((0L, 0L)))
   }
+
+  test("mattr: interval-analytic form equals brute-force windows, " +
+      "short docs omitted, partition-invariant") {
+    def bruteMattr(text: String, w: Int): Option[(Long, Long)] = {
+      val toks = text.split(" ")
+      if (toks.length < w) None
+      else {
+        val num = (0 to toks.length - w)
+          .map(i => toks.slice(i, i + w).distinct.length.toLong).sum
+        Some((num, w.toLong * (toks.length - w + 1)))
+      }
+    }
+    val docs = Seq(
+      (1L, "a b c d e f"), // all distinct
+      (2L, "a a a a a a"), // one type
+      (3L, "a b a b a b a"), // period-2 repetition
+      (4L, "a b c a b c d e a b"), // mixed
+      (5L, "x y"), // shorter than w -> omitted
+      (6L, (1 to 40).map(i => s"t${i % 7}").mkString(" ")))
+    val w = 4
+    def run(parts: Int) = TextAnalysis.mattr(
+        docs.toDF("doc_id", "text").repartition(parts),
+        col("doc_id"), col("text"), w)
+      .select("id", "mattr_num", "mattr_den")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = run(1)
+    val expect = docs.flatMap { case (id, t) =>
+      bruteMattr(t, w).map(id -> _)
+    }.toMap
+    assert(got == expect)
+    assert(!got.contains(5L))
+    assert(run(7) == got)
+  }
 }
