@@ -141,6 +141,36 @@ object Spatial {
         col("__nn.nb").as("nn_id"), col("__nn.dist2").as("nn_dist2"))
   }
 
+  /** Radius-capped k-nearest-neighbor join: for each point, its k
+    * nearest neighbors AMONG those within distance r (rank by exact
+    * dist2, ties to the smaller id) — the spatial feature/candidate
+    * primitive (map-matching candidates, neighbor feature vectors,
+    * geo dedup shortlists). The radius cap is what keeps the operator
+    * grid-blockable and the semantics honest at scale: an uncapped kNN
+    * would need unbounded ring expansion for isolated points, turning
+    * the worst case into a full scan per such point; capped, one 3×3
+    * grid pass is exhaustive and the per-point cost is density-bounded.
+    *
+    * The rank-k cut is a row_number ≤ k filter, which Spark plans as
+    * WindowGroupLimit — each shuffle partition pre-trims to k per id
+    * before the final sort, so the exchange after the grid join carries
+    * O(k·points) rows, not the full eps-graph. Points with no neighbor
+    * within r are absent. Output: (id, rank, nb_id, dist2). */
+  def knnWithin(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, r: Long, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val pairs = gridWithinJoin(points, idCol, xCol, yCol, r)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"),
+        col("dist2"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb"),
+        col("dist2")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("dist2"), col("nb"))
+    sym.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("nb").as("nb_id"), col("dist2"))
+  }
+
   /** DBSCAN density clustering, composed from the grid epsilon join and
     * the pointer-jumping connected components (Ester et al., KDD 1996 —
     * the distributed formulation is exactly this composition):

@@ -245,4 +245,61 @@ object Trend {
         col("num").cast("long").as("num"),
         col("den").cast("long").as("den")): _*)
   }
+
+  /** Classical seasonal decomposition by moving averages (the
+    * decompose/STL-lite readout: value = trend + seasonal + residual)
+    * per key over a 4dp-quantized series — "is the metric actually
+    * drifting, or is that the daily cycle?" answered in one pass.
+    *
+    * trend = centered moving average over ±`halfWin` ROWS (emitted only
+    * where the window is full — edges have no honest trend);
+    * seasonal = per-(key, season) mean of the detrended values;
+    * residual = value − trend − seasonal.
+    *
+    * Exactness: the integer sufficient statistics are what shuffles —
+    * trend_num = Σ window v4 (exact long), detrended d = v4·W −
+    * trend_num (W = 2·halfWin+1), seas_num = Σ d / seas_cnt per season
+    * cell — and the three double readouts are one fixed IEEE dag over
+    * them, so every row hash-matches cross-engine. Two window passes
+    * over the key partition + one ≤|seasons| aggregate + one cell join:
+    * shuffle volume is the series and the season-cell table, nothing
+    * quadratic. Callers feed a REGULAR series (one row per tick, e.g.
+    * the hourly rollup); gaps simply make the row window span further
+    * in time, exactly like the pandas/statsmodels row-window form.
+    *
+    * Output: keys, ord, season, v4, trend_num (NULL at edges),
+    * seas_num, seas_cnt, value, trend, seasonal, resid. */
+  def decompose(series: DataFrame, keyCols: Seq[String], ord: Column,
+      season: Column, v4: Column, halfWin: Int): DataFrame = {
+    require(halfWin >= 1, s"halfWin must be >= 1: $halfWin")
+    val keys = keyCols.map(col)
+    val win = 2 * halfWin + 1
+    val base = series.select(keys :+ ord.as("ord") :+
+      season.as("season") :+ v4.cast("long").as("v4"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("ord"))
+      .rowsBetween(-halfWin, halfWin)
+    val t = base
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("trend_num",
+        when(col("__wn") === win, sum(col("v4")).over(w)))
+      .withColumn("__d",
+        col("v4") * lit(win.toLong) - col("trend_num"))
+    val cells = t.groupBy(keys :+ col("season"): _*)
+      .agg(sum(col("__d")).as("seas_num"),
+        count(col("__d")).as("seas_cnt"))
+    t.join(cells, keyCols :+ "season")
+      .withColumn("value", col("v4").cast("double") / lit(10000.0d))
+      .withColumn("trend",
+        col("trend_num").cast("double") / lit(win.toDouble) / lit(10000.0d))
+      .withColumn("seasonal",
+        when(col("seas_cnt") > 0,
+          col("seas_num").cast("double") /
+            (lit(win.toDouble) * col("seas_cnt").cast("double")) /
+            lit(10000.0d)))
+      .withColumn("resid", col("value") - col("trend") - col("seasonal"))
+      .select(keys ++ Seq(col("ord"), col("season"), col("v4"),
+        col("trend_num"), col("seas_num"), col("seas_cnt"), col("value"),
+        col("trend"), col("seasonal"), col("resid")): _*)
+  }
 }

@@ -357,6 +357,26 @@ object EventOps {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // tolerance-capped backward as-of: a click older than 10 minutes is
+    // no longer attributable — the merge_asof `tolerance` semantic, run
+    // through the same native merge pass (the cap is an O(1) comparison
+    // in the exec, not a post-filter that would misreport "no match")
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("value"))
+      graft.operators.AsOfJoin.asofNative(purchases, clicks,
+          Seq("user_id"), "ts_us", "ts_us", Seq("click_id", "value"),
+          "backward", Some(600000000L))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_click_id"),
+          money(col("asof_value")).cast("double").as("asof_value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // nearest as-of: each purchase attached to the CLOSEST click either
     // direction within one hour, ties preferring backward (the pandas
     // merge_asof 'nearest' convention) — composed from the two native
@@ -652,6 +672,20 @@ object EventOps {
         .limit(20)
     }),
 
+    // classical decompose (value = trend + seasonal + residual) of the
+    // hourly per-type revenue series: centered ±12h moving-average
+    // trend, hour-of-day seasonal means of the detrended series —
+    // integer sufficient statistics shuffled, three fixed IEEE readouts
+    "events_stl_decompose" -> ((s, d) => {
+      val series = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("hr", expr("ts div 1000 div 3600000000"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum((money(col("value")) * 10000).cast("long")).as("v4"))
+      graft.operators.Trend.decompose(series, Seq("event_type"),
+          col("hr"), pmod(col("hr"), lit(24L)), col("v4"), halfWin = 12)
+        .orderBy(col("event_type"), col("ord"))
+    }),
+
     "events_anomaly_zscore" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
@@ -838,6 +872,16 @@ object EventOps {
       graft.operators.Spatial.neighborStats(
           spatialPoints(s, d), "id", "x", "y", SpatialR)
         .orderBy(col("id"))
+    }),
+
+    // radius-capped kNN join: per point the 5 nearest within r by exact
+    // integer dist2 (ties to the smaller id) — the spatial candidate/
+    // feature primitive; rank cut plans as WindowGroupLimit so the
+    // post-join exchange carries O(k·points)
+    "spatial_knn_join" -> ((s, d) => {
+      graft.operators.Spatial.knnWithin(
+          spatialPoints(s, d), "id", "x", "y", SpatialR, k = 5)
+        .orderBy(col("id"), col("rank"))
     }),
 
     // full DBSCAN over the grid epsilon join + core-graph connected
@@ -1879,6 +1923,40 @@ object EventOps {
         |FROM e JOIN p ON p.event_type = e.event_type AND p.hod = e.hod
         |ORDER BY dev_x10000 DESC, e.event_id LIMIT 20""".stripMargin,
 
+    "events_stl_decompose" ->
+      """WITH series AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS ord,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT))
+        |      AS BIGINT) AS v4
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, ord, ord % 24 AS season, v4,
+        |    COUNT(*) OVER w AS wn,
+        |    CAST(SUM(v4) OVER w AS BIGINT) AS tn
+        |  FROM series
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ord
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |t2 AS (SELECT event_type, ord, season, v4,
+        |    CASE WHEN wn = 25 THEN tn END AS trend_num,
+        |    CASE WHEN wn = 25 THEN v4 * 25 - tn END AS d
+        |  FROM t),
+        |cells AS (SELECT event_type, season,
+        |    CAST(SUM(d) AS BIGINT) AS seas_num,
+        |    COUNT(d) AS seas_cnt
+        |  FROM t2 GROUP BY 1, 2)
+        |SELECT t2.event_type, ord, season, v4, trend_num, seas_num,
+        |  seas_cnt,
+        |  CAST(v4 AS DOUBLE) / 10000.0 AS value,
+        |  CAST(trend_num AS DOUBLE) / 25.0 / 10000.0 AS trend,
+        |  CASE WHEN seas_cnt > 0 THEN CAST(seas_num AS DOUBLE)
+        |    / (25.0 * CAST(seas_cnt AS DOUBLE)) / 10000.0 END AS seasonal,
+        |  CAST(v4 AS DOUBLE) / 10000.0
+        |    - CAST(trend_num AS DOUBLE) / 25.0 / 10000.0
+        |    - CASE WHEN seas_cnt > 0 THEN CAST(seas_num AS DOUBLE)
+        |        / (25.0 * CAST(seas_cnt AS DOUBLE)) / 10000.0 END AS resid
+        |FROM t2 JOIN cells USING (event_type, season)
+        |ORDER BY event_type, ord""".stripMargin,
+
     "events_anomaly_zscore" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
@@ -2310,6 +2388,25 @@ object EventOps {
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin,
 
+    "join_asof_tolerance" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM ev
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us, event_id AS click_id, value FROM ev
+        |  WHERE event_type = 'click'),
+        |bk AS (
+        |  SELECT p.event_id, c.click_id, c.value,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts_us DESC, c.click_id) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.ts_us <= p.ts_us AND p.ts_us - c.ts_us <= 600000000)
+        |SELECT p.user_id, p.event_id, p.ts_us,
+        |  bk.click_id AS asof_click_id,
+        |  CAST(CAST(bk.value AS DECIMAL(12,4)) AS DOUBLE) AS asof_value
+        |FROM p LEFT JOIN bk ON p.event_id = bk.event_id AND bk.rn = 1
+        |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin,
+
     "join_asof_nearest" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |    event_type FROM events),
@@ -2595,6 +2692,26 @@ object EventOps {
          |  FROM sym)
          |SELECT id, n_neighbors, nb AS nn_id, dist2 AS nn_dist2
          |FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    "spatial_knn_join" ->
+      s"""WITH xy AS ($spatialPointsSql),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+         |  FROM xy a JOIN xy b ON a.id < b.id
+         |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |    <= ${SpatialR * SpatialR}),
+         |sym AS (
+         |  SELECT id_a AS id, id_b AS nb, dist2 FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS id, id_a AS nb, dist2 FROM pairs),
+         |ranked AS (
+         |  SELECT id, nb, dist2,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist2, nb)
+         |      AS rank
+         |  FROM sym)
+         |SELECT id, CAST(rank AS INT) AS rank, nb AS nb_id, dist2
+         |FROM ranked WHERE rank <= 5 ORDER BY id, rank""".stripMargin,
 
     // window replay of the broadcast-stats LOO encode: exact decimal
     // window sum, one IEEE division; decimal -> double through VARCHAR

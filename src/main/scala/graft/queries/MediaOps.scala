@@ -23,6 +23,33 @@ object MediaOps {
   val defs: Map[String, Q] = Map(
     // media payload + typed metadata struct + per-doc frame counts from
     // the partition-batched stub decoder
+    // caption-to-frame track alignment: per asset, each caption cue
+    // attaches the temporally NEAREST sampled frame within a 4 s
+    // tolerance (ties prefer backward — the merge_asof 'nearest'
+    // convention), via the native as-of merge exec keyed on the asset.
+    // The caption track derives deterministically from n_chars (one cue
+    // per 120 chars at a 3.7 s cadence), the frame track is the stub
+    // decoder's 8-frame fan-out at 25 fps/50 — so the whole alignment,
+    // incl. tolerance misses and the equidistant tie, is oracle-checked.
+    "multimodal_caption_align" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val frames = docs.select(col("doc_id"),
+          explode(sequence(lit(0), lit(7))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx").cast("long") * lit(2000000L)).as("ts"))
+      val captions = docs.select(col("doc_id"),
+          explode(sequence(lit(0),
+            expr("cast(n_chars div 120 as int)"))).as("cap_idx"))
+        .withColumn("ts",
+          col("cap_idx").cast("long") * lit(3700000L) + lit(500000L))
+      graft.operators.AsOfJoin.asofNearestNative(captions, frames,
+          Seq("doc_id"), "ts", "ts", Seq("frame_idx"),
+          tolerance = Some(4000000L))
+        .select(col("doc_id"), col("cap_idx"), col("ts"),
+          col("asof_frame_idx"), col("asof_direction"))
+        .orderBy(col("doc_id"), col("cap_idx"))
+    }),
+
     "multimodal_media_meta" -> ((s, d) => {
       val media = Multimodal.withMediaColumn(Tables.documents(s, d))
       val nf = Multimodal.decodeFrames(s, media).groupBy(col("doc_id"))
@@ -132,6 +159,52 @@ object MediaOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "multimodal_caption_align" ->
+      """WITH caps AS (
+        |  SELECT doc_id,
+        |    CAST(UNNEST(range(0, n_chars // 120 + 1)) AS INT) AS cap_idx
+        |  FROM documents),
+        |c AS (SELECT doc_id, cap_idx,
+        |    CAST(cap_idx AS BIGINT) * 3700000 + 500000 AS ts
+        |  FROM caps),
+        |fr AS (
+        |  SELECT doc_id, CAST(UNNEST(range(0, 8)) AS INT) AS frame_idx
+        |  FROM (SELECT DISTINCT doc_id FROM documents)),
+        |f AS (SELECT doc_id, frame_idx,
+        |    CAST(frame_idx AS BIGINT) * 2000000 AS ts
+        |  FROM fr),
+        |bk AS (
+        |  SELECT c.doc_id, c.cap_idx, f.frame_idx, f.ts,
+        |    ROW_NUMBER() OVER (PARTITION BY c.doc_id, c.cap_idx
+        |      ORDER BY f.ts DESC, f.frame_idx) AS rn
+        |  FROM c JOIN f ON c.doc_id = f.doc_id AND f.ts <= c.ts
+        |    AND c.ts - f.ts <= 4000000),
+        |fw AS (
+        |  SELECT c.doc_id, c.cap_idx, f.frame_idx, f.ts,
+        |    ROW_NUMBER() OVER (PARTITION BY c.doc_id, c.cap_idx
+        |      ORDER BY f.ts, f.frame_idx) AS rn
+        |  FROM c JOIN f ON c.doc_id = f.doc_id AND f.ts >= c.ts
+        |    AND f.ts - c.ts <= 4000000),
+        |pick AS (
+        |  SELECT c.doc_id, c.cap_idx, c.ts,
+        |    b.frame_idx AS b_idx, b.ts AS b_ts,
+        |    fo.frame_idx AS f_idx, fo.ts AS f_ts
+        |  FROM c
+        |  LEFT JOIN bk b ON b.doc_id = c.doc_id AND b.cap_idx = c.cap_idx
+        |    AND b.rn = 1
+        |  LEFT JOIN fw fo ON fo.doc_id = c.doc_id
+        |    AND fo.cap_idx = c.cap_idx AND fo.rn = 1)
+        |SELECT doc_id, cap_idx, ts,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+        |      OR ts - b_ts <= f_ts - ts)
+        |    THEN b_idx ELSE f_idx END AS asof_frame_idx,
+        |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+        |    WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+        |      OR ts - b_ts <= f_ts - ts)
+        |    THEN 'backward' ELSE 'forward' END AS asof_direction
+        |FROM pick
+        |ORDER BY doc_id, cap_idx""".stripMargin,
+
     "multimodal_media_meta" ->
       """SELECT doc_id, 'image/fake' AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -70,6 +70,33 @@ class SpatialSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L, 9L), (2L, 2L, 1L, 9L), (3L, 2L, 1L, 16L)))
   }
 
+  test("knnWithin equals the brute-force ranked form; WindowGroupLimit " +
+      "trims the rank cut") {
+    val r = 64L
+    val k = 3
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("nb"))
+    val sym = bruteWithin(pts, r)
+    val brute = sym.select(col("id_a").as("id"), col("id_b").as("nb"),
+        col("dist2"))
+      .unionAll(sym.select(col("id_b").as("id"), col("id_a").as("nb"),
+        col("dist2")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id", "rank", "nb", "dist2")
+      .as[(Long, Int, Long, Long)].collect().sorted.toSeq
+    val got = Spatial.knnWithin(pts, "id", "x", "y", r, k)
+      .select("id", "rank", "nb_id", "dist2")
+      .as[(Long, Int, Long, Long)].collect().sorted.toSeq
+    assert(got == brute)
+    assert(got.nonEmpty)
+    // the rank<=k cut must plan as WindowGroupLimit (partial trim
+    // before the final sort), not a full window materialization
+    val plan = Spatial.knnWithin(pts, "id", "x", "y", r, k)
+      .queryExecution.explainString(SimpleMode)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("plan is an equi-join on the cell key - no cartesian anywhere") {
     val p = SparkEntry.queries("spatial_within_join")(spark, Sf0)
       .queryExecution.explainString(SimpleMode)

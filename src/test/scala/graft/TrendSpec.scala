@@ -186,4 +186,44 @@ class TrendSpec extends SparkSpec {
       .select("num", "den").collect()
     assert(cz.forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L))
   }
+
+  test("decompose recovers a pure seasonal cycle: flat trend, exact " +
+      "per-season means, zero interior residual, NULL-trend edges") {
+    // period-3 cycle (v4 in 1e-4 units): 30000, 60000, 90000 repeating,
+    // 15 ticks; halfWin=3 -> window 7 spans full cycles +1 partial...
+    // use halfWin=4 -> window 9 = three full cycles: MA is exactly the
+    // cycle mean 60000 everywhere interior
+    val rows = (0 until 15).map(t => ("k", t.toLong, (t % 3).toLong,
+      ((t % 3) + 1) * 30000L))
+    val out = Trend.decompose(rows.toDF("k", "t", "s", "v4"), Seq("k"),
+        col("t"), col("s"), col("v4"), halfWin = 4)
+      .select("ord", "season", "v4", "trend_num", "seas_num", "seas_cnt",
+        "trend", "seasonal", "resid")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // edges (ord < 4 or > 10) have no full window
+    assert((0L to 3L).forall(t => out(t).isNullAt(3)))
+    assert((11L to 14L).forall(t => out(t).isNullAt(3)))
+    // interior trend = 9-row window sum = 9 * 60000
+    assert((4L to 10L).forall(t => out(t).getLong(3) == 540000L))
+    assert((4L to 10L).forall(t => out(t).getDouble(6) == 6.0))
+    // seasonal means recover the cycle offsets (detrended d = 9*v4 -
+    // 540000 -> -270000/0/+270000), residual exactly zero interior
+    assert((4L to 10L).forall { t =>
+      val r = out(t)
+      math.abs(r.getDouble(8)) < 1e-12 &&
+        r.getDouble(7) == (r.getLong(2) / 30000.0 - 2.0) * 3.0
+    })
+    // partition-invariance of the integer statistics
+    val again = Trend.decompose(
+        rows.toDF("k", "t", "s", "v4").repartition(7), Seq("k"),
+        col("t"), col("s"), col("v4"), halfWin = 4)
+      .select("ord", "trend_num", "seas_num", "seas_cnt")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val base = out.toSeq.sortBy(_._1).map { case (t, r) =>
+      (t, if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        r.getLong(5)) }
+    assert(again.toSeq == base)
+  }
 }
