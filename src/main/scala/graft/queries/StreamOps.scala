@@ -360,6 +360,78 @@ object StreamOps {
     // append stream, re-aggregated in batch, must equal COUNT(DISTINCT
     // user_id) per type — any duplicate leaked or first-occurrence lost
     // by the state store breaks the count.
+    // per-user ingest quota AT INGEST: the first 20 events per user (in
+    // event-time order) pass, the rest drop in keyed streaming state —
+    // the admitted SET itself is gated against the batch
+    // row_number <= 20 cut, so a leak or a lost admit breaks the hash
+    "stream_quota_cap" -> ((s, d) => {
+      val admitted = EventsPipeline.statefulQuotaCap(s,
+        eventsStream(s, d), cap = 20L)
+      runStream(s, admitted, "quota", d, "append")
+        .orderBy(col("user_id"), col("us"), col("event_id"))
+    }),
+
+    // streaming SCD2 dimension maintenance: two micro-batches (snapshot,
+    // then a change set with value edits, no-op rows, and new keys)
+    // drive Scd2.streamingSink's foreachBatch into the versioned lake;
+    // the final dimension must equal the batch SCD2 result exactly —
+    // history rows closed at version 2, unchanged rows untouched (the
+    // null-safe no-op compare), inserts opened at version 2
+    "stream_scd2_sink" -> ((s, d) => {
+      val base = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-stream/scd2sink-${new java.io.File(d).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      if (base.exists) rm(base)
+      val srcDir = new java.io.File(base, "changes")
+      srcDir.mkdirs()
+      val root = new java.io.File(base, "dim").toString
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      val k = col("s_suppkey")
+      val b2 = sup.filter(k % 7 === 0 || k % 5 === 0)
+        .withColumn("s_acctbal",
+          when(k % 7 === 0, col("s_acctbal") + 100.0)
+            .otherwise(col("s_acctbal")))
+        .unionByName(sup.filter(k % 11 === 0)
+          .withColumn("s_suppkey", k + 10000))
+      // stage each change batch as ONE file with an increasing mod time
+      // (FileStreamSource orders by mod time, maxFilesPerTrigger=1 ->
+      // one micro-batch per staged file)
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(base, s"stage-$name").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+        ()
+      }
+      val t0 = System.currentTimeMillis() - 120000L
+      stage(sup, "b1", t0)
+      stage(b2, "b2", t0 + 60000L)
+      val changes = s.readStream.schema(sup.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, math.min(8, prevParts.toInt).toString)
+      val q = try graft.operators.Scd2
+          .streamingSink(changes, root, Seq("s_suppkey"))
+          .option("checkpointLocation",
+            new java.io.File(base, "ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        finally s.conf.set(partsKey, prevParts)
+      q.awaitTermination()
+      s.streams.resetTerminated()
+      graft.sinks.VersionedTable.read(s, root)
+        .orderBy(col("s_suppkey"), col("effective_from"))
+    }),
+
     "stream_dedup_users" -> ((s, d) => {
       val deduped = EventsPipeline.dedupStream(eventsStream(s, d),
         Seq("user_id", "event_type"))
@@ -830,6 +902,32 @@ object StreamOps {
     "stream_dedup_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "stream_quota_cap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS rn
+        |  FROM e)
+        |SELECT user_id, event_id, us FROM r WHERE rn <= 20
+        |ORDER BY user_id, us, event_id""".stripMargin,
+
+    "stream_scd2_sink" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+        |  CAST(1 AS BIGINT) AS effective_from,
+        |  CASE WHEN s_suppkey % 7 = 0 THEN CAST(2 AS BIGINT) END
+        |    AS effective_to,
+        |  s_suppkey % 7 <> 0 AS is_current
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 100.0,
+        |  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM supplier WHERE s_suppkey % 7 = 0
+        |UNION ALL
+        |SELECT s_suppkey + 10000, s_name, s_nationkey, s_acctbal,
+        |  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM supplier WHERE s_suppkey % 11 = 0
+        |ORDER BY s_suppkey, effective_from""".stripMargin,
 
     "stream_stateful_user_counts" ->
       """SELECT user_id, COUNT(*) AS n_events

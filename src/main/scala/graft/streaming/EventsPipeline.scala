@@ -124,6 +124,37 @@ object EventsPipeline {
       }.toDF("user_id", "n_trans", "surprise_fp")
   }
 
+  /** Per-key ingest quota enforced in keyed streaming state — "admit at
+    * most `cap` events per user, drop the rest AT INGEST" (the
+    * anti-abuse / cost-control valve every ingestion edge carries; the
+    * batch analogue is [[graft.operators.Sampling]]'s per-source cap).
+    * State per key is ONE long (events admitted so far); within a
+    * micro-batch the group's rows sort by (event time, event id), so
+    * the admitted set is deterministic and equals the batch
+    * row_number ≤ cap cut — which is exactly what the gate's oracle
+    * checks. flatMapGroupsWithState in append mode: admitted rows flow
+    * through unchanged, over-quota rows vanish. */
+  def statefulQuotaCap(spark: SparkSession, events: DataFrame, cap: Long)
+      : DataFrame = {
+    import spark.implicits._
+    require(cap >= 0, s"cap must be >= 0: $cap")
+    events.select($"user_id", $"event_id", expr("ts div 1000").as("us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          val room = math.max(0L, cap - used)
+          val take = rows.toSeq.sortBy(r => (r._3, r._2))
+            .take(if (room > Int.MaxValue) Int.MaxValue else room.toInt)
+          state.update(used + take.size)
+          take.map(r => (uid, r._2, r._3)).iterator
+      }
+      .toDF("user_id", "event_id", "us")
+  }
+
   /** Streaming funnel: a per-entity state machine over
     * flatMapGroupsWithState advancing through `stages` in event-time
     * order and EMITTING each stage completion as it happens — the

@@ -531,4 +531,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     q.stop()
   }
+
+  test("quota cap admits across micro-batches until the budget is spent") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+      "value")
+    val q = EventsPipeline.statefulQuotaCap(spark, df, cap = 3L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quota_out").start()
+    val t0 = 1700000000000000000L
+    // batch 1: user 1 sends 2 (both admitted), user 2 sends 4 (3 kept —
+    // the in-batch cut is by (ts, id), so ids 20,21,22 survive)
+    mem.addData((10L, t0 + 1000L, 1L, "c", 0.0), (11L, t0, 1L, "c", 0.0),
+      (20L, t0, 2L, "c", 0.0), (21L, t0 + 1L, 2L, "c", 0.0),
+      (22L, t0 + 2L, 2L, "c", 0.0), (23L, t0 + 3L, 2L, "c", 0.0))
+    q.processAllAvailable()
+    // batch 2: user 1 has 1 slot left -> earliest of the two admitted;
+    // user 2 is out of budget -> everything drops
+    mem.addData((12L, t0 + 5000L, 1L, "c", 0.0),
+      (13L, t0 + 4000L, 1L, "c", 0.0), (24L, t0 + 9000L, 2L, "c", 0.0))
+    q.processAllAvailable()
+    val out = spark.table("quota_out").select("user_id", "event_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 10L), (1L, 11L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (2L, 22L)))
+    q.stop()
+  }
 }
