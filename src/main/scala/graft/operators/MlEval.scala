@@ -511,6 +511,53 @@ object MlEval {
             (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
   }
 
+  /** Best decision threshold by F1 — "where do I cut the quality
+    * score?", the operating-point readout every filter model ships
+    * with. Predict positive at score ≥ t, sweep t over the distinct
+    * score values: F1(t) = 2·TP/(predicted_pos + all_pos), a rational
+    * of two exact counts.
+    *
+    * Same shuffle shape as [[aucRoc]]: rows collapse to the per-key
+    * distinct-score domain, a descending window accumulates
+    * (TP, predicted) per candidate, and the argmax compares ONE integer
+    * floor-division in 2²⁰ fixed point (ties to the smallest
+    * threshold — the most inclusive cut). Output per key: (key,
+    * threshold, tp, fp, fn, f1_fp, f1). Keys with no positives are
+    * dropped (F1 undefined). */
+  def bestF1Threshold(df: DataFrame, key: Column, score: Column,
+      label: Column, keyName: String = "key"): DataFrame = {
+    val base = df.select(key.as(keyName), ColUtil.money(score).as("__v"),
+        label.cast("long").as("__y"))
+      .where(col("__v").isNotNull && col("__y").isin(0L, 1L))
+    val perVal = base.groupBy(col(keyName), col("__v"))
+      .agg(sum(col("__y")).as("__cp"), count(lit(1)).as("__ct"))
+    val wDesc = Window.partitionBy(col(keyName)).orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(keyName))
+    val cum = perVal
+      .withColumn("__tp", sum(col("__cp")).over(wDesc))
+      .withColumn("__pred", sum(col("__ct")).over(wDesc))
+      .withColumn("__p", sum(col("__cp")).over(tot))
+      .where(col("__p") > 0)
+    val scored = cum
+      .withColumn("__num",
+        (col("__tp").cast("decimal(19,0)") * lit(2097152L))
+          .cast("decimal(38,0)"))
+      .withColumn("__f1fp", expr("__num div (__pred + __p)"))
+    val best = Window.partitionBy(col(keyName))
+      .orderBy(col("__f1fp").desc, col("__v"))
+    scored.withColumn("__rn", row_number().over(best))
+      .where(col("__rn") === 1)
+      .select(col(keyName),
+        col("__v").cast("double").as("threshold"),
+        col("__tp").as("tp"),
+        (col("__pred") - col("__tp")).as("fp"),
+        (col("__p") - col("__tp")).as("fn"),
+        col("__f1fp").as("f1_fp"),
+        (lit(2.0d) * col("__tp").cast("double") /
+          (col("__pred") + col("__p")).cast("double")).as("f1"))
+  }
+
   /** Best single-feature threshold split by Gini impurity decrease —
     * the decision STUMP, the unit of gradient-boosted trees and the
     * standard "is this feature predictive at all" probe run per

@@ -236,6 +236,71 @@ object TextAnalysis {
           .as("ent_num"))
   }
 
+  /** Multinomial naive-Bayes text classifier, trained and scored in ONE
+    * declarative plan with NO floating point anywhere: the in-engine
+    * baseline classifier every labeling pipeline wants next to its
+    * heuristics (langid sanity checks, topic routing, weak
+    * supervision). Laplace-smoothed: score(d, c) = log P(c) +
+    * Σ_{t∈d} log P(t|c) with P(t|c) = (cnt_{t,c}+1)/(tot_c+V).
+    *
+    * Every log is the codegen'd integer `log2_fp` (2⁻²⁰ fixed point),
+    * so scores — and therefore the argmax — are bit-identical
+    * cross-engine and partition-invariant: the full train→score→argmax
+    * loop is oracle-checkable, which no float NB can claim. Unseen
+    * tokens contribute log2_fp(1) = 0 through the same formula
+    * (cnt = 0), folded as score = prior + Σ m_t·L(cnt+1) − T_d·L(tot_c+V).
+    *
+    * Split is the deterministic md5 bucket of the doc id (train =
+    * every bucket but `testBucket`). Scale shape: token-count shuffles
+    * (corpus token stream → (class, term) cells), the per-class
+    * constants and class list broadcast (≤C rows), the model join keyed
+    * (class, term), the argmax a C-row-per-doc window. Output per test
+    * doc: (id, true_cls, pred_cls, score_fp, correct). */
+  def naiveBayes(docs: DataFrame, id: Column, text: Column,
+      label: Column, buckets: Int = 5, testBucket: Int = 0): DataFrame = {
+    import graft.functions.FixedLogFunctions.log2_fp
+    require(buckets > 1 && testBucket >= 0 && testBucket < buckets,
+      s"need 0 <= testBucket < buckets, buckets > 1: $buckets/$testBucket")
+    val base = docs.filter(text.isNotNull && label.isNotNull)
+      .select(id.as("doc_id"), label.as("cls"), tokens(text).as("__ws"),
+        Sampling.hashBucket(id, buckets).as("__b"))
+    val train = base.where(col("__b") =!= testBucket)
+    val test = base.where(col("__b") === testBucket)
+    val tok = train.select(col("cls"), explode(col("__ws")).as("term"))
+      .groupBy(col("cls"), col("term")).agg(count(lit(1)).as("cnt"))
+    val classes = train.groupBy(col("cls")).agg(count(lit(1)).as("n_docs"))
+    val totals = tok.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
+    val vocabDf = tok.agg(countDistinct(col("term")).as("v"))
+    val nAll = train.agg(count(lit(1)).as("n_all"))
+    val clsConst = classes.join(totals, "cls")
+      .crossJoin(broadcast(vocabDf)).crossJoin(broadcast(nAll))
+      .select(col("cls"),
+        (log2_fp(col("n_docs")) - log2_fp(col("n_all"))).as("prior_fp"),
+        log2_fp(col("tot") + col("v")).as("denom_fp"))
+    val model = tok.select(col("cls"), col("term"),
+      log2_fp(col("cnt") + 1).as("lfp"))
+    val testToks = test.select(col("doc_id"), explode(col("__ws")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("m"))
+    val perClass = testToks
+      .crossJoin(broadcast(classes.select(col("cls"))))
+      .join(model, Seq("cls", "term"), "left")
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("m") * coalesce(col("lfp"), lit(0L))).as("tok_fp"),
+        sum(col("m")).as("t_doc"))
+    val scored = perClass.join(broadcast(clsConst), "cls")
+      .withColumn("score_fp",
+        col("prior_fp") + col("tok_fp") - col("t_doc") * col("denom_fp"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("cls"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .join(test.select(col("doc_id"), col("cls").as("true_cls")),
+        "doc_id")
+      .select(col("doc_id"), col("true_cls"), col("cls").as("pred_cls"),
+        col("score_fp"),
+        (col("cls") === col("true_cls")).cast("long").as("correct"))
+  }
+
   /** Moving-average type-token ratio (MATTR, Covington & McFall 2010)
     * per document — the lexical-diversity signal that, unlike raw TTR,
     * doesn't collapse with document length: the mean over all windows

@@ -150,6 +150,18 @@ object MlOps {
         .orderBy(col("class"))
     }),
 
+    // F1-optimal decision threshold per user segment: where to cut the
+    // value score so purchase-prediction F1 peaks — the operating-point
+    // companion to ml_auc_roc; argmax exact in 2^20 fixed point.
+    "ml_best_f1" -> ((s, d) => {
+      graft.operators.MlEval.bestF1Threshold(
+          Tables.events(s, d).where(col("value").isNotNull),
+          expr("user_id % 3"), col("value"),
+          (col("event_type") === "purchase").cast("int"),
+          keyName = "segment")
+        .orderBy(col("segment"))
+    }),
+
     // Decision stump per source: the best n_chars threshold separating
     // English from non-English docs by Gini decrease — the "is this
     // feature predictive" probe, argmax exact in 2^20 fixed point.
@@ -856,6 +868,35 @@ object MlOps {
          |    THEN (2.0 * CAST(tp AS DOUBLE))
          |      / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
          |FROM j ORDER BY class""".stripMargin,
+
+    "ml_best_f1" ->
+      """WITH base AS (
+        |  SELECT user_id % 3 AS segment,
+        |    CAST(value AS DECIMAL(12,4)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |perval AS (SELECT segment, v, CAST(SUM(y) AS BIGINT) AS cp,
+        |    COUNT(*) AS ct
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    SUM(cp) OVER wd AS tp, SUM(ct) OVER wd AS pred,
+        |    SUM(cp) OVER (PARTITION BY segment) AS p
+        |  FROM perval
+        |  WINDOW wd AS (PARTITION BY segment ORDER BY v DESC
+        |    ROWS UNBOUNDED PRECEDING)),
+        |f AS (SELECT * FROM cum WHERE p > 0),
+        |scored AS (SELECT *,
+        |    (CAST(tp AS HUGEINT) * 2097152) // (pred + p) AS f1fp
+        |  FROM f),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY segment
+        |    ORDER BY f1fp DESC, v) AS rn
+        |  FROM scored)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |  CAST(CAST(v AS VARCHAR) AS DOUBLE) AS threshold,
+        |  CAST(tp AS BIGINT) AS tp, CAST(pred - tp AS BIGINT) AS fp,
+        |  CAST(p - tp AS BIGINT) AS fn, CAST(f1fp AS BIGINT) AS f1_fp,
+        |  2.0 * CAST(tp AS DOUBLE) / CAST(pred + p AS DOUBLE) AS f1
+        |FROM best WHERE rn = 1 ORDER BY segment""".stripMargin,
 
     "ml_decision_stump" ->
       """WITH base AS (

@@ -276,6 +276,32 @@ object SketchOps {
     // current one, no-op keys must NOT spawn versions. Both states are
     // real lake commits (time travel serves dimension-as-of). The
     // oracle reconstructs the exact post-batch state relationally.
+    // lake schema evolution under the gate: v1 writes (doc_id, n_chars),
+    // v2 appends rows carrying a NEW nullable column via
+    // mergeSchema = true — the head read must serve the union with the
+    // old files' rows NULL in the added column (and the evolve contract
+    // rejecting type drift is spec-pinned in VersionedTableSpec)
+    "versioned_schema_evolve" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("evolve")
+        .toString + "/t"
+      val docs = Tables.documents(s, d)
+      VersionedTable.write(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("n_chars")), root)
+      VersionedTable.append(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("n_chars"),
+            (col("n_chars") > 500).cast("long").as("quality_flag")),
+        root, mergeSchema = true)
+      val result = VersionedTable.read(s, root).orderBy(col("doc_id"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     "versioned_scd2" -> ((s, d) => {
       import graft.sinks.VersionedTable
       import graft.operators.Scd2
@@ -792,6 +818,15 @@ object SketchOps {
     "versioned_bloom_skip" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id IN (7, 123, 250, 444) ORDER BY doc_id""".stripMargin,
+
+    "versioned_schema_evolve" ->
+      """SELECT doc_id, n_chars, CAST(NULL AS BIGINT) AS quality_flag
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, n_chars,
+        |  CAST(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "versioned_scd2" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,

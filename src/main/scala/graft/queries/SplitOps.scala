@@ -112,6 +112,23 @@ object SplitOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Hive-style partitioned layout: write partitioned by the scan's
+    // hottest predicate column, read back ONE partition — values must
+    // round-trip exactly and the filter must prune at the LISTING level
+    // (PartitionFilters, asserted in PlanSpec): at 100 TB the
+    // difference between reading one directory and reading them all.
+    "source_partitioned_roundtrip" -> ((s, d) => {
+      val src = Tables.events(s, d).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val dir = s"/tmp/graft_part_${Integer.toHexString(d.hashCode)}"
+      src.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // The third columnar format Spark ships natively: ORC write + read
     // must round-trip the fixture exactly (decimal/timestamp fidelity
     // differs from parquet's physical encodings — this pins it).
@@ -242,6 +259,10 @@ object SplitOps {
     "source_csv_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "source_partitioned_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "jdbc_job_json" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer

@@ -573,6 +573,16 @@ object TextDedup {
         .orderBy(col("source"))
     }),
 
+    // multinomial naive Bayes over document tokens (train buckets 1-4,
+    // test bucket 0; class = declared lang): the whole train -> score ->
+    // argmax loop in log2_fp fixed point — a fully oracle-checked text
+    // classifier, no float anywhere
+    "text_naive_bayes" -> ((s, d) => {
+      TextAnalysis.naiveBayes(Tables.documents(s, d), col("doc_id"),
+          col("text"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // moving-average type-token ratio: length-robust lexical diversity
     // per doc — repetitive boilerplate scores low at any length. The
     // window mean is computed interval-analytically (no w-times row
@@ -1601,6 +1611,63 @@ object TextDedup {
          |  CAST(g.n_tokens * lt.l - sc.sum_clc AS BIGINT) AS ent_num
          |FROM g JOIN sc USING (source) JOIN lg lt ON g.n_tokens = lt.x
          |ORDER BY g.source""".stripMargin,
+
+    "text_naive_bayes" ->
+      s"""WITH RECURSIVE hx AS (SELECT doc_id, lang AS cls, text,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |bb AS (SELECT doc_id, cls, text,
+         |    ${graft.operators.Sampling.hashBucketSql("doc_id", 5)} AS bkt
+         |  FROM hx),
+         |train AS (SELECT * FROM bb WHERE bkt <> 0),
+         |test AS (SELECT * FROM bb WHERE bkt = 0),
+         |tok AS (SELECT cls, UNNEST(string_split(text, ' ')) AS term
+         |  FROM train),
+         |cells AS (SELECT cls, term, COUNT(*) AS cnt
+         |  FROM tok GROUP BY 1, 2),
+         |classes AS (SELECT cls, COUNT(*) AS n_docs FROM train GROUP BY 1),
+         |tots AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot
+         |  FROM cells GROUP BY 1),
+         |voc AS (SELECT COUNT(DISTINCT term) AS v FROM cells),
+         |nall AS (SELECT COUNT(*) AS n_all FROM train),
+         |xs AS (SELECT cnt + 1 AS x FROM cells
+         |  UNION SELECT tot + v FROM tots CROSS JOIN voc
+         |  UNION SELECT n_docs FROM classes
+         |  UNION SELECT n_all FROM nall),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |clsconst AS (
+         |  SELECT c.cls, lp.l - la.l AS prior_fp, ld.l AS denom_fp
+         |  FROM classes c
+         |  CROSS JOIN nall CROSS JOIN voc
+         |  JOIN tots t ON t.cls = c.cls
+         |  JOIN lg lp ON lp.x = c.n_docs
+         |  JOIN lg la ON la.x = nall.n_all
+         |  JOIN lg ld ON ld.x = t.tot + voc.v),
+         |model AS (SELECT cells.cls, term, lg.l AS lfp
+         |  FROM cells JOIN lg ON lg.x = cells.cnt + 1),
+         |tt AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+         |  FROM test),
+         |tm AS (SELECT doc_id, term, COUNT(*) AS m FROM tt GROUP BY 1, 2),
+         |percls AS (
+         |  SELECT tm.doc_id, cc.cls,
+         |    CAST(SUM(tm.m * COALESCE(model.lfp, 0)) AS BIGINT) AS tok_fp,
+         |    CAST(SUM(tm.m) AS BIGINT) AS t_doc
+         |  FROM tm CROSS JOIN (SELECT cls FROM classes) cc
+         |  LEFT JOIN model ON model.cls = cc.cls AND model.term = tm.term
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT p.doc_id, p.cls,
+         |    cc.prior_fp + p.tok_fp - p.t_doc * cc.denom_fp AS score_fp
+         |  FROM percls p JOIN clsconst cc ON cc.cls = p.cls),
+         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score_fp DESC, cls) AS rn
+         |  FROM scored)
+         |SELECT b.doc_id, t.cls AS true_cls, b.cls AS pred_cls,
+         |  CAST(b.score_fp AS BIGINT) AS score_fp,
+         |  CAST(CASE WHEN b.cls = t.cls THEN 1 ELSE 0 END AS BIGINT)
+         |    AS correct
+         |FROM best b JOIN test t ON t.doc_id = b.doc_id
+         |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin,
 
     "text_mattr" ->
       """WITH toks AS (

