@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics over edge DataFrames.
@@ -773,5 +773,38 @@ object Graph {
         Seq("node"), "full_outer")
       .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Bipartite co-occurrence projection — collapse a (key, item)
+    * bipartite graph onto the item side: edge (a, b) weighted by the
+    * number of keys incident to both (the item-item graph behind
+    * co-view recommenders, co-citation analysis, and co-occurrence
+    * embeddings; weights are the raw input to PMI/lift scoring).
+    *
+    * The projection's hazard is the hub key: a key with d distinct
+    * items fans into d·(d−1)/2 pairs, so one crawler session or bot
+    * user can dominate the edge list quadratically. `maxPerKey` drops
+    * keys above the cap BEFORE the pair fan-out (the same guard as
+    * [[neighborJaccard]]'s wedge cap and Urls' domain caps) — the
+    * standard practice (count-capped sessions) and the reason the
+    * shuffle stays O(Σ min(d, cap)²) instead of O(max d²). Pairs
+    * emit once (item_a < item_b). Output: (item_a, item_b, n_keys). */
+  def bipartiteProject(df: DataFrame, key: Column, item: Column,
+      maxPerKey: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerKey >= 2, s"maxPerKey must be >= 2: $maxPerKey")
+    val pairs = df.select(key.as("__k"), item.as("__i"))
+      .where(col("__k").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val kept = pairs
+      .withColumn("__d",
+        count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .where(col("__d") <= maxPerKey)
+    val a = kept.select(col("__k"), col("__i").as("item_a"))
+    val b = kept.select(col("__k"), col("__i").as("item_b"))
+    a.join(b, Seq("__k"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_keys"))
   }
 }

@@ -187,6 +187,52 @@ object Similarity {
         col("neg_label"), col("cos_sim"))
   }
 
+  /** SMOTE-style synthetic minority oversampling (Chawla et al. 2002),
+    * exact-arithmetic variant: the minority class (fewest rows, ties to
+    * the smaller label) pairs each of its vectors with its k nearest
+    * SAME-class neighbors (exact int64-quantized cosine) and emits the
+    * per-dimension floor-midpoint of each pair on the quantized grid —
+    * the class-balancing synthesizer for embedding-space training sets.
+    *
+    * Midpoints are computed as (a+b − pmod(a+b, 2))/2 — exact floor on
+    * integers in BOTH engines (plain `/` would be float, `div` would
+    * truncate toward zero on negatives), so the synthetic vectors are
+    * bit-identical cross-engine and the gate checks their digests
+    * (element sum + exact self-dot) rather than trusting float interp.
+    * Scale path: the neighbor stage swaps for any ANN tier; everything
+    * after is map-only on |minority|·k rows. Output: (vec_id, rank,
+    * nb_id, n_dims, sum_mid, ssq_mid). */
+  def smoteMidpoints(corpus: DataFrame, k: Int): DataFrame = {
+    val counts = corpus.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+    val minorityLbl = counts.orderBy(col("__n"), col("label"))
+      .limit(1).select(col("label"))
+    val minor = corpus.join(broadcast(minorityLbl), Seq("label"))
+    val top = bruteForceTopK(minor, minor, k, exact = true)
+    val qv = minor.select(col("vec_id"), quantize(col("embedding")).as("__q"))
+    val mid = zip_with(col("__qa"), col("__qb"), (a, b) => {
+      val s = a + b
+      ((s - pmod(s, lit(2L))) / lit(2L)).cast("long")
+    })
+    // decorate the TINY top-k result with both endpoint vectors by
+    // broadcasting IT over map-only minority scans (same inversion as
+    // hardNegativesTopK — shuffling the vectors to |min|·k rows would
+    // invert the size relationship)
+    val withA = qv.select(col("vec_id").as("query_id"), col("__q").as("__qa"))
+      .join(broadcast(top), Seq("query_id"))
+    val withB = qv.select(col("vec_id").as("neighbor_id"),
+        col("__q").as("__qb"))
+      .join(broadcast(withA), Seq("neighbor_id"))
+    withB
+      .withColumn("__mid", mid)
+      .select(col("query_id").as("vec_id"), col("rank"),
+        col("neighbor_id").as("nb_id"),
+        size(col("__mid")).as("n_dims"),
+        aggregate(col("__mid"), lit(0L), (acc, x) => acc + x)
+          .as("sum_mid"),
+        graft.functions.VectorFunctions.vec_dot_long(col("__mid"),
+          col("__mid")).as("ssq_mid"))
+  }
+
   /** k-NN majority-vote classification over the embedding corpus —
     * the classic label-propagation readout ("what label do my nearest
     * neighbors carry?") used to audit embedding quality and to

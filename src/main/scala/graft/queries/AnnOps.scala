@@ -37,6 +37,16 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SMOTE-style minority oversampling: each minority vector pairs
+    // with its k same-class exact-cosine neighbors and emits the
+    // floor-midpoint on the quantized grid — synthetic class balancing
+    // whose vectors are bit-identical cross-engine; the gate hashes the
+    // element-sum and exact self-dot digests of every synthetic vector
+    "ann_smote_oversample" -> ((s, d) => {
+      Similarity.smoteMidpoints(Tables.embeddings(s, d), TopK)
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // k-NN majority-vote classification: predicted label = mode of the
     // k exact-cosine nearest labels (ties: most votes, then smallest
     // label) — the embedding-quality / pseudo-labeling audit; fully
@@ -354,6 +364,37 @@ object AnnOps {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_smote_oversample" -> {
+      val midEl = {
+        val s = s"(${qel("a.embedding[i]")} + ${qel("b.embedding[i]")})"
+        s"(($s - ((($s % 2) + 2) % 2)) // 2)"
+      }
+      s"""WITH cnt AS (SELECT label, COUNT(*) AS n FROM embeddings
+         |  GROUP BY 1),
+         |m AS (SELECT label FROM cnt ORDER BY n, label LIMIT 1),
+         |mi AS (SELECT e.* FROM embeddings e JOIN m ON e.label = m.label),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${duckCosExact("q", "c")} AS cos_sim
+         |  FROM mi q JOIN mi c ON q.vec_id != c.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |top AS (SELECT query_id, rank, neighbor_id FROM ranked
+         |  WHERE rank <= $TopK)
+         |SELECT t.query_id AS vec_id, CAST(t.rank AS INT) AS rank,
+         |  t.neighbor_id AS nb_id, CAST($Dim AS INT) AS n_dims,
+         |  CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |    i -> $midEl)) AS BIGINT) AS sum_mid,
+         |  CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |    i -> $midEl * $midEl)) AS BIGINT) AS ssq_mid
+         |FROM top t
+         |JOIN mi a ON a.vec_id = t.query_id
+         |JOIN mi b ON b.vec_id = t.neighbor_id
+         |ORDER BY vec_id, rank""".stripMargin
+    },
 
     "ann_knn_classify" ->
       s"""WITH scored AS (

@@ -193,6 +193,16 @@ object GraphOps {
         .orderBy(col("node"))
     }),
 
+    // bipartite projection of the user->event_type graph onto the item
+    // side: co-occurrence weights (the item-item edge list behind
+    // co-view recommenders), hub keys capped BEFORE the quadratic pair
+    // fan-out — the projection's classic bot-session hazard
+    "graph_bipartite_project" -> ((s, d) => {
+      graft.operators.Graph.bipartiteProject(Tables.events(s, d),
+          col("user_id"), col("event_type"), maxPerKey = 10)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // exact triangle census of the part co-purchase graph (parts joined
     // when they appear in the same order) — naturally sparse (~0.6%
     // density at sf0.1, vs the complete co-supplier graph) and growing
@@ -675,6 +685,17 @@ object GraphOps {
          |   UNION ALL SELECT b FROM e$KCoreRounds)
          |GROUP BY node ORDER BY node""".stripMargin
     },
+
+    "graph_bipartite_project" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id AS k, event_type AS i FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |deg AS (SELECT k, COUNT(*) AS d FROM pairs GROUP BY k),
+        |kept AS (SELECT pairs.k, pairs.i FROM pairs
+        |  JOIN deg ON deg.k = pairs.k WHERE deg.d <= 10)
+        |SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_keys
+        |FROM kept a JOIN kept b ON a.k = b.k AND a.i < b.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "graph_degrees" ->
       s"""WITH $EdgesCte,

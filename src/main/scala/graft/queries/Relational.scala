@@ -1167,6 +1167,34 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- exact weighted median (cumulative-weight cut) -------------------
+    // revenue-weighted median quantity per return flag: the smallest v
+    // whose cumulative weight reaches half the total — 2·cum >= tot is
+    // an exact integer comparison on 1e-4-scaled weights, so the cut
+    // value can't wobble cross-engine; shuffle volume is the per-key
+    // distinct value domain (same shape as agg/rank statistics)
+    "agg_weighted_median" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          money(col("l_quantity")).as("v"),
+          (money(col("l_extendedprice")) * 10000).cast("long").as("w4"))
+      val perVal = base.groupBy(col("flag"), col("v"))
+        .agg(sum(col("w4")).as("cw"))
+      val wc = Window.partitionBy(col("flag")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("flag"))
+      val rk = Window.partitionBy(col("flag")).orderBy(col("v"))
+      perVal
+        .withColumn("cum", sum(col("cw")).over(wc))
+        .withColumn("tot", sum(col("cw")).over(tot))
+        .where(col("cum") * 2 >= col("tot"))
+        .withColumn("__rn", row_number().over(rk))
+        .where(col("__rn") === 1)
+        .select(col("flag"), col("v").cast("double").as("weighted_median"),
+          col("cum").as("cum_w4"), col("tot").as("tot_w4"))
+        .orderBy(col("flag"))
+    }),
+
     // ---- pivot (Spark .pivot; oracle = conditional aggregation) ---------
     "pivot_flag_status" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -2002,6 +2030,27 @@ object Relational {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_weighted_median" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(l_quantity AS DECIMAL(12,4)) AS v,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 10000 AS BIGINT)
+        |      AS w4
+        |  FROM lineitem),
+        |perval AS (SELECT flag, v, CAST(SUM(w4) AS BIGINT) AS cw
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    CAST(SUM(cw) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(cw) OVER (PARTITION BY flag) AS BIGINT) AS tot
+        |  FROM perval),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY flag
+        |    ORDER BY v) AS rn
+        |  FROM cum WHERE cum * 2 >= tot)
+        |SELECT flag, CAST(CAST(v AS VARCHAR) AS DOUBLE) AS weighted_median,
+        |  cum AS cum_w4, tot AS tot_w4
+        |FROM best WHERE rn = 1 ORDER BY flag""".stripMargin,
 
     "pivot_flag_status" ->
       """SELECT l_returnflag,

@@ -480,4 +480,24 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(got2 == want.map { case (a, b, _) => (a, b, 2L) })
   }
+
+  test("bipartiteProject: co-occurrence weights, hub key capped BEFORE " +
+      "the pair fan-out, duplicate incidences collapse") {
+    // users 1,2 share {a,b}; user 3 adds {b,c}; user 9 is a bot touching
+    // everything incl. d,e — over the cap, must contribute NOTHING
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "b"), // dup incidence
+      (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "c"),
+      (9L, "a"), (9L, "b"), (9L, "c"), (9L, "d"), (9L, "e"))
+    val got = Graph.bipartiteProject(rows.toDF("u", "item"), col("u"),
+        col("item"), maxPerKey = 4)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(got == Seq(("a", "b", 2L), ("b", "c", 1L)))
+    // without the cap the bot fans in: every pair gains user 9
+    val uncapped = Graph.bipartiteProject(rows.toDF("u", "item"),
+        col("u"), col("item"), maxPerKey = 100)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(uncapped.size == 10) // C(5,2) pairs
+    assert(uncapped.contains(("a", "b", 3L)))
+  }
 }
