@@ -480,6 +480,21 @@ object TextDedup {
     // reproducible sampling protocol (stable across runs/engines/
     // repartitions; oracle-exact because the bucket is an arithmetic
     // md5-nibble decode, not an engine hash)
+    // systematic sampling: every 10th row of the md5-hash order (1-based
+    // offset 1) — equal-probability draws spread EVENLY across the hash
+    // order, the classic survey-sampling design; the global position is
+    // the distributed range-partition zipWithIndex, never a
+    // one-partition window
+    "sample_systematic" -> ((s, d) => {
+      val h = md5(concat(col("doc_id").cast("string"), lit(":sys")))
+      val pos = graft.operators.Ids.denseGlobalRowNumber(
+        Tables.documents(s, d).select(col("doc_id"), h.as("__h")),
+        Seq(col("__h"), col("doc_id")), "pos0")
+      pos.where(pmod(col("pos0"), lit(10L)) === 0)
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"))
+        .orderBy(col("pos"))
+    }),
+
     "sample_hash_split" -> ((s, d) => {
       graft.operators.Sampling.hashSplit(Tables.documents(s, d),
           col("doc_id"), Seq(("train", 80), ("val", 10), ("test", 10)))
@@ -1336,6 +1351,16 @@ object TextDedup {
          |SELECT doc_id, shard, n_tok, start // 512 AS seq_id,
          |  start % 512 AS tok_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "sample_systematic" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':sys') AS hh
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY hh, doc_id) AS pos
+        |  FROM h)
+        |SELECT doc_id, pos FROM r WHERE pos % 10 = 1
+        |ORDER BY pos""".stripMargin,
 
     "sample_hash_split" ->
       s"""WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
