@@ -775,6 +775,87 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Degree assortativity coefficient (Newman 2002) — the one-number
+    * answer to "do hubs link to hubs?" (positive: social-style core;
+    * negative: hub-and-spoke, the shape of web/trade graphs). Pearson
+    * correlation of endpoint degrees over the directed-symmetric edge
+    * list: r = (M·Σxy − Σx·Σy)/(√(M·Σxx − (Σx)²)·√(M·Σyy − (Σy)²)).
+    *
+    * The six sufficient statistics are exact decimal sums of integer
+    * degree products (one degree aggregate + two broadcast-sized joins
+    * back to the edges + one global aggregate — no quadratic term);
+    * the readout is one fixed IEEE dag over them (decimal→double is
+    * correctly rounded in both engines), so the number hash-matches.
+    * Output one row: (m_edges, num, varx, vary, assortativity). */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val withDeg = e
+      .join(deg.select(col("node").as("src"), col("deg").as("__x")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("__y")), "dst")
+    val s = withDeg.agg(
+      count(lit(1)).as("m_edges"),
+      sum(dec(col("__x"))).as("__sx"), sum(dec(col("__y"))).as("__sy"),
+      sum(dec(col("__x") * col("__y"))).as("__sxy"),
+      sum(dec(col("__x") * col("__x"))).as("__sxx"),
+      sum(dec(col("__y") * col("__y"))).as("__syy"))
+    s.select(col("m_edges"),
+        (dec(col("m_edges")) * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("decimal(38,0)").cast("double").as("num"),
+        (dec(col("m_edges")) * col("__sxx") - col("__sx") * col("__sx"))
+          .cast("decimal(38,0)").cast("double").as("varx"),
+        (dec(col("m_edges")) * col("__syy") - col("__sy") * col("__sy"))
+          .cast("decimal(38,0)").cast("double").as("vary"))
+      .withColumn("assortativity",
+        when(col("varx") > 0 && col("vary") > 0,
+          col("num") / (sqrt(col("varx")) * sqrt(col("vary")))))
+  }
+
+  /** Modularity of a given node partition (Newman & Girvan 2004) — how
+    * much MORE intra-group linkage the partition captures than a
+    * degree-preserving random graph would: the quality score for any
+    * community assignment (detected or domain-given). Over the
+    * directed-symmetric edge list with M = |E_sym|:
+    * Q = (1/M²)·Σ_groups (intra_g·M − d_g²) — held as the exact integer
+    * rational (q_num, q_den = M²), one IEEE division readout.
+    *
+    * One assignment join per endpoint (the assignment is node-keyed —
+    * broadcast when small, shuffle-keyed otherwise), a ≤|groups|
+    * aggregate, no quadratic term. Groups with no intra edges still
+    * contribute −d_g² (full-outer on the group domain). `assign` must
+    * expose (node, grp). Output one row: (m_edges, n_groups, q_num,
+    * q_den, modularity). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      assign: DataFrame): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val a = assign.select(col("node"), col("grp"))
+    val withG = e
+      .join(a.select(col("node").as("src"), col("grp").as("__gs")), "src")
+      .join(a.select(col("node").as("dst"), col("grp").as("__gd")), "dst")
+    val intra = withG.where(col("__gs") === col("__gd"))
+      .groupBy(col("__gs").as("grp")).agg(count(lit(1)).as("__intra"))
+    val dsum = withG.groupBy(col("__gs").as("grp"))
+      .agg(count(lit(1)).as("__d"))
+    val m = withG.agg(count(lit(1)).as("m_edges"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val terms = dsum.join(intra, Seq("grp"), "left_outer")
+      .crossJoin(broadcast(m))
+      .select((dec(coalesce(col("__intra"), lit(0L))) * col("m_edges") -
+        dec(col("__d")) * col("__d")).cast("decimal(38,0)").as("__t"))
+    terms
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__t")).cast("decimal(38,0)").as("__qn"))
+      .crossJoin(broadcast(m))
+      .select(col("m_edges"), col("n_groups"),
+        col("__qn").cast("long").as("q_num"),
+        (dec(col("m_edges")) * col("m_edges")).cast("long").as("q_den"),
+        (col("__qn").cast("double") /
+          (dec(col("m_edges")) * col("m_edges")).cast("double"))
+          .as("modularity"))
+  }
+
   /** Bipartite co-occurrence projection — collapse a (key, item)
     * bipartite graph onto the item side: edge (a, b) weighted by the
     * number of keys incident to both (the item-item graph behind

@@ -672,6 +672,33 @@ object EventOps {
         .limit(20)
     }),
 
+    // peak concurrency per event type: each event holds a 5-minute
+    // span; the +1/−1 boundary sweep (deltas merged per instant — the
+    // [s, e) convention, so an end and a start at the same microsecond
+    // don't overlap) cumulates per type and reports the peak and its
+    // first instant. All integers; shuffle = the per-type boundary
+    // stream (salt by day at scale if one type dominates).
+    "events_concurrency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), expr("ts div 1000").as("us"))
+      val pts = ev.select(col("event_type"), col("us").as("t"),
+          lit(1L).as("dlt"))
+        .unionAll(ev.select(col("event_type"),
+          (col("us") + lit(300000000L)).as("t"), lit(-1L).as("dlt")))
+      val perT = pts.groupBy(col("event_type"), col("t"))
+        .agg(sum(col("dlt")).as("dd"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = perT.withColumn("cur", sum(col("dd")).over(w))
+      val peaks = run.groupBy(col("event_type"))
+        .agg(max(col("cur")).as("peak_concurrency"))
+      run.join(peaks, Seq("event_type"))
+        .where(col("cur") === col("peak_concurrency"))
+        .groupBy(col("event_type"), col("peak_concurrency"))
+        .agg(min(col("t")).as("peak_at_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // classical decompose (value = trend + seasonal + residual) of the
     // hourly per-type revenue series: centered ±12h moving-average
     // trend, hour-of-day seasonal means of the detrended series —
@@ -1922,6 +1949,26 @@ object EventOps {
         |  ABS(e.v4 * p.n - p.s4) // p.n AS dev_x10000
         |FROM e JOIN p ON p.event_type = e.event_type AND p.hod = e.hod
         |ORDER BY dev_x10000 DESC, e.event_id LIMIT 20""".stripMargin,
+
+    "events_concurrency" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |pts AS (
+        |  SELECT event_type, us AS t, 1 AS dlt FROM ev
+        |  UNION ALL
+        |  SELECT event_type, us + 300000000, -1 FROM ev),
+        |pert AS (SELECT event_type, t, CAST(SUM(dlt) AS BIGINT) AS dd
+        |  FROM pts GROUP BY 1, 2),
+        |run AS (SELECT *,
+        |    CAST(SUM(dd) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cur
+        |  FROM pert),
+        |peaks AS (SELECT event_type, MAX(cur) AS peak_concurrency
+        |  FROM run GROUP BY 1)
+        |SELECT r.event_type, p.peak_concurrency,
+        |  MIN(r.t) AS peak_at_us
+        |FROM run r JOIN peaks p ON p.event_type = r.event_type
+        |  AND r.cur = p.peak_concurrency
+        |GROUP BY 1, 2 ORDER BY r.event_type""".stripMargin,
 
     "events_stl_decompose" ->
       """WITH series AS (

@@ -193,6 +193,26 @@ object GraphOps {
         .orderBy(col("node"))
     }),
 
+    // degree assortativity of the trade graph: do hubs link to hubs?
+    // six exact integer sufficient statistics, one IEEE dag readout
+    "graph_assortativity" -> ((s, d) => {
+      graft.operators.Graph.assortativity(tradeEdges(s, d), "src", "dst")
+    }),
+
+    // modularity of the NATION partition on the trade graph — the
+    // community-quality score for a domain-given assignment, held as
+    // the exact integer rational Q = sum_g(intra_g*M - d_g^2) / M^2
+    "graph_modularity" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select((col("c_custkey") * 2).as("node"),
+          col("c_nationkey").as("grp"))
+      val sup = Tables.supplier(s, d)
+        .select((col("s_suppkey") * 2 + 1).as("node"),
+          col("s_nationkey").as("grp"))
+      graft.operators.Graph.modularity(tradeEdges(s, d), "src", "dst",
+        cust.unionByName(sup))
+    }),
+
     // bipartite projection of the user->event_type graph onto the item
     // side: co-occurrence weights (the item-item edge list behind
     // co-view recommenders), hub keys capped BEFORE the quadratic pair
@@ -685,6 +705,56 @@ object GraphOps {
          |   UNION ALL SELECT b FROM e$KCoreRounds)
          |GROUP BY node ORDER BY node""".stripMargin
     },
+
+    "graph_assortativity" ->
+      s"""WITH $EdgesCte,
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+         |wd AS (SELECT dx.deg AS x, dy.deg AS y
+         |  FROM e JOIN deg dx ON dx.node = e.src
+         |  JOIN deg dy ON dy.node = e.dst),
+         |s AS (SELECT COUNT(*) AS m,
+         |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM wd),
+         |f AS (SELECT m,
+         |    CAST(CAST(CAST(m AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+         |      AS DOUBLE) AS num,
+         |    CAST(CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+         |      AS DOUBLE) AS varx,
+         |    CAST(CAST(CAST(m AS HUGEINT) * syy - sy * sy AS VARCHAR)
+         |      AS DOUBLE) AS vary
+         |  FROM s)
+         |SELECT m AS m_edges, num, varx, vary,
+         |  CASE WHEN varx > 0 AND vary > 0
+         |    THEN num / (SQRT(varx) * SQRT(vary)) END AS assortativity
+         |FROM f""".stripMargin,
+
+    "graph_modularity" ->
+      s"""WITH $EdgesCte,
+         |a AS (SELECT c_custkey * 2 AS node, c_nationkey AS grp
+         |    FROM customer
+         |  UNION ALL
+         |  SELECT s_suppkey * 2 + 1, s_nationkey FROM supplier),
+         |wg AS (SELECT ga.grp AS gs, gb.grp AS gd
+         |  FROM e JOIN a ga ON ga.node = e.src
+         |  JOIN a gb ON gb.node = e.dst),
+         |m AS (SELECT COUNT(*) AS m_edges FROM wg),
+         |dsum AS (SELECT gs AS grp, COUNT(*) AS d FROM wg GROUP BY 1),
+         |intra AS (SELECT gs AS grp, COUNT(*) AS i FROM wg
+         |  WHERE gs = gd GROUP BY 1),
+         |terms AS (SELECT CAST(COALESCE(i.i, 0) AS HUGEINT) * m.m_edges
+         |    - CAST(d.d AS HUGEINT) * d.d AS t
+         |  FROM dsum d LEFT JOIN intra i ON i.grp = d.grp CROSS JOIN m)
+         |SELECT m.m_edges,
+         |  (SELECT COUNT(*) FROM dsum) AS n_groups,
+         |  CAST((SELECT SUM(t) FROM terms) AS BIGINT) AS q_num,
+         |  CAST(CAST(m.m_edges AS HUGEINT) * m.m_edges AS BIGINT) AS q_den,
+         |  CAST(CAST((SELECT SUM(t) FROM terms) AS VARCHAR) AS DOUBLE)
+         |    / CAST(CAST(CAST(m.m_edges AS HUGEINT) * m.m_edges
+         |        AS VARCHAR) AS DOUBLE) AS modularity
+         |FROM m""".stripMargin,
 
     "graph_bipartite_project" ->
       """WITH pairs AS (

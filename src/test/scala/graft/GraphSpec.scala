@@ -481,6 +481,40 @@ class GraphSpec extends SparkSpec {
     assert(got2 == want.map { case (a, b, _) => (a, b, 2L) })
   }
 
+  test("assortativity: star graph is perfectly disassortative (-1), " +
+      "ring is degree-constant (undefined)") {
+    // 4-leaf star, symmetrized: every edge joins deg 4 to deg 1
+    val star = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L)))
+      .toDF("src", "dst")
+    val r = Graph.assortativity(star, "src", "dst")
+      .select("m_edges", "assortativity").as[(Long, Double)].head()
+    assert(r._1 == 8L)
+    assert(math.abs(r._2 + 1.0) < 1e-12, r.toString)
+    // a 4-ring: every endpoint degree 2 -> zero variance -> NULL
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    assert(Graph.assortativity(ring, "src", "dst")
+      .select("assortativity").as[Option[Double]].head().isEmpty)
+  }
+
+  test("modularity: two disconnected triangles under their own " +
+      "partition hit the hand value; merged partition scores zero") {
+    // triangles {0,1,2} and {3,4,5}, symmetrized: M = 12 directed edges
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+        (3L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val byTri = (0L to 5L).map(n => (n, n / 3)).toDF("node", "grp")
+    val r = Graph.modularity(tri, "src", "dst", byTri)
+      .select("m_edges", "n_groups", "q_num", "q_den", "modularity")
+      .as[(Long, Long, Long, Long, Double)].head()
+    // per group: intra = 6, d = 6 -> term = 6*12 - 36 = 36; Q = 72/144
+    assert(r == ((12L, 2L, 72L, 144L, 0.5)))
+    // everything in ONE group: intra = M, d = M -> Q = (M*M - M^2)/M^2 = 0
+    val one = (0L to 5L).map(n => (n, 0L)).toDF("node", "grp")
+    assert(Graph.modularity(tri, "src", "dst", one)
+      .select("modularity").as[Double].head() == 0.0)
+  }
+
   test("bipartiteProject: co-occurrence weights, hub key capped BEFORE " +
       "the pair fan-out, duplicate incidences collapse") {
     // users 1,2 share {a,b}; user 3 adds {b,c}; user 9 is a bot touching
