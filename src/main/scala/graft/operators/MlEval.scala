@@ -420,6 +420,36 @@ object MlEval {
         col("acc"), col("gap"))
   }
 
+  /** Expected calibration error (Naeini et al. 2015) — the one-number
+    * companion to [[calibrationBins]]: ECE = Σ_b (n_b/N)·|conf_b −
+    * acc_b|. Usually quoted as a float estimate; here it is EXACT,
+    * because n·|conf − acc| = |Σ score₄ − n_pos·10⁴| in 1e-4 score
+    * units — pure integer arithmetic per bin — so
+    * ECE = ece_num4 / (N·10⁴) is one IEEE division over two exact
+    * integers, hash-identical cross-engine. Same single
+    * partial-aggregated shuffle over ≤ `bins` keys as calibrationBins,
+    * then a 1-row rollup. Output: (n_items, ece_num4, ece). */
+  def ece(df: DataFrame, score: Column, label: Column, bins: Int = 10)
+      : DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val base = df.select(ColUtil.money(score).as("__s"),
+        label.cast("long").as("__y"))
+      .where(col("__s").isNotNull && col("__s") >= 0 && col("__s") <= 1 &&
+        col("__y").isin(0L, 1L))
+    base
+      .withColumn("bin",
+        least(lit(bins - 1), floor(col("__s") * lit(bins)).cast("int")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"),
+        sum((col("__s") * 10000).cast("long")).as("__ss4"))
+      .agg(sum(col("__n")).as("n_items"),
+        sum(abs(col("__ss4") - col("__p") * lit(10000L))).as("ece_num4"))
+      .withColumn("ece",
+        when(col("n_items") > 0,
+          col("ece_num4").cast("double") /
+            (col("n_items").cast("double") * lit(10000.0d))))
+  }
+
   /** McNemar's test for PAIRED classifier comparison (McNemar 1947) —
     * "is model B actually better than model A on the same rows, or is
     * the delta churn?" — the question accuracy deltas can't answer

@@ -266,6 +266,18 @@ object MlOps {
         .orderBy(col("bin"))
     }),
 
+    // Expected calibration error over the same reliability bins —
+    // EXACT: n*|conf-acc| = |sum(score4) - n_pos*1e4| per bin in
+    // integer 1e-4 units, one IEEE division total.
+    "ml_ece" -> ((s, d) => {
+      graft.operators.MlEval.ece(
+        Tables.events(s, d)
+          .withColumn("score", col("value") / lit(100.0d))
+          .withColumn("label",
+            when(col("event_type") === "purchase", 1L).otherwise(0L)),
+        col("score"), col("label"), bins = 10)
+    }),
+
     // Weight-of-evidence of each corpus source against the is-English
     // label, Laplace-smoothed, in exact 2^20 fixed point through log2_fp
     // — the supervised encoding whose log is bit-identical cross-engine.
@@ -1115,6 +1127,29 @@ object MlOps {
 
     // exact decimal binning (no float edges); decimal sums -> double
     // through VARCHAR per the parity rule
+    "ml_ece" ->
+      """WITH base AS (
+        |  SELECT CAST(value / 100.0 AS DECIMAL(12,4)) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |), dom AS (
+        |  SELECT s, y FROM base WHERE s >= 0 AND s <= 1
+        |), binned AS (
+        |  SELECT LEAST(9, CAST(FLOOR(s * 10) AS INT)) AS bin, s, y
+        |  FROM dom
+        |), agg AS (
+        |  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS p,
+        |    CAST(SUM(CAST(s * 10000 AS BIGINT)) AS BIGINT) AS ss4
+        |  FROM binned GROUP BY bin
+        |)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+        |  CAST(SUM(ABS(ss4 - p * 10000)) AS BIGINT) AS ece_num4,
+        |  CASE WHEN SUM(n) > 0 THEN
+        |    CAST(SUM(ABS(ss4 - p * 10000)) AS DOUBLE)
+        |      / (CAST(SUM(n) AS DOUBLE) * 10000.0) END AS ece
+        |FROM agg""".stripMargin,
+
     "ml_calibration_bins" ->
       """WITH base AS (
         |  SELECT CAST(value / 100.0 AS DECIMAL(12,4)) AS s,
