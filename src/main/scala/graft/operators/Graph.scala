@@ -818,8 +818,11 @@ object Graph {
     * degree-preserving random graph would: the quality score for any
     * community assignment (detected or domain-given). Over the
     * directed-symmetric edge list with M = |E_sym|:
-    * Q = (1/M²)·Σ_groups (intra_g·M − d_g²) — held as the exact integer
-    * rational (q_num, q_den = M²), one IEEE division readout.
+    * Q = (1/M²)·Σ_groups (intra_g·M − d_g²) — held EXACT in
+    * decimal(38,0) internally; q_num/q_den emit BIGINT per the gate's
+    * no-final-decimal contract (past M ≈ 3·10⁹ symmetric edges the
+    * rational columns null out on the cast — the double `modularity`
+    * readout stays correct at any M), one IEEE division readout.
     *
     * One assignment join per endpoint (the assignment is node-keyed —
     * broadcast when small, shuffle-keyed otherwise), a ≤|groups|

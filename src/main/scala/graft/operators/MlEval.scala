@@ -459,7 +459,9 @@ object MlEval {
     *
     * One map-side-combined count over 4 cells (a full shuffle of 4
     * rows), so it runs at any corpus size. The statistic is held as an
-    * exact integer rational: chi2_num = max(|b−c|−1, 0)² bigint,
+    * exact integer rational: chi2_num = max(|b−c|−1, 0)² squared in
+    * decimal(38,0) (a long multiply would wrap past |b−c| ≈ 3·10⁹)
+    * and emitted BIGINT per the gate's no-final-decimal contract,
     * chi2_den = b+c, one IEEE division for the readout (NULL when
     * b+c = 0 — the models never disagree). Output one row:
     * (n_items, both_right, both_wrong, b_only_wrong, a_only_wrong,
@@ -485,7 +487,7 @@ object MlEval {
       .withColumn("chi2_num", {
         val d = greatest(abs(col("b_only_wrong") - col("a_only_wrong"))
           - lit(1L), lit(0L))
-        d * d
+        (d.cast("decimal(19,0)") * d).cast("decimal(38,0)").cast("long")
       })
       .withColumn("chi2_den", col("b_only_wrong") + col("a_only_wrong"))
       .withColumn("chi2",

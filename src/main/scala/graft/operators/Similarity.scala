@@ -203,10 +203,14 @@ object Similarity {
     * after is map-only on |minority|·k rows. Output: (vec_id, rank,
     * nb_id, n_dims, sum_mid, ssq_mid). */
   def smoteMidpoints(corpus: DataFrame, k: Int): DataFrame = {
-    val counts = corpus.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+    // null labels are no class: drop them BEFORE the minority pick —
+    // Spark sorts nulls first where the oracle's ORDER BY sorts them
+    // last, so a null-label group would diverge the choice
+    val labeled = corpus.where(col("label").isNotNull)
+    val counts = labeled.groupBy(col("label")).agg(count(lit(1)).as("__n"))
     val minorityLbl = counts.orderBy(col("__n"), col("label"))
       .limit(1).select(col("label"))
-    val minor = corpus.join(broadcast(minorityLbl), Seq("label"))
+    val minor = labeled.join(broadcast(minorityLbl), Seq("label"))
     val top = bruteForceTopK(minor, minor, k, exact = true)
     val qv = minor.select(col("vec_id"), quantize(col("embedding")).as("__q"))
     val mid = zip_with(col("__qa"), col("__qb"), (a, b) => {

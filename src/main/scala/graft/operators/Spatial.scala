@@ -129,11 +129,15 @@ object Spatial {
   def neighborStats(points: DataFrame, idCol: String, xCol: String,
       yCol: String, r: Long): DataFrame = {
     val pairs = gridWithinJoin(points, idCol, xCol, yCol, r)
-    // undirect the a<b pairs so every endpoint sees the edge
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"),
-        col("dist2"))
-      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb"),
-        col("dist2")))
+    // undirect the a<b pairs so every endpoint sees the edge — one
+    // map-side explode, not a self-union that would run the grid join
+    // twice
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nb"), col("dist2")),
+        struct(col("id_b").as("id"), col("id_a").as("nb"), col("dist2"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"),
+        col("e.dist2").as("dist2"))
     sym.groupBy(col("id"))
       .agg(count(lit(1)).as("n_neighbors"),
         min(struct(col("dist2"), col("nb"))).as("__nn"))
@@ -160,10 +164,15 @@ object Spatial {
       yCol: String, r: Long, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val pairs = gridWithinJoin(points, idCol, xCol, yCol, r)
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"),
-        col("dist2"))
-      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb"),
-        col("dist2")))
+    // symmetrize in ONE map-side explode pass — a union of pairs with
+    // its reversal would execute the grid-join subplan (the dominant
+    // stage) twice
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nb"), col("dist2")),
+        struct(col("id_b").as("id"), col("id_a").as("nb"), col("dist2"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"),
+        col("e.dist2").as("dist2"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
       .orderBy(col("dist2"), col("nb"))
     sym.withColumn("rank", row_number().over(w))

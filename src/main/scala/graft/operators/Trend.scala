@@ -260,9 +260,10 @@ object Trend {
     * trend_num = Σ window v4 (exact long), detrended d = v4·W −
     * trend_num (W = 2·halfWin+1), seas_num = Σ d / seas_cnt per season
     * cell — and the three double readouts are one fixed IEEE dag over
-    * them, so every row hash-matches cross-engine. Two window passes
-    * over the key partition + one ≤|seasons| aggregate + one cell join:
-    * shuffle volume is the series and the season-cell table, nothing
+    * them, so every row hash-matches cross-engine. The trend windows
+    * ride the key partition and the seasonal means a (key, season)
+    * window over the SAME pass (a groupBy + join-back would re-execute
+    * the trend subtree): shuffle volume is the series twice, nothing
     * quadratic. Callers feed a REGULAR series (one row per tick, e.g.
     * the hourly rollup); gaps simply make the row window span further
     * in time, exactly like the pandas/statsmodels row-window form.
@@ -285,10 +286,14 @@ object Trend {
         when(col("__wn") === win, sum(col("v4")).over(w)))
       .withColumn("__d",
         col("v4") * lit(win.toLong) - col("trend_num"))
-    val cells = t.groupBy(keys :+ col("season"): _*)
-      .agg(sum(col("__d")).as("seas_num"),
-        count(col("__d")).as("seas_cnt"))
-    t.join(cells, keyCols :+ "season")
+    // seasonal means as a WINDOW over the (key, season) partition — a
+    // groupBy + join-back would re-execute the trend-window subtree
+    // (the dominant stage) a second time
+    val bySeason = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys :+ col("season"): _*)
+    t
+      .withColumn("seas_num", sum(col("__d")).over(bySeason))
+      .withColumn("seas_cnt", count(col("__d")).over(bySeason))
       .withColumn("value", col("v4").cast("double") / lit(10000.0d))
       .withColumn("trend",
         col("trend_num").cast("double") / lit(win.toDouble) / lit(10000.0d))

@@ -679,23 +679,28 @@ object EventOps {
     // first instant. All integers; shuffle = the per-type boundary
     // stream (salt by day at scale if one type dominates).
     "events_concurrency" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      // ONE event scan (map-side explode of the +1/-1 boundary pair,
+      // not a self-union) and ONE pass over the running sums: the
+      // (peak, first instant) argmax is max(struct(cur, -t)) — struct
+      // order takes the highest cur, then the smallest t
+      val pts = Tables.events(s, d)
         .select(col("event_type"), expr("ts div 1000").as("us"))
-      val pts = ev.select(col("event_type"), col("us").as("t"),
-          lit(1L).as("dlt"))
-        .unionAll(ev.select(col("event_type"),
-          (col("us") + lit(300000000L)).as("t"), lit(-1L).as("dlt")))
+        .select(col("event_type"), explode(array(
+          struct(col("us").as("t"), lit(1L).as("dlt")),
+          struct((col("us") + lit(300000000L)).as("t"),
+            lit(-1L).as("dlt")))).as("e"))
+        .select(col("event_type"), col("e.t").as("t"),
+          col("e.dlt").as("dlt"))
       val perT = pts.groupBy(col("event_type"), col("t"))
         .agg(sum(col("dlt")).as("dd"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val run = perT.withColumn("cur", sum(col("dd")).over(w))
-      val peaks = run.groupBy(col("event_type"))
-        .agg(max(col("cur")).as("peak_concurrency"))
-      run.join(peaks, Seq("event_type"))
-        .where(col("cur") === col("peak_concurrency"))
-        .groupBy(col("event_type"), col("peak_concurrency"))
-        .agg(min(col("t")).as("peak_at_us"))
+      perT.withColumn("cur", sum(col("dd")).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("cur"), (-col("t")).as("negt"))).as("__pk"))
+        .select(col("event_type"),
+          col("__pk.cur").as("peak_concurrency"),
+          (-col("__pk.negt")).as("peak_at_us"))
         .orderBy(col("event_type"))
     }),
 

@@ -882,11 +882,13 @@ object MlOps {
          |FROM j ORDER BY class""".stripMargin,
 
     "ml_best_f1" ->
-      """WITH base AS (
+      """WITH base0 AS (
         |  SELECT user_id % 3 AS segment,
         |    CAST(value AS DECIMAL(12,4)) AS v,
-        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |    CASE WHEN event_type IS NULL THEN NULL
+        |      WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
         |  FROM events WHERE value IS NOT NULL),
+        |base AS (SELECT * FROM base0 WHERE y IN (0, 1)),
         |perval AS (SELECT segment, v, CAST(SUM(y) AS BIGINT) AS cp,
         |    COUNT(*) AS ct
         |  FROM base GROUP BY 1, 2),
