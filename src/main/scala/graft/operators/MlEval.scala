@@ -450,6 +450,31 @@ object MlEval {
             (col("n_items").cast("double") * lit(10000.0d))))
   }
 
+  /** Brier score — the proper scoring rule for probability forecasts:
+    * mean (score − label)². EXACT: with scores quantized to 4 dp,
+    * (s − y)² = (s₄ − y·10⁴)² is a perfect integer square in 10⁻⁸
+    * units, so brier = brier_num8 / (N·10⁸) is one IEEE division over
+    * exact integers (each square ≤ 10⁸, the decimal(38,0) sum never
+    * wraps). One map-side-combined aggregate — no per-bin shuffle at
+    * all. Output: (n_items, brier_num8, brier). */
+  def brier(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val base = df.select(ColUtil.money(score).as("__s"),
+        label.cast("long").as("__y"))
+      .where(col("__s").isNotNull && col("__s") >= 0 && col("__s") <= 1 &&
+        col("__y").isin(0L, 1L))
+    base
+      .select(((col("__s") * 10000).cast("long") -
+        col("__y") * lit(10000L)).as("__d"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("__d").cast("decimal(19,0)") * col("__d"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").cast("long")
+          .as("brier_num8"))
+      .withColumn("brier",
+        when(col("n_items") > 0,
+          col("brier_num8").cast("double") /
+            (col("n_items").cast("double") * lit(1e8))))
+  }
+
   /** McNemar's test for PAIRED classifier comparison (McNemar 1947) —
     * "is model B actually better than model A on the same rows, or is
     * the delta churn?" — the question accuracy deltas can't answer

@@ -266,6 +266,17 @@ object MlOps {
         .orderBy(col("bin"))
     }),
 
+    // Brier score of the same probability forecast — exact: (s-y)^2 is
+    // a perfect integer square in 1e-8 units, one IEEE division total.
+    "ml_brier" -> ((s, d) => {
+      graft.operators.MlEval.brier(
+        Tables.events(s, d)
+          .withColumn("score", col("value") / lit(100.0d))
+          .withColumn("label",
+            when(col("event_type") === "purchase", 1L).otherwise(0L)),
+        col("score"), col("label"))
+    }),
+
     // Expected calibration error over the same reliability bins —
     // EXACT: n*|conf-acc| = |sum(score4) - n_pos*1e4| per bin in
     // integer 1e-4 units, one IEEE division total.
@@ -1129,6 +1140,23 @@ object MlOps {
 
     // exact decimal binning (no float edges); decimal sums -> double
     // through VARCHAR per the parity rule
+    "ml_brier" ->
+      """WITH base AS (
+        |  SELECT CAST(value / 100.0 AS DECIMAL(12,4)) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |), dom AS (
+        |  SELECT CAST(s * 10000 AS BIGINT) - y * 10000 AS d
+        |  FROM base WHERE s >= 0 AND s <= 1
+        |)
+        |SELECT COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) AS brier_num8,
+        |  CASE WHEN COUNT(*) > 0 THEN
+        |    CAST(CAST(SUM(CAST(d AS HUGEINT) * d) AS VARCHAR) AS DOUBLE)
+        |      / (CAST(COUNT(*) AS DOUBLE) * 100000000.0) END AS brier
+        |FROM dom""".stripMargin,
+
     "ml_ece" ->
       """WITH base AS (
         |  SELECT CAST(value / 100.0 AS DECIMAL(12,4)) AS s,
