@@ -450,6 +450,45 @@ object MlEval {
             (col("n_items").cast("double") * lit(10000.0d))))
   }
 
+  /** Group-fairness audit (Hardt et al. 2016 framing): per segment the
+    * confusion counts of a binary decision against the label, the
+    * three operating rates (selection rate, TPR, FPR), and — repeated
+    * on every row for one-stop reading — the corpus-wide demographic-
+    * parity gap (max−min selection rate) and equalized-odds gap
+    * (max of the TPR and FPR spreads). Counts are exact bigints; every
+    * rate is one IEEE division, and the gaps are max/min over those
+    * exactly-determined doubles, so the whole audit hash-matches.
+    * One map-side-combined shuffle over the segment domain, then a
+    * broadcast 1-row gap join. Segments where a rate is undefined
+    * (no positives / no negatives) carry NULL and drop out of that
+    * gap's max/min. Output per segment: (segment, n, tp, fp, fn, tn,
+    * sel_rate, tpr, fpr, dp_gap, eo_gap). */
+  def fairnessGaps(df: DataFrame, segment: Column, label: Column,
+      pred: Column, segName: String = "segment"): DataFrame = {
+    val base = df.select(segment.as(segName),
+        label.cast("long").as("__y"), pred.cast("long").as("__p"))
+      .where(col("__y").isin(0L, 1L) && col("__p").isin(0L, 1L))
+    val per = base.groupBy(col(segName))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y") * col("__p")).as("tp"),
+        sum((lit(1L) - col("__y")) * col("__p")).as("fp"),
+        sum(col("__y") * (lit(1L) - col("__p"))).as("fn"),
+        sum((lit(1L) - col("__y")) * (lit(1L) - col("__p"))).as("tn"))
+      .withColumn("sel_rate",
+        (col("tp") + col("fp")).cast("double") / col("n").cast("double"))
+      .withColumn("tpr",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+      .withColumn("fpr",
+        when(col("fp") + col("tn") > 0,
+          col("fp").cast("double") / (col("fp") + col("tn")).cast("double")))
+    val gaps = per.agg(
+      (max(col("sel_rate")) - min(col("sel_rate"))).as("dp_gap"),
+      greatest(max(col("tpr")) - min(col("tpr")),
+        max(col("fpr")) - min(col("fpr"))).as("eo_gap"))
+    per.crossJoin(broadcast(gaps))
+  }
+
   /** Brier score — the proper scoring rule for probability forecasts:
     * mean (score − label)². EXACT: with scores quantized to 4 dp,
     * (s − y)² = (s₄ − y·10⁴)² is a perfect integer square in 10⁻⁸

@@ -266,6 +266,19 @@ object MlOps {
         .orderBy(col("bin"))
     }),
 
+    // Group-fairness audit of the value>=50 decision against the
+    // purchase label across user segments: per-segment confusion +
+    // rates, demographic-parity and equalized-odds gaps — exact counts,
+    // IEEE readouts, the responsible-eval readout next to AUC/ECE.
+    "ml_fairness_gaps" -> ((s, d) => {
+      graft.operators.MlEval.fairnessGaps(
+          Tables.events(s, d).where(col("value").isNotNull),
+          expr("user_id % 3"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L),
+          (col("value") >= 50.0).cast("long"))
+        .orderBy(col("segment"))
+    }),
+
     // Brier score of the same probability forecast — exact: (s-y)^2 is
     // a perfect integer square in 1e-8 units, one IEEE division total.
     "ml_brier" -> ((s, d) => {
@@ -1140,6 +1153,35 @@ object MlOps {
 
     // exact decimal binning (no float edges); decimal sums -> double
     // through VARCHAR per the parity rule
+    "ml_fairness_gaps" ->
+      """WITH base AS (
+        |  SELECT user_id % 3 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS p
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (
+        |  SELECT segment, COUNT(*) AS n,
+        |    CAST(SUM(y * p) AS BIGINT) AS tp,
+        |    CAST(SUM((1 - y) * p) AS BIGINT) AS fp,
+        |    CAST(SUM(y * (1 - p)) AS BIGINT) AS fn,
+        |    CAST(SUM((1 - y) * (1 - p)) AS BIGINT) AS tn
+        |  FROM base GROUP BY 1),
+        |rates AS (
+        |  SELECT segment, n, tp, fp, fn, tn,
+        |    CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE) AS sel_rate,
+        |    CASE WHEN tp + fn > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS tpr,
+        |    CASE WHEN fp + tn > 0 THEN
+        |      CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) END AS fpr
+        |  FROM per),
+        |gaps AS (
+        |  SELECT MAX(sel_rate) - MIN(sel_rate) AS dp_gap,
+        |    GREATEST(MAX(tpr) - MIN(tpr), MAX(fpr) - MIN(fpr)) AS eo_gap
+        |  FROM rates)
+        |SELECT CAST(segment AS BIGINT) AS segment, n, tp, fp, fn, tn,
+        |  sel_rate, tpr, fpr, dp_gap, eo_gap
+        |FROM rates CROSS JOIN gaps ORDER BY segment""".stripMargin,
+
     "ml_brier" ->
       """WITH base AS (
         |  SELECT CAST(value / 100.0 AS DECIMAL(12,4)) AS s,

@@ -294,6 +294,33 @@ class MlEvalSpec extends SparkSpec {
       .as[Option[Double]].head().isEmpty)
   }
 
+  test("fairnessGaps: hand confusion per segment, parity and odds gaps") {
+    // seg A: 4 rows, sel 2/4, tpr 1/2, fpr 1/2; seg B: sel 1/2, tpr 1,
+    // fpr 0 -> dp_gap = 0, eo_gap = max(1 - 1/2, 1/2 - 0) = 1/2
+    val df = Seq(("a", 1L, 1L), ("a", 1L, 0L), ("a", 0L, 1L),
+      ("a", 0L, 0L), ("b", 1L, 1L), ("b", 0L, 0L))
+      .toDF("seg", "y", "p")
+    val out = MlEval.fairnessGaps(df, col("seg"), col("y"), col("p"),
+        "seg")
+      .select("seg", "tp", "fp", "fn", "tn", "sel_rate", "tpr", "fpr",
+        "dp_gap", "eo_gap")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ==
+      ((1L, 1L, 1L, 1L)))
+    assert(a.getDouble(5) == 0.5 && a.getDouble(6) == 0.5 &&
+      a.getDouble(7) == 0.5)
+    assert(a.getDouble(8) == 0.0 && a.getDouble(9) == 0.5)
+    // a one-class segment's undefined rate drops out of the gap
+    val oneClass = df.union(Seq(("c", 1L, 1L)).toDF("seg", "y", "p"))
+    val c = MlEval.fairnessGaps(oneClass, col("seg"), col("y"),
+        col("p"), "seg")
+      .where(col("seg") === "c").select("fpr", "eo_gap")
+      .collect().head
+    assert(c.isNullAt(0)) // no negatives in c -> fpr undefined
+    assert(c.getDouble(1) == 0.5) // gaps unchanged by the null rate
+  }
+
   test("bestF1Threshold: hand case, perfect separator hits F1=1, " +
       "no-positive key dropped") {
     // scores desc: 4(pos) 3(neg) 2(pos) 1(neg); candidates t=4: F1 =
