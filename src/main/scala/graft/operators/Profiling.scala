@@ -219,6 +219,46 @@ object Profiling {
     * and broadcast back. Counts must stay under ~2^26 per margin pair
     * so r*c is float-exact (< 2^53) — true for any plausible
     * contingency use. */
+  /** G-test of uniformity (the likelihood-ratio counterpart of the χ²
+    * goodness-of-fit test — additive across partitions of the data,
+    * which χ² is not): per key, G = 2·Σ_b O_b·ln(O_b/E) with
+    * E = N/nBuckets, testing whether events spread evenly over the
+    * bucket domain (hour-of-day skew, shard imbalance, die-fairness).
+    *
+    * HASH-EXACT through the integer log2: O_b·ln(O_b/E) =
+    * O_b·(log2(O_b·nBuckets) − log2 N)·ln2, so
+    * g_num_fp = Σ O_b·(L(O_b·nBuckets) − L(N)) in 2⁻²⁰ log2-units is a
+    * pure-integer statistic (decimal(38,0) sums — O·L outruns int64
+    * past N ≈ 10¹²; BIGINT at the gate) and `g_stat` = 2ln2·g_num_fp/2²⁰
+    * is one fixed IEEE dag. Empty buckets contribute 0 (the O→0
+    * limit), exactly as the G-test defines. Shuffle = the (key, bucket)
+    * cell domain; the per-key total is a window over ≤nBuckets cells.
+    * Output per key: (key, n_events, n_buckets_hit, g_num_fp, g_stat). */
+  def gTestUniform(df: DataFrame, key: Column, bucket: Column,
+      nBuckets: Int, keyName: String = "key"): DataFrame = {
+    import graft.functions.FixedLogFunctions.log2_fp
+    require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
+    val cells = df.select(key.as(keyName), bucket.as("__b"))
+      .where(col("__b").isNotNull)
+      .groupBy(col(keyName), col("__b")).agg(count(lit(1)).as("__o"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyName))
+    cells
+      .withColumn("__n", sum(col("__o")).over(byKey))
+      .withColumn("__term",
+        (col("__o").cast("decimal(19,0)") *
+          (log2_fp(col("__o") * nBuckets) - log2_fp(col("__n"))))
+          .cast("decimal(38,0)"))
+      .groupBy(col(keyName))
+      .agg(max(col("__n")).as("n_events"),
+        count(lit(1)).as("n_buckets_hit"),
+        sum(col("__term")).cast("decimal(38,0)").as("__g"))
+      .select(col(keyName), col("n_events"), col("n_buckets_hit"),
+        col("__g").cast("long").as("g_num_fp"),
+        (lit(1.3862943611198906d) * col("__g").cast("double") /
+          lit(1048576.0d)).as("g_stat"))
+  }
+
   def chi2Association(df: DataFrame, a: Column, b: Column): DataFrame = {
     val cells = df.groupBy(a.as("a"), b.as("b"))
       .agg(count(lit(1)).as("observed"))

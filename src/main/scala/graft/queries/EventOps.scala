@@ -672,6 +672,18 @@ object EventOps {
         .limit(20)
     }),
 
+    // G-test of hour-of-day uniformity per event type — is the traffic
+    // actually diurnal, or uniform? The likelihood-ratio statistic held
+    // exact in 2^-20 log2 units through the integer log (additive
+    // across data partitions, unlike chi-square)
+    "events_gtest_hourly" -> ((s, d) => {
+      graft.operators.Profiling.gTestUniform(
+          Tables.events(s, d), col("event_type"),
+          expr("(ts div 1000 div 3600000000) % 24"), nBuckets = 24,
+          keyName = "event_type")
+        .orderBy(col("event_type"))
+    }),
+
     // peak concurrency per event type: each event holds a 5-minute
     // span; the +1/−1 boundary sweep (deltas merged per instant — the
     // [s, e) convention, so an end and a start at the same microsecond
@@ -1954,6 +1966,31 @@ object EventOps {
         |  ABS(e.v4 * p.n - p.s4) // p.n AS dev_x10000
         |FROM e JOIN p ON p.event_type = e.event_type AND p.hod = e.hod
         |ORDER BY dev_x10000 DESC, e.event_id LIMIT 20""".stripMargin,
+
+    "events_gtest_hourly" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS b
+         |  FROM events),
+         |cells AS (SELECT event_type, b, COUNT(*) AS o
+         |  FROM ev GROUP BY 1, 2),
+         |tots AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n
+         |  FROM cells GROUP BY 1),
+         |xs AS (SELECT o * 24 AS x FROM cells
+         |  UNION SELECT n FROM tots),
+         |${graft.functions.FixedLog.duckdbCte("xs")},
+         |terms AS (
+         |  SELECT c.event_type, t.n,
+         |    CAST(c.o AS HUGEINT) * (lo.l - ln.l) AS t
+         |  FROM cells c
+         |  JOIN tots t ON t.event_type = c.event_type
+         |  JOIN lg lo ON lo.x = c.o * 24
+         |  JOIN lg ln ON ln.x = t.n)
+         |SELECT event_type, MAX(n) AS n_events,
+         |  COUNT(*) AS n_buckets_hit,
+         |  CAST(SUM(t) AS BIGINT) AS g_num_fp,
+         |  1.3862943611198906 * CAST(CAST(SUM(t) AS VARCHAR) AS DOUBLE)
+         |    / 1048576.0 AS g_stat
+         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_concurrency" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),

@@ -211,4 +211,34 @@ class ProfilingSpec extends SparkSpec {
       when(col("v").isNull, "").otherwise(col("v")))
     assert(a != run(empt))
   }
+
+  test("gTestUniform: exactly 0 on a perfectly uniform spread, " +
+      "positive on skew, partition-invariant integers") {
+    import spark.implicits._
+    // 24 buckets x 5 each: O*24 = N for every cell -> every log term 0
+    val uni = (0 until 120).map(i => ("k", (i % 24).toLong))
+      .toDF("k", "b")
+    val u = Profiling.gTestUniform(uni, col("k"), col("b"), 24, "k")
+      .select("n_events", "n_buckets_hit", "g_num_fp", "g_stat")
+      .as[(Long, Long, Long, Double)].head()
+    assert(u == ((120L, 24L, 0L, 0.0)))
+    // all mass in one bucket: G = 2*N*ln(24) — g_num_fp = N * L(24*N) -
+    // N*L(N) = N * (L(24N) - L(N)) ~ N * log2(24) * 2^20
+    val skew = (0 until 120).map(_ => ("k", 0L)).toDF("k", "b")
+    val s = Profiling.gTestUniform(skew, col("k"), col("b"), 24, "k")
+      .select("n_buckets_hit", "g_num_fp", "g_stat")
+      .as[(Long, Long, Double)].head()
+    assert(s._1 == 1L && s._2 > 0L)
+    // 2*120*ln(24) = 762.7...; fixed-point truncation < 1e-3 here
+    assert(math.abs(s._3 - 2.0 * 120.0 * math.log(24)) < 1e-2, s.toString)
+    val rep = Profiling.gTestUniform(
+        ((0 until 120).map(i => ("k", (i % 3).toLong)))
+          .toDF("k", "b").repartition(13), col("k"), col("b"), 24, "k")
+      .select("g_num_fp").as[Long].head()
+    val one = Profiling.gTestUniform(
+        ((0 until 120).map(i => ("k", (i % 3).toLong))).toDF("k", "b"),
+        col("k"), col("b"), 24, "k")
+      .select("g_num_fp").as[Long].head()
+    assert(rep == one && rep > 0L)
+  }
 }
