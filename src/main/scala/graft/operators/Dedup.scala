@@ -89,6 +89,22 @@ object Dedup {
     * failed batch cannot corrupt it. Returns the surviving rows. */
   def exactKeepIncremental(newDocs: DataFrame, idCol: String,
       textCol: String, indexPath: String): DataFrame = {
+    val staged = exactKeepStage(newDocs, idCol, textCol, indexPath)
+    exactKeepCommit(staged, indexPath)
+    staged.drop("content_hash")
+  }
+
+  /** Phase 1 of [[exactKeepIncremental]] for TRANSACTIONAL sinks:
+    * compute the batch's survivors (with their `content_hash` column,
+    * lineage cut) WITHOUT touching the index. Callers commit their own
+    * sink first, then [[exactKeepCommit]] the hashes — index-first
+    * ordering has a crash window where a redelivered batch dedups
+    * itself away against the half-committed index and its rows are
+    * lost forever; sink-first is safe in both crash positions (the
+    * sink's idempotence absorbs the redelivery, the index re-commit is
+    * an idempotent upsert). */
+  def exactKeepStage(newDocs: DataFrame, idCol: String,
+      textCol: String, indexPath: String): DataFrame = {
     val spark = newDocs.sparkSession
     val target = new org.apache.hadoop.fs.Path(indexPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -102,15 +118,18 @@ object Dedup {
     // plan's lineage to the index files — a persist() would be
     // invalidated by the index write's own refreshByPath and silently
     // recompute against the post-write index (= drop everything)
-    val survivors = unseen.join(
+    unseen.join(
       unseen.groupBy(col("content_hash")).agg(min(col(idCol)).as(idCol)),
       Seq(idCol, "content_hash"), "left_semi")
       .localCheckpoint()
-    graft.sinks.ParquetUpsert.upsert(
-      survivors.select(col("content_hash")).distinct(), indexPath,
-      Seq("content_hash"))
-    survivors.drop("content_hash")
   }
+
+  /** Phase 2 of [[exactKeepIncremental]]: record the staged survivors'
+    * hashes in the persistent index (idempotent keyed upsert). */
+  def exactKeepCommit(staged: DataFrame, indexPath: String): Unit =
+    graft.sinks.ParquetUpsert.upsert(
+      staged.select(col("content_hash")).distinct(), indexPath,
+      Seq("content_hash"))
 
   /** Incremental cross-batch NEAR-dup ingest against a persistent
     * MinHash-LSH band index — [[exactKeepIncremental]]'s near-duplicate

@@ -613,6 +613,13 @@ object Graph {
     * score too (similarity, not link prediction), and the score is the
     * normalized Jaccard rather than the raw common count.
     *
+    * PRECONDITION: `edges` must be SYMMETRIZED (every edge present in
+    * both directions, like [[pageRank]]'s input contract) — common
+    * counts come from shared in-neighbors while degrees count
+    * out-edges, which only agree on a symmetric edge list; a raw
+    * directed input yields dropped pairs (inner degree joins) or
+    * zero/negative union sizes.
+    *
     * Scale shape: a wedge CENTER of degree d contributes d² pairs, so
     * an uncapped hub makes the pair stream quadratic in hub degree (the
     * inherent price of any common-neighbor statistic — measured 36 s at
@@ -653,8 +660,16 @@ object Graph {
       common
         .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
         .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+        // guard the symmetry precondition: a directed input can drive
+        // the union size to <= 0 (out-degrees vs in-neighbor commons);
+        // fail loudly instead of emitting nulls/negative similarities
+        .withColumn("__union", col("deg_a") + col("deg_b") - col("n_common"))
         .withColumn("jaccard_x1e6",
-          expr("n_common * 1000000 div (deg_a + deg_b - n_common)"))
+          when(col("__union") <= 0,
+            raise_error(lit("neighborJaccard needs a symmetrized edge " +
+              "list (union size <= 0 — see scaladoc)")))
+            .otherwise(expr("n_common * 1000000 div __union")))
+        .drop("__union")
         .select(col("a"), col("b"), col("n_common"), col("deg_a"),
           col("deg_b"), col("jaccard_x1e6"))
         .orderBy(col("jaccard_x1e6").desc, col("a"), col("b"))

@@ -326,7 +326,11 @@ object Profiling {
     * `p_b=(c_base+1)/(T+n), q_b=(c_cur+1)/(R+n)`, and
     * `psi_num = ((c_base+1)(R+n) - (c_cur+1)(T+n)) * log2r_fp`,
     * `log2r_fp = L(c_base+1)+L(R+n)-L(c_cur+1)-L(T+n)` with L =
-    * log2_fp. Decimal(38) products keep 100 TB-scale counts exact.
+    * log2_fp. Decimal(38) products keep 100 TB-scale counts exact
+    * INTERNALLY; the gate projection casts psi_num/denom to BIGINT
+    * (the no-final-decimal contract, SURVEY §5), which caps the
+    * RATIONAL readout near 3M rows per sample side — past that the
+    * rational columns null out while the double `psi` stays correct.
     * Two count aggregations (map-side partial) + bounded-state
     * broadcasts: nothing here grows past `nBuckets` rows. */
   def psiReport(base: DataFrame, cur: DataFrame, v: Column,
@@ -433,11 +437,15 @@ object Profiling {
       .cast("decimal(38,0)")
     // gate projection: digest_sum fits int64 (u32 sums), digest_sq can
     // exceed it (u32² sums), so it ships as the exact digit string —
-    // no final-schema DecimalType (driver-hash hazard, SURVEY §5)
+    // no final-schema DecimalType (driver-hash hazard, SURVEY §5).
+    // digest_sum shares the overflow class at ~4.3e9 rows/group (u32
+    // draws average 2^31): the same digit-string route keeps the
+    // digest exact at any group size
     df.select(group.as("grp"), u32.as("__h"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("__h")).cast("long").as("digest_sum"),
+        sum(col("__h")).cast("decimal(38,0)")
+          .cast("string").as("digest_sum"),
         sum(col("__h") * col("__h")).cast("decimal(38,0)")
           .cast("string").as("digest_sq"))
   }

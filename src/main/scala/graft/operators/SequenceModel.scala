@@ -44,9 +44,15 @@ object SequenceModel {
     * |types|^2-bounded — broadcast-sized by construction (the type
     * vocabulary is a schema property, not a data-size one). */
   def transitionModel(events: DataFrame, userCol: Column, tsCol: Column,
-      tieCol: Column, typeCol: Column): DataFrame = {
+      tieCol: Column, typeCol: Column): DataFrame =
+    modelOfTransitions(
+      transitions(events, userCol, tsCol, tieCol, typeCol))
+
+  /** [[transitionModel]] over an ALREADY-FORMED transition stream —
+    * lets [[sequenceAnomaly]] share one window pass between scoring
+    * stream and model fit instead of shuffling the events twice. */
+  private def modelOfTransitions(tr: DataFrame): DataFrame = {
     import graft.functions.FixedLogFunctions.log2_fp
-    val tr = transitions(events, userCol, tsCol, tieCol, typeCol)
     val bi = tr.groupBy(col("__prev"), col("__next"))
       .agg(count(lit(1)).as("__n_ab"))
     val uni = bi.groupBy(col("__prev")).agg(sum(col("__n_ab")).as("__n_a"))
@@ -62,9 +68,11 @@ object SequenceModel {
   def sequenceAnomaly(events: DataFrame, userCol: Column, tsCol: Column,
       tieCol: Column, typeCol: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
+    // ONE window pass: persist the transition stream so the model fit
+    // and the scoring join share it instead of re-shuffling the events
     val tr = transitions(events, userCol, tsCol, tieCol, typeCol)
-    val model = broadcast(
-      transitionModel(events, userCol, tsCol, tieCol, typeCol))
+      .localCheckpoint()
+    val model = broadcast(modelOfTransitions(tr))
     tr.join(model, Seq("__prev", "__next"))
       .groupBy(col("__u"))
       .agg(count(lit(1)).as("n_trans"), sum(col("__s")).as("surprise_fp"))

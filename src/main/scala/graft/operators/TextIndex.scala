@@ -224,9 +224,15 @@ object TextIndex {
     * Output: (query_term, match_term, dist), one row per matched pair.
     *
     * Scale shape: key generation is map-only, |rows| x (len choose <=d)
-    * keys; the join is keyed on the deletion string; candidate pairs
-    * are distinct-ed BEFORE the levenshtein verify, so a pair reachable
-    * through many shared deletions is verified once. Hot keys are
+    * keys; the join is keyed on the deletion string. Catalyst hoists
+    * the distance bound INTO the join condition (verified in
+    * TextIndexSpec's plan test): each raw candidate row pays one
+    * levenshtein as an early prune — duplicates of a pair reachable
+    * through several shared deletions pay it per copy, but non-matches
+    * die before the dedup exchange, the better trade (multiplicity per
+    * pair is <= the handful of shared deletion variants). The surviving
+    * pairs dedup and the output projection recomputes the distance once
+    * per match. Hot keys are
     * bounded by vocabulary words per deletion variant (a vocabulary
     * property, not a corpus-size one — vocab is distinct terms; the ""
     * key's bucket is exactly the length-<=d words). */
@@ -244,8 +250,13 @@ object TextIndex {
         .as("__k"))
     q.join(v, "__k")
       .select(col("__q"), col("__w")).distinct()
-      .where(levenshtein(col("__q"), col("__w")) <= maxEdits)
+      // compute the O(|q|*|w|) edit distance ONCE per candidate pair —
+      // filter + projection as separate levenshtein calls would pay it
+      // twice (Catalyst doesn't CSE across the Filter/Project boundary)
+      .withColumn("dist",
+        levenshtein(col("__q"), col("__w")).cast("long"))
+      .where(col("dist") <= maxEdits)
       .select(col("__q").as("query_term"), col("__w").as("match_term"),
-        levenshtein(col("__q"), col("__w")).cast("long").as("dist"))
+        col("dist"))
   }
 }

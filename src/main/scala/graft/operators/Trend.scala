@@ -196,7 +196,11 @@ object Trend {
     *   den    = Σ_t (n·x_t − S)²          (S = Σx over the key's series)
     * and acf(k) = num/den with both sides exact DECIMAL(38,0) — engine-
     * independent, so sign tests / threshold rules on the rational are
-    * hash-exact. Ranks (not raw t gaps) index the series: the caller
+    * hash-exact. The gate projection casts num/den to BIGINT (SURVEY
+    * §5's no-final-decimal contract): den ~ n³·x² outruns int64 for
+    * long money-scale series, where the rational columns null out —
+    * size the period grain (or rescale x) if the exact rational is
+    * needed past that. Ranks (not raw t gaps) index the series: the caller
     * aggregates to the grain FIRST (one row per key per period), and a
     * missing period shortens the series rather than zero-filling —
     * document the grain at the call site.

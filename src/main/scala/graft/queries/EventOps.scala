@@ -1781,7 +1781,8 @@ object EventOps {
          |  SELECT source, CAST($u AS HUGEINT) AS u32 FROM k
          |)
          |SELECT source AS grp, COUNT(*) AS n_rows,
-         |  CAST(SUM(u32) AS BIGINT) AS digest_sum,
+         |  CAST(CAST(SUM(u32) AS DECIMAL(38,0)) AS VARCHAR)
+         |    AS digest_sum,
          |  CAST(CAST(SUM(u32 * u32) AS DECIMAL(38,0)) AS VARCHAR)
          |    AS digest_sq
          |FROM u GROUP BY 1 ORDER BY grp""".stripMargin

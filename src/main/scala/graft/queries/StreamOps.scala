@@ -333,19 +333,26 @@ object StreamOps {
             new java.io.File(base, "ckpt").toString)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, id: Long) =>
-            val survivors = graft.operators.Dedup
-              .exactKeepIncremental(b, "event_id", "content", idx)
-              .select(col("event_id"), col("event_type"))
-            graft.sinks.VersionedTable.appendBatch(survivors, root, id)
+            // SINK-FIRST ordering: stage survivors (index untouched),
+            // commit the lake, THEN record the hashes — index-first has
+            // a crash window where the redelivered batch dedups itself
+            // away against the half-committed index and its rows are
+            // lost forever (sink-first is safe in both crash positions)
+            val staged = graft.operators.Dedup
+              .exactKeepStage(b, "event_id", "content", idx)
+            graft.sinks.VersionedTable.appendBatch(
+              staged.select(col("event_id"), col("event_type")), root, id)
+            graft.operators.Dedup.exactKeepCommit(staged, idx)
             // deliberate at-least-once replay: the index now knows every
             // hash, so the replayed batch must fully dedup away — and
             // the lake must skip the committed batch id either way
             val replay = graft.operators.Dedup
-              .exactKeepIncremental(b, "event_id", "content", idx)
+              .exactKeepStage(b, "event_id", "content", idx)
             require(replay.isEmpty,
               s"index replay of batch $id was not idempotent")
-            require(graft.sinks.VersionedTable
-              .appendBatch(survivors, root, id).isEmpty,
+            require(graft.sinks.VersionedTable.appendBatch(
+              staged.select(col("event_id"), col("event_type")),
+              root, id).isEmpty,
               s"lake re-delivery of batch $id was not idempotent")
             ()
           }.start()

@@ -1136,6 +1136,10 @@ object VersionedTable {
     * entries (at ingest rate, a real file-count leak). With the stats
     * pass disabled the empties can't be told apart cheaply and are
     * committed as before (harmless to readers). */
+  /** Serializes the session-conf swap in [[stageFiles]] (the timestamp
+    * output type has no per-write option). */
+  private object TsConfLock
+
   private def stageFiles(df: DataFrame, root: String): Seq[String] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
@@ -1144,14 +1148,19 @@ object VersionedTable {
     // legacy INT96 default: INT96 column chunks carry NO usable min/max
     // (deprecated ordering), which would blind the footer stats path —
     // and the lake's files become standard-interoperable as a bonus.
-    // Session-conf swap restored in finally (no per-write option exists).
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    // Session-conf swap restored in finally (no per-write option
+    // exists); the swap is serialized under TsConfLock so two threads
+    // staging concurrently in one session can't interleave set/restore
+    // and leak INT96 (or the override) into each other's writes.
+    TsConfLock.synchronized {
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.getOption(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      finally prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None => spark.conf.unset(tsKey)
+      }
     }
     f.mkdirs(dataDir(root))
     val parts = f.listStatus(stage).toSeq.map(_.getPath)
@@ -1560,10 +1569,10 @@ object VersionedTable {
     * "Changed" compares full row STATE (presence + every non-key
     * column, null-safe), so delete-vs-update divergence conflicts too.
     * Scale shape: one 3-way full-outer shuffle join on the keys; the
-    * apply path is the file-pruned upsert; the delete key set is
-    * collected to build the predicate — bounded by the from-branch's
-    * delete count (the same bounded-driver-state contract as the file
-    * lists), fine for branch workflows where deletions are targeted.
+    * apply path is the file-pruned upsert; deletions apply through
+    * [[deleteMatching]] — an anti-join against the checkpointed delete
+    * keys, fully distributed (never collected to the driver, never a
+    * predicate tree that grows with the delete count).
     * Idempotent: re-merging after a no-change merge applies nothing. */
   def mergeBranch(spark: SparkSession, intoRoot: String,
       fromRoot: String, keys: Seq[String], baseRoot: String,

@@ -236,6 +236,19 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyLookup plan: the distance bound prunes IN the join (before " +
+      "the dedup exchange), the projection computes it once more") {
+    val plan = TextIndex.fuzzyLookup(Seq("spark").toDF("w"), "w",
+        Seq("spork").toDF("q"), "q", 1)
+      .queryExecution.optimizedPlan.toString
+    // Catalyst hoists `levenshtein <= d` into the join condition — the
+    // early prune documented in the scaladoc; exactly one more
+    // evaluation (the output column) may appear above the Aggregate
+    val n = "levenshtein".r.findAllIn(plan).size
+    assert(n == 2, s"levenshtein appears $n times:\n$plan")
+    assert(plan.contains("Join Inner, ((levenshtein"), plan)
+  }
+
   test("fuzzyLookup: duplicates collapse; nulls and empties are safe") {
     val out = fuzzy(Seq("ab", "ab", "abc"), Seq("ab", "ab"), 1)
     assert(out == Seq(("ab", "ab", 0L), ("ab", "abc", 1L)))
