@@ -492,6 +492,56 @@ object Graph {
     visited
   }
 
+  /** Hop-bounded closeness centrality for a SEED set — "how near is
+    * this node to everything it can reach?", the centrality behind
+    * facility-placement and influence ranking. Per seed s over the
+    * ≤`maxHops` reachable set R(s): closeness = (|R(s)|−1)/Σ hops —
+    * held as the exact integer rational (n_reached, sum_hops) with one
+    * IEEE division readout (hop-bounding is what makes the statistic
+    * computable at scale at all; unbounded closeness needs the full
+    * APSP).
+    *
+    * ONE labeled multi-source BFS: the frontier carries (seed, node),
+    * so k seeds ride the same per-round edge join with k× state instead
+    * of k sequential traversals — same per-round shape as
+    * [[shortestHops]] (edges hash-partitioned once and lineage-cut,
+    * only the frontier moves, one action per round). Output per seed:
+    * (seed, n_reached, sum_hops, closeness) — closeness NULL for an
+    * isolated seed (nothing reached). */
+  def closenessSeeds(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50,
+      s"maxHops=$maxHops out of [1,50]")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .repartition(col("src")).localCheckpoint()
+    var visited = seeds.select(col(seedCol).cast("long").as("seed"))
+      .where(col("seed").isNotNull).distinct()
+      .select(col("seed"), col("seed").as("node"),
+        lit(0L).as("hops")).localCheckpoint()
+    var frontier = visited.select(col("seed"), col("node"))
+    var h = 0L
+    var done = frontier.isEmpty
+    while (h < maxHops && !done) {
+      h += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      done = next.isEmpty
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("seed"), col("node"))
+    }
+    visited.groupBy(col("seed"))
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        sum(col("hops")).as("sum_hops"))
+      .withColumn("closeness",
+        when(col("sum_hops") > 0,
+          col("n_reached").cast("double") /
+            col("sum_hops").cast("double")))
+  }
+
   /** Hop-bounded cheapest paths from a seed set over NON-NEGATIVE
     * integer edge weights — distributed Bellman-Ford. Each round relaxes
     * every edge leaving the improved frontier (ONE equi-join + ONE

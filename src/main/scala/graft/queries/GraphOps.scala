@@ -303,6 +303,18 @@ object GraphOps {
         .orderBy(col("node"))
     }),
 
+    // hop-bounded closeness centrality for three seed suppliers: one
+    // labeled multi-source BFS, the statistic an exact (reached, hops)
+    // rational per seed
+    "graph_closeness_seeds" -> ((s, d) => {
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_suppkey") <= 3)
+        .select((col("s_suppkey") * 2 + 1).as("seed"))
+      graft.operators.Graph.closenessSeeds(tradeEdges(s, d), "src",
+          "dst", seeds, "seed", maxHops = BfsHops)
+        .orderBy(col("seed"))
+    }),
+
     // hop-bounded WEIGHTED cheapest paths (Bellman-Ford): integer edge
     // costs, exact min-cost over paths of <= BfsHops edges — the oracle
     // reproduces the identical semantics as a hop-bounded recursive CTE
@@ -705,6 +717,31 @@ object GraphOps {
          |   UNION ALL SELECT b FROM e$KCoreRounds)
          |GROUP BY node ORDER BY node""".stripMargin
     },
+
+    "graph_closeness_seeds" ->
+      s"""WITH RECURSIVE ep AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT src, dst FROM ep
+         |  UNION
+         |  SELECT dst AS src, src AS dst FROM ep
+         |), walk(seed, node, hop) AS (
+         |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT),
+         |    CAST(s_suppkey * 2 + 1 AS BIGINT), 0
+         |  FROM supplier WHERE s_suppkey <= 3
+         |  UNION
+         |  SELECT w.seed, e.dst, w.hop + 1 FROM walk w
+         |  JOIN e ON e.src = w.node WHERE w.hop < $BfsHops
+         |), dist AS (
+         |  SELECT seed, node, MIN(hop) AS hops
+         |  FROM walk GROUP BY seed, node)
+         |SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+         |  CAST(SUM(hops) AS BIGINT) AS sum_hops,
+         |  CASE WHEN SUM(hops) > 0 THEN
+         |    CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(hops) AS DOUBLE)
+         |  END AS closeness
+         |FROM dist GROUP BY seed ORDER BY seed""".stripMargin,
 
     "graph_assortativity" ->
       s"""WITH $EdgesCte,

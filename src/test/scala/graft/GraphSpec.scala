@@ -481,6 +481,31 @@ class GraphSpec extends SparkSpec {
     assert(got2 == want.map { case (a, b, _) => (a, b, 2L) })
   }
 
+  test("closenessSeeds: hand values on a path graph, hop bound clips " +
+      "the horizon, isolated seed is NULL") {
+    // path 0-1-2-3-4 (symmetrized); seed 0: hops 1+2+3+4=10, reached 4
+    // -> closeness 0.4; seed 2 (center): 1+1+2+2=6 -> 4/6
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq(0L, 2L, 9L).toDF("seed") // 9 isolated
+    val got = Graph.closenessSeeds(path, "src", "dst", seeds, "seed", 10)
+      .select("seed", "n_reached", "sum_hops")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(0L) == ((4L, 10L)))
+    assert(got(2L) == ((4L, 6L)))
+    assert(got(9L) == ((0L, 0L)))
+    val cNull = Graph.closenessSeeds(path, "src", "dst", seeds, "seed",
+        10).where(col("seed") === 9L)
+      .select("closeness").as[Option[Double]].head()
+    assert(cNull.isEmpty)
+    // maxHops=2 clips seed 0's horizon to {1,2}: 1+2=3
+    val clipped = Graph.closenessSeeds(path, "src", "dst",
+        Seq(0L).toDF("seed"), "seed", 2)
+      .select("n_reached", "sum_hops").as[(Long, Long)].head()
+    assert(clipped == ((2L, 3L)))
+  }
+
   test("assortativity: star graph is perfectly disassortative (-1), " +
       "ring is degree-constant (undefined)") {
     // 4-leaf star, symmetrized: every edge joins deg 4 to deg 1
