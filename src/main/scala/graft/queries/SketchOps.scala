@@ -25,6 +25,72 @@ object SketchOps {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // DataSource V2 front door (round-7 item 1): the SAME lake served
+    // through spark.read.format("graft") — three clustered commits so
+    // the pushed range predicate actually prunes files via manifest
+    // stats (prune parity with readWhere is pinned file-by-file in
+    // DataSourceV2Spec), then a filtered aggregate whose values the
+    // oracle checks exactly. Result is pruning-independent by contract.
+    "versioned_dsv2_read" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("dsv2")
+        .toString + "/t"
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      // three key-range-disjoint commits -> three prunable file groups
+      val hi = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      Seq(0L, 1L, 2L).foreach { b =>
+        VersionedTable.append(cust.filter(
+          col("c_custkey") > b * hi / 3 &&
+            col("c_custkey") <= (b + 1) * hi / 3), root)
+      }
+      val result = s.read.format("graft").load(root)
+        .filter(col("c_acctbal") >= 5000 && col("c_mktsegment") =!= "AUTOMOBILE")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          // cents as exact integers: floor(x*100) is the same IEEE op in
+          // both engines, then the sum is integer-exact (double sums are
+          // association-order-sensitive and would hash-flap)
+          sum(floor(col("c_acctbal") * 100).cast("long"))
+            .as("sum_bal_cents"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy(col("c_nationkey"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
+    // time travel through DSv2 read options: versionAsOf pins the first
+    // commit, tag pins a named release, the head serves both commits —
+    // all three states aggregated in one relation and oracle-rebuilt
+    "versioned_dsv2_timetravel" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("dsv2tt")
+        .toString + "/t"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      VersionedTable.write(docs.filter(col("doc_id") % 2 === 0), root)
+      VersionedTable.append(docs.filter(col("doc_id") % 2 === 1), root)
+      VersionedTable.tag(s, root, "seed", 0L)
+      def agg(df: DataFrame, n: String, c: String) =
+        df.groupBy(col("source")).agg(count(lit(1)).as(n),
+          sum(col("n_chars")).as(c))
+      val head = s.read.format("graft").load(root)
+      val v0 = s.read.format("graft").option("versionAsOf", 0).load(root)
+      val tagged = s.read.format("graft").option("tag", "seed").load(root)
+      val result = agg(head, "n_head", "chars_head")
+        .join(agg(v0, "n_v0", "chars_v0"), "source")
+        .join(agg(tagged, "n_tag", "chars_tag"), "source")
+        .orderBy(col("source"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // z-order layout round trip through the gate: lineitem written
     // Morton-interleaved on (l_partkey, l_suppkey), read back with a
     // selective filter on BOTH dims and aggregated — data fidelity is
@@ -764,6 +830,27 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "versioned_dsv2_read" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_bal_cents,
+        |  MAX(c_custkey) AS max_key
+        |FROM customer
+        |WHERE c_acctbal >= 5000 AND c_mktsegment <> 'AUTOMOBILE'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "versioned_dsv2_timetravel" ->
+      """WITH v0 AS (SELECT * FROM documents WHERE doc_id % 2 = 0)
+        |SELECT d.source,
+        |  COUNT(*) AS n_head, CAST(SUM(d.n_chars) AS BIGINT) AS chars_head,
+        |  MIN(z.n_v0) AS n_v0, MIN(z.chars_v0) AS chars_v0,
+        |  MIN(z.n_v0) AS n_tag, MIN(z.chars_v0) AS chars_tag
+        |FROM documents d
+        |JOIN (SELECT source, COUNT(*) AS n_v0,
+        |        CAST(SUM(n_chars) AS BIGINT) AS chars_v0
+        |      FROM v0 GROUP BY source) z ON z.source = d.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
     "versioned_merge" ->
       """WITH upd AS (
         |  SELECT doc_id, n_chars + 7 AS nn FROM documents

@@ -76,11 +76,11 @@ object VersionedTable {
     * `spark.graft.lake.bloom.cols` — equality/IN point lookups on
     * high-cardinality unclustered columns, where overlapping min/max
     * ranges never prune, skip files through it). */
-  private[sinks] final case class ColStat(min: Option[String],
+  private[graft] final case class ColStat(min: Option[String],
       max: Option[String], hasNulls: Boolean,
       bloom: Option[Array[Byte]] = None,
       rows: Option[Long] = None)
-  private[sinks] type FileStats = Map[String, ColStat]
+  private[graft] type FileStats = Map[String, ColStat]
 
   private final case class Manifest(schema: StructType, files: Seq[String],
       batchId: Option[Long], stats: Map[String, FileStats])
@@ -420,7 +420,13 @@ object VersionedTable {
   /** Time travel by TIMESTAMP: the newest version committed at or
     * before `asOf` (epoch millis). The anchor is the manifest file's
     * mtime — the moment the commit became visible. */
-  def readAsOf(spark: SparkSession, root: String, asOf: Long): DataFrame = {
+  def readAsOf(spark: SparkSession, root: String, asOf: Long): DataFrame =
+    read(spark, root, Some(versionAsOfTime(spark, root, asOf)))
+
+  /** Version resolution for timestamp time travel, shared by [[readAsOf]]
+    * and the DSv2 `timestampAsOf` read option. */
+  private[graft] def versionAsOfTime(spark: SparkSession, root: String,
+      asOf: Long): Long = {
     val f = fs(spark, root)
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed version under $root")
@@ -428,7 +434,54 @@ object VersionedTable {
       f.getFileStatus(manifestPath(root, v)).getModificationTime <= asOf)
     require(eligible.nonEmpty,
       s"no version committed at or before $asOf under $root")
-    read(spark, root, Some(eligible.max))
+    eligible.max
+  }
+
+  /** Pinned snapshot descriptor — version + schema + the manifest's
+    * immutable file list + per-file stats. This is the unit the
+    * DataSource V2 connector ([[graft.sources.v2.GraftLakeSource]]) plans
+    * a scan from: once resolved, concurrent commits cannot change what
+    * the scan reads. */
+  private[graft] final case class Snapshot(root: String, version: Long,
+      schema: StructType, files: Seq[String],
+      stats: Map[String, FileStats])
+
+  private[graft] def snapshot(spark: SparkSession, root: String,
+      version: Option[Long] = None): Snapshot = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in $vs")
+    val m = manifest(fs(spark, root), root, v)
+    Snapshot(root, v, m.schema, m.files, m.stats)
+  }
+
+  /** Manifest-stat file pruning over a resolved snapshot — the single
+    * implementation behind [[readWhere]] AND the DSv2 scan's pushed-filter
+    * pruning, so format-path and library-path skipping can never diverge.
+    * Conservative: files whose stats cannot PROVE emptiness are kept. */
+  private[graft] def pruneFiles(spark: SparkSession, snap: Snapshot,
+      cond: Column): Seq[String] = {
+    val types = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+    val condExpr = resolvePredicate(spark, snap.schema, cond)
+    snap.files.filter(p => condExpr.forall(ce =>
+      snap.stats.get(p).forall(fst => mayMatch(ce, fst, types))))
+  }
+
+  /** Resolve + constant-fold a predicate against a table schema by
+    * analyzing a probe Filter over an empty relation: attributes become
+    * typed AttributeReferences and cast literals (e.g.
+    * lit("1997-01-01").cast("timestamp")) fold to comparable Literals. */
+  private[graft] def resolvePredicate(spark: SparkSession,
+      schema: StructType, cond: Column): Option[expressions.Expression] = {
+    val probe = spark
+      .createDataFrame(new java.util.ArrayList[Row](), schema)
+      .filter(cond).queryExecution.analyzed
+    org.apache.spark.sql.catalyst.optimizer.ConstantFolding(probe)
+      .collectFirst {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          fl.condition
+      }
   }
 
   /** Data-skipping read: like [[read]], but files whose manifest stats
@@ -442,31 +495,12 @@ object VersionedTable {
     * Returns the filtered DataFrame. */
   def readWhere(spark: SparkSession, root: String, cond: Column,
       version: Option[Long] = None): DataFrame = {
-    val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no committed version under $root")
-    val v = version.getOrElse(vs.max)
-    require(vs.contains(v), s"version $v not in $vs")
-    val m = manifest(fs(spark, root), root, v)
-    val types = m.schema.fields.map(fd => fd.name -> fd.dataType).toMap
-    // resolve + constant-fold the predicate against the table schema by
-    // analyzing a probe Filter over an empty relation: attributes become
-    // typed AttributeReferences and cast literals (e.g.
-    // lit("1997-01-01").cast("timestamp")) fold to comparable Literals
-    val probe = spark
-      .createDataFrame(new java.util.ArrayList[Row](), m.schema)
-      .filter(cond).queryExecution.analyzed
-    val condExpr = org.apache.spark.sql.catalyst.optimizer
-      .ConstantFolding(probe)
-      .collectFirst {
-        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          fl.condition
-      }
-    val kept = m.files.filter(p => condExpr.forall(ce =>
-      m.stats.get(p).forall(fst => mayMatch(ce, fst, types))))
+    val snap = snapshot(spark, root, version)
+    val kept = pruneFiles(spark, snap, cond)
     val base =
       if (kept.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
-      else spark.read.schema(m.schema).parquet(kept: _*)
+        spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
+      else spark.read.schema(snap.schema).parquet(kept: _*)
     base.filter(cond)
   }
 

@@ -1,0 +1,133 @@
+package graft
+
+import graft.sinks.VersionedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+import org.apache.spark.sql.functions._
+
+/** `spark.read.format("graft")` — the DataSource V2 face of the
+  * versioned lake: snapshot reads, time travel via options, and the
+  * contract that format-path file pruning is EXACTLY readWhere's
+  * (one shared implementation, asserted file-by-file here). */
+class DataSourceV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** The physical parquet scan the V2 path planned (under AQE). */
+  private def fileScan(df: DataFrame): FileScan = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectFirst { case b: BatchScanExec => b.scan }
+      .getOrElse(fail("no BatchScanExec in plan")) match {
+      case f: FileScan => f
+      case other => fail(s"scan is not a FileScan: $other")
+    }
+  }
+
+  test("format round-trip: head read equals library read") {
+    val root = tmpRoot("dsv2rt")
+    VersionedTable.write((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"),
+      root)
+    VersionedTable.append((101L to 120L).map(i => (i, s"v$i"))
+      .toDF("k", "v"), root)
+    val viaFormat = spark.read.format("graft").load(root)
+    assert(viaFormat.schema == VersionedTable.read(spark, root).schema)
+    assert(viaFormat.orderBy("k").collect().toSeq ==
+      VersionedTable.read(spark, root).orderBy("k").collect().toSeq)
+  }
+
+  test("time travel options: versionAsOf, timestampAsOf, tag") {
+    val root = tmpRoot("dsv2tt")
+    VersionedTable.write((1L to 50L).map(i => (i, i * 10)).toDF("k", "v"),
+      root)
+    Thread.sleep(20) // separate manifest mtimes
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(20)
+    VersionedTable.append((51L to 80L).map(i => (i, i * 10)).toDF("k", "v"),
+      root)
+    VersionedTable.tag(spark, root, "first", 0L)
+
+    assert(spark.read.format("graft").option("versionAsOf", 0)
+      .load(root).count() == 50)
+    assert(spark.read.format("graft").load(root).count() == 80)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", tMid.toString).load(root).count() == 50)
+    assert(spark.read.format("graft").option("tag", "first")
+      .load(root).count() == 50)
+    // at most one selector
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", 0)
+        .option("tag", "first").load(root)
+    }
+  }
+
+  test("pushed filters prune the SAME files readWhere prunes") {
+    val root = tmpRoot("dsv2pr")
+    // three disjoint-range commits -> three stats-prunable files
+    Seq(1L to 100L, 101L to 200L, 201L to 300L).foreach { r =>
+      VersionedTable.append(
+        r.map(i => (i, i % 7, s"s${i % 3}")).toDF("k", "grp", "src")
+          .coalesce(1), root)
+    }
+    val cond = col("k") >= 150L && col("k") <= 160L
+    val lib = VersionedTable.readWhere(spark, root, cond)
+    val fmt = spark.read.format("graft").load(root).filter(cond)
+    val fmtFiles = fileScan(fmt).fileIndex.inputFiles.toSet
+    assert(lib.inputFiles.toSet == fmtFiles,
+      s"format kept $fmtFiles, readWhere kept ${lib.inputFiles.toSet}")
+    assert(fmtFiles.size == 1, "middle-range predicate must keep 1 of 3")
+    assert(fmt.orderBy("k").collect().toSeq ==
+      lib.orderBy("k").collect().toSeq)
+    // provably-empty predicate: zero files planned, empty result
+    val none = spark.read.format("graft").load(root)
+      .filter(col("k") > 1000L)
+    assert(fileScan(none).fileIndex.inputFiles.isEmpty)
+    assert(none.count() == 0)
+  }
+
+  test("residual filters stay correct when pruning can't help") {
+    val root = tmpRoot("dsv2rs")
+    VersionedTable.write((1L to 300L).map(i => (i, i % 7)).toDF("k", "m"),
+      root)
+    // k % 2 isn't a prunable shape: all files kept, result still exact
+    val df = spark.read.format("graft").load(root)
+      .filter(col("k") % 2 === 0 && col("m") === 3)
+    assert(df.select(sum("k")).as[Long].head() ==
+      (1L to 300L).filter(i => i % 2 == 0 && i % 7 == 3).sum)
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val root = tmpRoot("dsv2cp")
+    VersionedTable.write((1L to 50L).map(i => (i, s"v$i", i * 1.5))
+      .toDF("k", "v", "w"), root)
+    val df = spark.read.format("graft").load(root).select("v")
+    assert(fileScan(df).readSchema().fieldNames.toSeq == Seq("v"))
+    assert(df.count() == 50)
+  }
+
+  test("snapshot pinning: a loaded frame survives later commits") {
+    val root = tmpRoot("dsv2sn")
+    VersionedTable.write((1L to 40L).map(i => (i, i)).toDF("k", "v"), root)
+    val pinnedDf = spark.read.format("graft").load(root)
+    VersionedTable.write((1L to 5L).map(i => (i, i)).toDF("k", "v"), root)
+    assert(pinnedDf.count() == 40, "pinned snapshot must not see v1")
+    assert(spark.read.format("graft").load(root).count() == 5)
+  }
+
+  test("sql access: temp view over the format path") {
+    val root = tmpRoot("dsv2sql")
+    VersionedTable.write((1L to 60L).map(i => (i, i % 4)).toDF("k", "b"),
+      root)
+    spark.read.format("graft").load(root).createOrReplaceTempView("dsv2_t")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM dsv2_t WHERE b = 2").as[Long].head()
+      assert(n == 15)
+    } finally spark.catalog.dropTempView("dsv2_t")
+  }
+}
