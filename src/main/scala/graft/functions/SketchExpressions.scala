@@ -18,9 +18,16 @@ import org.apache.spark.sql.types._
   * (doc, shingle); at 100 TB that is the difference between a map-only
   * stage and a corpus-sized exchange.
   *
-  * Permutation family matches the reference implementation exactly
-  * (spec-asserted): h = mod(xxhash64, P), m_i = (h * (2i+1) + 104729(i+1))
-  * mod P with P = 2^31 - 1, so h*a + b stays far below 2^63.
+  * Permutation family (Carter-Wegman over P = 2^31 - 1, shared verbatim
+  * with the declarative reference in graft.operators.Dedup —
+  * spec-asserted): h = mod(xxhash64, P), m_i = (h * a_i + b_i) mod P with
+  * a_i/b_i = golden-ratio multiples reduced mod P. The multipliers MUST
+  * be well mixed across the 31-bit range: small sequential multipliers
+  * (the first implementation used a_i = 2i+1) leave h*a + b un-wrapped
+  * for small h, so the element ordering — and hence the min — is the
+  * SAME in every slot and the "independent" permutations collapse into
+  * one (observed: a Jaccard-0.95 pair with near-disjoint signatures).
+  * h < P and a < P keep h*a + b far below 2^63.
   */
 object SketchUtil {
   val MinhashP = 2147483647L // 31-bit Mersenne prime
@@ -30,19 +37,35 @@ object SketchUtil {
     if (m < 0) m + p else m
   }
 
+  /** The i-th permutation's (multiplier, offset) — 0 < a < P guaranteed
+    * (golden-ratio multiples can't hit 0 mod the Mersenne prime for any
+    * realistic i). Shared by the native fold and the declarative
+    * explode/groupBy reference so their signatures are bit-identical. */
+  def minhashPerm(i: Int): (Long, Long) = (
+    floorMod(java.lang.Long.parseUnsignedLong("9E3779B97F4A7C15", 16)
+      * (i + 1L), MinhashP),
+    floorMod(java.lang.Long.parseUnsignedLong("C2B2AE3D27D4EB4F", 16)
+      * (i + 1L), MinhashP))
+
   /** MinHash signature (length `perms`) of a hash array; null for empty
     * input (docs with < k tokens have no shingles, hence no signature). */
   def minhashSig(hashes: ArrayData, perms: Int): ArrayData = {
     val n = hashes.numElements()
     if (n == 0) return null
+    val as = new Array[Long](perms)
+    val bs = new Array[Long](perms)
+    var i = 0
+    while (i < perms) {
+      val (a, b) = minhashPerm(i); as(i) = a; bs(i) = b; i += 1
+    }
     val sig = new Array[Long](perms)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var j = 0
     while (j < n) {
       val h = floorMod(hashes.getLong(j), MinhashP)
-      var i = 0
+      i = 0
       while (i < perms) {
-        val m = floorMod(h * (2L * i + 1L) + 104729L * (i + 1), MinhashP)
+        val m = floorMod(h * as(i) + bs(i), MinhashP)
         if (m < sig(i)) sig(i) = m
         i += 1
       }

@@ -622,7 +622,9 @@ object Dedup {
           .as("s"))
       .select(col("doc_id"), pmod(col("s"), lit(MinhashP)).as("h"))
     val mins = (0 until perms).map { i =>
-      val a = 2L * i + 1L; val b = 104729L * (i + 1)
+      // Carter-Wegman perms shared with the native fold (see
+      // SketchUtil.minhashPerm for why the multipliers must be mixed)
+      val (a, b) = graft.functions.SketchUtil.minhashPerm(i)
       min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"m$i")
     }
     hashed.groupBy(col("doc_id"))
@@ -658,6 +660,46 @@ object Dedup {
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           m => m)).cast("double") / size(col("a.sig"))).as("est_jaccard"))
       .distinct()
+  }
+
+  /** MinHash-LSH candidates EXACT-VERIFIED — the full production dedup
+    * pipeline (Leskovec/Rajaraman/Ullman, MMDS ch.3): banding replaces
+    * the all-pairs self-join with a bucket join, then every candidate is
+    * re-checked with the TRUE shingle-set Jaccard (integer
+    * intersection/union sizes) and pairs below `tau` drop. Precision is
+    * therefore exactly 1; recall is the banding curve's. Output schema =
+    * [[jaccardPairs]]' (doc_a, doc_b, n_inter, n_a, n_b, jaccard).
+    *
+    * Oracle note: where banding recall over a corpus is 1 (DedupSpec
+    * measures exactly that on the fixtures), the verified output EQUALS
+    * the exact all-pairs set, so the same DuckDB Jaccard oracle checks
+    * this gate end-to-end even though the candidates are LSH-found.
+    *
+    * Scale shape: the candidate join shuffles on (band, band_hash)
+    * buckets, the verify join is |candidates|-sized on doc keys — never
+    * all-pairs, never a corpus window. */
+  def minhashVerifiedPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, perms: Int = 32, bands: Int = 8, tau: Double = 0.5)
+      : DataFrame = {
+    val cand = minhashCandidates(df, id, text, k, perms, bands)
+      .select(col("doc_a"), col("doc_b"))
+    val sets = df.select(id.as("doc_id"),
+        fence(array_distinct(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k)))
+          .as("set"))
+      .withColumn("n_sh", size(col("set")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("__sa"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("__sb"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
   }
 
   /** SimHash fingerprints per document as a DataFrame (doc_id, sh) — a

@@ -78,19 +78,45 @@ object Ids {
 
   def denseGlobalRowNumber(df: DataFrame, order: Seq[Column],
       idCol: String = "row_id", numPartitions: Option[Int] = None)
-      : DataFrame = {
+      : DataFrame =
+    denseGlobalRowNumberWithCount(df, order, idCol, numPartitions)._1
+
+  /** [[denseGlobalRowNumber]] that ALSO returns the total row count —
+    * free, because the two-job zip's first job (per-partition sizes for
+    * the offsets) already sums to it. Callers that need n alongside the
+    * ranks (equi-depth bucketing: bucket = rank*k div n) would otherwise
+    * pay a third job over the ranked relation — and the upstream of a
+    * ranking is often the expensive part of the query (e.g. an LM
+    * scoring pass), so the saved job is the saved query. The two jobs
+    * share one RDD lineage: the range shuffle materializes once and the
+    * second job reuses its map outputs. */
+  def denseGlobalRowNumberWithCount(df: DataFrame, order: Seq[Column],
+      idCol: String = "row_id", numPartitions: Option[Int] = None)
+      : (DataFrame, Long) = {
     require(order.nonEmpty)
     val spark = df.sparkSession
     val parted = numPartitions.fold(df.repartitionByRange(order: _*))(
         n => df.repartitionByRange(n, order: _*))
       .sortWithinPartitions(order: _*)
-    // RDD.zipWithIndex is precisely the two-job shape: a count job for
-    // per-partition offsets, then offset + intra-partition index
-    val zipped = parted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(zipped,
+    // the two-job zip shape (what RDD.zipWithIndex does, with the
+    // partition sizes kept): job 1 counts rows per partition on ONE rdd
+    // instance — boundaries are fixed at partitioner creation, so job 2
+    // (offset + intra-partition index) sees exactly the counted layout
+    val rdd = parted.rdd
+    val sizes = rdd.mapPartitionsWithIndex({ (i, it) =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator((i, n))
+    }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val total = if (offsets.isEmpty) 0L else offsets.last
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val zipped = rdd.mapPartitionsWithIndex({ (i, it) =>
+      var k = bcOff.value(i)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ k); k += 1; out }
+    }, preservesPartitioning = true)
+    (spark.createDataFrame(zipped,
       StructType(parted.schema.fields :+
-        StructField(idCol, LongType, nullable = false)))
+        StructField(idCol, LongType, nullable = false))), total)
   }
 }

