@@ -338,6 +338,18 @@ object GraphOps {
         "src", "dst", minCommon = 2, k = 20, maxCenterDegree = 100)
     }),
 
+    // the HUB-SCALE neighbor-similarity tier (round-7 item 4): MinHash
+    // signatures over neighbor SETS + banded bucket join + exact integer
+    // verify — no wedge enumeration, so hub degree never goes quadratic.
+    // The perms are deterministic integer arithmetic over node ids, so
+    // the oracle replays the banding bit-for-bit: FULLY oracle-checked
+    // even though candidates are LSH-found
+    "graph_jaccard_minhash" -> ((s, d) => {
+      graft.operators.Graph.neighborJaccardMinHash(tradeEdges(s, d),
+        "src", "dst", minCommon = 2, tauX1e6 = 500000L,
+        perms = JmhPerms, bands = JmhBands, maxBucket = JmhMaxBucket)
+    }),
+
     // DeepWalk corpus: 2 hash-driven truncated walks of 4 steps from
     // every node — each step a deterministic md5 draw over the
     // dst-sorted adjacency, so the oracle replays every walk exactly
@@ -363,6 +375,62 @@ object GraphOps {
       |  FROM lineitem x JOIN lineitem y
       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
       |)""".stripMargin
+
+  val JmhPerms = 16
+  val JmhBands = 8
+  val JmhMaxBucket = 200
+
+  /** DuckDB replay of [[graft.operators.Graph.neighborJaccardMinHash]]'s
+    * banding: same Carter-Wegman constants, same band keys, same exact
+    * verify — the approximate tier is oracle-checked END-TO-END because
+    * nothing in it is engine-specific. */
+  private lazy val jaccardMinhashOracle: String = {
+    val P = graft.functions.SketchUtil.MinhashP
+    val rows = JmhPerms / JmhBands
+    val sigExprs = (0 until JmhPerms).map { i =>
+      val (a, b) = graft.functions.SketchUtil.minhashPerm(i)
+      s"list_min(list_transform(nbrs, n -> ((n % $P) * $a + $b) % $P))"
+    }
+    val bandSelects = (0 until JmhBands).map { bd =>
+      val key = (0 until rows).map(r => s"CAST(s[${bd * rows + r + 1}] " +
+        "AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT node, $bd AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $EdgesCte,
+       |adj AS (
+       |  SELECT src AS node, list_sort(list(DISTINCT dst)) AS nbrs,
+       |    CAST(COUNT(DISTINCT dst) AS BIGINT) AS deg
+       |  FROM e GROUP BY src),
+       |sig AS (
+       |  SELECT node, [${sigExprs.mkString(",\n    ")}] AS s
+       |  FROM adj),
+       |banded AS (
+       |  $bandSelects),
+       |cool AS (
+       |  SELECT band, key FROM banded GROUP BY band, key
+       |  HAVING COUNT(*) <= $JmhMaxBucket),
+       |kept AS (
+       |  SELECT b.* FROM banded b JOIN cool USING (band, key)),
+       |cand AS (
+       |  SELECT DISTINCT x.node AS a, y.node AS b
+       |  FROM kept x JOIN kept y
+       |    ON x.band = y.band AND x.key = y.key AND x.node < y.node),
+       |verified AS (
+       |  SELECT c.a, c.b,
+       |    CAST(len(list_intersect(na.nbrs, nb.nbrs)) AS BIGINT)
+       |      AS n_common,
+       |    na.deg AS deg_a, nb.deg AS deg_b
+       |  FROM cand c
+       |  JOIN adj na ON na.node = c.a
+       |  JOIN adj nb ON nb.node = c.b)
+       |SELECT a, b, n_common, deg_a, deg_b,
+       |  CAST(n_common * 1000000 // (deg_a + deg_b - n_common) AS BIGINT)
+       |    AS jaccard_x1e6
+       |FROM verified
+       |WHERE n_common >= 2
+       |  AND n_common * 1000000 // (deg_a + deg_b - n_common) >= 500000
+       |ORDER BY jaccard_x1e6 DESC, a, b""".stripMargin
+  }
 
   private val EdgesCte =
     """ep AS (
@@ -396,6 +464,8 @@ object GraphOps {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_jaccard_minhash" -> jaccardMinhashOracle,
+
     "graph_jaccard_neighbors" ->
       s"""WITH $EdgesCte,
          |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg

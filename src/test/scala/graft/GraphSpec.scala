@@ -460,6 +460,65 @@ class GraphSpec extends SparkSpec {
     assert(sqCap == out)
   }
 
+  test("neighborJaccardMinHash: precision 1 vs the exact tier, planted " +
+      "identical-neighbor pairs always found, scores exact") {
+    // square: opposite corners have IDENTICAL neighbor sets (J = 1) —
+    // identical sets mean identical signatures, so EVERY band matches
+    // and banding recall on them is 1 deterministically
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val mh = Graph.neighborJaccardMinHash(sq.toDF("src", "dst"),
+        "src", "dst", minCommon = 2, tauX1e6 = 500000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(mh == Seq((0L, 2L, 2L, 2L, 2L, 1000000L),
+      (1L, 3L, 2L, 2L, 2L, 1000000L)))
+    // fixture graph: every minhash-found pair must appear in the exact
+    // tier's uncapped output with the SAME verified score (precision 1);
+    // every J = 1 pair of the exact output must be found (recall 1 on
+    // identical sets)
+    val edges = {
+      val o = graft.Tables.orders(spark, Sf0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = graft.Tables.lineitem(spark, Sf0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      pairs.union(pairs.select(col("dst"), col("src")))
+    }
+    val exact = Graph.neighborJaccard(edges, "src", "dst",
+        minCommon = 1, k = 1000000)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val found = Graph.neighborJaccardMinHash(edges, "src", "dst",
+        minCommon = 1, tauX1e6 = 0L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(found.nonEmpty)
+    found.foreach { r =>
+      assert(exact.contains((r._1, r._2)), s"false pair $r")
+      assert(exact((r._1, r._2)) == r, s"score mismatch $r")
+    }
+    val foundSet = found.map(r => (r._1, r._2)).toSet
+    val identical = exact.values.filter(_._6 == 1000000L)
+    assert(identical.nonEmpty) // the dense sf0.001 graph plants these
+    identical.foreach(r => assert(foundSet.contains((r._1, r._2)),
+      s"J=1 pair $r missed — identical sets must always collide"))
+    // hot-bucket cap: star leaves {1,2,3} share neighbor set {0}, so
+    // all three land in every band's bucket (size 3) — cap 2 skips the
+    // bucket and the pairs vanish; uncapped finds all three
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val uncapped = Graph.neighborJaccardMinHash(star.toDF("src", "dst"),
+        "src", "dst", minCommon = 1, tauX1e6 = 0L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(uncapped.map(r => (r._1, r._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val capped = Graph.neighborJaccardMinHash(star.toDF("src", "dst"),
+        "src", "dst", minCommon = 1, tauX1e6 = 0L, maxBucket = 2)
+      .collect()
+    assert(capped.isEmpty)
+  }
+
   test("walk skip-grams: hand-checked symmetric window pairs") {
     // one walk 10,20,30,40 with window 2:
     // d=1 pairs: (10,20)(20,30)(30,40) + reverses
