@@ -468,6 +468,60 @@ class DedupSpec extends SparkSpec {
     assert(g2 == Seq(9L))
   }
 
+  test("sink-first ingest loop: a crash at EITHER position, then batch " +
+      "redelivery, loses no row and duplicates none") {
+    import graft.sinks.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("crashpos").toString
+    val root = s"$base/lake"; val idx = s"$base/index"
+    def lake() = VersionedTable.read(spark, root)
+      .select($"id").as[Long].collect().toSet
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val staged = graft.operators.Dedup.exactKeepStage(b, "id", "text", idx)
+      VersionedTable.appendBatch(staged.select($"id"), root, id)
+      graft.operators.Dedup.exactKeepCommit(staged, idx)
+    }
+    // batch 0 lands normally
+    ingest(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text"), 0L)
+    assert(lake() == Set(1L, 2L))
+
+    // CRASH POSITION A — after the lake commit, BEFORE the index upsert
+    val b1 = Seq((2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("id", "text")
+    val staged1 = graft.operators.Dedup.exactKeepStage(b1, "id", "text", idx)
+    VersionedTable.appendBatch(staged1.select($"id"), root, 1L)
+    // <- process dies here: survivors {3,4} are in the lake, index
+    //    still doesn't know their hashes
+    assert(lake() == Set(1L, 2L, 3L, 4L), "pre-crash commit visible")
+    // REDELIVERY of batch 1: the stage recomputes the SAME survivors
+    // (index never learned them), the lake skips the committed batch id
+    // (no duplicates), the index re-apply is an idempotent upsert
+    val staged1r = graft.operators.Dedup.exactKeepStage(b1, "id", "text", idx)
+    assert(staged1r.select($"id").as[Long].collect().toSet == Set(3L, 4L))
+    assert(VersionedTable.appendBatch(staged1r.select($"id"), root, 1L)
+      .isEmpty, "committed batch id must be skipped on redelivery")
+    graft.operators.Dedup.exactKeepCommit(staged1r, idx)
+    assert(lake() == Set(1L, 2L, 3L, 4L), "no loss, no duplicate")
+
+    // CRASH POSITION B — after the stage, BEFORE the lake commit:
+    // nothing persisted anywhere, redelivery is a clean first delivery
+    val b2 = Seq((4L, "delta"), (5L, "epsilon")).toDF("id", "text")
+    graft.operators.Dedup.exactKeepStage(b2, "id", "text", idx) // crash
+    val staged2r = graft.operators.Dedup.exactKeepStage(b2, "id", "text", idx)
+    assert(staged2r.select($"id").as[Long].collect().toSet == Set(5L))
+    assert(VersionedTable.appendBatch(staged2r.select($"id"), root, 2L)
+      .nonEmpty)
+    graft.operators.Dedup.exactKeepCommit(staged2r, idx)
+    assert(lake() == Set(1L, 2L, 3L, 4L, 5L))
+
+    // the index caught up in both cases: every hash now dedups away
+    val all = Seq((1L, "alpha"), (3L, "gamma"), (4L, "delta"),
+      (5L, "epsilon")).toDF("id", "text")
+    assert(graft.operators.Dedup.exactKeepStage(all, "id", "text", idx)
+      .isEmpty)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   test("minhash banding recall is 1 on the fixture: verified LSH pairs " +
       "equal the exact all-pairs set (the dedup_minhash_lsh oracle " +
       "contract)") {
