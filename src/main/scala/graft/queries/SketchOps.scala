@@ -62,6 +62,38 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // DSv2 WRITE path end-to-end: create-on-first-write through the
+    // format (V1 createRelation seam), V2 append, V2 overwrite as a
+    // full-replace commit with the old version still time-travelable —
+    // all four states read back through the format and oracle-rebuilt
+    "versioned_dsv2_write" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("dsv2w")
+        .toString + "/t"
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderpriority"))
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .write.format("graft").save(root)
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .write.format("graft").mode("append").save(root)
+      ord.filter(col("o_orderpriority") === "1-URGENT")
+        .write.format("graft").mode("overwrite").save(root)
+      def agg(df: DataFrame, n: String) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as(n))
+      val result = agg(s.read.format("graft")
+          .option("versionAsOf", 1).load(root), "n_full")
+        .join(agg(s.read.format("graft").load(root), "n_head"),
+          Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("n_full"),
+          coalesce(col("n_head"), lit(0L)).as("n_head"))
+        .orderBy(col("o_orderpriority"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // time travel through DSv2 read options: versionAsOf pins the first
     // commit, tag pins a named release, the head serves both commits —
     // all three states aggregated in one relation and oracle-rebuilt
@@ -851,6 +883,13 @@ object SketchOps {
         |FROM customer
         |WHERE c_acctbal >= 5000 AND c_mktsegment <> 'AUTOMOBILE'
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "versioned_dsv2_write" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_full,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_head
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "versioned_dsv2_timetravel" ->
       """WITH v0 AS (SELECT * FROM documents WHERE doc_id % 2 = 0)

@@ -4,9 +4,11 @@ import java.util
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, Row, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, InsertableRelation}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
@@ -47,9 +49,36 @@ import graft.sinks.VersionedTable
   * the provider between `inferSchema` and `getTable`); concurrent
   * commits never change what a planned scan reads.
   */
-class GraftLakeSource extends TableProvider with DataSourceRegister {
+class GraftLakeSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
 
   override def shortName(): String = "graft"
+
+  /** V1 seam for the SaveModes the V2 writer API doesn't carry
+    * (ErrorIfExists — the DataFrameWriter default — and Ignore);
+    * Append/Overwrite take the V2 path above and never land here. */
+  override def createRelation(sqlContext0: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft needs a path"))
+    val spark = data.sparkSession
+    val exists = VersionedTable.versions(spark, root).nonEmpty
+    mode match {
+      case org.apache.spark.sql.SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft table already exists under $root (mode ErrorIfExists)")
+      case org.apache.spark.sql.SaveMode.Ignore if exists => ()
+      case org.apache.spark.sql.SaveMode.Append if exists =>
+        VersionedTable.append(data, root); ()
+      case _ => VersionedTable.write(data, root); ()
+    }
+    new BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = sqlContext0
+      override def schema: StructType = data.schema
+    }
+  }
 
   // inferSchema and getTable run as separate calls on one provider
   // instance per load(): pin the resolved snapshot by its option key so
@@ -80,10 +109,18 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
               .getOrElse(throw new IllegalArgumentException(
                 s"no tag '$name' under $root"))
           })
-      val snap = VersionedTable.snapshot(spark, root, version)
-      // parquet file reads always surface nullable fields (a file could
-      // be missing values); match the library read path's schema exactly
-      snap.copy(schema = GraftLakeSource.relaxed(snap.schema))
+      // a root with no committed version resolves to the EMPTY snapshot
+      // (version -1): reads fail with a clear error at scan planning,
+      // while the write path works — the first
+      // `df.write.format("graft").save(root)` CREATES the table
+      if (version.isEmpty && VersionedTable.versions(spark, root).isEmpty)
+        VersionedTable.Snapshot(root, -1L, new StructType(), Nil, Map.empty)
+      else {
+        val snap = VersionedTable.snapshot(spark, root, version)
+        // parquet file reads always surface nullable fields (a file
+        // could be missing values); match the library read path exactly
+        snap.copy(schema = GraftLakeSource.relaxed(snap.schema))
+      }
     })
   }
 
@@ -108,17 +145,57 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
   }
 }
 
-/** One pinned lake snapshot as a V2 table (read-only; writes go through
-  * the library's transactional commit paths, which is where the
-  * optimistic-concurrency loop lives). */
+/** One pinned lake snapshot as a V2 table. Reads plan from the pinned
+  * manifest; writes route through the library's transactional commit
+  * paths (append = schema-validated commit, overwrite = full-replace
+  * commit — history stays append-only either way, and the
+  * optimistic-concurrency claim loop is the same one every writer
+  * uses). ACCEPT_ANY_SCHEMA delegates schema validation to the lake's
+  * own evolve contract, which both validates appends by (name, type)
+  * and lets an overwrite legitimately define a fresh schema. */
 private[v2] class GraftLakeTable(snap: VersionedTable.Snapshot)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.`${snap.root}` @v${snap.version}"
   override def schema(): StructType = snap.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (snap.version < 0) throw new IllegalStateException(
+      s"no committed version under ${snap.root} — write one first " +
+        """(df.write.format("graft").save(root) or VersionedTable.write)""")
     new GraftScanBuilder(SparkSession.active, snap)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(snap.root, replace = false)
+}
+
+/** V1Write seam: the insert receives the aligned driver-side DataFrame
+  * and commits through the library — one transactional code path for
+  * every front door. `truncate()` (DataFrameWriter mode "overwrite")
+  * maps to a full-replace commit, the lake's natural overwrite: old
+  * versions stay time-travelable, vacuum owns retention. */
+private[v2] class GraftWriteBuilder(root: String, replace: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new GraftWriteBuilder(root, replace = true)
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: org.apache.spark.sql.Dataset[Row],
+              overwrite: Boolean): Unit = {
+            val spark = data.sparkSession
+            if (replace || overwrite ||
+                VersionedTable.versions(spark, root).isEmpty)
+              VersionedTable.write(data.toDF(), root)
+            else VersionedTable.append(data.toDF(), root)
+            ()
+          }
+        }
+    }
 }
 
 /** Scan planning: collect Spark's pushed filters + required columns,

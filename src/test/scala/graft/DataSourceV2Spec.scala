@@ -119,6 +119,38 @@ class DataSourceV2Spec extends SparkSpec {
     assert(spark.read.format("graft").load(root).count() == 5)
   }
 
+  test("write path: create-on-first-write, append, overwrite as " +
+      "full-replace commit, schema drift rejected by the lake contract") {
+    val root = tmpRoot("dsv2wr")
+    // reads of a never-written root fail with a clear error
+    val ex = intercept[Exception] {
+      spark.read.format("graft").load(root).count()
+    }
+    assert(ex.getMessage.contains("no committed version"))
+    // first write CREATES the table (v0)
+    (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v")
+      .write.format("graft").save(root)
+    assert(VersionedTable.versions(spark, root) == Seq(0L))
+    // append commits v1; reads through both front doors agree
+    (31L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+      .write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() == 40)
+    assert(VersionedTable.read(spark, root).count() == 40)
+    // overwrite = full-replace commit; history stays time-travelable
+    (1L to 5L).map(i => (i, s"w$i")).toDF("k", "v")
+      .write.format("graft").mode("overwrite").save(root)
+    assert(spark.read.format("graft").load(root).count() == 5)
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(root).count() == 40)
+    // appending a drifted type fails through the lake's evolve contract
+    val drift = intercept[Exception] {
+      Seq((9L, 9L)).toDF("k", "v")
+        .write.format("graft").mode("append").save(root)
+    }
+    assert(drift.getMessage.toLowerCase.contains("type") ||
+      drift.getMessage.contains("evolv"), s"got: ${drift.getMessage}")
+  }
+
   test("sql access: temp view over the format path") {
     val root = tmpRoot("dsv2sql")
     VersionedTable.write((1L to 60L).map(i => (i, i % 4)).toDF("k", "b"),

@@ -67,7 +67,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("ann_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))
     // native dot product expression on the hot path, not interpreted HOF
-    assert(p.contains("floatvectordot") || p.contains("FloatVectorDot"))
+    // (the gate scores on quantized int64 since the round-7 oracle
+    // conversion, so the hot dot is the long variant)
+    assert(p.contains("longvectordot") || p.contains("LongVectorDot"))
   }
 
   test("dedup exact keep is a single-shuffle semi join") {
