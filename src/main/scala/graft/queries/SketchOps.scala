@@ -832,6 +832,13 @@ object SketchOps {
     // persist per-shard, merge later, no rescan), driver merges partials
     // into the global row. Quantiles carry KLL's ~1.65% rank-error bound
     // (k = 200) -> rows-only + rank-accuracy spec.
+    // KLL quantiles, FULLY oracle-checked via the rank-error contract
+    // (round-7 conversion): the sketch's quantile VALUES are
+    // engine-specific, but KLL's guarantee — the returned value's true
+    // rank lies within eps*n of q*n — is the cross-engine fact. The
+    // gate computes each estimate's EXACT rank against the data and
+    // emits integer flags at a 5% bound (>3x the k=200 rank error),
+    // plus the exact n; the oracle checks flags as constants.
     "kll_length_quantiles" -> ((s, d) => {
       import graft.functions.KllFunctions
       val sk = Tables.documents(s, d)
@@ -844,9 +851,34 @@ object SketchOps {
           KllFunctions.quantile(b, 0.9), KllFunctions.quantile(b, 0.99))
       val global = sk.map(_._2).reduce(KllFunctions.merge)
       import s.implicits._
-      (sk.toSeq.map { case (src, b) => row(src, b) } :+
+      val est = (sk.toSeq.map { case (src, b) => row(src, b) } :+
         row("__ALL__", global))
         .toDF("source", "n", "p50", "p90", "p99")
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"))
+      val both = docs.unionByName(
+        docs.withColumn("source", lit("__ALL__")))
+      // with ties, an estimate maps to the rank INTERVAL
+      // [count(< v), count(<= v)]; the sketch is in-bound iff that
+      // interval intersects [q*n - eps*n, q*n + eps*n]
+      def le(p: String) =
+        sum(when(col("n_chars") <= col(p), 1L).otherwise(0L))
+      def lt(p: String) =
+        sum(when(col("n_chars") < col(p), 1L).otherwise(0L))
+      def flag(rLe: org.apache.spark.sql.Column,
+          rLt: org.apache.spark.sql.Column, q: Int) =
+        (rLe * 100 >= col("n") * (q - 5) &&
+          rLt * 100 <= col("n") * (q + 5)).cast("int")
+      both.join(broadcast(est), "source")
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n"),
+          le("p50").as("__le50"), lt("p50").as("__lt50"),
+          le("p90").as("__le90"), lt("p90").as("__lt90"),
+          le("p99").as("__le99"), lt("p99").as("__lt99"))
+        .select(col("source"), col("n"),
+          flag(col("__le50"), col("__lt50"), 50).as("p50_rank_ok"),
+          flag(col("__le90"), col("__lt90"), 90).as("p90_rank_ok"),
+          flag(col("__le99"), col("__lt99"), 99).as("p99_rank_ok"))
         .orderBy(col("source"))
     }),
 
@@ -1114,6 +1146,18 @@ object SketchOps {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "kll_length_quantiles" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+        |SELECT source, n, CAST(1 AS INT) AS p50_rank_ok,
+        |  CAST(1 AS INT) AS p90_rank_ok, CAST(1 AS INT) AS p99_rank_ok
+        |FROM per
+        |UNION ALL
+        |SELECT '__ALL__' AS source, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(1 AS INT), CAST(1 AS INT), CAST(1 AS INT)
+        |FROM per
+        |ORDER BY source""".stripMargin,
 
     "hll_distinct_sources" ->
       """WITH per AS (

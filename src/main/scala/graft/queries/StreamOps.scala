@@ -140,16 +140,34 @@ object StreamOps {
     // set — the cardinality path that still works when a window sees
     // millions of distinct keys. Estimate values are engine-specific ->
     // rows-only gate; StreamingSpec pins exact batch parity
+    // streaming HLL distinct users per hourly window, FULLY oracle-
+    // checked via the error-bound contract (round-7 conversion, same
+    // shape as hll_distinct_sources): the streamed sketch estimate is
+    // engine-specific, so the gate joins it to the batch-exact distinct
+    // per window and emits exact counts + an integer flag that the
+    // estimate landed within 5% (3x the lgK=12 rsd) — the bound is the
+    // cross-engine guarantee, checked as a constant
     "stream_hll_users" -> ((s, d) => {
       val agg = EventsPipeline.withEventTime(eventsStream(s, d))
         .withWatermark("event_time", "10 minutes")
         .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
         .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
-            .as("est_users"),
+            .as("__est"),
           count(lit(1)).as("n_events"))
         .select(unix_micros(col("window.start")).as("window_us"),
-          col("event_type"), col("est_users"), col("n_events"))
-      runStream(s, agg, "hllu", d, "complete")
+          col("event_type"), col("__est"), col("n_events"))
+      val streamed = runStream(s, agg, "hllu", d, "complete")
+      val exact = Tables.events(s, d)
+        .select(expr("((ts div 1000) div 3600000000) * 3600000000")
+            .as("window_us"),
+          col("event_type"), col("user_id"))
+        .groupBy(col("window_us"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      streamed.join(exact, Seq("window_us", "event_type"))
+        .select(col("window_us"), col("event_type"), col("n_events"),
+          col("exact_users"),
+          (abs(col("__est") - col("exact_users")) * 100 <=
+            col("exact_users") * 5).cast("int").as("est_within_5pct"))
         .orderBy(col("window_us"), col("event_type"))
     }),
 
@@ -881,6 +899,16 @@ object StreamOps {
         |SELECT window_us, pattern, COUNT(*) AS n_events,
         |  CAST(SUM(cnt) AS BIGINT) AS n_hits
         |FROM m GROUP BY 1, 2 ORDER BY window_us, pattern""".stripMargin,
+
+    "stream_hll_users" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT (us // 3600000000) * 3600000000 AS window_us, event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS INT) AS est_within_5pct
+        |FROM e GROUP BY 1, 2
+        |ORDER BY window_us, event_type""".stripMargin,
 
     "stream_tumbling_counts" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_us,
