@@ -319,6 +319,34 @@ object Similarity {
     }: _*)
   }
 
+  /** ±1 Rademacher weight for SRP plane (table, bit) at dimension `i` —
+    * pure mod-P integer arithmetic (the parity of a Carter-Wegman hash
+    * over the flattened plane index), shared VERBATIM with the SQL
+    * oracle so buckets replay bit-for-bit. Achlioptas (2003, "Database-
+    * friendly random projections") shows ±1 projections preserve angles
+    * like gaussians, so the recall curve family matches [[srpBuckets]]. */
+  def srpWeight(t: Int, b: Int, i: Int, bits: Int, dim: Int): Long = {
+    val P = graft.functions.SketchUtil.MinhashP
+    val goldP = java.lang.Long.remainderUnsigned(
+      java.lang.Long.parseUnsignedLong("9E3779B97F4A7C15", 16), P)
+    val idx1 = ((t.toLong * bits + b) * dim) + i + 1 // 1-based flat index
+    if (((goldP * idx1) % P) % 2 == 0) 1L else -1L
+  }
+
+  /** SRP buckets over the QUANTIZED vector with deterministic ±1 planes
+    * ([[srpWeight]]): each projection is an exact int64 sum, so unlike
+    * the gaussian [[srpBuckets]] a SQL oracle replays every bucket —
+    * the LSH tier itself becomes oracle-checkable end-to-end. Same
+    * shape: array of `tables` int bucket ids, `bits` sign bits each. */
+  def srpBucketsInt(qv: Column, dim: Int, bits: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      (0 until bits).map { b =>
+        val ws = (0 until dim).map(i => srpWeight(t, b, i, bits, dim))
+        val proj = dotLong(qv, typedlit(ws))
+        when(proj >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }: _*)
+
   /** Embedding-cosine near-duplicate pairs — SMALL-INPUT ORACLE GATE ONLY.
     * Every unordered pair with cosine >= `tau`, on the quantized-integer
     * path so the result is bit-identical across engines.
@@ -410,6 +438,64 @@ object Similarity {
         dotLong(col("v_a"), col("v_b")).cast("double") / (col("n_a") * col("n_b")))
       .filter(col("cos_sim") >= tau)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** [[nearDupPairsLsh]] on the REPLAYABLE integer-SRP buckets
+    * ([[srpBucketsInt]]): candidates only from shared (table, bucket)
+    * cells, exact quantized re-check against `tau` — and because the
+    * buckets are deterministic integer arithmetic, a SQL oracle replays
+    * candidate generation AND verification, making the whole
+    * approximate tier oracle-checked (the graph-MinHash trick applied
+    * to embeddings). Same scale shape: bucket-keyed shuffle, never
+    * all-pairs; quantization happens once and feeds both hashing and
+    * scoring. */
+  def nearDupPairsLshInt(df: DataFrame, tau: Double, dim: Int,
+      bits: Int = 8, tables: Int = 4): DataFrame = {
+    val prep = df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        posexplode(srpBucketsInt(col("qv"), dim, bits, tables)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
+    val a = prep.select(col("vec_id").as("id_a"), col("qv").as("v_a"),
+      col("nrm").as("n_a"), col("tbl"), col("bkt"))
+    val b = prep.select(col("vec_id").as("id_b"), col("qv").as("v_b"),
+      col("nrm").as("n_b"), col("tbl").as("tbl2"), col("bkt").as("bkt2"))
+    a.join(b, col("tbl") === col("tbl2") && col("bkt") === col("bkt2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"),
+        col("n_a"), col("n_b"))
+      .distinct()
+      .withColumn("cos_sim",
+        dotLong(col("v_a"), col("v_b")).cast("double") / (col("n_a") * col("n_b")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** [[lshTopK]] on the replayable integer-SRP buckets + exact quantized
+    * re-rank — the ANN scale tier whose candidates AND ranking a SQL
+    * oracle reproduces exactly. */
+  def lshTopKInt(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      bits: Int = 8, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String,
+        bAs: String) =
+      df.select(col("vec_id").as(idAs),
+          quantize(col("embedding")).as(vAs))
+        .withColumn(nAs, sqrt(dotLong(col(vAs), col(vAs)).cast("double")))
+        .select(col(idAs), col(vAs), col(nAs),
+          posexplode(srpBucketsInt(col(vAs), dim, bits, tables)))
+        .withColumnRenamed("pos", s"${bAs}_tbl")
+        .withColumnRenamed("col", s"${bAs}_bkt")
+    val q = bucketed(queries, "query_id", "q_v", "q_n", "q")
+    val c = bucketed(corpus, "neighbor_id", "c_v", "c_n", "c")
+    val cand = c.join(broadcast(q),
+        col("c_tbl") === col("q_tbl") && col("c_bkt") === col("q_bkt") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_v"), col("c_v"),
+        col("q_n"), col("c_n"))
+      .distinct()
+      .withColumn("cos_sim",
+        dotLong(col("q_v"), col("c_v")).cast("double") / (col("q_n") * col("c_n")))
+    heapTopK(cand, k)
   }
 
   /** Per-vector cosine similarity to its label's centroid, exact across

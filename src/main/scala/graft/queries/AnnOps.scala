@@ -122,9 +122,16 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SRP-bucketed ANN on the REPLAYABLE integer planes (round-7
+    // conversion): deterministic ±1 Rademacher projections over the
+    // quantized vectors mean a SQL oracle regenerates the candidate
+    // buckets AND the exact re-rank — the approximate tier itself is
+    // FULLY oracle-checked (the gaussian-plane fast path stays as
+    // Similarity.lshTopK, recall-spec'd in SimilaritySpec)
     "ann_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb.filter(col("vec_id") < NQueries), emb, TopK, Dim)
+      Similarity.lshTopKInt(emb.filter(col("vec_id") < NQueries), emb,
+          TopK, Dim)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -238,12 +245,14 @@ object AnnOps {
     }),
 
     // THE embedding-dedup operator: SRP-bucketed candidate pairs + exact
-    // quantized re-check. Bucket hashing is engine-specific -> rows-only
-    // driver check; recall >= threshold vs the exact pairs is spec'd in
-    // SimilaritySpec ("LSH near-dup pairs are a subset of exact pairs").
+    // quantized re-check, on the replayable integer planes (round-7
+    // conversion) — the oracle regenerates the buckets, the candidate
+    // join, and the verification, so the LSH dedup tier is FULLY
+    // oracle-checked; recall vs the exact all-pairs gate stays spec'd in
+    // SimilaritySpec for both plane families.
     "dedup_embedding_lsh" -> ((s, d) => {
-      Similarity.nearDupPairsLsh(Tables.embeddings(s, d), tau = NearDupTau,
-          dim = Dim)
+      Similarity.nearDupPairsLshInt(Tables.embeddings(s, d),
+          tau = NearDupTau, dim = Dim)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -317,7 +326,84 @@ object AnnOps {
        |   * SQRT(CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
        |      i -> ${qel(s"$b.embedding[i]")} * ${qel(s"$b.embedding[i]")})) AS STRING) AS DOUBLE)))""".stripMargin
 
+  // ---- replayable integer-SRP machinery (ann_lsh_topk /
+  // dedup_embedding_lsh oracles regenerate the engine's buckets) ------
+  private val SrpBits = 8
+  private val SrpTables = 4
+  private lazy val SrpP = graft.functions.SketchUtil.MinhashP
+  private lazy val SrpGoldP = java.lang.Long.remainderUnsigned(
+    java.lang.Long.parseUnsignedLong("9E3779B97F4A7C15", 16), SrpP)
+
+  /** Bucket id of hash table `t` over a quantized-list column — the SQL
+    * twin of Similarity.srpBucketsInt/srpWeight (same flat plane index,
+    * same parity rule). */
+  private def srpBucketSql(qvCol: String, t: Int): String =
+    (0 until SrpBits).map { b =>
+      val base = (t.toLong * SrpBits + b) * Dim
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+         |    i -> $qvCol[i] * (1 - 2 * ((($SrpGoldP * ($base + i))
+         |      % $SrpP) % 2)))) >= 0
+         |  THEN ${1 << b} ELSE 0 END)""".stripMargin
+    }.mkString("\n  + ")
+
+  /** Shared CTE prefix: quantized vectors + exact norms + per-table
+    * bucket rows. */
+  private lazy val srpCtes: String = {
+    val bandSelects = (0 until SrpTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${srpBucketSql("qv", t)} AS bkt FROM qn"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> ${qel("x")}) AS qv
+       |  FROM embeddings),
+       |qn AS (
+       |  SELECT vec_id, qv,
+       |    SQRT(CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> qv[i] * qv[i])) AS STRING) AS DOUBLE)) AS nrm
+       |  FROM q),
+       |bk AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  private def duckCosQv(a: String, b: String): String =
+    s"""(CAST(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |    i -> $a.qv[i] * $b.qv[i])) AS STRING) AS DOUBLE)
+       |  / ($a.nrm * $b.nrm))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_lsh_topk" ->
+      s"""WITH $srpCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+         |  FROM bk x JOIN bk y
+         |    ON x.tbl = y.tbl AND x.bkt = y.bkt
+         |    AND x.vec_id < $NQueries AND y.vec_id != x.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${duckCosQv("a", "b")} AS cos_sim
+         |  FROM cand c
+         |  JOIN qn a ON a.vec_id = c.query_id
+         |  JOIN qn b ON b.vec_id = c.neighbor_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH $srpCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM bk x JOIN bk y
+         |    ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+         |SELECT c.id_a, c.id_b, ${duckCosQv("a", "b")} AS cos_sim
+         |FROM cand c
+         |JOIN qn a ON a.vec_id = c.id_a
+         |JOIN qn b ON b.vec_id = c.id_b
+         |WHERE ${duckCosQv("a", "b")} >= $NearDupTau
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "ann_mips_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id, list_transform(embedding,

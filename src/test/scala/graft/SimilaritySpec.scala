@@ -392,6 +392,56 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"near-dup LSH recall $recall")
   }
 
+  test("integer-SRP near-dup pairs: subset of exact, good recall on " +
+      "planted dups, deterministic buckets") {
+    val rng = new scala.util.Random(13)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val noisy = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val corpus = emb.select($"vec_id", $"embedding")
+      .union(spark.createDataFrame(noisy.toSeq).toDF("vec_id", "embedding"))
+    val exact = Similarity.nearDupPairs(corpus, tau = 0.9)
+      .select($"id_a", $"id_b")
+    val lsh = Similarity.nearDupPairsLshInt(corpus, tau = 0.9, dim = 64,
+      bits = 8, tables = 8).select($"id_a", $"id_b")
+    assert(lsh.exceptAll(exact).isEmpty,
+      "int-SRP pairs must pass the exact check")
+    val recall = lsh.intersect(exact).count().toDouble / exact.count()
+    assert(recall >= 0.8, s"int-SRP near-dup recall $recall")
+    // repartitioning can't move a bucket: the planes are pure integer
+    // arithmetic over the quantized vector (the oracle-replay contract)
+    val again = Similarity.nearDupPairsLshInt(corpus.repartition(7),
+      tau = 0.9, dim = 64, bits = 8, tables = 8).select($"id_a", $"id_b")
+    assert(again.exceptAll(lsh).isEmpty && lsh.exceptAll(again).isEmpty)
+  }
+
+  test("integer-SRP top-k: every hit verified against the exact ranking " +
+      "score, ±1 weights balanced") {
+    val q = emb.filter($"vec_id" < 5)
+    val hits = Similarity.lshTopKInt(q, emb, 5, dim = 64)
+      .select($"query_id", $"neighbor_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(hits.nonEmpty)
+    val exact = Similarity.bruteForceTopK(q, emb, 1000000, exact = true)
+      .select($"query_id", $"neighbor_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    hits.foreach { case (qid, nid, cs) =>
+      assert(exact((qid, nid)) == cs, s"score drift for ($qid,$nid)")
+    }
+    // weight family sanity: roughly half the weights are +1 in every
+    // plane (a constant-sign plane would bucket everything together)
+    (0 until 8).foreach { t =>
+      (0 until 8).foreach { b =>
+        val pos = (0 until 64).count(i =>
+          Similarity.srpWeight(t, b, i, 8, 64) == 1L)
+        assert(pos >= 16 && pos <= 48, s"plane ($t,$b) degenerate: $pos")
+      }
+    }
+  }
+
   test("all-pairs nearDupPairs refuses inputs beyond its size guard") {
     val e = intercept[IllegalArgumentException] {
       Similarity.nearDupPairs(emb, tau = 0.4, maxRows = 10).count()
