@@ -1049,6 +1049,53 @@ object Similarity {
         col("e.id").as("neighbor_id"), col("e.score").cast("long").as("ip"))
   }
 
+  /** [[mipsLshTopK]] made ORACLE-REPLAYABLE end-to-end: the
+    * norm-augmentation itself moves to the integer domain — |x|²q is an
+    * exact int64 self-dot of the 1e4-quantized vector, M²q its exact
+    * corpus max, and the augmented coordinate round(sqrt(M²q − |x|²q))
+    * is one correctly-rounded IEEE sqrt of an exact integer, so it is
+    * bit-identical in any engine. Buckets come from the deterministic
+    * ±1 planes ([[srpBucketsInt]]) over the augmented integer vector;
+    * the re-rank is the same exact int64 inner product as [[mipsTopK]].
+    * A SQL oracle therefore regenerates augmentation, buckets,
+    * candidates, and ranking — the MIPS scale tier fully checked. */
+  def mipsLshTopKInt(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, bits: Int = 8, tables: Int = 4,
+      scale: Double = 1e4): DataFrame = {
+    def quant(c: Column) = transform(c,
+      x => round(x.cast("double") * lit(scale)).cast("long"))
+    val m2q = corpus.select(quant(col("embedding")).as("qv"))
+      .agg(max(dotLong(col("qv"), col("qv")))).head().getLong(0)
+    def bucketed(df: DataFrame, idAs: String, aug: Boolean, bAs: String) = {
+      val withQ = df.select(col("vec_id").as(idAs),
+        quant(col("embedding")).as("__qv"))
+      val augCoord =
+        if (!aug) lit(0L)
+        else round(sqrt(greatest(lit(0L),
+          lit(m2q) - dotLong(col("__qv"), col("__qv"))).cast("double")))
+          .cast("long")
+      withQ.withColumn("__aug", concat(col("__qv"), array(augCoord)))
+        .select(col(idAs), col("__qv").as(s"${bAs}_qv"),
+          posexplode(srpBucketsInt(col("__aug"), dim + 1, bits, tables)))
+        .withColumnRenamed("pos", s"${bAs}_tbl")
+        .withColumnRenamed("col", s"${bAs}_bkt")
+    }
+    val q = bucketed(queries, "query_id", aug = false, "q")
+    val c = bucketed(corpus, "neighbor_id", aug = true, "c")
+    val cand = c.join(broadcast(q),
+        col("c_tbl") === col("q_tbl") && col("c_bkt") === col("q_bkt") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_qv"), col("c_qv"))
+      .distinct()
+      .withColumn("__ip", dotLong(col("q_qv"), col("c_qv")).cast("double"))
+    cand.groupBy(col("query_id"))
+      .agg(graft.functions.TopKBy.topk_by(col("__ip"),
+        col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").cast("long").as("ip"))
+  }
+
   // --------------------------------------------------------------------
   // PCA — dimensionality reduction for embeddings (the standard ANN
   // preprocessing: project to the top-k variance directions before

@@ -144,11 +144,16 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // norm-augmented SRP buckets serving MIPS — the scale path gated by
-    // ann_mips_topk (approximate: rows-only check + recall spec)
+    // norm-augmented SRP buckets serving MIPS, on the REPLAYABLE integer
+    // pipeline (round-7 conversion): the augmentation itself is integer
+    // (exact int64 self-dots, corpus-max M², one correctly-rounded sqrt
+    // of an exact integer), buckets are the deterministic ±1 planes, the
+    // re-rank is the exact int64 inner product — the oracle regenerates
+    // ALL of it. The float-augmented gaussian path stays as
+    // Similarity.mipsLshTopK with its recall spec.
     "ann_mips_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.mipsLshTopK(emb.filter(col("vec_id") < NQueries), emb,
+      Similarity.mipsLshTopKInt(emb.filter(col("vec_id") < NQueries), emb,
           TopK, Dim)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -336,11 +341,12 @@ object AnnOps {
 
   /** Bucket id of hash table `t` over a quantized-list column — the SQL
     * twin of Similarity.srpBucketsInt/srpWeight (same flat plane index,
-    * same parity rule). */
-  private def srpBucketSql(qvCol: String, t: Int): String =
+    * same parity rule). `pdim` = the plane dimensionality (Dim for raw
+    * vectors, Dim+1 for the MIPS norm-augmented ones). */
+  private def srpBucketSql(qvCol: String, t: Int, pdim: Int = Dim): String =
     (0 until SrpBits).map { b =>
-      val base = (t.toLong * SrpBits + b) * Dim
-      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+      val base = (t.toLong * SrpBits + b) * pdim
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${pdim + 1}),
          |    i -> $qvCol[i] * (1 - 2 * ((($SrpGoldP * ($base + i))
          |      % $SrpP) % 2)))) >= 0
          |  THEN ${1 << b} ELSE 0 END)""".stripMargin
@@ -370,7 +376,63 @@ object AnnOps {
        |    i -> $a.qv[i] * $b.qv[i])) AS STRING) AS DOUBLE)
        |  / ($a.nrm * $b.nrm))""".stripMargin
 
+  /** MIPS replay CTEs: 1e4-quantized vectors, exact self-dots, integer
+    * norm augmentation, per-table buckets over the (Dim+1)-dim planes. */
+  private lazy val mipsSrpCtes: String = {
+    val q4el = "CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)"
+    val bkC = (0 until SrpTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${srpBucketSql("av", t, Dim + 1)} " +
+        "AS bkt FROM aug"
+    }.mkString("\n  UNION ALL\n  ")
+    val bkQ = (0 until SrpTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${srpBucketSql("av", t, Dim + 1)} " +
+        s"AS bkt FROM augq WHERE vec_id < $NQueries"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""q4 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> $q4el) AS qv
+       |  FROM embeddings),
+       |sq AS (
+       |  SELECT vec_id, qv,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> qv[i] * qv[i])) AS BIGINT) AS n2
+       |  FROM q4),
+       |m2 AS (SELECT MAX(n2) AS m FROM sq),
+       |aug AS (
+       |  SELECT vec_id, qv, list_append(qv,
+       |    CAST(ROUND(SQRT(CAST(GREATEST(0, (SELECT m FROM m2) - n2)
+       |      AS DOUBLE))) AS BIGINT)) AS av
+       |  FROM sq),
+       |augq AS (
+       |  SELECT vec_id, qv, list_append(qv, CAST(0 AS BIGINT)) AS av
+       |  FROM sq),
+       |bkc AS (
+       |  $bkC),
+       |bkq AS (
+       |  $bkQ)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_mips_lsh_topk" ->
+      s"""WITH $mipsSrpCtes,
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bkq q JOIN bkc c
+         |    ON q.tbl = c.tbl AND q.bkt = c.bkt
+         |    AND c.vec_id != q.vec_id),
+         |scored AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS ip
+         |  FROM cand cd
+         |  JOIN q4 a ON a.vec_id = cd.query_id
+         |  JOIN q4 b ON b.vec_id = cd.neighbor_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ip DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, ip FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
     "ann_lsh_topk" ->
       s"""WITH $srpCtes,
          |cand AS (

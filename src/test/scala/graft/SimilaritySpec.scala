@@ -442,6 +442,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("integer-MIPS LSH: every hit's ip equals the exact MIPS gate's, " +
+      "decent recall, partitioning-invariant buckets") {
+    val q = emb.filter($"vec_id" < 10)
+    val hits = Similarity.mipsLshTopKInt(q, emb, 5, dim = 64, tables = 8)
+      .select($"query_id", $"neighbor_id", $"ip")
+      .as[(Long, Long, Long)].collect()
+    assert(hits.nonEmpty)
+    val exact = Similarity.mipsTopK(q, emb, 1000000)
+      .select($"query_id", $"neighbor_id", $"ip")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    hits.foreach { case (qid, nid, ip) =>
+      assert(exact((qid, nid)) == ip, s"ip drift for ($qid,$nid)")
+    }
+    // planted recall (the gaussian tier's own protocol): a 3x-scaled
+    // copy is each query's unambiguous MIPS winner; the ±1 planes at
+    // the same bits/tables must retrieve most of them
+    val base = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val copies = base.map { case (id, v) =>
+      (id + 200000L, v.map(_ * 3.0f))
+    }
+    val corpus = emb.select($"vec_id", $"embedding")
+      .union(spark.createDataFrame(copies.toSeq).toDF("vec_id", "embedding"))
+    val planted = Similarity.mipsLshTopKInt(q, corpus, 5, dim = 64,
+        bits = 6, tables = 12)
+      .filter($"neighbor_id" === $"query_id" + 200000L)
+      .select($"query_id").distinct().count()
+    val recall = planted.toDouble / base.length
+    assert(recall >= 0.7, s"int-MIPS-LSH planted recall $recall")
+    val again = Similarity.mipsLshTopKInt(
+        q.repartition(5), emb.repartition(7), 5, dim = 64, tables = 8)
+      .select($"query_id", $"neighbor_id", $"ip")
+      .as[(Long, Long, Long)].collect()
+    assert(again.toSet == hits.toSet, "buckets must be data-position-free")
+  }
+
   test("all-pairs nearDupPairs refuses inputs beyond its size guard") {
     val e = intercept[IllegalArgumentException] {
       Similarity.nearDupPairs(emb, tau = 0.4, maxRows = 10).count()
