@@ -66,6 +66,25 @@ object HashUtil {
     new GenericArrayData(out)
   }
 
+  /** Nonnegative 63-bit value from one digest: windows 0 and 1 packed as
+    * `(w0 & 0x7fffffff) << 32 | w1`. The replayable-hash backbone for the
+    * simhash / winnow / minhash-incremental oracle gates — DuckDB rebuilds
+    * the identical value from the md5 hex:
+    * `(('0x'||substr(md5(s),1,8))::BIGINT & 2147483647) * 4294967296
+    *  + ('0x'||substr(md5(s),9,8))::BIGINT`
+    * (same construction as the multimodal phash oracles). Top bit clear
+    * keeps every downstream shift/mod in nonnegative-long territory on
+    * both engines. */
+  def md5head63(s: UTF8String): Long = {
+    val d = md.get(); d.reset()
+    val dig = d.digest(s.getBytes)
+    val w0 = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+    val w1 = ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
+      ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
+    ((w0 & 0x7fffffffL) << 32) | w1
+  }
+
   /** All four independent u32 windows of one digest — one hash serving
     * four draws (the bootstrap's 4-replicas-per-digest scheme). */
   def md5u32x4(s: UTF8String): ArrayData = {
@@ -158,10 +177,36 @@ case class Md5Pois4(child: Expression) extends UnaryExpression {
       : Md5Pois4 = copy(child = newChild)
 }
 
+/** `md5_head63(str)` — nonnegative 63-bit head of md5(str); see
+  * [[HashUtil.md5head63]] for the DuckDB twin. One digest per call. */
+case class Md5Head63(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_head63 needs a string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtil.md5head63(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil.md5head63($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Md5Head63 = copy(child = newChild)
+}
+
 object HashFunctions {
   /** Native twin of `conv(substring(md5(c), 1+8*w, 8), 16, 10)`. */
   def md5_u32(c: Column, window: Int = 0): Column =
     ColumnBridge.column(Md5U32(ColumnBridge.expression(c), window))
+
+  /** Nonnegative 63-bit md5 head — the replayable-oracle hash. */
+  def md5_head63(c: Column): Column =
+    ColumnBridge.column(Md5Head63(ColumnBridge.expression(c)))
 
   /** One digest, four independent u32 draws. */
   def md5_u32x4(c: Column): Column =

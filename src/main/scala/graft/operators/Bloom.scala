@@ -66,6 +66,36 @@ object Bloom {
       .head().getAs[Array[Byte]](0)
   }
 
+  /** Build a REPLAYABLE md5 double-hash bloom bitmap of `key` — the
+    * oracle-checkable sibling of [[buildBytes]] (hash scheme:
+    * [[graft.functions.Md5BloomUtil]]). Positions are computed
+    * distributed and declaratively (one digest + kHashes modular steps
+    * per key); only the DISTINCT set positions come back to the driver
+    * — bounded by min(kHashes * |keys|, mBits), and the build side of a
+    * bloom is small by contract (that is the whole point of the
+    * filter). Returns null on an empty input, like [[buildBytes]]. */
+  def buildMd5Bitmap(df: DataFrame, key: Column, mBits: Int = 1 << 20,
+      kHashes: Int = 7): Array[Byte] = {
+    require(mBits > 0 && mBits % 8 == 0 && kHashes > 0,
+      s"need mBits > 0 divisible by 8 and kHashes > 0: $mBits/$kHashes")
+    val h1 = graft.functions.HashFunctions.md5_u32(key, 0)
+    val h2 = graft.functions.HashFunctions.md5_u32(key, 1)
+    val positions = df
+      .select(explode(transform(sequence(lit(0), lit(kHashes - 1)),
+        j => (h1 + j * h2) % mBits)).as("p"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    if (positions.isEmpty) null
+    else {
+      val bitmap = new Array[Byte](mBits / 8)
+      positions.foreach { pos =>
+        bitmap((pos >> 3).toInt) =
+          (bitmap((pos >> 3).toInt) | (1 << (pos & 7).toInt)).toByte
+      }
+      bitmap
+    }
+  }
+
   /** Exact big⋈small equi join with the big side bloom-prefiltered.
     * `joinType` is restricted to the shapes where dropping non-matching
     * big-side rows early is semantics-preserving. */

@@ -165,6 +165,32 @@ object Decontaminate {
     }
   }
 
+  /** [[cleanBloom]] with the REPLAYABLE md5 double-hash bloom
+    * ([[graft.functions.Md5BloomUtil]]) instead of spark-sketch's
+    * xxhash/murmur filter: the bitmap, every probe, and therefore the
+    * exact kept set (INCLUDING any false-positive over-drops) are
+    * reproducible from md5 hex arithmetic alone, which makes this gate
+    * fully oracle-checkable in ANSI SQL. Same plan shape: benchmark-side
+    * bitmap build, map-only broadcast probe of the corpus, LEFT ANTI on
+    * the contaminated ids. */
+  def cleanBloomReplayable(train: DataFrame, eval: DataFrame, id: Column,
+      text: Column, k: Int, mBits: Int = 1 << 20, kHashes: Int = 7)
+      : DataFrame = {
+    val bitmap = Bloom.buildMd5Bitmap(evalShingles(eval, text, k),
+      col("shingle"), mBits, kHashes)
+    if (bitmap == null) train
+    else {
+      val contaminatedIds = train
+        .select(id.as("__id"), explode(TextAnalysis.shingles(text, k))
+          .as("shingle"))
+        .filter(graft.functions.BloomFunctions
+          .md5_bloom_contains(bitmap, col("shingle"), kHashes))
+        .select(col("__id")).distinct()
+      train.join(contaminatedIds.withColumnRenamed("__id", "___cid"),
+        id === col("___cid"), "left_anti")
+    }
+  }
+
   /** The cleaning form: training docs with NO k-gram overlap with the
     * eval set — a broadcast LEFT ANTI join against the contaminated-id
     * set, keeping the full training schema. */

@@ -154,7 +154,8 @@ object Dedup {
     * rescans — index size is O(total survivors * bands). */
   def minhashKeepIncremental(newDocs: DataFrame, idCol: String,
       textCol: String, indexPath: String, tau: Double, k: Int = 3,
-      perms: Int = 32, bands: Int = 8): DataFrame = {
+      perms: Int = 32, bands: Int = 8,
+      replayableHash: Boolean = false): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
     require(perms % bands == 0, s"bands must divide perms: $perms/$bands")
     val spark = newDocs.sparkSession
@@ -169,7 +170,11 @@ object Dedup {
     // like _SUCCESS) and must match on every later ingest.
     val paramsFile = new org.apache.hadoop.fs.Path(target,
       "_graft_minhash_params")
-    val paramsStr = s"k=$k,perms=$perms,bands=$bands"
+    // the hasher is part of the index contract too: md5-replayable and
+    // xxhash signatures/band hashes are disjoint value spaces, so probing
+    // across them would silently miss every cross-batch near-dup
+    val paramsStr = s"k=$k,perms=$perms,bands=$bands" +
+      (if (replayableHash) ",hash=md5" else "")
     if (hfs.exists(target)) {
       if (hfs.exists(paramsFile)) {
         val in = hfs.open(paramsFile)
@@ -197,14 +202,23 @@ object Dedup {
       length(text) - length(replace(text, lit(" "), lit(""))) + 1 >= k
     val shorties = newDocs.filter(text.isNull ||
       length(text) - length(replace(text, lit(" "), lit(""))) + 1 < k)
+    val shingleHashes =
+      if (replayableHash) md5ShingleHashes(text, k)
+      else graft.functions.ShingleFunctions.word_shingle_hashes(text, k)
     val withSig = newDocs.filter(hasSig)
       .withColumn("__sig",
         coalesce(graft.functions.SketchFunctions.minhash_signature(
-          graft.functions.ShingleFunctions.word_shingle_hashes(text, k),
-          perms), array()))
+          shingleHashes, perms), array()))
+    // band hash: equality is all that matters, so the replayable variant
+    // hashes the band's slot values rendered canonically ("b:m0,m1,...")
+    // — DuckDB rebuilds the identical key string and md5
     val bandHashes = array((0 until bands).map { bnd =>
-      xxhash64(lit(bnd) +: (0 until rows).map(r =>
-        element_at(col("__sig"), bnd * rows + r + 1)): _*)
+      val slots = (0 until rows).map(r =>
+        element_at(col("__sig"), bnd * rows + r + 1))
+      if (replayableHash)
+        graft.functions.HashFunctions.md5_head63(concat(lit(s"$bnd:"),
+          concat_ws(",", slots.map(_.cast("string")): _*)))
+      else xxhash64(lit(bnd) +: slots: _*)
     }: _*)
     val banded = withSig.select(col(idCol).as("__id"), col("__sig"),
         posexplode(bandHashes))
@@ -779,6 +793,46 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxDist: Int = 3): DataFrame =
     hammingPairs64(simhashes(df, id, text), maxDist)
+
+  /** Replayable-hash token array: one md5-derived nonnegative 63-bit
+    * value per ' '-split token (split semantics match DuckDB's
+    * `string_split(text, ' ')`, including empty tokens from runs of
+    * spaces). Bit 63 is constant-zero, so a simhash over these votes
+    * bit 63 to 0 on both engines. */
+  private[graft] def md5TokenHashes(text: Column): Column =
+    transform(split(text, " ", -1),
+      t => graft.functions.HashFunctions.md5_head63(t))
+
+  /** Replayable-hash word-k-shingle array: tokens re-joined with ' '
+    * per window, each window md5_head63-hashed — DuckDB rebuilds the
+    * identical values via `array_to_string(ws[i:i+k-1], ' ')`. Empty
+    * for docs with < k tokens (mirrors word_shingle_hashes). */
+  private[graft] def md5ShingleHashes(text: Column, k: Int): Column = {
+    val ws = split(text, " ", -1)
+    val n = size(ws) - (k - 1)
+    // sequence(1, 0) would DESCEND ([1,0]) — gate the degenerate case
+    when(n >= 1, transform(sequence(lit(1), n),
+        i => graft.functions.HashFunctions.md5_head63(
+          concat_ws(" ", slice(ws, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** [[simhashPairs]] with the md5-replayable token hash — bit-identical
+    * result on any engine that ships md5, which makes the pair set FULLY
+    * oracle-checkable (the m-of-b blocking is pigeonhole-complete, so the
+    * output is exactly "all pairs with Hamming <= maxDist" regardless of
+    * the blocking plan, and DuckDB recomputes the same fingerprints from
+    * md5 hex + sign votes). Same plan shape as the xxhash production
+    * variant: map-only fingerprints, banded candidate join, exact
+    * bit_count verify. */
+  def simhashPairsReplayable(df: DataFrame, id: Column, text: Column,
+      maxDist: Int = 3): DataFrame = {
+    val sh = df.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        coalesce(graft.functions.SketchFunctions.simhash64(
+          md5TokenHashes(text)), lit(0L)).as("sh"))
+    hammingPairs64(sh, maxDist)
+  }
 
   /** Hamming-ball candidate pairs over ANY precomputed 64-bit code
     * column `(doc_id, sh)` — the blocking engine behind [[simhashPairs]],

@@ -441,17 +441,43 @@ object TextAnalysis {
     out.toArray
   }
 
+  /** md5_head63 of every k-char window — the REPLAYABLE twin of
+    * [[rollingHash]] for oracle-checked winnowing: DuckDB rebuilds every
+    * value as the md5 of `substr(text, i, k)`. Character positions
+    * (equivalent to byte/code-point positions on the ASCII fixtures;
+    * non-BMP text would diverge from SQL substr semantics — the rolling
+    * variant remains the scale path for arbitrary bytes). */
+  def md5KgramHashes(s: String, k: Int): Array[Long] = {
+    if (s == null || s.length < k) return Array.empty
+    val out = new Array[Long](s.length - k + 1)
+    var i = 0
+    while (i + k <= s.length) {
+      out(i) = graft.functions.HashUtil.md5head63(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(s.substring(i, i + k)))
+      i += 1
+    }
+    out
+  }
+
   /** Per-document winnowing fingerprints as a map-only Dataset transform
-    * (doc_id, fingerprints): char-k-gram rolling hashes -> winnow. Hashes
-    * are engine-specific, so queries over this get rows-only checks plus
-    * the shared-substring guarantee spec'd in DedupSpec. */
+    * (doc_id, fingerprints): char-k-gram hashes -> winnow. With
+    * `replayableHash` the k-gram hashes are [[md5KgramHashes]] and the
+    * whole selection (window minima, rightmost tie, consecutive-dup
+    * collapse) is replayable in ANSI SQL — the oracle-checked gate path;
+    * the default [[rollingHash]] (61-bit Mersenne polynomial, byte-true)
+    * stays the scale path. */
   def winnowFingerprints(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4): DataFrame = {
+      k: Int = 8, w: Int = 4, replayableHash: Boolean = false): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, t) =>
-        (id, winnow(rollingHash(if (t == null) "" else t, k), w))
+        val text = if (t == null) "" else t
+        val hashes =
+          if (replayableHash) md5KgramHashes(text, k)
+          else rollingHash(text, k)
+        (id, winnow(hashes, w))
       }
       .toDF(idCol, "fingerprints")
   }

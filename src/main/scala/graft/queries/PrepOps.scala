@@ -704,7 +704,8 @@ object PrepOps {
 
   /** DuckDB word-k-gram list over `string_split(text,' ')` — the same
     * semantics as TextAnalysis.shingles (empty when fewer than k tokens). */
-  private def duckGrams(k: Int, wsExpr: String = "string_split(text,' ')")
+  private[queries] def duckGrams(k: Int,
+      wsExpr: String = "string_split(text,' ')")
       : String = {
     val parts = (0 until k).map(j => s"$wsExpr[i+$j]").mkString(" || ' ' || ")
     s"list_transform(range(1, greatest(len($wsExpr) - ${k - 2}, 1)), i -> $parts)"

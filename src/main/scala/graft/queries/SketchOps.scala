@@ -751,13 +751,16 @@ object SketchOps {
     }),
 
     // bloom decontamination: eval shingles as a fixed-size filter, train
-    // side probes map-only. False positives over-drop (safe direction),
-    // so the kept set is engine-specific -> rows-only; the exact-subset
-    // and no-leak guarantees are spec'd in SketchSpec.
+    // side probes map-only. FULLY oracle-checked via the replayable md5
+    // double-hash bitmap (Md5BloomUtil): DuckDB rebuilds the set bit
+    // positions and the probe arithmetic, so the kept set — INCLUDING
+    // any false-positive over-drops — is cross-engine exact. The
+    // spark-sketch production variant keeps its no-leak spec in
+    // SketchSpec.
     "decontaminate_bloom" -> ((s, d) => {
       val (train, eval_) = PrepOps.evalSplit(s, d)
-      Decontaminate.cleanBloom(train, eval_, col("doc_id"), col("text"),
-          PrepOps.DecontamK, expectedShingles = 1L << 16)
+      Decontaminate.cleanBloomReplayable(train, eval_, col("doc_id"),
+          col("text"), PrepOps.DecontamK)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
@@ -907,6 +910,43 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // full bloom replay: the eval side's set bit positions (md5
+    // double-hash, 7 probes into 2^20 bits — Md5BloomUtil's exact
+    // arithmetic), then a train doc is contaminated iff SOME shingle
+    // finds all 7 of its positions set. False positives replay
+    // identically, so the kept set matches bit-for-bit.
+    "decontaminate_bloom" -> {
+      val grams = PrepOps.duckGrams(PrepOps.DecontamK)
+      val bucket = graft.operators.Sampling.hashBucketSql("doc_id",
+        PrepOps.EvalBuckets)
+      s"""WITH hx AS (SELECT doc_id, text, source,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |b AS (SELECT doc_id, text, source, $bucket AS bucket FROM hx),
+         |ev AS (SELECT DISTINCT UNNEST($grams) AS shingle
+         |  FROM b WHERE bucket = 0),
+         |bits AS (SELECT DISTINCT
+         |    (CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)
+         |     + r.j * CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT))
+         |      % 1048576 AS pos
+         |  FROM ev, UNNEST(range(7)) AS r(j)),
+         |tr AS (SELECT DISTINCT doc_id, UNNEST($grams) AS shingle
+         |  FROM b WHERE bucket != 0),
+         |trpos AS (SELECT doc_id, shingle, r.j AS j,
+         |    (CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)
+         |     + r.j * CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT))
+         |      % 1048576 AS pos
+         |  FROM tr, UNNEST(range(7)) AS r(j)),
+         |conta AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT t.doc_id, t.shingle
+         |  FROM trpos t JOIN bits USING (pos)
+         |  GROUP BY t.doc_id, t.shingle HAVING COUNT(*) = 7))
+         |SELECT doc_id, source FROM b
+         |WHERE bucket != 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM conta)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "versioned_dsv2_read" ->
       """SELECT c_nationkey, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)

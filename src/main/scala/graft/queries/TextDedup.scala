@@ -139,8 +139,11 @@ object TextDedup {
     // incremental near-dup ingest end-to-end: first half of the corpus
     // seeds a persistent LSH band index, the second half ingests against
     // it — cross-batch near-dups drop without re-reading batch 1.
-    // xxhash64-based signatures are engine-specific -> rows-only gate
-    // (cross-batch semantics are spec'd in DedupSpec with planted dups)
+    // FULLY oracle-checked via the replayable md5 shingle + band hashes:
+    // DuckDB rebuilds the 32-perm signatures, the 8-band keys, and both
+    // drop rules (est-Jaccard vs the seeded index, greedy keep-first in
+    // batch) and reproduces the exact survivor set. Cross-batch planted
+    // dups stay spec'd in DedupSpec.
     "dedup_minhash_incremental" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("mki").toString
       val idx = s"$root/lsh_index"
@@ -148,10 +151,10 @@ object TextDedup {
         col("source"))
       val cut = 250L
       Dedup.minhashKeepIncremental(docs.filter(col("doc_id") < cut),
-        "doc_id", "text", idx, tau = 0.5)
+        "doc_id", "text", idx, tau = 0.5, replayableHash = true)
       val survivors2 = Dedup.minhashKeepIncremental(
         docs.filter(col("doc_id") >= cut), "doc_id", "text", idx,
-        tau = 0.5)
+        tau = 0.5, replayableHash = true)
       val result = survivors2.select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
       val rows = java.util.Arrays.asList(result.collect(): _*)
@@ -161,9 +164,16 @@ object TextDedup {
       s.createDataFrame(rows, schema)
     }),
 
+    // SimHash near-dup pairs, FULLY oracle-checked: the m-of-b chunk
+    // blocking is pigeonhole-complete (output = exactly all pairs with
+    // Hamming <= 6, independent of the blocking plan) and the md5-based
+    // token hash lets DuckDB recompute the identical 64-bit fingerprints
+    // (sign votes over md5 bits) — candidates are LSH-found, the result
+    // is exact. The xxhash production variant keeps its recall/blocking
+    // specs in DedupSpec.
     "dedup_simhash" -> ((s, d) => {
-      Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-          maxDist = 6)
+      Dedup.simhashPairsReplayable(Tables.documents(s, d), col("doc_id"),
+          col("text"), maxDist = 6)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -352,11 +362,14 @@ object TextDedup {
         .orderBy(col("word"))
     }),
 
-    // winnowing fingerprints (rolling-hash selection) — engine-specific
-    // hash values, rows-only check; shared-substring guarantee in DedupSpec
+    // winnowing fingerprints (Schleimer et al. 2003), FULLY
+    // oracle-checked via the md5 k-gram hash: DuckDB replays the window
+    // minima + consecutive-dup collapse with window functions over
+    // md5(substr(text,i,k)) values. Shared-substring guarantee and the
+    // rolling-hash scale variant stay spec'd in DedupSpec.
     "text_winnow" -> ((s, d) => {
       TextAnalysis.winnowFingerprints(s, Tables.documents(s, d),
-          "doc_id", "text")
+          "doc_id", "text", replayableHash = true)
         .select(col("doc_id"), size(col("fingerprints")).as("n_fps"),
           array_min(col("fingerprints")).as("min_fp"))
         .orderBy(col("doc_id"))
@@ -899,6 +912,79 @@ object TextDedup {
        |FROM c GROUP BY split, shard ORDER BY split, shard""".stripMargin
   }
 
+  /** The md5-head63 value of `e` in DuckDB SQL — the exact twin of
+    * graft.functions.HashUtil.md5head63 (top u32 masked to 31 bits,
+    * shifted, plus the second u32; always nonnegative). */
+  private def md5h63Sql(e: String): String =
+    s"(CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT) & 2147483647)" +
+      s" * 4294967296 + CAST(('0x' || substr(md5($e), 9, 8)) AS BIGINT)"
+
+  /** Generated replay of the two-batch incremental MinHash ingest (cut
+    * at doc_id 250, tau 0.5 -> >= 16 of 32 equal slots, k=3, 8 bands x 4
+    * rows). The 32 Carter-Wegman (a,b) constants interpolate from
+    * SketchUtil.minhashPerm so the Spark fold and this SQL can only
+    * drift in review. */
+  private def minhashIncrementalOracle: String = {
+    val P = graft.functions.SketchUtil.MinhashP
+    val perms = 32; val bands = 8; val rows = 4
+    val mins = (0 until perms).map { i =>
+      val (a, b) = graft.functions.SketchUtil.minhashPerm(i)
+      s"MIN((h * $a + $b) % $P) AS m$i"
+    }.mkString(",\n         |    ")
+    val bandRows = (0 until bands).map { bnd =>
+      val slots = (0 until rows).map(r => s"m${bnd * rows + r}")
+      s"SELECT doc_id, $bnd AS band, '$bnd:' || ${slots.mkString(" || ',' || ")} AS key FROM sig"
+    }.mkString("\n         |  UNION ALL ")
+    val eqSum = (0 until perms)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" +\n         |      ")
+    s"""WITH elig AS (
+       |  SELECT doc_id, text, source, string_split(text, ' ') AS ws
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND length(text) - length(replace(text, ' ', '')) + 1 >= 3
+       |), sh AS (
+       |  SELECT doc_id,
+       |    (${md5h63Sql("array_to_string(ws[i:i+2], ' ')")}) % $P AS h
+       |  FROM elig, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS r(i)
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id
+       |), bnd AS (
+       |  $bandRows
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM bnd x JOIN bnd y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |), simp AS (
+       |  SELECT c.da, c.db
+       |  FROM cand c JOIN sig a ON a.doc_id = c.da
+       |    JOIN sig b ON b.doc_id = c.db
+       |  WHERE ($eqSum) >= 16
+       |), b1 AS (SELECT doc_id FROM elig WHERE doc_id < 250
+       |), s1 AS (
+       |  SELECT doc_id FROM b1
+       |  WHERE NOT EXISTS (SELECT 1 FROM simp p
+       |    WHERE p.db = b1.doc_id AND p.da < 250)
+       |), b2 AS (SELECT doc_id FROM elig WHERE doc_id >= 250
+       |), s2 AS (
+       |  SELECT doc_id FROM b2
+       |  WHERE NOT EXISTS (SELECT 1 FROM simp p JOIN s1
+       |      ON p.da = s1.doc_id WHERE p.db = b2.doc_id)
+       |    AND NOT EXISTS (SELECT 1 FROM simp p
+       |      WHERE p.db = b2.doc_id AND p.da >= 250)
+       |), keep2 AS (
+       |  SELECT doc_id FROM s2
+       |  UNION ALL
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id >= 250 AND (text IS NULL OR
+       |    length(text) - length(replace(text, ' ', '')) + 1 < 3)
+       |)
+       |SELECT d.doc_id, d.source FROM documents d
+       |JOIN keep2 USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // same run segmentation (stopword prefix count), same fixed-point
     // deg/freq word scores, same phrase-type rollup
@@ -1396,6 +1482,88 @@ object TextDedup {
     // banding + exact verify: precision 1 by construction, recall 1 on
     // the fixtures (DedupSpec) -> output equals the exact pair set
     "dedup_minhash_lsh" -> jaccardOracle,
+
+    // full simhash replay: md5-63 token hashes, 64 sign votes, exact
+    // Hamming — the m-of-b blocking is pigeonhole-complete so the gate's
+    // output is hash-determined, and the hash is md5. Bit 63 of every
+    // token hash is 0 (head-63 construction), so the vote loop only
+    // needs bits 0..62 (bit 63 of both engines' fingerprints is 0).
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL
+         |), th AS (
+         |  SELECT doc_id, ${md5h63Sql("tok")} AS h FROM toks
+         |), votes AS (
+         |  SELECT doc_id, r.i AS i,
+         |    SUM(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, UNNEST(range(63)) AS r(i)
+         |  GROUP BY doc_id, r.i
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+         |      ELSE 0 END) AS BIGINT) AS sh
+         |  FROM votes GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // winnowing replay: md5-63 of every 8-char window, min over each
+    // 4-window (rightmost tie irrelevant to VALUES), consecutive-dup
+    // collapse via LAG; docs with 1..4 k-grams take the single global
+    // min (the Scala early-return), shorter docs have no fingerprints
+    "text_winnow" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+         |), kg AS (
+         |  SELECT doc_id, r.i AS pos,
+         |    ${md5h63Sql("substr(text, r.i, 8)")} AS h
+         |  FROM docs, UNNEST(range(1, greatest(length(text) - 6, 1)))
+         |    AS r(i)
+         |), cnt AS (
+         |  SELECT doc_id, COUNT(*) AS nh FROM kg GROUP BY doc_id
+         |), wmin AS (
+         |  SELECT doc_id, pos,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wsz
+         |  FROM kg
+         |), fw AS (
+         |  SELECT doc_id, pos, m FROM wmin WHERE wsz = 4
+         |), seq AS (
+         |  SELECT doc_id, m,
+         |    LAG(m) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM fw
+         |), agg AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN prev IS NULL OR m <> prev THEN 1 ELSE 0 END)
+         |      AS INTEGER) AS n_fps,
+         |    MIN(m) AS min_fp
+         |  FROM seq GROUP BY doc_id
+         |), small AS (
+         |  SELECT kg.doc_id, 1 AS n_fps, MIN(h) AS min_fp
+         |  FROM kg JOIN cnt USING (doc_id) WHERE cnt.nh <= 4
+         |  GROUP BY kg.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n_fps, s.n_fps, 0) AS INTEGER) AS n_fps,
+         |  COALESCE(a.min_fp, s.min_fp) AS min_fp
+         |FROM docs d
+         |LEFT JOIN agg a USING (doc_id)
+         |LEFT JOIN small s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // end-to-end incremental-ingest replay: 32-perm signatures from
+    // md5-63 shingle hashes (Carter-Wegman constants interpolated from
+    // SketchUtil.minhashPerm — single source of truth), 8 band keys as
+    // canonical strings, est-Jaccard >= 0.5 as >= 16 equal slots, then
+    // both drop rules: greedy keep-first inside each batch, and
+    // batch-2 vs the SURVIVORS of batch 1 (= the seeded index)
+    "dedup_minhash_incremental" -> minhashIncrementalOracle,
 
     "dedup_containment" -> containmentOracle,
     // smaller-side prefix filtering is output-invariant: same oracle

@@ -217,6 +217,65 @@ class DedupSpec extends SparkSpec {
     assert(shBad == 0)
   }
 
+  test("replayable simhash: pairs equal brute-force Hamming over the " +
+      "md5-token fingerprints; md5 shingles hash the joined token windows") {
+    val d = docs.limit(120)
+    // brute-force ground truth from the same md5-token fingerprints
+    val sh = d.filter($"text".isNotNull)
+      .select($"doc_id", coalesce(graft.functions.SketchFunctions
+        .simhash64(Dedup.md5TokenHashes($"text")), lit(0L)).as("sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val brute = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter($"hamming" <= 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = Dedup.simhashPairsReplayable(d, col("doc_id"), col("text"),
+        maxDist = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute, s"blocked=${got.size} brute=${brute.size}")
+
+    // md5ShingleHashes = md5_head63 of each space-joined token window
+    val k = 3
+    val text = "w1 w2 w3 w4 w5"
+    val expect = (0 to 2).map { i =>
+      graft.functions.HashUtil.md5head63(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          text.split(" ").slice(i, i + k).mkString(" ")))
+    }
+    val got2 = Seq(text).toDF("text")
+      .select(Dedup.md5ShingleHashes($"text", k).as("h"))
+      .head().getSeq[Long](0)
+    assert(got2 == expect)
+    // < k tokens -> empty array (mirrors word_shingle_hashes)
+    assert(Seq("one two").toDF("text")
+      .select(Dedup.md5ShingleHashes($"text", k))
+      .head().getSeq[Long](0).isEmpty)
+  }
+
+  test("replayable incremental minhash: cross-batch near-dup drops, " +
+      "hasher is part of the index contract") {
+    val dir = java.nio.file.Files.createTempDirectory("mh-md5").toString
+    val idx = s"$dir/idx"
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val b1 = Seq((1L, base), (2L, "completely different text body here"))
+      .toDF("doc_id", "text")
+    val k1 = Dedup.minhashKeepIncremental(b1, "doc_id", "text", idx,
+      tau = 0.5, replayableHash = true)
+    assert(k1.count() == 2)
+    // batch 2: a near-copy of doc 1 must drop against the INDEX alone
+    val b2 = Seq((10L, base + " tail"), (11L, "novel unrelated content"))
+      .toDF("doc_id", "text")
+    val k2 = Dedup.minhashKeepIncremental(b2, "doc_id", "text", idx,
+      tau = 0.5, replayableHash = true)
+    assert(k2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L))
+    // probing an md5 index with the xxhash hasher must fail loud
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashKeepIncremental(b2, "doc_id", "text", idx, tau = 0.5)
+    }
+    assert(e.getMessage.contains("hash=md5"))
+  }
+
   test("minhash signature build plan has no shuffle") {
     val plan = Dedup.minhashSignatures(docs, col("doc_id"), col("text"),
       3, 32).queryExecution.executedPlan.toString

@@ -45,6 +45,25 @@ class HashExprSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("md5_head63 equals the masked/shifted u32 composition, is " +
+      "nonnegative, propagates null") {
+    val r = inputs.select(
+        HashFunctions.md5_head63(col("s")).as("nat"),
+        (HashFunctions.md5_u32(col("s"), 0).bitwiseAND(lit(2147483647L)) *
+          lit(4294967296L) + HashFunctions.md5_u32(col("s"), 1)).as("ref"))
+    assert(r.where(col("nat") =!= col("ref")).count() == 0L)
+    assert(r.where(col("nat") < 0L).count() == 0L)
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(HashFunctions.md5_head63(col("s"))).head()
+    assert(n.isNullAt(0))
+    // driver-side util agrees with the expression (the winnow map path)
+    val viaUtil = graft.functions.HashUtil.md5head63(
+      org.apache.spark.unsafe.types.UTF8String.fromString("k1#0"))
+    val viaSpark = Seq("k1#0").toDF("s")
+      .select(HashFunctions.md5_head63(col("s"))).head().getLong(0)
+    assert(viaUtil == viaSpark)
+  }
+
   test("interpreted eval matches codegen (expression used in a " +
       "non-codegen context)") {
     // force interpreted path via an eval on the driver

@@ -29,6 +29,37 @@ class SketchSpec extends SparkSpec {
     assert(rate < 0.05, s"fp rate $rate should be near 0.01")
   }
 
+  test("replayable md5 bloom: no false negatives, bounded fp rate, " +
+      "over-drop-only decontamination vs the exact kept set") {
+    val members = (0L until 5000L).map(i => s"key-${i * 3}")
+    val bitmap = Bloom.buildMd5Bitmap(members.toDF("k"), col("k"))
+    val hit = members.toDF("k")
+      .filter(BloomFunctions.md5_bloom_contains(bitmap, col("k"), 7))
+      .count()
+    assert(hit == members.size, "every inserted key must probe true")
+    val absent = (0L until 20000L).map(i => s"absent-$i")
+    val fps = absent.toDF("k")
+      .filter(BloomFunctions.md5_bloom_contains(bitmap, col("k"), 7))
+      .count()
+    assert(fps.toDouble / absent.size < 0.01,
+      s"fp rate ${fps.toDouble / absent.size} too high for 35k/1M bits")
+    // empty build side returns null (convention shared with buildBytes)
+    assert(Bloom.buildMd5Bitmap(members.toDF("k").limit(0), col("k")) == null)
+
+    // decontamination: the bloom variant may only OVER-drop (fp
+    // direction is safe); every doc the exact clean drops is dropped
+    val docs = Tables.documents(spark, Sf0)
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val ev = docs.filter($"doc_id" % 5 === 0)
+    val exactKept = Decontaminate.clean(train, ev, col("doc_id"),
+      col("text"), k = 4).select("doc_id").as[Long].collect().toSet
+    val bloomKept = Decontaminate.cleanBloomReplayable(train, ev,
+      col("doc_id"), col("text"), k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomKept.subsetOf(exactKept),
+      "bloom kept a doc the exact decontamination drops (false negative)")
+  }
+
   test("bloom-prefiltered join is bit-identical to the plain join") {
     val li = Tables.lineitem(spark, Sf0)
     val ord = Tables.orders(spark, Sf0)
