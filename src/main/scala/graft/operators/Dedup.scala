@@ -424,6 +424,48 @@ object Dedup {
         col("len_cp"), col("chunk_hash"))
   }
 
+  /** [[cdcChunks]] with the REPLAYABLE md5 window hash: the cut rule is
+    * already boundary-local (cut after any w-codepoint window whose hash
+    * masks to 0 — no min/max-size state, so boundaries are independent
+    * predicates), which means swapping the rolling hash for
+    * md5_head63(substr(text, i, w)) makes boundaries, chunk spans, AND
+    * chunk hashes rebuildable in ANSI SQL. The resync-after-edit
+    * property is the same (boundaries depend only on local content).
+    * O(n·w) hashing vs the rolling form's O(n) — the gate/oracle tier;
+    * [[cdcChunks]] stays the scale path. */
+  def cdcChunksReplayable(df: DataFrame, id: Column, text: Column,
+      w: Int = 16, maskBits: Int = 6): DataFrame = {
+    require(w > 0 && maskBits >= 0 && maskBits < 62)
+    val m = 1L << maskBits
+    val nw = char_length(text) - (w - 1)
+    val hs = when(nw >= 1, transform(sequence(lit(0), nw - 1),
+        i => graft.functions.HashFunctions.md5_head63(
+          text.substr(i + 1, lit(w)))))
+      .otherwise(array().cast("array<bigint>"))
+    val cuts = filter(
+      transform(hs, (h, i) => when(pmod(h, lit(m)) === 0, i + w)),
+      c => c.isNotNull)
+    val bounds = array_union(
+      concat(array(lit(0)), cuts, array(char_length(text))),
+      array(lit(0)))
+    val sorted = array_sort(bounds)
+    df.select(id.as("doc_id"), text.as("__t"),
+        fence(sorted).as("__b"))
+      .withColumn("chunk_idx",
+        explode(when(size(col("__b")) >= 2,
+          sequence(lit(0), size(col("__b")) - 2))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("start_cp",
+        element_at(col("__b"), col("chunk_idx") + 1))
+      .withColumn("len_cp",
+        element_at(col("__b"), col("chunk_idx") + 2) - col("start_cp"))
+      .filter(col("len_cp") > 0)
+      .withColumn("chunk_hash", graft.functions.HashFunctions.md5_head63(
+        col("__t").substr(col("start_cp") + 1, col("len_cp"))))
+      .select(col("doc_id"), col("chunk_idx"), col("start_cp"),
+        col("len_cp"), col("chunk_hash"))
+  }
+
   /** Asymmetric shingle-containment pairs: C(A in B) = |A ∩ B| / |A|.
     * Catches the subset-duplicate family symmetric Jaccard structurally
     * misses — a short doc pasted verbatim inside a much longer one has

@@ -398,6 +398,33 @@ object Similarity {
     * NaN cosines, never >= tau, so they are always kept. Rows-only at the
     * driver gate (k-means is not SQL-expressible); planted-duplicate
     * semantics spec'd in SimilaritySpec. */
+  /** [[semanticDedup]] with the REPLAYABLE clustering: cells are the
+    * table-0 integer-SRP bucket ([[srpBucketsInt]] — deterministic
+    * golden-ratio ±1 planes over the quantized vector) instead of
+    * learned k-means centroids, and the intra-cell prune uses the
+    * quantized-exact cosine. Same keep rule (drop any vector with a
+    * smaller-id cell-mate at cosine >= tau), same one-shuffle scale
+    * shape (cell-keyed self-join, 2^bits cells) — and every step is
+    * integer arithmetic a SQL oracle replays, so the whole semantic
+    * dedup tier is oracle-checked end to end. The k-means tier stays
+    * [[semanticDedup]] (closer to the paper's cluster geometry; spec'd
+    * against planted duplicates in SimilaritySpec). */
+  def semanticDedupLshInt(corpus: DataFrame, tau: Double, dim: Int,
+      bits: Int = 8): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau=$tau")
+    val prep = corpus
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
+      .withColumn("cell",
+        element_at(srpBucketsInt(col("qv"), dim, bits, tables = 1), 1))
+    val dups = prep.as("a").join(prep.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .filter(dotLong(col("a.qv"), col("b.qv")).cast("double") /
+        (col("a.nrm") * col("b.nrm")) >= tau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    corpus.join(dups, Seq("vec_id"), "left_anti")
+  }
+
   def semanticDedup(corpus: DataFrame, k: Int, tau: Double,
       maxIter: Int = 4): DataFrame = {
     require(k >= 1 && tau > 0 && tau <= 1, s"k=$k tau=$tau")

@@ -261,13 +261,15 @@ object AnnOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SemDeDup: k-means + intra-cluster cosine pruning (Abbas et al.
-    // 2023). Clustering is engine-specific -> rows-only driver check;
-    // planted-duplicate removal + cluster-blocking recall are spec'd in
+    // SemDeDup (Abbas et al. 2023) rebased on the replayable integer-SRP
+    // cells: cluster = table-0 SRP bucket, intra-cell prune by the
+    // quantized-exact cosine — FULLY oracle-checked (DuckDB regenerates
+    // the cells and the keep rule). The k-means tier remains
+    // Similarity.semanticDedup with planted-duplicate specs in
     // SimilaritySpec.
     "dedup_semantic" -> ((s, d) => {
-      Similarity.semanticDedup(Tables.embeddings(s, d), k = 8,
-          tau = NearDupTau)
+      Similarity.semanticDedupLshInt(Tables.embeddings(s, d),
+          tau = NearDupTau, dim = Dim)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     }),
@@ -465,6 +467,22 @@ object AnnOps {
          |JOIN qn b ON b.vec_id = c.id_b
          |WHERE ${duckCosQv("a", "b")} >= $NearDupTau
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup replay: cell = the table-0 SRP bucket, drop any vector
+    // with a smaller-id cell-mate at quantized cosine >= tau
+    "dedup_semantic" ->
+      s"""WITH $srpCtes,
+         |cell AS (SELECT vec_id, bkt FROM bk WHERE tbl = 0),
+         |dups AS (
+         |  SELECT DISTINCT c1.vec_id
+         |  FROM cell c1 JOIN cell c2
+         |    ON c1.bkt = c2.bkt AND c1.vec_id > c2.vec_id
+         |  JOIN qn a ON a.vec_id = c1.vec_id
+         |  JOIN qn b ON b.vec_id = c2.vec_id
+         |  WHERE ${duckCosQv("a", "b")} >= $NearDupTau)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+         |ORDER BY e.vec_id""".stripMargin,
 
     "ann_mips_topk" ->
       s"""WITH q AS (

@@ -94,11 +94,12 @@ object TextDedup {
 
     // content-defined chunking: per-doc chunk counts + how many chunks
     // are shared with another doc (the byte-level storage-dedup view).
-    // Chunk hashes are engine-specific (xxhash rolling windows) ->
-    // rows-only; the boundary-resync property is spec'd in DedupSpec
+    // FULLY oracle-checked: the cut rule is boundary-local and the md5
+    // window hash replays in SQL, so DuckDB rebuilds boundaries, spans
+    // and chunk hashes. Boundary-resync stays spec'd in DedupSpec.
     "dedup_cdc_chunks" -> ((s, d) => {
-      val chunks = Dedup.cdcChunks(Tables.documents(s, d), col("doc_id"),
-        col("text"))
+      val chunks = Dedup.cdcChunksReplayable(Tables.documents(s, d),
+        col("doc_id"), col("text"))
       val sharing = chunks.groupBy(col("chunk_hash"))
         .agg(countDistinct(col("doc_id")).as("n_docs_with"))
       chunks.join(sharing, "chunk_hash")
@@ -1556,6 +1557,41 @@ object TextDedup {
          |LEFT JOIN agg a USING (doc_id)
          |LEFT JOIN small s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // CDC replay: cut after any 16-char window whose md5-63 masks to 0
+    // (boundary-local — no sequential state), spans via LAG over the
+    // sorted distinct bounds, chunk hashes as md5-63 of the substrings
+    "dedup_cdc_chunks" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+         |), cuts AS (
+         |  SELECT doc_id, r.i + 16 AS b
+         |  FROM docs, UNNEST(range(greatest(length(text) - 15, 0)))
+         |    AS r(i)
+         |  WHERE (${md5h63Sql("substr(text, r.i + 1, 16)")}) % 64 = 0
+         |), bounds AS (
+         |  SELECT doc_id, b FROM cuts
+         |  UNION SELECT doc_id, 0 FROM docs
+         |  UNION SELECT doc_id, length(text) FROM docs
+         |), spans AS (
+         |  SELECT doc_id, b AS e,
+         |    LAG(b) OVER (PARTITION BY doc_id ORDER BY b) AS s
+         |  FROM bounds
+         |), chunks AS (
+         |  SELECT d.doc_id,
+         |    ${md5h63Sql("substr(d.text, sp.s + 1, sp.e - sp.s)")}
+         |      AS chunk_hash
+         |  FROM spans sp JOIN docs d USING (doc_id)
+         |  WHERE sp.s IS NOT NULL AND sp.e - sp.s > 0
+         |), sharing AS (
+         |  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd
+         |  FROM chunks GROUP BY 1
+         |)
+         |SELECT c.doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared_chunks
+         |FROM chunks c JOIN sharing s USING (chunk_hash)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     // end-to-end incremental-ingest replay: 32-perm signatures from
     // md5-63 shingle hashes (Carter-Wegman constants interpolated from

@@ -89,6 +89,47 @@ class DedupSpec extends SparkSpec {
     assert((h1 & h3).size <= 1)
   }
 
+  test("replayable CDC chunks: same tiling + resync guarantees as the " +
+      "rolling-hash variant; hashes are md5_head63 of the substrings") {
+    val rng = new scala.util.Random(11)
+    val body = (0 until 300).map(_ =>
+      ('a' + rng.nextInt(26)).toChar).mkString
+    val df = Seq(
+      (1L, body),
+      (2L, "PREPENDED EDIT >>> " + body),
+      (3L, rng.shuffle(body.toList).mkString))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcChunksReplayable(df, col("doc_id"), col("text"),
+        w = 16, maskBits = 4)
+      .select($"doc_id", $"chunk_idx", $"start_cp", $"len_cp",
+        $"chunk_hash")
+      .as[(Long, Int, Int, Int, Long)].collect()
+    for (id <- Seq(1L, 2L, 3L)) {
+      val cs = out.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 0)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3)
+        case _ =>
+      }
+      val n = df.filter($"doc_id" === id).select(length($"text"))
+        .as[Int].head()
+      assert(cs.last._3 + cs.last._4 == n)
+    }
+    val h1 = out.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = out.filter(_._1 == 2L).map(_._5).toSet
+    val h3 = out.filter(_._1 == 3L).map(_._5).toSet
+    assert((h1 & h2).size.toDouble / h1.size > 0.5, "resync failed")
+    assert((h1 & h3).size <= 1)
+    // chunk hashes ARE md5_head63 of the chunk text (the oracle contract)
+    val doc1 = body
+    out.filter(_._1 == 1L).foreach { case (_, _, s, l, h) =>
+      val expect = graft.functions.HashUtil.md5head63(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          doc1.substring(s, s + l)))
+      assert(h == expect)
+    }
+  }
+
   test("prefix-filtered Jaccard: row-identical to the full-index join, " +
       "including planted near-dups") {
     // plant near-dups so the equality isn't vacuous: word-level

@@ -584,6 +584,32 @@ class SimilaritySpec extends SparkSpec {
       corpus.count())
   }
 
+  test("semanticDedupLshInt drops planted copies (same SRP cell by " +
+      "direction), keeps originals; high tau keeps everything") {
+    val rng = new scala.util.Random(11)
+    val base = emb.filter($"vec_id" < 40)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    val noisy = base.take(15).map { case (id, v, l) =>
+      (id + 100000L, v.map(x => x + 0.002f * rng.nextGaussian().toFloat), l)
+    }
+    val corpus = spark.createDataFrame((base ++ noisy).toSeq)
+      .toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedupLshInt(corpus, tau = 0.99, dim = 64)
+      .select($"vec_id").as[Long].collect().toSet
+    base.foreach { case (id, _, _) => assert(kept.contains(id), s"lost $id") }
+    // a ~0.999-cosine copy signs every SRP plane identically UNLESS a
+    // projection sits within noise of zero — the cluster-boundary miss
+    // SemDeDup trades for blocking (on this seed, 1 of 15 copies flips
+    // a near-zero plane). Most copies must drop; none may drop its
+    // original (asserted above).
+    val survivedCopies = noisy.count { case (id, _, _) => kept.contains(id) }
+    assert(survivedCopies <= 2,
+      s"$survivedCopies of ${noisy.length} planted copies survived")
+    assert(Similarity.semanticDedupLshInt(emb.filter($"vec_id" < 60),
+      tau = 0.9999, dim = 64).count() == 60)
+  }
+
   test("semantic decontamination drops planted paraphrases, keeps rest") {
     import graft.operators.Decontaminate
     val evalSet = emb.filter($"vec_id" < 5)
