@@ -46,6 +46,12 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(1e8)).cast("long"))
 
+  /** [[quantize]] at an explicit scale — the JL/MIPS tiers project from
+    * a 1e4 grid so 64-term projections and their 16-dim dots stay far
+    * inside int64 (1e8-grid JL sums-of-squares would overflow). */
+  def quantizeAt(emb: Column, scale: Double): Column =
+    transform(emb, x => round(x.cast("double") * lit(scale)).cast("long"))
+
   // native codegen'd exact integer dot (graft.functions.LongVectorDot) —
   // identical value to aggregate(zip_with(a, b, _*_), 0L, _+_): long
   // products and adds are exact, so order/implementation can't matter
@@ -326,11 +332,19 @@ object Similarity {
     * friendly random projections") shows ±1 projections preserve angles
     * like gaussians, so the recall curve family matches [[srpBuckets]]. */
   def srpWeight(t: Int, b: Int, i: Int, bits: Int, dim: Int): Long = {
-    val P = graft.functions.SketchUtil.MinhashP
-    val goldP = java.lang.Long.remainderUnsigned(
-      java.lang.Long.parseUnsignedLong("9E3779B97F4A7C15", 16), P)
-    val idx1 = ((t.toLong * bits + b) * dim) + i + 1 // 1-based flat index
-    if (((goldP * idx1) % P) % 2 == 0) 1L else -1L
+    // md5 parity per (flat plane, coordinate) — i.i.d. Rademacher
+    // entries. The round-6 golden-ratio-parity formula was a Weyl
+    // sequence whose parities are Sturmian, NOT independent: plane rows
+    // repeated the pattern (++--) with rare slips, pairwise row dots
+    // averaged |30|/64 with some rows IDENTICAL — projections were
+    // heavily correlated and any multi-plane construction (SRP buckets,
+    // JL projections) had far less effective dimension than designed.
+    // Weights are plan-time constants (typedlit on the Spark side,
+    // literal lists in the oracle SQL), so replayability is unchanged.
+    val flat = t.toLong * bits + b
+    if (graft.functions.HashUtil.md5head63(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(s"srp:$flat:$i")) % 2 == 0) 1L else -1L
   }
 
   /** SRP buckets over the QUANTIZED vector with deterministic ±1 planes
@@ -346,6 +360,105 @@ object Similarity {
         when(proj >= 0, lit(1 << b)).otherwise(lit(0))
       }.reduce((x, y) => x.bitwiseOR(y))
     }: _*)
+
+  /** Johnson–Lindenstrauss projection with deterministic ±1 entries
+    * (Achlioptas 2003, "Database-friendly random projections":
+    * Rademacher matrices carry the same distance-preservation guarantee
+    * as gaussian ones) over the QUANTIZED vector — `outDim` exact int64
+    * sums, reusing [[srpWeight]]'s md5-parity plane family (table 0,
+    * bits = outDim), constants a SQL oracle inlines verbatim. The replayable dimensionality-reduction tier next to
+    * the float PCA ([[pcaProject]] stays model-specific): map-only,
+    * codegen'd, output magnitude <= dim * max|qv| per coordinate. */
+  def jlProjectInt(qv: Column, dim: Int, outDim: Int): Column =
+    array((0 until outDim).map { j =>
+      val ws = (0 until dim).map(i => srpWeight(0, j, i, outDim, dim))
+      dotLong(qv, typedlit(ws))
+    }: _*)
+
+  /** JL-space brute-force top-k with full-dim exact rescore: queries and
+    * corpus project 64 -> `outDim` dims (4x cheaper dots at outDim 16),
+    * rank by the projected quantized cosine, and each returned neighbor
+    * carries its full-dim exact cosine — integer-deterministic end to
+    * end so the tier is oracle-checkable.
+    *
+    * What JL does and does not promise: cosine estimates carry noise
+    * ~sqrt((1-cos²)/outDim) (~0.25 at outDim 16), so on a corpus whose
+    * top-k margins are smaller than that the projected ranking diverges
+    * from the exact one — the cos_full column makes the degradation
+    * visible per neighbor (this gate doubles as the audit). What IS
+    * guaranteed is distance-CLASS preservation: a pair separated from
+    * the bulk by more than the noise (near-dups at cos ~0.99 vs bulk
+    * ~0) keeps its separation, which SimilaritySpec pins with planted
+    * copies retrieved at JL rank 1. */
+  def jlTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      outDim: Int): DataFrame = {
+    // projection side on the 1e4 grid (64-term sums, 16-dim dots stay
+    // int64-safe); the full-dim rescore keeps the 1e8 exact-cosine grid
+    def prep(df: DataFrame, idAs: String, vAs: String, pAs: String) =
+      df.select(col("vec_id").as(idAs), quantize(col("embedding")).as(vAs),
+          quantizeAt(col("embedding"), 1e4).as("__q4"))
+        .withColumn(pAs, jlProjectInt(col("__q4"), dim, outDim))
+        .drop("__q4")
+    val q = prep(queries, "query_id", "q_v", "q_p")
+      .withColumn("q_pn", sqrt(dotLong(col("q_p"), col("q_p")).cast("double")))
+      .withColumn("q_n", sqrt(dotLong(col("q_v"), col("q_v")).cast("double")))
+    val c = prep(corpus, "neighbor_id", "c_v", "c_p")
+      .withColumn("c_pn", sqrt(dotLong(col("c_p"), col("c_p")).cast("double")))
+      .withColumn("c_n", sqrt(dotLong(col("c_v"), col("c_v")).cast("double")))
+    val scored = c.select(col("neighbor_id"), col("c_p"), col("c_pn"))
+      .join(broadcast(q.select(col("query_id"), col("q_p"), col("q_pn"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", dotLong(col("q_p"), col("c_p")).cast("double") /
+        (col("q_pn") * col("c_pn")))
+    // rescore ONLY the k survivors at full dim (the prefilter economics)
+    heapTopK(scored, k)
+      .join(broadcast(q.select(col("query_id"), col("q_v"), col("q_n"))),
+        "query_id")
+      .join(c.select(col("neighbor_id"), col("c_v"), col("c_n")),
+        "neighbor_id")
+      .withColumn("cos_full", dotLong(col("q_v"), col("c_v")).cast("double") /
+        (col("q_n") * col("c_n")))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"), col("cos_full"))
+  }
+
+  /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): per query, how many of the exact
+    * full-dim top-k survive when scoring uses only the FIRST
+    * `prefixDim` coordinates — the measurement that decides whether a
+    * pipeline can serve truncated embeddings. Both rankings are exact
+    * quantized-integer cosines (ties broken by neighbor id), so the
+    * overlap count is oracle-exact. */
+  def matryoshkaOverlap(queries: DataFrame, corpus: DataFrame, k: Int,
+      prefixDim: Int): DataFrame = {
+    def topIds(qv: Column => Column, tag: String): DataFrame = {
+      def prep(df: DataFrame, idAs: String, vAs: String) =
+        df.select(col("vec_id").as(idAs), qv(quantize(col("embedding")))
+          .as(vAs))
+          .withColumn(s"${vAs}_n",
+            sqrt(dotLong(col(vAs), col(vAs)).cast("double")))
+      val q = prep(queries, "query_id", "q_v")
+      val c = prep(corpus, "neighbor_id", "c_v")
+      val scored = c.join(broadcast(q),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_sim", dotLong(col("q_v"), col("c_v"))
+          .cast("double") / (col("q_v_n") * col("c_v_n")))
+      heapTopK(scored, k).select(col("query_id"),
+        col("neighbor_id").as(s"nb_$tag"))
+    }
+    val full = topIds(identity, "full")
+    val pref = topIds(v => slice(v, 1, prefixDim), "pref")
+    // count matches per query; a query with ZERO surviving neighbors
+    // must still report 0, so the count left-joins the query list
+    val matches = full.join(pref, "query_id")
+      .filter(col("nb_full") === col("nb_pref"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("__ov"))
+    full.select(col("query_id")).distinct()
+      .join(matches, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("__ov"), lit(0)).as("n_overlap"))
+  }
 
   /** Embedding-cosine near-duplicate pairs — SMALL-INPUT ORACLE GATE ONLY.
     * Every unordered pair with cosine >= `tau`, on the quantized-integer
@@ -399,26 +512,30 @@ object Similarity {
     * driver gate (k-means is not SQL-expressible); planted-duplicate
     * semantics spec'd in SimilaritySpec. */
   /** [[semanticDedup]] with the REPLAYABLE clustering: cells are the
-    * table-0 integer-SRP bucket ([[srpBucketsInt]] — deterministic
-    * golden-ratio ±1 planes over the quantized vector) instead of
-    * learned k-means centroids, and the intra-cell prune uses the
-    * quantized-exact cosine. Same keep rule (drop any vector with a
-    * smaller-id cell-mate at cosine >= tau), same one-shuffle scale
-    * shape (cell-keyed self-join, 2^bits cells) — and every step is
-    * integer arithmetic a SQL oracle replays, so the whole semantic
+    * integer-SRP buckets of `tables` hash tables ([[srpBucketsInt]] —
+    * deterministic md5-parity ±1 planes over the quantized vector)
+    * instead of learned k-means centroids; a vector drops when a
+    * smaller-id vector shares ANY table's cell at quantized-exact
+    * cosine >= tau (OR-amplification: per-table collision for a true
+    * near-dup pair is (1 - θ/π)^bits, any-of-T lifts recall to
+    * 1-(1-p)^T — with independent planes a single 8-bit table collides
+    * ~2.5% of tau-0.4 pairs, which would make the op vacuous). Every
+    * step is integer arithmetic a SQL oracle replays, so the semantic
     * dedup tier is oracle-checked end to end. The k-means tier stays
-    * [[semanticDedup]] (closer to the paper's cluster geometry; spec'd
-    * against planted duplicates in SimilaritySpec). */
+    * [[semanticDedup]] (the paper's cluster geometry; spec'd against
+    * planted duplicates in SimilaritySpec). */
   def semanticDedupLshInt(corpus: DataFrame, tau: Double, dim: Int,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8, tables: Int = 4): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau=$tau")
     val prep = corpus
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(dotLong(col("qv"), col("qv")).cast("double")))
-      .withColumn("cell",
-        element_at(srpBucketsInt(col("qv"), dim, bits, tables = 1), 1))
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        posexplode(srpBucketsInt(col("qv"), dim, bits, tables)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "cell")
     val dups = prep.as("a").join(prep.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+        col("a.tbl") === col("b.tbl") && col("a.cell") === col("b.cell") &&
+          col("a.vec_id") > col("b.vec_id"))
       .filter(dotLong(col("a.qv"), col("b.qv")).cast("double") /
         (col("a.nrm") * col("b.nrm")) >= tau)
       .select(col("a.vec_id").as("vec_id")).distinct()

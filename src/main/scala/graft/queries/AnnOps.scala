@@ -30,6 +30,7 @@ object AnnOps {
   val TopKWide = 10
   val Dim = 64
   val SubVecs = 4
+  val JlDim = 16
   // fixtures carry no planted near-dups (max pairwise cosine ~0.5-0.6);
   // 0.4 yields a non-empty, engine-checkable pair set at every SF
   val NearDupTau = 0.4
@@ -274,6 +275,45 @@ object AnnOps {
         .orderBy(col("vec_id"))
     }),
 
+    // Johnson–Lindenstrauss ±1 projection (Achlioptas 2003) as ANN
+    // prefilter + exact full-dim rescore: 64 -> 16 dims (4x cheaper
+    // dots), deterministic integer planes — FULLY oracle-checked
+    // (DuckDB regenerates the projection, both cosines, and the
+    // ranking); JL recall vs the exact ranking spec'd in SimilaritySpec
+    "ann_jl_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.jlTopK(emb.filter(col("vec_id") < NQueries), emb,
+          TopK, Dim, outDim = JlDim)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Matryoshka truncation audit (Kusupati et al. 2022): per query,
+    // overlap between the full-64-dim exact top-k and the
+    // first-16-dims top-k — the serve-truncated-embeddings decision
+    // metric, exact integers both sides
+    "embed_matryoshka_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.matryoshkaOverlap(emb.filter(col("vec_id") < NQueries),
+          emb, TopKWide, prefixDim = JlDim)
+        .orderBy(col("query_id"))
+    }),
+
+    // the projection op itself: per-vector digest of the 16 projected
+    // integer coordinates (the embed_quantize gate shape) — the
+    // replayable dimensionality-reduction tier next to float PCA
+    "embed_jl_project" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.jlProjectInt(
+          Similarity.quantizeAt(col("embedding"), 1e4), Dim, JlDim).as("pv"))
+        .select(col("vec_id"), size(col("pv")).as("n_dims"),
+          aggregate(col("pv"), lit(0L), (a, x) => a + x).as("sum_p"),
+          array_min(col("pv")).as("min_p"),
+          array_max(col("pv")).as("max_p"),
+          graft.functions.VectorFunctions.vec_dot_long(col("pv"), col("pv"))
+            .as("ssq_p"))
+        .orderBy(col("vec_id"))
+    }),
+
     // bitext-style alignment: label-0 vectors as the source space,
     // label-1 as the target — mutual nearest neighbors with both
     // directions' best-vs-second margins, exact scoring throughout
@@ -337,22 +377,48 @@ object AnnOps {
   // dedup_embedding_lsh oracles regenerate the engine's buckets) ------
   private val SrpBits = 8
   private val SrpTables = 4
-  private lazy val SrpP = graft.functions.SketchUtil.MinhashP
-  private lazy val SrpGoldP = java.lang.Long.remainderUnsigned(
-    java.lang.Long.parseUnsignedLong("9E3779B97F4A7C15", 16), SrpP)
+
+  /** The ±1 weights of one plane as a SQL list literal — srpWeight's
+    * md5-parity constants inlined verbatim (weights are plan-time
+    * constants on both sides; no hash arithmetic in the SQL). */
+  private def planeLit(t: Int, b: Int, bits: Int, pdim: Int): String =
+    (0 until pdim).map(i =>
+      graft.operators.Similarity.srpWeight(t, b, i, bits, pdim))
+      .mkString("[", ",", "]")
 
   /** Bucket id of hash table `t` over a quantized-list column — the SQL
     * twin of Similarity.srpBucketsInt/srpWeight (same flat plane index,
-    * same parity rule). `pdim` = the plane dimensionality (Dim for raw
-    * vectors, Dim+1 for the MIPS norm-augmented ones). */
+    * same md5-parity weights). `pdim` = the plane dimensionality (Dim
+    * for raw vectors, Dim+1 for the MIPS norm-augmented ones). */
   private def srpBucketSql(qvCol: String, t: Int, pdim: Int = Dim): String =
     (0 until SrpBits).map { b =>
-      val base = (t.toLong * SrpBits + b) * pdim
       s"""(CASE WHEN list_sum(list_transform(range(1, ${pdim + 1}),
-         |    i -> $qvCol[i] * (1 - 2 * ((($SrpGoldP * ($base + i))
-         |      % $SrpP) % 2)))) >= 0
+         |    i -> $qvCol[i] * (${planeLit(t, b, SrpBits, pdim)})[i])) >= 0
          |  THEN ${1 << b} ELSE 0 END)""".stripMargin
     }.mkString("\n  + ")
+
+  /** The 16 JL projection coordinates of a quantized-list column — the
+    * SQL twin of Similarity.jlProjectInt (table 0, bits = JlDim of the
+    * shared md5-parity plane family, weights inlined). */
+  private def jlListSql(qvCol: String): String = {
+    val coords = (0 until JlDim).map { j =>
+      s"""CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> $qvCol[i] * (${planeLit(0, j, JlDim, Dim)})[i]))
+         |    AS BIGINT)""".stripMargin
+    }
+    s"[${coords.mkString(",\n    ")}]"
+  }
+
+  /** Exact-int cosine between two list columns over dims [1, n]. */
+  private def duckCosN(a: String, b: String, n: Int, nrmA: String,
+      nrmB: String): String =
+    s"""(CAST(CAST(list_sum(list_transform(range(1, ${n + 1}),
+       |    i -> $a[i] * $b[i])) AS STRING) AS DOUBLE)
+       |  / ($nrmA * $nrmB))""".stripMargin
+
+  private def duckNrmN(v: String, n: Int): String =
+    s"""SQRT(CAST(CAST(list_sum(list_transform(range(1, ${n + 1}),
+       |    i -> $v[i] * $v[i])) AS STRING) AS DOUBLE))""".stripMargin
 
   /** Shared CTE prefix: quantized vectors + exact norms + per-table
     * bucket rows. */
@@ -468,15 +534,96 @@ object AnnOps {
          |WHERE ${duckCosQv("a", "b")} >= $NearDupTau
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // SemDeDup replay: cell = the table-0 SRP bucket, drop any vector
-    // with a smaller-id cell-mate at quantized cosine >= tau
+    // JL replay: 16 projected integer coordinates from the 1e4 grid,
+    // projected-space ranking, full-dim 1e8 exact rescore of survivors
+    "ann_jl_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> ${qel("x")}) AS qv,
+         |    list_transform(embedding,
+         |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+         |      AS q4
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT vec_id, qv, ${jlListSql("q4")} AS pv FROM q),
+         |pn AS (
+         |  SELECT vec_id, qv, pv,
+         |    ${duckNrmN("pv", JlDim)} AS pnrm,
+         |    ${duckNrmN("qv", Dim)} AS nrm
+         |  FROM p),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${duckCosN("a.pv", "b.pv", JlDim, "a.pnrm", "b.pnrm")}
+         |      AS cos_sim,
+         |    ${duckCosN("a.qv", "b.qv", Dim, "a.nrm", "b.nrm")}
+         |      AS cos_full
+         |  FROM pn a JOIN pn b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_sim, cos_full
+         |FROM ranked WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // matryoshka replay: full-64 and first-16 exact rankings on the
+    // same 1e8 grid, overlap counted with nulls-preserving left join
+    "embed_matryoshka_eval" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> ${qel("x")}) AS qv
+         |  FROM embeddings),
+         |qn AS (
+         |  SELECT vec_id, qv,
+         |    ${duckNrmN("qv", Dim)} AS nrm64,
+         |    ${duckNrmN("qv", JlDim)} AS nrm16
+         |  FROM q),
+         |sf AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      ${duckCosN("a.qv", "b.qv", Dim, "a.nrm64", "b.nrm64")}
+         |        DESC, b.vec_id) AS rank
+         |  FROM qn a JOIN qn b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $NQueries),
+         |sp AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      ${duckCosN("a.qv", "b.qv", JlDim, "a.nrm16", "b.nrm16")}
+         |        DESC, b.vec_id) AS rank
+         |  FROM qn a JOIN qn b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $NQueries)
+         |SELECT f.query_id,
+         |  CAST(COUNT(p.neighbor_id) AS INTEGER) AS n_overlap
+         |FROM (SELECT * FROM sf WHERE rank <= $TopKWide) f
+         |LEFT JOIN (SELECT * FROM sp WHERE rank <= $TopKWide) p
+         |  ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+         |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin,
+
+    // projection digest replay: same 16 coordinates, integer stats
+    "embed_jl_project" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q4
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, ${jlListSql("q4")} AS pv FROM q)
+         |SELECT vec_id, CAST($JlDim AS INTEGER) AS n_dims,
+         |  CAST(list_sum(pv) AS BIGINT) AS sum_p,
+         |  CAST(list_min(pv) AS BIGINT) AS min_p,
+         |  CAST(list_max(pv) AS BIGINT) AS max_p,
+         |  CAST(list_sum(list_transform(range(1, ${JlDim + 1}),
+         |    i -> pv[i] * pv[i])) AS BIGINT) AS ssq_p
+         |FROM p ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup replay: drop any vector with a smaller-id mate in ANY
+    // table's SRP cell at quantized cosine >= tau (OR-amplified cells)
     "dedup_semantic" ->
       s"""WITH $srpCtes,
-         |cell AS (SELECT vec_id, bkt FROM bk WHERE tbl = 0),
          |dups AS (
          |  SELECT DISTINCT c1.vec_id
-         |  FROM cell c1 JOIN cell c2
-         |    ON c1.bkt = c2.bkt AND c1.vec_id > c2.vec_id
+         |  FROM bk c1 JOIN bk c2
+         |    ON c1.tbl = c2.tbl AND c1.bkt = c2.bkt
+         |    AND c1.vec_id > c2.vec_id
          |  JOIN qn a ON a.vec_id = c1.vec_id
          |  JOIN qn b ON b.vec_id = c2.vec_id
          |  WHERE ${duckCosQv("a", "b")} >= $NearDupTau)

@@ -440,6 +440,17 @@ class SimilaritySpec extends SparkSpec {
         assert(pos >= 16 && pos <= 48, s"plane ($t,$b) degenerate: $pos")
       }
     }
+    // and planes are pairwise near-orthogonal (the round-7 md5-parity
+    // fix: the old Weyl-parity rows repeated (++--) and some were
+    // IDENTICAL — |dot| averaged 30/64, so multi-plane constructions
+    // had far less effective dimension than designed). For i.i.d. ±1
+    // rows |dot| ~ sqrt(64) = 8; bound loosely at 28.
+    val rows = for (t <- 0 until 8; b <- 0 until 8)
+      yield (0 until 64).map(i => Similarity.srpWeight(t, b, i, 8, 64))
+    for (j <- rows.indices; k <- j + 1 until rows.length) {
+      val dot = rows(j).zip(rows(k)).map { case (a, c) => a * c }.sum
+      assert(math.abs(dot) <= 28, s"planes $j,$k correlated: dot=$dot")
+    }
   }
 
   test("integer-MIPS LSH: every hit's ip equals the exact MIPS gate's, " +
@@ -582,6 +593,40 @@ class SimilaritySpec extends SparkSpec {
     val corpus = emb.filter($"vec_id" < 60)
     assert(Similarity.semanticDedup(corpus, k = 3, tau = 0.9999).count() ==
       corpus.count())
+  }
+
+  test("JL projection: planted near-copies retrieved at rank 1 (the " +
+      "distance-class guarantee); projection matches brute-force weights") {
+    val rng = new scala.util.Random(7)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    // queries = noisy copies of 20 corpus vectors at cosine ~0.999 —
+    // separated from the ~0-cosine bulk by far more than the outDim-16
+    // noise, so JL must rank each query's source first
+    val queries = base.map { case (id, v) =>
+      (id + 50000L, v.map(x => x + 0.002f * rng.nextGaussian().toFloat))
+    }
+    val corpus = emb.select($"vec_id", $"embedding")
+    val qdf = spark.createDataFrame(queries.toSeq)
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity.jlTopK(qdf, corpus, k = 1, dim = 64, outDim = 16)
+      .select($"query_id", $"neighbor_id", $"cos_full")
+      .as[(Long, Long, Double)].collect()
+    top1.foreach { case (q, n, cf) =>
+      assert(n == q - 50000L, s"query $q retrieved $n, not its source")
+      assert(cf > 0.99, s"full-dim rescore $cf should be ~1")
+    }
+    // jlProjectInt coordinates equal the explicit weight dot products
+    val v = base.head._2
+    val qv = v.map(x => math.round(x.toDouble * 1e4))
+    val expect = (0 until 16).map { j =>
+      (0 until 64).map(i => qv(i) * Similarity.srpWeight(0, j, i, 16, 64)).sum
+    }
+    val got = Seq((1L, v)).toDF("vec_id", "embedding")
+      .select(Similarity.jlProjectInt(
+        Similarity.quantizeAt($"embedding", 1e4), 64, 16))
+      .head().getSeq[Long](0)
+    assert(got == expect)
   }
 
   test("semanticDedupLshInt drops planted copies (same SRP cell by " +
