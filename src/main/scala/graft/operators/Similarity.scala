@@ -422,6 +422,60 @@ object Similarity {
         col("cos_sim"), col("cos_full"))
   }
 
+  /** Exact-integer power iteration for the first principal direction —
+    * the oracle-checkable PCA tier (float [[pcaProject]] is
+    * model-specific). MLlib's own PCA shape: the d x d Gramian
+    * C = AᵀA aggregates distributed (ONE explode pass, map-side
+    * combined into d² cells), the d²-long matrix comes to the driver
+    * (bounded state — 32 KB at d=64), and `iters` rounds of
+    * v <- C·v run there in pure Long arithmetic with deterministic
+    * shift normalization (C pre-shifted under 2^34, v kept under 2^20,
+    * so |C·v| <= d·2^54 never overflows; all shifts arithmetic = floor
+    * on both engines). Projections fan back out map-only as one
+    * codegen'd dot. No float enters anywhere, so a SQL oracle unrolling
+    * the same `iters` matvecs reproduces every projection bit-exactly —
+    * convergence to the true eigenvector is governed by the eigengap
+    * (spec'd against brute-force eigen alignment in SimilaritySpec),
+    * but ORACLE equality holds at any iteration count. */
+  def powerIterationPc1(df: DataFrame, dim: Int = 64, iters: Int = 100)
+      : DataFrame = {
+    val q = df.select(col("vec_id"),
+      quantizeAt(col("embedding"), 1e4).as("q4"))
+    val cov = q
+      .select(posexplode(col("q4")).as(Seq("j", "x")), col("q4"))
+      .select(col("j"), posexplode(transform(col("q4"),
+        y => col("x") * y)).as(Seq("k", "p")))
+      .groupBy(col("j"), col("k")).agg(sum(col("p")).as("c"))
+      .collect()
+    val C = Array.ofDim[Long](dim, dim)
+    cov.foreach(r => C(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val maxC = C.flatten.map(math.abs).max
+    val cShift = math.max(0, bitlen(maxC) - 34)
+    var j = 0
+    while (j < dim) {
+      var k = 0
+      while (k < dim) { C(j)(k) = C(j)(k) >> cShift; k += 1 }
+      j += 1
+    }
+    var v = Array.fill(dim)(1L)
+    var t = 0
+    while (t < iters) {
+      val w = Array.tabulate(dim) { jj =>
+        var acc = 0L
+        var kk = 0
+        while (kk < dim) { acc += C(jj)(kk) * v(kk); kk += 1 }
+        acc
+      }
+      val s = math.max(0, bitlen(w.map(math.abs).max) - 20)
+      v = w.map(_ >> s)
+      t += 1
+    }
+    q.select(col("vec_id"),
+      graft.functions.VectorFunctions.vec_dot_long(col("q4"),
+        typedlit(v.toSeq)).as("pc1_proj"))
+  }
+
   /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
     * Representation Learning"): per query, how many of the exact
     * full-dim top-k survive when scoring uses only the FIRST

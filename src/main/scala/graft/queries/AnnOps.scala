@@ -31,6 +31,7 @@ object AnnOps {
   val Dim = 64
   val SubVecs = 4
   val JlDim = 16
+  val PcaIters = 100
   // fixtures carry no planted near-dups (max pairwise cosine ~0.5-0.6);
   // 0.4 yields a non-empty, engine-checkable pair set at every SF
   val NearDupTau = 0.4
@@ -296,6 +297,17 @@ object AnnOps {
       Similarity.matryoshkaOverlap(emb.filter(col("vec_id") < NQueries),
           emb, TopKWide, prefixDim = JlDim)
         .orderBy(col("query_id"))
+    }),
+
+    // exact-integer power-iteration PCA: distributed Gramian, 100
+    // driver matvecs in pure Long arithmetic with deterministic shift
+    // normalization, map-only projection — the FULLY oracle-checked
+    // principal-direction tier (float embed_pca_project stays
+    // model-specific); eigen alignment spec'd in SimilaritySpec
+    "embed_pca_power" -> ((s, d) => {
+      Similarity.powerIterationPc1(Tables.embeddings(s, d), Dim,
+          iters = PcaIters)
+        .orderBy(col("vec_id"))
     }),
 
     // the projection op itself: per-vector digest of the 16 projected
@@ -599,6 +611,41 @@ object AnnOps {
          |LEFT JOIN (SELECT * FROM sp WHERE rank <= $TopKWide) p
          |  ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
          |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin,
+
+    // power-iteration replay: the same Gramian, C-shift, and 100
+    // shift-normalized matvecs unrolled as MATERIALIZED CTEs (inlined
+    // CTEs would re-expand the scan per iteration); >> is arithmetic
+    // (floor) on both engines, bin() gives the exact bit length
+    "embed_pca_power" -> {
+      val m = "AS MATERIALIZED"
+      val head = Seq(
+        s"""qq $m (SELECT vec_id, list_transform(embedding,
+           |  x -> CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q4
+           |  FROM embeddings)""".stripMargin,
+        s"""cov $m (SELECT jj.j AS j, kk.k AS k,
+           |  CAST(SUM(q4[jj.j] * q4[kk.k]) AS BIGINT) AS c0
+           |  FROM qq, range(1, ${Dim + 1}) jj(j), range(1, ${Dim + 1}) kk(k)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""cm $m (SELECT j, k, c0 >> (SELECT
+           |  greatest(length(bin(MAX(ABS(c0)))) - 34, 0) FROM cov) AS val
+           |  FROM cov)""".stripMargin,
+        s"""v0 $m (SELECT r.j AS j, CAST(1 AS BIGINT) AS v
+           |  FROM range(1, ${Dim + 1}) r(j))""".stripMargin)
+      val steps = (1 to PcaIters).flatMap { t =>
+        Seq(
+          s"""w$t $m (SELECT cm.j AS j, CAST(SUM(cm.val * v${t - 1}.v)
+             |  AS BIGINT) AS w FROM cm JOIN v${t - 1} ON cm.k = v${t - 1}.j
+             |  GROUP BY cm.j)""".stripMargin,
+          s"""v$t $m (SELECT j, w >> (SELECT
+             |  greatest(length(bin(MAX(ABS(w)))) - 20, 0) FROM w$t) AS v
+             |  FROM w$t)""".stripMargin)
+      }
+      val tail = s"pv $m (SELECT list(v ORDER BY j) AS vv FROM v$PcaIters)"
+      s"""WITH ${(head ++ steps :+ tail).mkString(",\n")}
+         |SELECT vec_id, CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |  i -> q4[i] * vv[i])) AS BIGINT) AS pc1_proj
+         |FROM qq, pv ORDER BY vec_id""".stripMargin
+    },
 
     // projection digest replay: same 16 coordinates, integer stats
     "embed_jl_project" ->

@@ -595,6 +595,50 @@ class SimilaritySpec extends SparkSpec {
       corpus.count())
   }
 
+  test("power-iteration PC1: projections align with the float " +
+      "eigen direction and are bit-deterministic") {
+    val proj = Similarity.powerIterationPc1(emb, 64, iters = 100)
+      .orderBy($"vec_id").as[(Long, Long)].collect()
+    // float reference: 2000 double power iterations on the same Gramian
+    val vecs = emb.orderBy($"vec_id").select($"embedding")
+      .as[Array[Float]].collect()
+      .map(_.map(x => math.round(x.toDouble * 1e4).toDouble))
+    val dim = 64
+    val c = Array.ofDim[Double](dim, dim)
+    vecs.foreach { q =>
+      var j = 0
+      while (j < dim) {
+        var k = 0
+        while (k < dim) { c(j)(k) += q(j) * q(k); k += 1 }
+        j += 1
+      }
+    }
+    var v = Array.fill(dim)(1.0)
+    (0 until 2000).foreach { _ =>
+      val w = Array.tabulate(dim)(j =>
+        (0 until dim).map(k => c(j)(k) * v(k)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / n)
+    }
+    val refProj = vecs.map(q => (0 until dim).map(i => q(i) * v(i)).sum)
+    // Pearson correlation up to sign (shift normalization scales the
+    // integer vector arbitrarily; direction is what must agree)
+    val a = proj.map(_._2.toDouble); val b = refProj
+    def corr(x: Array[Double], y: Array[Double]): Double = {
+      val mx = x.sum / x.length; val my = y.sum / y.length
+      val cov = x.zip(y).map { case (p, q) => (p - mx) * (q - my) }.sum
+      val sx = math.sqrt(x.map(p => (p - mx) * (p - mx)).sum)
+      val sy = math.sqrt(y.map(q => (q - my) * (q - my)).sum)
+      cov / (sx * sy)
+    }
+    assert(math.abs(corr(a, b)) > 0.99,
+      s"integer PC1 misaligned: corr=${corr(a, b)}")
+    // bit-determinism: a second run reproduces every projection
+    val proj2 = Similarity.powerIterationPc1(emb, 64, iters = 100)
+      .orderBy($"vec_id").as[(Long, Long)].collect()
+    assert(proj.sameElements(proj2))
+  }
+
   test("JL projection: planted near-copies retrieved at rank 1 (the " +
       "distance-class guarantee); projection matches brute-force weights") {
     val rng = new scala.util.Random(7)
