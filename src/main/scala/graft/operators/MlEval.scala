@@ -724,4 +724,100 @@ object MlEval {
             (col("__n").cast("double") * col("__n").cast("double")))
           .as("gini_gain"))
   }
+
+  /** Discrete AdaBoost over decision stumps with INTEGER weight
+    * doubling — a trained boosted ensemble that is fully
+    * oracle-checkable (Freund & Schapire 1997 shape; the fixed ×2
+    * reweighting is the ε-oblivious variant, every quantity an exact
+    * integer). Round t scans all (feature, threshold = distinct value,
+    * polarity) stumps for the minimum WEIGHTED 0/1 error, where row
+    * weights are the pure expression 2^(# previous stumps that
+    * misclassify the row) — nothing materializes between rounds, each
+    * round is one melt + one per-feature cumulative window + an argmin
+    * (ties break on err, feature, threshold, polarity). The per-round
+    * winner (a single row — bounded state) comes to the driver and
+    * re-enters the next round's plan as literals.
+    *
+    * Output: one row per round — the stump (feature, threshold,
+    * polarity: 1 means v <= thr predicts class 1), its weighted error
+    * and the live total weight, plus the ensemble's training accuracy
+    * after that round (majority of signed votes; a tied vote predicts
+    * class 0, deterministically).
+    *
+    * Scale shape: T sequential passes (boosting is inherently
+    * sequential); each pass shuffles the melted (feature, value) keys
+    * once for the cumulative window — map-side combined per-value
+    * aggregation before the window, never a per-row candidate join. */
+  def adaboostStumps(df: DataFrame, features: Seq[(String, Column)],
+      label: Column, rounds: Int = 3): DataFrame = {
+    require(features.nonEmpty && rounds >= 1)
+    val spark = df.sparkSession
+    val base = df.select(
+        (features.map { case (n, c) => c.cast("long").as(n) } :+
+          label.cast("long").as("__y")): _*)
+      .where(col("__y").isin(0L, 1L) &&
+        features.map(f => col(f._1).isNotNull).reduce(_ && _))
+    case class Stump(feature: String, thr: Long, pol: Int,
+      err: Long, totW: Long)
+    def pred(s: Stump): Column =
+      when(col(s.feature) <= lit(s.thr), lit(s.pol))
+        .otherwise(lit(1 - s.pol))
+    var stumps = List.empty[Stump]
+    (0 until rounds).foreach { _ =>
+      val w = stumps.reverse.foldLeft(lit(1L)) { (acc, s) =>
+        acc * when(pred(s) =!= col("__y"), lit(2L)).otherwise(lit(1L))
+      }
+      val melted = base.withColumn("__w", w)
+        .select(explode(array(features.map { case (n, _) =>
+          struct(lit(n).as("f"), col(n).as("v"))
+        }: _*)).as("fv"), col("__y"), col("__w"))
+        .select(col("fv.f").as("__f"), col("fv.v").as("__v"),
+          col("__y"), col("__w"))
+      val perVal = melted.groupBy(col("__f"), col("__v"))
+        .agg(sum(when(col("__y") === 1L, col("__w")).otherwise(0L))
+          .as("__w1"),
+          sum(when(col("__y") === 0L, col("__w")).otherwise(0L))
+            .as("__w0"))
+      val cumW = Window.partitionBy(col("__f")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("__f"))
+      val cand = perVal
+        .withColumn("__cw0", sum(col("__w0")).over(cumW))
+        .withColumn("__cw1", sum(col("__w1")).over(cumW))
+        .withColumn("__t0", sum(col("__w0")).over(totW))
+        .withColumn("__t1", sum(col("__w1")).over(totW))
+        // pol 1: predict 1 iff v <= thr -> errs = w0 at/left + w1 right
+        .withColumn("__errLe", col("__cw0") + col("__t1") - col("__cw1"))
+        // pol 0: predict 0 iff v <= thr -> errs = w1 at/left + w0 right
+        .withColumn("__errGt", col("__cw1") + col("__t0") - col("__cw0"))
+      val best = cand.select(col("__f"), col("__v"),
+          explode(array(
+            struct(lit(1).as("pol"), col("__errLe").as("err")),
+            struct(lit(0).as("pol"), col("__errGt").as("err")))).as("pe"),
+          (col("__t0") + col("__t1")).as("__tw"))
+        .select(col("__f"), col("__v"), col("pe.pol").as("__pol"),
+          col("pe.err").as("__err"), col("__tw"))
+        .orderBy(col("__err"), col("__f"), col("__v"), col("__pol"))
+        .limit(1).collect().head
+      stumps ::= Stump(best.getString(0), best.getLong(1), best.getInt(2),
+        best.getLong(3), best.getLong(4))
+    }
+    val chosen = stumps.reverse
+    // ensemble accuracy after each round: signed majority, tie -> 0
+    val accs = (1 to rounds).map { t =>
+      val vote = chosen.take(t)
+        .map(s => when(pred(s) === 1, lit(1)).otherwise(lit(-1)))
+        .reduce(_ + _)
+      val ens = when(vote > 0, lit(1L)).otherwise(lit(0L))
+      base.agg(sum(when(ens === col("__y"), 1L).otherwise(0L)),
+        count(lit(1))).head()
+    }
+    val rows = chosen.zipWithIndex.map { case (s, i) =>
+      (i + 1, s.feature, s.thr, s.pol, s.err, s.totW,
+        accs(i).getLong(0), accs(i).getLong(1))
+    }
+    import spark.implicits._
+    rows.toDF("round", "feature", "threshold", "polarity",
+      "weighted_err", "total_weight", "ensemble_correct", "n_rows")
+  }
 }

@@ -172,6 +172,21 @@ object MlOps {
         .orderBy(col("source"))
     }),
 
+    // discrete AdaBoost over decision stumps, integer weight-doubling:
+    // a TRAINED boosted ensemble whose every round — weighted stump
+    // argmin, reweighting, majority-vote accuracy — is exact integer
+    // arithmetic, so the whole training loop is oracle-checked
+    // (unrolled-round SQL replay, same pattern as the LPA oracle)
+    "ml_adaboost_stumps" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.MlEval.adaboostStumps(docs,
+          Seq("n_chars" -> col("n_chars"),
+            "n_tokens" -> (length(col("text")) -
+              length(replace(col("text"), lit(" "), lit(""))) + 1)),
+          (col("lang") === "en").cast("int"), rounds = 3)
+        .orderBy(col("round"))
+    }),
+
     // Poisson-bootstrap 95% CI of the mean event value per event type:
     // 40 resamples whose weights are integer threshold-counts of the
     // (event_id, replica) hash — no global coordination, exact sums,
@@ -512,6 +527,76 @@ object MlOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // unrolled-round AdaBoost replay: per round, cumulative weighted
+    // error over every (feature, threshold, polarity) stump, LIMIT-1
+    // argmin with the same tie-break, 1-row stump CTE feeding the next
+    // round's weight product and the signed-majority accuracy
+    "ml_adaboost_stumps" -> {
+      val rounds = 3
+      def predSql(p: String): String =
+        s"""(CASE WHEN (CASE $p.f WHEN 'n_chars' THEN b.f_n_chars
+           |  ELSE b.f_n_tokens END) <= $p.v THEN $p.pol
+           |  ELSE 1 - $p.pol END)""".stripMargin
+      val ctes = scala.collection.mutable.ArrayBuffer(
+        s"""base AS (SELECT CAST(n_chars AS BIGINT) AS f_n_chars,
+           |  CAST(length(text) - length(replace(text, ' ', '')) + 1
+           |    AS BIGINT) AS f_n_tokens,
+           |  CASE WHEN lang IS NULL THEN NULL
+           |    WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents
+           |  WHERE lang IS NOT NULL AND text IS NOT NULL
+           |    AND n_chars IS NOT NULL)""".stripMargin)
+      (1 to rounds).foreach { t =>
+        val prev = (1 until t).map(k => s"p$k")
+        val wExpr =
+          if (prev.isEmpty) "CAST(1 AS BIGINT)"
+          else prev.map(p =>
+            s"(CASE WHEN ${predSql(p)} != b.y THEN 2 ELSE 1 END)")
+            .mkString(" * ")
+        val from = ("base b" +: prev).mkString(", ")
+        ctes += s"""wt$t AS (SELECT b.f_n_chars, b.f_n_tokens, b.y,
+           |  CAST($wExpr AS BIGINT) AS w FROM $from)""".stripMargin
+        ctes += s"""m$t AS (
+           |  SELECT 'n_chars' AS f, f_n_chars AS v, y, w FROM wt$t
+           |  UNION ALL
+           |  SELECT 'n_tokens', f_n_tokens, y, w FROM wt$t)""".stripMargin
+        ctes += s"""pv$t AS (SELECT f, v,
+           |  SUM(CASE WHEN y = 1 THEN w ELSE 0 END) AS w1,
+           |  SUM(CASE WHEN y = 0 THEN w ELSE 0 END) AS w0
+           |  FROM m$t GROUP BY 1, 2)""".stripMargin
+        ctes += s"""c$t AS (SELECT f, v,
+           |  SUM(w0) OVER (PARTITION BY f ORDER BY v) AS cw0,
+           |  SUM(w1) OVER (PARTITION BY f ORDER BY v) AS cw1,
+           |  SUM(w0) OVER (PARTITION BY f) AS t0,
+           |  SUM(w1) OVER (PARTITION BY f) AS t1 FROM pv$t)""".stripMargin
+        ctes += s"""e$t AS (
+           |  SELECT f, v, 1 AS pol, cw0 + t1 - cw1 AS err,
+           |    t0 + t1 AS tw FROM c$t
+           |  UNION ALL
+           |  SELECT f, v, 0, cw1 + t0 - cw0, t0 + t1 FROM c$t)""".stripMargin
+        ctes += s"""p$t AS (SELECT f, CAST(v AS BIGINT) AS v, pol,
+           |  CAST(err AS BIGINT) AS err, CAST(tw AS BIGINT) AS tw
+           |  FROM e$t ORDER BY err, f, v, pol LIMIT 1)""".stripMargin
+        val votes = (1 to t).map(k =>
+          s"(CASE WHEN ${predSql(s"p$k")} = 1 THEN 1 ELSE -1 END)")
+          .mkString(" + ")
+        val fromA = ("base b" +: (1 to t).map(k => s"p$k")).mkString(", ")
+        ctes += s"""a$t AS (SELECT
+           |  CAST(SUM(CASE WHEN (CASE WHEN ($votes) > 0 THEN 1 ELSE 0
+           |    END) = b.y THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+           |  COUNT(*) AS n FROM $fromA)""".stripMargin
+      }
+      val out = (1 to rounds).map { t =>
+        s"""SELECT $t AS round, p$t.f AS feature, p$t.v AS threshold,
+           |  p$t.pol AS polarity, p$t.err AS weighted_err,
+           |  p$t.tw AS total_weight, a$t.correct AS ensemble_correct,
+           |  a$t.n AS n_rows FROM p$t, a$t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${ctes.mkString(",\n")}
+         |$out
+         |ORDER BY round""".stripMargin
+    },
+
     // window replay of the keyed rank statistic; HUGEINT internally,
     // BIGINT at the seam (type-sensitive gate), one double dag at the end
     "ml_auc_roc" ->

@@ -376,4 +376,45 @@ class MlEvalSpec extends SparkSpec {
     assert(got(1) == expect)
     assert(got(13) == expect)
   }
+
+  test("adaboost stumps: separable data solved in round 1; round-2 " +
+      "reweighting corrects round-1 errors; min-err invariant holds") {
+    // f1 separates perfectly at 10 -> round 1 must pick it, err 0,
+    // full training accuracy from the first vote
+    val sep = (1 to 40).map(i =>
+      (i.toLong, (i % 7).toLong, if (i <= 20) 0L else 1L))
+      .toDF("f1", "f2", "y")
+    val r = MlEval.adaboostStumps(sep,
+      Seq("f1" -> col("f1"), "f2" -> col("f2")), col("y"), rounds = 2)
+      .orderBy($"round")
+      .as[(Int, String, Long, Int, Long, Long, Long, Long)].collect()
+    assert(r(0)._2 == "f1" && r(0)._5 == 0L, s"round 1 picked ${r(0)}")
+    assert(r(0)._7 == 40L && r(0)._8 == 40L)
+
+    // XOR-ish data no single stump solves: the doubled weights must
+    // push round 2 to a DIFFERENT stump, and every round's weighted
+    // error stays <= half the live total weight (the polarity-
+    // complement argument: err(pol) + err(1-pol) = totW)
+    val rng = new scala.util.Random(3)
+    val hard = (1 to 200).map { i =>
+      val a = rng.nextInt(20).toLong; val b = rng.nextInt(20).toLong
+      val y = if ((a < 10) ^ (b < 10)) 1L else 0L
+      (a, b, y)
+    }.toDF("f1", "f2", "y")
+    val h = MlEval.adaboostStumps(hard,
+      Seq("f1" -> col("f1"), "f2" -> col("f2")), col("y"), rounds = 3)
+      .orderBy($"round")
+      .as[(Int, String, Long, Int, Long, Long, Long, Long)].collect()
+    h.foreach { row =>
+      assert(row._5 * 2 <= row._6, s"round ${row._1} err > totW/2: $row")
+    }
+    assert((h(0)._2, h(0)._3, h(0)._4) != ((h(1)._2, h(1)._3, h(1)._4)),
+      "round 2 re-picked the identical stump despite doubled weights")
+    // deterministic: a rerun reproduces the ensemble bit-for-bit
+    val h2 = MlEval.adaboostStumps(hard,
+      Seq("f1" -> col("f1"), "f2" -> col("f2")), col("y"), rounds = 3)
+      .orderBy($"round")
+      .as[(Int, String, Long, Int, Long, Long, Long, Long)].collect()
+    assert(h.sameElements(h2))
+  }
 }
