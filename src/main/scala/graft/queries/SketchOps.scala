@@ -224,6 +224,39 @@ object SketchOps {
     // (matched + condition), updates (matched remainder), and inserts
     // (unmatched source) — the three-way surface upsert/deleteWhere are
     // special cases of. Oracle reproduces the merge relationally
+    // write-time CHECK constraints (Delta ADD CONSTRAINT semantics):
+    // v0 commits the clean slice, the constraint lands as a manifest
+    // commit after validating existing data, a violating append is
+    // REJECTED before any commit (snapshot untouched — the literal
+    // rejected_writes column proves the throw fired), and a clean
+    // append sails through with the constraint riding every manifest.
+    // The oracle replays the two surviving writes relationally.
+    "versioned_constraints" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("vc")
+        .toString + "/t"
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+      VersionedTable.write(cust.filter(col("c_acctbal") >= 0), root)
+      VersionedTable.addConstraint(s, root, "acct_floor",
+        "c_acctbal >= 0")
+      val rejected = try {
+        VersionedTable.append(cust.filter(col("c_acctbal") < 0), root)
+        0L
+      } catch { case _: IllegalArgumentException => 1L }
+      VersionedTable.append(
+        cust.filter(col("c_acctbal") >= 5000)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L), root)
+      VersionedTable.read(s, root)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("c_acctbal") * 100).cast("long"))
+            .as("sum_bal_cents"),
+          max(col("c_custkey")).as("max_key"))
+        .withColumn("rejected_writes", lit(rejected))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "versioned_merge" -> ((s, d) => {
       import graft.sinks.VersionedTable
       val root = java.nio.file.Files.createTempDirectory("vm")
@@ -946,6 +979,22 @@ object SketchOps {
          |  AND doc_id NOT IN (SELECT doc_id FROM conta)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the rejected append contributes nothing; rejected_writes = 1 is
+    // the gate's own assertion that the violating write threw
+    "versioned_constraints" ->
+      """WITH v AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_acctbal >= 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_acctbal >= 5000)
+        |SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_bal_cents,
+        |  MAX(c_custkey) AS max_key,
+        |  CAST(1 AS BIGINT) AS rejected_writes
+        |FROM v GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "versioned_dsv2_read" ->
       """SELECT c_nationkey, COUNT(*) AS n_cust,

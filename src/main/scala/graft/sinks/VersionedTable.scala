@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis
 import org.apache.spark.sql.catalyst.expressions
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, max => smax, min => smin, struct, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max => smax, min => smin, struct, sum, when}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -53,6 +53,7 @@ object VersionedTable {
   private val Terminator = "#end"
   private val BatchMarker = "#batch:"
   private val WriterMarker = "#writer:"
+  private val ConstraintMarker = "#constraint:"
   // an UNTERMINATED (or torn) manifest younger than this is presumed to
   // be a live writer mid-write (create -> write -> close is
   // milliseconds), not a crashed writer's junk — recovery must not
@@ -83,7 +84,8 @@ object VersionedTable {
   private[graft] type FileStats = Map[String, ColStat]
 
   private final case class Manifest(schema: StructType, files: Seq[String],
-      batchId: Option[Long], stats: Map[String, FileStats])
+      batchId: Option[Long], stats: Map[String, FileStats],
+      constraints: Seq[(String, String)] = Nil)
 
   private def statsToJson(s: FileStats): String =
     JsonMethods.compact(JsonMethods.render(JObject(s.toList.sortBy(_._1)
@@ -137,7 +139,8 @@ object VersionedTable {
       else {
         val body = lines.tail.dropRight(1)
         val fileLines = body.filterNot(l =>
-          l.startsWith(BatchMarker) || l.startsWith(WriterMarker))
+          l.startsWith(BatchMarker) || l.startsWith(WriterMarker) ||
+            l.startsWith(ConstraintMarker))
           .map { l => l.split("\t", 2) match {
             case Array(path, json) => path -> Some(json)
             case Array(path) => path -> None
@@ -148,7 +151,11 @@ object VersionedTable {
           body.collectFirst { case l if l.startsWith(BatchMarker) =>
             l.stripPrefix(BatchMarker).toLong },
           fileLines.collect { case (p0, Some(j)) =>
-            p0 -> statsFromJson(j) }.toMap))
+            p0 -> statsFromJson(j) }.toMap,
+          body.collect { case l if l.startsWith(ConstraintMarker) =>
+            l.stripPrefix(ConstraintMarker).split("\t", 2) match {
+              case Array(n, e) => n -> e
+            } }))
       }
     } finally in.close()
   }
@@ -668,6 +675,85 @@ object VersionedTable {
     commitRetrying(df.sparkSession, root, df.schema)(_ => staged)
   }
 
+  /** The head version's CHECK constraints, in declaration order. */
+  def constraints(spark: SparkSession, root: String)
+      : Seq[(String, String)] = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) Nil
+    else manifest(fs(spark, root), root, vs.max).constraints
+  }
+
+  /** Add a named CHECK constraint (ANSI semantics: a row violates only
+    * when the expression evaluates to FALSE; NULL passes). Existing
+    * data must already satisfy it — the add scans the head snapshot
+    * and fails loud on any violation, like Delta's ADD CONSTRAINT.
+    * From this commit on, every write path validates its staged rows
+    * ([[stageFiles]] is the choke point) and a violating write throws
+    * BEFORE any commit: the table is untouched and no orphan files
+    * are left (enforcement precedes staging output registration;
+    * rejected stages are plain uncommitted temp dirs for vacuum).
+    * Check-then-commit window: a concurrent writer racing the add can
+    * land unvalidated rows between the scan and the constraint commit
+    * — the same single-alterer assumption Delta documents. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      exprSql: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"constraint name must be tab/newline-free: '$name'")
+    require(exprSql.nonEmpty && !exprSql.exists(_ == '\n'),
+      "constraint expression must be newline-free")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val head = manifest(f, root, vs.max)
+    require(!head.constraints.exists(_._1 == name),
+      s"constraint '$name' already exists")
+    val bad = read(spark, root)
+      .filter(!coalesce(expr(exprSql), lit(true))).count()
+    require(bad == 0L,
+      s"cannot add constraint '$name' ($exprSql): $bad existing row(s) " +
+        "violate it")
+    commitRetrying(spark, root, head.schema,
+      constraintsOverride = Some(head.constraints :+ (name -> exprSql)))(
+      prev => prev)
+  }
+
+  /** Drop a named CHECK constraint (a new commit; time travel before
+    * it still shows the constraint in force for those versions). */
+  def dropConstraint(spark: SparkSession, root: String, name: String)
+      : Long = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val head = manifest(f, root, vs.max)
+    require(head.constraints.exists(_._1 == name),
+      s"no constraint named '$name'")
+    commitRetrying(spark, root, head.schema,
+      constraintsOverride = Some(head.constraints.filterNot(_._1 == name)))(
+      prev => prev)
+  }
+
+  /** One aggregation pass counting violations of every head constraint
+    * over `df`; throws naming the first violated constraint. No-op
+    * (and no extra job) when the table has no constraints. */
+  private def enforceConstraints(df: DataFrame, root: String): Unit = {
+    val spark = df.sparkSession
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return
+    val cons = manifest(fs(spark, root), root, vs.max).constraints
+    if (cons.isEmpty) return
+    val counts = cons.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(counts.head, counts.tail: _*).head()
+    cons.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($e) violated by $bad staged row(s); " +
+            "write rejected, table unchanged")
+    }
+  }
+
   /** Append: next version = previous file list + newly staged files.
     * Schema is validated (and with `mergeSchema` widened) against the
     * head — see [[evolve]]. */
@@ -1176,6 +1262,12 @@ object VersionedTable {
 
   private def stageFiles(df: DataFrame, root: String): Seq[String] = {
     val spark = df.sparkSession
+    // stageFiles is the single choke point where data enters the lake
+    // (write/append/appendBatch/upsert/merge/compact all stage through
+    // here), so CHECK constraints are enforced on exactly the rows that
+    // would land in files — including rows produced by merge's update
+    // expressions, which validating the caller's input would miss.
+    enforceConstraints(df, root)
     val f = fs(spark, root)
     val stage = new Path(root, s".stage-${UUID.randomUUID()}")
     // write timestamps as standard INT64 TIMESTAMP_MICROS, not Spark's
@@ -1494,7 +1586,8 @@ object VersionedTable {
     * to return this attempt's own bytes, as a guard against any
     * recovery interleaving. */
   private def commitRetrying(spark: SparkSession, root: String,
-      schema: => StructType, batchMarker: Option[Long] = None)
+      schema: => StructType, batchMarker: Option[Long] = None,
+      constraintsOverride: Option[Seq[(String, String)]] = None)
       (nextFiles: Seq[String] => Seq[String]): Long = {
     // `schema` is by-name: nextFiles may resolve the (possibly evolved)
     // schema against the head it just read, and the manifest write below
@@ -1512,9 +1605,17 @@ object VersionedTable {
       if (attempts > 1)
         Thread.sleep(10L + scala.util.Random.nextInt(40 * attempts))
       val vs = versions(spark, root)
-      val (prev, prevStats) =
-        if (vs.isEmpty) (Seq.empty[String], Map.empty[String, FileStats])
-        else { val m = manifest(f, root, vs.max); (m.files, m.stats) }
+      val (prev, prevStats, prevCons) =
+        if (vs.isEmpty)
+          (Seq.empty[String], Map.empty[String, FileStats],
+            Seq.empty[(String, String)])
+        else {
+          val m = manifest(f, root, vs.max)
+          (m.files, m.stats, m.constraints)
+        }
+      // constraints ride every commit unchanged unless this commit IS
+      // the constraint change (add/drop)
+      val cons = constraintsOverride.getOrElse(prevCons)
       val files = nextFiles(prev)
       val v = if (vs.isEmpty) 0L else vs.max + 1
       val target = manifestPath(root, v)
@@ -1552,6 +1653,7 @@ object VersionedTable {
       val payload = (schema.json + "\n" +
         files.sorted.map(p => p + statsLine(p) + "\n").mkString +
         batchMarker.fold("")(id => s"$BatchMarker$id\n") +
+        cons.map { case (n, e) => s"$ConstraintMarker$n\t$e\n" }.mkString +
         WriterMarker + java.util.UUID.randomUUID().toString + "\n" +
         Terminator + "\n").getBytes(StandardCharsets.UTF_8)
       val claimed = atomicCreate(f, claimP) &&
