@@ -169,7 +169,8 @@ private[v2] class GraftLakeTable(snap: VersionedTable.Snapshot)
     new GraftScanBuilder(SparkSession.active, snap)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(snap.root, replace = false)
+    new GraftWriteBuilder(snap.root, replace = false,
+      tableSchema = if (snap.version < 0) None else Some(snap.schema))
 }
 
 /** V1Write seam: the insert receives the aligned driver-side DataFrame
@@ -177,10 +178,11 @@ private[v2] class GraftLakeTable(snap: VersionedTable.Snapshot)
   * every front door. `truncate()` (DataFrameWriter mode "overwrite")
   * maps to a full-replace commit, the lake's natural overwrite: old
   * versions stay time-travelable, vacuum owns retention. */
-private[v2] class GraftWriteBuilder(root: String, replace: Boolean)
+private[v2] class GraftWriteBuilder(root: String, replace: Boolean,
+    tableSchema: Option[StructType])
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new GraftWriteBuilder(root, replace = true)
+    new GraftWriteBuilder(root, replace = true, tableSchema)
   override def build(): org.apache.spark.sql.connector.write.Write =
     new V1Write {
       override def toInsertableRelation: InsertableRelation =
@@ -188,10 +190,28 @@ private[v2] class GraftWriteBuilder(root: String, replace: Boolean)
           override def insert(data: org.apache.spark.sql.Dataset[Row],
               overwrite: Boolean): Unit = {
             val spark = data.sparkSession
+            // SQL `INSERT INTO` resolves BY POSITION, and because this
+            // table declares ACCEPT_ANY_SCHEMA Spark hands the query's
+            // frame over verbatim — its own names (col1, col2, ...) and
+            // its own literal types (INT for small numbers). Realign
+            // names positionally and cast to the table's field types —
+            // exactly the coercion the engine performs for V1 sources —
+            // before the library's strict name-based append. Frames of
+            // a DIFFERENT arity pass through untouched and hit the
+            // library's schema validation (mergeSchema semantics).
+            val aligned = tableSchema match {
+              case Some(ts) if data.columns.length == ts.fields.length =>
+                data.toDF(ts.fieldNames.toIndexedSeq: _*)
+                  .select(ts.fields.toIndexedSeq.map(f =>
+                    org.apache.spark.sql.functions.col(
+                      s"`${f.name}`").cast(f.dataType)
+                      .as(f.name)): _*)
+              case _ => data.toDF()
+            }
             if (replace || overwrite ||
                 VersionedTable.versions(spark, root).isEmpty)
-              VersionedTable.write(data.toDF(), root)
-            else VersionedTable.append(data.toDF(), root)
+              VersionedTable.write(aligned, root)
+            else VersionedTable.append(aligned, root)
             ()
           }
         }

@@ -151,6 +151,36 @@ class DataSourceV2Spec extends SparkSpec {
       drift.getMessage.contains("evolv"), s"got: ${drift.getMessage}")
   }
 
+  test("CREATE TABLE ... USING graft: SQL DDL front door with " +
+      "time travel options and INSERT INTO through the write builder") {
+    val root = tmpRoot("dsv2ddl")
+    VersionedTable.write((1L to 40L).map(i => (i, i % 3)).toDF("k", "b"),
+      root)
+    VersionedTable.append((41L to 50L).map(i => (i, i % 3)).toDF("k", "b"),
+      root)
+    spark.sql(s"CREATE TABLE graft_ddl USING graft OPTIONS (path '$root')")
+    spark.sql("CREATE TABLE graft_ddl_v0 USING graft " +
+      s"OPTIONS (path '$root', versionAsOf '0')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_ddl")
+        .as[Long].head() == 50)
+      assert(spark.sql("SELECT count(*) FROM graft_ddl_v0")
+        .as[Long].head() == 40)
+      // INSERT INTO routes through the DSv2 write builder -> a new
+      // lake commit, visible to the library read too
+      spark.sql("INSERT INTO graft_ddl VALUES (100, 9), (101, 9)")
+      assert(spark.sql("SELECT count(*) FROM graft_ddl WHERE b = 9")
+        .as[Long].head() == 2)
+      assert(VersionedTable.read(spark, root).count() == 52)
+      // the pinned-version table is a snapshot: unmoved by the insert
+      assert(spark.sql("SELECT count(*) FROM graft_ddl_v0")
+        .as[Long].head() == 40)
+    } finally {
+      spark.sql("DROP TABLE graft_ddl")
+      spark.sql("DROP TABLE graft_ddl_v0")
+    }
+  }
+
   test("sql access: temp view over the format path") {
     val root = tmpRoot("dsv2sql")
     VersionedTable.write((1L to 60L).map(i => (i, i % 4)).toDF("k", "b"),
