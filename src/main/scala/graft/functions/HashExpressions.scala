@@ -85,6 +85,77 @@ object HashUtil {
     ((w0 & 0x7fffffffL) << 32) | w1
   }
 
+  /** [[md5head63]] over a byte slice — the zero-allocation inner loop
+    * for the sliding-window/shingle hash expressions (digesting
+    * `bytes[off, off+len)` equals digesting the substring's UTF-8
+    * bytes, so values are identical to the composed substr form). */
+  def md5head63Bytes(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md.get(); d.reset()
+    d.update(bytes, off, len)
+    val dig = d.digest()
+    val w0 = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+    val w1 = ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
+      ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
+    ((w0 & 0x7fffffffL) << 32) | w1
+  }
+
+  /** md5_head63 of every word k-shingle in ONE byte pass: token
+    * boundaries are the 0x20 bytes (UTF-8 continuation bytes can never
+    * be 0x20, and Spark's `split(text, " ")` keeps empty tokens), and
+    * k tokens re-joined with single spaces ARE the original byte span
+    * from token i's start to token i+k-1's end — so each shingle hash
+    * digests a raw slice, no string rebuild. Value-identical to
+    * `md5_head63(concat_ws(' ', slice(split(text, ' '), i, k)))`. */
+  def md5WordShingleHeads63(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    // starts(i) = byte offset of token i; token i spans
+    // [starts(i), starts(i+1) - 2] inclusive (exclusive of its space)
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) starts += i + 1
+      i += 1
+    }
+    val n = starts.length // token count = spaces + 1
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - k + 1)
+    var t = 0
+    while (t + k <= n) {
+      val off = starts(t)
+      val end = if (t + k == n) bytes.length else starts(t + k) - 1
+      out(t) = md5head63Bytes(bytes, off, end - off)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** md5_head63 of every `w`-code-point window in ONE byte pass —
+    * code-point boundaries walked once, each window a raw byte-slice
+    * digest. Value-identical to `md5_head63(substr(text, i, w))` for
+    * BMP text (SQL substr counts code points). */
+  def md5CharWindowHeads63(s: UTF8String, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    if (nChars < w) return new GenericArrayData(Array.empty[Long])
+    val pos = new Array[Int](nChars + 1)
+    var b = 0
+    var c = 0
+    while (b < bytes.length) {
+      pos(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    pos(nChars) = bytes.length
+    val out = new Array[Long](nChars - w + 1)
+    var i = 0
+    while (i + w <= nChars) {
+      out(i) = md5head63Bytes(bytes, pos(i), pos(i + w) - pos(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All four independent u32 windows of one digest — one hash serving
     * four draws (the bootstrap's 4-replicas-per-digest scheme). */
   def md5u32x4(s: UTF8String): ArrayData = {
@@ -199,6 +270,56 @@ case class Md5Head63(child: Expression) extends UnaryExpression {
       : Md5Head63 = copy(child = newChild)
 }
 
+/** `md5_word_shingle_heads63(str, k)` — one-pass word-shingle md5
+  * heads; see [[HashUtil.md5WordShingleHeads63]]. */
+case class Md5WordShingleHeads63(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"k must be >= 1: $k")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_word_shingle_heads63 needs a string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtil.md5WordShingleHeads63(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil.md5WordShingleHeads63($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Md5WordShingleHeads63 = copy(child = newChild)
+}
+
+/** `md5_char_window_heads63(str, w)` — one-pass char-window md5 heads;
+  * see [[HashUtil.md5CharWindowHeads63]]. */
+case class Md5CharWindowHeads63(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"w must be >= 1: $w")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_char_window_heads63 needs a string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtil.md5CharWindowHeads63(input.asInstanceOf[UTF8String], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil.md5CharWindowHeads63($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Md5CharWindowHeads63 = copy(child = newChild)
+}
+
 object HashFunctions {
   /** Native twin of `conv(substring(md5(c), 1+8*w, 8), 16, 10)`. */
   def md5_u32(c: Column, window: Int = 0): Column =
@@ -207,6 +328,16 @@ object HashFunctions {
   /** Nonnegative 63-bit md5 head — the replayable-oracle hash. */
   def md5_head63(c: Column): Column =
     ColumnBridge.column(Md5Head63(ColumnBridge.expression(c)))
+
+  /** One-pass md5 heads of every word k-shingle. */
+  def md5_word_shingle_heads63(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      Md5WordShingleHeads63(ColumnBridge.expression(c), k))
+
+  /** One-pass md5 heads of every w-code-point window. */
+  def md5_char_window_heads63(c: Column, w: Int): Column =
+    ColumnBridge.column(
+      Md5CharWindowHeads63(ColumnBridge.expression(c), w))
 
   /** One digest, four independent u32 draws. */
   def md5_u32x4(c: Column): Column =

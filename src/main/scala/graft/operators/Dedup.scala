@@ -437,11 +437,8 @@ object Dedup {
       w: Int = 16, maskBits: Int = 6): DataFrame = {
     require(w > 0 && maskBits >= 0 && maskBits < 62)
     val m = 1L << maskBits
-    val nw = char_length(text) - (w - 1)
-    val hs = when(nw >= 1, transform(sequence(lit(0), nw - 1),
-        i => graft.functions.HashFunctions.md5_head63(
-          text.substr(i + 1, lit(w)))))
-      .otherwise(array().cast("array<bigint>"))
+    val hs =
+      graft.functions.HashFunctions.md5_char_window_heads63(text, w)
     val cuts = filter(
       transform(hs, (h, i) => when(pmod(h, lit(m)) === 0, i + w)),
       c => c.isNotNull)
@@ -842,14 +839,20 @@ object Dedup {
     * spaces). Bit 63 is constant-zero, so a simhash over these votes
     * bit 63 to 0 on both engines. */
   private[graft] def md5TokenHashes(text: Column): Column =
-    transform(split(text, " ", -1),
-      t => graft.functions.HashFunctions.md5_head63(t))
+    graft.functions.HashFunctions.md5_word_shingle_heads63(text, 1)
 
   /** Replayable-hash word-k-shingle array: tokens re-joined with ' '
     * per window, each window md5_head63-hashed — DuckDB rebuilds the
     * identical values via `array_to_string(ws[i:i+k-1], ' ')`. Empty
     * for docs with < k tokens (mirrors word_shingle_hashes). */
-  private[graft] def md5ShingleHashes(text: Column, k: Int): Column = {
+  private[graft] def md5ShingleHashes(text: Column, k: Int): Column =
+    graft.functions.HashFunctions.md5_word_shingle_heads63(text, k)
+
+  /** Declarative reference for [[md5ShingleHashes]] (split + slice +
+    * concat_ws + per-shingle digest) — the shape the one-pass native
+    * expression is spec'd against in DedupSpec. */
+  private[graft] def md5ShingleHashesComposed(text: Column, k: Int)
+      : Column = {
     val ws = split(text, " ", -1)
     val n = size(ws) - (k - 1)
     // sequence(1, 0) would DESCEND ([1,0]) — gate the degenerate case

@@ -447,18 +447,11 @@ object TextAnalysis {
     * (equivalent to byte/code-point positions on the ASCII fixtures;
     * non-BMP text would diverge from SQL substr semantics — the rolling
     * variant remains the scale path for arbitrary bytes). */
-  def md5KgramHashes(s: String, k: Int): Array[Long] = {
-    if (s == null || s.length < k) return Array.empty
-    val out = new Array[Long](s.length - k + 1)
-    var i = 0
-    while (i + k <= s.length) {
-      out(i) = graft.functions.HashUtil.md5head63(
-        org.apache.spark.unsafe.types.UTF8String
-          .fromString(s.substring(i, i + k)))
-      i += 1
-    }
-    out
-  }
+  def md5KgramHashes(s: String, k: Int): Array[Long] =
+    if (s == null) Array.empty
+    else graft.functions.HashUtil.md5CharWindowHeads63(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+      .toLongArray()
 
   /** Per-document winnowing fingerprints as a map-only Dataset transform
     * (doc_id, fingerprints): char-k-gram hashes -> winnow. With

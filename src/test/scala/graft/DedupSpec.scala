@@ -276,6 +276,26 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(got == brute, s"blocked=${got.size} brute=${brute.size}")
 
+    // one-pass native shingle/window digests equal the composed forms
+    // over the full corpus (incl. runs of spaces and short docs)
+    val probe = docs.select($"text")
+      .unionByName(Seq("a  b   c d", "x", "", "one two").toDF("text"))
+    val shBad = probe.select(
+        Dedup.md5ShingleHashes($"text", 3).as("nat"),
+        Dedup.md5ShingleHashesComposed($"text", 3).as("ref"))
+      .where($"nat" =!= $"ref").count()
+    assert(shBad == 0, "native word-shingle digests drifted from composed")
+    val cwBad = probe.select(
+        graft.functions.HashFunctions
+          .md5_char_window_heads63($"text", 16).as("nat"),
+        when(char_length($"text") >= 16,
+          transform(sequence(lit(1), char_length($"text") - 15),
+            i => graft.functions.HashFunctions.md5_head63(
+              $"text".substr(i, lit(16)))))
+          .otherwise(array().cast("array<bigint>")).as("ref"))
+      .where($"nat" =!= $"ref").count()
+    assert(cwBad == 0, "native char-window digests drifted from composed")
+
     // md5ShingleHashes = md5_head63 of each space-joined token window
     val k = 3
     val text = "w1 w2 w3 w4 w5"
