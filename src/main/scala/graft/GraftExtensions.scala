@@ -156,7 +156,26 @@ object GraftFunctions {
           "vectors of the best exact int64 dot against b's"),
       arity("vec_maxsim_long", 3)(args =>
         LongVectorMaxSim(args(0), args(1),
-          intLit(args(2), "vec_maxsim_long")))))
+          intLit(args(2), "vec_maxsim_long")))),
+    (FunctionIdentifier("md5_head63"),
+      info(classOf[Md5Head63], "md5_head63",
+        "md5_head63(str) - nonnegative 63-bit head of md5(str): the " +
+          "replayable-oracle hash ((u32_0 & 0x7fffffff) << 32 | u32_1)"),
+      arity("md5_head63", 1)(args => Md5Head63(args(0)))),
+    (FunctionIdentifier("md5_word_shingle_heads63"),
+      info(classOf[Md5WordShingleHeads63], "md5_word_shingle_heads63",
+        "md5_word_shingle_heads63(str, k) - md5_head63 of every word " +
+          "k-shingle (space-split tokens, one byte pass)"),
+      arity("md5_word_shingle_heads63", 2)(args =>
+        Md5WordShingleHeads63(args(0),
+          intLit(args(1), "md5_word_shingle_heads63")))),
+    (FunctionIdentifier("md5_char_window_heads63"),
+      info(classOf[Md5CharWindowHeads63], "md5_char_window_heads63",
+        "md5_char_window_heads63(str, w) - md5_head63 of every " +
+          "w-code-point window (one byte pass)"),
+      arity("md5_char_window_heads63", 2)(args =>
+        Md5CharWindowHeads63(args(0),
+          intLit(args(1), "md5_char_window_heads63")))))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, fi, b) =>
