@@ -493,6 +493,345 @@ object Similarity {
         typedlit(v.toSeq)).as("pc1_proj"))
   }
 
+  /** Integer Lloyd's k-means — the oracle-checkable clustering tier
+    * (the float [[kMeansCodebook]] stays the paper-faithful sibling).
+    * Vectors live on the 1e4 quantization grid; every step is exact
+    * integer arithmetic with deterministic ties, so a SQL oracle
+    * unrolling the same `iters` rounds reproduces the codebook and
+    * every assignment bit-for-bit:
+    *  - init: the k smallest vec_ids' vectors;
+    *  - assignment: argmin of exact integer L2 via the expanded form
+    *    (-2·x·c + |c|², |x|² constant per row), FIRST minimum wins
+    *    (array_position semantics = smallest cell index);
+    *  - update: per-dim truncating division sum/count — Scala `/` and
+    *    DuckDB `//` both truncate toward zero, so centroids stay on
+    *    the integer grid identically; an emptied cell keeps its
+    *    previous centroid.
+    * Scale shape: assignment is map-only against broadcast-literal
+    * centroids; the update is ONE treeAggregate into a k×(dim+1)
+    * accumulator (the Gramian pattern); `iters` is FIXED — the
+    * replayability contract, not a convergence loop. */
+  def kMeansIntCodebook(df: DataFrame, k: Int, iters: Int, dim: Int)
+      : Array[Array[Long]] =
+    kMeansIntOnQ4(df.select(col("vec_id"),
+      quantizeAt(col("embedding"), 1e4).as("q4")), k, iters, dim)
+
+  /** All `m` per-subspace integer codebooks from ONE fused Lloyd's
+    * loop — one treeAggregate action per iteration instead of m
+    * separate loops (m * iters actions of pure job-scheduling
+    * overhead; the float pqCodebooks makes the same trade). Same
+    * per-subspace arithmetic as [[kMeansIntOnQ4]], bit-identical
+    * books. */
+  private[operators] def kMeansIntSubspaces(base: DataFrame, m: Int,
+      k: Int, iters: Int, subDim: Int): Array[Array[Array[Long]]] = {
+    def sub(c: Column, s: Int) = slice(c, s * subDim + 1, subDim)
+    val initRows = base.orderBy(col("vec_id")).limit(k)
+      .select(col("q4")).collect().map(_.getSeq[Long](0).toArray)
+    var books: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
+      initRows.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val stride = k * (subDim + 1)
+    var t = 0
+    while (t < iters) {
+      val cells = array((0 until m).map(s =>
+        argminCellInt(sub(col("q4"), s), books(s))): _*)
+      val acc = base.select(col("q4"), cells.as("cs")).rdd
+        .treeAggregate(new Array[Long](m * stride))(
+          (a, row) => {
+            val v = row.getSeq[Long](0)
+            val cs = row.getSeq[Int](1)
+            var s = 0
+            while (s < m) {
+              val off = s * stride + cs(s) * (subDim + 1)
+              var i = 0
+              while (i < subDim) {
+                a(off + i) += v(s * subDim + i); i += 1
+              }
+              a(off + subDim) += 1L
+              s += 1
+            }
+            a
+          },
+          (a, b) => {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          })
+      books = Array.tabulate(m) { s =>
+        Array.tabulate(k) { c =>
+          val off = s * stride + c * (subDim + 1)
+          val n = acc(off + subDim)
+          if (n == 0L) books(s)(c)
+          else Array.tabulate(subDim)(i => acc(off + i) / n)
+        }
+      }
+      t += 1
+    }
+    books
+  }
+
+  /** [[kMeansIntCodebook]]'s core over a pre-quantized (vec_id, q4)
+    * frame — shared with the per-subspace PQ codebooks. */
+  private[operators] def kMeansIntOnQ4(q: DataFrame, k: Int, iters: Int,
+      dim: Int): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 0)
+    var cents: Array[Array[Long]] = q.orderBy(col("vec_id")).limit(k)
+      .select(col("q4")).collect().map(_.getSeq[Long](0).toArray)
+    var t = 0
+    while (t < iters) {
+      val assigned = q.withColumn("cell", argminCellInt(col("q4"), cents))
+      val acc = assigned.select(col("cell"), col("q4")).rdd
+        .treeAggregate(new Array[Long](k * (dim + 1)))(
+          (a, row) => {
+            val c = row.getInt(0)
+            val v = row.getSeq[Long](1)
+            var i = 0
+            while (i < dim) { a(c * (dim + 1) + i) += v(i); i += 1 }
+            a(c * (dim + 1) + dim) += 1L
+            a
+          },
+          (a, b) => {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          })
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        val n = acc(c * (dim + 1) + dim)
+        if (n == 0L) old
+        else Array.tabulate(dim)(i => acc(c * (dim + 1) + i) / n)
+      }
+      t += 1
+    }
+    cents
+  }
+
+  /** Final assignment view of [[kMeansIntCodebook]]: (vec_id, cell,
+    * dist_sq) with the exact integer squared L2 to the winning
+    * centroid — the gate/oracle surface. */
+  def kMeansIntAssign(df: DataFrame, cents: Array[Array[Long]])
+      : DataFrame = {
+    val q = df.select(col("vec_id"),
+      quantizeAt(col("embedding"), 1e4).as("q4"))
+    val scores = array(cents.map { c =>
+      val c2 = c.map(x => x * x).sum
+      dotLong(col("q4"), typedlit(c.toSeq)) * lit(-2L) + lit(c2)
+    }: _*)
+    q.select(col("vec_id"),
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+        .as("cell"),
+      (dotLong(col("q4"), col("q4")) + array_min(scores)).as("dist_sq"))
+  }
+
+  /** Argmin cell of a quantized vector against literal integer
+    * centroids — exact expanded-L2 scores, first minimum wins. */
+  private def argminCellInt(q4: Column, cents: Array[Array[Long]])
+      : Column = {
+    val scores = array(cents.map { c =>
+      val c2 = c.map(x => x * x).sum
+      dotLong(q4, typedlit(c.toSeq)) * lit(-2L) + lit(c2)
+    }: _*)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
+  /** IVF ANN over the INTEGER k-means codebook, fully oracle-checked:
+    * corpus vectors live in their argmin cell, each query probes its
+    * `nprobe` closest cells (exact integer centroid distances, ties to
+    * the smaller cell), candidates score by the exact 1e8-grid
+    * quantized cosine and rank deterministically — codebook, cells,
+    * probe sets, scores, and ranking all replay in SQL. Same scale
+    * shape as [[ivfTopK]]: map-only assignment, broadcast query side,
+    * cell-keyed candidate join, bounded-heap top-k. */
+  def ivfIntTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      kCells: Int = 8, iters: Int = 6, nprobe: Int = 3): DataFrame =
+    ivfIntCore(queries, corpus, k,
+      kMeansIntCodebook(corpus, kCells, iters, dim), nprobe)
+
+  /** Integer per-label centroids on the 1e4 grid (truncating per-dim
+    * mean — DuckDB `//` parity), label-ascending cell order. The
+    * (label, dim) aggregation is map-side combined into a bounded cell
+    * set; only labels x dim longs reach the driver. */
+  def labelCentroidsInt(corpus: DataFrame, dim: Int): Array[Array[Long]] =
+    corpus.select(col("label"),
+        posexplode(quantizeAt(col("embedding"), 1e4)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        val c = new Array[Long](dim)
+        rows.foreach(r => c(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+        c
+      }
+
+  /** [[ivfIntTopK]] with the label-centroid coarse quantizer — the
+    * integer rebase of the original IVF tier (cells = labels in
+    * ascending order), fully oracle-checked for the same reasons. */
+  def ivfLabelIntTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, nprobe: Int = 3): DataFrame =
+    ivfIntCore(queries, corpus, k, labelCentroidsInt(corpus, dim), nprobe)
+
+  /** Product quantization on the INTEGER Lloyd's codebooks — the fully
+    * oracle-checked PQ tier (Jégou et al. 2011 shape; the float
+    * [[pqTopK]] stays the spec'd sibling). `m` subspaces each train an
+    * integer codebook; corpus vectors compress to m argmin codes;
+    * every query carries its exact integer asymmetric-distance table
+    * (m x kCodes squared L2s, a map-only literal-centroid expression);
+    * the ADC scan ranks (table-sum asc, neighbor asc), the top
+    * `candMult * k` candidates re-rank by the exact 1e8-grid cosine.
+    * Deterministic integers end to end, so codebooks, codes, ADC
+    * scores, the candidate cut AND the final ranking all replay in
+    * SQL. Scale shape: codebooks bounded driver state, encoding and
+    * tables map-only, the scan a broadcast join over m lookups/pair. */
+  def pqIntTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      m: Int = 4, kCodes: Int = 8, iters: Int = 4, candMult: Int = 4)
+      : DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    def sub(c: Column, s: Int) = slice(c, s * subDim + 1, subDim)
+    val base = corpus.select(col("vec_id"),
+      quantizeAt(col("embedding"), 1e4).as("q4"))
+    val books = kMeansIntSubspaces(base, m, kCodes, iters, subDim)
+    def prep(df: DataFrame, idAs: String) =
+      df.select(col("vec_id").as(idAs),
+          quantize(col("embedding")).as(s"${idAs}_v"),
+          quantizeAt(col("embedding"), 1e4).as("__q4"))
+        .withColumn(s"${idAs}_n", sqrt(dotLong(col(s"${idAs}_v"),
+          col(s"${idAs}_v")).cast("double")))
+    val coded = prep(corpus, "neighbor_id")
+      .withColumn("codes", array((0 until m).map(s =>
+        argminCellInt(sub(col("__q4"), s), books(s))): _*))
+      .drop("__q4")
+    val q = prep(queries, "query_id")
+      .withColumn("qtab", array((0 until m).map { s =>
+        array(books(s).map { cent =>
+          val c2 = cent.map(x => x * x).sum
+          dotLong(sub(col("__q4"), s), sub(col("__q4"), s)) +
+            dotLong(sub(col("__q4"), s), typedlit(cent.toSeq)) *
+              lit(-2L) + lit(c2)
+        }: _*)
+      }: _*))
+      .drop("__q4")
+    val adc = (0 until m).map(s =>
+        element_at(element_at(col("qtab"), s + 1),
+          element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val cand = coded.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("__adc"), col("neighbor_id"))))
+      .filter(col("__rk") <= candMult * k)
+    val scored = cand.withColumn("cos_sim",
+      dotLong(col("query_id_v"), col("neighbor_id_v")).cast("double") /
+        (col("query_id_n") * col("neighbor_id_n")))
+    heapTopK(scored, k)
+  }
+
+  /** IVF-PQ on the INTEGER tiers (FAISS IVFADC shape, codes over raw
+    * vectors like [[ivfPqTopK]]): the integer coarse codebook cuts each
+    * query's ADC scan to `nprobe` cells, the integer subspace codebooks
+    * supply codes and exact ADC tables, candidates cut on (adc asc,
+    * neighbor asc) and re-rank by the exact 1e8-grid cosine — the
+    * composite tier fully oracle-checked by composing the two replays. */
+  def ivfPqIntTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, kCells: Int = 8, coarseIters: Int = 6, m: Int = 4,
+      kCodes: Int = 8, pqIters: Int = 4, nprobe: Int = 3,
+      candMult: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    def sub(c: Column, s: Int) = slice(c, s * subDim + 1, subDim)
+    val coarse = kMeansIntCodebook(corpus, kCells, coarseIters, dim)
+    val base = corpus.select(col("vec_id"),
+      quantizeAt(col("embedding"), 1e4).as("q4"))
+    val books = kMeansIntSubspaces(base, m, kCodes, pqIters, subDim)
+    def prep(df: DataFrame, idAs: String) =
+      df.select(col("vec_id").as(idAs),
+          quantize(col("embedding")).as(s"${idAs}_v"),
+          quantizeAt(col("embedding"), 1e4).as("__q4"))
+        .withColumn(s"${idAs}_n", sqrt(dotLong(col(s"${idAs}_v"),
+          col(s"${idAs}_v")).cast("double")))
+    val coded = prep(corpus, "neighbor_id")
+      .withColumn("cell", argminCellInt(col("__q4"), coarse))
+      .withColumn("codes", array((0 until m).map(s =>
+        argminCellInt(sub(col("__q4"), s), books(s))): _*))
+      .drop("__q4")
+    val coarseScores = array(coarse.map { cv =>
+      val c2 = cv.map(x => x * x).sum
+      dotLong(col("__q4"), typedlit(cv.toSeq)) * lit(-2L) + lit(c2)
+    }: _*)
+    val qtabExpr = array((0 until m).map { s =>
+      array(books(s).map { cent =>
+        val c2 = cent.map(x => x * x).sum
+        dotLong(sub(col("__q4"), s), sub(col("__q4"), s)) +
+          dotLong(sub(col("__q4"), s), typedlit(cent.toSeq)) *
+            lit(-2L) + lit(c2)
+      }: _*)
+    }: _*)
+    val q = prep(queries, "query_id")
+      .withColumn("qtab", qtabExpr)
+      .select(col("query_id"), col("query_id_v"), col("query_id_n"),
+        col("qtab"), posexplode(coarseScores).as(Seq("cell", "__sc")))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("__sc"), col("cell"))))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("query_id_v"), col("query_id_n"),
+        col("qtab"), col("cell"))
+    val adc = (0 until m).map(s =>
+        element_at(element_at(col("qtab"), s + 1),
+          element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val cand = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc)
+      .withColumn("__crk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("__adc"), col("neighbor_id"))))
+      .filter(col("__crk") <= candMult * k)
+    val scored = cand.withColumn("cos_sim",
+      dotLong(col("query_id_v"), col("neighbor_id_v")).cast("double") /
+        (col("query_id_n") * col("neighbor_id_n")))
+    heapTopK(scored, k)
+  }
+
+  private def ivfIntCore(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: Array[Array[Long]], nprobe: Int): DataFrame = {
+    def prep(df: DataFrame, idAs: String) =
+      df.select(col("vec_id").as(idAs),
+          quantize(col("embedding")).as(s"${idAs}_v"),
+          quantizeAt(col("embedding"), 1e4).as("__q4"))
+        .withColumn(s"${idAs}_n", sqrt(dotLong(col(s"${idAs}_v"),
+          col(s"${idAs}_v")).cast("double")))
+    val c = prep(corpus, "neighbor_id")
+      .withColumn("cell", argminCellInt(col("__q4"), cents))
+      .drop("__q4")
+    // nprobe closest cells per query: explode the exact score array,
+    // rank (score, cell) ascending
+    val scoresArr = array(cents.map { cv =>
+      val c2 = cv.map(x => x * x).sum
+      dotLong(col("__q4"), typedlit(cv.toSeq)) * lit(-2L) + lit(c2)
+    }: _*)
+    val q = prep(queries, "query_id")
+      .select(col("query_id"), col("query_id_v"), col("query_id_n"),
+        posexplode(scoresArr).as(Seq("cell", "__sc")))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("__sc"), col("cell"))))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("query_id_v"), col("query_id_n"),
+        col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        dotLong(col("query_id_v"), col("neighbor_id_v")).cast("double") /
+          (col("query_id_n") * col("neighbor_id_n")))
+    heapTopK(scored, k)
+  }
+
   /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
     * Representation Learning"): per query, how many of the exact
     * full-dim top-k survive when scoring uses only the FIRST

@@ -32,6 +32,12 @@ object AnnOps {
   val SubVecs = 4
   val JlDim = 16
   val PcaIters = 100
+  val KmCells = 8
+  val KmIters = 6
+  val PqM = 4
+  val PqCodes = 8
+  val PqIters = 4
+  val PqCandMult = 4
   // fixtures carry no planted near-dups (max pairwise cosine ~0.5-0.6);
   // 0.4 yields a non-empty, engine-checkable pair set at every SF
   val NearDupTau = 0.4
@@ -160,47 +166,67 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF coarse-quantizer ANN (per-label centroid codebook, nprobe cells)
-    // — engine-specific double ordering, so rows-only check + recall spec
+    // IVF coarse-quantizer ANN (per-label centroid codebook, nprobe
+    // cells) — rebased on INTEGER label centroids (truncating per-dim
+    // means, DuckDB `//` parity) with 1e8-grid exact cosine rescore:
+    // fully oracle-checked. The float ivfTopK tier stays spec'd.
     "ann_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries), emb, TopK)
+      Similarity.ivfLabelIntTopK(emb.filter(col("vec_id") < NQueries),
+          emb, TopK, Dim)
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF over a REAL distributed k-means codebook (label-free): Lloyd's
-    // iterations entirely in DataFrame ops, only the k*dim codebook on
-    // the driver. Cell assignment is engine-specific -> rows-only check;
-    // recall vs exact top-k is spec'd in SimilaritySpec
+    // IVF over a REAL distributed k-means codebook — rebased on the
+    // INTEGER Lloyd's tier (Similarity.kMeansIntCodebook: exact
+    // arithmetic, deterministic ties, truncating-division centroid
+    // updates that match DuckDB's `//`), so codebook, cells, probe
+    // sets, 1e8-grid cosine scores and ranking ALL replay in SQL —
+    // the k-means ANN family's first fully oracle-checked gate. The
+    // float kMeansCodebook/ivfTopK tier stays spec'd in SimilaritySpec.
     "ann_ivf_kmeans_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      // 4 Lloyd's iterations: each costs one full-scan action, and the
-      // exact re-rank downstream forgives codebook imprecision — bench
-      // shows convergence never fires before iter 8 on the fixtures
-      val codebook = Similarity.kMeansCodebook(emb, k = 8, maxIter = 4)
-      Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries), emb, TopK,
-          nprobe = 3, codebook = Some(codebook))
+      Similarity.ivfIntTopK(emb.filter(col("vec_id") < NQueries), emb,
+          TopK, Dim, kCells = KmCells, iters = KmIters, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // product-quantization ANN (Jégou et al. 2011): per-subspace k-means
-    // codebooks, m-code compression, ADC table scan, exact re-rank.
-    // Codebooks/codes are engine-specific -> rows-only check; recall vs
-    // exact top-k is spec'd in SimilaritySpec
+    // the integer Lloyd's loop itself, gate-checked end to end:
+    // (vec_id, winning cell, exact squared L2 to its centroid) after
+    // KmIters fixed rounds — the oracle unrolls the same rounds
+    "embed_kmeans_int" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kMeansIntCodebook(emb, KmCells, KmIters, Dim)
+      Similarity.kMeansIntAssign(emb, cents)
+        .orderBy(col("vec_id"))
+    }),
+
+    // product-quantization ANN (Jégou et al. 2011): per-subspace
+    // codebooks, m-code compression, ADC table scan, exact re-rank —
+    // rebased on the INTEGER Lloyd's subspace codebooks so codebooks,
+    // codes, ADC scores, the candidate cut and the final ranking all
+    // replay in SQL: fully oracle-checked. The float pqTopK tier stays
+    // spec'd in SimilaritySpec.
     "ann_pq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.pqTopK(emb.filter(col("vec_id") < NQueries), emb, TopK,
-          Dim)
+      Similarity.pqIntTopK(emb.filter(col("vec_id") < NQueries), emb,
+          TopK, Dim, m = PqM, kCodes = PqCodes, iters = PqIters,
+          candMult = PqCandMult)
         .orderBy(col("query_id"), col("rank"))
     }),
 
     // IVF-PQ composite (FAISS IVFADC shape): the coarse quantizer cuts
     // each query's ADC scan to nprobe cells — the PQ scale path when the
     // corpus outgrows a per-query linear scan. Rows-only + recall spec
+    // rebased on the integer coarse + subspace codebooks: the composed
+    // IVFADC pipeline — cells, codes, ADC cut, exact re-rank — replays
+    // end to end in SQL. The float ivfPqTopK tier stays spec'd.
     "ann_ivfpq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfPqTopK(emb.filter(col("vec_id") < NQueries), emb,
-          TopK, Dim, nprobe = 3)
+      Similarity.ivfPqIntTopK(emb.filter(col("vec_id") < NQueries), emb,
+          TopK, Dim, kCells = KmCells, coarseIters = KmIters, m = PqM,
+          kCodes = PqCodes, pqIters = PqIters, nprobe = 3,
+          candMult = PqCandMult)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -432,6 +458,67 @@ object AnnOps {
     s"""SQRT(CAST(CAST(list_sum(list_transform(range(1, ${n + 1}),
        |    i -> $v[i] * $v[i])) AS STRING) AS DOUBLE))""".stripMargin
 
+  /** Unrolled integer-Lloyd's CTE chain (MATERIALIZED — a plain chain
+    * re-expands the scan per round): q4t (1e4 grid), km_c0 (the k
+    * smallest vec_ids), then per round exact-L2 argmin assignment
+    * (ties to the smaller cell), truncating-division centroid update,
+    * and empty-cell carryover. Ends at km_c$iters. */
+  private val q4tCte: String =
+    s"""q4t AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+       |  x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q4
+       |  FROM embeddings)""".stripMargin
+
+  private def sqL2(dim: Int): String =
+    s"""CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |        i -> (v.q4[i] - c.cv[i]) * (v.q4[i] - c.cv[i])))
+       |        AS BIGINT)""".stripMargin
+
+  /** Unrolled integer-Lloyd's chain over a (vec_id, q4) source CTE
+    * (MATERIALIZED — a plain chain re-expands the scan per round):
+    * ${p}c0 = the k smallest vec_ids, then per round exact-L2 argmin
+    * assignment (ties to the smaller cell), truncating-division
+    * centroid update, empty-cell carryover. Ends at ${p}c$iters. */
+  private def kmeansChain(kCells: Int, iters: Int, dim: Int,
+      p: String, src: String): String = {
+    val m = "AS MATERIALIZED"
+    val head =
+      s"""${p}c0 $m (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+         |    AS cell, q4 AS cv
+         |  FROM (SELECT vec_id, q4 FROM $src ORDER BY vec_id
+         |    LIMIT $kCells))""".stripMargin
+    val steps = (1 to iters).flatMap { t =>
+      Seq(
+        s"""${p}a$t $m (SELECT vec_id, q4, cell FROM (
+           |  SELECT v.vec_id, v.q4, c.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |      ${sqL2(dim)}, c.cell) AS rk
+           |  FROM $src v, ${p}c${t - 1} c) WHERE rk = 1)""".stripMargin,
+        s"""${p}u$t $m (SELECT cell, list(s ORDER BY i) AS cv FROM (
+           |  SELECT a.cell, r.i AS i,
+           |    CAST(SUM(a.q4[r.i]) AS BIGINT) // COUNT(*) AS s
+           |  FROM ${p}a$t a, range(1, ${dim + 1}) r(i)
+           |  GROUP BY a.cell, r.i) GROUP BY cell)""".stripMargin,
+        s"""${p}c$t $m (SELECT cell, cv FROM ${p}u$t
+           |  UNION ALL SELECT cell, cv FROM ${p}c${t - 1}
+           |  WHERE cell NOT IN (SELECT cell FROM ${p}u$t))""".stripMargin)
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  private def kmeansCtes(kCells: Int, iters: Int): String =
+    q4tCte + ",\n" + kmeansChain(kCells, iters, Dim, "km_", "q4t")
+
+  /** Final-codebook assignment CTE: every vector's winning cell + exact
+    * integer squared L2, from km_c$iters. */
+  private def kmeansAssignCte(iters: Int): String =
+    s"""km_fin AS MATERIALIZED (SELECT vec_id, q4, cell, d AS dist_sq
+       |  FROM (
+       |  SELECT v.vec_id, v.q4, c.cell,
+       |    ${sqL2(Dim)} AS d,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${sqL2(Dim)}, c.cell) AS rk
+       |  FROM q4t v, km_c$iters c) WHERE rk = 1)""".stripMargin
+
   /** Shared CTE prefix: quantized vectors + exact norms + per-table
     * bucket rows. */
   private lazy val srpCtes: String = {
@@ -611,6 +698,250 @@ object AnnOps {
          |LEFT JOIN (SELECT * FROM sp WHERE rank <= $TopKWide) p
          |  ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
          |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin,
+
+    // label-centroid IVF replay: truncating per-dim label means,
+    // label-ascending cells, same probe/score/rank chain
+    "ann_ivf_topk" ->
+      s"""WITH q4t AS MATERIALIZED (
+         |  SELECT vec_id, label, list_transform(embedding,
+         |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q4
+         |  FROM embeddings),
+         |lc AS MATERIALIZED (
+         |  SELECT label, list(c ORDER BY i) AS cv FROM (
+         |    SELECT label, r.i AS i,
+         |      CAST(SUM(q4[r.i]) AS BIGINT) // COUNT(*) AS c
+         |    FROM q4t, range(1, ${Dim + 1}) r(i)
+         |    GROUP BY label, r.i) GROUP BY label),
+         |cells AS MATERIALIZED (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY label) - 1 AS cell, cv
+         |  FROM lc),
+         |fin AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |          i -> (v.q4[i] - c.cv[i]) * (v.q4[i] - c.cv[i])))
+         |          AS BIGINT), c.cell) AS rk
+         |    FROM q4t v, cells c) WHERE rk = 1),
+         |q8 AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> ${qel("x")}) AS qv
+         |  FROM embeddings),
+         |qn8 AS MATERIALIZED (
+         |  SELECT vec_id, qv, ${duckNrmN("qv", Dim)} AS nrm FROM q8),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |          i -> (v.q4[i] - c.cv[i]) * (v.q4[i] - c.cv[i])))
+         |          AS BIGINT), c.cell) AS rk
+         |    FROM q4t v, cells c
+         |    WHERE v.vec_id < $NQueries) WHERE rk <= 3),
+         |scored AS (
+         |  SELECT p.query_id, f.vec_id AS neighbor_id,
+         |    ${duckCosN("a.qv", "b.qv", Dim, "a.nrm", "b.nrm")}
+         |      AS cos_sim
+         |  FROM probes p JOIN fin f ON f.cell = p.cell
+         |    AND f.vec_id != p.query_id
+         |  JOIN qn8 a ON a.vec_id = p.query_id
+         |  JOIN qn8 b ON b.vec_id = f.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    // PQ replay: per-subspace Lloyd's chains over q4 slices, argmin
+    // codes, exact integer ADC tables for the query side, (adc,
+    // neighbor) candidate cut, 1e8-grid cosine re-rank
+    "ann_pq_topk" -> {
+      val subDim = Dim / PqM
+      val subCtes = (0 until PqM).map { s =>
+        val lo = s * subDim + 1; val hi = (s + 1) * subDim
+        s"""pq${s}q4 AS MATERIALIZED (
+           |  SELECT vec_id, q4[$lo:$hi] AS q4 FROM q4t)""".stripMargin +
+          ",\n" + kmeansChain(PqCodes, PqIters, subDim, s"pq${s}_",
+            s"pq${s}q4")
+      }.mkString(",\n")
+      def subL2(dim: Int): String =
+        s"""CAST(list_sum(list_transform(range(1, ${dim + 1}),
+           |      i -> (v.q4[i] - c.cv[i]) * (v.q4[i] - c.cv[i])))
+           |      AS BIGINT)""".stripMargin
+      val codeSel = (0 until PqM).map { s =>
+        s"""SELECT vec_id, $s AS s, cell AS code FROM (
+           |  SELECT v.vec_id, c.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |      ${subL2(subDim)}, c.cell) AS rk
+           |  FROM pq${s}q4 v, pq${s}_c$PqIters c) WHERE rk = 1""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      val tabSel = (0 until PqM).map { s =>
+        s"""SELECT v.vec_id AS query_id, $s AS s, c.cell AS code,
+           |  ${subL2(subDim)} AS d
+           |FROM pq${s}q4 v, pq${s}_c$PqIters c
+           |WHERE v.vec_id < $NQueries""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $q4tCte,
+         |$subCtes,
+         |codes AS MATERIALIZED (
+         |  $codeSel),
+         |qtab AS MATERIALIZED (
+         |  $tabSel),
+         |adc AS (
+         |  SELECT t.query_id, cd.vec_id AS neighbor_id,
+         |    CAST(SUM(t.d) AS BIGINT) AS adc
+         |  FROM codes cd JOIN qtab t
+         |    ON t.s = cd.s AND t.code = cd.code
+         |    AND cd.vec_id != t.query_id
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc, neighbor_id) AS rk FROM adc)
+         |  WHERE rk <= ${PqCandMult * TopK}),
+         |q8 AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> ${qel("x")}) AS qv
+         |  FROM embeddings),
+         |qn8 AS MATERIALIZED (
+         |  SELECT vec_id, qv, ${duckNrmN("qv", Dim)} AS nrm FROM q8),
+         |scored AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    ${duckCosN("a.qv", "b.qv", Dim, "a.nrm", "b.nrm")}
+         |      AS cos_sim
+         |  FROM cand cd
+         |  JOIN qn8 a ON a.vec_id = cd.query_id
+         |  JOIN qn8 b ON b.vec_id = cd.neighbor_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
+
+    // IVFADC replay: coarse chain + subspace chains composed — corpus
+    // cells and codes, query probe sets and ADC tables, cell-filtered
+    // ADC cut, 1e8-grid cosine re-rank
+    "ann_ivfpq_topk" -> {
+      val subDim = Dim / PqM
+      val subCtes = (0 until PqM).map { s =>
+        val lo = s * subDim + 1; val hi = (s + 1) * subDim
+        s"""pq${s}q4 AS MATERIALIZED (
+           |  SELECT vec_id, q4[$lo:$hi] AS q4 FROM q4t)""".stripMargin +
+          ",\n" + kmeansChain(PqCodes, PqIters, subDim, s"pq${s}_",
+            s"pq${s}q4")
+      }.mkString(",\n")
+      def subL2: String =
+        s"""CAST(list_sum(list_transform(range(1, ${subDim + 1}),
+           |      i -> (v.q4[i] - c.cv[i]) * (v.q4[i] - c.cv[i])))
+           |      AS BIGINT)""".stripMargin
+      val codeSel = (0 until PqM).map { s =>
+        s"""SELECT vec_id, $s AS s, cell AS code FROM (
+           |  SELECT v.vec_id, c.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |      $subL2, c.cell) AS rk
+           |  FROM pq${s}q4 v, pq${s}_c$PqIters c) WHERE rk = 1""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      val tabSel = (0 until PqM).map { s =>
+        s"""SELECT v.vec_id AS query_id, $s AS s, c.cell AS code,
+           |  $subL2 AS d
+           |FROM pq${s}q4 v, pq${s}_c$PqIters c
+           |WHERE v.vec_id < $NQueries""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${kmeansCtes(KmCells, KmIters)},
+         |${kmeansAssignCte(KmIters)},
+         |$subCtes,
+         |codes AS MATERIALIZED (
+         |  $codeSel),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${sqL2(Dim)}, c.cell) AS rk
+         |    FROM q4t v, km_c$KmIters c
+         |    WHERE v.vec_id < $NQueries) WHERE rk <= 3),
+         |qtab AS MATERIALIZED (
+         |  $tabSel),
+         |adc AS (
+         |  SELECT t.query_id, cd.vec_id AS neighbor_id,
+         |    CAST(SUM(t.d) AS BIGINT) AS adc
+         |  FROM codes cd
+         |  JOIN km_fin f ON f.vec_id = cd.vec_id
+         |  JOIN probes p ON p.cell = f.cell
+         |  JOIN qtab t ON t.query_id = p.query_id
+         |    AND t.s = cd.s AND t.code = cd.code
+         |  WHERE cd.vec_id != p.query_id
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc, neighbor_id) AS rk FROM adc)
+         |  WHERE rk <= ${PqCandMult * TopK}),
+         |q8 AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> ${qel("x")}) AS qv
+         |  FROM embeddings),
+         |qn8 AS MATERIALIZED (
+         |  SELECT vec_id, qv, ${duckNrmN("qv", Dim)} AS nrm FROM q8),
+         |scored AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    ${duckCosN("a.qv", "b.qv", Dim, "a.nrm", "b.nrm")}
+         |      AS cos_sim
+         |  FROM cand cd
+         |  JOIN qn8 a ON a.vec_id = cd.query_id
+         |  JOIN qn8 b ON b.vec_id = cd.neighbor_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
+
+    // integer-Lloyd's replay: unrolled rounds, final assignment
+    "embed_kmeans_int" ->
+      s"""WITH ${kmeansCtes(KmCells, KmIters)},
+         |${kmeansAssignCte(KmIters)}
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell, dist_sq
+         |FROM km_fin ORDER BY vec_id""".stripMargin,
+
+    // IVF replay over the same codebook: corpus cells from km_fin,
+    // query probe sets = nprobe smallest exact centroid distances
+    // (ties to the smaller cell), 1e8-grid cosine scoring + ranking
+    "ann_ivf_kmeans_topk" ->
+      s"""WITH ${kmeansCtes(KmCells, KmIters)},
+         |${kmeansAssignCte(KmIters)},
+         |q8 AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> ${qel("x")}) AS qv
+         |  FROM embeddings),
+         |qn8 AS MATERIALIZED (
+         |  SELECT vec_id, qv, ${duckNrmN("qv", Dim)} AS nrm FROM q8),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |          i -> (v.q4[i] - c.cv[i]) * (v.q4[i] - c.cv[i])))
+         |          AS BIGINT), c.cell) AS rk
+         |    FROM q4t v, km_c$KmIters c
+         |    WHERE v.vec_id < $NQueries) WHERE rk <= 3),
+         |scored AS (
+         |  SELECT p.query_id, f.vec_id AS neighbor_id,
+         |    ${duckCosN("a.qv", "b.qv", Dim, "a.nrm", "b.nrm")}
+         |      AS cos_sim
+         |  FROM probes p JOIN km_fin f ON f.cell = p.cell
+         |    AND f.vec_id != p.query_id
+         |  JOIN qn8 a ON a.vec_id = p.query_id
+         |  JOIN qn8 b ON b.vec_id = f.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
 
     // power-iteration replay: the same Gramian, C-shift, and 100
     // shift-normalized matvecs unrolled as MATERIALIZED CTEs (inlined

@@ -639,6 +639,48 @@ class SimilaritySpec extends SparkSpec {
     assert(proj.sameElements(proj2))
   }
 
+  test("integer Lloyd's: recovers planted clusters, bit-deterministic, " +
+      "truncating-division centroids; int IVF/PQ find the exact top-1") {
+    // planted: 3 tight clusters around orthogonal-ish directions
+    val rng = new scala.util.Random(5)
+    val protos = Array.tabulate(3)(c =>
+      Array.tabulate(64)(i => if (i % 3 == c) 0.8f else 0.01f))
+    val rows = (0 until 90).map { n =>
+      val c = n % 3
+      (n.toLong, protos(c).map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val cents = Similarity.kMeansIntCodebook(df, k = 3, iters = 6, dim = 64)
+    val assign = Similarity.kMeansIntAssign(df, cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    // every planted cluster lands in ONE cell
+    (0 until 3).foreach { c =>
+      val cells = (0 until 90).filter(_ % 3 == c).map(n => assign(n.toLong))
+      assert(cells.distinct.size == 1, s"cluster $c split across $cells")
+    }
+    // determinism
+    val cents2 = Similarity.kMeansIntCodebook(df, 3, 6, 64)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+    // centroids sit on the truncating-division grid of their members
+    assert(cents.flatten.forall(v => math.abs(v) <= 10000))
+
+    // the int IVF and PQ tiers retrieve each noisy copy's source at
+    // rank 1 on the fixture corpus (cluster structure >> noise)
+    val emb64 = emb.filter($"vec_id" < 40)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val queries = emb64.take(10).map { case (id, v) =>
+      (id + 70000L, v.map(x => x + 0.002f * rng.nextGaussian().toFloat))
+    }
+    val qdf = spark.createDataFrame(queries.toSeq)
+      .toDF("vec_id", "embedding")
+    val ivf1 = Similarity.ivfIntTopK(qdf, emb, k = 1, dim = 64)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    ivf1.foreach { case (q, n) => assert(n == q - 70000L, s"ivf $q -> $n") }
+    val pq1 = Similarity.pqIntTopK(qdf, emb, k = 1, dim = 64)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    pq1.foreach { case (q, n) => assert(n == q - 70000L, s"pq $q -> $n") }
+  }
+
   test("JL projection: planted near-copies retrieved at rank 1 (the " +
       "distance-class guarantee); projection matches brute-force weights") {
     val rng = new scala.util.Random(7)
