@@ -622,14 +622,22 @@ object Similarity {
   }
 
   /** Argmin cell of a quantized vector against literal integer
-    * centroids — exact expanded-L2 scores, first minimum wins. */
+    * centroids — exact expanded-L2 scores, first minimum wins.
+    * coalesce never fires (the min always positions) — it marks the
+    * cell NON-NULLABLE so joining on it can't let
+    * InferFiltersFromConstraints push an inferred
+    * `isnotnull(<the whole centroid-scoring dag>)` into the parquet
+    * scan as a DataFilter (the round-4 computed-column trap — every
+    * corpus row would re-score at the scan AND the project; PlanSpec
+    * pins this). */
   private def argminCellInt(q4: Column, cents: Array[Array[Long]])
       : Column = {
     val scores = array(cents.map { c =>
       val c2 = c.map(x => x * x).sum
       dotLong(q4, typedlit(c.toSeq)) * lit(-2L) + lit(c2)
     }: _*)
-    (array_position(scores, array_min(scores)) - 1).cast("int")
+    coalesce((array_position(scores, array_min(scores)) - 1).cast("int"),
+      lit(-1))
   }
 
   /** IVF ANN over the INTEGER k-means codebook, fully oracle-checked:
