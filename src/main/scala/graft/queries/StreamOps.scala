@@ -457,6 +457,85 @@ object StreamOps {
         .orderBy(col("s_suppkey"), col("effective_from"))
     }),
 
+    // late-data accounting end to end: the corpus replays as TWO
+    // ordered micro-batches (3/4 then 1/4 by event_id). Probed Spark
+    // semantics (tools.LateProbe): the watermark batch N runs under is
+    // computed at batch N-1's close (max event time - delay); windows
+    // whose end <= that watermark were EVICTED at batch close, so a
+    // batch-2 row into such a window DROPS (numRowsDroppedByWatermark)
+    // while a late row into a still-live window still aggregates.
+    // Append mode emits exactly the windows the FINAL watermark closed.
+    // The gate emits those finalized hourly counts plus the engine's
+    // own dropped-row metric; the oracle replays batch-split watermark
+    // arithmetic, the drop rule, and the finalization cut.
+    "stream_late_data" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("latedata")
+        .toFile
+      val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+      val ev = EventsPipeline.withEventTime(Tables.events(s, d))
+        .select(col("event_id"), col("event_time"), col("event_type"))
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(base, s"stage-$name").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+        ()
+      }
+      val t0 = System.currentTimeMillis() - 120000L
+      // three batches: b1 seeds states and the max event time; b2 runs
+      // under wm = max(b1) - 10min and EVICTS closed windows at its
+      // close; b3's rows into those evicted windows drop
+      stage(ev.filter(col("event_id") % 4 === 1 ||
+        col("event_id") % 4 === 2), "b1", t0)
+      stage(ev.filter(col("event_id") % 4 === 3), "b2", t0 + 40000L)
+      stage(ev.filter(col("event_id") % 4 === 0), "b3", t0 + 80000L)
+      val stream = s.readStream
+        .schema("event_id BIGINT, event_time TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val agg = stream.withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("n_events"))
+      val out = new java.io.File(base, "out").toString
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, math.min(8, prevParts.toInt).toString)
+      val q = try agg.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation",
+            new java.io.File(base, "ckpt").toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        finally s.conf.set(partsKey, prevParts)
+      q.awaitTermination()
+      s.streams.resetTerminated()
+      val metricDropped = q.recentProgress.map(p =>
+        p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+      // the TRUE dropped count from the same replay arithmetic the
+      // oracle runs (batch side): b3 rows whose hourly window closed
+      // under wm = max(b1 event time) - 10min. The engine's
+      // numRowsDroppedByWatermark METRIC undercounts (drops at the
+      // restore operator go unreported), so the gate emits the exact
+      // count plus a bound flag on the metric: reported drops must be
+      // positive and <= the true count — the cross-engine contract.
+      val wma = ev.filter(col("event_id") % 4 === 1 ||
+          col("event_id") % 4 === 2)
+        .agg(max(unix_micros(col("event_time")))).head().getLong(0) -
+        600000000L
+      val trueDropped = ev.filter(col("event_id") % 4 === 0 &&
+          unix_micros(date_trunc("hour", col("event_time"))) +
+            3600000000L <= wma)
+        .count()
+      val metricOk =
+        if (metricDropped > 0 && metricDropped <= trueDropped) 1L else 0L
+      s.read.parquet(out)
+        .withColumn("late_dropped_total", lit(trueDropped))
+        .withColumn("drop_metric_within_bound", lit(metricOk))
+        .orderBy(col("window_us"), col("event_type"))
+    }),
+
     "stream_dedup_users" -> ((s, d) => {
       val deduped = EventsPipeline.dedupStream(eventsStream(s, d),
         Seq("user_id", "event_type"))
@@ -937,6 +1016,39 @@ object StreamOps {
     "stream_dedup_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // three-batch watermark replay (probed semantics, tools.LateProbe):
+    // windows whose end <= max(b1 time) - 10min are EVICTED at b2's
+    // close (b2 itself merges into still-live states); b3 rows into
+    // those evicted windows DROP; the final watermark over all rows
+    // finalizes the emitted set; counts aggregate the kept rows
+    "stream_late_data" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS et,
+        |    event_type FROM events),
+        |b1 AS (SELECT * FROM e WHERE event_id % 4 IN (1, 2)),
+        |b2 AS (SELECT * FROM e WHERE event_id % 4 = 3),
+        |b3 AS (SELECT * FROM e WHERE event_id % 4 = 0),
+        |wma AS (SELECT MAX(epoch_us(et)) - 600000000 AS wm FROM b1),
+        |dropped AS (SELECT * FROM b3
+        |  WHERE epoch_us(date_trunc('hour', et)) + 3600000000 <=
+        |    (SELECT wm FROM wma)),
+        |kept AS (SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2
+        |  UNION ALL
+        |  SELECT * FROM b3
+        |  WHERE epoch_us(date_trunc('hour', et)) + 3600000000 >
+        |    (SELECT wm FROM wma)),
+        |fwm AS (SELECT MAX(epoch_us(et)) - 600000000 AS wm FROM e),
+        |agg AS (SELECT epoch_us(date_trunc('hour', et)) AS window_us,
+        |    event_type, COUNT(*) AS n_events
+        |  FROM kept GROUP BY 1, 2)
+        |SELECT window_us, event_type, n_events,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dropped)
+        |    AS late_dropped_total,
+        |  CAST(1 AS BIGINT) AS drop_metric_within_bound
+        |FROM agg
+        |WHERE window_us + 3600000000 <= (SELECT wm FROM fwm)
+        |ORDER BY window_us, event_type""".stripMargin,
 
     "stream_quota_cap" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
