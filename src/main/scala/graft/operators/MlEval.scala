@@ -750,7 +750,13 @@ object MlEval {
     * aggregation before the window, never a per-row candidate join. */
   def adaboostStumps(df: DataFrame, features: Seq[(String, Column)],
       label: Column, rounds: Int = 3): DataFrame = {
-    require(features.nonEmpty && rounds >= 1)
+    // row weights are 2^(# misclassifying previous stumps): with more
+    // than ~32 rounds the per-value and cumulative-window Long weight
+    // sums can silently overflow, corrupting every later argmin — cap
+    // loud rather than compute wrong (advisor finding, round 7)
+    require(features.nonEmpty && rounds >= 1 && rounds <= 32,
+      s"rounds must be in [1, 32] (integer 2^k weights overflow past " +
+        s"that); got $rounds")
     val spark = df.sparkSession
     val base = df.select(
         (features.map { case (n, c) => c.cast("long").as(n) } :+
@@ -801,6 +807,15 @@ object MlEval {
         .limit(1).collect().head
       stumps ::= Stump(best.getString(0), best.getLong(1), best.getInt(2),
         best.getLong(3), best.getLong(4))
+      // headroom gate: next round at most DOUBLES every weight, so the
+      // worst intermediate (a cumulative-window sum, bounded by the new
+      // total) stays < 2^62 iff this round's total does < 2^61 — check
+      // the live total, not a static rounds cap, so the bound tracks
+      // the data (advisor finding, round 7)
+      require(best.getLong(4) <= (1L << 61),
+        s"adaboostStumps: total integer weight ${best.getLong(4)} too " +
+          "close to Long overflow for another doubling round; reduce " +
+          "`rounds` or the input size")
     }
     val chosen = stumps.reverse
     // ensemble accuracy after each round: signed majority, tie -> 0

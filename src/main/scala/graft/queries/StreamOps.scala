@@ -433,7 +433,11 @@ object StreamOps {
           .find(_.getName.endsWith(".parquet")).get
         val dst = new java.io.File(srcDir, s"$name.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(mtime)
+        // micro-batch ORDER rides on mtime (FileStreamSource sorts by
+        // timestamp): a filesystem that ignores the update returns
+        // false and would silently reorder batches — fail loud instead
+        require(dst.setLastModified(mtime),
+          s"setLastModified($mtime) failed for $dst")
         ()
       }
       val t0 = System.currentTimeMillis() - 120000L
@@ -457,9 +461,10 @@ object StreamOps {
         .orderBy(col("s_suppkey"), col("effective_from"))
     }),
 
-    // late-data accounting end to end: the corpus replays as TWO
-    // ordered micro-batches (3/4 then 1/4 by event_id). Probed Spark
-    // semantics (tools.LateProbe): the watermark batch N runs under is
+    // late-data accounting end to end: the corpus replays as THREE
+    // ordered micro-batches (1/2, 1/4, 1/4 by event_id % 4 — seeds,
+    // watermark-advancer, late tail). Probed Spark semantics
+    // (tools.LateProbe): the watermark batch N runs under is
     // computed at batch N-1's close (max event time - delay); windows
     // whose end <= that watermark were EVICTED at batch close, so a
     // batch-2 row into such a window DROPS (numRowsDroppedByWatermark)
@@ -481,7 +486,11 @@ object StreamOps {
           .find(_.getName.endsWith(".parquet")).get
         val dst = new java.io.File(srcDir, s"$name.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(mtime)
+        // micro-batch ORDER rides on mtime (FileStreamSource sorts by
+        // timestamp): a filesystem that ignores the update returns
+        // false and would silently reorder batches — fail loud instead
+        require(dst.setLastModified(mtime),
+          s"setLastModified($mtime) failed for $dst")
         ()
       }
       val t0 = System.currentTimeMillis() - 120000L

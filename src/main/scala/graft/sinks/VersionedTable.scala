@@ -1238,7 +1238,7 @@ object VersionedTable {
     case _ => None
   }
 
-  private def statEligible(dt: DataType): Boolean = dt match {
+  private[graft] def statEligible(dt: DataType): Boolean = dt match {
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
          _: DoubleType | _: FloatType | _: StringType |
          _: TimestampType | _: TimestampNTZType | _: DateType |
@@ -1262,12 +1262,6 @@ object VersionedTable {
 
   private def stageFiles(df: DataFrame, root: String): Seq[String] = {
     val spark = df.sparkSession
-    // stageFiles is the single choke point where data enters the lake
-    // (write/append/appendBatch/upsert/merge/compact all stage through
-    // here), so CHECK constraints are enforced on exactly the rows that
-    // would land in files — including rows produced by merge's update
-    // expressions, which validating the caller's input would miss.
-    enforceConstraints(df, root)
     val f = fs(spark, root)
     val stage = new Path(root, s".stage-${UUID.randomUUID()}")
     // write timestamps as standard INT64 TIMESTAMP_MICROS, not Spark's
@@ -1302,7 +1296,7 @@ object VersionedTable {
     // without stats simply aren't prunable (readWhere keeps them).
     val statsOn = spark.conf
       .getOption("spark.graft.lake.stats.enabled").forall(_.toBoolean)
-    if (statsOn && moved.nonEmpty) {
+    val staged = if (statsOn && moved.nonEmpty) {
       val stated = collectStats(spark, df.schema, moved, root)
       stated match {
         case Some(nonEmpty) => // stats ran: files with no stats row are
@@ -1313,6 +1307,25 @@ object VersionedTable {
         case None => moved // no stat-eligible column: can't tell, keep
       }
     } else moved
+    // stageFiles is the single choke point where data enters the lake
+    // (write/append/appendBatch/upsert/merge/compact all stage through
+    // here), so CHECK constraints are enforced HERE — and on the
+    // STAGED FILES themselves, not the incoming plan: a
+    // non-deterministic plan (rand(), a source mutated between jobs)
+    // could pass a pre-write validation pass yet persist violating
+    // rows. Validating the read-back of what was actually written
+    // checks the exact materialization the commit will publish
+    // (advisor finding, round 7); per-row write-time enforcement
+    // Delta-style would save this one extra scan, at the cost of a
+    // custom write path — the scan only runs when constraints exist.
+    if (staged.nonEmpty)
+      try enforceConstraints(
+        spark.read.schema(df.schema).parquet(staged: _*), root)
+      catch { case t: Throwable =>
+        staged.foreach(p => f.delete(new Path(p), false))
+        throw t
+      }
+    staged
   }
 
   /** Bloom columns are STICKY per table: beyond the session conf, any

@@ -50,9 +50,55 @@ import graft.sinks.VersionedTable
   * commits never change what a planned scan reads.
   */
 class GraftLakeSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming front door (V1 Source seam; see GraftStreamSource) --
+  // The table intentionally does NOT declare MICRO_BATCH_READ:
+  // DataStreamReader then falls back to this StreamSourceProvider, the
+  // same V1 path Spark's own file stream source uses.
+
+  private def streamRoot(parameters: Map[String, String]): String =
+    parameters.get("path").map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        """graft stream needs a table root: """ +
+          """spark.readStream.format("graft").load(<root>)"""))
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val root = streamRoot(parameters)
+    require(VersionedTable.versions(spark, root).nonEmpty,
+      s"graft stream: no committed version under $root — streaming " +
+        "reads need an existing table (write one first)")
+    val pinned = GraftLakeSource.relaxed(
+      VersionedTable.snapshot(spark, root).schema)
+    (shortName(), schema.getOrElse(pinned))
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val root = streamRoot(parameters)
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    Seq("versionasof", "timestampasof", "tag").foreach(k =>
+      require(!lower.contains(k),
+        s"graft stream: time travel option '$k' is batch-only (a " +
+          "stream follows the live commit log)"))
+    new GraftStreamSource(spark, root,
+      startingVersion = lower.get("startingversion").map(_.trim.toLong),
+      ignoreChanges = lower.get("ignorechanges")
+        .exists(_.trim.toBoolean),
+      maxVersionsPerTrigger = lower.get("maxversionspertrigger")
+        .map(_.trim.toInt),
+      pinnedSchema = sourceSchema(sqlContext, schema, providerName,
+        parameters)._2)
+  }
 
   /** V1 seam for the SaveModes the V2 writer API doesn't carry
     * (ErrorIfExists — the DataFrameWriter default — and Ignore);
@@ -196,16 +242,27 @@ private[v2] class GraftWriteBuilder(root: String, replace: Boolean,
             // its own literal types (INT for small numbers). Realign
             // names positionally and cast to the table's field types —
             // exactly the coercion the engine performs for V1 sources —
-            // before the library's strict name-based append. Frames of
-            // a DIFFERENT arity pass through untouched and hit the
-            // library's schema validation (mergeSchema semantics).
+            // before the library's strict name-based append. BUT the
+            // positional remap applies only when the incoming names do
+            // NOT already match the table's: a by-name V2 append
+            // (df.write.format("graft").mode("append")) arrives in the
+            // USER'S column order, and remapping it positionally would
+            // silently swap values across same-typed columns. A frame
+            // whose name set equals the table's aligns BY NAME (then
+            // casts, so SQL inserts with coercible literal types still
+            // land) — advisor finding, round 7. Frames of a DIFFERENT
+            // arity pass through untouched and hit the library's schema
+            // validation (mergeSchema semantics).
             val aligned = tableSchema match {
               case Some(ts) if data.columns.length == ts.fields.length =>
-                data.toDF(ts.fieldNames.toIndexedSeq: _*)
-                  .select(ts.fields.toIndexedSeq.map(f =>
-                    org.apache.spark.sql.functions.col(
-                      s"`${f.name}`").cast(f.dataType)
-                      .as(f.name)): _*)
+                val byName = data.columns.toSet == ts.fieldNames.toSet
+                val named =
+                  if (byName) data.toDF()
+                  else data.toDF(ts.fieldNames.toIndexedSeq: _*)
+                named.select(ts.fields.toIndexedSeq.map(f =>
+                  org.apache.spark.sql.functions.col(
+                    s"`${f.name}`").cast(f.dataType)
+                    .as(f.name)): _*)
               case _ => data.toDF()
             }
             if (replace || overwrite ||
@@ -224,18 +281,38 @@ private[v2] class GraftWriteBuilder(root: String, replace: Boolean,
   * state. All filters are returned as residuals (`pushFilters` returns
   * its input) — stats pruning and parquet row-group filtering are both
   * best-effort, so Spark re-evaluates above the scan and results never
-  * depend on pruning, exactly like [[VersionedTable.readWhere]]. */
+  * depend on pruning, exactly like [[VersionedTable.readWhere]].
+  *
+  * Round-8 additions:
+  *   - [[SupportsPushDownAggregates]]: an unfiltered, ungrouped
+  *     `COUNT(*)`/`MIN`/`MAX` through the SQL front door is answered
+  *     from the manifest fold ([[VersionedTable.statsAgg]]) as a
+  *     [[LocalScan]] — METADATA-ONLY when every file carries stats
+  *     (the 100 TB shape: a petabyte `SELECT count(*)` becomes a
+  *     manifest read), with an exact bounded-scan fallback over just
+  *     the stats-less files otherwise. Never an estimate.
+  *   - runtime filtering ([[GraftScan]]): broadcast-join key values
+  *     arriving at execution time re-prune the file list through the
+  *     SAME `pruneFiles` stats/bloom logic — the DSv2 analogue of
+  *     dynamic partition pruning, without requiring a partition
+  *     layout. */
 private[v2] class GraftScanBuilder(spark: SparkSession,
     snap: VersionedTable.Snapshot)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val fieldNames = snap.schema.fields.map(_.name).toSet
   private var required: StructType = snap.schema
   private var accepted: Array[sources.Filter] = Array.empty
+  private var anyFilters = false
+  private var pushedAgg:
+      Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] =
+    None
 
   override def pushFilters(
       filters: Array[sources.Filter]): Array[sources.Filter] = {
+    anyFilters ||= filters.nonEmpty
     accepted = filters.filter(f =>
       GraftScanBuilder.toColumn(f, fieldNames).isDefined)
     filters // conservative: every filter is also a post-scan residual
@@ -246,14 +323,90 @@ private[v2] class GraftScanBuilder(spark: SparkSession,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val cond: Option[Column] = accepted.toSeq
-      .flatMap(GraftScanBuilder.toColumn(_, fieldNames))
-      .reduceOption(_ && _)
+  /** Manifest-answerable iff: no residual filters (we keep every filter
+    * as a residual, so any filter at all disqualifies), no grouping,
+    * and every aggregate is COUNT(*), MIN/MAX of a stat-eligible
+    * top-level column, or COUNT(col) on a column no file reports nulls
+    * for (the manifest records null PRESENCE, not counts — with zero
+    * nulls everywhere, COUNT(col) = COUNT(*) exactly; otherwise we
+    * decline and Spark scans). MIN/MAX stay answerable even when some
+    * files lack stats: the fold's fallback scans exactly those files,
+    * so the answer is exact either way. */
+  private def aggAnswerable(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def statCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          fieldNames.contains(nr.fieldNames()(0)) &&
+          VersionedTable.statEligible(snap.schema(
+            nr.fieldNames()(0)).dataType) =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def noNullsEverywhere(c: String): Boolean = snap.files.forall(p =>
+      snap.stats.get(p).exists(st => st.get(c).exists(cs =>
+        !cs.hasNulls) && st.values.exists(_.rows.nonEmpty)))
+    !anyFilters && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => statCol(m.column).isDefined
+        case m: Max => statCol(m.column).isDefined
+        case c: Count if !c.isDistinct =>
+          statCol(c.column).exists(noNullsEverywhere)
+        case _ => false
+      }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = aggAnswerable(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    if (aggAnswerable(agg)) { pushedAgg = Some(agg); true } else false
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new GraftLocalAggScan(spark, snap, agg)
+    case None =>
+      val cond: Option[Column] = accepted.toSeq
+        .flatMap(GraftScanBuilder.toColumn(_, fieldNames))
+        .reduceOption(_ && _)
+      new GraftScan(spark, snap, cond, required)
+  }
+}
+
+/** The lake's batch Scan: owns the manifest-stat file pruning and
+  * delegates the surviving files to Spark's vectorized parquet scan.
+  * Implements [[SupportsRuntimeFiltering]] so join-key values produced
+  * at EXECUTION time (broadcast dim side of a join — Spark's dynamic
+  * pruning machinery) re-prune the file list through the same
+  * stats/bloom `pruneFiles` logic the planning-time filters used: the
+  * DSv2 analogue of DPP, file-granular instead of partition-granular.
+  * Runtime filters are semantically redundant (the join re-checks), so
+  * conservative pruning can never change results; an oversized IN list
+  * (> [[GraftScan.MaxRuntimeInValues]] values) skips re-pruning rather
+  * than burn O(|files|·|values|) driver time. */
+private[graft] class GraftScan(spark: SparkSession,
+    snap: VersionedTable.Snapshot, pushedCond: Option[Column],
+    required: StructType)
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  @volatile private var runtimeCond: Option[Column] = None
+  @volatile private var inner: Scan = buildInner()
+
+  private def buildInner(): Scan = {
+    val cond = Seq(pushedCond, runtimeCond).flatten.reduceOption(_ && _)
     val kept = cond match {
       case Some(c) => VersionedTable.pruneFiles(spark, snap, c)
       case None => snap.files
     }
+    GraftScan.lastPlannedFiles.set(kept.size)
     val index = new InMemoryFileIndex(spark,
       kept.map(new Path(_)).toIndexedSeq, Map.empty[String, String],
       Some(snap.schema))
@@ -268,6 +421,120 @@ private[v2] class GraftScanBuilder(spark: SparkSession,
     pb.pruneColumns(required)
     pb.build()
   }
+
+  override def readSchema(): StructType = required
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"GraftScan ${snap.root}@v${snap.version}"
+
+  /** Spec observability: the delegated parquet scan (post-pruning). */
+  private[graft] def currentInner: Scan = inner
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    inner.toBatch.planInputPartitions()
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+
+  /** Every stat-eligible column IN THE SCAN OUTPUT is a candidate
+    * runtime-filter key: min/max (+ bloom where collected) can all
+    * prune on it. Must be restricted to `required` — Spark resolves
+    * these against the pruned relation output and fails loud on a
+    * column the projection dropped (a join key is always in the
+    * output, so nothing prunable is lost). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields
+      .filter(f => VersionedTable.statEligible(f.dataType))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions
+        .column(f.name))
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    val tooBig = filters.exists {
+      case sources.In(_, vs) => vs.length > GraftScan.MaxRuntimeInValues
+      case _ => false
+    }
+    val fields = snap.schema.fields.map(_.name).toSet
+    val cond = if (tooBig) None
+      else filters.toSeq.flatMap(GraftScanBuilder.toColumn(_, fields))
+        .reduceOption(_ && _)
+    cond.foreach { c =>
+      runtimeCond = Some(c)
+      inner = buildInner() // re-prune + re-push to row-group level
+    }
+  }
+}
+
+private[graft] object GraftScan {
+  /** Above this many IN values, runtime re-pruning costs more driver
+    * time than it saves — skip it (results are unaffected; the join
+    * still filters). */
+  val MaxRuntimeInValues = 10000
+  /** Spec observability: file count of the most recently planned graft
+    * scan (post-pruning). Test-only; last-write-wins is fine there. */
+  val lastPlannedFiles = new java.util.concurrent.atomic.AtomicInteger(-1)
+}
+
+/** Complete aggregate pushdown result: one [[LocalScan]] row computed
+  * from [[VersionedTable.statsAgg]]'s manifest fold at plan time.
+  * Output schema mirrors the pushed aggregate list in order; counts
+  * are non-null longs, MIN/MAX carry the column's own type. */
+private[v2] class GraftLocalAggScan(spark: SparkSession,
+    snap: VersionedTable.Snapshot,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : String = e.asInstanceOf[NamedReference].fieldNames()(0)
+
+  private val needed: Seq[String] = agg.aggregateExpressions.toSeq.collect {
+    case m: Min => colOf(m.column)
+    case m: Max => colOf(m.column)
+  }.distinct
+
+  private val (outSchema, outRow): (StructType, org.apache.spark.sql.Row) = {
+    val stats = VersionedTable.statsAgg(spark, snap.root, needed,
+      Some(snap.version)).collect().head
+    val fieldsVals = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        (StructField("count(*)", LongType, nullable = false),
+          stats.getAs[Long]("cnt"))
+      case c: Count => // answerable only because no file reports nulls
+        (StructField(s"count(${colOf(c.column)})", LongType,
+          nullable = false), stats.getAs[Long]("cnt"))
+      case m: Min =>
+        val c = colOf(m.column)
+        (StructField(s"min($c)", snap.schema(c).dataType),
+          stats.getAs[Any](s"min_$c"))
+      case m: Max =>
+        val c = colOf(m.column)
+        (StructField(s"max($c)", snap.schema(c).dataType),
+          stats.getAs[Any](s"max_$c"))
+      case other => throw new IllegalStateException(
+        s"unanswerable aggregate pushed: $other")
+    }
+    (StructType(fieldsVals.map(_._1)),
+      org.apache.spark.sql.Row.fromSeq(fieldsVals.map(_._2)))
+  }
+
+  GraftScan.lastPlannedFiles.set(0) // metadata-only: zero files planned
+
+  override def readSchema(): StructType = outSchema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(outSchema)
+    Array(conv(outRow)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+  }
+  override def description(): String =
+    s"GraftLocalAggScan ${snap.root}@v${snap.version} " +
+      s"[${agg.aggregateExpressions.mkString(", ")}]"
 }
 
 private[v2] object GraftLakeSource {

@@ -1,0 +1,38 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.StructType
+
+/** Batch-plan -> streaming-plan bridge for V1 streaming sources.
+  *
+  * A V1 `Source.getBatch` must return a DataFrame whose logical plan is
+  * flagged `isStreaming = true` (MicroBatchExecution asserts it) — the
+  * same seam Spark's own `FileStreamSource` crosses via the
+  * private[sql] `Dataset.ofRows(..., isStreaming = true)` constructor.
+  * Exposed from inside the package namespace like [[PlanBridge]]. */
+object StreamBridge {
+
+  /** A streaming-flagged parquet read of `files` (an empty streaming
+    * relation when the batch carries no files — e.g. a constraint-only
+    * or tag-only lake commit added no data). */
+  def streamingParquet(spark: SparkSession, schema: StructType,
+      files: Seq[String]): DataFrame = {
+    if (files.isEmpty) {
+      val attrs = DataTypeUtils.toAttributes(schema)
+      PlanBridge.ofRows(spark,
+        LocalRelation(attrs, Nil, isStreaming = true))
+    } else {
+      val batch = spark.read.schema(schema).parquet(files: _*)
+      val plan = batch.asInstanceOf[classic.Dataset[_]]
+        .queryExecution.analyzed
+      val streamed = plan.transform {
+        case lr: LogicalRelation => lr.copy(isStreaming = true)
+      }
+      PlanBridge.ofRows(spark, streamed)
+    }
+  }
+}

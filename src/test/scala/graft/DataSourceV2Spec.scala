@@ -24,6 +24,10 @@ class DataSourceV2Spec extends SparkSpec {
     }
     plan.collectFirst { case b: BatchScanExec => b.scan }
       .getOrElse(fail("no BatchScanExec in plan")) match {
+      case g: graft.sources.v2.GraftScan => g.currentInner match {
+        case f: FileScan => f
+        case other => fail(s"inner scan is not a FileScan: $other")
+      }
       case f: FileScan => f
       case other => fail(s"scan is not a FileScan: $other")
     }
@@ -179,6 +183,127 @@ class DataSourceV2Spec extends SparkSpec {
       spark.sql("DROP TABLE graft_ddl")
       spark.sql("DROP TABLE graft_ddl_v0")
     }
+  }
+
+  test("aggregate pushdown: unfiltered count/min/max answered from the " +
+      "manifest — LocalTableScan, zero data files planned") {
+    val root = tmpRoot("dsv2agg")
+    Seq(1L to 100L, 101L to 200L, 201L to 300L).foreach { r =>
+      VersionedTable.append(
+        r.map(i => (i, s"s${i % 5}")).toDF("k", "s").coalesce(1), root)
+    }
+    spark.read.format("graft").load(root).createOrReplaceTempView("aggv")
+    try {
+      graft.sources.v2.GraftScan.lastPlannedFiles.set(-1)
+      val df = spark.sql(
+        "SELECT count(*) AS c, count(k) AS ck, min(k) AS mn, " +
+          "max(k) AS mx, min(s) AS ms FROM aggv")
+      val r = df.collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)) == ((300L, 300L, 1L, 300L, "s0")))
+      assert(graft.sources.v2.GraftScan.lastPlannedFiles.get == 0,
+        "metadata-only aggregate must plan zero data files")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan") ||
+        plan.contains("GraftLocalAggScan"), s"plan was:\n$plan")
+      assert(!plan.contains("GraftScan "), s"no file scan expected:\n$plan")
+    } finally spark.catalog.dropTempView("aggv")
+  }
+
+  test("aggregate pushdown declines: filters, grouping, nullable " +
+      "count(col) — and the normal scan still answers exactly") {
+    val root = tmpRoot("dsv2agn")
+    val df = (1L to 90L).map(i =>
+      (i, if (i % 3 == 0) null else s"v$i")).toDF("k", "v")
+    VersionedTable.write(df, root)
+    val t = spark.read.format("graft").load(root)
+    t.createOrReplaceTempView("aggn")
+    try {
+      // count(v) with nulls present: manifest has null PRESENCE only ->
+      // not answerable -> real scan, exact result
+      assert(spark.sql("SELECT count(v) FROM aggn").head().getLong(0) == 60)
+      // a filter disqualifies (every filter stays a residual here)
+      assert(spark.sql("SELECT count(*) FROM aggn WHERE k > 30")
+        .head().getLong(0) == 60)
+      // grouping disqualifies
+      assert(spark.sql(
+        "SELECT k % 2, count(*) FROM aggn GROUP BY 1").count() == 2)
+    } finally spark.catalog.dropTempView("aggn")
+  }
+
+  test("aggregate pushdown stats-less fallback: files committed with " +
+      "stats disabled still answer exactly (bounded scan, not estimate)") {
+    val root = tmpRoot("dsv2agf")
+    VersionedTable.write((1L to 50L).map(i => (i, i * 2)).toDF("k", "v"),
+      root)
+    spark.conf.set("spark.graft.lake.stats.enabled", "false")
+    try VersionedTable.append(
+      (51L to 80L).map(i => (i, i * 2)).toDF("k", "v"), root)
+    finally spark.conf.unset("spark.graft.lake.stats.enabled")
+    val r = spark.read.format("graft").load(root)
+      .agg(count(lit(1)).as("c"), min(col("k")), max(col("k"))).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((80L, 1L, 80L)))
+  }
+
+  test("runtime filtering: broadcast join keys re-prune lake files at " +
+      "execution time (DSv2 dynamic pruning)") {
+    val root = tmpRoot("dsv2rf")
+    Seq(1L to 100L, 101L to 200L, 201L to 300L, 301L to 400L).foreach {
+      r => VersionedTable.append(
+        r.map(i => (i, i % 9)).toDF("k", "m").coalesce(1), root)
+    }
+    val fact = spark.read.format("graft").load(root)
+    // the dim must be a FILE source with a surviving Filter node (a
+    // local Seq folds to LocalRelation and DPP sees no selective
+    // predicate), and the filter must be on a NON-join column so no
+    // static range constraint leaks onto k: only the RUNTIME filter
+    // can prune. grp = (dk-1)/100, grp 1 <=> dk in 101..200 = file 2.
+    val dimPath = tmpRoot("dsv2rfd")
+    (1L to 400L).map(i => (i, (i - 1) / 100)).toDF("dk", "grp")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("grp") === 1).select("dk")
+    val joined = fact.join(broadcast(dim), col("k") === col("dk"))
+    graft.sources.v2.GraftScan.lastPlannedFiles.set(-1)
+    val got = joined.collect()
+    assert(got.length == 100)
+    assert(got.map(_.getLong(0)).min == 101L &&
+      got.map(_.getLong(0)).max == 200L)
+    val planned = graft.sources.v2.GraftScan.lastPlannedFiles.get
+    assert(joined.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"),
+      "expected a dynamic-pruning runtime filter on the graft scan")
+    assert(planned == 1,
+      s"runtime join-key filter must prune 4 files to 1, planned $planned")
+  }
+
+  test("runtime filter() seam: an IN filter re-prunes files; an " +
+      "oversized IN list is skipped (results unaffected by contract)") {
+    val root = tmpRoot("dsv2rfu")
+    Seq(1L to 100L, 101L to 200L).foreach { r =>
+      VersionedTable.append(r.map(i => (i, i)).toDF("k", "v")
+        .coalesce(1), root)
+    }
+    val df = spark.read.format("graft").load(root)
+    val scan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case b: BatchScanExec => b.scan }
+      case p => p.collectFirst { case b: BatchScanExec => b.scan }
+    }
+    val g = scan.collect { case s: graft.sources.v2.GraftScan => s }
+      .getOrElse(fail(s"expected GraftScan, got $scan"))
+    assert(g.filterAttributes().map(_.toString).toSet == Set("k", "v"))
+    g.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array[Any](150L, 160L))))
+    assert(g.currentInner.asInstanceOf[FileScan]
+      .fileIndex.inputFiles.length == 1,
+      "IN(150,160) must keep only the 101-200 file")
+    g.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k",
+        (1L to 20000L).map(_.asInstanceOf[Any]).toArray)))
+    assert(g.currentInner.asInstanceOf[FileScan]
+      .fileIndex.inputFiles.length == 1,
+      "oversized IN list must not re-prune (keeps previous state)")
   }
 
   test("sql access: temp view over the format path") {
