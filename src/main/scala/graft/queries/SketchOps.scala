@@ -31,6 +31,91 @@ object SketchOps {
     // stats (prune parity with readWhere is pinned file-by-file in
     // DataSourceV2Spec), then a filtered aggregate whose values the
     // oracle checks exactly. Result is pruning-independent by contract.
+    // round-8 item 1: the catalog front door — tables resolved BY NAME
+    // through spark.sql.catalog.<name>, native SQL time travel
+    // (VERSION AS OF) against the same snapshot arithmetic as the
+    // reader options, head + v0 aggregated in ONE pure-SQL statement.
+    // A fresh catalog name per run sidesteps Spark's per-session
+    // catalog-instance cache (bench re-runs the gate in one session).
+    "versioned_sql_asof" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val wh = java.nio.file.Files.createTempDirectory("sqlasof")
+        .toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      VersionedTable.write(docs.filter(col("doc_id") % 2 === 0),
+        s"$wh/t")
+      VersionedTable.append(docs.filter(col("doc_id") % 2 === 1),
+        s"$wh/t")
+      val result = s.sql(
+        s"""SELECT h.source, h.n_head, h.chars_head, v.n_v0, v.chars_v0
+           |FROM (SELECT source, COUNT(*) AS n_head,
+           |        CAST(SUM(n_chars) AS BIGINT) AS chars_head
+           |      FROM $cat.t GROUP BY source) h
+           |JOIN (SELECT source, COUNT(*) AS n_v0,
+           |        CAST(SUM(n_chars) AS BIGINT) AS chars_v0
+           |      FROM $cat.t VERSION AS OF 0 GROUP BY source) v
+           |  USING (source)
+           |ORDER BY source""".stripMargin)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
+    // round-8 item 3: aggregate pushdown through the SQL front door —
+    // an unfiltered count/min/max on an all-stats snapshot plans ZERO
+    // data files (asserted in-gate: LocalTableScan from the manifest
+    // fold), and a head including a stats-DISABLED commit still answers
+    // exactly through the bounded fallback scan. Values oracle-checked.
+    "versioned_agg_pushdown" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("aggpd")
+        .toString + "/t"
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      VersionedTable.append(ord.filter(col("o_orderkey") % 3 === 0), root)
+      s.conf.set("spark.graft.lake.stats.enabled", "false")
+      try VersionedTable.append(
+        ord.filter(col("o_orderkey") % 3 === 1), root)
+      finally s.conf.unset("spark.graft.lake.stats.enabled")
+      def aggSql(view: String) = s"SELECT count(*) AS cnt, " +
+        s"min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
+        s"min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, " +
+        s"max(o_orderdate) AS max_date FROM $view"
+      s.read.format("graft").option("versionAsOf", 0).load(root)
+        .createOrReplaceTempView("agg_pd_v0")
+      s.read.format("graft").load(root)
+        .createOrReplaceTempView("agg_pd_head")
+      graft.sources.v2.GraftScan.lastPlannedFiles.set(-1)
+      val q0 = s.sql(aggSql("agg_pd_v0"))
+      val r0 = q0.collect().head
+      // the all-stats snapshot must be METADATA-ONLY: zero files planned
+      require(graft.sources.v2.GraftScan.lastPlannedFiles.get == 0,
+        "aggregate pushdown did not answer from the manifest")
+      require(q0.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+        "expected LocalTableScan for the pushed aggregate")
+      val rH = s.sql(aggSql("agg_pd_head")).collect().head
+      s.catalog.dropTempView("agg_pd_v0")
+      s.catalog.dropTempView("agg_pd_head")
+      val result = s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
+          r0.toSeq ++ rH.toSeq)),
+        org.apache.spark.sql.types.StructType(
+          r0.schema.fields.map(f => f.copy(name = f.name + "_v0")) ++
+            rH.schema.fields.map(f => f.copy(name = f.name + "_head"))))
+      val p = new org.apache.hadoop.fs.Path(root).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      result
+    }),
+
     "versioned_dsv2_read" -> ((s, d) => {
       import graft.sinks.VersionedTable
       val root = java.nio.file.Files.createTempDirectory("dsv2")
@@ -995,6 +1080,35 @@ object SketchOps {
         |  MAX(c_custkey) AS max_key,
         |  CAST(1 AS BIGINT) AS rejected_writes
         |FROM v GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "versioned_sql_asof" ->
+      """WITH v0 AS (SELECT * FROM documents WHERE doc_id % 2 = 0)
+        |SELECT d.source,
+        |  COUNT(*) AS n_head, CAST(SUM(d.n_chars) AS BIGINT)
+        |    AS chars_head,
+        |  MIN(z.n_v0) AS n_v0, MIN(z.chars_v0) AS chars_v0
+        |FROM documents d
+        |JOIN (SELECT source, COUNT(*) AS n_v0,
+        |        CAST(SUM(n_chars) AS BIGINT) AS chars_v0
+        |      FROM v0 GROUP BY source) z ON z.source = d.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "versioned_agg_pushdown" ->
+      """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+        |hd AS (SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1))
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v0) AS cnt_v0,
+        |  (SELECT MIN(o_orderkey) FROM v0) AS min_key_v0,
+        |  (SELECT MAX(o_orderkey) FROM v0) AS max_key_v0,
+        |  (SELECT MIN(o_totalprice) FROM v0) AS min_price_v0,
+        |  (SELECT MAX(o_totalprice) FROM v0) AS max_price_v0,
+        |  (SELECT MAX(o_orderdate) FROM v0) AS max_date_v0,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hd) AS cnt_head,
+        |  (SELECT MIN(o_orderkey) FROM hd) AS min_key_head,
+        |  (SELECT MAX(o_orderkey) FROM hd) AS max_key_head,
+        |  (SELECT MIN(o_totalprice) FROM hd) AS min_price_head,
+        |  (SELECT MAX(o_totalprice) FROM hd) AS max_price_head,
+        |  (SELECT MAX(o_orderdate) FROM hd) AS max_date_head""".stripMargin,
 
     "versioned_dsv2_read" ->
       """SELECT c_nationkey, COUNT(*) AS n_cust,

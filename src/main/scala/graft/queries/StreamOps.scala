@@ -545,6 +545,61 @@ object StreamOps {
         .orderBy(col("window_us"), col("event_type"))
     }),
 
+    // round-8 item 2: the LAKE as the streaming source — three
+    // TIME-ORDERED commits replay as ordered micro-batches
+    // (maxVersionsPerTrigger=1, offsets = commit versions) into a
+    // watermarked hourly window aggregate. Time-ordered commits mean
+    // ZERO late rows (each batch's minimum event time exceeds the
+    // watermark the previous batch set), so append mode's output is
+    // exactly the windows the FINAL watermark closed — batch-split
+    // independent and fully SQL-replayable.
+    "stream_lake_source" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val base = java.nio.file.Files.createTempDirectory("lakesrc")
+        .toFile
+      val root = new java.io.File(base, "lake").toString
+      val ev = EventsPipeline.withEventTime(Tables.events(s, d))
+        .select(col("event_id"), col("event_time"), col("event_type"))
+      val mm = ev.agg(min(unix_micros(col("event_time"))),
+        max(unix_micros(col("event_time")))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * ((hi - lo) / 3)
+      val us = unix_micros(col("event_time"))
+      VersionedTable.append(ev.filter(us < c1), root)
+      VersionedTable.append(ev.filter(us >= c1 && us < c2), root)
+      VersionedTable.append(ev.filter(us >= c2), root)
+      val stream = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(root)
+      val agg = stream.withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("n_events"))
+      val out = new java.io.File(base, "out").toString
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, math.min(8, prevParts.toInt).toString)
+      val q = try agg.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation",
+            new java.io.File(base, "ckpt").toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        finally s.conf.set(partsKey, prevParts)
+      q.awaitTermination()
+      s.streams.resetTerminated()
+      // the pacing contract is part of the gate: three commits at one
+      // version per trigger must land as three data-carrying batches
+      require(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "expected 3 paced micro-batches (one per lake commit)")
+      val result = s.read.parquet(out)
+        .orderBy(col("window_us"), col("event_type"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     "stream_dedup_users" -> ((s, d) => {
       val deduped = EventsPipeline.dedupStream(eventsStream(s, d),
         Seq("user_id", "event_type"))
@@ -1031,6 +1086,19 @@ object StreamOps {
     // close (b2 itself merges into still-live states); b3 rows into
     // those evicted windows DROP; the final watermark over all rows
     // finalizes the emitted set; counts aggregate the kept rows
+    // time-ordered commits -> zero drops: the output is simply every
+    // hourly window the final watermark (global max - 10 min) closed
+    "stream_lake_source" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS et, event_type
+        |    FROM events),
+        |fwm AS (SELECT MAX(epoch_us(et)) - 600000000 AS wm FROM e),
+        |agg AS (SELECT epoch_us(date_trunc('hour', et)) AS window_us,
+        |    event_type, COUNT(*) AS n_events
+        |  FROM e GROUP BY 1, 2)
+        |SELECT window_us, event_type, n_events FROM agg
+        |WHERE window_us + 3600000000 <= (SELECT wm FROM fwm)
+        |ORDER BY window_us, event_type""".stripMargin,
+
     "stream_late_data" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS et,
         |    event_type FROM events),

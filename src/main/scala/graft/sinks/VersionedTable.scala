@@ -173,6 +173,43 @@ object VersionedTable {
       .sorted
   }
 
+  /** Rewrite every committed manifest's file references that point
+    * under `oldRoot` to the same relative location under `newRoot` —
+    * the metadata half of a table move (the caller renames the
+    * directory FIRST, then calls this on the new location). Manifests
+    * are line-oriented (`schema \n path\tstats... \n markers \n
+    * terminator`), so the rewrite is a per-file-line prefix swap that
+    * leaves schema, stats, markers and terminator byte-identical.
+    * Shallow-clone manifests referencing files OUTSIDE oldRoot are
+    * untouched; clones in OTHER roots referencing THIS table's files
+    * break, the documented shallow-clone contract (same as Delta).
+    * Single-writer assumption: a move is a catalog DDL, not a
+    * concurrent-commit path. */
+  private[graft] def rebaseManifests(spark: SparkSession,
+      newRoot: String, oldRoot: String): Unit = {
+    val f = fs(spark, newRoot)
+    val oldQ = f.makeQualified(new Path(oldRoot)).toString + "/"
+    val newQ = f.makeQualified(new Path(newRoot)).toString + "/"
+    versions(spark, newRoot).foreach { v =>
+      val p = manifestPath(newRoot, v)
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      val in = f.open(p)
+      try in.readFully(bytes) finally in.close()
+      val lines = new String(bytes, StandardCharsets.UTF_8).split("\n", -1)
+      val out = lines.zipWithIndex.map { case (l, i) =>
+        val isFileLine = i > 0 && l.nonEmpty && l != Terminator &&
+          !l.startsWith(BatchMarker) && !l.startsWith(WriterMarker) &&
+          !l.startsWith(ConstraintMarker)
+        if (isFileLine && l.startsWith(oldQ))
+          newQ + l.stripPrefix(oldQ)
+        else l
+      }.mkString("\n")
+      val os = f.create(p, true)
+      try os.write(out.getBytes(StandardCharsets.UTF_8))
+      finally os.close()
+    }
+  }
+
   private def manifest(f: FileSystem, root: String, v: Long): Manifest =
     readManifestRaw(f, manifestPath(root, v))
       .getOrElse(throw new IllegalStateException(

@@ -159,6 +159,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchNamespaceException(newIdent.namespace)
     require(fs.rename(from, to),
       s"rename failed: $from -> $to (same filesystem required)")
+    // manifests reference data files by qualified absolute path: rebase
+    // them onto the new location (metadata half of the move)
+    VersionedTable.rebaseManifests(spark, to.toString, from.toString)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

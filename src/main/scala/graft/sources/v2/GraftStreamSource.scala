@@ -55,14 +55,51 @@ private[v2] case class GraftSourceOffset(version: Long) extends Offset {
 private[v2] class GraftStreamSource(spark: SparkSession, root: String,
     startingVersion: Option[Long], ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Int], pinnedSchema: StructType)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, Offset => OffsetV2}
 
   // highest version already handed out, the rate-limit anchor;
   // Long.MinValue = nothing yet (distinct from startingVersion = -1)
   @volatile private var lastEnd: Long =
     startingVersion.getOrElse(Long.MinValue)
 
+  // Trigger.AvailableNow pins "now" here; batches never pass it, so the
+  // run terminates even while writers keep committing (the same
+  // prepare/pace shape as Spark's FileStreamSource)
+  @volatile private var availableNowCap: Option[Long] = None
+
   override def schema: StructType = pinnedSchema
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      VersionedTable.versions(spark, root).sorted.lastOption
+
+  /** Versions are the admission unit: `maxVersionsPerTrigger` rides
+    * the engine's maxFiles read-limit slot (a version IS a file set). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Engine-driven pacing (replaces getOffset when the source declares
+    * admission control): next end = up to LIMIT pending versions past
+    * `start`, never past the AvailableNow cap; null = caught up. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = Option(start).map(o => o.json.trim.toLong)
+      .orElse(startingVersion).getOrElse(Long.MinValue)
+    val vs = VersionedTable.versions(spark, root).sorted
+    val pending = vs.filter(v => v > base &&
+      availableNowCap.forall(v <= _))
+    val capped = limit match {
+      case m: ReadMaxFiles => pending.take(m.maxFiles)
+      case _ => pending
+    }
+    capped.lastOption.map(GraftSourceOffset(_)).orNull
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    VersionedTable.versions(spark, root).sorted.lastOption
+      .map(GraftSourceOffset(_)).orNull
 
   override def getOffset: Option[Offset] = {
     val vs = VersionedTable.versions(spark, root).sorted

@@ -1,0 +1,132 @@
+package graft
+
+import graft.sinks.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** `spark.sql.catalog.graft` — the V2 TableCatalog face of the lake:
+  * name-resolved tables, SQL DDL/DML, native SQL time travel, and the
+  * same snapshot-pinning contract as the format front door. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("graftwh").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", w)
+    w
+  }
+
+  test("create, insert, select, drop through pure SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db1")
+    spark.sql("CREATE TABLE graft.db1.t1 (k BIGINT, v STRING)")
+    // CREATE TABLE commits v0: empty but readable, library-visible
+    assert(spark.sql("SELECT count(*) FROM graft.db1.t1")
+      .as[Long].head() == 0)
+    assert(VersionedTable.versions(spark, s"$warehouse/db1/t1") == Seq(0L))
+    spark.sql("INSERT INTO graft.db1.t1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db1.t1 VALUES (3, 'c')")
+    assert(spark.sql("SELECT sum(k) FROM graft.db1.t1")
+      .as[Long].head() == 6)
+    // SHOW TABLES resolves through listTables
+    assert(spark.sql("SHOW TABLES IN graft.db1").collect()
+      .map(_.getString(1)).toSet == Set("t1"))
+    // duplicate create fails, IF NOT EXISTS passes
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db1.t1 (k BIGINT)") }
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.db1.t1 (k BIGINT)")
+    spark.sql("DROP TABLE graft.db1.t1")
+    assert(!spark.catalog.tableExists("graft.db1.t1"))
+  }
+
+  test("native SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    val dir = s"$warehouse/tt/t"
+    VersionedTable.write((1L to 40L).map(i => (i, i * 2)).toDF("k", "v"),
+      dir)
+    Thread.sleep(30)
+    val tMid = java.time.Instant.now()
+    Thread.sleep(30)
+    VersionedTable.append((41L to 60L).map(i => (i, i * 2)).toDF("k", "v"),
+      dir)
+    assert(spark.sql("SELECT count(*) FROM graft.tt.t").as[Long]
+      .head() == 60)
+    assert(spark.sql("SELECT count(*) FROM graft.tt.t VERSION AS OF 0")
+      .as[Long].head() == 40)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.tt.t TIMESTAMP AS OF '$tMid'")
+      .as[Long].head() == 40)
+    // aggregate pushdown works through the catalog path too
+    val mm = spark.sql(
+      "SELECT min(k), max(k), count(*) FROM graft.tt.t VERSION AS OF 0")
+      .head()
+    assert((mm.getLong(0), mm.getLong(1), mm.getLong(2)) ==
+      ((1L, 40L, 40L)))
+  }
+
+  test("CTAS and INSERT from query") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ct")
+    (1L to 30L).map(i => (i, s"n$i")).toDF("id", "name")
+      .createOrReplaceTempView("ctas_src")
+    try {
+      spark.sql("CREATE TABLE graft.ct.made AS " +
+        "SELECT id, name FROM ctas_src WHERE id <= 20")
+      assert(spark.sql("SELECT count(*) FROM graft.ct.made")
+        .as[Long].head() == 20)
+      spark.sql("INSERT INTO graft.ct.made " +
+        "SELECT id, name FROM ctas_src WHERE id > 20")
+      assert(spark.sql("SELECT count(*) FROM graft.ct.made")
+        .as[Long].head() == 30)
+      // CTAS = create + append: v0 empty, v1 data, v2 insert
+      assert(VersionedTable.versions(spark, s"$warehouse/ct/made")
+        == Seq(0L, 1L, 2L))
+    } finally spark.catalog.dropTempView("ctas_src")
+  }
+
+  test("snapshot pinning and library interop: a catalog-loaded frame " +
+      "survives a concurrent library commit") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pin")
+    val dir = s"$warehouse/pin/t"
+    VersionedTable.write((1L to 25L).map(i => (i, i)).toDF("k", "v"), dir)
+    val pinned = spark.sql("SELECT * FROM graft.pin.t")
+    VersionedTable.append((26L to 50L).map(i => (i, i)).toDF("k", "v"),
+      dir)
+    assert(pinned.count() == 25, "pinned frame must not see the append")
+    assert(spark.sql("SELECT count(*) FROM graft.pin.t")
+      .as[Long].head() == 50)
+  }
+
+  test("rename, namespaces, and guardrails") {
+    warehouse
+    spark.sql("CREATE NAMESPACE graft.mv1")
+    spark.sql("CREATE TABLE graft.mv1.a (x BIGINT)")
+    spark.sql("INSERT INTO graft.mv1.a VALUES (7)")
+    spark.sql("ALTER TABLE graft.mv1.a RENAME TO mv1.b")
+    assert(spark.sql("SELECT x FROM graft.mv1.b").as[Long].head() == 7)
+    assert(!spark.catalog.tableExists("graft.mv1.a"))
+    // non-empty namespace refuses non-cascade drop
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft.mv1") }
+    spark.sql("DROP NAMESPACE graft.mv1 CASCADE")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .forall(_.getString(0) != "mv1"))
+    // PARTITIONED BY is rejected loudly (the lake manages layout)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.ptab (k BIGINT, p STRING) " +
+        "PARTITIONED BY (p)") }
+    assert(e.getMessage.toLowerCase.contains("layout") ||
+      e.getMessage.toLowerCase.contains("partition"))
+  }
+
+  test("top-level tables (empty namespace) work") {
+    warehouse
+    spark.sql("CREATE TABLE graft.toplevel (k BIGINT)")
+    spark.sql("INSERT INTO graft.toplevel VALUES (5), (6)")
+    assert(spark.sql("SELECT sum(k) FROM graft.toplevel")
+      .as[Long].head() == 11)
+    spark.sql("DROP TABLE graft.toplevel")
+  }
+}
