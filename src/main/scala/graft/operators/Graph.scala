@@ -747,11 +747,18 @@ object Graph {
     * oracle replays the banding bit-for-bit and the gate is FULLY
     * oracle-checked.
     *
-    * Scale shape: one adjacency groupBy (map-side combined), map-only
-    * signatures from the in-row array, bucket-keyed candidate join,
-    * |candidates|-sized verify join on adjacency arrays. A pathological
-    * bucket (thousands of IDENTICAL signatures) is a real duplicate
-    * cluster — the downstream survivor, not a skew accident. */
+    * Scale shape — NO row ever materializes a neighbor array (round-8
+    * hardening; the previous tier built each node's full neighbor set
+    * as one `collect_set` row before signing, a multi-hundred-MB row
+    * for a 10M-degree hub): signatures fold INCREMENTALLY as
+    * per-permutation `min` aggregates in the adjacency groupBy
+    * (map-side combined, constant state per node — bit-identical to
+    * min-over-the-set by commutativity), candidates come from the
+    * bucket-keyed join, and the exact verify COUNTS shared neighbors
+    * through an edge-level join (candidate pair × its edges), never an
+    * `array_intersect` over materialized sets. A pathological bucket
+    * (thousands of IDENTICAL signatures) is a real duplicate cluster —
+    * the downstream survivor, not a skew accident. */
   def neighborJaccardMinHash(edges: DataFrame, srcCol: String,
       dstCol: String, minCommon: Int, tauX1e6: Long,
       perms: Int = 16, bands: Int = 8,
@@ -765,21 +772,23 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val adj = e.groupBy(col("src").as("node"))
-      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
-      .withColumn("deg", size(col("nbrs")).cast("long"))
-    val sigCols = (0 until perms).map { i =>
-      val (a, b) = graft.functions.SketchUtil.minhashPerm(i)
-      array_min(transform(col("nbrs"),
-        n => pmod(pmod(n, lit(P)) * lit(a) + lit(b), lit(P))))
-    }
+    // ONE groupBy, bounded state: deg + 16 running mins per node —
+    // min(h(n) for n in set) == min-aggregate over the edge rows
+    val sigAggs = count(lit(1)).cast("long").as("deg") +:
+      (0 until perms).map { i =>
+        val (a, b) = graft.functions.SketchUtil.minhashPerm(i)
+        min(pmod(pmod(col("dst"), lit(P)) * lit(a) + lit(b), lit(P)))
+          .as(s"__sig$i")
+      }
+    val sigs = e.groupBy(col("src").as("node"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
     // band key = the band's `rows` raw slots joined to a string — the
     // oracle rebuilds it verbatim (no engine-specific hash in the key)
     val bandKeys = array((0 until bands).map { bd =>
       concat_ws(":", (0 until rows).map(r =>
-        sigCols(bd * rows + r).cast("string")): _*)
+        col(s"__sig${bd * rows + r}").cast("string")): _*)
     }: _*)
-    val banded0 = adj.select(col("node"),
+    val banded0 = sigs.select(col("node"),
         posexplode(bandKeys).as(Seq("band", "key")))
     // hot-bucket cap (the standard LSH mitigation — FAISS max_codes,
     // SimHash hot-table skip): a bucket of n nodes costs n²/2 candidate
@@ -803,13 +812,19 @@ object Graph {
           col("x.node") < col("y.node"))
       .select(col("x.node").as("a"), col("y.node").as("b"))
       .distinct()
-    cand
-      .join(adj.select(col("node").as("a"), col("nbrs").as("__na"),
-        col("deg").as("deg_a")), "a")
-      .join(adj.select(col("node").as("b"), col("nbrs").as("__nb"),
-        col("deg").as("deg_b")), "b")
-      .withColumn("n_common",
-        size(array_intersect(col("__na"), col("__nb"))).cast("long"))
+    // exact verify, array-free: count shared neighbors by joining the
+    // candidate pairs through the edge list twice — row volume is
+    // sum(deg) over candidate nodes, never one row per neighbor SET
+    // (inner join drops zero-overlap coincidences; minCommon >= 1)
+    val nCommon = cand
+      .join(e.select(col("src").as("a"), col("dst").as("__n")), "a")
+      .join(e.select(col("src").as("b"), col("dst").as("__n")),
+        Seq("b", "__n"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    nCommon
+      .join(sigs.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(sigs.select(col("node").as("b"), col("deg").as("deg_b")), "b")
       .filter(col("n_common") >= minCommon)
       .withColumn("jaccard_x1e6",
         expr("n_common * 1000000 div (deg_a + deg_b - n_common)"))

@@ -519,6 +519,22 @@ class GraphSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("neighborJaccardMinHash builds NO neighbor-set rows: signatures " +
+      "fold incrementally, verify counts through the edge join") {
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val df = Graph.neighborJaccardMinHash(sq.toDF("src", "dst"),
+      "src", "dst", minCommon = 1, tauX1e6 = 0L)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // a 10M-degree hub must never become one multi-hundred-MB row: the
+    // old tier's collect_set signature build and array_intersect verify
+    // are both gone from the plan
+    assert(!plan.contains("collect_set"), s"neighbor-set row in:\n$plan")
+    assert(!plan.contains("collect_list"), s"neighbor-list row in:\n$plan")
+    assert(!plan.contains("array_intersect"),
+      s"array verify in:\n$plan")
+  }
+
   test("walk skip-grams: hand-checked symmetric window pairs") {
     // one walk 10,20,30,40 with window 2:
     // d=1 pairs: (10,20)(20,30)(30,40) + reverses
