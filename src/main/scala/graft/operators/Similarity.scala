@@ -1843,6 +1843,110 @@ object Similarity {
       kmeansIter)
   }
 
+  /** OPQ on the EXACT-INTEGER pipeline — the fully oracle-checked
+    * rotated-PQ tier (round-8 conversion; the float [[opqTopK]] stays
+    * the paper-faithful spec'd sibling). The OPQ objective is balanced
+    * per-subspace variance (Ge et al., CVPR 2013); this tier reaches it
+    * with integer-exact, SQL-replayable building blocks instead of a
+    * float eigenbasis:
+    *
+    *   1. per-dimension energies `E_j = Σ x_j²` on the 1e4 grid —
+    *      exact longs, one map-side-combined aggregation;
+    *   2. rank dims by (E desc, j), pair rank r with rank dim-1-r —
+    *      each pair couples a high-variance with a low-variance dim;
+    *   3. one 45° Givens rotation per pair, `(x_h, x_l) -> (x_h + x_l,
+    *      x_h - x_l)` — exact integers, orthogonal up to the uniform
+    *      √2 scale (every dim is in exactly one pair, so L2/cosine
+    *      ORDER is preserved and the exact re-rank runs on the
+    *      originals anyway). If the pair is uncorrelated this equalizes
+    *      the two output variances at (E_h + E_l)/2 — variance
+    *      balancing with no trigonometry;
+    *   4. snake-draft the pairs (by combined energy desc) across the m
+    *      subspaces — balanced allocation, pure modular arithmetic;
+    *   5. the integer PQ tier ([[pqIntTopK]]'s codebooks/codes/ADC)
+    *      over the rotated vectors, exact 1e8-grid cosine re-rank on
+    *      the ORIGINAL embeddings.
+    *
+    * Deterministic integers end to end — energies, ranks, pairing,
+    * rotation, allocation, codebooks, ADC and ranking all replay in
+    * DuckDB. Scale shape unchanged from [[pqIntTopK]]: one extra
+    * energy aggregation (map-side combined, dim groups), the rotation
+    * a map-only expression riding the scans. */
+  def opqIntTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      m: Int = 4, kCodes: Int = 8, iters: Int = 4, candMult: Int = 4)
+      : DataFrame = {
+    require(dim % (2 * m) == 0,
+      s"dim $dim must divide into m=$m subspaces of even size")
+    val subDim = dim / m
+    val en: Array[Long] = corpus
+      .select(posexplode(quantizeAt(col("embedding"), 1e4))
+        .as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(col("x") * col("x")).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1).map(_._2)
+    require(en.length == dim, s"expected $dim dims, got ${en.length}")
+    val byRank: Array[Int] = en.indices.sortBy(i => (-en(i), i)).toArray
+    val pairs: IndexedSeq[(Int, Int)] =
+      (0 until dim / 2).map(p => (byRank(p), byRank(dim - 1 - p)))
+    val orderedPairs = pairs.zipWithIndex
+      .sortBy { case ((h, l), p) => (-(en(h) + en(l)), p) }.map(_._1)
+    // snake draft: j -> bucket, two adjacent slots per pair
+    val slotOf = new Array[(Int, Int, Int)](dim) // (hi, lo, sign)
+    val fill = new Array[Int](m)
+    orderedPairs.zipWithIndex.foreach { case ((h, l), j) =>
+      val b = if ((j / m) % 2 == 0) j % m else m - 1 - (j % m)
+      val s0 = b * subDim + 2 * fill(b)
+      slotOf(s0) = (h, l, 1)
+      slotOf(s0 + 1) = (h, l, -1)
+      fill(b) += 1
+    }
+    def rotate(q4: Column): Column = array((0 until dim).map { s =>
+      val (h, l, sg) = slotOf(s)
+      if (sg > 0) element_at(q4, h + 1) + element_at(q4, l + 1)
+      else element_at(q4, h + 1) - element_at(q4, l + 1)
+    }: _*)
+    def sub(c: Column, s: Int) = slice(c, s * subDim + 1, subDim)
+    val base = corpus.select(col("vec_id"),
+      rotate(quantizeAt(col("embedding"), 1e4)).as("q4"))
+    val books = kMeansIntSubspaces(base, m, kCodes, iters, subDim)
+    def prep(df: DataFrame, idAs: String) =
+      df.select(col("vec_id").as(idAs),
+          quantize(col("embedding")).as(s"${idAs}_v"),
+          rotate(quantizeAt(col("embedding"), 1e4)).as("__r4"))
+        .withColumn(s"${idAs}_n", sqrt(dotLong(col(s"${idAs}_v"),
+          col(s"${idAs}_v")).cast("double")))
+    val coded = prep(corpus, "neighbor_id")
+      .withColumn("codes", array((0 until m).map(s =>
+        argminCellInt(sub(col("__r4"), s), books(s))): _*))
+      .drop("__r4")
+    val q = prep(queries, "query_id")
+      .withColumn("qtab", array((0 until m).map { s =>
+        array(books(s).map { cent =>
+          val c2 = cent.map(x => x * x).sum
+          dotLong(sub(col("__r4"), s), sub(col("__r4"), s)) +
+            dotLong(sub(col("__r4"), s), typedlit(cent.toSeq)) *
+              lit(-2L) + lit(c2)
+        }: _*)
+      }: _*))
+      .drop("__r4")
+    val adc = (0 until m).map(s =>
+        element_at(element_at(col("qtab"), s + 1),
+          element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val cand = coded.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("__adc"), col("neighbor_id"))))
+      .filter(col("__rk") <= candMult * k)
+    val scored = cand.withColumn("cos_sim",
+      dotLong(col("query_id_v"), col("neighbor_id_v")).cast("double") /
+        (col("query_id_n") * col("neighbor_id_n")))
+    heapTopK(scored, k)
+  }
+
   /** Greedy eigenvalue allocation: assign eigenvalue indices (sorted
     * descending by |value|) to m buckets of `cap` slots, each to the
     * bucket with the smallest current log-product — balances per-

@@ -143,12 +143,19 @@ object AnnOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // OPQ-style rotated PQ (eigenvalue-allocation PCA rotation, then
-    // the PQ tier unchanged) — approximate: rows-only + recall spec
+    // OPQ rebased on the EXACT-INTEGER pipeline (round-8 conversion):
+    // per-dim integer energies pick the rotation (high/low-variance dim
+    // pairs, one 45-degree Givens each — integer sums/differences),
+    // pairs snake-draft into energy-balanced subspaces, then the
+    // oracle-checked integer PQ tier. Energies, pairing, rotation,
+    // allocation, codebooks, ADC and ranking ALL replay in SQL — the
+    // last ANN-family gate goes fully oracle-checked. The float
+    // eigenbasis opqTopK stays the paper-faithful spec'd sibling.
     "ann_opq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.opqTopK(emb.filter(col("vec_id") < NQueries), emb,
-          TopK, Dim)
+      Similarity.opqIntTopK(emb.filter(col("vec_id") < NQueries), emb,
+          TopK, Dim, m = PqM, kCodes = PqCodes, iters = PqIters,
+          candMult = PqCandMult)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -505,6 +512,75 @@ object AnnOps {
     (head +: steps).mkString(",\n")
   }
 
+  /** The integer-PQ replay (subspace Lloyd's chains, argmin codes,
+    * exact ADC tables, candidate cut, 1e8-grid cosine re-rank) over a
+    * (vec_id, q4) source CTE — shared by the PQ and OPQ oracles (OPQ =
+    * the same replay over the rotated vectors). Emits everything AFTER
+    * the `WITH ...,` prefix, ending in the final SELECT. */
+  private def pqReplay(src: String): String = {
+    val subDim = Dim / PqM
+    val subCtes = (0 until PqM).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      s"""pq${s}q4 AS MATERIALIZED (
+         |  SELECT vec_id, q4[$lo:$hi] AS q4 FROM $src)""".stripMargin +
+        ",\n" + kmeansChain(PqCodes, PqIters, subDim, s"pq${s}_",
+          s"pq${s}q4")
+    }.mkString(",\n")
+    def subL2(dim: Int): String =
+      s"""CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> (v.q4[i] - c.cv[i]) * (v.q4[i] - c.cv[i])))
+         |      AS BIGINT)""".stripMargin
+    val codeSel = (0 until PqM).map { s =>
+      s"""SELECT vec_id, $s AS s, cell AS code FROM (
+         |  SELECT v.vec_id, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${subL2(subDim)}, c.cell) AS rk
+         |  FROM pq${s}q4 v, pq${s}_c$PqIters c) WHERE rk = 1""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val tabSel = (0 until PqM).map { s =>
+      s"""SELECT v.vec_id AS query_id, $s AS s, c.cell AS code,
+         |  ${subL2(subDim)} AS d
+         |FROM pq${s}q4 v, pq${s}_c$PqIters c
+         |WHERE v.vec_id < $NQueries""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$subCtes,
+       |codes AS MATERIALIZED (
+       |  $codeSel),
+       |qtab AS MATERIALIZED (
+       |  $tabSel),
+       |adc AS (
+       |  SELECT t.query_id, cd.vec_id AS neighbor_id,
+       |    CAST(SUM(t.d) AS BIGINT) AS adc
+       |  FROM codes cd JOIN qtab t
+       |    ON t.s = cd.s AND t.code = cd.code
+       |    AND cd.vec_id != t.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc, neighbor_id) AS rk FROM adc)
+       |  WHERE rk <= ${PqCandMult * TopK}),
+       |q8 AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> ${qel("x")}) AS qv
+       |  FROM embeddings),
+       |qn8 AS MATERIALIZED (
+       |  SELECT vec_id, qv, ${duckNrmN("qv", Dim)} AS nrm FROM q8),
+       |scored AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    ${duckCosN("a.qv", "b.qv", Dim, "a.nrm", "b.nrm")}
+       |      AS cos_sim
+       |  FROM cand cd
+       |  JOIN qn8 a ON a.vec_id = cd.query_id
+       |  JOIN qn8 b ON b.vec_id = cd.neighbor_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   private def kmeansCtes(kCells: Int, iters: Int): String =
     q4tCte + ",\n" + kmeansChain(kCells, iters, Dim, "km_", "q4t")
 
@@ -756,69 +832,49 @@ object AnnOps {
     // PQ replay: per-subspace Lloyd's chains over q4 slices, argmin
     // codes, exact integer ADC tables for the query side, (adc,
     // neighbor) candidate cut, 1e8-grid cosine re-rank
-    "ann_pq_topk" -> {
+    "ann_pq_topk" -> s"WITH $q4tCte,\n${pqReplay("q4t")}",
+
+    // OPQ replay = the integer rotation CTEs (per-dim energies, rank
+    // pairing, snake-drafted 45-degree Givens slots — r4t) composed
+    // with the SAME PQ replay over the rotated vectors; the re-rank
+    // stays on the original embeddings
+    "ann_opq_topk" -> {
       val subDim = Dim / PqM
-      val subCtes = (0 until PqM).map { s =>
-        val lo = s * subDim + 1; val hi = (s + 1) * subDim
-        s"""pq${s}q4 AS MATERIALIZED (
-           |  SELECT vec_id, q4[$lo:$hi] AS q4 FROM q4t)""".stripMargin +
-          ",\n" + kmeansChain(PqCodes, PqIters, subDim, s"pq${s}_",
-            s"pq${s}q4")
-      }.mkString(",\n")
-      def subL2(dim: Int): String =
-        s"""CAST(list_sum(list_transform(range(1, ${dim + 1}),
-           |      i -> (v.q4[i] - c.cv[i]) * (v.q4[i] - c.cv[i])))
-           |      AS BIGINT)""".stripMargin
-      val codeSel = (0 until PqM).map { s =>
-        s"""SELECT vec_id, $s AS s, cell AS code FROM (
-           |  SELECT v.vec_id, c.cell,
-           |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-           |      ${subL2(subDim)}, c.cell) AS rk
-           |  FROM pq${s}q4 v, pq${s}_c$PqIters c) WHERE rk = 1""".stripMargin
-      }.mkString("\n  UNION ALL ")
-      val tabSel = (0 until PqM).map { s =>
-        s"""SELECT v.vec_id AS query_id, $s AS s, c.cell AS code,
-           |  ${subL2(subDim)} AS d
-           |FROM pq${s}q4 v, pq${s}_c$PqIters c
-           |WHERE v.vec_id < $NQueries""".stripMargin
-      }.mkString("\n  UNION ALL ")
       s"""WITH $q4tCte,
-         |$subCtes,
-         |codes AS MATERIALIZED (
-         |  $codeSel),
-         |qtab AS MATERIALIZED (
-         |  $tabSel),
-         |adc AS (
-         |  SELECT t.query_id, cd.vec_id AS neighbor_id,
-         |    CAST(SUM(t.d) AS BIGINT) AS adc
-         |  FROM codes cd JOIN qtab t
-         |    ON t.s = cd.s AND t.code = cd.code
-         |    AND cd.vec_id != t.query_id
-         |  GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY adc, neighbor_id) AS rk FROM adc)
-         |  WHERE rk <= ${PqCandMult * TopK}),
-         |q8 AS MATERIALIZED (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> ${qel("x")}) AS qv
-         |  FROM embeddings),
-         |qn8 AS MATERIALIZED (
-         |  SELECT vec_id, qv, ${duckNrmN("qv", Dim)} AS nrm FROM q8),
-         |scored AS (
-         |  SELECT cd.query_id, cd.neighbor_id,
-         |    ${duckCosN("a.qv", "b.qv", Dim, "a.nrm", "b.nrm")}
-         |      AS cos_sim
-         |  FROM cand cd
-         |  JOIN qn8 a ON a.vec_id = cd.query_id
-         |  JOIN qn8 b ON b.vec_id = cd.neighbor_id),
-         |ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+         |opq_en AS MATERIALIZED (
+         |  SELECT r.i AS dim, CAST(SUM(q4[r.i] * q4[r.i]) AS BIGINT)
+         |    AS e
+         |  FROM q4t, range(1, ${Dim + 1}) r(i) GROUP BY r.i),
+         |opq_rk AS (
+         |  SELECT dim, e, ROW_NUMBER() OVER (ORDER BY e DESC, dim) AS r
+         |  FROM opq_en),
+         |opq_prs AS (
+         |  SELECT h.r AS p, h.dim AS hi, l.dim AS lo, h.e + l.e AS ce
+         |  FROM opq_rk h JOIN opq_rk l ON l.r = ${Dim + 1} - h.r
+         |  WHERE h.r <= ${Dim / 2}),
+         |opq_po AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY ce DESC, p) - 1 AS j
+         |  FROM opq_prs),
+         |opq_mp AS (
+         |  SELECT hi, lo, j,
+         |    CASE WHEN (j // $PqM) % 2 = 0 THEN j % $PqM
+         |         ELSE ${PqM - 1} - (j % $PqM) END AS bucket
+         |  FROM opq_po),
+         |opq_mp2 AS MATERIALIZED (
+         |  SELECT hi, lo, bucket, ROW_NUMBER() OVER (
+         |    PARTITION BY bucket ORDER BY j) - 1 AS bslot
+         |  FROM opq_mp),
+         |r4t AS MATERIALIZED (
+         |  SELECT vec_id, list(val ORDER BY pos) AS q4 FROM (
+         |    SELECT v.vec_id,
+         |      m.bucket * $subDim + 2 * m.bslot + 1 AS pos,
+         |      v.q4[m.hi] + v.q4[m.lo] AS val FROM q4t v, opq_mp2 m
+         |    UNION ALL
+         |    SELECT v.vec_id,
+         |      m.bucket * $subDim + 2 * m.bslot + 2 AS pos,
+         |      v.q4[m.hi] - v.q4[m.lo] AS val FROM q4t v, opq_mp2 m)
+         |  GROUP BY vec_id),
+         |${pqReplay("r4t")}""".stripMargin
     },
 
     // IVFADC replay: coarse chain + subspace chains composed — corpus

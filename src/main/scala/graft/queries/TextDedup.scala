@@ -282,16 +282,21 @@ object TextDedup {
         .orderBy(col("weight").desc, col("a"), col("b")).limit(20)
     }),
 
-    // end-to-end BPE: train 20 merges on the corpus vocabulary (20
-    // pair-count shuffles + 20 one-row argmaxes; the corpus is scanned
-    // once), then tokenize every document with the learned merges via the
-    // rank-order native encode. Merge list is deterministic
-    // (weight DESC, a, b tie-break — partitioning-invariant, spec'd), but
-    // BPE itself is not SQL-expressible -> rows-only gate + BpeSpec
-    // parity against a single-node reference implementation.
+    // end-to-end BPE: train a FIXED 8 merges on the corpus vocabulary
+    // (8 pair-count shuffles + 8 one-row argmaxes; the corpus is
+    // scanned once), then tokenize every document with the learned
+    // merges via the rank-order native encode. FULLY oracle-checked
+    // (round-8 conversion): the merge ranking is total and
+    // deterministic (weight DESC, a, b), the per-merge rewrite is a
+    // greedy left-to-right scan, and encode = the same merges applied
+    // in rank order — so an unrolled 8-stage CTE replays TRAINING and
+    // TOKENIZATION bit-for-bit in DuckDB (run-parity greedy selection;
+    // see bpeTrainOracle). The k-means/PCA replayable-training pattern
+    // applied to BPE. BpeSpec still pins the general-nMerges operator
+    // against a single-node reference.
     "text_bpe_tokens" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = graft.operators.Bpe.train(docs, col("text"), 20)
+      val merges = graft.operators.Bpe.train(docs, col("text"), 8)
       val toks = graft.operators.Bpe.tokens(col("text"), merges)
       docs.select(col("doc_id"), size(toks).as("n_bpe_tokens"),
           size(array_distinct(toks)).as("n_distinct_tokens"))
@@ -984,6 +989,79 @@ object TextDedup {
        |)
        |SELECT d.doc_id, d.source FROM documents d
        |JOIN keep2 USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unrolled-CTE DuckDB replay of `Bpe.train(k)` + rank-order encode.
+    *
+    * Per iteration: (1) weighted adjacent-pair counts over the symbol
+    * rows, (2) argmax (weight DESC, a, b; weight >= 2 or the iteration
+    * is a no-op — train()'s stop rule), (3) the greedy left-to-right
+    * merge as run-parity selection: among each maximal run of
+    * consecutive match positions, exactly the even offsets merge — the
+    * scan can only enter a run at its head, so this IS the one-pass
+    * skip-2 semantics of [[graft.functions.BpeUtil.mergePair]].
+    * Tokenization needs no second pass: encode applies the same merges
+    * in the same order, so each word's final symbols are the training
+    * state itself — per-doc counts join the word occurrences back to
+    * the final vocabulary state. */
+  private def bpeTrainOracle(k: Int): String = {
+    val iters = (0 until k).map { i =>
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT x.sym AS a, y.sym AS b, SUM(x.wc) AS weight
+         |  FROM seq$i x JOIN seq$i y ON x.w = y.w AND y.pos = x.pos + 1
+         |  GROUP BY 1, 2),
+         |best$i AS MATERIALIZED (
+         |  SELECT a, b FROM pc$i WHERE weight >= 2
+         |  ORDER BY weight DESC, a, b LIMIT 1),
+         |m$i AS (
+         |  SELECT w, wc, pos, sym,
+         |    CASE WHEN sym = (SELECT a FROM best$i) AND
+         |      lead(sym) OVER (PARTITION BY w ORDER BY pos) =
+         |        (SELECT b FROM best$i) THEN 1 ELSE 0 END AS mt
+         |  FROM seq$i),
+         |g$i AS (
+         |  SELECT *, CASE WHEN mt = 1 THEN pos - ROW_NUMBER() OVER (
+         |      PARTITION BY w, mt ORDER BY pos) END AS grp
+         |  FROM m$i),
+         |sel$i AS (
+         |  SELECT w, wc, pos, sym,
+         |    CASE WHEN mt = 1 AND
+         |      (pos - MIN(pos) OVER (PARTITION BY w, grp)) % 2 = 0
+         |      THEN 1 ELSE 0 END AS sel
+         |  FROM g$i),
+         |seq${i + 1} AS MATERIALIZED (
+         |  SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos)
+         |      AS pos,
+         |    CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
+         |  FROM (SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY pos)
+         |          AS nxt,
+         |          COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY pos),
+         |            0) AS psel
+         |        FROM sel$i)
+         |  WHERE psel = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |seq0 AS MATERIALIZED (
+       |  SELECT w, wc, UNNEST(arr) AS sym,
+       |    UNNEST(range(1, len(arr) + 1)) AS pos
+       |  FROM (SELECT w, wc,
+       |          list_append(string_split(w, ''), '</w>') AS arr
+       |        FROM words)),
+       |$iters,
+       |doc_words AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(COUNT(f.sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(COUNT(DISTINCT f.sym) AS BIGINT) AS n_distinct_tokens
+       |FROM documents d
+       |LEFT JOIN (SELECT doc_id, w FROM doc_words WHERE w <> '') dw
+       |  ON dw.doc_id = d.doc_id
+       |LEFT JOIN seq$k f ON f.w = dw.w
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1777,6 +1855,8 @@ object TextDedup {
         |SELECT doc_id, n_tokens, top_ratio, distinct_ratio,
         |  fail_reason IS NULL AS keep, fail_reason
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_tokens" -> bpeTrainOracle(8),
 
     "bpe_pair_counts" ->
       """WITH words AS (

@@ -268,6 +268,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"OPQ planted near-dup recall $recall")
   }
 
+  test("integer OPQ finds planted near-duplicates (recall >= 0.9) and " +
+      "its rotation is energy-balanced") {
+    // the exact-integer tier: 45-degree Givens pairs + snake-drafted
+    // subspaces must keep the planted pair through the ADC cut just
+    // like the float eigenbasis tier
+    val rng = new scala.util.Random(47)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val noisy = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val q = spark.createDataFrame(noisy.toSeq).toDF("vec_id", "embedding")
+    val hits = Similarity.opqIntTopK(q, emb, 5, dim = 64)
+      .filter($"neighbor_id" === $"query_id" - 100000L)
+      .select($"query_id").distinct().count()
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.9, s"integer-OPQ planted near-dup recall $recall")
+  }
+
   test("eigenvalue allocation balances and is a valid permutation") {
     val vals = Array(100.0, 50.0, 25.0, 12.0, 6.0, 3.0, 2.0, 1.0)
     val perm = Similarity.eigenvalueAllocation(vals, m = 2, cap = 4)
