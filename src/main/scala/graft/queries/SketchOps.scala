@@ -116,6 +116,47 @@ object SketchOps {
       result
     }),
 
+    // round-8 item 5: runtime file pruning through the format path —
+    // a broadcast dim filtered on a NON-join column injects its join
+    // keys into the graft scan at execution (Spark's dynamic-pruning
+    // machinery + GraftScan.filter re-running pruneFiles); the gate
+    // pins the mechanism (dynamicpruning in the executed plan) and the
+    // oracle pins the joined aggregate exactly. The file-count effect
+    // is measured in DataSourceV2Spec (4 files -> 1).
+    "versioned_runtime_prune" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val base = java.nio.file.Files.createTempDirectory("rtprune")
+      val root = base.toString + "/t"
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity"))
+      val hi = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      Seq(0L, 1L, 2L, 3L).foreach { b =>
+        VersionedTable.append(li.filter(
+          col("l_orderkey") > b * hi / 4 &&
+            col("l_orderkey") <= (b + 1) * hi / 4).coalesce(1), root)
+      }
+      val dimPath = base.toString + "/dim"
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .write.parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = s.read.format("graft").load(root)
+        .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          max(col("l_orderkey")).as("max_okey"),
+          min(col("l_partkey")).as("min_pkey"))
+      val result = joined.collect()
+      require(joined.queryExecution.executedPlan.toString
+        .toLowerCase.contains("dynamicpruning"),
+        "expected a runtime dynamic-pruning filter on the graft scan")
+      val rows = java.util.Arrays.asList(result: _*)
+      val schema = joined.schema
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     "versioned_dsv2_read" -> ((s, d) => {
       import graft.sinks.VersionedTable
       val root = java.nio.file.Files.createTempDirectory("dsv2")
@@ -1080,6 +1121,14 @@ object SketchOps {
         |  MAX(c_custkey) AS max_key,
         |  CAST(1 AS BIGINT) AS rejected_writes
         |FROM v GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "versioned_runtime_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  MAX(l_orderkey) AS max_okey,
+        |  MIN(l_partkey) AS min_pkey
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin,
 
     "versioned_sql_asof" ->
       """WITH v0 AS (SELECT * FROM documents WHERE doc_id % 2 = 0)
