@@ -600,6 +600,60 @@ object StreamOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // the full lake-to-lake streaming pipeline behind format names:
+    // lake A replays as version-paced micro-batches through
+    // readStream.format("graft"), a stateless transform runs in-stream,
+    // and writeStream.format("graft") commits each micro-batch
+    // exactly-once into lake B (batch ids in the manifests — asserted:
+    // one commit per batch). Batch-split independent by construction
+    // (stateless transform), so the oracle is a plain batch replay.
+    "stream_lake_pipeline" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val base = java.nio.file.Files.createTempDirectory("lakepipe")
+        .toFile
+      val src = new java.io.File(base, "src").toString
+      val dst = new java.io.File(base, "dst").toString
+      val ev = EventsPipeline.withEventTime(Tables.events(s, d))
+        .select(col("event_id"), col("event_time"), col("event_type"),
+          col("value"))
+      val mm = ev.agg(min(unix_micros(col("event_time"))),
+        max(unix_micros(col("event_time")))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * ((hi - lo) / 3)
+      val us = unix_micros(col("event_time"))
+      VersionedTable.append(ev.filter(us < c1), src)
+      VersionedTable.append(ev.filter(us >= c1 && us < c2), src)
+      VersionedTable.append(ev.filter(us >= c2), src)
+      val stream = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .filter(col("event_type") =!= "view")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+      val q = stream.writeStream.format("graft")
+        .option("checkpointLocation",
+          new java.io.File(base, "ckpt").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+      s.streams.resetTerminated()
+      // exactly-once shape: one lake commit per micro-batch, batch ids
+      // recorded — a paced 3-commit source must land as 3 commits
+      require(VersionedTable.versions(s, dst).size == 3,
+        "expected one dst lake commit per paced micro-batch")
+      val result = VersionedTable.read(s, dst)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("sum_cents"),
+          min(col("event_id")).as("min_eid"),
+          max(col("event_id")).as("max_eid"))
+        .orderBy(col("event_type"))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     "stream_dedup_users" -> ((s, d) => {
       val deduped = EventsPipeline.dedupStream(eventsStream(s, d),
         Seq("user_id", "event_type"))
@@ -1086,6 +1140,14 @@ object StreamOps {
     // close (b2 itself merges into still-live states); b3 rows into
     // those evicted windows DROP; the final watermark over all rows
     // finalizes the emitted set; counts aggregate the kept rows
+    "stream_lake_pipeline" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+        |FROM events WHERE event_type <> 'view'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // time-ordered commits -> zero drops: the output is simply every
     // hourly window the final watermark (global max - 10 min) closed
     "stream_lake_source" ->

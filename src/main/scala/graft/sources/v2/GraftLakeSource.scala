@@ -51,9 +51,27 @@ import graft.sinks.VersionedTable
   */
 class GraftLakeSource extends TableProvider with DataSourceRegister
     with CreatableRelationProvider
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft").start(root)` — exactly-once lake
+    * commits per micro-batch (see [[GraftStreamSink]]). */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft tables manage their own layout; partitionBy is not " +
+        "supported on the streaming sink")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sink is append-only (lake history is additive); " +
+        s"got $outputMode — use foreachBatch + VersionedTable.merge/" +
+        "write for update/complete semantics")
+    new GraftStreamSink(streamRoot(parameters))
+  }
 
   // ---- streaming front door (V1 Source seam; see GraftStreamSource) --
   // The table intentionally does NOT declare MICRO_BATCH_READ:

@@ -151,3 +151,26 @@ private[v2] class GraftStreamSource(spark: SparkSession, root: String,
   override def stop(): Unit = ()
   override def toString: String = s"GraftStreamSource[$root]"
 }
+
+/** The lake as a STREAMING SINK: `df.writeStream.format("graft")
+  * .start(root)` commits each micro-batch through
+  * [[VersionedTable.appendBatch]] — the batch id rides the manifest, a
+  * replayed delivery is SKIPPED, so at-least-once delivery times
+  * idempotent commit = exactly-once sink writes (the same guarantee
+  * the foreachBatch wiring gives, now behind the format name; the
+  * streaming-write analogue of the reference's writer task consuming
+  * the record channel batch by batch,
+  * `/root/reference/database/dbms/writer/task.go:77-143`). Append
+  * output mode only: the lake's history is additive — update/complete
+  * semantics belong to foreachBatch + merge/write. */
+private[v2] class GraftStreamSink(root: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : Unit = {
+    VersionedTable.appendBatch(
+      StreamBridge.rewrapBatch(data.toDF()), root, batchId)
+    ()
+  }
+  override def toString: String = s"GraftStreamSink[$root]"
+}

@@ -16,6 +16,18 @@ import org.apache.spark.sql.types.StructType
   * Exposed from inside the package namespace like [[PlanBridge]]. */
 object StreamBridge {
 
+  /** The ForeachBatchSink re-wrap: a V1 `Sink.addBatch` DataFrame wraps
+    * the micro-batch's IncrementalExecution and cannot be re-planned by
+    * arbitrary batch actions — pin its computed RDD under a LogicalRDD
+    * (exactly what Spark's own ForeachBatchSink does) so downstream
+    * batch writes execute the batch once and correctly. */
+  def rewrapBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    PlanBridge.ofRows(df.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
+
   /** A streaming-flagged parquet read of `files` (an empty streaming
     * relation when the batch carries no files — e.g. a constraint-only
     * or tag-only lake commit added no data). */

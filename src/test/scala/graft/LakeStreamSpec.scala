@@ -105,6 +105,55 @@ class LakeStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() > 30)
   }
 
+  test("format streaming SINK: exactly-once lake commits per " +
+      "micro-batch, idempotent across a checkpointed restart") {
+    val base = tmpBase("lkw1")
+    val src = s"$base/src"; val dst = s"$base/dst"; val ck = s"$base/ck"
+    VersionedTable.append((1L to 30L).map(i => (i, i)).toDF("k", "v"), src)
+    VersionedTable.append((31L to 50L).map(i => (i, i)).toDF("k", "v"),
+      src)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream.format("graft").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+      spark.streams.resetTerminated()
+    }
+    run()
+    assert(VersionedTable.read(spark, dst).count() == 50)
+    assert(VersionedTable.versions(spark, dst).size == 2,
+      "one dst commit per paced micro-batch")
+    // restart with no new data: nothing re-committed
+    run()
+    assert(VersionedTable.read(spark, dst).count() == 50)
+    // new source commit: exactly its rows land, no duplicates
+    VersionedTable.append((51L to 60L).map(i => (i, i)).toDF("k", "v"),
+      src)
+    run()
+    val got = VersionedTable.read(spark, dst)
+    assert(got.count() == 60)
+    assert(got.groupBy("k").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("format streaming sink rejects non-append output modes and " +
+      "partitionBy") {
+    val base = tmpBase("lkw2")
+    val src = s"$base/src"
+    VersionedTable.append((1L to 10L).map(i => (i, i)).toDF("k", "v"), src)
+    val agg = spark.readStream.format("graft").load(src)
+      .groupBy(col("v")).count()
+    val e = intercept[Exception] {
+      agg.writeStream.format("graft")
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start(s"$base/dst")
+    }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    spark.streams.resetTerminated()
+  }
+
   test("streaming rejects time travel options and empty tables") {
     val base = tmpBase("lks5")
     val root = s"$base/t"
