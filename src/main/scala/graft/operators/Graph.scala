@@ -768,12 +768,22 @@ object Graph {
     require(maxBucket >= 2, s"maxBucket=$maxBucket")
     val rows = perms / bands
     val P = graft.functions.SketchUtil.MinhashP
+    // the deduped edge list is pinned ONCE (localCheckpoint): it feeds
+    // the signature aggregation and both verify-side cuts, and an
+    // upstream edge DERIVATION (a join, in the gate) would otherwise
+    // re-execute per reference — the same edge working-set pinning the
+    // exact tier does (neighborJaccard persists `e`), one edge-sized
+    // shuffle's worth of disk-backed state
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    // ONE groupBy, bounded state: deg + 16 running mins per node —
-    // min(h(n) for n in set) == min-aggregate over the edge rows
+      .localCheckpoint()
+    // ONE groupBy, bounded state: deg + `perms` running mins per node —
+    // min(h(n) for n in set) == min-aggregate over the (distinct) edge
+    // rows. The signature table is ALSO localCheckpoint'd: it feeds
+    // banding, the hot-bucket subquery AND both degree joins; the
+    // materialized state is |V| x (perms+1) longs — bounded per node.
     val sigAggs = count(lit(1)).cast("long").as("deg") +:
       (0 until perms).map { i =>
         val (a, b) = graft.functions.SketchUtil.minhashPerm(i)
@@ -782,6 +792,7 @@ object Graph {
       }
     val sigs = e.groupBy(col("src").as("node"))
       .agg(sigAggs.head, sigAggs.tail: _*)
+      .localCheckpoint()
     // band key = the band's `rows` raw slots joined to a string — the
     // oracle rebuilds it verbatim (no engine-specific hash in the key)
     val bandKeys = array((0 until bands).map { bd =>
@@ -807,19 +818,32 @@ object Graph {
           .filter(col("__bn") <= maxBucket)
           .select(col("band"), col("key")),
         Seq("band", "key"))
+    // candidate pairs pinned (localCheckpoint): they feed the node-set
+    // cut AND the verify join, and re-running the banding self-join per
+    // reference would repeat its shuffle; the pinned state is the
+    // (capped) candidate-pair list — small by construction
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.node") < col("y.node"))
       .select(col("x.node").as("a"), col("y.node").as("b"))
       .distinct()
+      .localCheckpoint()
     // exact verify, array-free: count shared neighbors by joining the
-    // candidate pairs through the edge list twice — row volume is
-    // sum(deg) over candidate nodes, never one row per neighbor SET
+    // candidate pairs through the pinned edge list — row volume is
+    // sum(deg) over CANDIDATE nodes only, never one row per neighbor
+    // SET: each side is a map-side semi-cut of the checkpointed edges
+    // (broadcast of the small candidate-node sets), so the
+    // (b, neighbor)-keyed join shuffles candidate-local data
     // (inner join drops zero-overlap coincidences; minCommon >= 1)
+    val candA = cand.select(col("a")).distinct()
+    val candB = cand.select(col("b")).distinct()
+    val ea = e.join(candA, e("src") === candA("a"))
+      .select(col("a"), col("dst").as("__n"))
+    val eb = e.join(candB, e("src") === candB("b"))
+      .select(col("b"), col("dst").as("__n"))
     val nCommon = cand
-      .join(e.select(col("src").as("a"), col("dst").as("__n")), "a")
-      .join(e.select(col("src").as("b"), col("dst").as("__n")),
-        Seq("b", "__n"))
+      .join(ea, "a")
+      .join(eb, Seq("b", "__n"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n_common"))
     nCommon
