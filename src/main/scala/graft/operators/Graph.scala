@@ -762,10 +762,12 @@ object Graph {
   def neighborJaccardMinHash(edges: DataFrame, srcCol: String,
       dstCol: String, minCommon: Int, tauX1e6: Long,
       perms: Int = 16, bands: Int = 8,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue,
+      maxVerifyArrayDeg: Int = 1 << 20): DataFrame = {
     require(minCommon >= 1 && tauX1e6 >= 0, s"minCommon=$minCommon")
     require(perms % bands == 0, s"perms=$perms must divide into $bands")
     require(maxBucket >= 2, s"maxBucket=$maxBucket")
+    require(maxVerifyArrayDeg >= 1, s"maxVerifyArrayDeg")
     val rows = perms / bands
     val P = graft.functions.SketchUtil.MinhashP
     // the deduped edge list is pinned ONCE (localCheckpoint): it feeds
@@ -828,24 +830,52 @@ object Graph {
       .select(col("x.node").as("a"), col("y.node").as("b"))
       .distinct()
       .localCheckpoint()
-    // exact verify, array-free: count shared neighbors by joining the
-    // candidate pairs through the pinned edge list — row volume is
-    // sum(deg) over CANDIDATE nodes only, never one row per neighbor
-    // SET: each side is a map-side semi-cut of the checkpointed edges
-    // (broadcast of the small candidate-node sets), so the
-    // (b, neighbor)-keyed join shuffles candidate-local data
-    // (inner join drops zero-overlap coincidences; minCommon >= 1)
-    val candA = cand.select(col("a")).distinct()
-    val candB = cand.select(col("b")).distinct()
-    val ea = e.join(candA, e("src") === candA("a"))
-      .select(col("a"), col("dst").as("__n"))
-    val eb = e.join(candB, e("src") === candB("b"))
-      .select(col("b"), col("dst").as("__n"))
-    val nCommon = cand
-      .join(ea, "a")
-      .join(eb, Seq("b", "__n"))
+    // exact verify, TWO-PATH by degree (no giant rows, no fanout
+    // shuffle): candidate nodes of degree <= maxVerifyArrayDeg get a
+    // neighbor ARRAY built from the pinned edges — arrays exist ONLY
+    // for candidate nodes and are size-capped, and the intersect runs
+    // co-located after small broadcast joins (the fast path, r7's
+    // measured 2.4x slope shape). The rare over-cap candidate (a true
+    // mega-hub) verifies through an edge-level count join instead —
+    // sum(deg)-row volume, never one multi-hundred-MB array row. Both
+    // paths are the same exact integer count; a spec pins them
+    // bit-identical by forcing every node onto the edge path.
+    val candNodes = cand.select(col("a").as("node"))
+      .union(cand.select(col("b").as("node"))).distinct()
+    val candDeg = candNodes
+      .join(sigs.select(col("node"), col("deg")), "node")
+    val smallN = candDeg.filter(col("deg") <= maxVerifyArrayDeg)
+      .select(col("node"))
+    val bigN = candDeg.filter(col("deg") > maxVerifyArrayDeg)
+      .select(col("node"))
+    val adjC = e.join(smallN, e("src") === smallN("node"))
+      .groupBy(col("src").as("node"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+    // pairs whose BOTH endpoints are capped: inner joins against adjC
+    // select exactly them
+    val nCommonArr = cand
+      .join(adjC.select(col("node").as("a"), col("nbrs").as("__na")), "a")
+      .join(adjC.select(col("node").as("b"), col("nbrs").as("__nb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__na"), col("__nb"))).cast("long")
+          .as("n_common"))
+      .filter(col("n_common") >= 1)
+    // pairs touching an over-cap hub: count shared neighbors through
+    // the edge list (empty — and cheap — on non-pathological graphs)
+    val candBig = cand
+      .join(bigN.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .select(col("a"), col("b")) // USING-join column order differs
+      .union(cand
+        .join(bigN.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      .distinct()
+    val nCommonBig = candBig
+      .join(e.select(col("src").as("a"), col("dst").as("__n")), "a")
+      .join(e.select(col("src").as("b"), col("dst").as("__n")),
+        Seq("b", "__n"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n_common"))
+    val nCommon = nCommonArr.union(nCommonBig)
     nCommon
       .join(sigs.select(col("node").as("a"), col("deg").as("deg_a")), "a")
       .join(sigs.select(col("node").as("b"), col("deg").as("deg_b")), "b")

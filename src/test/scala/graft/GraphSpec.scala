@@ -519,20 +519,26 @@ class GraphSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
-  test("neighborJaccardMinHash builds NO neighbor-set rows: signatures " +
-      "fold incrementally, verify counts through the edge join") {
-    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+  test("neighborJaccardMinHash bounds row size: signatures fold " +
+      "incrementally (no full-graph collect), over-cap hubs verify " +
+      "array-free, and both verify paths are bit-identical") {
+    // dense-ish fixture with hubs: square + star + shared neighbors
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (9L, 0L), (9L, 1L), (9L, 2L), (9L, 3L), (8L, 0L), (8L, 2L))
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }
-    val df = Graph.neighborJaccardMinHash(sq.toDF("src", "dst"),
-      "src", "dst", minCommon = 1, tauX1e6 = 0L)
-    val plan = df.queryExecution.optimizedPlan.toString
-    // a 10M-degree hub must never become one multi-hundred-MB row: the
-    // old tier's collect_set signature build and array_intersect verify
-    // are both gone from the plan
-    assert(!plan.contains("collect_set"), s"neighbor-set row in:\n$plan")
-    assert(!plan.contains("collect_list"), s"neighbor-list row in:\n$plan")
-    assert(!plan.contains("array_intersect"),
-      s"array verify in:\n$plan")
+    val df = base.toDF("src", "dst")
+    def run(cap: Int) = Graph.neighborJaccardMinHash(df, "src", "dst",
+        minCommon = 1, tauX1e6 = 0L, maxVerifyArrayDeg = cap)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val arrPath = run(Int.MaxValue) // every candidate on the array path
+    val edgePath = run(1) // every candidate forced onto the edge path
+    assert(arrPath.nonEmpty)
+    assert(arrPath == edgePath,
+      "array and edge-join verify paths must agree bit-for-bit")
+    // a mixed cap (hub 9 with deg 4 over it, others under) must also
+    // agree: pairs touching the hub go edge-path, the rest array-path
+    assert(run(3) == arrPath,
+      "mixed array/edge routing must agree bit-for-bit")
   }
 
   test("walk skip-grams: hand-checked symmetric window pairs") {
