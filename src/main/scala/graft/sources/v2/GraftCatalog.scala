@@ -49,7 +49,8 @@ import graft.sinks.VersionedTable
   *
   * Scale: every catalog operation is O(|files|) driver metadata work —
   * directory probes and manifest reads; nothing lists data files. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -176,6 +177,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
+
+  // procedures --------------------------------------------------------
+  /** Dotted identifier (as a procedure's `table` argument) -> table
+    * directory under the warehouse root; fails loud on a non-table. */
+  private[v2] def resolveTableDir(dotted: String): String = {
+    val parts = dotted.split('.').toIndexedSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table identifier '$dotted'")
+    val dir = new Path(dirOf(parts.init), checkPart(parts.last))
+    require(isTable(dir), s"no graft table '$dotted' under $root")
+    dir.toString
+  }
+
+  private lazy val procedures = GraftProcedures.all(this)
+
+  /** `CALL <catalog>.system.<proc>(...)` — the lake's maintenance
+    * surface in pure SQL (see [[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graft procedures live in the 'system' namespace " +
+        s"(CALL $catalogName.system.<proc>); got " +
+        ident.namespace.mkString("."))
+    procedures.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
+      throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name}'; have: " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      procedures.keys.toArray.sorted
+        .map(n => Identifier.of(Array("system"), n))
+    else Array.empty
 
   // namespaces --------------------------------------------------------
   private def isNamespaceDir(p: Path): Boolean =

@@ -121,6 +121,46 @@ class CatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("partition"))
   }
 
+  test("CALL graft.system.*: history, tag, restore, constraints, " +
+      "compact and vacuum through pure SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    val dir = s"$warehouse/proc/t"
+    VersionedTable.write((1L to 30L).map(i => (i, i)).toDF("k", "v"), dir)
+    VersionedTable.append((31L to 50L).map(i => (i, i)).toDF("k", "v"),
+      dir)
+    assert(spark.sql("CALL graft.system.history('proc.t')").count() == 2)
+    spark.sql("CALL graft.system.tag('proc.t', 'seed', 0)")
+    assert(VersionedTable.tags(spark, dir).map(_._1) == Seq("seed"))
+    val rv = spark.sql("CALL graft.system.restore('proc.t', 0)")
+      .head().getLong(0)
+    assert(rv == 2L, s"restore commits a NEW version, got $rv")
+    assert(spark.sql("SELECT count(*) FROM graft.proc.t")
+      .as[Long].head() == 30)
+    // CHECK constraints via CALL: add enforces on later writes, drop
+    // releases them
+    spark.sql("CALL graft.system.add_constraint('proc.t', 'pos', 'k > 0')")
+    intercept[Exception] {
+      VersionedTable.append(Seq((-1L, 9L)).toDF("k", "v"), dir)
+    }
+    spark.sql("CALL graft.system.drop_constraint('proc.t', 'pos')")
+    VersionedTable.append(Seq((-1L, 9L)).toDF("k", "v"), dir)
+    // compact + vacuum keep the head readable; the tag pins v0
+    spark.sql("CALL graft.system.compact('proc.t')")
+    val removed = spark.sql("CALL graft.system.vacuum('proc.t', 1)")
+      .head().getInt(0)
+    assert(removed >= 0)
+    assert(spark.sql("SELECT count(*) FROM graft.proc.t")
+      .as[Long].head() == 31)
+    assert(spark.sql("SELECT count(*) FROM graft.proc.t VERSION AS OF 0")
+      .as[Long].head() == 30, "tagged version must survive vacuum")
+    spark.sql("CALL graft.system.untag('proc.t', 'seed')")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.nope('proc.t')") }
+    assert(e.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
+      e.getMessage.contains("unknown procedure"))
+  }
+
   test("top-level tables (empty namespace) work") {
     warehouse
     spark.sql("CREATE TABLE graft.toplevel (k BIGINT)")
