@@ -116,6 +116,60 @@ object SketchOps {
       result
     }),
 
+    // the SQL maintenance loop end to end (round-8 ProcedureCatalog):
+    // CREATE TABLE + INSERT INTO resolve by name, CALL system.tag pins
+    // a release, CALL system.add_constraint gates later writes (a
+    // violating insert must fail, asserted in-gate), CALL
+    // system.compact bin-packs, CALL system.restore rolls back, and
+    // the final states aggregate in one pure-SQL statement against
+    // both the head and the tagged release — all values oracle-exact.
+    "versioned_sql_maintenance" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val wh = java.nio.file.Files.createTempDirectory("sqlmaint")
+        .toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      docs.createOrReplaceTempView("maint_src")
+      // CTAS = create (v0, empty) + append (v1, the even docs):
+      // tag the DATA version; constraint add commits v2, the odd
+      // insert commits v3
+      s.sql(s"CREATE TABLE $cat.t AS " +
+        "SELECT * FROM maint_src WHERE doc_id % 2 = 0")
+      s.sql(s"CALL $cat.system.tag('t', 'evens', 1)")
+      s.sql(s"CALL $cat.system.add_constraint('t', 'chars_pos', " +
+        "'n_chars >= 0')")
+      s.sql(s"INSERT INTO $cat.t " +
+        "SELECT * FROM maint_src WHERE doc_id % 2 = 1")
+      // the constraint must reject a violating insert, table unchanged
+      val bad = scala.util.Try(
+        s.sql(s"INSERT INTO $cat.t VALUES (999999, 'x', -1)"))
+      require(bad.isFailure, "constraint must reject n_chars < 0")
+      // compact (content-identical commit), then restore to the
+      // post-insert version — proving rollback through SQL
+      s.sql(s"CALL $cat.system.compact('t')")
+      s.sql(s"CALL $cat.system.restore('t', 3)")
+      val result = s.sql(
+        s"""SELECT h.source, h.n_head, h.chars_head, v.n_tag
+           |FROM (SELECT source, COUNT(*) AS n_head,
+           |        CAST(SUM(n_chars) AS BIGINT) AS chars_head
+           |      FROM $cat.t GROUP BY source) h
+           |JOIN (SELECT source, COUNT(*) AS n_tag
+           |      FROM $cat.t VERSION AS OF 1 GROUP BY source) v
+           |  USING (source)
+           |ORDER BY source""".stripMargin)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      s.catalog.dropTempView("maint_src")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // round-8 item 5: runtime file pruning through the format path —
     // a broadcast dim filtered on a NON-join column injects its join
     // keys into the graft scan at execution (Spark's dynamic-pruning
@@ -1121,6 +1175,20 @@ object SketchOps {
         |  MAX(c_custkey) AS max_key,
         |  CAST(1 AS BIGINT) AS rejected_writes
         |FROM v GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // head = all docs (restore undid nothing data-wise: compact was
+    // content-identical and restore(1) re-pinned the post-insert
+    // state); tag = the even half
+    "versioned_sql_maintenance" ->
+      """SELECT d.source,
+        |  COUNT(*) AS n_head,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_head,
+        |  MIN(z.n_tag) AS n_tag
+        |FROM documents d
+        |JOIN (SELECT source, COUNT(*) AS n_tag FROM documents
+        |      WHERE doc_id % 2 = 0 GROUP BY source) z
+        |  ON z.source = d.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "versioned_runtime_prune" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
