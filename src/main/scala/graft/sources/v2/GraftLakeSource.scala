@@ -318,15 +318,30 @@ private[v2] class GraftScanBuilder(spark: SparkSession,
     snap: VersionedTable.Snapshot)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private val fieldNames = snap.schema.fields.map(_.name).toSet
   private var required: StructType = snap.schema
   private var accepted: Array[sources.Filter] = Array.empty
   private var anyFilters = false
+  private var pushedLimit: Option[Int] = None
   private var pushedAgg:
       Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] =
     None
+
+  /** Unfiltered LIMIT n cuts the FILE LIST by manifest row counts —
+    * `SELECT * FROM t LIMIT 10` on a petabyte table plans the first
+    * file, not all of them (any-n-rows semantics make a file subset
+    * legal). Declared partially pushed, so Spark's own Limit still
+    * applies above the scan and correctness never depends on the cut;
+    * a pushed or runtime filter disables it (stats can't locate
+    * MATCHING rows), and files without row counts keep everything. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (!anyFilters && limit >= 0) pushedLimit = Some(limit)
+    pushedLimit.isDefined
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(
       filters: Array[sources.Filter]): Array[sources.Filter] = {
@@ -394,7 +409,7 @@ private[v2] class GraftScanBuilder(spark: SparkSession,
       val cond: Option[Column] = accepted.toSeq
         .flatMap(GraftScanBuilder.toColumn(_, fieldNames))
         .reduceOption(_ && _)
-      new GraftScan(spark, snap, cond, required)
+      new GraftScan(spark, snap, cond, required, pushedLimit)
   }
 }
 
@@ -411,19 +426,39 @@ private[v2] class GraftScanBuilder(spark: SparkSession,
   * than burn O(|files|·|values|) driver time. */
 private[graft] class GraftScan(spark: SparkSession,
     snap: VersionedTable.Snapshot, pushedCond: Option[Column],
-    required: StructType)
+    required: StructType, limit: Option[Int] = None)
     extends Scan with org.apache.spark.sql.connector.read.Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile private var runtimeCond: Option[Column] = None
+  @volatile private var currentKept: Seq[String] = snap.files
   @volatile private var inner: Scan = buildInner()
 
   private def buildInner(): Scan = {
     val cond = Seq(pushedCond, runtimeCond).flatten.reduceOption(_ && _)
-    val kept = cond match {
+    val pruned = cond match {
       case Some(c) => VersionedTable.pruneFiles(spark, snap, c)
       case None => snap.files
     }
+    // unfiltered LIMIT: stop adding files once manifest row counts
+    // cover it — only when EVERY file carries a count (the cut must be
+    // provably sufficient) and no predicate is in play
+    val kept = (cond, limit) match {
+      case (None, Some(n)) =>
+        val counts = pruned.map(p => snap.stats.get(p)
+          .flatMap(_.values.collectFirst {
+            case cs if cs.rows.nonEmpty => cs.rows.get }))
+        if (counts.forall(_.isDefined) && counts.nonEmpty) {
+          var acc = 0L
+          val cut = pruned.zip(counts.map(_.get)).takeWhile { case (_, r) =>
+            val need = acc < n; acc += r; need
+          }.map(_._1)
+          cut
+        } else pruned
+      case _ => pruned
+    }
+    currentKept = kept
     GraftScan.lastPlannedFiles.set(kept.size)
     val index = new InMemoryFileIndex(spark,
       kept.map(new Path(_)).toIndexedSeq, Map.empty[String, String],
@@ -447,6 +482,35 @@ private[graft] class GraftScan(spark: SparkSession,
 
   /** Spec observability: the delegated parquet scan (post-pruning). */
   private[graft] def currentInner: Scan = inner
+
+  /** Plan-time statistics from the CURRENT file list (post prune/cut):
+    * bytes from the delegated file scan's index (real file sizes — so
+    * an unhinted join against a small lake side can plan a broadcast,
+    * where the V2 default of "unknown = huge" would force a shuffle),
+    * row count summed from manifest stats when every kept file has
+    * one. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val innerStats = inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        Some(s.estimateStatistics())
+      case _ => None
+    }
+    val counts = currentKept.map(p => snap.stats.get(p)
+      .flatMap(_.values.collectFirst {
+        case cs if cs.rows.nonEmpty => cs.rows.get }))
+    val rows: Option[Long] =
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        innerStats.map(_.sizeInBytes)
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .orElse(innerStats.map(_.numRows))
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
 
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] =

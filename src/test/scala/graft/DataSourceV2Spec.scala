@@ -306,6 +306,56 @@ class DataSourceV2Spec extends SparkSpec {
       "oversized IN list must not re-prune (keeps previous state)")
   }
 
+  test("limit pushdown: an unfiltered LIMIT plans only enough files " +
+      "to cover it from manifest row counts") {
+    val root = tmpRoot("dsv2lim")
+    Seq(1L to 100L, 101L to 200L, 201L to 300L, 301L to 400L).foreach {
+      r => VersionedTable.append(
+        r.map(i => (i, i % 5)).toDF("k", "m").coalesce(1), root)
+    }
+    val df = spark.read.format("graft").load(root)
+    graft.sources.v2.GraftScan.lastPlannedFiles.set(-1)
+    assert(df.limit(150).count() == 150)
+    assert(graft.sources.v2.GraftScan.lastPlannedFiles.get == 2,
+      "150 rows need exactly 2 of the 100-row files")
+    graft.sources.v2.GraftScan.lastPlannedFiles.set(-1)
+    assert(df.limit(5000).count() == 400) // limit past the table: all
+    assert(graft.sources.v2.GraftScan.lastPlannedFiles.get == 4)
+    // a filter disables the cut (stats can't locate MATCHING rows)
+    graft.sources.v2.GraftScan.lastPlannedFiles.set(-1)
+    assert(df.filter(col("m") === 0).limit(10).count() == 10)
+    assert(graft.sources.v2.GraftScan.lastPlannedFiles.get == 4,
+      "filtered limit must not cut files")
+  }
+
+  test("reported statistics: manifest row counts + real file bytes " +
+      "let an UNHINTED join broadcast the small lake side") {
+    val root = tmpRoot("dsv2st")
+    VersionedTable.write((1L to 200L).map(i => (i, s"v$i"))
+      .toDF("k", "v"), root)
+    val dim = spark.read.format("graft").load(root)
+    val scan = dim.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case b: BatchScanExec => b.scan }
+      case p => p.collectFirst { case b: BatchScanExec => b.scan }
+    }
+    val st = scan.collect { case g: graft.sources.v2.GraftScan => g }
+      .getOrElse(fail("no GraftScan")).estimateStatistics()
+    assert(st.numRows.getAsLong == 200, "exact rows from the manifest")
+    assert(st.sizeInBytes.getAsLong > 0 &&
+      st.sizeInBytes.getAsLong < (10L << 20),
+      "real bytes, far under the broadcast threshold")
+    // no broadcast() hint anywhere: plan-time statistics alone must
+    // pick the broadcast join (the V2 default of unknown-size = huge
+    // would force a sort-merge join here)
+    val fact = (1L to 5000L).map(i => (i % 200 + 1, i)).toDF("fk", "x")
+    val joined = fact.join(dim, col("fk") === col("k"))
+    assert(joined.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"),
+      s"expected stats-driven broadcast:\n${joined.queryExecution.sparkPlan}")
+    assert(joined.count() == 5000)
+  }
+
   test("sql access: temp view over the format path") {
     val root = tmpRoot("dsv2sql")
     VersionedTable.write((1L to 60L).map(i => (i, i % 4)).toDF("k", "b"),
