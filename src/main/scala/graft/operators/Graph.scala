@@ -770,12 +770,14 @@ object Graph {
     require(maxVerifyArrayDeg >= 1, s"maxVerifyArrayDeg")
     val rows = perms / bands
     val P = graft.functions.SketchUtil.MinhashP
-    // the deduped edge list is pinned ONCE (localCheckpoint): it feeds
-    // the signature aggregation and both verify-side cuts, and an
-    // upstream edge DERIVATION (a join, in the gate) would otherwise
-    // re-execute per reference — the same edge working-set pinning the
-    // exact tier does (neighborJaccard persists `e`), one edge-sized
-    // shuffle's worth of disk-backed state
+    // the deduped edge list is pinned ONCE (localCheckpoint): the
+    // banding, the hub probe, the adjacency build and the verify all
+    // re-reference it, and an upstream edge DERIVATION (a join, in the
+    // gate) would otherwise re-execute per job — the same edge
+    // working-set pinning the exact tier does. Caveat: lineage-
+    // truncated blocks stay pinned for the session (Spark has no safe
+    // auto-unpersist), so a driver loop calling this repeatedly pays
+    // storage, not recompute.
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -783,9 +785,7 @@ object Graph {
       .localCheckpoint()
     // ONE groupBy, bounded state: deg + `perms` running mins per node —
     // min(h(n) for n in set) == min-aggregate over the (distinct) edge
-    // rows. The signature table is ALSO localCheckpoint'd: it feeds
-    // banding, the hot-bucket subquery AND both degree joins; the
-    // materialized state is |V| x (perms+1) longs — bounded per node.
+    // rows; state is |V| x (perms+1) longs, never a neighbor array.
     val sigAggs = count(lit(1)).cast("long").as("deg") +:
       (0 until perms).map { i =>
         val (a, b) = graft.functions.SketchUtil.minhashPerm(i)
@@ -794,7 +794,8 @@ object Graph {
       }
     val sigs = e.groupBy(col("src").as("node"))
       .agg(sigAggs.head, sigAggs.tail: _*)
-      .localCheckpoint()
+      .localCheckpoint() // |V| x (perms+1) longs; makes the hub probe
+                         // and the deg joins O(|V|) re-reads
     // band key = the band's `rows` raw slots joined to a string — the
     // oracle rebuilds it verbatim (no engine-specific hash in the key)
     val bandKeys = array((0 until bands).map { bd =>
@@ -820,16 +821,11 @@ object Graph {
           .filter(col("__bn") <= maxBucket)
           .select(col("band"), col("key")),
         Seq("band", "key"))
-    // candidate pairs pinned (localCheckpoint): they feed the node-set
-    // cut AND the verify join, and re-running the banding self-join per
-    // reference would repeat its shuffle; the pinned state is the
-    // (capped) candidate-pair list — small by construction
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.node") < col("y.node"))
       .select(col("x.node").as("a"), col("y.node").as("b"))
       .distinct()
-      .localCheckpoint()
     // exact verify, TWO-PATH by degree (no giant rows, no fanout
     // shuffle): candidate nodes of degree <= maxVerifyArrayDeg get a
     // neighbor ARRAY built from the pinned edges — arrays exist ONLY
@@ -840,17 +836,36 @@ object Graph {
     // sum(deg)-row volume, never one multi-hundred-MB array row. Both
     // paths are the same exact integer count; a spec pins them
     // bit-identical by forcing every node onto the edge path.
-    val candNodes = cand.select(col("a").as("node"))
+    // the hub path only EXISTS in the plan when the graph actually has
+    // an over-cap node (one cheap scan of the checkpointed |V|-row
+    // signature table decides): under AQE, query stages materialize in
+    // parallel, so a structurally-present-but-empty hub branch would
+    // still shuffle the full edge list for its join sides before
+    // emptiness propagates — measured as a full extra |E| pass at 10x
+    // data. Both paths are bit-identical (spec'd), so the plan choice
+    // can never change results.
+    val anyBig =
+      sigs.filter(col("deg") > maxVerifyArrayDeg).limit(1).count() > 0
+    // no over-cap node -> EVERY degree is bounded, so the plain
+    // full adjacency (one groupBy, no candidate cut) is both safe and
+    // cheapest — a candidate-node semi-join would add a full extra
+    // |E|-wide join for nothing precisely when candidates cover most
+    // nodes (the near-duplicate-heavy corpus case). Only a graph that
+    // actually HAS a mega-hub pays for the degree-filtered build.
+    lazy val candNodes = cand.select(col("a").as("node"))
       .union(cand.select(col("b").as("node"))).distinct()
-    val candDeg = candNodes
-      .join(sigs.select(col("node"), col("deg")), "node")
-    val smallN = candDeg.filter(col("deg") <= maxVerifyArrayDeg)
-      .select(col("node"))
-    val bigN = candDeg.filter(col("deg") > maxVerifyArrayDeg)
-      .select(col("node"))
-    val adjC = e.join(smallN, e("src") === smallN("node"))
-      .groupBy(col("src").as("node"))
-      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+    val adjC =
+      if (!anyBig)
+        e.groupBy(col("src").as("node"))
+          .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      else {
+        val smallN = candNodes
+          .join(sigs.select(col("node"), col("deg")), "node")
+          .filter(col("deg") <= maxVerifyArrayDeg).select(col("node"))
+        e.join(smallN, e("src") === smallN("node"))
+          .groupBy(col("src").as("node"))
+          .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      }
     // pairs whose BOTH endpoints are capped: inner joins against adjC
     // select exactly them
     val nCommonArr = cand
@@ -860,22 +875,28 @@ object Graph {
         size(array_intersect(col("__na"), col("__nb"))).cast("long")
           .as("n_common"))
       .filter(col("n_common") >= 1)
-    // pairs touching an over-cap hub: count shared neighbors through
-    // the edge list (empty — and cheap — on non-pathological graphs)
-    val candBig = cand
-      .join(bigN.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-      .select(col("a"), col("b")) // USING-join column order differs
-      .union(cand
-        .join(bigN.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b")))
-      .distinct()
-    val nCommonBig = candBig
-      .join(e.select(col("src").as("a"), col("dst").as("__n")), "a")
-      .join(e.select(col("src").as("b"), col("dst").as("__n")),
-        Seq("b", "__n"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).cast("long").as("n_common"))
-    val nCommon = nCommonArr.union(nCommonBig)
+    val nCommon = if (!anyBig) nCommonArr else {
+      // pairs touching an over-cap hub: count shared neighbors through
+      // the edge list — sum(deg)-row volume, never a giant array row
+      val bigN = candNodes
+        .join(sigs.select(col("node"), col("deg")), "node")
+        .filter(col("deg") > maxVerifyArrayDeg).select(col("node"))
+      val candBig = cand
+        .join(bigN.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .select(col("a"), col("b")) // USING-join column order differs
+        .union(cand
+          .join(bigN.withColumnRenamed("node", "b"), Seq("b"),
+            "left_semi")
+          .select(col("a"), col("b")))
+        .distinct()
+      val nCommonBig = candBig
+        .join(e.select(col("src").as("a"), col("dst").as("__n")), "a")
+        .join(e.select(col("src").as("b"), col("dst").as("__n")),
+          Seq("b", "__n"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).cast("long").as("n_common"))
+      nCommonArr.union(nCommonBig)
+    }
     nCommon
       .join(sigs.select(col("node").as("a"), col("deg").as("deg_a")), "a")
       .join(sigs.select(col("node").as("b"), col("deg").as("deg_b")), "b")
