@@ -437,17 +437,120 @@ object Similarity {
     * convergence to the true eigenvector is governed by the eigengap
     * (spec'd against brute-force eigen alignment in SimilaritySpec),
     * but ORACLE equality holds at any iteration count. */
-  def powerIterationPc1(df: DataFrame, dim: Int = 64, iters: Int = 100)
+  /** Exact-integer orthogonal (power) iteration for the top `nComp`
+    * principal directions — the multi-component extension of
+    * [[powerIterationPc1]], still fully SQL-replayable. Component c
+    * power-iterates the SAME shifted Gramian but GRAM-SCHMIDTs against
+    * every previous component each round (classic orthogonal
+    * iteration), all in deterministic Long arithmetic:
+    *
+    *   - matvec w = C·v with C under 2^34 and v under ~2^20: safe;
+    *   - shift-normalize u = w >> (bitlen(max|w|) - 18);
+    *   - per previous component p: q = (u·p) / (p·p >> 20) — a 2^20
+    *     fixed-point projection coefficient (integer q = u·p/p·p would
+    *     truncate to 0 near convergence and silently collapse every
+    *     component onto PC1) — then u -= (q·p) >> 20; |u| stays ~2^20,
+    *     every product under 2^48;
+    *   - truncating division and arithmetic shifts match DuckDB's
+    *     `//` and `>>` exactly (both truncate toward zero / floor-shift
+    *     — the kmeans and PC1 oracles already pin this).
+    *
+    * Driver state: nComp d-long vectors + the d² Gramian; the Gramian
+    * aggregation is the only distributed pass. Like the fixed-round
+    * k-means/PCA/BPE tiers, the REPLAYABILITY CONTRACT is the fixed
+    * iteration count, not convergence. */
+  private[graft] def pcaIntComponents(df: DataFrame, dim: Int,
+      nComp: Int, iters: Int): Seq[Array[Long]] = {
+    val C = shiftedIntGramian(df, dim)
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    (0 until nComp).foreach { _ =>
+      var v = Array.fill(dim)(1L)
+      (0 until iters).foreach { _ =>
+        val w = Array.tabulate(dim) { j =>
+          var acc = 0L
+          var k2 = 0
+          while (k2 < dim) { acc += C(j)(k2) * v(k2); k2 += 1 }
+          acc
+        }
+        val s = math.max(0, bitlen(w.map(math.abs).max) - 18)
+        var u = w.map(_ >> s)
+        comps.foreach { p =>
+          val den = p.map(x => x * x).sum >> 20
+          if (den != 0L) {
+            val num = u.indices.map(i => u(i) * p(i)).sum
+            val qf = num / den
+            u = u.indices.map(i => u(i) - ((qf * p(i)) >> 20)).toArray
+          }
+        }
+        v = u
+      }
+      comps += v
+    }
+    comps.toSeq
+  }
+
+  /** The top-`nComp` integer-PCA projections as columns: map-only
+    * exact int64 dots against the literal component vectors. */
+  def pcaIntProject(df: DataFrame, dim: Int, nComp: Int, iters: Int)
       : DataFrame = {
-    val q = df.select(col("vec_id"),
-      quantizeAt(col("embedding"), 1e4).as("q4"))
-    // Gramian via one-pass per-partition accumulation + tree merge —
-    // MLlib's RowMatrix.computeGramianMatrix shape (the d² accumulator
-    // is genuine per-partition imperative state; the declarative
-    // explode form shuffles n·d² rows and measured 5x slower). Each
-    // partition folds its rows into a d²-long array; merges are
-    // elementwise adds of 32 KB buffers.
-    val flat = q.select(col("q4")).rdd
+    val comps = pcaIntComponents(df, dim, nComp, iters)
+    val q4 = quantizeAt(col("embedding"), 1e4)
+    df.select(col("vec_id") +: comps.zipWithIndex.map { case (v, i) =>
+      graft.functions.VectorFunctions.vec_dot_long(q4,
+        typedlit(v.toSeq)).as(s"proj_${i + 1}")
+    }: _*)
+  }
+
+  /** PCA-prefiltered ANN on the integer components — [[jlTopK]]'s
+    * prefilter/rescore shape with the data-adaptive projection:
+    * candidates rank by cosine in the nComp-dim projected space, the
+    * survivors re-rank by the exact full-dim 1e8-grid cosine. Fully
+    * oracle-checked (projection, prefilter and rescore all replay);
+    * the float eigenbasis [[pcaTopK]] stays the spec'd sibling. */
+  def pcaIntTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nComp: Int, iters: Int): DataFrame = {
+    val comps = pcaIntComponents(corpus, dim, nComp, iters)
+    // raw projections reach ~2^32 (q4 ~2^14+6 x components ~2^20+6):
+    // their SQUARES in the prefilter norm would overflow int64 — shift
+    // 12 bits first (deterministic, replayed verbatim by the oracle;
+    // ranking granularity is unaffected at these magnitudes)
+    def projCol(q4: Column): Column = array(comps.map(v =>
+      shiftright(graft.functions.VectorFunctions.vec_dot_long(q4,
+        typedlit(v.toSeq)), 12)): _*)
+    def prep(df: DataFrame, idAs: String, vAs: String, pAs: String) =
+      df.select(col("vec_id").as(idAs), quantize(col("embedding")).as(vAs),
+          quantizeAt(col("embedding"), 1e4).as("__q4"))
+        .withColumn(pAs, projCol(col("__q4")))
+        .drop("__q4")
+    val q = prep(queries, "query_id", "q_v", "q_p")
+      .withColumn("q_pn", sqrt(dotLong(col("q_p"), col("q_p")).cast("double")))
+      .withColumn("q_n", sqrt(dotLong(col("q_v"), col("q_v")).cast("double")))
+    val c = prep(corpus, "neighbor_id", "c_v", "c_p")
+      .withColumn("c_pn", sqrt(dotLong(col("c_p"), col("c_p")).cast("double")))
+      .withColumn("c_n", sqrt(dotLong(col("c_v"), col("c_v")).cast("double")))
+    val scored = c.select(col("neighbor_id"), col("c_p"), col("c_pn"))
+      .join(broadcast(q.select(col("query_id"), col("q_p"), col("q_pn"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", dotLong(col("q_p"), col("c_p")).cast("double") /
+        (col("q_pn") * col("c_pn")))
+    heapTopK(scored, k)
+      .join(broadcast(q.select(col("query_id"), col("q_v"), col("q_n"))),
+        "query_id")
+      .join(c.select(col("neighbor_id"), col("c_v"), col("c_n")),
+        "neighbor_id")
+      .withColumn("cos_full", dotLong(col("q_v"), col("c_v")).cast("double") /
+        (col("q_n") * col("c_n")))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"), col("cos_full"))
+  }
+
+  /** The 1e4-grid Gramian, pre-shifted under 2^34 — the shared driver
+    * matrix behind [[powerIterationPc1]] and [[pcaIntComponents]]. */
+  private def shiftedIntGramian(df: DataFrame, dim: Int)
+      : Array[Array[Long]] = {
+    val q = df.select(quantizeAt(col("embedding"), 1e4).as("q4"))
+    val flat = q.rdd
       .treeAggregate(new Array[Long](dim * dim))(
         (acc, row) => {
           val v = row.getSeq[Long](0)
@@ -475,6 +578,20 @@ object Similarity {
       while (k < dim) { C(j)(k) = C(j)(k) >> cShift; k += 1 }
       j += 1
     }
+    C
+  }
+
+  def powerIterationPc1(df: DataFrame, dim: Int = 64, iters: Int = 100)
+      : DataFrame = {
+    val q = df.select(col("vec_id"),
+      quantizeAt(col("embedding"), 1e4).as("q4"))
+    // Gramian via one-pass per-partition accumulation + tree merge —
+    // MLlib's RowMatrix.computeGramianMatrix shape (the d² accumulator
+    // is genuine per-partition imperative state; the declarative
+    // explode form shuffles n·d² rows and measured 5x slower); shared
+    // with the multi-component tier ([[shiftedIntGramian]]).
+    val C = shiftedIntGramian(df, dim)
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
     var v = Array.fill(dim)(1L)
     var t = 0
     while (t < iters) {

@@ -32,6 +32,8 @@ object AnnOps {
   val SubVecs = 4
   val JlDim = 16
   val PcaIters = 100
+  val PcaK = 4       // components of the integer orthogonal iteration
+  val PcaKIters = 30 // fixed rounds — the replayability contract
   val KmCells = 8
   val KmIters = 6
   val PqM = 4
@@ -241,27 +243,27 @@ object AnnOps {
     // the ORACLE GATE for embedding dedup (size-guarded; see the operator
     // scaladoc). The operator the engine ships at scale is the LSH form
     // below, whose recall this gate measures in SimilaritySpec.
-    // PCA-filtered ANN: 8-dim uncentered-projection coarse cut (dots
-    // approximately survive the projection), exact full-dim re-rank.
-    // Engine-specific eigenbasis -> rows-only; recall spec'd.
+    // PCA-filtered ANN rebased on the INTEGER orthogonal iteration
+    // (round-8 conversion): top-PcaK components from fixed-round
+    // Gram-Schmidt'd power iteration in exact Long arithmetic,
+    // projected-cosine prefilter, exact full-dim re-rank — components,
+    // projections, prefilter and rescore ALL replay in SQL. The float
+    // eigenbasis pcaTopK stays the spec'd sibling.
     "ann_pca_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.pcaTopK(emb.filter(col("vec_id") < NQueries), emb, TopK,
-          Dim, pcaK = 8, shortlist = 64)
+      Similarity.pcaIntTopK(emb.filter(col("vec_id") < NQueries), emb,
+          TopK, Dim, nComp = PcaK, iters = PcaKIters)
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // PCA projection of the embedding corpus (one covariance pass +
-    // driver Jacobi eigensolve of the 64x64 matrix, map-only codegen'd
-    // projection). Eigenvectors are engine-specific floats -> rows-only
-    // gate; the planted-direction recovery, orthonormality, and
-    // variance-capture guarantees are spec'd in SimilaritySpec.
+    // top-PcaK integer-PCA projections per vector, exact int64 dots —
+    // FULLY oracle-checked (round-8 conversion; the float Jacobi
+    // pcaProject stays spec'd: planted-direction recovery,
+    // orthonormality, variance capture in SimilaritySpec).
     "embed_pca_project" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.pcaProject(emb, col("embedding"), Dim, k = 8)
-        .select(col("vec_id"), col("label"),
-          sqrt(graft.functions.VectorFunctions.vec_dot(col("pca"), col("pca")))
-            .as("pca_norm"))
+      Similarity.pcaIntProject(emb, Dim, nComp = PcaK,
+          iters = PcaKIters)
         .orderBy(col("vec_id"))
     }),
 
@@ -579,6 +581,61 @@ object AnnOps {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Integer orthogonal-iteration replay (SQL twin of
+    * `Similarity.pcaIntComponents`): the shifted Gramian, then per
+    * component `iters` rounds of matvec -> 18-bit shift ->
+    * fixed-point Gram-Schmidt against every finished component. After
+    * this block `pcv<c>`/(list form) `pl<c>` hold component c. All
+    * arithmetic is the driver loop's exactly: `//` truncates toward
+    * zero like Scala `/`, `>>` floor-shifts, `length(bin(MAX(ABS(x))))`
+    * is bitlen. */
+  private def pcaIntCtes(nComp: Int, iters: Int): String = {
+    val m = "AS MATERIALIZED"
+    val head = Seq(
+      s"""qq $m (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q4
+         |  FROM embeddings)""".stripMargin,
+      s"""cov $m (SELECT jj.j AS j, kk.k AS k,
+         |  CAST(SUM(q4[jj.j] * q4[kk.k]) AS BIGINT) AS c0
+         |  FROM qq, range(1, ${Dim + 1}) jj(j), range(1, ${Dim + 1}) kk(k)
+         |  GROUP BY 1, 2)""".stripMargin,
+      s"""cm $m (SELECT j, k, c0 >> (SELECT
+         |  greatest(length(bin(MAX(ABS(c0)))) - 34, 0) FROM cov) AS val
+         |  FROM cov)""".stripMargin)
+    val comps = (0 until nComp).flatMap { c =>
+      val start = s"""c${c}v0 $m (SELECT r.j AS j, CAST(1 AS BIGINT)
+        |  AS v FROM range(1, ${Dim + 1}) r(j))""".stripMargin
+      val iterCtes = (1 to iters).flatMap { t =>
+        val w =
+          s"""c${c}w$t $m (SELECT cm.j AS j, CAST(SUM(cm.val * p.v)
+             |  AS BIGINT) AS w FROM cm JOIN c${c}v${t - 1} p
+             |  ON cm.k = p.j GROUP BY cm.j)""".stripMargin
+        val u0 =
+          s"""c${c}u${t}x0 $m (SELECT j, w >> (SELECT
+             |  greatest(length(bin(MAX(ABS(w)))) - 18, 0)
+             |  FROM c${c}w$t) AS v FROM c${c}w$t)""".stripMargin
+        val orthos = (0 until c).map { pi =>
+          s"""c${c}u${t}x${pi + 1} $m (SELECT u.j,
+             |  CASE WHEN ((SELECT CAST(SUM(p3.v * p3.v) AS BIGINT)
+             |      FROM pcv$pi p3) >> 20) = 0 THEN u.v
+             |  ELSE u.v - ((((SELECT CAST(SUM(u2.v * p2.v) AS BIGINT)
+             |      FROM c${c}u${t}x$pi u2 JOIN pcv$pi p2
+             |      ON p2.j = u2.j)
+             |    // ((SELECT CAST(SUM(p3.v * p3.v) AS BIGINT)
+             |      FROM pcv$pi p3) >> 20)) * p.v) >> 20) END AS v
+             |  FROM c${c}u${t}x$pi u JOIN pcv$pi p
+             |  ON p.j = u.j)""".stripMargin
+        }
+        val vFin = s"c${c}v$t $m (SELECT j, v FROM c${c}u${t}x$c)"
+        Seq(w, u0) ++ orthos :+ vFin
+      }
+      (start +: iterCtes) ++ Seq(
+        s"pcv$c $m (SELECT j, v FROM c${c}v$iters)",
+        s"pl$c $m (SELECT list(v ORDER BY j) AS vv FROM pcv$c)")
+    }
+    (head ++ comps).mkString(",\n")
   }
 
   private def kmeansCtes(kCells: Int, iters: Int): String =
@@ -1032,6 +1089,60 @@ object AnnOps {
          |SELECT vec_id, CAST(list_sum(list_transform(range(1, ${Dim + 1}),
          |  i -> q4[i] * vv[i])) AS BIGINT) AS pc1_proj
          |FROM qq, pv ORDER BY vec_id""".stripMargin
+    },
+
+    // integer top-k PCA replay: components from the unrolled
+    // orthogonal iteration, projections as exact int64 dots
+    "embed_pca_project" -> {
+      val froms = (0 until PcaK).map(c => s"pl$c").mkString(", ")
+      val dots = (0 until PcaK).map(c =>
+        s"""CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+           |    i -> qq.q4[i] * pl$c.vv[i])) AS BIGINT)
+           |    AS proj_${c + 1}""".stripMargin).mkString(",\n  ")
+      s"""WITH ${pcaIntCtes(PcaK, PcaKIters)}
+         |SELECT qq.vec_id,
+         |  $dots
+         |FROM qq, $froms
+         |ORDER BY qq.vec_id""".stripMargin
+    },
+
+    // PCA-prefiltered ANN replay: projected-space cosine ranking over
+    // the SAME integer components, full-dim 1e8 exact rescore
+    "ann_pca_topk" -> {
+      val froms = (0 until PcaK).map(c => s"pl$c").mkString(", ")
+      val pvList = "[" + (0 until PcaK).map(c =>
+        s"""(CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+           |      i -> q2.q4[i] * pl$c.vv[i])) AS BIGINT) >> 12)"""
+          .stripMargin)
+        .mkString(",\n    ") + "]"
+      s"""WITH ${pcaIntCtes(PcaK, PcaKIters)},
+         |q2 AS MATERIALIZED (
+         |  SELECT e.vec_id, list_transform(e.embedding,
+         |    x -> ${qel("x")}) AS qv, qq.q4 AS q4
+         |  FROM embeddings e JOIN qq ON qq.vec_id = e.vec_id),
+         |pp AS MATERIALIZED (
+         |  SELECT q2.vec_id, q2.qv, $pvList AS pv
+         |  FROM q2, $froms),
+         |ppn AS (
+         |  SELECT vec_id, qv, pv,
+         |    ${duckNrmN("pv", PcaK)} AS pnrm,
+         |    ${duckNrmN("qv", Dim)} AS nrm
+         |  FROM pp),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${duckCosN("a.pv", "b.pv", PcaK, "a.pnrm", "b.pnrm")}
+         |      AS cos_sim,
+         |    ${duckCosN("a.qv", "b.qv", Dim, "a.nrm", "b.nrm")}
+         |      AS cos_full
+         |  FROM ppn a JOIN ppn b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_sim, cos_full
+         |FROM ranked WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin
     },
 
     // projection digest replay: same 16 coordinates, integer stats

@@ -221,6 +221,22 @@ private[v2] class GraftLakeTable(snap: VersionedTable.Snapshot)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.`${snap.root}` @v${snap.version}"
   override def schema(): StructType = snap.schema
+  /** Surfaced in `DESCRIBE TABLE EXTENDED`: the pinned version, file
+    * count, manifest-exact row count (when every file carries one) —
+    * driver-side metadata only. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("provider", "graft")
+    m.put("location", snap.root)
+    m.put("snapshot-version", snap.version.toString)
+    m.put("num-files", snap.files.size.toString)
+    val counts = snap.files.map(p => snap.stats.get(p)
+      .flatMap(_.values.collectFirst {
+        case cs if cs.rows.nonEmpty => cs.rows.get }))
+    if (counts.forall(_.isDefined))
+      m.put("num-rows", counts.flatten.sum.toString)
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,

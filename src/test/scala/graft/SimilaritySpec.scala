@@ -287,6 +287,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"integer-OPQ planted near-dup recall $recall")
   }
 
+  test("integer PCA: orthogonal-iteration components are near-" +
+      "orthogonal and the prefiltered ANN finds planted near-dups") {
+    val comps = Similarity.pcaIntComponents(emb, 64, nComp = 4,
+      iters = 30)
+    assert(comps.length == 4)
+    // fixed-point Gram-Schmidt: normalized cross-dots stay small
+    for (i <- comps.indices; j <- 0 until i) {
+      val a = comps(i); val b = comps(j)
+      val dot = math.abs(a.indices.map(k => a(k).toDouble * b(k)).sum)
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      assert(dot / (na * nb) < 0.05,
+        s"components $j,$i not orthogonal: ${dot / (na * nb)}")
+    }
+    val rng = new scala.util.Random(53)
+    val base = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val noisy = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val q = spark.createDataFrame(noisy.toSeq).toDF("vec_id", "embedding")
+    val hits = Similarity.pcaIntTopK(q, emb, 5, dim = 64, nComp = 4,
+        iters = 30)
+      .filter($"neighbor_id" === $"query_id" - 100000L)
+      .select($"query_id").distinct().count()
+    assert(hits.toDouble / base.length >= 0.7,
+      s"integer-PCA planted recall ${hits.toDouble / base.length}")
+  }
+
   test("eigenvalue allocation balances and is a valid permutation") {
     val vals = Array(100.0, 50.0, 25.0, 12.0, 6.0, 3.0, 2.0, 1.0)
     val perm = Similarity.eigenvalueAllocation(vals, m = 2, cap = 4)
