@@ -161,6 +161,24 @@ class CatalogSpec extends SparkSpec {
       e.getMessage.contains("unknown procedure"))
   }
 
+  test("table properties surface the pinned snapshot: version, file " +
+      "count, manifest-exact row count (DESCRIBE EXTENDED)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.props")
+    val dir = s"$warehouse/props/t"
+    VersionedTable.write((1L to 45L).map(i => (i, i)).toDF("k", "v"), dir)
+    VersionedTable.append((46L to 70L).map(i => (i, i)).toDF("k", "v"),
+      dir)
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.props.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = desc.getOrElse("Table Properties", "")
+    assert(props.contains("snapshot-version=1"), s"props: $props")
+    assert(props.contains("num-rows=70"), s"props: $props")
+    assert(props.contains("num-files="), s"props: $props")
+    // provider/location are Spark-reserved keys rendered in their own
+    // DESCRIBE rows, not under Table Properties
+  }
+
   test("top-level tables (empty namespace) work") {
     warehouse
     spark.sql("CREATE TABLE graft.toplevel (k BIGINT)")
