@@ -52,27 +52,28 @@ object FixedLog {
   /** The DuckDB replay of [[log2Fp]] as SQL: a 20-step recursive CTE
     * over the distinct values of `srcSql` (a one-column subquery or CTE
     * name whose column is `x`, BIGINT >= 1). Produces a relation
-    * `(x, l)` — join it back wherever the expression's result is
-    * needed. Kept next to the Scala algorithm so the two can only
-    * drift in review. */
-  def duckdbCte(srcSql: String): String =
-    s"""lg0 AS (SELECT x, CAST(length(bin(x))-1 AS BIGINT) AS ip,
+    * `lg<suffix> (x, l)` — join it back wherever the expression's
+    * result is needed; `suffix` lets several instances coexist in one
+    * WITH clause (e.g. one per unrolled training round). Kept next to
+    * the Scala algorithm so the two can only drift in review. */
+  def duckdbCte(srcSql: String, suffix: String = ""): String =
+    s"""lg0$suffix AS (SELECT x, CAST(length(bin(x))-1 AS BIGINT) AS ip,
        |    CAST(CASE WHEN length(bin(x))-1 <= 30
        |      THEN x << (30-(length(bin(x))-1))
        |      ELSE x >> ((length(bin(x))-1)-30) END AS BIGINT) AS a,
        |    CAST(0 AS BIGINT) AS acc, 0 AS i
        |  FROM (SELECT DISTINCT x FROM $srcSql)),
-       |lgr AS (
-       |  SELECT x, ip, a, acc, i FROM lg0
+       |lgr$suffix AS (
+       |  SELECT x, ip, a, acc, i FROM lg0$suffix
        |  UNION ALL
        |  SELECT x, ip,
        |    CASE WHEN ((a*a) >> 30) >= 2147483648
        |      THEN ((a*a) >> 30) >> 1 ELSE (a*a) >> 30 END,
        |    CASE WHEN ((a*a) >> 30) >= 2147483648
        |      THEN 2*acc+1 ELSE 2*acc END,
-       |    i+1 FROM lgr WHERE i < ${FracBits}),
-       |lg AS (SELECT x, ip*${1L << FracBits} + acc AS l FROM lgr
-       |  WHERE i = ${FracBits})""".stripMargin
+       |    i+1 FROM lgr$suffix WHERE i < ${FracBits}),
+       |lg$suffix AS (SELECT x, ip*${1L << FracBits} + acc AS l
+       |  FROM lgr$suffix WHERE i = ${FracBits})""".stripMargin
 }
 
 /** `log2_fp(x)`: floor(2^20*log2(x)) for x >= 1, NULL for x <= 0 or

@@ -11,58 +11,70 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native unigram-LM (SentencePiece, Kudo 2018 — public literature)
   * Viterbi segmentation: the best tokenization of a word under a piece
-  * log-probability table is a max-sum dynamic program over substring
-  * ends — inherently sequential per word, so (like [[BpeUtil]]) it runs
-  * as one JVM pass per row behind a codegen'd expression instead of an
+  * cost table is a min-sum dynamic program over substring ends —
+  * inherently sequential per word, so (like [[BpeUtil]]) it runs as one
+  * JVM pass per row behind a codegen'd expression instead of an
   * interpreted higher-order-function chain.
   *
+  * Costs are EXACT fixed-point integers (round-9 rebase):
+  * `cost(p) = log2_fp(total) - log2_fp(count_p)` in Q20, i.e. the
+  * negated log-probability scaled by 2^20 — see [[FixedLog.log2Fp]].
+  * Integer sums are associative and comparable bit-for-bit across
+  * engines, which is what lets the DuckDB oracle replay the WHOLE
+  * training loop (each EM round's Viterbi runs as a recursive CTE
+  * carrying the DP window) and the gate become hash-exact.
+  *
   * The DP is deterministic: candidate starts are scanned in a fixed
-  * order and only a STRICT improvement moves the back-pointer, so ties
-  * resolve to the longest piece first — the learned segmentation is
-  * identical across partitionings. Characters absent from the table get
-  * the floor log-prob `unkLp`, so every string segments (full coverage,
-  * the property SentencePiece guarantees via required single chars). */
+  * order (longest piece first) and only a STRICT improvement moves the
+  * back-pointer, so equal-cost ties resolve to the longest piece — the
+  * learned segmentation is identical across partitionings AND replayable
+  * in SQL (`cost ASC, piece length DESC`). Characters absent from the
+  * table get the finite floor cost `unkCost`, so every string segments
+  * (full coverage, the property SentencePiece guarantees via required
+  * single chars). */
 object UnigramUtil {
 
   /** Shared piece table: java HashMap for cheap probe from codegen. */
-  def buildTable(pieces: Array[String], logProbs: Array[Double])
-      : java.util.HashMap[String, java.lang.Double] = {
-    val m = new java.util.HashMap[String, java.lang.Double](
+  def buildTable(pieces: Array[String], costs: Array[Long])
+      : java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](
       pieces.length * 2)
     var i = 0
-    while (i < pieces.length) { m.put(pieces(i), logProbs(i)); i += 1 }
+    while (i < pieces.length) { m.put(pieces(i), costs(i)); i += 1 }
     m
   }
 
   /** Viterbi over one word (no spaces): returns the best piece split. */
   def segmentWord(word: String,
-      table: java.util.HashMap[String, java.lang.Double], maxLen: Int,
-      unkLp: Double, out: java.util.ArrayList[UTF8String]): Unit = {
+      table: java.util.HashMap[String, java.lang.Long], maxLen: Int,
+      unkCost: Long, out: java.util.ArrayList[UTF8String]): Unit = {
     val n = word.length
     if (n == 0) return
-    val best = new Array[Double](n + 1)
+    val best = new Array[Long](n + 1)
     val back = new Array[Int](n + 1)
     var i = 1
     while (i <= n) {
-      best(i) = Double.NegativeInfinity
+      best(i) = Long.MaxValue
       val lo = math.max(0, i - maxLen)
       var j = lo
       while (j < i) {
         val piece = word.substring(j, i)
-        val lpBoxed = table.get(piece)
+        val cBoxed = table.get(piece)
         // coverage floor for one unknown CODE POINT — including a
         // surrogate pair (2 UTF-16 units), or segmentation of an astral
-        // char absent from the table would score -Inf and the Viterbi
-        // path would emit lone surrogates
+        // char absent from the table would be impossible and the
+        // Viterbi path would emit lone surrogates
         val oneCp = i - j == 1 ||
           (i - j == 2 && Character.isHighSurrogate(word.charAt(j)) &&
             Character.isLowSurrogate(word.charAt(j + 1)))
-        val lp =
-          if (lpBoxed != null) lpBoxed.doubleValue()
-          else if (oneCp) unkLp
-          else Double.NegativeInfinity
-        val cand = best(j) + lp
-        if (cand > best(i)) { best(i) = cand; back(i) = j }
+        val c =
+          if (cBoxed != null) cBoxed.longValue()
+          else if (oneCp) unkCost
+          else Long.MaxValue
+        if (c != Long.MaxValue && best(j) != Long.MaxValue) {
+          val cand = best(j) + c
+          if (cand < best(i)) { best(i) = cand; back(i) = j }
+        }
         j += 1
       }
       i += 1
@@ -84,8 +96,8 @@ object UnigramUtil {
   /** Segment a whole space-tokenized text: each word independently, one
     * flat output array — one native call per document row. */
   def segmentText(text: UTF8String,
-      table: java.util.HashMap[String, java.lang.Double], maxLen: Int,
-      unkLp: Double): ArrayData = {
+      table: java.util.HashMap[String, java.lang.Long], maxLen: Int,
+      unkCost: Long): ArrayData = {
     val s = text.toString
     val out = new java.util.ArrayList[UTF8String]()
     var start = 0
@@ -94,7 +106,7 @@ object UnigramUtil {
     while (i <= n) {
       if (i == n || s.charAt(i) == ' ') {
         if (i > start) segmentWord(s.substring(start, i), table, maxLen,
-          unkLp, out)
+          unkCost, out)
         start = i + 1
       }
       i += 1
@@ -105,9 +117,10 @@ object UnigramUtil {
 }
 
 /** `unigram_segment(text)` — Viterbi-best pieces of every
-  * space-separated word under the learned table, one flat array. */
-case class UnigramSegment(child: Expression, pieces: Seq[(String, Double)],
-    maxLen: Int, unkLp: Double) extends UnaryExpression {
+  * space-separated word under the learned fixed-point cost table, one
+  * flat array. */
+case class UnigramSegment(child: Expression, pieces: Seq[(String, Long)],
+    maxLen: Int, unkCost: Long) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -121,7 +134,7 @@ case class UnigramSegment(child: Expression, pieces: Seq[(String, Double)],
 
   override def nullSafeEval(input: Any): Any =
     UnigramUtil.segmentText(input.asInstanceOf[UTF8String], table, maxLen,
-      unkLp)
+      unkCost)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // raw HashMap type: Janino's generics support is not to be trusted
@@ -129,7 +142,7 @@ case class UnigramSegment(child: Expression, pieces: Seq[(String, Double)],
       "java.util.HashMap")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.UnigramUtil.segmentText($c, $ref, " +
-        s"$maxLen, ${unkLp}D);")
+        s"$maxLen, ${unkCost}L);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -138,8 +151,8 @@ case class UnigramSegment(child: Expression, pieces: Seq[(String, Double)],
 
 object UnigramFunctions {
   /** Column API for [[UnigramSegment]]. */
-  def unigram_segment(text: Column, pieces: Seq[(String, Double)],
-      maxLen: Int, unkLp: Double): Column =
+  def unigram_segment(text: Column, pieces: Seq[(String, Long)],
+      maxLen: Int, unkCost: Long): Column =
     ColumnBridge.column(UnigramSegment(
-      ColumnBridge.expression(text), pieces, maxLen, unkLp))
+      ColumnBridge.expression(text), pieces, maxLen, unkCost))
 }

@@ -769,7 +769,7 @@ object MlEval {
       when(col(s.feature) <= lit(s.thr), lit(s.pol))
         .otherwise(lit(1 - s.pol))
     var stumps = List.empty[Stump]
-    (0 until rounds).foreach { _ =>
+    (0 until rounds).foreach { r =>
       val w = stumps.reverse.foldLeft(lit(1L)) { (acc, s) =>
         acc * when(pred(s) =!= col("__y"), lit(2L)).otherwise(lit(1L))
       }
@@ -811,8 +811,11 @@ object MlEval {
       // worst intermediate (a cumulative-window sum, bounded by the new
       // total) stays < 2^62 iff this round's total does < 2^61 — check
       // the live total, not a static rounds cap, so the bound tracks
-      // the data (advisor finding, round 7)
-      require(best.getLong(4) <= (1L << 61),
+      // the data (advisor finding, round 7). Only enforced while a
+      // FURTHER doubling round remains: the final round's total is
+      // already computed and consumed, so failing on it would abort
+      // otherwise-correct output (advisor finding, round 8)
+      require(r == rounds - 1 || best.getLong(4) <= (1L << 61),
         s"adaboostStumps: total integer weight ${best.getLong(4)} too " +
           "close to Long overflow for another doubling round; reduce " +
           "`rounds` or the input size")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.UnigramFunctions
+import graft.functions.{FixedLog, UnigramFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   * Single characters are always kept so every string remains
   * segmentable (SentencePiece's coverage guarantee).
   *
-  * All counts are exact integers and the DP breaks ties
-  * deterministically, so the learned vocabulary and every segmentation
-  * are partition-invariant — spec-pinned. Log-probs are JVM floats:
-  * engine-internal, so the gate query is rows-only.
+  * EXACT ARITHMETIC (round-9 rebase, the BPE/OPQ/PCA playbook): piece
+  * costs are Q20 fixed-point negated log-probs,
+  * `cost(p) = log2_fp(total) - log2_fp(count_p)` over exact integer
+  * counts ([[FixedLog.log2Fp]] — shift-and-square, no libm), and the
+  * Viterbi DP minimizes an integer sum with a total deterministic
+  * tie-break (longest piece wins equal cost). Training and
+  * tokenization are therefore bit-replayable in ANY engine with 64-bit
+  * integers: the `text_unigram_tokens` oracle unrolls both EM rounds as
+  * recursive-CTE Viterbi passes in DuckDB and hash-matches.
   */
 object Unigram {
 
@@ -35,9 +40,10 @@ object Unigram {
     * these corpus sizes; DP cost per word is O(len * MaxPieceLen). */
   val MaxPieceLen = 6
 
-  /** Floor log-prob for a character the table lost: worse than any real
-    * piece, but finite, so coverage never breaks. */
-  val UnkLogProb = -1e4
+  /** Floor cost for a character the table lost: worse than any real
+    * piece path (real costs are < 2^26; a word contributes < len·2^26),
+    * but finite, so coverage never breaks. */
+  val UnkCostFp: Long = 1L << 40
 
   /** Seed vocabulary: every substring of every distinct word up to
     * [[MaxPieceLen]], frequency-weighted, top `maxSeed` by (count DESC,
@@ -56,28 +62,31 @@ object Unigram {
       .groupBy(col("piece")).agg(max(col("freq")).as("freq"))
   }
 
-  private def toLogProbs(pieces: Seq[(String, Long)]): Seq[(String, Double)] = {
-    val total = pieces.map(_._2).sum.toDouble
-    pieces.map { case (p, c) => p -> math.log(c / total) }
+  /** (piece, count) -> (piece, Q20 cost = L(total) − L(count)): the
+    * fixed-point negated log-prob, ≥ 0, exact. */
+  private def toCosts(pieces: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = pieces.map(_._2).sum
+    val lTotal = FixedLog.log2Fp(total)
+    pieces.map { case (p, c) => p -> (lTotal - FixedLog.log2Fp(c)) }
   }
 
   /** Train: seed, then `emIters` rounds of (Viterbi E-step over the
     * distinct-word vocabulary, expected-count M-step, top-`vocabSize`
-    * prune keeping single chars). Returns (piece, logProb). */
+    * prune keeping single chars). Returns (piece, costFp). */
   def train(docs: DataFrame, text: Column, vocabSize: Int,
-      emIters: Int = 2, seedFactor: Int = 4): Seq[(String, Double)] = {
+      emIters: Int = 2, seedFactor: Int = 4): Seq[(String, Long)] = {
     require(vocabSize > 0 && emIters >= 1, "vocabSize/emIters must be >= 1")
     val words = Bpe.wordCounts(docs, text).localCheckpoint()
     val seed = seedPieces(words, vocabSize * seedFactor)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    var vocab = toLogProbs(seed)
+    var vocab = toCosts(seed)
     var it = 0
     while (it < emIters) {
       // E+M in one shuffle: re-segment every distinct word under the
       // current table, count pieces weighted by word frequency
       val counts = words.select(col("wc"),
           explode(UnigramFunctions.unigram_segment(col("w"), vocab,
-            MaxPieceLen, UnkLogProb)).as("piece"))
+            MaxPieceLen, UnkCostFp)).as("piece"))
         .groupBy(col("piece")).agg(sum(col("wc")).as("freq"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // prune by expected count; chars always survive (coverage) — a
@@ -90,14 +99,14 @@ object Unigram {
       val multi = counts.filter(p => !isOneCp(p._1)).toSeq
         .sortBy { case (p, c) => (-c, p) }
         .take(math.max(0, vocabSize - chars.size))
-      vocab = toLogProbs((chars ++ multi).distinct)
+      vocab = toCosts((chars ++ multi).distinct)
       it += 1
     }
-    vocab.sortBy { case (p, lp) => (-lp, p) }
+    vocab.sortBy { case (p, c) => (c, p) }
   }
 
   /** Tokenize: Viterbi-best pieces of every space-separated word, one
     * flat array per document — map-only, one native call per row. */
-  def tokens(text: Column, vocab: Seq[(String, Double)]): Column =
-    UnigramFunctions.unigram_segment(text, vocab, MaxPieceLen, UnkLogProb)
+  def tokens(text: Column, vocab: Seq[(String, Long)]): Column =
+    UnigramFunctions.unigram_segment(text, vocab, MaxPieceLen, UnkCostFp)
 }

@@ -170,6 +170,204 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // round-9 item 2: OPTIMIZE ZORDER through the SQL CALL surface —
+    // a hash-scattered 8-file table (every file spans the full (x, y)
+    // domain, so a quadrant read plans ALL files) is rewritten
+    // Morton-clustered on BOTH dims by CALL graft.system
+    // .optimize_zorder; afterwards manifest min/max stats prune the
+    // same quadrant read to <=2 of 4 files (asserted in-gate, before
+    // vs after), and the quadrant aggregate is bit-identical across
+    // the rewrite (content-identical commit) and oracle-exact.
+    "versioned_sql_zorder" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val wh = java.nio.file.Files.createTempDirectory("sqlzord")
+        .toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      // two decorrelated uniform dims at EVERY scale factor (plain
+      // `div 64` saturates below 64 values at small SF and the
+      // quadrant filter stops being a quadrant)
+      val pts = Tables.orders(s, d).select(
+        expr("o_orderkey % 64").as("x"),
+        expr("(o_orderkey * 2654435761) % 64").as("y"),
+        col("o_orderkey").as("k"))
+      VersionedTable.write(pts.repartition(8, col("k")), s"$wh/t")
+      def quadrant = s.read.format("graft").load(s"$wh/t")
+        .filter(col("x") < 32 && col("y") < 32)
+        .agg(count(lit(1)).as("n_q"),
+          sum(col("k")).cast("long").as("sum_k_q"))
+      graft.sources.v2.GraftScan.lastPlannedFiles.set(-1)
+      val before = quadrant.collect().toSeq
+      val filesBefore = graft.sources.v2.GraftScan.lastPlannedFiles.get
+      s.sql(s"CALL $cat.system.optimize_zorder('t', 'x,y', 4)")
+      graft.sources.v2.GraftScan.lastPlannedFiles.set(-1)
+      val result = quadrant
+      val after = result.collect().toSeq
+      val filesAfter = graft.sources.v2.GraftScan.lastPlannedFiles.get
+      require(filesBefore >= 7,
+        s"hash-scattered layout must be unprunable, planned $filesBefore")
+      require(filesAfter <= 2 && filesAfter < filesBefore,
+        s"z-ordered layout must prune the quadrant read: " +
+          s"$filesBefore -> $filesAfter files")
+      require(before == after,
+        s"z-order rewrite must be content-identical: $before vs $after")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      val rows = java.util.Arrays.asList(after: _*)
+      val schema = result.schema
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
+    // round-9 item 3: schema evolution through pure SQL — ALTER TABLE
+    // ADD COLUMN commits the head's unchanged file list under an
+    // extended schema (metadata-only; old files null-fill the new
+    // column on read), constraints ride SET TBLPROPERTIES
+    // ('constraint.<name>'), and time travel crosses the evolution
+    // boundary with the ORIGINAL schema. Head + pre-evolution version
+    // aggregated in one statement, oracle-exact.
+    "versioned_sql_evolve" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqlevol")
+        .toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView("evolve_src")
+      s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, n_chars BIGINT)") // v0
+      s.sql(s"INSERT INTO $cat.t SELECT doc_id, n_chars " +
+        "FROM evolve_src WHERE doc_id % 2 = 0") // v1: pre-evolution
+      s.sql(s"ALTER TABLE $cat.t ADD COLUMN lang_tag STRING") // v2: DDL
+      s.sql(s"INSERT INTO $cat.t SELECT doc_id, n_chars, lang " +
+        "FROM evolve_src WHERE doc_id % 2 = 1") // v3: wide rows
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        "('constraint.chars_pos' = 'n_chars >= 0')") // v4: constraint
+      val bad = scala.util.Try(
+        s.sql(s"INSERT INTO $cat.t VALUES (999999, -1, 'xx')"))
+      require(bad.isFailure,
+        "TBLPROPERTIES-added constraint must reject n_chars < 0")
+      val result = s.sql(
+        s"""SELECT COALESCE(lang_tag, '_legacy') AS tag,
+           |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+           |  (SELECT COUNT(*) FROM $cat.t VERSION AS OF 1) AS n_v1
+           |FROM $cat.t GROUP BY 1 ORDER BY 1""".stripMargin)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      s.catalog.dropTempView("evolve_src")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
+    // round-9 item 8: SQL MERGE INTO through Spark's row-level-
+    // operation protocol (group-based copy-on-write, file = group).
+    // A 4-file range-clustered target merges a LOW-RANGE source:
+    // runtime group filtering + manifest stats keep the upper-range
+    // files OUT of the rewrite (asserted: >= 2 pre-merge files carried
+    // by identity into the post-merge manifest), the pre-merge version
+    // still time-travels bit-intact, and the merged table (delete +
+    // update + insert arms all exercised) is oracle-exact.
+    "versioned_sql_merge" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val wh = java.nio.file.Files.createTempDirectory("sqlmerge")
+        .toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"))
+      val hi = o.agg(max(col("k"))).head().getLong(0)
+      val tgt = o.filter(col("k") % 3 =!= 2).withColumn("state", lit("t"))
+      (0L to 3L).foreach { b =>
+        // first bucket's lower bound is inclusive-of-0 (the fixture
+        // contains an orderkey 0; a strict > 0 would silently drop it
+        // from the table while the oracle keeps it)
+        val lo = if (b == 0L) -1L else b * hi / 4
+        VersionedTable.append(tgt.filter(col("k") > lo &&
+          col("k") <= (b + 1) * hi / 4).coalesce(1), s"$wh/t")
+      }
+      val preFiles = VersionedTable.snapshot(s, s"$wh/t").files.toSet
+      val preCount = s.read.format("graft").load(s"$wh/t").count()
+      o.filter(col("k") % 2 === 0 && col("k") <= hi / 4)
+        .select(col("k"), (col("c") + 1000000L).as("c2"))
+        .createOrReplaceTempView("merge_src")
+      s.sql(
+        s"""MERGE INTO $cat.t t USING merge_src m ON t.k = m.k
+           |WHEN MATCHED AND m.k % 6 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c = m.c2, state = 'u'
+           |WHEN NOT MATCHED THEN INSERT (k, c, state)
+           |  VALUES (m.k, m.c2, 'i')""".stripMargin)
+      val carried = VersionedTable.snapshot(s, s"$wh/t").files.toSet
+        .intersect(preFiles).size
+      require(carried >= 2,
+        s"COW merge of a low-range source must carry untouched " +
+          s"groups by identity; carried $carried of ${preFiles.size}")
+      require(s.read.format("graft").option("versionAsOf", 3)
+        .load(s"$wh/t").count() == preCount,
+        "pre-merge version must time-travel intact")
+      val result = s.sql(
+        s"""SELECT state, COUNT(*) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k,
+           |  CAST(SUM(c) AS BIGINT) AS sum_c
+           |FROM $cat.t GROUP BY state ORDER BY state""".stripMargin)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      s.catalog.dropTempView("merge_src")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
+    // round-9 item 4: LIMIT pushdown gated (was spec-only) — an
+    // unfiltered LIMIT over a 4-file table plans only the manifest-
+    // row-count prefix that covers it (asserted in-gate), a LIMIT past
+    // the table plans everything, and the row counts / max key are
+    // oracle-exact (any-n-rows semantics make COUNT the deterministic
+    // observable; Spark's own Limit still re-applies above the scan).
+    "versioned_limit_pushdown" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val base = java.nio.file.Files.createTempDirectory("limpush")
+      val root = base.toString + "/t"
+      val o = Tables.orders(s, d).select(col("o_orderkey"))
+      val n = o.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_orderkey"))
+      val ranked = o.withColumn("rn", row_number().over(w))
+      val per = (n / 4 + 1).toInt
+      (0 until 4).foreach { b =>
+        VersionedTable.append(ranked
+          .filter(col("rn") > b * per && col("rn") <= (b + 1) * per)
+          .select(col("o_orderkey")).coalesce(1), root)
+      }
+      val df = s.read.format("graft").load(root)
+      val cut = (n / 2 + 3).toInt
+      graft.sources.v2.GraftScan.lastPlannedFiles.set(-1)
+      val nCut = df.limit(cut).count()
+      val filesCut = graft.sources.v2.GraftScan.lastPlannedFiles.get
+      graft.sources.v2.GraftScan.lastPlannedFiles.set(-1)
+      val over = df.limit(n.toInt * 2)
+        .agg(count(lit(1)).as("n"), max(col("o_orderkey")).as("mx"))
+        .collect().head
+      val filesOver = graft.sources.v2.GraftScan.lastPlannedFiles.get
+      require(filesCut >= 1 && filesCut <= 3,
+        s"LIMIT ${cut} of $n rows must cut the 4-file list, " +
+          s"planned $filesCut")
+      require(filesOver == 4,
+        s"LIMIT past the table must keep all 4 files, planned $filesOver")
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      import s.implicits._
+      Seq((nCut, over.getAs[Long]("n"), over.getAs[Long]("mx")))
+        .toDF("n_cut", "n_all", "max_k")
+    }),
+
     // round-8 item 5: runtime file pruning through the format path —
     // a broadcast dim filtered on a NON-join column injects its join
     // keys into the graft scan at execution (Spark's dynamic-pruning
@@ -1189,6 +1387,59 @@ object SketchOps {
         |      WHERE doc_id % 2 = 0 GROUP BY source) z
         |  ON z.source = d.source
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // the z-order rewrite is content-identical, so the quadrant
+    // aggregate is just the filtered aggregate over the fixture
+    "versioned_sql_zorder" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_q,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_k_q
+        |FROM orders
+        |WHERE o_orderkey % 64 < 32
+        |  AND (o_orderkey * 2654435761) % 64 < 32""".stripMargin,
+
+    // head = evens (pre-evolution, NULL lang_tag -> '_legacy') + odds
+    // (post-evolution, real lang); v1 = the even half alone
+    "versioned_sql_evolve" ->
+      """SELECT tag, n, chars,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS n_v1
+        |FROM (
+        |  SELECT '_legacy' AS tag, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY lang) u
+        |ORDER BY tag""".stripMargin,
+
+    // the merge replay: target = k % 3 <> 2 (state 't'), source =
+    // even low-quartile keys with c2 = c + 1e6; matched & k % 6 = 0
+    // delete, matched update -> 'u', unmatched source insert -> 'i'
+    "versioned_sql_merge" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_custkey AS c
+        |           FROM orders WHERE o_orderkey % 3 <> 2),
+        |s AS (SELECT o_orderkey AS k, o_custkey + 1000000 AS c2
+        |      FROM orders WHERE o_orderkey % 2 = 0
+        |        AND o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) // 4),
+        |merged AS (
+        |  SELECT t.k,
+        |    CASE WHEN s.k IS NOT NULL THEN s.c2 ELSE t.c END AS c,
+        |    CASE WHEN s.k IS NOT NULL THEN 'u' ELSE 't' END AS state
+        |  FROM t LEFT JOIN s ON s.k = t.k
+        |  WHERE NOT (s.k IS NOT NULL AND t.k % 6 = 0)
+        |  UNION ALL
+        |  SELECT s.k, s.c2, 'i' FROM s LEFT JOIN t ON t.k = s.k
+        |  WHERE t.k IS NULL)
+        |SELECT state, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(c) AS BIGINT) AS sum_c
+        |FROM merged GROUP BY state ORDER BY state""".stripMargin,
+
+    // LIMIT semantics: exactly-n rows below the table size (whichever
+    // files served them), everything above it
+    "versioned_limit_pushdown" ->
+      """SELECT CAST((SELECT COUNT(*) FROM orders) // 2 + 3 AS BIGINT)
+        |    AS n_cut,
+        |  (SELECT COUNT(*) FROM orders) AS n_all,
+        |  (SELECT MAX(o_orderkey) FROM orders) AS max_k""".stripMargin,
 
     "versioned_runtime_prune" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -306,9 +306,13 @@ object TextDedup {
     // end-to-end unigram-LM tokenizer (SentencePiece's second
     // algorithm): seed substring vocabulary, 2 EM rounds of native
     // Viterbi re-segmentation over the distinct-word table, then
-    // tokenize every doc. Exact counts + deterministic DP tie-breaks
-    // make the output partition-invariant (UnigramSpec), but the model
-    // is not SQL-expressible -> rows-only gate.
+    // tokenize every doc. FULLY oracle-checked (round-9 conversion):
+    // piece costs are Q20 log2_fp fixed point over exact counts and
+    // the DP tie-break is total (longest piece on equal cost), so the
+    // oracle replays BOTH EM rounds and the final tokenization as
+    // recursive-CTE Viterbi passes in DuckDB — see unigramTrainOracle.
+    // UnigramSpec still pins coverage/partition-invariance/astral
+    // behavior the SQL replay doesn't exercise.
     "text_unigram_tokens" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val vocab = graft.operators.Unigram.train(docs, col("text"),
@@ -1064,7 +1068,166 @@ object TextDedup {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** One Viterbi segmentation pass over the distinct-word table as a
+    * DuckDB recursive CTE — the SQL replay of
+    * [[graft.functions.UnigramUtil.segmentWord]]. State per (word,
+    * position i): the last 6 DP costs (`c1` = dp[i] ... `c6` = dp[i-5])
+    * and their piece paths, advanced one position per recursion step.
+    * Candidate selection packs (cost, piece length) into one integer
+    * key `cost*8 + (6-k)` so `LEAST` reproduces the Scala tie-break
+    * exactly: min cost first, LONGEST piece on ties (the DP scans
+    * longest-first and moves only on strict improvement). Unknown
+    * single characters get the same finite floor cost; longer unknown
+    * substrings are invalid candidates (the HUGE sentinel). Produces
+    * `seg$t` (all DP states) — callers read `i = len` rows and split
+    * the chr(31)-joined path back into pieces. */
+  private def unigramViterbiCte(t: Int, vocabCte: String): String = {
+    val huge = "4611686018427387904" // 2^62: above any real packed key
+    val unk = graft.operators.Unigram.UnkCostFp
+    def cand(k: Int): String = {
+      val cost =
+        if (k == 1) s"COALESCE(v1.cost, $unk)" else s"v$k.cost"
+      val guard = if (k == 1) "" else s"i+1 >= $k AND "
+      s"CASE WHEN $guard$cost IS NOT NULL THEN (c$k + $cost)*8 + ${6 - k} " +
+        s"ELSE $huge END"
+    }
+    val joins = (1 to 6).map { k =>
+      val on =
+        if (k == 1) s"v1.piece = substr(s.w, CAST(s.i+1 AS INT), 1)"
+        else s"s.i+1 >= $k AND " +
+          s"v$k.piece = substr(s.w, CAST(s.i+2-$k AS INT), $k)"
+      s"LEFT JOIN $vocabCte v$k ON $on"
+    }.mkString("\n  ")
+    val newPath = s"""CASE bk % 8
+       |      WHEN 5 THEN p1 || chr(31) || substr(w, CAST(i+1 AS INT), 1)
+       |      WHEN 4 THEN p2 || chr(31) || substr(w, CAST(i AS INT), 2)
+       |      WHEN 3 THEN p3 || chr(31) || substr(w, CAST(i-1 AS INT), 3)
+       |      WHEN 2 THEN p4 || chr(31) || substr(w, CAST(i-2 AS INT), 4)
+       |      WHEN 1 THEN p5 || chr(31) || substr(w, CAST(i-3 AS INT), 5)
+       |      ELSE p6 || chr(31) || substr(w, CAST(i-4 AS INT), 6)
+       |    END""".stripMargin
+    s"""seg$t AS (
+       |  SELECT w, wc, len, CAST(0 AS BIGINT) AS i,
+       |    CAST(0 AS BIGINT) AS c1, CAST($huge AS BIGINT) AS c2,
+       |    CAST($huge AS BIGINT) AS c3, CAST($huge AS BIGINT) AS c4,
+       |    CAST($huge AS BIGINT) AS c5, CAST($huge AS BIGINT) AS c6,
+       |    '' AS p1, '' AS p2, '' AS p3, '' AS p4, '' AS p5, '' AS p6
+       |  FROM wl
+       |  UNION ALL
+       |  SELECT w, wc, len, i+1,
+       |    bk // 8, c1, c2, c3, c4, c5,
+       |    $newPath,
+       |    p1, p2, p3, p4, p5
+       |  FROM (
+       |    SELECT s.*, LEAST(${(1 to 6).map(cand).mkString(",\n      ")})
+       |        AS bk
+       |    FROM seg$t s
+       |  $joins
+       |    WHERE s.i < s.len) z),
+       |fin$t AS (SELECT w, wc, p1 AS path FROM seg$t WHERE i = len),
+       |pcs$t AS MATERIALIZED (
+       |  SELECT w, wc,
+       |    UNNEST(list_filter(string_split(path, chr(31)), x -> x <> ''))
+       |      AS piece
+       |  FROM fin$t)""".stripMargin
+  }
+
+  /** Full unrolled replay of [[graft.operators.Unigram.train]] +
+    * tokenize in DuckDB: seed substring vocabulary (top maxSeed by
+    * (freq DESC, piece) + all single chars), Q20 fixed-point costs
+    * through the [[graft.functions.FixedLog]] CTE (one instance per
+    * round), `emIters` EM rounds of recursive-CTE Viterbi
+    * re-segmentation + expected-count prune (chars always kept), and a
+    * final Viterbi tokenization pass joined back to documents — the
+    * BPE/OPQ/PCA replayable-training pattern applied to the unigram
+    * LM. Every quantity is an exact integer, so the gate is
+    * hash-exact. */
+  private def unigramTrainOracle(vocabSize: Int, emIters: Int): String = {
+    val maxSeed = vocabSize * 4
+    def logFor(t: Int, src: String): String =
+      graft.functions.FixedLog.duckdbCte(src, s"u$t")
+    // seed -> vocab0
+    val seedCtes =
+      s"""words AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+         |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |wl AS MATERIALIZED (
+         |  SELECT w, wc, CAST(length(w) AS BIGINT) AS len FROM words),
+         |subs AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(wc) AS BIGINT) AS freq FROM (
+         |    SELECT wc, substr(w, CAST(i AS INT), CAST(k AS INT)) AS piece
+         |    FROM (SELECT w, wc, UNNEST(range(1, length(w)+1)) AS i
+         |          FROM words),
+         |      UNNEST(range(1, 7)) AS t(k)
+         |    WHERE i + k - 1 <= length(w)) e
+         |  GROUP BY piece),
+         |seedtop AS (SELECT piece, freq FROM subs
+         |  ORDER BY freq DESC, piece LIMIT $maxSeed),
+         |seed AS MATERIALIZED (
+         |  SELECT piece, CAST(MAX(freq) AS BIGINT) AS c FROM (
+         |    SELECT piece, freq FROM seedtop
+         |    UNION ALL
+         |    SELECT piece, freq FROM subs WHERE length(piece) = 1) u
+         |  GROUP BY piece),
+         |seedchars AS (SELECT piece FROM seed WHERE length(piece) = 1),
+         |tot0 AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM seed),
+         |xs0 AS (SELECT c AS x FROM seed UNION SELECT t FROM tot0),
+         |${logFor(0, "xs0")},
+         |vocab0 AS MATERIALIZED (
+         |  SELECT s.piece,
+         |    (SELECT l FROM lgu0 WHERE x = (SELECT t FROM tot0)) - g.l
+         |      AS cost
+         |  FROM seed s JOIN lgu0 g ON g.x = s.c)""".stripMargin
+    // EM round t: segment under vocab(t-1), count, prune, re-cost
+    val emCtes = (1 to emIters).map { t =>
+      s"""${unigramViterbiCte(t, s"vocab${t - 1}")},
+         |cnt$t AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(wc) AS BIGINT) AS c
+         |  FROM pcs$t GROUP BY piece),
+         |chars$t AS (
+         |  SELECT s.piece,
+         |    GREATEST(COALESCE(c.c, CAST(0 AS BIGINT)),
+         |      CAST(1 AS BIGINT)) AS c
+         |  FROM seedchars s LEFT JOIN cnt$t c ON c.piece = s.piece),
+         |multi$t AS (
+         |  SELECT piece, c FROM cnt$t WHERE length(piece) > 1
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, piece)
+         |    <= $vocabSize - (SELECT COUNT(*) FROM seedchars)),
+         |kept$t AS MATERIALIZED (
+         |  SELECT piece, c FROM chars$t
+         |  UNION ALL SELECT piece, c FROM multi$t),
+         |tot$t AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM kept$t),
+         |xs$t AS (SELECT c AS x FROM kept$t UNION SELECT t FROM tot$t),
+         |${logFor(t, s"xs$t")},
+         |vocab$t AS MATERIALIZED (
+         |  SELECT k2.piece,
+         |    (SELECT l FROM lgu$t WHERE x = (SELECT t FROM tot$t)) - g.l
+         |      AS cost
+         |  FROM kept$t k2 JOIN lgu$t g ON g.x = k2.c)""".stripMargin
+    }.mkString(",\n")
+    val fin = emIters + 1
+    s"""WITH RECURSIVE $seedCtes,
+       |$emCtes,
+       |${unigramViterbiCte(fin, s"vocab$emIters")},
+       |doc_words AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(COUNT(f.piece) AS BIGINT) AS n_pieces,
+       |  CAST(COUNT(DISTINCT f.piece) AS BIGINT) AS n_distinct_pieces
+       |FROM documents d
+       |LEFT JOIN (SELECT doc_id, w FROM doc_words WHERE w <> '') dw
+       |  ON dw.doc_id = d.doc_id
+       |LEFT JOIN pcs$fin f ON f.w = dw.w
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // full training + tokenization replay of the fixed-point unigram
+    // LM (see unigramTrainOracle; gate trains vocabSize=200, 2 EM
+    // rounds — the Scala defaults)
+    "text_unigram_tokens" -> unigramTrainOracle(200, 2),
     // same run segmentation (stopword prefix count), same fixed-point
     // deg/freq word scores, same phrase-type rollup
     "text_keyphrases_rake" ->

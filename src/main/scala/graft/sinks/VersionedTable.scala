@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis
 import org.apache.spark.sql.catalyst.expressions
-import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max => smax, min => smin, struct, sum, when}
+import org.apache.spark.sql.functions.{abs, coalesce, col, count, expr, isnan, lit, max => smax, min => smin, struct, sum, when}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -184,10 +184,33 @@ object VersionedTable {
     * untouched; clones in OTHER roots referencing THIS table's files
     * break, the documented shallow-clone contract (same as Delta).
     * Single-writer assumption: a move is a catalog DDL, not a
-    * concurrent-commit path. */
+    * concurrent-commit path.
+    *
+    * Crash safety (advisor finding, round 8): each manifest is
+    * rewritten as a COMPLETE temp file (`vN.json.rebase`) first, then
+    * swapped into place — never an in-place truncate-and-write, which a
+    * crash would leave TORN (a torn manifest classifies as invalid and
+    * the version silently disappears). The swap's delete+rename pair is
+    * not atomic on every FS, so a recovery pass runs first: a VALID
+    * orphaned temp finishes its swap (its content is always the fully
+    * rebased manifest), an invalid one is discarded (the original is
+    * still in place, untouched). The rewrite itself is prefix-keyed and
+    * idempotent — re-invoking after ANY crash point repairs the table,
+    * which is what [[graft.sources.v2.GraftCatalog]]'s rename-intent
+    * marker does on next load. */
   private[graft] def rebaseManifests(spark: SparkSession,
       newRoot: String, oldRoot: String): Unit = {
     val f = fs(spark, newRoot)
+    val mdir = manifestDir(newRoot)
+    if (f.exists(mdir)) f.listStatus(mdir).map(_.getPath)
+      .filter(_.getName.endsWith(".json.rebase")).foreach { tmp =>
+        val target = new Path(mdir, tmp.getName.stripSuffix(".rebase"))
+        if (readManifestRaw(f, tmp).isDefined) {
+          if (f.exists(target)) f.delete(target, false)
+          require(f.rename(tmp, target),
+            s"rebase recovery rename failed: $tmp -> $target")
+        } else f.delete(tmp, false)
+      }
     val oldQ = f.makeQualified(new Path(oldRoot)).toString + "/"
     val newQ = f.makeQualified(new Path(newRoot)).toString + "/"
     versions(spark, newRoot).foreach { v =>
@@ -204,9 +227,14 @@ object VersionedTable {
           newQ + l.stripPrefix(oldQ)
         else l
       }.mkString("\n")
-      val os = f.create(p, true)
-      try os.write(out.getBytes(StandardCharsets.UTF_8))
-      finally os.close()
+      if (out != new String(bytes, StandardCharsets.UTF_8)) {
+        val tmp = new Path(mdir, p.getName + ".rebase")
+        val os = f.create(tmp, true)
+        try os.write(out.getBytes(StandardCharsets.UTF_8))
+        finally os.close()
+        f.delete(p, false)
+        require(f.rename(tmp, p), s"rebase rename failed: $tmp -> $p")
+      }
     }
   }
 
@@ -293,15 +321,32 @@ object VersionedTable {
     }
     // a file is foldable iff it has a row count and a ColStat for every
     // requested column (all-null files have ColStat(min=None, ...) and
-    // still fold: they contribute rows but no bounds)
+    // still fold: they contribute rows but no bounds). Float/double
+    // columns additionally require COMPLETE bounds or a provable
+    // all-null: both stats producers OMIT the column when NaN/±Inf are
+    // present (no canonical form exists), so a one-sided or
+    // bounds-less-but-valued FP ColStat can only be a foreign/legacy
+    // manifest — route those files to the exact slow scan rather than
+    // fold a bound that may silently drop NaN/Inf (advisor finding,
+    // round 8).
+    def isFp(dt: DataType): Boolean =
+      dt == DoubleType || dt == FloatType
+    def fpSound(cs: ColStat): Boolean =
+      (cs.min.isDefined && cs.max.isDefined) ||
+        (cs.min.isEmpty && cs.max.isEmpty && cs.hasNulls)
     val (fast, slow) = m.files.partition(p => m.stats.get(p).exists(st =>
-      st.values.exists(_.rows.nonEmpty) && cols.forall(st.contains)))
+      st.values.exists(_.rows.nonEmpty) && cols.forall(c =>
+        st.get(c).exists(cs => !isFp(fieldOf(c).dataType) || fpSound(cs)))))
 
     // canonical-string bounds -> the column's comparison domain
     // (decimal strings compare as exact BigDecimal; strings as UTF-8
-    // bytes, Spark's binary order)
+    // bytes, Spark's binary order; float/double as Double under Java's
+    // total order — matching Spark's NaN-greatest, -0.0 < 0.0 ordering,
+    // so NaN/±Inf from the slow path compare and surface correctly)
     def toCmp(dt: DataType, s: String): Any = dt match {
       case _: StringType => s
+      case _: DoubleType | _: FloatType =>
+        java.lang.Double.valueOf(s.toDouble)
       case _ => BigDecimal(s)
     }
     def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
@@ -310,6 +355,9 @@ object VersionedTable {
           .fromString(a.asInstanceOf[String])
           .compareTo(org.apache.spark.unsafe.types.UTF8String
             .fromString(b.asInstanceOf[String])) < 0
+      case _: DoubleType | _: FloatType =>
+        java.lang.Double.compare(a.asInstanceOf[java.lang.Double],
+          b.asInstanceOf[java.lang.Double]) < 0
       case _ => a.asInstanceOf[BigDecimal] < b.asInstanceOf[BigDecimal]
     }
     // fold the fast files on the driver
@@ -337,8 +385,19 @@ object VersionedTable {
       cnt += r.getAs[Long]("_n")
       cols.foreach { c =>
         val dt = fieldOf(c).dataType
+        // float/double bypass canonical(): NaN/±Inf extrema must
+        // PROPAGATE (SELECT max(d) on a NaN-bearing column is NaN),
+        // not vanish into the finite fold (advisor finding, round 8)
+        def cmpValue(k: String): Option[Any] = dt match {
+          case _: DoubleType => Option(r.getAs[Any](k))
+            .map(v => java.lang.Double.valueOf(v.asInstanceOf[Double]))
+          case _: FloatType => Option(r.getAs[Any](k))
+            .map(v => java.lang.Double.valueOf(
+              v.asInstanceOf[Float].toDouble))
+          case _ => canonical(r.getAs[Any](k)).map(toCmp(dt, _))
+        }
         Seq(s"_mn_$c" -> mins, s"_mx_$c" -> maxs).foreach { case (k, dst) =>
-          canonical(r.getAs[Any](k)).map(toCmp(dt, _)).foreach { mv =>
+          cmpValue(k).foreach { mv =>
             val better =
               if (!dst.contains(c)) true
               else if (dst eq mins) lt(dt, mv, dst(c))
@@ -355,8 +414,8 @@ object VersionedTable {
       case _: IntegerType => a.asInstanceOf[BigDecimal].toIntExact
       case _: ShortType => a.asInstanceOf[BigDecimal].toShortExact
       case _: ByteType => a.asInstanceOf[BigDecimal].toByteExact
-      case _: DoubleType => a.asInstanceOf[BigDecimal].toDouble
-      case _: FloatType => a.asInstanceOf[BigDecimal].toFloat
+      case _: DoubleType => a.asInstanceOf[java.lang.Double].doubleValue()
+      case _: FloatType => a.asInstanceOf[java.lang.Double].floatValue()
       case d: DecimalType => a.asInstanceOf[BigDecimal]
         .setScale(d.scale).bigDecimal
       case _: TimestampType =>
@@ -806,6 +865,96 @@ object VersionedTable {
         schema = evolve(manifest(f, root, vs.max).schema, df.schema,
           mergeSchema)
       prev ++ staged
+    }
+  }
+
+  /** COPY-ON-WRITE row-level commit — the lake half of the DSv2
+    * row-level-operation protocol (SQL `MERGE INTO` / `UPDATE` /
+    * `DELETE` through [[graft.sources.v2.GraftRowLevelOperation]]):
+    * replace `removed` (the files the row-level scan READ — group
+    * granularity is the file) with the content the executors staged
+    * under a temp dir (`written`, raw parquet from Spark's own
+    * OutputWriter). The staged files take the same path as
+    * [[stageFiles]] output: moved to immutable UUID names under data/,
+    * footer-stats'd (empties dropped), and CHECK-constraint-validated
+    * on their OWN read-back before the commit publishes them.
+    *
+    * Concurrency: write-serializable per table. A concurrent commit
+    * that REMOVED one of the scanned files (another rewrite of the
+    * same rows) aborts loudly — replaying our replacement would lose
+    * its effects; concurrent commits that only ADDED files interleave
+    * safely (their files are preserved, ours replace only what we
+    * scanned). */
+  private[graft] def commitReplace(spark: SparkSession, root: String,
+      removed: Set[String], written: Seq[String]): Long = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val schema = manifest(f, root, vs.max).schema
+    f.mkdirs(dataDir(root))
+    val moved = written.map { p0 =>
+      val dst = new Path(dataDir(root), s"${UUID.randomUUID()}.parquet")
+      require(f.rename(new Path(p0), dst), s"stage move failed: $p0 -> $dst")
+      f.makeQualified(dst).toString
+    }
+    val statsOn = spark.conf
+      .getOption("spark.graft.lake.stats.enabled").forall(_.toBoolean)
+    val staged = if (statsOn && moved.nonEmpty) {
+      collectStats(spark, schema, moved, root) match {
+        case Some(nonEmpty) =>
+          val (keep, empty) = moved.partition(nonEmpty.contains)
+          empty.foreach(p => f.delete(new Path(p), false))
+          keep
+        case None => moved
+      }
+    } else moved
+    // same staged-materialization discipline as stageFiles: validate
+    // the exact bytes the commit will publish
+    if (staged.nonEmpty)
+      enforceConstraints(spark.read.schema(schema).parquet(staged: _*),
+        root)
+    val removedQ = removed.map(p => new Path(p).toString)
+    commitRetrying(spark, root, schema) { prev =>
+      val prevSet = prev.map(p => new Path(p).toString).toSet
+      val gone = removedQ.diff(prevSet)
+      require(gone.isEmpty,
+        s"row-level commit conflict on $root: ${gone.size} scanned " +
+          "file(s) were rewritten/removed by a concurrent commit — " +
+          "retry the statement against the new snapshot")
+      prev.filterNot(p => removedQ.contains(new Path(p).toString)) ++
+        staged
+    }
+  }
+
+  /** `ALTER TABLE ... ADD COLUMN(S)`: commit the head's UNCHANGED file
+    * list under an extended schema — a metadata-only commit (zero data
+    * rewritten; existing parquet files simply lack the new columns and
+    * reads fill nulls, the same contract a mergeSchema append already
+    * relies on). New columns must be nullable (existing rows have no
+    * value) and must not collide with head columns case-insensitively
+    * (Spark resolution would be ambiguous). Old versions time-travel
+    * with their original schema; per-file stats carry untouched.
+    * Safe under concurrent writers via the usual version claim. */
+  def addColumns(spark: SparkSession, root: String,
+      cols: Seq[StructField]): Long = {
+    val f = fs(spark, root)
+    require(cols.nonEmpty, "addColumns: no columns given")
+    cols.foreach(c => require(c.nullable,
+      s"addColumns: new column '${c.name}' must be nullable — existing " +
+        "rows carry no value for it"))
+    require(cols.map(_.name.toLowerCase(java.util.Locale.ROOT))
+      .distinct.size == cols.size, "addColumns: duplicate new column names")
+    var schema: StructType = null
+    commitRetrying(spark, root, schema) { prev =>
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"no committed version under $root")
+      val head = manifest(f, root, vs.max).schema
+      val clash = cols.map(_.name).filter(n =>
+        head.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(clash.isEmpty,
+        s"addColumns: column(s) already exist: ${clash.mkString(", ")}")
+      schema = StructType(head.fields ++ cols)
+      prev // files unchanged: pure schema-evolution commit
     }
   }
 
@@ -1594,9 +1743,24 @@ object VersionedTable {
     val bloomCols = bloomColsFor(spark, root, cols)
     val bloomBits = spark.conf.getOption("spark.graft.lake.bloom.bits")
       .map(_.toLong).getOrElse(131072L)
+    // float/double: NaN/±Inf have no canonical-string form, and a
+    // partially-representable bound (finite min, NaN max) would make a
+    // file look all-null-bounded to statsAgg's fold — silently wrong
+    // MIN/MAX. Detect non-finite values per file and OMIT the column's
+    // ColStat entirely (exactly what the footer path does when parquet
+    // abandons FP stats): the file then takes readWhere's
+    // conservative-keep and statsAgg's exact slow path.
+    val floatish = schema.fields
+      .filter(fd => fd.dataType == DoubleType || fd.dataType == FloatType)
+      .map(_.name).toSet
     val aggs = cols.flatMap { c => Seq(
       smin(col(c)).as(s"_min_$c"), smax(col(c)).as(s"_max_$c"),
-      count(col(c)).as(s"_cnt_$c")) } ++
+      count(col(c)).as(s"_cnt_$c")) ++
+      (if (floatish.contains(c))
+        Seq(count(when(isnan(col(c)) ||
+          abs(col(c)) === lit(Double.PositiveInfinity), 1))
+          .as(s"_bad_$c"))
+      else Nil) } ++
       bloomCols.map { c => graft.functions.BloomFunctions
         .bloom_agg(col(c), bloomBits / 16, bloomBits).as(s"_bloom_$c") } :+
       count(lit(1)).as("_cnt_all")
@@ -1608,15 +1772,16 @@ object VersionedTable {
     rows.foreach { r =>
       val path = new Path(r.getAs[String]("_f")).toString
       val all = r.getAs[Long]("_cnt_all")
-      val st: FileStats = cols.map { c =>
-        c -> ColStat(canonical(r.getAs[Any](s"_min_$c")),
+      val st: FileStats = cols.flatMap { c =>
+        if (floatish.contains(c) && r.getAs[Long](s"_bad_$c") > 0) None
+        else Some(c -> ColStat(canonical(r.getAs[Any](s"_min_$c")),
           canonical(r.getAs[Any](s"_max_$c")),
           hasNulls = r.getAs[Long](s"_cnt_$c") < all,
           bloom =
             if (bloomCols.contains(c))
               Option(r.getAs[Array[Byte]](s"_bloom_$c"))
             else None,
-          rows = Some(all))
+          rows = Some(all)))
       }.toMap
       stagedStats.put(path, st)
     }

@@ -88,12 +88,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     isTable(dirOf(ident))
 
+  // rename crash recovery -----------------------------------------------
+  // renameTable records its intent (the OLD qualified root) in a marker
+  // inside the table's _manifests dir BEFORE the directory move; the
+  // marker is deleted only after the manifest rebase completes. A crash
+  // anywhere in between leaves the marker behind, and the next load
+  // re-runs the (idempotent, temp-file-swapped) rebase to repair the
+  // table — advisor finding, round 8.
+  private def renameMarker(dir: Path): Path =
+    new Path(new Path(dir, "_manifests"), "_rename-from")
+
+  private def recoverRename(dir: Path): Unit = {
+    val marker = renameMarker(dir)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val oldRoot =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (oldRoot.nonEmpty)
+        VersionedTable.rebaseManifests(spark, dir.toString, oldRoot)
+      fs.delete(marker, false)
+    }
+  }
+
   private def snapTable(ident: Identifier, version: Option[Long]): Table = {
     val dir = dirOf(ident)
+    recoverRename(dir)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val snap = VersionedTable.snapshot(spark, dir.toString, version)
+    // acceptAnySchema = false: catalog tables use Spark's standard
+    // insert resolution so SQL UPDATE/DELETE/MERGE rewrites fire (see
+    // GraftLakeTable scaladoc)
     new GraftLakeTable(snap.copy(
-      schema = GraftLakeSource.relaxed(snap.schema)))
+      schema = GraftLakeSource.relaxed(snap.schema)),
+      acceptAnySchema = false)
   }
 
   override def loadTable(ident: Identifier): Table = snapTable(ident, None)
@@ -136,12 +164,59 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** Minimal `ALTER TABLE` (round 9): the two changes the lake already
+    * knows how to make transactionally —
+    *
+    *  - `ADD COLUMN(S)` → [[VersionedTable.addColumns]], a
+    *    metadata-only schema-evolution commit (nullable, top-level,
+    *    default position only — the shapes parquet null-fill supports
+    *    without rewriting data);
+    *  - `SET TBLPROPERTIES ('constraint.<name>' = '<expr>')` /
+    *    `UNSET TBLPROPERTIES ('constraint.<name>')` → CHECK-constraint
+    *    add/drop (Delta's own convention for surfacing constraints as
+    *    table properties).
+    *
+    * Everything else (renames, drops, type changes) throws: those
+    * require data rewrites or break time travel, and the reference has
+    * no DDL surface at all (`preSQL` passthrough only,
+    * `/root/reference/database/dbms/writer/job.go:64-77`). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported by the graft catalog; evolve " +
-        "schemas through mergeSchema appends and manage CHECK " +
-        "constraints via VersionedTable.addConstraint/dropConstraint")
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    recoverRename(dir)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val root = dir.toString
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft ALTER TABLE supports top-level ADD COLUMN only " +
+            s"(got nested ${add.fieldNames.mkString(".")})")
+        require(add.position == null,
+          "graft ALTER TABLE appends new columns at the end; " +
+            "FIRST/AFTER positions are not supported")
+        require(add.isNullable,
+          "graft ALTER TABLE: new columns must be nullable (existing " +
+            "rows carry no value)")
+        VersionedTable.addColumns(spark, root, Seq(
+          org.apache.spark.sql.types.StructField(add.fieldNames()(0),
+            add.dataType, nullable = true,
+            metadata = org.apache.spark.sql.types.Metadata.empty)))
+      case set: TableChange.SetProperty
+          if set.property.startsWith("constraint.") =>
+        VersionedTable.addConstraint(spark, root,
+          set.property.stripPrefix("constraint."), set.value)
+      case rm: TableChange.RemoveProperty
+          if rm.property.startsWith("constraint.") =>
+        VersionedTable.dropConstraint(spark, root,
+          rm.property.stripPrefix("constraint."))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft ALTER TABLE supports ADD COLUMN and " +
+            s"SET/UNSET TBLPROPERTIES ('constraint.<name>') only; got " +
+            other.getClass.getSimpleName)
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -152,17 +227,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = {
     val from = dirOf(oldIdent)
+    recoverRename(from) // finish any earlier interrupted move first
     if (!isTable(from)) throw new NoSuchTableException(oldIdent)
     val to = dirOf(newIdent)
     if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
     if (newIdent.namespace.nonEmpty &&
         !namespaceExists(newIdent.namespace))
       throw new NoSuchNamespaceException(newIdent.namespace)
+    // record intent BEFORE the move: if anything below crashes, the
+    // marker travels with the directory and the next load repairs the
+    // rebase (recoverRename). Marker content = the old qualified root
+    // the manifests' file paths still point at.
+    val oldQ = fs.makeQualified(from).toString
+    val os = fs.create(renameMarker(from), true)
+    try os.write(oldQ.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
     require(fs.rename(from, to),
       s"rename failed: $from -> $to (same filesystem required)")
     // manifests reference data files by qualified absolute path: rebase
     // them onto the new location (metadata half of the move)
-    VersionedTable.rebaseManifests(spark, to.toString, from.toString)
+    VersionedTable.rebaseManifests(spark, to.toString, oldQ)
+    fs.delete(renameMarker(to), false)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

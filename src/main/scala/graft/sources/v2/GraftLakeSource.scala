@@ -108,8 +108,25 @@ class GraftLakeSource extends TableProvider with DataSourceRegister
       require(!lower.contains(k),
         s"graft stream: time travel option '$k' is batch-only (a " +
           "stream follows the live commit log)"))
+    require(!(lower.contains("startingversion") &&
+        lower.contains("startingtimestamp")),
+      "graft stream: at most one of startingVersion/startingTimestamp")
+    // startingTimestamp mirrors the batch option surface: it resolves
+    // through the SAME latest-commit-at-or-before arithmetic as
+    // `timestampAsOf` (VersionedTable.versionAsOfTime) and then behaves
+    // exactly like startingVersion=<resolved> — the snapshot current at
+    // the timestamp counts as already processed, the stream emits
+    // commits strictly after it. A timestamp predating the first commit
+    // resolves to -1 (stream every commit's adds from version 0).
+    val startingTs: Option[Long] = lower.get("startingtimestamp")
+      .map { raw =>
+        val ms = parseMillis(raw.trim)
+        scala.util.Try(
+          VersionedTable.versionAsOfTime(spark, root, ms)).getOrElse(-1L)
+      }
     new GraftStreamSource(spark, root,
-      startingVersion = lower.get("startingversion").map(_.trim.toLong),
+      startingVersion = lower.get("startingversion").map(_.trim.toLong)
+        .orElse(startingTs),
       ignoreChanges = lower.get("ignorechanges")
         .exists(_.trim.toBoolean),
       maxVersionsPerTrigger = lower.get("maxversionspertrigger")
@@ -216,10 +233,30 @@ class GraftLakeSource extends TableProvider with DataSourceRegister
   * optimistic-concurrency claim loop is the same one every writer
   * uses). ACCEPT_ANY_SCHEMA delegates schema validation to the lake's
   * own evolve contract, which both validates appends by (name, type)
-  * and lets an overwrite legitimately define a fresh schema. */
-private[v2] class GraftLakeTable(snap: VersionedTable.Snapshot)
-    extends Table with SupportsRead with SupportsWrite {
+  * and lets an overwrite legitimately define a fresh schema — but ONLY
+  * on the format/provider path: `acceptAnySchema = false` for
+  * CATALOG-resolved tables, because `skipSchemaResolution` (the
+  * analyzer face of ACCEPT_ANY_SCHEMA) suppresses row-level assignment
+  * alignment and with it the whole UPDATE/DELETE/MERGE rewrite
+  * (Delta ships its own merge rules for exactly this reason). Catalog
+  * tables get Spark's standard by-position/ANSI-cast INSERT resolution
+  * instead — equivalent behavior for well-formed inserts, plus working
+  * SQL DML. */
+private[v2] class GraftLakeTable(snap: VersionedTable.Snapshot,
+    acceptAnySchema: Boolean = true)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft.`${snap.root}` @v${snap.version}"
+
+  /** SQL MERGE/UPDATE/DELETE: group-based copy-on-write over the pinned
+    * snapshot (see [[GraftRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (snap.version < 0) throw new IllegalStateException(
+      s"no committed version under ${snap.root} — nothing to modify")
+    () => new GraftRowLevelOperation(SparkSession.active, snap, info)
+  }
   override def schema(): StructType = snap.schema
   /** Surfaced in `DESCRIBE TABLE EXTENDED`: the pinned version, file
     * count, manifest-exact row count (when every file carries one) —
@@ -237,11 +274,13 @@ private[v2] class GraftLakeTable(snap: VersionedTable.Snapshot)
       m.put("num-rows", counts.flatten.sum.toString)
     m
   }
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.OVERWRITE_BY_FILTER)
+    if (acceptAnySchema) base.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    base
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     if (snap.version < 0) throw new IllegalStateException(
       s"no committed version under ${snap.root} — write one first " +
@@ -359,6 +398,14 @@ private[v2] class GraftScanBuilder(spark: SparkSession,
   }
   override def isPartiallyPushed(): Boolean = true
 
+  /** The `!anyFilters` gate above assumes Spark calls `pushFilters`
+    * before `pushLimit` (true under V2ScanRelationPushDown's current
+    * ordering, but an ordering contract on an external API): re-check
+    * at build() so a filtered scan can never carry a file-list LIMIT
+    * cut even if a future Spark reorders the pushdown calls. */
+  private def effectiveLimit: Option[Int] =
+    if (anyFilters) None else pushedLimit
+
   override def pushFilters(
       filters: Array[sources.Filter]): Array[sources.Filter] = {
     anyFilters ||= filters.nonEmpty
@@ -425,7 +472,7 @@ private[v2] class GraftScanBuilder(spark: SparkSession,
       val cond: Option[Column] = accepted.toSeq
         .flatMap(GraftScanBuilder.toColumn(_, fieldNames))
         .reduceOption(_ && _)
-      new GraftScan(spark, snap, cond, required, pushedLimit)
+      new GraftScan(spark, snap, cond, required, effectiveLimit)
   }
 }
 
@@ -442,7 +489,8 @@ private[v2] class GraftScanBuilder(spark: SparkSession,
   * than burn O(|files|·|values|) driver time. */
 private[graft] class GraftScan(spark: SparkSession,
     snap: VersionedTable.Snapshot, pushedCond: Option[Column],
-    required: StructType, limit: Option[Int] = None)
+    required: StructType, limit: Option[Int] = None,
+    filterAttrOverride: Option[Seq[String]] = None)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -499,6 +547,11 @@ private[graft] class GraftScan(spark: SparkSession,
   /** Spec observability: the delegated parquet scan (post-pruning). */
   private[graft] def currentInner: Scan = inner
 
+  /** The files this scan currently plans (post static prune, runtime
+    * re-prune and limit cut) — the row-level write's replacement
+    * groups. */
+  private[graft] def keptFiles: Seq[String] = currentKept
+
   /** Plan-time statistics from the CURRENT file list (post prune/cut):
     * bytes from the delegated file scan's index (real file sizes — so
     * an unhinted join against a small lake side can plan a broadcast,
@@ -545,11 +598,23 @@ private[graft] class GraftScan(spark: SparkSession,
     * output, so nothing prunable is lost). */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fields
-      .filter(f => VersionedTable.statEligible(f.dataType))
-      .map(f => org.apache.spark.sql.connector.expressions.Expressions
-        .column(f.name))
+    filterAttrOverride match {
+      case Some(names) => names.toArray
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      case None => required.fields
+        .filter(f => VersionedTable.statEligible(f.dataType))
+        .map(f => org.apache.spark.sql.connector.expressions.Expressions
+          .column(f.name))
+    }
 
+  /** Every stat-eligible column IN THE SCAN OUTPUT is a candidate
+    * runtime-filter key for join-driven pruning (each join key gets its
+    * own IN filter). The row-level (MERGE/UPDATE/DELETE) scan overrides
+    * this to a SINGLE attribute: the runtime GROUP filter packs ALL
+    * filterAttributes into one struct-IN subquery, which
+    * `BatchScanExec` cannot translate to a source filter — multi-attr
+    * group filters silently no-op (single-attr is also why Iceberg
+    * exposes only `_file` there). */
   override def filter(filters: Array[sources.Filter]): Unit = {
     val tooBig = filters.exists {
       case sources.In(_, vs) => vs.length > GraftScan.MaxRuntimeInValues
@@ -596,29 +661,40 @@ private[v2] class GraftLocalAggScan(spark: SparkSession,
     case m: Max => colOf(m.column)
   }.distinct
 
-  private val (outSchema, outRow): (StructType, org.apache.spark.sql.Row) = {
-    val stats = VersionedTable.statsAgg(spark, snap.root, needed,
-      Some(snap.version)).collect().head
-    val fieldsVals = agg.aggregateExpressions.toSeq.map {
+  // schema derives from the aggregate list + snapshot schema ALONE;
+  // the manifest fold (and its bounded fallback scan over stats-less
+  // files, a real Spark job) runs lazily on first rows() — so planning
+  // and EXPLAIN of a pushed aggregate never execute anything (advisor
+  // finding, round 8)
+  private val outSchema: StructType =
+    StructType(agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
-        (StructField("count(*)", LongType, nullable = false),
-          stats.getAs[Long]("cnt"))
-      case c: Count => // answerable only because no file reports nulls
-        (StructField(s"count(${colOf(c.column)})", LongType,
-          nullable = false), stats.getAs[Long]("cnt"))
+        StructField("count(*)", LongType, nullable = false)
+      case c: Count =>
+        StructField(s"count(${colOf(c.column)})", LongType,
+          nullable = false)
       case m: Min =>
         val c = colOf(m.column)
-        (StructField(s"min($c)", snap.schema(c).dataType),
-          stats.getAs[Any](s"min_$c"))
+        StructField(s"min($c)", snap.schema(c).dataType)
       case m: Max =>
         val c = colOf(m.column)
-        (StructField(s"max($c)", snap.schema(c).dataType),
-          stats.getAs[Any](s"max_$c"))
+        StructField(s"max($c)", snap.schema(c).dataType)
       case other => throw new IllegalStateException(
         s"unanswerable aggregate pushed: $other")
-    }
-    (StructType(fieldsVals.map(_._1)),
-      org.apache.spark.sql.Row.fromSeq(fieldsVals.map(_._2)))
+    })
+
+  private lazy val outRow: org.apache.spark.sql.Row = {
+    val stats = VersionedTable.statsAgg(spark, snap.root, needed,
+      Some(snap.version)).collect().head
+    org.apache.spark.sql.Row.fromSeq(agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => stats.getAs[Long]("cnt")
+      case c: Count => // answerable only because no file reports nulls
+        stats.getAs[Long]("cnt")
+      case m: Min => stats.getAs[Any](s"min_${colOf(m.column)}")
+      case m: Max => stats.getAs[Any](s"max_${colOf(m.column)}")
+      case other => throw new IllegalStateException(
+        s"unanswerable aggregate pushed: $other")
+    })
   }
 
   GraftScan.lastPlannedFiles.set(0) // metadata-only: zero files planned

@@ -132,7 +132,30 @@ private[v2] object GraftProcedures {
           Seq(Row(VersionedTable.dropConstraint(spark, root(a),
             a.getUTF8String(1).toString))))
     }
+    // OPTIMIZE ... ZORDER BY in CALL form: rewrite the whole head
+    // Morton-clustered on the named columns (comma-separated) into
+    // `n_files` files, so readWhere/DSv2 scans prune selective filters
+    // on ANY participating dimension afterwards — the periodic layout
+    // job, now reachable without the library API.
+    val optimizeZorder = new Proc("optimize_zorder",
+      Seq("table" -> StringType, "columns" -> StringType,
+        "n_files" -> IntegerType),
+      "rewrite the head Z-ordered on the given columns (multi-" +
+        "dimensional clustering; old versions keep their files until " +
+        "vacuum)") {
+      def run(spark: SparkSession, a: InternalRow) = {
+        val cols = a.getUTF8String(1).toString.split(",")
+          .map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty,
+          "optimize_zorder needs at least one column (comma-separated)")
+        (out("new_version" -> LongType),
+          Seq(Row(VersionedTable.compactZOrdered(spark, root(a),
+            cols.toIndexedSeq.map(org.apache.spark.sql.functions.col),
+            a.getInt(2)))))
+      }
+    }
     Seq(vacuum, compact, restore, tag, untag, history, addConstraint,
-      dropConstraint).map(p => p.name() -> (p: UnboundProcedure)).toMap
+      dropConstraint, optimizeZorder)
+      .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }

@@ -44,7 +44,11 @@ private[v2] case class GraftSourceOffset(version: Long) extends Offset {
   *     in bounded, checkpointed steps instead of one giant batch.
   *   - `startingVersion=V` skips the initial snapshot and streams
   *     strictly-after-V increments (V = -1 streams every commit's adds
-  *     from version 0 on).
+  *     from version 0 on). `startingTimestamp=ts` is the same contract
+  *     from a time-travel boundary: it resolves to a version through
+  *     the SAME latest-commit-at-or-before rule as the batch
+  *     `timestampAsOf` option (option parity between the two front
+  *     doors; resolution happens in [[GraftLakeSource.createSource]]).
   *   - O(|files|) driver work per trigger (two manifest reads + a set
   *     diff); no data listing, no footer reads.
   *

@@ -179,6 +179,91 @@ class CatalogSpec extends SparkSpec {
     // DESCRIBE rows, not under Table Properties
   }
 
+
+  test("ALTER TABLE: ADD COLUMN evolves metadata-only; constraints " +
+      "ride TBLPROPERTIES; everything else throws") {
+    warehouse
+    spark.sql("CREATE TABLE graft.alt (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.alt VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft.alt ADD COLUMN note STRING")
+    // old rows null-fill; new writes carry the column
+    spark.sql("INSERT INTO graft.alt VALUES (3, 30, 'n3')")
+    assert(spark.sql("SELECT count(*) FROM graft.alt WHERE note IS NULL")
+      .as[Long].head() == 2)
+    // time travel across the evolution boundary keeps the old schema
+    assert(!spark.sql("SELECT * FROM graft.alt VERSION AS OF 1")
+      .columns.contains("note"))
+    // constraint via properties: enforced, droppable
+    spark.sql("ALTER TABLE graft.alt SET TBLPROPERTIES " +
+      "('constraint.vpos' = 'v > 0')")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.alt VALUES (4, -1, 'bad')") }
+    spark.sql("ALTER TABLE graft.alt UNSET TBLPROPERTIES " +
+      "('constraint.vpos')")
+    spark.sql("INSERT INTO graft.alt VALUES (4, -1, 'ok')")
+    assert(spark.sql("SELECT count(*) FROM graft.alt")
+      .as[Long].head() == 4)
+    // unsupported shapes fail loud
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.alt RENAME COLUMN v TO w") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.alt SET TBLPROPERTIES ('x' = 'y')") }
+    intercept[Exception] { // duplicate (case-insensitive) column
+      spark.sql("ALTER TABLE graft.alt ADD COLUMN K STRING") }
+    spark.sql("DROP TABLE graft.alt")
+  }
+
+  test("rename crash recovery: an interrupted move repairs itself on " +
+      "the next load (marker + idempotent rebase)") {
+    import org.apache.hadoop.fs.Path
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv9")
+    spark.sql("CREATE TABLE graft.mv9.src (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mv9.src VALUES (1, 'a'), (2, 'b')")
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val from = new Path(s"$warehouse/mv9/src")
+    val to = new Path(s"$warehouse/mv9/dst")
+    // simulate renameTable crashing right after the directory move:
+    // intent marker written, dir moved, manifest rebase NOT run —
+    // every manifest still points at the old (now nonexistent) root
+    val marker = new Path(new Path(from, "_manifests"), "_rename-from")
+    val os = fs.create(marker, true)
+    os.write(fs.makeQualified(from).toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os.close()
+    assert(fs.rename(from, to))
+    // loading through the catalog must finish the rebase and read fine
+    assert(spark.sql("SELECT sum(k) FROM graft.mv9.dst")
+      .as[Long].head() == 3)
+    assert(!fs.exists(new Path(new Path(to, "_manifests"), "_rename-from")),
+      "marker must be cleared after recovery")
+    assert(spark.sql("SELECT count(*) FROM graft.mv9.dst VERSION AS OF 1")
+      .as[Long].head() == 2, "time travel survives the repaired move")
+
+    // simulate a crash INSIDE the rebase swap itself: a manifest
+    // replaced by its complete .rebase temp (deleted target, rename
+    // pending) — the recovery pass must finish the swap, never lose
+    // the version
+    val mdir = new Path(to, "_manifests")
+    val m1 = fs.listStatus(mdir).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.endsWith(".json")).minBy(_.getName)
+    val bytes = new Array[Byte](fs.getFileStatus(m1).getLen.toInt)
+    val in = fs.open(m1); in.readFully(bytes); in.close()
+    val tmp = new Path(mdir, m1.getName + ".rebase")
+    val os2 = fs.create(tmp, true); os2.write(bytes); os2.close()
+    assert(fs.delete(m1, false))
+    val os3 = fs.create(new Path(mdir, "_rename-from"), true)
+    os3.write(fs.makeQualified(to).toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os3.close()
+    assert(spark.sql("SELECT count(*) FROM graft.mv9.dst VERSION AS OF 0")
+      .as[Long].head() == 0, "the swapped-out version is restored")
+    assert(fs.exists(m1) && !fs.exists(tmp))
+    spark.sql("DROP TABLE graft.mv9.dst")
+  }
+
   test("top-level tables (empty namespace) work") {
     warehouse
     spark.sql("CREATE TABLE graft.toplevel (k BIGINT)")

@@ -356,6 +356,42 @@ class DataSourceV2Spec extends SparkSpec {
     assert(joined.count() == 5000)
   }
 
+
+  test("aggregate pushdown: float NaN/-Inf extrema surface through " +
+      "the SQL front door (complete pushdown stays exact)") {
+    val root = tmpRoot("dsv2nan")
+    VersionedTable.write(Seq((1L, 2.0), (2L, Double.NaN),
+      (3L, Double.NegativeInfinity)).toDF("k", "x").coalesce(1), root)
+    val df = spark.read.format("graft").load(root)
+    val r = df.agg(max(col("x")).as("mx"), min(col("x")).as("mn"),
+      count(lit(1)).as("n")).collect().head
+    assert(r.getAs[Double]("mx").isNaN,
+      s"SELECT max(x) over a NaN column must be NaN, got $r")
+    assert(r.getAs[Double]("mn") == Double.NegativeInfinity)
+    assert(r.getAs[Long]("n") == 3L)
+  }
+
+  test("aggregate pushdown plans lazily: logical optimization never " +
+      "runs the stats-less fallback scan") {
+    val root = tmpRoot("dsv2lazy")
+    spark.conf.set("spark.graft.lake.stats.enabled", "false")
+    try VersionedTable.write((1L to 50L).map(i => (i, i * 2))
+      .toDF("k", "v"), root)
+    finally spark.conf.unset("spark.graft.lake.stats.enabled")
+    // stats-less files force statsAgg's fallback aggregation (a real
+    // job); delete the data so any eager execution fails loud
+    val dd = new org.apache.hadoop.fs.Path(root, "data")
+    dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(dd, true)
+    val df = spark.read.format("graft").load(root)
+      .agg(count(lit(1)).as("n"))
+    // pushdown (ScanBuilder.build -> GraftLocalAggScan) happens here;
+    // with plan-time execution this would already throw
+    df.queryExecution.optimizedPlan
+    // actually producing the row genuinely needs the deleted files
+    intercept[Exception] { df.collect() }
+  }
+
   test("sql access: temp view over the format path") {
     val root = tmpRoot("dsv2sql")
     VersionedTable.write((1L to 60L).map(i => (i, i % 4)).toDF("k", "b"),

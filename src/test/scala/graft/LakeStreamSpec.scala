@@ -83,6 +83,44 @@ class LakeStreamSpec extends SparkSpec {
       org.apache.spark.sql.Row(41L, 55L))
   }
 
+  test("startingTimestamp resolves through the batch timestampAsOf " +
+      "arithmetic and streams strictly-after increments") {
+    val base = tmpBase("lks3t")
+    val root = s"$base/t"
+    VersionedTable.write((1L to 40L).map(i => (i, i)).toDF("k", "v"), root)
+    // capture the v0 commit instant, then land a later commit
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0mtime = f.listStatus(
+      new org.apache.hadoop.fs.Path(root, "_manifests"))
+      .filter(s => s.getPath.getName.startsWith("v") &&
+        s.getPath.getName.endsWith(".json")) // not the commit claim
+      .map(_.getModificationTime).min
+    Thread.sleep(1100) // mtime granularity
+    VersionedTable.append((41L to 55L).map(i => (i, i)).toDF("k", "v"),
+      root)
+    // ts at v0: the v0 snapshot counts as processed -> only v1 streams
+    runOnce(root, s"$base/out1", s"$base/ck1",
+      Map("startingTimestamp" -> v0mtime.toString))
+    val got = spark.read.parquet(s"$base/out1")
+    assert(got.count() == 15 &&
+      got.agg(min(col("k"))).head().getLong(0) == 41L,
+      "timestamp at v0 must stream only the post-v0 increment")
+    // ts before the first commit: everything streams (-1 resolution)
+    runOnce(root, s"$base/out2", s"$base/ck2",
+      Map("startingTimestamp" -> (v0mtime - 60000).toString))
+    assert(spark.read.parquet(s"$base/out2").count() == 55)
+    // both starting options together are rejected
+    val ex = intercept[Exception] {
+      runOnce(root, s"$base/out3", s"$base/ck3",
+        Map("startingTimestamp" -> v0mtime.toString,
+          "startingVersion" -> "0"))
+    }
+    assert(ex.getMessage.contains("at most one") ||
+      Option(ex.getCause).exists(_.getMessage.contains("at most one")))
+    spark.streams.resetTerminated()
+  }
+
   test("a non-append commit fails the stream loudly; ignoreChanges " +
       "re-emits rewrites instead") {
     val base = tmpBase("lks4")

@@ -1,0 +1,117 @@
+package graft
+
+import graft.sinks.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** SQL MERGE INTO / UPDATE / DELETE on lake tables — the group-based
+  * copy-on-write row-level path (GraftRowLevelOperation +
+  * VersionedTable.commitReplace): correctness of all three commands,
+  * untouched groups carried by identity, time travel across the
+  * rewrite, CHECK constraints validating the rewrite's own
+  * materialization, and empty-replacement edge cases. */
+class RowLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("graftrl").toString
+    spark.conf.set("spark.sql.catalog.grl",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grl.root", w)
+    w
+  }
+
+  private def freshTable(name: String): String = {
+    warehouse
+    val root = s"$warehouse/$name"
+    (0 until 4).foreach { b =>
+      VersionedTable.append((b * 100L + 1 to b * 100L + 100)
+        .map(i => (i, i * 2, "base")).toDF("k", "v", "tag")
+        .coalesce(1), root)
+    }
+    root
+  }
+
+  test("UPDATE: rewrites only files that can hold matches; values and " +
+      "time travel exact") {
+    val root = freshTable("upd")
+    val pre = VersionedTable.snapshot(spark, root).files.toSet
+    spark.sql("UPDATE grl.upd SET v = v + 1, tag = 'upd' WHERE k <= 50")
+    val post = VersionedTable.snapshot(spark, root)
+    assert(post.files.toSet.intersect(pre).size == 3,
+      "the k<=50 static filter must prune the rewrite to file 1 of 4")
+    val got = spark.sql(
+      "SELECT count(*), sum(v) FROM grl.upd WHERE tag = 'upd'").head()
+    assert(got.getLong(0) == 50 &&
+      got.getLong(1) == (1L to 50L).map(_ * 2 + 1).sum)
+    assert(spark.sql("SELECT count(*) FROM grl.upd").head().getLong(0)
+      == 400, "unmatched rows carried")
+    // pre-rewrite version intact
+    assert(spark.read.format("graft").option("versionAsOf", 3).load(root)
+      .filter(col("tag") === "upd").count() == 0)
+  }
+
+  test("DELETE: removes exactly the matching rows as a new commit") {
+    freshTable("del")
+    spark.sql("DELETE FROM grl.del WHERE k % 2 = 0")
+    assert(spark.sql("SELECT count(*), min(k) FROM grl.del").head()
+      match { case r => r.getLong(0) == 200 && r.getLong(1) == 1L })
+    // a delete matching nothing commits no lost rows
+    spark.sql("DELETE FROM grl.del WHERE k > 100000")
+    assert(spark.sql("SELECT count(*) FROM grl.del").head()
+      .getLong(0) == 200)
+  }
+
+  test("MERGE: delete/update/insert arms in one statement, " +
+      "oracle-style replay") {
+    freshTable("mrg")
+    Seq((10L, 1000L), (20L, 2000L), (450L, 4500L))
+      .toDF("k", "nv").createOrReplaceTempView("rl_src")
+    spark.sql(
+      """MERGE INTO grl.mrg t USING rl_src s ON t.k = s.k
+        |WHEN MATCHED AND s.k = 20 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.nv, tag = 'm'
+        |WHEN NOT MATCHED THEN INSERT (k, v, tag)
+        |  VALUES (s.k, s.nv, 'i')""".stripMargin)
+    val byTag = spark.sql(
+      "SELECT tag, count(*) AS n FROM grl.mrg GROUP BY tag ORDER BY tag")
+      .as[(String, Long)].collect().toSeq
+    assert(byTag == Seq(("base", 398L), ("i", 1L), ("m", 1L)),
+      s"got $byTag")
+    assert(spark.sql("SELECT v FROM grl.mrg WHERE k = 10").head()
+      .getLong(0) == 1000L)
+    assert(spark.sql("SELECT count(*) FROM grl.mrg WHERE k = 20").head()
+      .getLong(0) == 0L)
+    assert(spark.sql("SELECT v, tag FROM grl.mrg WHERE k = 450").head()
+      match { case r => r.getLong(0) == 4500L && r.getString(1) == "i" })
+    spark.catalog.dropTempView("rl_src")
+  }
+
+  test("CHECK constraints validate the rewrite's own materialization: " +
+      "a violating UPDATE aborts, table unchanged") {
+    val root = freshTable("con")
+    VersionedTable.addConstraint(spark, root, "v_pos", "v >= 0")
+    val preVersions = VersionedTable.versions(spark, root).size
+    val bad = intercept[Exception] {
+      spark.sql("UPDATE grl.con SET v = -5 WHERE k = 7")
+    }
+    assert(bad.getMessage != null)
+    assert(VersionedTable.versions(spark, root).size == preVersions,
+      "failed rewrite must not commit")
+    assert(spark.sql("SELECT v FROM grl.con WHERE k = 7").head()
+      .getLong(0) == 14L, "table content unchanged after abort")
+    // a clean update still lands under the constraint
+    spark.sql("UPDATE grl.con SET v = 0 WHERE k = 7")
+    assert(spark.sql("SELECT v FROM grl.con WHERE k = 7").head()
+      .getLong(0) == 0L)
+  }
+
+  test("row-level commits are ordinary history entries: vacuum-able, " +
+      "restore-able") {
+    val root = freshTable("his")
+    spark.sql("DELETE FROM grl.his WHERE k <= 100")
+    val vAfterDelete = VersionedTable.versions(spark, root).max
+    spark.sql(s"CALL grl.system.restore('his', ${vAfterDelete - 1})")
+    assert(spark.sql("SELECT count(*) FROM grl.his").head()
+      .getLong(0) == 400, "restore undoes the SQL DELETE")
+  }
+}

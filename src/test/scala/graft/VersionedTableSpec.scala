@@ -908,4 +908,49 @@ class VersionedTableSpec extends SparkSpec {
     // dropped constraint's history is the manifest line — read v)
     assert(VersionedTable.read(spark, root, Some(preDrop)).count() <= 5)
   }
+
+  test("statsAgg: NaN and ±Infinity float extrema propagate exactly " +
+      "through both stats paths (never silently dropped)") {
+    // footer path (default): parquet abandons FP stats on NaN, and our
+    // footerCanonical drops ±Inf — the column is OMITTED per file, so
+    // statsAgg routes those files to the exact slow scan, which must
+    // PROPAGATE the non-finite extrema (advisor finding, round 8)
+    def check(root: String): Unit = {
+      val r = VersionedTable.statsAgg(spark, root, Seq("x"))
+        .collect().head
+      assert(r.getLong(0) == 4L)
+      assert(r.getDouble(1) == Double.NegativeInfinity,
+        s"min must be -Inf, got ${r.getDouble(1)}")
+      assert(r.getDouble(2).isNaN, s"max must be NaN, got ${r.getDouble(2)}")
+    }
+    val root = tmpRoot()
+    VersionedTable.write(Seq((1L, 1.5), (2L, Double.NaN),
+      (3L, Double.NegativeInfinity), (4L, 7.0)).toDF("k", "x")
+      .coalesce(1), root)
+    check(root)
+    // scan-stats path: collectStatsByScan must likewise omit the
+    // column for NaN/Inf-bearing files (no partial bounds)
+    val root2 = tmpRoot()
+    spark.conf.set("spark.graft.lake.stats.footer", "false")
+    try VersionedTable.write(Seq((1L, 1.5), (2L, Double.NaN),
+      (3L, Double.NegativeInfinity), (4L, 7.0)).toDF("k", "x")
+      .coalesce(1), root2)
+    finally spark.conf.unset("spark.graft.lake.stats.footer")
+    check(root2)
+    // mixed: a clean file still folds from the manifest (fast), the
+    // NaN file takes the slow path — NaN must win the max across both
+    val root3 = tmpRoot()
+    VersionedTable.write(Seq((1L, 100.0), (2L, 200.0)).toDF("k", "x")
+      .coalesce(1), root3)
+    VersionedTable.append(Seq((3L, 5.0), (4L, Double.NaN)).toDF("k", "x")
+      .coalesce(1), root3)
+    val r3 = VersionedTable.statsAgg(spark, root3, Seq("x"))
+      .collect().head
+    assert(r3.getLong(0) == 4L && r3.getDouble(1) == 5.0 &&
+      r3.getDouble(2).isNaN)
+    // finite-only tables are unaffected (fast fold, exact)
+    val r3k = VersionedTable.statsAgg(spark, root3, Seq("k"))
+      .collect().head
+    assert(r3k.getLong(1) == 1L && r3k.getLong(2) == 4L)
+  }
 }
