@@ -325,6 +325,55 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // round-9 companion to versioned_sql_merge: SQL UPDATE (row-level
+    // COW rewrite, statically file-pruned by the pushed range
+    // predicate — >= 3 of 4 files carried by identity, asserted) and
+    // BOTH DELETE paths — a modulo predicate the filter grammar can't
+    // express (row-level rewrite) and a pure range predicate
+    // (SupportsDelete metadata fast path through the library's
+    // deleteWhere). Final state oracle-exact.
+    "versioned_sql_update" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val wh = java.nio.file.Files.createTempDirectory("sqlupd")
+        .toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"))
+      val hi = o.agg(max(col("k"))).head().getLong(0)
+      val tgt = o.withColumn("state", lit("t"))
+      (0L to 3L).foreach { b =>
+        val lo = if (b == 0L) -1L else b * hi / 4
+        VersionedTable.append(tgt.filter(col("k") > lo &&
+          col("k") <= (b + 1) * hi / 4).coalesce(1), s"$wh/t")
+      }
+      val preFiles = VersionedTable.snapshot(s, s"$wh/t").files.toSet
+      s.sql(s"UPDATE $cat.t SET c = c + 5, state = 'u' " +
+        s"WHERE k % 7 = 0 AND k <= ${hi / 4}")
+      val carried = VersionedTable.snapshot(s, s"$wh/t").files.toSet
+        .intersect(preFiles).size
+      require(carried >= 3,
+        s"the pushed k-range must prune the UPDATE rewrite to 1 of 4 " +
+          s"files; carried $carried")
+      // row-level DELETE (modulo: not expressible as source filters)
+      s.sql(s"DELETE FROM $cat.t WHERE k > ${hi / 2} AND k % 2 = 1")
+      // metadata-path DELETE (pure range: SupportsDelete fast path)
+      s.sql(s"DELETE FROM $cat.t WHERE k > ${hi * 3 / 4}")
+      val result = s.sql(
+        s"""SELECT state, COUNT(*) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k,
+           |  CAST(SUM(c) AS BIGINT) AS sum_c
+           |FROM $cat.t GROUP BY state ORDER BY state""".stripMargin)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // round-9 item 4: LIMIT pushdown gated (was spec-only) — an
     // unfiltered LIMIT over a 4-file table plans only the manifest-
     // row-count prefix that covers it (asserted in-gate), a LIMIT past
@@ -1432,6 +1481,26 @@ object SketchOps {
         |SELECT state, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  CAST(SUM(c) AS BIGINT) AS sum_c
         |FROM merged GROUP BY state ORDER BY state""".stripMargin,
+
+    // replay: conditional update, then the two deletes in order
+    "versioned_sql_update" ->
+      """WITH hi AS (SELECT MAX(o_orderkey) AS h FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |        AND o_orderkey <= (SELECT h FROM hi) // 4
+        |      THEN o_custkey + 5 ELSE o_custkey END AS c,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |        AND o_orderkey <= (SELECT h FROM hi) // 4
+        |      THEN 'u' ELSE 't' END AS state
+        |  FROM orders),
+        |d1 AS (SELECT * FROM upd
+        |  WHERE NOT (k > (SELECT h FROM hi) // 2 AND k % 2 = 1)),
+        |d2 AS (SELECT * FROM d1
+        |  WHERE NOT (k > (SELECT h FROM hi) * 3 // 4))
+        |SELECT state, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(c) AS BIGINT) AS sum_c
+        |FROM d2 GROUP BY state ORDER BY state""".stripMargin,
 
     // LIMIT semantics: exactly-n rows below the table size (whichever
     // files served them), everything above it

@@ -105,6 +105,71 @@ class RowLevelSpec extends SparkSpec {
       .getLong(0) == 0L)
   }
 
+  test("DELETE planning: filter-expressible predicates take the " +
+      "SupportsDelete fast path, inexpressible ones the COW rewrite") {
+    freshTable("dpl")
+    val fast = spark.sql("EXPLAIN DELETE FROM grl.dpl WHERE k > 350")
+      .collect().head.getString(0)
+    assert(!fast.contains("ReplaceData"),
+      s"a range DELETE must not plan a rewrite:\n$fast")
+    val slow = spark.sql("EXPLAIN DELETE FROM grl.dpl WHERE k % 2 = 0")
+      .collect().head.getString(0)
+    assert(slow.contains("ReplaceData"),
+      s"a modulo DELETE needs the row-level rewrite:\n$slow")
+    // both execute correctly
+    spark.sql("DELETE FROM grl.dpl WHERE k > 350")
+    assert(spark.sql("SELECT count(*) FROM grl.dpl").head()
+      .getLong(0) == 350)
+    spark.sql("DELETE FROM grl.dpl WHERE k % 2 = 0")
+    assert(spark.sql("SELECT count(*), max(k) FROM grl.dpl").head()
+      match { case r => r.getLong(0) == 175 && r.getLong(1) == 349L })
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE touches target rows in files " +
+      "the source never reaches (group filtering must not drop them)") {
+    val root = freshTable("nms")
+    // source touches only the first file's key range; the BY SOURCE
+    // arm must still update rows in ALL files
+    Seq((10L, 1000L)).toDF("k", "nv").createOrReplaceTempView("nms_src")
+    spark.sql(
+      """MERGE INTO grl.nms t USING nms_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv, tag = 'm'
+        |WHEN NOT MATCHED BY SOURCE AND t.k > 390 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.k % 100 = 0
+        |  THEN UPDATE SET tag = 'nms'""".stripMargin)
+    val r = spark.sql(
+      "SELECT count(*), sum(CASE WHEN tag = 'nms' THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN tag = 'm' THEN 1 ELSE 0 END) FROM grl.nms").head()
+    assert(r.getLong(0) == 390, s"rows k>390 deleted: $r")
+    assert(r.getLong(1) == 3,
+      s"k=100,200,300 in THREE different files must be tagged: $r")
+    assert(r.getLong(2) == 1, s"k=10 updated via match: $r")
+    assert(spark.sql("SELECT v FROM grl.nms WHERE k = 10").head()
+      .getLong(0) == 1000L)
+  }
+
+  test("commitReplace: a concurrent rewrite of a scanned file aborts " +
+      "the row-level commit (write-serializable), nothing published") {
+    val root = freshTable("cc")
+    val snap = VersionedTable.snapshot(spark, root)
+    // victim = the file actually holding k = 1 (manifest order is not
+    // append order), so the concurrent upsert below rewrites it
+    val victim = snap.files.find(f =>
+      snap.stats(f).get("k").exists(_.min.contains("1"))).get
+    VersionedTable.upsert(Seq((1L, 999L, "cw")).toDF("k", "v", "tag"),
+      root, Seq("k"))
+    val preVersions = VersionedTable.versions(spark, root)
+    // a row-level commit planned against the OLD snapshot must refuse:
+    // its scanned file no longer exists in the head
+    val ex = intercept[Exception] {
+      VersionedTable.commitReplace(spark, root, Set(victim), Seq.empty)
+    }
+    assert(ex.getMessage.contains("conflict"),
+      s"wanted the conflict abort, got: ${ex.getMessage}")
+    assert(VersionedTable.versions(spark, root) == preVersions,
+      "failed row-level commit must not publish a version")
+  }
+
   test("row-level commits are ordinary history entries: vacuum-able, " +
       "restore-able") {
     val root = freshTable("his")
