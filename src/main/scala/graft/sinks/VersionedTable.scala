@@ -958,6 +958,48 @@ object VersionedTable {
     }
   }
 
+  /** `ALTER TABLE ... DROP COLUMN(S)`: commit the head's UNCHANGED file
+    * list under a NARROWED schema — metadata-only, the mirror of
+    * [[addColumns]] (parquet reads project by name, so the dropped
+    * column's bytes simply stop being read; they stay in the files and
+    * old versions time-travel with the full schema). RENAME COLUMN is
+    * deliberately NOT offered: without a column-mapping layer a rename
+    * would null-fill the new name on old files — silently wrong. */
+  def dropColumns(spark: SparkSession, root: String,
+      names: Seq[String]): Long = {
+    val f = fs(spark, root)
+    require(names.nonEmpty, "dropColumns: no columns given")
+    var schema: StructType = null
+    commitRetrying(spark, root, schema) { prev =>
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"no committed version under $root")
+      val m = manifest(f, root, vs.max)
+      val head = m.schema
+      val missing = names.filterNot(n =>
+        head.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(missing.isEmpty,
+        s"dropColumns: no such column(s): ${missing.mkString(", ")}")
+      // a CHECK constraint referencing a dropped column would poison
+      // every later write with an unresolved-column error — refuse now
+      // with the actionable message (Delta does the same)
+      m.constraints.foreach { case (cn, ce) =>
+        val refs = scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(ce).collect {
+            case ua: analysis.UnresolvedAttribute => ua.nameParts.head
+          }).getOrElse(Seq.empty)
+        val hit = names.filter(n => refs.exists(_.equalsIgnoreCase(n)))
+        require(hit.isEmpty,
+          s"dropColumns: column(s) ${hit.mkString(", ")} are referenced " +
+            s"by CHECK constraint '$cn' ($ce); drop the constraint first")
+      }
+      val keep = head.fields.filterNot(fd =>
+        names.exists(_.equalsIgnoreCase(fd.name)))
+      require(keep.nonEmpty, "dropColumns: cannot drop every column")
+      schema = StructType(keep)
+      prev // files unchanged: pure schema-evolution commit
+    }
+  }
+
   /** EXACTLY-ONCE streaming append: commit a micro-batch's rows with
     * the batch id recorded in the manifest; a batch id some committed
     * manifest already carries is SKIPPED (returns None), so foreachBatch

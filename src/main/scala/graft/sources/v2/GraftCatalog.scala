@@ -164,13 +164,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** Minimal `ALTER TABLE` (round 9): the two changes the lake already
+  /** Minimal `ALTER TABLE` (round 9): the changes the lake already
     * knows how to make transactionally —
     *
     *  - `ADD COLUMN(S)` → [[VersionedTable.addColumns]], a
     *    metadata-only schema-evolution commit (nullable, top-level,
     *    default position only — the shapes parquet null-fill supports
     *    without rewriting data);
+    *  - `DROP COLUMN` → [[VersionedTable.dropColumns]], the mirror
+    *    (reads stop projecting the column; files untouched, old
+    *    versions keep the full schema);
     *  - `SET TBLPROPERTIES ('constraint.<name>' = '<expr>')` /
     *    `UNSET TBLPROPERTIES ('constraint.<name>')` → CHECK-constraint
     *    add/drop (Delta's own convention for surfacing constraints as
@@ -201,6 +204,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.sql.types.StructField(add.fieldNames()(0),
             add.dataType, nullable = true,
             metadata = org.apache.spark.sql.types.Metadata.empty)))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft ALTER TABLE supports top-level DROP COLUMN only " +
+            s"(got nested ${del.fieldNames.mkString(".")})")
+        val exists = VersionedTable.snapshot(spark, root).schema
+          .fieldNames.exists(_.equalsIgnoreCase(del.fieldNames()(0)))
+        if (exists)
+          VersionedTable.dropColumns(spark, root,
+            Seq(del.fieldNames()(0)))
+        else if (del.ifExists == null || !del.ifExists.booleanValue())
+          throw new IllegalArgumentException(
+            s"no such column: ${del.fieldNames()(0)}")
       case set: TableChange.SetProperty
           if set.property.startsWith("constraint.") =>
         VersionedTable.addConstraint(spark, root,
@@ -211,7 +226,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           rm.property.stripPrefix("constraint."))
       case other =>
         throw new UnsupportedOperationException(
-          s"graft ALTER TABLE supports ADD COLUMN and " +
+          s"graft ALTER TABLE supports ADD COLUMN, DROP COLUMN and " +
             s"SET/UNSET TBLPROPERTIES ('constraint.<name>') only; got " +
             other.getClass.getSimpleName)
     }
@@ -272,6 +287,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"bad table identifier '$dotted'")
     val dir = new Path(dirOf(parts.init), checkPart(parts.last))
     require(isTable(dir), s"no graft table '$dotted' under $root")
+    dir.toString
+  }
+
+  /** Clone-target resolution: same dotted mapping as
+    * [[resolveTableDir]] but the directory must NOT already be a table
+    * (the clone creates it) and the parent namespace must exist. */
+  private[v2] def stageCloneTarget(dotted: String): String = {
+    val parts = dotted.split('.').toIndexedSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table identifier '$dotted'")
+    val dir = new Path(dirOf(parts.init), checkPart(parts.last))
+    require(!isTable(dir), s"clone target '$dotted' already exists")
+    if (parts.init.nonEmpty)
+      require(namespaceExists(parts.init.toArray),
+        s"no namespace ${parts.init.mkString(".")} for clone target")
     dir.toString
   }
 

@@ -299,6 +299,12 @@ private[v2] class GraftLakeTable(snap: VersionedTable.Snapshot,
         case cs if cs.rows.nonEmpty => cs.rows.get }))
     if (counts.forall(_.isDefined))
       m.put("num-rows", counts.flatten.sum.toString)
+    // CHECK constraints surface as 'constraint.<name>' properties — the
+    // same key shape ALTER TABLE SET/UNSET TBLPROPERTIES manipulates,
+    // so SHOW TBLPROPERTIES round-trips them (Delta's convention)
+    scala.util.Try(VersionedTable.constraints(SparkSession.active,
+      snap.root)).getOrElse(Nil).foreach { case (n, e) =>
+      m.put(s"constraint.$n", e) }
     m
   }
   override def capabilities(): util.Set[TableCapability] = {

@@ -154,8 +154,27 @@ private[v2] object GraftProcedures {
             a.getInt(2)))))
       }
     }
+    // SHALLOW CLONE in CALL form: zero-copy manifest-reference branch
+    // of a table (optionally at a pinned version) under a new dotted
+    // identifier — branching a petabyte table is O(|files|) driver
+    // metadata. The destination's namespace must exist; the clone is
+    // immediately a first-class catalog table (copy-on-write
+    // divergence, own retention — see VersionedTable.cloneShallow).
+    val clone = new Proc("clone",
+      Seq("source" -> StringType, "target" -> StringType,
+        "version" -> LongType),
+      "shallow-clone a table (zero data copied); version < 0 = head") {
+      def run(spark: SparkSession, a: InternalRow) = {
+        val src = root(a)
+        val dst = cat.stageCloneTarget(a.getUTF8String(1).toString)
+        val v = a.getLong(2)
+        (out("cloned_version" -> LongType),
+          Seq(Row(VersionedTable.cloneShallow(spark, src, dst,
+            asOf = if (v < 0) None else Some(v)))))
+      }
+    }
     Seq(vacuum, compact, restore, tag, untag, history, addConstraint,
-      dropConstraint, optimizeZorder)
+      dropConstraint, optimizeZorder, clone)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
   }
 }

@@ -213,6 +213,50 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.alt")
   }
 
+  test("DROP COLUMN narrows metadata-only; TRUNCATE TABLE; CALL clone " +
+      "branches zero-copy; SHOW TBLPROPERTIES surfaces constraints") {
+    warehouse
+    spark.sql("CREATE TABLE graft.misc (k BIGINT, v BIGINT, junk STRING)")
+    spark.sql("INSERT INTO graft.misc VALUES (1, 10, 'a'), (2, 20, 'b')")
+    // DROP COLUMN: reads stop projecting; time travel keeps it
+    spark.sql("ALTER TABLE graft.misc DROP COLUMN junk")
+    assert(spark.table("graft.misc").columns.toSeq == Seq("k", "v"))
+    assert(spark.sql("SELECT * FROM graft.misc VERSION AS OF 1")
+      .columns.contains("junk"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.misc DROP COLUMN nope") }
+    spark.sql("ALTER TABLE graft.misc DROP COLUMN IF EXISTS nope") // ok
+    // dropping a constraint's column is refused with the actionable fix
+    spark.sql("ALTER TABLE graft.misc SET TBLPROPERTIES " +
+      "('constraint.vbig' = 'v >= 10')")
+    val refuse = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.misc DROP COLUMN v") }
+    assert(refuse.getMessage.contains("vbig"), refuse.getMessage)
+    spark.sql("ALTER TABLE graft.misc UNSET TBLPROPERTIES " +
+      "('constraint.vbig')")
+    // constraints surface as properties (round-trip with SET/UNSET)
+    spark.sql("ALTER TABLE graft.misc SET TBLPROPERTIES " +
+      "('constraint.kpos' = 'k > 0')")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.misc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("constraint.kpos").contains("k > 0"), s"got $props")
+    // CALL clone: zero-copy branch, reads equal, diverges on write
+    spark.sql("CALL graft.system.clone('misc', 'misc2', -1)")
+    assert(spark.sql("SELECT sum(k) FROM graft.misc2").as[Long].head()
+      == 3)
+    spark.sql("INSERT INTO graft.misc2 VALUES (9, 90)")
+    assert(spark.sql("SELECT count(*) FROM graft.misc").as[Long].head()
+      == 2, "source unmoved by clone writes")
+    intercept[Exception] { // existing target refused
+      spark.sql("CALL graft.system.clone('misc', 'misc2', -1)") }
+    // TRUNCATE TABLE (TruncatableTable via the SupportsDelete seam)
+    spark.sql("TRUNCATE TABLE graft.misc2")
+    assert(spark.sql("SELECT count(*) FROM graft.misc2").as[Long].head()
+      == 0)
+    spark.sql("DROP TABLE graft.misc")
+    spark.sql("DROP TABLE graft.misc2")
+  }
+
   test("rename crash recovery: an interrupted move repairs itself on " +
       "the next load (marker + idempotent rebase)") {
     import org.apache.hadoop.fs.Path
