@@ -325,6 +325,42 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // round-9 lifecycle gate: CALL clone (zero-copy branch) +
+    // divergence (an insert on the clone) + TRUNCATE TABLE on the
+    // SOURCE — the clone's content must be unaffected (isolation by
+    // construction: clones reference files by identity, truncate only
+    // drops the source's manifest references). Final state of both
+    // tables oracle-exact in one statement.
+    "versioned_sql_clone" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqlclone")
+        .toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("clone_src")
+      s.sql(s"CREATE TABLE $cat.t AS " +
+        "SELECT * FROM clone_src WHERE doc_id % 2 = 0")
+      s.sql(s"CALL $cat.system.clone('t', 't2', -1)")
+      s.sql(s"INSERT INTO $cat.t2 " +
+        "SELECT * FROM clone_src WHERE doc_id % 2 = 1") // diverge
+      s.sql(s"TRUNCATE TABLE $cat.t") // source emptied AFTER the clone
+      val result = s.sql(
+        s"""SELECT source, COUNT(*) AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+           |  (SELECT COUNT(*) FROM $cat.t) AS n_src
+           |FROM $cat.t2 GROUP BY source ORDER BY source""".stripMargin)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      s.catalog.dropTempView("clone_src")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // round-9 companion to versioned_sql_merge: SQL UPDATE (row-level
     // COW rewrite, statically file-pruned by the pushed range
     // predicate — >= 3 of 4 files carried by identity, asserted) and
@@ -1481,6 +1517,14 @@ object SketchOps {
         |SELECT state, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  CAST(SUM(c) AS BIGINT) AS sum_c
         |FROM merged GROUP BY state ORDER BY state""".stripMargin,
+
+    // the clone diverged to hold every document; the truncated source
+    // holds none
+    "versioned_sql_clone" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(0 AS BIGINT) AS n_src
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // replay: conditional update, then the two deletes in order
     "versioned_sql_update" ->

@@ -92,15 +92,24 @@ private[v2] class GraftRowLevelScanBuilder(spark: SparkSession,
       .reduceOption(_ && _)
     // runtime GROUP filtering needs a SINGLE filter attribute (a
     // multi-attr group filter becomes an untranslatable struct-IN and
-    // silently no-ops — see GraftScan.filterAttributes). Heuristic:
-    // the table's LEADING stat-eligible column, the one ingest order /
-    // clustering most often aligns with. Any choice is sound — files
-    // whose bounds exclude every matching row's value of the chosen
-    // column cannot hold a match — a poor one merely prunes less.
-    val groupAttr = snap.schema.fields
-      .find(f => VersionedTable.statEligible(f.dataType) &&
-        required.fieldNames.contains(f.name))
-      .map(f => Seq(f.name))
+    // silently no-ops — see GraftScan.filterAttributes). Default
+    // heuristic: the table's LEADING stat-eligible column, the one
+    // ingest order / clustering most often aligns with;
+    // `spark.graft.rowlevel.groupFilterColumn` overrides it when the
+    // MERGE key is elsewhere. Any choice is sound — files whose bounds
+    // exclude every matching row's value of the chosen column cannot
+    // hold a match — a poor one merely prunes less.
+    val override0 = spark.conf
+      .getOption("spark.graft.rowlevel.groupFilterColumn")
+      .map(_.trim).filter(_.nonEmpty)
+      .filter(n => snap.schema.fields.exists(f => f.name == n &&
+        VersionedTable.statEligible(f.dataType)) &&
+        required.fieldNames.contains(n))
+    val groupAttr = override0.map(Seq(_)).orElse(
+      snap.schema.fields
+        .find(f => VersionedTable.statEligible(f.dataType) &&
+          required.fieldNames.contains(f.name))
+        .map(f => Seq(f.name)))
     val scan = new GraftScan(spark, snap, cond, required,
       filterAttrOverride = groupAttr)
     // FIRST build wins: the rewrite plan's main scan is planned by

@@ -170,6 +170,36 @@ class RowLevelSpec extends SparkSpec {
       "failed row-level commit must not publish a version")
   }
 
+  test("spark.graft.rowlevel.groupFilterColumn redirects group " +
+      "filtering to the clustered column") {
+    warehouse
+    val root = s"$warehouse/gfc"
+    // leading column a is scattered (i % 37 spans every file); files
+    // are range-clustered by the SECOND column b — the default
+    // leading-column heuristic cannot prune here, the override can
+    (0 until 4).foreach { bkt =>
+      VersionedTable.append((bkt * 100L + 1 to bkt * 100L + 100)
+        .map(i => (i % 37, i, "base")).toDF("a", "b", "tag")
+        .coalesce(1), root)
+    }
+    val pre = VersionedTable.snapshot(spark, root).files.toSet
+    Seq((10L, 99L), (20L, 98L)).toDF("b", "nv")
+      .createOrReplaceTempView("gfc_src")
+    spark.conf.set("spark.graft.rowlevel.groupFilterColumn", "b")
+    try spark.sql(
+      """MERGE INTO grl.gfc t USING gfc_src s ON t.b = s.b
+        |WHEN MATCHED THEN UPDATE SET a = s.nv, tag = 'm'""".stripMargin)
+    finally spark.conf.unset("spark.graft.rowlevel.groupFilterColumn")
+    val carried = VersionedTable.snapshot(spark, root).files.toSet
+      .intersect(pre).size
+    assert(carried == 3,
+      s"group filter on b must rewrite only the 1-100 file; carried " +
+        s"$carried of 4")
+    assert(spark.sql("SELECT count(*) FROM grl.gfc WHERE tag = 'm'")
+      .head().getLong(0) == 2)
+    spark.catalog.dropTempView("gfc_src")
+  }
+
   test("row-level commits are ordinary history entries: vacuum-able, " +
       "restore-able") {
     val root = freshTable("his")
