@@ -914,7 +914,7 @@ object VersionedTable {
       enforceConstraints(spark.read.schema(schema).parquet(staged: _*),
         root)
     val removedQ = removed.map(p => new Path(p).toString)
-    commitRetrying(spark, root, schema) { prev =>
+    try commitRetrying(spark, root, schema) { prev =>
       val prevSet = prev.map(p => new Path(p).toString).toSet
       val gone = removedQ.diff(prevSet)
       require(gone.isEmpty,
@@ -923,6 +923,11 @@ object VersionedTable {
           "retry the statement against the new snapshot")
       prev.filterNot(p => removedQ.contains(new Path(p).toString)) ++
         staged
+    } catch {
+      case e: Throwable => // failed commit: reclaim the staged files
+        staged.foreach(p =>
+          scala.util.Try(f.delete(new Path(p), false)))
+        throw e
     }
   }
 
