@@ -54,6 +54,12 @@ object VersionedTable {
   private val BatchMarker = "#batch:"
   private val WriterMarker = "#writer:"
   private val ConstraintMarker = "#constraint:"
+  private val PropertyMarker = "#property:"
+  private val OpMarker = "#op:"
+  private def isMarkerLine(l: String): Boolean =
+    l.startsWith(BatchMarker) || l.startsWith(WriterMarker) ||
+      l.startsWith(ConstraintMarker) || l.startsWith(PropertyMarker) ||
+      l.startsWith(OpMarker)
   // an UNTERMINATED (or torn) manifest younger than this is presumed to
   // be a live writer mid-write (create -> write -> close is
   // milliseconds), not a crashed writer's junk — recovery must not
@@ -85,7 +91,9 @@ object VersionedTable {
 
   private final case class Manifest(schema: StructType, files: Seq[String],
       batchId: Option[Long], stats: Map[String, FileStats],
-      constraints: Seq[(String, String)] = Nil)
+      constraints: Seq[(String, String)] = Nil,
+      properties: Seq[(String, String)] = Nil,
+      opInfo: Option[String] = None)
 
   private def statsToJson(s: FileStats): String =
     JsonMethods.compact(JsonMethods.render(JObject(s.toList.sortBy(_._1)
@@ -138,9 +146,7 @@ object VersionedTable {
       if (lines.isEmpty || lines.last != Terminator) None // unterminated
       else {
         val body = lines.tail.dropRight(1)
-        val fileLines = body.filterNot(l =>
-          l.startsWith(BatchMarker) || l.startsWith(WriterMarker) ||
-            l.startsWith(ConstraintMarker))
+        val fileLines = body.filterNot(isMarkerLine)
           .map { l => l.split("\t", 2) match {
             case Array(path, json) => path -> Some(json)
             case Array(path) => path -> None
@@ -155,7 +161,13 @@ object VersionedTable {
           body.collect { case l if l.startsWith(ConstraintMarker) =>
             l.stripPrefix(ConstraintMarker).split("\t", 2) match {
               case Array(n, e) => n -> e
-            } }))
+            } },
+          body.collect { case l if l.startsWith(PropertyMarker) =>
+            l.stripPrefix(PropertyMarker).split("\t", 2) match {
+              case Array(n, v0) => n -> v0
+            } },
+          body.collectFirst { case l if l.startsWith(OpMarker) =>
+            l.stripPrefix(OpMarker) }))
       }
     } finally in.close()
   }
@@ -221,8 +233,7 @@ object VersionedTable {
       val lines = new String(bytes, StandardCharsets.UTF_8).split("\n", -1)
       val out = lines.zipWithIndex.map { case (l, i) =>
         val isFileLine = i > 0 && l.nonEmpty && l != Terminator &&
-          !l.startsWith(BatchMarker) && !l.startsWith(WriterMarker) &&
-          !l.startsWith(ConstraintMarker)
+          !isMarkerLine(l)
         if (isFileLine && l.startsWith(oldQ))
           newQ + l.stripPrefix(oldQ)
         else l
@@ -447,8 +458,12 @@ object VersionedTable {
 
   /** Commit log as data (the DESCRIBE HISTORY surface): one row per
     * committed version — commit time (manifest mtime), file count,
-    * total bytes, and the streaming batch id when the commit came from
-    * [[appendBatch]]. Driver-side O(|versions|) metadata only. */
+    * total bytes, the streaming batch id when the commit came from
+    * [[appendBatch]], and the commit's operation record (the `#op:`
+    * JSON a row-level DML commit writes: command, group-filter
+    * attribute, candidate/scanned/rewritten file counts — the prune
+    * audit trail for MERGE/UPDATE/DELETE). Driver-side O(|versions|)
+    * metadata only. */
   def history(spark: SparkSession, root: String): DataFrame = {
     val f = fs(spark, root)
     import spark.implicits._
@@ -456,8 +471,10 @@ object VersionedTable {
       val m = manifest(f, root, v)
       val mtime = f.getFileStatus(manifestPath(root, v)).getModificationTime
       val bytes = m.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
-      (v, new java.sql.Timestamp(mtime), m.files.size, bytes, m.batchId)
-    }.toDF("version", "commit_time", "n_files", "total_bytes", "batch_id")
+      (v, new java.sql.Timestamp(mtime), m.files.size, bytes, m.batchId,
+        m.opInfo)
+    }.toDF("version", "commit_time", "n_files", "total_bytes", "batch_id",
+      "operation")
   }
 
   /** Tag a committed version with a stable name (release pointers:
@@ -529,15 +546,25 @@ object VersionedTable {
   /** Version resolution for timestamp time travel, shared by [[readAsOf]]
     * and the DSv2 `timestampAsOf` read option. */
   private[graft] def versionAsOfTime(spark: SparkSession, root: String,
-      asOf: Long): Long = {
+      asOf: Long): Long =
+    versionAtOrBefore(spark, root, asOf).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version committed at or before $asOf under $root"))
+
+  /** Like [[versionAsOfTime]] but the DOCUMENTED miss — a timestamp
+    * predating the first commit — returns None instead of throwing, so
+    * callers with a defined fallback (the stream's `startingTimestamp`)
+    * can catch exactly that case without a blanket Try that would also
+    * swallow missing-table and filesystem errors (advisor finding,
+    * round 9). */
+  private[graft] def versionAtOrBefore(spark: SparkSession, root: String,
+      asOf: Long): Option[Long] = {
     val f = fs(spark, root)
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed version under $root")
-    val eligible = vs.filter(v =>
+    vs.filter(v =>
       f.getFileStatus(manifestPath(root, v)).getModificationTime <= asOf)
-    require(eligible.nonEmpty,
-      s"no version committed at or before $asOf under $root")
-    eligible.max
+      .maxOption
   }
 
   /** Pinned snapshot descriptor — version + schema + the manifest's
@@ -771,6 +798,16 @@ object VersionedTable {
     commitRetrying(df.sparkSession, root, df.schema)(_ => staged)
   }
 
+  /** [[write]] with initial table properties in the same commit (the
+    * CREATE TABLE path: declared TBLPROPERTIES and the `CLUSTER BY`
+    * spec land atomically with version 0). */
+  def write(df: DataFrame, root: String,
+      properties: Seq[(String, String)]): Long = {
+    val staged = stageFiles(df, root)
+    commitRetrying(df.sparkSession, root, df.schema,
+      propertiesOverride = Some(properties))(_ => staged)
+  }
+
   /** The head version's CHECK constraints, in declaration order. */
   def constraints(spark: SparkSession, root: String)
       : Seq[(String, String)] = {
@@ -811,6 +848,67 @@ object VersionedTable {
     commitRetrying(spark, root, head.schema,
       constraintsOverride = Some(head.constraints :+ (name -> exprSql)))(
       prev => prev)
+  }
+
+  /** The head version's table properties (declaration-ordered). Unlike
+    * the derived metadata `DESCRIBE EXTENDED` surfaces, these are
+    * user/DDL-set key-value pairs committed in the manifest — the
+    * storage behind `ALTER TABLE SET TBLPROPERTIES` and the
+    * `CLUSTER BY` clustering spec ([[ClusteringProp]]). */
+  def tableProperties(spark: SparkSession, root: String)
+      : Seq[(String, String)] = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) Nil
+    else manifest(fs(spark, root), root, vs.max).properties
+  }
+
+  /** The manifest property key holding a table's declared clustering
+    * columns (comma-separated) — written by `CREATE TABLE ... CLUSTER
+    * BY`, defaulted into `CALL optimize_zorder` when no columns are
+    * given, and honored by catalog INSERTs (range-clustered staging). */
+  val ClusteringProp = "graft.clustering"
+
+  /** Set (upsert) table properties as one metadata-only commit. Keys
+    * and values must be tab/newline-free (the manifest is
+    * line-oriented). Returns the committed version. */
+  def setProperties(spark: SparkSession, root: String,
+      kvs: Seq[(String, String)]): Long = {
+    require(kvs.nonEmpty, "setProperties: nothing to set")
+    kvs.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.exists(c => c == '\t' || c == '\n'),
+        s"property keys must be tab/newline-free: '$k'")
+      require(!v.exists(c => c == '\t' || c == '\n'),
+        s"property values must be tab/newline-free ('$k')")
+    }
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val head = manifest(f, root, vs.max)
+    val merged = head.properties.filterNot(p =>
+      kvs.exists(_._1 == p._1)) ++ kvs
+    commitRetrying(spark, root, head.schema,
+      propertiesOverride = Some(merged))(prev => prev)
+  }
+
+  /** Unset table properties (missing keys are ignored, matching SQL
+    * `UNSET TBLPROPERTIES IF EXISTS` pragmatics). */
+  def unsetProperties(spark: SparkSession, root: String,
+      keys: Seq[String]): Long = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val head = manifest(f, root, vs.max)
+    commitRetrying(spark, root, head.schema,
+      propertiesOverride = Some(head.properties.filterNot(p =>
+        keys.contains(p._1))))(prev => prev)
+  }
+
+  /** The head commit's operation record (the `#op:` marker JSON written
+    * by row-level commits), if any — surfaced in `DESCRIBE EXTENDED`. */
+  def lastOperation(spark: SparkSession, root: String): Option[String] = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) None
+    else manifest(fs(spark, root), root, vs.max).opInfo
   }
 
   /** Drop a named CHECK constraint (a new commit; time travel before
@@ -886,7 +984,8 @@ object VersionedTable {
     * safely (their files are preserved, ours replace only what we
     * scanned). */
   private[graft] def commitReplace(spark: SparkSession, root: String,
-      removed: Set[String], written: Seq[String]): Long = {
+      removed: Set[String], written: Seq[String],
+      opJson: Seq[String] => Option[String] = _ => None): Long = {
     val f = fs(spark, root)
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed version under $root")
@@ -914,7 +1013,9 @@ object VersionedTable {
       enforceConstraints(spark.read.schema(schema).parquet(staged: _*),
         root)
     val removedQ = removed.map(p => new Path(p).toString)
-    try commitRetrying(spark, root, schema) { prev =>
+    try commitRetrying(spark, root, schema,
+      opInfo = opJson(staged).filterNot(j =>
+        j.exists(c => c == '\t' || c == '\n'))) { prev =>
       val prevSet = prev.map(p => new Path(p).toString).toSet
       val gone = removedQ.diff(prevSet)
       require(gone.isEmpty,
@@ -953,11 +1054,37 @@ object VersionedTable {
     commitRetrying(spark, root, schema) { prev =>
       val vs = versions(spark, root)
       require(vs.nonEmpty, s"no committed version under $root")
-      val head = manifest(f, root, vs.max).schema
+      val headM = manifest(f, root, vs.max)
+      val head = headM.schema
       val clash = cols.map(_.name).filter(n =>
         head.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(clash.isEmpty,
         s"addColumns: column(s) already exist: ${clash.mkString(", ")}")
+      // RE-ADDING a previously dropped name would RESURRECT the old
+      // values: reads project parquet by name, so any LIVE file
+      // committed under a schema that contained the name still carries
+      // its bytes, and they would reappear under the new column instead
+      // of NULLs (advisor finding, round 9 — the same no-column-mapping
+      // rationale that refuses RENAME COLUMN). Exact check: a new name
+      // is poisoned iff some retained manifest both contains the name
+      // in its schema AND references a file still live in the head
+      // (files staged after the drop only ever appear in post-drop
+      // manifests, so they never trip this; vacuuming the pre-drop
+      // manifests releases the name once the pre-drop files are gone).
+      val headFiles = headM.files.toSet
+      val poisoned = cols.map(_.name).filter { n =>
+        vs.init.exists { v =>
+          val m = manifest(f, root, v)
+          m.schema.fieldNames.exists(_.equalsIgnoreCase(n)) &&
+            m.files.exists(headFiles.contains)
+        }
+      }
+      require(poisoned.isEmpty,
+        s"addColumns: column(s) ${poisoned.mkString(", ")} were " +
+          "previously dropped and live data files still carry their " +
+          "values — re-adding the name would resurrect them instead of " +
+          "reading NULL. Rewrite the table (or vacuum past the drop) " +
+          "first, or pick a different name")
       schema = StructType(head.fields ++ cols)
       prev // files unchanged: pure schema-evolution commit
     }
@@ -1324,6 +1451,93 @@ object VersionedTable {
         :+ col("change_type"): _*)
   }
 
+  /** CHANGE FEED (the readChangeFeed analogue): net row-level changes
+    * for every commit in `(fromV, toV]`, one row per change with
+    * `change_type` ∈ {insert, update, delete} and `_commit_version` =
+    * the commit that produced it — so MERGE/UPDATE/DELETE-maintained
+    * tables can feed incremental consumers (matviews, downstream
+    * streams) without `ignoreChanges` re-emitting whole rewritten
+    * files.
+    *
+    * Scale shape — FILE-PRUNED per commit, unlike the two-snapshot
+    * [[diff]]: a commit's changes can only live in its CHURNED files
+    * (rows in carried files are identical by file identity), so
+    *  - an append-only commit (nothing removed) emits its added files'
+    *    rows as inserts — a pure parquet scan, NO join;
+    *  - a rewrite commit (MERGE/UPDATE/DELETE/upsert) joins ONLY the
+    *    removed files against ONLY the added files on `keys` —
+    *    O(churned data), not O(table). A 100 TB table whose MERGE
+    *    rewrote 3 files diffs 3 files.
+    * Layout-only commits (compact/zorder: files churn, content
+    * doesn't) still diff their churned files and correctly emit
+    * nothing. Reads use the TO version's schema on both sides (columns
+    * added in between null-fill on the old side, matching the evolve
+    * contract). `keys` must identify rows uniquely, as in [[diff]]. */
+  def changeFeed(spark: SparkSession, root: String, keys: Seq[String],
+      fromV: Long, toV: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "changeFeed needs key columns")
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.contains(fromV), s"version $fromV not in $vs")
+    val to = toV.getOrElse(vs.max)
+    require(vs.contains(to), s"version $to not in $vs")
+    val window = vs.filter(v => v > fromV && v <= to)
+    val outSchema = manifest(f, root, to).schema
+    keys.foreach(k => require(outSchema.fieldNames.contains(k),
+      s"changeFeed: no key column '$k' in ${outSchema.simpleString}"))
+    def readFiles(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+      else spark.read.schema(outSchema).parquet(files: _*)
+    val dataCols = outSchema.fieldNames.filterNot(keys.contains).toSeq
+    val feedSchema = StructType(outSchema.fields ++ Seq(
+      StructField("change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+    val empty =
+      spark.createDataFrame(new java.util.ArrayList[Row](), feedSchema)
+    val perCommit = window.map { v =>
+      val prevFiles = manifest(f, root, v - 1 match {
+        case p if vs.contains(p) => p
+        case _ => vs.filter(_ < v).max
+      }).files
+      val curFiles = manifest(f, root, v).files
+      val removed = prevFiles.filterNot(curFiles.toSet)
+      val added = curFiles.filterNot(prevFiles.toSet)
+      if (removed.isEmpty) // append-only commit: adds are pure inserts
+        readFiles(added)
+          .withColumn("change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v))
+      else {
+        def tagged(df: DataFrame, p: String) = df.select(
+          keys.map(col) ++ dataCols.map(c => col(c).as(p + c))
+            :+ lit(true).as(p + "present"): _*)
+        val j = tagged(readFiles(removed), "_o_")
+          .join(tagged(readFiles(added), "_n_"), keys, "full_outer")
+        val changed =
+          if (dataCols.isEmpty) lit(false)
+          else !dataCols.map(c => col("_o_" + c) <=> col("_n_" + c))
+            .reduce(_ && _)
+        // a key present only on the REMOVED side may still exist in a
+        // carried file (rewrites move rows between files only on
+        // compact/zorder, which add their files in the same commit) —
+        // with file-granular COW the removed side's keys are complete
+        // for the rewritten groups, so absence on the added side IS
+        // deletion within this commit
+        val change = when(col("_o_present").isNull, "insert")
+          .when(col("_n_present").isNull, "delete")
+          .when(changed, "update")
+        j.withColumn("change_type", change)
+          .filter(col("change_type").isNotNull)
+          .select(keys.map(col) ++ dataCols.map(c =>
+            when(col("change_type") === "delete", col("_o_" + c))
+              .otherwise(col("_n_" + c)).as(c))
+            ++ Seq(col("change_type"), lit(v).as("_commit_version")): _*)
+          .select(feedSchema.fieldNames.toSeq.map(col): _*)
+      }
+    }
+    perCommit.foldLeft(empty)(_.unionByName(_))
+  }
+
   /** Small-file compaction as a commit (the OPTIMIZE half of table
     * maintenance; [[vacuum]] is the other). Files smaller than
     * `smallBytes` are rewritten together into ~`targetBytes` files;
@@ -1434,6 +1648,17 @@ object VersionedTable {
       f.delete(manifestPath(root, v), false)
       f.delete(claimPath(root, v), false)
     }
+    // orphaned staging dirs: a driver crash between staging and
+    // commit/abort leaves `.stage-*` (library writes) or `.rlstage-*`
+    // (row-level DSv2 writes) behind forever — nothing else sweeps them
+    // (advisor finding, round 9). Same grace window as data files: a
+    // LIVE writer's stage dir is younger than it.
+    f.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith(".stage-") ||
+          s.getPath.getName.startsWith(".rlstage-")) &&
+        s.getModificationTime < cutoff)
+      .foreach(s => f.delete(s.getPath, true))
     dead.size
   }
 
@@ -1849,7 +2074,9 @@ object VersionedTable {
     * recovery interleaving. */
   private def commitRetrying(spark: SparkSession, root: String,
       schema: => StructType, batchMarker: Option[Long] = None,
-      constraintsOverride: Option[Seq[(String, String)]] = None)
+      constraintsOverride: Option[Seq[(String, String)]] = None,
+      propertiesOverride: Option[Seq[(String, String)]] = None,
+      opInfo: Option[String] = None)
       (nextFiles: Seq[String] => Seq[String]): Long = {
     // `schema` is by-name: nextFiles may resolve the (possibly evolved)
     // schema against the head it just read, and the manifest write below
@@ -1867,17 +2094,18 @@ object VersionedTable {
       if (attempts > 1)
         Thread.sleep(10L + scala.util.Random.nextInt(40 * attempts))
       val vs = versions(spark, root)
-      val (prev, prevStats, prevCons) =
+      val (prev, prevStats, prevCons, prevProps) =
         if (vs.isEmpty)
           (Seq.empty[String], Map.empty[String, FileStats],
-            Seq.empty[(String, String)])
+            Seq.empty[(String, String)], Seq.empty[(String, String)])
         else {
           val m = manifest(f, root, vs.max)
-          (m.files, m.stats, m.constraints)
+          (m.files, m.stats, m.constraints, m.properties)
         }
-      // constraints ride every commit unchanged unless this commit IS
-      // the constraint change (add/drop)
+      // constraints and table properties ride every commit unchanged
+      // unless this commit IS the change (add/drop/set/unset)
       val cons = constraintsOverride.getOrElse(prevCons)
+      val props = propertiesOverride.getOrElse(prevProps)
       val files = nextFiles(prev)
       val v = if (vs.isEmpty) 0L else vs.max + 1
       val target = manifestPath(root, v)
@@ -1916,6 +2144,8 @@ object VersionedTable {
         files.sorted.map(p => p + statsLine(p) + "\n").mkString +
         batchMarker.fold("")(id => s"$BatchMarker$id\n") +
         cons.map { case (n, e) => s"$ConstraintMarker$n\t$e\n" }.mkString +
+        props.map { case (n, v0) => s"$PropertyMarker$n\t$v0\n" }.mkString +
+        opInfo.fold("")(j => s"$OpMarker$j\n") +
         WriterMarker + java.util.UUID.randomUUID().toString + "\n" +
         Terminator + "\n").getBytes(StandardCharsets.UTF_8)
       val claimed = atomicCreate(f, claimP) &&

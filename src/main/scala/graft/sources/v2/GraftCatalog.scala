@@ -146,21 +146,61 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       dir.toString, Math.floorDiv(timestampMicros, 1000L))))
   }
 
+  /** Catalog-reserved / engine-managed property keys that must not be
+    * persisted as user table properties. */
+  private val reservedProps: Set[String] = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+    TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables manage their own layout (clustered/z-ordered " +
-        "commits, manifest stats); PARTITIONED BY is not supported")
+    // CLUSTER BY (round 10): the DECLARATIVE face of the lake's layout
+    // machinery. The clustering spec is stored as a table property;
+    // `CALL optimize_zorder` defaults its columns from it and catalog
+    // INSERTs range-cluster their staged files on it (tight manifest
+    // min/max -> stats pruning on the cluster keys — the lake's native
+    // analogue of partitioning, which stays rejected: a directory
+    // layout would bypass the manifest's stats index).
+    val clustering: Option[Seq[String]] = partitions.toSeq match {
+      case Nil => None
+      case Seq(org.apache.spark.sql.connector.expressions
+          .ClusterByTransform(cols)) =>
+        val names = cols.map(_.fieldNames.mkString("."))
+        names.foreach { n =>
+          require(schema.fieldNames.contains(n),
+            s"CLUSTER BY column '$n' is not a top-level table column")
+          require(VersionedTable.statEligible(schema(n).dataType),
+            s"CLUSTER BY column '$n' (${schema(n).dataType.simpleString}" +
+              ") carries no manifest stats; clustering on it cannot " +
+              "prune reads")
+        }
+        Some(names)
+      case other =>
+        throw new UnsupportedOperationException(
+          "graft tables manage their own layout (clustered/z-ordered " +
+            "commits, manifest stats); PARTITIONED BY is not supported " +
+            s"— use CLUSTER BY (got: ${other.mkString(", ")})")
+    }
     val dir = dirOf(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val parentNs = ident.namespace.toIndexedSeq
     if (parentNs.nonEmpty && !namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
+    // persist declared TBLPROPERTIES (minus engine-reserved keys) and
+    // the clustering spec atomically with v0
+    val userProps = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toSeq.filterNot { case (k, _) =>
+        reservedProps.contains(k) || k.startsWith("option.") }
+    }
+    val props = userProps ++ clustering.map(cs =>
+      VersionedTable.ClusteringProp -> cs.mkString(","))
     // v0 = the declared schema, zero files: a real, readable snapshot
     VersionedTable.write(spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
-      dir.toString)
+      dir.toString, props)
     loadTable(ident)
   }
 
@@ -189,8 +229,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     recoverRename(dir)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val root = dir.toString
-    changes.foreach {
-      case add: TableChange.AddColumn =>
+    // ALL AddColumn changes of the statement go through ONE
+    // VersionedTable.addColumns commit: `ADD COLUMNS (a, b)` is atomic
+    // — a validation failure on b leaves a uncommitted too (advisor
+    // finding, round 9; per-change commits left the table half-evolved
+    // with Spark reporting the statement failed).
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.nonEmpty) {
+      adds.foreach { add =>
         require(add.fieldNames.length == 1,
           "graft ALTER TABLE supports top-level ADD COLUMN only " +
             s"(got nested ${add.fieldNames.mkString(".")})")
@@ -200,10 +246,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.isNullable,
           "graft ALTER TABLE: new columns must be nullable (existing " +
             "rows carry no value)")
-        VersionedTable.addColumns(spark, root, Seq(
-          org.apache.spark.sql.types.StructField(add.fieldNames()(0),
-            add.dataType, nullable = true,
-            metadata = org.apache.spark.sql.types.Metadata.empty)))
+      }
+      VersionedTable.addColumns(spark, root, adds.map(add =>
+        org.apache.spark.sql.types.StructField(add.fieldNames()(0),
+          add.dataType, nullable = true,
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+    }
+    // likewise one commit for all non-constraint SET/UNSET properties
+    val setProps = changes.collect {
+      case s: TableChange.SetProperty
+        if !s.property.startsWith("constraint.") => s.property -> s.value }
+    val unsetProps = changes.collect {
+      case r: TableChange.RemoveProperty
+        if !r.property.startsWith("constraint.") => r.property }
+    setProps.foreach { case (k, _) => require(
+      k != VersionedTable.ClusteringProp,
+      s"${VersionedTable.ClusteringProp} is set by CREATE TABLE ... " +
+        "CLUSTER BY; altering it via TBLPROPERTIES would silently " +
+        "re-route future inserts") }
+    if (setProps.nonEmpty)
+      VersionedTable.setProperties(spark, root, setProps)
+    if (unsetProps.nonEmpty)
+      VersionedTable.unsetProperties(spark, root, unsetProps)
+    changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
+      (c match {
+        case s: TableChange.SetProperty =>
+          !s.property.startsWith("constraint.")
+        case r: TableChange.RemoveProperty =>
+          !r.property.startsWith("constraint.")
+        case _ => false
+      })).foreach {
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           "graft ALTER TABLE supports top-level DROP COLUMN only " +
@@ -227,7 +299,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other =>
         throw new UnsupportedOperationException(
           s"graft ALTER TABLE supports ADD COLUMN, DROP COLUMN and " +
-            s"SET/UNSET TBLPROPERTIES ('constraint.<name>') only; got " +
+            s"SET/UNSET TBLPROPERTIES only; got " +
             other.getClass.getSimpleName)
     }
     loadTable(ident)

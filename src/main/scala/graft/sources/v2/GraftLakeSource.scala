@@ -94,7 +94,12 @@ class GraftLakeSource extends TableProvider with DataSourceRegister
         "reads need an existing table (write one first)")
     val pinned = GraftLakeSource.relaxed(
       VersionedTable.snapshot(spark, root).schema)
-    (shortName(), schema.getOrElse(pinned))
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val out =
+      if (lower.get("readchangefeed").exists(_.trim.toBoolean))
+        GraftLakeSource.changeFeedSchema(pinned)
+      else pinned
+    (shortName(), schema.getOrElse(out))
   }
 
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
@@ -118,12 +123,27 @@ class GraftLakeSource extends TableProvider with DataSourceRegister
     // the timestamp counts as already processed, the stream emits
     // commits strictly after it. A timestamp predating the first commit
     // resolves to -1 (stream every commit's adds from version 0).
+    // versionAtOrBefore returns None ONLY for the documented miss (a
+    // timestamp predating the first commit); missing-table and
+    // filesystem errors PROPAGATE instead of silently replaying the
+    // whole history (advisor finding, round 9)
     val startingTs: Option[Long] = lower.get("startingtimestamp")
       .map { raw =>
         val ms = parseMillis(raw.trim)
-        scala.util.Try(
-          VersionedTable.versionAsOfTime(spark, root, ms)).getOrElse(-1L)
+        VersionedTable.versionAtOrBefore(spark, root, ms).getOrElse(-1L)
       }
+    // readChangeFeed=true turns the stream into the CDC face: each
+    // micro-batch carries net insert/update/delete rows (+change_type,
+    // +_commit_version) computed from churned files only — the path
+    // that lets SQL-MERGE-maintained tables feed downstream streams
+    // without ignoreChanges (which re-emits whole rewritten files)
+    val cdc = lower.get("readchangefeed").exists(_.trim.toBoolean)
+    val cdcKeys = lower.get("changefeedkeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    require(!cdc || cdcKeys.nonEmpty,
+      "graft stream: readChangeFeed=true needs changeFeedKeys=<k1,k2,…>" +
+        " (net row changes are keyed diffs)")
     new GraftStreamSource(spark, root,
       startingVersion = lower.get("startingversion").map(_.trim.toLong)
         .orElse(startingTs),
@@ -132,7 +152,8 @@ class GraftLakeSource extends TableProvider with DataSourceRegister
       maxVersionsPerTrigger = lower.get("maxversionspertrigger")
         .map(_.trim.toInt),
       pinnedSchema = sourceSchema(sqlContext, schema, providerName,
-        parameters)._2)
+        parameters)._2,
+      changeFeedKeys = if (cdc) cdcKeys else None)
   }
 
   /** V1 seam for the SaveModes the V2 writer API doesn't carry
@@ -222,14 +243,80 @@ class GraftLakeSource extends TableProvider with DataSourceRegister
 
   override def supportsExternalMetadata(): Boolean = false
 
+  // batch CHANGE-FEED face: spark.read.format("graft")
+  //   .option("readChangeFeed", true).option("changeFeedKeys", "k")
+  //   .option("startingVersion", 2)[.option("endingVersion", 5)]
+  //   .load(root)
+  // serves the net row-level changes of commits in (starting, ending]
+  // (VersionedTable.changeFeed — churned-files-only per commit), as a
+  // plain DataFrame with change_type/_commit_version appended.
+  private def cdfRequested(get: String => String): Boolean =
+    Option(get("readChangeFeed")).exists(_.trim.toBoolean)
+
+  private def cdfTable(get: String => String): GraftChangeFeedTable = {
+    def opt(k: String) = Option(get(k)).map(_.trim).filter(_.nonEmpty)
+    val root = opt("path").getOrElse(throw new IllegalArgumentException(
+      "graft change feed needs a table root"))
+    val keys = opt("changeFeedKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft change feed needs changeFeedKeys=<k1,k2,…> (net row " +
+          "changes are keyed diffs)"))
+    val spark = SparkSession.active
+    val vs = VersionedTable.versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val from = opt("startingVersion").map(_.toLong).getOrElse(vs.min)
+    val to = opt("endingVersion").map(_.toLong).getOrElse(vs.max)
+    new GraftChangeFeedTable(root, keys, from, to,
+      GraftLakeSource.changeFeedSchema(GraftLakeSource.relaxed(
+        VersionedTable.snapshot(spark, root, Some(to)).schema)))
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options.get).schema
+    if (cdfRequested(options.get)) cdfTable(options.get).schema()
+    else resolve(options.get).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val cis = new CaseInsensitiveStringMap(properties)
-    new GraftLakeTable(resolve(cis.get))
+    if (cdfRequested(cis.get)) cdfTable(cis.get)
+    else new GraftLakeTable(resolve(cis.get))
   }
+}
+
+/** The batch change-feed as a V2 table over a [[V1Scan]] seam: the feed
+  * is a per-commit diff JOIN (not a file scan), and a V1 `TableScan`
+  * hands Spark its fully-distributed RDD without re-implementing a
+  * reader — the same bridge pattern the JDBC source uses. The feed
+  * plan (and its RDD) is lazy: nothing executes at load()/schema
+  * time. */
+private[v2] class GraftChangeFeedTable(root: String, keys: Seq[String],
+    fromV: Long, toV: Long, feedSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft.`$root` changes ($fromV, $toV]"
+  override def schema(): StructType = feedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () =>
+    new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = feedSchema
+      override def toV1TableScan[T <: BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        new BaseRelation with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = feedSchema
+          override def buildScan()
+              : org.apache.spark.rdd.RDD[Row] =
+            VersionedTable.changeFeed(context.sparkSession, root, keys,
+              fromV, Some(toV)).rdd
+        }.asInstanceOf[T]
+      override def description(): String =
+        s"GraftChangeFeedScan $root ($fromV, $toV]"
+    }
 }
 
 /** One pinned lake snapshot as a V2 table. Reads plan from the pinned
@@ -252,8 +339,18 @@ private[v2] class GraftLakeTable(snap: VersionedTable.Snapshot,
     acceptAnySchema: Boolean = true)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft.`${snap.root}` @v${snap.version}"
+
+  /** `_graft_file` (Iceberg's `_file` analogue) — suppressed on the
+    * off chance a DATA column claims the name, per the
+    * SupportsMetadataColumns contract (data columns win). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (snap.schema.fieldNames.exists(
+        _.equalsIgnoreCase(GraftFileMeta.Name))) Array.empty
+    else Array(GraftFileMeta.column)
 
   /** Filter-expressible `DELETE FROM t WHERE ...` short-circuits to the
     * library's file-pruned [[VersionedTable.deleteWhere]] (one commit,
@@ -305,6 +402,14 @@ private[v2] class GraftLakeTable(snap: VersionedTable.Snapshot,
     scala.util.Try(VersionedTable.constraints(SparkSession.active,
       snap.root)).getOrElse(Nil).foreach { case (n, e) =>
       m.put(s"constraint.$n", e) }
+    // user/DDL table properties committed in the manifest (CLUSTER BY
+    // stores graft.clustering here), and the head commit's operation
+    // record — the DML prune audit (chosen group filter, candidate vs
+    // rewritten file counts) in DESCRIBE EXTENDED
+    scala.util.Try(VersionedTable.tableProperties(SparkSession.active,
+      snap.root)).getOrElse(Nil).foreach { case (k, v) => m.put(k, v) }
+    scala.util.Try(VersionedTable.lastOperation(SparkSession.active,
+      snap.root)).toOption.flatten.foreach(j => m.put("last-operation", j))
     m
   }
   override def capabilities(): util.Set[TableCapability] = {
@@ -371,10 +476,35 @@ private[v2] class GraftWriteBuilder(root: String, replace: Boolean,
                     .as(f.name)): _*)
               case _ => data.toDF()
             }
+            // a table declared CLUSTER BY range-clusters every insert
+            // on its clustering columns before staging, so each data
+            // file covers a narrow key interval and manifest min/max
+            // stats prune reads on the cluster keys from the first
+            // commit on (the imperative half is CALL optimize_zorder,
+            // which re-layouts accumulated history). AQE coalescing
+            // right-sizes the range partitions, so small inserts don't
+            // shatter into shuffle-partition-many tiny files.
+            val clusterCols = scala.util.Try(
+              VersionedTable.tableProperties(spark, root)).getOrElse(Nil)
+              .collectFirst {
+                case (VersionedTable.ClusteringProp, v) =>
+                  v.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
+              .filter(cs => cs.nonEmpty &&
+                cs.forall(aligned.columns.contains))
+            val toWrite = clusterCols match {
+              case Some(cs) => aligned
+                .repartitionByRange(
+                  spark.sessionState.conf.numShufflePartitions,
+                  cs.map(c => org.apache.spark.sql.functions
+                    .col(s"`$c`")): _*)
+                .sortWithinPartitions(cs.map(c =>
+                  org.apache.spark.sql.functions.col(s"`$c`")): _*)
+              case None => aligned
+            }
             if (replace || overwrite ||
                 VersionedTable.versions(spark, root).isEmpty)
-              VersionedTable.write(aligned, root)
-            else VersionedTable.append(aligned, root)
+              VersionedTable.write(toWrite, root)
+            else VersionedTable.append(toWrite, root)
             ()
           }
         }
@@ -528,16 +658,46 @@ private[graft] class GraftScan(spark: SparkSession,
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
+  /** `_graft_file` handling: when the required schema carries the
+    * metadata column, the DATA columns still go to the delegated
+    * parquet scan and the constant is appended per file by the
+    * partition/reader wrappers ([[GraftFileTaggedPartition]]). The
+    * metadata column always TRAILS the data columns in a DSv2
+    * relation's output — asserted here because the wrappers append at
+    * the end. */
+  private val metaRequested =
+    required.fieldNames.contains(GraftFileMeta.Name) &&
+      !snap.schema.fieldNames.exists(_.equalsIgnoreCase(GraftFileMeta.Name))
+  if (metaRequested) require(
+    required.fields.last.name == GraftFileMeta.Name,
+    s"metadata column ${GraftFileMeta.Name} must trail the data " +
+      s"columns; got ${required.fieldNames.mkString(", ")}")
+  private val dataRequired: StructType =
+    if (!metaRequested) required
+    else StructType(required.fields.filterNot(
+      _.name == GraftFileMeta.Name))
+
   @volatile private var runtimeCond: Option[Column] = None
+  /** Runtime GROUP filter by exact file identity (`_graft_file IN
+    * (...)` from the row-level rewrite's matching-rows subquery):
+    * intersect the planned file list directly — O(|files|) set
+    * lookups, no stats evaluation, never value-count-bounded. */
+  @volatile private var runtimeFiles: Option[Set[String]] = None
   @volatile private var currentKept: Seq[String] = snap.files
+  /** File count after STATIC pruning only (pre any runtime filter) —
+    * the "candidate files" figure the row-level commit audits. */
+  @volatile private[v2] var staticKeptCount: Int = -1
   @volatile private var inner: Scan = buildInner()
 
   private def buildInner(): Scan = {
     val cond = Seq(pushedCond, runtimeCond).flatten.reduceOption(_ && _)
-    val pruned = cond match {
+    val pruned0 = cond match {
       case Some(c) => VersionedTable.pruneFiles(spark, snap, c)
       case None => snap.files
     }
+    val pruned = runtimeFiles.fold(pruned0)(s => pruned0.filter(s.contains))
+    if (runtimeCond.isEmpty && runtimeFiles.isEmpty)
+      staticKeptCount = pruned.size
     // unfiltered LIMIT: stop adding files once manifest row counts
     // cover it — only when EVERY file carries a count (the cut must be
     // provably sufficient) and no predicate is in play
@@ -568,7 +728,7 @@ private[graft] class GraftScan(spark: SparkSession,
       VersionedTable.resolvePredicate(spark, snap.schema, c)
         .foreach(e => pb.pushFilters(Seq(e)))
     }
-    pb.pruneColumns(required)
+    pb.pruneColumns(dataRequired)
     pb.build()
   }
 
@@ -615,11 +775,39 @@ private[graft] class GraftScan(spark: SparkSession,
   }
 
   override def planInputPartitions()
-      : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    inner.toBatch.planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val base = inner.toBatch.planInputPartitions()
+    if (!metaRequested) base
+    else {
+      // the per-file constant needs single-file partitions: split each
+      // bin-packed FilePartition by file (chunks of one large file stay
+      // together per original packing; only cross-FILE packing is
+      // undone — the row-level rewrite reads whole files anyway). Tag
+      // each with the MANIFEST's path string so the emitted value
+      // intersects exactly against the snapshot's file list.
+      val manifestPath = currentKept
+        .map(s => new Path(s).toString -> s).toMap
+      base.flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.groupBy(_.toPath.toString).toSeq.sortBy(_._1)
+            .map { case (p, chunks) =>
+              GraftFileTaggedPartition(
+                org.apache.spark.sql.execution.datasources
+                  .FilePartition(fp.index, chunks),
+                manifestPath.getOrElse(p, p)): org.apache.spark.sql
+                .connector.read.InputPartition
+            }
+        case other => throw new IllegalStateException(
+          s"graft ${GraftFileMeta.Name} scan expected FilePartitions " +
+            s"from the delegated parquet scan, got $other")
+      }
+    }
+  }
   override def createReaderFactory()
-      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    inner.toBatch.createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val f = inner.toBatch.createReaderFactory()
+    if (!metaRequested) f else GraftFileTagReaderFactory(f)
+  }
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
 
@@ -649,16 +837,36 @@ private[graft] class GraftScan(spark: SparkSession,
     * group filters silently no-op (single-attr is also why Iceberg
     * exposes only `_file` there). */
   override def filter(filters: Array[sources.Filter]): Unit = {
-    val tooBig = filters.exists {
+    // `_graft_file IN (...)` — the EXACT group filter of the row-level
+    // path (and of any join on the metadata column): file identity,
+    // not value stats, so it is never wrong, never partial, and not
+    // subject to the MaxRuntimeInValues cap (set intersection is
+    // O(|files|) regardless of list size)
+    val (fileF, valueF) = filters.partition {
+      case sources.In(GraftFileMeta.Name, _) => true
+      case sources.EqualTo(GraftFileMeta.Name, _) => true
+      case _ => false
+    }
+    val fileSet: Option[Set[String]] = fileF.toSeq match {
+      case Nil => None
+      case fs => Some(fs.map {
+        case sources.In(_, vs) =>
+          vs.toSet.flatMap((v: Any) => Option(v).map(_.toString))
+        case sources.EqualTo(_, v) => Set(v.toString)
+        case other => throw new IllegalStateException(s"unreachable $other")
+      }.reduce(_ intersect _))
+    }
+    val tooBig = valueF.exists {
       case sources.In(_, vs) => vs.length > GraftScan.MaxRuntimeInValues
       case _ => false
     }
     val fields = snap.schema.fields.map(_.name).toSet
     val cond = if (tooBig) None
-      else filters.toSeq.flatMap(GraftScanBuilder.toColumn(_, fields))
+      else valueF.toSeq.flatMap(GraftScanBuilder.toColumn(_, fields))
         .reduceOption(_ && _)
-    cond.foreach { c =>
-      runtimeCond = Some(c)
+    if (cond.nonEmpty || fileSet.nonEmpty) {
+      fileSet.foreach(s => runtimeFiles = Some(s))
+      cond.foreach(c => runtimeCond = Some(c))
       inner = buildInner() // re-prune + re-push to row-group level
     }
   }
@@ -745,6 +953,15 @@ private[v2] class GraftLocalAggScan(spark: SparkSession,
 }
 
 private[v2] object GraftLakeSource {
+  /** The change feed's output schema: the table schema plus
+    * `change_type` (insert/update/delete) and `_commit_version`. */
+  def changeFeedSchema(base: StructType): StructType = {
+    import org.apache.spark.sql.types._
+    StructType(base.fields ++ Seq(
+      StructField("change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+  }
+
   /** Everything-nullable view of a schema (what `spark.read.parquet`
     * itself serves, whatever the declared schema says). */
   def relaxed(s: org.apache.spark.sql.types.StructType)

@@ -140,18 +140,39 @@ private[v2] object GraftProcedures {
     val optimizeZorder = new Proc("optimize_zorder",
       Seq("table" -> StringType, "columns" -> StringType,
         "n_files" -> IntegerType),
-      "rewrite the head Z-ordered on the given columns (multi-" +
-        "dimensional clustering; old versions keep their files until " +
-        "vacuum)") {
+      "rewrite the head Z-ordered (columns default to the table's " +
+        "CLUSTER BY spec, n_files to the current file count; old " +
+        "versions keep their files until vacuum)") {
+      // columns/n_files are OPTIONAL: '' resolves to the table's
+      // declared CLUSTER BY columns (graft.clustering property), 0 to
+      // the head's current file count — `CALL optimize_zorder('db.t')`
+      // is the whole periodic layout job for a CLUSTER BY table
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("columns", StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("n_files", IntegerType)
+          .defaultValue("0").build())
       def run(spark: SparkSession, a: InternalRow) = {
-        val cols = a.getUTF8String(1).toString.split(",")
-          .map(_.trim).filter(_.nonEmpty)
+        val r = root(a)
+        val given = Option(a.getUTF8String(1)).map(_.toString)
+          .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val cols =
+          if (given.nonEmpty) given
+          else VersionedTable.tableProperties(spark, r)
+            .collectFirst { case (VersionedTable.ClusteringProp, v) =>
+              v.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
+            .getOrElse(Seq.empty)
         require(cols.nonEmpty,
-          "optimize_zorder needs at least one column (comma-separated)")
+          "optimize_zorder: no columns given and the table declares " +
+            "no CLUSTER BY spec")
+        val nGiven = if (a.isNullAt(2)) 0 else a.getInt(2)
+        val n = if (nGiven > 0) nGiven
+          else math.max(1, VersionedTable.snapshot(spark, r).files.size)
         (out("new_version" -> LongType),
-          Seq(Row(VersionedTable.compactZOrdered(spark, root(a),
+          Seq(Row(VersionedTable.compactZOrdered(spark, r,
             cols.toIndexedSeq.map(org.apache.spark.sql.functions.col),
-            a.getInt(2)))))
+            n))))
       }
     }
     // SHALLOW CLONE in CALL form: zero-copy manifest-reference branch

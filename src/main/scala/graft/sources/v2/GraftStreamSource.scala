@@ -58,7 +58,8 @@ private[v2] case class GraftSourceOffset(version: Long) extends Offset {
   * the stream restarts), matching lake-format streaming semantics. */
 private[v2] class GraftStreamSource(spark: SparkSession, root: String,
     startingVersion: Option[Long], ignoreChanges: Boolean,
-    maxVersionsPerTrigger: Option[Int], pinnedSchema: StructType)
+    maxVersionsPerTrigger: Option[Int], pinnedSchema: StructType,
+    changeFeedKeys: Option[Seq[String]] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, Offset => OffsetV2}
@@ -126,6 +127,38 @@ private[v2] class GraftStreamSource(spark: SparkSession, root: String,
     val startV: Option[Long] =
       start.map(ver).orElse(startingVersion)
     if (endV > lastEnd) lastEnd = endV
+    // CHANGE-FEED mode (readChangeFeed=true + changeFeedKeys): the
+    // micro-batch is the NET row-level changes of the commit window —
+    // per-commit, churned-files-only diffs (VersionedTable.changeFeed),
+    // so MERGE/UPDATE/DELETE-maintained tables feed downstream streams
+    // with insert/update/delete rows instead of failing loud or
+    // re-emitting whole rewritten files under ignoreChanges. Replay is
+    // exactly-once: a version window maps deterministically to the
+    // same manifests, and the diff of immutable files is itself
+    // deterministic. The initial batch (no start offset) serves the
+    // base snapshot as inserts at the base version, so a consumer
+    // can bootstrap state and then apply increments.
+    changeFeedKeys match {
+      case Some(keys) =>
+        val base = startV.filter(_ >= 0).getOrElse(-1L)
+        val vs = VersionedTable.versions(spark, root)
+        val lo = if (base >= 0) base else vs.min
+        val feed = VersionedTable.changeFeed(spark, root, keys,
+          fromV = lo, toV = Some(endV))
+        val withSnapshot =
+          if (base >= 0) feed // pure increment window (base, endV]
+          else { // bootstrap: snapshot at vs.min as inserts + increments
+            import org.apache.spark.sql.functions.lit
+            val snap0 = VersionedTable.read(spark, root, Some(vs.min))
+              .withColumn("change_type", lit("insert"))
+              .withColumn("_commit_version", lit(vs.min))
+            snap0.unionByName(feed)
+          }
+        return StreamBridge.streamingBatch(
+          withSnapshot.select(pinnedSchema.fieldNames.toIndexedSeq
+            .map(org.apache.spark.sql.functions.col): _*))
+      case None => ()
+    }
     val endSnap = VersionedTable.snapshot(spark, root, Some(endV))
     startV match {
       case None =>

@@ -28,6 +28,20 @@ object StreamBridge {
         ds.queryExecution.toRdd, ds, isStreaming = false))
   }
 
+  /** An arbitrary batch DataFrame as a streaming-flagged micro-batch:
+    * pin its RDD lineage under a streaming LogicalRDD. Unlike
+    * [[streamingParquet]] (leaf-relation flip), this works for JOIN
+    * plans — the change-feed batches are per-commit diff joins that
+    * must execute with BATCH semantics inside the micro-batch (flipping
+    * their leaves would turn them into stateful streaming joins). The
+    * RDD is lazy: the diff computes when the micro-batch runs. */
+  def streamingBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    PlanBridge.ofRows(df.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = true))
+  }
+
   /** A streaming-flagged parquet read of `files` (an empty streaming
     * relation when the batch carries no files — e.g. a constraint-only
     * or tag-only lake commit added no data). */

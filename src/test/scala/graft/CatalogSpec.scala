@@ -203,11 +203,18 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.alt VALUES (4, -1, 'ok')")
     assert(spark.sql("SELECT count(*) FROM graft.alt")
       .as[Long].head() == 4)
+    // general TBLPROPERTIES (round 10): committed in the manifest,
+    // round-trip through SHOW TBLPROPERTIES, unset removes
+    spark.sql("ALTER TABLE graft.alt SET TBLPROPERTIES ('x' = 'y')")
+    assert(spark.sql("SHOW TBLPROPERTIES graft.alt")
+      .filter(col("key") === "x").select("value").as[String]
+      .collect().toSeq == Seq("y"))
+    spark.sql("ALTER TABLE graft.alt UNSET TBLPROPERTIES ('x')")
+    assert(spark.sql("SHOW TBLPROPERTIES graft.alt")
+      .filter(col("key") === "x").count() == 0)
     // unsupported shapes fail loud
     intercept[Exception] {
       spark.sql("ALTER TABLE graft.alt RENAME COLUMN v TO w") }
-    intercept[Exception] {
-      spark.sql("ALTER TABLE graft.alt SET TBLPROPERTIES ('x' = 'y')") }
     intercept[Exception] { // duplicate (case-insensitive) column
       spark.sql("ALTER TABLE graft.alt ADD COLUMN K STRING") }
     spark.sql("DROP TABLE graft.alt")
@@ -255,6 +262,87 @@ class CatalogSpec extends SparkSpec {
       == 0)
     spark.sql("DROP TABLE graft.misc")
     spark.sql("DROP TABLE graft.misc2")
+  }
+
+  test("CREATE TABLE ... CLUSTER BY: spec stored as a property, " +
+      "inserts range-cluster, optimize_zorder defaults its columns") {
+    warehouse
+    spark.sql("CREATE TABLE graft.cb (x BIGINT, y BIGINT, p STRING) " +
+      "CLUSTER BY (x, y)")
+    assert(spark.sql("SHOW TBLPROPERTIES graft.cb")
+      .filter(col("key") === VersionedTable.ClusteringProp)
+      .select("value").as[String].collect().toSeq == Seq("x,y"),
+      "CLUSTER BY must persist as the clustering property")
+    // hash-scattered insert: row i lands at (i%101, i/101) — no ingest
+    // order correlation with either clustering key
+    import scala.util.Random
+    val r = new Random(7)
+    val rows = r.shuffle((0L until 4000L).toVector)
+      .map(i => (i % 101, i / 101, s"p$i"))
+    rows.toDF("x", "y", "p").createOrReplaceTempView("cb_src")
+    spark.sql("INSERT INTO graft.cb SELECT * FROM cb_src")
+    val root = spark.conf.get("spark.sql.catalog.graft.root") + "/cb"
+    // clustered INSERT: x-ranges must be near-disjoint across files,
+    // so a selective x filter prunes most files at the manifest
+    val preFiles = VersionedTable.snapshot(spark, root).files.size
+    if (preFiles > 1) {
+      val kept = VersionedTable.readWhere(spark, root,
+        col("x") === 7L).inputFiles.length
+      assert(kept < preFiles,
+        s"clustered insert must let x=7 prune: kept $kept of $preFiles")
+    }
+    // scatter the layout (plain library appends bypass the catalog's
+    // clustering), then CALL optimize_zorder with NO column / n_files
+    // arguments: columns default from CLUSTER BY, and the z-order
+    // restores multi-dimensional pruning
+    VersionedTable.append(rows.map { case (x, y, p) =>
+      (x, y, p + "z") }.toDF("x", "y", "p").repartition(8), root)
+    val content = spark.table("graft.cb").orderBy("x", "y", "p")
+      .collect().toSeq
+    spark.sql("CALL graft.system.optimize_zorder('cb')")
+    val snap = VersionedTable.snapshot(spark, root)
+    val quadrant = VersionedTable.readWhere(spark, root,
+      col("x") < 25L && col("y") < 10L)
+    assert(quadrant.inputFiles.length < snap.files.size,
+      s"z-order from the CLUSTER BY spec must quadrant-prune: read " +
+        s"${quadrant.inputFiles.length} of ${snap.files.size}")
+    assert(spark.table("graft.cb").orderBy("x", "y", "p")
+      .collect().toSeq == content, "layout job must not change content")
+    // PARTITIONED BY stays rejected (directory layouts bypass stats)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.cbp (k BIGINT) PARTITIONED BY (k)") }
+    spark.sql("DROP TABLE graft.cb")
+    spark.catalog.dropTempView("cb_src")
+  }
+
+  test("ALTER TABLE ADD COLUMNS is atomic: a bad second column leaves " +
+      "the first uncommitted; re-adding a dropped name is refused " +
+      "while its data files live") {
+    warehouse
+    spark.sql("CREATE TABLE graft.atomic (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.atomic VALUES (1, 10)")
+    // second ADD collides (case-insensitive) -> NEITHER column lands
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.atomic ADD COLUMNS (a STRING, V LONG)")
+    }
+    assert(spark.table("graft.atomic").columns.toSeq == Seq("k", "v"),
+      "failed ADD COLUMNS must leave the schema untouched (atomicity)")
+    // drop v, then re-add: the live file still carries v's bytes —
+    // refusing prevents silent value resurrection (advisor finding)
+    spark.sql("ALTER TABLE graft.atomic DROP COLUMN v")
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.atomic ADD COLUMN v BIGINT") }
+    assert(ex.getMessage.contains("resurrect"), ex.getMessage)
+    // a FRESH name is fine, and after a full rewrite (the files no
+    // longer predate the drop) the old name frees up again
+    spark.sql("ALTER TABLE graft.atomic ADD COLUMN w BIGINT")
+    spark.sql("INSERT OVERWRITE graft.atomic VALUES (1, 99)")
+    spark.sql("ALTER TABLE graft.atomic ADD COLUMN v BIGINT")
+    assert(spark.table("graft.atomic").columns.toSeq ==
+      Seq("k", "w", "v"))
+    assert(spark.sql("SELECT v FROM graft.atomic WHERE k = 1").head()
+      .isNullAt(0), "re-added column reads NULL, not resurrected bytes")
+    spark.sql("DROP TABLE graft.atomic")
   }
 
   test("rename crash recovery: an interrupted move repairs itself on " +

@@ -200,6 +200,107 @@ class RowLevelSpec extends SparkSpec {
     spark.catalog.dropTempView("gfc_src")
   }
 
+  test("_graft_file metadata column: selectable, one constant per " +
+      "data file, matching the manifest") {
+    val root = freshTable("gfm")
+    val files = VersionedTable.snapshot(spark, root).files.toSet
+    val got = spark.sql(
+      "SELECT DISTINCT _graft_file FROM grl.gfm").as[String]
+      .collect().toSet
+    assert(got == files,
+      s"metadata column must emit the manifest paths; got $got")
+    // per-row correctness: every k=1..100 row came from the same file
+    val f1 = spark.sql(
+      "SELECT DISTINCT _graft_file FROM grl.gfm WHERE k <= 100")
+      .as[String].collect()
+    assert(f1.length == 1, s"k 1-100 live in one file, got ${f1.length}")
+  }
+
+  test("EXACT group filtering via _graft_file: MERGE on a NON-leading " +
+      "key with NO groupFilterColumn conf rewrites only match files") {
+    warehouse
+    val root = s"$warehouse/xgf"
+    // leading column a is scattered (i % 37 spans every file); files
+    // range-cluster on the SECOND column b. Before round 10 the
+    // default heuristic (leading stat column a) admitted every file;
+    // the _graft_file runtime group filter must pin the rewrite to the
+    // ONE file holding b in {10, 20} — with no conf set.
+    (0 until 4).foreach { bkt =>
+      VersionedTable.append((bkt * 100L + 1 to bkt * 100L + 100)
+        .map(i => (i % 37, i, "base")).toDF("a", "b", "tag")
+        .coalesce(1), root)
+    }
+    val pre = VersionedTable.snapshot(spark, root).files.toSet
+    Seq((10L, 99L), (20L, 98L)).toDF("b", "nv")
+      .createOrReplaceTempView("xgf_src")
+    spark.sql(
+      """MERGE INTO grl.xgf t USING xgf_src s ON t.b = s.b
+        |WHEN MATCHED THEN UPDATE SET a = s.nv, tag = 'm'""".stripMargin)
+    val carried = VersionedTable.snapshot(spark, root).files.toSet
+      .intersect(pre).size
+    assert(carried == 3,
+      s"_graft_file group filter must rewrite only the b=1..100 file; " +
+        s"carried $carried of 4")
+    assert(spark.sql("SELECT count(*) FROM grl.xgf WHERE tag = 'm'")
+      .head().getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) FROM grl.xgf").head()
+      .getLong(0) == 400, "untouched rows carried")
+    // prune audit: the commit's history row records the chosen filter
+    // and candidate vs rewritten counts (VERDICT r9 item 6)
+    val op = VersionedTable.history(spark, root)
+      .orderBy(col("version").desc).limit(1)
+      .select("operation").as[Option[String]].head()
+    assert(op.isDefined, "row-level commit must record an #op: entry")
+    assert(op.get.contains("\"group_filter\":\"_graft_file\""), op.get)
+    assert(op.get.contains("\"scanned_files\":1") &&
+      op.get.contains("\"rewritten_files\":1") &&
+      op.get.contains("\"table_files\":4"), op.get)
+    spark.catalog.dropTempView("xgf_src")
+  }
+
+  test("Spark-upgrade pins: the row-level protocol classes and plan " +
+      "shapes WriteBridge/GraftRowLevel depend on") {
+    // fail DESCRIPTIVELY on a Spark upgrade that moves the machinery
+    // the row-level path integrates with (VERDICT r9 item 8; the two
+    // watch items live in WriteBridge.scala and GraftRowLevel.scala)
+    Seq(
+      // plans the rewrite scan BEFORE the runtime-filter subquery's —
+      // GraftRowLevelScanBuilder's first-build-wins depends on it
+      "org.apache.spark.sql.execution.datasources.v2." +
+        "GroupBasedRowLevelOperationScanPlanning",
+      // builds the _graft_file IN filter from filterAttributes()
+      "org.apache.spark.sql.execution.dynamicpruning." +
+        "RowLevelOperationRuntimeGroupFiltering",
+      // applies the writing projection that strips [op | meta] columns
+      // before rows reach GraftParquetDataWriter
+      "org.apache.spark.sql.catalyst.util.ReplaceDataProjections",
+      "org.apache.spark.sql.execution.datasources.v2.ReplaceDataExec"
+    ).foreach { cn =>
+      assert(scala.util.Try(Class.forName(cn)).isSuccess,
+        s"Spark upgrade moved $cn — re-audit WriteBridge's projection " +
+          "detection (numFields == nCols(+1)) and GraftRowLevel's " +
+          "first-build-wins scan registration before trusting DML")
+    }
+    // behavior pin: an executed MERGE proves (a) the rewrite routed
+    // its scan through the operation (commit() requires it), (b) the
+    // writer saw a projectable row shape, (c) runtime group filtering
+    // fed the scan's final file list into commitReplace — all three
+    // break loudly here if an upgrade changes plan shape
+    val root = freshTable("pin")
+    Seq((5L, 50L)).toDF("k", "nv").createOrReplaceTempView("pin_src")
+    spark.sql(
+      """MERGE INTO grl.pin t USING pin_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(spark.sql("SELECT v FROM grl.pin WHERE k = 5").head()
+      .getLong(0) == 50L)
+    val op = VersionedTable.history(spark, root)
+      .orderBy(col("version").desc).limit(1)
+      .select("operation").as[Option[String]].head()
+    assert(op.exists(_.contains("\"scanned_files\":1")),
+      s"runtime group filter must have narrowed the scan to 1 file: $op")
+    spark.catalog.dropTempView("pin_src")
+  }
+
   test("row-level commits are ordinary history entries: vacuum-able, " +
       "restore-able") {
     val root = freshTable("his")

@@ -478,6 +478,8 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.append((6L to 9L).toDF("k"), root)
     val h = VersionedTable.history(spark, root)
       .orderBy(col("version"))
+      .select("version", "commit_time", "n_files", "total_bytes",
+        "batch_id")
       .as[(Long, java.sql.Timestamp, Int, Long, Option[Long])].collect()
     assert(h.map(_._1).toSeq == Seq(0L, 1L))
     assert(h.forall(_._4 > 0) && h.forall(_._5.isEmpty))
