@@ -415,7 +415,14 @@ private[v2] class GraftLakeTable(snap: VersionedTable.Snapshot,
   override def capabilities(): util.Set[TableCapability] = {
     val base = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      // opts into Spark 4's MERGE WITH SCHEMA EVOLUTION: the analyzer
+      // then routes source-only columns through the catalog's
+      // alterTable(AddColumn) — one atomic metadata commit — before
+      // planning the rewrite (the Delta autoMerge analogue, but per
+      // statement and explicit in the SQL). A plain MERGE still never
+      // widens: the capability only honors the explicit clause.
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     if (acceptAnySchema) base.add(TableCapability.ACCEPT_ANY_SCHEMA)
     base
   }

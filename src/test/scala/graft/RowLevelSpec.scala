@@ -301,6 +301,46 @@ class RowLevelSpec extends SparkSpec {
     spark.catalog.dropTempView("pin_src")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns auto-ADD " +
+      "(one atomic metadata commit), old rows null-fill, time travel " +
+      "keeps the pre-merge schema") {
+    warehouse
+    spark.sql("CREATE TABLE grl.mse (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO grl.mse VALUES (1, 10), (2, 20)")
+    Seq((2L, 22L, "x2"), (3L, 33L, "x3")).toDF("k", "v", "note")
+      .createOrReplaceTempView("mse_src")
+    // Spark 4's native WITH SCHEMA EVOLUTION drives the catalog's
+    // alterTable(AddColumn) — composing the r9 evolve path with the
+    // row-level DML path. Without the clause, star expansion ignores
+    // the extra source column: NO silent widening (pin that first,
+    // then roll back so the evolution run starts from the base state)
+    val preVersions = VersionedTable.versions(spark,
+      s"$warehouse/mse").size
+    spark.sql(
+      """MERGE INTO grl.mse t USING mse_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("grl.mse").columns.toSeq == Seq("k", "v"),
+      "a plain MERGE must not widen the schema")
+    spark.sql(s"CALL grl.system.restore('mse', ${preVersions - 1})")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO grl.mse t
+        |USING mse_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.table("grl.mse").orderBy("k")
+      .as[(Long, Long, Option[String])].collect().toSeq
+    assert(rows == Seq((1L, 10L, None), (2L, 22L, Some("x2")),
+      (3L, 33L, Some("x3"))),
+      s"matched updated + unmatched inserted + old row null-filled: $rows")
+    // the evolution is a real commit: time travel before it shows the
+    // narrow schema, and the add itself is visible in history
+    assert(spark.sql("SELECT * FROM grl.mse VERSION AS OF 1")
+      .columns.toSeq == Seq("k", "v"))
+    spark.sql("DROP TABLE grl.mse")
+    spark.catalog.dropTempView("mse_src")
+  }
+
   test("row-level commits are ordinary history entries: vacuum-able, " +
       "restore-able") {
     val root = freshTable("his")
