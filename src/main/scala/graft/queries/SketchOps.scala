@@ -1402,6 +1402,182 @@ object SketchOps {
       probes.toSeq.map(t => (t, cms.estimateCount(t)))
         .toDF("term", "est_cnt")
         .orderBy(col("term"))
+    }),
+
+    // round-10 item 1: EXACT row-level group filtering via the
+    // _graft_file metadata column. The target's files range-cluster on
+    // the SECOND column k while the LEADING stat column a is scattered
+    // (a = k % 97 spans every file) — the r9 leading-column heuristic
+    // admitted all 4 files here; the _graft_file runtime group filter
+    // must pin the rewrite to the 1 file holding matches, with NO
+    // groupFilterColumn conf. Asserted three ways: carried-by-identity
+    // file count, the commit's #op: audit record (scanned=1,
+    // rewritten=1 of 4), and the oracle-exact final state, with the
+    // audit counts surfaced as result columns the oracle predicts.
+    "versioned_sql_merge_exact" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val wh = java.nio.file.Files.createTempDirectory("xmerge").toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val o = Tables.orders(s, d).select(
+        (col("o_orderkey") % 97).as("a"), col("o_orderkey").as("k"),
+        col("o_custkey").as("c"))
+      val hi = o.agg(max(col("k"))).head().getLong(0)
+      (0L to 3L).foreach { b =>
+        val lo = if (b == 0L) -1L else b * hi / 4
+        VersionedTable.append(o.filter(col("k") > lo &&
+          col("k") <= (b + 1) * hi / 4).coalesce(1), s"$wh/t")
+      }
+      val preFiles = VersionedTable.snapshot(s, s"$wh/t").files.toSet
+      o.filter(col("k") % 2 === 0 && col("k") <= hi / 4)
+        .select(col("k"), (col("c") + 777L).as("c2"))
+        .createOrReplaceTempView("xmerge_src")
+      s.sql(
+        s"""MERGE INTO $cat.t t USING xmerge_src m ON t.k = m.k
+           |WHEN MATCHED THEN UPDATE SET c = m.c2""".stripMargin)
+      val carried = VersionedTable.snapshot(s, s"$wh/t").files.toSet
+        .intersect(preFiles).size
+      require(carried == 3,
+        s"_graft_file group filtering on a NON-leading merge key must " +
+          s"rewrite only the matching file; carried $carried of 4")
+      val op = VersionedTable.history(s, s"$wh/t")
+        .orderBy(col("version").desc).limit(1)
+        .select("operation").head().getString(0)
+      require(op != null &&
+        op.contains("\"group_filter\":\"_graft_file\"") &&
+        op.contains("\"scanned_files\":1") &&
+        op.contains("\"rewritten_files\":1") &&
+        op.contains("\"table_files\":4"),
+        s"commit must audit the exact prune: $op")
+      val result = s.sql(
+        s"""SELECT CAST(SUM(a) AS BIGINT) AS sum_a,
+           |  CAST(SUM(c) AS BIGINT) AS sum_c, COUNT(*) AS n,
+           |  1 AS scanned_files, 1 AS rewritten_files,
+           |  4 AS table_files
+           |FROM $cat.t""".stripMargin)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      s.catalog.dropTempView("xmerge_src")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
+    // round-10 item 3: CREATE TABLE ... CLUSTER BY through pure SQL —
+    // the spec persists as the graft.clustering property, the INSERT
+    // range-clusters its staged files on it, and CALL optimize_zorder
+    // with NO column/n_files arguments defaults both from the table
+    // (columns from CLUSTER BY, n_files from the current layout).
+    // Asserted in-gate: quadrant-read prune after the z-order; the
+    // oracle checks full-content identity (aggregates) plus the
+    // quadrant's own aggregate.
+    "versioned_sql_cluster_by" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val wh = java.nio.file.Files.createTempDirectory("clby").toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      s.sql(s"CREATE TABLE $cat.t (x BIGINT, y BIGINT, c BIGINT) " +
+        "CLUSTER BY (x, y)")
+      // hash-scattered insert: interleaved x/y with no ingest-order
+      // correlation (ORDER BY a bit-mixed key)
+      Tables.orders(s, d).select((col("o_orderkey") % 101).as("x"),
+        (col("o_orderkey") % 89).as("y"), col("o_custkey").as("c"))
+        .createOrReplaceTempView("clby_src")
+      s.sql(s"INSERT INTO $cat.t SELECT x, y, c FROM clby_src " +
+        "DISTRIBUTE BY (x * 2654435761) % 64")
+      s.sql(s"CALL $cat.system.optimize_zorder('t')")
+      val snap = VersionedTable.snapshot(s, s"$wh/t")
+      val quadrant = VersionedTable.readWhere(s, s"$wh/t",
+        col("x") < 25L && col("y") < 22L)
+      if (snap.files.size >= 4)
+        require(quadrant.inputFiles.length < snap.files.size,
+          s"z-order from the CLUSTER BY spec must quadrant-prune: " +
+            s"read ${quadrant.inputFiles.length} of ${snap.files.size}")
+      val result = s.sql(
+        s"""SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sum_x,
+           |  CAST(SUM(y) AS BIGINT) AS sum_y,
+           |  CAST(SUM(c) AS BIGINT) AS sum_c,
+           |  (SELECT CAST(SUM(c) AS BIGINT) FROM $cat.t
+           |   WHERE x < 25 AND y < 22) AS quadrant_c
+           |FROM $cat.t""".stripMargin)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      s.catalog.dropTempView("clby_src")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
+    // round-10 item 4: the CHANGE FEED end-to-end — SQL MERGE
+    // (update/delete/insert arms) on a 4-file table, then a
+    // readChangeFeed batch read of exactly that commit window, then
+    // INCREMENTAL matview maintenance (last change per key wins,
+    // deletes drop) applied over the pre-merge snapshot. The oracle
+    // RECOMPUTES the merge directly, so the gate proves incremental ==
+    // recompute cross-engine; per-commit change counts ride along as
+    // audited columns.
+    "versioned_change_feed" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val wh = java.nio.file.Files.createTempDirectory("chfeed").toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"))
+      val hi = o.agg(max(col("k"))).head().getLong(0)
+      (0L to 3L).foreach { b =>
+        val lo = if (b == 0L) -1L else b * hi / 4
+        VersionedTable.append(o.filter(col("k") > lo &&
+          col("k") <= (b + 1) * hi / 4).withColumn("state", lit("t"))
+          .coalesce(1), s"$wh/t")
+      }
+      val baseV = VersionedTable.versions(s, s"$wh/t").max
+      o.filter(col("k") % 2 === 0 && col("k") <= hi / 4)
+        .select(col("k"), (col("c") + 777L).as("c2"))
+        .createOrReplaceTempView("cf_src")
+      s.sql(
+        s"""MERGE INTO $cat.t t USING cf_src m ON t.k = m.k
+           |WHEN MATCHED AND m.k % 6 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c = m.c2, state = 'u'""".stripMargin)
+      s.sql(s"INSERT INTO $cat.t VALUES (${hi + 7}, 42, 'i')")
+      // change-feed batch read over (baseV, head]
+      val feed = s.read.format("graft")
+        .option("readChangeFeed", "true").option("changeFeedKeys", "k")
+        .option("startingVersion", baseV).load(s"$wh/t")
+        .localCheckpoint() // pin: the matview + audit read it twice
+      // incremental matview: apply the feed to the PRE-merge snapshot
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy(col("_commit_version").desc)
+      val last = feed.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+      val survivors = last.filter(col("change_type") =!= "delete")
+        .select(col("k"), col("c"), col("state"))
+      val matview = s.read.format("graft")
+        .option("versionAsOf", baseV).load(s"$wh/t")
+        .join(last.select("k"), Seq("k"), "left_anti")
+        .unionByName(survivors)
+      val counts = feed.groupBy("change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val result = matview.agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("bigint").as("sum_k"),
+          sum(col("c")).cast("bigint").as("sum_c"))
+        .withColumn("n_insert", lit(counts.getOrElse("insert", 0L)))
+        .withColumn("n_update", lit(counts.getOrElse("update", 0L)))
+        .withColumn("n_delete", lit(counts.getOrElse("delete", 0L)))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      s.catalog.dropTempView("cf_src")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
     })
   )
 
@@ -1886,6 +2062,59 @@ object SketchOps {
         |probes AS (SELECT DISTINCT term FROM toks ORDER BY term LIMIT 20)
         |SELECT term, COUNT(*) AS est_cnt FROM toks
         |WHERE term IN (SELECT term FROM probes)
-        |GROUP BY term ORDER BY term""".stripMargin
+        |GROUP BY term ORDER BY term""".stripMargin,
+
+    // replay of the exact-group-filter MERGE (update arm only); the
+    // audit columns are the deterministic prune shape: 1 of 4 files
+    // scanned AND rewritten whatever the data, because matches live in
+    // exactly the low-quartile file
+    "versioned_sql_merge_exact" ->
+      """WITH hi AS (SELECT MAX(o_orderkey) AS h FROM orders),
+        |s AS (SELECT o_orderkey AS k FROM orders
+        |      WHERE o_orderkey % 2 = 0
+        |        AND o_orderkey <= (SELECT h FROM hi) // 4)
+        |SELECT CAST(SUM(o_orderkey % 97) AS BIGINT) AS sum_a,
+        |  CAST(SUM(CASE WHEN o_orderkey IN (SELECT k FROM s)
+        |    THEN o_custkey + 777 ELSE o_custkey END) AS BIGINT) AS sum_c,
+        |  COUNT(*) AS n,
+        |  1 AS scanned_files, 1 AS rewritten_files, 4 AS table_files
+        |FROM orders""".stripMargin,
+
+    // content identity after CLUSTER BY insert + defaulted z-order:
+    // layout changes, values don't
+    "versioned_sql_cluster_by" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey % 101) AS BIGINT) AS sum_x,
+        |  CAST(SUM(o_orderkey % 89) AS BIGINT) AS sum_y,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_c,
+        |  (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 101 < 25 AND o_orderkey % 89 < 22)
+        |    AS quadrant_c
+        |FROM orders""".stripMargin,
+
+    // RECOMPUTE of the merge+insert the change feed replayed
+    // incrementally: matched low-quartile evens update (k % 6 = 0
+    // deletes), one appended row inserts — incremental == recompute
+    "versioned_change_feed" ->
+      """WITH hi AS (SELECT MAX(o_orderkey) AS h FROM orders),
+        |s AS (SELECT o_orderkey AS k, o_custkey + 777 AS c2 FROM orders
+        |      WHERE o_orderkey % 2 = 0
+        |        AND o_orderkey <= (SELECT h FROM hi) // 4),
+        |merged AS (
+        |  SELECT t.o_orderkey AS k,
+        |    CASE WHEN s.k IS NOT NULL THEN s.c2
+        |         ELSE t.o_custkey END AS c
+        |  FROM orders t LEFT JOIN s ON s.k = t.o_orderkey
+        |  WHERE NOT (s.k IS NOT NULL AND t.o_orderkey % 6 = 0)
+        |  UNION ALL
+        |  SELECT (SELECT h FROM hi) + 7, 42)
+        |SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(c) AS BIGINT) AS sum_c,
+        |  CAST(1 AS BIGINT) AS n_insert,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s
+        |   WHERE k % 6 <> 0) AS n_update,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s
+        |   WHERE k % 6 = 0) AS n_delete
+        |FROM merged""".stripMargin
   )
 }
