@@ -315,6 +315,16 @@ object TextDedup {
     // behavior the SQL replay doesn't exercise.
     "text_unigram_tokens" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // the DuckDB oracle indexes by CODE POINT (substr/length) while
+      // the Scala DP (segmentWord, MaxPieceLen windows, seed
+      // substrings) runs over UTF-16 units — identical iff the corpus
+      // is BMP-only. Fail LOUD on an astral fixture instead of letting
+      // the hash gate mismatch silently (advisor finding, round 9;
+      // UnigramSpec pins the astral-input Scala behavior itself).
+      require(docs.filter(col("text").rlike("[\\uD800-\\uDBFF]"))
+        .isEmpty, "text_unigram_tokens: fixture contains astral " +
+        "(non-BMP) characters — the recursive-CTE oracle replay is " +
+        "code-point-indexed and would diverge from the UTF-16 DP")
       val vocab = graft.operators.Unigram.train(docs, col("text"),
         vocabSize = 200)
       val toks = graft.operators.Unigram.tokens(col("text"), vocab)

@@ -254,6 +254,88 @@ object VersionedTable {
       .getOrElse(throw new IllegalStateException(
         s"manifest v$v under $root is missing or unterminated"))
 
+  // ---- column mapping (round 10) ------------------------------------
+  // RENAME COLUMN without rewriting data needs a level of indirection:
+  // each field's PHYSICAL name (what the parquet files store, what the
+  // manifest's per-file stats are keyed by) is frozen in the field's
+  // metadata the first time its logical name moves away from it —
+  // Delta's column-mapping 'name mode' shape. Identity (no metadata
+  // entry) is the common case and costs nothing anywhere: every helper
+  // below short-circuits when no field is mapped.
+
+  /** StructField metadata key carrying the physical column name. */
+  private[graft] val PhysicalKey = "graft.physical"
+
+  private[graft] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** The schema as stored in data files: logical names replaced by
+    * physical ones (top-level only — renames are top-level only). */
+  private[graft] def physicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physicalName(f))))
+
+  private[graft] def hasMapping(s: StructType): Boolean =
+    s.fields.exists(f => physicalName(f) != f.name)
+
+  /** Read `files` under the table schema, serving LOGICAL names: the
+    * parquet scan resolves by PHYSICAL name (so files written before a
+    * rename keep their data) and the frame renames positionally back.
+    * The single read seam every library path goes through. */
+  private[graft] def readFiles(spark: SparkSession, schema: StructType,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else {
+      val base = spark.read.schema(physicalSchema(schema))
+        .parquet(files: _*)
+      if (!hasMapping(schema)) base
+      else base.toDF(schema.fieldNames.toIndexedSeq: _*)
+    }
+
+  /** Rename a top-level column as a METADATA-ONLY commit: the logical
+    * name moves, the physical name freezes at its current value, data
+    * files are untouched, and old versions time-travel under their own
+    * manifest's names. Refused when the new name collides (case-
+    * insensitively) with a live logical name or when a CHECK
+    * constraint references the old name (same rationale as
+    * [[dropColumns]]). */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+      to: String): Long = {
+    val f = fs(spark, root)
+    require(to.nonEmpty && !to.exists(c => c == '\t' || c == '\n'),
+      s"bad column name '$to'")
+    var schema: StructType = null
+    commitRetrying(spark, root, schema) { prev =>
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"no committed version under $root")
+      val m = manifest(f, root, vs.max)
+      val head = m.schema
+      require(head.fieldNames.exists(_.equalsIgnoreCase(from)),
+        s"renameColumn: no such column '$from'")
+      require(!head.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"renameColumn: column '$to' already exists")
+      m.constraints.foreach { case (cn, ce) =>
+        val refs = scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(ce).collect {
+            case ua: analysis.UnresolvedAttribute => ua.nameParts.head
+          }).getOrElse(Seq.empty)
+        require(!refs.exists(_.equalsIgnoreCase(from)),
+          s"renameColumn: '$from' is referenced by CHECK constraint " +
+            s"'$cn' ($ce); drop the constraint first")
+      }
+      schema = StructType(head.fields.map { fd =>
+        if (fd.name.equalsIgnoreCase(from)) {
+          val phys = physicalName(fd)
+          fd.copy(name = to, metadata = new MetadataBuilder()
+            .withMetadata(fd.metadata).putString(PhysicalKey, phys)
+            .build())
+        } else fd
+      })
+      prev // files unchanged: pure metadata commit
+    }
+  }
+
   /** Snapshot read: pin the (latest or requested) manifest's exact file
     * list. Concurrent commits after this call do not change what this
     * DataFrame reads — its files are immutable. An empty snapshot reads
@@ -265,9 +347,7 @@ object VersionedTable {
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in $vs")
     val m = manifest(fs(spark, root), root, v)
-    if (m.files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
-    else spark.read.schema(m.schema).parquet(m.files: _*)
+    readFiles(spark, m.schema, m.files)
   }
 
   /** SHALLOW CLONE (Delta-style): commit a new table at `dstRoot`
@@ -345,9 +425,12 @@ object VersionedTable {
     def fpSound(cs: ColStat): Boolean =
       (cs.min.isDefined && cs.max.isDefined) ||
         (cs.min.isEmpty && cs.max.isEmpty && cs.hasNulls)
+    // stats are keyed by PHYSICAL column name (identity unless renamed)
+    val physOf = m.schema.fields.map(f => f.name -> physicalName(f)).toMap
     val (fast, slow) = m.files.partition(p => m.stats.get(p).exists(st =>
       st.values.exists(_.rows.nonEmpty) && cols.forall(c =>
-        st.get(c).exists(cs => !isFp(fieldOf(c).dataType) || fpSound(cs)))))
+        st.get(physOf(c)).exists(cs =>
+          !isFp(fieldOf(c).dataType) || fpSound(cs)))))
 
     // canonical-string bounds -> the column's comparison domain
     // (decimal strings compare as exact BigDecimal; strings as UTF-8
@@ -380,9 +463,9 @@ object VersionedTable {
       cnt += st.values.flatMap(_.rows).head
       cols.foreach { c =>
         val dt = fieldOf(c).dataType
-        st(c).min.map(toCmp(dt, _)).foreach { mv =>
+        st(physOf(c)).min.map(toCmp(dt, _)).foreach { mv =>
           if (!mins.contains(c) || lt(dt, mv, mins(c))) mins(c) = mv }
-        st(c).max.map(toCmp(dt, _)).foreach { mv =>
+        st(physOf(c)).max.map(toCmp(dt, _)).foreach { mv =>
           if (!maxs.contains(c) || lt(dt, maxs(c), mv)) maxs(c) = mv }
       }
     }
@@ -391,7 +474,7 @@ object VersionedTable {
       val aggs = count(lit(1)).as("_n") +:
         cols.flatMap(c => Seq(smin(col(c)).as(s"_mn_$c"),
           smax(col(c)).as(s"_mx_$c")))
-      val r = spark.read.schema(m.schema).parquet(slow: _*)
+      val r = readFiles(spark, m.schema, slow)
         .agg(aggs.head, aggs.tail: _*).collect().head
       cnt += r.getAs[Long]("_n")
       cols.foreach { c =>
@@ -592,8 +675,22 @@ object VersionedTable {
     * Conservative: files whose stats cannot PROVE emptiness are kept. */
   private[graft] def pruneFiles(spark: SparkSession, snap: Snapshot,
       cond: Column): Seq[String] = {
-    val types = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+    // manifest stats are keyed by PHYSICAL column name; the predicate
+    // arrives with logical attributes — translate before matching
+    // (identity map on unmapped tables)
+    val phys = snap.schema.fields
+      .map(fd => fd.name -> physicalName(fd)).toMap
+    val types = snap.schema.fields
+      .map(fd => physicalName(fd) -> fd.dataType).toMap
     val condExpr = resolvePredicate(spark, snap.schema, cond)
+      .map(_.transform {
+        case a: expressions.AttributeReference
+          if phys.get(a.name).exists(_ != a.name) =>
+          a.withName(phys(a.name))
+        case u: analysis.UnresolvedAttribute
+          if phys.get(u.name).exists(_ != u.name) =>
+          analysis.UnresolvedAttribute.quoted(phys(u.name))
+      })
     snap.files.filter(p => condExpr.forall(ce =>
       snap.stats.get(p).forall(fst => mayMatch(ce, fst, types))))
   }
@@ -627,11 +724,7 @@ object VersionedTable {
       version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, root, version)
     val kept = pruneFiles(spark, snap, cond)
-    val base =
-      if (kept.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema)
-      else spark.read.schema(snap.schema).parquet(kept: _*)
-    base.filter(cond)
+    readFiles(spark, snap.schema, kept).filter(cond)
   }
 
   /** Conservative may-match of a predicate against one file's stats:
@@ -948,6 +1041,44 @@ object VersionedTable {
     }
   }
 
+  /** Physical names a NEW identity-mapped column must not collide
+    * with: a renamed head column's frozen physical, plus every
+    * physical name of a retained manifest that still references live
+    * head files (= dropped columns whose bytes are still live). The
+    * mergeSchema evolve path REFUSES on collision — its files are
+    * staged under the logical name before the schema resolves, so the
+    * fresh-physical remap [[addColumns]] uses is not available there. */
+  private def poisonedPhysical(f: FileSystem, root: String): Set[String] = {
+    val vs = versions(SparkSession.active, root)
+    if (vs.isEmpty) return Set.empty
+    val headM = manifest(f, root, vs.max)
+    val headFiles = headM.files.toSet
+    (headM.schema.fields.collect {
+      case fd if physicalName(fd) != fd.name => physicalName(fd)
+    } ++ vs.init.flatMap { v =>
+      val m = manifest(f, root, v)
+      if (m.files.exists(headFiles.contains))
+        m.schema.fields.map(physicalName)
+      else Nil
+    }).map(_.toLowerCase(java.util.Locale.ROOT)).toSet --
+      headM.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  private def requireUnpoisoned(f: FileSystem, root: String,
+      head: StructType, widened: StructType): Unit = {
+    val newCols = widened.fields.drop(head.fields.length)
+    if (newCols.isEmpty) return
+    val poisoned = poisonedPhysical(f, root)
+    val bad = newCols.map(_.name).filter(n =>
+      poisoned.contains(n.toLowerCase(java.util.Locale.ROOT)))
+    require(bad.isEmpty,
+      s"mergeSchema: column(s) ${bad.mkString(", ")} were previously " +
+        "dropped or renamed away and live data files still carry the " +
+        "physical name — appending under it would resurrect old " +
+        "values. Use ALTER TABLE ADD COLUMN (which remaps to a fresh " +
+        "physical name) or rewrite the table first")
+  }
+
   /** Append: next version = previous file list + newly staged files.
     * Schema is validated (and with `mergeSchema` widened) against the
     * head — see [[evolve]]. */
@@ -959,9 +1090,11 @@ object VersionedTable {
     var schema: StructType = df.schema
     commitRetrying(spark, root, schema) { prev =>
       val vs = versions(spark, root)
-      if (vs.nonEmpty)
-        schema = evolve(manifest(f, root, vs.max).schema, df.schema,
-          mergeSchema)
+      if (vs.nonEmpty) {
+        val head = manifest(f, root, vs.max).schema
+        schema = evolve(head, df.schema, mergeSchema)
+        requireUnpoisoned(f, root, head, schema)
+      }
       prev ++ staged
     }
   }
@@ -999,7 +1132,9 @@ object VersionedTable {
     val statsOn = spark.conf
       .getOption("spark.graft.lake.stats.enabled").forall(_.toBoolean)
     val staged = if (statsOn && moved.nonEmpty) {
-      collectStats(spark, schema, moved, root) match {
+      // staged row-level files carry PHYSICAL column names (the write
+      // factory got the physical schema) — stats keys must match
+      collectStats(spark, physicalSchema(schema), moved, root) match {
         case Some(nonEmpty) =>
           val (keep, empty) = moved.partition(nonEmpty.contains)
           empty.foreach(p => f.delete(new Path(p), false))
@@ -1010,8 +1145,7 @@ object VersionedTable {
     // same staged-materialization discipline as stageFiles: validate
     // the exact bytes the commit will publish
     if (staged.nonEmpty)
-      enforceConstraints(spark.read.schema(schema).parquet(staged: _*),
-        root)
+      enforceConstraints(readFiles(spark, schema, staged), root)
     val removedQ = removed.map(p => new Path(p).toString)
     try commitRetrying(spark, root, schema,
       opInfo = opJson(staged).filterNot(j =>
@@ -1060,32 +1194,34 @@ object VersionedTable {
         head.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(clash.isEmpty,
         s"addColumns: column(s) already exist: ${clash.mkString(", ")}")
-      // RE-ADDING a previously dropped name would RESURRECT the old
-      // values: reads project parquet by name, so any LIVE file
-      // committed under a schema that contained the name still carries
-      // its bytes, and they would reappear under the new column instead
-      // of NULLs (advisor finding, round 9 — the same no-column-mapping
-      // rationale that refuses RENAME COLUMN). Exact check: a new name
-      // is poisoned iff some retained manifest both contains the name
-      // in its schema AND references a file still live in the head
-      // (files staged after the drop only ever appear in post-drop
-      // manifests, so they never trip this; vacuuming the pre-drop
-      // manifests releases the name once the pre-drop files are gone).
+      // RE-ADDING a previously dropped name must NOT resurrect the old
+      // values: reads project parquet by PHYSICAL name, so any LIVE
+      // file committed under a schema that contained the name still
+      // carries its bytes (advisor finding, round 9). With column
+      // mapping (round 10) the fix is a FRESH physical name instead of
+      // a refusal: the new column's physical name avoids every
+      // physical name used by the head OR by any retained manifest
+      // whose files are still live — old bytes are simply never
+      // projected, and the re-added column reads NULL everywhere
+      // (Delta's column-mapping semantics).
       val headFiles = headM.files.toSet
-      val poisoned = cols.map(_.name).filter { n =>
-        vs.init.exists { v =>
+      val usedPhysical: Set[String] =
+        (head.fields.map(physicalName) ++ vs.init.flatMap { v =>
           val m = manifest(f, root, v)
-          m.schema.fieldNames.exists(_.equalsIgnoreCase(n)) &&
-            m.files.exists(headFiles.contains)
-        }
+          if (m.files.exists(headFiles.contains))
+            m.schema.fields.map(physicalName)
+          else Nil
+        }).map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val mapped = cols.map { c =>
+        if (!usedPhysical.contains(
+            c.name.toLowerCase(java.util.Locale.ROOT))) c
+        else c.copy(metadata = new MetadataBuilder()
+          .withMetadata(c.metadata)
+          .putString(PhysicalKey, s"${c.name}-" +
+            java.util.UUID.randomUUID().toString.take(8))
+          .build())
       }
-      require(poisoned.isEmpty,
-        s"addColumns: column(s) ${poisoned.mkString(", ")} were " +
-          "previously dropped and live data files still carry their " +
-          "values — re-adding the name would resurrect them instead of " +
-          "reading NULL. Rewrite the table (or vacuum past the drop) " +
-          "first, or pick a different name")
-      schema = StructType(head.fields ++ cols)
+      schema = StructType(head.fields ++ mapped)
       prev // files unchanged: pure schema-evolution commit
     }
   }
@@ -1095,8 +1231,8 @@ object VersionedTable {
     * [[addColumns]] (parquet reads project by name, so the dropped
     * column's bytes simply stop being read; they stay in the files and
     * old versions time-travel with the full schema). RENAME COLUMN is
-    * deliberately NOT offered: without a column-mapping layer a rename
-    * would null-fill the new name on old files — silently wrong. */
+    * [[renameColumn]] — metadata-only through the column-mapping
+    * layer. */
   def dropColumns(spark: SparkSession, root: String,
       names: Seq[String]): Long = {
     val f = fs(spark, root)
@@ -1209,9 +1345,7 @@ object VersionedTable {
     val m = manifest(f, root, to)
     val baseFiles = manifest(f, root, afterV).files.toSet
     val added = m.files.filterNot(baseFiles)
-    if (added.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
-    else spark.read.schema(m.schema).parquet(added: _*)
+    readFiles(spark, m.schema, added)
   }
 
   /** Key-based upsert as a commit, FILE-PRUNED: only data files that
@@ -1239,7 +1373,8 @@ object VersionedTable {
       else {
         val schema = manifest(f, root, versions(spark, root).max).schema
         outSchema = evolve(schema, updates.schema, mergeSchema)
-        val head = spark.read.schema(schema).parquet(prev: _*)
+        requireUnpoisoned(f, root, schema, outSchema)
+        val head = readFiles(spark, schema, prev)
         // touched = files holding at least one matching key. The probe
         // reads ONLY the key columns (+ file metadata) and the file
         // list is driver-resident by construction, so the collect is
@@ -1255,7 +1390,7 @@ object VersionedTable {
         val rewrite = prev.filter(p => touched.contains(new Path(p).toString))
         val merged =
           if (rewrite.isEmpty) updates
-          else spark.read.schema(schema).parquet(rewrite: _*)
+          else readFiles(spark, schema, rewrite)
             .join(updates.select(keys.map(col): _*).distinct(), keys,
               "left_anti")
             .unionByName(updates, allowMissingColumns = mergeSchema)
@@ -1293,7 +1428,7 @@ object VersionedTable {
     var lastStaged: Seq[String] = Seq.empty
     commitRetrying(spark, root, schema) { prev =>
       lastStaged.foreach(p => f.delete(new Path(p), false))
-      val head = spark.read.schema(schema).parquet(prev: _*)
+      val head = readFiles(spark, schema, prev)
       val touched = head
         .select(col("_metadata.file_path").as("_f"),
           struct(keys.map(col): _*).as("_k"))
@@ -1311,7 +1446,7 @@ object VersionedTable {
         if (rewrite.isEmpty) spark.createDataFrame(
           new java.util.ArrayList[Row](), schema)
         else {
-          val joined = spark.read.schema(schema).parquet(rewrite: _*)
+          val joined = readFiles(spark, schema, rewrite)
             .join(src, keys, "left")
           val isM = col("__matched").isNotNull
           val del = matchedDelete
@@ -1329,7 +1464,7 @@ object VersionedTable {
         else {
           val existing =
             if (rewrite.isEmpty) Seq.empty
-            else Seq(spark.read.schema(schema).parquet(rewrite: _*)
+            else Seq(readFiles(spark, schema, rewrite)
               .select(keys.map(col): _*).distinct())
           val unmatched = existing.foldLeft(
             source.select(schema.fieldNames.toSeq.map(col): _*))(
@@ -1356,7 +1491,7 @@ object VersionedTable {
     var lastStaged: Seq[String] = Seq.empty
     commitRetrying(spark, root, schema) { prev =>
       lastStaged.foreach(p => f.delete(new Path(p), false))
-      val head = spark.read.schema(schema).parquet(prev: _*)
+      val head = readFiles(spark, schema, prev)
       // DELETE semantics: remove rows where the predicate is TRUE; rows
       // where it is FALSE or NULL stay (matching SQL DELETE)
       val del = coalesce(condition, lit(false))
@@ -1369,7 +1504,7 @@ object VersionedTable {
       lastStaged =
         if (rewrite.isEmpty) Seq.empty
         else {
-          val remaining = spark.read.schema(schema).parquet(rewrite: _*)
+          val remaining = readFiles(spark, schema, rewrite)
             .filter(!del)
           if (remaining.isEmpty) Seq.empty else stageFiles(remaining, root)
         }
@@ -1401,7 +1536,7 @@ object VersionedTable {
     var lastStaged: Seq[String] = Seq.empty
     commitRetrying(spark, root, schema) { prev =>
       lastStaged.foreach(p => f.delete(new Path(p), false))
-      val head = spark.read.schema(schema).parquet(prev: _*)
+      val head = readFiles(spark, schema, prev)
       val touched = head
         .join(delKeys, cond(head), "left_semi")
         .select(col("_metadata.file_path").as("_f")).distinct().collect()
@@ -1411,7 +1546,7 @@ object VersionedTable {
       lastStaged =
         if (rewrite.isEmpty) Seq.empty
         else {
-          val rw = spark.read.schema(schema).parquet(rewrite: _*)
+          val rw = readFiles(spark, schema, rewrite)
           val remaining = rw.join(delKeys, cond(rw), "left_anti")
           if (remaining.isEmpty) Seq.empty else stageFiles(remaining, root)
         }
@@ -1485,10 +1620,8 @@ object VersionedTable {
     val outSchema = manifest(f, root, to).schema
     keys.foreach(k => require(outSchema.fieldNames.contains(k),
       s"changeFeed: no key column '$k' in ${outSchema.simpleString}"))
-    def readFiles(files: Seq[String]): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
-      else spark.read.schema(outSchema).parquet(files: _*)
+    def readF(files: Seq[String]): DataFrame =
+      readFiles(spark, outSchema, files)
     val dataCols = outSchema.fieldNames.filterNot(keys.contains).toSeq
     val feedSchema = StructType(outSchema.fields ++ Seq(
       StructField("change_type", StringType, nullable = false),
@@ -1504,15 +1637,15 @@ object VersionedTable {
       val removed = prevFiles.filterNot(curFiles.toSet)
       val added = curFiles.filterNot(prevFiles.toSet)
       if (removed.isEmpty) // append-only commit: adds are pure inserts
-        readFiles(added)
+        readF(added)
           .withColumn("change_type", lit("insert"))
           .withColumn("_commit_version", lit(v))
       else {
         def tagged(df: DataFrame, p: String) = df.select(
           keys.map(col) ++ dataCols.map(c => col(c).as(p + c))
             :+ lit(true).as(p + "present"): _*)
-        val j = tagged(readFiles(removed), "_o_")
-          .join(tagged(readFiles(added), "_n_"), keys, "full_outer")
+        val j = tagged(readF(removed), "_o_")
+          .join(tagged(readF(added), "_n_"), keys, "full_outer")
         val changed =
           if (dataCols.isEmpty) lit(false)
           else !dataCols.map(c => col("_o_" + c) <=> col("_n_" + c))
@@ -1563,8 +1696,8 @@ object VersionedTable {
       val keep = sized.filterNot(_._2 < smallBytes).map(_._1)
       val totalBytes = small.map(_._2).sum
       val nOut = ((totalBytes + targetBytes - 1) / targetBytes).toInt.max(1)
-      val merged = spark.read.schema(schema)
-        .parquet(small.map(_._1): _*).coalesce(nOut)
+      val merged = readFiles(spark, schema, small.map(_._1))
+        .coalesce(nOut)
       lastStaged = stageFiles(merged, root)
       keep ++ lastStaged
     })
@@ -1593,7 +1726,7 @@ object VersionedTable {
     commitRetrying(spark, root, schema) { prev =>
       lastStaged.foreach(p => f.delete(new Path(p), false))
       require(prev.nonEmpty, "cannot z-order an empty snapshot")
-      val head = spark.read.schema(schema).parquet(prev: _*)
+      val head = readFiles(spark, schema, prev)
       lastStaged = stageFiles(
         graft.operators.Layout.zOrdered(head, cols, nFiles, bitsPerCol),
         root)
@@ -1718,9 +1851,24 @@ object VersionedTable {
     * output type has no per-write option). */
   private object TsConfLock
 
-  private def stageFiles(df: DataFrame, root: String): Seq[String] = {
-    val spark = df.sparkSession
+  private def stageFiles(df0: DataFrame, root: String): Seq[String] = {
+    val spark = df0.sparkSession
     val f = fs(spark, root)
+    // column mapping: staged parquet stores PHYSICAL names (the head
+    // manifest's mapping, matched by logical name), so files written
+    // after a RENAME COLUMN stay name-compatible with files written
+    // before it. Identity (no mapped column) is a no-op.
+    val headMapping: Map[String, String] = {
+      val vs = versions(spark, root)
+      if (vs.isEmpty) Map.empty
+      else manifest(f, root, vs.max).schema.fields
+        .map(fd => fd.name -> physicalName(fd))
+        .filter { case (l, p) => l != p }.toMap
+    }
+    val df =
+      if (headMapping.isEmpty) df0
+      else df0.toDF(df0.columns.map(c =>
+        headMapping.getOrElse(c, c)).toIndexedSeq: _*)
     val stage = new Path(root, s".stage-${UUID.randomUUID()}")
     // write timestamps as standard INT64 TIMESTAMP_MICROS, not Spark's
     // legacy INT96 default: INT96 column chunks carry NO usable min/max
@@ -1777,8 +1925,10 @@ object VersionedTable {
     // Delta-style would save this one extra scan, at the cost of a
     // custom write path — the scan only runs when constraints exist.
     if (staged.nonEmpty)
-      try enforceConstraints(
-        spark.read.schema(df.schema).parquet(staged: _*), root)
+      try enforceConstraints( // physical bytes, LOGICAL names (the
+        // constraint expressions reference logical columns)
+        spark.read.schema(df.schema).parquet(staged: _*)
+          .toDF(df0.columns.toIndexedSeq: _*), root)
       catch { case t: Throwable =>
         staged.foreach(p => f.delete(new Path(p), false))
         throw t

@@ -296,6 +296,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if rm.property.startsWith("constraint.") =>
         VersionedTable.dropConstraint(spark, root,
           rm.property.stripPrefix("constraint."))
+      // RENAME COLUMN (round 10): metadata-only — the column-mapping
+      // layer freezes the physical name, so old files keep resolving
+      // and the logical name moves (see VersionedTable.renameColumn)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "graft ALTER TABLE supports top-level RENAME COLUMN only " +
+            s"(got nested ${rn.fieldNames.mkString(".")})")
+        VersionedTable.renameColumn(spark, root, rn.fieldNames()(0),
+          rn.newName)
       case other =>
         throw new UnsupportedOperationException(
           s"graft ALTER TABLE supports ADD COLUMN, DROP COLUMN and " +

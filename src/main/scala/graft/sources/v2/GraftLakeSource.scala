@@ -724,18 +724,34 @@ private[graft] class GraftScan(spark: SparkSession,
     }
     currentKept = kept
     GraftScan.lastPlannedFiles.set(kept.size)
+    // the delegated parquet scan runs under PHYSICAL column names
+    // (column mapping, round 10): files written before a RENAME store
+    // the frozen physical name. Rows are positional, so serving the
+    // LOGICAL readSchema over the physically-named scan is a pure
+    // rename. Identity (no mapped column) leaves all of this a no-op.
+    val physSchema = VersionedTable.physicalSchema(snap.schema)
+    val physOf = snap.schema.fields
+      .map(f => f.name -> VersionedTable.physicalName(f)).toMap
     val index = new InMemoryFileIndex(spark,
       kept.map(new Path(_)).toIndexedSeq, Map.empty[String, String],
-      Some(snap.schema))
-    val pb = ParquetScanBuilder(spark, index, snap.schema, snap.schema,
+      Some(physSchema))
+    val pb = ParquetScanBuilder(spark, index, physSchema, physSchema,
       CaseInsensitiveStringMap.empty())
-    // forward the same predicate (resolved against the snapshot schema)
-    // so parquet row-group/page stats and dictionary filters also apply
+    // forward the same predicate (resolved against the snapshot schema,
+    // attributes translated to physical names) so parquet row-group/
+    // page stats and dictionary filters also apply
     cond.foreach { c =>
       VersionedTable.resolvePredicate(spark, snap.schema, c)
+        .map(_.transform {
+          case a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference
+            if physOf.get(a.name).exists(_ != a.name) =>
+            a.withName(physOf(a.name))
+        })
         .foreach(e => pb.pushFilters(Seq(e)))
     }
-    pb.pruneColumns(dataRequired)
+    pb.pruneColumns(StructType(dataRequired.fields.map(f =>
+      f.copy(name = physOf.getOrElse(f.name, f.name)))))
     pb.build()
   }
 

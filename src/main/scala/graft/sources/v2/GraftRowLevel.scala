@@ -164,7 +164,11 @@ private[v2] class GraftReplaceDataWrite(spark: SparkSession,
       val fs = stageDir.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(stageDir)
-      WriteBridge.parquetFactory(spark, stageDir.toString, snap.schema)
+      // PHYSICAL names: staged rewrite files must be name-compatible
+      // with the table's other data files (column mapping, round 10);
+      // rows are positional so only the parquet column names change
+      WriteBridge.parquetFactory(spark, stageDir.toString,
+        VersionedTable.physicalSchema(snap.schema))
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {

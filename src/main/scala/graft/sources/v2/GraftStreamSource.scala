@@ -120,6 +120,16 @@ private[v2] class GraftStreamSource(spark: SparkSession, root: String,
   private def ver(o: org.apache.spark.sql.connector.read.streaming.Offset)
       : Long = o.json.trim.toLong
 
+  /** Streaming read of `files` honoring column mapping: the parquet
+    * scan resolves PHYSICAL names, the frame serves logical ones
+    * (identity no-op on unmapped tables). */
+  private def streamFrame(files: Seq[String]): DataFrame = {
+    val base = StreamBridge.streamingParquet(spark,
+      VersionedTable.physicalSchema(pinnedSchema), files)
+    if (!VersionedTable.hasMapping(pinnedSchema)) base
+    else base.toDF(pinnedSchema.fieldNames.toIndexedSeq: _*)
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
     // a checkpoint restart replays with start = the last committed
@@ -163,10 +173,10 @@ private[v2] class GraftStreamSource(spark: SparkSession, root: String,
     startV match {
       case None =>
         // initial batch: the full snapshot as of endV
-        StreamBridge.streamingParquet(spark, pinnedSchema, endSnap.files)
+        streamFrame(endSnap.files)
       case Some(sv) if sv < 0 =>
         // startingVersion = -1: every file ever added, as one batch
-        StreamBridge.streamingParquet(spark, pinnedSchema, endSnap.files)
+        streamFrame(endSnap.files)
       case Some(sv) =>
         val startFiles = VersionedTable.snapshot(spark, root, Some(sv))
           .files.toSet
@@ -179,8 +189,7 @@ private[v2] class GraftStreamSource(spark: SparkSession, root: String,
               "delete) — their adds are REWRITES, not new data. Pass " +
               "ignoreChanges=true to re-emit rewritten rows, or stream " +
               "from an append-only table")
-        StreamBridge.streamingParquet(spark, pinnedSchema,
-          endFiles.filterNot(startFiles))
+        streamFrame(endFiles.filterNot(startFiles))
     }
   }
 

@@ -212,12 +212,51 @@ class CatalogSpec extends SparkSpec {
     spark.sql("ALTER TABLE graft.alt UNSET TBLPROPERTIES ('x')")
     assert(spark.sql("SHOW TBLPROPERTIES graft.alt")
       .filter(col("key") === "x").count() == 0)
-    // unsupported shapes fail loud
-    intercept[Exception] {
-      spark.sql("ALTER TABLE graft.alt RENAME COLUMN v TO w") }
     intercept[Exception] { // duplicate (case-insensitive) column
       spark.sql("ALTER TABLE graft.alt ADD COLUMN K STRING") }
     spark.sql("DROP TABLE graft.alt")
+  }
+
+  test("RENAME COLUMN: metadata-only via column mapping — old files " +
+      "keep serving data, stats keep pruning, time travel keeps old " +
+      "names, renamed-key DML works") {
+    warehouse
+    spark.sql("CREATE TABLE graft.ren (k BIGINT, v BIGINT)")
+    // several clustered commits so stats pruning is observable
+    val root = spark.conf.get("spark.sql.catalog.graft.root") + "/ren"
+    (0 until 4).foreach { b =>
+      VersionedTable.append((b * 100L + 1 to b * 100L + 100)
+        .map(i => (i, i * 2)).toDF("k", "v").coalesce(1), root)
+    }
+    spark.sql("ALTER TABLE graft.ren RENAME COLUMN k TO id")
+    // values survive under the new name (no null-fill!)
+    assert(spark.sql("SELECT SUM(id) FROM graft.ren").head().getLong(0)
+      == (1L to 400L).sum)
+    assert(spark.table("graft.ren").columns.toSeq == Seq("id", "v"))
+    // manifest stats (keyed by the frozen physical name) still prune
+    // filters on the LOGICAL name through both front doors
+    val kept = VersionedTable.readWhere(spark, root,
+      col("id") <= 50L)
+    assert(kept.inputFiles.length == 1,
+      s"rename must not blind stats pruning: ${kept.inputFiles.length}")
+    assert(kept.count() == 50)
+    assert(spark.sql("SELECT count(*) FROM graft.ren WHERE id <= 50")
+      .head().getLong(0) == 50)
+    // time travel shows the pre-rename schema
+    assert(spark.sql("SELECT * FROM graft.ren VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "v"))
+    // inserts + DML on the renamed column
+    spark.sql("INSERT INTO graft.ren VALUES (1000, 1)")
+    spark.sql("UPDATE graft.ren SET v = 7 WHERE id = 1000")
+    assert(spark.sql("SELECT v FROM graft.ren WHERE id = 1000").head()
+      .getLong(0) == 7L)
+    // old-name references fail; re-renaming back works
+    intercept[Exception] {
+      spark.sql("SELECT k FROM graft.ren").collect() }
+    spark.sql("ALTER TABLE graft.ren RENAME COLUMN id TO k")
+    assert(spark.sql("SELECT SUM(k) FROM graft.ren").head().getLong(0)
+      == (1L to 400L).sum + 1000L)
+    spark.sql("DROP TABLE graft.ren")
   }
 
   test("DROP COLUMN narrows metadata-only; TRUNCATE TABLE; CALL clone " +
@@ -327,21 +366,26 @@ class CatalogSpec extends SparkSpec {
     }
     assert(spark.table("graft.atomic").columns.toSeq == Seq("k", "v"),
       "failed ADD COLUMNS must leave the schema untouched (atomicity)")
-    // drop v, then re-add: the live file still carries v's bytes —
-    // refusing prevents silent value resurrection (advisor finding)
+    // drop v, then re-add the SAME name: the live file still carries
+    // v's bytes, but the re-added column gets a FRESH physical name
+    // (column mapping) — it reads NULL, never the resurrected values
+    // (advisor finding, round 9)
     spark.sql("ALTER TABLE graft.atomic DROP COLUMN v")
-    val ex = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.atomic ADD COLUMN v BIGINT") }
-    assert(ex.getMessage.contains("resurrect"), ex.getMessage)
-    // a FRESH name is fine, and after a full rewrite (the files no
-    // longer predate the drop) the old name frees up again
-    spark.sql("ALTER TABLE graft.atomic ADD COLUMN w BIGINT")
-    spark.sql("INSERT OVERWRITE graft.atomic VALUES (1, 99)")
     spark.sql("ALTER TABLE graft.atomic ADD COLUMN v BIGINT")
-    assert(spark.table("graft.atomic").columns.toSeq ==
-      Seq("k", "w", "v"))
     assert(spark.sql("SELECT v FROM graft.atomic WHERE k = 1").head()
       .isNullAt(0), "re-added column reads NULL, not resurrected bytes")
+    // ...and round-trips real values in new writes
+    spark.sql("INSERT INTO graft.atomic VALUES (2, 22)")
+    assert(spark.sql("SELECT v FROM graft.atomic WHERE k = 2").head()
+      .getLong(0) == 22L)
+    // the mergeSchema APPEND path cannot remap (files stage before the
+    // schema resolves) — it refuses the poisoned name instead
+    val root = spark.conf.get("spark.sql.catalog.graft.root") + "/atomic"
+    spark.sql("ALTER TABLE graft.atomic DROP COLUMN v")
+    val ex = intercept[Exception] {
+      VersionedTable.append(Seq((3L, 33L)).toDF("k", "v"), root,
+        mergeSchema = true) }
+    assert(ex.getMessage.contains("resurrect"), ex.getMessage)
     spark.sql("DROP TABLE graft.atomic")
   }
 
