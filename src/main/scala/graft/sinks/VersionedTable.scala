@@ -306,7 +306,13 @@ object VersionedTable {
     require(to.nonEmpty && !to.exists(c => c == '\t' || c == '\n'),
       s"bad column name '$to'")
     var schema: StructType = null
-    commitRetrying(spark, root, schema) { prev =>
+    // a CLUSTER BY spec naming the renamed column must follow it in
+    // the SAME commit, or clustered inserts / zorder defaults would
+    // silently stop matching (propertiesOverride is by-name: the value
+    // set inside the closure below is what the manifest write sees)
+    var propsOverride: Option[Seq[(String, String)]] = None
+    commitRetrying(spark, root, schema,
+      propertiesOverride = propsOverride) { prev =>
       val vs = versions(spark, root)
       require(vs.nonEmpty, s"no committed version under $root")
       val m = manifest(f, root, vs.max)
@@ -331,6 +337,12 @@ object VersionedTable {
             .withMetadata(fd.metadata).putString(PhysicalKey, phys)
             .build())
         } else fd
+      })
+      propsOverride = Some(m.properties.map {
+        case (ClusteringProp, v) => ClusteringProp ->
+          v.split(",").map(_.trim).map(c =>
+            if (c.equalsIgnoreCase(from)) to else c).mkString(",")
+        case other => other
       })
       prev // files unchanged: pure metadata commit
     }
@@ -2225,7 +2237,7 @@ object VersionedTable {
   private def commitRetrying(spark: SparkSession, root: String,
       schema: => StructType, batchMarker: Option[Long] = None,
       constraintsOverride: Option[Seq[(String, String)]] = None,
-      propertiesOverride: Option[Seq[(String, String)]] = None,
+      propertiesOverride: => Option[Seq[(String, String)]] = None,
       opInfo: Option[String] = None)
       (nextFiles: Seq[String] => Seq[String]): Long = {
     // `schema` is by-name: nextFiles may resolve the (possibly evolved)
@@ -2252,11 +2264,14 @@ object VersionedTable {
           val m = manifest(f, root, vs.max)
           (m.files, m.stats, m.constraints, m.properties)
         }
+      val files = nextFiles(prev)
       // constraints and table properties ride every commit unchanged
-      // unless this commit IS the change (add/drop/set/unset)
+      // unless this commit IS the change (add/drop/set/unset).
+      // Evaluated AFTER nextFiles: propertiesOverride is by-name, so a
+      // closure that resolves its override against the head it just
+      // read (renameColumn's clustering rewrite) is honored.
       val cons = constraintsOverride.getOrElse(prevCons)
       val props = propertiesOverride.getOrElse(prevProps)
-      val files = nextFiles(prev)
       val v = if (vs.isEmpty) 0L else vs.max + 1
       val target = manifestPath(root, v)
       // per-file stats: carried-over files keep the previous manifest's

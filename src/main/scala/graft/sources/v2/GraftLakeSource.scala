@@ -612,9 +612,13 @@ private[v2] class GraftScanBuilder(spark: SparkSession,
         Some(nr.fieldNames()(0))
       case _ => None
     }
-    def noNullsEverywhere(c: String): Boolean = snap.files.forall(p =>
-      snap.stats.get(p).exists(st => st.get(c).exists(cs =>
-        !cs.hasNulls) && st.values.exists(_.rows.nonEmpty)))
+    def noNullsEverywhere(c: String): Boolean = {
+      // manifest stats are keyed by PHYSICAL name (column mapping)
+      val pc = VersionedTable.physicalName(snap.schema(c))
+      snap.files.forall(p =>
+        snap.stats.get(p).exists(st => st.get(pc).exists(cs =>
+          !cs.hasNulls) && st.values.exists(_.rows.nonEmpty)))
+    }
     !anyFilters && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {

@@ -257,6 +257,15 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT SUM(k) FROM graft.ren").head().getLong(0)
       == (1L to 400L).sum + 1000L)
     spark.sql("DROP TABLE graft.ren")
+    // a CLUSTER BY spec follows its renamed column in the same commit
+    spark.sql("CREATE TABLE graft.rencb (a BIGINT, b BIGINT) " +
+      "CLUSTER BY (a, b)")
+    spark.sql("ALTER TABLE graft.rencb RENAME COLUMN a TO a2")
+    assert(spark.sql("SHOW TBLPROPERTIES graft.rencb")
+      .filter(col("key") === VersionedTable.ClusteringProp)
+      .select("value").as[String].head() == "a2,b",
+      "graft.clustering must track the rename")
+    spark.sql("DROP TABLE graft.rencb")
   }
 
   test("DROP COLUMN narrows metadata-only; TRUNCATE TABLE; CALL clone " +
