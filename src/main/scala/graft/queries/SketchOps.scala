@@ -1578,6 +1578,48 @@ object SketchOps {
       val p = new org.apache.hadoop.fs.Path(wh)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       s.createDataFrame(rows, schema)
+    }),
+
+    // round-10 follow-on (VERDICT r9 missing #3's second half): ALTER
+    // COLUMN TYPE widening as a metadata-only commit. INT-typed
+    // clustered files, widen k to BIGINT through pure SQL, land a
+    // beyond-int32 row, and prove (in-gate) that the old narrow files
+    // still stats-prune on the widened column; totals oracle-exact
+    // with the 2^40 outlier in the sum.
+    "versioned_sql_widen" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val wh = java.nio.file.Files.createTempDirectory("widen").toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("int").as("k"),
+        col("o_custkey").cast("int").as("c"))
+      val hi = o.agg(max(col("k"))).head().getInt(0).toLong
+      (0L to 3L).foreach { b =>
+        val lo = if (b == 0L) -1L else b * hi / 4
+        VersionedTable.append(o.filter(col("k") > lo &&
+          col("k") <= (b + 1) * hi / 4).coalesce(1), s"$wh/t")
+      }
+      s.sql(s"ALTER TABLE $cat.t ALTER COLUMN k TYPE BIGINT")
+      s.sql(s"ALTER TABLE $cat.t ALTER COLUMN c TYPE BIGINT")
+      s.sql(s"INSERT INTO $cat.t VALUES (${1L << 40}, 42)")
+      val kept = VersionedTable.readWhere(s, s"$wh/t",
+        col("k") <= hi / 4)
+      require(kept.inputFiles.length <= 2,
+        s"int-era file bounds must still prune the widened column: " +
+          s"planned ${kept.inputFiles.length}")
+      val result = s.sql(
+        s"""SELECT COUNT(*) AS n, SUM(k) AS sum_k, SUM(c) AS sum_c,
+           |  MAX(k) AS max_k
+           |FROM $cat.t""".stripMargin)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
     })
   )
 
@@ -2115,6 +2157,16 @@ object SketchOps {
         |   WHERE k % 6 <> 0) AS n_update,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s
         |   WHERE k % 6 = 0) AS n_delete
-        |FROM merged""".stripMargin
+        |FROM merged""".stripMargin,
+
+    // after widening: all orders plus the 2^40 row
+    "versioned_sql_widen" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(c) AS BIGINT) AS sum_c,
+        |  MAX(k) AS max_k
+        |FROM (
+        |  SELECT o_orderkey AS k, o_custkey AS c FROM orders
+        |  UNION ALL SELECT 1099511627776, 42) u""".stripMargin
   )
 }

@@ -348,6 +348,56 @@ object VersionedTable {
     }
   }
 
+  /** The metadata-only TYPE WIDENINGS Spark 4's parquet readers
+    * promote natively at scan time (verified: the vectorized reader
+    * upcasts these per file, so old narrow files and new wide files
+    * coexist under one read schema). Decimal precision changes are NOT
+    * here — the reader rejects them — and narrowing never is. */
+  private val widenings: Map[DataType, Set[DataType]] = Map(
+    ByteType -> Set(ShortType, IntegerType, LongType, DoubleType),
+    ShortType -> Set(IntegerType, LongType, DoubleType),
+    IntegerType -> Set(LongType, DoubleType),
+    FloatType -> Set(DoubleType))
+
+  /** `ALTER TABLE ... ALTER COLUMN <c> TYPE <wider>`: a metadata-only
+    * commit — data files keep their narrow physical type and the scan
+    * widens per file (see [[widenings]]); new writes store the wide
+    * type. Manifest min/max stats stay sound (canonical strings
+    * compare through exact BigDecimal regardless of width). Columns
+    * carrying per-file BLOOM filters refuse: the bloom hashed the
+    * NARROW Spark type, and probing it with wide literals would
+    * produce false negatives — wrong pruning (drop the bloom opt-in
+    * and compact first). */
+  def widenColumnType(spark: SparkSession, root: String, name: String,
+      newType: DataType): Long = {
+    val f = fs(spark, root)
+    var schema: StructType = null
+    commitRetrying(spark, root, schema) { prev =>
+      val vs = versions(spark, root)
+      require(vs.nonEmpty, s"no committed version under $root")
+      val m = manifest(f, root, vs.max)
+      val fd = m.schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"widenColumnType: no such column '$name'"))
+      require(widenings.get(fd.dataType).exists(_.contains(newType)),
+        s"widenColumnType: ${fd.dataType.simpleString} -> " +
+          s"${newType.simpleString} is not a supported metadata-only " +
+          "widening (supported: byte/short/int -> int/long/double, " +
+          "float -> double); other changes need a table rewrite")
+      val phys = physicalName(fd)
+      require(!m.stats.values.exists(st =>
+          st.get(phys).exists(_.bloom.nonEmpty)),
+        s"widenColumnType: column '$name' carries per-file bloom " +
+          "filters hashed over the narrow type — widening would make " +
+          "bloom pruning falsely negative. Remove it from " +
+          "spark.graft.lake.bloom.cols and rewrite/compact first")
+      schema = StructType(m.schema.fields.map(x =>
+        if (x.name.equalsIgnoreCase(name)) x.copy(dataType = newType)
+        else x))
+      prev // files unchanged: pure metadata commit
+    }
+  }
+
   /** Snapshot read: pin the (latest or requested) manifest's exact file
     * list. Concurrent commits after this call do not change what this
     * DataFrame reads — its files are immutable. An empty snapshot reads

@@ -296,6 +296,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if rm.property.startsWith("constraint.") =>
         VersionedTable.dropConstraint(spark, root,
           rm.property.stripPrefix("constraint."))
+      // ALTER COLUMN TYPE (round 10): metadata-only WIDENING — Spark
+      // 4's parquet readers upcast the narrow files at scan time
+      // (byte/short/int -> int/long/double, float -> double); anything
+      // else refuses with the rewrite guidance
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "graft ALTER TABLE supports top-level ALTER COLUMN TYPE " +
+            s"only (got nested ${ut.fieldNames.mkString(".")})")
+        VersionedTable.widenColumnType(spark, root, ut.fieldNames()(0),
+          ut.newDataType)
       // RENAME COLUMN (round 10): metadata-only — the column-mapping
       // layer freezes the physical name, so old files keep resolving
       // and the logical name moves (see VersionedTable.renameColumn)

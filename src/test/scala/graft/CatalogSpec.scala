@@ -398,6 +398,41 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.atomic")
   }
 
+  test("ALTER COLUMN TYPE widening: metadata-only, old narrow files " +
+      "upcast at scan, stats keep pruning, unsupported shapes refuse") {
+    warehouse
+    spark.sql("CREATE TABLE graft.wid (k INT, x FLOAT)")
+    val root = spark.conf.get("spark.sql.catalog.graft.root") + "/wid"
+    (0 until 3).foreach { b =>
+      VersionedTable.append((b * 100 + 1 to b * 100 + 100)
+        .map(i => (i, i / 2.0f)).toDF("k", "x").coalesce(1), root)
+    }
+    spark.sql("ALTER TABLE graft.wid ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.wid ALTER COLUMN x TYPE DOUBLE")
+    // values beyond int range land after the widen
+    spark.sql("ALTER TABLE graft.wid ADD COLUMN tag STRING")
+    spark.sql(s"INSERT INTO graft.wid VALUES (${1L << 40}, 0.5, 'w')")
+    val r = spark.sql(
+      "SELECT SUM(k), COUNT(*) FROM graft.wid").head()
+    assert(r.getLong(0) == (1L to 300L).sum + (1L << 40) &&
+      r.getLong(1) == 301)
+    // stats pruning still works on the widened column (old int-era
+    // bounds compare through exact BigDecimal)
+    val kept = VersionedTable.readWhere(spark, root, col("k") <= 100L)
+    assert(kept.inputFiles.length == 1,
+      s"widen must not blind stats pruning: ${kept.inputFiles.length}")
+    assert(kept.count() == 100)
+    // time travel keeps the narrow type
+    assert(spark.sql("SELECT * FROM graft.wid VERSION AS OF 1")
+      .schema("k").dataType.simpleString == "int")
+    // narrowing and non-promotable changes refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.wid ALTER COLUMN k TYPE INT") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.wid ALTER COLUMN tag TYPE BIGINT") }
+    spark.sql("DROP TABLE graft.wid")
+  }
+
   test("rename crash recovery: an interrupted move repairs itself on " +
       "the next load (marker + idempotent rebase)") {
     import org.apache.hadoop.fs.Path
