@@ -1580,6 +1580,72 @@ object SketchOps {
       s.createDataFrame(rows, schema)
     }),
 
+    // round-10 companion to versioned_change_feed: the WRITE-SIDE
+    // change log. The table declares its identity keys
+    // (graft.changefeed.keys), so the MERGE commit PERSISTS its net
+    // row diff under _changes/ and the feed read plans NO JOIN
+    // (asserted in-gate on the optimized plan) — CDC as a pure scan.
+    // Same oracle recompute as versioned_change_feed: the recorded
+    // diff must equal what the join would have derived.
+    "versioned_change_log" -> ((s, d) => {
+      import graft.sinks.VersionedTable
+      val wh = java.nio.file.Files.createTempDirectory("chlog").toString
+      val cat = "g" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"))
+      val hi = o.agg(max(col("k"))).head().getLong(0)
+      (0L to 3L).foreach { b =>
+        val lo = if (b == 0L) -1L else b * hi / 4
+        VersionedTable.append(o.filter(col("k") > lo &&
+          col("k") <= (b + 1) * hi / 4).withColumn("state", lit("t"))
+          .coalesce(1), s"$wh/t")
+      }
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+        "('graft.changefeed.keys' = 'k')")
+      val baseV = VersionedTable.versions(s, s"$wh/t").max
+      o.filter(col("k") % 2 === 0 && col("k") <= hi / 4)
+        .select(col("k"), (col("c") + 777L).as("c2"))
+        .createOrReplaceTempView("cl_src")
+      s.sql(
+        s"""MERGE INTO $cat.t t USING cl_src m ON t.k = m.k
+           |WHEN MATCHED AND m.k % 6 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c = m.c2, state = 'u'""".stripMargin)
+      s.sql(s"INSERT INTO $cat.t VALUES (${hi + 7}, 42, 'i')")
+      val feed = VersionedTable.changeFeed(s, s"$wh/t", Seq("k"), baseV)
+      require(feed.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty,
+        "recorded change log must serve the feed as a PURE SCAN")
+      val counts = feed.groupBy("change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // apply the recorded feed incrementally over the base snapshot
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy(col("_commit_version").desc)
+      val last = feed.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+      val matview = s.read.format("graft")
+        .option("versionAsOf", baseV).load(s"$wh/t")
+        .join(last.select("k"), Seq("k"), "left_anti")
+        .unionByName(last.filter(col("change_type") =!= "delete")
+          .select(col("k"), col("c"), col("state")))
+      val result = matview.agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("bigint").as("sum_k"),
+          sum(col("c")).cast("bigint").as("sum_c"))
+        .withColumn("n_insert", lit(counts.getOrElse("insert", 0L)))
+        .withColumn("n_update", lit(counts.getOrElse("update", 0L)))
+        .withColumn("n_delete", lit(counts.getOrElse("delete", 0L)))
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      val schema = result.schema
+      s.catalog.dropTempView("cl_src")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.createDataFrame(rows, schema)
+    }),
+
     // round-10 follow-on (VERDICT r9 missing #3's second half): ALTER
     // COLUMN TYPE widening as a metadata-only commit. INT-typed
     // clustered files, widen k to BIGINT through pure SQL, land a
@@ -2138,6 +2204,31 @@ object SketchOps {
     // incrementally: matched low-quartile evens update (k % 6 = 0
     // deletes), one appended row inserts — incremental == recompute
     "versioned_change_feed" ->
+      """WITH hi AS (SELECT MAX(o_orderkey) AS h FROM orders),
+        |s AS (SELECT o_orderkey AS k, o_custkey + 777 AS c2 FROM orders
+        |      WHERE o_orderkey % 2 = 0
+        |        AND o_orderkey <= (SELECT h FROM hi) // 4),
+        |merged AS (
+        |  SELECT t.o_orderkey AS k,
+        |    CASE WHEN s.k IS NOT NULL THEN s.c2
+        |         ELSE t.o_custkey END AS c
+        |  FROM orders t LEFT JOIN s ON s.k = t.o_orderkey
+        |  WHERE NOT (s.k IS NOT NULL AND t.o_orderkey % 6 = 0)
+        |  UNION ALL
+        |  SELECT (SELECT h FROM hi) + 7, 42)
+        |SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(c) AS BIGINT) AS sum_c,
+        |  CAST(1 AS BIGINT) AS n_insert,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s
+        |   WHERE k % 6 <> 0) AS n_update,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s
+        |   WHERE k % 6 = 0) AS n_delete
+        |FROM merged""".stripMargin,
+
+    // identical recompute to versioned_change_feed: the RECORDED diff
+    // must match what the join derives, which must match the oracle's
+    // from-scratch merge replay
+    "versioned_change_log" ->
       """WITH hi AS (SELECT MAX(o_orderkey) AS h FROM orders),
         |s AS (SELECT o_orderkey AS k, o_custkey + 777 AS c2 FROM orders
         |      WHERE o_orderkey % 2 = 0

@@ -56,10 +56,11 @@ object VersionedTable {
   private val ConstraintMarker = "#constraint:"
   private val PropertyMarker = "#property:"
   private val OpMarker = "#op:"
+  private val ChangesMarker = "#changes:"
   private def isMarkerLine(l: String): Boolean =
     l.startsWith(BatchMarker) || l.startsWith(WriterMarker) ||
       l.startsWith(ConstraintMarker) || l.startsWith(PropertyMarker) ||
-      l.startsWith(OpMarker)
+      l.startsWith(OpMarker) || l.startsWith(ChangesMarker)
   // an UNTERMINATED (or torn) manifest younger than this is presumed to
   // be a live writer mid-write (create -> write -> close is
   // milliseconds), not a crashed writer's junk — recovery must not
@@ -93,7 +94,8 @@ object VersionedTable {
       batchId: Option[Long], stats: Map[String, FileStats],
       constraints: Seq[(String, String)] = Nil,
       properties: Seq[(String, String)] = Nil,
-      opInfo: Option[String] = None)
+      opInfo: Option[String] = None,
+      changesFile: Option[String] = None)
 
   private def statsToJson(s: FileStats): String =
     JsonMethods.compact(JsonMethods.render(JObject(s.toList.sortBy(_._1)
@@ -167,7 +169,9 @@ object VersionedTable {
               case Array(n, v0) => n -> v0
             } },
           body.collectFirst { case l if l.startsWith(OpMarker) =>
-            l.stripPrefix(OpMarker) }))
+            l.stripPrefix(OpMarker) },
+          body.collectFirst { case l if l.startsWith(ChangesMarker) =>
+            l.stripPrefix(ChangesMarker) }))
       }
     } finally in.close()
   }
@@ -339,8 +343,8 @@ object VersionedTable {
         } else fd
       })
       propsOverride = Some(m.properties.map {
-        case (ClusteringProp, v) => ClusteringProp ->
-          v.split(",").map(_.trim).map(c =>
+        case (k, v) if k == ClusteringProp || k == ChangeFeedKeysProp =>
+          k -> v.split(",").map(_.trim).map(c =>
             if (c.equalsIgnoreCase(from)) to else c).mkString(",")
         case other => other
       })
@@ -1023,6 +1027,14 @@ object VersionedTable {
     * given, and honored by catalog INSERTs (range-clustered staging). */
   val ClusteringProp = "graft.clustering"
 
+  /** Table property opting into the WRITE-SIDE CHANGE LOG (comma-
+    * separated key columns): row-level DML commits then persist their
+    * net row diff under `_changes/`, referenced from the manifest, so
+    * [[changeFeed]] serves those commits as PURE SCANS instead of
+    * re-deriving the diff with a keyed join at every read — the right
+    * trade when CDC consumers outnumber writers. */
+  val ChangeFeedKeysProp = "graft.changefeed.keys"
+
   /** Set (upsert) table properties as one metadata-only commit. Keys
     * and values must be tab/newline-free (the manifest is
     * line-oriented). Returns the committed version. */
@@ -1184,7 +1196,8 @@ object VersionedTable {
     val f = fs(spark, root)
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed version under $root")
-    val schema = manifest(f, root, vs.max).schema
+    val headM = manifest(f, root, vs.max)
+    val schema = headM.schema
     f.mkdirs(dataDir(root))
     val moved = written.map { p0 =>
       val dst = new Path(dataDir(root), s"${UUID.randomUUID()}.parquet")
@@ -1209,9 +1222,32 @@ object VersionedTable {
     if (staged.nonEmpty)
       enforceConstraints(readFiles(spark, schema, staged), root)
     val removedQ = removed.map(p => new Path(p).toString)
+    // WRITE-SIDE CHANGE LOG: a table that declared its identity keys
+    // (ChangeFeedKeysProp) gets this commit's net row diff persisted
+    // under _changes/ and referenced from the manifest — changeFeed
+    // then serves the commit as a pure scan. Keys that no longer match
+    // the schema (never expected: renameColumn rewrites the property)
+    // skip recording; the read-side join fallback stays correct.
+    val cdcKeys = headM.properties
+      .collectFirst { case (ChangeFeedKeysProp, v0) =>
+        v0.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
+      .filter(ks => ks.nonEmpty &&
+        ks.forall(schema.fieldNames.contains))
+    val changesFile: Option[String] = cdcKeys.map { keys =>
+      val dataCols = schema.fieldNames.filterNot(keys.contains).toSeq
+      val diff = keyedDiff(readFiles(spark, schema, removed.toSeq),
+        readFiles(spark, schema, staged), keys, dataCols)
+      val out = new Path(new Path(root, "_changes"),
+        java.util.UUID.randomUUID().toString)
+      diff.write.mode(SaveMode.Overwrite).parquet(out.toString)
+      f.makeQualified(out).toString
+    }
+    def dropChanges(): Unit = changesFile.foreach(cf =>
+      scala.util.Try(f.delete(new Path(cf), true)))
     try commitRetrying(spark, root, schema,
       opInfo = opJson(staged).filterNot(j =>
-        j.exists(c => c == '\t' || c == '\n'))) { prev =>
+        j.exists(c => c == '\t' || c == '\n')),
+      changesFile = changesFile) { prev =>
       val prevSet = prev.map(p => new Path(p).toString).toSet
       val gone = removedQ.diff(prevSet)
       require(gone.isEmpty,
@@ -1221,9 +1257,10 @@ object VersionedTable {
       prev.filterNot(p => removedQ.contains(new Path(p).toString)) ++
         staged
     } catch {
-      case e: Throwable => // failed commit: reclaim the staged files
+      case e: Throwable => // failed commit: reclaim staged + change log
         staged.foreach(p =>
           scala.util.Try(f.delete(new Path(p), false)))
+        dropChanges()
         throw e
     }
   }
@@ -1648,6 +1685,34 @@ object VersionedTable {
         :+ col("change_type"): _*)
   }
 
+  /** Net row diff between two keyed row sets: one row per change with
+    * `change_type` in {insert, update, delete}; updates/inserts carry
+    * the NEW image, deletes the old. Output columns: keys ++ dataCols
+    * ++ change_type. The shared kernel of [[changeFeed]]'s join
+    * fallback and the write-side change log ([[ChangeFeedKeysProp]]).
+    * One keyed full-outer join over only the two row sets given. */
+  private def keyedDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], dataCols: Seq[String]): DataFrame = {
+    def tagged(df: DataFrame, p: String) = df.select(
+      keys.map(col) ++ dataCols.map(c => col(c).as(p + c))
+        :+ lit(true).as(p + "present"): _*)
+    val j = tagged(oldDf, "_o_")
+      .join(tagged(newDf, "_n_"), keys, "full_outer")
+    val changed =
+      if (dataCols.isEmpty) lit(false)
+      else !dataCols.map(c => col("_o_" + c) <=> col("_n_" + c))
+        .reduce(_ && _)
+    val change = when(col("_o_present").isNull, "insert")
+      .when(col("_n_present").isNull, "delete")
+      .when(changed, "update")
+    j.withColumn("change_type", change)
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++ dataCols.map(c =>
+        when(col("change_type") === "delete", col("_o_" + c))
+          .otherwise(col("_n_" + c)).as(c))
+        :+ col("change_type"): _*)
+  }
+
   /** CHANGE FEED (the readChangeFeed analogue): net row-level changes
     * for every commit in `(fromV, toV]`, one row per change with
     * `change_type` ∈ {insert, update, delete} and `_commit_version` =
@@ -1691,43 +1756,40 @@ object VersionedTable {
     val empty =
       spark.createDataFrame(new java.util.ArrayList[Row](), feedSchema)
     val perCommit = window.map { v =>
-      val prevFiles = manifest(f, root, v - 1 match {
-        case p if vs.contains(p) => p
-        case _ => vs.filter(_ < v).max
-      }).files
-      val curFiles = manifest(f, root, v).files
-      val removed = prevFiles.filterNot(curFiles.toSet)
-      val added = curFiles.filterNot(prevFiles.toSet)
-      if (removed.isEmpty) // append-only commit: adds are pure inserts
-        readF(added)
-          .withColumn("change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v))
-      else {
-        def tagged(df: DataFrame, p: String) = df.select(
-          keys.map(col) ++ dataCols.map(c => col(c).as(p + c))
-            :+ lit(true).as(p + "present"): _*)
-        val j = tagged(readF(removed), "_o_")
-          .join(tagged(readF(added), "_n_"), keys, "full_outer")
-        val changed =
-          if (dataCols.isEmpty) lit(false)
-          else !dataCols.map(c => col("_o_" + c) <=> col("_n_" + c))
-            .reduce(_ && _)
-        // a key present only on the REMOVED side may still exist in a
-        // carried file (rewrites move rows between files only on
-        // compact/zorder, which add their files in the same commit) —
-        // with file-granular COW the removed side's keys are complete
-        // for the rewritten groups, so absence on the added side IS
-        // deletion within this commit
-        val change = when(col("_o_present").isNull, "insert")
-          .when(col("_n_present").isNull, "delete")
-          .when(changed, "update")
-        j.withColumn("change_type", change)
-          .filter(col("change_type").isNotNull)
-          .select(keys.map(col) ++ dataCols.map(c =>
-            when(col("change_type") === "delete", col("_o_" + c))
-              .otherwise(col("_n_" + c)).as(c))
-            ++ Seq(col("change_type"), lit(v).as("_commit_version")): _*)
-          .select(feedSchema.fieldNames.toSeq.map(col): _*)
+      val mv = manifest(f, root, v)
+      mv.changesFile match {
+        // write-side change log recorded at commit time
+        // (ChangeFeedKeysProp): the commit's net diff is a PURE SCAN —
+        // no keyed join at read time. The recorded diff used the
+        // table's declared identity keys, which is authoritative.
+        case Some(cf) =>
+          spark.read.schema(StructType(outSchema.fields :+
+              StructField("change_type", StringType)))
+            .parquet(cf)
+            .withColumn("_commit_version", lit(v))
+            .select(feedSchema.fieldNames.toSeq.map(col): _*)
+        case None =>
+          val prevFiles = manifest(f, root, v - 1 match {
+            case p if vs.contains(p) => p
+            case _ => vs.filter(_ < v).max
+          }).files
+          val curFiles = mv.files
+          val removed = prevFiles.filterNot(curFiles.toSet)
+          val added = curFiles.filterNot(prevFiles.toSet)
+          if (removed.isEmpty) // append-only commit: adds are inserts
+            readF(added)
+              .withColumn("change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v))
+          else
+            // a key present only on the REMOVED side may still exist
+            // in a carried file (rewrites move rows between files only
+            // on compact/zorder, which add their files in the same
+            // commit) — with file-granular COW the removed side's keys
+            // are complete for the rewritten groups, so absence on the
+            // added side IS deletion within this commit
+            keyedDiff(readF(removed), readF(added), keys, dataCols)
+              .withColumn("_commit_version", lit(v))
+              .select(feedSchema.fieldNames.toSeq.map(col): _*)
       }
     }
     perCommit.foldLeft(empty)(_.unionByName(_))
@@ -1843,6 +1905,17 @@ object VersionedTable {
       f.delete(manifestPath(root, v), false)
       f.delete(claimPath(root, v), false)
     }
+    // change-log dirs referenced by NO retained manifest (their
+    // commit was vacuumed, or a crash left one unreferenced) age out
+    // with the same grace window
+    val liveChanges = keep.flatMap(v =>
+      manifest(f, root, v).changesFile).toSet
+    val chDir = new Path(root, "_changes")
+    if (f.exists(chDir))
+      f.listStatus(chDir).toSeq
+        .filter(st => st.getModificationTime < cutoff &&
+          !liveChanges.contains(f.makeQualified(st.getPath).toString))
+        .foreach(st => f.delete(st.getPath, true))
     // orphaned staging dirs: a driver crash between staging and
     // commit/abort leaves `.stage-*` (library writes) or `.rlstage-*`
     // (row-level DSv2 writes) behind forever — nothing else sweeps them
@@ -2288,7 +2361,8 @@ object VersionedTable {
       schema: => StructType, batchMarker: Option[Long] = None,
       constraintsOverride: Option[Seq[(String, String)]] = None,
       propertiesOverride: => Option[Seq[(String, String)]] = None,
-      opInfo: Option[String] = None)
+      opInfo: Option[String] = None,
+      changesFile: Option[String] = None)
       (nextFiles: Seq[String] => Seq[String]): Long = {
     // `schema` is by-name: nextFiles may resolve the (possibly evolved)
     // schema against the head it just read, and the manifest write below
@@ -2361,6 +2435,7 @@ object VersionedTable {
         cons.map { case (n, e) => s"$ConstraintMarker$n\t$e\n" }.mkString +
         props.map { case (n, v0) => s"$PropertyMarker$n\t$v0\n" }.mkString +
         opInfo.fold("")(j => s"$OpMarker$j\n") +
+        changesFile.fold("")(cf => s"$ChangesMarker$cf\n") +
         WriterMarker + java.util.UUID.randomUUID().toString + "\n" +
         Terminator + "\n").getBytes(StandardCharsets.UTF_8)
       val claimed = atomicCreate(f, claimP) &&

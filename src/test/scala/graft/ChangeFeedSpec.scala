@@ -178,6 +178,64 @@ class ChangeFeedSpec extends SparkSpec {
     spark.catalog.dropTempView("cfs_src")
   }
 
+  test("write-side change log (graft.changefeed.keys): DML commits " +
+      "persist their diff, feed reads become pure scans, content " +
+      "identical to the join fallback, vacuum reclaims") {
+    val base = tmpBase("cf6")
+    val rootA = s"$base/a"; val rootB = s"$base/b"
+    spark.conf.set("spark.sql.catalog.gwl",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwl.root", base)
+    mkTable(rootA); mkTable(rootB)
+    spark.sql("ALTER TABLE gwl.a SET TBLPROPERTIES " +
+      "('graft.changefeed.keys' = 'k')")
+    // per-table base versions (the ALTER added a commit to a)
+    val v0a = VersionedTable.versions(spark, rootA).max
+    val v0b = VersionedTable.versions(spark, rootB).max
+    Seq((10L, 1000L), (450L, 4500L)).toDF("k", "nv")
+      .createOrReplaceTempView("wl_src")
+    def merge(t: String): Unit = spark.sql(
+      s"""MERGE INTO gwl.$t t USING wl_src s ON t.k = s.k
+         |WHEN MATCHED AND s.k = 10 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.nv, tag = 'm'
+         |WHEN NOT MATCHED THEN INSERT (k, v, tag)
+         |  VALUES (s.k, s.nv, 'i')""".stripMargin)
+    merge("a"); merge("b")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(rootA, "_changes")) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(rootA, "_changes"))
+        .nonEmpty, "the DML commit must persist its change log")
+    def feed(root: String) = VersionedTable.changeFeed(spark, root,
+      Seq("k"), if (root == rootA) v0a else v0b)
+    // recorded path plans NO join; fallback path does
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    assert(!hasJoin(feed(rootA)),
+      "a recorded commit's feed must be a pure scan")
+    assert(hasJoin(feed(rootB)),
+      "control: the unrecorded table still joins")
+    // identical content either way (_commit_version legitimately
+    // differs: table a carries the extra ALTER commit)
+    def content(root: String) = feed(root)
+      .select("k", "v", "tag", "change_type")
+      .orderBy("k", "change_type").collect().toSeq
+    val a = content(rootA); val b = content(rootB)
+    assert(a == b, s"recorded feed must equal the join-derived feed:" +
+      s"\n$a\nvs\n$b")
+    assert(a.map(_.getString(3)).sorted == Seq("delete", "insert"))
+    // once retention drops the DML commit (a later commit becomes the
+    // only retained head), vacuum reclaims its change log too
+    VersionedTable.append(Seq((9999L, 1L, "x")).toDF("k", "v", "tag"),
+      rootA)
+    VersionedTable.vacuum(spark, rootA, keepVersions = 1, graceMs = 0L)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(rootA,
+      "_changes")).isEmpty, "unreferenced change logs must be swept")
+    spark.catalog.dropTempView("wl_src")
+  }
+
   test("vacuum sweeps orphaned .stage-/.rlstage- dirs past the grace " +
       "window (crashed-writer leftovers)") {
     val base = tmpBase("cf5")
