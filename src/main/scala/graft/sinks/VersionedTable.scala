@@ -1228,20 +1228,13 @@ object VersionedTable {
     // then serves the commit as a pure scan. Keys that no longer match
     // the schema (never expected: renameColumn rewrites the property)
     // skip recording; the read-side join fallback stays correct.
-    val cdcKeys = headM.properties
-      .collectFirst { case (ChangeFeedKeysProp, v0) =>
-        v0.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
-      .filter(ks => ks.nonEmpty &&
-        ks.forall(schema.fieldNames.contains))
-    val changesFile: Option[String] = cdcKeys.map { keys =>
-      val dataCols = schema.fieldNames.filterNot(keys.contains).toSeq
-      val diff = keyedDiff(readFiles(spark, schema, removed.toSeq),
-        readFiles(spark, schema, staged), keys, dataCols)
-      val out = new Path(new Path(root, "_changes"),
-        java.util.UUID.randomUUID().toString)
-      diff.write.mode(SaveMode.Overwrite).parquet(out.toString)
-      f.makeQualified(out).toString
-    }
+    val changesFile: Option[String] = declaredCdcKeys(headM)
+      .map { keys =>
+        val dataCols = schema.fieldNames.filterNot(keys.contains).toSeq
+        writeChanges(f, root, keyedDiff(
+          readFiles(spark, schema, removed.toSeq),
+          readFiles(spark, schema, staged), keys, dataCols))
+      }
     def dropChanges(): Unit = changesFile.foreach(cf =>
       scala.util.Try(f.delete(new Path(cf), true)))
     try commitRetrying(spark, root, schema,
@@ -1464,10 +1457,19 @@ object VersionedTable {
     val f = fs(spark, root)
     var lastStaged: Seq[String] = Seq.empty
     var outSchema: StructType = updates.schema
-    commitRetrying(spark, root, outSchema) { prev =>
+    // change log (ChangeFeedKeysProp): rewrite commits on opted-in
+    // tables record their net diff so changeFeed reads are pure scans
+    val cdcKeys = if (versions(spark, root).isEmpty) None
+      else declaredCdcKeys(manifest(f, root, versions(spark, root).max))
+    var lastChanges: Option[String] = None
+    commitRetrying(spark, root, outSchema,
+      changesFile = lastChanges) { prev =>
       // a lost race abandons the previous attempt's staged files —
       // reclaim them now instead of leaving orphans for vacuum
       lastStaged.foreach(p => f.delete(new Path(p), false))
+      lastChanges.foreach(cf =>
+        scala.util.Try(f.delete(new Path(cf), true)))
+      lastChanges = None
       if (prev.isEmpty) { lastStaged = stageFiles(updates, root); lastStaged }
       else {
         val schema = manifest(f, root, versions(spark, root).max).schema
@@ -1494,6 +1496,11 @@ object VersionedTable {
               "left_anti")
             .unionByName(updates, allowMissingColumns = mergeSchema)
         lastStaged = stageFiles(merged, root)
+        lastChanges = cdcKeys.map { ks =>
+          val dataCols = outSchema.fieldNames.filterNot(ks.contains).toSeq
+          writeChanges(f, root, keyedDiff(
+            readFiles(spark, outSchema, rewrite),
+            readFiles(spark, outSchema, lastStaged), ks, dataCols)) }
         keep ++ lastStaged
       }
     }
@@ -1525,8 +1532,17 @@ object VersionedTable {
       s"update assigns unknown columns: " +
         s"${matchedUpdate.keySet -- schema.fieldNames}")
     var lastStaged: Seq[String] = Seq.empty
-    commitRetrying(spark, root, schema) { prev =>
+    // change log (ChangeFeedKeysProp): rewrite commits on opted-in
+    // tables record their net diff so changeFeed reads are pure scans
+    val cdcKeys = if (versions(spark, root).isEmpty) None
+      else declaredCdcKeys(manifest(f, root, versions(spark, root).max))
+    var lastChanges: Option[String] = None
+    commitRetrying(spark, root, schema,
+      changesFile = lastChanges) { prev =>
       lastStaged.foreach(p => f.delete(new Path(p), false))
+      lastChanges.foreach(cf =>
+        scala.util.Try(f.delete(new Path(cf), true)))
+      lastChanges = None
       val head = readFiles(spark, schema, prev)
       val touched = head
         .select(col("_metadata.file_path").as("_f"),
@@ -1572,6 +1588,11 @@ object VersionedTable {
         }
       val out = inserts.fold(rewritten)(rewritten.unionByName(_))
       lastStaged = if (out.isEmpty) Seq.empty else stageFiles(out, root)
+      lastChanges = cdcKeys.map { ks =>
+        val dataCols = schema.fieldNames.filterNot(ks.contains).toSeq
+        writeChanges(f, root, keyedDiff(
+          readFiles(spark, schema, rewrite),
+          readFiles(spark, schema, lastStaged), ks, dataCols)) }
       keep ++ lastStaged
     }
   }
@@ -1588,8 +1609,17 @@ object VersionedTable {
     require(vs.nonEmpty, s"no committed version under $root")
     val schema = manifest(f, root, vs.max).schema
     var lastStaged: Seq[String] = Seq.empty
-    commitRetrying(spark, root, schema) { prev =>
+    // change log (ChangeFeedKeysProp): rewrite commits on opted-in
+    // tables record their net diff so changeFeed reads are pure scans
+    val cdcKeys = if (versions(spark, root).isEmpty) None
+      else declaredCdcKeys(manifest(f, root, versions(spark, root).max))
+    var lastChanges: Option[String] = None
+    commitRetrying(spark, root, schema,
+      changesFile = lastChanges) { prev =>
       lastStaged.foreach(p => f.delete(new Path(p), false))
+      lastChanges.foreach(cf =>
+        scala.util.Try(f.delete(new Path(cf), true)))
+      lastChanges = None
       val head = readFiles(spark, schema, prev)
       // DELETE semantics: remove rows where the predicate is TRUE; rows
       // where it is FALSE or NULL stay (matching SQL DELETE)
@@ -1607,6 +1637,11 @@ object VersionedTable {
             .filter(!del)
           if (remaining.isEmpty) Seq.empty else stageFiles(remaining, root)
         }
+      lastChanges = cdcKeys.map { ks =>
+        val dataCols = schema.fieldNames.filterNot(ks.contains).toSeq
+        writeChanges(f, root, keyedDiff(
+          readFiles(spark, schema, rewrite),
+          readFiles(spark, schema, lastStaged), ks, dataCols)) }
       keep ++ lastStaged
     }
   }
@@ -1633,8 +1668,17 @@ object VersionedTable {
     def cond(left: DataFrame): Column =
       keys.map(k => left(k) <=> delKeys("__dk_" + k)).reduce(_ && _)
     var lastStaged: Seq[String] = Seq.empty
-    commitRetrying(spark, root, schema) { prev =>
+    // change log (ChangeFeedKeysProp): rewrite commits on opted-in
+    // tables record their net diff so changeFeed reads are pure scans
+    val cdcKeys = if (versions(spark, root).isEmpty) None
+      else declaredCdcKeys(manifest(f, root, versions(spark, root).max))
+    var lastChanges: Option[String] = None
+    commitRetrying(spark, root, schema,
+      changesFile = lastChanges) { prev =>
       lastStaged.foreach(p => f.delete(new Path(p), false))
+      lastChanges.foreach(cf =>
+        scala.util.Try(f.delete(new Path(cf), true)))
+      lastChanges = None
       val head = readFiles(spark, schema, prev)
       val touched = head
         .join(delKeys, cond(head), "left_semi")
@@ -1649,6 +1693,11 @@ object VersionedTable {
           val remaining = rw.join(delKeys, cond(rw), "left_anti")
           if (remaining.isEmpty) Seq.empty else stageFiles(remaining, root)
         }
+      lastChanges = cdcKeys.map { ks =>
+        val dataCols = schema.fieldNames.filterNot(ks.contains).toSeq
+        writeChanges(f, root, keyedDiff(
+          readFiles(spark, schema, rewrite),
+          readFiles(spark, schema, lastStaged), ks, dataCols)) }
       keep ++ lastStaged
     }
   }
@@ -1683,6 +1732,38 @@ object VersionedTable {
         when(col("change_type") === "delete", col("_o_" + c))
           .otherwise(col("_n_" + c)).as(c))
         :+ col("change_type"): _*)
+  }
+
+  /** The head's declared change-log identity keys
+    * ([[ChangeFeedKeysProp]]), validated against the head schema —
+    * None when the table has not opted in. */
+  private def declaredCdcKeys(m: Manifest): Option[Seq[String]] =
+    m.properties
+      .collectFirst { case (ChangeFeedKeysProp, v0) =>
+        v0.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
+      .filter(ks => ks.nonEmpty &&
+        ks.forall(m.schema.fieldNames.contains))
+
+  /** Persist a commit's net-diff frame under `_changes/` and return
+    * its qualified path (the manifest marker content). */
+  private def writeChanges(f: FileSystem, root: String,
+      diff: DataFrame): String = {
+    val out = new Path(new Path(root, "_changes"),
+      java.util.UUID.randomUUID().toString)
+    diff.write.mode(SaveMode.Overwrite).parquet(out.toString)
+    f.makeQualified(out).toString
+  }
+
+  /** A zero-row change frame in [[keyedDiff]]'s column shape — what a
+    * layout-only commit (compact/zorder) records: content identical by
+    * construction, nothing to diff. */
+  private def emptyDiffFrame(spark: SparkSession, schema: StructType,
+      keys: Seq[String]): DataFrame = {
+    val dataCols = schema.fieldNames.filterNot(keys.contains).toSeq
+    val ordered = StructType(
+      (keys ++ dataCols).map(n => schema(schema.fieldIndex(n))) :+
+        StructField("change_type", StringType, nullable = false))
+    spark.createDataFrame(new java.util.ArrayList[Row](), ordered)
   }
 
   /** Net row diff between two keyed row sets: one row per change with
@@ -1812,8 +1893,18 @@ object VersionedTable {
     require(vs.nonEmpty, s"no committed version under $root")
     val schema = manifest(f, root, vs.max).schema
     var lastStaged: Seq[String] = Seq.empty
-    try Some(commitRetrying(spark, root, schema) { prev =>
+    val cdcKeys = declaredCdcKeys(manifest(f, root, vs.max))
+    var lastChanges: Option[String] = None
+    try Some(commitRetrying(spark, root, schema,
+      changesFile = lastChanges) { prev =>
       lastStaged.foreach(p => f.delete(new Path(p), false))
+      lastChanges.foreach(cf =>
+        scala.util.Try(f.delete(new Path(cf), true)))
+      // layout-only commit: content identical BY CONSTRUCTION — an
+      // opted-in table records an EMPTY diff without computing one, so
+      // changeFeed skips even the join fallback on compactions
+      lastChanges = cdcKeys.map(ks => writeChanges(f, root,
+        emptyDiffFrame(spark, schema, ks)))
       val sized = prev.map(p => p -> f.getFileStatus(new Path(p)).getLen)
       val small = sized.filter(_._2 < smallBytes)
       if (small.size < 2) throw new NothingToCompact // before any claim
@@ -1847,8 +1938,15 @@ object VersionedTable {
     require(vs.nonEmpty, s"no committed version under $root")
     val schema = manifest(f, root, vs.max).schema
     var lastStaged: Seq[String] = Seq.empty
-    commitRetrying(spark, root, schema) { prev =>
+    val cdcKeys = declaredCdcKeys(manifest(f, root, vs.max))
+    var lastChanges: Option[String] = None
+    commitRetrying(spark, root, schema,
+      changesFile = lastChanges) { prev =>
       lastStaged.foreach(p => f.delete(new Path(p), false))
+      lastChanges.foreach(cf =>
+        scala.util.Try(f.delete(new Path(cf), true)))
+      lastChanges = cdcKeys.map(ks => writeChanges(f, root,
+        emptyDiffFrame(spark, schema, ks))) // layout-only: empty diff
       require(prev.nonEmpty, "cannot z-order an empty snapshot")
       val head = readFiles(spark, schema, prev)
       lastStaged = stageFiles(
@@ -2362,7 +2460,7 @@ object VersionedTable {
       constraintsOverride: Option[Seq[(String, String)]] = None,
       propertiesOverride: => Option[Seq[(String, String)]] = None,
       opInfo: Option[String] = None,
-      changesFile: Option[String] = None)
+      changesFile: => Option[String] = None)
       (nextFiles: Seq[String] => Seq[String]): Long = {
     // `schema` is by-name: nextFiles may resolve the (possibly evolved)
     // schema against the head it just read, and the manifest write below
@@ -2396,6 +2494,7 @@ object VersionedTable {
       // read (renameColumn's clustering rewrite) is honored.
       val cons = constraintsOverride.getOrElse(prevCons)
       val props = propertiesOverride.getOrElse(prevProps)
+      val chFile = changesFile
       val v = if (vs.isEmpty) 0L else vs.max + 1
       val target = manifestPath(root, v)
       // per-file stats: carried-over files keep the previous manifest's
@@ -2435,7 +2534,7 @@ object VersionedTable {
         cons.map { case (n, e) => s"$ConstraintMarker$n\t$e\n" }.mkString +
         props.map { case (n, v0) => s"$PropertyMarker$n\t$v0\n" }.mkString +
         opInfo.fold("")(j => s"$OpMarker$j\n") +
-        changesFile.fold("")(cf => s"$ChangesMarker$cf\n") +
+        chFile.fold("")(cf => s"$ChangesMarker$cf\n") +
         WriterMarker + java.util.UUID.randomUUID().toString + "\n" +
         Terminator + "\n").getBytes(StandardCharsets.UTF_8)
       val claimed = atomicCreate(f, claimP) &&

@@ -226,6 +226,19 @@ class ChangeFeedSpec extends SparkSpec {
     assert(a == b, s"recorded feed must equal the join-derived feed:" +
       s"\n$a\nvs\n$b")
     assert(a.map(_.getString(3)).sorted == Seq("delete", "insert"))
+    // LIBRARY rewrite paths record too (upsert), and layout-only
+    // commits record an EMPTY diff — the whole history stays join-free
+    // on the opted-in table
+    val up = Seq((30L, 999L, "u2")).toDF("k", "v", "tag")
+    VersionedTable.upsert(up, rootA, Seq("k"))
+    VersionedTable.upsert(up, rootB, Seq("k"))
+    VersionedTable.compact(spark, rootA, smallBytes = 1L << 30)
+    assert(!hasJoin(feed(rootA)),
+      "upsert + compact commits must also serve recorded/empty diffs")
+    val a2 = content(rootA); val b2 = content(rootB)
+    assert(a2 == b2, s"after library upsert + compact: $a2 vs $b2")
+    assert(a2.exists(r => r.getLong(0) == 30L &&
+      r.getString(3) == "update"))
     // once retention drops the DML commit (a later commit becomes the
     // only retained head), vacuum reclaims its change log too
     VersionedTable.append(Seq((9999L, 1L, "x")).toDF("k", "v", "tag"),
