@@ -591,9 +591,16 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       nodeCol: String, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // localCheckpoint, not cache(): the edge set is re-scanned every
+    // pointer-jumping round, and the columnar in-memory cache pays a
+    // decompress+decode per scan — the checkpoint stores finished rows
+    // (scan = iterate; measured on pageRank's working set: 10-17 s ->
+    // ~2 s executor time per re-scan at sf0.1/32 cores). It also cuts
+    // the (often expensive) pair-generation lineage out of every round's
+    // plan. Hash partitioning from the distinct survives the checkpoint.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     try {
       var labels = nodes.select(col(nodeCol).as("node")).distinct()
         .withColumn("component", col("node")).localCheckpoint()

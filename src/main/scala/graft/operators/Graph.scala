@@ -97,7 +97,14 @@ object Graph {
     // iterative-join layout every Pregel-style engine uses
     val deg = nd.filter(col("od") > 0)
       .select(col("node").as("src"), col("od"))
-    val ew = e.join(deg, "src").repartition(col("src")).cache()
+    // localCheckpoint, not cache(): the working set is re-SCANNED once
+    // per iteration, and the columnar in-memory cache pays a
+    // decompress+decode on every scan — measured 10-17 s executor time
+    // per iteration at sf0.1 (32 cores) just re-reading it. The
+    // checkpoint stores finished UnsafeRows (scan = iterate, no decode)
+    // and still preserves the hash partitioning for the per-iteration
+    // join (LogicalRDD keeps outputPartitioning).
+    val ew = e.join(deg, "src").repartition(col("src")).localCheckpoint()
     try {
       // per-node init rank + teleport term, computed once (tiny: |V|)
       val base = (seeds match {
@@ -214,8 +221,11 @@ object Graph {
     val raw = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+    // localCheckpoint, not cache(): re-scanned every round, and the
+    // columnar cache pays a decompress per scan (see pageRank's ew note;
+    // measured there). Partitioning on src survives the checkpoint.
     val e = (if (edgesDistinct) raw else raw.distinct())
-      .repartition(col("src")).cache()
+      .repartition(col("src")).localCheckpoint()
     try {
       val nodes = e.select(explode(array(col("src"), col("dst")))
         .as("node")).distinct()
@@ -619,7 +629,10 @@ object Graph {
     val raw = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val e = (if (edgesDistinct) raw else raw.distinct()).cache()
+    // localCheckpoint, not cache(): scanned TWICE per round (auth and
+    // hub half-rounds) — the per-scan columnar decode dominates (see
+    // pageRank's ew note)
+    val e = (if (edgesDistinct) raw else raw.distinct()).localCheckpoint()
     try {
       val nodes = e.select(explode(array(col("src"), col("dst")))
         .as("node")).distinct().localCheckpoint()
@@ -954,7 +967,10 @@ object Graph {
       .join(degs.select(col("node").as("dst"),
         col("deg").as("dst_deg")), Seq("dst"), "left")
       .repartition(col("src"), col("rk"))
-      .cache()
+      // localCheckpoint, not cache(): probed every step — per-scan
+      // decode cost dominates (see pageRank's ew note); the (src, rk)
+      // partitioning survives the checkpoint
+      .localCheckpoint()
     try {
       val reps = explode(sequence(lit(0), lit(walksPerNode - 1))).as("rep")
       var frontier = degs

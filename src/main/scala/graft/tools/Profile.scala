@@ -38,18 +38,47 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     val bySite = mutable.LinkedHashMap.empty[String, Acc]
+    val stageSite = mutable.HashMap.empty[Int, String]
     var nJobs = 0
     @volatile var record = false
+    val execDesc = mutable.HashMap.empty[Long, String]
     val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        if (record) nJobs += 1
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart =>
+            execDesc(e.executionId) = e.description
+          case _ => ()
+        }
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        if (!record) return
+        nJobs += 1
+        // attribution: the SQL execution's description is the action
+        // call site (e.g. "localCheckpoint at Graph.scala:132") — the
+        // operator-level key the stage's own truncated details can't
+        // provide under the SQL thread pool
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => execDesc.get(id.toLong))
+          .orElse(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        js.stageIds.foreach(id => stageSite(id) = site)
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         if (!record) return
         val si = sc.stageInfo
-        val site = si.details.linesIterator.toSeq.headOption
-          .getOrElse(si.name)
-        val a = bySite.getOrElseUpdate(s"${si.name.takeWhile(_ != '(')} @ $site",
-          Acc())
+        val site = stageSite.getOrElse(si.stageId, "?")
+        if (sys.env.contains("PROFILE_DETAIL"))
+          println(f"[stage] id=${si.stageId}%5d tasks=${si.numTasks}%4d " +
+            f"exec=${si.taskMetrics.executorRunTime}%6d " +
+            f"in=${si.taskMetrics.inputMetrics.bytesRead / 1e6}%7.1f " +
+            f"shR=${si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6}%7.1f " +
+            f"shW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%7.1f " +
+            f"${si.name.take(90)}%s @ $site")
+        val a = bySite.getOrElseUpdate(
+          s"${si.name.takeWhile(_ != '(')} @ ${site.trim}", Acc())
         a.n += 1
         a.wallMs += si.completionTime.getOrElse(0L) -
           si.submissionTime.getOrElse(0L)
