@@ -65,7 +65,10 @@ object Coreset {
       .withColumn("__kc_xx",
         graft.functions.VectorFunctions
           .vec_dot_long(col("__kc_q"), col("__kc_q")))
-      .cache()
+      // localCheckpoint, not cache(): re-scanned once per selected
+      // center (k rounds) — per-scan columnar array decode dominates
+      // (see Graph.pageRank's ew note)
+      .localCheckpoint()
     try {
       val seed = base.orderBy(col(idCol)).limit(1)
         .select(col(idCol), col("__kc_q")).collect()

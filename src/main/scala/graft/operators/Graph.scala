@@ -428,7 +428,13 @@ object Graph {
           greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
         .filter(col("a") < col("b"))
         .distinct()
-    val und = raw.cache()
+    // localCheckpoint, not cache(): the canonical edge set is scanned
+    // five times (degree agg, both degree joins, idRange, the size
+    // census) and the columnar cache pays a decode per scan (measured
+    // 4-11 s executor time per re-scan at sf0.1 — see pageRank's ew
+    // note); the checkpoint also cuts the upstream edge-derivation
+    // lineage (the co-purchase join) out of every consumer.
+    val und = raw.localCheckpoint()
     val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -703,7 +709,10 @@ object Graph {
     val raw = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val e = raw.distinct().cache()
+    // localCheckpoint, not cache(): scanned by the degree agg, the
+    // center filter and both wedge sides — per-scan decode dominates
+    // (see pageRank's ew note)
+    val e = raw.distinct().localCheckpoint()
     try {
       val deg = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))

@@ -1296,10 +1296,14 @@ object Similarity {
     * (their centroid had no points), so the codebook may shrink below k.
     */
   def kMeansCodebook(df: DataFrame, k: Int, maxIter: Int = 8): DataFrame = {
-    // cache the cast vectors: every iteration scans them twice (assign +
-    // update) and nothing upstream changes between iterations
+    // localCheckpoint the cast vectors: every iteration scans them twice
+    // (assign + update) and nothing upstream changes between iterations;
+    // a columnar cache() would pay an array-decode on every scan (see
+    // Graph.pageRank's ew note — measured there), the checkpoint stores
+    // finished rows
     val vecs = df.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v")).cache()
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint()
     try {
       var centers: Array[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
         .select(col("v")).collect()
@@ -1611,8 +1615,11 @@ object Similarity {
       if (estRows <= MaxTrainRows) corpus
       else corpus.filter(
         pmod(xxhash64(col("vec_id")), lit(estRows / MaxTrainRows + 1)) === 0)
+    // localCheckpoint, not cache(): re-scanned every training iteration
+    // (see kMeansCodebook's note)
     val sub = trainSet
-      .select(col("vec_id"), posexplode(subs).as(Seq("s", "v"))).cache()
+      .select(col("vec_id"), posexplode(subs).as(Seq("s", "v")))
+      .localCheckpoint()
     try {
       var centers: Array[Array[Seq[Double]]] = {
         val rows = trainSet.orderBy(col("vec_id")).limit(kCodes)
