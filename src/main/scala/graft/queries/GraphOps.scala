@@ -169,13 +169,20 @@ object GraphOps {
     // ((rank * w) div strength, same fixed-point discipline) — hub
     // parts that co-occur often rank above incidental neighbors
     "graph_pagerank_weighted" -> ((s, d) => {
+      // (o, p) deduped BEFORE the pair fan-out: the joined (o, p1, p2)
+      // triples are then unique, so the weight is a plain count — the
+      // previous countDistinct(o) re-deduplicated the multi-million-row
+      // pair stream inside a two-phase aggregate (r10 optimization;
+      // count == countDistinct proven by the unchanged oracle). The
+      // distinct also shrinks the join input itself.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
       val a = li.select(col("o"), col("p").as("p1"))
       val b = li.select(col("o").as("o2"), col("p").as("p2"))
       val wp = a.join(b, col("o") === col("o2") && col("p1") < col("p2"))
         .groupBy(col("p1"), col("p2"))
-        .agg(countDistinct(col("o")).as("w"))
+        .agg(count(lit(1)).as("w"))
       val sym = wp.select(explode(array(
           struct(col("p1").as("src"), col("p2").as("dst"), col("w")),
           struct(col("p2").as("src"), col("p1").as("dst"), col("w"))))
@@ -260,14 +267,17 @@ object GraphOps {
     // top-20 part pairs that share the most co-purchase partners but
     // were never co-bought themselves — "customers also bought"
     "graph_link_predict" -> ((s, d) => {
+      // same pre-distinct -> plain-count rewrite as
+      // graph_pagerank_weighted (triples unique after the dedup)
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
       val a = li.select(col("o"), col("p").as("p1"))
       val b = li.select(col("o").as("o2"), col("p").as("p2"))
       val repeat = a.join(b,
           col("o") === col("o2") && col("p1") < col("p2"))
         .groupBy(col("p1"), col("p2"))
-        .agg(countDistinct(col("o")).as("w"))
+        .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2).select(col("p1"), col("p2"))
       graft.operators.Graph.linkPredict(repeat, "p1", "p2", k = 20,
         edgesCanonical = true)
