@@ -72,6 +72,15 @@ object EntityResolution {
     val keyed = records.select(
       (idCol +: attrs).distinct.map(col) ++
         blockKeys.zipWithIndex.map { case (k, i) => k.as(s"__fs_k$i") }: _*)
+      // hash-repartition on the id BEFORE pinning: the record table
+      // inherits the source's input splits (2 tasks for one small
+      // parquet file), and the block self-join EXPLODES each probe row
+      // into its block's pairs — measured 5.4 s on 2 of 32 cores at
+      // sf0.1. Spreading the probe side across the session's shuffle
+      // parallelism makes pair generation scale with the cluster, not
+      // with the file count (partition count follows
+      // spark.sql.shuffle.partitions / AQE, no constant baked in).
+      .repartition(col(idCol))
       .localCheckpoint() // consumed by |attrs| u-aggs + both join sides
     val recs = keyed
     // exact u per attribute: collision probability of two random
