@@ -43,7 +43,13 @@ object Ids {
       .partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // pin the ranked running-sum frame ONCE: the totals collect below
+    // and the final offset join both consume it, and without the pin
+    // the whole upstream (often the query's expensive aggregate) plus
+    // the range exchange and window would execute twice (r10
+    // optimization — measured 2x on abc_classification's revenue agg)
     val local = parted.withColumn("__run", sum(v).over(w))
+      .localCheckpoint()
     val totals = local.groupBy(col("__pid"))
       .agg(sum(v).as("__tot")).orderBy(col("__pid")).collect()
     val spark = df.sparkSession
@@ -94,29 +100,45 @@ object Ids {
       idCol: String = "row_id", numPartitions: Option[Int] = None)
       : (DataFrame, Long) = {
     require(order.nonEmpty)
-    val spark = df.sparkSession
+    require(!df.columns.contains("__dg_mid"),
+      "denseGlobalRowNumber reserves the __dg_mid column name")
+    import org.apache.spark.sql.functions.{monotonically_increasing_id,
+      shiftrightunsigned, count}
+    // the two-job zip shape (what RDD.zipWithIndex does, with the
+    // partition sizes kept), all-codegen (r10 optimization — the
+    // previous df.rdd round-trip deserialized every row to an external
+    // Row and re-encoded it through createDataFrame, in BOTH jobs):
+    // monotonically_increasing_id assigned after the in-partition sort
+    // is (partitionId << 33) + local index, so the pinned frame carries
+    // its own (pid, index) pair; job 1 counts rows per pid (map-side
+    // partial), job 2 adds the broadcast per-pid offset. The eager
+    // localCheckpoint pins ONE materialized layout for both jobs (range
+    // boundaries are sampled per execution, so unpinned re-runs could
+    // disagree).
     val parted = numPartitions.fold(df.repartitionByRange(order: _*))(
         n => df.repartitionByRange(n, order: _*))
       .sortWithinPartitions(order: _*)
-    // the two-job zip shape (what RDD.zipWithIndex does, with the
-    // partition sizes kept): job 1 counts rows per partition on ONE rdd
-    // instance — boundaries are fixed at partitioner creation, so job 2
-    // (offset + intra-partition index) sees exactly the counted layout
-    val rdd = parted.rdd
-    val sizes = rdd.mapPartitionsWithIndex({ (i, it) =>
-      var n = 0L
-      while (it.hasNext) { it.next(); n += 1 }
-      Iterator((i, n))
-    }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
-    val offsets = sizes.scanLeft(0L)(_ + _)
+      .withColumn("__dg_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val sizes = parted
+      .groupBy(shiftrightunsigned(col("__dg_mid"), 33).as("__dg_pid"))
+      .agg(count(lit(1)).as("__dg_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sizes.map(_._2).scanLeft(0L)(_ + _)
     val total = if (offsets.isEmpty) 0L else offsets.last
-    val bcOff = spark.sparkContext.broadcast(offsets)
-    val zipped = rdd.mapPartitionsWithIndex({ (i, it) =>
-      var k = bcOff.value(i)
-      it.map { r => val out = Row.fromSeq(r.toSeq :+ k); k += 1; out }
-    }, preservesPartitioning = true)
-    (spark.createDataFrame(zipped,
-      StructType(parted.schema.fields :+
-        StructField(idCol, LongType, nullable = false))), total)
+    val offRows = sizes.map(_._1).zip(offsets).map { case (pid, off) =>
+      Row(pid, off) }
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val offDf = spark.createDataFrame(offRows.toSeq.asJava,
+      StructType(Seq(StructField("__dg_pid", LongType, nullable = false),
+        StructField("__dg_off", LongType, nullable = false))))
+    val out = parted
+      .join(broadcast(offDf),
+        shiftrightunsigned(col("__dg_mid"), 33) === col("__dg_pid"))
+      .withColumn(idCol,
+        col("__dg_off") + (col("__dg_mid") - (col("__dg_pid") * lit(1L << 33))))
+      .drop("__dg_mid", "__dg_pid", "__dg_off")
+    (out, total)
   }
 }

@@ -440,9 +440,11 @@ object Sampling {
     require(k > 0 && overdraw >= 0, s"need k > 0: $k, overdraw >= 0")
     val pos = positives.select(query.as("query_id"), positive.as("pos_id"))
     val ids = corpus.select(corpusId.as("neg_id")).distinct()
-    val n = ids.count() // bounded driver state: one long
-    require(n > 0, "empty corpus")
-    val indexed = Ids.denseGlobalRowNumber(ids, Seq(col("neg_id")), "__idx")
+    // the two-job zip already counts the corpus — reuse it instead of a
+    // separate count() action over the distinct (r10 optimization)
+    val (indexed, n) = Ids.denseGlobalRowNumberWithCount(
+      ids, Seq(col("neg_id")), "__idx")
+    require(n > 0, "empty corpus") // bounded driver state: one long
     val draws = pos.select(col("query_id")).distinct()
       .select(col("query_id"),
         explode(sequence(lit(0), lit(k + overdraw - 1))).as("__j"))

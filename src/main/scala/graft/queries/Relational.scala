@@ -707,10 +707,13 @@ object Relational {
     // window would collapse to one partition); class thresholds compare
     // by integer cross-multiplication on exact decimals, never division
     "abc_classification" -> ((s, d) => {
+      // pinned: consumed by the prefix sum AND the total — unpinned,
+      // the lineitem aggregate would execute twice (r10 optimization)
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
         .agg(sum(money(col("l_extendedprice")) *
           frac(lit(1) - col("l_discount"))).as("rev"))
+        .localCheckpoint()
       val cum = graft.operators.Ids.prefixSum(rev,
         Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum_rev")
       val tot = rev.agg(sum(col("rev")).as("total_rev"))

@@ -1712,8 +1712,25 @@ object VersionedTable {
     * need appended rows should instead read the manifests' added files. */
   def diff(spark: SparkSession, root: String, keys: Seq[String],
       fromV: Long, toV: Long): DataFrame = {
-    val old = read(spark, root, Some(fromV))
-    val neu = read(spark, root, Some(toV))
+    // churned-files-only reads (r10 optimization): a file referenced by
+    // BOTH manifests is immutable, so its rows appear identically on
+    // both sides of the keyed full-outer join and can only produce
+    // change_type-NULL rows the filter drops. Under diff's keyed-row-set
+    // contract (key-unique snapshots — the same assumption the
+    // full-outer join itself encodes), restricting each side to the
+    // file-list symmetric difference is therefore EXACT, and the CDC
+    // cost becomes O(churned files) instead of O(two full snapshots) —
+    // the per-commit shape changeFeed's join fallback already uses.
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.contains(fromV), s"version $fromV not in $vs")
+    require(vs.contains(toV), s"version $toV not in $vs")
+    val mOld = manifest(f, root, fromV)
+    val mNew = manifest(f, root, toV)
+    val newSet = mNew.files.toSet
+    val oldSet = mOld.files.toSet
+    val old = readFiles(spark, mOld.schema, mOld.files.filterNot(newSet))
+    val neu = readFiles(spark, mNew.schema, mNew.files.filterNot(oldSet))
     val dataCols = old.columns.filterNot(keys.contains).toSeq
     def tagged(df: DataFrame, p: String) = df.select(
       keys.map(col) ++ dataCols.map(c => col(c).as(p + c))
