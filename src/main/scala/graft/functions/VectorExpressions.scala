@@ -197,7 +197,98 @@ object LongVectorMaxSim {
   }
 }
 
+/** Exact |distinct(a) ∩ distinct(b)| over two `array<bigint>` columns —
+  * the hot verify step of every prefix-filtered / LSH-candidate dedup
+  * pair (r10 optimization). `size(array_intersect(a, b))` builds a
+  * hash set AND materializes the full intersection array per row pair;
+  * this computes only the count with a merge walk: pre-sorted inputs
+  * (one cheap detection pass) merge with ZERO allocation directly on
+  * the ArrayData, unsorted inputs pay one copy+sort. Duplicate values
+  * count once (distinct-set semantics, exactly `size(array_intersect)`
+  * for arrays without null elements; a null element fails loud). */
+object SetOps {
+  def isSortedLongs(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 1
+    while (i < n) {
+      if (a.getLong(i - 1) > a.getLong(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Merge-count over two already-sorted ArrayData — no copies. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) {
+        c += 1
+        while (i < n && a.getLong(i) == x) i += 1
+        while (j < m && b.getLong(j) == y) j += 1
+      } else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def longIntersectCount(a: ArrayData, b: ArrayData): Long =
+    if (isSortedLongs(a) && isSortedLongs(b)) sortedIntersectCount(a, b)
+    else {
+      val x = a.toLongArray(); val y = b.toLongArray()
+      java.util.Arrays.sort(x); java.util.Arrays.sort(y)
+      var i = 0; var j = 0; var c = 0L
+      while (i < x.length && j < y.length) {
+        val xv = x(i); val yv = y(j)
+        if (xv == yv) {
+          c += 1
+          while (i < x.length && x(i) == xv) i += 1
+          while (j < y.length && y(j) == yv) j += 1
+        } else if (xv < yv) i += 1
+        else j += 1
+      }
+      c
+    }
+}
+
+/** Native distinct-intersection COUNT of two `array<bigint>` columns —
+  * see [[SetOps.longIntersectCount]]. Codegen'd (stays inside
+  * whole-stage codegen; the merge lives in the static JVM method). */
+case class LongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"set_intersect_count needs array<bigint>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetOps.longIntersectCount(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SetOps.longIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LongIntersectCount = copy(newLeft, newRight)
+}
+
 object VectorFunctions {
+  /** Column API for [[LongIntersectCount]]. */
+  def set_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      LongIntersectCount(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+
   /** Column API for [[FloatVectorDot]]. */
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(

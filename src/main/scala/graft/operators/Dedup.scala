@@ -336,8 +336,8 @@ object Dedup {
       k: Int = 3, tau: Double = 0.5): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
     val sets = df.select(id.as("doc_id"),
-        fence(array_distinct(
-          graft.functions.ShingleFunctions.word_shingle_hashes(text, k)))
+        fence(sort_array(array_distinct(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k))))
           .as("set"))
       .withColumn("n_sh", size(col("set")))
     val post = sets.select(col("doc_id"), col("n_sh"),
@@ -365,7 +365,8 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("__sb"),
         col("n_sh").as("n_b")), "doc_b")
       .withColumn("n_inter",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+        graft.functions.VectorFunctions.set_intersect_count(
+          col("__sa"), col("__sb")))
     verified
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")))
@@ -528,8 +529,8 @@ object Dedup {
       k: Int = 3, tau: Double = 0.8): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
     val sets = df.select(id.as("doc_id"),
-        fence(array_distinct(
-          graft.functions.ShingleFunctions.word_shingle_hashes(text, k)))
+        fence(sort_array(array_distinct(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k))))
           .as("set"))
       .withColumn("n_sh", size(col("set")))
     val full = sets.select(col("doc_id"), col("n_sh"),
@@ -557,7 +558,8 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("__sb"),
         col("n_sh").as("n_b")), "doc_b")
       .withColumn("n_inter",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+        graft.functions.VectorFunctions.set_intersect_count(
+          col("__sa"), col("__sb")))
     verified
       .withColumn("cont_a_in_b", col("n_inter").cast("double") / col("n_a"))
       .withColumn("cont_b_in_a", col("n_inter").cast("double") / col("n_b"))
@@ -744,8 +746,8 @@ object Dedup {
     val cand = minhashCandidates(df, id, text, k, perms, bands)
       .select(col("doc_a"), col("doc_b"))
     val sets = df.select(id.as("doc_id"),
-        fence(array_distinct(
-          graft.functions.ShingleFunctions.word_shingle_hashes(text, k)))
+        fence(sort_array(array_distinct(
+          graft.functions.ShingleFunctions.word_shingle_hashes(text, k))))
           .as("set"))
       .withColumn("n_sh", size(col("set")))
     cand
@@ -754,7 +756,8 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("__sb"),
         col("n_sh").as("n_b")), "doc_b")
       .withColumn("n_inter",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+        graft.functions.VectorFunctions.set_intersect_count(
+          col("__sa"), col("__sb")))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= tau)

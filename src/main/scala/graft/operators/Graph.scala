@@ -894,8 +894,8 @@ object Graph {
       .join(adjC.select(col("node").as("a"), col("nbrs").as("__na")), "a")
       .join(adjC.select(col("node").as("b"), col("nbrs").as("__nb")), "b")
       .select(col("a"), col("b"),
-        size(array_intersect(col("__na"), col("__nb"))).cast("long")
-          .as("n_common"))
+        graft.functions.VectorFunctions.set_intersect_count(
+          col("__na"), col("__nb")).as("n_common"))
       .filter(col("n_common") >= 1)
     val nCommon = if (!anyBig) nCommonArr else {
       // pairs touching an over-cap hub: count shared neighbors through

@@ -80,4 +80,43 @@ class VectorExprSpec extends SparkSpec {
       org.apache.spark.sql.catalyst.expressions.Literal(2))
     assert(!bad.checkInputDataTypes().isSuccess)
   }
+  test("set_intersect_count equals size(array_intersect) on random longs") {
+    // random arrays WITH duplicates and unsorted order: the expression
+    // promises exactly |distinct(a) n distinct(b)|, i.e. what
+    // size(array_intersect(a, b)) computes for null-free arrays
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong)
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        set_intersect_count($"a", $"b").as("fast"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(bad == 0)
+  }
+
+  test("set_intersect_count sorted fast path agrees with unsorted") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 100).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong)
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        set_intersect_count(sort_array($"a"), sort_array($"b")).as("s"),
+        set_intersect_count($"a", $"b").as("u"))
+      .filter($"s" =!= $"u").count()
+    assert(bad == 0)
+  }
+
+  test("set_intersect_count null input -> null; empty -> 0") {
+    val df = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]]))
+      .toDF("a", "b")
+    assert(df.select(set_intersect_count($"a", $"b")).head.isNullAt(0))
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+    assert(e.select(set_intersect_count($"a", $"b")).head.getLong(0) == 0L)
+  }
+
 }
