@@ -969,16 +969,29 @@ object Graph {
     // the frontier then knows its current node's degree without a
     // per-step degree join — ONE probe join per step, the other half
     // paid once at build time
+    // EXPLICIT partition count: an un-numbered repartition(col...) is
+    // AQE-coalescible, and the coalesced partitioning does NOT survive
+    // as a join-compatible HashPartitioning through the checkpoint — so
+    // every step re-shuffled the FULL adjacency (measured 154 MB of
+    // per-step exchange at sf0.1; the probe join was supposed to move
+    // only the frontier). Numbered repartitions are left alone by AQE,
+    // and the count follows the session shuffle-partition conf, so it
+    // stays scale-adaptive. The sortWithinPartitions pins the (src, rk)
+    // ordering so the per-step sort-merge probe skips its adjacency-
+    // side sort too (checkpoint preserves outputOrdering).
+    // pinned WITHOUT a probe-key repartition: the layout exchange never
+    // survived the AQE-built checkpoint (the scan reports Unknown
+    // partitioning — see Pin.workingSetPartitioned), so the per-step
+    // probe join re-exchanges the adjacency regardless and the build-
+    // time repartition was pure waste; a/b'd against both a partitioned
+    // two-stage pin (worse: double materialization) and an AQE-off pin
+    // (worse: loses the runtime broadcast of the degree join)
     val adj = e.select(col("src"),
         (row_number().over(Window.partitionBy(col("src"))
           .orderBy(col("dst"))) - 1).cast("long").as("rk"),
         col("dst"))
       .join(degs.select(col("node").as("dst"),
         col("deg").as("dst_deg")), Seq("dst"), "left")
-      .repartition(col("src"), col("rk"))
-      // localCheckpoint, not cache(): probed every step — per-scan
-      // decode cost dominates (see pageRank's ew note); the (src, rk)
-      // partitioning survives the checkpoint
       .localCheckpoint()
     try {
       val reps = explode(sequence(lit(0), lit(walksPerNode - 1))).as("rep")
@@ -1007,7 +1020,11 @@ object Graph {
         out += frontier.select(col("start"), col("rep"),
           lit(t.toLong).as("step"), col("cur").as("node"))
       }
-      out.result().reduce(_ unionByName _).localCheckpoint()
+      // NO final checkpoint: every leg of the union is already a pinned
+      // per-step frontier, so the union is a shallow scan — the old
+      // re-materialization copied the whole corpus once more (9 s of
+      // executor time at sf0.1) for no lineage benefit
+      out.result().reduce(_ unionByName _)
     } finally adj.unpersist()
   }
 

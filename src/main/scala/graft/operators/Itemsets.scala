@@ -37,9 +37,15 @@ object Itemsets {
                 minSupport: Long, topK: Int): DataFrame = {
     require(minSupport >= 1, s"minSupport=$minSupport must be >= 1")
     require(topK >= 1, s"topK=$topK must be >= 1")
+    // one exchange on the basket key serves every consumer: the dedup,
+    // the basket total, and BOTH pair-join sides run partition-local
+    // off the reused exchange (HashPartitioning(__bk) satisfies each
+    // clustering) — was a (bk,it) distinct exchange plus two join-side
+    // exchanges (guide §2.4, r11)
     val b = baskets.select(col(basketCol).cast("long").as("__bk"),
         col(itemCol).cast("long").as("__it"))
       .where(col("__bk").isNotNull && col("__it").isNotNull)
+      .repartition(col("__bk"))
       .distinct()
     val itemCnt = b.groupBy(col("__it")).agg(count(lit(1)).as("__n"))
     val total = b.select(countDistinct(col("__bk")).as("n_total"))

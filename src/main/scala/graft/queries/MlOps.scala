@@ -56,10 +56,14 @@ object MlOps {
     // fixed point — the preference-aggregation layer of a reward-data
     // pipeline, every round bit-identical to the oracle's unrolled CTEs.
     "ml_bradley_terry" -> ((s, d) => {
+      // pre-partition on the order key: both self-join sides then run
+      // partition-local off ONE reused exchange instead of each
+      // shuffling the joined frame (guide §2.4, r11)
       val li = Tables.lineitem(s, d)
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
           money(col("l_extendedprice")).as("ep"), col("p_brand").as("b"))
+        .repartition(col("o"))
       val pr = li.alias("a")
         .join(li.alias("bb"),
           col("a.o") === col("bb.o") && col("a.ln") < col("bb.ln"))
