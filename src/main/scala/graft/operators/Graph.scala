@@ -485,6 +485,11 @@ object Graph {
   def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0 && maxHops <= 50, s"maxHops=$maxHops out of [0,50]")
+    // r11 a/b REJECTED a partitioned pin here (AQE-off repartition+sort
+    // on src, Pin.workingSetPartitioned): 2.99 -> 3.88 s at sf0.1/32c.
+    // The frontier side is small enough that AQE broadcasts it, so the
+    // pinned layout is never probed by a sort-merge join and the extra
+    // exchange+sort in the pin is pure cost.
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .repartition(col("src")).localCheckpoint()
@@ -496,13 +501,20 @@ object Graph {
     var done = frontier.isEmpty
     while (h < maxHops && !done) {
       h += 1
+      // ONE action per round (r11): the frontier-size probe rides the
+      // checkpoint job as an observed metric (the CC loop's pattern) —
+      // the separate isEmpty action and the per-round re-checkpoint of
+      // the whole visited set (an O(|V|) copy each round) are gone; the
+      // anti-join scans the lazy union of the pinned per-hop legs.
+      val obs = new org.apache.spark.sql.Observation(s"bfs_next_$h")
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      done = next.isEmpty
-      visited = visited.unionByName(next).localCheckpoint()
+      done = obs.get.get("n").forall(v => v == null || v == 0L)
+      visited = visited.unionByName(next)
       frontier = next.select(col("node"))
     }
     visited
@@ -540,13 +552,16 @@ object Graph {
     var done = frontier.isEmpty
     while (h < maxHops && !done) {
       h += 1
+      // one action per round — see shortestHops (r11)
+      val obs = new org.apache.spark.sql.Observation(s"closeness_next_$h")
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
         .join(visited, Seq("seed", "node"), "left_anti")
         .withColumn("hops", lit(h))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      done = next.isEmpty
-      visited = visited.unionByName(next).localCheckpoint()
+      done = obs.get.get("n").forall(v => v == null || v == 0L)
+      visited = visited.unionByName(next)
       frontier = next.select(col("seed"), col("node"))
     }
     visited.groupBy(col("seed"))
@@ -592,12 +607,15 @@ object Graph {
       val cand = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("cost") + col("w")).as("c"))
         .groupBy(col("node")).agg(min(col("c")).as("cand_cost"))
+      // one action for the improved-set probe — see shortestHops (r11)
+      val obs = new org.apache.spark.sql.Observation(s"bf_improved_$h")
       val improved = cand
         .join(dist.withColumnRenamed("cost", "cur"), Seq("node"), "left")
         .filter(col("cur").isNull || col("cand_cost") < col("cur"))
         .select(col("node"), col("cand_cost").as("cost"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      done = improved.isEmpty
+      done = obs.get.get("n").forall(v => v == null || v == 0L)
       dist = dist.withColumnRenamed("cost", "a")
         .join(improved.withColumnRenamed("cost", "b"), Seq("node"),
           "full_outer")
