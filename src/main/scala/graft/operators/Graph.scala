@@ -836,12 +836,25 @@ object Graph {
       .agg(sigAggs.head, sigAggs.tail: _*)
       .localCheckpoint() // |V| x (perms+1) longs; makes the hub probe
                          // and the deg joins O(|V|) re-reads
-    // band key = the band's `rows` raw slots joined to a string — the
-    // oracle rebuilds it verbatim (no engine-specific hash in the key)
-    val bandKeys = array((0 until bands).map { bd =>
-      concat_ws(":", (0 until rows).map(r =>
-        col(s"__sig${bd * rows + r}").cast("string")): _*)
-    }: _*)
+    // band key: each slot value is < P, so a band of rows<=2 packs
+    // INJECTIVELY into one long (sig0*P + sig1 < P^2 < 2^62) — same
+    // bucket equality as the old "sig0:sig1" string key (r11: the
+    // string keys were ~20 bytes/slot and dominated the banding
+    // exchange + the self-join's hashing; one long is 8 bytes and
+    // codegen-comparable). Wider bands fall back to the string join.
+    // The candidate SET is identical either way (packing is injective),
+    // so the oracle's string-keyed replay still checks the output
+    // bit-for-bit.
+    val bandKeys =
+      if (rows <= 2) array((0 until bands).map { bd =>
+        if (rows == 1) col(s"__sig${bd * rows}")
+        else col(s"__sig${bd * rows}") * lit(P) +
+          col(s"__sig${bd * rows + 1}")
+      }: _*)
+      else array((0 until bands).map { bd =>
+        concat_ws(":", (0 until rows).map(r =>
+          col(s"__sig${bd * rows + r}").cast("string")): _*)
+      }: _*)
     val banded0 = sigs.select(col("node"),
         posexplode(bandKeys).as(Seq("band", "key")))
     // hot-bucket cap (the standard LSH mitigation — FAISS max_codes,
@@ -853,19 +866,33 @@ object Graph {
     // when EVERY band it collides in is hot — genuinely similar pairs
     // usually share a cooler band too. Deterministic, so an oracle
     // replays it exactly.
-    val banded =
-      if (maxBucket == Int.MaxValue) banded0
-      else banded0.join(
-        banded0.groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= maxBucket)
-          .select(col("band"), col("key")),
-        Seq("band", "key"))
+    // r11 layout: the cap joins against the HOT list (anti join) rather
+    // than the ≤cap list (inner join) — hot buckets are rare by
+    // construction (25 of 44k at sf0.1), so the anti side broadcasts
+    // and the probe stays map-side; the surviving rows are then
+    // repartitioned ONCE on the bucket key so both self-join sides run
+    // partition-local off the same reused exchange (the r10 basket-key
+    // idiom; 2 bucket-key exchanges -> 1).
+    val banded = {
+      val keep =
+        if (maxBucket == Int.MaxValue) banded0
+        else banded0.join(
+          banded0.groupBy(col("band"), col("key"))
+            .agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") > maxBucket)
+            .select(col("band"), col("key")),
+          Seq("band", "key"), "left_anti")
+      keep.repartition(col("band"), col("key"))
+    }
+    // NOTE: no distinct here (r11) — a pair colliding in several bands
+    // is verified redundantly (candRaw 602k vs 546k distinct at sf0.1,
+    // only +10% verify work) and the output dedups AFTER the threshold
+    // filters, where the stream is output-sized, instead of paying a
+    // full 600k-row exchange before the verify.
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.node") < col("y.node"))
       .select(col("x.node").as("a"), col("y.node").as("b"))
-      .distinct()
     // exact verify, TWO-PATH by degree (no giant rows, no fanout
     // shuffle): candidate nodes of degree <= maxVerifyArrayDeg get a
     // neighbor ARRAY built from the pinned edges — arrays exist ONLY
@@ -884,8 +911,13 @@ object Graph {
     // emptiness propagates — measured as a full extra |E| pass at 10x
     // data. Both paths are bit-identical (spec'd), so the plan choice
     // can never change results.
-    val anyBig =
-      sigs.filter(col("deg") > maxVerifyArrayDeg).limit(1).count() > 0
+    // ONE probe action over the checkpointed |V|-row sigs returns the
+    // hub flag AND the adjacency size estimate (r11; was a filter+limit
+    // count that answered only the flag)
+    val probe = sigs.agg(max(col("deg")), sum(col("deg")),
+      count(lit(1))).head()
+    val anyBig = !probe.isNullAt(0) &&
+      probe.getLong(0) > maxVerifyArrayDeg
     // no over-cap node -> EVERY degree is bounded, so the plain
     // full adjacency (one groupBy, no candidate cut) is both safe and
     // cheapest — a candidate-node semi-join would add a full extra
@@ -907,7 +939,14 @@ object Graph {
           .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
       }
     // pairs whose BOTH endpoints are capped: inner joins against adjC
-    // select exactly them
+    // select exactly them.
+    // r11 a/b REJECTED broadcasting adjC into both pair joins (size-
+    // guarded broadcast hint off the probe's sum(deg) estimate): 2.97
+    // -> 3.5-3.6 s at sf0.1/32c even with the adjacency pinned first —
+    // in local mode the array-bearing exchange is an in-process copy
+    // while the broadcast adds a driver collect + blocking
+    // materialization. The shuffle join is also the only shape that
+    // scales past executor memory, so it stays.
     val nCommonArr = cand
       .join(adjC.select(col("node").as("a"), col("nbrs").as("__na")), "a")
       .join(adjC.select(col("node").as("b"), col("nbrs").as("__nb")), "b")
@@ -937,15 +976,21 @@ object Graph {
         .agg(count(lit(1)).cast("long").as("n_common"))
       nCommonArr.union(nCommonBig)
     }
-    nCommon
+    // threshold BEFORE the two deg joins (r11): n_common >= minCommon
+    // commutes with the inner joins and cuts the pair stream they ship
+    nCommon.filter(col("n_common") >= minCommon)
       .join(sigs.select(col("node").as("a"), col("deg").as("deg_a")), "a")
       .join(sigs.select(col("node").as("b"), col("deg").as("deg_b")), "b")
-      .filter(col("n_common") >= minCommon)
       .withColumn("jaccard_x1e6",
         expr("n_common * 1000000 div (deg_a + deg_b - n_common)"))
       .filter(col("jaccard_x1e6") >= tauX1e6)
       .select(col("a"), col("b"), col("n_common"), col("deg_a"),
         col("deg_b"), col("jaccard_x1e6"))
+      // multi-band collisions dedup HERE, on the post-threshold
+      // output-sized stream (the candidate-stage distinct this replaces
+      // exchanged the full 600k-pair stream before the verify); dup
+      // rows are bit-identical so this is exactly the old pair dedup
+      .distinct()
       .orderBy(col("jaccard_x1e6").desc, col("a"), col("b"))
   }
 
