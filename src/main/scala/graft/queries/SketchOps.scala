@@ -1040,14 +1040,18 @@ object SketchOps {
         cust.filter(col("o_custkey") % 5 === 2)
           .withColumn("c_mktsegment", lit("SEG_X")),
         rRoot, Seq("o_custkey"))
+      // preimage-carrying CDC (r11): the retraction rows come straight
+      // out of the diff's own full-outer join instead of re-scanning
+      // the whole from-snapshot and semi-joining it back — identical
+      // rows (a non-churned file can hold no updated/deleted key), one
+      // churned-files pass instead of snapshot scan + semi join
       def cdcOf(root: String, key: String, fromV: Long) = {
-        val cdc = VersionedTable.diff(s, root, Seq(key), fromV,
-          VersionedTable.versions(s, root).max)
+        val cdc = VersionedTable.diffWithPreimages(s, root, Seq(key),
+          fromV, VersionedTable.versions(s, root).max)
         (cdc.filter(col("change_type").isin("insert", "update"))
             .drop("change_type"),
-          VersionedTable.read(s, root, Some(fromV))
-            .join(cdc.filter(col("change_type").isin("update", "delete"))
-              .select(key), Seq(key), "leftsemi"))
+          cdc.filter(col("change_type").isin("update_preimage", "delete"))
+            .drop("change_type"))
       }
       val (lI, lD) = cdcOf(lRoot, "o_orderkey", lv0)
       val (rI, rD) = cdcOf(rRoot, "o_custkey", rv0)

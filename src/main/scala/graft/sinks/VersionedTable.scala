@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis
 import org.apache.spark.sql.catalyst.expressions
-import org.apache.spark.sql.functions.{abs, coalesce, col, count, expr, isnan, lit, max => smax, min => smin, struct, sum, when}
+import org.apache.spark.sql.functions.{abs, array, coalesce, col, count, explode, expr, isnan, lit, max => smax, min => smin, struct, sum, when}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -1749,6 +1749,55 @@ object VersionedTable {
         when(col("change_type") === "delete", col("_o_" + c))
           .otherwise(col("_n_" + c)).as(c))
         :+ col("change_type"): _*)
+  }
+
+  /** [[diff]] plus the BEFORE-image of every update as an extra
+    * `change_type = 'update_preimage'` row (Delta CDF naming) — emitted
+    * in the SAME single pass over the churned files via a conditional
+    * explode. The preimages come for free inside diff's full-outer join
+    * (`_o_` side) but [[diff]] drops them; consumers that need
+    * retraction rows (incremental view maintenance) otherwise re-scan
+    * the whole from-snapshot and semi-join it back (r11: that scan +
+    * semi-join was the single most expensive leg of the matview delta).
+    * Exactness: a row in a non-churned file can never be an update or a
+    * delete, so churned-files-only preimages are complete. */
+  def diffWithPreimages(spark: SparkSession, root: String,
+      keys: Seq[String], fromV: Long, toV: Long): DataFrame = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.contains(fromV), s"version $fromV not in $vs")
+    require(vs.contains(toV), s"version $toV not in $vs")
+    val mOld = manifest(f, root, fromV)
+    val mNew = manifest(f, root, toV)
+    val newSet = mNew.files.toSet
+    val oldSet = mOld.files.toSet
+    val old = readFiles(spark, mOld.schema, mOld.files.filterNot(newSet))
+    val neu = readFiles(spark, mNew.schema, mNew.files.filterNot(oldSet))
+    val dataCols = old.columns.filterNot(keys.contains).toSeq
+    def tagged(df: DataFrame, p: String) = df.select(
+      keys.map(col) ++ dataCols.map(c => col(c).as(p + c))
+        :+ lit(true).as(p + "present"): _*)
+    val j = tagged(old, "_o_").join(tagged(neu, "_n_"), keys, "full_outer")
+    val changed =
+      if (dataCols.isEmpty) lit(false)
+      else !dataCols.map(c => col("_o_" + c) <=> col("_n_" + c))
+        .reduce(_ && _)
+    val change = when(col("_o_present").isNull, "insert")
+      .when(col("_n_present").isNull, "delete")
+      .when(changed, "update")
+    def img(side: String, ct: Column) = struct(
+      (keys.map(col) ++ dataCols.map(c => col(side + c).as(c))
+        :+ ct.as("change_type")): _*)
+    val rows = when(col("change_type") === "update",
+        array(img("_n_", col("change_type")),
+          img("_o_", lit("update_preimage"))))
+      .when(col("change_type") === "delete",
+        array(img("_o_", col("change_type"))))
+      .otherwise(array(img("_n_", col("change_type"))))
+    j.withColumn("change_type", change)
+      .filter(col("change_type").isNotNull)
+      .select(explode(rows).as("_r"))
+      .select(col("_r.*"))
   }
 
   /** The head's declared change-log identity keys

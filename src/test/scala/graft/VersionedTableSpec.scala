@@ -267,6 +267,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.diff(spark, root, Seq("k"), 2L, 3L).isEmpty)
   }
 
+  test("diffWithPreimages = diff + before-image rows of every update") {
+    val root = tmpRoot()
+    VersionedTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root) // v0
+    VersionedTable.upsert(
+      Seq((2L, "B"), (4L, "d")).toDF("k", "v"), root, Seq("k")) // v1
+    VersionedTable.deleteWhere(spark, root, col("k") === 3L) // v2
+    val d = VersionedTable.diffWithPreimages(spark, root, Seq("k"), 0L, 2L)
+      .as[(Long, String, String)].collect().toSet
+    assert(d == Set((2L, "B", "update"), (2L, "b", "update_preimage"),
+      (3L, "c", "delete"), (4L, "d", "insert")))
+    // the retraction set (update_preimage + delete) must equal the old
+    // formulation: from-snapshot semi-joined on updated/deleted keys
+    val cdc = VersionedTable.diff(spark, root, Seq("k"), 0L, 2L)
+    val old = VersionedTable.read(spark, root, Some(0L))
+      .join(cdc.filter(col("change_type").isin("update", "delete"))
+        .select("k"), Seq("k"), "leftsemi")
+      .as[(Long, String)].collect().toSet
+    val neu = VersionedTable.diffWithPreimages(spark, root, Seq("k"),
+        0L, 2L)
+      .filter(col("change_type").isin("update_preimage", "delete"))
+      .drop("change_type").as[(Long, String)].collect().toSet
+    assert(neu == old)
+    assert(VersionedTable.diffWithPreimages(spark, root, Seq("k"), 2L, 2L)
+      .isEmpty)
+  }
+
   test("compact merges small files, preserves content and old snapshots") {
     val root = tmpRoot()
     // 4 appends -> >= 4 small files
