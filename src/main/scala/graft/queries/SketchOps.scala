@@ -644,13 +644,13 @@ object SketchOps {
           (col("doc_id") % 10 === 0 && col("doc_id") % 7 === 0 &&
             col("doc_id") % 97 =!= 0 && col("doc_id") % 131 =!= 0 &&
             col("n_chars") === 1))).count()
-      require(m.conflicts.count() == expect,
-        s"conflicts ${m.conflicts.count()} != expected $expect")
+      require(m.nConflicts == expect,
+        s"conflicts ${m.nConflicts} != expected $expect")
       // idempotence: a second merge of the same branches is a no-op
       val m2 = VersionedTable.mergeBranch(s, src, dst, Seq("doc_id"),
         baseRoot = src, baseVersion = 0L)
       require(m2.nUpserts == 0 && m2.nDeletes == 0 &&
-        m2.conflicts.count() == expect, "re-merge must apply nothing")
+        m2.nConflicts == expect, "re-merge must apply nothing")
       val result = VersionedTable.read(s, src)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),

@@ -2630,7 +2630,8 @@ object VersionedTable {
     * side's values (`into_`/`from_`-prefixed, presence flags included)
     * for the caller's resolution policy. */
   final case class BranchMerge(version: Option[Long],
-      conflicts: DataFrame, nUpserts: Long, nDeletes: Long)
+      conflicts: DataFrame, nUpserts: Long, nDeletes: Long,
+      nConflicts: Long)
 
   /** Three-way branch merge — the git-pull of the lake ([[cloneShallow]]
     * is the branch): key-wise against the declared common base
@@ -2701,17 +2702,27 @@ object VersionedTable {
     val deleteKeys = classified
       .filter(col("__take") && col("from_present").isNull)
       .select(keys.map(col): _*)
-    val nUp = upserts.count()
-    // join-based delete: the from-branch's deletion set stays
-    // distributed (a branch may delete millions of keys — collecting
-    // them into an OR-of-ANDs predicate would be unbounded driver
-    // memory plus a linearly growing Catalyst expression tree)
-    val nDel = deleteKeys.count()
+    // ONE agg action over the checkpointed classification answers all
+    // three counts (r11; was a count per set — three scans, three jobs;
+    // callers then re-counted conflicts for a fourth). The delete set
+    // itself stays a distributed join-based delete: a branch may delete
+    // millions of keys — collecting them into an OR-of-ANDs predicate
+    // would be unbounded driver memory plus a linearly growing Catalyst
+    // expression tree.
+    val takes = col("__take")
+    val counts = classified.agg(
+      sum(when(takes && col("from_present").isNotNull, 1L)
+        .otherwise(0L)),
+      sum(when(takes && col("from_present").isNull, 1L).otherwise(0L)),
+      sum(when(col("__conflict"), 1L).otherwise(0L))).head()
+    val nUp = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+    val nDel = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    val nConf = if (counts.isNullAt(2)) 0L else counts.getLong(2)
     var version: Option[Long] = None
     if (nUp > 0) version = Some(upsert(upserts, intoRoot, keys))
     if (nDel > 0)
       version = Some(deleteMatching(spark, intoRoot, deleteKeys, keys))
-    BranchMerge(version, conflicts, nUp, nDel)
+    BranchMerge(version, conflicts, nUp, nDel, nConf)
   }
 
   /** TRULY atomic exclusive create. Hadoop's RawLocalFileSystem
