@@ -106,21 +106,28 @@ object EntityResolution {
         log2Fp(math.max(1L, ud - un)) + log2Fp(ud)
       c -> ((wAgree, wDis))
     }.toMap
-    // one equi-join per blocking key, unioned and deduped
-    val base = recs.select(col(idCol).as("__fs_id") +:
-      blockKeys.indices.map(i => col(s"__fs_k$i")): _*)
-    def blockPass(i: Int) =
-      base.as("a").join(base.as("b"),
-          col(s"a.__fs_k$i") === col(s"b.__fs_k$i") &&
-            col("a.__fs_id") < col("b.__fs_id"))
-        .select(col("a.__fs_id").as("id_a"), col("b.__fs_id").as("id_b"))
-    val pairs = blockKeys.indices.map(blockPass)
-      .reduce(_ unionByName _).distinct()
-    val aSide = recs.select(col(idCol).as("id_a") +:
-      attrs.map(c => col(c).as(s"__fa_$c")): _*)
-    val bSide = recs.select(col(idCol).as("id_b") +:
-      attrs.map(c => col(c).as(s"__fb_$c")): _*)
-    val scored = pairs.join(aSide, "id_a").join(bSide, "id_b")
+    // one equi-join per blocking key. r11 restructure (guide §2.3 —
+    // shuffle fewer bytes): the old shape unioned the raw passes,
+    // DISTINCTed the multi-million-pair stream (a full exchange of the
+    // most-exploded frame in the query; 5.1 s of the gate's 13.7 s-cpu
+    // at sf0.1 — and the fixture's two name-token keys produce the SAME
+    // 3.1M pairs, so the distinct removed half the stream again), then
+    // re-joined the survivors against the records TWICE to fetch the
+    // scoring attributes. Now:
+    //  - pass i keeps only pairs NOT already found by an earlier key
+    //    (NOT non-null-equal on every k_j, j < i), so the passes are
+    //    DISJOINT by construction and the union needs no dedup — the
+    //    pair stream is never exchanged at all;
+    //  - the scoring attributes ride the (linear, |records|-sized) join
+    //    sides, so each pair is born scored — the two post-joins that
+    //    re-shuffled the pair stream are gone. Same (id_a, id_b) set,
+    //    same scores, bit-for-bit.
+    val aAttrs = attrs.map(c => col(c).as(s"__fa_$c"))
+    val bAttrs = attrs.map(c => col(c).as(s"__fb_$c"))
+    val baseA = recs.select((col(idCol).as("__fs_id") +:
+      blockKeys.indices.map(i => col(s"__fs_k$i"))) ++ aAttrs: _*)
+    val baseB = recs.select((col(idCol).as("__fs_id") +:
+      blockKeys.indices.map(i => col(s"__fs_k$i"))) ++ bAttrs: _*)
     val perAttr = attrs.map { c =>
       val (wa, wd) = weights(c)
       when(col(s"__fa_$c").isNull || col(s"__fb_$c").isNull, lit(0L))
@@ -131,9 +138,20 @@ object EntityResolution {
       when(col(s"__fa_$c").isNotNull && col(s"__fb_$c").isNotNull &&
         col(s"__fa_$c") === col(s"__fb_$c"), 1L).otherwise(0L)
     }
-    scored.select(col("id_a"), col("id_b"),
-      agrees.reduce(_ + _).as("n_agree"),
-      perAttr.reduce(_ + _).as("score_fp"))
+    def blockPass(i: Int) = {
+      // "found by pass j" means k_j compared non-null-EQUAL in j's
+      // equi-join; exclude exactly those pairs (null keys never joined)
+      val notEarlier = (0 until i).map(j =>
+        !(col(s"a.__fs_k$j") <=> col(s"b.__fs_k$j") &&
+          col(s"a.__fs_k$j").isNotNull))
+      val cond = (Seq(col(s"a.__fs_k$i") === col(s"b.__fs_k$i"),
+        col("a.__fs_id") < col("b.__fs_id")) ++ notEarlier).reduce(_ && _)
+      baseA.as("a").join(baseB.as("b"), cond)
+        .select(col("a.__fs_id").as("id_a"), col("b.__fs_id").as("id_b"),
+          agrees.reduce(_ + _).as("n_agree"),
+          perAttr.reduce(_ + _).as("score_fp"))
+    }
+    blockKeys.indices.map(blockPass).reduce(_ unionByName _)
   }
 
   /** Candidate pairs (id_a < id_b) sharing a first- or last-token block

@@ -150,6 +150,32 @@ class EntityResolutionSpec extends SparkSpec {
     assert(out.sorted.toSeq == shuffled.sorted.toSeq)
   }
 
+  test("fellegiSunter: disjoint block passes — multi-key pairs emit " +
+      "once, later-key-only and null-key pairs survive") {
+    // k1/k2 overlap structure (r11 rewrite: pass i excludes pairs an
+    // earlier key already found, replacing the union+distinct):
+    //  1,2: share BOTH keys -> exactly one output row
+    //  1,3: share only k2   -> found by the second pass
+    //  4,5: k1 null on 4, share k2 -> the earlier-key exclusion must
+    //       not drop a pair whose earlier key never matched (null)
+    //  6:   both keys unique -> pairs with nobody
+    val recs = Seq(
+      (1L, Some("a"), "x", "v1"), (2L, Some("a"), "x", "v1"),
+      (3L, Some("b"), "x", "v2"), (4L, None: Option[String], "y", "v3"),
+      (5L, Some("c"), "y", "v3"), (6L, Some("d"), "z", "v4"))
+      .toDF("id", "k1", "k2", "attr")
+    val out = EntityResolution.fellegiSunterScore(recs, "id",
+        Seq(col("k1"), col("k2")), Seq("attr"))
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)),
+      s"pair set wrong: $out")
+    // and the multi-key pair carries the same score as its duplicate
+    // would have (the old union+distinct kept one of two equal rows)
+    assert(out.map(p => (p._1, p._2)).distinct.size == out.size)
+  }
+
   test("goldenRecord: longest/mode/latest rules, null tolerance, " +
       "deterministic ties, partition invariance") {
     import EntityResolution._
