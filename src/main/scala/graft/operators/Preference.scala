@@ -58,7 +58,9 @@ object Preference {
         items("i") === col("w"), "left")
       .select(col("i"), coalesce(col("wins"), lit(0L)).as("wins"))
       .localCheckpoint()
-    val nItems = broadcast(items.agg(count(lit(1)).as("__c")))
+    // |items| once, before the loop — it never changes, and the old
+    // per-round broadcast cross-join re-aggregated it every round
+    val nItems = items.count()
 
     var p = items.select(col("i"), lit(Scale).as("p"))
     var r = 0
@@ -70,20 +72,24 @@ object Preference {
           expr(s"(CAST(nij AS DECIMAL(38,0)) * $Scale2)" +
             " div (__pi + __pj)"))
         .groupBy(col("i")).agg(sum(col("__t")).as("__S"))
+      // ONE action per round (r11): the L1 total rides the round's
+      // checkpoint job as an observed metric (decimal: Σp' can outrun
+      // int64 when |items| is huge) and lands in the next projection as
+      // a LITERAL — the old shape ran a second checkpoint plus two
+      // broadcast cross-joins per round to move two scalars
+      val obs = new org.apache.spark.sql.Observation(s"bt_tot_$r")
       val raw = totW.join(scored, "i")
         .withColumn("__pn",
           when(col("__S") > 0,
             expr(s"(CAST(wins AS DECIMAL(38,0)) * $Scale2) div __S"))
             .otherwise(0L))
+        .observe(obs, sum(col("__pn").cast("decimal(38,0)")).as("__tot"))
         .localCheckpoint()
-      // decimal total: Σp' can outrun int64 when |items| is huge
-      val tot = broadcast(raw.agg(
-        sum(col("__pn").cast("decimal(38,0)")).as("__tot")))
-      p = raw.crossJoin(tot).crossJoin(nItems)
-        .select(col("i"),
-          expr(s"CAST((CAST(__pn AS DECIMAL(38,0)) * __c * $Scale)" +
-            " div __tot AS BIGINT)").as("p"))
-        .localCheckpoint()
+      val tot = Option(obs.get.get("__tot").orNull)
+        .map(_.toString).filter(_ != "0").getOrElse("1") // empty frame
+      p = raw.select(col("i"),
+        expr(s"CAST((CAST(__pn AS DECIMAL(38,0)) * $nItems * $Scale)" +
+          s" div CAST('$tot' AS DECIMAL(38,0)) AS BIGINT)").as("p"))
       r += 1
     }
     totW.join(sym.groupBy(col("i")).agg(sum(col("nij")).as("games")), "i")
