@@ -180,12 +180,18 @@ object Graph {
       val deg = cur.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("node"))
+      // one action per round (r11): the surviving-edge count that
+      // drives the exit test rides the checkpoint job as an observed
+      // metric instead of a second full scan of the pinned frame
+      val obs = new org.apache.spark.sql.Observation(s"kcore_n_$r")
       val next = cur
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      val nextCnt = next.count()
+      val nextCnt = Option(obs.get.get("n").orNull)
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       fixed = nextCnt == curCnt || nextCnt == 0L
       cur = next
       curCnt = nextCnt
