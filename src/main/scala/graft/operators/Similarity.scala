@@ -639,9 +639,13 @@ object Similarity {
     * overhead; the float pqCodebooks makes the same trade). Same
     * per-subspace arithmetic as [[kMeansIntOnQ4]], bit-identical
     * books. */
-  private[operators] def kMeansIntSubspaces(base: DataFrame, m: Int,
+  private[operators] def kMeansIntSubspaces(base0: DataFrame, m: Int,
       k: Int, iters: Int, subDim: Int): Array[Array[Array[Long]]] = {
     def sub(c: Column, s: Int) = slice(c, s * subDim + 1, subDim)
+    // pin the quantized training set ONCE (r11): the init collect plus
+    // every Lloyd iteration's treeAggregate otherwise re-executes the
+    // upstream scan + quantize cast per action (iters+1 re-executions)
+    val base = graft.operators.Pin.workingSet(base0)
     val initRows = base.orderBy(col("vec_id")).limit(k)
       .select(col("q4")).collect().map(_.getSeq[Long](0).toArray)
     var books: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
@@ -688,9 +692,11 @@ object Similarity {
 
   /** [[kMeansIntCodebook]]'s core over a pre-quantized (vec_id, q4)
     * frame — shared with the per-subspace PQ codebooks. */
-  private[operators] def kMeansIntOnQ4(q: DataFrame, k: Int, iters: Int,
+  private[operators] def kMeansIntOnQ4(q0: DataFrame, k: Int, iters: Int,
       dim: Int): Array[Array[Long]] = {
     require(k >= 1 && iters >= 0)
+    // pinned once — see kMeansIntSubspaces (r11)
+    val q = graft.operators.Pin.workingSet(q0)
     var cents: Array[Array[Long]] = q.orderBy(col("vec_id")).limit(k)
       .select(col("q4")).collect().map(_.getSeq[Long](0).toArray)
     var t = 0
