@@ -114,16 +114,25 @@ object Relational {
         col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
       val n2 = Tables.nation(s, d).select(
         col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(cust, ord("o_custkey") === cust("c_custkey"))
+      // join ORDER (r11, guide §3.2): the selective broadcast
+      // dimensions apply FIRST — the old chain ran the full
+      // lineitem⋈orders⋈customer joins before the 4-of-25-nations
+      // filters could drop anything. Inner joins + conjunctive filters
+      // commute, so pre-filtering each side through its nation
+      // broadcast (~16 % survivors) shrinks both big join inputs ~6x;
+      // only the cross-nation inequality stays post-join. Same rows.
+      val li4 = li
         .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(n1), sup("s_nationkey") === col("n1_key"))
-        .join(broadcast(n2), cust("c_nationkey") === col("n2_key"))
         .filter(col("supp_nation").isin("NATION_0", "NATION_1",
-            "NATION_2", "NATION_3") &&
-          col("cust_nation").isin("NATION_0", "NATION_1",
-            "NATION_2", "NATION_3") &&
-          col("supp_nation") =!= col("cust_nation"))
+          "NATION_2", "NATION_3"))
+      val cust4 = cust
+        .join(broadcast(n2), cust("c_nationkey") === col("n2_key"))
+        .filter(col("cust_nation").isin("NATION_0", "NATION_1",
+          "NATION_2", "NATION_3"))
+      li4.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust4, ord("o_custkey") === cust("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount")))

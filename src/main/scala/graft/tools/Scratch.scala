@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 object Scratch {
@@ -20,51 +20,94 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val s = spark
 
-    // er_fellegi_sunter candidate volumes
-    val recs0 = graft.Tables.part(s, sfDir).select(
-      col("p_partkey").as("id"), col("p_name").as("name"),
-      when(col("p_partkey") % 7 =!= 0, col("p_brand")).as("brand"),
-      col("p_retailprice").as("price"))
-    val keyed = recs0.select(col("id"), col("name"), col("brand"),
-        col("price"),
-        substring_index(col("name"), " ", 2).as("__fs_k0"),
-        substring_index(col("name"), " ", -2).as("__fs_k1"))
-      .repartition(col("id")).localCheckpoint()
-    println(s"[scratch] N=${keyed.count()}")
-    val base = keyed.select(col("id").as("__fs_id"), col("__fs_k0"),
-      col("__fs_k1"))
-    def blockPass(i: Int) =
-      base.as("a").join(base.as("b"),
-          col(s"a.__fs_k$i") === col(s"b.__fs_k$i") &&
-            col("a.__fs_id") < col("b.__fs_id"))
-        .select(col("a.__fs_id").as("id_a"), col("b.__fs_id").as("id_b"))
+    def tradeEdges() = {
+      val o = graft.Tables.orders(s, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = graft.Tables.lineitem(s, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs0 = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      pairs0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
+    val nPart = s.sessionState.conf.numShufflePartitions
+
+    def lpaRounds(e: DataFrame, iters: Int): Double = {
+      val nodes = e.select(explode(array(col("src"), col("dst")))
+        .as("node")).distinct()
+      var labels = nodes.select(col("node"), col("node").as("lab"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < iters) {
+        val cnt = e.join(labels, e("src") === labels("node"))
+          .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        val pick = cnt.groupBy(col("dst"))
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("dst"), (-col("m.nl")).as("plab"))
+        labels = labels.join(pick, labels("node") === pick("dst"), "left")
+          .select(labels("node"), coalesce(col("plab"), col("lab")).as("lab"))
+          .localCheckpoint()
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warmup (JIT + codegen)
+    lpaRounds(tradeEdges().repartition(col("src")).localCheckpoint(), 3)
+
+    // A: current (unnumbered repartition, AQE-on pin)
     var t = System.nanoTime()
-    val p0 = blockPass(0); val p1 = blockPass(1)
-    println(s"[scratch] pass0=${p0.count()} (${(System.nanoTime()-t)/1e9}s)")
+    val eA = tradeEdges().repartition(col("src")).localCheckpoint()
+    val bA = (System.nanoTime() - t) / 1e9
+    println(s"[scratch] A build=$bA rounds=${lpaRounds(eA, 8)}")
+
+    // B: one-stage AQE-off partitioned pin
     t = System.nanoTime()
-    println(s"[scratch] pass1=${p1.count()} (${(System.nanoTime()-t)/1e9}s)")
+    val eB = graft.operators.Pin.workingSetPartitioned(
+      tradeEdges().repartition(nPart, col("src"))
+        .sortWithinPartitions(col("src")))
+    val bB = (System.nanoTime() - t) / 1e9
+    println(s"[scratch] B build=$bB rounds=${lpaRounds(eB, 8)}")
+
+    // C: two-stage (AQE build pin, then AQE-off layout pin)
     t = System.nanoTime()
-    val pairs = p0.unionByName(p1).distinct()
-    println(s"[scratch] distinct=${pairs.count()} (${(System.nanoTime()-t)/1e9}s)")
-    // block-size distribution
-    keyed.groupBy(col("__fs_k0")).agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)), max(col("n")), expr("percentile(n, 0.99)"),
-        sum(col("n")*(col("n")-1)/2)).show(false)
-    keyed.groupBy(col("__fs_k1")).agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)), max(col("n")), expr("percentile(n, 0.99)"),
-        sum(col("n")*(col("n")-1)/2)).show(false)
-    // scoring-join cost
-    t = System.nanoTime()
-    val aSide = keyed.select(col("id").as("id_a"), col("name").as("na"),
-      col("brand").as("ba"), col("price").as("pa"))
-    val bSide = keyed.select(col("id").as("id_b"), col("name").as("nb"),
-      col("brand").as("bb"), col("price").as("pb"))
-    val scored = pairs.join(aSide, "id_a").join(bSide, "id_b")
-      .select(col("id_a"), col("id_b"),
-        (when(col("na") === col("nb"), 1L).otherwise(0L) +
-         when(col("ba") === col("bb"), 1L).otherwise(0L) +
-         when(col("pa") === col("pb"), 1L).otherwise(0L)).as("n_agree"))
-    println(s"[scratch] scored=${scored.count()} (${(System.nanoTime()-t)/1e9}s)")
+    val p1 = tradeEdges().localCheckpoint()
+    val eC = graft.operators.Pin.workingSetPartitioned(
+      p1.repartition(nPart, col("src")).sortWithinPartitions(col("src")))
+    val bC = (System.nanoTime() - t) / 1e9
+    println(s"[scratch] C build=$bC rounds=${lpaRounds(eC, 8)}")
+
+    // D: C's layout + broadcast-hinted label side per round
+    def lpaRoundsB(e: DataFrame, iters: Int): Double = {
+      val nodes = e.select(explode(array(col("src"), col("dst")))
+        .as("node")).distinct()
+      var labels = nodes.select(col("node"), col("node").as("lab"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < iters) {
+        val cnt = e.join(broadcast(labels), e("src") === labels("node"))
+          .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        val pick = cnt.groupBy(col("dst"))
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("dst"), (-col("m.nl")).as("plab"))
+        labels = labels.join(pick, labels("node") === pick("dst"), "left")
+          .select(labels("node"), coalesce(col("plab"), col("lab")).as("lab"))
+          .localCheckpoint()
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(s"[scratch] D rounds=${lpaRoundsB(eC, 8)}")
+    // re-run A and C once more to bound drift
+    val eA2 = tradeEdges().repartition(col("src")).localCheckpoint()
+    println(s"[scratch] A2 rounds=${lpaRounds(eA2, 8)}")
+    println(s"[scratch] C2 rounds=${lpaRounds(eC, 8)}")
     spark.stop()
   }
 }
