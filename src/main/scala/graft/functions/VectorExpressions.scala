@@ -207,6 +207,25 @@ object LongVectorMaxSim {
   * count once (distinct-set semantics, exactly `size(array_intersect)`
   * for arrays without null elements; a null element fails loud). */
 object SetOps {
+  // null elements fail LOUD (r11 ADVICE fix): getLong on a null
+  // UnsafeArrayData slot silently reads 0, which would count a null as
+  // the value 0 where size(array_intersect) treats null as a set
+  // member — a silent divergence. The check rides the sortedness walk
+  // (which already touches every element) and the fallback's copy, so
+  // the null-free hot path pays one branch per element.
+  private def noNulls(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        "set_intersect_count: null array element (index " + i + ") — " +
+          "inputs must be null-free; size(array_intersect) semantics " +
+          "differ on nulls")
+      i += 1
+    }
+    a
+  }
+
   def isSortedLongs(a: ArrayData): Boolean = {
     val n = a.numElements()
     var i = 1
@@ -233,7 +252,8 @@ object SetOps {
     c
   }
 
-  def longIntersectCount(a: ArrayData, b: ArrayData): Long =
+  def longIntersectCount(a0: ArrayData, b0: ArrayData): Long = {
+    val a = noNulls(a0); val b = noNulls(b0)
     if (isSortedLongs(a) && isSortedLongs(b)) sortedIntersectCount(a, b)
     else {
       val x = a.toLongArray(); val y = b.toLongArray()
@@ -250,6 +270,7 @@ object SetOps {
       }
       c
     }
+  }
 }
 
 /** Native distinct-intersection COUNT of two `array<bigint>` columns —

@@ -100,8 +100,10 @@ object Ids {
       idCol: String = "row_id", numPartitions: Option[Int] = None)
       : (DataFrame, Long) = {
     require(order.nonEmpty)
-    require(!df.columns.contains("__dg_mid"),
-      "denseGlobalRowNumber reserves the __dg_mid column name")
+    require(!Seq("__dg_mid", "__dg_pid", "__dg_off")
+        .exists(df.columns.contains),
+      "denseGlobalRowNumber reserves the __dg_mid/__dg_pid/__dg_off " +
+        "column names")
     import org.apache.spark.sql.functions.{monotonically_increasing_id,
       shiftrightunsigned, count}
     // the two-job zip shape (what RDD.zipWithIndex does, with the

@@ -1710,6 +1710,15 @@ object VersionedTable {
     * dropped. One key-shuffle full-outer join — the unavoidable cost of
     * row-level CDC without per-commit change logs; consumers that only
     * need appended rows should instead read the manifests' added files. */
+  /** Exact keyed CDC between two snapshots. CONTRACT (caller-facing):
+    * snapshots must be key-unique and the lake copy-on-write — the
+    * churned-files-only read below is exact ONLY under that contract.
+    * If it is violated (e.g. a plain append adds a second row for an
+    * existing key whose old row sits in a file both manifests share),
+    * the shared file is invisible to the diff and the new row reports
+    * as an 'insert' where a full-snapshot join would have reported an
+    * 'update' (plus duplicate-key fanout). There is no runtime
+    * detection; keep appends key-disjoint or use upsert/merge. */
   def diff(spark: SparkSession, root: String, keys: Seq[String],
       fromV: Long, toV: Long): DataFrame = {
     // churned-files-only reads (r10 optimization): a file referenced by

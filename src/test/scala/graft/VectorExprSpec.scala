@@ -119,4 +119,20 @@ class VectorExprSpec extends SparkSpec {
     assert(e.select(set_intersect_count($"a", $"b")).head.getLong(0) == 0L)
   }
 
+  test("set_intersect_count: a null ELEMENT fails loud (r11)") {
+    // getLong on a null slot would silently read 0; the operator must
+    // throw instead (size(array_intersect) semantics differ on nulls)
+    val df = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(1L), Some(3L))))
+      .toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(set_intersect_count($"a", $"b")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => Option(c.getMessage)
+        .exists(_.contains("null array element"))),
+      s"expected loud null-element failure, got: $ex")
+  }
+
 }
