@@ -666,19 +666,39 @@ object Graph {
     try {
       val nodes = e.select(explode(array(col("src"), col("dst")))
         .as("node")).distinct().localCheckpoint()
+      var halfRound = 0
       def normalized(rawScores: DataFrame, keyed: String, out: String) = {
-        // checkpoint the RAW per-node sums (|V| rows): the total and
-        // the normalize join both read them, and without the cut the
-        // half-round's |E| join would execute twice (once per use) —
-        // measured ~2x the whole operator
-        val raw = rawScores.localCheckpoint()
-        val tot = broadcast(raw.agg(sum(col("s")).as("t")))
-        nodes.join(raw, nodes("node") === raw(keyed), "left")
-          .crossJoin(tot)
-          .select(nodes("node"), expr(
-            s"""CAST((coalesce(s, 0) * CAST($Scale AS DECIMAL(38,0)))
-               |  div t AS BIGINT)""".stripMargin).as(out))
+        // ONE action per half-round (r11, the Bradley-Terry pattern):
+        // the raw per-node sums (|V| rows) checkpoint once — without
+        // the cut the half-round's |E| join would execute twice
+        // (measured ~2x the whole operator in r9) — and the L1 total
+        // rides that SAME job as an observed metric, landing in the
+        // normalize projection as a literal. The old shape ran a
+        // second checkpoint action per half-round plus a broadcast
+        // cross-join just to move the one scalar. The normalize join
+        // itself stays lazy: its single consumer is the next
+        // half-round's pinned aggregate (or the final join).
+        halfRound += 1
+        val obs = new org.apache.spark.sql.Observation(
+          s"hits_tot_$halfRound")
+        val raw = rawScores.observe(obs, sum(col("s")).as("t"))
           .localCheckpoint()
+        val t = Option(obs.get.get("t").orNull)
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val normalize =
+          if (t != 0L) nodes.join(raw, nodes("node") === raw(keyed), "left")
+            .select(nodes("node"), expr(
+              s"""CAST((coalesce(s, 0) * CAST($Scale AS DECIMAL(38,0)))
+                 |  div CAST($t AS BIGINT) AS BIGINT)""".stripMargin)
+              .as(out))
+          else // pathological all-zero total: keep the old div-by-t
+               // column shape so divide-by-zero semantics are untouched
+            nodes.join(raw, nodes("node") === raw(keyed), "left")
+              .crossJoin(broadcast(raw.agg(sum(col("s")).as("t"))))
+              .select(nodes("node"), expr(
+                s"""CAST((coalesce(s, 0) * CAST($Scale AS DECIMAL(38,0)))
+                   |  div t AS BIGINT)""".stripMargin).as(out))
+        normalize
       }
       var hub = nodes.select(col("node"), lit(Scale).as("hub"))
       var auth: DataFrame = null
